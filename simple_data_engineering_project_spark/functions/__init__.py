@@ -1,0 +1,80 @@
+"""Reusable column expressions — built-ins only, JVM-side, codegen-friendly.
+
+Design rule (SURVEY §2 C13): the hot path uses ``pyspark.sql.functions``
+exclusively so every expression stays inside whole-stage codegen; Python
+UDFs appear only in the multimodal stubs where no builtin can exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..schemas import PRICE_PER_KG_USD
+
+
+def revenue() -> Column:
+    """The testdata transposition of the reference's shipment value:
+    ``l_extendedprice * (1 - l_discount)`` (FIXTURES.md §3)."""
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def shipment_value_usd(weight_col: str = "shipment_weight_kg") -> Column:
+    """``round(weight * 2.50, 2)`` (cocoa_processing_dag.py:24,193).
+
+    Exact for integral weights (int × 2.5 has ≤1 decimal), so HALF_UP vs
+    half-even rounding cannot diverge — the boundary the reference silently
+    relies on, kept explicit here and pinned by a unit test.
+    """
+    return F.round(F.col(weight_col) * F.lit(PRICE_PER_KG_USD), 2)
+
+
+def normalized_text(col: str = "text") -> Column:
+    """Lowercase, strip non-alphanumerics to single spaces, trim.
+
+    The shared normalization for tokenization, fingerprints, and shingles
+    so every text operator agrees on what a token is.
+    """
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"[^a-z0-9]+", " "))
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalized_text(col), r" ")
+
+
+def doc_fingerprint(col: str = "text") -> Column:
+    """Deterministic content fingerprint: md5 of normalized text.
+
+    Content-addressed identity for exact dedup and incremental reprocessing;
+    md5 keeps it oracle-checkable (DuckDB md5 produces identical hex).
+    """
+    return F.md5(normalized_text(col))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<numeric> columns, JVM-side.
+
+    ``zip_with`` + ``aggregate`` fold sequentially in codegen — no Python,
+    no shuffle, deterministic summation order (matches the DuckDB oracle's
+    ``list_dot_product`` to double precision). Inputs are cast to double
+    first so float32 testdata accumulates in float64 on both engines.
+    """
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+__all__ = [
+    "revenue",
+    "shipment_value_usd",
+    "normalized_text",
+    "tokens",
+    "doc_fingerprint",
+    "cosine_similarity",
+]

@@ -1,0 +1,129 @@
+"""Multimodal column plumbing (SURVEY §2 C5).
+
+Images / audio / video ride through the engine as opaque ``binary``
+payloads plus a typed metadata struct — the lakehouse-standard shape
+(content bytes + modality + mime + content-address). The Spark-side
+plumbing (schema, Arrow batching, ``mapInPandas`` signature, partition
+sizing) is real and tested; the *decoders* are stubs because codec
+libraries (Pillow/ffmpeg/…) are not in this environment — each stub is
+clearly marked and raises ``NotImplementedError`` unless given the
+deterministic fake used by tests.
+
+Scale notes: binary payloads dominate row width, so partitioning must be
+by target batch *bytes*, not row count — ``repartition`` on a size-bucketed
+key or (better) write payloads to object storage and carry only content
+addresses; both shapes are supported here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("modality", T.StringType()),  # image|audio|video|text
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("modality", T.StringType()),
+    ]
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table: utf-8 text bytes as the payload.
+
+    Lets every downstream stage (hashing, batching, decode dispatch) run
+    for real on data this container has; swap the source for actual image
+    bytes and nothing downstream changes.
+    """
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text").alias("modality"),
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB — image decode requires a codec library absent here.
+
+    On a real cluster: ``PIL.Image.open(io.BytesIO(payload))`` inside the
+    same ``mapInPandas`` batch loop that ``extract_features`` uses.
+    """
+    raise NotImplementedError(
+        "image decode is stubbed: no codec libraries in this environment"
+    )
+
+
+def decode_audio(payload: bytes) -> object:
+    """STUB — audio decode (soundfile/ffmpeg) absent in this environment."""
+    raise NotImplementedError(
+        "audio decode is stubbed: no codec libraries in this environment"
+    )
+
+
+def sample_video_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
+    """STUB — video frame sampling (ffmpeg) absent in this environment."""
+    raise NotImplementedError(
+        "video frame sampling is stubbed: no ffmpeg in this environment"
+    )
+
+
+def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` streams Arrow batches through Python once — this is
+    the pattern real decoders plug into (decode → resize → embed per
+    batch). The implemented features (byte length, sha256) are cheap but
+    real, and define the batch shape + output contract.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(
+                        lambda b: len(b) if b is not None else 0
+                    ).astype("int64"),
+                    "sha256": payloads.map(
+                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
+                    ),
+                    "modality": pdf["meta"].map(
+                        lambda m: m["modality"] if m is not None else None
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)

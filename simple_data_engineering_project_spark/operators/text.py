@@ -1,0 +1,126 @@
+"""Text-analysis operators over document tables (SURVEY §2 C4 + pipeline ops).
+
+All hot-path expressions are built-ins (regexp/split/aggregate) — language
+ID, quality scoring, and token counting run inside whole-stage codegen with
+zero Python. Each function returns column expressions or DataFrames keyed
+by doc id so they compose with dedup/similarity stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import doc_fingerprint, normalized_text, tokens
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately small and hard-coded: language ID here is a heuristic
+# operator (the reference has none), not a model.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "von", "den", "mit", "für", "auf"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "他", "这", "中"],
+}
+
+
+def token_count_whitespace(col: str = "text"):
+    """Whitespace token count of normalized text."""
+    return F.size(tokens(col))
+
+
+def token_count_bpe_ish(col: str = "text"):
+    """BPE-ish token estimate: count of word/number/punctuation units.
+
+    A GPT-style pre-tokenizer approximation — runs of letters, runs of
+    digits, or single non-space symbols each count as one unit.
+    """
+    return F.regexp_count(F.col(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + score.
+
+    The classic cheap quality gate for LLM training corpora: filters feed
+    off these columns. ``quality_score`` ∈ [0,1], higher = cleaner prose.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("double")
+    n_char = F.length(F.col(text_col)).cast("double")
+    en_stop = F.array(*[F.lit(s) for s in _STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), en_stop)).cast(
+        "double"
+    )
+    punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]")).cast("double")
+    mean_word_len = F.when(n_tok > 0, n_char / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_char > 0, punct / n_char).otherwise(F.lit(0.0))
+    stop_ratio = stop_hits / F.lit(float(len(_STOPWORDS["en"])))
+    score = (
+        F.least(n_tok / F.lit(20.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * F.lit(0.3)
+        + F.least(stop_ratio * F.lit(2.0), F.lit(1.0)) * F.lit(0.3)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        n_char.cast("long").alias("n_chars_raw"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-voting language ID.
+
+    Score per language = distinct stopword hits in the token set; argmax
+    wins. Ties break to the lexicographically greatest language code —
+    arbitrary but deterministic. Pure expression: greatest() over
+    (score, lang) structs instead of a UDF.
+    """
+    toks = F.array_distinct(tokens(text_col))
+    scored = [
+        F.struct(
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(s) for s in sw]))
+            ).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, sw in sorted(_STOPWORDS.items())
+    ]
+    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("predicted_lang"),
+        best["score"].alias("stopword_hits"),
+    )
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", top_n: int = 100
+) -> DataFrame:
+    """Global token frequency table (top_n, deterministic tie-break).
+
+    explode → groupBy(token) is the canonical shuffle-light word count:
+    partial aggregation combines map-side, so the shuffle carries one row
+    per (partition, token), not per token occurrence.
+    """
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(top_n)
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content fingerprints: md5 of normalized text (exact-dup key)."""
+    return df.select(
+        F.col(id_col),
+        doc_fingerprint(text_col).alias("fingerprint"),
+        normalized_text(text_col).alias("norm_text"),
+    ).drop("norm_text")

@@ -1,0 +1,238 @@
+"""The batch ETL pipeline — reference Tier A behaviors, Spark-first.
+
+Reproduces the semantics of the reference's two DAGs
+(`cocoa_data_generation_dag.py` + `cocoa_processing_dag.py`) as one
+declarative pipeline:
+
+    generate → land CSVs → discover → validate (per-file skip) → enrich
+    → stage parquet → upsert into warehouse → archive processed files
+
+What the reference does with Airflow task boundaries, S3 round-trips, and
+XCom manifests collapses into a single Spark plan per run; the pieces the
+optimizer can't subsume (per-file schema validation, keyed upsert without
+a txn log, archive-on-success) are the ~100 lines here.
+
+Scale notes: file listing and header probing are control-plane metadata
+(names + first line), never data; the data path is one DataFrame plan —
+scan all valid files at once (vs the reference's sequential per-file
+loop), derive columns, one shuffle for the keyed upsert.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.upsert import upsert_last_write_wins
+from .schemas import (
+    BEAN_TYPES,
+    COCOA_LANDING_SCHEMA,
+    COCOA_REGIONS,
+    PRICE_PER_KG_USD,
+    REQUIRED_COCOA_COLUMNS,
+)
+from .sources import archive_move, list_files, scan_parquet, sink_parquet
+
+
+def generate_cocoa_data(
+    spark: SparkSession, num_records: int, seed: int = 42
+) -> DataFrame:
+    """Synthetic cocoa shipments (reference A16, generate_data.py:24-47).
+
+    Same value domains, rebuilt as seeded column expressions over
+    ``spark.range`` — fully distributed (the reference builds rows in a
+    Python loop) and deterministic given (num_records, seed):
+
+    - shipment_id: md5(seed, id) — unique + reproducible (the reference's
+      uuid4 is nondeterministic, a correctness trap per SURVEY §1.4)
+    - timestamp: uniform over a fixed 2-year window (the reference uses
+      [now-2y, now], nondeterministic; we pin the window)
+    - temperature_celsius: NULL with p = 0.1 (generate_data.py:40-41)
+    """
+    regions = F.array(*[F.lit(r) for r in COCOA_REGIONS])
+    beans = F.array(*[F.lit(b) for b in BEAN_TYPES])
+    epoch_lo = F.lit(1672531200)  # 2023-01-01 UTC
+    window_s = F.lit(2 * 365 * 24 * 3600)
+    return (
+        spark.range(num_records)
+        .select(
+            F.md5(F.concat(F.lit(f"seed{seed}-"), F.col("id"))).alias("shipment_id"),
+            F.timestamp_seconds(
+                epoch_lo + (F.rand(seed) * window_s).cast("long")
+            ).alias("timestamp"),
+            F.concat(
+                F.lit("FARM-"), (100 + (F.rand(seed + 1) * 101).cast("int")).cast("string")
+            ).alias("farm_id"),
+            regions[(F.rand(seed + 2) * len(COCOA_REGIONS)).cast("int")].alias("region"),
+            beans[(F.rand(seed + 3) * len(BEAN_TYPES)).cast("int")].alias("bean_type"),
+            F.round(F.lit(7.5) + F.rand(seed + 4) * F.lit(2.3), 2).alias("quality_score"),
+            (500 + (F.rand(seed + 5) * 4501).cast("int"))
+            .cast("double")
+            .alias("shipment_weight_kg"),
+            F.when(
+                F.rand(seed + 6) >= 0.1,
+                F.round(F.lit(18.0) + F.rand(seed + 7) * F.lit(7.0), 1),
+            ).alias("temperature_celsius"),
+        )
+    )
+
+
+def land_csv_files(
+    spark: SparkSession,
+    landing_dir: str,
+    num_files: int = 3,
+    rows_per_file: int = 2000,
+    seed: int = 42,
+) -> list[str]:
+    """Land ``num_files`` CSV files (reference gen_dag.py:36-52).
+
+    Each file is written as a single-partition CSV directory then renamed
+    to a flat ``.csv`` path so the landing layout matches the reference's
+    (one object per file).
+    """
+    paths = []
+    for i in range(num_files):
+        df = generate_cocoa_data(spark, rows_per_file, seed=seed + i)
+        tmp = f"{landing_dir}/.tmp_gen_{i}"
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
+            .csv(tmp)
+        )
+        part = [p for p in list_files(spark, tmp, ".csv")][0]
+        dst = f"{landing_dir}/cocoa_shipments_{seed + i:04d}_{i}.csv"
+        archive_move(spark, part, dst)
+        _rm(spark, tmp)
+        paths.append(dst)
+    return paths
+
+
+def _rm(spark: SparkSession, path: str) -> None:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def validate_header(spark: SparkSession, path: str) -> tuple[bool, set[str]]:
+    """Reference A5 (dag.py:186-190): a file missing any required column is
+    skipped whole with a warning, not failed.
+
+    Probes only the header line (spark.read.text + limit 1) — metadata
+    cost, not a data scan.
+    """
+    first = spark.read.text(path).limit(1).collect()
+    if not first:
+        return False, set(REQUIRED_COCOA_COLUMNS)
+    cols = {c.strip() for c in first[0][0].split(",")}
+    missing = set(REQUIRED_COCOA_COLUMNS) - cols
+    return not missing, missing
+
+
+def enrich(df: DataFrame, deterministic_ts: str | None = None) -> DataFrame:
+    """Reference A6+A7 (dag.py:193-194): derived value + audit stamp.
+
+    ``deterministic_ts`` freezes processed_at for replay-idempotent tests
+    (SURVEY §1.4: never hash a current_timestamp column).
+    """
+    stamp = (
+        F.lit(deterministic_ts).cast("timestamp")
+        if deterministic_ts
+        else F.current_timestamp()
+    )
+    return df.withColumn(
+        "shipment_value_usd",
+        F.round(F.col("shipment_weight_kg") * F.lit(PRICE_PER_KG_USD), 2),
+    ).withColumn("processed_at", stamp)
+
+
+@dataclass
+class PipelineResult:
+    processed_files: list[str] = field(default_factory=list)
+    skipped_files: list[str] = field(default_factory=list)
+    archived_files: list[str] = field(default_factory=list)
+    rows_upserted: int = 0
+    warehouse_rows: int = 0
+
+
+def run_batch_pipeline(
+    spark: SparkSession,
+    landing_dir: str,
+    staging_dir: str,
+    warehouse_dir: str,
+    archive_dir: str,
+    deterministic_ts: str | None = None,
+) -> PipelineResult:
+    """One daily-run equivalent (reference EP2, dag.py:56-276).
+
+    Empty landing short-circuits (A15); invalid files are skipped and NOT
+    archived so they re-scan next run (A17 semantics); valid files scan as
+    ONE DataFrame; the upsert is last-write-wins on shipment_id against
+    the parquet warehouse (A13); archive only after a successful commit
+    (A14 ordering — archival is what marks a file durable).
+    """
+    result = PipelineResult()
+    files = list_files(spark, landing_dir, ".csv")
+    if not files:
+        return result  # A15 empty-input short-circuit
+
+    valid = []
+    for path in files:
+        ok, missing = validate_header(spark, path)
+        if ok:
+            valid.append(path)
+        else:
+            result.skipped_files.append(path)
+    if not valid:
+        return result
+
+    landed = (
+        spark.read.schema(COCOA_LANDING_SCHEMA)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
+        .csv(valid)
+    )
+    enriched = enrich(landed, deterministic_ts=deterministic_ts)
+
+    # Stage columnar (A9) — the warehouse loads from the stage, so a load
+    # failure never leaves the warehouse half-written from raw CSVs.
+    sink_parquet(enriched, staging_dir)
+    staged = scan_parquet(spark, staging_dir)
+    result.rows_upserted = staged.count()
+
+    warehouse_path = f"{warehouse_dir}/cocoa_shipments"
+    jvm_fs_exists = _exists(spark, warehouse_path)
+    if jvm_fs_exists:
+        old = scan_parquet(spark, warehouse_path)
+        merged = upsert_last_write_wins(
+            old, staged, keys=["shipment_id"], tiebreak=["processed_at"]
+        )
+        # write-then-swap: never overwrite the table we are reading from
+        tmp = f"{warehouse_dir}/.cocoa_shipments_next"
+        sink_parquet(merged, tmp)
+        _rm(spark, warehouse_path)
+        archive_move(spark, tmp, warehouse_path)
+    else:
+        sink_parquet(staged, warehouse_path)
+
+    result.warehouse_rows = scan_parquet(spark, warehouse_path).count()
+    result.processed_files = list(valid)
+
+    for path in valid:  # A14: archive only what committed
+        name = path.rsplit("/", 1)[-1]
+        if archive_move(spark, path, f"{archive_dir}/{name}"):
+            result.archived_files.append(path)
+    return result
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return bool(p.getFileSystem(conf).exists(p))

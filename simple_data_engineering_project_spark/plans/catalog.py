@@ -1,0 +1,1164 @@
+"""The query catalog — every SURVEY.md §2 operator as a named query.
+
+Each entry pairs a Spark builder ``(spark, sf_dir) -> DataFrame`` with the
+equivalent ANSI-SQL oracle that DuckDB runs on the same parquet tables.
+The driver hash-compares them (row count + schema + order-insensitive
+value hash), so the catalog follows three hard rules (SURVEY §7):
+
+1. every computed column is aliased identically in both builders;
+2. no nondeterminism — no ``current_timestamp``/``uuid``/unseeded rand,
+   explicit tiebreaks under every limit/rank/top-k;
+3. floating aggregates are rounded to fixed decimals on both sides so
+   engine-order summation noise (≤1 ulp relative) cannot flip the hash.
+
+Oracle ``None`` ⇒ genuinely non-SQL-expressible (approx sketches, LSH,
+streaming state) — the driver records the weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import cosine_similarity, doc_fingerprint, normalized_text, revenue
+from ..operators import dedup as dedup_ops
+from ..operators import joins as join_ops
+from ..operators import multimodal as mm_ops
+from ..operators import similarity as sim_ops
+from ..operators import text as text_ops
+from ..operators.upsert import upsert_last_write_wins
+from ..session import tune_for_queries
+from ..schemas import TESTDATA_SCHEMAS
+from ..sources import csv_roundtrip, read_table, scan_parquet, sink_parquet
+
+SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/sdep_spark_scratch")
+
+
+@dataclass(frozen=True)
+class CatalogQuery:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None → rows-only check
+    tier: str  # A (reference-executed) | B (reference-delegated SQL) | C (extension)
+    note: str = ""
+
+
+_REGISTRY: dict[str, CatalogQuery] = {}
+
+
+def register(name: str, oracle: str | None, tier: str, note: str = ""):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_for_queries(spark)
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = CatalogQuery(name, wrapped, oracle, tier, note)
+        return wrapped
+
+    return deco
+
+
+def catalog() -> dict[str, CatalogQuery]:
+    return dict(_REGISTRY)
+
+
+def _t(spark, sf_dir, name):
+    return read_table(spark, sf_dir, name)
+
+
+def _scratch(sf_dir: str, leaf: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return f"{SCRATCH}/{tag}/{leaf}"
+
+
+# =====================================================================
+# Tier A/B — reference parity (cocoa pipeline transposed to testdata,
+# FIXTURES.md §3 mapping)
+# =====================================================================
+
+
+@register(
+    "agg_value_by_region",
+    """
+    SELECT r_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tier="B",
+    note="Flagship: the reference's documented dashboard query "
+    "(README.md:150 — value by region) over the dim chain. "
+    "Dims broadcast; the only shuffle is the final groupBy.",
+)
+def agg_value_by_region(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.select("l_orderkey", revenue().alias("rev"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "agg_quality_trend",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+    """,
+    tier="B",
+    note="Reference 'quality trends over time' (README.md:151) → monthly "
+    "measure trend. Single shuffle on the truncated month.",
+)
+def agg_quality_trend(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.date_trunc("month", "l_shipdate").alias("month")).agg(
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_regional_distribution",
+    """
+    SELECT r_name, l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, l_returnflag
+    """,
+    tier="B",
+    note="Reference 'regional distribution' (README.md:151): counts per "
+    "(region, category).",
+)
+def agg_regional_distribution(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "filter_predicates",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem
+    WHERE l_quantity > 30
+      AND l_returnflag = 'R'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    """,
+    tier="B",
+    note="Reference dashboard WHERE surface (README.md:33,151). All three "
+    "predicates push to the parquet scan (PushedFilters).",
+)
+def filter_predicates(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30)
+        & (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+
+
+@register(
+    "topk_shipments",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    tier="B",
+    note="Top-k with explicit key tiebreak (ties in o_totalprice would "
+    "otherwise be engine-order). TakeOrderedAndProject — no full sort.",
+)
+def topk_shipments(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "point_lookup",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+    """,
+    tier="B",
+    note="PK point lookup (reference PK dag.py:159). Implemented as a "
+    "1-row broadcast-join against the min-key aggregate — distributed, "
+    "no collect.",
+)
+def point_lookup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    min_key = o.agg(F.min("o_orderkey").alias("o_orderkey"))
+    return o.join(F.broadcast(min_key), "o_orderkey").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+
+
+@register(
+    "enrich_value",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROUND(l_quantity * 2.50, 2) AS value_usd
+    FROM lineitem
+    """,
+    tier="A",
+    note="A6 projection: value = round(qty * 2.50, 2) "
+    "(cocoa_processing_dag.py:24,193). Exact for integral quantities, so "
+    "HALF_UP vs half-even cannot diverge (SURVEY §1.4).",
+)
+def enrich_value(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_quantity") * F.lit(2.50), 2).alias("value_usd"),
+    )
+
+
+@register(
+    "union_all",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag = 'A'
+    """,
+    tier="A",
+    note="A8 chunk reassembly (pd.concat, dag.py:200) → unionByName. "
+    "Zero-shuffle: unions concatenate partition lists.",
+)
+def union_all(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    return li.filter(F.col("l_returnflag") == "R").unionByName(
+        li.filter(F.col("l_returnflag") == "A")
+    )
+
+
+@register(
+    "upsert_last_write_wins",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 1000.00 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    unioned AS (
+      SELECT u.*, 1 AS pri FROM updates u
+      UNION ALL
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+             o.o_orderdate, o.o_orderpriority, 0 AS pri
+      FROM orders o
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY pri DESC) AS rn
+      FROM unioned
+    ) WHERE rn = 1
+    """,
+    tier="A",
+    note="A13, the reference's ON CONFLICT DO UPDATE "
+    "(cocoa_processing_dag.py:223-237) as deterministic winner selection; "
+    "one shuffle on the key. Scenario: +1000.00 price updates for keys "
+    "≡ 0 mod 10 (2dp-exact addition: no rounding boundary can diverge "
+    "between engines, unlike a ×1.1 which lands on exact .005 halves).",
+)
+def upsert_lww(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.00)
+    )
+    return upsert_last_write_wins(o.select(cols), updates.select(cols), keys=["o_orderkey"])
+
+
+@register(
+    "scan_parquet_pushdown",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+    """,
+    tier="A",
+    note="A10 parquet scan; predicate + 3-column pruning reach the reader "
+    "(ReadSchema shows 3 of 11 columns).",
+)
+def scan_parquet_pushdown(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp")).select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+
+
+@register(
+    "scan_csv",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tier="A",
+    note="A4 CSV scan with explicit schema (replaces chunked pd.read_csv, "
+    "dag.py:180-182): nation round-trips parquet→csv→DataFrame losslessly.",
+)
+def scan_csv_q(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    return csv_roundtrip(spark, n, _scratch(sf_dir, "scan_csv_nation"), TESTDATA_SCHEMAS["nation"])
+
+
+@register(
+    "sink_parquet",
+    "SELECT * FROM lineitem WHERE l_returnflag = 'N'",
+    tier="A",
+    note="A9+A10 staging round-trip (dag.py:203-211): filter → parquet sink "
+    "→ parquet scan, lossless including timestamps and nulls.",
+)
+def sink_parquet_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "N")
+    path = _scratch(sf_dir, "sink_parquet_lineitem")
+    sink_parquet(li, path)
+    return scan_parquet(spark, path)
+
+
+@register(
+    "gen_synthetic",
+    None,
+    tier="A",
+    note="A16 synthetic generator (generate_data.py domains) rebuilt as "
+    "seeded column expressions over spark.range — distributed, "
+    "deterministic, no driver-side row loop. Rows-only check "
+    "(reference output is random; ours is seeded but engine-specific).",
+)
+def gen_synthetic_q(spark, sf_dir):
+    from ..pipeline import generate_cocoa_data
+
+    return generate_cocoa_data(spark, num_records=10_000, seed=42)
+
+
+# =====================================================================
+# Tier C — relational breadth
+# =====================================================================
+
+
+@register(
+    "join_broadcast_dims",
+    """
+    SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tier="C",
+    note="C7 broadcast equi-join: dims replicate to every task; the fact "
+    "side never shuffles for the join.",
+)
+def join_broadcast_dims(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    return (
+        join_ops.join_broadcast(s, n, s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 300000)
+    """,
+    tier="C",
+    note="C7 left-semi: existence probe; right payload columns never "
+    "materialize.",
+)
+def join_semi_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return join_ops.join_semi(c, o, c.c_custkey == o.o_custkey).select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tier="C",
+    note="C7 left-anti: customers with no orders.",
+)
+def join_anti_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return join_ops.join_anti(c, o, c.c_custkey == o.o_custkey).select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_range",
+    """
+    SELECT b.bucket_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN (VALUES ('low', 0.0, 50000.0),
+                 ('mid', 50000.0, 200000.0),
+                 ('high', 200000.0, 1000000000.0)) AS b(bucket_name, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.bucket_name
+    """,
+    tier="C",
+    note="C7 range/interval join: broadcast-nested-loop against a bucket "
+    "dim — the fact side streams, zero shuffle before the final agg. "
+    "Large×large path: operators.joins.join_range_banded.",
+)
+def join_range_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 200000.0), ("high", 200000.0, 1e9)],
+        "bucket_name string, lo double, hi double",
+    )
+    return (
+        join_ops.join_range(o, buckets, F.col("o_totalprice"), F.col("lo"), F.col("hi"))
+        .groupBy("bucket_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    """
+    WITH a AS (SELECT * FROM events WHERE event_id % 2 = 0),
+         b AS (SELECT * FROM events WHERE event_id % 2 = 1)
+    SELECT a.event_id, a.user_id, a.ts,
+           (SELECT b.value FROM b
+            WHERE b.user_id = a.user_id AND b.ts <= a.ts
+            ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS asof_value
+    FROM a
+    """,
+    tier="C",
+    note="C7 as-of join (even events ← latest odd event per user). Spark "
+    "impl is union+carry-forward window: ONE shuffle on the key vs the "
+    "oracle's O(n²) correlated subquery.",
+)
+def join_asof_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id", "ts")
+    b = ev.filter(F.col("event_id") % 2 == 1).select("event_id", "user_id", "ts", "value")
+    return join_ops.join_asof(
+        a, b, key="user_id", left_ts="ts", right_ts="ts",
+        right_values=["value"], tiebreak="event_id",
+    ).select("event_id", "user_id", "ts", F.col("asof_value"))
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT COALESCE(r_name, 'ALL') AS r_name,
+           COALESCE(n_name, 'ALL') AS n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tier="C",
+    note="C8 rollup: region → nation → grand total in one pass "
+    "(Expand + single shuffle). COALESCE normalizes grouping nulls for "
+    "the hash compare.",
+)
+def agg_rollup_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "n_customers",
+            "total_bal",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tier="C",
+    note="C8 cube over the two lineitem status dims.",
+)
+def agg_cube_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "window_rank",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+      FROM orders
+    ) WHERE rnk <= 5
+    """,
+    tier="C",
+    note="C9 ranked top-n per group; deterministic via key tiebreak.",
+)
+def window_rank_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@register(
+    "window_lag_moving",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice) OVER w AS prev_price,
+           ROUND(AVG(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    tier="C",
+    note="C9 lag + frame-spec moving aggregate over each customer's order "
+    "history; one shuffle on o_custkey serves both windows.",
+)
+def window_lag_moving_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        # 4dp, not 2: a 1-3-row average of 2dp prices can sit exactly on a
+        # .xx5 cent boundary where Spark HALF_UP and DuckDB binary
+        # rounding disagree; at 4dp such exact halves are impossible
+        # (2·10²·s = n(2k+1) has no solution for n ≤ 3).
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.round(
+            F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4
+        ).alias("moving_avg3"),
+    )
+
+
+@register(
+    "setops",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+    tier="C",
+    note="C10 INTERSECT (customers active in both years); EXCEPT/UNION "
+    "variants covered by setops_except and union_all.",
+)
+def setops_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.intersect(y97)
+
+
+@register(
+    "setops_except",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+    tier="C",
+    note="C10 EXCEPT (1996-only customers).",
+)
+def setops_except_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.subtract(y97)
+
+
+@register(
+    "exact_stats",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    """,
+    tier="C",
+    note="Exact multi-aggregate scan (the oracle twin of approx_stats).",
+)
+def exact_stats_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "approx_stats",
+    None,
+    tier="C",
+    note="C11 sketches: HLL++ approx distinct + approx percentiles — "
+    "mergeable partial aggregates, the 100 TB substitute for exact "
+    "distinct/quantile. Rows-only (approximation is engine-specific by "
+    "design; accuracy pinned by a unit test against exact values).",
+)
+def approx_stats_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
+@register(
+    "scalar_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           UPPER(l_returnflag) AS rf_upper,
+           CONCAT(l_returnflag, '-', l_linestatus) AS rf_ls,
+           CAST(LENGTH(l_returnflag || l_linestatus) AS INT) AS tag_len,
+           SUBSTRING(l_returnflag, 1, 1) AS rf_first,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(month(l_shipdate) AS INT) AS ship_month,
+           CAST(day(l_shipdate) AS INT) AS ship_day,
+           ROUND(ABS(l_discount - 0.05), 4) AS disc_dev,
+           CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_decile,
+           CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           ROUND(SQRT(l_quantity), 6) AS qty_sqrt
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+    tier="C",
+    note="C12 scalar battery (string/date/math) on a deterministic sample; "
+    "every function chosen to have identical Spark/DuckDB semantics.",
+)
+def scalar_functions_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.upper("l_returnflag").alias("rf_upper"),
+        F.concat(F.col("l_returnflag"), F.lit("-"), F.col("l_linestatus")).alias("rf_ls"),
+        F.length(F.concat("l_returnflag", "l_linestatus")).alias("tag_len"),
+        F.substring("l_returnflag", 1, 1).alias("rf_first"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.dayofmonth("l_shipdate").alias("ship_day"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.floor(F.col("l_quantity") / 10).alias("qty_decile"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+    )
+
+
+@register(
+    "json_extract",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    tier="C",
+    note="C12 JSON path extraction over events.props; get_json_object "
+    "evaluates JVM-side without full JSON parse per row.",
+)
+def json_extract_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "events_tumbling_agg",
+    """
+    SELECT date_trunc('hour', ts) AS bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tier="C",
+    note="C6 tumbling window, batch form of the streaming pipeline "
+    "(streaming/ runs the same plan incrementally with a watermark). "
+    "window().start ≡ date_trunc for aligned 1h windows in UTC.",
+)
+def events_tumbling_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "events_session_agg",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), sessioned AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM sessioned GROUP BY user_id, sess
+    """,
+    tier="C",
+    note="C6 session window (30 min gap) — Spark session_window vs the "
+    "oracle's gaps-and-islands SQL. Spark merges events with gap < 30m, "
+    "i.e. breaks at >= 30m, matching the oracle's >= predicate.",
+)
+def events_session_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# =====================================================================
+# Tier C — LLM training-data operators (dedup / similarity / text / media)
+# =====================================================================
+
+
+def _docs_with_dupes(spark, sf_dir):
+    """documents ∪ re-keyed copies of every 10th doc — a corpus with known
+    exact duplicates (the raw table has none)."""
+    d = _t(spark, sf_dir, "documents")
+    dupes = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return d.unionByName(dupes)
+
+
+_DOCS_WITH_DUPES_SQL = """
+      SELECT * FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH corpus AS ({_DOCS_WITH_DUPES_SQL})
+    SELECT doc_id, text, lang, source, n_chars FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g'))) ORDER BY doc_id ASC) AS rn
+      FROM corpus
+    ) WHERE rn = 1
+    """,
+    tier="C",
+    note="C1 exact dedup by content fingerprint, deterministic winner "
+    "(min doc_id). Duplicates injected (corpus has none naturally) so the "
+    "operator provably removes rows.",
+)
+def dedup_exact_q(spark, sf_dir):
+    corpus = _docs_with_dupes(spark, sf_dir)
+    with_fp = corpus.withColumn("__fp", doc_fingerprint("text"))
+    return dedup_ops.dedup_exact(with_fp, keys=["__fp"], tiebreak=["doc_id"]).drop(
+        "__fp"
+    )
+
+
+@register(
+    "dedup_minhash",
+    None,
+    tier="C",
+    note="C2 MinHash+LSH near-dup candidates (shingle→minhash→band→bucket "
+    "join). Rows-only: banding is engine-specific; exactness pinned by "
+    "unit tests (injected near-dups must collide, Jaccard estimate ±0.2 "
+    "of exact).",
+)
+def dedup_minhash_q(spark, sf_dir):
+    corpus = _docs_with_dupes(spark, sf_dir)
+    return dedup_ops.minhash_lsh_candidates(corpus).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash",
+    None,
+    tier="C",
+    note="C2 SimHash near-dup pairs via 16-bit block pigeonhole join. "
+    "Rows-only.",
+)
+def dedup_simhash_q(spark, sf_dir):
+    corpus = _docs_with_dupes(spark, sf_dir)
+    return dedup_ops.simhash_near_dups(corpus, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    None,
+    tier="C",
+    note="C2 exact n-gram Jaccard verify over LSH candidates (never "
+    "all-pairs). Rows-only.",
+)
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    corpus = _docs_with_dupes(spark, sf_dir)
+    cands = dedup_ops.minhash_lsh_candidates(corpus)
+    return dedup_ops.ngram_jaccard_pairs(corpus, cands, threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "similarity_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+    scored AS (
+      SELECT e.vec_id AS item_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cosine_raw
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT item_id, ROUND(cosine_raw, 6) AS cosine,
+           CAST(ROW_NUMBER() OVER (ORDER BY cosine_raw DESC, item_id ASC) AS INT) AS rank
+    FROM scored
+    ORDER BY cosine_raw DESC, item_id ASC LIMIT 10
+    """,
+    tier="C",
+    note="C3 brute-force cosine top-10 for the min-vec_id query vector. "
+    "Dot products fold in codegen (zip_with+aggregate), double "
+    "accumulation matches DuckDB's list_dot_product; cosine rounded to "
+    "6dp to absorb last-ulp drift. LSH variant: similarity_topk_lsh.",
+)
+def similarity_topk_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.join(
+        emb.agg(F.min("vec_id").alias("vec_id")), "vec_id"
+    ).select(F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec"))
+    out = sim_ops.brute_force_topk(emb, qv, k=10)
+    return out.select(
+        "item_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register(
+    "similarity_topk_lsh",
+    None,
+    tier="C",
+    note="C3 scale path: SRP-LSH bucketed candidate generation + exact "
+    "re-score. Rows-only (approximate recall by design; recall vs "
+    "brute-force pinned by a unit test).",
+)
+def similarity_topk_lsh_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.join(
+        emb.agg(F.min("vec_id").alias("vec_id")), "vec_id"
+    ).select(F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec"))
+    out = sim_ops.lsh_topk(emb, qv, dim=64, k=10, bands=8, bits=6)
+    return out.select("item_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@register(
+    "text_tokens",
+    """
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                    ' ')) AS token
+      FROM documents
+    ) WHERE token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT 100
+    """,
+    tier="C",
+    note="C4 tokenize + global frequency top-100. Map-side partial agg "
+    "keeps the shuffle at one row per (partition, token).",
+)
+def text_tokens_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.token_frequencies(d, top_n=100)
+
+
+@register(
+    "text_quality",
+    """
+    WITH feat AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+               AS toks,
+             CAST(LENGTH(text) AS DOUBLE) AS n_char,
+             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_tok, n_char, punct,
+             (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(toks, 'is') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(toks, 'in') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(toks, 'it') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(toks, 'for') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(toks, 'was') THEN 1 ELSE 0 END) AS stop_hits
+      FROM feat
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(n_char AS BIGINT) AS n_chars_raw,
+           ROUND(CASE WHEN n_tok > 0 THEN n_char / n_tok ELSE 0 END, 4) AS mean_word_len,
+           ROUND(CASE WHEN n_char > 0 THEN punct / n_char ELSE 0 END, 4) AS punct_ratio,
+           ROUND(stop_hits / 10.0, 4) AS stopword_ratio,
+           ROUND(LEAST(n_tok / 20.0, 1.0) * 0.4
+                 + (1.0 - LEAST(CASE WHEN n_char > 0 THEN punct / n_char ELSE 0 END * 5.0,
+                                1.0)) * 0.3
+                 + LEAST(stop_hits / 10.0 * 2.0, 1.0) * 0.3, 4) AS quality_score
+    FROM m
+    """,
+    tier="C",
+    note="C4 quality features: length / punctuation / stopword ratios and "
+    "a composite [0,1] score — the standard cheap pre-training quality "
+    "gate, all codegen expressions.",
+)
+def text_quality_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.quality_features(d)
+
+
+@register(
+    "text_lang_id",
+    None,  # oracle generated below (needs the stopword lists)
+    tier="C",
+    note="C4 stopword-voting language ID; argmax via greatest() over "
+    "(score, lang) structs, tie → lexicographically greatest lang.",
+)
+def text_lang_id_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.lang_id(d)
+
+
+def _lang_id_oracle() -> str:
+    score_cols = []
+    for lang, words in sorted(text_ops._STOPWORDS.items()):
+        hits = " + ".join(
+            f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END" for w in words
+        )
+        score_cols.append(f"({hits}) AS s_{lang}")
+    langs = sorted(text_ops._STOPWORDS)
+    encoded = ", ".join(f"printf('%02d|%s', s_{lang}, '{lang}')" for lang in langs)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' ')) AS toks
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, {', '.join(score_cols)} FROM toks
+    ), best AS (
+      SELECT doc_id, greatest({encoded}) AS enc FROM scores
+    )
+    SELECT doc_id,
+           split_part(enc, '|', 2) AS predicted_lang,
+           CAST(split_part(enc, '|', 1) AS INT) AS stopword_hits
+    FROM best
+    """
+
+
+@register(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+             AS bpe_ish_tokens
+    FROM documents
+    """,
+    tier="C",
+    note="C4 token counting: whitespace tokens + a BPE-ish unit count "
+    "(letter runs / digit runs / single symbols).",
+)
+def text_token_count_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_ops.token_count_whitespace("text").alias("ws_tokens"),
+        text_ops.token_count_bpe_ish("text").cast("int").alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    tier="C",
+    note="C4 content fingerprint (md5 of normalized text) — the dedup key "
+    "and incremental-processing identity.",
+)
+def doc_fingerprint_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           'text' AS modality
+    FROM documents
+    """,
+    tier="C",
+    note="C5 multimodal plumbing: binary payload column + typed metadata "
+    "struct through an Arrow-batched mapInPandas feature extractor "
+    "(decoders stubbed — no codec libs here; batch shape is real). "
+    "Oracle checks byte length + sha256 agree end-to-end.",
+)
+def multimodal_features_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_from_documents(d)
+    return mm_ops.extract_features(media)
+
+
+# Patch in the generated lang-id oracle (registered with None above).
+_REGISTRY["text_lang_id"] = CatalogQuery(
+    "text_lang_id",
+    _REGISTRY["text_lang_id"].fn,
+    _lang_id_oracle(),
+    "C",
+    _REGISTRY["text_lang_id"].note,
+)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None}

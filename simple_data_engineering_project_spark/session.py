@@ -1,0 +1,73 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Every knob here is chosen for the 100 TB posture first and local testing
+second:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  broadcast-join demotion/promotion) — on a 1000-executor cluster this is
+  what keeps a static plan from being wrong at runtime.
+- ``spark.sql.session.timeZone=UTC`` — the reference stores TIMESTAMPTZ and
+  stamps UTC (cocoa_processing_dag.py:194); all our timestamp semantics are
+  UTC so results are independent of driver locale.
+- shuffle partitions sized from local parallelism for tests; on a real
+  cluster you would set this (or rely on AQE coalescing) from cluster size.
+- Arrow enabled: every pandas interchange (createDataFrame, toPandas,
+  pandas_udf, mapInPandas) moves columnar batches instead of pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "simple-data-engineering-project-spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session used by tests and bench.
+
+    The driver supplies its own session to ``__spark_entry__.entry`` /
+    ``queries()``; those paths call :func:`tune_for_queries` instead so
+    correctness-critical settings (UTC, AQE) apply to any session.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/sdep-spark-warehouse")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_queries(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable correctness/perf conf to an existing session.
+
+    Called at the top of every catalog query so results are deterministic
+    (UTC) and adaptive even when the harness built the session.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    return spark

@@ -1,0 +1,143 @@
+"""Source / sink operators (reference Tier A: A1, A4, A9, A10, A14).
+
+Spark-first mapping of the reference's io surface:
+
+- landing discovery (``dag.py:66-68`` boto3 listing) → file-source globs;
+  Spark lists, splits, and schedules the files itself.
+- chunked CSV parse (``dag.py:180-182``, 50k-row chunks) → a schema'd
+  ``spark.read.csv``: partitions are the chunking, vectorized and parallel.
+- parquet stage write/read (``dag.py:203-211``) → ``write.parquet`` /
+  ``read.parquet`` with pushdown and pruning intact.
+- archive move (``dag.py:259-266``) → filesystem rename via the JVM Hadoop
+  FileSystem API so it works identically for file:// and s3a:// paths.
+
+All paths are plain strings; anything Hadoop understands (local, s3a, hdfs)
+works unchanged — at 100 TB these same calls fan out over the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schemas import TESTDATA_SCHEMAS
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver test table (parquet; pushdown + pruning apply).
+
+    The events table stores INT64 TIMESTAMP(NANOS), which the vectorized
+    parquet reader rejects; read the nanos as long and truncate to micros
+    (`ts DIV 1000`, exact integer division — a double cast would lose
+    precision above 2^53), matching DuckDB's nanos→micros truncation.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(path)
+
+
+def scan_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with an explicit schema (replaces dag.py:180-182 chunking).
+
+    One declarative scan; Spark parallelizes by file splits, so the
+    reference's 50k-row chunk loop is subsumed by partitioning. Explicit
+    schema keeps the read single-pass (no inference pass) — at 100 TB an
+    inference pass would read the data twice.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def sink_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Columnar stage write (replaces dag.py:203-207 pandas→buffer→S3 put)."""
+    df.write.mode(mode).parquet(path)
+
+
+def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Stage read-back (replaces dag.py:210-211)."""
+    return spark.read.parquet(path)
+
+
+def csv_roundtrip(
+    spark: SparkSession, df: DataFrame, path: str, schema: T.StructType
+) -> DataFrame:
+    """Write ``df`` as CSV and scan it back with the explicit schema.
+
+    Exercises the full CSV serializer/parser path (header, nulls as empty
+    fields, timestamp format) the way the reference round-trips landing
+    files through MinIO.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+
+
+def archive_move(spark: SparkSession, src: str, dst: str) -> bool:
+    """Post-commit archive: rename src → dst via Hadoop FileSystem.
+
+    Replaces the reference's copy+delete pair (dag.py:263-265) with an
+    atomic-where-supported rename; works for any Hadoop-visible FS.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    src_path = jvm.org.apache.hadoop.fs.Path(src)
+    dst_path = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = src_path.getFileSystem(conf)
+    dst_parent = dst_path.getParent()
+    if dst_parent is not None and not fs.exists(dst_parent):
+        fs.mkdirs(dst_parent)
+    return bool(fs.rename(src_path, dst_path))
+
+
+def list_files(spark: SparkSession, directory: str, suffix: str = ".csv") -> list[str]:
+    """Landing discovery (reference A1, dag.py:66-68): list + suffix filter.
+
+    Driver-side by design — it is control-plane metadata (file names), not
+    data; the reference's manifest snapshot is the same listing frozen as
+    JSON. Bulk data never flows through this.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(directory)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return []
+    statuses = fs.listStatus(path)
+    out = [str(s.getPath().toString()) for s in statuses if s.isFile()]
+    return sorted(k for k in out if k.endswith(suffix))
+
+
+__all__ = [
+    "TESTDATA_SCHEMAS",
+    "read_table",
+    "scan_csv",
+    "sink_parquet",
+    "scan_parquet",
+    "csv_roundtrip",
+    "archive_move",
+    "list_files",
+]

@@ -1,0 +1,112 @@
+"""Structured Streaming pipelines (SURVEY §2 C6).
+
+The reference's "stream" is hourly file arrival consumed by a daily batch
+(gen_dag.py ↔ dag.py); its Spark-native form is a file-source stream with
+checkpointed discovery (replacing manifests, A2) and source archiving
+(replacing the archive move, A14). On top of that, the windowed operators
+a real event stream needs: tumbling / sliding / session windows with
+watermarked late-data handling.
+
+Every transformation here is also valid on a batch DataFrame — the batch
+twin of each query lives in plans/catalog.py (events_tumbling_agg,
+events_session_agg) and is what the DuckDB oracle checks; these builders
+add only watermarks + output mode, so stream and batch share one logical
+plan (the Structured Streaming contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA_SCHEMAS
+
+
+def read_events_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int = 5,
+    archive_dir: str | None = None,
+) -> DataFrame:
+    """File-source stream over events parquet.
+
+    ``maxFilesPerTrigger`` reproduces the reference's BATCH_SIZE=5 batching
+    (dag.py:22); ``cleanSource=archive`` reproduces the post-commit archive
+    move (dag.py:259-266) — both as engine options instead of DAG code.
+    """
+    reader = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    if archive_dir:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    return reader.parquet(source_dir)
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1-hour tumbling windows with late-data tolerance = ``watermark``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide overlapping buckets."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("bucket_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_aggregates(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows per user (state merges as late events arrive)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str = "events_stream",
+    gap_queries: bool = False,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Drive the tumbling aggregation into an in-memory sink (tests/bench).
+
+    ``availableNow`` processes everything currently in the source then
+    stops — the batch-parity mode the tests assert against.
+    """
+    events = read_events_stream(spark, source_dir)
+    agg = tumbling_counts(events)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
