@@ -1,0 +1,119 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology: each query executes end-to-end into the noop sink (full
+execution, zero driver materialization cost), timed after a JVM warmup
+job. ``pipeline_e2e`` additionally runs the cocoa batch pipeline
+(generate → land CSV → validate → enrich → stage parquet → keyed upsert →
+flagship agg) at sf0.1-equivalent volume (~600k rows), the BASELINE.md
+envelope (≤120 s; Tier B queries ≤10 s each).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from simple_data_engineering_project_spark.plans import catalog
+from simple_data_engineering_project_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Representative, scale-sensitive subset: scans, multi-join aggs, windows,
+# upsert, dedup, similarity, text, events. (The LSH ops are excluded —
+# benchmarked separately in tests until their expression trees are tuned.)
+HEADLINE = [
+    "agg_value_by_region",
+    "agg_quality_trend",
+    "agg_regional_distribution",
+    "filter_predicates",
+    "topk_shipments",
+    "join_broadcast_dims",
+    "join_asof",
+    "window_rank",
+    "window_lag_moving",
+    "upsert_last_write_wins",
+    "dedup_exact",
+    "similarity_topk",
+    "text_tokens",
+    "events_tumbling_agg",
+    "json_extract",
+    "exact_stats",
+]
+
+
+def _execute(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_label = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    spark = get_spark(app_name="sdep-spark-bench", cpus=CPUS)
+
+    # warmup (not counted): JVM/codegen/shuffle machinery + one cold scan
+    # of each table so timings measure execution, not OS page-cache misses
+    from simple_data_engineering_project_spark.schemas import TABLE_NAMES
+    from simple_data_engineering_project_spark.sources import read_table
+
+    spark.range(10_000_000).selectExpr("sum(id)").collect()
+    for t in TABLE_NAMES:
+        read_table(spark, SF_DIR, t).count()
+
+    cat = catalog()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = cat[name]
+        t0 = time.perf_counter()
+        _execute(q.fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # end-to-end batch pipeline at ~sf0.1 volume
+    from simple_data_engineering_project_spark.pipeline import (
+        land_csv_files,
+        run_batch_pipeline,
+    )
+
+    base = "/tmp/sdep_bench_pipeline"
+    shutil.rmtree(base, ignore_errors=True)
+    t0 = time.perf_counter()
+    land_csv_files(spark, f"{base}/landing", num_files=6, rows_per_file=100_000)
+    run_batch_pipeline(
+        spark,
+        landing_dir=f"{base}/landing",
+        staging_dir=f"{base}/staging",
+        warehouse_dir=f"{base}/warehouse",
+        archive_dir=f"{base}/archive",
+        deterministic_ts="2024-01-01 00:00:00",
+    )
+    wh = spark.read.parquet(f"{base}/warehouse/cocoa_shipments")
+    _execute(
+        wh.groupBy("region").agg({"shipment_value_usd": "sum"})
+    )
+    timings["pipeline_e2e"] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(base, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_pipeline",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
