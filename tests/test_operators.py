@@ -1,0 +1,173 @@
+"""Operator unit tests on tiny literal DataFrames — semantics pinned
+independently of the testdata (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simple_data_engineering_project_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from simple_data_engineering_project_spark.operators.joins import (
+    join_asof,
+    join_range,
+    join_range_banded,
+)
+from simple_data_engineering_project_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from simple_data_engineering_project_spark.operators.upsert import (
+    upsert_last_write_wins,
+)
+
+
+def test_upsert_new_wins_and_inserts(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, name string, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, "B", 99.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    out = {r["k"]: (r["name"], r["v"]) for r in
+           upsert_last_write_wins(old, new, keys=["k"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0)}
+
+
+def test_upsert_tiebreak_within_new(spark):
+    old = spark.createDataFrame([(1, 0)], "k int, v int")
+    new = spark.createDataFrame([(1, 5), (1, 9)], "k int, v int")
+    out = upsert_last_write_wins(old, new, keys=["k"], tiebreak=["v"]).collect()
+    assert len(out) == 1 and out[0]["v"] == 9  # highest tiebreak wins
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 300), (4, 20, 100)],
+        "id int, k int, t long",
+    ).select("id", "k", F.timestamp_seconds("t").alias("t"))
+    right = spark.createDataFrame(
+        [(101, 10, 100, 1.0), (102, 10, 205, 2.0), (103, 10, 250, 3.0)],
+        "rid int, k int, t long, val double",
+    ).select("rid", "k", F.timestamp_seconds("t").alias("t"), "val")
+    out = {
+        r["id"]: r["asof_val"]
+        for r in join_asof(
+            left, right, key="k", left_ts="t", right_ts="t",
+            right_values=["val"], tiebreak="rid",
+        ).collect()
+    }
+    # id=1: right@100 ties left@100 → included (<=); id=2: right@205 exact;
+    # id=3: latest right ≤300 is @250; id=4: no right rows for k=20 → null
+    assert out == {1: 1.0, 2: 2.0, 3: 3.0, 4: None}
+
+
+def test_range_banded_matches_broadcast_range(spark):
+    fact = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 97 * 1.0).alias("v")
+    )
+    buckets = spark.createDataFrame(
+        [("a", 0.0, 30.0), ("b", 30.0, 60.0), ("c", 60.0, 100.0)],
+        "name string, lo double, hi double",
+    )
+    bcast = (
+        join_range(fact, buckets, F.col("v"), F.col("lo"), F.col("hi"))
+        .groupBy("name").count().orderBy("name").collect()
+    )
+    banded = (
+        join_range_banded(fact, buckets, "v", "lo", "hi", band_width=25.0)
+        .groupBy("name").count().orderBy("name").collect()
+    )
+    assert [tuple(r) for r in bcast] == [tuple(r) for r in banded]
+
+
+def _doc_corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "under the warm sun near the old stone bridge by the river bank"
+    )
+    near = base.replace("lazy", "sleepy")  # 1-word change → high jaccard
+    far = (
+        "completely different content about spark query engines and "
+        "columnar execution with vectorized readers and shuffle services"
+    )
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], "doc_id long, text string"
+    )
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = _doc_corpus(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in minhash_lsh_candidates(docs, k=3, num_hashes=64, bands=16).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5  # near dup collides
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # unrelated: no bucket
+
+
+def test_ngram_jaccard_exact_verification(spark):
+    docs = _doc_corpus(spark)
+    cands = minhash_lsh_candidates(docs, k=3, num_hashes=64, bands=16)
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, cands, k=3).collect()
+    }
+    assert verified[(1, 4)] == 1.0
+    est_vs_exact = abs(verified[(1, 2)] - 0.78)
+    assert est_vs_exact < 0.15  # exact jaccard of the 1-word edit ≈ 0.78
+
+
+def test_simhash_near_dups(spark):
+    docs = _doc_corpus(spark)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_dups(docs, max_hamming=10).collect()}
+    assert pairs.get((1, 4)) == 0  # identical text → identical fingerprint
+    assert (1, 2) in pairs  # near dup within hamming 10
+    assert (1, 3) not in pairs
+
+
+def _emb_tables(spark):
+    import math
+
+    rows = []
+    for i in range(200):
+        # deterministic pseudo-random unit-ish vectors
+        vec = [math.sin(i * 37.1 + d * 1.7) for d in range(16)]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    emb = _emb_tables(spark)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {r["item_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {r["item_id"] for r in
+              lsh_topk(emb, q, dim=16, k=10, bands=12, bits=4).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_brute_force_topk_self_is_rank1(spark):
+    emb = _emb_tables(spark)
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.lit(7).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = brute_force_topk(emb, q, k=3).orderBy("rank").collect()
+    assert top[0]["item_id"] == 7
+    assert abs(top[0]["cosine"] - 1.0) < 1e-12
+
+
+def test_approx_stats_accuracy(spark, sf_smoke):
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    exact = li.select(F.countDistinct("l_partkey")).collect()[0][0]
+    approx = li.select(
+        F.approx_count_distinct("l_partkey", rsd=0.02)
+    ).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05

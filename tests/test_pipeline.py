@@ -1,0 +1,166 @@
+"""Pipeline-property tests — the reference's Tier A infra behaviors
+(SURVEY §2 A5/A13/A14/A15/A17, §5): skip-on-missing-column,
+archive-on-success, empty-input no-op, idempotent replay, null round-trip,
+exact value enrichment.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_data_engineering_project_spark.pipeline import (
+    enrich,
+    generate_cocoa_data,
+    land_csv_files,
+    run_batch_pipeline,
+)
+from simple_data_engineering_project_spark.sources import list_files
+
+TS = "2024-06-01 00:00:00"
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    base = str(tmp_path)
+    yield {
+        "landing": f"{base}/landing",
+        "staging": f"{base}/staging",
+        "warehouse": f"{base}/warehouse",
+        "archive": f"{base}/archive",
+    }
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _run(spark, dirs):
+    return run_batch_pipeline(
+        spark,
+        landing_dir=dirs["landing"],
+        staging_dir=dirs["staging"],
+        warehouse_dir=dirs["warehouse"],
+        archive_dir=dirs["archive"],
+        deterministic_ts=TS,
+    )
+
+
+def test_empty_landing_is_noop(spark, dirs):
+    # A15 (dag.py:70-72): zero CSVs → short-circuit, nothing written
+    res = _run(spark, dirs)
+    assert res.processed_files == []
+    assert res.warehouse_rows == 0
+
+
+def test_happy_path_processes_and_archives(spark, dirs):
+    land_csv_files(spark, dirs["landing"], num_files=2, rows_per_file=500)
+    res = _run(spark, dirs)
+    assert len(res.processed_files) == 2
+    assert res.warehouse_rows == 1000
+    # A14: processed files moved out of landing into archive
+    assert list_files(spark, dirs["landing"], ".csv") == []
+    assert len(list_files(spark, dirs["archive"], ".csv")) == 2
+    wh = spark.read.parquet(f"{dirs['warehouse']}/cocoa_shipments")
+    assert wh.count() == 1000
+    # enrichment landed: value = round(weight * 2.5, 2), never null
+    bad = wh.filter(
+        F.col("shipment_value_usd")
+        != F.round(F.col("shipment_weight_kg") * 2.5, 2)
+    ).count()
+    assert bad == 0
+
+
+def test_missing_column_file_skipped_not_archived(spark, dirs, tmp_path):
+    # A5 (dag.py:186-190): a file without a required column is skipped
+    # whole and left in landing for re-scan (never archived)
+    land_csv_files(spark, dirs["landing"], num_files=1, rows_per_file=300)
+    bad_path = f"{dirs['landing']}/bad_missing_quality.csv"
+    with open(bad_path, "w") as f:
+        f.write("shipment_id,timestamp,farm_id,region,bean_type,shipment_weight_kg,temperature_celsius\n")
+        f.write("x1,2024-01-01T00:00:00,FARM-1,Volta,Criollo,1000,20.0\n")
+    res = _run(spark, dirs)
+    assert [p.rsplit("/", 1)[-1] for p in res.skipped_files] == [
+        "bad_missing_quality.csv"
+    ]
+    assert res.warehouse_rows == 300
+    # the bad file is still in landing; the good one is archived
+    remaining = list_files(spark, dirs["landing"], ".csv")
+    assert [p.rsplit("/", 1)[-1] for p in remaining] == ["bad_missing_quality.csv"]
+
+
+def test_replay_is_idempotent_upsert(spark, dirs):
+    # A13 (dag.py:223-237, README:31): re-loading the same keys leaves the
+    # warehouse unchanged; updated rows win on conflict
+    land_csv_files(spark, dirs["landing"], num_files=1, rows_per_file=400, seed=7)
+    _run(spark, dirs)
+    wh1 = spark.read.parquet(f"{dirs['warehouse']}/cocoa_shipments")
+    total1 = wh1.count()
+    sum1 = wh1.agg(F.sum("shipment_value_usd")).collect()[0][0]
+
+    # land the SAME data again (same seed → same shipment_ids)
+    land_csv_files(spark, dirs["landing"], num_files=1, rows_per_file=400, seed=7)
+    _run(spark, dirs)
+    wh2 = spark.read.parquet(f"{dirs['warehouse']}/cocoa_shipments")
+    assert wh2.count() == total1
+    assert wh2.agg(F.sum("shipment_value_usd")).collect()[0][0] == sum1
+
+
+def test_update_wins_on_conflict(spark, dirs):
+    land_csv_files(spark, dirs["landing"], num_files=1, rows_per_file=100, seed=3)
+    _run(spark, dirs)
+    # hand-craft an update file reusing an existing shipment_id
+    wh = spark.read.parquet(f"{dirs['warehouse']}/cocoa_shipments")
+    sid = wh.orderBy("shipment_id").first()["shipment_id"]
+    upd = f"{dirs['landing']}/update.csv"
+    with open(upd, "w") as f:
+        f.write(
+            "shipment_id,timestamp,farm_id,region,bean_type,quality_score,"
+            "shipment_weight_kg,temperature_celsius\n"
+        )
+        f.write(f"{sid},2024-01-01T00:00:00,FARM-999,Volta,Criollo,9.99,2000,21.5\n")
+    _run(spark, dirs)
+    wh2 = spark.read.parquet(f"{dirs['warehouse']}/cocoa_shipments")
+    assert wh2.count() == 100  # no duplicate key
+    row = wh2.filter(F.col("shipment_id") == sid).collect()[0]
+    assert row["farm_id"] == "FARM-999"
+    assert row["shipment_value_usd"] == 5000.0  # 2000 * 2.5
+
+
+def test_null_temperature_roundtrip(spark, dirs):
+    # SURVEY §1.4: 10% null temperature must survive CSV → parquet →
+    # warehouse as real NULLs (empty CSV fields), and aggregates skip them
+    land_csv_files(spark, dirs["landing"], num_files=1, rows_per_file=2000, seed=11)
+    _run(spark, dirs)
+    wh = spark.read.parquet(f"{dirs['warehouse']}/cocoa_shipments")
+    n_null = wh.filter(F.col("temperature_celsius").isNull()).count()
+    assert 100 < n_null < 400  # ~10% of 2000
+    avg = wh.agg(F.avg("temperature_celsius")).collect()[0][0]
+    assert 18.0 <= avg <= 25.0  # null-skipping average stays in domain
+
+
+def test_enrich_rounding_boundary(spark):
+    # SURVEY §1.4: integral weight × 2.50 has ≤1 decimal → round(…,2) is
+    # an identity; pin the exact boundary the reference silently relies on
+    df = spark.createDataFrame(
+        [("a", 501.0), ("b", 4999.0)], "shipment_id string, shipment_weight_kg double"
+    )
+    out = {r["shipment_id"]: r["shipment_value_usd"] for r in enrich(df, TS).collect()}
+    assert out == {"a": 1252.5, "b": 12497.5}
+
+
+def test_generator_domains(spark):
+    # A16 domains (generate_data.py:29-43): deterministic given seed
+    df = generate_cocoa_data(spark, 5000, seed=42)
+    row = df.agg(
+        F.min("quality_score"), F.max("quality_score"),
+        F.min("shipment_weight_kg"), F.max("shipment_weight_kg"),
+        F.countDistinct("shipment_id"),
+    ).collect()[0]
+    assert 7.5 <= row[0] and row[1] <= 9.8
+    assert 500 <= row[2] and row[3] <= 5000
+    assert row[4] == 5000  # ids unique
+    a = df.agg(F.sum("shipment_weight_kg")).collect()[0][0]
+    b = generate_cocoa_data(spark, 5000, seed=42).agg(
+        F.sum("shipment_weight_kg")
+    ).collect()[0][0]
+    assert a == b  # deterministic

@@ -1,0 +1,94 @@
+"""Structured Streaming tests (SURVEY §2 C6): the streamed plan must agree
+with its batch twin — the Structured Streaming contract — plus
+maxFilesPerTrigger batching and watermarked session windows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_data_engineering_project_spark.sources import read_table
+from simple_data_engineering_project_spark.streaming import (
+    read_events_stream,
+    session_aggregates,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_smoke, tmp_path_factory):
+    # re-stage events as micros-timestamp parquet (the stream source
+    # schema matches TESTDATA_SCHEMAS['events'])
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    read_table(spark, sf_smoke, "events").repartition(4).write.parquet(path)
+    return path
+
+
+def _run_available_now(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_stream_matches_batch(spark, sf_smoke, events_dir):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    q = _run_available_now(tumbling_counts(stream), "t_tumbling")
+    try:
+        got = {
+            (r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM t_tumbling").collect()
+        }
+        batch = read_table(spark, sf_smoke, "events")
+        want = {
+            (r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in (
+                batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+                .select(F.col("w.start").alias("bucket"), "event_type", "n", "sum_value")
+            ).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_session_stream_matches_batch_query(spark, sf_smoke, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    q = _run_available_now(session_aggregates(stream), "t_session")
+    try:
+        got = {
+            (r["user_id"], r["session_start"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM t_session").collect()
+        }
+        from simple_data_engineering_project_spark.plans import catalog
+
+        want = {
+            (r["user_id"], r["session_start"]): r["n_events"]
+            for r in catalog()["events_session_agg"].fn(spark, sf_smoke).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_sliding_windows_overlap(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    q = _run_available_now(sliding_counts(stream, "1 hour", "30 minutes"), "t_sliding")
+    try:
+        rows = spark.sql("SELECT * FROM t_sliding").collect()
+        assert rows
+        # every event lands in exactly 2 overlapping 1h/30m windows ⇒
+        # total sliding count = 2 × event count
+        total = sum(r["n"] for r in rows)
+        n_events = spark.read.parquet(events_dir).count()
+        assert total == 2 * n_events
+    finally:
+        q.stop()
