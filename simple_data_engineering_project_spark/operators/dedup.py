@@ -63,23 +63,65 @@ def _shingle_hash(sh):
     return F.pmod(F.xxhash64(sh), F.lit(_P)).cast("long")
 
 
-def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 42):
-    """MinHash signature: min over shingles of (a_i * h + b_i) mod P.
+def _hash_family(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) universal-hash parameters, Python-side.
 
-    The (a_i, b_i) families are derived from xxhash64 of (seed, i) so the
-    signature is deterministic across runs and engines — no Python RNG.
-    Entirely expression-level: transform + aggregate run inside codegen.
+    Driver-computed constants embedded as literals: the alternative
+    (xxhash64-of-literal expressions) defeats constant folding inside
+    higher-order functions and re-evaluates per row.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
+
+
+def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 42):
+    """MinHash signature as one array expression (small-input API).
+
+    For corpus-scale signature computation use the explode→groupBy path
+    inside :func:`minhash_lsh_candidates` — min-aggregates run in
+    whole-stage codegen with map-side partial aggregation, while this
+    array fold is evaluated interpreted per row.
     """
     hashes = F.transform(shingle_col, _shingle_hash)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(hashes, lambda h, ab=ab: F.pmod(ab[0] * h + ab[1], F.lit(_P)))
+            )
+            for ab in _hash_family(num_hashes, seed)
+        ]
+    )
 
-    def one_minhash(i: int):
-        a = F.pmod(F.xxhash64(F.lit(seed), F.lit(2 * i)), F.lit(_P - 1)) + F.lit(1)
-        b = F.pmod(F.xxhash64(F.lit(seed), F.lit(2 * i + 1)), F.lit(_P))
-        return F.array_min(
-            F.transform(hashes, lambda h: F.pmod(a * h + b, F.lit(_P)))
-        )
 
-    return F.array(*[one_minhash(i) for i in range(num_hashes)])
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) via explode → 64 min-aggregates.
+
+    The scale shape: one narrow explode (id, shingle-hash), then a single
+    hash aggregate computing all minima — whole-stage codegen, map-side
+    combine, shuffle carries one row per id. At 100 TB this is strictly
+    a scan + one keyed agg; no interpreted lambdas in the hot path.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, k)).alias("sh"),
+    ).select("id", _shingle_hash(F.col("sh")).alias("h"))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_hash_family(num_hashes, seed))
+    ]
+    sig = exploded.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -102,10 +144,7 @@ def minhash_lsh_candidates(
     bucket size before pairing.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles(text_col, k), num_hashes, seed).alias("sig"),
-    )
+    sig = minhash_signatures_df(df, id_col, text_col, k, num_hashes, seed)
     banded = sig.select(
         "id",
         "sig",
@@ -218,6 +257,36 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(id, fp) SimHash fingerprints via explode → bit-vote aggregates.
+
+    One narrow explode (id, token-hash) then a single hash aggregate with
+    ``bits`` sum-of-votes columns — whole-stage codegen + map-side
+    combine, vs. the interpreted per-row array fold of :func:`simhash`.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("t"),
+    ).select("id", F.xxhash64("t").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    votes = exploded.groupBy("id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("id", fp.alias("fp"))
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -230,7 +299,7 @@ def simhash_near_dups(
     blocks is identical. Join on (block-index, block-value) — an equi-join
     a thousand-executor cluster shuffles cheaply — then verify Hamming.
     """
-    fp = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("fp"))
+    fp = simhash_df(df, id_col, text_col)
     blocked = fp.select(
         "id",
         "fp",

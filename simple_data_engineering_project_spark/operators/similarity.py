@@ -20,6 +20,8 @@ no RNG state, and the projection is again a codegen-only expression.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -63,40 +65,65 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(seed: int, band: int, bit: int, dim: int):
-    """Deterministic pseudo-random hyperplane as an array<double> literal
-    expression: component_d = xxhash64(seed, band, bit, d) scaled to [-1, 1)."""
-    return F.array(
-        *[
-            (
-                F.pmod(
-                    F.xxhash64(F.lit(seed), F.lit(band), F.lit(bit), F.lit(d)),
-                    F.lit(1 << 20),
-                ).cast("double")
-                / F.lit(float(1 << 19))
-                - F.lit(1.0)
-            )
-            for d in range(dim)
-        ]
-    )
+def _hyperplanes(seed: int, bands: int, bits: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes as Python constants.
+
+    Computed once on the driver and embedded as literals — expression-tree
+    hyperplanes (hashes of literals inside lambdas) defeat constant
+    folding and re-evaluate per row.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        [rnd.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(bands * bits)
+    ]
 
 
 def srp_signature(vec, dim: int, bands: int = 8, bits: int = 8, seed: int = 42):
-    """Signed-random-projection signature: array of per-band bucket ids."""
-    vd = vec.cast("array<double>")
+    """Signed-random-projection signature: array of per-band bucket ids.
+
+    Expression form for small band×bit×dim products. For real corpora use
+    :func:`srp_signature_udf` — an unrolled bands×bits×dim expression tree
+    (thousands of nodes) costs more in Catalyst analysis + codegen than
+    the data itself.
+    """
+    planes = _hyperplanes(seed, bands, bits, dim)
 
     def band_bucket(band: int):
         acc = F.lit(0).cast("long")
         for bit in range(bits):
-            proj = F.aggregate(
-                F.zip_with(vd, _hyperplane(seed, band, bit, dim), lambda x, h: x * h),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            )
+            w = planes[band * bits + bit]
+            proj = None
+            for d in range(dim):
+                term = vec[d].cast("double") * F.lit(w[d])
+                proj = term if proj is None else proj + term
             acc = acc * 2 + F.when(proj >= 0, 1).otherwise(0)
         return acc
 
     return F.array(*[band_bucket(b) for b in range(bands)])
+
+
+def srp_signature_udf(dim: int, bands: int = 8, bits: int = 8, seed: int = 42):
+    """Arrow-vectorized SRP signatures: one numpy matmul per batch.
+
+    (batch, dim) @ (dim, bands·bits) → sign bits → per-band bucket ids.
+    This is the sanctioned slow-path shape (pandas_udf, not per-row
+    Python): per 10k-row Arrow batch the Python cost is one BLAS call.
+    Uses the same :func:`_hyperplanes` as the expression form, so both
+    paths hash any vector to identical buckets.
+    """
+    w = np.array(_hyperplanes(seed, bands, bits, dim)).T  # (dim, bands*bits)
+    powers = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy())  # (n, dim)
+        signs = (x @ w >= 0).astype(np.int64)  # (n, bands*bits)
+        buckets = signs.reshape(len(x), bands, bits) @ powers  # (n, bands)
+        return pd.Series(list(buckets))
+
+    return _sig
 
 
 def lsh_topk(
@@ -119,16 +146,22 @@ def lsh_topk(
     way and equi-join on (band, bucket). Only colliding candidates get the
     exact cosine. Returns the same schema as ``brute_force_topk`` —
     recall < 1.0 is the documented trade.
+
+    Signatures come from :func:`srp_signature_udf` (Arrow batch + one
+    BLAS matmul), not the unrolled expression form: at bands×bits×dim in
+    the thousands the literal expression tree costs more in Catalyst
+    analysis + codegen (and driver heap) than the data itself.
     """
+    sig_udf = srp_signature_udf(dim, bands, bits, seed)
     c = corpus.select(
         F.col(corpus_id).alias("item_id"),
         F.col(corpus_vec).alias("__cv"),
-        srp_signature(F.col(corpus_vec), dim, bands, bits, seed).alias("__sig"),
+        sig_udf(F.col(corpus_vec)).alias("__sig"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
-        srp_signature(F.col(query_vec), dim, bands, bits, seed).alias("__qsig"),
+        sig_udf(F.col(query_vec)).alias("__qsig"),
     )
     c_b = c.select(
         "item_id",
