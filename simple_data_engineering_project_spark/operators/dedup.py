@@ -333,3 +333,72 @@ def simhash_near_dups(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 16,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ ``threshold`` (semantic dedup).
+
+    SRP-LSH blocking (shared with similarity search): vectors landing in
+    the same (band, bucket) in ≥1 of ``bands`` bands become candidate
+    pairs; only candidates get the exact cosine. High-cosine pairs agree
+    on most hyperplane signs, so per-band collision probability ≈
+    (1 - θ/π)^bits — with 16×8 bands, recall at cosine ≥ 0.95 is ≳0.99
+    while random pairs almost never collide. The shuffle key is the tiny
+    (band, bucket) pair; no O(n²) stage anywhere, which is what makes
+    this the 100 TB-safe shape (the exact verify touches colliding pairs
+    only).
+    """
+    from ..functions import cosine_similarity
+    from .similarity import srp_signature_udf
+
+    sig_udf = srp_signature_udf(dim, bands, bits, seed)
+    sig = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sig_udf(F.col(vec_col)).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col("sig")[b].alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "v", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -364,6 +364,37 @@ def sink_parquet_q(spark, sf_dir):
 
 
 @register(
+    "scan_json",
+    "SELECT * FROM orders",
+    tier="A",
+    note="A4-adjacent: JSON-lines sink + schema'd scan round-trip of "
+    "orders, lossless including micros timestamps and doubles. "
+    "Line-delimited JSON splits per byte range at scale.",
+)
+def scan_json_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    from ..sources import json_roundtrip
+
+    return json_roundtrip(
+        spark, o, _scratch(sf_dir, "scan_json_orders"), TESTDATA_SCHEMAS["orders"]
+    )
+
+
+@register(
+    "scan_orc",
+    "SELECT * FROM supplier",
+    tier="A",
+    note="A9-adjacent: ORC sink + scan round-trip of supplier — the "
+    "second columnar format, same pushdown/pruning machinery as parquet.",
+)
+def scan_orc_q(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    from ..sources import orc_roundtrip
+
+    return orc_roundtrip(spark, s, _scratch(sf_dir, "scan_orc_supplier"))
+
+
+@register(
     "gen_synthetic",
     None,
     tier="A",
@@ -927,6 +958,32 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
     )
 
 
+def _embeddings_with_dupes(spark, sf_dir):
+    """embeddings ∪ re-keyed exact copies of every 10th vector — known
+    cosine-1.0 duplicate pairs for the semantic-dedup operator."""
+    e = _t(spark, sf_dir, "embeddings")
+    dupes = e.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    return e.unionByName(dupes)
+
+
+@register(
+    "dedup_embedding",
+    None,
+    tier="C",
+    note="C2 embedding-cosine near-dup (semantic dedup): SRP-LSH blocking "
+    "→ exact cosine ≥ 0.95 verify, no O(n²) stage. Rows-only (LSH "
+    "banding is engine-specific); recall vs brute-force pinned by a "
+    "unit test; injected exact copies guarantee known pairs.",
+)
+def dedup_embedding_q(spark, sf_dir):
+    corpus = _embeddings_with_dupes(spark, sf_dir)
+    return dedup_ops.embedding_near_dups(corpus, threshold=0.95, dim=64).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @register(
     "similarity_topk",
     """
@@ -976,6 +1033,24 @@ def similarity_topk_lsh_q(spark, sf_dir):
         emb.agg(F.min("vec_id").alias("vec_id")), "vec_id"
     ).select(F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec"))
     out = sim_ops.lsh_topk(emb, qv, dim=64, k=10, bands=8, bits=6)
+    return out.select("item_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@register(
+    "similarity_topk_ivf",
+    None,
+    tier="C",
+    note="C3 IVF variant: deterministic coarse quantizer (16 cells), "
+    "corpus assigned to cells once, queries probe 4 nearest cells, "
+    "exact re-score on probed candidates only. Rows-only (approximate "
+    "by design); recall vs brute-force pinned by a unit test.",
+)
+def similarity_topk_ivf_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.join(
+        emb.agg(F.min("vec_id").alias("vec_id")), "vec_id"
+    ).select(F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec"))
+    out = sim_ops.ivf_topk(emb, qv, k=10, n_cells=16, n_probe=4)
     return out.select("item_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 

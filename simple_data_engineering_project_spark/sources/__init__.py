@@ -95,6 +95,38 @@ def csv_roundtrip(
     )
 
 
+def json_roundtrip(
+    spark: SparkSession, df: DataFrame, path: str, schema: T.StructType
+) -> DataFrame:
+    """Write ``df`` as JSON-lines and scan it back with the explicit schema.
+
+    Line-delimited JSON is the splittable-at-scale layout (each executor
+    parses its own byte range); the explicit schema keeps the read
+    single-pass, like :func:`scan_csv`.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .json(path)
+    )
+    return (
+        spark.read.schema(schema)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .json(path)
+    )
+
+
+def orc_roundtrip(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Write ``df`` as ORC and scan it back.
+
+    ORC is the second columnar format the engine speaks natively —
+    predicate pushdown and column pruning apply exactly as for parquet,
+    and the schema rides in the file footer (no explicit schema needed).
+    """
+    df.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
 def archive_move(spark: SparkSession, src: str, dst: str) -> bool:
     """Post-commit archive: rename src → dst via Hadoop FileSystem.
 
@@ -138,6 +170,8 @@ __all__ = [
     "sink_parquet",
     "scan_parquet",
     "csv_roundtrip",
+    "json_roundtrip",
+    "orc_roundtrip",
     "archive_move",
     "list_files",
 ]

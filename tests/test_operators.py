@@ -171,3 +171,63 @@ def test_approx_stats_accuracy(spark, sf_smoke):
         F.approx_count_distinct("l_partkey", rsd=0.02)
     ).collect()[0][0]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from simple_data_engineering_project_spark.operators.similarity import ivf_topk
+
+    emb = _emb_tables(spark)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {r["item_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {
+        r["item_id"]
+        for r in ivf_topk(emb, q, k=10, n_cells=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / 10
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_ivf_full_probe_matches_brute_force(spark):
+    from simple_data_engineering_project_spark.operators.similarity import ivf_topk
+
+    emb = _emb_tables(spark)
+    q = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(3).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = [(r["item_id"], r["rank"]) for r in
+             brute_force_topk(emb, q, k=10).orderBy("rank").collect()]
+    # probing every cell must recover the exact answer (recall == 1)
+    full = [(r["item_id"], r["rank"]) for r in
+            ivf_topk(emb, q, k=10, n_cells=8, n_probe=8).orderBy("rank").collect()]
+    assert full == exact
+
+
+def test_embedding_near_dups_finds_exact_copies(spark):
+    from simple_data_engineering_project_spark.operators.dedup import (
+        embedding_near_dups,
+    )
+
+    base = _emb_tables(spark)
+    copies = base.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000)
+    )
+    corpus = base.unionByName(copies)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups(corpus, threshold=0.95, dim=16).collect()
+    }
+    for i in range(5):  # every injected copy pairs with its original at cosine 1
+        assert (i, i + 1000) in pairs
+        assert abs(pairs[(i, i + 1000)] - 1.0) < 1e-6
+
+
+def test_embedding_near_dups_no_false_positives_below_threshold(spark):
+    from simple_data_engineering_project_spark.operators.dedup import (
+        embedding_near_dups,
+    )
+
+    corpus = _emb_tables(spark)  # sin-wave vectors, no high-cosine pairs
+    for r in embedding_near_dups(corpus, threshold=0.95, dim=16).collect():
+        assert r["cosine"] >= 0.95  # verify step filters every candidate

@@ -92,3 +92,42 @@ def test_sliding_windows_overlap(spark, events_dir):
         assert total == 2 * n_events
     finally:
         q.stop()
+
+
+def test_stateful_running_totals_match_batch(spark, sf_smoke, events_dir):
+    from simple_data_engineering_project_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        # state accumulates across triggers: the per-user row with the
+        # highest n_events is the final running total
+        got = {
+            r["user_id"]: (r["n_events"], round(r["sum_value"], 4))
+            for r in spark.sql(
+                """SELECT user_id, n_events, sum_value FROM (
+                     SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                     FROM t_stateful) WHERE rn = 1"""
+            ).collect()
+        }
+        batch = read_table(spark, sf_smoke, "events")
+        want = {
+            r["user_id"]: (r["n"], round(r["s"], 4))
+            for r in batch.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
