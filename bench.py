@@ -28,8 +28,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # Representative, scale-sensitive subset: scans, multi-join aggs, windows,
-# upsert, dedup, similarity, text, events. (The LSH ops are excluded —
-# benchmarked separately in tests until their expression trees are tuned.)
+# upsert, dedup (exact + MinHash-LSH), similarity (exact + SRP-LSH),
+# text, events.
 HEADLINE = [
     "agg_value_by_region",
     "agg_quality_trend",
@@ -42,7 +42,9 @@ HEADLINE = [
     "window_lag_moving",
     "upsert_last_write_wins",
     "dedup_exact",
+    "dedup_minhash",
     "similarity_topk",
+    "similarity_topk_lsh",
     "text_tokens",
     "events_tumbling_agg",
     "json_extract",

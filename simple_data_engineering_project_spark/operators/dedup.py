@@ -95,6 +95,20 @@ def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 42):
     )
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Widen parallelism for compute-heavy per-row work when the input has
+    fewer partitions than the cluster can run (small files / local tests).
+
+    Hash-partitioning on ``key`` means the downstream groupBy(key) can
+    reuse the distribution. When the input is already at least as wide as
+    the cluster (the 100 TB case), this is a no-op — no extra shuffle.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def minhash_signatures_df(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -110,6 +124,7 @@ def minhash_signatures_df(
     combine, shuffle carries one row per id. At 100 TB this is strictly
     a scan + one keyed agg; no interpreted lambdas in the hot path.
     """
+    df = _spread(df, id_col)
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, k)).alias("sh"),
@@ -266,6 +281,7 @@ def simhash_df(
     ``bits`` sum-of-votes columns — whole-stage codegen + map-side
     combine, vs. the interpreted per-row array fold of :func:`simhash`.
     """
+    df = _spread(df, id_col)
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalized_text(text_col), " ")).alias("t"),

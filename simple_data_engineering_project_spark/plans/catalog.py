@@ -872,6 +872,143 @@ def events_session_q(spark, sf_dir):
 
 
 # =====================================================================
+# Tier C — relational breadth, continued
+# =====================================================================
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+    tier="C",
+    note="C8 explicit grouping sets (the general form of rollup/cube) via "
+    "spark.sql — one Expand + one hash aggregate, not three scans.",
+)
+def agg_grouping_sets_q(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_pivot",
+    """
+    SELECT o_orderpriority,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS F,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS O,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tier="C",
+    note="C8-adjacent pivot: long→wide with explicit value list (an "
+    "implicit list would need a driver-side distinct pass — at scale, "
+    "always pin the columns). Oracle is the conditional-agg desugaring.",
+)
+def agg_pivot_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@register(
+    "window_ntile_percent",
+    """
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER w AS INT) AS price_quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    tier="C",
+    note="C9 distribution window functions (ntile/percent_rank/cume_dist) "
+    "with a deterministic total order. Unpartitioned window on a "
+    "pre-filtered slice — a global sort, the documented cost.",
+)
+def window_ntile_percent_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "corr_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           ROUND(stddev_samp(l_extendedprice), 2) AS price_sd,
+           ROUND(var_samp(l_quantity), 4) AS qty_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tier="C",
+    note="C11-adjacent second-moment statistics per group — single-pass "
+    "partial-aggregable sums, one shuffle row per (partition, group).",
+)
+def corr_stats_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_sd"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+    )
+
+
+@register(
+    "sample_hash",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE ((o_orderkey % 1000003) * 2654435761) % 4294967296 % 100 < 5
+    """,
+    tier="C",
+    note="Deterministic ~5% hash sample via a Knuth multiplicative hash "
+    "in plain integer arithmetic (identical in any engine, unlike "
+    "TABLESAMPLE/rand()). The key folds mod a prime first so the "
+    "product stays < 2^62 at any scale under ANSI overflow checking.",
+)
+def sample_hash_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.pmod(
+        F.pmod((F.col("o_orderkey") % 1000003) * F.lit(2654435761), F.lit(4294967296)),
+        F.lit(100),
+    )
+    return o.filter(bucket < 5).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# =====================================================================
 # Tier C — LLM training-data operators (dedup / similarity / text / media)
 # =====================================================================
 
