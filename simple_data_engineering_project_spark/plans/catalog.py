@@ -871,6 +871,45 @@ def events_session_q(spark, sf_dir):
     )
 
 
+@register(
+    "events_sliding_agg",
+    """
+    WITH ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
+    e AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+               AS bucket_start,
+             event_type, value
+      FROM events CROSS JOIN ks
+    )
+    SELECT bucket_start,
+           bucket_start + INTERVAL '1 hour' AS bucket_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM e GROUP BY 1, 2, 3
+    """,
+    tier="C",
+    note="C6 sliding window (1h width / 15m slide): each event lands in "
+    "width/slide = 4 overlapping buckets. Oracle replays the window "
+    "semantics as an explicit 4-way bucket fan-out on the 15-minute "
+    "grid; Spark's window() start grid is epoch-aligned in UTC, matching "
+    "time_bucket.",
+)
+def events_sliding_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("bucket_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 # =====================================================================
 # Tier C — relational breadth, continued
 # =====================================================================
