@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the semantic guarantees the
+oracle can't see: determinism under partitioning/permutation, algebraic
+laws (idempotence, commutativity of re-application), null handling.
+
+Strategies generate small keyed tables; each property re-runs the
+operator under a different physical layout (shuffled row order, different
+partition count) and asserts identical logical results — the guarantee
+that makes results reproducible on a 1000-executor cluster where layout
+is never the same twice.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from simple_data_engineering_project_spark.operators.dedup import dedup_exact
+from simple_data_engineering_project_spark.operators.upsert import (
+    upsert_last_write_wins,
+)
+
+# keys collide often (small alphabet); values arbitrary
+_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=-1000, max_value=1000),
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       width=32)),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _df(spark, rows, parts):
+    df = spark.createDataFrame(rows, "k int, pri int, v double")
+    return df.repartition(parts) if parts else df
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS, parts=st.sampled_from([0, 1, 3, 7]))
+def test_dedup_exact_deterministic_under_layout(spark, rows, parts):
+    out = dedup_exact(_df(spark, rows, parts), keys=["k"], tiebreak=["pri", "v"]).collect()
+    # expected winner: min (pri, v) per key, computed in plain Python
+    want = {}
+    for k, pri, v in rows:
+        cand = (pri, -math.inf if v is None else v, v)  # Spark asc = nulls first
+        if k not in want or cand[:2] < want[k][:2]:
+            want[k] = cand
+    assert len(out) == len(want)
+    for r in out:
+        assert r["pri"] == want[r["k"]][0]
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS)
+def test_dedup_exact_idempotent(spark, rows):
+    df = _df(spark, rows, 3)
+    once = dedup_exact(df, keys=["k"], tiebreak=["pri", "v"])
+    twice = dedup_exact(once, keys=["k"], tiebreak=["pri", "v"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@settings(**_SETTINGS)
+@given(old=_ROWS, new=_ROWS)
+def test_upsert_replay_idempotent(spark, old, new):
+    """Applying the same batch twice equals applying it once (the
+    reference's ON CONFLICT guarantee, README:31)."""
+    old_df = _df(spark, old, 2)
+    new_df = _df(spark, new, 3)
+    once = upsert_last_write_wins(old_df, new_df, keys=["k"], tiebreak=["pri", "v"])
+    again = upsert_last_write_wins(once, new_df, keys=["k"], tiebreak=["pri", "v"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, again.collect()))
+
+
+@settings(**_SETTINGS)
+@given(old=_ROWS, new=_ROWS)
+def test_upsert_key_semantics(spark, old, new):
+    """Every new key present; old keys survive iff not overwritten; one
+    row per key."""
+    out = upsert_last_write_wins(
+        _df(spark, old, 2), _df(spark, new, 2), keys=["k"], tiebreak=["pri", "v"]
+    ).collect()
+    keys = [r["k"] for r in out]
+    assert len(keys) == len(set(keys))
+    assert set(keys) == {k for k, _, _ in old} | {k for k, _, _ in new}
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS, parts=st.sampled_from([1, 4]))
+def test_agg_layout_invariance(spark, rows, parts):
+    """Count/sum aggregates are exact-integer layout-invariant."""
+    df = _df(spark, rows, parts)
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("pri").alias("s"))
+        .collect()
+    }
+    want: dict[int, list[int]] = {}
+    for k, pri, _ in rows:
+        want.setdefault(k, [0, 0])
+        want[k][0] += 1
+        want[k][1] += pri
+    assert got == {k: (n, s) for k, (n, s) in want.items()}
