@@ -1026,6 +1026,44 @@ def corr_stats_q(spark, sf_dir):
 
 
 @register(
+    "agg_salted_skew",
+    """
+    SELECT l_suppkey,
+           CAST(COUNT(l_quantity) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+    tier="C",
+    note="Skew-safe two-phase aggregation (groupBy(key, salt) → "
+    "groupBy(key)): a hot key spreads over 16 partial groups so no "
+    "single reducer owns it. Result provably identical to the plain "
+    "groupBy — the oracle IS the plain groupBy.",
+)
+def agg_salted_skew_q(spark, sf_dir):
+    from ..operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_suppkey"],
+        [
+            ("count", "l_quantity", "n"),
+            ("sum", "l_quantity", "sum_qty_raw"),
+            ("max", "l_extendedprice", "max_price_raw"),
+        ],
+        buckets=16,
+    )
+    return out.select(
+        "l_suppkey",
+        "n",
+        F.round("sum_qty_raw", 2).alias("sum_qty"),
+        F.round("max_price_raw", 2).alias("max_price"),
+    )
+
+
+@register(
     "sample_hash",
     """
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -1,0 +1,162 @@
+"""Scale-property tests: plan shapes and skew/bucketing operators.
+
+Correctness of results is the oracle suite's job; these tests pin the
+*physical* properties that make the same plans viable at 100 TB —
+pushdown reaching the scan, dims broadcasting, bucketed joins eliding
+their shuffles, salted rewrites preserving results exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_data_engineering_project_spark.operators.skew import (
+    salted_agg,
+    salted_skew_join,
+)
+from simple_data_engineering_project_spark.plans.catalog import catalog
+from simple_data_engineering_project_spark.sources import save_bucketed
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+# ---------------------------------------------------------------- plans
+
+
+def test_parquet_scan_pushes_filter_and_prunes(spark, sf_smoke):
+    plan = _optimized(catalog()["scan_parquet_pushdown"].fn(spark, sf_smoke))
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # predicate at the reader
+    # projection pruned to exactly the 3 selected columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read and "l_extendedprice" not in read
+
+
+def test_dim_joins_broadcast_not_shuffle(spark, sf_smoke):
+    plan = _plan(catalog()["join_broadcast_dims"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_single_aggregation_exchange(spark, sf_smoke):
+    plan = _optimized(catalog()["agg_value_by_region"].fn(spark, sf_smoke))
+    import re
+
+    exchanges = [
+        l for l in plan.splitlines() if re.match(r"^\(\d+\) Exchange", l.strip())
+    ]
+    assert len(exchanges) <= 1, exchanges  # only the final groupBy shuffles
+
+
+def test_no_cartesian_products_anywhere(spark, sf_smoke):
+    # brute_force_topk intentionally cross-joins against a broadcast
+    # single-row query side; everything else must be keyed
+    for name, q in sorted(catalog().items()):
+        if name.startswith("similarity"):
+            continue
+        plan = _plan(q.fn(spark, sf_smoke))
+        assert "CartesianProduct" not in plan, name
+
+
+# ------------------------------------------------------------- bucketing
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_smoke, tmp_path):
+    o = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    save_bucketed(o, "b_orders", ["o_orderkey"], 8, str(tmp_path / "bo"))
+    save_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        8,
+        str(tmp_path / "bl"),
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(spark.table("b_orders"), "o_orderkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout replaces both shuffles
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+# ------------------------------------------------------------------ skew
+
+
+@pytest.fixture()
+def skewed(spark):
+    # 90% of rows share key 0
+    return spark.range(0, 10_000).select(
+        F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+
+
+def test_salted_agg_matches_plain(spark, skewed):
+    plain = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in skewed.groupBy("k")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in salted_agg(
+            skewed,
+            ["k"],
+            [("count", "v", "n"), ("sum", "v", "s"), ("min", "v", "mn"), ("max", "v", "mx")],
+            buckets=16,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.concat(F.lit("name-"), F.col("id")).alias("nm")
+    )
+    plain = sorted(
+        map(tuple, skewed.join(dim, "k").select("k", "v", "nm").collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            salted_skew_join(skewed, dim, ["k"], buckets=8)
+            .select("k", "v", "nm")
+            .collect(),
+        )
+    )
+    assert salted == plain
+
+
+def test_salted_left_join_keeps_unmatched_big_rows(spark, skewed):
+    dim = spark.range(0, 1).select(F.col("id").alias("k"), F.lit("zero").alias("nm"))
+    plain = skewed.join(dim, "k", "left").count()
+    salted = salted_skew_join(skewed, dim, ["k"], buckets=4, how="left").count()
+    assert salted == plain == skewed.count()
+
+
+def test_salted_join_rejects_right_outer(spark, skewed):
+    dim = spark.range(0, 5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salted_skew_join(skewed, dim, ["k"], how="right")
