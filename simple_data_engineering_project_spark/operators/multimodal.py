@@ -92,11 +92,40 @@ def decode_audio(payload: bytes) -> object:
     )
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """STUB — image resize requires a codec library absent here.
+
+    On a real cluster: decode → ``img.resize((width, height))`` → re-encode,
+    inside the same ``mapInPandas`` batch loop as ``extract_features``.
+    """
+    raise NotImplementedError(
+        "image resize is stubbed: no codec libraries in this environment"
+    )
+
+
 def sample_video_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
     """STUB — video frame sampling (ffmpeg) absent in this environment."""
     raise NotImplementedError(
         "video frame sampling is stubbed: no ffmpeg in this environment"
     )
+
+
+def partition_by_payload_bytes(media: DataFrame, target_mb: int = 128) -> DataFrame:
+    """Repartition a media table so each partition holds ~``target_mb`` of
+    payload bytes.
+
+    Binary payloads dominate row width, so row-count partitioning makes
+    partition memory unpredictable (one partition of 4K thumbnails, the
+    next of 4K videos). One cheap aggregate measures total bytes (a
+    bounded driver scalar, not a data collect), then a round-robin
+    repartition to ceil(total / target) partitions bounds per-task bytes
+    for the decode stage.
+    """
+    total = media.select(
+        F.sum(F.coalesce(F.length("payload"), F.lit(0))).alias("b")
+    ).collect()[0]["b"] or 0
+    n = max(1, -(-int(total) // (target_mb * 1024 * 1024)))
+    return media.repartition(n)
 
 
 def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:

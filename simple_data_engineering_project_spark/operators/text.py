@@ -124,3 +124,49 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         doc_fingerprint(text_col).alias("fingerprint"),
         normalized_text(text_col).alias("norm_text"),
     ).drop("norm_text")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowed rolling-hash fingerprints (the MOSS scheme): per doc, hash
+    every character k-gram of normalized text, keep the minimum hash of
+    each sliding window of ``window`` consecutive k-grams, distinct.
+
+    Guarantees: any shared substring of length ≥ k + window − 1 produces
+    at least one shared fingerprint — the plagiarism/copy-detection
+    identity that md5-of-whole-doc (:func:`~..functions.doc_fingerprint`)
+    cannot give.
+
+    Scale shape: posexplode to (id, pos, gram-hash) — narrow rows — then
+    the window minimum is a frame aggregate partitioned by id (one
+    shuffle on id), then distinct. No per-row array folds.
+    """
+    from pyspark.sql import Window as W
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.length(normalized_text(text_col)) - F.lit(k), F.lit(0)
+                    ),
+                ),
+                lambda i: F.xxhash64(
+                    normalized_text(text_col).substr(i + 1, F.lit(k))
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    w = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.select("id", F.min("h").over(w).alias("fp"))
+        .distinct()
+        .withColumnRenamed("fp", "fingerprint")
+    )

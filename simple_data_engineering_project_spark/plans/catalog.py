@@ -1415,6 +1415,20 @@ def doc_fingerprint_q(spark, sf_dir):
 
 
 @register(
+    "doc_winnow",
+    None,
+    tier="C",
+    note="C4 winnowed rolling-hash fingerprints (MOSS scheme): min hash "
+    "per sliding window of char k-gram hashes. Any shared substring of "
+    "length ≥ k+window−1 shares a fingerprint. Rows-only (xxhash64 has "
+    "no DuckDB twin); the sharing guarantee is pinned by a unit test.",
+)
+def doc_winnow_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.winnow_fingerprints(d).orderBy("id", "fingerprint")
+
+
+@register(
     "multimodal_features",
     """
     SELECT doc_id AS media_id,

@@ -231,3 +231,39 @@ def test_embedding_near_dups_no_false_positives_below_threshold(spark):
     corpus = _emb_tables(spark)  # sin-wave vectors, no high-cosine pairs
     for r in embedding_near_dups(corpus, threshold=0.95, dim=16).collect():
         assert r["cosine"] >= 0.95  # verify step filters every candidate
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    from simple_data_engineering_project_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "yesterday the quick brown fox jumps over a sleepy cat"),
+            (3, "cocoa shipment quality scores trend upward in ashanti"),
+        ],
+        "doc_id long, text string",
+    )
+    fps: dict[int, set] = {}
+    for r in winnow_fingerprints(docs, k=8, window=4).collect():
+        fps.setdefault(r["id"], set()).add(r["fingerprint"])
+    # docs 1 and 2 share "the quick brown fox jumps over" (len >= k+window-1)
+    assert fps[1] & fps[2]
+    assert not fps[1] & fps[3]
+    assert not fps[2] & fps[3]
+
+
+def test_winnow_deterministic_and_contained(spark):
+    from simple_data_engineering_project_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some reasonably long document text for fingerprinting runs")],
+        "doc_id long, text string",
+    )
+    a = {r["fingerprint"] for r in winnow_fingerprints(docs).collect()}
+    b = {r["fingerprint"] for r in winnow_fingerprints(docs.repartition(5)).collect()}
+    assert a == b  # layout-invariant
