@@ -418,3 +418,87 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) via min-label propagation over candidate edges.
+
+    Each node starts labeled with itself; every round each node takes the
+    minimum label among itself and its neighbors, until no label changes
+    (or ``max_iter``). Near-dup graphs are unions of small cliques, so
+    convergence is fast — O(graph diameter) rounds, and LSH components
+    have tiny diameters. Each round is one equi-join + one groupBy on
+    node ids; ``localCheckpoint`` truncates the iterative plan lineage
+    (without it, round N's plan contains all N-1 predecessors and
+    analysis cost explodes — the known trap of iterative DataFrame
+    algorithms).
+    """
+    sym = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_fuzzy_keep_one(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Full fuzzy-dedup pipeline: keep one document per near-dup cluster.
+
+    MinHash-LSH candidates → exact Jaccard ≥ threshold verify →
+    connected components → keep the min-id member of each component.
+    Documents in no component (no near-dup) survive untouched. This is
+    the end-to-end shape of training-corpus dedup at scale: every stage
+    is keyed joins/aggs; no all-pairs, no driver data paths.
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes, bands, seed)
+    verified = ngram_jaccard_pairs(df, cands, id_col, text_col, k, threshold)
+    comp = connected_components(verified)
+    winners = comp.groupBy("component").agg(F.min("node").alias("__keep"))
+    drop = (
+        comp.join(winners, "component")
+        .filter(F.col("node") != F.col("__keep"))
+        .select(F.col("node").alias("__drop"))
+    )
+    return df.join(
+        drop, df[id_col] == drop.__drop, "left_anti"
+    )

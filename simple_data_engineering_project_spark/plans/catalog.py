@@ -1158,6 +1158,20 @@ def dedup_simhash_q(spark, sf_dir):
 
 
 @register(
+    "dedup_fuzzy_keep_one",
+    None,
+    tier="C",
+    note="C2 end-to-end fuzzy dedup: MinHash-LSH candidates → exact "
+    "Jaccard ≥ 0.8 verify → connected components (min-label "
+    "propagation) → keep min-id per cluster. Rows-only; clustering "
+    "semantics pinned by unit tests.",
+)
+def dedup_fuzzy_keep_one_q(spark, sf_dir):
+    corpus = _docs_with_dupes(spark, sf_dir)
+    return dedup_ops.dedup_fuzzy_keep_one(corpus, threshold=0.8).orderBy("doc_id")
+
+
+@register(
     "dedup_ngram_jaccard",
     None,
     tier="C",

@@ -267,3 +267,49 @@ def test_winnow_deterministic_and_contained(spark):
     a = {r["fingerprint"] for r in winnow_fingerprints(docs).collect()}
     b = {r["fingerprint"] for r in winnow_fingerprints(docs.repartition(5)).collect()}
     assert a == b  # layout-invariant
+
+
+def test_connected_components_labels(spark):
+    from simple_data_engineering_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (10, 11)], "id_a long, id_b long"
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8, 11: 8}
+
+
+def test_connected_components_chain_converges(spark):
+    from simple_data_engineering_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a path graph is the worst case for label propagation (diameter = n)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    cc = connected_components(edges, max_iter=15).collect()
+    assert {r["component"] for r in cc} == {0}
+
+
+def test_dedup_fuzzy_keep_one(spark):
+    from simple_data_engineering_project_spark.operators.dedup import (
+        dedup_fuzzy_keep_one,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+            (3, "the quick brown fox jumps over the lazy dog again and once more today"),
+            (10, "cocoa shipment quality scores trend upward across every ashanti farm"),
+            (11, "completely distinct text about structured streaming watermarks"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_fuzzy_keep_one(docs, threshold=0.5, k=3).collect()
+    )
+    assert kept == [1, 10, 11]  # near-dup cluster {1,2,3} keeps min id
