@@ -46,6 +46,7 @@ HEADLINE = [
     "similarity_topk",
     "similarity_topk_lsh",
     "text_tokens",
+    "curate_corpus",
     "events_tumbling_agg",
     "json_extract",
     "exact_stats",

@@ -438,9 +438,14 @@ def connected_components(
     analysis cost explodes — the known trap of iterative DataFrame
     algorithms).
     """
-    sym = edges.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # Materialize the symmetric edge list once: it is re-joined every
+    # round, and upstream it may be an expensive pipeline (LSH candidate
+    # generation + verification) that must not re-execute per iteration.
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint()
+    )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
     for _ in range(max_iter):
@@ -489,7 +494,15 @@ def dedup_fuzzy_keep_one(
     Documents in no component (no near-dup) survive untouched. This is
     the end-to-end shape of training-corpus dedup at scale: every stage
     is keyed joins/aggs; no all-pairs, no driver data paths.
+
+    The input is materialized first: fuzzy dedup reads the corpus in
+    several passes (signatures, two shingle-set joins, the final
+    anti-join), and when ``df`` is itself a pipeline (filters, prior
+    dedup) re-deriving it per pass multiplies its cost. At cluster scale
+    this is the "stage the filtered corpus to storage once" step every
+    multi-pass dedup job does.
     """
+    df = df.localCheckpoint()
     cands = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes, bands, seed)
     verified = ngram_jaccard_pairs(df, cands, id_col, text_col, k, threshold)
     comp = connected_components(verified)

@@ -170,3 +170,45 @@ def winnow_fingerprints(
         .distinct()
         .withColumnRenamed("fp", "fingerprint")
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.4,
+    jaccard_threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end training-corpus curation: language filter → quality
+    gate → exact dedup → fuzzy dedup (keep one per near-dup cluster).
+
+    The canonical pre-training data pipeline, composed entirely from this
+    package's operators so the whole thing is ONE Catalyst plan per
+    stage: predicted language and quality score are codegen expressions;
+    exact dedup is one keyed shuffle on the content fingerprint; fuzzy
+    dedup is LSH joins + label propagation. Stage order matters at
+    scale — cheap row-local filters (lang, quality) run first and
+    typically drop most of the corpus before any shuffle happens.
+    """
+    from ..functions import doc_fingerprint
+    from .dedup import dedup_exact, dedup_fuzzy_keep_one
+
+    lang_ok = lang_id(docs, id_col=id_col, text_col=text_col).filter(
+        F.col("predicted_lang") == lang
+    ).select(F.col(id_col).alias("__lid"))
+    qual_ok = quality_features(docs, id_col=id_col, text_col=text_col).filter(
+        F.col("quality_score") >= min_quality
+    ).select(F.col(id_col).alias("__qid"))
+    filtered = (
+        docs.join(lang_ok, docs[id_col] == F.col("__lid"), "left_semi")
+        .join(qual_ok, docs[id_col] == F.col("__qid"), "left_semi")
+    )
+    exact = dedup_exact(
+        filtered.withColumn("__fp", doc_fingerprint(text_col)),
+        keys=["__fp"],
+        tiebreak=[id_col],
+    ).drop("__fp")
+    return dedup_fuzzy_keep_one(
+        exact, id_col=id_col, text_col=text_col, threshold=jaccard_threshold
+    )

@@ -1443,6 +1443,23 @@ def doc_winnow_q(spark, sf_dir):
 
 
 @register(
+    "curate_corpus",
+    None,
+    tier="C",
+    note="C2+C4 capstone: the full training-corpus curation pipeline — "
+    "language filter → quality gate → exact dedup → fuzzy dedup "
+    "(LSH + connected components, keep one per cluster). Row-local "
+    "filters run before any shuffle. Rows-only; every stage is "
+    "individually oracle-checked or unit-pinned.",
+)
+def curate_corpus_q(spark, sf_dir):
+    corpus = _docs_with_dupes(spark, sf_dir)
+    return text_ops.curate_corpus(corpus, lang="en", min_quality=0.4).orderBy(
+        "doc_id"
+    )
+
+
+@register(
     "multimodal_features",
     """
     SELECT doc_id AS media_id,

@@ -313,3 +313,25 @@ def test_dedup_fuzzy_keep_one(spark):
         r["doc_id"] for r in dedup_fuzzy_keep_one(docs, threshold=0.5, k=3).collect()
     )
     assert kept == [1, 10, 11]  # near-dup cluster {1,2,3} keeps min id
+
+
+def test_curate_corpus_stages(spark):
+    from simple_data_engineering_project_spark.operators.text import curate_corpus
+
+    en = "the quick brown fox jumps over the lazy dog and it was fine for it"
+    docs = spark.createDataFrame(
+        [
+            (1, en + " today"),
+            (2, en + " tonight"),  # near-dup of 1
+            (3, en + " today"),    # exact dup of 1
+            (4, "el rapido zorro que salta y corre por la casa de los gatos"),  # es
+            (5, "x! y? z."),       # fails the quality gate
+            (6, "structured streaming keeps state in the checkpointed store and it is fine that it was so"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in curate_corpus(docs, lang="en", min_quality=0.4, jaccard_threshold=0.5,).collect()
+    )
+    assert kept == [1, 6]
