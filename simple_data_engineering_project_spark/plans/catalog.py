@@ -812,6 +812,62 @@ def json_extract_q(spark, sf_dir):
 
 
 @register(
+    "json_struct",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_field,
+           CAST(json_extract(props, '$.missing') AS INT) AS missing_field
+    FROM events
+    WHERE event_id % 25 = 0
+    """,
+    tier="C",
+    note="C12 schema-on-read JSON: from_json parses props into a typed "
+    "struct once (vs per-path get_json_object); absent keys surface as "
+    "typed NULLs.",
+)
+def json_struct_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 0)
+    parsed = F.from_json("props", "k INT, missing INT")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k_field"),
+        parsed["missing"].alias("missing_field"),
+    )
+
+
+@register(
+    "scalar_datetime",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS days_to_2025,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(weekofyear(o_orderdate) AS INT) AS woy
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    tier="C",
+    note="C12 datetime battery: interval arithmetic, day diffs, month "
+    "boundaries, quarter truncation, day-of-week (aligned to Spark's "
+    "Sunday=1), ISO week.",
+)
+def scalar_datetime_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("2025-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_2025"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("woy"),
+    )
+
+
+@register(
     "events_tumbling_agg",
     """
     SELECT date_trunc('hour', ts) AS bucket,
