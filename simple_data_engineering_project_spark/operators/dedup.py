@@ -147,6 +147,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -154,12 +155,22 @@ def minhash_lsh_candidates(
     signature slice matches exactly. Returns (id_a, id_b, jaccard_est)
     with id_a < id_b, deduplicated across bands. Shuffles: one groupBy on
     (band, slice-hash) to form buckets, one self-join within buckets —
-    both keyed on small hashes; bucket skew (a boilerplate shingle shared
-    by millions of docs) is the known failure mode, mitigated by capping
-    bucket size before pairing.
+    both keyed on small hashes.
+
+    ``max_bucket_size`` is the skew guard: a degenerate bucket of m
+    members (boilerplate text hashing millions of docs to one signature
+    slice) would emit m² pairs and sink the job. Buckets larger than the
+    cap are dropped from *this* band — members still pair through their
+    other bands, and true near-dups of degenerate text are cheaper to
+    catch by exact-fingerprint dedup first. A window count-per-bucket
+    (one extra pass over the banded rows) enforces the cap before any
+    pairing.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_df(df, id_col, text_col, k, num_hashes, seed)
+    # Materialize signatures: one narrow row per doc (64 longs), consumed
+    # twice (bucket-size census + pairing join). At corpus scale this is
+    # the "signature table" every production MinHash pipeline stages.
+    sig = minhash_signatures_df(df, id_col, text_col, k, num_hashes, seed).localCheckpoint()
     banded = sig.select(
         "id",
         "sig",
@@ -177,6 +188,17 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
+    # Degenerate-bucket blacklist: the count aggregate combines map-side
+    # (one row per partition×bucket crosses the wire) and oversize
+    # buckets are rare by construction, so the blacklist broadcasts and
+    # the filter costs no extra shuffle of the banded rows.
+    oversize = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("__bn"))
+        .filter(F.col("__bn") > max_bucket_size)
+        .select("band", "bucket")
+    )
+    banded = banded.join(F.broadcast(oversize), ["band", "bucket"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -335,3 +335,16 @@ def test_curate_corpus_stages(spark):
         for r in curate_corpus(docs, lang="en", min_quality=0.4, jaccard_threshold=0.5,).collect()
     )
     assert kept == [1, 6]
+
+
+def test_minhash_bucket_cap_guards_degenerate_buckets(spark):
+    # 30 identical docs → every band bucket has 30 members → 435 pairs
+    # uncapped; a cap of 10 drops the degenerate buckets entirely
+    docs = spark.createDataFrame(
+        [(i, "exactly the same boilerplate text repeated in every document") for i in range(30)],
+        "doc_id long, text string",
+    )
+    uncapped = minhash_lsh_candidates(docs, k=3).count()
+    capped = minhash_lsh_candidates(docs, k=3, max_bucket_size=10).count()
+    assert uncapped == 30 * 29 // 2
+    assert capped == 0
