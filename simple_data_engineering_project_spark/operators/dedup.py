@@ -139,6 +139,27 @@ def minhash_signatures_df(
     )
 
 
+def _drop_oversize_buckets(
+    blocked: DataFrame, keys: list[str], cap: int
+) -> DataFrame:
+    """Skew guard for blocked self-joins: drop blocks with > ``cap``
+    members before pairing (a block of m emits m² pairs).
+
+    The census aggregate combines map-side (one row per partition×block
+    crosses the wire); oversize blocks are rare by construction, so the
+    blacklist broadcasts and the filter adds no shuffle of the blocked
+    rows. Members of a dropped block still pair through their other
+    bands/blocks.
+    """
+    oversize = (
+        blocked.groupBy(*keys)
+        .agg(F.count("*").alias("__bn"))
+        .filter(F.col("__bn") > cap)
+        .select(*keys)
+    )
+    return blocked.join(F.broadcast(oversize), keys, "left_anti")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -188,17 +209,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
-    # Degenerate-bucket blacklist: the count aggregate combines map-side
-    # (one row per partition×bucket crosses the wire) and oversize
-    # buckets are rare by construction, so the blacklist broadcasts and
-    # the filter costs no extra shuffle of the banded rows.
-    oversize = (
-        banded.groupBy("band", "bucket")
-        .agg(F.count("*").alias("__bn"))
-        .filter(F.col("__bn") > max_bucket_size)
-        .select("band", "bucket")
-    )
-    banded = banded.join(F.broadcast(oversize), ["band", "bucket"], "left_anti")
+    banded = _drop_oversize_buckets(banded, ["band", "bucket"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -330,14 +341,18 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with blocked search.
 
     Pigeonhole: distance ≤ 3 over 64 bits ⇒ at least one of 4 16-bit
     blocks is identical. Join on (block-index, block-value) — an equi-join
     a thousand-executor cluster shuffles cheaply — then verify Hamming.
+    Degenerate blocks above ``max_bucket_size`` are dropped before
+    pairing (see :func:`_drop_oversize_buckets`); the fingerprint table
+    is staged once since the census and the join both consume it.
     """
-    fp = simhash_df(df, id_col, text_col)
+    fp = simhash_df(df, id_col, text_col).localCheckpoint()
     blocked = fp.select(
         "id",
         "fp",
@@ -355,6 +370,7 @@ def simhash_near_dups(
             )
         ).alias("bv"),
     ).select("id", "fp", "bv.blk", "bv.val")
+    blocked = _drop_oversize_buckets(blocked, ["blk", "val"], max_bucket_size)
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(
@@ -382,6 +398,7 @@ def embedding_near_dups(
     bands: int = 16,
     bits: int = 8,
     seed: int = 42,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ ``threshold`` (semantic dedup).
 
@@ -399,11 +416,13 @@ def embedding_near_dups(
     from .similarity import srp_signature_udf
 
     sig_udf = srp_signature_udf(dim, bands, bits, seed)
+    # Staged once: both self-join sides and the bucket census consume it,
+    # and re-deriving it re-runs the signature UDF over the corpus.
     sig = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         sig_udf(F.col(vec_col)).alias("sig"),
-    )
+    ).localCheckpoint()
     banded = sig.select(
         "id",
         "v",
@@ -416,6 +435,7 @@ def embedding_near_dups(
             )
         ).alias("bb"),
     ).select("id", "v", "bb.band", "bb.bucket")
+    banded = _drop_oversize_buckets(banded, ["band", "bucket"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
