@@ -812,6 +812,92 @@ def json_extract_q(spark, sf_dir):
 
 
 @register(
+    "subquery_correlated",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above_avg
+    FROM orders o
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders i
+                          WHERE i.o_orderpriority = o.o_orderpriority)
+    GROUP BY o_orderpriority
+    """,
+    tier="C",
+    note="C12-adjacent correlated scalar subquery: Catalyst de-correlates "
+    "it into an aggregate + equi-join (no per-row re-execution, unlike "
+    "a naive nested-loop interpretation).",
+)
+def subquery_correlated_q(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_above_avg
+        FROM __sq_orders o
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM __sq_orders i
+                              WHERE i.o_orderpriority = o.o_orderpriority)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "agg_unpivot",
+    """
+    SELECT l_returnflag, metric, ROUND(val, 2) AS val FROM (
+      SELECT l_returnflag,
+             ROUND(SUM(l_quantity), 2) AS total_qty,
+             ROUND(SUM(l_extendedprice), 2) AS total_price,
+             ROUND(SUM(l_discount), 2) AS total_disc
+      FROM lineitem GROUP BY l_returnflag
+    ) UNPIVOT (val FOR metric IN (total_qty, total_price, total_disc))
+    """,
+    tier="C",
+    note="C8-adjacent unpivot (wide→long melt), the inverse of pivot — "
+    "an Expand node, one pass, no join.",
+)
+def agg_unpivot_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.sum("l_discount"), 2).alias("total_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["total_qty", "total_price", "total_disc"],
+        "metric",
+        "__v",
+    ).select("l_returnflag", "metric", F.round("__v", 2).alias("val"))
+
+
+@register(
+    "agg_collect_array",
+    """
+    SELECT n_nationkey, n_name,
+           COALESCE(list_sort(list(DISTINCT s_suppkey)
+                              FILTER (s_suppkey IS NOT NULL)),
+                    CAST([] AS BIGINT[])) AS supp_keys,
+           CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_supp
+    FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name
+    """,
+    tier="C",
+    note="C12 array aggregation: collect_set sorted for determinism "
+    "(collect order is partition-dependent; the sort makes the multiset "
+    "canonical). LEFT join keeps supplier-less nations with empty lists.",
+)
+def agg_collect_array_q(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.sort_array(F.collect_set("s_suppkey")).alias("supp_keys"),
+            F.count_distinct("s_suppkey").alias("n_supp"),
+        )
+    )
+
+
+@register(
     "json_struct",
     """
     SELECT event_id,
