@@ -110,3 +110,56 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_upsert_warehouse(
+    spark: SparkSession,
+    source_dir: str,
+    warehouse_path: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+    max_files_per_trigger: int = 5,
+):
+    """The reference's daily batch load as a continuous stream: file-source
+    discovery → keyed last-write-wins upsert into the parquet warehouse,
+    one transaction per micro-batch via ``foreachBatch``.
+
+    Each micro-batch applies :func:`~..operators.upsert.upsert_last_write_wins`
+    between the current warehouse and the batch, then atomically swaps the
+    result in (write to a side path + rename). The checkpoint replaces the
+    reference's manifest snapshots (A2); replay of a failed batch is
+    idempotent because the upsert is deterministic — the exact guarantee
+    the reference gets from ON CONFLICT (README.md:31).
+
+    At warehouse scale the swap becomes partition-overwrite or a Delta
+    MERGE; the per-batch logic is unchanged.
+    """
+    from ..operators.upsert import upsert_last_write_wins
+    from ..sources import archive_move
+
+    keys = keys or ["event_id"]
+
+    def _apply(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        try:
+            current = s.read.parquet(warehouse_path)
+            merged = upsert_last_write_wins(current, batch_df, keys=keys)
+        except Exception:  # first batch: warehouse does not exist yet
+            merged = batch_df
+        # stage the merged table fully (this materializes the read of the
+        # old warehouse), then swap directories — readers see old or new,
+        # never a partial write
+        tmp = f"{warehouse_path}__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(warehouse_path, ignore_errors=True)
+        archive_move(s, tmp, warehouse_path)
+
+    events = read_events_stream(spark, source_dir, max_files_per_trigger)
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -131,3 +131,26 @@ def test_stateful_running_totals_match_batch(spark, sf_smoke, events_dir):
         assert got == want
     finally:
         q.stop()
+
+
+def test_stream_upsert_warehouse(spark, sf_smoke, events_dir, tmp_path):
+    from simple_data_engineering_project_spark.streaming import (
+        stream_upsert_warehouse,
+    )
+
+    wh = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_upsert_warehouse(spark, events_dir, wh, ckpt, keys=["event_id"])
+    q.awaitTermination(180)
+    q.stop()
+    loaded = spark.read.parquet(wh)
+    batch = read_table(spark, sf_smoke, "events")
+    assert loaded.count() == batch.count()  # event_id unique → full load
+    assert sorted(loaded.columns) == sorted(batch.columns)
+    # replay with a fresh checkpoint: idempotent (same keyed result)
+    q2 = stream_upsert_warehouse(
+        spark, events_dir, wh, str(tmp_path / "ckpt2"), keys=["event_id"]
+    )
+    q2.awaitTermination(180)
+    q2.stop()
+    assert spark.read.parquet(wh).count() == batch.count()
