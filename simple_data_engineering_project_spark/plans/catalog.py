@@ -1622,6 +1622,296 @@ def multimodal_features_q(spark, sf_dir):
     return mm_ops.extract_features(media)
 
 
+# =====================================================================
+# Tier C (cont.) — classic analytic shapes, partition-pruned sinks,
+# higher-order array functions, robust statistics
+# =====================================================================
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tier="C",
+    note="TPC-H Q1 shape: single wide scan → 8 partial aggregates over 2 "
+    "grouping keys. Scale: map-side combine reduces shuffle to "
+    "|groups|×|partitions| rows; predicate pushed to parquet row groups.",
+)
+def tpch_q1_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tier="C",
+    note="TPC-H Q3 shape (o_orderpriority stands in for o_shippriority): "
+    "selective dim filter → fact join → agg → top-10 with a deterministic "
+    "l_orderkey tiebreak. Scale: customer filter broadcast; TopK via "
+    "per-partition limit before the single-partition final sort.",
+)
+def tpch_q3_q(spark, sf_dir):
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue()), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "sink_partitioned",
+    """
+    SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem WHERE year(l_shipdate) = 1997
+    GROUP BY 1
+    """,
+    tier="A",
+    note="A9 staging sink, scaled up: hive-partitioned parquet layout "
+    "(PARTITIONED BY ship_year) so later reads prune entire directories — "
+    "the read back here scans only ship_year=1997 (explain shows "
+    "PartitionFilters, 1 of 7 partitions). At 100 TB, partition-on-date "
+    "is the difference between a full scan and a day's slice.",
+)
+def sink_partitioned_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    path = _scratch(sf_dir, "sink_partitioned_lineitem")
+    (
+        li.write.mode("overwrite")
+        .partitionBy("ship_year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("ship_year") == 1997)
+    return back.groupBy(F.month("l_shipdate").alias("ship_month")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "array_functions",
+    """
+    SELECT vec_id,
+           CAST(length(embedding) AS INT) AS dim,
+           ROUND(CAST(list_aggregate(embedding, 'sum') AS DOUBLE), 4) AS vec_sum,
+           ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vec_max,
+           ROUND(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS vec_min,
+           CAST(length(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+    FROM embeddings WHERE vec_id % 10 = 0
+    """,
+    tier="C",
+    note="C12 higher-order array functions over array<float> embeddings: "
+    "aggregate (left fold), filter, size — all JVM-side expressions "
+    "inside whole-stage codegen, no UDF, no explode/shuffle.",
+)
+def array_functions_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("vec_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vec_max"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("vec_min"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@register(
+    "conditional_agg",
+    """
+    SELECT l_linestatus,
+           ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag = 'R'), 2) AS qty_returned,
+           ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag <> 'R'), 2) AS qty_kept,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_deep_disc,
+           ROUND(AVG(CASE WHEN l_tax > 0.04 THEN l_extendedprice END), 4) AS avg_price_high_tax
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tier="C",
+    note="C12 conditional aggregation (SQL FILTER clause ≡ sum(when(...))): "
+    "N conditional metrics in ONE scan+shuffle instead of N filtered "
+    "subqueries — the standard wide-metric dashboard pattern.",
+)
+def conditional_agg_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    returned = F.col("l_returnflag") == "R"
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.sum(F.when(returned, F.col("l_quantity"))), 2).alias("qty_returned"),
+        F.round(F.sum(F.when(~returned, F.col("l_quantity"))), 2).alias("qty_kept"),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_deep_disc"),
+        F.round(
+            F.avg(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 4
+        ).alias("avg_price_high_tax"),
+    )
+
+
+@register(
+    "agg_median_quantiles",
+    """
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 2) AS med_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS price_q25,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS price_q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tier="C",
+    note="C11 exact robust statistics: median + interpolated quartiles per "
+    "group. Exact percentile needs the group's values together (a sort), "
+    "so at 100 TB prefer approx_stats' mergeable sketches; this is the "
+    "exactness anchor the sketch is tested against.",
+)
+def agg_median_quantiles_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 2).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("price_q25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("price_q75"),
+    )
+
+
+@register(
+    "scalar_strings",
+    """
+    SELECT p_partkey,
+           CAST(levenshtein(p_brand, p_type) AS INT) AS brand_type_dist,
+           reverse(p_brand) AS brand_rev,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           replace(p_type, ' ', '_') AS type_snake,
+           regexp_extract(p_name, '[a-z]+', 0) AS first_word,
+           CAST(strpos(p_type, 'BRUSHED') AS INT) AS brushed_at
+    FROM part WHERE p_partkey % 20 = 0
+    """,
+    tier="C",
+    note="C12 string battery: edit distance (levenshtein — the verify "
+    "kernel fuzzy-matching pipelines put behind a cheap blocker), "
+    "reverse/pad/replace/regexp_extract/locate, all codegen'd.",
+)
+def scalar_strings_q(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.replace("p_type", F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.regexp_extract("p_name", "[a-z]+", 0).alias("first_word"),
+        F.locate("BRUSHED", F.col("p_type")).alias("brushed_at"),
+    )
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+    FROM orders
+    """,
+    tier="C",
+    note="C9 RANGE frame (value-based, vs window_lag_moving's ROWS frame): "
+    "trailing 30-day spend per customer keyed on epoch-day. Ties share a "
+    "frame, so the sum is deterministic without a tiebreak.",
+)
+def window_range_frame_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.to_date("o_orderdate")))
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
+
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INT) AS rn FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part
+    ) WHERE rn <= 3
+    """,
+    tier="C",
+    note="C9 top-k per group (distinct from global topk_shipments): "
+    "row_number window + rank filter. Catalyst rewrites the filter into "
+    "a per-partition TopK (WindowGroupLimit) — no full sort per group.",
+)
+def window_topk_per_group_q(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",
