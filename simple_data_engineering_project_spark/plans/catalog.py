@@ -1912,6 +1912,122 @@ def window_topk_per_group_q(spark, sf_dir):
     )
 
 
+@register(
+    "join_outer_full",
+    """
+    WITH y96 AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n96
+                 FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey),
+         y97 AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n97
+                 FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey)
+    SELECT COALESCE(y96.o_custkey, y97.o_custkey) AS custkey,
+           COALESCE(n96, 0) AS n96, COALESCE(n97, 0) AS n97,
+           (y96.o_custkey IS NULL) AS only_97,
+           (y97.o_custkey IS NULL) AS only_96
+    FROM y96 FULL OUTER JOIN y97 ON y96.o_custkey = y97.o_custkey
+    """,
+    tier="C",
+    note="C7 FULL OUTER join with genuinely null-producing sides "
+    "(customers active only in one of two years) + COALESCE repair. "
+    "Scale: both sides pre-aggregated before the join, so the shuffle "
+    "carries |customers| rows, not |orders|.",
+)
+def join_outer_full_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+
+    def year_counts(y, out):
+        return (
+            o.filter(F.year("o_orderdate") == y)
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias(out))
+        )
+
+    y96 = year_counts(1996, "n96")
+    y97 = year_counts(1997, "n97").withColumnRenamed("o_custkey", "ck97")
+    j = y96.join(y97, y96.o_custkey == y97.ck97, "full_outer")
+    return j.select(
+        F.coalesce(y96.o_custkey, y97.ck97).alias("custkey"),
+        F.coalesce("n96", F.lit(0)).alias("n96"),
+        F.coalesce("n97", F.lit(0)).alias("n97"),
+        y96.o_custkey.isNull().alias("only_97"),
+        y97.ck97.isNull().alias("only_96"),
+    )
+
+
+@register(
+    "join_cross",
+    """
+    SELECT n_name, r_name,
+           (n_regionkey = r_regionkey) AS is_home,
+           CAST(levenshtein(n_name, r_name) AS INT) AS name_dist
+    FROM nation CROSS JOIN region
+    """,
+    tier="C",
+    note="C7 explicit cartesian product (25×5) with a derived predicate "
+    "column. Scale: cross joins are only sane when one side broadcasts; "
+    "Spark picks BroadcastNestedLoopJoin for the 5-row region side.",
+)
+def join_cross_q(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.crossJoin(F.broadcast(r)).select(
+        "n_name",
+        "r_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
+        F.levenshtein("n_name", "r_name").alias("name_dist"),
+    )
+
+
+@register(
+    "setops_intersect_all",
+    """
+    SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'
+    """,
+    tier="C",
+    note="C10 multiset INTERSECT ALL (duplicates preserved up to the "
+    "min multiplicity per value) — one hash aggregate per side + a "
+    "replicate, not a row-by-row comparison.",
+)
+def setops_intersect_all_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_quantity")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_quantity")
+    return r.intersectAll(a)
+
+
+@register(
+    "window_first_last",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND(first_value(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(last_value(o_totalprice)  OVER w, 2) AS last_price,
+           ROUND(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tier="C",
+    note="C9 navigation functions (first/last/nth over an unbounded "
+    "frame): each customer's first, latest, and second order value on "
+    "every row. Deterministic via the o_orderkey tiebreak.",
+)
+def window_first_last_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",
