@@ -90,6 +90,25 @@ def session_aggregates(
     )
 
 
+def stream_dedup(
+    events: DataFrame, watermark: str = "1 hour", keys: list[str] | None = None
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, dropping any
+    duplicate that lands within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state by event time
+    — per-key state is evicted once the watermark passes it, so state size
+    is O(keys per horizon), not O(all keys ever seen). That bound is what
+    makes continuous ingest dedup viable on an unbounded stream (the batch
+    twin, ``dedup_exact`` in the catalog, has no horizon and sees all
+    keys). Duplicates separated by more than the horizon are NOT caught —
+    the standard at-scale trade; a periodic batch `dedup_exact` compaction
+    closes that gap.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     source_dir: str,

@@ -133,6 +133,34 @@ def test_stateful_running_totals_match_batch(spark, sf_smoke, events_dir):
         q.stop()
 
 
+def test_stream_dedup_within_watermark(spark, sf_smoke, tmp_path):
+    from simple_data_engineering_project_spark.streaming import stream_dedup
+
+    # stage the corpus with every event duplicated 3× across files, so
+    # duplicates of a key arrive in different triggers
+    src = str(tmp_path / "dup_events")
+    ev = read_table(spark, sf_smoke, "events")
+    ev.unionByName(ev).unionByName(ev).repartition(6).write.parquet(src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        stream_dedup(stream, watermark="365 days")
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        out = spark.sql("SELECT event_id FROM t_dedup").collect()
+        ids = [r["event_id"] for r in out]
+        assert len(ids) == len(set(ids))  # no duplicate survived
+        assert set(ids) == set(r["event_id"] for r in ev.select("event_id").collect())
+    finally:
+        q.stop()
+
+
 def test_stream_upsert_warehouse(spark, sf_smoke, events_dir, tmp_path):
     from simple_data_engineering_project_spark.streaming import (
         stream_upsert_warehouse,
