@@ -32,6 +32,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # text, events.
 HEADLINE = [
     "agg_value_by_region",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "sink_partitioned",
     "agg_quality_trend",
     "agg_regional_distribution",
     "filter_predicates",

@@ -168,6 +168,51 @@ def archive_move(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(src_path, dst_path))
 
 
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: Sequence[str] | None = None,
+) -> int:
+    """Compact a parquet directory's small files into ~target-size files.
+
+    The small-file problem is the classic failure mode of continuous
+    ingest (the reference lands one object per generated CSV,
+    gen_dag.py:39-51; our streaming upsert inherits that shape): thousands
+    of tiny files mean per-file open/footer overhead dominates scans and
+    the driver's listing blows up. Compaction = read → repartition to
+    ceil(bytes / target) → rewrite → atomic swap.
+
+    ``sort_cols`` additionally clusters rows within each output file
+    (sortWithinPartitions, no global shuffle beyond the repartition) so
+    parquet row-group min/max stats become selective — the poor man's
+    Z-order, and at 100 TB the difference between pruning row groups and
+    reading them.
+
+    Returns the number of output files written.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(p).getLength()
+    n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    out = df.repartition(int(n_out))
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    tmp = f"{path}__compact"
+    out.write.mode("overwrite").parquet(tmp)
+    fs.delete(p, True)
+    archive_move(spark, tmp, path)
+    files = [
+        s
+        for s in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path))
+        if s.isFile() and str(s.getPath().getName()).endswith(".parquet")
+    ]
+    return len(files)
+
+
 def list_files(spark: SparkSession, directory: str, suffix: str = ".csv") -> list[str]:
     """Landing discovery (reference A1, dag.py:66-68): list + suffix filter.
 
@@ -197,5 +242,6 @@ __all__ = [
     "orc_roundtrip",
     "save_bucketed",
     "archive_move",
+    "compact_small_files",
     "list_files",
 ]

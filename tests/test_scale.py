@@ -58,6 +58,50 @@ def test_flagship_single_aggregation_exchange(spark, sf_smoke):
     assert len(exchanges) <= 1, exchanges  # only the final groupBy shuffles
 
 
+def test_partitioned_sink_prunes_directories(spark, sf_smoke):
+    plan = _optimized(catalog()["sink_partitioned"].fn(spark, sf_smoke))
+    # the 1997 filter must land as a partition (directory) filter on the
+    # read-back scan, not a row-level post-filter
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "ship_year" in pf[0], plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_smoke):
+    plan = _plan(catalog()["window_topk_per_group"].fn(spark, sf_smoke))
+    # Catalyst rewrites rn<=k over row_number into a per-partition TopK
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_q3_dim_filter_broadcasts(spark, sf_smoke):
+    plan = _plan(catalog()["tpch_q3_shipping_priority"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_compact_small_files(spark, sf_smoke, tmp_path):
+    import os
+
+    from simple_data_engineering_project_spark.sources import (
+        compact_small_files,
+        read_table,
+    )
+
+    path = str(tmp_path / "frag")
+    ev = read_table(spark, sf_smoke, "events")
+    ev.repartition(64).write.parquet(path)  # the small-file problem
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before == 64
+    rows_before = ev.count()
+
+    n_after = compact_small_files(
+        spark, path, target_file_bytes=16 * 1024 * 1024, sort_cols=["ts"]
+    )
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == n_after < n_before
+    back = spark.read.parquet(path)
+    assert back.count() == rows_before
+    assert sorted(back.columns) == sorted(ev.columns)
+
+
 def test_no_cartesian_products_anywhere(spark, sf_smoke):
     # brute_force_topk intentionally cross-joins against a broadcast
     # single-row query side; everything else must be keyed
