@@ -77,6 +77,20 @@ def test_q3_dim_filter_broadcasts(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q5_dim_chain_broadcasts(spark, sf_smoke):
+    plan = _plan(catalog()["tpch_q5_local_supplier"].fn(spark, sf_smoke))
+    # region→nation→supplier collapses to broadcasts; only li⋈o may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_q6_predicates_reach_scan(spark, sf_smoke):
+    plan = _optimized(catalog()["tpch_q6_forecast_revenue"].fn(spark, sf_smoke))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed, pushed
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read  # pruned to the 4 referenced columns
+
+
 def test_compact_small_files(spark, sf_smoke, tmp_path):
     import os
 
