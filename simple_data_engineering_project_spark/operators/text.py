@@ -8,7 +8,7 @@ by doc id so they compose with dedup/similarity stages.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import doc_fingerprint, normalized_text, tokens
@@ -211,4 +211,47 @@ def curate_corpus(
     ).drop("__fp")
     return dedup_fuzzy_keep_one(
         exact, id_col=id_col, text_col=text_col, threshold=jaccard_threshold
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Assign documents to fixed token-budget bins (LLM sequence packing).
+
+    Each document gets the bin its *start offset* falls into, where the
+    offset is the running token total of all earlier documents in the
+    same shard (ordered by ``id_col`` for determinism). This is the
+    offset-packing used to batch pre-training corpora into fixed-length
+    sequences: downstream, one bin == one training sequence of
+    ``budget_tokens`` tokens (documents straddle bin boundaries and are
+    split at materialization time).
+
+    Scale: the running sum is a window partitioned by ``shard_col`` — no
+    global single-partition window. At 100 TB, shards (source / dump /
+    date) keep each window's state bounded; packing is one shuffle on
+    the shard key. The reference has no corpus ops (∅, SURVEY §2 C4).
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            id_col,
+            shard_col,
+            token_count_whitespace(text_col).alias("n_tokens"),
+        )
+        .withColumn(
+            "bin_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / F.lit(float(budget_tokens))
+            ).cast("int"),
+        )
     )

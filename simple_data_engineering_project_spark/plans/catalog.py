@@ -2159,6 +2159,103 @@ def window_first_last_q(spark, sf_dir):
     )
 
 
+@register(
+    "pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                  ' ')) AS INT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                       - n_tokens) / 512.0) AS INT) AS bin_id
+    FROM t
+    """,
+    tier="C",
+    note="C4 LLM sequence packing: documents assigned to fixed "
+    "512-token bins by running start-offset within each source shard. "
+    "Scale: window partitioned by shard — no global ordering; one "
+    "shuffle on the shard key, bounded per-shard state.",
+)
+def pack_sequences_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.pack_sequences(d, budget_tokens=512)
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(wk) AS cohort_week FROM act GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(floor(date_diff('day', cohort_week, wk) / 7.0) AS INT) AS week_no,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act JOIN cohorts USING (user_id)
+    GROUP BY cohort_week, week_no
+    """,
+    tier="C",
+    note="Cohort retention over events: users grouped by first-active "
+    "week, distinct-active counted per (cohort, week offset). Scale: "
+    "distinct + min + join all shuffle on user_id — one exchange reused "
+    "across the three operators (co-partitioned join, AQE) — then one "
+    "final small shuffle on (cohort, week).",
+)
+def cohort_retention_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    cohorts = act.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        act.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("wk", "cohort_week") / F.lit(7.0))
+            .cast("int")
+            .alias("week_no"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE ((c_custkey % 1000003) * 2654435761) % 4294967296 % 100 <
+          CASE c_mktsegment WHEN 'BUILDING' THEN 40
+                            WHEN 'AUTOMOBILE' THEN 20
+                            ELSE 5 END
+    """,
+    tier="C",
+    note="Deterministic stratified sampling: per-stratum rates via the "
+    "same engine-portable multiplicative hash as sample_hash — the "
+    "domain-mixing primitive of corpus construction (upsample rare "
+    "sources, downsample bulk ones) with no rand() and exact "
+    "reproducibility. Row-local: no shuffle at any scale.",
+)
+def sample_stratified_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    bucket = F.pmod(
+        F.pmod((F.col("c_custkey") % 1000003) * F.lit(2654435761), F.lit(4294967296)),
+        F.lit(100),
+    )
+    rate = (
+        F.when(F.col("c_mktsegment") == "BUILDING", 40)
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", 20)
+        .otherwise(5)
+    )
+    return c.filter(bucket < rate).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",

@@ -348,3 +348,24 @@ def test_minhash_bucket_cap_guards_degenerate_buckets(spark):
     capped = minhash_lsh_candidates(docs, k=3, max_bucket_size=10).count()
     assert uncapped == 30 * 29 // 2
     assert capped == 0
+
+
+def test_pack_sequences_offset_binning(spark):
+    from simple_data_engineering_project_spark.operators.text import pack_sequences
+
+    # shard "a": docs of 3, 4, 2 tokens; budget 5 → start offsets 0, 3, 7
+    # → bins 0, 0, 1. shard "b" packs independently from offset 0.
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "a"),
+            (2, "a b c d", "a"),
+            (3, "x y", "a"),
+            (4, "p q r s t u", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"])
+        for r in pack_sequences(docs, budget_tokens=5).collect()
+    }
+    assert rows == {1: (3, 0), 2: (4, 0), 3: (2, 1), 4: (6, 0)}
