@@ -2256,6 +2256,31 @@ def sample_stratified_q(spark, sf_dir):
     return c.filter(bucket < rate).select("c_custkey", "c_mktsegment", "c_acctbal")
 
 
+@register(
+    "events_conversion_join",
+    """
+    SELECT l.user_id AS l_user, l.event_id AS l_event, l.ts AS l_ts,
+           r.event_id AS r_event, r.ts AS r_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+    """,
+    tier="C",
+    note="C6/C7 conversion attribution: view→purchase pairs per user "
+    "within 30 minutes. The SAME builder runs as a watermarked "
+    "stream-stream interval join (streaming.conversion_join — state "
+    "evicted past the watermark+interval horizon); here it is its batch "
+    "twin, a user-keyed self-join with a range residual.",
+)
+def events_conversion_join_q(spark, sf_dir):
+    from ..streaming import conversion_join
+
+    ev = _t(spark, sf_dir, "events")
+    return conversion_join(ev, ev)
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",

@@ -109,6 +109,51 @@ def stream_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def conversion_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: pair each ``left_type`` event with the
+    same user's ``right_type`` events that follow within ``within``.
+
+    The canonical attribution/conversion query. Both sides carry a
+    watermark and the join condition bounds ``r.ts`` to
+    ``[l.ts, l.ts + within]`` — together these let the engine evict join
+    state once the watermark passes a row's reachable window, so state is
+    O(events per horizon) instead of unbounded (the stream-stream join
+    viability condition). Works identically on batch DataFrames (the
+    oracle path: the same function is the batch twin).
+    """
+    l = (
+        left.filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_event"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    r = (
+        right.filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_event"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("l_user", "l_event", "l_ts", "r_event", "r_ts")
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     source_dir: str,

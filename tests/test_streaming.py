@@ -182,3 +182,37 @@ def test_stream_upsert_warehouse(spark, sf_smoke, events_dir, tmp_path):
     q2.awaitTermination(180)
     q2.stop()
     assert spark.read.parquet(wh).count() == batch.count()
+
+
+def test_stream_stream_conversion_join_matches_batch(spark, sf_smoke, events_dir):
+    from simple_data_engineering_project_spark.plans import catalog
+    from simple_data_engineering_project_spark.streaming import conversion_join
+
+    # one micro-batch (files >> maxFilesPerTrigger): watermark starts at
+    # -inf so no join state is evicted mid-run — exact batch parity. With
+    # many batches over event-time-unordered files, pairs whose left side
+    # trails the watermark by > horizon are (correctly) dropped; that
+    # trade is documented on conversion_join.
+    left = read_events_stream(spark, events_dir, max_files_per_trigger=1000)
+    right = read_events_stream(spark, events_dir, max_files_per_trigger=1000)
+    joined = conversion_join(left, right)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_conversion")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        got = {
+            (r["l_event"], r["r_event"])
+            for r in spark.sql("SELECT * FROM t_conversion").collect()
+        }
+        want = {
+            (r["l_event"], r["r_event"])
+            for r in catalog()["events_conversion_join"].fn(spark, sf_smoke).collect()
+        }
+        assert got == want and got
+    finally:
+        q.stop()
