@@ -246,10 +246,25 @@ def ngram_jaccard_pairs(
     """Exact shingle-Jaccard verification of candidate (id_a, id_b) pairs.
 
     Joins shingle sets onto candidates only — never all-pairs — so cost is
-    proportional to LSH collisions, not n². Broadcast is left to AQE since
+    proportional to LSH collisions, not n². The corpus is first semi-joined
+    down to ids that occur in some pair, so shingling (the expensive
+    per-row work) also touches only colliding docs — at low collision
+    rates that is a ~n/|candidates| saving, the difference between
+    re-tokenizing the corpus and re-tokenizing the suspects. Candidates
+    are materialized once since deriving the id set would otherwise
+    re-execute the whole LSH pipeline. Broadcast is left to AQE since
     the shingle side is large.
     """
-    sh = df.select(
+    candidates = candidates.localCheckpoint()
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("cid"))
+        .union(candidates.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    suspects = df.join(
+        cand_ids, df[id_col] == F.col("cid"), "left_semi"
+    )
+    sh = suspects.select(
         F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
     )
     out = (
