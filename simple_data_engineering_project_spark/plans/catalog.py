@@ -2281,6 +2281,155 @@ def events_conversion_join_q(spark, sf_dir):
     return conversion_join(ev, ev)
 
 
+@register(
+    "agg_histogram",
+    """
+    SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS bin_total
+    FROM orders
+    GROUP BY bin
+    """,
+    tier="C",
+    note="Equal-width histogram (20 bins of 25k, top bin open-ended) — "
+    "the profiling primitive behind data-quality dashboards. Row-local "
+    "binning then one tiny shuffle: |bins| × |partitions| rows move.",
+)
+def agg_histogram_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    bin_col = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(25000.0)), F.lit(19)
+    ).cast("int")
+    return o.groupBy(bin_col.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("bin_total"),
+    )
+
+
+@register(
+    "timeseries_gapfill",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE value > 400 GROUP BY event_type, day
+    ),
+    bounds AS (
+      SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS mn,
+             CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS mx
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT t.event_type, s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+    """,
+    tier="C",
+    note="Time-series gap filling: daily counts of rare (value>400) "
+    "events re-seated on a complete day×type spine with zeros for "
+    "missing days — the resample step every monitoring/forecast "
+    "pipeline needs. The spine is sequence() over the global min/max "
+    "(2 scalar aggregates broadcast to a handful of rows), so the only "
+    "real shuffle is the daily aggregate; the left join is "
+    "broadcast-able from the spine side.",
+)
+def timeseries_gapfill_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value") > 400)
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    spine = (
+        ev.agg(
+            F.date_trunc("day", F.min("ts")).alias("mn"),
+            F.date_trunc("day", F.max("ts")).alias("mx"),
+        )
+        .select(
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+            ).alias("day")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(types)
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, MIN(e.ts) AS ts
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.ts
+      WHERE e.event_type = 'view' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS ts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s
+    UNION ALL
+    SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'purchase' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM p
+    """,
+    tier="C",
+    note="Ordered conversion funnel: users who signed up, then viewed "
+    "after signing up, then purchased after that view — each stage "
+    "anchored at the previous stage's first qualifying time. Scale: "
+    "every stage is a groupBy + join on user_id, so one partitioning "
+    "serves the whole cascade (co-partitioned joins, no re-shuffle).",
+)
+def events_funnel_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+
+    def first_after(prev, etype):
+        e = ev.filter(F.col("event_type") == etype).select(
+            "user_id", F.col("ts").alias("ets")
+        )
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ets").alias("ts"))
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ets") > prev.ts)
+            .groupBy("user_id")
+            .agg(F.min("ets").alias("ts"))
+        )
+
+    s = first_after(None, "signup")
+    v = first_after(s, "view")
+    p = first_after(v, "purchase")
+
+    def stage_count(df, name):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage_count(s, "signup")
+        .unionByName(stage_count(v, "view"))
+        .unionByName(stage_count(p, "purchase"))
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",
