@@ -34,6 +34,9 @@ HEADLINE = [
     "agg_value_by_region",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_orders",
     "sink_partitioned",
     "agg_quality_trend",
     "agg_regional_distribution",
@@ -49,8 +52,13 @@ HEADLINE = [
     "similarity_topk",
     "similarity_topk_lsh",
     "text_tokens",
+    "pack_sequences",
     "curate_corpus",
     "events_tumbling_agg",
+    "events_funnel",
+    "cohort_retention",
+    "timeseries_gapfill",
+    "embedding_centroids",
     "json_extract",
     "exact_stats",
 ]

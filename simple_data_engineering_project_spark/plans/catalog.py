@@ -2430,6 +2430,102 @@ def events_funnel_q(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_centroids",
+    """
+    SELECT label, CAST(pos AS INT) AS pos, ROUND(AVG(v), 4) AS c
+    FROM (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    tier="C",
+    note="Per-label centroid of the embedding column — the building "
+    "block of IVF training, cluster summarization, and class-prototype "
+    "similarity. posexplode → one hash aggregate on (label, dim): "
+    "map-side combine shrinks the shuffle to |labels|×|dims| rows per "
+    "partition regardless of corpus size — the scalable alternative to "
+    "collecting vectors and averaging driver-side.",
+)
+def embedding_centroids_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return ex.groupBy(
+        "label", (F.col("pos") + 1).cast("int").alias("pos")
+    ).agg(F.round(F.avg("v"), 4).alias("c"))
+
+
+@register(
+    "timeseries_ffill",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ROUND(AVG(value), 4) AS avg_v
+      FROM events WHERE value > 400 GROUP BY event_type, day
+    ),
+    bounds AS (
+      SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS mn,
+             CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS mx
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (
+      SELECT t.event_type, s.day, d.avg_v
+      FROM spine s CROSS JOIN types t
+      LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+    )
+    SELECT event_type, day,
+           last_value(avg_v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_v
+    FROM grid
+    """,
+    tier="C",
+    note="Carry-forward imputation: rare-event daily averages on the "
+    "complete day spine, gaps filled with the last observation "
+    "(last/IGNORE NULLS over an unbounded-preceding frame; days before "
+    "the first observation stay null in both engines). Scale: the "
+    "window partitions by event_type — state is one scalar per "
+    "partition, streamable frame, no global sort.",
+)
+def timeseries_ffill_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value") > 400)
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_v"))
+    )
+    spine = (
+        ev.agg(
+            F.date_trunc("day", F.min("ts")).alias("mn"),
+            F.date_trunc("day", F.max("ts")).alias("mx"),
+        )
+        .select(
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias(
+                "day"
+            )
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(types).join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "event_type",
+        "day",
+        F.last("avg_v", ignorenulls=True).over(w).alias("filled_v"),
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",
