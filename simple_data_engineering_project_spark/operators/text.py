@@ -39,6 +39,46 @@ def token_count_bpe_ish(col: str = "text"):
     return F.regexp_count(F.col(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
 
 
+def quality_score_expr(text_col: str = "text"):
+    """The rounded quality score as a row-local column expression.
+
+    Exposed separately so pipelines can gate on quality with a plain
+    ``filter`` (zero joins) while :func:`quality_features` serves the
+    full feature table.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("double")
+    n_char = F.length(F.col(text_col)).cast("double")
+    en_stop = F.array(*[F.lit(s) for s in _STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), en_stop)).cast(
+        "double"
+    )
+    punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]")).cast("double")
+    punct_ratio = F.when(n_char > 0, punct / n_char).otherwise(F.lit(0.0))
+    stop_ratio = stop_hits / F.lit(float(len(_STOPWORDS["en"])))
+    score = (
+        F.least(n_tok / F.lit(20.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * F.lit(0.3)
+        + F.least(stop_ratio * F.lit(2.0), F.lit(1.0)) * F.lit(0.3)
+    )
+    return F.round(score, 4)
+
+
+def lang_pred_expr(text_col: str = "text"):
+    """Predicted language as a row-local column expression (see lang_id)."""
+    toks = F.array_distinct(tokens(text_col))
+    scored = [
+        F.struct(
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(s) for s in sw]))
+            ).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, sw in sorted(_STOPWORDS.items())
+    ]
+    return F.greatest(*scored) if len(scored) > 1 else scored[0]
+
+
 def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + score.
 
@@ -56,11 +96,6 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     mean_word_len = F.when(n_tok > 0, n_char / n_tok).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_char > 0, punct / n_char).otherwise(F.lit(0.0))
     stop_ratio = stop_hits / F.lit(float(len(_STOPWORDS["en"])))
-    score = (
-        F.least(n_tok / F.lit(20.0), F.lit(1.0)) * F.lit(0.4)
-        + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * F.lit(0.3)
-        + F.least(stop_ratio * F.lit(2.0), F.lit(1.0)) * F.lit(0.3)
-    )
     return df.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),
@@ -68,7 +103,7 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         F.round(mean_word_len, 4).alias("mean_word_len"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        quality_score_expr(text_col).alias("quality_score"),
     )
 
 
@@ -80,17 +115,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     arbitrary but deterministic. Pure expression: greatest() over
     (score, lang) structs instead of a UDF.
     """
-    toks = F.array_distinct(tokens(text_col))
-    scored = [
-        F.struct(
-            F.size(
-                F.array_intersect(toks, F.array(*[F.lit(s) for s in sw]))
-            ).alias("score"),
-            F.lit(lang).alias("lang"),
-        )
-        for lang, sw in sorted(_STOPWORDS.items())
-    ]
-    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    best = lang_pred_expr(text_col)
     return df.select(
         F.col(id_col),
         best["lang"].alias("predicted_lang"),
@@ -194,15 +219,12 @@ def curate_corpus(
     from ..functions import doc_fingerprint
     from .dedup import dedup_exact, dedup_fuzzy_keep_one
 
-    lang_ok = lang_id(docs, id_col=id_col, text_col=text_col).filter(
-        F.col("predicted_lang") == lang
-    ).select(F.col(id_col).alias("__lid"))
-    qual_ok = quality_features(docs, id_col=id_col, text_col=text_col).filter(
-        F.col("quality_score") >= min_quality
-    ).select(F.col(id_col).alias("__qid"))
-    filtered = (
-        docs.join(lang_ok, docs[id_col] == F.col("__lid"), "left_semi")
-        .join(qual_ok, docs[id_col] == F.col("__qid"), "left_semi")
+    # Both gates are row-local expressions — apply them as ONE filter in
+    # the scan stage (no joins, no second pass over the corpus). The
+    # expressions are the exact ones lang_id/quality_features expose.
+    filtered = docs.filter(
+        (lang_pred_expr(text_col)["lang"] == lang)
+        & (quality_score_expr(text_col) >= min_quality)
     )
     exact = dedup_exact(
         filtered.withColumn("__fp", doc_fingerprint(text_col)),
