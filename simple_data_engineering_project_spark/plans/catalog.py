@@ -2526,6 +2526,109 @@ def timeseries_ffill_q(spark, sf_dir):
     )
 
 
+@register(
+    "sessionize_gaps",
+    """
+    WITH d AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(new_sess) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS INT) AS session_no
+    FROM d
+    """,
+    tier="C",
+    note="Batch sessionization by inactivity gap (30 min): lag to flag "
+    "session starts, running sum to number them — the fully "
+    "SQL-expressible twin of session_window (events_session_agg), "
+    "deterministic via the event_id tiebreak. Scale: both windows "
+    "partition by user_id and share one shuffle + one sort.",
+)
+def sessionize_gaps_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap so the 30-min threshold agrees with the
+    # oracle's interval comparison on sub-second timestamps
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_sess).over(wsum).cast("int").alias("session_no"),
+    )
+
+
+@register(
+    "outlier_zscore",
+    """
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - mu) / sd, 4) AS z
+    FROM events e JOIN stats USING (event_type)
+    WHERE ABS((e.value - mu) / sd) > 3
+    """,
+    tier="C",
+    note="Per-group z-score outlier detection — the data-quality "
+    "quarantine op. Group stats are one tiny aggregate broadcast back "
+    "onto the fact (|event types| rows), so flagging is a map-side "
+    "join + row-local predicate at any scale.",
+)
+def outlier_zscore_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_id", "event_type", "value", F.round(z, 4).alias("z")
+        )
+    )
+
+
+@register(
+    "join_null_safe",
+    """
+    SELECT a.k AS k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT NULLIF(o_orderstatus, 'O') AS k, o_orderkey FROM orders) a
+    JOIN (SELECT DISTINCT NULLIF(o_orderstatus, 'O') AS k FROM orders) b
+      ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    """,
+    tier="C",
+    note="Null-safe equality join (Spark <=> ≡ SQL IS NOT DISTINCT "
+    "FROM): NULL keys match each other instead of vanishing — the "
+    "semantics dimension tables with optional keys need. Still a hash "
+    "join (null-safe equality is hashable), not a cross product.",
+)
+def join_null_safe_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k"), "o_orderkey"
+    )
+    b = a.select("k").distinct().withColumnRenamed("k", "bk")
+    return (
+        a.join(F.broadcast(b), F.col("k").eqNullSafe(F.col("bk")))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",
