@@ -2203,9 +2203,10 @@ def pack_sequences_q(spark, sf_dir):
     tier="C",
     note="Cohort retention over events: users grouped by first-active "
     "week, distinct-active counted per (cohort, week offset). Scale: "
-    "distinct + min + join all shuffle on user_id — one exchange reused "
-    "across the three operators (co-partitioned join, AQE) — then one "
-    "final small shuffle on (cohort, week).",
+    "the distinct shuffles on (user_id, wk), the cohort min on "
+    "user_id; AQE broadcasts the cohort side when small (observed "
+    "plan) and falls back to a co-partitioned sort-merge join at "
+    "scale; the final shuffle on (cohort, week) is tiny.",
 )
 def cohort_retention_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -2433,7 +2434,10 @@ def events_funnel_q(spark, sf_dir):
 @register(
     "embedding_centroids",
     """
-    SELECT label, CAST(pos AS INT) AS pos, ROUND(AVG(v), 4) AS c
+    SELECT label, CAST(pos AS INT) AS pos,
+           CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))
+                AS BIGINT) AS sum_micros,
+           CAST(COUNT(*) AS BIGINT) AS n
     FROM (
       SELECT label, unnest(embedding) AS v,
              generate_subscripts(embedding, 1) AS pos
@@ -2444,17 +2448,25 @@ def events_funnel_q(spark, sf_dir):
     tier="C",
     note="Per-label centroid of the embedding column — the building "
     "block of IVF training, cluster summarization, and class-prototype "
-    "similarity. posexplode → one hash aggregate on (label, dim): "
-    "map-side combine shrinks the shuffle to |labels|×|dims| rows per "
-    "partition regardless of corpus size — the scalable alternative to "
-    "collecting vectors and averaging driver-side.",
+    "similarity (centroid component = sum_micros / n / 1e6). posexplode "
+    "→ one hash aggregate on (label, dim): map-side combine shrinks the "
+    "shuffle to |labels|×|dims| rows per partition regardless of corpus "
+    "size — the scalable alternative to collecting vectors driver-side. "
+    "Components are summed as floor(v·1e6) BIGINTs: the per-element "
+    "transform is one IEEE op (identical in any engine) and the integer "
+    "sum is order-independent — no float-rounding boundary can flip the "
+    "value hash, unlike ROUND(AVG(float)).",
 )
 def embedding_centroids_q(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    micros = F.floor(F.col("v").cast("double") * F.lit(1000000.0))
     return ex.groupBy(
         "label", (F.col("pos") + 1).cast("int").alias("pos")
-    ).agg(F.round(F.avg("v"), 4).alias("c"))
+    ).agg(
+        F.sum(micros).alias("sum_micros"),
+        F.count("*").alias("n"),
+    )
 
 
 @register(
