@@ -110,6 +110,69 @@ def sample_video_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+
+def sample_frames_df(media: DataFrame, frame_bytes: int = 256) -> DataFrame:
+    """1→N frame sampling: each media row explodes into its frames.
+
+    The row-multiplying batch shape real video pipelines need —
+    ``mapInPandas`` may emit any number of output rows per input row, so
+    one Arrow pass covers decode→sample→per-frame features with no
+    intermediate shuffle. Frame extraction dispatches on modality: video
+    would call the ffmpeg-backed sampler (stubbed here,
+    :func:`sample_video_frames`); the deterministic fake for text/other
+    payloads slices fixed-size byte windows, so batching, ordering
+    (frame_no) and per-frame hashing run for real. Empty payloads emit
+    zero frames.
+
+    Scale: pair with :func:`partition_by_payload_bytes` so each task
+    holds ~constant payload bytes; output rows stay within the task
+    (narrow), and downstream per-frame ops see an already-exploded
+    distributed table.
+    """
+
+    def _frames_of(payload: bytes, modality: str) -> list[bytes]:
+        if modality == "video":
+            return sample_video_frames(payload)  # STUB: raises here
+        if payload is None:
+            return []
+        return [
+            payload[i : i + frame_bytes]
+            for i in range(0, len(payload), frame_bytes)
+        ]
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, sizes, digests = [], [], [], []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                modality = meta["modality"] if meta is not None else None
+                for i, fr in enumerate(_frames_of(payload, modality)):
+                    ids.append(mid)
+                    nos.append(i)
+                    sizes.append(len(fr))
+                    digests.append(hashlib.sha256(fr).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(nos, dtype="int32"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "sha256": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(_gen, schema=FRAME_SCHEMA)
+
+
 def partition_by_payload_bytes(media: DataFrame, target_mb: int = 128) -> DataFrame:
     """Repartition a media table so each partition holds ~``target_mb`` of
     payload bytes.

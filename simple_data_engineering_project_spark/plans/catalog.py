@@ -2641,6 +2641,31 @@ def join_null_safe_q(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_frames",
+    """
+    SELECT doc_id AS media_id,
+           CAST(g.n AS INT) AS frame_no,
+           CAST(strlen(substring(text, g.n * 256 + 1, 256)) AS BIGINT) AS n_bytes,
+           sha256(substring(text, g.n * 256 + 1, 256)) AS sha256
+    FROM documents,
+         unnest(generate_series(0,
+                CAST(floor((strlen(text) - 1) / 256.0) AS INT))) AS g(n)
+    """,
+    tier="C",
+    note="C5 frame sampling: each media payload explodes 1→N into "
+    "fixed-size frames through ONE Arrow mapInPandas pass (the "
+    "row-multiplying batch shape video decode needs; ffmpeg sampler "
+    "stubbed, byte-window fake real). Oracle slices the same windows "
+    "in SQL and matches per-frame sha256 — ASCII corpus makes char "
+    "and byte offsets coincide.",
+)
+def multimodal_frames_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_from_documents(d)
+    return mm_ops.sample_frames_df(media, frame_bytes=256)
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",

@@ -369,3 +369,33 @@ def test_pack_sequences_offset_binning(spark):
         for r in pack_sequences(docs, budget_tokens=5).collect()
     }
     assert rows == {1: (3, 0), 2: (4, 0), 3: (2, 1), 4: (6, 0)}
+
+
+def test_sample_frames_explodes_and_dispatches(spark):
+    from simple_data_engineering_project_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 600), (2, "xy"), (3, "")],
+        "doc_id long, text string",
+    )
+    frames = mm.sample_frames_df(mm.media_from_documents(docs), frame_bytes=256)
+    got = {
+        (r["media_id"], r["frame_no"]): r["n_bytes"] for r in frames.collect()
+    }
+    # 600 bytes → 256+256+88; 2 bytes → one frame; empty → zero frames
+    assert got == {(1, 0): 256, (1, 1): 256, (1, 2): 88, (2, 0): 2}
+
+    import pytest as _pytest
+
+    video = mm.media_from_documents(docs).withColumn(
+        "meta",
+        F.struct(
+            F.lit("video").alias("modality"),
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|stubbed"):
+        mm.sample_frames_df(video).collect()
