@@ -2666,6 +2666,102 @@ def multimodal_frames_q(spark, sf_dir):
     return mm_ops.sample_frames_df(media, frame_bytes=256)
 
 
+@register(
+    "snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT change, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    ) GROUP BY change
+    """,
+    tier="C",
+    note="CDC-style snapshot diff: full outer join two warehouse "
+    "versions on the key, classify added / removed / changed / "
+    "unchanged — the change-feed an incremental downstream consumes "
+    "when the source has no transaction log (the reference's warehouse "
+    "is plain parquet, SURVEY §1.1). Scale: one co-partitioned join on "
+    "the key; the classification is row-local; output is |classes|.",
+)
+def snapshot_diff_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("ok"), F.col("o_totalprice").alias("op")
+    )
+    new = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    change = (
+        F.when(F.col("ok").isNull(), "added")
+        .when(F.col("o_orderkey").isNull(), "removed")
+        .when(F.col("op") != F.col("o_totalprice"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        old.join(new, F.col("ok") == F.col("o_orderkey"), "full_outer")
+        .select(change.alias("change"))
+        .groupBy("change")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "dq_summary",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nonpos_price,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_cust,
+           CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                           OR o_orderdate > TIMESTAMP '2030-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_dates
+    FROM orders
+    """,
+    tier="C",
+    note="Data-quality summary — the reference's per-file validation "
+    "(dag.py:186-190) generalized to declarative table-level checks: "
+    "key uniqueness, domain ranges, null rates, date sanity, computed "
+    "in ONE scan (conditional aggregation; the distinct-count is the "
+    "only part that shuffles full keys). Gate ingest on the result "
+    "instead of failing mid-load.",
+)
+def dq_summary_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count_distinct(F.col("o_orderkey"))).alias("dup_keys"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpos_price"
+        ),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_cust"
+        ),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("bad_dates"),
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",
