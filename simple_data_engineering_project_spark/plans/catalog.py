@@ -2762,6 +2762,30 @@ def dq_summary_q(spark, sf_dir):
     )
 
 
+@register(
+    "scan_text",
+    """
+    SELECT CAST(strlen(text) AS INT) AS len, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY len
+    """,
+    tier="A",
+    note="Line-oriented text source (the log-ingestion path the "
+    "reference's CSV landing generalizes to): documents staged as raw "
+    ".txt (one line per doc, newline-free corpus), read back with the "
+    "text source, and the line-length distribution must round-trip "
+    "exactly. Splittable uncompressed scans partition by byte ranges at "
+    "any scale.",
+)
+def scan_text_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    path = _scratch(sf_dir, "scan_text_documents")
+    d.select("text").write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return lines.groupBy(F.length("value").cast("int").alias("len")).agg(
+        F.count("*").alias("n")
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",
