@@ -2786,6 +2786,106 @@ def scan_text_q(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST((SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                          AS BIGINT)) + 50) // 100 AS BIGINT) / 100.0
+             AS revenue,
+           n_name
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tier="C",
+    note="TPC-H Q10 shape: who returned the most revenue last quarter. "
+    "Time-sliced orders join return-filtered lineitem (both predicates "
+    "pushed to the scans), customer+nation broadcast, top-20 via "
+    "per-partition TopK before the final single-partition sort. "
+    "Revenue sums exactly in integer tenth-millis per row (the 4dp "
+    "product is within 1ulp of an integer, so the per-row round is "
+    "engine-identical) then converts to cents by integer half-up — "
+    "immune to the ROUND(SUM(double)) .xx5 boundary that float "
+    "summation order can flip.",
+)
+def tpch_q10_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", revenue().alias("rev"))
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.select(
+            "l_orderkey",
+            F.round(F.col("rev") * F.lit(10000)).cast("long").alias("rev_tm"),
+        )
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum("rev_tm").alias("sum_tm"))
+        .select(
+            "c_custkey",
+            "c_name",
+            (
+                F.expr("(sum_tm + 50) DIV 100").cast("long") / F.lit(100.0)
+            ).alias("revenue"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14_promo_effect",
+    """
+    SELECT ROUND(100.0 *
+             SUM(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-02-01'
+    """,
+    tier="C",
+    note="TPC-H Q14 shape: promo revenue share for one month. The part "
+    "dimension broadcasts (only p_partkey/p_type read — column pruning), "
+    "the month filter is pushed to the fact scan, and the conditional "
+    "ratio is one global aggregate.",
+)
+def tpch_q14_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = revenue()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo) / F.sum(rev), 4
+            ).alias("promo_pct")
+        )
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",
