@@ -83,6 +83,21 @@ def test_q5_dim_chain_broadcasts(spark, sf_smoke):
     assert plan.count("BroadcastHashJoin") >= 3, plan
 
 
+def test_q10_filters_push_and_dims_broadcast(spark, sf_smoke):
+    plan = _optimized(catalog()["tpch_q10_returned_items"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_returnflag" in l for l in pushed), plan
+    assert any("o_orderdate" in l for l in pushed), plan
+
+
+def test_q14_part_projection_pruned(spark, sf_smoke):
+    plan = _optimized(catalog()["tpch_q14_promo_effect"].fn(spark, sf_smoke))
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    part_read = [l for l in reads if "p_type" in l][0]
+    assert "p_name" not in part_read and "p_retailprice" not in part_read
+
+
 def test_q6_predicates_reach_scan(spark, sf_smoke):
     plan = _optimized(catalog()["tpch_q6_forecast_revenue"].fn(spark, sf_smoke))
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
