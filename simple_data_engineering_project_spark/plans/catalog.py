@@ -2886,6 +2886,96 @@ def tpch_q14_q(spark, sf_dir):
     )
 
 
+@register(
+    "window_cumulative",
+    """
+    WITH monthly AS (
+      SELECT n_name,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             ROUND(SUM(o_totalprice), 2) AS m_total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name, month
+    )
+    SELECT n_name, month, m_total,
+           ROUND(SUM(m_total) OVER (
+             PARTITION BY n_name ORDER BY month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_total,
+           ROUND(m_total / SUM(m_total) OVER (PARTITION BY n_name), 6)
+             AS share_of_nation
+    FROM monthly
+    """,
+    tier="C",
+    note="Cumulative reporting: monthly totals per nation with a "
+    "running sum (ordered frame) and share-of-total (whole-partition "
+    "frame) in one pass — two frames over ONE window partitioning, so "
+    "one shuffle + one sort serve both. The pre-aggregation shrinks "
+    "the windowed input to |nations|×|months| rows first.",
+)
+def window_cumulative_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("m_total"))
+    )
+    w_run = (
+        Window.partitionBy("n_name")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("n_name")
+    return monthly.select(
+        "n_name",
+        "month",
+        "m_total",
+        F.round(F.sum("m_total").over(w_run), 2).alias("running_total"),
+        F.round(
+            F.col("m_total") / F.sum("m_total").over(w_all), 6
+        ).alias("share_of_nation"),
+    )
+
+
+@register(
+    "agg_mode",
+    """
+    SELECT user_id, event_type AS mode_event FROM (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY cnt DESC, event_type
+             ) AS rn
+      FROM (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+      )
+    ) WHERE rn = 1
+    """,
+    tier="C",
+    note="Per-group mode (most frequent event type per user, "
+    "deterministic lexicographic tiebreak) — the argmax-by-count shape "
+    "behind 'dominant category' features. Count then rank: the count "
+    "shuffles on (user, type), the rank re-partitions on user only; "
+    "never a collect or UDAF.",
+)
+def agg_mode_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"))
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",
