@@ -2976,6 +2976,51 @@ def agg_mode_q(spark, sf_dir):
     )
 
 
+@register(
+    "text_bigrams",
+    """
+    WITH toks AS (
+      SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+             ' ', 'g')), ' ') AS t
+      FROM documents
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      SELECT t[g.n] || ' ' || t[g.n + 1] AS bigram
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(n)
+    )
+    GROUP BY bigram
+    ORDER BY freq DESC, bigram ASC
+    LIMIT 100
+    """,
+    tier="C",
+    note="C4 word-bigram frequency top-100 (multiset, not per-doc "
+    "distinct) — n-gram LM / collocation prep. Same explode → one hash "
+    "aggregate shape as text_tokens: map-side combine keeps the shuffle "
+    "at one row per (partition, bigram). Single-token docs emit no "
+    "bigrams (sequence guard: Spark sequence(1,0) would descend).",
+)
+def text_bigrams_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(normalized_text("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(100)
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",
