@@ -3021,6 +3021,36 @@ def text_bigrams_q(spark, sf_dir):
     )
 
 
+@register(
+    "agg_distinct_multi",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT CAST(date_trunc('month', o_orderdate)
+                AS TIMESTAMP)) AS BIGINT) AS n_months,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tier="C",
+    note="Multiple DISTINCT aggregates beside plain ones in a single "
+    "GROUP BY — Catalyst plans this with Expand (one row replicated "
+    "per distinct-column group) feeding a two-phase aggregate, so both "
+    "distincts resolve in one pass over the fact instead of N "
+    "self-joins. The classic BI cardinality panel.",
+)
+def agg_distinct_multi_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count_distinct(F.date_trunc("month", "o_orderdate")).alias(
+            "n_months"
+        ),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",
