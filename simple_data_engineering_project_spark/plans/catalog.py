@@ -3051,6 +3051,35 @@ def agg_distinct_multi_q(spark, sf_dir):
     )
 
 
+_ADHOC_SQL = """
+    SELECT n_name,
+           ROUND(SUM(o_totalprice), 2) AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+@register(
+    "adhoc_sql",
+    _ADHOC_SQL,
+    tier="B",
+    note="EP3 parity (README.md:146-151): the Metabase ad-hoc SQL "
+    "surface — the IDENTICAL SQL text runs through spark.sql over "
+    "registered views on one side and DuckDB on the other. Pins that "
+    "the engine answers raw analyst SQL, not just the DataFrame API; "
+    "Catalyst plans it like any catalog query (dims broadcast, one "
+    "aggregate exchange).",
+)
+def adhoc_sql_q(spark, sf_dir):
+    for t in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_ADHOC_SQL)
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",
