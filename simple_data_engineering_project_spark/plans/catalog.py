@@ -3212,6 +3212,83 @@ def tpch_q8_q(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q13_order_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tier="C",
+    note="TPC-H Q13 shape: distribution of orders-per-customer, "
+    "INCLUDING zero-order customers (left outer join preserved through "
+    "the count — COUNT(o_orderkey) skips the null-extended rows). "
+    "Double aggregate: the first shuffles on c_custkey, the second on "
+    "the tiny count domain.",
+)
+def tpch_q13_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q19_disjunctive_join",
+    """
+    SELECT CAST((SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) + 50) // 100 AS BIGINT) / 100.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 10)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity < 10)
+    """,
+    tier="C",
+    note="TPC-H Q19 shape: OR-of-ANDs predicate spanning both join "
+    "sides. Catalyst splits the disjunction: the partial predicates "
+    "referencing only one side (brand/size on part, quantity on "
+    "lineitem as a derived OR-bound) push below the join; the residual "
+    "cross-side disjunction evaluates row-local after the broadcast "
+    "join. Revenue via exact integer tenth-millis (single global sum — "
+    "the .xx5 boundary case).",
+)
+def tpch_q19_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity",
+        F.round(revenue() * F.lit(10000)).cast("long").alias("rev_tm"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 10)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") < 10)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            (
+                F.expr("(sum(rev_tm) + 50) DIV 100").cast("long")
+                / F.lit(100.0)
+            ).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",
