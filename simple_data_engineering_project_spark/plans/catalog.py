@@ -3254,12 +3254,12 @@ def tpch_q13_q(spark, sf_dir):
     """,
     tier="C",
     note="TPC-H Q19 shape: OR-of-ANDs predicate spanning both join "
-    "sides. Catalyst splits the disjunction: the partial predicates "
-    "referencing only one side (brand/size on part, quantity on "
-    "lineitem as a derived OR-bound) push below the join; the residual "
-    "cross-side disjunction evaluates row-local after the broadcast "
-    "join. Revenue via exact integer tenth-millis (single global sum — "
-    "the .xx5 boundary case).",
+    "sides. Catalyst extracts the part-only disjunction (brand+size "
+    "per branch) and pushes it into the part scan (observed "
+    "PushedFilters); the quantity branches cover the whole domain so "
+    "no lineitem bound exists, and the cross-side residual evaluates "
+    "row-local after the broadcast join. Revenue via exact integer "
+    "tenth-millis (single global sum — the .xx5 boundary case).",
 )
 def tpch_q19_q(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(

@@ -98,6 +98,17 @@ def test_q14_part_projection_pruned(spark, sf_smoke):
     assert "p_name" not in part_read and "p_retailprice" not in part_read
 
 
+def test_q19_part_side_disjunction_pushes(spark, sf_smoke):
+    plan = _optimized(catalog()["tpch_q19_disjunctive_join"].fn(spark, sf_smoke))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    # Catalyst extracts the part-only OR (brand+size per branch) and
+    # pushes it into the part scan; the quantity branches cover the
+    # whole domain, so no lineitem bound exists — the cross-side
+    # residual stays row-local after the broadcast join
+    part_pushed = [l for l in pushed if "p_brand" in l]
+    assert part_pushed and "Or(And(EqualTo(p_brand" in part_pushed[0], plan
+
+
 def test_q6_predicates_reach_scan(spark, sf_smoke):
     plan = _optimized(catalog()["tpch_q6_forecast_revenue"].fn(spark, sf_smoke))
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
