@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores INT64 TIMESTAMP(NANOS); decode nanos as
+        # long (read_table truncates to micros). Inert for all other
+        # tables — declared here so it is session policy, not a scan-time
+        # surprise.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/sdep-spark-warehouse")
@@ -70,4 +75,6 @@ def tune_for_queries(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # See get_spark: TIMESTAMP(NANOS) decode policy for events.parquet.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

@@ -32,6 +32,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet reader rejects; read the nanos as long and truncate to micros
     (`ts DIV 1000`, exact integer division — a double cast would lose
     precision above 2^53), matching DuckDB's nanos→micros truncation.
+
+    ``nanosAsLong`` is set session-level and deliberately NOT restored:
+    the returned plan is lazy, and the physical scan re-reads the conf at
+    action time — a save/restore here would break execution of the very
+    DataFrame being returned. The setting is inert for every other table
+    (it only changes the decode of TIMESTAMP(NANOS) columns, which no
+    other driver table contains); session setup (``session.get_spark`` /
+    ``tune_for_queries``) sets the same value explicitly so the behavior
+    is declared, not a read_table side effect.
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
@@ -41,6 +50,48 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(path)
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe — works for file://, s3a://, hdfs://."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return bool(p.getFileSystem(conf).exists(p))
+
+
+def fs_delete(spark: SparkSession, path: str) -> bool:
+    """Recursive Hadoop-FS delete (no-op if absent) — portable, unlike
+    shutil.rmtree which only understands local paths."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        return bool(fs.delete(p, True))
+    return False
+
+
+def swap_directory(spark: SparkSession, tmp: str, path: str) -> None:
+    """Publish ``tmp`` as ``path`` without a window where ``path`` is gone.
+
+    Rename the old directory aside first (path → path__old), move the new
+    one in, then drop the old: a crash at any point leaves either the old
+    or the new dataset at ``path`` (plus at worst a stale __old to sweep),
+    never a missing dataset — unlike delete-then-rename, whose crash
+    window loses the path entirely.
+    """
+    old = f"{path}__old"
+    fs_delete(spark, old)
+    if fs_exists(spark, path):
+        if not archive_move(spark, path, old):
+            raise IOError(f"swap_directory: could not move {path} aside")
+    if not archive_move(spark, tmp, path):
+        # roll the old data back into place before failing
+        if fs_exists(spark, old):
+            archive_move(spark, old, path)
+        raise IOError(f"swap_directory: could not publish {tmp} -> {path}")
+    fs_delete(spark, old)
 
 
 def scan_csv(
@@ -203,8 +254,7 @@ def compact_small_files(
         out = out.sortWithinPartitions(*sort_cols)
     tmp = f"{path}__compact"
     out.write.mode("overwrite").parquet(tmp)
-    fs.delete(p, True)
-    archive_move(spark, tmp, path)
+    swap_directory(spark, tmp, path)
     files = [
         s
         for s in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path))
@@ -242,6 +292,9 @@ __all__ = [
     "orc_roundtrip",
     "save_bucketed",
     "archive_move",
+    "fs_exists",
+    "fs_delete",
+    "swap_directory",
     "compact_small_files",
     "list_files",
 ]

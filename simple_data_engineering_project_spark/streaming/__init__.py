@@ -199,26 +199,29 @@ def stream_upsert_warehouse(
     MERGE; the per-batch logic is unchanged.
     """
     from ..operators.upsert import upsert_last_write_wins
-    from ..sources import archive_move
+    from ..sources import fs_exists, swap_directory
 
     keys = keys or ["event_id"]
 
     def _apply(batch_df, batch_id: int) -> None:
         s = batch_df.sparkSession
-        try:
+        # Existence is tested explicitly — only "first batch, warehouse not
+        # yet created" may fall back to merged=batch. Any other failure
+        # (schema-drift ValueError from the upsert, transient FS error)
+        # must propagate so the micro-batch fails and REPLAYS; swallowing
+        # it here would replace the whole warehouse with one micro-batch.
+        if fs_exists(s, warehouse_path):
             current = s.read.parquet(warehouse_path)
             merged = upsert_last_write_wins(current, batch_df, keys=keys)
-        except Exception:  # first batch: warehouse does not exist yet
+        else:
             merged = batch_df
         # stage the merged table fully (this materializes the read of the
         # old warehouse), then swap directories — readers see old or new,
-        # never a partial write
+        # never a partial write and never a missing path (rename-aside
+        # swap, portable Hadoop FS ops)
         tmp = f"{warehouse_path}__staging"
         merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        shutil.rmtree(warehouse_path, ignore_errors=True)
-        archive_move(s, tmp, warehouse_path)
+        swap_directory(s, tmp, warehouse_path)
 
     events = read_events_stream(spark, source_dir, max_files_per_trigger)
     return (

@@ -142,6 +142,27 @@ def test_compact_small_files(spark, sf_smoke, tmp_path):
     assert sorted(back.columns) == sorted(ev.columns)
 
 
+def _iter_physical_nodes(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _iter_physical_nodes(node.children().apply(i))
+
+
+def test_no_partitionless_window_anywhere(spark, sf_smoke):
+    # A Window (or WindowGroupLimit) with an empty partition spec moves
+    # the ENTIRE input through one task — the canonical 100 TB scale
+    # killer (round-1 WARN WindowExec finding). Global-order semantics
+    # must use the two-phase distributed rank instead
+    # (window_ntile_percent is the template).
+    for name, q in sorted(catalog().items()):
+        plan = q.fn(spark, sf_smoke)._jdf.queryExecution().executedPlan()
+        for node in _iter_physical_nodes(plan):
+            if "Window" in node.nodeName():
+                assert (
+                    node.partitionSpec().size() > 0
+                ), f"{name}: partitionless {node.nodeName()}"
+
+
 def test_no_cartesian_products_anywhere(spark, sf_smoke):
     # brute_force_topk intentionally cross-joins against a broadcast
     # single-row query side; everything else must be keyed
