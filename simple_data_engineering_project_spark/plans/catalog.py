@@ -1305,6 +1305,27 @@ _DOCS_WITH_DUPES_SQL = """
       FROM documents WHERE doc_id % 10 = 0
 """
 
+# DuckDB twin of operators.dedup.shingles (5-word shingles of normalized
+# text, distinct) — shared by the exact-Jaccard oracles below. Expects a
+# CTE named `corpus` in scope.
+_SHINGLE_SQL = """
+tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(toks) - 4, 1) + 1),
+             i -> array_to_string(toks[i : i + 4], ' ')
+           )
+         ) AS s
+  FROM tok
+)
+"""
+
 
 @register(
     "dedup_exact",
@@ -1357,12 +1378,37 @@ def dedup_simhash_q(spark, sf_dir):
 
 @register(
     "dedup_fuzzy_keep_one",
-    None,
+    f"""
+    WITH RECURSIVE corpus AS ({_DOCS_WITH_DUPES_SQL}),
+    {_SHINGLE_SQL},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON r.lbl = e.src
+      WHERE e.dst != r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS mn FROM reach GROUP BY node)
+    SELECT doc_id, text, lang, source, n_chars FROM corpus
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE node > mn)
+    """,
     tier="C",
     note="C2 end-to-end fuzzy dedup: MinHash-LSH candidates → exact "
     "Jaccard ≥ 0.8 verify → connected components (min-label "
-    "propagation) → keep min-id per cluster. Rows-only; clustering "
-    "semantics pinned by unit tests.",
+    "propagation) → keep min-id per cluster. Oracle-checked: the DuckDB "
+    "twin builds the ≥0.8 graph from ALL-pairs exact Jaccard and takes "
+    "the transitive closure with a recursive CTE — a hash match proves "
+    "both full LSH recall and identical clustering on this corpus.",
 )
 def dedup_fuzzy_keep_one_q(spark, sf_dir):
     corpus = _docs_with_dupes(spark, sf_dir)
@@ -1371,10 +1417,24 @@ def dedup_fuzzy_keep_one_q(spark, sf_dir):
 
 @register(
     "dedup_ngram_jaccard",
-    None,
+    f"""
+    WITH corpus AS ({_DOCS_WITH_DUPES_SQL}),
+    {_SHINGLE_SQL}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    """,
     tier="C",
     note="C2 exact n-gram Jaccard verify over LSH candidates (never "
-    "all-pairs). Rows-only.",
+    "all-pairs on the Spark side — shingling touches colliding docs "
+    "only). Oracle-checked: the DuckDB twin computes ALL-pairs exact "
+    "5-shingle Jaccard, so a hash match additionally proves 100% LSH "
+    "recall at threshold 0.8 on this corpus. The jaccard column is an "
+    "unrounded int/int ratio — bit-identical in both engines (rounding "
+    "it could straddle a half-boundary, e.g. 27/32 at 4dp).",
 )
 def dedup_ngram_jaccard_q(spark, sf_dir):
     corpus = _docs_with_dupes(spark, sf_dir)
