@@ -3405,6 +3405,304 @@ def tpch_q19_q(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q4_priority_count",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 40 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tier="C",
+    note="TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join "
+    "(testdata lacks commit/receipt dates, so 'late' = shipped >40 days "
+    "after order). The quarter filter prunes orders at the scan; the "
+    "semi join keys on orderkey with the date comparison as residual — "
+    "at 100 TB this is one keyed shuffle, never a per-row subquery.",
+)
+def tpch_q4_q(spark, sf_dir):
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 40 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "tpch_q12_priority_split",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+    tier="C",
+    note="TPC-H Q12 shape: fact-fact join + conditional counts per class "
+    "(testdata lacks l_shipmode; l_returnflag is the line-side class). "
+    "The year filter pushes into the lineitem scan; the priority split "
+    "is sum(CASE) — one pass, map-side combinable.",
+)
+def tpch_q12_q(spark, sf_dir):
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS total_tm
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           CAST((total_tm + 50) // 100 AS BIGINT) / 100.0 AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_tm = (SELECT MAX(total_tm) FROM rev)
+    """,
+    tier="C",
+    note="TPC-H Q15 shape: per-supplier quarterly revenue, keep the max "
+    "(the 'create view revenue0' query). The scalar max is a 1-row "
+    "broadcast equi-join against the aggregate — no partitionless "
+    "window, no second scan of lineitem. Revenue summed in exact "
+    "integer tenth-millicents so max/equality never hinge on float "
+    "summation order.",
+)
+def tpch_q15_q(spark, sf_dir):
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select(
+            "l_suppkey",
+            F.round(revenue() * F.lit(10000)).cast("long").alias("rev_tm"),
+        )
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum("rev_tm").alias("total_tm"))
+    mx = rev.agg(F.max("total_tm").alias("mx"))
+    top = rev.join(F.broadcast(mx), F.col("total_tm") == F.col("mx")).drop("mx")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(F.broadcast(top), F.col("s_suppkey") == F.col("l_suppkey")).select(
+        "s_suppkey",
+        "s_name",
+        (F.expr("(total_tm + 50) DIV 100").cast("long") / F.lit(100.0)).alias(
+            "total_revenue"
+        ),
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    """
+    WITH tp AS (SELECT p_partkey FROM part
+                WHERE p_brand = 'Brand#3' AND p_size <= 10),
+    li AS (SELECT l_partkey, l_quantity,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem JOIN tp ON p_partkey = l_partkey),
+    avgs AS (SELECT l_partkey AS ap, AVG(l_quantity) AS qavg
+             FROM li GROUP BY l_partkey)
+    SELECT CAST((SUM(cents) * 10 + 35) // 70 AS BIGINT) / 100.0 AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM li JOIN avgs ON l_partkey = ap
+    WHERE l_quantity < 0.2 * qavg
+    """,
+    tier="C",
+    note="TPC-H Q17 shape: correlated per-part scalar AVG decorrelated "
+    "into a grouped aggregate joined back on the part key — two keyed "
+    "passes over the part-filtered lineitems, never a per-row subquery. "
+    "l_quantity is integer-valued, so the per-part average is exact in "
+    "any engine; the /7 yearly average is computed half-up in integer "
+    "cents so no float rounding boundary exists.",
+)
+def tpch_q17_q(spark, sf_dir):
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_quantity",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    avgs = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("qavg"))
+    return (
+        li.join(avgs, "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("qavg"))
+        .agg(
+            (F.expr("(sum(cents) * 10 + 35) DIV 70").cast("long") / F.lit(100.0)).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+                 AND n_name IN ('NATION_3', 'NATION_7')
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+    tier="C",
+    note="TPC-H Q21 shape: the hardest decorrelation — EXISTS → LEFT "
+    "SEMI and NOT EXISTS → LEFT ANTI, both self-joins on the fact keyed "
+    "on orderkey with the suppkey inequality as residual (testdata "
+    "lacks receipt/commit dates; returnflag 'R' marks the failing "
+    "line). Nation/supplier dims broadcast; the two self-joins are the "
+    "only fact shuffles and share the orderkey key.",
+)
+def tpch_q21_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    n = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .select("n_nationkey")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    base = (
+        l1.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    with_other = base.join(
+        l2,
+        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
+        "left_semi",
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    sole_fail = with_other.join(
+        l3,
+        (F.col("l_orderkey") == F.col("ok3")) & (F.col("l_suppkey") != F.col("sk3")),
+        "left_anti",
+    )
+    return sole_fail.groupBy("s_name").agg(F.count("*").alias("numwait"))
+
+
+@register(
+    "tpch_q22_global_sales",
+    """
+    WITH c AS (SELECT c_custkey, c_mktsegment,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+               FROM customer),
+    a AS (SELECT AVG(cents) AS ab FROM c WHERE cents > 0)
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM c
+    WHERE cents > (SELECT ab FROM a)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+    tier="C",
+    note="TPC-H Q22 shape: global scalar-average subquery (1-row "
+    "broadcast nested-loop against the customer scan) + NOT EXISTS anti "
+    "join (testdata customers all have orders, so 'inactive' = no order "
+    "since 2000; c_mktsegment stands in for the phone country code). "
+    "Balances compared in exact integer cents: the global average of "
+    "bigints is the same correctly-rounded double in any engine, so the "
+    "above-average cut is reproducible.",
+)
+def tpch_q22_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    ab = c.filter(F.col("cents") > 0).agg(F.avg("cents").alias("ab"))
+    rich = c.join(F.broadcast(ab), F.col("cents") > F.col("ab")).drop("ab")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",
