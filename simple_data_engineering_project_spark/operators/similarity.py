@@ -55,11 +55,36 @@ def brute_force_topk(
         "item_id",
         cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("item_id").asc()
+    return _topk_per_query(scored, k)
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Exact top-k per query over (query_id, item_id, cosine) — two-phase
+    so no single task ever ranks the whole scored set.
+
+    Phase 1 ranks within (input-partition, query): the shuffle key
+    includes the physical partition id, so the work spreads over the
+    cluster even for a single query (the common "one query vector, huge
+    corpus" case, where a per-query window alone would collapse to one
+    task). Survivors are bounded by partitions×k; phase 2 ranks that
+    small set per query.
+
+    The query_id the caller supplies must come from DATA, not a literal:
+    Catalyst removes foldable partition keys, silently turning the
+    phase-2 window into a partitionless (single-task) WindowExec —
+    pinned by tests/test_scale.py::test_no_partitionless_window_anywhere.
+    """
+    order = [F.col("cosine").desc(), F.col("item_id").asc()]
+    with_pid = scored.withColumn("__pid", F.spark_partition_id())
+    w1 = Window.partitionBy("__pid", "query_id").orderBy(*order)
+    local = (
+        with_pid.withColumn("__lr", F.row_number().over(w1))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr", "__pid")
     )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "item_id", "cosine", "rank")
     )
@@ -198,14 +223,7 @@ def ivf_topk(
         "item_id",
         cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("item_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "item_id", "cosine", "rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def lsh_topk(
@@ -279,11 +297,4 @@ def lsh_topk(
         "item_id",
         cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("item_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "item_id", "cosine", "rank")
-    )
+    return _topk_per_query(scored, k)

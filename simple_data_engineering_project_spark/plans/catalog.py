@@ -1498,7 +1498,12 @@ def similarity_topk_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.join(
         emb.agg(F.min("vec_id").alias("vec_id")), "vec_id"
-    ).select(F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec"))
+    ).select(
+        # data-derived query id (NOT a lit): foldable partition keys are
+        # optimized out of window specs -> partitionless single-task window
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
     out = sim_ops.brute_force_topk(emb, qv, k=10)
     return out.select(
         "item_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int").alias("rank")
@@ -1517,7 +1522,12 @@ def similarity_topk_lsh_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.join(
         emb.agg(F.min("vec_id").alias("vec_id")), "vec_id"
-    ).select(F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec"))
+    ).select(
+        # data-derived query id (NOT a lit): foldable partition keys are
+        # optimized out of window specs -> partitionless single-task window
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
     out = sim_ops.lsh_topk(emb, qv, dim=64, k=10, bands=8, bits=6)
     return out.select("item_id", F.round("cosine", 6).alias("cosine"), "rank")
 
@@ -1535,7 +1545,12 @@ def similarity_topk_ivf_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.join(
         emb.agg(F.min("vec_id").alias("vec_id")), "vec_id"
-    ).select(F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec"))
+    ).select(
+        # data-derived query id (NOT a lit): foldable partition keys are
+        # optimized out of window specs -> partitionless single-task window
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
     out = sim_ops.ivf_topk(emb, qv, k=10, n_cells=16, n_probe=4)
     return out.select("item_id", F.round("cosine", 6).alias("cosine"), "rank")
 

@@ -144,8 +144,17 @@ def test_compact_small_files(spark, sf_smoke, tmp_path):
 
 def _iter_physical_nodes(node):
     yield node
+    # AdaptiveSparkPlanExec hides the real tree behind initialPlan (its
+    # children() is empty — traversing only it makes this test vacuous)
+    if node.nodeName().startswith("AdaptiveSparkPlan"):
+        yield from _iter_physical_nodes(node.initialPlan())
+        return
     for i in range(node.children().size()):
         yield from _iter_physical_nodes(node.children().apply(i))
+    # subqueries (scalar/EXISTS) hang off expressions, not children
+    sq = node.subqueries()
+    for i in range(sq.size()):
+        yield from _iter_physical_nodes(sq.apply(i))
 
 
 def test_no_partitionless_window_anywhere(spark, sf_smoke):
@@ -153,7 +162,9 @@ def test_no_partitionless_window_anywhere(spark, sf_smoke):
     # the ENTIRE input through one task — the canonical 100 TB scale
     # killer (round-1 WARN WindowExec finding). Global-order semantics
     # must use the two-phase distributed rank instead
-    # (window_ntile_percent is the template).
+    # (window_ntile_percent is the template). Beware foldable partition
+    # keys: Window.partitionBy(lit(...)) is OPTIMIZED AWAY to an empty
+    # spec — partition columns must come from data.
     for name, q in sorted(catalog().items()):
         plan = q.fn(spark, sf_smoke)._jdf.queryExecution().executedPlan()
         for node in _iter_physical_nodes(plan):
