@@ -298,3 +298,51 @@ def lsh_topk(
         cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
     )
     return _topk_per_query(scored, k)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector L2 norm + symmetric int8 quantization summary.
+
+    The embedding-store prep step: int8 quantization cuts vector storage
+    4× and feeds SIMD distance kernels. Each component maps to
+    ``floor(x / max_abs · 127 + 0.5)`` ∈ [−127, 127] — scale-per-vector
+    (a.k.a. per-row absmax), the scheme ANN stores use for cosine
+    workloads because it is norm-invariant.
+
+    Everything is a row-local array fold in codegen: zero shuffles, one
+    scan. Determinism: the quantized values are exact integers (float →
+    double promotion, one IEEE divide/multiply/add, floor — identical
+    in any engine), so their sum/min/max are hash-stable; only the norm
+    is a float aggregate and it is rounded (catalog rule 3).
+
+    Returns (id, n_dims, l2_norm, q_sum, q_min, q_max) — the summary
+    row the driver can hash; pair with ``F.transform`` of the same
+    quantize expression where the int8 array itself is needed.
+    """
+    x = F.col(vec_col)
+    sumsq = F.aggregate(
+        x,
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    max_abs = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    q = F.transform(
+        x,
+        lambda v: F.floor(v.cast("double") / max_abs * 127.0 + 0.5).cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    safe = max_abs > 0.0
+    return df.select(
+        F.col(id_col),
+        F.size(x).cast("int").alias("n_dims"),
+        F.round(F.sqrt(sumsq), 4).alias("l2_norm"),
+        F.when(safe, F.aggregate(q, zero, lambda a, v: a + v))
+        .otherwise(zero)
+        .alias("q_sum"),
+        F.when(safe, F.array_min(q)).otherwise(zero).alias("q_min"),
+        F.when(safe, F.array_max(q)).otherwise(zero).alias("q_max"),
+    )

@@ -236,6 +236,161 @@ def curate_corpus(
     )
 
 
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style rep filters).
+
+    Boilerplate and low-quality machine text repeat themselves; corpus
+    curation gates on two cheap signals:
+
+    - ``dup_line_frac`` — fraction of non-empty lines that are repeats
+      of an earlier line (1 − distinct/total). Row-local array math.
+    - ``top_bigram_frac`` — share of all word-bigram occurrences taken
+      by the single most frequent bigram in the document. Needs a
+      per-(doc, bigram) count: explode → two keyed aggregates, both
+      with map-side combine. Docs with <2 tokens have no bigrams and
+      report 0.
+
+    Scale: the only shuffles are on (doc, bigram) then doc — state per
+    key is one count, never the document text. The final join back to
+    the row-local line features is a keyed shuffle join on the doc id.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    line_feats = df.select(
+        F.col(id_col),
+        n_lines.cast("bigint").alias("n_lines"),
+        F.round(
+            F.when(
+                n_lines > 0,
+                1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_line_frac"),
+    )
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    per_bigram = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top_frac = per_bigram.groupBy(id_col).agg(
+        F.round(
+            F.max("cnt").cast("double") / F.sum("cnt").cast("double"), 4
+        ).alias("top_bigram_frac")
+    )
+    return line_feats.join(top_frac, id_col, "left").select(
+        id_col,
+        "n_lines",
+        "dup_line_frac",
+        F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 512,
+    overlap_chars: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap.
+
+    The RAG / context-window prep step: chunk i covers
+    ``[i·step, i·step + chunk_chars)`` of the raw text where
+    ``step = chunk_chars − overlap_chars``; the final chunk may be
+    short. Start offsets are a row-local ``sequence`` → ``posexplode``
+    — pure codegen, zero shuffles, output rows ≈ corpus_chars / step.
+
+    Returns (id, chunk_id, n_chunk_chars, chunk_md5) — the md5 stands
+    in for shipping chunk text so downstream exact-dedup of chunks is a
+    keyed aggregate on a 32-byte key, not a text compare.
+    """
+    if overlap_chars >= chunk_chars:
+        raise ValueError("overlap_chars must be < chunk_chars")
+    step = chunk_chars - overlap_chars
+    n = F.length(F.col(text_col))
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(step)))
+    chunk = F.col(text_col).substr(F.col("start") + 1, F.lit(chunk_chars))
+    return (
+        df.select(F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.length(chunk).cast("int").alias("n_chunk_chars"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    ``tfidf = tf · (ln((1 + N) / (1 + df)) + 1)`` — the sklearn
+    smoothing, so unseen-term idf stays finite. Ranking uses the
+    ROUNDED score (4 dp) with a term tiebreak: float ulp noise in ``ln``
+    across engines cannot reorder rows, which keeps the result
+    oracle-hashable (catalog rule 2).
+
+    Scale shape: explode → (doc, term) count with map-side combine;
+    document frequency is a second aggregate over that (already
+    deduplicated) pair table; N is a 1-row broadcast. The join back on
+    term is a plain keyed shuffle — vocabulary can exceed broadcast
+    size at corpus scale. Final top-k is a window per doc (bounded
+    state: k rows per key survive).
+    """
+    toks = tokens(text_col)
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (1.0 + F.col("n_docs")) / (1.0 + F.col("df"))
+                    )
+                    + 1.0
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "tfidf", "rank")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget_tokens: int = 512,

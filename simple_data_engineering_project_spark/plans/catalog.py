@@ -3718,6 +3718,159 @@ def tpch_q22_q(spark, sf_dir):
     )
 
 
+@register(
+    "text_repetition",
+    """
+    WITH line_feats AS (
+      SELECT doc_id,
+             CAST(len(l) AS BIGINT) AS n_lines,
+             ROUND(CASE WHEN len(l) > 0
+                   THEN 1.0 - CAST(len(list_distinct(l)) AS DOUBLE)
+                        / CAST(len(l) AS DOUBLE)
+                   ELSE 0.0 END, 4) AS dup_line_frac
+      FROM (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)),
+                           x -> trim(x)), x -> x <> '') AS l
+        FROM documents
+      )
+    ),
+    per_bigram AS (
+      SELECT doc_id, bigram, COUNT(*) AS cnt FROM (
+        SELECT doc_id, t[g.n] || ' ' || t[g.n + 1] AS bigram
+        FROM (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+                 ' ', 'g')), ' ') AS t
+          FROM documents
+        ), unnest(generate_series(1, len(t) - 1)) AS g(n)
+      )
+      GROUP BY doc_id, bigram
+    ),
+    top_frac AS (
+      SELECT doc_id,
+             ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 4)
+               AS top_bigram_frac
+      FROM per_bigram GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.n_lines, f.dup_line_frac,
+           COALESCE(t.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM line_feats f LEFT JOIN top_frac t ON f.doc_id = t.doc_id
+    """,
+    tier="C",
+    note="C4 within-document repetition signals (Gopher-style rep "
+    "filters): duplicate-line fraction is row-local array math; "
+    "top-bigram share is explode → (doc,bigram) count → per-doc "
+    "max/sum, all map-side-combined keyed aggregates whose state is one "
+    "count per key — never the text. The standard cheap gate against "
+    "boilerplate/machine-generated docs before any dedup shuffle.",
+)
+def text_repetition_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.repetition_features(d)
+
+
+@register(
+    "chunk_documents",
+    """
+    SELECT doc_id,
+           CAST(g.s // 448 AS INT) AS chunk_id,
+           CAST(length(substr(text, g.s + 1, 512)) AS INT) AS n_chunk_chars,
+           md5(substr(text, g.s + 1, 512)) AS chunk_md5
+    FROM documents,
+         unnest(generate_series(0, length(text) - 1, 448)) AS g(s)
+    """,
+    tier="C",
+    note="C4 fixed-size overlapping chunking (512 chars, 64 overlap) — "
+    "the RAG/context-window prep step. Start offsets are a row-local "
+    "sequence → posexplode in codegen: zero shuffles, output rows ≈ "
+    "corpus_chars/448 regardless of document skew. Chunks are emitted "
+    "as md5 fingerprints so chunk-level dedup downstream is a keyed "
+    "aggregate on a 32-byte key, not a text compare.",
+)
+def chunk_documents_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(d, chunk_chars=512, overlap_chars=64)
+
+
+@register(
+    "tfidf_keywords",
+    """
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+        FROM documents
+      )
+      WHERE token <> ''
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             ROUND(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0), 4)
+               AS tfidf
+      FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, tfidf, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, token ASC) AS rank
+      FROM scored
+    )
+    WHERE rank <= 3
+    """,
+    tier="C",
+    note="C4 top-3 characteristic terms per document by smoothed "
+    "TF-IDF (sklearn variant: tf·(ln((1+N)/(1+df))+1)). Ranking uses "
+    "the ROUNDED score + term tiebreak so ln() ulp noise across engines "
+    "cannot reorder rows (catalog rule 2). Shape: explode → (doc,term) "
+    "count, df as a second aggregate over the deduplicated pair table, "
+    "N broadcast, term join as a keyed shuffle (vocabulary can exceed "
+    "broadcast size at corpus scale), bounded-state window top-k.",
+)
+def tfidf_keywords_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.tfidf_keywords(d, k=3)
+
+
+@register(
+    "embedding_quantize",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           ROUND(sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4)
+             AS l2_norm,
+           CASE WHEN mx > 0.0 THEN list_aggregate(q, 'sum') ELSE 0 END AS q_sum,
+           CASE WHEN mx > 0.0 THEN list_aggregate(q, 'min') ELSE 0 END AS q_min,
+           CASE WHEN mx > 0.0 THEN list_aggregate(q, 'max') ELSE 0 END AS q_max
+    FROM (
+      SELECT vec_id, embedding,
+             list_aggregate(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))), 'max') AS mx,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / list_aggregate(
+                 list_transform(embedding, v -> abs(CAST(v AS DOUBLE))), 'max')
+                 * 127.0 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    )
+    """,
+    tier="C",
+    note="C3 per-vector L2 norm + symmetric int8 (absmax) quantization "
+    "summary — the embedding-store prep that cuts vector bytes 4× for "
+    "ANN serving. Row-local array folds in codegen: one scan, zero "
+    "shuffles. Quantized components are exact integers (float→double "
+    "promotion + one IEEE divide/multiply/add + floor is identical in "
+    "any engine), so q_sum/min/max hash-match; only the norm is a float "
+    "aggregate and it is rounded (catalog rule 3).",
+)
+def embedding_quantize_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return sim_ops.quantize_embeddings(e)
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",

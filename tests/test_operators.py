@@ -399,3 +399,109 @@ def test_sample_frames_explodes_and_dispatches(spark):
     )
     with _pytest.raises(Exception, match="NotImplementedError|stubbed"):
         mm.sample_frames_df(video).collect()
+
+
+def test_repetition_features_dup_lines_and_bigrams(spark):
+    from simple_data_engineering_project_spark.operators.text import (
+        repetition_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 4 non-empty lines (2×"buy…", 2×"spam"), 2 distinct → 0.5;
+            # 14 tokens → 13 bigrams, "buy now"×6 → top 6/13 = 0.4615
+            (1, "buy now buy now buy now\nspam\n\nspam\nbuy now buy now buy now"),
+            # all lines unique, all bigrams unique
+            (2, "alpha beta\ngamma delta"),
+            # single token → no bigrams → 0.0
+            (3, "hello"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_lines"], r["dup_line_frac"], r["top_bigram_frac"])
+        for r in repetition_features(docs).collect()
+    }
+    assert rows[1] == (4, 0.5, 0.4615)
+    assert rows[2] == (2, 0.0, 0.3333)  # 3 distinct bigrams → round(1/3, 4)
+    assert rows[3] == (1, 0.0, 0.0)
+    assert rows[4] == (0, 0.0, 0.0)
+
+
+def test_chunk_documents_overlap_and_boundaries(spark):
+    from simple_data_engineering_project_spark.operators.text import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, "")],
+        "doc_id long, text string",
+    )
+    # chunk 4, overlap 1 → step 3: starts 0,3,6,9 → lens 4,4,4,1
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_chunk_chars"])
+        for r in chunk_documents(docs, chunk_chars=4, overlap_chars=1).collect()
+    )
+    assert rows == [(1, 0, 4), (1, 1, 4), (1, 2, 4), (1, 3, 1), (2, 0, 2)]
+    # overlap: chunk 1 starts at offset 3 → "defg" overlaps "abcd" by... none
+    # at step 3 the shared char is position 3 only when overlap=1: chunk0 is
+    # chars [0,4), chunk1 [3,7) → they share char 3. Verify via md5 of "defg".
+    got = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_md5"]
+        for r in chunk_documents(docs, chunk_chars=4, overlap_chars=1).collect()
+    }
+    import hashlib
+
+    assert got[(1, 1)] == hashlib.md5(b"defg").hexdigest()
+
+
+def test_tfidf_keywords_ranks_rare_terms(spark):
+    from simple_data_engineering_project_spark.operators.text import (
+        tfidf_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra zebra"),
+            (2, "common common common"),
+            (3, "common yak yak"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(docs, k=2).collect()
+    top = {r["doc_id"]: r["token"] for r in out if r["rank"] == 1}
+    # "common" is in every doc (df=3 -> idf=1.0, score=tf); the rare
+    # term has tf=2 and idf=ln(4/2)+1=1.69 -> 3.39 beats any common score
+    assert top[1] == "zebra"
+    assert top[3] == "yak"
+    # ranks are dense 1..k and scores non-increasing per doc
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["tfidf"]))
+    for doc, rs in by_doc.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i][1] >= rs[i + 1][1] for i in range(len(rs) - 1))
+
+
+def test_quantize_embeddings_exact_ints_and_norm(spark):
+    from simple_data_engineering_project_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [3.0, -4.0]),     # norm 5; q = [floor(3/4*127+.5), -127] = [95,-127]
+            (2, [0.0, 0.0]),      # zero vector → guarded zeros
+            (3, [1.0]),           # q = [127]
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["vec_id"]: (r["n_dims"], r["l2_norm"], r["q_sum"], r["q_min"], r["q_max"])
+        for r in quantize_embeddings(df).collect()
+    }
+    assert rows[1] == (2, 5.0, 95 - 127, -127, 95)
+    assert rows[2] == (2, 0.0, 0, 0, 0)
+    assert rows[3] == (1, 1.0, 127, 127, 127)
