@@ -3891,10 +3891,44 @@ _REGISTRY["text_lang_id"] = CatalogQuery(
 # entries get the weaker check regardless of position).
 # ---------------------------------------------------------------------
 
+def _graded_from_reports() -> set[str]:
+    """Names cleanly graded by any CORRECTNESS_r*.json in the repo root.
+
+    The driver drops one report per round; a query counts as graded when
+    it hash-matched (strong check) or completed the rows-only check with
+    rows (weak check, ``err == "no_oracle"``). Crashed entries do NOT
+    count — they must re-enter the window until a clean grade lands.
+    Reading the reports directly makes the rotation self-maintaining:
+    no per-round edit of a hand-kept set.
+    """
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    graded: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            report = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        if not isinstance(report, dict):
+            continue
+        for name, row in report.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0
+            ):
+                graded.add(name)
+    return graded
+
+
 # Keys of CORRECTNESS_r01.json that were cleanly graded in round 1
-# (42 pass + 6 rows-only ran). The two canon crashes (agg_collect_array,
-# approx_stats) are NOT listed: their fixes must be graded in the round-2
-# window. Extend with each round's newly graded names.
+# (42 pass + 6 rows-only ran) — the static floor in case the report
+# files are absent (fresh clone). The two canon crashes
+# (agg_collect_array, approx_stats) are NOT listed: their fixes must be
+# graded in the round-2 window. Later rounds come from the report files
+# via _graded_from_reports().
 _DRIVER_VERIFIED: set[str] = {
     "agg_value_by_region", "agg_quality_trend", "agg_regional_distribution",
     "filter_predicates", "topk_shipments", "point_lookup", "enrich_value",
@@ -3923,16 +3957,20 @@ _WINDOW_DEFER: set[str] = {"join_cross", "join_null_safe"}
 
 def _driver_order() -> list[str]:
     names = list(_REGISTRY)
-    back = _DRIVER_VERIFIED | _WINDOW_DEFER | set(_WINDOW_FRONT)
+    verified_now = _DRIVER_VERIFIED | _graded_from_reports()
+    front = [n for n in _WINDOW_FRONT if n not in verified_now]
+    back = verified_now | _WINDOW_DEFER | set(front)
     fresh_oracle = [
         n for n in names if n not in back and _REGISTRY[n].oracle is not None
     ]
     fresh_rows_only = [
         n for n in names if n not in back and _REGISTRY[n].oracle is None
     ]
-    deferred = [n for n in names if n in _WINDOW_DEFER]
-    verified = [n for n in names if n in _DRIVER_VERIFIED]
-    return _WINDOW_FRONT + fresh_oracle + fresh_rows_only + deferred + verified
+    deferred = [
+        n for n in names if n in _WINDOW_DEFER and n not in verified_now
+    ]
+    verified = [n for n in names if n in verified_now]
+    return front + fresh_oracle + fresh_rows_only + deferred + verified
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
