@@ -70,7 +70,31 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+
+def hash_split(
+    key: Column, train_pct: int = 80, val_pct: int = 10
+) -> Column:
+    """Deterministic train/val/test assignment from an integer key.
+
+    Knuth multiplicative hash in plain integer arithmetic — identical
+    in any engine and stable across runs/layouts, unlike ``rand()``
+    splits which shift with partitioning. The key folds mod a prime
+    first so the product stays < 2^62 under ANSI overflow checking.
+    Buckets: [0, train_pct) train, [train_pct, train_pct+val_pct) val,
+    rest test.
+    """
+    bucket = F.pmod(
+        F.pmod((key % 1000003) * F.lit(2654435761), F.lit(4294967296)),
+        F.lit(100),
+    )
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
 __all__ = [
+    "hash_split",
     "revenue",
     "shipment_value_usd",
     "normalized_text",

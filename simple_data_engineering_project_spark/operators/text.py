@@ -432,3 +432,41 @@ def pack_sequences(
             ).cast("int"),
         )
     )
+
+
+# PII patterns shared by the scrub operator and its oracle SQL. Written
+# in the common subset of Java regex (Spark) and RE2 (DuckDB): no
+# backreferences, no lookaround, ASCII classes only — both engines match
+# leftmost-first with identical results.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Regex-mask emails / IPv4s / phone-like digit runs; count each.
+
+    The privacy pass every pre-training pipeline runs before
+    tokenization. Masking is sequential — email, then IP, then phone —
+    with each count taken on the text as already scrubbed by the
+    previous stages, so a digit run inside an email is never
+    double-counted. Pure ``regexp_replace``/``regexp_count`` chain in
+    codegen: row-local, zero shuffles, one scan.
+
+    Returns (id, n_emails, n_ips, n_phones, scrubbed_md5) — the md5
+    stands in for the scrubbed text so the result is hashable; callers
+    wanting the text use the same expressions via :data:`PII_EMAIL` &co.
+    """
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t0, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t1, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
+        F.regexp_count(t2, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.md5(t3).alias("scrubbed_md5"),
+    )

@@ -3871,6 +3871,90 @@ def embedding_quantize_q(spark, sf_dir):
     return sim_ops.quantize_embeddings(e)
 
 
+@register(
+    "text_pii_scrub",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t1,
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t2,
+             '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>',
+             'g')) AS scrubbed_md5
+    FROM (
+      SELECT doc_id, text, t1,
+             regexp_replace(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>',
+               'g') AS t2
+      FROM (
+        SELECT doc_id, text,
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+                 'g') AS t1
+        FROM documents
+      )
+    )
+    """,
+    tier="C",
+    note="C4 PII scrub — regex-mask emails/IPv4s/phone-like digit runs "
+    "and count each, the privacy pass before tokenization. Sequential "
+    "masking (each count on the previously-scrubbed text) prevents "
+    "double-counting digit runs inside emails. Patterns live in the "
+    "Java-regex ∩ RE2 common subset so Spark and the oracle match "
+    "identically. Row-local regexp chain in codegen: one scan, zero "
+    "shuffles.",
+)
+def text_pii_scrub_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.pii_scrub(d)
+
+
+@register(
+    "dataset_split",
+    """
+    SELECT split, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT source, n_chars,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT source, n_chars,
+               ((doc_id % 1000003) * 2654435761) % 4294967296 % 100 AS b
+        FROM documents
+      )
+    )
+    GROUP BY split, source
+    """,
+    tier="C",
+    note="C12 deterministic 80/10/10 train/val/test split by Knuth "
+    "multiplicative hash of the doc id — stable across runs, layouts, "
+    "and engines, unlike rand() splits that shift with partitioning. "
+    "Assignment is a row-local integer expression; the summary is one "
+    "keyed aggregate with map-side combine. The split column is the "
+    "partition key a 100 TB materialization would write by "
+    "(hive-partitioned, see sink_partitioned).",
+)
+def dataset_split_q(spark, sf_dir):
+    from ..functions import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            hash_split(F.col("doc_id")).alias("split"), "source", "n_chars"
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",

@@ -505,3 +505,46 @@ def test_quantize_embeddings_exact_ints_and_norm(spark):
     assert rows[1] == (2, 5.0, 95 - 127, -127, 95)
     assert rows[2] == (2, 0.0, 0, 0, 0)
     assert rows[3] == (1, 1.0, 127, 127, 127)
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    import hashlib
+
+    from simple_data_engineering_project_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.co or admin@example.org, call +1 (555) 123-4567"),
+            (2, "server at 10.0.0.1 and 192.168.1.255"),
+            (3, "clean prose with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_emails"], r["n_ips"], r["n_phones"], r["scrubbed_md5"])
+        for r in pii_scrub(docs).collect()
+    }
+    assert rows[1][:3] == (2, 0, 1)
+    assert rows[2][:3] == (0, 2, 0)
+    assert rows[3][:3] == (0, 0, 0)
+    assert rows[1][3] == hashlib.md5(
+        b"mail <EMAIL> or <EMAIL>, call <PHONE>"
+    ).hexdigest()
+    assert rows[2][3] == hashlib.md5(b"server at <IP> and <IP>").hexdigest()
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    from simple_data_engineering_project_spark.functions import hash_split
+
+    ids = spark.range(0, 10000).select(F.col("id"))
+    a = ids.select("id", hash_split(F.col("id")).alias("s"))
+    b = ids.repartition(13).select("id", hash_split(F.col("id")).alias("s"))
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    frac = {
+        r["s"]: r["n"]
+        for r in a.groupBy("s").agg(F.count("*").alias("n")).collect()
+    }
+    # multiplicative hash ≈ uniform: 80/10/10 within a few points
+    assert abs(frac["train"] / 10000 - 0.8) < 0.05
+    assert abs(frac["val"] / 10000 - 0.1) < 0.03
+    assert abs(frac["test"] / 10000 - 0.1) < 0.03
