@@ -3955,6 +3955,58 @@ def dataset_split_q(spark, sf_dir):
     )
 
 
+@register(
+    "events_ohlc_resample",
+    """
+    SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bucket,
+           event_type,
+           arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tier="C",
+    note="C9/B2 15-minute OHLC downsample per event type — the "
+    "hypertable-rollup shape (continuous-aggregate materialization in "
+    "timeseries stores). ONE hash aggregate with map-side combine: "
+    "open/close are min_by/max_by over a zero-padded (micros, id) "
+    "string key — total order, unique, identical lexicographic = "
+    "numeric ordering in any engine — so first/last need no window "
+    "and the shuffle carries one row per (partition, type, bucket). "
+    "The bucket is explicit epoch-micros arithmetic, not "
+    "date_trunc, so engine alignment conventions cannot drift.",
+)
+def events_ohlc_resample_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    bucket = F.timestamp_micros(
+        (F.floor(F.unix_micros("ts") / F.lit(900_000_000)) * F.lit(900_000_000)).cast(
+            "long"
+        )
+    )
+    return (
+        ev.select(bucket.alias("bucket"), "event_type", "value", key.alias("__k"))
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.min_by("value", "__k").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "__k").alias("close"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",

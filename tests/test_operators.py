@@ -548,3 +548,43 @@ def test_hash_split_deterministic_and_partition_invariant(spark):
     assert abs(frac["train"] / 10000 - 0.8) < 0.05
     assert abs(frac["val"] / 10000 - 0.1) < 0.03
     assert abs(frac["test"] / 10000 - 0.1) < 0.03
+
+
+def test_ohlc_open_close_deterministic_under_ts_ties(spark):
+    # two events share one timestamp in one bucket: the lower event_id
+    # must be "open" by the (micros, id) composite key — layout-invariant
+    rows = [
+        (1, "2024-01-01 00:01:00", "x", 10.0),
+        (2, "2024-01-01 00:01:00", "x", 20.0),
+        (3, "2024-01-01 00:05:00", "x", 30.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "event_type", "value")
+    # exercise the aggregation expressions directly on the literal frame
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    out = (
+        ev.select("event_type", "value", key.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.min_by("value", "__k").alias("open"),
+            F.max_by("value", "__k").alias("close"),
+        )
+        .collect()[0]
+    )
+    assert out["open"] == 10.0 and out["close"] == 30.0
+    # permuted layout gives the identical answer
+    out2 = (
+        ev.repartition(7)
+        .select("event_type", "value", key.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.min_by("value", "__k").alias("open"),
+            F.max_by("value", "__k").alias("close"),
+        )
+        .collect()[0]
+    )
+    assert (out2["open"], out2["close"]) == (10.0, 30.0)
