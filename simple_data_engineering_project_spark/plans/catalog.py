@@ -4007,6 +4007,51 @@ def events_ohlc_resample_q(spark, sf_dir):
     )
 
 
+@register(
+    "scan_schema_evolution",
+    """
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+                ELSE '<pre-evolution>' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+    tier="A",
+    note="A10-adjacent schema evolution: two parquet generations of the "
+    "same dataset — v1 (o_orderkey, o_totalprice) and v2 adding "
+    "o_orderstatus — scanned as one table via mergeSchema; v1 rows "
+    "surface NULL for the added column (coalesced to a sentinel). The "
+    "reference's fixed-8-column contract (dag.py:26-35) breaks on any "
+    "producer change; columnar schema merge is how a 100 TB lake "
+    "absorbs producer evolution without rewriting history. Footer "
+    "merge cost is per-FILE at planning time, so generations stay "
+    "cheap; the aggregate itself is one keyed shuffle.",
+)
+def scan_schema_evolution_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    base = _scratch(sf_dir, "schema_evolution")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v1.write.mode("overwrite").parquet(f"{base}/gen=1")
+    v2.write.mode("overwrite").parquet(f"{base}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/gen=1", f"{base}/gen=2"
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderstatus"), F.lit("<pre-evolution>")).alias(
+            "status"
+        )
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",

@@ -276,3 +276,65 @@ def test_salted_join_rejects_right_outer(spark, skewed):
     dim = spark.range(0, 5).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         salted_skew_join(skewed, dim, ["k"], how="right")
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_smoke, tmp_path):
+    # DPP: joining a hive-partitioned fact on its partition column with a
+    # selectively-filtered dim must prune fact DIRECTORIES at runtime
+    # (dynamicpruning in PartitionFilters) — at 100 TB the difference
+    # between scanning one partition and scanning the lake.
+    fact = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_returnflag"
+    )
+    path = str(tmp_path / "fact_part")
+    fact.write.partitionBy("l_returnflag").mode("overwrite").parquet(path)
+    pf = spark.read.parquet(path)
+    # DPP fires only when the dim side carries a selective predicate
+    dim = spark.createDataFrame(
+        [("A", "returned"), ("N", "kept"), ("R", "refused")],
+        "flag string, label string",
+    ).filter(F.col("label") == "returned")
+    joined = pf.join(
+        F.broadcast(dim), pf.l_returnflag == dim.flag
+    ).groupBy("label").agg(F.sum("l_extendedprice").alias("v"))
+    plan = _optimized(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim(spark, sf_smoke):
+    # Row-level runtime pruning (the non-partitioned complement of DPP):
+    # with the size gate lowered, a selective dim filter must inject a
+    # bloom filter (might_contain) into the fact side before its shuffle.
+    # Thresholds are restored afterwards; the session default only turns
+    # the feature on, it never forces it.
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # demote the dim from broadcast: the bloom path targets shuffle joins
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").filter(
+            F.col("o_orderstatus") == "F"
+        ).select("o_orderkey")
+        joined = li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).agg(F.sum("l_extendedprice").alias("v"))
+        plan = _optimized(joined)
+        assert "might_contain" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
