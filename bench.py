@@ -61,6 +61,16 @@ HEADLINE = [
     "embedding_centroids",
     "json_extract",
     "exact_stats",
+    # round-2 additions (appended — earlier keys keep their positions so
+    # round-over-round comparison stays key-stable)
+    "text_repetition",
+    "chunk_documents",
+    "tfidf_keywords",
+    "embedding_quantize",
+    "text_pii_scrub",
+    "dataset_split",
+    "events_ohlc_resample",
+    "scan_schema_evolution",
 ]
 
 

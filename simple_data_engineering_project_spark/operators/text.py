@@ -310,9 +310,13 @@ def chunk_documents(
 
     The RAG / context-window prep step: chunk i covers
     ``[i·step, i·step + chunk_chars)`` of the raw text where
-    ``step = chunk_chars − overlap_chars``; the final chunk may be
-    short. Start offsets are a row-local ``sequence`` → ``posexplode``
-    — pure codegen, zero shuffles, output rows ≈ corpus_chars / step.
+    ``step = chunk_chars − overlap_chars``. Starts stop as soon as a
+    chunk reaches the text end (``1 + ceil((n − chunk)/step)`` chunks),
+    so the final chunk may be short but is never contained in its
+    predecessor — and the tiling identity ``Σ lengths = n +
+    (n_chunks − 1)·overlap`` holds exactly (property-pinned). Start
+    offsets are a row-local ``sequence`` → ``posexplode`` — pure
+    codegen, zero shuffles, output rows ≈ corpus_chars / step.
 
     Returns (id, chunk_id, n_chunk_chars, chunk_md5) — the md5 stands
     in for shipping chunk text so downstream exact-dedup of chunks is a
@@ -322,7 +326,13 @@ def chunk_documents(
         raise ValueError("overlap_chars must be < chunk_chars")
     step = chunk_chars - overlap_chars
     n = F.length(F.col(text_col))
-    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(step)))
+    last_start = (
+        F.greatest(
+            F.ceil((n - F.lit(chunk_chars)) / F.lit(float(step))), F.lit(0)
+        )
+        * step
+    )
+    starts = F.when(n > 0, F.sequence(F.lit(0), last_start, F.lit(step)))
     chunk = F.col(text_col).substr(F.col("start") + 1, F.lit(chunk_chars))
     return (
         df.select(F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_id", "start"))

@@ -3777,8 +3777,12 @@ def text_repetition_q(spark, sf_dir):
            CAST(g.s // 448 AS INT) AS chunk_id,
            CAST(length(substr(text, g.s + 1, 512)) AS INT) AS n_chunk_chars,
            md5(substr(text, g.s + 1, 512)) AS chunk_md5
-    FROM documents,
-         unnest(generate_series(0, length(text) - 1, 448)) AS g(s)
+    FROM (
+      SELECT doc_id, text,
+             greatest(CAST(ceil((length(text) - 512) / 448.0) AS BIGINT), 0)
+               * 448 AS last_start
+      FROM documents WHERE length(text) > 0
+    ), unnest(generate_series(0, last_start, 448)) AS g(s)
     """,
     tier="C",
     note="C4 fixed-size overlapping chunking (512 chars, 64 overlap) — "

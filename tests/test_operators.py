@@ -438,12 +438,13 @@ def test_chunk_documents_overlap_and_boundaries(spark):
         [(1, "abcdefghij"), (2, "xy"), (3, "")],
         "doc_id long, text string",
     )
-    # chunk 4, overlap 1 → step 3: starts 0,3,6,9 → lens 4,4,4,1
+    # chunk 4, overlap 1 → step 3: last start = ceil((10-4)/3)*3 = 6 →
+    # starts 0,3,6, all full chunks; no redundant tail past the text end
     rows = sorted(
         (r["doc_id"], r["chunk_id"], r["n_chunk_chars"])
         for r in chunk_documents(docs, chunk_chars=4, overlap_chars=1).collect()
     )
-    assert rows == [(1, 0, 4), (1, 1, 4), (1, 2, 4), (1, 3, 1), (2, 0, 2)]
+    assert rows == [(1, 0, 4), (1, 1, 4), (1, 2, 4), (2, 0, 2)]
     # overlap: chunk 1 starts at offset 3 → "defg" overlaps "abcd" by... none
     # at step 3 the shared char is position 3 only when overlap=1: chunk0 is
     # chars [0,4), chunk1 [3,7) → they share char 3. Verify via md5 of "defg".

@@ -112,3 +112,52 @@ def test_agg_layout_invariance(spark, rows, parts):
         want[k][0] += 1
         want[k][1] += pri
     assert got == {k: (n, s) for k, (n, s) in want.items()}
+
+
+_TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=64,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=_TEXTS,
+    chunk=st.integers(min_value=2, max_value=16),
+    overlap=st.integers(min_value=0, max_value=8),
+)
+def test_chunk_coverage_invariant(spark, texts, chunk, overlap):
+    """Chunks exactly tile each document with the declared overlap:
+    sum(chunk lengths) == len(text) + (n_chunks − 1)·overlap, chunk ids
+    are dense from 0, and every chunk except the last is full-size —
+    independent of layout."""
+    from simple_data_engineering_project_spark.operators.text import (
+        chunk_documents,
+    )
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).repartition(3)
+    rows = chunk_documents(
+        docs, chunk_chars=chunk, overlap_chars=overlap
+    ).collect()
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["n_chunk_chars"])
+        )
+    for i, text in enumerate(texts):
+        chunks = sorted(by_doc.get(i, []))
+        if len(text) == 0:
+            assert chunks == []
+            continue
+        assert [c for c, _ in chunks] == list(range(len(chunks)))
+        assert sum(n for _, n in chunks) == len(text) + (len(chunks) - 1) * overlap
+        assert all(n == chunk for _, n in chunks[:-1])
