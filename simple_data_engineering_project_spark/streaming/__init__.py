@@ -154,6 +154,23 @@ def conversion_join(
     ).select("l_user", "l_event", "l_ts", "r_event", "r_ts")
 
 
+def enrich_stream_static(
+    events: DataFrame, dims: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream
+    joins against the (bounded) static dimension table.
+
+    The standard streaming-ETL shape — fact stream, slowly-changing dim.
+    The static side is broadcast: no shuffle of the stream, no join
+    state at all (unlike stream-stream joins, nothing must be retained
+    across micro-batches — the static side is re-resolvable every
+    trigger, which is also what picks up dim updates between triggers
+    for file-backed dims). Works identically on batch frames (the
+    oracle path: the same function is the batch twin).
+    """
+    return events.join(F.broadcast(dims), key)
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     source_dir: str,

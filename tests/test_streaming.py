@@ -216,3 +216,44 @@ def test_stream_stream_conversion_join_matches_batch(spark, sf_smoke, events_dir
         assert got == want and got
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_smoke, events_dir):
+    from simple_data_engineering_project_spark.streaming import (
+        enrich_stream_static,
+        read_events_stream,
+    )
+
+    # deterministic user dim: tier by user_id residue
+    users = (
+        read_table(spark, sf_smoke, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.when(F.col("user_id") % 3 == 0, "gold")
+            .when(F.col("user_id") % 3 == 1, "silver")
+            .otherwise("bronze"),
+        )
+    )
+
+    def per_tier(events):
+        return enrich_stream_static(events, users).groupBy("tier").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    q = _run_available_now(per_tier(stream), "t_enrich")
+    try:
+        got = {
+            r["tier"]: (r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM t_enrich").collect()
+        }
+        want = {
+            r["tier"]: (r["n"], r["sum_value"])
+            for r in per_tier(read_table(spark, sf_smoke, "events")).collect()
+        }
+        assert got == want and set(got) == {"gold", "silver", "bronze"}
+    finally:
+        q.stop()
