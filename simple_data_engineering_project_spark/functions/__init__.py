@@ -93,8 +93,38 @@ def hash_split(
         .otherwise(F.lit("test"))
     )
 
+def _spread_bits_16(x: Column) -> Column:
+    """Interleave zeros between the low 16 bits of ``x`` (morton spread).
+
+    The classic magic-number spread — four shift/or/mask rounds, all
+    exact int64 ops (identical in any engine, no overflow under ANSI:
+    values stay < 2^32).
+    """
+    x = x.bitwiseAND(F.lit(0xFFFF))
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zorder_key(a: Column, b: Column) -> Column:
+    """2-D Z-order (morton) key over the low 16 bits of two integer
+    columns: bit i of ``a`` lands at position 2i, of ``b`` at 2i+1.
+
+    Sorting by this key before a columnar write co-locates rows that are
+    close in BOTH dimensions, so parquet row-group min/max stats become
+    tight boxes and a 2-D range predicate skips most row groups — the
+    data-layout optimization lakehouses apply to multi-dimension filter
+    workloads where sorting by one column destroys locality of the
+    other. Pure integer expression: usable in any engine, oracle-exact.
+    """
+    return _spread_bits_16(a).bitwiseOR(F.shiftleft(_spread_bits_16(b), 1))
+
+
 __all__ = [
     "hash_split",
+    "zorder_key",
     "revenue",
     "shipment_value_usd",
     "normalized_text",

@@ -4056,6 +4056,56 @@ def scan_schema_evolution_q(spark, sf_dir):
     )
 
 
+@register(
+    "zorder_layout",
+    """
+    WITH r0 AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             l_partkey & 65535 AS a, l_suppkey & 65535 AS b
+      FROM lineitem
+    ),
+    r1 AS (SELECT *, (a | (a << 8)) & 16711935 AS a1,
+                     (b | (b << 8)) & 16711935 AS b1 FROM r0),
+    r2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+                     (b1 | (b1 << 4)) & 252645135 AS b2 FROM r1),
+    r3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+                     (b2 | (b2 << 2)) & 858993459 AS b3 FROM r2),
+    r4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4,
+                     (b3 | (b3 << 1)) & 1431655765 AS b4 FROM r3)
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           (a4 | (b4 << 1)) AS z
+    FROM r4
+    ORDER BY z ASC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 100
+    """,
+    tier="C",
+    note="C12 Z-order (morton) clustering key over (l_partkey, "
+    "l_suppkey) — the data-layout optimization for multi-dimension "
+    "filter workloads: sorting the write by z makes parquet row-group "
+    "min/max stats tight 2-D boxes, so a (partkey AND suppkey) range "
+    "predicate skips most row groups where a 1-D sort destroys the "
+    "other dimension's locality (row-group-skip win pinned in "
+    "tests/test_scale.py). Four shift/or/mask rounds per dimension — "
+    "exact int64 ops, identical in any engine, overflow-free under "
+    "ANSI. The query surfaces the first 100 keys of the z-curve walk.",
+)
+def zorder_layout_q(spark, sf_dir):
+    from ..functions import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            zorder_key(F.col("l_partkey"), F.col("l_suppkey")).alias("z"),
+        )
+        .orderBy(F.asc("z"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(100)
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",

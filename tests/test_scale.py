@@ -338,3 +338,70 @@ def test_runtime_bloom_filter_injects_on_selective_dim(spark, sf_smoke):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def _scan_output_rows(df) -> int:
+    # sum numOutputRows across parquet scan leaves of the EXECUTED plan;
+    # under AQE the populated metrics hang off the adaptive node's FINAL
+    # plan (executedPlan()), not initialPlan
+    df.collect()
+
+    def walk(node):
+        yield node
+        if node.nodeName().startswith("AdaptiveSparkPlan"):
+            yield from walk(node.executedPlan())
+            return
+        for i in range(node.children().size()):
+            yield from walk(node.children().apply(i))
+
+    total = 0
+    for node in walk(df._jdf.queryExecution().executedPlan()):
+        # the columnar parquet scan reports 0 output rows itself; the
+        # decoded row count (post row-group/page skip, pre row filter)
+        # is ColumnarToRow's numOutputRows
+        if node.nodeName().startswith("ColumnarToRow"):
+            total += node.metrics().apply("numOutputRows").value()
+    return int(total)
+
+
+def test_zorder_layout_skips_row_groups(spark, sf_smoke, tmp_path):
+    # Z-order clustering is only worth shipping if the layout actually
+    # prunes: under a 2-D box predicate, the z-sorted file must surface
+    # fewer scan rows (row groups skipped via min/max stats) than the
+    # natural-order file. Tiny row groups make the 6k-row fixture behave
+    # like a many-group 100 TB file.
+    from simple_data_engineering_project_spark.functions import zorder_key
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    z = str(tmp_path / "zsorted")
+    nat = str(tmp_path / "natural")
+    writer_opts = {"parquet.block.size": str(8 * 1024)}
+    (
+        li.repartition(1)
+        .sortWithinPartitions(zorder_key(F.col("l_partkey"), F.col("l_suppkey")))
+        .write.options(**writer_opts)
+        .mode("overwrite")
+        .parquet(z)
+    )
+    (
+        li.repartition(1)
+        .sortWithinPartitions("l_orderkey")
+        .write.options(**writer_opts)
+        .mode("overwrite")
+        .parquet(nat)
+    )
+    # sf0.001 domains: l_partkey ≤ ~400, l_suppkey ≤ ~9 — box ≈ 2% of space
+    box = (
+        (F.col("l_partkey").between(10, 40))
+        & (F.col("l_suppkey").between(2, 5))
+    )
+    rows_z = _scan_output_rows(spark.read.parquet(z).filter(box))
+    rows_nat = _scan_output_rows(spark.read.parquet(nat).filter(box))
+    # identical answers, different physics
+    assert (
+        spark.read.parquet(z).filter(box).count()
+        == spark.read.parquet(nat).filter(box).count()
+    )
+    assert rows_z < rows_nat, (rows_z, rows_nat)
