@@ -405,3 +405,18 @@ def test_zorder_layout_skips_row_groups(spark, sf_smoke, tmp_path):
         == spark.read.parquet(nat).filter(box).count()
     )
     assert rows_z < rows_nat, (rows_z, rows_nat)
+
+
+def test_no_complex_typed_outputs_anywhere(spark, sf_smoke):
+    # The external gate canonicalizes results with pandas sort_values,
+    # which raises "unhashable type: list" on array/map/struct cells
+    # (round-1 FAIL class: agg_collect_array, approx_stats). Every
+    # catalog query must emit scalar columns only — serialize arrays
+    # (array_join/to_json) or split them into scalar columns.
+    bad = []
+    for name, q in sorted(catalog().items()):
+        for f in q.fn(spark, sf_smoke).schema.fields:
+            t = f.dataType.simpleString()
+            if t.startswith(("array", "map", "struct")):
+                bad.append((name, f.name, t))
+    assert bad == [], bad
