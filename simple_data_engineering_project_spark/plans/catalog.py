@@ -4106,6 +4106,39 @@ def zorder_layout_q(spark, sf_dir):
     )
 
 
+@register(
+    "events_hll_rollup",
+    None,  # Datasketches HLL binaries are engine-specific — rows-only;
+    # estimate tolerance + exact mergeability pinned in
+    # tests/test_operators.py::test_hll_rollup_mergeable
+    tier="C",
+    note="C11 mergeable distinct-count rollup: daily HLL sketches of "
+    "user_id per event type, unioned to weekly estimates WITHOUT "
+    "rescanning raw events — the sketch-mergeability pattern that makes "
+    "distinct counts re-aggregatable at 100 TB (materialize tiny daily "
+    "sketch rows once; any coarser rollup is a cheap sketch union, "
+    "where approx_count_distinct would force a full rescan per "
+    "granularity). Both levels are keyed aggregates with map-side "
+    "combine; sketch rows are KBs per (type, day).",
+)
+def events_hll_rollup_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy(
+            "event_type", F.date_trunc("week", "day").alias("week")
+        )
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            "event_type",
+            "week",
+            F.hll_sketch_estimate("sk").alias("est_users"),
+        )
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",

@@ -589,3 +589,52 @@ def test_ohlc_open_close_deterministic_under_ts_ties(spark):
         .collect()[0]
     )
     assert (out2["open"], out2["close"]) == (10.0, 30.0)
+
+
+def test_hll_rollup_mergeable(spark, sf_smoke):
+    from simple_data_engineering_project_spark.plans.catalog import catalog
+
+    # accuracy: weekly estimates within HLL tolerance of exact distincts
+    est = {
+        (r["event_type"], r["week"]): r["est_users"]
+        for r in catalog()["events_hll_rollup"].fn(spark, sf_smoke).collect()
+    }
+    from simple_data_engineering_project_spark.sources import read_table
+
+    ev = read_table(spark, sf_smoke, "events")
+    exact = {
+        (r["event_type"], r["week"]): r["n"]
+        for r in ev.groupBy(
+            "event_type",
+            F.date_trunc("week", F.date_trunc("day", "ts")).alias("week"),
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) / max(exact[k], 1) < 0.05, (k, e, exact[k])
+
+    # mergeability: union of daily sketches == one-shot weekly sketch,
+    # estimate-for-estimate (same sketch state, not merely close)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = {
+        (r["event_type"], r["week"]): r["est"]
+        for r in daily.groupBy(
+            "event_type", F.date_trunc("week", "day").alias("week")
+        )
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    oneshot = {
+        (r["event_type"], r["week"]): r["est"]
+        for r in ev.groupBy(
+            "event_type",
+            F.date_trunc("week", F.date_trunc("day", "ts")).alias("week"),
+        )
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert merged == oneshot
