@@ -4139,6 +4139,57 @@ def events_hll_rollup_q(spark, sf_dir):
     )
 
 
+@register(
+    "events_rolling_mau",
+    """
+    WITH du AS (
+      SELECT DISTINCT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT event_type, day FROM du)
+    SELECT d.event_type, d.day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau7
+    FROM days d
+    JOIN du u
+      ON u.event_type = d.event_type
+     AND u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.event_type, d.day
+    """,
+    tier="C",
+    note="C9/C11 rolling 7-day distinct users per event type (rolling "
+    "MAU). COUNT(DISTINCT) over a sliding window is not a window "
+    "function in any engine — the standard exact rewrite is a spine "
+    "interval join: deduplicate to (type, day, user) first (shrinks "
+    "the fact by the daily revisit factor), then each observation day "
+    "joins the ≤7 daily-user rows it covers and one distinct-count "
+    "aggregate finishes. Work scales with |daily actives|×7, "
+    "independent of raw event volume; the join is keyed on type with "
+    "a residual day-range predicate (banded-join shape). The "
+    "approximate twin at higher granularity is events_hll_rollup.",
+)
+def events_rolling_mau_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    ).distinct()
+    days = du.select("event_type", "day").distinct()
+    d = days.alias("d")
+    u = du.alias("u")
+    return (
+        d.join(
+            u,
+            (F.col("u.event_type") == F.col("d.event_type"))
+            & (F.col("u.day") >= F.col("d.day") - F.expr("INTERVAL 6 DAY"))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.event_type").alias("event_type"), F.col("d.day").alias("day"))
+        .agg(F.count_distinct(F.col("u.user_id")).alias("mau7"))
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",
