@@ -3131,20 +3131,11 @@ def agg_mode_q(spark, sf_dir):
     "bigrams (sequence guard: Spark sequence(1,0) would descend).",
 )
 def text_bigrams_q(spark, sf_dir):
+    from ..functions import bigrams
+
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(normalized_text("text"), " ")
-    n = F.size(toks)
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    bigrams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
-    )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.select(F.explode(bigrams("text")).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("freq"))
         .orderBy(F.desc("freq"), F.asc("bigram"))
@@ -3759,11 +3750,14 @@ def tpch_q22_q(spark, sf_dir):
     """,
     tier="C",
     note="C4 within-document repetition signals (Gopher-style rep "
-    "filters): duplicate-line fraction is row-local array math; "
-    "top-bigram share is explode → (doc,bigram) count → per-doc "
-    "max/sum, all map-side-combined keyed aggregates whose state is one "
-    "count per key — never the text. The standard cheap gate against "
-    "boilerplate/machine-generated docs before any dedup shuffle.",
+    "filters): duplicate-line fraction AND top-bigram share are both "
+    "row-local array math — the top-bigram count is a max-run fold "
+    "over the sorted per-doc bigram array, so the whole query is one "
+    "scan in codegen with ZERO shuffles (the explode→keyed-count "
+    "first cut cost 10 s at sf0.1; this plan is ~25× cheaper). The "
+    "standard cheap gate against boilerplate/machine-generated docs, "
+    "run before any dedup shuffle. The oracle keeps the explode/"
+    "GROUP BY formulation — same exact semantics, different physics.",
 )
 def text_repetition_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
