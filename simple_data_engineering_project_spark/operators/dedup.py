@@ -47,15 +47,25 @@ def dedup_exact(df: DataFrame, keys: list[str], tiebreak: list[str]) -> DataFram
 
 
 def shingles(col, k: int = 5):
-    """Word k-shingles of normalized text (array<string>, distinct)."""
+    """Word k-shingles of normalized text (array<string>, distinct).
+
+    Built by zipping k shifted slices of the token array — slices are
+    row-level arguments evaluated once, with only cheap concat work per
+    element. The transform(sequence, i -> slice(toks, i+1, k)) form
+    instead re-evaluates the token expression (regexp + split) per
+    ELEMENT — O(tokens²) regex work per doc, the dominant cost of the
+    round-2 minhash bench profile. Short docs (< k tokens) still emit
+    one shingle of all tokens: zip_with pads missing elements with
+    NULL and concat_ws skips them, matching array_join(slice(...)).
+    """
     toks = F.split(normalized_text(col) if isinstance(col, str) else col, " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    m = F.greatest(F.size(toks) - F.lit(k), F.lit(0)) + F.lit(1)
+    acc = F.slice(toks, 1, m)
+    for j in range(2, k + 1):
+        acc = F.zip_with(
+            acc, F.slice(toks, j, m), lambda x, y: F.concat_ws(" ", x, y)
         )
-    )
+    return F.array_distinct(acc)
 
 
 def _shingle_hash(sh):

@@ -169,23 +169,25 @@ def winnow_fingerprints(
 
     Scale shape: posexplode to (id, pos, gram-hash) — narrow rows — then
     the window minimum is a frame aggregate partitioned by id (one
-    shuffle on id), then distinct. No per-row array folds.
+    shuffle on id), then distinct. No per-row array folds. The
+    normalized text is projected to a real column FIRST so the k-gram
+    lambda reads an attribute; normalizing inside the lambda would
+    re-run the regex per gram (O(chars²) per doc).
     """
     from pyspark.sql import Window as W
 
-    grams = df.select(
-        F.col(id_col).alias("id"),
+    norm = df.select(
+        F.col(id_col).alias("id"), normalized_text(text_col).alias("__norm")
+    )
+    grams = norm.select(
+        "id",
         F.posexplode(
             F.transform(
                 F.sequence(
                     F.lit(0),
-                    F.greatest(
-                        F.length(normalized_text(text_col)) - F.lit(k), F.lit(0)
-                    ),
+                    F.greatest(F.length("__norm") - F.lit(k), F.lit(0)),
                 ),
-                lambda i: F.xxhash64(
-                    normalized_text(text_col).substr(i + 1, F.lit(k))
-                ),
+                lambda i: F.xxhash64(F.col("__norm").substr(i + 1, F.lit(k))),
             )
         ).alias("pos", "h"),
     )
