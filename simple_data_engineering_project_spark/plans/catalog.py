@@ -4184,6 +4184,60 @@ def events_rolling_mau_q(spark, sf_dir):
     )
 
 
+@register(
+    "outlier_mad",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad
+                    THEN 1.0 ELSE 0.0 END) / COUNT(*), 4) AS outlier_frac
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+    tier="C",
+    note="C11 robust outlier detection: |x − median| > 3·1.4826·MAD per "
+    "event type — the estimator that survives the contamination that "
+    "drags mean/stddev (outlier_zscore is the classical twin; the "
+    "1.4826 factor rescales MAD to σ under normality). Two grouped "
+    "exact medians + one counting pass; the per-type medians/MADs are "
+    "tiny and broadcast back, so the fact table is scanned, never "
+    "shuffled on a data key. At 100 TB swap the exact medians for "
+    "percentile_approx sketches (approx_stats is the template).",
+)
+def outlier_mad_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    is_out = F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+            F.round(
+                F.sum(F.when(is_out, 1.0).otherwise(0.0)) / F.count("*"), 4
+            ).alias("outlier_frac"),
+        )
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",
