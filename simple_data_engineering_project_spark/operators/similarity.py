@@ -316,10 +316,12 @@ def quantize_embeddings(
     Everything is a row-local array fold in codegen: zero shuffles, one
     scan. Determinism: the quantized values are exact integers (float →
     double promotion, one IEEE divide/multiply/add, floor — identical
-    in any engine), so their sum/min/max are hash-stable; only the norm
-    is a float aggregate and it is rounded (catalog rule 3).
+    in any engine), so their sum/min/max are hash-stable; the norm is
+    emitted as ``l2_norm_e4`` = floor(norm·10⁴ + 0.5) — a BIGINT, so the
+    whole output row is integer-exact and no float ever reaches the
+    hash (stricter than catalog rule 3's round-to-4).
 
-    Returns (id, n_dims, l2_norm, q_sum, q_min, q_max) — the summary
+    Returns (id, n_dims, l2_norm_e4, q_sum, q_min, q_max) — the summary
     row the driver can hash; pair with ``F.transform`` of the same
     quantize expression where the int8 array itself is needed.
     """
@@ -339,7 +341,7 @@ def quantize_embeddings(
     return df.select(
         F.col(id_col),
         F.size(x).cast("int").alias("n_dims"),
-        F.round(F.sqrt(sumsq), 4).alias("l2_norm"),
+        F.floor(F.sqrt(sumsq) * 10000.0 + 0.5).cast("long").alias("l2_norm_e4"),
         F.when(safe, F.aggregate(q, zero, lambda a, v: a + v))
         .otherwise(zero)
         .alias("q_sum"),

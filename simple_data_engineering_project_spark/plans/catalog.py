@@ -3838,9 +3838,10 @@ def tfidf_keywords_q(spark, sf_dir):
     """
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS n_dims,
-           ROUND(sqrt(list_aggregate(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4)
-             AS l2_norm,
+           CAST(floor(sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                 * 10000.0 + 0.5) AS BIGINT)
+             AS l2_norm_e4,
            CASE WHEN mx > 0.0 THEN list_aggregate(q, 'sum') ELSE 0 END AS q_sum,
            CASE WHEN mx > 0.0 THEN list_aggregate(q, 'min') ELSE 0 END AS q_min,
            CASE WHEN mx > 0.0 THEN list_aggregate(q, 'max') ELSE 0 END AS q_max
@@ -3861,8 +3862,9 @@ def tfidf_keywords_q(spark, sf_dir):
     "ANN serving. Row-local array folds in codegen: one scan, zero "
     "shuffles. Quantized components are exact integers (float→double "
     "promotion + one IEEE divide/multiply/add + floor is identical in "
-    "any engine), so q_sum/min/max hash-match; only the norm is a float "
-    "aggregate and it is rounded (catalog rule 3).",
+    "any engine), so q_sum/min/max hash-match; the norm is emitted as "
+    "a scaled BIGINT (floor(norm*1e4+0.5)) so the hashed row contains "
+    "no float at all (r3 hash-mismatch hardening).",
 )
 def embedding_quantize_q(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")

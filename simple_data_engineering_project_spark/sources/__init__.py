@@ -28,17 +28,27 @@ from ..schemas import TESTDATA_SCHEMAS
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver test table (parquet; pushdown + pruning apply).
 
-    The events table stores INT64 TIMESTAMP(NANOS), which the vectorized
-    parquet reader rejects; read the nanos as long and truncate to micros
-    (`ts DIV 1000`, exact integer division — a double cast would lose
-    precision above 2^53), matching DuckDB's nanos→micros truncation.
+    The events ``ts`` column has shipped in two physical layouts across
+    testdata generations, so the read is schema-adaptive (the branch costs
+    one footer read, which schema resolution does anyway):
+
+    - INT64 TIMESTAMP(NANOS) — the vectorized reader rejects it; with
+      ``nanosAsLong`` it surfaces as bigint nanos, truncated to micros via
+      ``ts DIV 1000`` (exact integer division — a double cast would lose
+      precision above 2^53), matching DuckDB's nanos→micros truncation.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) — surfaces as
+      TIMESTAMP_NTZ; cast to the session-tz TIMESTAMP. The session runs
+      UTC (``session.py``), so the instant equals the stored wall clock
+      and matches what DuckDB reads from the same file.
+
+    Either way callers see one stable contract: ``ts`` is TimestampType
+    (LTZ) at micro precision.
 
     ``nanosAsLong`` is set session-level and deliberately NOT restored:
     the returned plan is lazy, and the physical scan re-reads the conf at
     action time — a save/restore here would break execution of the very
-    DataFrame being returned. The setting is inert for every other table
-    (it only changes the decode of TIMESTAMP(NANOS) columns, which no
-    other driver table contains); session setup (``session.get_spark`` /
+    DataFrame being returned. The setting is inert for micros files and
+    for every other table; session setup (``session.get_spark`` /
     ``tune_for_queries``) sets the same value explicitly so the behavior
     is declared, not a read_table side effect.
     """
@@ -48,7 +58,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type in ("bigint", "long"):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if ts_type == "timestamp_ntz":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

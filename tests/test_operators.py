@@ -500,12 +500,12 @@ def test_quantize_embeddings_exact_ints_and_norm(spark):
         "vec_id long, embedding array<float>",
     )
     rows = {
-        r["vec_id"]: (r["n_dims"], r["l2_norm"], r["q_sum"], r["q_min"], r["q_max"])
+        r["vec_id"]: (r["n_dims"], r["l2_norm_e4"], r["q_sum"], r["q_min"], r["q_max"])
         for r in quantize_embeddings(df).collect()
     }
-    assert rows[1] == (2, 5.0, 95 - 127, -127, 95)
-    assert rows[2] == (2, 0.0, 0, 0, 0)
-    assert rows[3] == (1, 1.0, 127, 127, 127)
+    assert rows[1] == (2, 50000, 95 - 127, -127, 95)
+    assert rows[2] == (2, 0, 0, 0, 0)
+    assert rows[3] == (1, 10000, 127, 127, 127)
 
 
 def test_pii_scrub_masks_and_counts(spark):
