@@ -3842,9 +3842,12 @@ def tfidf_keywords_q(spark, sf_dir):
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
                  * 10000.0 + 0.5) AS BIGINT)
              AS l2_norm_e4,
-           CASE WHEN mx > 0.0 THEN list_aggregate(q, 'sum') ELSE 0 END AS q_sum,
-           CASE WHEN mx > 0.0 THEN list_aggregate(q, 'min') ELSE 0 END AS q_min,
-           CASE WHEN mx > 0.0 THEN list_aggregate(q, 'max') ELSE 0 END AS q_max
+           CAST(CASE WHEN mx > 0.0 THEN list_aggregate(q, 'sum')
+                ELSE 0 END AS BIGINT) AS q_sum,
+           CAST(CASE WHEN mx > 0.0 THEN list_aggregate(q, 'min')
+                ELSE 0 END AS BIGINT) AS q_min,
+           CAST(CASE WHEN mx > 0.0 THEN list_aggregate(q, 'max')
+                ELSE 0 END AS BIGINT) AS q_max
     FROM (
       SELECT vec_id, embedding,
              list_aggregate(list_transform(embedding,
@@ -3862,9 +3865,11 @@ def tfidf_keywords_q(spark, sf_dir):
     "ANN serving. Row-local array folds in codegen: one scan, zero "
     "shuffles. Quantized components are exact integers (float→double "
     "promotion + one IEEE divide/multiply/add + floor is identical in "
-    "any engine), so q_sum/min/max hash-match; the norm is emitted as "
-    "a scaled BIGINT (floor(norm*1e4+0.5)) so the hashed row contains "
-    "no float at all (r3 hash-mismatch hardening).",
+    "any engine). The norm is emitted as a scaled BIGINT "
+    "(floor(norm*1e4+0.5)) so no float reaches the hash, and the "
+    "oracle CASTs its list sums to BIGINT: DuckDB widens a BIGINT "
+    "list sum to HUGEINT (Arrow decimal128), which hash-mismatches "
+    "Spark's int64 despite identical values (r5 fix).",
 )
 def embedding_quantize_q(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
