@@ -126,6 +126,89 @@ def test_update_wins_on_conflict(spark, dirs):
     assert row["shipment_value_usd"] == 5000.0  # 2000 * 2.5
 
 
+def _partition_file_hashes(warehouse_dir: str) -> dict[str, str]:
+    """{relative file path: sha256} for every data file in the warehouse."""
+    import hashlib
+    import os
+
+    root = f"{warehouse_dir}/cocoa_shipments"
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if fn.startswith(("_", ".")):
+                continue  # _SUCCESS / CRC bookkeeping
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, root)
+            out[rel] = hashlib.sha256(open(p, "rb").read()).hexdigest()
+    return out
+
+
+def test_merge_rewrites_only_affected_partitions(spark, dirs):
+    # Scale contract: the warehouse merge is partition-scoped — a batch
+    # touching one month must leave every other month's files
+    # byte-identical (the 100 TB analogue of the reference's row-scoped
+    # ON CONFLICT DO UPDATE, dag.py:223-237).
+    land_csv_files(spark, dirs["landing"], num_files=2, rows_per_file=500, seed=5)
+    res1 = _run(spark, dirs)
+    assert res1.rewritten_partitions == ["*"]  # initial full write
+    before = _partition_file_hashes(dirs["warehouse"])
+    assert len({p.split("/")[0] for p in before}) > 3  # several months exist
+
+    # craft an update that stays inside its original month
+    wh = spark.read.parquet(f"{dirs['warehouse']}/cocoa_shipments")
+    row = wh.orderBy("shipment_id").first()
+    month = row["timestamp"].strftime("%Y-%m")
+    ts = row["timestamp"].strftime("%Y-%m-%dT%H:%M:%S")
+    with open(f"{dirs['landing']}/update.csv", "w") as f:
+        f.write(
+            "shipment_id,timestamp,farm_id,region,bean_type,quality_score,"
+            "shipment_weight_kg,temperature_celsius\n"
+        )
+        f.write(f"{row['shipment_id']},{ts},FARM-777,Volta,Criollo,9.0,1234,20.0\n")
+    res2 = _run(spark, dirs)
+    assert res2.rewritten_partitions == [month]
+
+    after = _partition_file_hashes(dirs["warehouse"])
+    changed_months = {
+        p.split("/")[0]
+        for p in set(before) ^ set(after)
+        | {p for p in set(before) & set(after) if before[p] != after[p]}
+    }
+    assert changed_months == {f"load_month={month}"}
+    # and the merge is still correct: no duplicate key, update won
+    wh2 = spark.read.parquet(f"{dirs['warehouse']}/cocoa_shipments")
+    assert wh2.count() == 1000
+    upd = wh2.filter(F.col("shipment_id") == row["shipment_id"]).collect()[0]
+    assert upd["farm_id"] == "FARM-777"
+
+
+def test_merge_deletes_stale_copy_when_key_changes_month(spark, dirs):
+    # an update that MOVES a key to a different month must delete the old
+    # month's copy (cross-partition key movement), not just add the new one
+    land_csv_files(spark, dirs["landing"], num_files=1, rows_per_file=200, seed=9)
+    _run(spark, dirs)
+    wh = spark.read.parquet(f"{dirs['warehouse']}/cocoa_shipments")
+    row = wh.orderBy("shipment_id").first()
+    old_month = row["timestamp"].strftime("%Y-%m")
+    new_ts, new_month = "2030-07-01T00:00:00", "2030-07"
+    assert old_month != new_month
+    with open(f"{dirs['landing']}/move.csv", "w") as f:
+        f.write(
+            "shipment_id,timestamp,farm_id,region,bean_type,quality_score,"
+            "shipment_weight_kg,temperature_celsius\n"
+        )
+        f.write(f"{row['shipment_id']},{new_ts},FARM-1,Volta,Criollo,8.0,1000,20.0\n")
+    res = _run(spark, dirs)
+    assert set(res.rewritten_partitions) == {old_month, new_month}
+    wh2 = spark.read.parquet(f"{dirs['warehouse']}/cocoa_shipments")
+    assert wh2.count() == 200  # no duplicate key across months
+    assert (
+        wh2.filter(F.col("shipment_id") == row["shipment_id"])
+        .collect()[0]["load_month"]
+        == new_month
+    )
+
+
 def test_null_temperature_roundtrip(spark, dirs):
     # SURVEY §1.4: 10% null temperature must survive CSV → parquet →
     # warehouse as real NULLs (empty CSV fields), and aggregates skip them
