@@ -37,9 +37,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       ``ts DIV 1000`` (exact integer division — a double cast would lose
       precision above 2^53), matching DuckDB's nanos→micros truncation.
     - TIMESTAMP(MICROS, isAdjustedToUTC=false) — surfaces as
-      TIMESTAMP_NTZ; cast to the session-tz TIMESTAMP. The session runs
-      UTC (``session.py``), so the instant equals the stored wall clock
-      and matches what DuckDB reads from the same file.
+      TIMESTAMP_NTZ; converted to an instant by interpreting the stored
+      wall clock as UTC. The conversion is session-timezone-independent:
+      ``timestampdiff(MICROSECOND, epoch, ts)`` is pure wall-clock
+      arithmetic on NTZ operands (a plain ``cast`` would shift every
+      event for a caller running a non-UTC session timezone).
 
     Either way callers see one stable contract: ``ts`` is TimestampType
     (LTZ) at micro precision.
@@ -62,7 +64,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type in ("bigint", "long"):
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         if ts_type == "timestamp_ntz":
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+            return df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr(
+                        "timestampdiff(MICROSECOND,"
+                        " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+                    )
+                ),
+            )
         return df
     return spark.read.parquet(path)
 
