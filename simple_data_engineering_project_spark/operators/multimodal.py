@@ -18,8 +18,12 @@ addresses; both shapes are supported here.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -50,8 +54,113 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType()),
         T.StructField("sha256", T.StringType()),
         T.StructField("modality", T.StringType()),
+        # decoded per-modality features (NULL for opaque payloads)
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("content_sum", T.LongType()),
     ]
 )
+
+
+# --- real codecs (pure stdlib/numpy; no external codec libraries) -------
+
+
+def encode_bmp(width: int, height: int, bgr: tuple[int, int, int]) -> bytes:
+    """Minimal uncompressed 24bpp BMP (BITMAPINFOHEADER) with constant
+    BGR pixels — the deterministic image payload used by tests and the
+    mixed media generator."""
+    stride = ((3 * width + 3) // 4) * 4
+    data_size = stride * height
+    row = bytes(bgr) * width + b"\x00" * (stride - 3 * width)
+    header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    return header + info + row * height
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse an uncompressed 24bpp BMP: dimensions + exact pixel-byte sum
+    (row padding excluded). Raises ValueError on anything else."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    n_rows = abs(height)
+    stride = ((3 * width + 3) // 4) * 4
+    pixels = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * n_rows, offset=data_offset
+    ).reshape(n_rows, stride)[:, : 3 * width]
+    return {
+        "width": width,
+        "height": n_rows,
+        "pixel_sum": int(pixels.sum(dtype=np.int64)),
+    }
+
+
+def encode_wav(
+    n_frames: int, sample: int, framerate: int = 8000
+) -> bytes:
+    """Minimal 16-bit mono PCM WAV with a constant sample value."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(struct.pack("<h", sample) * n_frames)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a PCM WAV container: channel/rate/duration + exact sample
+    sum (16-bit only for the sum; header fields for any PCM width)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        channels = w.getnchannels()
+        framerate = w.getframerate()
+        n_frames = w.getnframes()
+        sampwidth = w.getsampwidth()
+        frames = w.readframes(n_frames)
+    out = {
+        "channels": channels,
+        "framerate": framerate,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // framerate if framerate else None,
+    }
+    if sampwidth == 2:
+        samples = np.frombuffer(frames, dtype="<i2")
+        out["sample_sum"] = int(samples.sum(dtype=np.int64))
+    else:
+        out["sample_sum"] = None
+    return out
+
+
+def _sniff_and_decode(payload: bytes | None) -> dict:
+    """Magic-byte dispatch → decoded features, or {} for opaque/undecodable
+    payloads (compressed codecs stay stubbed — see decode_image)."""
+    if payload is None or len(payload) < 12:
+        return {}
+    try:
+        if payload[:2] == b"BM":
+            d = decode_bmp(payload)
+            return {
+                "width": d["width"],
+                "height": d["height"],
+                "content_sum": d["pixel_sum"],
+            }
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            d = decode_wav(payload)
+            return {
+                "duration_ms": d["duration_ms"],
+                "content_sum": d["sample_sum"],
+            }
+    except Exception:
+        return {}  # corrupt container: keep byte-level features only
+    return {}
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
@@ -74,21 +183,76 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def media_mixed_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic mixed-modality media table: real BMP / WAV / text
+    payloads derived arithmetically from ``doc_id``.
+
+    Every container field is a closed-form function of ``doc_id``
+    (image: width=1+id%16, height=1+id%8, BGR=(v,v+1,v+2) with
+    v=id%200; audio: 100+id%400 frames of constant sample id%1000-500
+    at 8 kHz), so an oracle can predict the decoded features without
+    being able to decode — an end-to-end proof that the decoders parse
+    the actual bytes. Payload construction runs in the same Arrow
+    ``mapInPandas`` shape a real transcoding stage would.
+    """
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                kind = did % 3
+                if kind == 0:
+                    v = did % 200
+                    payload = encode_bmp(
+                        1 + did % 16, 1 + did % 8, (v, v + 1, v + 2)
+                    )
+                    meta = ("image", "image/bmp")
+                elif kind == 1:
+                    payload = encode_wav(100 + did % 400, did % 1000 - 500)
+                    meta = ("audio", "audio/wav")
+                else:
+                    payload = (text or "").encode("utf-8")
+                    meta = ("text", "text/plain")
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": payload,
+                        "meta": {
+                            "modality": meta[0],
+                            "mime": meta[1],
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
 def decode_image(payload: bytes) -> object:
-    """STUB — image decode requires a codec library absent here.
+    """STUB for *compressed* image codecs (PNG/JPEG/…) — requires a codec
+    library absent here. Uncompressed BMP decodes for real via
+    :func:`decode_bmp`.
 
     On a real cluster: ``PIL.Image.open(io.BytesIO(payload))`` inside the
     same ``mapInPandas`` batch loop that ``extract_features`` uses.
     """
     raise NotImplementedError(
-        "image decode is stubbed: no codec libraries in this environment"
+        "compressed image decode is stubbed: no codec libraries in this "
+        "environment (uncompressed BMP is handled by decode_bmp)"
     )
 
 
 def decode_audio(payload: bytes) -> object:
-    """STUB — audio decode (soundfile/ffmpeg) absent in this environment."""
+    """STUB for *compressed* audio codecs (MP3/AAC/…) — requires
+    soundfile/ffmpeg, absent in this environment. PCM WAV decodes for
+    real via :func:`decode_wav`."""
     raise NotImplementedError(
-        "audio decode is stubbed: no codec libraries in this environment"
+        "compressed audio decode is stubbed: no codec libraries in this "
+        "environment (PCM WAV is handled by decode_wav)"
     )
 
 
@@ -194,15 +358,19 @@ def partition_by_payload_bytes(media: DataFrame, target_mb: int = 128) -> DataFr
 def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``mapInPandas`` streams Arrow batches through Python once — this is
-    the pattern real decoders plug into (decode → resize → embed per
-    batch). The implemented features (byte length, sha256) are cheap but
-    real, and define the batch shape + output contract.
+    ``mapInPandas`` streams Arrow batches through Python once — the
+    pattern real decoders plug into (decode → resize → embed per batch).
+    Byte-level features (length, sha256) are computed for every payload;
+    container decode dispatches on magic bytes — uncompressed BMP and PCM
+    WAV decode for real (width/height/duration/exact content sums),
+    compressed codecs stay stubbed and fall back to byte features with
+    NULL decoded columns.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            decoded = [_sniff_and_decode(b) for b in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -214,6 +382,18 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
                     ),
                     "modality": pdf["meta"].map(
                         lambda m: m["modality"] if m is not None else None
+                    ),
+                    "width": pd.Series(
+                        [d.get("width") for d in decoded], dtype="Int32"
+                    ),
+                    "height": pd.Series(
+                        [d.get("height") for d in decoded], dtype="Int32"
+                    ),
+                    "duration_ms": pd.Series(
+                        [d.get("duration_ms") for d in decoded], dtype="Int64"
+                    ),
+                    "content_sum": pd.Series(
+                        [d.get("content_sum") for d in decoded], dtype="Int64"
                     ),
                 }
             )

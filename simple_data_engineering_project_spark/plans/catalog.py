@@ -1738,19 +1738,69 @@ def curate_corpus_q(spark, sf_dir):
     SELECT doc_id AS media_id,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
            sha256(text) AS sha256,
-           'text' AS modality
+           'text' AS modality,
+           CAST(NULL AS INTEGER) AS width,
+           CAST(NULL AS INTEGER) AS height,
+           CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS content_sum
     FROM documents
     """,
     tier="C",
     note="C5 multimodal plumbing: binary payload column + typed metadata "
-    "struct through an Arrow-batched mapInPandas feature extractor "
-    "(decoders stubbed — no codec libs here; batch shape is real). "
-    "Oracle checks byte length + sha256 agree end-to-end.",
+    "struct through an Arrow-batched mapInPandas feature extractor. "
+    "Text payloads exercise the byte-feature path (length + sha256, "
+    "oracle-checked end-to-end); decoded columns are NULL here — see "
+    "multimodal_decode for the real BMP/WAV codec path.",
 )
 def multimodal_features_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = mm_ops.media_from_documents(d)
     return mm_ops.extract_features(media)
+
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'text' END AS modality,
+           CASE doc_id % 3
+             WHEN 0 THEN CAST(54 + ((3 * (1 + doc_id % 16) + 3) // 4) * 4
+                              * (1 + doc_id % 8) AS BIGINT)
+             WHEN 1 THEN CAST(44 + 2 * (100 + doc_id % 400) AS BIGINT)
+             ELSE CAST(strlen(text) AS BIGINT)
+           END AS n_bytes,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST(1 + doc_id % 16 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST(1 + doc_id % 8 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 3 = 1
+                THEN CAST((100 + doc_id % 400) * 1000 // 8000 AS BIGINT)
+                END AS duration_ms,
+           CASE doc_id % 3
+             WHEN 0 THEN CAST((1 + doc_id % 16) * (1 + doc_id % 8)
+                              * (3 * (doc_id % 200) + 3) AS BIGINT)
+             WHEN 1 THEN CAST((100 + doc_id % 400)
+                              * (doc_id % 1000 - 500) AS BIGINT)
+           END AS content_sum
+    FROM documents
+    """,
+    tier="C",
+    note="C5 real multimodal decode — the media generator builds actual "
+    "BMP (uncompressed 24bpp) and PCM-WAV containers whose every field "
+    "is a closed-form function of doc_id; the extractor decodes them "
+    "with pure stdlib/numpy codecs (magic-byte dispatch inside the "
+    "Arrow mapInPandas batch loop). The oracle predicts width/height/"
+    "duration/exact pixel+sample sums arithmetically, proving the "
+    "decoders parse the real bytes (container size incl. row padding, "
+    "16-bit samples, header offsets). Compressed codecs remain "
+    "documented stubs. Scale: decode is embarrassingly parallel; pair "
+    "with partition_by_payload_bytes for byte-bounded tasks.",
+)
+def multimodal_decode_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_mixed_from_documents(d)
+    return mm_ops.extract_features(media).drop("sha256")
 
 
 # =====================================================================

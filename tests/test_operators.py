@@ -401,6 +401,72 @@ def test_sample_frames_explodes_and_dispatches(spark):
         mm.sample_frames_df(video).collect()
 
 
+def test_bmp_wav_codecs_roundtrip():
+    from simple_data_engineering_project_spark.operators import multimodal as mm
+
+    # BMP: non-multiple-of-4 row stride forces padding; the decoder must
+    # exclude pad bytes from the pixel sum
+    payload = mm.encode_bmp(3, 2, (10, 20, 30))
+    d = mm.decode_bmp(payload)
+    assert (d["width"], d["height"]) == (3, 2)
+    assert d["pixel_sum"] == 3 * 2 * (10 + 20 + 30)
+    stride = ((3 * 3 + 3) // 4) * 4  # 12, includes 3 pad bytes per row
+    assert len(payload) == 54 + stride * 2
+
+    # WAV: constant negative sample, exact int sum + duration
+    wav = mm.encode_wav(250, -123, framerate=8000)
+    w = mm.decode_wav(wav)
+    assert (w["channels"], w["framerate"], w["n_frames"]) == (1, 8000, 250)
+    assert w["duration_ms"] == 250 * 1000 // 8000
+    assert w["sample_sum"] == 250 * -123
+
+
+def test_extract_features_decodes_mixed_media(spark):
+    from simple_data_engineering_project_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(0, "img"), (1, "aud"), (2, "plain text"), (3, "img2")],
+        "doc_id long, text string",
+    )
+    feats = {
+        r["media_id"]: r.asDict()
+        for r in mm.extract_features(mm.media_mixed_from_documents(docs)).collect()
+    }
+    assert feats[0]["modality"] == "image"
+    assert (feats[0]["width"], feats[0]["height"]) == (1, 1)
+    assert feats[0]["content_sum"] == 1 * 1 * 3  # v=0 → B,G,R = 0,1,2
+    assert feats[3]["modality"] == "image"
+    assert (feats[3]["width"], feats[3]["height"]) == (4, 4)
+    assert feats[3]["content_sum"] == 4 * 4 * (3 * 3 + 3)
+    assert feats[1]["modality"] == "audio"
+    assert feats[1]["duration_ms"] == 101 * 1000 // 8000
+    assert feats[1]["content_sum"] == 101 * (1 - 500)
+    assert feats[1]["width"] is None
+    assert feats[2]["modality"] == "text"
+    assert feats[2]["n_bytes"] == len("plain text")
+    assert feats[2]["content_sum"] is None
+
+
+def test_extract_features_survives_corrupt_containers(spark):
+    # a truncated BMP / WAV must fall back to byte-level features, not fail
+    from simple_data_engineering_project_spark.operators import multimodal as mm
+
+    corrupt = [
+        (1, bytearray(b"BM" + b"\x00" * 20)),  # truncated BMP header
+        (2, bytearray(b"RIFF1234WAVEjunk")),  # WAV magic, garbage body
+    ]
+    media = spark.createDataFrame(
+        [
+            (i, bytes(b), ("image", "x", None, None, None))
+            for i, b in corrupt
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert rows[1]["n_bytes"] == 22 and rows[1]["width"] is None
+    assert rows[2]["n_bytes"] == 16 and rows[2]["duration_ms"] is None
+
+
 def test_repetition_features_dup_lines_and_bigrams(spark):
     from simple_data_engineering_project_spark.operators.text import (
         repetition_features,
