@@ -1137,11 +1137,16 @@ def agg_pivot_q(spark, sf_dir):
     note="C9 distribution window functions (ntile/percent_rank/cume_dist) "
     "with a deterministic total order — computed as a two-phase "
     "DISTRIBUTED global rank, never a partitionless Window (which moves "
-    "the whole input to one task): range-repartition on the sort key, "
-    "per-partition row_number, then add broadcast per-partition offsets. "
-    "Per-partition counts are bounded metadata (one row per partition). "
-    "The sort key includes a unique tiebreak, so rank==row_number and "
-    "the closed-form percent_rank/cume_dist/ntile formulas apply exactly.",
+    "the whole input to one task). Rows are bucketed by a VALUE-derived "
+    "range split (uniform over [min,max] of the sort key; unique "
+    "tiebreak key when degenerate) — a pure function of row values, so "
+    "the census pass and the rank pass agree under any task retry or "
+    "re-execution with NO materialization (r5: replaced a "
+    "localCheckpoint that pinned nondeterministic spark_partition_ids "
+    "but doubled memory residency). Bucket counts are bounded metadata "
+    "(<= one row per core). Equal sort keys share a bucket, buckets are "
+    "order-aligned, and the tiebreak makes rank==row_number, so the "
+    "closed-form percent_rank/cume_dist/ntile formulas apply exactly.",
 )
 def window_ntile_percent_q(spark, sf_dir):
     o = (
@@ -1151,40 +1156,52 @@ def window_ntile_percent_q(spark, sf_dir):
     )
     sort_cols = [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
     nparts = spark.sparkContext.defaultParallelism
-    # Phase 1: range-partition so partition i holds keys <= partition i+1's,
-    # pin partition ids (checkpoint: spark_partition_id is nondeterministic,
-    # the census and the rank pass must see identical assignments).
-    ranged = (
-        o.repartitionByRange(nparts, *sort_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    counts = {
-        r[0]: r[1]
-        for r in ranged.groupBy("_pid").agg(F.count("*").alias("c")).collect()
-    }
-    n = sum(counts.values())
+    stats = o.agg(
+        F.min("o_totalprice"),
+        F.max("o_totalprice"),
+        F.min("o_orderkey"),
+        F.max("o_orderkey"),
+        F.count("*"),
+    ).collect()[0]
+    pmin, pmax, kmin, kmax, n = stats
     if n == 0:
-        return ranged.select(
+        return o.select(
             "o_orderkey",
             F.lit(0).cast("int").alias("price_quartile"),
             F.lit(0.0).alias("pct_rank"),
             F.lit(0.0).alias("cume"),
         )
+    # Bucket by value range on the leading sort key (all rows of an equal
+    # key share a bucket, so cross-bucket order is total); if every price
+    # is identical, spread on the unique tiebreak key instead.
+    if pmax > pmin:
+        frac = (F.col("o_totalprice") - F.lit(pmin)) / F.lit(pmax - pmin)
+    elif kmax > kmin:
+        frac = (F.col("o_orderkey") - F.lit(kmin)) / F.lit(kmax - kmin)
+    else:
+        frac = F.lit(0.0)
+    bucket = F.least(
+        F.lit(nparts - 1), F.floor(frac * nparts).cast("int")
+    ).cast("int")
+    bucketed = o.withColumn("_b", bucket)
+    counts = {
+        r[0]: r[1]
+        for r in bucketed.groupBy("_b").agg(F.count("*").alias("c")).collect()
+    }
     offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
     off_expr = F.element_at(
         F.create_map(
-            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+            *[F.lit(x) for b in sorted(offsets) for x in (b, offsets[b])]
         ),
-        F.col("_pid"),
+        F.col("_b"),
     )
-    # Phase 2: per-partition rank (Window IS partitioned) + offset = global
+    # Phase 2: per-bucket rank (Window IS partitioned) + offset = global
     # rank; distribution functions are closed-form in (rank, n).
-    wp = Window.partitionBy("_pid").orderBy(*sort_cols)
-    ranked = ranged.withColumn("_rank", F.row_number().over(wp) + off_expr)
+    wp = Window.partitionBy("_b").orderBy(*sort_cols)
+    ranked = bucketed.withColumn("_rank", F.row_number().over(wp) + off_expr)
     q_, r_ = divmod(n, 4)
     big = r_ * (q_ + 1)  # rows covered by the r_ larger ntile buckets
     ntile = F.when(
