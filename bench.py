@@ -131,18 +131,62 @@ def main() -> None:
     shutil.rmtree(base, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_plus_pipeline",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
-                "cpus": CPUS,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_plus_pipeline",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
+        "cpus": CPUS,
+    }
+    regressions = _regressions_vs_prior_round(timings)
+    if regressions is not None:
+        out["regressions"] = regressions
+    print(json.dumps(out))
+
+
+def _regressions_vs_prior_round(timings: dict[str, float]) -> dict | None:
+    """Per-query diff vs the latest BENCH_r{N}.json at the same sf.
+
+    Keeps the 2x envelope from eroding a few percent per round: any query
+    >1.3x its prior-round time (and >0.2s absolute, to ignore sub-second
+    jitter) is named explicitly, as are >1.3x improvements.
+    """
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    sf_label = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    for _n, path in sorted(rounds, reverse=True):
+        try:
+            prior = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        # driver wrapper: {"n": .., "rc": .., "sf": .., "parsed": {bench json}}
+        if "parsed" in prior and isinstance(prior["parsed"], dict):
+            prior = dict(prior["parsed"], sf=prior.get("sf", prior["parsed"].get("sf")))
+        if str(prior.get("sf")) != sf_label or not prior.get("queries"):
+            continue
+        slower, faster = {}, {}
+        for name, now in timings.items():
+            was = prior["queries"].get(name)
+            if not was:
+                continue
+            if now > was * 1.3 and now - was > 0.2:
+                slower[name] = {"was": was, "now": now}
+            elif was > now * 1.3 and was - now > 0.2:
+                faster[name] = {"was": was, "now": now}
+        return {
+            "vs_round": _n,
+            "slower": slower,
+            "faster": faster,
+        }
+    return None
 
 
 if __name__ == "__main__":
