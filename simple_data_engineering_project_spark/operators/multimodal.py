@@ -21,6 +21,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -103,6 +104,130 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int, height: int, rgb: tuple[int, int, int]
+) -> bytes:
+    """Minimal 8-bit RGB PNG with constant pixels.
+
+    Rows alternate scanline filters None/Sub/Up (cycle by row index) so a
+    decode round-trip exercises real unfiltering, not just the trivial
+    path. (Average/Paeth are decoder-only here, pinned by fixture tests —
+    an encoder bug could otherwise hide a symmetric decoder bug.)
+    """
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = bytes(rgb) * width
+    raw = bytearray()
+    prev = bytes(3 * width)
+    for y in range(height):
+        f = y % 3
+        raw.append(f)
+        if f == 0:  # None
+            raw += row
+        elif f == 1:  # Sub: x - left
+            out = bytearray(row)
+            for i in range(len(out) - 1, 2, -1):
+                out[i] = (out[i] - row[i - 3]) & 0xFF
+            raw += out
+        else:  # Up: x - above
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = row
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real PNG decode: critical chunks, zlib inflate, scanline
+    unfiltering (all five filter types), 8-bit gray/gray+alpha/RGB/RGBA,
+    non-interlaced. Returns dimensions, channel count, and the exact
+    pixel-byte sum. Raises ValueError on anything else (16-bit, palette,
+    interlaced)."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width = len(_PNG_SIG), None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color}, "
+                    f"interlace={interlace})"
+                )
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = channels * width
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    bpp = channels  # bytes per pixel at depth 8
+    out = np.zeros((height, stride), dtype=np.uint8)
+    raw_arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    for y in range(height):
+        f = int(raw_arr[y, 0])
+        cur = raw_arr[y, 1:].astype(np.int32)
+        above = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            line = cur
+        elif f == 2:  # Up
+            line = (cur + above) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need a left-scan
+            line = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + above[i]) // 2
+                else:
+                    ul = above[i - bpp] if i >= bpp else 0
+                    p = left + above[i] - ul
+                    pa, pb, pc = abs(p - left), abs(p - above[i]), abs(p - ul)
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = above[i]
+                    else:
+                        pred = ul
+                line[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = line.astype(np.uint8)
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixel_sum": int(out.sum(dtype=np.int64)),
+    }
+
+
 def encode_wav(
     n_frames: int, sample: int, framerate: int = 8000
 ) -> bytes:
@@ -147,6 +272,13 @@ def _sniff_and_decode(payload: bytes | None) -> dict:
     try:
         if payload[:2] == b"BM":
             d = decode_bmp(payload)
+            return {
+                "width": d["width"],
+                "height": d["height"],
+                "content_sum": d["pixel_sum"],
+            }
+        if payload[: len(_PNG_SIG)] == _PNG_SIG:
+            d = decode_png(payload)
             return {
                 "width": d["width"],
                 "height": d["height"],
@@ -232,17 +364,53 @@ def media_mixed_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
+def media_png_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic PNG media table: every doc becomes an 8-bit RGB PNG
+    whose dimensions and constant pixel color are closed-form functions
+    of ``doc_id`` (w=1+id%9, h=1+id%5, RGB=(id%250,(id+3)%250,
+    (id+7)%250)), so an oracle can predict the decoded features without
+    inflating a zlib stream. Compressed size is NOT closed-form, so
+    byte-level features are not oracle-checked for PNGs — decode features
+    are."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_png(
+                            1 + did % 9,
+                            1 + did % 5,
+                            (did % 250, (did + 3) % 250, (did + 7) % 250),
+                        ),
+                        "meta": {
+                            "modality": "image",
+                            "mime": "image/png",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
 def decode_image(payload: bytes) -> object:
-    """STUB for *compressed* image codecs (PNG/JPEG/…) — requires a codec
-    library absent here. Uncompressed BMP decodes for real via
-    :func:`decode_bmp`.
+    """STUB for image codecs beyond BMP/PNG (JPEG/WebP/…) — requires a
+    codec library absent here. Uncompressed BMP decodes for real via
+    :func:`decode_bmp`; PNG via :func:`decode_png` (stdlib zlib).
 
     On a real cluster: ``PIL.Image.open(io.BytesIO(payload))`` inside the
     same ``mapInPandas`` batch loop that ``extract_features`` uses.
     """
     raise NotImplementedError(
-        "compressed image decode is stubbed: no codec libraries in this "
-        "environment (uncompressed BMP is handled by decode_bmp)"
+        "JPEG/WebP decode is stubbed: no codec libraries in this "
+        "environment (BMP → decode_bmp, PNG → decode_png)"
     )
 
 

@@ -1820,6 +1820,36 @@ def multimodal_decode_q(spark, sf_dir):
     return mm_ops.extract_features(media).drop("sha256")
 
 
+@register(
+    "multimodal_png",
+    """
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 9 AS INTEGER) AS width,
+           CAST(1 + doc_id % 5 AS INTEGER) AS height,
+           CAST((1 + doc_id % 9) * (1 + doc_id % 5)
+                * ((doc_id % 250) + ((doc_id + 3) % 250)
+                   + ((doc_id + 7) % 250)) AS BIGINT) AS content_sum
+    FROM documents
+    """,
+    tier="C",
+    note="C5 compressed-image decode — a real PNG codec (stdlib zlib "
+    "inflate + scanline unfiltering, all five filter types, 8-bit "
+    "gray/RGB/RGBA) implemented in pure numpy inside the Arrow "
+    "mapInPandas batch loop. The generator emits PNGs whose dimensions "
+    "and constant pixel color are closed-form in doc_id (compressed "
+    "byte size is not, so only decoded features are hashed); rows "
+    "alternate None/Sub/Up filters so the oracle match proves real "
+    "unfiltering through a real DEFLATE round-trip, not header "
+    "sniffing.",
+)
+def multimodal_png_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_png_from_documents(d)
+    return mm_ops.extract_features(media).select(
+        "media_id", "width", "height", "content_sum"
+    )
+
+
 # =====================================================================
 # Tier C (cont.) — classic analytic shapes, partition-pruned sinks,
 # higher-order array functions, robust statistics

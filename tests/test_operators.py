@@ -421,6 +421,77 @@ def test_bmp_wav_codecs_roundtrip():
     assert w["sample_sum"] == 250 * -123
 
 
+def test_png_codec_roundtrip_and_filters():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from simple_data_engineering_project_spark.operators import multimodal as mm
+
+    # round-trip: encoder alternates None/Sub/Up filters across rows
+    payload = mm.encode_png(5, 4, (7, 8, 9))
+    d = mm.decode_png(payload)
+    assert (d["width"], d["height"], d["channels"]) == (5, 4, 3)
+    assert d["pixel_sum"] == 5 * 4 * (7 + 8 + 9)
+
+    # decoder-only filters (Average=3, Paeth=4) pinned by a hand-built
+    # grayscale fixture: pixels [[10,20],[30,60]]
+    # row0 Average: x - (left+above)//2 -> 10-(0+0)//2=10, 20-(10+0)//2=15
+    # row1 Paeth: pred(30)=above=10 -> 20; pred(60): left=30,above=20,
+    #   ul=10 -> p=40, pa=10,pb=20,pc=30 -> left -> 60-30=30
+    raw = bytes([3, 10, 15, 4, 20, 30])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    fixture = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(raw))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    d2 = mm.decode_png(fixture)
+    assert (d2["width"], d2["height"], d2["channels"]) == (2, 2, 1)
+    assert d2["pixel_sum"] == 10 + 20 + 30 + 60
+
+    # multi-byte pixels: Sub filter must reference bpp bytes left, and
+    # Paeth/Average the same — verify against numpy reference for RGB
+    rng = np.random.RandomState(7)
+    w, h = 3, 3
+    px = rng.randint(0, 256, size=(h, 3 * w), dtype=np.uint8)
+    lines = bytearray()
+    for y in range(h):
+        lines.append(4)  # Paeth everywhere
+        for i in range(3 * w):
+            left = int(px[y, i - 3]) if i >= 3 else 0
+            above = int(px[y - 1, i]) if y else 0
+            ul = int(px[y - 1, i - 3]) if (y and i >= 3) else 0
+            p = left + above - ul
+            pa, pb, pc = abs(p - left), abs(p - above), abs(p - ul)
+            pred = left if (pa <= pb and pa <= pc) else (above if pb <= pc else ul)
+            lines.append((int(px[y, i]) - pred) & 0xFF)
+    ihdr_rgb = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    fixture_rgb = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr_rgb)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    d3 = mm.decode_png(fixture_rgb)
+    assert d3["pixel_sum"] == int(px.sum(dtype=np.int64))
+
+    # unsupported shapes must raise, not mis-decode
+    bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)  # 16-bit
+    bad = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", bad_ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.decode_png(bad)
+
+
 def test_extract_features_decodes_mixed_media(spark):
     from simple_data_engineering_project_spark.operators import multimodal as mm
 
