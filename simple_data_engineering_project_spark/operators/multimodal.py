@@ -4,10 +4,13 @@ Images / audio / video ride through the engine as opaque ``binary``
 payloads plus a typed metadata struct — the lakehouse-standard shape
 (content bytes + modality + mime + content-address). The Spark-side
 plumbing (schema, Arrow batching, ``mapInPandas`` signature, partition
-sizing) is real and tested; the *decoders* are stubs because codec
-libraries (Pillow/ffmpeg/…) are not in this environment — each stub is
-clearly marked and raises ``NotImplementedError`` unless given the
-deterministic fake used by tests.
+sizing) is real and tested, and three codecs decode for real with pure
+stdlib/numpy: uncompressed 24bpp BMP (:func:`decode_bmp`), PNG with all
+five scanline filters (:func:`decode_png`, stdlib zlib), and PCM WAV
+(:func:`decode_wav`). Codecs requiring external libraries
+(JPEG/WebP/MP3/MP4 — Pillow/ffmpeg are not in this environment) remain
+clearly-marked ``NotImplementedError`` stubs; undecodable payloads fall
+back to byte-level features rather than failing.
 
 Scale notes: binary payloads dominate row width, so partitioning must be
 by target batch *bytes*, not row count — ``repartition`` on a size-bucketed

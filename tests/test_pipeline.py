@@ -182,6 +182,25 @@ def test_merge_rewrites_only_affected_partitions(spark, dirs):
     assert upd["farm_id"] == "FARM-777"
 
 
+def test_warehouse_scan_prunes_partitions(spark, dirs):
+    # the month layout must actually buy partition pruning: a month-
+    # filtered scan shows a PartitionFilters entry on load_month in the
+    # physical plan (at 100 TB this is the difference between reading
+    # one month and reading the table)
+    land_csv_files(spark, dirs["landing"], num_files=1, rows_per_file=500, seed=13)
+    _run(spark, dirs)
+    wh = spark.read.parquet(f"{dirs['warehouse']}/cocoa_shipments")
+    month = wh.select("load_month").first()["load_month"]
+    plan = (
+        wh.filter(F.col("load_month") == month)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "load_month" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_merge_deletes_stale_copy_when_key_changes_month(spark, dirs):
     # an update that MOVES a key to a different month must delete the old
     # month's copy (cross-partition key movement), not just add the new one
