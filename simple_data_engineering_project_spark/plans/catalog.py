@@ -4342,6 +4342,332 @@ def outlier_mad_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# TPC-H completions q2/q9/q11/q16/q20 (r5). The testdata has no partsupp
+# table, so these five shapes run over a DERIVED supply relation: the
+# distinct (part, supplier) pairs observed in lineitem, with supply cost
+# and available quantity as closed-form integer functions of the keys —
+# identical arithmetic in Spark and DuckDB, money kept in exact integer
+# cents so no aggregate ever hinges on float summation order.
+# ---------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             (l_partkey * 7 + l_suppkey * 13) % 10000 AS ps_cost_cents,
+             (l_partkey * 31 + l_suppkey * 17) % 1000 + 1 AS ps_availqty
+      FROM lineitem
+"""
+
+
+def _partsupp(spark, sf_dir):
+    """Derived partsupp (see _PARTSUPP_SQL). One distinct over a
+    two-column projection of lineitem — a single keyed shuffle; the cost
+    and qty columns are row-local key arithmetic, so the relation needs
+    no storage and stays identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            F.pmod(
+                F.col("ps_partkey") * F.lit(7) + F.col("ps_suppkey") * F.lit(13),
+                F.lit(10000),
+            ).alias("ps_cost_cents"),
+            (
+                F.pmod(
+                    F.col("ps_partkey") * F.lit(31)
+                    + F.col("ps_suppkey") * F.lit(17),
+                    F.lit(1000),
+                )
+                + F.lit(1)
+            ).alias("ps_availqty"),
+        )
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    eu AS (
+      SELECT ps_partkey, ps_cost_cents, s_acctbal, s_name, n_name
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    mn AS (SELECT ps_partkey, MIN(ps_cost_cents) AS mc
+           FROM eu GROUP BY ps_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           CAST(ps_cost_cents AS BIGINT) AS cost_cents
+    FROM eu
+    JOIN mn ON eu.ps_partkey = mn.ps_partkey AND eu.ps_cost_cents = mn.mc
+    JOIN part ON p_partkey = eu.ps_partkey
+    WHERE p_size = 17 AND p_type = 'PROMO'
+    """,
+    tier="C",
+    note="TPC-H Q2 shape (min-cost supplier per part in a region) over "
+    "the derived supply relation. The per-part minimum is a keyed "
+    "aggregate re-joined on (part, cost) — no correlated re-scan; "
+    "nation/region dims broadcast.",
+)
+def tpch_q2_q(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_cost_cents", "s_acctbal", "s_name", "n_name")
+    )
+    mn = eu.groupBy("ps_partkey").agg(F.min("ps_cost_cents").alias("mc"))
+    pt = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 17) & (F.col("p_type") == "PROMO")
+    )
+    return (
+        eu.join(
+            mn,
+            (eu.ps_partkey == mn.ps_partkey)
+            & (eu.ps_cost_cents == F.col("mc")),
+        )
+        .drop(mn.ps_partkey)
+        .join(pt, F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("ps_cost_cents").cast("long").alias("cost_cents"),
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL})
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)
+                    - ps_cost_cents * 100 * CAST(l_quantity AS BIGINT))
+                AS BIGINT) AS profit_tm
+    FROM lineitem
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE 'blue%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    """,
+    tier="C",
+    note="TPC-H Q9 shape (profit by supplier nation x order year for a "
+    "part family) — the six-table join. Profit in exact integer "
+    "tenth-millicents: revenue via the proven round(x*1e4) pattern, "
+    "cost as cents x integral quantity. part filter prunes before the "
+    "fact joins; dims broadcast.",
+)
+def tpch_q9_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    ps = _partsupp(spark, sf_dir)
+    pt = _t(spark, sf_dir, "part").filter(F.col("p_name").like("blue%")).select(
+        "p_partkey"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    profit = (
+        F.round(revenue() * F.lit(10000)).cast("long")
+        - F.col("ps_cost_cents") * F.lit(100) * F.col("l_quantity").cast("long")
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            profit.alias("p"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("p").cast("long").alias("profit_tm"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    de AS (
+      SELECT ps_partkey,
+             CAST(ps_cost_cents * ps_availqty AS BIGINT) AS v
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
+    FROM de
+    GROUP BY ps_partkey
+    HAVING SUM(v) * 1000 > (SELECT SUM(v) FROM de)
+    """,
+    tier="C",
+    note="TPC-H Q11 shape (parts holding an outsized share of one "
+    "region's stock value; region-scoped because the sf0.001 smoke data "
+    "has ~one supplier per nation). The global total is a 1-row broadcast "
+    "scalar against the per-part aggregate; the share test is kept in "
+    "integers (sum*1000 > total) so the threshold never hinges on a "
+    "float multiply — at real TPC-H scale the x1000 product should be "
+    "DECIMAL(38) to dodge int64 overflow.",
+)
+def tpch_q11_q(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    de = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_cost_cents") * F.col("ps_availqty"))
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    per_part = de.groupBy("ps_partkey").agg(F.sum("v").alias("sv"))
+    total = de.agg(F.sum("v").alias("tot"))
+    return (
+        per_part.join(F.broadcast(total), F.col("sv") * F.lit(1000) > F.col("tot"))
+        .select("ps_partkey", F.col("sv").cast("long").alias("value_cents"))
+    )
+
+
+@register(
+    "tpch_q16_supplier_count",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL})
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+      AND p_size IN (1, 8, 12, 17, 23, 27, 33, 47)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tier="C",
+    note="TPC-H Q16 shape (supplier diversity per part segment, "
+    "excluding flagged suppliers). The testdata supplier table has no "
+    "comment column, so negative account balance stands in for the "
+    "complaints exclusion; the NOT IN is a broadcast anti-join, the "
+    "distinct count one keyed aggregate.",
+)
+def tpch_q16_q(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    pt = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 8, 12, 17, 23, 27, 33, 47))
+    )
+    flagged = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(F.broadcast(pt), ps.ps_partkey == pt.p_partkey)
+        .join(
+            F.broadcast(flagged),
+            ps.ps_suppkey == flagged.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_promotion_suppliers",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM partsupp
+    JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND ps_availqty * 2 > qty
+      AND n_name = 'NATION_3'
+    """,
+    tier="C",
+    note="TPC-H Q20 shape (suppliers overstocked on a part family "
+    "relative to a year's shipments). The availqty > 50% test is exact "
+    "integer (availqty*2 > integral qty sum); the part-family IN is a "
+    "broadcast semi-join, the year aggregate one keyed shuffle.",
+)
+def tpch_q20_q(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    small = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3").select(
+        "n_nationkey"
+    )
+    return (
+        ps.join(F.broadcast(small), ps.ps_partkey == small.p_partkey, "left_semi")
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") * F.lit(2) > F.col("qty"))
+        .join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
 # Patch in the generated lang-id oracle (registered with None above).
 _REGISTRY["text_lang_id"] = CatalogQuery(
     "text_lang_id",
