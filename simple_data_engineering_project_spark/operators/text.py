@@ -238,6 +238,50 @@ def curate_corpus(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Train/test contamination check: training docs sharing any word
+    ``n``-gram with the held-out test split, with the shared-gram count.
+
+    The benchmark-leakage gate every LLM data pipeline needs before
+    training: a test-set n-gram appearing verbatim in a training doc
+    means the eval is compromised. Splits come from the same
+    deterministic multiplicative-hash assignment as ``dataset_split``
+    (stable across runs/engines); n-grams are the dedup module's
+    normalized word shingles, so the operator composes with the
+    existing text stack.
+
+    Scale shape: explode to (id, gram) narrow rows on both sides, one
+    equi-join on the gram string, one keyed count — all shuffles are on
+    the join/group keys. Against an external benchmark set (the common
+    real case: a few MB of eval data vs TBs of train), broadcast the
+    benchmark gram set and the join collapses to a map-side hash probe.
+    """
+    from .dedup import shingles
+
+    bucket = (
+        (F.col(id_col) % F.lit(1000003)) * F.lit(2654435761)
+    ) % F.lit(4294967296) % F.lit(100)
+    with_split = docs.withColumn("__b", bucket)
+    train = with_split.filter(F.col("__b") < 80)
+    test = with_split.filter(F.col("__b") >= 90)
+    train_g = train.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("__g")
+    )
+    test_g = (
+        test.select(F.explode(shingles(text_col, n)).alias("__g")).distinct()
+    )
+    return (
+        train_g.join(test_g, "__g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
 def repetition_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -4014,6 +4014,50 @@ def text_pii_scrub_q(spark, sf_dir):
 
 
 @register(
+    "dataset_decontaminate",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+               'g')), ' ') AS toks,
+             ((doc_id % 1000003) * 2654435761) % 4294967296 % 100 AS b
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, b,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(toks) - 7, 1) + 1),
+                 i -> array_to_string(toks[i : i + 7], ' ')
+               )
+             ) AS gs
+      FROM t
+    ),
+    test_g AS (
+      SELECT DISTINCT unnest(gs) AS g FROM sh WHERE b >= 90
+    ),
+    train_g AS (
+      SELECT doc_id, unnest(gs) AS g FROM sh WHERE b < 80
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM train_g JOIN test_g USING (g)
+    GROUP BY doc_id
+    """,
+    tier="C",
+    note="C4 benchmark-contamination gate: training docs sharing any "
+    "word 8-gram with the held-out test split (same multiplicative-"
+    "hash split as dataset_split), with shared-gram counts. Explode to "
+    "narrow (id, gram) rows both sides, one equi-join on the gram, one "
+    "keyed count; an external (small) benchmark set would broadcast. "
+    "Oracle-checked: the DuckDB twin mirrors the shingle construction "
+    "exactly (zip-slice semantics incl. the short-doc single shingle).",
+)
+def dataset_decontaminate_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.decontaminate(d, n=8)
+
+
+@register(
     "dataset_split",
     """
     SELECT split, source,

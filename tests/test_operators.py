@@ -538,7 +538,24 @@ def test_extract_features_survives_corrupt_containers(spark):
     assert rows[2]["n_bytes"] == 16 and rows[2]["duration_ms"] is None
 
 
-def test_repetition_features_dup_lines_and_bigrams(spark):
+def test_decontaminate_flags_ngram_overlap(spark):
+    from simple_data_engineering_project_spark.operators.text import decontaminate
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    # bucket b = ((id % 1000003) * 2654435761) % 2^32 % 100:
+    # id=2 -> b=26 (train), id=4 -> b=52 (train), id=11 -> b=95 (test)
+    docs = spark.createDataFrame(
+        [
+            (2, f"intro words {leak} trailing text here"),  # train, leaked
+            (4, "completely unrelated content with no overlap at all ok"),
+            (11, f"the test doc contains {leak} inside it"),  # test
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["n_shared_ngrams"] for r in decontaminate(docs).collect()}
+    assert 2 in rows and rows[2] >= 1  # leaked train doc flagged
+    assert 4 not in rows  # clean train doc absent
+    assert 11 not in rows  # test docs never appear in the output
     from simple_data_engineering_project_spark.operators.text import (
         repetition_features,
     )
