@@ -534,3 +534,190 @@ def pii_scrub(
         F.regexp_count(t2, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
         F.md5(t3).alias("scrubbed_md5"),
     )
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonicalize raw text: fold typographic quotes/dashes to ASCII,
+    collapse whitespace runs, squeeze repeated terminal punctuation.
+
+    The standard first pass of a pre-training text pipeline — applied
+    before fingerprinting/dedup so near-identical documents that differ
+    only in typography or spacing collapse to one form. Row-local
+    ``translate``/``regexp_replace`` chain: pure codegen, zero shuffles.
+
+    Returns (id, norm_text, n_chars_raw, n_chars_norm).
+    """
+    t0 = F.col(text_col)
+    # typographic → ASCII: curly quotes, en/em dashes, ellipsis, nbsp
+    t1 = F.translate(t0, "‘’“”–—… ", "''\"\"--. ")
+    # whitespace runs (incl. tabs/newlines) → single space, trimmed
+    t2 = F.trim(F.regexp_replace(t1, r"[ \t\r\n]+", " "))
+    # repeated terminal punctuation → one ("!!!" → "!", "??" → "?").
+    # Per-character (not a backreference) so the DuckDB oracle twin can
+    # express the same thing under RE2, which lacks backreferences.
+    t3 = t2
+    for ch in "!?.,;:":
+        t3 = F.regexp_replace(t3, "\\" + ch + "{2,}", ch)
+    return df.select(
+        F.col(id_col),
+        t3.alias("norm_text"),
+        F.length(t0).cast("bigint").alias("n_chars_raw"),
+        F.length(t3).cast("bigint").alias("n_chars_norm"),
+    )
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.3,
+    min_distinct_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher-style repetition/shape quality signals + keep flag.
+
+    The Rae et al. (Gopher, 2021) heuristic battery re-expressed as
+    codegen column expressions: word count bounds, mean word length
+    bounds, symbol-word ratio (tokens with no letter), and distinct-word
+    ratio (repetition guard). ``keep`` is the conjunction. Thresholds are
+    parameters; defaults suit short synthetic docs.
+
+    All signals are row-local higher-order-function expressions
+    (``filter``/``size`` over the raw whitespace split) — no shuffle, no
+    Python, scales linearly with bytes scanned.
+    """
+    raw_toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+    )
+    n_words = F.size(raw_toks).cast("double")
+    sum_len = F.aggregate(
+        raw_toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    mean_wl = F.when(n_words > 0, sum_len / n_words).otherwise(F.lit(0.0))
+    n_symbol = F.size(
+        F.filter(raw_toks, lambda t: ~t.rlike("[A-Za-z]"))
+    ).cast("double")
+    sym_ratio = F.when(n_words > 0, n_symbol / n_words).otherwise(F.lit(0.0))
+    n_distinct = F.size(F.array_distinct(raw_toks)).cast("double")
+    dist_ratio = F.when(n_words > 0, n_distinct / n_words).otherwise(F.lit(0.0))
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_ratio)
+        & (dist_ratio >= min_distinct_ratio)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(sym_ratio, 4).alias("symbol_word_ratio"),
+        F.round(dist_ratio, 4).alias("distinct_word_ratio"),
+        keep.alias("keep"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mean unigram log-probability of each document under the corpus'
+    own empirical token distribution — a model-free fluency/perplexity
+    proxy (documents of rare tokens score low, formulaic ones high).
+
+    Plan shape: one explode → token-count aggregate (map-side partial
+    combine) → equi-join tokens back to their corpus frequency → mean of
+    ``ln(freq/total)`` per document. The vocabulary relation stays
+    engine-side (no collect); at 100 TB the token join is a plain
+    shuffle join on the token key and AQE sizes it — vocabulary grows
+    sublinearly with corpus size so it is usually the small side.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    total = vocab.agg(F.sum("freq").alias("total"))
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("freq").cast("double") / F.col("total"))), 4
+            ).alias("mean_logprob"),
+        )
+    )
+    return scored
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """BM25 keyword retrieval (Lucene idf variant) over a document table.
+
+    Plan: one explode filtered to the query terms (predicate applied
+    before the shuffle, so only matching tokens move), per-(doc, term)
+    tf, per-term document frequency, per-doc length, and two broadcast
+    scalars (N, avgdl). Ranking orders by the ROUNDED score with the doc
+    id as tiebreak so top-n selection is engine-reproducible.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    dl = toks.groupBy(id_col).agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qtoks = toks.filter(F.col("token").isin(terms))
+    tf = qtoks.groupBy(id_col, "token").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("contrib"), 4).alias("bm25"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "bm25", "n_terms_hit", "rank")
+    )

@@ -4825,6 +4825,331 @@ _REGISTRY["curate_corpus"] = CatalogQuery(
 )
 
 
+# =====================================================================
+# Round-5 additions — training-data pipeline widening: normalization,
+# Gopher-style quality gating, unigram-LM scoring (operators/text.py).
+# =====================================================================
+
+
+@register(
+    "text_normalize",
+    r"""
+    WITH n AS (
+      SELECT doc_id, text AS t0,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(
+                 trim(regexp_replace(
+                   translate(text, '‘’“”–—… ', $$''""--. $$),
+                   '[ \t\r\n]+', ' ', 'g')),
+                 '!{2,}', '!', 'g'), '\?{2,}', '?', 'g'), '\.{2,}', '.', 'g'),
+               ',{2,}', ',', 'g'), ';{2,}', ';', 'g'), ':{2,}', ':', 'g')
+               AS norm_text
+      FROM documents
+    )
+    SELECT doc_id, norm_text,
+           CAST(LENGTH(t0) AS BIGINT) AS n_chars_raw,
+           CAST(LENGTH(norm_text) AS BIGINT) AS n_chars_norm
+    FROM n
+    """,
+    tier="C",
+    note="C4 text canonicalization: typographic-quote/dash folding, "
+    "whitespace collapse, punctuation-run squeeze — row-local "
+    "translate/regexp chain in codegen, applied ahead of "
+    "fingerprint/dedup. Per-char punctuation squeeze (no backrefs) so "
+    "the RE2-based oracle expresses identical semantics.",
+)
+def text_normalize_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.normalize_text(d)
+
+
+@register(
+    "quality_gopher",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+                         x -> length(x) > 0) AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_words,
+             CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                  AS DOUBLE) AS sum_len,
+             CAST(len(list_filter(toks,
+                  x -> NOT regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               AS n_symbol,
+             CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(CASE WHEN n_words > 0 THEN sum_len / n_words ELSE 0 END, 4)
+             AS mean_word_len,
+           ROUND(CASE WHEN n_words > 0 THEN n_symbol / n_words ELSE 0 END, 4)
+             AS symbol_word_ratio,
+           ROUND(CASE WHEN n_words > 0 THEN n_distinct / n_words ELSE 0 END, 4)
+             AS distinct_word_ratio,
+           (n_words >= 5 AND n_words <= 100000
+            AND (CASE WHEN n_words > 0 THEN sum_len / n_words ELSE 0 END)
+                BETWEEN 2.0 AND 12.0
+            AND (CASE WHEN n_words > 0 THEN n_symbol / n_words ELSE 0 END)
+                <= 0.3
+            AND (CASE WHEN n_words > 0 THEN n_distinct / n_words ELSE 0 END)
+                >= 0.3) AS keep
+    FROM m
+    """,
+    tier="C",
+    note="C4 Gopher-style quality battery (Rae et al. 2021): word-count "
+    "bounds, mean word length, symbol-word ratio, distinct-word "
+    "(repetition) ratio, conjunctive keep flag — all row-local "
+    "higher-order-function expressions, no shuffle.",
+)
+def quality_gopher_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.gopher_quality(d)
+
+
+@register(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    ), toks2 AS (
+      SELECT * FROM toks WHERE token <> ''
+    ), vocab AS (
+      SELECT token, COUNT(*) AS freq FROM toks2 GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM vocab
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(ln(CAST(freq AS DOUBLE) / total)), 4) AS mean_logprob
+    FROM toks2 JOIN vocab USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    tier="C",
+    note="C4 model-free fluency proxy: mean unigram log-probability under "
+    "the corpus' own empirical distribution. explode → map-side-combined "
+    "token counts → equi-join back → per-doc mean; vocabulary stays "
+    "engine-side (no collect), AQE sizes the token join at scale.",
+)
+def text_unigram_logprob_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.unigram_logprob(d)
+
+
+_BM25_TERMS = ["spark", "window", "join", "stream"]
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    ), toks2 AS (
+      SELECT * FROM toks WHERE token <> ''
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks2 GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks2
+      WHERE token IN ({', '.join(repr(t) for t in _BM25_TERMS)})
+      GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token
+    ), contrib AS (
+      SELECT tf.doc_id,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS c
+      FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+           CROSS JOIN stats
+    ), scored AS (
+      SELECT doc_id, ROUND(SUM(c), 4) AS bm25,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, bm25, n_terms_hit, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 20
+    """,
+    tier="C",
+    note="C4 BM25 keyword retrieval (k1=1.2, b=0.75, Lucene idf). Query "
+    "terms filter the exploded tokens BEFORE the shuffle; df/N/avgdl are "
+    "small aggregates broadcast back. Ranking orders by the rounded "
+    "score + doc id so top-n selection is engine-reproducible.",
+)
+def bm25_search_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.bm25_search(d, _BM25_TERMS)
+
+
+@register(
+    "sample_per_group",
+    """
+    SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+    tier="C",
+    note="C12 deterministic per-group sampling: k docs per source in "
+    "md5(id) order — reproducible across engines and runs, unlike "
+    "rand()-based sampling. One shuffle on the group key; for a skewed "
+    "group the per-group row_number is the inherent cost (salting "
+    "applies when k ≪ group size via pre-filter on the hash prefix).",
+)
+def sample_per_group_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "domain_balance",
+    """
+    WITH c AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), m AS (
+      SELECT MIN(n) AS cap FROM c
+    ), r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM r CROSS JOIN m WHERE rn <= cap
+    """,
+    tier="C",
+    note="C12 domain balancing: downsample every source to the smallest "
+    "source's size (uniform domain mix), selection deterministic via "
+    "md5(id) order. The cap is a broadcast scalar; the only shuffle is "
+    "the per-source window.",
+)
+def domain_balance_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    cap = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .agg(F.min("n").alias("cap"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("rn") <= F.col("cap"))
+        .select("doc_id", "source")
+    )
+
+
+def _pagerank_oracle(iterations: int = 10, damping: float = 0.85) -> str:
+    """Chained-CTE DuckDB twin of the join-loop PageRank: one (dangling,
+    contrib, next-rank) CTE triple per iteration, unrolled — recursive
+    CTEs cannot re-aggregate per step, a fixed unroll can."""
+    ctes = [
+        """base AS MATERIALIZED (
+          SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                 CAST(COUNT(*) AS DOUBLE) AS weight
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2
+        )""",
+        "oute AS MATERIALIZED (SELECT src, SUM(weight) AS out_w FROM base GROUP BY src)",
+        "nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation)",
+        "cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes)",
+        "rk0 AS MATERIALIZED (SELECT node, 1.0 / nn AS rank FROM nodes CROSS JOIN cnt)",
+    ]
+    d = damping
+    for i in range(iterations):
+        ctes.append(
+            f"""dg{i} AS MATERIALIZED (
+              SELECT COALESCE(SUM(rank), 0.0) AS dm FROM rk{i}
+              WHERE node NOT IN (SELECT src FROM oute)
+            )"""
+        )
+        ctes.append(
+            f"""cb{i} AS MATERIALIZED (
+              SELECT e.dst AS node, SUM(r.rank * e.weight / o.out_w) AS c
+              FROM base e
+              JOIN rk{i} r ON r.node = e.src
+              JOIN oute o ON o.src = e.src
+              GROUP BY e.dst
+            )"""
+        )
+        ctes.append(
+            f"""rk{i + 1} AS MATERIALIZED (
+              SELECT n.node,
+                     (1.0 - {d}) / nn
+                       + {d} * (COALESCE(c.c, 0.0) + g.dm / nn) AS rank
+              FROM nodes n
+              LEFT JOIN cb{i} c USING (node)
+              CROSS JOIN dg{i} g CROSS JOIN cnt
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, ROUND(rank, 6) AS pagerank FROM rk{iterations}"
+    )
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_oracle(),
+    tier="C",
+    note="C-ext weighted PageRank (10 iters, α=0.85, dangling-mass "
+    "redistribution) on the customer-nation → supplier-nation trade "
+    "graph derived from lineitem⋈orders⋈customer⋈supplier. Rank state "
+    "is one row per node (broadcast side); the per-iteration shuffle is "
+    "groupBy(dst) on edge contributions. operators/graph.py.",
+)
+def graph_pagerank_q(spark, sf_dir):
+    from ..operators import graph as graph_ops
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    ranks = graph_ops.pagerank(nodes, edges, iterations=10, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order
