@@ -71,6 +71,13 @@ HEADLINE = [
     "dataset_split",
     "events_ohlc_resample",
     "scan_schema_evolution",
+    # round-5 additions
+    "bm25_search",
+    "quality_gopher",
+    "text_unigram_logprob",
+    "graph_pagerank",
+    "similarity_topk_pq",
+    "sink_compact",
 ]
 
 

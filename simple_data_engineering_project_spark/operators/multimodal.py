@@ -231,6 +231,64 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+def encode_jpeg_shell(width: int, height: int, n_components: int = 3) -> bytes:
+    """Minimal structurally-valid JPEG marker stream: SOI, JFIF APP0,
+    DQT, SOF0 (carrying the dimensions), EOI.
+
+    Enough container for any metadata parser — including
+    :func:`decode_jpeg_dims`, exiftool, or Pillow's lazy header read —
+    to extract dimensions; there is deliberately no entropy-coded scan
+    (pixel decode stays behind the :func:`decode_image` stub, which
+    needs a real codec)."""
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\x00" + bytes(range(1, 65))  # table 0, 64 dummy entries
+    sof = struct.pack(">BHHB", 8, height, width, n_components)
+    for comp in range(n_components):
+        sof += struct.pack(">BBB", comp + 1, 0x11, 0)
+    out = b"\xff\xd8"  # SOI
+    for marker, seg in ((b"\xff\xe0", app0), (b"\xff\xdb", dqt), (b"\xff\xc0", sof)):
+        out += marker + struct.pack(">H", len(seg) + 2) + seg
+    return out + b"\xff\xd9"  # EOI
+
+
+def decode_jpeg_dims(payload: bytes) -> dict:
+    """Real JPEG metadata parse: walk the marker stream to the SOF
+    segment and read precision/height/width/component count.
+
+    Works on arbitrary real JPEGs (baseline, progressive, JFIF or EXIF
+    wrapped): every non-SOF segment is skipped by its declared length,
+    standalone markers (RSTn/TEM) by their fixed size. Pixel decode —
+    entropy decoding + IDCT — is NOT attempted (see decode_image)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2  # standalone marker, no length field
+            continue
+        seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        # SOFn: C0–CF except the huffman/arithmetic tables C4, C8, CC
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            precision, height, width, n_comp = struct.unpack(
+                ">BHHB", payload[pos + 4 : pos + 10]
+            )
+            return {
+                "width": width,
+                "height": height,
+                "n_components": n_comp,
+                "precision": precision,
+                "progressive": marker == 0xC2,
+            }
+        if marker == 0xDA:  # SOS: entropy data follows, no SOF seen
+            break
+        pos += 2 + seg_len
+    raise ValueError("JPEG has no SOF segment")
+
+
 def encode_wav(
     n_frames: int, sample: int, framerate: int = 8000
 ) -> bytes:
@@ -293,6 +351,11 @@ def _sniff_and_decode(payload: bytes | None) -> dict:
                 "duration_ms": d["duration_ms"],
                 "content_sum": d["sample_sum"],
             }
+        if payload[:2] == b"\xff\xd8":
+            d = decode_jpeg_dims(payload)
+            # metadata-only decode: dimensions parse from the marker
+            # stream; pixel content needs a codec (decode_image stub)
+            return {"width": d["width"], "height": d["height"]}
     except Exception:
         return {}  # corrupt container: keep byte-level features only
     return {}
@@ -403,17 +466,51 @@ def media_png_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
+def media_jpeg_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic JPEG media table: every doc becomes a JPEG marker
+    stream whose SOF dimensions are closed-form in ``doc_id``
+    (w=1+id%11, h=1+id%7), so an oracle predicts the parsed metadata
+    while the parser does a real marker walk (APP0 and DQT segments sit
+    between SOI and SOF and must be length-skipped)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_jpeg_shell(1 + did % 11, 1 + did % 7),
+                        "meta": {
+                            "modality": "image",
+                            "mime": "image/jpeg",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
 def decode_image(payload: bytes) -> object:
-    """STUB for image codecs beyond BMP/PNG (JPEG/WebP/…) — requires a
-    codec library absent here. Uncompressed BMP decodes for real via
-    :func:`decode_bmp`; PNG via :func:`decode_png` (stdlib zlib).
+    """STUB for *pixel* decode of entropy-coded formats (JPEG scan data,
+    WebP/AVIF) — requires a codec library absent here. What decodes for
+    real: uncompressed BMP (:func:`decode_bmp`), PNG incl. all scanline
+    filters (:func:`decode_png`, stdlib zlib), and JPEG *metadata* —
+    dimensions/components via the marker walk in
+    :func:`decode_jpeg_dims`.
 
     On a real cluster: ``PIL.Image.open(io.BytesIO(payload))`` inside the
     same ``mapInPandas`` batch loop that ``extract_features`` uses.
     """
     raise NotImplementedError(
-        "JPEG/WebP decode is stubbed: no codec libraries in this "
-        "environment (BMP → decode_bmp, PNG → decode_png)"
+        "entropy-coded pixel decode is stubbed: no codec libraries in "
+        "this environment (BMP → decode_bmp, PNG → decode_png, JPEG "
+        "dimensions → decode_jpeg_dims)"
     )
 
 

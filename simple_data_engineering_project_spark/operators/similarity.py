@@ -348,3 +348,160 @@ def quantize_embeddings(
         F.when(safe, F.array_min(q)).otherwise(zero).alias("q_min"),
         F.when(safe, F.array_max(q)).otherwise(zero).alias("q_max"),
     )
+
+
+def _pq_codebooks(
+    corpus: DataFrame,
+    m: int,
+    ksub: int,
+    corpus_id: str,
+    corpus_vec: str,
+    refine_iters: int = 1,
+) -> "np.ndarray":
+    """Product-quantization codebooks: (m, ksub, dim/m) float64.
+
+    Init is the deterministic seeded sample used by the IVF coarse
+    quantizer (smallest ``xxhash64(id)``), split into m subspaces; each
+    ``refine_iters`` pass is one distributed Lloyd step — assign every
+    vector's subvectors to their nearest codeword (Arrow matmul batch),
+    then recompute codewords as per-(subspace, code, dim) means via a
+    posexplode + groupBy. The collect is model metadata (m·ksub·dsub
+    floats, a few KB) — the training data itself never reaches the
+    driver.
+    """
+    rows = (
+        corpus.select(F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v"))
+        .orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
+        .limit(ksub)
+        .collect()
+    )
+    init = np.array([list(r.v) for r in rows], dtype=np.float64)  # (ksub, dim)
+    dim = init.shape[1]
+    dsub = dim // m
+    cb = init.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()  # (m, ksub, dsub)
+
+    for _ in range(refine_iters):
+        assign = _pq_assign_udf(cb)
+        coded = corpus.select(
+            F.col(corpus_vec).alias("__v"), assign(F.col(corpus_vec)).alias("__c")
+        )
+        # (subspace, code, pos, component) rows → per-dim mean; the
+        # aggregate output is bounded by m·ksub·dsub regardless of corpus
+        # size, so the collect stays model-sized.
+        sub = coded.select(
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda j: F.slice(
+                        F.col("__v"), j * dsub + 1, dsub
+                    ).cast("array<double>"),
+                )
+            ).alias("j", "sv"),
+            F.col("__c"),
+        ).select(
+            "j",
+            F.element_at(F.col("__c"), F.col("j") + 1).alias("code"),
+            "sv",
+        )
+        means = (
+            sub.select("j", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("j", "code", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        for r in means:
+            cb[r.j, r.code, r.pos] = r.mu
+    return cb
+
+
+def _pq_assign_udf(cb: "np.ndarray"):
+    """Arrow-vectorized PQ code assignment: per subspace, argmin L2 to
+    the ksub codewords — one einsum per batch, codebooks riding the UDF
+    closure (a few KB)."""
+    m, ksub, dsub = cb.shape
+    sq = (cb**2).sum(axis=2)  # (m, ksub)
+
+    @F.pandas_udf("array<int>")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        xs = x.reshape(len(x), m, dsub)  # (n, m, dsub)
+        dots = np.einsum("nmd,mkd->nmk", xs, cb)  # (n, m, ksub)
+        codes = np.argmin(sq[None, :, :] - 2.0 * dots, axis=2).astype(np.int32)
+        return pd.Series(list(codes))
+
+    return _assign
+
+
+def _pq_adc_udf(cb: "np.ndarray"):
+    """ADC (asymmetric distance computation) score: Σ_j q_j · cb[j, code_j]
+    — the query stays full-precision, the corpus is code-only."""
+    m, ksub, dsub = cb.shape
+
+    @F.pandas_udf("double")
+    def _adc(codes: pd.Series, qv: pd.Series) -> pd.Series:
+        q = np.vstack(qv.to_numpy()).astype(np.float64)  # (n, dim)
+        qs = q.reshape(len(q), m, dsub)
+        luts = np.einsum("nmd,mkd->nmk", qs, cb)  # (n, m, ksub)
+        c = np.vstack(codes.to_numpy()).astype(np.int64)  # (n, m)
+        score = np.take_along_axis(luts, c[:, :, None], axis=2)[:, :, 0].sum(axis=1)
+        return pd.Series(score)
+
+    return _adc
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    oversample: int = 5,
+    refine_iters: int = 1,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k via product quantization + exact re-rank.
+
+    The memory-scale ANN path: corpus vectors compress to m log2(ksub)-bit
+    codes (64-dim float32 → 8 bytes at m=8, ksub=16 — 32×), ADC scores
+    every code against the full-precision query (broadcast), the top
+    ``k·oversample`` ADC candidates get the exact cosine, and the final
+    top-k comes from that re-rank — the FAISS IVF-PQ recipe minus the
+    coarse stage (compose with :func:`ivf_topk` cells for both).
+
+    At 100 TB the codes relation is the persistent index (a fraction of
+    corpus bytes, scanned instead of the vectors); only the
+    k·oversample re-rank rows ever touch full vectors.
+    """
+    cb = _pq_codebooks(corpus, m, ksub, corpus_id, corpus_vec, refine_iters)
+    assign = _pq_assign_udf(cb)
+    adc = _pq_adc_udf(cb)
+    codes = corpus.select(
+        F.col(corpus_id).alias("item_id"),
+        F.col(corpus_vec).alias("__cv"),
+        assign(F.col(corpus_vec)).alias("__code"),
+    ).localCheckpoint(eager=False)
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    adc_scored = codes.join(F.broadcast(q)).select(
+        "query_id",
+        "item_id",
+        "__cv",
+        "__qv",
+        adc(F.col("__code"), F.col("__qv")).alias("cosine"),
+    )
+    cand = _topk_per_query(
+        adc_scored.select("query_id", "item_id", "cosine"), k * oversample
+    ).select("query_id", "item_id")
+    rescored = cand.join(
+        adc_scored.select("query_id", "item_id", "__cv", "__qv"),
+        ["query_id", "item_id"],
+    ).select(
+        "query_id",
+        "item_id",
+        cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
+    )
+    return _topk_per_query(rescored, k)

@@ -5150,6 +5150,71 @@ def graph_pagerank_q(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
 
 
+@register(
+    "similarity_topk_pq",
+    None,
+    tier="C",
+    note="C3 product-quantization ANN: corpus compressed to m=8 4-bit "
+    "codes per vector (32x vs float32), ADC scoring against the "
+    "full-precision broadcast query, top-k*5 candidates exact-reranked. "
+    "Rows-only (approximate by design); recall vs brute force pinned by "
+    "a unit test. operators/similarity.py pq_topk.",
+)
+def similarity_topk_pq_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.join(
+        emb.agg(F.min("vec_id").alias("vec_id")), "vec_id"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = sim_ops.pq_topk(emb, qv, k=10, m=8, ksub=16, oversample=5)
+    return out.select("item_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@register(
+    "multimodal_jpeg",
+    """
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 11 AS INTEGER) AS width,
+           CAST(1 + doc_id % 7 AS INTEGER) AS height
+    FROM documents
+    """,
+    tier="C",
+    note="C5 JPEG metadata decode: a real marker-stream walk "
+    "(length-skipping APP0/DQT, reading SOF dimensions — works on "
+    "arbitrary baseline/progressive JPEGs) inside the Arrow mapInPandas "
+    "batch loop; pixel decode stays honestly stubbed (entropy decode "
+    "needs a codec). Generator emits marker streams with closed-form "
+    "dimensions so the oracle predicts without parsing.",
+)
+def multimodal_jpeg_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_jpeg_from_documents(d)
+    return mm_ops.extract_features(media).select("media_id", "width", "height")
+
+
+@register(
+    "sink_compact",
+    "SELECT * FROM lineitem WHERE l_returnflag = 'R'",
+    tier="C",
+    note="A9-adjacent maintenance op: small-file compaction. A 64-file "
+    "fragmented stage is rewritten to ceil(bytes/target) files via "
+    "coalesce (partition merge, NO shuffle — nothing moves between "
+    "executors). The oracle certifies compaction is content-preserving; "
+    "the file-count drop is pinned by test_scale. sources.compact_parquet.",
+)
+def sink_compact_q(spark, sf_dir):
+    from ..sources import compact_parquet
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    frag = _scratch(sf_dir, "sink_compact_frag")
+    out = _scratch(sf_dir, "sink_compact_out")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_parquet(spark, frag, out, target_file_bytes=512 << 20)
+    return scan_parquet(spark, out)
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order

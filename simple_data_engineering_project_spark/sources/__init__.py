@@ -150,6 +150,43 @@ def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def parquet_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(name, bytes) of the parquet data files under ``path`` — Hadoop FS
+    listing, so it works for s3a://hdfs:// too."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet"):
+            out.append((name, int(st.getLen())))
+    return out
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Small-file compaction: rewrite ``src`` as ⌈bytes/target⌉ files.
+
+    The maintenance operation every long-running ingest needs — streaming
+    and per-batch sinks accrete files far smaller than a good scan unit,
+    and at 100 TB a scan's task count (and the NameNode/S3 listing cost)
+    is driven by file count. Uses ``coalesce`` — a partition merge with
+    NO shuffle: each output task concatenates whole input partitions, so
+    compaction cost is one read + one write of the data, nothing moves
+    between executors. Returns the output file count.
+    """
+    total = sum(sz for _, sz in parquet_data_files(spark, src))
+    n = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(src).coalesce(n).write.mode("overwrite").parquet(dst)
+    return n
+
+
 def csv_roundtrip(
     spark: SparkSession, df: DataFrame, path: str, schema: T.StructType
 ) -> DataFrame:

@@ -792,3 +792,40 @@ def test_hll_rollup_mergeable(spark, sf_smoke):
         .collect()
     }
     assert merged == oneshot
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    from simple_data_engineering_project_spark.operators.similarity import pq_topk
+
+    emb = _emb_tables(spark)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {r["item_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {
+        r["item_id"]
+        for r in pq_topk(emb, q, k=10, m=4, ksub=16, oversample=5).collect()
+    }
+    recall = len(exact & approx) / 10
+    assert recall >= 0.6, f"PQ recall too low: {recall}"
+
+
+def test_jpeg_dims_roundtrip_and_marker_walk():
+    from simple_data_engineering_project_spark.operators.multimodal import (
+        decode_jpeg_dims,
+        encode_jpeg_shell,
+    )
+
+    d = decode_jpeg_dims(encode_jpeg_shell(640, 480))
+    assert (d["width"], d["height"], d["n_components"]) == (640, 480, 3)
+    # dimensions survive a leading EXIF-style APP1 segment (marker walk,
+    # not fixed offsets)
+    shell = encode_jpeg_shell(33, 7)
+    app1 = b"\xff\xe1" + (10).to_bytes(2, "big") + b"Exif\x00\x00\x00\x00"
+    with_app1 = shell[:2] + app1 + shell[2:]
+    d2 = decode_jpeg_dims(with_app1)
+    assert (d2["width"], d2["height"]) == (33, 7)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_jpeg_dims(b"\x89PNG\r\n\x1a\n")

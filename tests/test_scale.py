@@ -420,3 +420,20 @@ def test_no_complex_typed_outputs_anywhere(spark, sf_smoke):
             if t.startswith(("array", "map", "struct")):
                 bad.append((name, f.name, t))
     assert bad == [], bad
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_smoke, tmp_path):
+    from simple_data_engineering_project_spark.sources import (
+        compact_parquet,
+        parquet_data_files,
+    )
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "out")
+    li.repartition(16).write.parquet(frag)
+    assert len(parquet_data_files(spark, frag)) == 16
+    n = compact_parquet(spark, frag, out, target_file_bytes=1 << 30)
+    files = parquet_data_files(spark, out)
+    assert len(files) == n == 1
+    assert spark.read.parquet(out).count() == li.count()
