@@ -713,11 +713,95 @@ def bm25_search(
         .agg(
             F.round(F.sum("contrib"), 4).alias("bm25"),
             F.count("*").cast("bigint").alias("n_terms_hit"),
+            # data-derived constant (corpus size): the phase-2 partition
+            # key below. Must come from DATA — a lit() would be foldable,
+            # Catalyst would erase it from the partition spec, and the
+            # final rank would collapse to a partitionless single-task
+            # window (pinned by test_no_partitionless_window_anywhere).
+            F.first("n_docs").alias("__tag"),
         )
     )
-    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    # Two-phase global top-n (the _topk_per_query shape): rank within
+    # each input partition first — survivors are bounded by
+    # partitions × top_n — then rank that small set once.
+    order = [F.col("bm25").desc(), F.col(id_col).asc()]
+    with_pid = scored.withColumn("__pid", F.spark_partition_id())
+    w1 = Window.partitionBy("__pid").orderBy(*order)
+    local = (
+        with_pid.withColumn("__lr", F.row_number().over(w1))
+        .filter(F.col("__lr") <= top_n)
+        .drop("__lr", "__pid")
+    )
+    w2 = Window.partitionBy("__tag").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= top_n)
         .select(id_col, "bm25", "n_terms_hit", "rank")
     )
+
+
+def tokenize_to_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 512,
+    unk_id: int = 0,
+) -> DataFrame:
+    """Encode documents to token-id sequences against a corpus-derived
+    vocabulary — the tokenization step that feeds sequence packing.
+
+    Vocabulary = the ``vocab_size`` most frequent tokens (freq desc,
+    token asc tiebreak), ids 1..V by rank; everything else maps to
+    ``unk_id``. Plan: explode → map-side-combined counts → two-phase
+    rank (partition-local prune to top vocab_size, then one bounded
+    final rank — no partitionless window over the full vocabulary) →
+    tokens equi-join vocab → per-doc ordered reassembly via
+    sort_array(collect_list(struct(pos, id))). The vocabulary relation
+    stays engine-side; at 100 TB it is the small side of the token join
+    and AQE broadcasts it.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("freq"),
+        # data-derived constant partition key for the final rank (a lit()
+        # would fold away -> partitionless window; see bm25_search)
+        F.first(F.lit(1) * F.length("token") * 0).alias("__tag"),
+    )
+    order = [F.col("freq").desc(), F.col("token").asc()]
+    with_pid = counts.withColumn("__pid", F.spark_partition_id())
+    w1 = Window.partitionBy("__pid").orderBy(*order)
+    local = (
+        with_pid.withColumn("__lr", F.row_number().over(w1))
+        .filter(F.col("__lr") <= vocab_size)
+        .drop("__lr", "__pid")
+    )
+    w2 = Window.partitionBy("__tag").orderBy(*order)
+    vocab = (
+        local.withColumn("id", F.row_number().over(w2))
+        .filter(F.col("id") <= vocab_size)
+        .select("token", "id")
+    )
+    encoded = (
+        toks.join(vocab, "token", "left")
+        .select(
+            id_col,
+            "pos",
+            F.coalesce(F.col("id"), F.lit(unk_id)).cast("int").alias("tid"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tid")))
+                ),
+                lambda s: s["tid"],
+            ).alias("token_ids"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("tid") == unk_id, 1).otherwise(0)
+            ).cast("bigint").alias("n_unk"),
+        )
+    )
+    return encoded

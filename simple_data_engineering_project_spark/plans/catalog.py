@@ -5215,6 +5215,201 @@ def sink_compact_q(spark, sf_dir):
     return scan_parquet(spark, out)
 
 
+@register(
+    "scd2_intervals",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           ts AS eff_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS eff_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             IS NULL) AS is_current
+    FROM changes
+    """,
+    tier="C",
+    note="C-warehouse SCD type-2 build: collapse each user's event-type "
+    "stream to state-change rows, then validity intervals "
+    "[eff_from, eff_to) via lead(), open-ended row flagged current — "
+    "the audit-preserving alternative to the reference's in-place "
+    "ON CONFLICT upsert (dag.py:223-237). Two window passes over one "
+    "(user_id) partitioning = one shuffle; event_id tiebreak makes "
+    "same-timestamp ordering engine-reproducible.",
+)
+def scd2_intervals_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("eff_from"),
+        F.lead("ts").over(w2).alias("eff_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "events_anomaly",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             AVG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS mu,
+             STDDEV_SAMP(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS sigma,
+             COUNT(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS n_hist
+      FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(value, 4) AS value,
+           ROUND((value - mu) / sigma, 4) AS zscore
+    FROM w
+    WHERE n_hist >= 5 AND sigma > 1e-12
+      AND ABS((value - mu) / sigma) > 2.5
+    """,
+    tier="C",
+    note="C11 streaming-shaped anomaly gate: per-user rolling mean/stddev "
+    "over the trailing 10 events (frame excludes the current row — no "
+    "self-masking), flag |z| > 2.5 with a warm-up floor of 5. One "
+    "shuffle on user_id, both frame aggregates share one window "
+    "partitioning; event_id tiebreak pins frame contents under "
+    "timestamp ties.",
+)
+def events_anomaly_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.avg("value").over(w).alias("mu"),
+            F.stddev_samp("value").over(w).alias("sigma"),
+            F.count("value").over(w).alias("n_hist"),
+        )
+        .filter(
+            (F.col("n_hist") >= 5)
+            & (F.col("sigma") > 1e-12)
+            & (F.abs(z) > 2.5)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+@register(
+    "embedding_stats",
+    """
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(norm_e4) AS BIGINT) AS sum_norm_e4,
+           CAST(MIN(norm_e4) AS BIGINT) AS min_norm_e4,
+           CAST(MAX(norm_e4) AS BIGINT) AS max_norm_e4
+    FROM (
+      SELECT label,
+             CAST(FLOOR(SQRT(list_aggregate(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+               * 10000.0 + 0.5) AS BIGINT) AS norm_e4
+      FROM embeddings
+    )
+    GROUP BY label
+    """,
+    tier="C",
+    note="C3 embedding-store health summary per label: exact count + "
+    "integer-exact L2-norm stats. The per-row norm folds the array "
+    "sequentially (identical IEEE double order in any engine) and is "
+    "emitted as floor(norm*1e4+0.5) BIGINT, so the group aggregates are "
+    "order-independent integers — no float reaches the hash "
+    "(embedding_centroids rule).",
+)
+def embedding_stats_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    norm_e4 = F.floor(F.sqrt(sumsq) * 10000.0 + 0.5).cast("long")
+    return (
+        emb.select("label", norm_e4.alias("norm_e4"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum("norm_e4").cast("bigint").alias("sum_norm_e4"),
+            F.min("norm_e4").cast("bigint").alias("min_norm_e4"),
+            F.max("norm_e4").cast("bigint").alias("max_norm_e4"),
+        )
+    )
+
+
+@register(
+    "tokenize_to_ids",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tl
+      FROM documents
+    ), flat AS (
+      SELECT doc_id,
+             generate_subscripts(tl, 1) AS pos,
+             unnest(tl) AS token
+      FROM toks
+    ), vocab AS (
+      SELECT token, CAST(row_number() OVER (
+               ORDER BY freq DESC, token) AS INT) AS id
+      FROM (SELECT token, COUNT(*) AS freq FROM flat GROUP BY token)
+      QUALIFY id <= 16
+    ), enc AS (
+      SELECT f.doc_id, f.pos, COALESCE(v.id, 0) AS tid
+      FROM flat f LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           list(tid ORDER BY pos) AS token_ids,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+    FROM enc GROUP BY doc_id
+    """,
+    tier="C",
+    note="C4 vocabulary build + id encoding (the tokenize-for-training "
+    "step feeding pack_sequences): top-16 tokens by (freq desc, token) "
+    "become ids 1..16, OOV maps to unk=0; per-doc ordered reassembly via "
+    "sort_array(collect_list(struct(pos,id))). Vocabulary ranking is the "
+    "two-phase top-k (no partitionless window over the vocab); the "
+    "token-id join is AQE-sized, vocabulary engine-side.",
+)
+def tokenize_to_ids_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.tokenize_to_ids(d, vocab_size=16)
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order

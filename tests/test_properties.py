@@ -161,3 +161,52 @@ def test_chunk_coverage_invariant(spark, texts, chunk, overlap):
         assert [c for c, _ in chunks] == list(range(len(chunks)))
         assert sum(n for _, n in chunks) == len(text) + (len(chunks) - 1) * overlap
         assert all(n == chunk for _, n in chunks[:-1])
+
+
+def test_normalize_text_is_idempotent(spark):
+    from simple_data_engineering_project_spark.operators.text import normalize_text
+
+    texts = [
+        "hello\t\tworld!!!  how are   you??",
+        "“quoted” — and ‘single’…  done.",
+        "a,,b;;c::d..e",
+        "   leading and trailing   ",
+        "",
+        "already clean text.",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    once = {
+        r["doc_id"]: r["norm_text"] for r in normalize_text(docs).collect()
+    }
+    again_in = spark.createDataFrame(
+        [(k, v) for k, v in once.items()], "doc_id long, text string"
+    )
+    twice = {
+        r["doc_id"]: r["norm_text"] for r in normalize_text(again_in).collect()
+    }
+    assert once == twice
+    assert once[0] == "hello world! how are you?"
+    assert once[1] == '"quoted" - and \'single\'. done.'
+    assert once[2] == "a,b;c:d.e"
+    assert once[3] == "leading and trailing"
+
+
+def test_gopher_quality_flags_degenerate_docs(spark):
+    from simple_data_engineering_project_spark.operators.text import gopher_quality
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a normal sentence with several distinct healthy words here"),
+            (1, "spam spam spam spam spam spam spam spam spam spam"),  # repetition
+            (2, "1 2 3 4 5 6 7 8 9 10"),  # symbol-only words
+            (3, "ok"),  # too short
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False  # distinct_word_ratio 0.1 < 0.3
+    assert out[2]["keep"] is False  # symbol_word_ratio 1.0 > 0.3
+    assert out[3]["keep"] is False  # n_words < 5
