@@ -582,3 +582,101 @@ def dedup_fuzzy_keep_one(
     return df.join(
         drop, df[id_col] == drop.__drop, "left_anti"
     )
+
+
+def dedup_spans_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Exact-substring span dedup: scrub corpus-wide repeated n-grams.
+
+    The Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better") shape at token granularity: any word ``n``-gram that
+    occurs in ≥ ``min_docs`` distinct documents is boilerplate; every
+    token covered by such a gram is removed and the survivors are
+    reassembled in original order. Unlike document-level dedup (C1/C2)
+    this removes the duplicated *span* while keeping the unique
+    remainder of each document — the memorization-risk scrub that
+    near-dup removal misses.
+
+    Returns one row per input document:
+    ``(id, n_tokens, n_kept, n_removed, clean_md5)`` where ``clean_md5``
+    is md5 of the space-joined kept tokens (md5('') when none survive).
+
+    Scale shape — three keyed shuffles, none quadratic:
+
+    1. gram frequency: posexplode grams → groupBy(gram) with map-side
+       partial ``countDistinct`` (approx first at real scale);
+    2. coverage: duplicated grams join back to gram starts (equi-join on
+       the gram key), explode each hit to its ``n`` covered positions;
+    3. reassembly: left_anti on (id, pos), then one groupBy(id) with
+       ``sort_array(collect_list(struct(pos, token)))``.
+
+    The gram join key is the gram STRING so the DuckDB oracle can form
+    the identical key; at 100 TB swap it for ``xxhash64(gram)`` (64-bit
+    collisions are immaterial to a boilerplate scrub) so the shuffle
+    moves 8-byte keys instead of ~6-word strings.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.array_remove(F.split(normalized_text(text_col), " "), "").alias("__tl"),
+    ).localCheckpoint()
+    # (id, pos, token) — pos is 0-based original order
+    tok = toks.select(id_col, F.posexplode("__tl").alias("pos", "token"))
+    # (id, start, gram): grams from a materialized token array; slice()
+    # per element is O(tokens·n) — never re-derives the regex.
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size("__tl") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__tl") - F.lit(n - 1)),
+                    lambda s: F.array_join(F.slice(F.col("__tl"), s, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("start", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("__d"))
+        .filter(F.col("__d") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(covered, [id_col, "pos"], "left_anti")
+    kept_per_doc = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("__clean"),
+    )
+    return (
+        toks.select(id_col, F.size("__tl").cast("long").alias("n_tokens"))
+        .join(kept_per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.md5(F.coalesce(F.col("__clean"), F.lit(""))).alias("clean_md5"),
+        )
+    )

@@ -159,3 +159,55 @@ def join_asof(
         *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in right_values],
     )
     return result
+
+
+def fuzzy_join_blocked(
+    names: DataFrame,
+    name_col: str = "name",
+    max_dist: int = 4,
+) -> DataFrame:
+    """Blocked fuzzy self-match over an entity dictionary (record linkage).
+
+    The entity-resolution join: candidate pairs come from a cheap
+    BLOCKING key (here the first token — in production a phonetic code
+    or sorted-token signature) plus a length band, and only candidates
+    pay the O(len²) ``levenshtein`` verify. Emits each matched unordered
+    pair once (``name_a < name_b``) with its edit distance.
+
+    Scale shape: the classic all-pairs O(n²) fuzzy join is collapsed
+    twice before any expensive work — (1) ``distinct`` first, because
+    fuzzy matching operates on the entity DICTIONARY, not the fact
+    table (dictionary cardinality is ~constant as facts grow: dedup the
+    64 part names, not 2000/20000/… rows); (2) the equi-join on the
+    block key means the shuffle pairs only within-block candidates.
+    The length band then prunes verifies levenshtein can never pass
+    (|len_a − len_b| > max_dist ⇒ distance > max_dist).
+    """
+    d = names.select(F.col(name_col).alias("name")).distinct()
+    d = d.select(
+        "name",
+        F.split(F.col("name"), " ").getItem(0).alias("__block"),
+        F.length("name").alias("__len"),
+    )
+    a = d.select(
+        F.col("name").alias("name_a"),
+        F.col("__block"),
+        F.col("__len").alias("__len_a"),
+    )
+    b = d.select(
+        F.col("name").alias("name_b"),
+        F.col("__block"),
+        F.col("__len").alias("__len_b"),
+    )
+    return (
+        a.join(b, "__block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(
+            F.abs(F.col("__len_a") - F.col("__len_b")) <= F.lit(max_dist)
+        )
+        .withColumn(
+            "edit_dist", F.levenshtein(F.col("name_a"), F.col("name_b"))
+        )
+        .filter(F.col("edit_dist") <= F.lit(max_dist))
+        .select("name_a", "name_b", F.col("edit_dist").cast("int").alias("edit_dist"))
+    )

@@ -505,3 +505,83 @@ def pq_topk(
         cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
     )
     return _topk_per_query(rescored, k)
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, deterministic init.
+
+    Init centroids are the ``k`` vectors with the smallest ids (no RNG
+    state — reproducible across engines); each iteration assigns every
+    vector to its nearest centroid (squared-L2, first-min tiebreak on
+    centroid id) and recomputes centroids as the per-dimension member
+    mean, keeping the previous centroid when a cluster empties. Returns
+    ``(id, cluster_id)`` after ``iters`` iterations — the semantic-
+    clustering step LLM pipelines run for corpus mixing / diversity
+    sampling (cluster-then-sample) and as the trainer for the IVF coarse
+    quantizer.
+
+    Scale shape: centroids are bounded model metadata (k × dim doubles,
+    a few KB) — they ride the closure as literals, so assignment is one
+    codegen scan with NO join or shuffle; the update is one
+    posexplode → groupBy(cid, dim) partial-agg shuffle of k·dim output
+    rows. Per-iteration cost is exactly two scans of the corpus; the
+    driver never holds more than k·dim floats.
+    """
+    centroids = [
+        [float(x) for x in r.v]
+        for r in df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(k)
+        .collect()
+    ]
+
+    def assign(cents):
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda x, y: (x.cast("double") - y)
+                        * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    for _ in range(iters - 1):
+        assigned = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            assign(centroids).alias("cid"),
+        )
+        mean_rows = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        updated = {int(r.cid): [float(x) for x in r.c] for r in mean_rows}
+        centroids = [updated.get(i, centroids[i]) for i in range(k)]
+
+    return df.select(
+        F.col(id_col),
+        assign(centroids).alias("cluster_id"),
+    )

@@ -792,11 +792,14 @@ def tokenize_to_ids(
         )
         .groupBy(id_col)
         .agg(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("pos"), F.col("tid")))
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tid")))
+                    ),
+                    lambda s: s["tid"].cast("string"),
                 ),
-                lambda s: s["tid"],
+                " ",
             ).alias("token_ids"),
             F.count("*").cast("bigint").alias("n_tokens"),
             F.sum(
@@ -805,3 +808,43 @@ def tokenize_to_ids(
         )
     )
     return encoded
+
+
+def ngram_lm_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-wide word n-gram occurrence counts with count pruning.
+
+    The KenLM/ngram-LM data-prep step: every positional n-gram occurrence
+    (NOT per-doc distinct — language models count occurrences) aggregated
+    corpus-wide, rare grams pruned below ``min_count``. Downstream this
+    feeds LM smoothing, contamination checks, and the unigram fluency
+    prior (``unigram_logprob``).
+
+    Scale shape: posexplode to narrow (gram) rows → one groupBy(gram)
+    with map-side partial counts — the canonical word-count shuffle; the
+    prune is a post-aggregation filter, so the shuffle output (not input)
+    is already one row per distinct gram.
+    """
+    toks = df.select(
+        F.array_remove(F.split(normalized_text(text_col), " "), "").alias("__tl")
+    )
+    grams = toks.select(
+        F.explode(
+            F.when(
+                F.size("__tl") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__tl") - F.lit(n - 1)),
+                    lambda s: F.array_join(F.slice(F.col("__tl"), s, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )

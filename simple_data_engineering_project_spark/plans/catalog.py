@@ -5392,7 +5392,7 @@ def embedding_stats_q(spark, sf_dir):
       FROM flat f LEFT JOIN vocab v USING (token)
     )
     SELECT doc_id,
-           list(tid ORDER BY pos) AS token_ids,
+           string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS token_ids,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
     FROM enc GROUP BY doc_id
@@ -5408,6 +5408,278 @@ def embedding_stats_q(spark, sf_dir):
 def tokenize_to_ids_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return text_ops.tokenize_to_ids(d, vocab_size=16)
+
+
+@register(
+    "dedup_spans_global",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tl
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, generate_subscripts(tl, 1) - 1 AS pos, unnest(tl) AS token
+      FROM toks
+    ), gram AS (
+      SELECT doc_id, g.s - 1 AS start0,
+             array_to_string(tl[g.s:g.s + 4], ' ') AS gram
+      FROM toks, unnest(generate_series(1, len(tl) - 4)) AS g(s)
+      WHERE len(tl) >= 5
+    ), dup AS (
+      SELECT gram FROM gram GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 3
+    ), cov AS (
+      SELECT DISTINCT g.doc_id, p.p AS pos
+      FROM gram g JOIN dup USING (gram),
+           unnest(generate_series(g.start0, g.start0 + 4)) AS p(p)
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.token
+      FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.pos IS NULL
+    ), kept_doc AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(token, ' ' ORDER BY pos) AS clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(s.tl) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(s.tl) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(k.clean, '')) AS clean_md5
+    FROM toks s LEFT JOIN kept_doc k USING (doc_id)
+    """,
+    tier="C",
+    note="C2 exact-substring span dedup (Lee et al. 2021 at token "
+    "granularity): any word 5-gram occurring in >= 3 distinct docs is "
+    "boilerplate; covered tokens are scrubbed and survivors reassembled "
+    "in order. The span-level complement to document-level dedup — "
+    "removes the memorized span, keeps the unique remainder. Three keyed "
+    "shuffles (gram count w/ map-side countDistinct, dup-gram coverage "
+    "join, per-doc reassembly); gram join key stays a string for oracle "
+    "parity, swapped for xxhash64 at real scale.",
+)
+def dedup_spans_global_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.dedup_spans_global(d, n=5, min_docs=3)
+
+
+@register(
+    "merge_cdc_apply",
+    """
+    SELECT user_id,
+           event_type AS last_op_type,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS last_value_cents,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM events
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tier="C",
+    note="C1/A13 CDC changelog apply — Delta-MERGE latest-state "
+    "semantics without a table format: per key the highest-sequence "
+    "operation wins ('error' events act as deletes, so those keys "
+    "vanish); the change count rides the same window partitioning. The "
+    "reference's ON CONFLICT upsert (dag.py:223-237) extended with "
+    "delete support. ONE shuffle on the key, no join-back; output then "
+    "feeds the partition-scoped warehouse merge, never a full rewrite.",
+)
+def merge_cdc_apply_q(spark, sf_dir):
+    from ..operators.incremental import cdc_apply
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        cdc_apply(
+            ev,
+            key_cols=["user_id"],
+            seq_cols=["ts", "event_id"],
+            op_col="event_type",
+            delete_op="error",
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op_type"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("last_value_cents"),
+            F.col("n_changes").cast("long").alias("n_changes"),
+        )
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           MAX(ts) AS max_ts
+    FROM events GROUP BY user_id
+    """,
+    tier="C",
+    note="C11/A13 incremental aggregate maintenance: the per-user "
+    "(count, sum, max) state is computed as base-slice state (ts < "
+    "Jan 21) MERGED with delta-slice state — count/sum/max form a "
+    "commutative monoid, so merge(state(base), state(delta)) == "
+    "state(all) EXACTLY, which is what the oracle's full recompute "
+    "checks. Sums in integer cents make the merge bit-exact under any "
+    "partitioning. At 100 TB this turns the nightly full-history "
+    "recompute into a |delta|+|state| read. Map-side partials collapse "
+    "each slice before the single keyed shuffle.",
+)
+def incremental_agg_merge_q(spark, sf_dir):
+    from ..operators.incremental import agg_state, merge_agg_state
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    base = agg_state(
+        ev.filter(F.col("ts") < split), ["user_id"], "value", "ts"
+    )
+    delta = agg_state(
+        ev.filter(F.col("ts") >= split), ["user_id"], "value", "ts"
+    )
+    return merge_agg_state(base, delta, ["user_id"])
+
+
+@register(
+    "ngram_lm_counts",
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tl
+      FROM documents
+    )
+    SELECT array_to_string(tl[g.s:g.s + 2], ' ') AS gram,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks, unnest(generate_series(1, len(tl) - 2)) AS g(s)
+    WHERE len(tl) >= 3
+    GROUP BY gram HAVING COUNT(*) >= 5
+    """,
+    tier="C",
+    note="C4 corpus-wide positional word-3-gram counts with min-count "
+    "pruning — the KenLM-style LM-data export (occurrence counts, not "
+    "per-doc distinct). One groupBy(gram) shuffle with map-side partial "
+    "counts; the prune filters aggregation OUTPUT, so shuffle rows are "
+    "one per distinct gram.",
+)
+def ngram_lm_counts_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.ngram_lm_counts(d, n=3, min_count=5)
+
+
+@register(
+    "fuzzy_join_blocked",
+    """
+    WITH d AS (SELECT DISTINCT p_name AS name FROM part),
+    e AS (SELECT name, string_split(name, ' ')[1] AS blk,
+                 length(name) AS ln FROM d)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist
+    FROM e a JOIN e b ON a.blk = b.blk
+    WHERE a.name < b.name
+      AND abs(a.ln - b.ln) <= 4
+      AND levenshtein(a.name, b.name) <= 4
+    """,
+    tier="C",
+    note="C7 blocked fuzzy self-match over the entity dictionary "
+    "(record linkage): candidates from a blocking key (first token) + "
+    "length band, levenshtein verify only on candidates. The O(n²) "
+    "fuzzy join collapses twice before any edit-distance work: "
+    "distinct-first (the dictionary is ~constant-cardinality as facts "
+    "grow) and the block equi-join (shuffle pairs only within blocks).",
+)
+def fuzzy_join_blocked_q(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select(F.col("p_name").alias("name"))
+    return join_ops.fuzzy_join_blocked(p, "name", max_dist=4)
+
+
+@register(
+    "events_transitions",
+    """
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+    tier="C",
+    note="C9 per-user event-transition (Markov bigram) counts — the "
+    "journey/funnel-discovery aggregate product analytics runs over "
+    "every event stream. lead() over the per-user time order then one "
+    "small groupBy; the window shuffle is keyed on user_id and the "
+    "transition matrix output is |event_types|² rows.",
+)
+def events_transitions_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "embedding_kmeans",
+    """
+    WITH exp AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), init AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             vec_id
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), c0 AS (
+      SELECT i.cid, e.dim, e.x AS m FROM init i JOIN exp e USING (vec_id)
+    ), d1 AS (
+      SELECT e.vec_id, c.cid, SUM((e.x - c.m) * (e.x - c.m)) AS d2
+      FROM exp e JOIN c0 c ON e.dim = c.dim GROUP BY e.vec_id, c.cid
+    ), a1 AS (
+      SELECT vec_id, cid FROM d1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    ), c1raw AS (
+      SELECT a.cid, e.dim, AVG(e.x) AS m
+      FROM a1 a JOIN exp e USING (vec_id) GROUP BY a.cid, e.dim
+    ), c1 AS (
+      SELECT c0.cid, c0.dim, COALESCE(r.m, c0.m) AS m
+      FROM c0 LEFT JOIN c1raw r ON c0.cid = r.cid AND c0.dim = r.dim
+    ), d2_ AS (
+      SELECT e.vec_id, c.cid, SUM((e.x - c.m) * (e.x - c.m)) AS d2
+      FROM exp e JOIN c1 c ON e.dim = c.dim GROUP BY e.vec_id, c.cid
+    )
+    SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM d2_
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    """,
+    tier="C",
+    note="C3 Lloyd's k-means (k=8, 2 iterations, init = lowest-8 "
+    "vec_ids — no RNG) over the embedding column: the semantic "
+    "clustering step for corpus mixing / cluster-then-sample diversity "
+    "curation, and the trainer for the IVF coarse quantizer. Centroids "
+    "are bounded model metadata (k·dim doubles) riding the closure as "
+    "literals — assignment is one codegen scan with NO join/shuffle; "
+    "the update is one posexplode groupBy(cid,dim) shuffle emitting "
+    "k·dim rows. Assignment ties break to the lowest centroid id on "
+    "both engines; double summation-order noise (~1e-13) cannot flip "
+    "argmin between random-embedding centroids (gaps are O(1)).",
+)
+def embedding_kmeans_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return sim_ops.kmeans_clusters(e, k=8, iters=2)
 
 
 # ---------------------------------------------------------------------

@@ -829,3 +829,139 @@ def test_jpeg_dims_roundtrip_and_marker_walk():
 
     with _pytest.raises(ValueError):
         decode_jpeg_dims(b"\x89PNG\r\n\x1a\n")
+
+
+# ---------------------------------------------------------------------
+# round-5 operators: span dedup, CDC apply, incremental merge, fuzzy
+# join, k-means
+# ---------------------------------------------------------------------
+
+
+def test_dedup_spans_scrubs_only_cross_doc_repeats(spark):
+    from simple_data_engineering_project_spark.operators.dedup import (
+        dedup_spans_global,
+    )
+
+    boiler = "all rights reserved by the site"  # 6 tokens, in 3 docs
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma"),
+            (2, f"{boiler} delta epsilon zeta"),
+            (3, f"eta theta iota {boiler}"),
+            (4, "unique text with no shared spans at all"),
+            (5, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_spans_global(docs, n=5, min_docs=3).collect()
+    }
+    # every token of the 6-token boilerplate is covered by a dup 5-gram
+    assert out[1].n_removed == 6 and out[1].n_kept == 3
+    assert out[2].n_removed == 6 and out[2].n_kept == 3
+    assert out[3].n_removed == 6 and out[3].n_kept == 3
+    # untouched docs: nothing removed, short docs (< n tokens) kept whole
+    assert out[4].n_removed == 0 and out[4].n_kept == 8
+    assert out[5].n_removed == 0 and out[5].n_kept == 1
+    # reassembly preserves original order of survivors
+    import hashlib
+
+    assert out[1].clean_md5 == hashlib.md5(b"alpha beta gamma").hexdigest()
+
+
+def test_cdc_apply_delete_and_latest_state(spark):
+    from simple_data_engineering_project_spark.operators.incremental import (
+        cdc_apply,
+    )
+
+    log = spark.createDataFrame(
+        [
+            (1, 1, "U", 10.0),
+            (1, 2, "U", 20.0),   # latest for key 1 -> survives with 20.0
+            (2, 1, "U", 5.0),
+            (2, 3, "D", 0.0),    # latest for key 2 is delete -> vanishes
+            (3, 9, "D", 0.0),
+            (3, 10, "U", 7.0),   # delete then re-insert -> survives
+        ],
+        "k long, seq long, op string, v double",
+    )
+    out = {
+        r.k: r
+        for r in cdc_apply(log, ["k"], ["seq"], op_col="op").collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1].v == 20.0 and out[1].n_changes == 2
+    assert out[3].v == 7.0 and out[3].n_changes == 2
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    from simple_data_engineering_project_spark.operators.incremental import (
+        agg_state,
+        merge_agg_state,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1.23),
+            (1, "2024-01-05 00:00:00", 2.34),
+            (1, "2024-01-25 00:00:00", 3.45),
+            (2, "2024-01-26 00:00:00", 9.99),
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    split = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    merged = merge_agg_state(
+        agg_state(ev.filter(F.col("ts") < split), ["user_id"], "value", "ts"),
+        agg_state(ev.filter(F.col("ts") >= split), ["user_id"], "value", "ts"),
+        ["user_id"],
+    )
+    full = agg_state(ev, ["user_id"], "value", "ts")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_fuzzy_join_blocked_pairs_and_threshold(spark):
+    from simple_data_engineering_project_spark.operators.joins import (
+        fuzzy_join_blocked,
+    )
+
+    names = spark.createDataFrame(
+        [("red bolt",), ("red bolts",), ("red widget",), ("blue bolt",),
+         ("red bolt",)],  # duplicate row: distinct-first must collapse it
+        "name string",
+    )
+    out = {(r.name_a, r.name_b): r.edit_dist
+           for r in fuzzy_join_blocked(names, max_dist=2).collect()}
+    # same block ('red'), within distance: bolt~bolts (1)
+    assert out[("red bolt", "red bolts")] == 1
+    # same block but distance 5 > 2: bolt vs widget excluded
+    assert ("red bolt", "red widget") not in out
+    # cross-block pair never considered despite distance 1
+    assert ("blue bolt", "red bolt") not in out
+    assert len(out) == 1
+
+
+def test_kmeans_deterministic_and_separates(spark):
+    from simple_data_engineering_project_spark.operators.similarity import (
+        kmeans_clusters,
+    )
+
+    # two tight blobs far apart; k=2 must split them exactly
+    pts = [(i, [0.0 + i * 0.01, 0.0]) for i in range(1, 6)] + [
+        (i, [10.0 + i * 0.01, 10.0]) for i in range(6, 11)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out1 = dict(
+        (r.vec_id, r.cluster_id)
+        for r in kmeans_clusters(df, k=2, iters=2).collect()
+    )
+    out2 = dict(
+        (r.vec_id, r.cluster_id)
+        for r in kmeans_clusters(df, k=2, iters=2).collect()
+    )
+    assert out1 == out2  # deterministic across runs
+    blob_a = {out1[i] for i in range(1, 6)}
+    blob_b = {out1[i] for i in range(6, 11)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
