@@ -78,6 +78,11 @@ HEADLINE = [
     "graph_pagerank",
     "similarity_topk_pq",
     "sink_compact",
+    # round-5b additions
+    "dedup_spans_global",
+    "embedding_kmeans",
+    "merge_cdc_apply",
+    "incremental_agg_merge",
 ]
 
 

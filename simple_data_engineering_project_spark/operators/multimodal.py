@@ -7,7 +7,9 @@ plumbing (schema, Arrow batching, ``mapInPandas`` signature, partition
 sizing) is real and tested, and three codecs decode for real with pure
 stdlib/numpy: uncompressed 24bpp BMP (:func:`decode_bmp`), PNG with all
 five scanline filters (:func:`decode_png`, stdlib zlib), and PCM WAV
-(:func:`decode_wav`). Codecs requiring external libraries
+(:func:`decode_wav`); image RESIZE is likewise real for those containers
+(:func:`resize_image`: nearest-neighbor resample → PNG re-encode, run
+distributed by :func:`resize_media`). Codecs requiring external libraries
 (JPEG/WebP/MP3/MP4 — Pillow/ffmpeg are not in this environment) remain
 clearly-marked ``NotImplementedError`` stubs; undecodable payloads fall
 back to byte-level features rather than failing.
@@ -107,6 +109,29 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+def decode_bmp_pixels(payload: bytes) -> "np.ndarray":
+    """Uncompressed 24bpp BMP to pixels, shape (height, width, 3) uint8
+    in visual top-down row order and RGB channel order (BMP stores
+    bottom-up BGR; a negative height means already top-down)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    n_rows = abs(height)
+    stride = ((3 * width + 3) // 4) * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * n_rows, offset=data_offset
+    ).reshape(n_rows, stride)[:, : 3 * width]
+    px = rows.reshape(n_rows, width, 3)
+    if height > 0:
+        px = px[::-1]  # bottom-up → top-down
+    return px[:, :, ::-1].copy()  # BGR → RGB
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
 
@@ -161,6 +186,20 @@ def decode_png(payload: bytes) -> dict:
     non-interlaced. Returns dimensions, channel count, and the exact
     pixel-byte sum. Raises ValueError on anything else (16-bit, palette,
     interlaced)."""
+    px = decode_png_pixels(payload)
+    return {
+        "width": px.shape[1],
+        "height": px.shape[0],
+        "channels": px.shape[2],
+        "pixel_sum": int(px.sum(dtype=np.int64)),
+    }
+
+
+def decode_png_pixels(payload: bytes) -> "np.ndarray":
+    """PNG decode to the raw pixel array, shape (height, width,
+    channels) uint8 — the same unfilter path as :func:`decode_png`, kept
+    separate so transforms (resize) get pixels while the feature
+    extractor gets the cheap summary."""
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, width = len(_PNG_SIG), None
@@ -223,12 +262,7 @@ def decode_png(payload: bytes) -> dict:
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = line.astype(np.uint8)
-    return {
-        "width": width,
-        "height": height,
-        "channels": channels,
-        "pixel_sum": int(out.sum(dtype=np.int64)),
-    }
+    return out.reshape(height, width, channels)
 
 
 def encode_jpeg_shell(width: int, height: int, n_components: int = 3) -> bytes:
@@ -524,15 +558,53 @@ def decode_audio(payload: bytes) -> object:
     )
 
 
-def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """STUB — image resize requires a codec library absent here.
+_PNG_COLOR_OF_CHANNELS = {1: 0, 2: 4, 3: 2, 4: 6}  # samples/pixel → color type
 
-    On a real cluster: decode → ``img.resize((width, height))`` → re-encode,
-    inside the same ``mapInPandas`` batch loop as ``extract_features``.
-    """
-    raise NotImplementedError(
-        "image resize is stubbed: no codec libraries in this environment"
+
+def encode_png_pixels(px: "np.ndarray") -> bytes:
+    """Encode an arbitrary uint8 pixel array (height, width, channels ∈
+    {1,2,3,4}) as a non-interlaced 8-bit PNG, filter None on every row —
+    the re-encode half of the resize path."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    height, width, channels = px.shape
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _PNG_COLOR_OF_CHANNELS[channels], 0, 0, 0
     )
+    flat = px.reshape(height, width * channels)
+    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(height))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def image_pixels(payload: bytes) -> "np.ndarray":
+    """Decode any supported image payload (PNG or uncompressed BMP) to a
+    (height, width, channels) uint8 array via magic-byte dispatch."""
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png_pixels(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp_pixels(payload)
+    raise ValueError("unsupported image container for pixel decode")
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL image resize for the decodable containers: PNG / uncompressed
+    BMP in, nearest-neighbor resample, 8-bit PNG out.
+
+    Nearest-neighbor with the integer floor mapping
+    ``src = (dst * src_dim) // dst_dim`` — deterministic (no float
+    rounding, identical on any platform) and exactly predictable by an
+    arithmetic oracle. Entropy-coded inputs (JPEG scan data, WebP) still
+    raise via :func:`image_pixels`; see :func:`decode_image`.
+    """
+    px = image_pixels(payload)
+    src_h, src_w = px.shape[:2]
+    iy = (np.arange(height, dtype=np.int64) * src_h) // height
+    ix = (np.arange(width, dtype=np.int64) * src_w) // width
+    return encode_png_pixels(px[iy][:, ix])
 
 
 def sample_video_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
@@ -621,6 +693,43 @@ def partition_by_payload_bytes(media: DataFrame, target_mb: int = 128) -> DataFr
     ).collect()[0]["b"] or 0
     n = max(1, -(-int(total) // (target_mb * 1024 * 1024)))
     return media.repartition(n)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Distributed image resize: every decodable image payload is
+    resampled to (width, height) via :func:`resize_image` and re-emitted
+    as a PNG payload with updated meta; undecodable payloads pass
+    through untouched (same skip-don't-fail posture as the feature
+    extractor).
+
+    Runs in the same Arrow ``mapInPandas`` batch loop as
+    ``extract_features`` — decode → transform → re-encode per batch, no
+    per-row Python UDF overhead, pairs with
+    ``partition_by_payload_bytes`` for byte-bounded tasks.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            out_meta = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                try:
+                    out_payloads.append(resize_image(payload, width, height))
+                    m = dict(meta) if meta is not None else {}
+                    m.update(mime="image/png", width=width, height=height)
+                    out_meta.append(m)
+                except (ValueError, NotImplementedError, TypeError):
+                    out_payloads.append(payload)
+                    out_meta.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payloads,
+                    "meta": out_meta,
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)
 
 
 def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:

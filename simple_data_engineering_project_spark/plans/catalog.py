@@ -5411,6 +5411,37 @@ def tokenize_to_ids_q(spark, sf_dir):
 
 
 @register(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS media_id,
+           CAST(6 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           CAST(6 * 4 * ((doc_id % 250) + ((doc_id + 3) % 250)
+                         + ((doc_id + 7) % 250)) AS BIGINT) AS content_sum
+    FROM documents
+    """,
+    tier="C",
+    note="C5 REAL distributed image resize — decode (PNG: zlib inflate "
+    "+ unfilter) → nearest-neighbor resample (integer floor mapping, "
+    "no float rounding) → PNG re-encode, all inside one Arrow "
+    "mapInPandas batch loop, then a second decode pass extracts "
+    "features from the RESIZED payloads. The oracle predicts the "
+    "post-resize pixel sum arithmetically (constant-color sources: "
+    "6·4·(r+g+b)), so a hash match proves the full "
+    "decode→transform→re-encode→decode round trip ran on real bytes. "
+    "Gradient-image resample correctness is pinned by unit test "
+    "(constant images cannot distinguish index mappings).",
+)
+def multimodal_resize_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_png_from_documents(d)
+    resized = mm_ops.resize_media(media, width=6, height=4)
+    return mm_ops.extract_features(resized).select(
+        "media_id", "width", "height", "content_sum"
+    )
+
+
+@register(
     "dedup_spans_global",
     """
     WITH toks AS (

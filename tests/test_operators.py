@@ -965,3 +965,52 @@ def test_kmeans_deterministic_and_separates(spark):
     blob_a = {out1[i] for i in range(1, 6)}
     blob_b = {out1[i] for i in range(6, 11)}
     assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+
+
+def test_resize_image_gradient_nearest_neighbor():
+    import numpy as np
+
+    from simple_data_engineering_project_spark.operators import multimodal as mm
+
+    # 4×4 gradient: pixel (y, x) = (10*y, 10*x, 0) — distinguishes index
+    # mappings (a constant image cannot)
+    src = np.zeros((4, 4, 3), dtype=np.uint8)
+    for y in range(4):
+        for x in range(4):
+            src[y, x] = (10 * y, 10 * x, 0)
+    payload = mm.encode_png_pixels(src)
+    out = mm.image_pixels(mm.resize_image(payload, 2, 2))
+    # floor mapping src = (dst * 4) // 2 → rows/cols {0, 2}
+    expect = src[[0, 2]][:, [0, 2]]
+    assert (out == expect).all()
+    # upscale 4×4 → 8×8: each source pixel repeats in a 2×2 block
+    up = mm.image_pixels(mm.resize_image(payload, 8, 8))
+    assert up.shape == (8, 8, 3)
+    assert (up[::2, ::2] == src).all() and (up[1::2, 1::2] == src).all()
+
+
+def test_resize_image_bmp_input_channel_and_row_order():
+    from simple_data_engineering_project_spark.operators import multimodal as mm
+
+    # constant-color BMP stores BGR bottom-up; resize must emit RGB PNG
+    payload = mm.encode_bmp(5, 3, bgr=(7, 20, 99))
+    out = mm.image_pixels(mm.resize_image(payload, 2, 2))
+    assert out.shape == (2, 2, 3)
+    assert (out == (99, 20, 7)).all()  # RGB order after swap
+
+
+def test_resize_media_distributed_roundtrip(spark):
+    from simple_data_engineering_project_spark.operators import multimodal as mm
+
+    docs = spark.range(1, 21).withColumnRenamed("id", "doc_id")
+    media = mm.media_png_from_documents(docs)
+    feats = {
+        r.media_id: r
+        for r in mm.extract_features(
+            mm.resize_media(media, width=6, height=4)
+        ).collect()
+    }
+    for did in range(1, 21):
+        r, g, b = did % 250, (did + 3) % 250, (did + 7) % 250
+        assert feats[did].width == 6 and feats[did].height == 4
+        assert feats[did].content_sum == 6 * 4 * (r + g + b)
