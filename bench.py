@@ -83,6 +83,10 @@ HEADLINE = [
     "embedding_kmeans",
     "merge_cdc_apply",
     "incremental_agg_merge",
+    # round-5c additions
+    "semantic_dedup",
+    "join_salted_skew",
+    "text_entropy",
 ]
 
 

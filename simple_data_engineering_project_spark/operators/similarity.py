@@ -585,3 +585,55 @@ def kmeans_clusters(
         F.col(id_col),
         assign(centroids).alias("cluster_id"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column.
+
+    Cluster-then-compare (Abbas et al. 2023, "SemDeDup"): k-means
+    partitions the corpus into semantic neighborhoods, then pairwise
+    cosine runs ONLY within a cluster. A vector is a duplicate iff some
+    lower-id vector in the same cluster exceeds ``threshold`` — a
+    well-defined set (not greedy-order-dependent), so any engine agrees
+    on it. Returns ``(id, cluster_id, is_dup)`` with ``is_dup`` as
+    0/1 int.
+
+    Scale shape: the all-pairs comparison never happens globally — the
+    self-join key is ``cluster_id``, so candidate pairs are
+    Σ |cluster|² instead of n². In production k grows with the corpus
+    (k ≈ n / target_cluster_size), keeping per-cluster pair counts
+    bounded; the kmeans step itself is two scans per iteration with
+    centroids as bounded closure metadata (see ``kmeans_clusters``).
+    Cosine folds in codegen on doubles — summation order matches the
+    DuckDB oracle bit-for-bit, so the threshold compare cannot flip.
+    """
+    from ..functions import cosine_similarity
+
+    assigned = kmeans_clusters(df, id_col, vec_col, k=k, iters=iters)
+    base = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
+    left = base.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "cluster_id"
+    )
+    right = base.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "cluster_id"
+    )
+    dups = (
+        left.join(right, "cluster_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine_similarity(F.col("a_vec"), F.col("b_vec")) > F.lit(threshold))
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return base.join(dups, id_col, "left").select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.coalesce(F.col("__dup"), F.lit(0)).cast("int").alias("is_dup"),
+    )

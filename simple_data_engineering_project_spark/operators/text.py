@@ -848,3 +848,47 @@ def ngram_lm_counts(
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
     )
+
+
+_ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-level Shannon entropy over [a-z0-9 ] of lowercased text.
+
+    A cheap quality/noise signal: natural prose sits near the language's
+    characteristic char entropy (~4.1 bits for English); keyboard mash,
+    base64 blobs, and single-char padding land far from it, so the score
+    gates both degenerate-low and random-high tails before any dedup
+    shuffle spends money on junk.
+
+    Entirely row-local — per-char counts come from 37
+    ``length(t) - length(replace(t, c))`` folds (codegen, no explode, no
+    shuffle: the explode→groupBy(doc_id, char) formulation would shuffle
+    every character of the corpus to count what one scan can). Uses the
+    shuffle-free identity H = ln(N) - (Σ n_c·ln(n_c))/N on exact integer
+    counts; emitted in nats rounded to 4dp (last-ulp ln() drift across
+    engines is absorbed by the rounding, same contract as
+    ``unigram_logprob``).
+    """
+    low = F.lower(F.col(text_col))
+    counts = F.array(
+        *[
+            (F.length(low) - F.length(F.replace(low, F.lit(c)))).cast("double")
+            for c in _ENTROPY_ALPHABET
+        ]
+    )
+    n = F.aggregate(counts, F.lit(0.0), lambda a, x: a + x)
+    sum_nlogn = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda a, x: a + F.when(x > 0, x * F.log(x)).otherwise(F.lit(0.0)),
+    )
+    entropy = F.when(n > 0, F.log(n) - sum_nlogn / n).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_alnum"),
+        F.round(entropy, 4).alias("char_entropy"),
+    )

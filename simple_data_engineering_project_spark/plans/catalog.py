@@ -5713,6 +5713,299 @@ def embedding_kmeans_q(spark, sf_dir):
     return sim_ops.kmeans_clusters(e, k=8, iters=2)
 
 
+@register(
+    "join_salted_skew",
+    """
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    tier="C",
+    note="C7 skew-safe equi-join: the big side is salted (content-hash "
+    "mod 8) and the dim side replicated x8, so the join key becomes "
+    "(l_partkey, salt) and a hot part's rows spread over 8 tasks "
+    "instead of one reducer. Covers the case AQE's skew-join split "
+    "can't: a single key whose one shuffle block is still too large. "
+    "Result provably identical to the plain join — the oracle IS the "
+    "plain join. Companion to agg_salted_skew (same routing idea, "
+    "join form); operator shared with tests/test_scale.py which pins "
+    "semantics equality and the big-side-preserving-only guard.",
+)
+def join_salted_skew_q(spark, sf_dir):
+    from ..operators.skew import salted_skew_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_skew_join(li, p, ["l_partkey"], buckets=8)
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "events_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS grp
+      FROM days
+    ), per AS (
+      SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS max_streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM per GROUP BY user_id
+    """,
+    tier="C",
+    note="C9 gaps-and-islands: longest consecutive-active-day streak "
+    "per user via the date-minus-row_number island key (consecutive "
+    "days share a constant difference). The engagement metric every "
+    "product-analytics stack computes. One distinct + one window + two "
+    "aggs, all keyed on user_id — a single shuffle lineage, no "
+    "self-join (the naive formulation is a quadratic self-join on "
+    "date adjacency).",
+)
+def events_streaks_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+    per = isl.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return per.groupBy("user_id").agg(
+        F.max("len").alias("max_streak_days"),
+        F.count("*").alias("n_streaks"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+@register(
+    "corpus_mix_report",
+    """
+    WITH per AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(trim(regexp_replace(lower(text),
+                  '[^a-z0-9]+', ' ', 'g')), ' '))) AS BIGINT) AS sum_tokens
+      FROM documents GROUP BY source, lang
+    ), tot AS (
+      SELECT CAST(SUM(sum_tokens) AS BIGINT) AS total_tokens FROM per
+    )
+    SELECT source, lang, n_docs, sum_tokens,
+           CAST((sum_tokens * 1000000) // total_tokens AS BIGINT)
+             AS share_ppm
+    FROM per CROSS JOIN tot
+    """,
+    tier="C",
+    note="C4 training-mix report: per (source, lang) document and "
+    "whitespace-token counts plus integer parts-per-million share of "
+    "the corpus — the data-mixing table every pretraining run is "
+    "steered by (token budgets per domain). One partial-agg shuffle to "
+    "|sources|x|langs| rows; the grand total rides back as a "
+    "broadcast-nested-loop 1-row join (never a partitionless window). "
+    "Share is exact integer arithmetic (x1e6 then integer-divide) so "
+    "no float reaches the hash; the x1e6 product needs the corpus "
+    "under ~9.2e12 tokens in int64 — beyond that, widen to decimal.",
+)
+def corpus_mix_report_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text_ops.token_count_whitespace("text")).alias("sum_tokens"),
+    )
+    tot = per.agg(F.sum("sum_tokens").alias("total_tokens"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "sum_tokens",
+        F.expr("(sum_tokens * 1000000) DIV total_tokens").alias("share_ppm"),
+    )
+
+
+_ENTROPY_SQL_COUNTS = ", ".join(
+    f"CAST(length(t) - length(replace(t, '{c}', '')) AS DOUBLE)"
+    for c in text_ops._ENTROPY_ALPHABET
+)
+
+
+@register(
+    "text_entropy",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+    ), c AS (
+      SELECT doc_id, [{_ENTROPY_SQL_COUNTS}] AS cnts FROM b
+    ), s AS (
+      SELECT doc_id,
+             list_aggregate(cnts, 'sum') AS n,
+             list_aggregate(list_transform(cnts,
+               x -> CASE WHEN x > 0 THEN x * ln(x) ELSE 0.0 END),
+               'sum') AS snl
+      FROM c
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_alnum,
+           ROUND(CASE WHEN n > 0 THEN ln(n) - snl / n ELSE 0.0 END, 4)
+             AS char_entropy
+    FROM s
+    """,
+    tier="C",
+    note="C4 per-document character entropy over [a-z0-9 ] — the "
+    "cheap noise gate (keyboard mash and base64 run hot, padded "
+    "boilerplate runs cold; English prose sits ~2.8-3.0 nats). "
+    "Entirely row-local: 37 length-after-replace folds + the "
+    "shuffle-free identity H = ln(N) - sum(n_c*ln(n_c))/N on exact "
+    "integer counts, one codegen scan with ZERO shuffles (the "
+    "explode->groupBy(doc_id, char) formulation shuffles every "
+    "character in the corpus). 4dp rounding absorbs last-ulp ln() "
+    "drift across engines, same contract as text_unigram_logprob.",
+)
+def text_entropy_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.char_entropy(d)
+
+
+@register(
+    "semantic_dedup",
+    """
+    WITH exp AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), init AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             vec_id
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), c0 AS (
+      SELECT i.cid, e.dim, e.x AS m FROM init i JOIN exp e USING (vec_id)
+    ), d1 AS (
+      SELECT e.vec_id, c.cid, SUM((e.x - c.m) * (e.x - c.m)) AS d2
+      FROM exp e JOIN c0 c ON e.dim = c.dim GROUP BY e.vec_id, c.cid
+    ), a1 AS (
+      SELECT vec_id, cid FROM d1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    ), c1raw AS (
+      SELECT a.cid, e.dim, AVG(e.x) AS m
+      FROM a1 a JOIN exp e USING (vec_id) GROUP BY a.cid, e.dim
+    ), c1 AS (
+      SELECT c0.cid, c0.dim, COALESCE(r.m, c0.m) AS m
+      FROM c0 LEFT JOIN c1raw r ON c0.cid = r.cid AND c0.dim = r.dim
+    ), d2_ AS (
+      SELECT e.vec_id, c.cid, SUM((e.x - c.m) * (e.x - c.m)) AS d2
+      FROM exp e JOIN c1 c ON e.dim = c.dim GROUP BY e.vec_id, c.cid
+    ), asg AS (
+      SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM d2_
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a
+      JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      WHERE list_dot_product(va.ve, vb.ve)
+            / (sqrt(list_dot_product(va.ve, va.ve))
+               * sqrt(list_dot_product(vb.ve, vb.ve))) > 0.4
+    )
+    SELECT g.vec_id, g.cluster_id,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+    FROM asg g LEFT JOIN dup d ON g.vec_id = d.vec_id
+    """,
+    tier="C",
+    note="C2/C3 SemDeDup (Abbas et al. 2023): k-means clusters the "
+    "corpus into semantic neighborhoods (deterministic lowest-id init, "
+    "k=8 x 2 iters — same trainer as embedding_kmeans), then pairwise "
+    "cosine runs ONLY within a cluster; a vector is a duplicate iff a "
+    "lower-id cluster-mate exceeds cos 0.4. The all-pairs explosion "
+    "never happens: the self-join key is cluster_id, so candidates are "
+    "sum(|cluster|^2), and in production k grows with the corpus to "
+    "keep clusters bounded. Cosine folds on doubles in the same "
+    "sequential order as DuckDB's list_dot_product, so the threshold "
+    "compare is bit-stable. The oracle chains the (already "
+    "hash-verified) kmeans CTE with all-pairs-within-cluster cosine.",
+)
+def semantic_dedup_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return sim_ops.semantic_dedup(e, k=8, iters=2, threshold=0.4)
+
+
+@register(
+    "scan_csv_permissive",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN o_orderkey % 97 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_parsed_keys,
+           CAST(SUM(CASE WHEN o_orderkey % 97 <> 0 THEN o_custkey ELSE 0 END)
+                AS BIGINT) AS sum_custkey_good
+    FROM orders
+    """,
+    tier="A",
+    note="A17 row-granularity error containment on the CSV path: a "
+    "deterministically corrupted landing file (every 97th order key "
+    "becomes an unparseable token) read back in PERMISSIVE mode with "
+    "columnNameOfCorruptRecord — bad rows surface as "
+    "(nulls, raw-line) instead of failing the job, mirroring the "
+    "reference's skip-and-continue per-file semantics (dag.py:150-171) "
+    "at per-ROW granularity, which is what survives at 100 TB (one "
+    "bad row in a billion must not kill the batch). The oracle "
+    "predicts good/corrupt counts straight from the clean source, so "
+    "the round-trip (write corrupt CSV -> permissive scan -> agg) is "
+    "hash-verified end-to-end.",
+)
+def scan_csv_permissive_q(spark, sf_dir):
+    path = _scratch(sf_dir, "csv_permissive")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lines = o.select(
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.concat(F.lit("X"), F.col("o_orderkey").cast("string")),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_custkey BIGINT, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # the corrupt column is only populated for columns the parse
+    # actually materializes — an aggregate that prunes o_orderkey would
+    # never trip the cast failure, so reference every schema column
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.count("o_orderkey").alias("n_parsed_keys"),
+        F.coalesce(F.sum("o_custkey"), F.lit(0)).alias("sum_custkey_good"),
+    )
+
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order

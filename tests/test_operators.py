@@ -1014,3 +1014,74 @@ def test_resize_media_distributed_roundtrip(spark):
         r, g, b = did % 250, (did + 3) % 250, (did + 7) % 250
         assert feats[did].width == 6 and feats[did].height == 4
         assert feats[did].content_sum == 6 * 4 * (r + g + b)
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    from simple_data_engineering_project_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # Two tight groups far apart + one planted near-duplicate per group.
+    # k=2 clustering must separate the groups; within each, the higher-id
+    # near-copy is the duplicate and the group anchor survives.
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.01, 0.999, 0.0]),   # near-dup of 3
+        (5, [0.7, -0.7, 0.1]),     # distinct; lands in some cluster alone-ish
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["is_dup"])
+        for r in semantic_dedup(df, k=2, iters=2, threshold=0.95).collect()
+    }
+    assert out[2][1] == 1 and out[4][1] == 1      # planted dups flagged
+    assert out[1][1] == 0 and out[3][1] == 0      # anchors kept
+    assert out[1][0] == out[2][0]                 # dup pairs co-clustered
+    assert out[3][0] == out[4][0]
+    assert len(out) == 5                          # nothing dropped
+
+
+def test_semantic_dedup_blocking_blinds_cross_cluster_pairs(spark):
+    from simple_data_engineering_project_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # Identical vectors forced into different clusters are NOT compared —
+    # pinning that the pair generation is cluster-blocked (the scale
+    # contract: no global all-pairs), not a hidden cartesian.
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [-1.0, 0.0]),
+        (3, [1.0, 0.0]),  # identical to 1 → same cluster → dup
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["is_dup"])
+        for r in semantic_dedup(df, k=2, iters=2, threshold=0.9).collect()
+    }
+    assert out[3][1] == 1 and out[1][1] == 0 and out[2][1] == 0
+    assert out[1][0] != out[2][0]
+
+
+def test_char_entropy_closed_forms(spark):
+    import math
+
+    from simple_data_engineering_project_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),          # degenerate: H = 0
+            (2, "abcd"),          # uniform over 4 chars: H = ln 4
+            (3, "AbCd!!"),        # case-folded; '!' outside alphabet ignored
+            (4, ""),              # empty: defined as 0, no NaN
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: (r["n_alnum"], r["char_entropy"]) for r in
+           char_entropy(df).collect()}
+    assert out[1] == (4, 0.0)
+    assert out[2] == (4, round(math.log(4), 4))
+    assert out[3] == (4, round(math.log(4), 4))
+    assert out[4] == (0, 0.0)
