@@ -507,6 +507,75 @@ def pq_topk(
     return _topk_per_query(rescored, k)
 
 
+def _kmeans_assign_expr(vec_col: str, cents: list[list[float]]):
+    """Nearest-centroid id as a row-local codegen expression.
+
+    Squared-L2 to each centroid literal, first-min tiebreak on centroid
+    id (``array_position`` returns the FIRST minimum) — no join, no
+    shuffle; the centroid list is bounded closure metadata.
+    """
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Train Lloyd's k-means and return the centroid list (k × dim).
+
+    Same training loop as ``kmeans_clusters`` (deterministic lowest-id
+    init, mean update, empty clusters keep their previous centroid) —
+    exposed separately so consumers (semantic_dedup, IVF) can embed the
+    assignment as a row-local expression instead of joining against an
+    assignment table.
+    """
+    centroids = [
+        [float(x) for x in r.v]
+        for r in df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(k)
+        .collect()
+    ]
+    for _ in range(iters - 1):
+        assigned = df.select(
+            F.col(vec_col).alias("v"),
+            _kmeans_assign_expr(vec_col, centroids).alias("cid"),
+        )
+        mean_rows = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        updated = {int(r.cid): [float(x) for x in r.c] for r in mean_rows}
+        centroids = [updated.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
 def kmeans_clusters(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -533,57 +602,10 @@ def kmeans_clusters(
     rows. Per-iteration cost is exactly two scans of the corpus; the
     driver never holds more than k·dim floats.
     """
-    centroids = [
-        [float(x) for x in r.v]
-        for r in df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy("i")
-        .limit(k)
-        .collect()
-    ]
-
-    def assign(cents):
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda x, y: (x.cast("double") - y)
-                        * (x.cast("double") - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for c in cents
-            ]
-        )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-    for _ in range(iters - 1):
-        assigned = df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            assign(centroids).alias("cid"),
-        )
-        mean_rows = (
-            assigned.select("cid", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cid", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("c")
-            )
-            .collect()
-        )
-        updated = {int(r.cid): [float(x) for x in r.c] for r in mean_rows}
-        centroids = [updated.get(i, centroids[i]) for i in range(k)]
-
+    centroids = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
     return df.select(
         F.col(id_col),
-        assign(centroids).alias("cluster_id"),
+        _kmeans_assign_expr(vec_col, centroids).alias("cluster_id"),
     )
 
 
@@ -610,14 +632,23 @@ def semantic_dedup(
     Σ |cluster|² instead of n². In production k grows with the corpus
     (k ≈ n / target_cluster_size), keeping per-cluster pair counts
     bounded; the kmeans step itself is two scans per iteration with
-    centroids as bounded closure metadata (see ``kmeans_clusters``).
+    centroids as bounded closure metadata (see ``kmeans_fit``). The
+    cluster assignment is a row-local expression (no assignment-table
+    join), and the pair join goes through ``salted_skew_join`` — a plain
+    cluster_id equi-join has only k distinct keys, capping parallelism
+    at k tasks; salting spreads each cluster over ``buckets`` tasks.
     Cosine folds in codegen on doubles — summation order matches the
     DuckDB oracle bit-for-bit, so the threshold compare cannot flip.
     """
     from ..functions import cosine_similarity
+    from .skew import salted_skew_join
 
-    assigned = kmeans_clusters(df, id_col, vec_col, k=k, iters=iters)
-    base = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
+    centroids = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _kmeans_assign_expr(vec_col, centroids).alias("cluster_id"),
+    )
     left = base.select(
         F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "cluster_id"
     )
@@ -625,7 +656,7 @@ def semantic_dedup(
         F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "cluster_id"
     )
     dups = (
-        left.join(right, "cluster_id")
+        salted_skew_join(right, left, ["cluster_id"], buckets=8)
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(cosine_similarity(F.col("a_vec"), F.col("b_vec")) > F.lit(threshold))
         .select(F.col("b_id").alias(id_col))

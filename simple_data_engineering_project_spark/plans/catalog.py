@@ -5933,7 +5933,10 @@ def text_entropy_q(spark, sf_dir):
     "lower-id cluster-mate exceeds cos 0.4. The all-pairs explosion "
     "never happens: the self-join key is cluster_id, so candidates are "
     "sum(|cluster|^2), and in production k grows with the corpus to "
-    "keep clusters bounded. Cosine folds on doubles in the same "
+    "keep clusters bounded. The pair join is salted (salted_skew_join "
+    "x8): a plain cluster_id equi-join has only k distinct keys, "
+    "capping parallelism at k tasks; assignment itself is a row-local "
+    "centroid-literal expression, never an assignment-table join. Cosine folds on doubles in the same "
     "sequential order as DuckDB's list_dot_product, so the threshold "
     "compare is bit-stable. The oracle chains the (already "
     "hash-verified) kmeans CTE with all-pairs-within-cluster cosine.",
