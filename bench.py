@@ -87,6 +87,7 @@ HEADLINE = [
     "semantic_dedup",
     "join_salted_skew",
     "text_entropy",
+    "sink_jsonl_shards",
 ]
 
 

@@ -6009,6 +6009,67 @@ def scan_csv_permissive_q(spark, sf_dir):
 
 
 
+@register(
+    "sink_jsonl_shards",
+    """
+    SELECT CAST(((doc_id % 1000003) * 2654435761) % 4294967296 % 8 AS INT)
+             AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY shard
+    """,
+    tier="A",
+    note="A9-adjacent training-data export: documents serialized as "
+    "JSON-lines into 8 hash-sharded hive directories (shard = the same "
+    "Knuth multiplicative hash as sample_hash — deterministic in any "
+    "engine, no rand/round-robin), then RE-READ via the JSON source "
+    "with partition discovery and re-aggregated, so the emitted "
+    "manifest (per-shard doc and char counts) is round-trip-verified "
+    "against the oracle computed straight from the source table. The "
+    "JSON lines are built with explicit concat (not to_json) so the "
+    "byte layout is engine-independent. The final step of every LLM "
+    "data pipeline — tokenizer/trainer shards — with the shard count "
+    "a parameter that becomes files-per-shard x shards at 100 TB "
+    "(each shard dir holds one file per task; sink_compact handles "
+    "small-file hygiene downstream).",
+)
+def sink_jsonl_shards_q(spark, sf_dir):
+    path = _scratch(sf_dir, "jsonl_shards")
+    d = _t(spark, sf_dir, "documents")
+    shard = F.pmod(
+        F.pmod(
+            (F.col("doc_id") % 1000003) * F.lit(2654435761), F.lit(4294967296)
+        ),
+        F.lit(8),
+    ).cast("int")
+    # explicit JSON construction: to_json's float/escape formatting is
+    # engine-specific; doc_id and a length are layout-stable
+    line = F.concat(
+        F.lit('{"doc_id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "n_chars": '),
+        F.length("text").cast("string"),
+        F.lit(', "text": "'),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"\\", r"\\\\"), '"', '\\\\"'
+        ),
+        F.lit('"}'),
+    )
+    (
+        d.select(shard.alias("shard"), line.alias("value"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .text(path)
+    )
+    back = spark.read.option("basePath", path).json(f"{path}/shard=*")
+    return back.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+    )
+
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order

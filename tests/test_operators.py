@@ -1085,3 +1085,29 @@ def test_char_entropy_closed_forms(spark):
     assert out[2] == (4, round(math.log(4), 4))
     assert out[3] == (4, round(math.log(4), 4))
     assert out[4] == (0, 0.0)
+
+
+def test_sink_jsonl_shards_escaping_roundtrip(spark, tmp_path):
+    import os
+
+    from simple_data_engineering_project_spark.plans import catalog
+
+    # quotes and backslashes in text must survive the explicit JSON
+    # serialization → JSON-source re-read; counts prove byte fidelity
+    docs = spark.createDataFrame(
+        [
+            (1, 'say "hi" \\ twice', "en", "web", 16),
+            (2, "plain", "en", "web", 5),
+            (3, 'only "quotes"', "en", "web", 13),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "sfX")
+    os.makedirs(sf_dir)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    out = {
+        r["shard"]: (r["n_docs"], r["sum_chars"])
+        for r in catalog()["sink_jsonl_shards"].fn(spark, sf_dir).collect()
+    }
+    assert sum(n for n, _ in out.values()) == 3
+    assert sum(c for _, c in out.values()) == 16 + 5 + 13
