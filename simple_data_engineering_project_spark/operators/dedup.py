@@ -620,10 +620,19 @@ def dedup_spans_global(
     collisions are immaterial to a boilerplate scrub) so the shuffle
     moves 8-byte keys instead of ~6-word strings.
     """
-    toks = df.select(
-        F.col(id_col),
-        F.array_remove(F.split(normalized_text(text_col), " "), "").alias("__tl"),
-    ).localCheckpoint()
+    # _spread BEFORE the checkpoint: localCheckpoint preserves
+    # partitioning, so a one-partition small file would otherwise pin
+    # all gram construction and explodes to a single core
+    toks = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.array_remove(
+                F.split(normalized_text(text_col), " "), ""
+            ).alias("__tl"),
+        )
+        .localCheckpoint()
+    )
     # (id, pos, token) — pos is 0-based original order
     tok = toks.select(id_col, F.posexplode("__tl").alias("pos", "token"))
     # (id, start, gram): grams from a materialized token array; slice()

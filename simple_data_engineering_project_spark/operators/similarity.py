@@ -252,8 +252,12 @@ def lsh_topk(
     the thousands the literal expression tree costs more in Catalyst
     analysis + codegen (and driver heap) than the data itself.
     """
+    from .dedup import _spread
+
     sig_udf = srp_signature_udf(dim, bands, bits, seed)
-    c = corpus.select(
+    # _spread: a one-partition small file would hand the whole corpus to
+    # a single Arrow batch worker; at real scale this is a no-op
+    c = _spread(corpus, corpus_id).select(
         F.col(corpus_id).alias("item_id"),
         F.col(corpus_vec).alias("__cv"),
         sig_udf(F.col(corpus_vec)).alias("__sig"),
@@ -640,30 +644,48 @@ def semantic_dedup(
     Cosine folds in codegen on doubles — summation order matches the
     DuckDB oracle bit-for-bit, so the threshold compare cannot flip.
     """
-    from ..functions import cosine_similarity
     from .skew import salted_skew_join
 
     centroids = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
-    base = df.select(
+    vd = F.col(vec_col).cast("array<double>")
+    # per-vector norm computed ONCE per row on the map side — the
+    # per-pair cosine then needs only the dot product. cos stays
+    # dot / (na * nb), the exact op sequence of cosine_similarity /
+    # the oracle's sqrt(list_dot_product(...)) — bit-identical.
+    norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, v: acc + v * v))
+    sides = df.select(
         F.col(id_col),
-        F.col(vec_col),
+        vd.alias("__v"),
+        norm.alias("__norm"),
         _kmeans_assign_expr(vec_col, centroids).alias("cluster_id"),
     )
-    left = base.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "cluster_id"
+    left = sides.select(
+        F.col(id_col).alias("a_id"),
+        F.col("__v").alias("a_vec"),
+        F.col("__norm").alias("a_norm"),
+        "cluster_id",
     )
-    right = base.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "cluster_id"
+    right = sides.select(
+        F.col(id_col).alias("b_id"),
+        F.col("__v").alias("b_vec"),
+        F.col("__norm").alias("b_norm"),
+        "cluster_id",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a_vec"), F.col("b_vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     dups = (
         salted_skew_join(right, left, ["cluster_id"], buckets=8)
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(cosine_similarity(F.col("a_vec"), F.col("b_vec")) > F.lit(threshold))
+        .filter(dot / (F.col("a_norm") * F.col("b_norm")) > F.lit(threshold))
         .select(F.col("b_id").alias(id_col))
         .distinct()
         .withColumn("__dup", F.lit(1))
     )
-    return base.join(dups, id_col, "left").select(
+    assigned = sides.select(F.col(id_col), "cluster_id")
+    return assigned.join(dups, id_col, "left").select(
         F.col(id_col),
         F.col("cluster_id"),
         F.coalesce(F.col("__dup"), F.lit(0)).cast("int").alias("is_dup"),

@@ -304,19 +304,34 @@ def repetition_features(
     sf0.1 that string-keyed shuffle was 10 s — 25× this plan.)
     """
     from ..functions import bigrams as bigrams_fn
+    from .dedup import _spread
 
-    lines = F.filter(
+    lines_expr = F.filter(
         F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
         lambda x: x != "",
     )
+    # Materialize the two derived arrays ONCE below the _spread exchange:
+    # Catalyst re-inlines collapsed projections, so every scalar that
+    # referenced the line/bigram arrays as expressions would re-split and
+    # re-sort the text; after the exchange they are bound attributes and
+    # extra references are free. (_spread also fixes the
+    # one-partition-small-file case — this operator is pure map work.)
+    pre = _spread(
+        df.select(
+            F.col(id_col),
+            lines_expr.alias("__lines"),
+            F.array_sort(bigrams_fn(text_col)).alias("__grams"),
+        ),
+        id_col,
+    )
+    lines = F.col("__lines")
     n_lines = F.size(lines)
-    grams = bigrams_fn(text_col)
     # max multiplicity of any bigram = longest equal-run in the sorted
     # array (single codegen fold; "" as the seed prev can never equal a
     # real "tok tok" bigram)
     zero = F.lit(0).cast("int")
     top_cnt = F.aggregate(
-        F.array_sort(grams),
+        F.col("__grams"),
         F.struct(
             F.lit("").alias("prev"), zero.alias("run"), zero.alias("mx")
         ),
@@ -332,8 +347,8 @@ def repetition_features(
         ),
         lambda acc: acc["mx"],
     )
-    n_bigrams = F.size(grams)
-    return df.select(
+    n_bigrams = F.size(F.col("__grams"))
+    return pre.select(
         F.col(id_col),
         n_lines.cast("bigint").alias("n_lines"),
         F.round(
@@ -880,14 +895,35 @@ def char_entropy(
             for c in _ENTROPY_ALPHABET
         ]
     )
-    n = F.aggregate(counts, F.lit(0.0), lambda a, x: a + x)
-    sum_nlogn = F.aggregate(
+    # Catalyst collapses projections by re-inlining expressions, so
+    # every column that references the 37-replace counts array would
+    # re-evaluate it. Reference it exactly ONCE (a single fold emitting
+    # both sums as a struct over one extra projection layer the
+    # optimizer can't inline into multiple copies of the array); n is
+    # recomputed from the fold output, never from the text.
+    sums = F.aggregate(
         counts,
-        F.lit(0.0),
-        lambda a, x: a + F.when(x > 0, x * F.log(x)).otherwise(F.lit(0.0)),
+        F.struct(F.lit(0.0).alias("n"), F.lit(0.0).alias("snl")),
+        lambda acc, x: F.struct(
+            (acc["n"] + x).alias("n"),
+            (
+                acc["snl"]
+                + F.when(x > 0, x * F.log(x)).otherwise(F.lit(0.0))
+            ).alias("snl"),
+        ),
     )
-    entropy = F.when(n > 0, F.log(n) - sum_nlogn / n).otherwise(F.lit(0.0))
-    return df.select(
+    from .dedup import _spread
+
+    stage = _spread(df, id_col).select(
+        F.col(id_col),
+        sums["n"].alias("__n"),
+        sums["snl"].alias("__snl"),
+    )
+    n = F.col("__n")
+    entropy = F.when(
+        n > 0, F.log(n) - F.col("__snl") / n
+    ).otherwise(F.lit(0.0))
+    return stage.select(
         F.col(id_col),
         n.cast("bigint").alias("n_alnum"),
         F.round(entropy, 4).alias("char_entropy"),

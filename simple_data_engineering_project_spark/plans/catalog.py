@@ -3850,7 +3850,8 @@ def tpch_q22_q(spark, sf_dir):
     "filters): duplicate-line fraction AND top-bigram share are both "
     "row-local array math — the top-bigram count is a max-run fold "
     "over the sorted per-doc bigram array, so the whole query is one "
-    "scan in codegen with ZERO shuffles (the explode→keyed-count "
+    "scan with no keyed shuffle (a conditional _spread repartition "
+    "widens narrow small-file inputs; no-op at real scale) (the explode→keyed-count "
     "first cut cost 10 s at sf0.1; this plan is ~25× cheaper). The "
     "standard cheap gate against boilerplate/machine-generated docs, "
     "run before any dedup shuffle. The oracle keeps the explode/"
