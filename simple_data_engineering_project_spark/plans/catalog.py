@@ -2511,6 +2511,33 @@ def events_conversion_join_q(spark, sf_dir):
 
 
 @register(
+    "events_conversion_outer",
+    """
+    SELECT l.user_id AS l_user, l.event_id AS l_event, l.ts AS l_ts,
+           r.event_id AS r_event, r.ts AS r_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') l
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+    tier="C",
+    note="C6/C7 non-conversion (abandonment) feed: every view, paired "
+    "with its in-horizon purchases OR emitted once with null purchase "
+    "columns. Same builder as events_conversion_join with "
+    "how='left_outer'; as a stream-stream join the null row emits only "
+    "when the watermark proves no match can still arrive (state "
+    "eviction + miss emission, pinned stream-vs-batch by "
+    "test_streaming.py::test_stream_stream_outer_join_emits_unmatched).",
+)
+def events_conversion_outer_q(spark, sf_dir):
+    from ..streaming import conversion_join
+
+    ev = _t(spark, sf_dir, "events")
+    return conversion_join(ev, ev, how="left_outer")
+
+
+@register(
     "agg_histogram",
     """
     SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS INT) AS bin,

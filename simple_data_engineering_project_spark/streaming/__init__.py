@@ -116,6 +116,7 @@ def conversion_join(
     right_type: str = "purchase",
     within: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: pair each ``left_type`` event with the
     same user's ``right_type`` events that follow within ``within``.
@@ -127,6 +128,13 @@ def conversion_join(
     O(events per horizon) instead of unbounded (the stream-stream join
     viability condition). Works identically on batch DataFrames (the
     oracle path: the same function is the batch twin).
+
+    ``how="left_outer"`` gives the non-conversion variant: a view with NO
+    purchase inside the horizon emits once — with null purchase columns —
+    when the watermark passes the end of its join window (the engine
+    proves no future match can arrive before declaring the miss; the
+    final no-data micro-batch flushes the tail). This is the funnel
+    drop-off / abandonment feed; inner-join consumers never see misses.
     """
     l = (
         left.filter(F.col("event_type") == left_type)
@@ -151,6 +159,7 @@ def conversion_join(
         (F.col("l_user") == F.col("r_user"))
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        how,
     ).select("l_user", "l_event", "l_ts", "r_event", "r_ts")
 
 

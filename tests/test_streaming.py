@@ -257,3 +257,47 @@ def test_stream_static_enrichment_matches_batch(spark, sf_smoke, events_dir):
         assert got == want and set(got) == {"gold", "silver", "bronze"}
     finally:
         q.stop()
+
+
+def test_stream_stream_outer_join_emits_unmatched(spark, sf_smoke, events_dir):
+    from simple_data_engineering_project_spark.streaming import conversion_join
+
+    # left-outer stream-stream join: views with no purchase inside the
+    # horizon must surface (null purchase columns) once the watermark
+    # proves no match can still arrive; the availableNow final no-data
+    # batch flushes everything older than max(ts) - delay. Compare
+    # against the batch twin restricted to lefts whose whole join
+    # window + watermark delay is provably past — rows younger than
+    # that may legitimately still sit in state at stream end.
+    left = read_events_stream(spark, events_dir, max_files_per_trigger=1000)
+    right = read_events_stream(spark, events_dir, max_files_per_trigger=1000)
+    joined = conversion_join(left, right, how="left_outer")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_conversion_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+        batch = read_table(spark, sf_smoke, "events")
+        max_ts = batch.agg(F.max("ts")).first()[0]
+        cutoff = F.lit(max_ts) - F.expr("INTERVAL 95 minutes")  # 30m + 1h + slack
+        got = {
+            (r["l_event"], r["r_event"])
+            for r in spark.sql(
+                "SELECT * FROM t_conversion_outer"
+            ).filter(F.col("l_ts") <= cutoff).collect()
+        }
+        want = {
+            (r["l_event"], r["r_event"])
+            for r in conversion_join(batch, batch, how="left_outer")
+            .filter(F.col("l_ts") <= cutoff)
+            .collect()
+        }
+        assert got == want and got
+        # the outer join must actually emit misses, not just matches
+        assert any(r_event is None for _, r_event in got)
+    finally:
+        q.stop()
