@@ -6143,6 +6143,149 @@ def basket_pairs_q(spark, sf_dir):
 
 
 
+@register(
+    "events_stickiness",
+    """
+    WITH dau AS (
+      SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+             CAST(ts AS DATE) AS d,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY week, d
+    ), wau AS (
+      SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM events GROUP BY week
+    )
+    SELECT w.week, CAST(SUM(d.dau) AS BIGINT) AS sum_dau, w.wau,
+           CAST((SUM(d.dau) * 1000000) // (7 * w.wau) AS BIGINT)
+             AS stickiness_ppm
+    FROM dau d JOIN wau w USING (week)
+    GROUP BY w.week, w.wau
+    """,
+    tier="C",
+    note="C11 DAU/WAU stickiness per week — mean daily-active share of "
+    "weekly actives, THE product-engagement ratio. Two exact distinct "
+    "counts at different granularities joined on week; the ratio is "
+    "exact integer ppm (x1e6 then integer-divide), so no float "
+    "reaches the hash. Both distincts are user-keyed aggregates with "
+    "map-side partials; output is |weeks| rows.",
+)
+def events_stickiness_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    week = F.date_trunc("week", d).cast("date")
+    dau = ev.groupBy(
+        week.alias("week"), d.alias("d")
+    ).agg(F.count_distinct("user_id").alias("dau"))
+    wau = ev.groupBy(week.alias("week")).agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "week")
+        .groupBy("week", "wau")
+        .agg(F.sum("dau").alias("sum_dau"))
+        .select(
+            "week",
+            "sum_dau",
+            "wau",
+            F.expr("(sum_dau * 1000000) DIV (7 * wau)").alias("stickiness_ppm"),
+        )
+    )
+
+
+@register(
+    "supplier_concentration",
+    """
+    WITH vol AS (
+      SELECT n.n_regionkey AS region_key,
+             l.l_suppkey,
+             CAST(SUM(l.l_quantity) AS BIGINT) AS qty
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY region_key, l.l_suppkey
+    ), tot AS (
+      SELECT region_key, CAST(SUM(qty) AS BIGINT) AS total_qty
+      FROM vol GROUP BY region_key
+    )
+    SELECT v.region_key,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           t.total_qty,
+           CAST(SUM(((v.qty * 10000) // t.total_qty)
+                    * ((v.qty * 10000) // t.total_qty)) AS BIGINT) AS hhi_bp2
+    FROM vol v JOIN tot t USING (region_key)
+    GROUP BY v.region_key, t.total_qty
+    """,
+    tier="C",
+    note="C11 Herfindahl-Hirschman supply-concentration index per "
+    "region: sum of squared supplier market shares (shares in exact "
+    "integer basis points, so the squared sum is exact BIGINT "
+    "arithmetic — no float in the hash). The concentration-risk "
+    "metric supply-chain and antitrust dashboards compute. Two keyed "
+    "aggregations over the same (region, supplier) volume relation; "
+    "dims broadcast into the fact scan.",
+)
+def supplier_concentration_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    vol = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_regionkey").alias("region_key"), "l_suppkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+    )
+    tot = vol.groupBy("region_key").agg(F.sum("qty").alias("total_qty"))
+    share_bp = F.expr("(qty * 10000) DIV total_qty")
+    return (
+        vol.join(tot, "region_key")
+        .groupBy("region_key", "total_qty")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(share_bp * share_bp).alias("hhi_bp2"),
+        )
+        .select("region_key", "n_suppliers", "total_qty", "hhi_bp2")
+    )
+
+
+@register(
+    "customer_rfm",
+    """
+    WITH mx AS (SELECT MAX(o_orderdate) AS max_d FROM orders)
+    SELECT o_custkey,
+           CAST(date_diff('day', MAX(o_orderdate), mx.max_d) AS BIGINT)
+             AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           ROUND(SUM(o_totalprice), 2) AS monetary
+    FROM orders CROSS JOIN mx
+    GROUP BY o_custkey, mx.max_d
+    """,
+    tier="C",
+    note="C11/C12 RFM (recency / frequency / monetary) per customer — "
+    "the segmentation input every CRM pipeline derives. Recency "
+    "anchors to the corpus max order date (data-derived, not "
+    "wall-clock, so the result is deterministic); the 1-row anchor "
+    "rides a broadcast-nested-loop join, never a partitionless "
+    "window. One keyed aggregation over orders.",
+)
+def customer_rfm_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("max_d"))
+    return (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "max_d")
+        .agg(
+            F.datediff(F.max("max_d"), F.max("o_orderdate"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .select("o_custkey", "recency_days", "frequency", "monetary")
+    )
+
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order
