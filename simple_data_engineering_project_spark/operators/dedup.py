@@ -569,7 +569,10 @@ def dedup_fuzzy_keep_one(
     this is the "stage the filtered corpus to storage once" step every
     multi-pass dedup job does.
     """
-    df = df.localCheckpoint()
+    # _spread first: the checkpoint materializes on the input's current
+    # partitioning, so a narrow input would both evaluate its upstream
+    # pipeline on few cores and pin every later pass narrow
+    df = _spread(df, id_col).localCheckpoint()
     cands = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes, bands, seed)
     verified = ngram_jaccard_pairs(df, cands, id_col, text_col, k, threshold)
     comp = connected_components(verified)

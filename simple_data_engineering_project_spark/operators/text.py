@@ -219,12 +219,16 @@ def curate_corpus(
     typically drop most of the corpus before any shuffle happens.
     """
     from ..functions import doc_fingerprint
-    from .dedup import dedup_exact, dedup_fuzzy_keep_one
+    from .dedup import _spread, dedup_exact, dedup_fuzzy_keep_one
 
     # Both gates are row-local expressions — apply them as ONE filter in
     # the scan stage (no joins, no second pass over the corpus). The
     # expressions are the exact ones lang_id/quality_features expose.
-    filtered = docs.filter(
+    # _spread BEFORE the filter: the gates are the expensive part of the
+    # scan, and a narrow small-file input would evaluate them on one
+    # core (the exchange moves raw rows, which is cheap; no-op when the
+    # input is already wide).
+    filtered = _spread(docs, id_col).filter(
         (lang_pred_expr(text_col)["lang"] == lang)
         & (quality_score_expr(text_col) >= min_quality)
     )
