@@ -90,6 +90,7 @@ HEADLINE = [
     "join_salted_skew",
     "text_entropy",
     "sink_jsonl_shards",
+    "multimodal_video_frames",
 ]
 
 

@@ -607,11 +607,109 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     return encode_png_pixels(px[iy][:, ix])
 
 
+def encode_avi(frames: list[bytes], us_per_frame: int = 40000) -> bytes:
+    """Minimal RIFF/AVI writer: LIST hdrl (avih with the frame clock and
+    count) + LIST movi with one ``00dc`` chunk per frame, even-byte
+    padded per the RIFF rule. Enough container structure for any RIFF
+    walker — including :func:`sample_video_frames` — to recover frame
+    payloads and timing; the frame bytes themselves are opaque (MJPEG
+    would put a JPEG per chunk)."""
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    avih = struct.pack("<I", us_per_frame) + b"\x00" * 12
+    avih += struct.pack("<I", len(frames)) + b"\x00" * 36  # dwTotalFrames
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def sample_video_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
-    """STUB — video frame sampling (ffmpeg) absent in this environment."""
-    raise NotImplementedError(
-        "video frame sampling is stubbed: no ffmpeg in this environment"
-    )
+    """REAL frame sampling for RIFF/AVI containers (e.g. MJPEG).
+
+    Slicing frames out of an AVI needs NO codec — it is a pure chunk
+    walk: recurse through LIST chunks, read the frame clock from
+    ``avih`` (microseconds per frame), collect every ``..dc``/``..db``
+    stream chunk in order, then keep every k-th frame where
+    ``k = every_ms·1000 // us_per_frame``. Decoding a sampled frame's
+    pixels is a separate concern (the image path's job). Non-RIFF
+    containers (MP4/H.264, MKV) interleave codec state with framing and
+    still raise — that part genuinely needs ffmpeg."""
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        raise NotImplementedError(
+            "only RIFF/AVI containers are frame-sliceable without a codec "
+            "(MP4/MKV need ffmpeg, absent in this environment)"
+        )
+    us_per_frame = 40000  # AVI default 25 fps when no avih present
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal us_per_frame
+        off = 0
+        while off + 8 <= len(buf):
+            fourcc = buf[off : off + 4]
+            size = int.from_bytes(buf[off + 4 : off + 8], "little")
+            data = buf[off + 8 : off + 8 + size]
+            if fourcc == b"LIST":
+                walk(data[4:])
+            elif fourcc == b"avih" and size >= 4:
+                v = int.from_bytes(data[0:4], "little")
+                if v:
+                    us_per_frame = v
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(data)
+            off += 8 + size + (size % 2)  # RIFF chunks are even-aligned
+
+    walk(payload[12:])
+    stride = max(1, (every_ms * 1000) // us_per_frame)
+    return frames[::stride]
+
+
+def media_avi_from_documents(
+    docs: DataFrame, frame_bytes: int = 64, us_per_frame: int = 500_000
+) -> DataFrame:
+    """Deterministic AVI media table: each document's utf-8 bytes are cut
+    into ``frame_bytes`` frames and wrapped in a real RIFF/AVI container
+    (:func:`encode_avi`) at ``us_per_frame`` per frame.
+
+    Frame content is a closed-form byte slice of the text, so an oracle
+    can predict each sampled frame's sha256 without parsing RIFF — an
+    end-to-end proof that the sampler walks the actual container bytes
+    (clock from avih, stride arithmetic, chunk padding)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                frames = [
+                    raw[i : i + frame_bytes]
+                    for i in range(0, len(raw), frame_bytes)
+                ]
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "payload": encode_avi(frames, us_per_frame),
+                        "meta": {
+                            "modality": "video",
+                            "mime": "video/x-msvideo",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": len(frames) * us_per_frame // 1000,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -631,11 +729,11 @@ def sample_frames_df(media: DataFrame, frame_bytes: int = 256) -> DataFrame:
     ``mapInPandas`` may emit any number of output rows per input row, so
     one Arrow pass covers decode→sample→per-frame features with no
     intermediate shuffle. Frame extraction dispatches on modality: video
-    would call the ffmpeg-backed sampler (stubbed here,
-    :func:`sample_video_frames`); the deterministic fake for text/other
-    payloads slices fixed-size byte windows, so batching, ordering
-    (frame_no) and per-frame hashing run for real. Empty payloads emit
-    zero frames.
+    payloads go through :func:`sample_video_frames` — REAL for RIFF/AVI
+    containers (chunk-walk slicing + avih clock stride; non-RIFF codecs
+    still raise); text/other payloads slice fixed-size byte windows, so
+    batching, ordering (frame_no) and per-frame hashing run for real
+    on every modality. Empty payloads emit zero frames.
 
     Scale: pair with :func:`partition_by_payload_bytes` so each task
     holds ~constant payload bytes; output rows stay within the task

@@ -6286,6 +6286,39 @@ def customer_rfm_q(spark, sf_dir):
 
 
 
+@register(
+    "multimodal_video_frames",
+    """
+    SELECT doc_id AS media_id,
+           CAST(g.n AS INT) AS frame_no,
+           CAST(strlen(substring(text, g.n * 128 + 1, 64)) AS BIGINT)
+             AS n_bytes,
+           sha256(substring(text, g.n * 128 + 1, 64)) AS sha256
+    FROM documents,
+         unnest(generate_series(0,
+                CAST(floor((ceil(strlen(text) / 64.0) - 1) / 2.0) AS INT)))
+           AS g(n)
+    WHERE strlen(text) > 0
+    """,
+    tier="C",
+    note="C5 REAL video frame sampling: documents wrapped as RIFF/AVI "
+    "containers (64-byte frames at 2 fps via encode_avi), then "
+    "sample_video_frames walks the actual container bytes — LIST "
+    "recursion, avih clock, even-byte chunk padding — and keeps every "
+    "2nd frame (1000 ms / 500 ms-per-frame). The oracle predicts each "
+    "sampled frame's sha256 as a closed-form text slice (sampled frame "
+    "n = bytes [n*128, n*128+64)), so a hash match proves the sampler "
+    "recovered the exact frame bytes from the container, not a fake. "
+    "Entropy-coded containers (MP4/MKV) still raise — that genuinely "
+    "needs ffmpeg; slicing AVI does not.",
+)
+def multimodal_video_frames_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_avi_from_documents(d, frame_bytes=64, us_per_frame=500_000)
+    return mm_ops.sample_frames_df(media)
+
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order

@@ -1111,3 +1111,33 @@ def test_sink_jsonl_shards_escaping_roundtrip(spark, tmp_path):
     }
     assert sum(n for n, _ in out.values()) == 3
     assert sum(c for _, c in out.values()) == 16 + 5 + 13
+
+
+def test_avi_frame_sampler_walks_real_container():
+    from simple_data_engineering_project_spark.operators.multimodal import (
+        encode_avi,
+        sample_video_frames,
+    )
+
+    frames = [b"frame-%02d" % i for i in range(10)] + [b"odd"]  # odd size last
+    avi = encode_avi(frames, us_per_frame=100_000)  # 10 fps
+    # stride = 300ms / 100ms-per-frame = 3; odd-size chunk padding must
+    # not desync the walk
+    assert sample_video_frames(avi, every_ms=300) == frames[::3]
+    # sub-frame interval clamps to every frame
+    assert sample_video_frames(avi, every_ms=50) == frames
+    # empty container: no frames, no crash
+    assert sample_video_frames(encode_avi([], 40000), 1000) == []
+
+
+def test_avi_sampler_rejects_non_riff():
+    import pytest as _pytest
+
+    from simple_data_engineering_project_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        sample_video_frames(b"\x00\x00\x00 ftypisom fake-mp4", 1000)
+    with _pytest.raises(NotImplementedError):
+        sample_video_frames(None, 1000)
