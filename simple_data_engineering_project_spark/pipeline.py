@@ -174,6 +174,7 @@ class PipelineResult:
     rows_upserted: int = 0
     warehouse_rows: int = 0
     rewritten_partitions: list[str] = field(default_factory=list)
+    version: int | None = None  # snapshot id when keep_history=True
 
 
 #: Hive partition column of the warehouse table. Month-of-timestamp keeps
@@ -212,6 +213,7 @@ def run_batch_pipeline(
     warehouse_dir: str,
     archive_dir: str,
     deterministic_ts: str | None = None,
+    keep_history: bool = False,
 ) -> PipelineResult:
     """One daily-run equivalent (reference EP2, dag.py:56-276).
 
@@ -220,6 +222,15 @@ def run_batch_pipeline(
     ONE DataFrame; the upsert is last-write-wins on shipment_id against
     the parquet warehouse (A13); archive only after a successful commit
     (A14 ordering — archival is what marks a file durable).
+
+    ``keep_history=True`` turns every batch into a numbered snapshot
+    (lakehouse-style time travel): instead of deleting a replaced
+    partition, its pre-batch copy moves to
+    ``{warehouse_dir}/_history/v{N}/`` and a JSON manifest records which
+    partitions batch N created vs replaced. Reconstruct any past state
+    with :func:`read_warehouse_version`; history cost is one extra copy
+    of only the partitions each batch touches (never the table) — the
+    same frugality contract as the merge itself.
     """
     result = PipelineResult()
     files = list_files(spark, landing_dir, ".csv")
@@ -295,22 +306,68 @@ def run_batch_pipeline(
         # write-then-swap: never overwrite partitions we are reading from
         tmp = f"{warehouse_dir}/.cocoa_shipments_next"
         _write_partitioned(merged, tmp)
+        version = _next_version(spark, warehouse_dir) if keep_history else None
         if affected is None:
-            _rm(spark, warehouse_path)
+            if keep_history:
+                # pre-state is the whole (legacy flat) table — keep it as
+                # one full snapshot
+                archive_move(
+                    spark,
+                    warehouse_path,
+                    f"{warehouse_dir}/{HISTORY_DIR}/v{version}/__full__",
+                )
+                _write_manifest(
+                    spark,
+                    warehouse_dir,
+                    {"version": version, "full": True,
+                     "created": [], "replaced": []},
+                )
+            else:
+                _rm(spark, warehouse_path)
             archive_move(spark, tmp, warehouse_path)
             result.rewritten_partitions = ["*"]
         else:
+            replaced, created = [], []
             for m in affected:
                 dst = f"{warehouse_path}/{part}={m}"
                 src = f"{tmp}/{part}={m}"
-                _rm(spark, dst)
+                if keep_history and _exists(spark, dst):
+                    replaced.append(m)
+                    archive_move(
+                        spark,
+                        dst,
+                        f"{warehouse_dir}/{HISTORY_DIR}/v{version}/{part}={m}",
+                    )
+                else:
+                    if keep_history:
+                        created.append(m)
+                    _rm(spark, dst)
                 if _exists(spark, src):
                     archive_move(spark, src, dst)
             _rm(spark, tmp)
+            if keep_history:
+                _write_manifest(
+                    spark,
+                    warehouse_dir,
+                    {"version": version, "full": False,
+                     "created": sorted(created), "replaced": sorted(replaced)},
+                )
             result.rewritten_partitions = list(affected)
+        result.version = version
     else:
         _write_partitioned(staged_m, warehouse_path)
         result.rewritten_partitions = ["*"]
+        if keep_history:
+            months = sorted(
+                {r[0] for r in staged_m.select(part).distinct().collect()}
+            )
+            _write_manifest(
+                spark,
+                warehouse_dir,
+                {"version": 0, "full": False,
+                 "created": months, "replaced": []},
+            )
+            result.version = 0
 
     result.warehouse_rows = scan_parquet(spark, warehouse_path).count()
     result.processed_files = list(valid)
@@ -327,3 +384,140 @@ def _exists(spark: SparkSession, path: str) -> bool:
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     return bool(p.getFileSystem(conf).exists(p))
+
+
+# ---------------------------------------------------------------- history
+
+#: Subdirectory of the warehouse holding snapshot manifests and the
+#: pre-batch copies of replaced partitions (lakehouse-style time travel).
+HISTORY_DIR = "_history"
+
+
+def _write_manifest(spark: SparkSession, warehouse_dir: str, obj: dict) -> None:
+    import json
+
+    path = (
+        f"{warehouse_dir}/{HISTORY_DIR}/manifest_v{obj['version']:06d}.json"
+    )
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_manifests(spark: SparkSession, warehouse_dir: str) -> list[dict]:
+    import json
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    out = []
+    for path in list_files(spark, f"{warehouse_dir}/{HISTORY_DIR}", ".json"):
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        stream = fs.open(p)
+        try:
+            raw = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        out.append(json.loads(bytes(raw).decode("utf-8")))
+    return sorted(out, key=lambda m: m["version"])
+
+
+def _next_version(spark: SparkSession, warehouse_dir: str) -> int:
+    manifests = _read_manifests(spark, warehouse_dir)
+    return manifests[-1]["version"] + 1 if manifests else 0
+
+
+def _list_partition_dirs(spark: SparkSession, table_path: str) -> list[str]:
+    """Names of hive partition directories directly under ``table_path``."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        str(s.getPath().getName())
+        for s in fs.listStatus(p)
+        if s.isDirectory() and "=" in str(s.getPath().getName())
+    )
+
+
+def read_warehouse_version(
+    spark: SparkSession, warehouse_dir: str, version: int
+) -> DataFrame:
+    """Reconstruct the warehouse as of snapshot ``version`` (time travel).
+
+    Snapshot N is the table state right after the batch that returned
+    ``PipelineResult.version == N`` from a ``keep_history=True`` run.
+    Reconstruction is pure metadata arithmetic — no data was copied at
+    read time and none is copied now:
+
+    - if some later batch ``w`` did a FULL rewrite, the pre-``w`` tree
+      saved at ``_history/v{w}/__full__`` IS the requested state
+      (``w`` = the earliest full rewrite after ``version``);
+    - otherwise each partition resolves independently: the earliest
+      later batch that REPLACED it holds its as-of copy in history;
+      a partition no later batch touched is served from the live tree;
+      a partition CREATED after ``version`` is excluded.
+
+    The same resolution Delta/Iceberg do from their logs, expressed over
+    hive directories + JSON manifests.
+    """
+    part = WAREHOUSE_PARTITION_COL
+    warehouse_path = f"{warehouse_dir}/cocoa_shipments"
+    manifests = _read_manifests(spark, warehouse_dir)
+    if not manifests:
+        raise ValueError(f"no snapshot history under {warehouse_dir}")
+    max_v = manifests[-1]["version"]
+    if not 0 <= version <= max_v:
+        raise ValueError(f"version {version} outside [0, {max_v}]")
+
+    fulls_after = [
+        m["version"] for m in manifests if m["full"] and m["version"] > version
+    ]
+    if fulls_after:
+        snap = f"{warehouse_dir}/{HISTORY_DIR}/v{min(fulls_after)}/__full__"
+        return scan_parquet(spark, snap)
+
+    created_at: dict[str, int] = {}
+    for m in manifests:
+        for p in m.get("created", []):
+            created_at.setdefault(p, m["version"])
+    live = {
+        d.split("=", 1)[1]
+        for d in _list_partition_dirs(spark, warehouse_path)
+    }
+    replaced_later: dict[str, int] = {}
+    for m in manifests:
+        if m["version"] > version:
+            for p in m.get("replaced", []):
+                replaced_later.setdefault(p, m["version"])
+
+    pieces = []
+    for p in sorted(live | set(replaced_later)):
+        if created_at.get(p, -1) > version:
+            continue
+        if p in replaced_later:
+            src = (
+                f"{warehouse_dir}/{HISTORY_DIR}/"
+                f"v{replaced_later[p]}/{part}={p}"
+            )
+        elif p in live:
+            src = f"{warehouse_path}/{part}={p}"
+        else:
+            continue
+        pieces.append(
+            spark.read.parquet(src).withColumn(part, F.lit(p))
+        )
+    if not pieces:
+        raise ValueError(f"version {version} reconstructs to no partitions")
+    out = pieces[0]
+    for df in pieces[1:]:
+        out = out.unionByName(df)
+    return out

@@ -266,3 +266,66 @@ def test_generator_domains(spark):
         F.sum("shipment_weight_kg")
     ).collect()[0][0]
     assert a == b  # deterministic
+
+
+def _run_hist(spark, dirs, seed):
+    land_csv_files(
+        spark, dirs["landing"], num_files=1, rows_per_file=400, seed=seed
+    )
+    return run_batch_pipeline(
+        spark,
+        landing_dir=dirs["landing"],
+        staging_dir=dirs["staging"],
+        warehouse_dir=dirs["warehouse"],
+        archive_dir=dirs["archive"],
+        deterministic_ts=TS,
+        keep_history=True,
+    )
+
+
+def _snapshot(spark, dirs):
+    from simple_data_engineering_project_spark.sources import scan_parquet
+
+    df = scan_parquet(spark, f"{dirs['warehouse']}/cocoa_shipments")
+    return sorted(tuple(r) for r in df.select(sorted(df.columns)).collect())
+
+
+def test_time_travel_reconstructs_every_snapshot(spark, dirs):
+    from simple_data_engineering_project_spark.pipeline import (
+        read_warehouse_version,
+    )
+
+    snaps = []
+    for v, seed in enumerate([42, 99, 7]):
+        res = _run_hist(spark, dirs, seed)
+        assert res.version == v
+        snaps.append(_snapshot(spark, dirs))
+    # live state is the last snapshot; every older version reconstructs
+    # byte-equal from live + history partitions
+    for v, want in enumerate(snaps):
+        df = read_warehouse_version(spark, dirs["warehouse"], v)
+        got = sorted(tuple(r) for r in df.select(sorted(df.columns)).collect())
+        assert got == want, f"version {v} mismatch"
+    # distinct seeds really changed the table between snapshots
+    assert snaps[0] != snaps[1] != snaps[2]
+
+
+def test_time_travel_rejects_out_of_range(spark, dirs):
+    from simple_data_engineering_project_spark.pipeline import (
+        read_warehouse_version,
+    )
+
+    _run_hist(spark, dirs, 42)
+    with pytest.raises(ValueError):
+        read_warehouse_version(spark, dirs["warehouse"], 1)
+    with pytest.raises(ValueError):
+        read_warehouse_version(spark, dirs["warehouse"], -1)
+
+
+def test_history_off_keeps_layout_manifest_free(spark, dirs):
+    import os
+
+    land_csv_files(spark, dirs["landing"], num_files=1, rows_per_file=200)
+    res = _run(spark, dirs)
+    assert res.version is None
+    assert not os.path.exists(f"{dirs['warehouse']}/_history")
