@@ -458,13 +458,16 @@ def read_warehouse_version(
     Reconstruction is pure metadata arithmetic — no data was copied at
     read time and none is copied now:
 
-    - if some later batch ``w`` did a FULL rewrite, the pre-``w`` tree
-      saved at ``_history/v{w}/__full__`` IS the requested state
-      (``w`` = the earliest full rewrite after ``version``);
-    - otherwise each partition resolves independently: the earliest
-      later batch that REPLACED it holds its as-of copy in history;
-      a partition no later batch touched is served from the live tree;
-      a partition CREATED after ``version`` is excluded.
+    - the BASE TREE is the live table, unless some later batch ``w`` did
+      a FULL rewrite (legacy-layout upgrade or rollback): then the
+      pre-``w`` tree saved at ``_history/v{w}/__full__`` is the state at
+      ``w-1`` and becomes the base (``w`` = earliest full after
+      ``version``);
+    - each partition then resolves independently against batches in
+      ``(version, w)``: the earliest one that REPLACED it holds its
+      as-of copy in history; a partition none of them touched is served
+      from the base tree; a partition CREATED after ``version`` is
+      excluded.
 
     The same resolution Delta/Iceberg do from their logs, expressed over
     hive directories + JSON manifests.
@@ -475,41 +478,50 @@ def read_warehouse_version(
     if not manifests:
         raise ValueError(f"no snapshot history under {warehouse_dir}")
     max_v = manifests[-1]["version"]
-    if not 0 <= version <= max_v:
-        raise ValueError(f"version {version} outside [0, {max_v}]")
+    min_v = manifests[0]["version"]
+    if not min_v <= version <= max_v:
+        raise ValueError(
+            f"version {version} outside readable range [{min_v}, {max_v}]"
+        )
 
     fulls_after = [
         m["version"] for m in manifests if m["full"] and m["version"] > version
     ]
-    if fulls_after:
-        snap = f"{warehouse_dir}/{HISTORY_DIR}/v{min(fulls_after)}/__full__"
-        return scan_parquet(spark, snap)
+    horizon = min(fulls_after) if fulls_after else None
+    if horizon is not None:
+        base_path = f"{warehouse_dir}/{HISTORY_DIR}/v{horizon}/__full__"
+        if version == horizon - 1:
+            # the saved full tree IS the requested state verbatim
+            return scan_parquet(spark, base_path)
+    else:
+        base_path = warehouse_path
 
     created_at: dict[str, int] = {}
     for m in manifests:
         for p in m.get("created", []):
             created_at.setdefault(p, m["version"])
-    live = {
-        d.split("=", 1)[1]
-        for d in _list_partition_dirs(spark, warehouse_path)
+    base = {
+        d.split("=", 1)[1] for d in _list_partition_dirs(spark, base_path)
     }
     replaced_later: dict[str, int] = {}
     for m in manifests:
-        if m["version"] > version:
+        if m["version"] > version and (
+            horizon is None or m["version"] < horizon
+        ):
             for p in m.get("replaced", []):
                 replaced_later.setdefault(p, m["version"])
 
     pieces = []
-    for p in sorted(live | set(replaced_later)):
-        if created_at.get(p, -1) > version:
+    for p in sorted(base | set(replaced_later)):
+        if created_at.get(p, min_v - 1) > version:
             continue
         if p in replaced_later:
             src = (
                 f"{warehouse_dir}/{HISTORY_DIR}/"
                 f"v{replaced_later[p]}/{part}={p}"
             )
-        elif p in live:
-            src = f"{warehouse_path}/{part}={p}"
+        elif p in base:
+            src = f"{base_path}/{part}={p}"
         else:
             continue
         pieces.append(
@@ -521,3 +533,62 @@ def read_warehouse_version(
     for df in pieces[1:]:
         out = out.unionByName(df)
     return out
+
+
+def rollback_warehouse(
+    spark: SparkSession, warehouse_dir: str, version: int
+) -> int:
+    """Restore the live warehouse to snapshot ``version`` — as a NEW
+    snapshot, never by erasing history (the audit trail survives; a
+    rollback of a rollback works).
+
+    Materializes the reconstructed state to a temp tree first, then
+    moves the current live tree into history as a ``__full__`` snapshot
+    and swaps the rebuilt tree in — the same write-then-swap discipline
+    as the merge. Returns the new snapshot id.
+    """
+    state = read_warehouse_version(spark, warehouse_dir, version)
+    warehouse_path = f"{warehouse_dir}/cocoa_shipments"
+    tmp = f"{warehouse_dir}/.cocoa_shipments_rollback"
+    _write_partitioned(state, tmp)
+    new_version = _next_version(spark, warehouse_dir)
+    archive_move(
+        spark,
+        warehouse_path,
+        f"{warehouse_dir}/{HISTORY_DIR}/v{new_version}/__full__",
+    )
+    archive_move(spark, tmp, warehouse_path)
+    _write_manifest(
+        spark,
+        warehouse_dir,
+        {"version": new_version, "full": True, "created": [],
+         "replaced": [], "rollback_of": version},
+    )
+    return new_version
+
+
+def expire_history(
+    spark: SparkSession, warehouse_dir: str, keep_last: int
+) -> list[int]:
+    """Retention GC: drop the snapshot copies and manifests of all but
+    the newest ``keep_last`` versions (the live table is never touched).
+
+    Expired versions become unreadable — ``read_warehouse_version``
+    reports the surviving readable range. This is the storage-cost bound
+    every history-keeping table needs (Delta VACUUM / Iceberg
+    expire_snapshots).
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    manifests = _read_manifests(spark, warehouse_dir)
+    if not manifests:
+        return []
+    cutoff = manifests[-1]["version"] - keep_last + 1
+    expired = [m["version"] for m in manifests if m["version"] < cutoff]
+    for v in expired:
+        _rm(spark, f"{warehouse_dir}/{HISTORY_DIR}/v{v}")
+        _rm(
+            spark,
+            f"{warehouse_dir}/{HISTORY_DIR}/manifest_v{v:06d}.json",
+        )
+    return expired

@@ -329,3 +329,44 @@ def test_history_off_keeps_layout_manifest_free(spark, dirs):
     res = _run(spark, dirs)
     assert res.version is None
     assert not os.path.exists(f"{dirs['warehouse']}/_history")
+
+
+def test_rollback_restores_and_preserves_history(spark, dirs):
+    from simple_data_engineering_project_spark.pipeline import (
+        read_warehouse_version,
+        rollback_warehouse,
+    )
+
+    snaps = []
+    for seed in [42, 99, 7]:
+        _run_hist(spark, dirs, seed)
+        snaps.append(_snapshot(spark, dirs))
+    new_v = rollback_warehouse(spark, dirs["warehouse"], 0)
+    assert new_v == 3
+    # live table is back to snapshot 0
+    assert _snapshot(spark, dirs) == snaps[0]
+    # every pre-rollback version still reconstructs (resolution threads
+    # through the rollback's __full__ horizon), and so does the rollback
+    for v, want in [(0, snaps[0]), (1, snaps[1]), (2, snaps[2]), (3, snaps[0])]:
+        df = read_warehouse_version(spark, dirs["warehouse"], v)
+        got = sorted(tuple(r) for r in df.select(sorted(df.columns)).collect())
+        assert got == want, f"version {v} mismatch after rollback"
+
+
+def test_expire_history_bounds_retention(spark, dirs):
+    from simple_data_engineering_project_spark.pipeline import (
+        expire_history,
+        read_warehouse_version,
+    )
+
+    snaps = []
+    for seed in [42, 99, 7]:
+        _run_hist(spark, dirs, seed)
+        snaps.append(_snapshot(spark, dirs))
+    assert expire_history(spark, dirs["warehouse"], keep_last=2) == [0]
+    with pytest.raises(ValueError):
+        read_warehouse_version(spark, dirs["warehouse"], 0)
+    for v in (1, 2):
+        df = read_warehouse_version(spark, dirs["warehouse"], v)
+        got = sorted(tuple(r) for r in df.select(sorted(df.columns)).collect())
+        assert got == snaps[v]
