@@ -6319,6 +6319,93 @@ def multimodal_video_frames_q(spark, sf_dir):
 
 
 
+@register(
+    "orders_seasonality",
+    """
+    WITH m AS (
+      SELECT CAST(month(o_orderdate) AS INT) AS month_no,
+             CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS revenue_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY month_no
+    ), t AS (
+      SELECT CAST(SUM(revenue_cents) AS BIGINT) AS tot FROM m
+    )
+    SELECT month_no, revenue_cents, n_orders,
+           CAST((revenue_cents * 1000000) // tot AS BIGINT) AS share_ppm
+    FROM m CROSS JOIN t
+    """,
+    tier="C",
+    note="C11 calendar seasonality: revenue share by month-of-year — "
+    "the demand-planning profile. Revenue converts to integer CENTS "
+    "before the share division: the 12-row grand total of rounded "
+    "doubles would sum in engine-specific order (last-ulp drift flips "
+    "an integer floor), while cent sums and the x1e6 integer divide "
+    "are exact in any engine. One tiny aggregate + a 1-row "
+    "broadcast-nested-loop total.",
+)
+def orders_seasonality_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.month("o_orderdate").cast("int").alias("month_no")).agg(
+        F.round(F.sum("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.count("*").alias("n_orders"),
+    )
+    t = m.agg(F.sum("revenue_cents").alias("tot"))
+    return m.crossJoin(F.broadcast(t)).select(
+        "month_no",
+        "revenue_cents",
+        "n_orders",
+        F.expr("(revenue_cents * 1000000) DIV tot").alias("share_ppm"),
+    )
+
+
+@register(
+    "events_inter_arrival",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(quantile_cont(gap_us, 0.5) AS DOUBLE) AS median_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    tier="C",
+    note="C9/C11 per-user inter-arrival-time profile (min/median/max "
+    "gap): the burstiness/churn-cadence signal behind engagement "
+    "models and anomaly baselines. Gaps at FULL microsecond precision "
+    "via unix_micros (a seconds cast would truncate sub-second "
+    "bursts, the sessionize_gaps lesson); exact interpolated median "
+    "over exact integer gaps is engine-identical (agg_median_"
+    "quantiles parity). One user-keyed window + one keyed aggregate "
+    "sharing the same shuffle.",
+)
+def events_inter_arrival_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.expr("percentile(gap_us, 0.5)").cast("double").alias("median_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order
