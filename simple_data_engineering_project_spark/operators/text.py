@@ -932,3 +932,213 @@ def char_entropy(
         n.cast("bigint").alias("n_alnum"),
         F.round(entropy, 4).alias("char_entropy"),
     )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", n_merges: int = 6
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from the corpus —
+    the tokenizer-training step of an LLM data pipeline.
+
+    Classic byte-pair encoding (Sennrich et al. 2016) trains on the
+    WORD-FREQUENCY DICTIONARY, not the token stream: one corpus-wide
+    ``explode → groupBy(word)`` shuffle builds the dictionary (bounded by
+    Heaps-law vocabulary regardless of corpus size), and every merge
+    iteration after that runs on the dictionary only — at 100 TB the
+    expensive part is the single word count, which has map-side combine.
+
+    Per iteration: adjacent symbol pairs are counted weighted by word
+    frequency (overlapping pairs count, per the classic algorithm), the
+    best pair is argmax(count, then lexicographically smallest) — a
+    1-row bounded-metadata collect, genuinely needed on the driver to
+    build the next iteration's expression — and every word's symbol
+    string applies the merge greedily LEFT-TO-RIGHT NON-OVERLAPPING.
+    That greedy semantics is exactly string ``replace``: with symbols
+    double-spaced (' a  b ' pattern on '  '-joined symbols) consecutive
+    matches cannot steal each other's boundary space, so
+    ``[a,b,a,b] -> [ab,ab]`` and ``[a,a,a] -> [aa,a]`` come out right
+    in Spark and DuckDB identically; the dictionary localCheckpoints
+    per round to truncate iterative lineage.
+
+    Returns the learned merge table: (merge_rank, left_sym, right_sym,
+    merged_sym, pair_cnt) — deterministic, hence oracle-checkable by a
+    chained-CTE DuckDB replay of the same algorithm.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.regexp_replace(F.col("word"), "(.)", "$1 ").alias("sym_raw"),
+            "freq",
+        )
+        .select(F.trim(F.col("sym_raw")).alias("sym"), "freq")
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        syms = F.split(F.col("sym"), " ")
+        n = F.size(syms)
+        pairs = (
+            words.filter(n >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(syms, 1, n - 1).alias("l"),
+                        F.slice(syms, 2, n - 1).alias("r"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(
+                F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+            )
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("left_sym").asc(), F.col("right_sym").asc()
+        ).limit(1).collect()
+        if not best:
+            break
+        l, r, cnt = best[0]["left_sym"], best[0]["right_sym"], best[0]["cnt"]
+        merges.append((rank, l, r, l + r, int(cnt)))
+        doubled = F.concat(
+            F.lit(" "), F.replace(F.col("sym"), F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        merged = F.replace(
+            doubled, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+        )
+        words = words.select(
+            F.trim(F.replace(merged, F.lit("  "), F.lit(" "))).alias("sym"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged_sym string, pair_cnt bigint",
+    )
+
+
+def bpe_train_oracle(n_merges: int = 6) -> str:
+    """Generate the chained-CTE DuckDB replay of :func:`bpe_train`."""
+    ctes = [
+        """w0 AS MATERIALIZED (
+      SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (
+        SELECT t AS word FROM (
+          SELECT unnest(string_split(trim(regexp_replace(lower(text),
+            '[^a-z0-9]+', ' ', 'g')), ' ')) AS t
+          FROM documents
+        ) WHERE t <> ''
+      ) GROUP BY word
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT l[g.n] AS left_sym, l[g.n + 1] AS right_sym,
+             SUM(freq) AS cnt
+      FROM (SELECT string_split(sym, ' ') AS l, freq FROM w{p}),
+           unnest(generate_series(1, len(l) - 1)) AS g(n)
+      GROUP BY left_sym, right_sym
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT left_sym, right_sym, left_sym || right_sym AS merged_sym,
+             CAST(cnt AS BIGINT) AS pair_cnt
+      FROM p{i}
+      ORDER BY cnt DESC, left_sym ASC, right_sym ASC LIMIT 1
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT trim(replace(
+               replace(' ' || replace(sym, ' ', '  ') || ' ',
+                       ' ' || (SELECT left_sym FROM b{i}) || '  '
+                           || (SELECT right_sym FROM b{i}) || ' ',
+                       ' ' || (SELECT merged_sym FROM b{i}) || ' '),
+               '  ', ' ')) AS sym, freq
+      FROM w{p}
+    )"""
+        )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS merge_rank, left_sym, right_sym, merged_sym, pair_cnt FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT CAST(merge_rank AS INT) AS merge_rank, left_sym,"
+        f" right_sym, merged_sym, pair_cnt FROM (\n    {unions}\n    )"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, text_col: str = "text", capacity: int = 2000
+) -> DataFrame:
+    """EXACT corpus heavy hitters — words with count >= n_tokens//capacity + 1
+    — without shuffling the full vocabulary.
+
+    Two-phase plan (the scale point, vs the naive explode→groupBy over every
+    distinct token):
+
+    1. **Sketch pass** — per-partition Misra-Gries summaries of bounded size
+       ``capacity`` via ``mapInPandas`` (pandas ``value_counts`` per Arrow
+       batch merged into the MG state with the standard mergeable-summaries
+       reduction: subtract the (capacity+1)-th largest stored count, keep
+       positives). Guarantee: any word with partition count
+       > n_p/(capacity+1) survives its partition's summary, so — by the
+       averaging argument over partitions — every word with GLOBAL count
+       >= n//capacity + 1 appears in the union of candidates. The sketch
+       output is bounded metadata (<= capacity+1 rows per partition,
+       independent of data size), collected like the IVF centroids.
+    2. **Verify pass** — broadcast-semi-join the token stream against the
+       candidate set and take exact counts of candidates only; filter to
+       the threshold. The shuffle carries candidate words only (map-side
+       combine applies), not the full Heaps-law vocabulary — at corpus
+       scale that is the difference between shuffling billions of distinct
+       n-grams and a few thousand rows.
+
+    The result is exactly equal to the naive full count + HAVING filter
+    (no approximation survives to the output — MG only prunes candidates,
+    the counts are exact), which is what the DuckDB oracle computes.
+    """
+    import pandas as pd
+
+    toks = df.select(F.explode(tokens(text_col)).alias("word")).filter(
+        F.col("word") != ""
+    )
+
+    def _mg(batches):
+        state: dict[str, int] = {}
+        total = 0
+        for b in batches:
+            vc = b["word"].value_counts()
+            total += int(vc.sum())
+            for w, c in vc.items():
+                state[w] = state.get(w, 0) + int(c)
+            if len(state) > capacity:
+                kth = sorted(state.values(), reverse=True)[capacity]
+                state = {w: c - kth for w, c in state.items() if c > kth}
+        yield pd.DataFrame(
+            {
+                "word": list(state.keys()) + [None],
+                "part_total": [0] * len(state) + [total],
+            }
+        )
+
+    sketch = toks.mapInPandas(_mg, schema="word string, part_total long").collect()
+    total = sum(r["part_total"] for r in sketch if r["word"] is None)
+    threshold = total // capacity + 1
+    cand_words = sorted({r["word"] for r in sketch if r["word"] is not None})
+    spark = df.sparkSession
+    cand = spark.createDataFrame(
+        [(w,) for w in cand_words] or [(None,)], "word string"
+    ).filter(F.col("word").isNotNull())
+    return (
+        toks.join(F.broadcast(cand), "word")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(threshold))
+    )

@@ -6405,6 +6405,214 @@ def events_inter_arrival_q(spark, sf_dir):
     )
 
 
+@register(
+    "text_heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT t AS word FROM (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text),
+          '[^a-z0-9]+', ' ', 'g')), ' ')) AS t
+        FROM documents
+      ) WHERE t <> ''
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY word
+    HAVING COUNT(*) >= (SELECT n // 2000 + 1 FROM tot)
+    """,
+    tier="C",
+    note="C4/C11 EXACT corpus heavy hitters (count >= n_tokens//2000+1) "
+    "via per-partition Misra-Gries candidate sketches + an exact "
+    "broadcast-verify count — the vocabulary shuffle carries only "
+    "candidate words (bounded by capacity x partitions), never the "
+    "full Heaps-law token dictionary; the mergeable-summaries "
+    "averaging argument makes the candidate set provably complete, "
+    "so the output equals the oracle's naive full count + HAVING "
+    "exactly. The hot-token discovery step before stopword lists, "
+    "boilerplate detection, or n-gram LM pruning.",
+)
+def text_heavy_hitters_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.heavy_hitters(d, capacity=2000)
+
+
+@register(
+    "bpe_train",
+    text_ops.bpe_train_oracle(6),
+    tier="C",
+    note="C4 BPE tokenizer training (Sennrich et al. 2016): learn the "
+    "first 6 merge rules from the corpus word-frequency dictionary. "
+    "The one corpus-scale shuffle is the word count (map-side "
+    "combine; dictionary bounded by Heaps-law vocabulary); every "
+    "merge iteration runs on the dictionary only, with the argmax "
+    "pair a 1-row bounded-metadata collect and the merge applied as "
+    "greedy left-to-right non-overlapping string replace (double-"
+    "spaced symbol encoding keeps consecutive matches from stealing "
+    "boundary spaces — [a,b,a,b]->[ab,ab] in Spark and DuckDB "
+    "identically). Deterministic ties (count desc, pair asc) make "
+    "the learned merge table oracle-checkable via a chained-CTE "
+    "DuckDB replay of the same algorithm.",
+)
+def bpe_train_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.bpe_train(d, n_merges=6)
+
+
+@register(
+    "kanon_check",
+    """
+    SELECT c_mktsegment,
+           c_nationkey,
+           bal_band,
+           CAST(COUNT(*) AS BIGINT) AS class_n,
+           COUNT(*) < 5 AS at_risk
+    FROM (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                        / 100000.0) AS BIGINT) AS bal_band
+      FROM customer
+    )
+    GROUP BY c_mktsegment, c_nationkey, bal_band
+    """,
+    tier="C",
+    note="C12 k-anonymity audit (k=5) over the quasi-identifier tuple "
+    "(segment, nation, $1000 balance band): equivalence-class sizes "
+    "plus the re-identification flag — the privacy gate run before a "
+    "training-data release, the aggregate-side complement of "
+    "text_pii_scrub. The band is computed in integer cents then "
+    "floor-divided through an exact double (multiples of 1000.00 are "
+    "exactly representable, and floor semantics — not truncation — "
+    "keep negative balances engine-identical). One keyed shuffle with "
+    "map-side combine; output is bounded by QI-tuple cardinality.",
+)
+def kanon_check_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(
+            F.round(F.col("c_acctbal") * 100, 0).cast("bigint") / F.lit(100000.0)
+        )
+        .cast("bigint")
+        .alias("bal_band"),
+    )
+    return qi.groupBy("c_mktsegment", "c_nationkey", "bal_band").agg(
+        F.count("*").alias("class_n"),
+        (F.count("*") < 5).alias("at_risk"),
+    )
+
+
+@register(
+    "events_changepoint",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, value,
+             AVG(value)        OVER (PARTITION BY user_id) AS mu,
+             STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS sigma,
+             COUNT(*)          OVER (PARTITION BY user_id) AS n_u
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor((value - mu) / sigma * 1000000.0 + 0.5) AS BIGINT)
+               AS dev_e6
+      FROM s WHERE n_u >= 20 AND sigma > 1e-12
+    ),
+    c AS (
+      SELECT user_id, event_id, ts,
+             SUM(dev_e6 - 500000)  OVER w AS c_pos,
+             SUM(-dev_e6 - 500000) OVER w AS c_neg
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cusum AS (
+      SELECT user_id,
+             c_pos - LEAST(MIN(c_pos) OVER w2, 0) AS s_pos,
+             c_neg - LEAST(MIN(c_neg) OVER w2, 0) AS s_neg
+      FROM c
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN s_pos > 4000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms_pos,
+           CAST(SUM(CASE WHEN s_neg > 4000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms_neg,
+           CAST(MAX(s_pos) AS BIGINT) AS max_cusum_pos_e6,
+           CAST(MAX(s_neg) AS BIGINT) AS max_cusum_neg_e6
+    FROM cusum GROUP BY user_id
+    """,
+    tier="C",
+    note="C9/C11 two-sided CUSUM mean-shift detection per user (slack "
+    "k=0.5sd, threshold h=4sd): the drift/changepoint monitor behind "
+    "data-quality gates on streaming ingest. The reset-at-zero CUSUM "
+    "recursion S_t = max(0, S_(t-1) + y_t) is NOT window-expressible "
+    "directly, but is exactly prefix_sum(y) - min(0, running_min("
+    "prefix_sum)) — two cumulative frames sharing one user-keyed sort. "
+    "Deviations are standardized then scaled to e6 BIGINTs, so every "
+    "cumulative sum is exact integer math (engine-identical regardless "
+    "of how a segment tree regroups float additions); the single "
+    "float->int rounding happens row-locally from (value, mu, sigma). "
+    "One shuffle on user_id shared by all four window passes + the "
+    "final keyed aggregate.",
+)
+def events_changepoint_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id")
+    s = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.avg("value").over(wp).alias("mu"),
+        F.stddev_samp("value").over(wp).alias("sigma"),
+        F.count("*").over(wp).alias("n_u"),
+    ).filter((F.col("n_u") >= 20) & (F.col("sigma") > 1e-12))
+    d = s.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(
+            (F.col("value") - F.col("mu")) / F.col("sigma") * 1000000.0 + 0.5
+        )
+        .cast("bigint")
+        .alias("dev_e6"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("dev_e6") - 500000).over(w).alias("c_pos"),
+        F.sum(-F.col("dev_e6") - 500000).over(w).alias("c_neg"),
+    )
+    cusum = c.select(
+        "user_id",
+        (F.col("c_pos") - F.least(F.min("c_pos").over(w), F.lit(0))).alias(
+            "s_pos"
+        ),
+        (F.col("c_neg") - F.least(F.min("c_neg").over(w), F.lit(0))).alias(
+            "s_neg"
+        ),
+    )
+    return cusum.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("s_pos") > 4000000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_alarms_pos"),
+        F.sum(F.when(F.col("s_neg") > 4000000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_alarms_neg"),
+        F.max("s_pos").alias("max_cusum_pos_e6"),
+        F.max("s_neg").alias("max_cusum_neg_e6"),
+    )
+
 
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first

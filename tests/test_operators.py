@@ -1141,3 +1141,32 @@ def test_avi_sampler_rejects_non_riff():
         sample_video_frames(b"\x00\x00\x00 ftypisom fake-mp4", 1000)
     with _pytest.raises(NotImplementedError):
         sample_video_frames(None, 1000)
+
+
+def test_heavy_hitters_equals_naive_under_pruning_pressure(spark):
+    from simple_data_engineering_project_spark.operators.text import heavy_hitters
+
+    # 40 distinct rare words + 3 hot ones, capacity=5 forces the MG
+    # sketch to decrement constantly — completeness must still hold.
+    rows = []
+    for i in range(40):
+        rows.append((i, f"rare{i} filler{i % 7}"))
+    rows.append((100, " ".join(["hot"] * 30 + ["warm"] * 12 + ["tepid"] * 8)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs = docs.repartition(4)  # multiple partitions: union-of-candidates path
+
+    out = {r["word"]: r["cnt"] for r in
+           heavy_hitters(docs, capacity=5).collect()}
+
+    toks = docs.select(F.explode(F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", " ")), " "
+    )).alias("w")).filter(F.col("w") != "")
+    total = toks.count()
+    threshold = total // 5 + 1
+    naive = {
+        r["w"]: r["c"]
+        for r in toks.groupBy("w").agg(F.count("*").alias("c")).collect()
+        if r["c"] >= threshold
+    }
+    assert out == naive
+    assert "hot" in out  # the planted heavy hitter survived pruning
