@@ -336,6 +336,36 @@ def encode_wav(
     return buf.getvalue()
 
 
+def encode_wav_alternating(
+    n_frames: int, amp: int, framerate: int = 8000
+) -> bytes:
+    """16-bit mono PCM WAV with samples alternating +amp/-amp (an
+    ``amp``-amplitude square wave at the Nyquist rate) — the signal
+    shape whose RMS / zero-crossing / peak features are closed-form, so
+    an oracle that cannot decode audio can still verify real DSP math."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        pair = struct.pack("<hh", amp, -amp)
+        frames = pair * (n_frames // 2) + (
+            struct.pack("<h", amp) if n_frames % 2 else b""
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def wav_samples(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Decode a 16-bit PCM WAV payload to (int64 sample array, framerate)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM supported")
+        rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    return np.frombuffer(frames, dtype="<i2").astype(np.int64), rate
+
+
 def decode_wav(payload: bytes) -> dict:
     """Parse a PCM WAV container: channel/rate/duration + exact sample
     sum (16-bit only for the sum; header fields for any PCM width)."""
@@ -462,6 +492,84 @@ def media_mixed_from_documents(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id", "text").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+def media_wav_alternating_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic audio table: every doc becomes a Nyquist-rate square
+    wave WAV with n=100+id%400 frames at amplitude id%1000-500, so RMS /
+    zero-crossing / peak are closed-form in ``doc_id`` (see
+    :func:`audio_dsp_features`)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                payload = encode_wav_alternating(
+                    100 + did % 400, did % 1000 - 500
+                )
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": payload,
+                        "meta": {
+                            "modality": "audio",
+                            "mime": "audio/wav",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, n_frames bigint, duration_ms bigint, peak_abs bigint, "
+    "sum_sq bigint, zcr bigint, rms_e4 bigint"
+)
+
+
+def audio_dsp_features(media: DataFrame) -> DataFrame:
+    """Real DSP features over decoded PCM samples, Arrow batch at a time:
+    peak amplitude, exact energy (sum of squares), zero-crossing count
+    (sign-change products), and e4-scaled RMS.
+
+    All emitted features are exact integers: sum_sq is int64 math on the
+    decoded samples; rms_e4 = floor(sqrt(sum_sq/n)*1e4+0.5) is exact for
+    any signal whose mean square is a perfect square (the synthetic
+    square wave) and engine-reproducible regardless (one IEEE divide +
+    sqrt). Decode is embarrassingly parallel — no shuffle anywhere."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, rate = wav_samples(payload)
+                n = len(s)
+                sum_sq = int((s * s).sum())
+                zcr = int(((s[:-1] * s[1:]) < 0).sum()) if n > 1 else 0
+                rms_e4 = (
+                    int(np.floor(np.sqrt(sum_sq / n) * 10000.0 + 0.5))
+                    if n
+                    else 0
+                )
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_frames": n,
+                        "duration_ms": n * 1000 // rate,
+                        "peak_abs": int(np.abs(s).max()) if n else 0,
+                        "sum_sq": sum_sq,
+                        "zcr": zcr,
+                        "rms_e4": rms_e4,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_extract, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def media_png_from_documents(docs: DataFrame) -> DataFrame:

@@ -6437,6 +6437,114 @@ def text_heavy_hitters_q(spark, sf_dir):
 
 
 @register(
+    "events_quantile_sketch",
+    """
+    WITH r AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_e4,
+             md5(CAST(event_id AS VARCHAR)) AS h, event_id
+      FROM events
+    ),
+    k AS (
+      SELECT week, value_e4 FROM (
+        SELECT week, value_e4,
+               row_number() OVER (PARTITION BY week ORDER BY h, event_id)
+                 AS rn
+        FROM r
+      ) WHERE rn <= 64
+    ),
+    n AS (
+      SELECT week, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM r GROUP BY week
+    )
+    SELECT k.week, n.n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_sample,
+           CAST(quantile_cont(value_e4, 0.5) AS DOUBLE) AS est_median_e4,
+           CAST(quantile_cont(value_e4, 0.9) AS DOUBLE) AS est_p90_e4
+    FROM k JOIN n ON k.week = n.week
+    GROUP BY k.week, n.n_events
+    """,
+    tier="C",
+    note="C11 mergeable quantile sketch (the percentile analogue of "
+    "events_hll_rollup): per-day deterministic bottom-64 samples by "
+    "md5(event_id) — a uniform-without-replacement sample whose merge "
+    "is EXACT (the week's 64 smallest hashes are each within their "
+    "own day's 64 smallest, so merging daily sketches reproduces the "
+    "direct weekly sketch bit-for-bit). The Spark side computes the "
+    "weekly estimate THROUGH the daily-merge path — the shuffle after "
+    "day one carries 64 rows/day, not the event stream — while the "
+    "oracle takes the direct weekly path; hash equality IS the "
+    "mergeability proof. Values are e4-scaled BIGINTs so the "
+    "interpolated sample quantiles are engine-identical.",
+)
+def events_quantile_sketch_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    r = e.select(
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 10000 + 0.5).cast("bigint").alias("value_e4"),
+        F.md5(F.col("event_id").cast("string")).alias("h"),
+        "event_id",
+    )
+    wd = Window.partitionBy("day").orderBy("h", "event_id")
+    daily = (
+        r.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= 64)
+        .drop("rn")
+    )
+    ww = Window.partitionBy("week").orderBy("h", "event_id")
+    weekly = (
+        daily.withColumn("rn", F.row_number().over(ww))
+        .filter(F.col("rn") <= 64)
+    )
+    n = r.groupBy("week").agg(F.count("*").alias("n_events"))
+    est = weekly.groupBy("week").agg(
+        F.count("*").alias("n_sample"),
+        F.expr("percentile(value_e4, 0.5)")
+        .cast("double")
+        .alias("est_median_e4"),
+        F.expr("percentile(value_e4, 0.9)")
+        .cast("double")
+        .alias("est_p90_e4"),
+    )
+    return est.join(F.broadcast(n), "week").select(
+        "week", "n_events", "n_sample", "est_median_e4", "est_p90_e4"
+    )
+
+
+@register(
+    "multimodal_audio",
+    """
+    SELECT doc_id AS media_id,
+           CAST(100 + doc_id % 400 AS BIGINT) AS n_frames,
+           CAST((100 + doc_id % 400) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(abs(doc_id % 1000 - 500) AS BIGINT) AS peak_abs,
+           CAST((100 + doc_id % 400) * (doc_id % 1000 - 500)
+                * (doc_id % 1000 - 500) AS BIGINT) AS sum_sq,
+           CAST(CASE WHEN doc_id % 1000 - 500 <> 0
+                THEN 100 + doc_id % 400 - 1 ELSE 0 END AS BIGINT) AS zcr,
+           CAST(abs(doc_id % 1000 - 500) * 10000 AS BIGINT) AS rms_e4
+    FROM documents
+    """,
+    tier="C",
+    note="C5 real audio DSP — the generator emits Nyquist-rate square "
+    "waves (samples alternate +amp/-amp, amp=id%1000-500, n=100+id%400 "
+    "frames) as genuine PCM WAV containers; the extractor decodes the "
+    "bytes and computes peak, exact int64 energy (sum of squares), "
+    "zero-crossing count (sign-change products), and e4-scaled RMS "
+    "inside the Arrow mapInPandas loop. Every feature is closed-form "
+    "in doc_id (RMS of a square wave is exactly the amplitude; n-1 "
+    "sign changes at Nyquist), so the oracle verifies real sample "
+    "math without an audio codec. Embarrassingly parallel; zero "
+    "shuffles.",
+)
+def multimodal_audio_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_wav_alternating_from_documents(d)
+    return mm_ops.audio_dsp_features(media)
+
+
+@register(
     "bpe_train",
     text_ops.bpe_train_oracle(6),
     tier="C",

@@ -1170,3 +1170,32 @@ def test_heavy_hitters_equals_naive_under_pruning_pressure(spark):
     }
     assert out == naive
     assert "hot" in out  # the planted heavy hitter survived pruning
+
+
+def test_audio_dsp_features_closed_forms(spark):
+    from simple_data_engineering_project_spark.operators.multimodal import (
+        audio_dsp_features,
+        encode_wav_alternating,
+        wav_samples,
+    )
+
+    # odd frame count keeps the trailing +amp sample; amp=0 is silence
+    s, rate = wav_samples(encode_wav_alternating(5, 300))
+    assert rate == 8000 and list(s) == [300, -300, 300, -300, 300]
+
+    docs = spark.createDataFrame([(0,), (101,), (250,)], "doc_id long")
+    from simple_data_engineering_project_spark.operators.multimodal import (
+        media_wav_alternating_from_documents,
+    )
+    media = media_wav_alternating_from_documents(docs)
+    out = {r["media_id"]: r for r in audio_dsp_features(media).collect()}
+    for did in (0, 101, 250):
+        n = 100 + did % 400
+        v = did % 1000 - 500
+        r = out[did]
+        assert r["n_frames"] == n
+        assert r["peak_abs"] == abs(v)
+        assert r["sum_sq"] == n * v * v
+        assert r["zcr"] == (n - 1 if v != 0 else 0)
+        assert r["rms_e4"] == abs(v) * 10000
+        assert r["duration_ms"] == n * 1000 // 8000
