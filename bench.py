@@ -91,6 +91,12 @@ HEADLINE = [
     "text_entropy",
     "sink_jsonl_shards",
     "multimodal_video_frames",
+    # round-5d additions
+    "bpe_train",
+    "text_heavy_hitters",
+    "events_changepoint",
+    "events_quantile_sketch",
+    "multimodal_audio",
 ]
 
 
