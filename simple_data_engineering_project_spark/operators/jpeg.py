@@ -1,0 +1,355 @@
+"""Baseline JPEG entropy codec in pure numpy/stdlib (SURVEY §2 C5).
+
+A REAL decoder for baseline sequential DCT JPEGs (SOF0) with no chroma
+subsampling: marker walk → DQT/DHT/SOF0/SOS parse → byte-unstuffed
+bitstream → canonical Huffman decode (tables come from the file's own
+DHT segments, not hard-coded constants) → DC-diff EXTEND → run/size AC
+with EOB/ZRL → dequantize → de-zigzag → float64 IDCT → level shift →
+clamp. Grayscale returns one plane; 3-component scans convert YCbCr→RGB
+(BT.601). Progressive scans, subsampled chroma, and restart intervals
+raise ``NotImplementedError`` — honest stubs, the same policy as the
+other media codecs (∅ in reference; Tier C extension).
+
+The companion encoder synthesizes baseline JPEGs whose 8×8 blocks carry
+a chosen DC (and optionally one AC) coefficient, so decoded pixels are
+closed-form: with q[0]=8 the DC-only block decodes to exactly
+``dc + 128`` in every pixel — an oracle can predict exact pixel sums
+without any codec, proving the Huffman/IDCT path parses the actual
+entropy-coded bytes end-to-end.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Zigzag scan order: index i of the stream → (row, col) in the 8×8 block.
+ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# 8×8 DCT-II basis: C[u, x] = c(u)/2 * cos((2x+1)uπ/16); IDCT is C.T@S@C.
+_C = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+# Canonical DC-category Huffman table (the Annex K luminance DC layout:
+# 12 categories, code lengths 2..9). Used by the ENCODER only — the
+# decoder always builds tables from the payload's DHT segments.
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+# Minimal AC table: EOB, (run0,size1), ZRL — three 2-bit codes.
+AC_BITS = [0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+AC_VALS = [0x00, 0x01, 0xF0]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value → (length, code) for a canonical JPEG Huffman table."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → value, inverse of :func:`_canonical_codes`."""
+    return {lc: v for v, lc in _canonical_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huffman(self, table: dict[tuple[int, int], int]) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code in scan")
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG EXTEND: map t raw bits back to a signed coefficient."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def encode_jpeg_blocks(
+    width: int,
+    height: int,
+    blocks: list[tuple[int, int]],
+    q_dc: int = 8,
+    q_ac1: int = 16,
+) -> bytes:
+    """Synthesize a baseline grayscale JPEG from per-block (dc, ac1)
+    quantized coefficients (raster block order, ceil(w/8)*ceil(h/8)
+    entries). With ``q_dc=8`` a DC-only block decodes to exactly
+    ``dc + 128`` in all 64 pixels (IDCT of a lone DC is S00/8)."""
+    nbx = (width + 7) // 8
+    nby = (height + 7) // 8
+    assert len(blocks) == nbx * nby
+    qtab = bytearray(64)
+    qtab[0] = q_dc
+    for i in range(1, 64):
+        qtab[i] = q_ac1
+    dqt = b"\x00" + bytes(qtab)
+    sof = struct.pack(">BHHB", 8, height, width, 1) + struct.pack(
+        ">BBB", 1, 0x11, 0
+    )
+    dht_dc = bytes([0x00] + DC_BITS) + bytes(DC_VALS)
+    dht_ac = bytes([0x10] + AC_BITS) + bytes(AC_VALS)
+    sos = struct.pack(">BBBBBB", 1, 1, 0x00, 0, 63, 0)
+
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+    w = _BitWriter()
+    prev = 0
+    for dc, ac1 in blocks:
+        diff = dc - prev
+        prev = dc
+        t = _category(diff)
+        length, code = dc_codes[t]
+        w.write(code, length)
+        if t:
+            w.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        if ac1:
+            t1 = _category(ac1)
+            if t1 != 1:
+                raise ValueError("minimal AC table carries size-1 only")
+            length, code = ac_codes[0x01]
+            w.write(code, length)
+            w.write(ac1 if ac1 > 0 else ac1 + 1, 1)
+        length, code = ac_codes[0x00]  # EOB
+        w.write(code, length)
+    scan = w.flush()
+
+    out = b"\xff\xd8"
+    for marker, seg in (
+        (b"\xff\xdb", dqt),
+        (b"\xff\xc0", sof),
+        (b"\xff\xc4", dht_dc),
+        (b"\xff\xc4", dht_ac),
+        (b"\xff\xda", sos),
+    ):
+        out += marker + struct.pack(">H", len(seg) + 2) + seg
+    return out + scan + b"\xff\xd9"
+
+
+def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
+    """Decode a baseline JPEG to uint8 pixels — (h, w) for grayscale,
+    (h, w, 3) RGB for 3-component YCbCr. See module docstring for the
+    supported envelope; outside it raises ``NotImplementedError``."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    n = len(payload)
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    scan_comps = None
+    scan_start = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    tab = np.frombuffer(body[i : i + 64], dtype=np.uint8)
+                    i += 64
+                else:
+                    tab = np.frombuffer(
+                        body[i : i + 128], dtype=">u2"
+                    )
+                    i += 128
+                qtabs[tq] = tab.astype(np.int64)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                htabs[(tc, th)] = _decode_map(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # baseline/extended seq
+            precision, h, w_, nc = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack(
+                    ">BBB", body[6 + 3 * c : 9 + 3 * c]
+                )
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled chroma not supported"
+                    )
+                comps.append((cid, tq))
+            sof = (w_, h, comps)
+        elif 0xC2 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
+            raise NotImplementedError("progressive/hierarchical JPEG")
+        elif marker == 0xDD:  # DRI
+            if struct.unpack(">H", body[:2])[0] != 0:
+                raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            scan_start = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if sof is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    # entropy segment: up to EOI / next non-RST marker, byte-unstuffed
+    raw = bytearray()
+    i = scan_start
+    while i < n:
+        b = payload[i]
+        if b == 0xFF:
+            nxt = payload[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                raw.append(0xFF)
+                i += 2
+                continue
+            break
+        raw.append(b)
+        i += 1
+
+    w_, h, comps = sof
+    nbx = (w_ + 7) // 8
+    nby = (h + 7) // 8
+    reader = _BitReader(bytes(raw))
+    planes = {
+        cid: np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        for cid, _ in comps
+    }
+    qt_by_cid = dict(comps)
+    tables_by_cid = {cid: (dc, ac) for cid, dc, ac in scan_comps}
+    pred = {cid: 0 for cid, _ in comps}
+    for by in range(nby):
+        for bx in range(nbx):
+            for cid, _tq in comps:
+                dc_id, ac_id = tables_by_cid[cid]
+                dct = htabs[(0, dc_id)]
+                act = htabs[(1, ac_id)]
+                q = qtabs[qt_by_cid[cid]]
+                coeff = np.zeros(64, dtype=np.int64)
+                t = reader.read_huffman(dct)
+                pred[cid] += _extend(reader.read_bits(t), t)
+                coeff[0] = pred[cid]
+                k = 1
+                while k < 64:
+                    rs = reader.read_huffman(act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    coeff[k] = _extend(reader.read_bits(s), s)
+                    k += 1
+                block = np.zeros((8, 8), dtype=np.float64)
+                dq = coeff * q
+                for idx, (rr, cc) in enumerate(ZIGZAG):
+                    block[rr, cc] = dq[idx]
+                spatial = _C.T @ block @ _C + 128.0
+                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
+
+    out_planes = [
+        np.clip(np.round(planes[cid][:h, :w_]), 0, 255) for cid, _ in comps
+    ]
+    if len(out_planes) == 1:
+        return out_planes[0].astype(np.uint8)
+    if len(out_planes) == 3:
+        y, cb, cr = out_planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        return np.clip(
+            np.round(np.stack([r, g, b], axis=-1)), 0, 255
+        ).astype(np.uint8)
+    raise NotImplementedError("unsupported component count")

@@ -639,21 +639,87 @@ def media_jpeg_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """STUB for *pixel* decode of entropy-coded formats (JPEG scan data,
-    WebP/AVIF) — requires a codec library absent here. What decodes for
+    """STUB for *pixel* decode of formats beyond the real codecs (WebP/
+    AVIF/GIF) — requires a codec library absent here. What decodes for
     real: uncompressed BMP (:func:`decode_bmp`), PNG incl. all scanline
-    filters (:func:`decode_png`, stdlib zlib), and JPEG *metadata* —
-    dimensions/components via the marker walk in
-    :func:`decode_jpeg_dims`.
+    filters (:func:`decode_png`, stdlib zlib), BASELINE JPEG — full
+    entropy decode (Huffman + dequant + IDCT) via
+    :func:`.jpeg.decode_jpeg_pixels` for unsubsampled scans, and JPEG
+    metadata for anything SOF-bearing (:func:`decode_jpeg_dims`).
 
     On a real cluster: ``PIL.Image.open(io.BytesIO(payload))`` inside the
     same ``mapInPandas`` batch loop that ``extract_features`` uses.
     """
     raise NotImplementedError(
-        "entropy-coded pixel decode is stubbed: no codec libraries in "
-        "this environment (BMP → decode_bmp, PNG → decode_png, JPEG "
-        "dimensions → decode_jpeg_dims)"
+        "WebP/AVIF/GIF pixel decode is stubbed: no codec libraries in "
+        "this environment (BMP → decode_bmp, PNG → decode_png, baseline "
+        "JPEG → jpeg.decode_jpeg_pixels, JPEG dims → decode_jpeg_dims)"
     )
+
+
+def media_jpeg_dc_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic baseline-JPEG table with REAL entropy-coded scans:
+    w=1+id%20, h=1+id%12 (up to 3×2 blocks), block k carries quantized
+    DC = base+k-128 with base=id%200, so every decoded pixel of block k
+    is exactly base+k — pixel sums are closed-form in doc_id while the
+    bytes require genuine Huffman + IDCT decoding."""
+    from .jpeg import encode_jpeg_blocks
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h, base = 1 + did % 20, 1 + did % 12, did % 200
+                nbx, nby = (w + 7) // 8, (h + 7) // 8
+                blocks = [
+                    (base + by * nbx + bx - 128, 0)
+                    for by in range(nby)
+                    for bx in range(nbx)
+                ]
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_jpeg_blocks(w, h, blocks),
+                        "meta": {
+                            "modality": "image",
+                            "mime": "image/jpeg",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+JPEG_PIXEL_SCHEMA = "media_id long, width int, height int, content_sum bigint"
+
+
+def jpeg_pixel_features(media: DataFrame) -> DataFrame:
+    """Decode baseline JPEG payloads to pixels (real Huffman/IDCT via
+    :func:`.jpeg.decode_jpeg_pixels`) and emit exact pixel sums —
+    embarrassingly parallel, zero shuffles."""
+    from .jpeg import decode_jpeg_pixels
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_jpeg_pixels(payload)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": px.shape[-1] if px.ndim == 2 else px.shape[1],
+                        "height": px.shape[0],
+                        "content_sum": int(px.sum(dtype=np.int64)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_extract, schema=JPEG_PIXEL_SCHEMA)
 
 
 def decode_audio(payload: bytes) -> object:

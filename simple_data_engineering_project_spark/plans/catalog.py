@@ -6437,6 +6437,46 @@ def text_heavy_hitters_q(spark, sf_dir):
 
 
 @register(
+    "multimodal_jpeg_pixels",
+    """
+    SELECT doc_id AS media_id,
+           w AS width,
+           h AS height,
+           CAST(SUM(LEAST(8, w - 8 * bx.x) * LEAST(8, h - 8 * byy.y)
+                * (base + byy.y * ((w + 7) // 8) + bx.x)) AS BIGINT)
+             AS content_sum
+    FROM (
+      SELECT doc_id,
+             CAST(1 + doc_id % 20 AS INTEGER) AS w,
+             CAST(1 + doc_id % 12 AS INTEGER) AS h,
+             doc_id % 200 AS base
+      FROM documents
+    ),
+    unnest(generate_series(0, (w + 7) // 8 - 1)) AS bx(x),
+    unnest(generate_series(0, (h + 7) // 8 - 1)) AS byy(y)
+    GROUP BY doc_id, w, h
+    """,
+    tier="C",
+    note="C5 REAL baseline-JPEG pixel decode — a pure-numpy/stdlib "
+    "entropy decoder (canonical Huffman from the file's own DHT "
+    "segments, DC-diff EXTEND, run/size AC with EOB/ZRL, byte "
+    "unstuffing, dequant, de-zigzag, float64 IDCT, level shift) in "
+    "operators/jpeg.py. The generator synthesizes scans whose block "
+    "DCs are closed-form in doc_id (q_dc=8 makes a DC-only block "
+    "decode to exactly dc+128 everywhere), so the oracle predicts "
+    "exact pixel sums per visible block region without any codec — "
+    "hash equality proves the Huffman/IDCT path parses the actual "
+    "entropy-coded bytes. Progressive/subsampled/restart-interval "
+    "JPEGs stay honest NotImplementedError stubs. Embarrassingly "
+    "parallel; zero shuffles.",
+)
+def multimodal_jpeg_pixels_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_jpeg_dc_from_documents(d)
+    return mm_ops.jpeg_pixel_features(media)
+
+
+@register(
     "events_quantile_sketch",
     """
     WITH r AS (

@@ -1,0 +1,83 @@
+"""Baseline JPEG codec unit tests — the decoder must parse real
+entropy-coded bytes (Huffman, EXTEND, EOB/ZRL, stuffing), not headers.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from simple_data_engineering_project_spark.operators.jpeg import (
+    _C,
+    ZIGZAG,
+    decode_jpeg_pixels,
+    encode_jpeg_blocks,
+)
+
+
+def test_dc_only_pixels_are_exact_per_block():
+    w, h, base = 20, 12, 100  # 3x2 blocks, right/bottom blocks cropped
+    nbx, nby = 3, 2
+    blocks = [
+        (base + by * nbx + bx - 128, 0)
+        for by in range(nby)
+        for bx in range(nbx)
+    ]
+    px = decode_jpeg_pixels(encode_jpeg_blocks(w, h, blocks))
+    assert px.shape == (h, w)
+    for by in range(nby):
+        for bx in range(nbx):
+            region = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (region == base + by * nbx + bx).all()
+
+
+def test_ac_coefficient_matches_direct_idct():
+    blocks = [(-20, 1), (5, -1), (0, 0), (0, 0), (0, 0), (0, 0)]
+    px = decode_jpeg_pixels(encode_jpeg_blocks(20, 12, blocks))
+    blk = np.zeros((8, 8))
+    blk[ZIGZAG[0]] = -20 * 8  # dequantized DC (q_dc=8)
+    blk[ZIGZAG[1]] = 1 * 16  # dequantized AC1 (q_ac=16)
+    ref = np.clip(np.round(_C.T @ blk @ _C + 128), 0, 255)
+    assert (px[:8, :8] == ref).all()
+
+
+def test_dc_diff_chain_crosses_zero_and_stuffs_bytes():
+    # extreme DC swings force large categories and 0xFF scan bytes;
+    # the decoder must unstuff and EXTEND correctly
+    blocks = [(127, 0), (-128, 0), (127, 0), (0, 1), (-1, 0), (100, 1)]
+    px = decode_jpeg_pixels(encode_jpeg_blocks(20, 12, blocks))
+    assert px.shape == (12, 20)
+    assert (px[:8, :8] == 255).all()  # clamp at 127+128
+
+
+def test_single_block_exact_sum():
+    px = decode_jpeg_pixels(encode_jpeg_blocks(5, 3, [(42 - 128, 0)]))
+    assert px.shape == (3, 5)
+    assert int(px.sum()) == 5 * 3 * 42
+
+
+def test_rejects_unsupported_envelopes():
+    payload = bytearray(encode_jpeg_blocks(8, 8, [(0, 0)]))
+    # flip SOF0 -> SOF2 (progressive)
+    idx = bytes(payload).index(b"\xff\xc0")
+    payload[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(bytes(payload))
+
+    payload = bytearray(encode_jpeg_blocks(8, 8, [(0, 0)]))
+    idx = bytes(payload).index(b"\xff\xc0")
+    payload[idx + 2 + 2 + 6 + 1] = 0x22  # sampling factors 2x2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(bytes(payload))
+
+    # nonzero restart interval
+    payload = bytes(encode_jpeg_blocks(8, 8, [(0, 0)]))
+    idx = payload.index(b"\xff\xda")
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 8)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(payload[:idx] + dri + payload[idx:])
+
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(b"BM not a jpeg")
