@@ -149,11 +149,14 @@ def encode_jpeg_blocks(
     blocks: list[tuple[int, int]],
     q_dc: int = 8,
     q_ac1: int = 16,
+    restart_interval: int = 0,
 ) -> bytes:
     """Synthesize a baseline grayscale JPEG from per-block (dc, ac1)
     quantized coefficients (raster block order, ceil(w/8)*ceil(h/8)
     entries). With ``q_dc=8`` a DC-only block decodes to exactly
-    ``dc + 128`` in all 64 pixels (IDCT of a lone DC is S00/8)."""
+    ``dc + 128`` in all 64 pixels (IDCT of a lone DC is S00/8).
+    ``restart_interval`` > 0 emits a DRI segment and byte-aligned RSTn
+    markers with DC-predictor resets every that-many MCUs."""
     nbx = (width + 7) // 8
     nby = (height + 7) // 8
     assert len(blocks) == nbx * nby
@@ -171,9 +174,17 @@ def encode_jpeg_blocks(
 
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+    scan = bytearray()
     w = _BitWriter()
     prev = 0
-    for dc, ac1 in blocks:
+    rst = 0
+    for i, (dc, ac1) in enumerate(blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            scan += w.flush()  # byte-align the segment
+            scan += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            w = _BitWriter()
+            prev = 0  # predictors reset at every restart
         diff = dc - prev
         prev = dc
         t = _category(diff)
@@ -190,18 +201,16 @@ def encode_jpeg_blocks(
             w.write(ac1 if ac1 > 0 else ac1 + 1, 1)
         length, code = ac_codes[0x00]  # EOB
         w.write(code, length)
-    scan = w.flush()
+    scan += w.flush()
 
     out = b"\xff\xd8"
-    for marker, seg in (
-        (b"\xff\xdb", dqt),
-        (b"\xff\xc0", sof),
-        (b"\xff\xc4", dht_dc),
-        (b"\xff\xc4", dht_ac),
-        (b"\xff\xda", sos),
-    ):
+    segs = [(b"\xff\xdb", dqt), (b"\xff\xc0", sof)]
+    if restart_interval:
+        segs.append((b"\xff\xdd", struct.pack(">H", restart_interval)))
+    segs += [(b"\xff\xc4", dht_dc), (b"\xff\xc4", dht_ac), (b"\xff\xda", sos)]
+    for marker, seg in segs:
         out += marker + struct.pack(">H", len(seg) + 2) + seg
-    return out + scan + b"\xff\xd9"
+    return out + bytes(scan) + b"\xff\xd9"
 
 
 def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
@@ -217,6 +226,7 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
     sof = None
     scan_comps = None
     scan_start = None
+    restart_interval = 0
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
@@ -269,8 +279,7 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
         elif 0xC2 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
             raise NotImplementedError("progressive/hierarchical JPEG")
         elif marker == 0xDD:  # DRI
-            if struct.unpack(">H", body[:2])[0] != 0:
-                raise NotImplementedError("restart intervals")
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan_comps = [
@@ -283,7 +292,10 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
     if sof is None or scan_comps is None:
         raise ValueError("JPEG missing SOF/SOS")
 
-    # entropy segment: up to EOI / next non-RST marker, byte-unstuffed
+    # entropy data, byte-unstuffed and split into restart segments:
+    # RSTn markers byte-align the stream and reset DC predictors, so
+    # each segment gets a fresh BitReader.
+    segments: list[bytes] = []
     raw = bytearray()
     i = scan_start
     while i < n:
@@ -294,14 +306,21 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
                 raw.append(0xFF)
                 i += 2
                 continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+                segments.append(bytes(raw))
+                raw = bytearray()
+                i += 2
+                continue
             break
         raw.append(b)
         i += 1
+    segments.append(bytes(raw))
 
     w_, h, comps = sof
     nbx = (w_ + 7) // 8
     nby = (h + 7) // 8
-    reader = _BitReader(bytes(raw))
+    seg_iter = iter(segments)
+    reader = _BitReader(next(seg_iter))
     planes = {
         cid: np.zeros((nby * 8, nbx * 8), dtype=np.float64)
         for cid, _ in comps
@@ -309,8 +328,13 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
     qt_by_cid = dict(comps)
     tables_by_cid = {cid: (dc, ac) for cid, dc, ac in scan_comps}
     pred = {cid: 0 for cid, _ in comps}
+    mcu = 0
     for by in range(nby):
         for bx in range(nbx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader = _BitReader(next(seg_iter))
+                pred = {cid: 0 for cid, _ in comps}
+            mcu += 1
             for cid, _tq in comps:
                 dc_id, ac_id = tables_by_cid[cid]
                 dct = htabs[(0, dc_id)]

@@ -722,6 +722,67 @@ def jpeg_pixel_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=JPEG_PIXEL_SCHEMA)
 
 
+def media_gif_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic GIF table with REAL LZW-compressed frames: w=1+id%20,
+    h=1+id%12, grayscale gradient pixel(y,x)=base+x+y with base=id%220
+    (never wraps), every third image interlaced — pixel sums are
+    closed-form in doc_id while the bytes require genuine LZW decode."""
+    from .gif import encode_gif
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h, base = 1 + did % 20, 1 + did % 12, did % 220
+                idx = np.fromfunction(
+                    lambda y, x: base + x + y, (h, w)
+                ).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_gif(
+                            w, h, idx, interlace=(did % 3 == 0)
+                        ),
+                        "meta": {
+                            "modality": "image",
+                            "mime": "image/gif",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+def gif_pixel_features(media: DataFrame) -> DataFrame:
+    """Decode GIF payloads (real LZW via :func:`.gif.decode_gif_pixels`)
+    and emit exact gray-channel pixel sums — embarrassingly parallel."""
+    from .gif import decode_gif_pixels
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_gif_pixels(payload)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "content_sum": int(
+                            px[:, :, 0].sum(dtype=np.int64)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_extract, schema=JPEG_PIXEL_SCHEMA)
+
+
 def decode_audio(payload: bytes) -> object:
     """STUB for *compressed* audio codecs (MP3/AAC/…) — requires
     soundfile/ffmpeg, absent in this environment. PCM WAV decodes for

@@ -6466,14 +6466,48 @@ def text_heavy_hitters_q(spark, sf_dir):
     "decode to exactly dc+128 everywhere), so the oracle predicts "
     "exact pixel sums per visible block region without any codec — "
     "hash equality proves the Huffman/IDCT path parses the actual "
-    "entropy-coded bytes. Progressive/subsampled/restart-interval "
-    "JPEGs stay honest NotImplementedError stubs. Embarrassingly "
-    "parallel; zero shuffles.",
+    "entropy-coded bytes. Restart-interval scans decode too (DRI + "
+    "RSTn segmentation, predictor resets, byte realignment); "
+    "progressive/subsampled JPEGs stay honest NotImplementedError "
+    "stubs. Embarrassingly parallel; zero shuffles.",
 )
 def multimodal_jpeg_pixels_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = mm_ops.media_jpeg_dc_from_documents(d)
     return mm_ops.jpeg_pixel_features(media)
+
+
+@register(
+    "multimodal_gif",
+    """
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 20 AS INTEGER) AS width,
+           CAST(1 + doc_id % 12 AS INTEGER) AS height,
+           CAST((1 + doc_id % 20) * (1 + doc_id % 12) * (doc_id % 220)
+                + (1 + doc_id % 12)
+                  * ((1 + doc_id % 20) * (doc_id % 20)) // 2
+                + (1 + doc_id % 20)
+                  * ((1 + doc_id % 12) * (doc_id % 12)) // 2
+                AS BIGINT) AS content_sum
+    FROM documents
+    """,
+    tier="C",
+    note="C5 REAL GIF decode — a pure-stdlib LZW codec "
+    "(operators/gif.py): variable-width LSB-first codes from the "
+    "file's sub-block stream, CLEAR/EOI, dictionary growth to 12 bits "
+    "with the compress-derived one-late width alignment, the KwKwK "
+    "self-reference case, table-overflow resets, and 4-pass interlace "
+    "reordering (every third synthesized image is interlaced, so the "
+    "oracle match covers that path too). The generator encodes "
+    "gradient frames with REAL LZW compression — multi-symbol "
+    "dictionary entries on both sides — whose grayscale pixel sums "
+    "are closed-form in doc_id: sum = w*h*base + h*w(w-1)/2 + "
+    "w*h(h-1)/2. Embarrassingly parallel; zero shuffles.",
+)
+def multimodal_gif_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_gif_from_documents(d)
+    return mm_ops.gif_pixel_features(media)
 
 
 @register(

@@ -4,8 +4,6 @@ entropy-coded bytes (Huffman, EXTEND, EOB/ZRL, stuffing), not headers.
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 import pytest
 
@@ -72,12 +70,23 @@ def test_rejects_unsupported_envelopes():
     with pytest.raises(NotImplementedError):
         decode_jpeg_pixels(bytes(payload))
 
-    # nonzero restart interval
-    payload = bytes(encode_jpeg_blocks(8, 8, [(0, 0)]))
-    idx = payload.index(b"\xff\xda")
-    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 8)
-    with pytest.raises(NotImplementedError):
-        decode_jpeg_pixels(payload[:idx] + dri + payload[idx:])
-
     with pytest.raises(ValueError):
         decode_jpeg_pixels(b"BM not a jpeg")
+
+
+def test_restart_intervals_reset_predictors_and_realign():
+    base = 100
+    blocks = [(base + k - 128, 0) for k in range(6)]
+    expect = np.zeros((12, 20))
+    for by in range(2):
+        for bx in range(3):
+            expect[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = base + by * 3 + bx
+    for ri in (1, 2, 4, 5):
+        px = decode_jpeg_pixels(
+            encode_jpeg_blocks(20, 12, blocks, restart_interval=ri)
+        )
+        assert (px == expect[:12, :20]).all(), f"restart_interval={ri}"
+    # more than 8 restart segments exercises the RST0-7 marker cycle
+    many = [(i % 40 - 20, 0) for i in range(24)]
+    px = decode_jpeg_pixels(encode_jpeg_blocks(64, 24, many, restart_interval=1))
+    assert px.shape == (24, 64)
