@@ -213,6 +213,76 @@ def encode_jpeg_blocks(
     return out + bytes(scan) + b"\xff\xd9"
 
 
+def encode_jpeg_ycbcr420(
+    width: int,
+    height: int,
+    y_dc: int,
+    cb_dc: int,
+    cr_dc: int,
+    q_dc: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
+    """Synthesize a constant-color 4:2:0 baseline JPEG (the standard
+    camera layout: MCU = 2×2 luma blocks + 1 Cb + 1 Cr, all DC-only).
+    With ``q_dc=8`` the planes decode to exactly (y_dc+128, cb_dc+128,
+    cr_dc+128) before color conversion."""
+    qtab = bytearray([16] * 64)
+    qtab[0] = q_dc
+    dqt = b"\x00" + bytes(qtab)
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for cid, hv in ((1, 0x22), (2, 0x11), (3, 0x11)):
+        sof += struct.pack(">BBB", cid, hv, 0)
+    dht_dc = bytes([0x00] + DC_BITS) + bytes(DC_VALS)
+    dht_ac = bytes([0x10] + AC_BITS) + bytes(AC_VALS)
+    sos = struct.pack(">BB", 3, 1) + b"\x00" + struct.pack(">B", 2) + b"\x00"
+    sos += struct.pack(">B", 3) + b"\x00" + struct.pack(">BBB", 0, 63, 0)
+
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+    mcux = (width + 15) // 16
+    mcuy = (height + 15) // 16
+    scan = bytearray()
+    w = _BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+    rst = 0
+    mcu = 0
+
+    def _block(cid: int, dc: int) -> None:
+        diff = dc - pred[cid]
+        pred[cid] = dc
+        t = _category(diff)
+        length, code = dc_codes[t]
+        w.write(code, length)
+        if t:
+            w.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        length, code = ac_codes[0x00]
+        w.write(code, length)
+
+    for _my in range(mcuy):
+        for _mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                scan.extend(w.flush())
+                scan.extend(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                w = _BitWriter()
+                pred = {1: 0, 2: 0, 3: 0}
+            mcu += 1
+            for _ in range(4):
+                _block(1, y_dc)
+            _block(2, cb_dc)
+            _block(3, cr_dc)
+    scan.extend(w.flush())
+
+    out = b"\xff\xd8"
+    segs = [(b"\xff\xdb", dqt), (b"\xff\xc0", sof)]
+    if restart_interval:
+        segs.append((b"\xff\xdd", struct.pack(">H", restart_interval)))
+    segs += [(b"\xff\xc4", dht_dc), (b"\xff\xc4", dht_ac), (b"\xff\xda", sos)]
+    for marker, seg in segs:
+        out += marker + struct.pack(">H", len(seg) + 2) + seg
+    return out + bytes(scan) + b"\xff\xd9"
+
+
 def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
     """Decode a baseline JPEG to uint8 pixels — (h, w) for grayscale,
     (h, w, 3) RGB for 3-component YCbCr. See module docstring for the
@@ -270,11 +340,14 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
                 cid, hv, tq = struct.unpack(
                     ">BBB", body[6 + 3 * c : 9 + 3 * c]
                 )
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "subsampled chroma not supported"
-                    )
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("invalid sampling factors")
+                if nc == 1 and hv != 0x11:
+                    # non-interleaved single-component scans use MCU =
+                    # one block regardless of declared factors
+                    hi = vi = 1
+                comps.append((cid, hi, vi, tq))
             sof = (w_, h, comps)
         elif 0xC2 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
             raise NotImplementedError("progressive/hierarchical JPEG")
@@ -317,55 +390,69 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
     segments.append(bytes(raw))
 
     w_, h, comps = sof
-    nbx = (w_ + 7) // 8
-    nby = (h + 7) // 8
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    for _, hi, vi, _ in comps:
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError("non-integral chroma upsampling")
+    mcux = (w_ + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     seg_iter = iter(segments)
     reader = _BitReader(next(seg_iter))
     planes = {
-        cid: np.zeros((nby * 8, nbx * 8), dtype=np.float64)
-        for cid, _ in comps
+        cid: np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.float64)
+        for cid, hi, vi, _ in comps
     }
-    qt_by_cid = dict(comps)
+    samp_by_cid = {cid: (hi, vi) for cid, hi, vi, _ in comps}
+    qt_by_cid = {cid: tq for cid, _, _, tq in comps}
     tables_by_cid = {cid: (dc, ac) for cid, dc, ac in scan_comps}
-    pred = {cid: 0 for cid, _ in comps}
+    pred = {cid: 0 for cid, *_ in comps}
     mcu = 0
-    for by in range(nby):
-        for bx in range(nbx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 reader = _BitReader(next(seg_iter))
-                pred = {cid: 0 for cid, _ in comps}
+                pred = {cid: 0 for cid, *_ in comps}
             mcu += 1
-            for cid, _tq in comps:
+            for cid, _dc_id, _ac_id in scan_comps:
                 dc_id, ac_id = tables_by_cid[cid]
                 dct = htabs[(0, dc_id)]
                 act = htabs[(1, ac_id)]
                 q = qtabs[qt_by_cid[cid]]
-                coeff = np.zeros(64, dtype=np.int64)
-                t = reader.read_huffman(dct)
-                pred[cid] += _extend(reader.read_bits(t), t)
-                coeff[0] = pred[cid]
-                k = 1
-                while k < 64:
-                    rs = reader.read_huffman(act)
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:  # ZRL: 16 zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    coeff[k] = _extend(reader.read_bits(s), s)
-                    k += 1
-                block = np.zeros((8, 8), dtype=np.float64)
-                dq = coeff * q
-                for idx, (rr, cc) in enumerate(ZIGZAG):
-                    block[rr, cc] = dq[idx]
-                spatial = _C.T @ block @ _C + 128.0
-                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
+                hi, vi = samp_by_cid[cid]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        coeff = np.zeros(64, dtype=np.int64)
+                        t = reader.read_huffman(dct)
+                        pred[cid] += _extend(reader.read_bits(t), t)
+                        coeff[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_huffman(act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            coeff[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        block = np.zeros((8, 8), dtype=np.float64)
+                        dq = coeff * q
+                        for idx, (rr, cc) in enumerate(ZIGZAG):
+                            block[rr, cc] = dq[idx]
+                        spatial = _C.T @ block @ _C + 128.0
+                        r0 = my * 8 * vi + byy * 8
+                        c0 = mx * 8 * hi + bxx * 8
+                        planes[cid][r0 : r0 + 8, c0 : c0 + 8] = spatial
 
-    out_planes = [
-        np.clip(np.round(planes[cid][:h, :w_]), 0, 255) for cid, _ in comps
-    ]
+    out_planes = []
+    for cid, hi, vi, _ in comps:
+        p = planes[cid]
+        if hi != hmax or vi != vmax:  # nearest-neighbor chroma upsample
+            p = p.repeat(vmax // vi, axis=0).repeat(hmax // hi, axis=1)
+        out_planes.append(np.clip(np.round(p[:h, :w_]), 0, 255))
     if len(out_planes) == 1:
         return out_planes[0].astype(np.uint8)
     if len(out_planes) == 3:

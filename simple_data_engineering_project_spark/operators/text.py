@@ -934,6 +934,39 @@ def char_entropy(
     )
 
 
+def compress_ratio(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """zlib compression ratio per document — the Gopher-style
+    "compressibility" curation signal: machine-generated/boilerplate text
+    compresses far below prose (ratio << 0.4), random noise barely
+    compresses (ratio ≈ 1). Arrow-batched ``mapInPandas`` (zlib is
+    stdlib, deterministic at a fixed level, but not SQL-expressible —
+    rows-only gate entry with unit-pinned semantics). Row-local; zero
+    shuffles; embarrassingly parallel at corpus scale."""
+    import pandas as pd
+    import zlib
+
+    def _ratio(batches):
+        for b in batches:
+            raw = b[text_col].fillna("").map(lambda t: t.encode("utf-8"))
+            n_raw = raw.map(len)
+            n_gz = raw.map(lambda x: len(zlib.compress(x, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": b[id_col],
+                    "n_raw": n_raw.astype("int64"),
+                    "n_gz": n_gz.astype("int64"),
+                    "ratio_e4": [
+                        int(g * 10000 // r) if r else 10000
+                        for r, g in zip(n_raw, n_gz)
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _ratio, schema="doc_id long, n_raw bigint, n_gz bigint, ratio_e4 bigint"
+    )
+
+
 def bpe_train(
     df: DataFrame, text_col: str = "text", n_merges: int = 6
 ) -> DataFrame:

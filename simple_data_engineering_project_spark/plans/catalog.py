@@ -6467,14 +6467,88 @@ def text_heavy_hitters_q(spark, sf_dir):
     "exact pixel sums per visible block region without any codec — "
     "hash equality proves the Huffman/IDCT path parses the actual "
     "entropy-coded bytes. Restart-interval scans decode too (DRI + "
-    "RSTn segmentation, predictor resets, byte realignment); "
-    "progressive/subsampled JPEGs stay honest NotImplementedError "
-    "stubs. Embarrassingly parallel; zero shuffles.",
+    "RSTn segmentation, predictor resets, byte realignment), as does "
+    "4:2:0/4:2:2 subsampled chroma (interleaved MCUs, per-component "
+    "predictors, nearest-neighbor upsample — pinned by closed-form "
+    "constant-color tests); progressive JPEGs stay honest "
+    "NotImplementedError stubs. Embarrassingly parallel; zero "
+    "shuffles.",
 )
 def multimodal_jpeg_pixels_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = mm_ops.media_jpeg_dc_from_documents(d)
     return mm_ops.jpeg_pixel_features(media)
+
+
+@register(
+    "text_compress_ratio",
+    None,  # zlib is not SQL-expressible; semantics unit-pinned
+    tier="C",
+    note="C4 zlib compressibility gate (the Gopher repetition-adjacent "
+    "signal): per-doc compressed/raw byte ratio as an e4 integer via "
+    "stdlib zlib level 6 inside Arrow mapInPandas — deterministic but "
+    "not SQL-expressible, so rows-only in the gate; a unit test pins "
+    "boilerplate << prose < noise ordering and exact ratios on fixed "
+    "strings. Row-local, zero shuffles.",
+)
+def text_compress_ratio_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.compress_ratio(d)
+
+
+@register(
+    "dp_noisy_counts",
+    """
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ((c_nationkey * 131 + ascii(c_mktsegment) * 7
+               + length(c_mktsegment)) * 2654435761) % 4294967296 AS hv
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment, c_nationkey,
+           CAST(floor((n - CASE WHEN (hv + 0.5) / 4294967296.0 < 0.5
+                              THEN -1.0 ELSE 1.0 END
+                 * ln(1.0 - 2.0 * abs((hv + 0.5) / 4294967296.0 - 0.5)))
+                 * 10000 + 0.5) AS BIGINT) AS noisy_n_e4
+    FROM g
+    """,
+    tier="C",
+    note="C11/C12 differentially-private count release (epsilon=1, "
+    "sensitivity-1 counts, Laplace mechanism): per-group noise drawn "
+    "by inverse CDF from a SEEDED uniform — the Knuth multiplicative "
+    "hash of the group key (sample_hash's engine-portable integer "
+    "trick), so the release is reproducible and oracle-checkable "
+    "while having the exact Laplace(1) distribution across groups. "
+    "True counts are never emitted. One keyed shuffle; noise is a "
+    "row-local expression. Completes the privacy battery "
+    "(kanon_check, text_pii_scrub) for training-data release gates.",
+)
+def dp_noisy_counts_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("n")
+    )
+    hv = (
+        (
+            F.col("c_nationkey") * 131
+            + F.ascii("c_mktsegment") * 7
+            + F.length("c_mktsegment")
+        )
+        * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    u = (hv + 0.5) / 4294967296.0
+    noise = (
+        -F.when(u < 0.5, -1.0).otherwise(1.0)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return g.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor((F.col("n") + noise) * 10000 + 0.5)
+        .cast("bigint")
+        .alias("noisy_n_e4"),
+    )
 
 
 @register(

@@ -64,14 +64,59 @@ def test_rejects_unsupported_envelopes():
     with pytest.raises(NotImplementedError):
         decode_jpeg_pixels(bytes(payload))
 
-    payload = bytearray(encode_jpeg_blocks(8, 8, [(0, 0)]))
-    idx = bytes(payload).index(b"\xff\xc0")
-    payload[idx + 2 + 2 + 6 + 1] = 0x22  # sampling factors 2x2
-    with pytest.raises(NotImplementedError):
-        decode_jpeg_pixels(bytes(payload))
-
     with pytest.raises(ValueError):
         decode_jpeg_pixels(b"BM not a jpeg")
+
+
+def _expect_rgb(y_dc, cb_dc, cr_dc):
+    y, cb, cr = y_dc + 128.0, cb_dc + 128.0, cr_dc + 128.0
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    return tuple(int(np.clip(np.round(v), 0, 255)) for v in (r, g, b))
+
+
+def test_ycbcr420_constant_color_decodes_exactly():
+    from simple_data_engineering_project_spark.operators.jpeg import (
+        encode_jpeg_ycbcr420,
+    )
+
+    # non-MCU-aligned dims exercise padding/crop; interleaved MCUs
+    # exercise per-component DC predictors and 2x2 luma ordering
+    for w, h in [(16, 16), (20, 12), (33, 17)]:
+        for y_dc, cb_dc, cr_dc in [(0, 0, 0), (-50, 30, -40), (100, -100, 60)]:
+            px = decode_jpeg_pixels(
+                encode_jpeg_ycbcr420(w, h, y_dc, cb_dc, cr_dc)
+            )
+            e = _expect_rgb(y_dc, cb_dc, cr_dc)
+            assert px.shape == (h, w, 3)
+            for i in range(3):
+                assert (px[:, :, i] == e[i]).all()
+
+
+def test_ycbcr420_with_restart_intervals():
+    from simple_data_engineering_project_spark.operators.jpeg import (
+        encode_jpeg_ycbcr420,
+    )
+
+    px = decode_jpeg_pixels(
+        encode_jpeg_ycbcr420(48, 32, -50, 30, -40, restart_interval=2)
+    )
+    assert px.shape == (32, 48, 3)
+    assert tuple(px[0, 0]) == _expect_rgb(-50, 30, -40)
+
+
+def test_rejects_non_integral_upsampling():
+    from simple_data_engineering_project_spark.operators.jpeg import (
+        encode_jpeg_ycbcr420,
+    )
+
+    payload = bytearray(encode_jpeg_ycbcr420(16, 16, 0, 0, 0))
+    idx = bytes(payload).index(b"\xff\xc0")
+    payload[idx + 11] = 0x33  # luma 3x3 ...
+    payload[idx + 14] = 0x22  # ... vs chroma 2x2: 3/2 is non-integral
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(bytes(payload))
 
 
 def test_restart_intervals_reset_predictors_and_realign():

@@ -1199,3 +1199,27 @@ def test_audio_dsp_features_closed_forms(spark):
         assert r["zcr"] == (n - 1 if v != 0 else 0)
         assert r["rms_e4"] == abs(v) * 10000
         assert r["duration_ms"] == n * 1000 // 8000
+
+
+def test_compress_ratio_orders_boilerplate_prose_noise(spark):
+    from simple_data_engineering_project_spark.operators.text import compress_ratio
+
+    boiler = "click here to subscribe " * 50
+    prose = (
+        "The cocoa harvest arrived early this year, and the farmers of the "
+        "western region negotiated new shipment contracts with the port "
+        "authority despite the unusually heavy seasonal rains upcountry."
+    )
+    # unique prose compresses worst; the repeated-template noise string
+    # still has 42-char periodicity zlib exploits, so it sits between
+    noise = "qZ3#kV9$mW1!xT7&nB5@pL2^dH8*fJ4(sR6)gY0-eK" * 4
+    docs = spark.createDataFrame(
+        [(1, boiler), (2, prose), (3, noise)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in compress_ratio(docs).collect()}
+    assert out[1]["ratio_e4"] < out[3]["ratio_e4"] < out[2]["ratio_e4"]
+    assert out[1]["ratio_e4"] < 2000  # boilerplate collapses
+    assert out[2]["ratio_e4"] > 5000  # unique prose barely compresses
+    for did, text in [(1, boiler), (2, prose), (3, noise)]:
+        assert out[did]["n_raw"] == len(text.encode())
+        assert out[did]["ratio_e4"] == out[did]["n_gz"] * 10000 // out[did]["n_raw"]
