@@ -6481,6 +6481,218 @@ def multimodal_jpeg_pixels_q(spark, sf_dir):
 
 
 @register(
+    "graph_triangles",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_suppkey < b.l_suppkey
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT x AS v FROM e0 UNION ALL SELECT y AS v FROM e0
+      ) GROUP BY v
+    ),
+    e AS (
+      SELECT CASE WHEN (dx.d, e0.x) < (dy.d, e0.y) THEN e0.x ELSE e0.y END
+               AS u,
+             CASE WHEN (dx.d, e0.x) < (dy.d, e0.y) THEN e0.y ELSE e0.x END
+               AS v
+      FROM e0 JOIN deg dx ON dx.v = e0.x JOIN deg dy ON dy.v = e0.y
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
+           CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT)
+             AS n_wedges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles
+    """,
+    tier="C",
+    note="C14 distributed triangle counting over the supplier "
+    "co-supply graph (suppliers sharing an order): the standard "
+    "DEGREE-ORIENTED algorithm — orient every edge from the "
+    "(degree, id)-smaller endpoint, join oriented edges on the "
+    "shared middle vertex to enumerate wedges, probe the edge set "
+    "to close them. Orientation bounds the wedge join's fan-out by "
+    "arboricity instead of max degree (the hub that breaks the "
+    "naive u<v orientation at scale); each triangle is counted "
+    "exactly once. Wedge count Sum(d choose 2) ships alongside for "
+    "clustering-coefficient math downstream, all exact integers.",
+)
+def graph_triangles_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e0 = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("x"), F.col("b.l_suppkey").alias("y")
+        )
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("x").alias("v"))
+        .unionAll(e0.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    dx = deg.alias("dx")
+    dy = deg.alias("dy")
+    x_first = (F.col("dx.d") < F.col("dy.d")) | (
+        (F.col("dx.d") == F.col("dy.d")) & (F.col("x") < F.col("y"))
+    )
+    e = (
+        e0.join(dx, F.col("dx.v") == F.col("x"))
+        .join(dy, F.col("dy.v") == F.col("y"))
+        .select(
+            F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+            F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("v"),
+        )
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("t"))
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = e0.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("t").cast("bigint").alias("n_triangles"),
+        )
+    )
+
+
+@register(
+    "orders_pareto",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                  + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev_cents,
+             SUM(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+             SUM(rev_cents) OVER () AS total_cents
+      FROM cust
+    )
+    SELECT o_custkey, rev_cents,
+           CAST(floor(CAST(cum_cents AS DOUBLE) * 1000000.0 / total_cents)
+                AS BIGINT) AS cum_ppm,
+           (cum_cents - rev_cents) * 5 < total_cents * 4 AS in_top80
+    FROM ranked
+    """,
+    tier="C",
+    note="C9/C11 Pareto / ABC analysis: revenue concentration — which "
+    "customers carry the first 80% of revenue. Per-item revenue goes "
+    "to integer cents ROW-LOCALLY (one IEEE floor, engine-identical), "
+    "so the running totals and the 80% boundary test (cum-before-own"
+    "*5 < total*4, pure integer cross-multiplication) are exact — no "
+    "float reaches a comparison that could flip at the cutoff. The "
+    "global cumulative sum is TWO-PHASE DISTRIBUTED (the window_ntile"
+    "_percent census pattern): bucket by value range on the "
+    "pre-aggregated per-customer table, per-bucket census of cents "
+    "(bounded metadata), within-bucket cumulative window + bucket "
+    "offset — never a partitionless window. The oracle keeps DuckDB's "
+    "single-node window formulation; same semantics.",
+)
+def orders_pareto_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    cust = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    nparts = spark.sparkContext.defaultParallelism
+    rmin, rmax, kmin, kmax, n, total = cust.agg(
+        F.min("rev_cents"),
+        F.max("rev_cents"),
+        F.min("o_custkey"),
+        F.max("o_custkey"),
+        F.count("*"),
+        F.sum("rev_cents"),
+    ).collect()[0]
+    if not n:
+        return cust.select(
+            "o_custkey",
+            "rev_cents",
+            F.lit(0).cast("bigint").alias("cum_ppm"),
+            F.lit(False).alias("in_top80"),
+        )
+    # descending value-range buckets: equal revenues share a bucket, so
+    # the (rev desc, custkey) order is total across bucket boundaries
+    if rmax > rmin:
+        frac = (F.lit(rmax) - F.col("rev_cents")) / F.lit(float(rmax - rmin))
+    elif kmax > kmin:
+        frac = (F.col("o_custkey") - F.lit(kmin)) / F.lit(float(kmax - kmin))
+    else:
+        frac = F.lit(0.0)
+    bucket = F.least(
+        F.lit(nparts - 1), F.floor(frac * nparts).cast("int")
+    ).cast("int")
+    bucketed = cust.withColumn("_b", bucket)
+    census = {
+        r[0]: r[1]
+        for r in bucketed.groupBy("_b")
+        .agg(F.sum("rev_cents").alias("c"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for bidx in sorted(census):
+        offsets[bidx] = acc
+        acc += census[bidx]
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for bidx in sorted(offsets) for x in (bidx, offsets[bidx])]
+        ),
+        F.col("_b"),
+    )
+    wp = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("rev_cents").desc(), F.col("o_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("rev_cents").over(wp) + off
+    return bucketed.select(
+        "o_custkey",
+        "rev_cents",
+        F.floor(cum.cast("double") * 1000000.0 / F.lit(float(total)))
+        .cast("bigint")
+        .alias("cum_ppm"),
+        ((cum - F.col("rev_cents")) * 5 < F.lit(int(total)) * 4).alias(
+            "in_top80"
+        ),
+    )
+
+
+@register(
     "text_compress_ratio",
     None,  # zlib is not SQL-expressible; semantics unit-pinned
     tier="C",
