@@ -97,6 +97,12 @@ HEADLINE = [
     "events_changepoint",
     "events_quantile_sketch",
     "multimodal_audio",
+    # round-5e additions
+    "multimodal_jpeg_pixels",
+    "multimodal_gif",
+    "graph_triangles",
+    "orders_pareto",
+    "text_compress_ratio",
 ]
 
 
