@@ -213,6 +213,105 @@ def encode_jpeg_blocks(
     return out + bytes(scan) + b"\xff\xd9"
 
 
+# Progressive AC table: EOB0..EOB3 (runs 1..15) + (run0, size1).
+PROG_AC_BITS = [0, 0, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = [0x00, 0x01, 0x10, 0x20, 0x30]
+
+
+def encode_jpeg_progressive_gray(
+    width: int,
+    height: int,
+    blocks: list[tuple[int, int]],
+    dc_al: int = 0,
+    q_dc: int = 8,
+    q_ac1: int = 16,
+) -> bytes:
+    """Synthesize a PROGRESSIVE (SOF2) grayscale JPEG from per-block
+    (dc, ac1) coefficients: a DC-first scan at point transform
+    ``dc_al``, one DC refinement scan per remaining bit, then an AC
+    spectral-selection scan (Ss=1..63) with EOBRUN coding. Decoded
+    pixels equal the baseline encoding of the same coefficients."""
+    nbx = (width + 7) // 8
+    nby = (height + 7) // 8
+    assert len(blocks) == nbx * nby
+    qtab = bytearray([q_ac1] * 64)
+    qtab[0] = q_dc
+    dqt = b"\x00" + bytes(qtab)
+    sof = struct.pack(">BHHB", 8, height, width, 1) + struct.pack(
+        ">BBB", 1, 0x11, 0
+    )
+    dht_dc = bytes([0x00] + DC_BITS) + bytes(DC_VALS)
+    dht_ac = bytes([0x10] + PROG_AC_BITS) + bytes(PROG_AC_VALS)
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+    def seg(marker: bytes, body: bytes) -> bytes:
+        return marker + struct.pack(">H", len(body) + 2) + body
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return seg(
+            b"\xff\xda",
+            struct.pack(">BBBBBB", 1, 1, 0x00, ss, se, (ah << 4) | al),
+        )
+
+    out = b"\xff\xd8" + seg(b"\xff\xdb", dqt) + seg(b"\xff\xc2", sof)
+    out += seg(b"\xff\xc4", dht_dc) + seg(b"\xff\xc4", dht_ac)
+
+    # scan 1: DC first pass at point transform dc_al
+    w = _BitWriter()
+    prev = 0
+    for dc, _ac1 in blocks:
+        v = dc >> dc_al  # arithmetic shift, per the DC point transform
+        diff = v - prev
+        prev = v
+        t = _category(diff)
+        length, code = dc_codes[t]
+        w.write(code, length)
+        if t:
+            w.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    out += sos(0, 0, 0, dc_al) + w.flush()
+
+    # DC refinement scans: one correction bit per block per bit plane
+    for bit in range(dc_al - 1, -1, -1):
+        w = _BitWriter()
+        for dc, _ac1 in blocks:
+            w.write((dc >> bit) & 1, 1)
+        out += sos(0, 0, bit + 1, bit) + w.flush()
+
+    # AC spectral-selection scan with EOBRUN coding
+    w = _BitWriter()
+    pending = 0
+
+    def flush_eob() -> None:
+        nonlocal pending
+        m = pending
+        while m:
+            chunk = min(m, 15)  # table carries EOB0..EOB3
+            r = chunk.bit_length() - 1
+            length, code = ac_codes[r << 4]
+            w.write(code, length)
+            if r:
+                w.write(chunk - (1 << r), r)
+            m -= chunk
+        pending = 0
+
+    for _dc, ac1 in blocks:
+        if ac1:
+            flush_eob()
+            t = _category(ac1)
+            if t != 1:
+                raise ValueError("minimal AC table carries size-1 only")
+            length, code = ac_codes[0x01]
+            w.write(code, length)
+            w.write(1 if ac1 > 0 else 0, 1)
+            pending = 1  # this block still needs its EOB terminator
+        else:
+            pending += 1
+    flush_eob()
+    out += sos(1, 63, 0, 0) + w.flush()
+    return out + b"\xff\xd9"
+
+
 def encode_jpeg_ycbcr420(
     width: int,
     height: int,
@@ -283,6 +382,131 @@ def encode_jpeg_ycbcr420(
     return out + bytes(scan) + b"\xff\xd9"
 
 
+def _extract_entropy(payload: bytes, start: int) -> tuple[list[bytes], int]:
+    """Byte-unstuffed entropy data from ``start``, split at RSTn markers.
+    Returns (segments, next_pos) with next_pos at the terminating 0xFF."""
+    n = len(payload)
+    segments: list[bytes] = []
+    raw = bytearray()
+    i = start
+    while i < n:
+        b = payload[i]
+        if b == 0xFF:
+            nxt = payload[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                raw.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+                segments.append(bytes(raw))
+                raw = bytearray()
+                i += 2
+                continue
+            break
+        raw.append(b)
+        i += 1
+    segments.append(bytes(raw))
+    return segments, i
+
+
+def _ycbcr_to_rgb(out_planes: list["np.ndarray"]) -> "np.ndarray":
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def _decode_progressive(sof, scans, qtabs) -> "np.ndarray":
+    """Progressive JPEG (SOF2): coefficients accumulate across scans.
+
+    Supported: spectral selection (separate DC and AC scans, EOBRUN
+    coding) and DC successive approximation (point transform + 1-bit
+    refinement scans). AC successive-approximation REFINEMENT (Ah>0 on
+    an AC band) raises — correction-bit decoding is the one remaining
+    stub in the JPEG surface."""
+    w_, h, comps = sof
+    nbx = (w_ + 7) // 8
+    nby = (h + 7) // 8
+    coeffs = {
+        cid: np.zeros((nby, nbx, 64), dtype=np.int64) for cid, *_ in comps
+    }
+    pred_domain: dict[int, int] = {}
+    for sc, ss, se, ah, al, segs, htabs in scans:
+        reader = _BitReader(b"".join(segs))
+        if ss == 0:  # DC scan (interleaved over the scan's components)
+            if se != 0:
+                raise ValueError("DC scan must have Se=0")
+            if ah == 0:
+                pred = {cid: 0 for cid, _, _ in sc}
+                for by in range(nby):
+                    for bx in range(nbx):
+                        for cid, dc_id, _ac_id in sc:
+                            t = reader.read_huffman(htabs[(0, dc_id)])
+                            pred[cid] += _extend(reader.read_bits(t), t)
+                            coeffs[cid][by, bx, 0] = pred[cid] << al
+                            pred_domain[cid] = al
+            else:  # DC refinement: one correction bit per block
+                for by in range(nby):
+                    for bx in range(nbx):
+                        for cid, _dc_id, _ac_id in sc:
+                            if reader.read_bit():
+                                coeffs[cid][by, bx, 0] |= 1 << al
+        else:  # AC scan: spec requires exactly one component
+            if len(sc) != 1:
+                raise ValueError("AC scan must be single-component")
+            if ah != 0:
+                raise NotImplementedError(
+                    "AC successive-approximation refinement"
+                )
+            cid, _dc_id, ac_id = sc[0]
+            act = htabs[(1, ac_id)]
+            eobrun = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = reader.read_huffman(act)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1 + reader.read_bits(r)
+                            break
+                        k += r
+                        coeffs[cid][by, bx, k] = (
+                            _extend(reader.read_bits(s), s) << al
+                        )
+                        k += 1
+
+    qt_by_cid = {cid: tq for cid, _, _, tq in comps}
+    out_planes = []
+    for cid, _hi, _vi, _tq in comps:
+        q = qtabs[qt_by_cid[cid]]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                dq = coeffs[cid][by, bx] * q
+                block = np.zeros((8, 8), dtype=np.float64)
+                for idx, (rr, cc) in enumerate(ZIGZAG):
+                    block[rr, cc] = dq[idx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ block @ _C + 128.0
+                )
+        out_planes.append(np.clip(np.round(plane[:h, :w_]), 0, 255))
+    if len(out_planes) == 1:
+        return out_planes[0].astype(np.uint8)
+    if len(out_planes) == 3:
+        return _ycbcr_to_rgb(out_planes)
+    raise NotImplementedError("unsupported component count")
+
+
 def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
     """Decode a baseline JPEG to uint8 pixels — (h, w) for grayscale,
     (h, w, 3) RGB for 3-component YCbCr. See module docstring for the
@@ -294,8 +518,8 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
-    scan_comps = None
-    scan_start = None
+    progressive = False
+    scans: list[tuple] = []
     restart_interval = 0
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -322,7 +546,7 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
                     )
                     i += 128
                 qtabs[tq] = tab.astype(np.int64)
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (tables may be redefined between scans)
             i = 0
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0x0F
@@ -331,7 +555,8 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
                 vals = list(body[i + 17 : i + 17 + nv])
                 htabs[(tc, th)] = _decode_map(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # baseline/extended seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progr.
+            progressive = marker == 0xC2
             precision, h, w_, nc = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -347,47 +572,37 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
                     # non-interleaved single-component scans use MCU =
                     # one block regardless of declared factors
                     hi = vi = 1
+                if progressive and (hi, vi) != (1, 1):
+                    raise NotImplementedError(
+                        "subsampled progressive JPEG"
+                    )
                 comps.append((cid, hi, vi, tq))
             sof = (w_, h, comps)
-        elif 0xC2 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
-            raise NotImplementedError("progressive/hierarchical JPEG")
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
+            raise NotImplementedError("hierarchical/lossless JPEG")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            scan_comps = [
+            sc = [
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
                 for i in range(ns)
             ]
-            scan_start = pos + 2 + seg_len
-            break
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            segs, pos = _extract_entropy(payload, pos + 2 + seg_len)
+            scans.append((sc, ss, se, ah, al, segs, dict(htabs)))
+            continue
         pos += 2 + seg_len
-    if sof is None or scan_comps is None:
+    if sof is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
 
-    # entropy data, byte-unstuffed and split into restart segments:
-    # RSTn markers byte-align the stream and reset DC predictors, so
-    # each segment gets a fresh BitReader.
-    segments: list[bytes] = []
-    raw = bytearray()
-    i = scan_start
-    while i < n:
-        b = payload[i]
-        if b == 0xFF:
-            nxt = payload[i + 1] if i + 1 < n else 0xD9
-            if nxt == 0x00:
-                raw.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
-                segments.append(bytes(raw))
-                raw = bytearray()
-                i += 2
-                continue
-            break
-        raw.append(b)
-        i += 1
-    segments.append(bytes(raw))
+    if progressive:
+        if restart_interval:
+            raise NotImplementedError("restart intervals in progressive")
+        return _decode_progressive(sof, scans, qtabs)
+
+    scan_comps, _ss, _se, _ah, _al, segments, htabs = scans[0]
 
     w_, h, comps = sof
     hmax = max(hi for _, hi, _, _ in comps)

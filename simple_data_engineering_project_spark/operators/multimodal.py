@@ -658,12 +658,14 @@ def decode_image(payload: bytes) -> object:
 
 
 def media_jpeg_dc_from_documents(docs: DataFrame) -> DataFrame:
-    """Deterministic baseline-JPEG table with REAL entropy-coded scans:
+    """Deterministic JPEG table with REAL entropy-coded scans:
     w=1+id%20, h=1+id%12 (up to 3×2 blocks), block k carries quantized
     DC = base+k-128 with base=id%200, so every decoded pixel of block k
     is exactly base+k — pixel sums are closed-form in doc_id while the
-    bytes require genuine Huffman + IDCT decoding."""
-    from .jpeg import encode_jpeg_blocks
+    bytes require genuine Huffman + IDCT decoding. Every 4th document
+    is PROGRESSIVE (SOF2, spectral selection + DC successive
+    approximation), so the oracle match covers that decode path too."""
+    from .jpeg import encode_jpeg_blocks, encode_jpeg_progressive_gray
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -677,10 +679,15 @@ def media_jpeg_dc_from_documents(docs: DataFrame) -> DataFrame:
                     for by in range(nby)
                     for bx in range(nbx)
                 ]
+                payload = (
+                    encode_jpeg_progressive_gray(w, h, blocks, dc_al=1)
+                    if did % 4 == 0
+                    else encode_jpeg_blocks(w, h, blocks)
+                )
                 rows.append(
                     {
                         "media_id": did,
-                        "payload": encode_jpeg_blocks(w, h, blocks),
+                        "payload": payload,
                         "meta": {
                             "modality": "image",
                             "mime": "image/jpeg",

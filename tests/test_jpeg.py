@@ -58,9 +58,9 @@ def test_single_block_exact_sum():
 
 def test_rejects_unsupported_envelopes():
     payload = bytearray(encode_jpeg_blocks(8, 8, [(0, 0)]))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF3 (lossless sequential)
     idx = bytes(payload).index(b"\xff\xc0")
-    payload[idx + 1] = 0xC2
+    payload[idx + 1] = 0xC3
     with pytest.raises(NotImplementedError):
         decode_jpeg_pixels(bytes(payload))
 
@@ -135,3 +135,57 @@ def test_restart_intervals_reset_predictors_and_realign():
     many = [(i % 40 - 20, 0) for i in range(24)]
     px = decode_jpeg_pixels(encode_jpeg_blocks(64, 24, many, restart_interval=1))
     assert px.shape == (24, 64)
+
+
+def test_progressive_equals_baseline_decode():
+    from simple_data_engineering_project_spark.operators.jpeg import (
+        encode_jpeg_progressive_gray,
+    )
+
+    # mixed DC/AC coefficients + long EOB runs, at three DC point
+    # transforms (al=0 is pure spectral selection; al>0 adds DC
+    # successive-approximation refinement scans)
+    blocks = [(k % 7 - 3, 1 if k % 4 == 0 else 0) for k in range(15)]
+    base = decode_jpeg_pixels(encode_jpeg_blocks(40, 24, blocks))
+    for al in (0, 1, 2):
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive_gray(40, 24, blocks, dc_al=al)
+        )
+        assert (prog == base).all(), f"dc_al={al}"
+
+
+def test_progressive_dc_only_closed_form():
+    from simple_data_engineering_project_spark.operators.jpeg import (
+        encode_jpeg_progressive_gray,
+    )
+
+    blocks = [(100 + k - 128, 0) for k in range(6)]
+    px = decode_jpeg_pixels(
+        encode_jpeg_progressive_gray(20, 12, blocks, dc_al=1)
+    )
+    for by in range(2):
+        for bx in range(3):
+            assert (px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8][
+                : min(8, 12 - by * 8), : min(8, 20 - bx * 8)
+            ] == 100 + by * 3 + bx).all()
+
+
+def test_progressive_ac_refinement_still_raises():
+    from simple_data_engineering_project_spark.operators.jpeg import (
+        encode_jpeg_progressive_gray,
+    )
+
+    payload = bytearray(encode_jpeg_progressive_gray(8, 8, [(0, 1)]))
+    # rewrite the AC scan header (Ss=1) to claim a refinement pass Ah=1
+    i = 2
+    while i < len(payload):
+        if payload[i] == 0xFF and payload[i + 1] == 0xDA:
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if payload[i + 4 + 1 + 2] == 1:  # Ss byte of this SOS
+                payload[i + 4 + 1 + 2 + 2] = 0x10  # Ah=1, Al=0
+                break
+            i += 2 + seg_len
+        else:
+            i += 1
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(bytes(payload))
