@@ -210,3 +210,41 @@ def test_gopher_quality_flags_degenerate_docs(spark):
     assert out[1]["keep"] is False  # distinct_word_ratio 0.1 < 0.3
     assert out[2]["keep"] is False  # symbol_word_ratio 1.0 > 0.3
     assert out[3]["keep"] is False  # n_words < 5
+
+
+def test_bottom_k_sketch_merge_is_exact(spark):
+    """The events_quantile_sketch mergeability invariant, pinned on
+    literal data: the week's bottom-k by md5 order, computed by merging
+    per-day bottom-k survivors, equals the bottom-k computed directly
+    from all rows — deterministic mergeable-sample property."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, f"2024-01-{1 + i % 7:02d}", float(i % 13))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, day string, value double")
+    h = F.md5(F.col("event_id").cast("string"))
+    k = 16
+
+    wd = Window.partitionBy("day").orderBy(h.asc(), F.col("event_id").asc())
+    daily = (
+        df.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    ww = Window.partitionBy(F.lit(1)).orderBy(h.asc(), F.col("event_id").asc())
+    merged = set(
+        r["event_id"]
+        for r in daily.withColumn("rn", F.row_number().over(ww))
+        .filter(F.col("rn") <= k)
+        .collect()
+    )
+    direct = set(
+        r["event_id"]
+        for r in df.withColumn("rn", F.row_number().over(ww))
+        .filter(F.col("rn") <= k)
+        .collect()
+    )
+    assert merged == direct and len(direct) == k
