@@ -8,10 +8,15 @@ operators/dedup.py (min-label propagation); this module adds weighted
 PageRank.
 
 Scale notes: each iteration is one shuffle (contributions grouped by
-dst). Rank state is one row per node — always the small side, broadcast
-against the edge list. For long iteration counts the logical plan grows
-linearly; ``checkpoint_every`` truncates lineage with localCheckpoint so
-the optimizer never sees an unbounded join tree.
+dst). Rank state is one row per node — O(|V|), which at web scale is
+far past any broadcast threshold, so the edge⋈rank join carries NO
+forced broadcast hint: AQE picks broadcast when the rank relation's
+runtime size is under ``spark.sql.autoBroadcastJoinThreshold`` (the
+sf0.1 case) and degrades to a shuffled join when it is not (the 10⁹-node
+case), instead of OOMing executors on a mandatory hint. For long
+iteration counts the logical plan grows linearly; ``checkpoint_every``
+truncates lineage with localCheckpoint so the optimizer never sees an
+unbounded join tree.
 """
 
 from __future__ import annotations
@@ -40,8 +45,13 @@ def pagerank(
         rank'(d)    = (1−α)/N + α · (contrib(d) + dangling/N)
 
     which preserves Σ rank = 1 exactly (up to float) every iteration.
-    The rank relation (one row per node) is broadcast into the edge join;
-    the per-iteration shuffle is the groupBy(dst) on edge contributions.
+    The rank relation (one row per node) joins the edge list UNHINTED —
+    rank state is O(|V|), so forcing a broadcast would OOM executors on
+    web-scale graphs; AQE broadcast-converts at runtime when the state
+    actually fits (``test_scale.test_pagerank_rank_state_not_hinted``
+    pins the absence of the hint). The per-iteration shuffle is the
+    groupBy(dst) on edge contributions. The only forced broadcast is the
+    dangling-mass scalar — a literal 1-row aggregate.
     """
     # Materialize the loop-invariant relations once: every iteration
     # re-reads them, and leaving their lineage inline makes the final
@@ -64,8 +74,12 @@ def pagerank(
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         contrib = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.node)
-            .join(F.broadcast(out), "src")
+            # no broadcast hint on ranks/out: both are O(|V|) relations.
+            # AQE broadcast-converts when their runtime size is under the
+            # threshold; a forced hint would ignore the threshold and OOM
+            # at 10^9 nodes.
+            edges.join(ranks, edges.src == ranks.node)
+            .join(out, "src")
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") * F.col("weight") / F.col("out_w")).alias("c"),

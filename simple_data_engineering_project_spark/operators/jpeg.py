@@ -1,14 +1,21 @@
-"""Baseline JPEG entropy codec in pure numpy/stdlib (SURVEY §2 C5).
+"""JPEG entropy codec in pure numpy/stdlib (SURVEY §2 C5).
 
-A REAL decoder for baseline sequential DCT JPEGs (SOF0) with no chroma
-subsampling: marker walk → DQT/DHT/SOF0/SOS parse → byte-unstuffed
-bitstream → canonical Huffman decode (tables come from the file's own
-DHT segments, not hard-coded constants) → DC-diff EXTEND → run/size AC
-with EOB/ZRL → dequantize → de-zigzag → float64 IDCT → level shift →
-clamp. Grayscale returns one plane; 3-component scans convert YCbCr→RGB
-(BT.601). Progressive scans, subsampled chroma, and restart intervals
-raise ``NotImplementedError`` — honest stubs, the same policy as the
-other media codecs (∅ in reference; Tier C extension).
+A REAL decoder for DCT JPEGs: marker walk → DQT/DHT/SOF/SOS parse →
+byte-unstuffed bitstream → canonical Huffman decode (tables come from
+the file's own DHT segments, not hard-coded constants) → DC-diff EXTEND
+→ run/size AC with EOB/ZRL → dequantize → de-zigzag → float64 IDCT →
+level shift → clamp. Grayscale returns one plane; 3-component scans
+convert YCbCr→RGB (BT.601). The supported envelope covers baseline
+sequential (SOF0) including restart intervals (DRI/RSTn) and subsampled
+chroma (e.g. 4:2:0, nearest-neighbor upsample), plus progressive (SOF2)
+spectral-selection and DC successive-approximation scans and AC
+successive-approximation refinement with EOB runs. Still OUTSIDE the
+envelope — these raise ``NotImplementedError``, the same honest-stub
+policy as the other media codecs (∅ in reference; Tier C extension):
+hierarchical/lossless (SOF3/5-15), non-8-bit precision, restart
+intervals inside progressive scans, subsampled progressive, and
+multi-scan *baseline* files (legal non-interleaved per-component scan
+sequences — only the single-interleaved-scan baseline layout decodes).
 
 The companion encoder synthesizes baseline JPEGs whose 8×8 blocks carry
 a chosen DC (and optionally one AC) coefficient, so decoded pixels are
@@ -225,12 +232,19 @@ def encode_jpeg_progressive_gray(
     dc_al: int = 0,
     q_dc: int = 8,
     q_ac1: int = 16,
+    ac_al: int = 0,
+    restart_interval: int = 0,
 ) -> bytes:
     """Synthesize a PROGRESSIVE (SOF2) grayscale JPEG from per-block
     (dc, ac1) coefficients: a DC-first scan at point transform
-    ``dc_al``, one DC refinement scan per remaining bit, then an AC
-    spectral-selection scan (Ss=1..63) with EOBRUN coding. Decoded
-    pixels equal the baseline encoding of the same coefficients."""
+    ``dc_al``, one DC refinement scan per remaining bit, an AC
+    spectral-selection scan (Ss=1..63, point transform ``ac_al``) with
+    EOBRUN coding, then one AC successive-approximation REFINEMENT scan
+    per remaining AC bit plane (correction bits + newly visible ±1
+    insertions). With ``restart_interval`` > 0, every scan is split
+    into RSTn-delimited entropy segments of that many blocks, with DC
+    prediction / EOB-run state reset at each boundary. Decoded pixels
+    equal the baseline encoding of the same coefficients."""
     nbx = (width + 7) // 8
     nby = (height + 7) // 8
     assert len(blocks) == nbx * nby
@@ -254,61 +268,116 @@ def encode_jpeg_progressive_gray(
             struct.pack(">BBBBBB", 1, 1, 0x00, ss, se, (ah << 4) | al),
         )
 
+    def with_restarts(encode_seg) -> bytes:
+        """Entropy data for one scan: encode_seg(chunk) must be
+        self-contained (state resets per segment, byte-aligned flush)."""
+        if not restart_interval:
+            return encode_seg(blocks)
+        parts = []
+        for idx, i in enumerate(range(0, len(blocks), restart_interval)):
+            if idx:
+                parts.append(bytes([0xFF, 0xD0 + ((idx - 1) % 8)]))
+            parts.append(encode_seg(blocks[i : i + restart_interval]))
+        return b"".join(parts)
+
     out = b"\xff\xd8" + seg(b"\xff\xdb", dqt) + seg(b"\xff\xc2", sof)
     out += seg(b"\xff\xc4", dht_dc) + seg(b"\xff\xc4", dht_ac)
+    if restart_interval:
+        out += seg(b"\xff\xdd", struct.pack(">H", restart_interval))
 
     # scan 1: DC first pass at point transform dc_al
-    w = _BitWriter()
-    prev = 0
-    for dc, _ac1 in blocks:
-        v = dc >> dc_al  # arithmetic shift, per the DC point transform
-        diff = v - prev
-        prev = v
-        t = _category(diff)
-        length, code = dc_codes[t]
-        w.write(code, length)
-        if t:
-            w.write(diff if diff > 0 else diff + (1 << t) - 1, t)
-    out += sos(0, 0, 0, dc_al) + w.flush()
+    def dc_first_seg(chunk) -> bytes:
+        w = _BitWriter()
+        prev = 0  # DC prediction resets at every restart boundary
+        for dc, _ac1 in chunk:
+            v = dc >> dc_al  # arithmetic shift, per the DC point transform
+            diff = v - prev
+            prev = v
+            t = _category(diff)
+            length, code = dc_codes[t]
+            w.write(code, length)
+            if t:
+                w.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        return w.flush()
+
+    out += sos(0, 0, 0, dc_al) + with_restarts(dc_first_seg)
 
     # DC refinement scans: one correction bit per block per bit plane
     for bit in range(dc_al - 1, -1, -1):
+
+        def dc_refine_seg(chunk, _bit=bit) -> bytes:
+            w = _BitWriter()
+            for dc, _ac1 in chunk:
+                w.write((dc >> _bit) & 1, 1)
+            return w.flush()
+
+        out += sos(0, 0, bit + 1, bit) + with_restarts(dc_refine_seg)
+
+    # AC spectral-selection first scan (point transform ac_al, EOBRUN)
+    def ac_first_seg(chunk) -> bytes:
         w = _BitWriter()
-        for dc, _ac1 in blocks:
-            w.write((dc >> bit) & 1, 1)
-        out += sos(0, 0, bit + 1, bit) + w.flush()
-
-    # AC spectral-selection scan with EOBRUN coding
-    w = _BitWriter()
-    pending = 0
-
-    def flush_eob() -> None:
-        nonlocal pending
-        m = pending
-        while m:
-            chunk = min(m, 15)  # table carries EOB0..EOB3
-            r = chunk.bit_length() - 1
-            length, code = ac_codes[r << 4]
-            w.write(code, length)
-            if r:
-                w.write(chunk - (1 << r), r)
-            m -= chunk
         pending = 0
 
-    for _dc, ac1 in blocks:
-        if ac1:
-            flush_eob()
-            t = _category(ac1)
-            if t != 1:
-                raise ValueError("minimal AC table carries size-1 only")
-            length, code = ac_codes[0x01]
-            w.write(code, length)
-            w.write(1 if ac1 > 0 else 0, 1)
-            pending = 1  # this block still needs its EOB terminator
-        else:
-            pending += 1
-    flush_eob()
-    out += sos(1, 63, 0, 0) + w.flush()
+        def flush_eob() -> None:
+            nonlocal pending
+            m = pending
+            while m:
+                chunk_ = min(m, 15)  # table carries EOB0..EOB3
+                r = chunk_.bit_length() - 1
+                length, code = ac_codes[r << 4]
+                w.write(code, length)
+                if r:
+                    w.write(chunk_ - (1 << r), r)
+                m -= chunk_
+            pending = 0
+
+        for _dc, ac1 in chunk:
+            # AC point transform is sign-magnitude: sign · (|v| >> al)
+            v = (1 if ac1 > 0 else -1) * (abs(ac1) >> ac_al) if ac1 else 0
+            if v:
+                flush_eob()
+                t = _category(v)
+                if t != 1:
+                    raise ValueError("minimal AC table carries size-1 only")
+                length, code = ac_codes[0x01]
+                w.write(code, length)
+                w.write(1 if v > 0 else 0, 1)
+                pending = 1  # this block still needs its EOB terminator
+            else:
+                pending += 1
+        flush_eob()
+        return w.flush()
+
+    out += sos(1, 63, 0, ac_al) + with_restarts(ac_first_seg)
+
+    # AC successive-approximation refinement scans (Ah>0): per block,
+    # either a newly visible ±(1<<bit) insertion (run/size 0/1 + sign),
+    # or EOB0 followed by the correction bit of the already-visible
+    # coefficient — the exact stream _refine_ac consumes.
+    for bit in range(ac_al - 1, -1, -1):
+
+        def ac_refine_seg(chunk, _bit=bit) -> bytes:
+            w = _BitWriter()
+            for _dc, ac1 in chunk:
+                mag = abs(ac1)
+                hist = mag >> (_bit + 1)
+                cur = (mag >> _bit) & 1
+                if hist == 0 and cur:  # newly visible at this bit plane
+                    length, code = ac_codes[0x01]
+                    w.write(code, length)
+                    w.write(1 if ac1 > 0 else 0, 1)
+                    length, code = ac_codes[0x00]  # EOB0 ends the block
+                    w.write(code, length)
+                elif hist:
+                    length, code = ac_codes[0x00]
+                    w.write(code, length)
+                    w.write(cur, 1)  # correction bit after the EOB symbol
+                else:
+                    length, code = ac_codes[0x00]
+                    w.write(code, length)
+            return w.flush()
+
+        out += sos(1, 63, bit + 1, bit) + with_restarts(ac_refine_seg)
     return out + b"\xff\xd9"
 
 
@@ -419,53 +488,131 @@ def _ycbcr_to_rgb(out_planes: list["np.ndarray"]) -> "np.ndarray":
     )
 
 
+def _refine_ac(coeffs_blk, reader, act, ss, se, al, eobrun) -> int:
+    """AC successive-approximation refinement for ONE block (T.81
+    G.1.2.3 / libjpeg decode_mcu_AC_refine): appends one correction bit
+    to every already-nonzero coefficient in the band, inserts newly
+    visible ±(1<<al) coefficients positioned by run lengths of
+    ZERO-HISTORY coefficients, with EOB runs covering whole blocks whose
+    remaining nonzero coefficients still receive correction bits.
+    Returns the updated eobrun."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_huffman(act)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:  # EOB run: this block ends after refinement
+                    eobrun = (1 << r) + reader.read_bits(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement size must be 1")
+                newval = p1 if reader.read_bit() else -p1
+            # advance over r zero-history coefficients, emitting a
+            # correction bit for every nonzero-history one passed
+            while k <= se:
+                c = int(coeffs_blk[k])
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        coeffs_blk[k] = c + (p1 if c >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coeffs_blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        # block inside an EOB run: only correction bits for the
+        # remaining nonzero-history coefficients
+        while k <= se:
+            c = int(coeffs_blk[k])
+            if c != 0 and reader.read_bit() and (c & p1) == 0:
+                coeffs_blk[k] = c + (p1 if c >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _decode_progressive(sof, scans, qtabs) -> "np.ndarray":
     """Progressive JPEG (SOF2): coefficients accumulate across scans.
 
     Supported: spectral selection (separate DC and AC scans, EOBRUN
-    coding) and DC successive approximation (point transform + 1-bit
-    refinement scans). AC successive-approximation REFINEMENT (Ah>0 on
-    an AC band) raises — correction-bit decoding is the one remaining
-    stub in the JPEG surface."""
+    coding), DC successive approximation (point transform + 1-bit
+    refinement scans), AC successive-approximation refinement
+    (correction-bit decoding, ``_refine_ac``), and restart intervals
+    (RSTn resets DC prediction / EOB run at each entropy-segment
+    boundary)."""
     w_, h, comps = sof
     nbx = (w_ + 7) // 8
     nby = (h + 7) // 8
     coeffs = {
         cid: np.zeros((nby, nbx, 64), dtype=np.int64) for cid, *_ in comps
     }
-    pred_domain: dict[int, int] = {}
-    for sc, ss, se, ah, al, segs, htabs in scans:
-        reader = _BitReader(b"".join(segs))
+    for sc, ss, se, ah, al, segs, htabs, ri in scans:
+        seg_iter = iter(segs)
+        reader = _BitReader(next(seg_iter))
+        mcu = 0
+
+        def _maybe_restart(reset):
+            nonlocal reader, mcu
+            if ri and mcu and mcu % ri == 0:
+                reader = _BitReader(next(seg_iter))
+                reset()
+            mcu += 1
+
         if ss == 0:  # DC scan (interleaved over the scan's components)
             if se != 0:
                 raise ValueError("DC scan must have Se=0")
             if ah == 0:
                 pred = {cid: 0 for cid, _, _ in sc}
+
+                def _reset_pred():
+                    for c in pred:
+                        pred[c] = 0
+
                 for by in range(nby):
                     for bx in range(nbx):
+                        _maybe_restart(_reset_pred)
                         for cid, dc_id, _ac_id in sc:
                             t = reader.read_huffman(htabs[(0, dc_id)])
                             pred[cid] += _extend(reader.read_bits(t), t)
                             coeffs[cid][by, bx, 0] = pred[cid] << al
-                            pred_domain[cid] = al
             else:  # DC refinement: one correction bit per block
                 for by in range(nby):
                     for bx in range(nbx):
+                        _maybe_restart(lambda: None)
                         for cid, _dc_id, _ac_id in sc:
                             if reader.read_bit():
                                 coeffs[cid][by, bx, 0] |= 1 << al
         else:  # AC scan: spec requires exactly one component
             if len(sc) != 1:
                 raise ValueError("AC scan must be single-component")
-            if ah != 0:
-                raise NotImplementedError(
-                    "AC successive-approximation refinement"
-                )
             cid, _dc_id, ac_id = sc[0]
             act = htabs[(1, ac_id)]
             eobrun = 0
+
+            def _reset_eobrun():
+                nonlocal eobrun
+                eobrun = 0
+
+            if ah != 0:  # successive-approximation refinement scan
+                for by in range(nby):
+                    for bx in range(nbx):
+                        _maybe_restart(_reset_eobrun)
+                        eobrun = _refine_ac(
+                            coeffs[cid][by, bx], reader, act, ss, se, al,
+                            eobrun,
+                        )
+                continue
             for by in range(nby):
                 for bx in range(nbx):
+                    _maybe_restart(_reset_eobrun)
                     if eobrun:
                         eobrun -= 1
                         continue
@@ -591,18 +738,30 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
             segs, pos = _extract_entropy(payload, pos + 2 + seg_len)
-            scans.append((sc, ss, se, ah, al, segs, dict(htabs)))
+            scans.append(
+                (sc, ss, se, ah, al, segs, dict(htabs), restart_interval)
+            )
             continue
         pos += 2 + seg_len
     if sof is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
 
     if progressive:
-        if restart_interval:
-            raise NotImplementedError("restart intervals in progressive")
         return _decode_progressive(sof, scans, qtabs)
 
-    scan_comps, _ss, _se, _ah, _al, segments, htabs = scans[0]
+    if len(scans) > 1:
+        # Legal but unsupported: multi-scan BASELINE files (sequences of
+        # non-interleaved per-component scans). Decoding only scans[0]
+        # would silently return zero-filled planes for the others —
+        # raise instead, per the honest-envelope policy.
+        raise NotImplementedError("multi-scan baseline JPEG")
+    scan_comps, _ss, _se, _ah, _al, segments, htabs, restart_interval = (
+        scans[0]
+    )
+    if {cid for cid, _, _ in scan_comps} != {c[0] for c in sof[2]}:
+        raise NotImplementedError(
+            "baseline scan does not cover all SOF components"
+        )
 
     w_, h, comps = sof
     hmax = max(hi for _, hi, _, _ in comps)

@@ -663,8 +663,18 @@ def media_jpeg_dc_from_documents(docs: DataFrame) -> DataFrame:
     DC = base+k-128 with base=id%200, so every decoded pixel of block k
     is exactly base+k — pixel sums are closed-form in doc_id while the
     bytes require genuine Huffman + IDCT decoding. Every 4th document
-    is PROGRESSIVE (SOF2, spectral selection + DC successive
-    approximation), so the oracle match covers that decode path too."""
+    is PROGRESSIVE (SOF2) cycling the whole progressive envelope:
+    spectral selection, DC successive approximation, AC successive
+    approximation (ac_al=2 — first scan sees ±1, refinement scans carry
+    correction bits and mid-plane insertions), and every 8th adds
+    restart intervals (RSTn inside progressive scans). Fully visible
+    blocks of progressive files carry a nonzero AC(0,1) coefficient:
+    its cosine column profile is antisymmetric (t(y) = −t(7−y)), so
+    with integer DC pixels the per-block pixel SUM is unchanged — the
+    closed-form oracle still predicts it exactly — while a bitstream
+    desync anywhere in the refinement decode corrupts everything after
+    it. AC is only planted where base+k ∈ [20, 235] so the ±14 swing
+    cannot clip."""
     from .jpeg import encode_jpeg_blocks, encode_jpeg_progressive_gray
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -674,14 +684,30 @@ def media_jpeg_dc_from_documents(docs: DataFrame) -> DataFrame:
                 did = int(doc_id)
                 w, h, base = 1 + did % 20, 1 + did % 12, did % 200
                 nbx, nby = (w + 7) // 8, (h + 7) // 8
-                blocks = [
-                    (base + by * nbx + bx - 128, 0)
-                    for by in range(nby)
-                    for bx in range(nbx)
-                ]
+                progressive = did % 4 == 0
+                sign = -1 if (did // 8) % 2 else 1
+                ac_mag = 1 + (did // 4) % 7  # 1..7: all bit planes of al=2
+                blocks = []
+                for by in range(nby):
+                    for bx in range(nbx):
+                        k = by * nbx + bx
+                        full = bx * 8 + 8 <= w and by * 8 + 8 <= h
+                        ac = (
+                            sign * ac_mag
+                            if progressive and full and 20 <= base + k <= 235
+                            else 0
+                        )
+                        blocks.append((base + k - 128, ac))
                 payload = (
-                    encode_jpeg_progressive_gray(w, h, blocks, dc_al=1)
-                    if did % 4 == 0
+                    encode_jpeg_progressive_gray(
+                        w,
+                        h,
+                        blocks,
+                        dc_al=2 if did % 8 == 0 else 1,
+                        ac_al=2,
+                        restart_interval=2 if did % 8 == 0 else 0,
+                    )
+                    if progressive
                     else encode_jpeg_blocks(w, h, blocks)
                 )
                 rows.append(

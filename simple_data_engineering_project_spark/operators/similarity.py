@@ -617,9 +617,11 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     threshold: float = 0.4,
+    target_cluster_size: int = 10_000,
+    max_cluster_size: int = 20_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column.
 
@@ -633,19 +635,38 @@ def semantic_dedup(
 
     Scale shape: the all-pairs comparison never happens globally — the
     self-join key is ``cluster_id``, so candidate pairs are
-    Σ |cluster|² instead of n². In production k grows with the corpus
-    (k ≈ n / target_cluster_size), keeping per-cluster pair counts
-    bounded; the kmeans step itself is two scans per iteration with
-    centroids as bounded closure metadata (see ``kmeans_fit``). The
-    cluster assignment is a row-local expression (no assignment-table
-    join), and the pair join goes through ``salted_skew_join`` — a plain
-    cluster_id equi-join has only k distinct keys, capping parallelism
-    at k tasks; salting spreads each cluster over ``buckets`` tasks.
-    Cosine folds in codegen on doubles — summation order matches the
-    DuckDB oracle bit-for-bit, so the threshold compare cannot flip.
+    Σ |cluster|² instead of n², and TWO mechanisms keep that sum linear
+    in n rather than quadratic:
+
+    1. **k grows with the corpus.** When ``k`` is None (the default) it
+       is derived as ``max(8, ceil(n / target_cluster_size))`` from one
+       cheap count (parquet-footer count, no shuffle) — fixed k would
+       make Σ |cluster|² ≈ n²/k quadratic at 100 TB; derived k keeps the
+       *expected* cluster size, hence the pair fan-out per cluster,
+       constant as the corpus grows.
+    2. **Oversize clusters are excluded from the pair join** (the same
+       degenerate-bucket guard the LSH path applies, dedup.py) — k-means
+       can still produce a pathological mega-cluster on degenerate
+       embeddings, and one cluster of size m costs m² pairs regardless
+       of k. Clusters above ``max_cluster_size`` members skip the pair
+       compare entirely (their members report ``is_dup=0``), bounding
+       candidate pairs at ``n · max_cluster_size`` worst-case. The
+       eligible-cluster list is O(k) ints — bounded metadata, broadcast.
+
+    The kmeans step itself is two scans per iteration with centroids as
+    bounded closure metadata (see ``kmeans_fit``). The cluster
+    assignment is a row-local expression (no assignment-table join), and
+    the pair join goes through ``salted_skew_join`` — a plain cluster_id
+    equi-join has only k distinct keys, capping parallelism at k tasks;
+    salting spreads each cluster over ``buckets`` tasks. Cosine folds in
+    codegen on doubles — summation order matches the DuckDB oracle
+    bit-for-bit, so the threshold compare cannot flip.
     """
     from .skew import salted_skew_join
 
+    if k is None:
+        n = df.count()
+        k = max(8, -(-n // target_cluster_size))
     centroids = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
     vd = F.col(vec_col).cast("array<double>")
     # per-vector norm computed ONCE per row on the map side — the
@@ -659,13 +680,25 @@ def semantic_dedup(
         norm.alias("__norm"),
         _kmeans_assign_expr(vec_col, centroids).alias("cluster_id"),
     )
-    left = sides.select(
+    # Degenerate-cluster guard: one mega-cluster of size m costs m²
+    # candidate pairs no matter how k was chosen. Members of clusters
+    # above max_cluster_size skip the pair compare (is_dup=0), exactly
+    # like the LSH path's oversize-bucket drop. The eligible list is
+    # ≤ k rows of one int — bounded model metadata, safe to broadcast.
+    eligible = (
+        sides.groupBy("cluster_id")
+        .agg(F.count("*").alias("__csz"))
+        .filter(F.col("__csz") <= max_cluster_size)
+        .select("cluster_id")
+    )
+    comparable = sides.join(F.broadcast(eligible), "cluster_id", "left_semi")
+    left = comparable.select(
         F.col(id_col).alias("a_id"),
         F.col("__v").alias("a_vec"),
         F.col("__norm").alias("a_norm"),
         "cluster_id",
     )
-    right = sides.select(
+    right = comparable.select(
         F.col(id_col).alias("b_id"),
         F.col("__v").alias("b_vec"),
         F.col("__norm").alias("b_norm"),

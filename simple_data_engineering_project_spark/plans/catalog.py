@@ -96,8 +96,13 @@ def _scratch(sf_dir: str, leaf: str) -> str:
     """,
     tier="B",
     note="Flagship: the reference's documented dashboard query "
-    "(README.md:150 — value by region) over the dim chain. "
-    "Dims broadcast; the only shuffle is the final groupBy.",
+    "(README.md:150 — value by region) over the dim chain. nation (25 "
+    "rows) and region (5 rows) are BOUNDED dims — hinted broadcast; "
+    "customer GROWS with scale factor (150k rows/sf, past the 64 MB "
+    "threshold at sf100+), so its join is UNHINTED and AQE "
+    "broadcast-converts at runtime only while it actually fits, "
+    "degrading gracefully to sort-merge at warehouse scale instead of "
+    "OOMing on a mandatory hint.",
 )
 def agg_value_by_region(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -108,7 +113,7 @@ def agg_value_by_region(spark, sf_dir):
     return (
         li.select("l_orderkey", revenue().alias("rev"))
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
@@ -5152,8 +5157,11 @@ def _pagerank_oracle(iterations: int = 10, damping: float = 0.85) -> str:
     note="C-ext weighted PageRank (10 iters, α=0.85, dangling-mass "
     "redistribution) on the customer-nation → supplier-nation trade "
     "graph derived from lineitem⋈orders⋈customer⋈supplier. Rank state "
-    "is one row per node (broadcast side); the per-iteration shuffle is "
-    "groupBy(dst) on edge contributions. operators/graph.py.",
+    "is one row per node — O(|V|), so the edge⋈rank join carries NO "
+    "forced broadcast hint (AQE broadcast-converts when the state fits, "
+    "degrades to a shuffled join at 10^9 nodes instead of OOMing); the "
+    "per-iteration shuffle is groupBy(dst) on edge contributions. "
+    "operators/graph.py.",
 )
 def graph_pagerank_q(spark, sf_dir):
     from ..operators import graph as graph_ops
@@ -5916,7 +5924,9 @@ def text_entropy_q(spark, sf_dir):
     ), init AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
              vec_id
-      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
+            LIMIT (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 10000.0) AS INT))
+                   FROM embeddings))
     ), c0 AS (
       SELECT i.cid, e.dim, e.x AS m FROM init i JOIN exp e USING (vec_id)
     ), d1 AS (
@@ -5939,9 +5949,13 @@ def text_entropy_q(spark, sf_dir):
       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
     ), v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), eligible AS (
+      SELECT cluster_id FROM asg GROUP BY cluster_id
+      HAVING COUNT(*) <= 20000
     ), dup AS (
       SELECT DISTINCT b.vec_id
       FROM asg a
+      JOIN eligible el ON el.cluster_id = a.cluster_id
       JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
       JOIN v va ON va.vec_id = a.vec_id
       JOIN v vb ON vb.vec_id = b.vec_id
@@ -5956,22 +5970,31 @@ def text_entropy_q(spark, sf_dir):
     tier="C",
     note="C2/C3 SemDeDup (Abbas et al. 2023): k-means clusters the "
     "corpus into semantic neighborhoods (deterministic lowest-id init, "
-    "k=8 x 2 iters — same trainer as embedding_kmeans), then pairwise "
+    "2 iters — same trainer as embedding_kmeans), then pairwise "
     "cosine runs ONLY within a cluster; a vector is a duplicate iff a "
     "lower-id cluster-mate exceeds cos 0.4. The all-pairs explosion "
-    "never happens: the self-join key is cluster_id, so candidates are "
-    "sum(|cluster|^2), and in production k grows with the corpus to "
-    "keep clusters bounded. The pair join is salted (salted_skew_join "
-    "x8): a plain cluster_id equi-join has only k distinct keys, "
-    "capping parallelism at k tasks; assignment itself is a row-local "
-    "centroid-literal expression, never an assignment-table join. Cosine folds on doubles in the same "
-    "sequential order as DuckDB's list_dot_product, so the threshold "
-    "compare is bit-stable. The oracle chains the (already "
-    "hash-verified) kmeans CTE with all-pairs-within-cluster cosine.",
+    "never happens, via two mechanisms: (1) k is DERIVED from corpus "
+    "size — max(8, ceil(n/10000)), one parquet-footer count — so "
+    "expected cluster size (hence sum(|cluster|^2) pair fan-out) stays "
+    "constant as the corpus grows, where a fixed k would be n^2/k "
+    "quadratic; (2) pathological mega-clusters (>20000 members) skip "
+    "the pair compare entirely (is_dup=0), the same oversize-bucket "
+    "guard as the LSH path, bounding worst-case pairs at "
+    "n*max_cluster_size. The oracle mirrors both: dynamic LIMIT "
+    "subquery for k, HAVING count<=20000 eligibility for the guard. "
+    "The pair join is salted (salted_skew_join x8): a plain cluster_id "
+    "equi-join has only k distinct keys, capping parallelism at k "
+    "tasks; assignment itself is a row-local centroid-literal "
+    "expression, never an assignment-table join. Cosine folds on "
+    "doubles in the same sequential order as DuckDB's "
+    "list_dot_product, so the threshold compare is bit-stable.",
 )
 def semantic_dedup_q(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    return sim_ops.semantic_dedup(e, k=8, iters=2, threshold=0.4)
+    return sim_ops.semantic_dedup(
+        e, iters=2, threshold=0.4, target_cluster_size=10_000,
+        max_cluster_size=20_000,
+    )
 
 
 @register(
@@ -6457,22 +6480,27 @@ def text_heavy_hitters_q(spark, sf_dir):
     GROUP BY doc_id, w, h
     """,
     tier="C",
-    note="C5 REAL baseline-JPEG pixel decode — a pure-numpy/stdlib "
-    "entropy decoder (canonical Huffman from the file's own DHT "
-    "segments, DC-diff EXTEND, run/size AC with EOB/ZRL, byte "
-    "unstuffing, dequant, de-zigzag, float64 IDCT, level shift) in "
+    note="C5 REAL JPEG pixel decode — a pure-numpy/stdlib entropy "
+    "decoder (canonical Huffman from the file's own DHT segments, "
+    "DC-diff EXTEND, run/size AC with EOB/ZRL, byte unstuffing, "
+    "dequant, de-zigzag, float64 IDCT, level shift) in "
     "operators/jpeg.py. The generator synthesizes scans whose block "
     "DCs are closed-form in doc_id (q_dc=8 makes a DC-only block "
     "decode to exactly dc+128 everywhere), so the oracle predicts "
     "exact pixel sums per visible block region without any codec — "
     "hash equality proves the Huffman/IDCT path parses the actual "
-    "entropy-coded bytes. Restart-interval scans decode too (DRI + "
-    "RSTn segmentation, predictor resets, byte realignment), as does "
-    "4:2:0/4:2:2 subsampled chroma (interleaved MCUs, per-component "
-    "predictors, nearest-neighbor upsample — pinned by closed-form "
-    "constant-color tests); progressive JPEGs stay honest "
-    "NotImplementedError stubs. Embarrassingly parallel; zero "
-    "shuffles.",
+    "entropy-coded bytes. The decoded envelope: baseline incl. "
+    "restart intervals (DRI + RSTn segmentation, predictor resets, "
+    "byte realignment) and 4:2:0/4:2:2 subsampled chroma (interleaved "
+    "MCUs, per-component predictors, NN upsample); PROGRESSIVE "
+    "spectral selection, DC successive approximation, AC "
+    "successive-approximation REFINEMENT (correction-bit decode), and "
+    "RSTn inside progressive scans — every 4th generated file is "
+    "progressive with planted AC coefficients whose antisymmetric "
+    "cosine profile leaves block pixel sums closed-form. Remaining "
+    "honest NotImplementedError stubs: hierarchical/lossless, "
+    "multi-scan baseline, subsampled progressive. Embarrassingly "
+    "parallel; zero shuffles.",
 )
 def multimodal_jpeg_pixels_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -6744,15 +6772,19 @@ def text_compress_ratio_q(spark, sf_dir):
     FROM g
     """,
     tier="C",
-    note="C11/C12 differentially-private count release (epsilon=1, "
-    "sensitivity-1 counts, Laplace mechanism): per-group noise drawn "
-    "by inverse CDF from a SEEDED uniform — the Knuth multiplicative "
-    "hash of the group key (sample_hash's engine-portable integer "
-    "trick), so the release is reproducible and oracle-checkable "
-    "while having the exact Laplace(1) distribution across groups. "
-    "True counts are never emitted. One keyed shuffle; noise is a "
-    "row-local expression. Completes the privacy battery "
-    "(kanon_check, text_pii_scrub) for training-data release gates.",
+    note="C11/C12 Laplace-shaped count perturbation DEMO (epsilon=1, "
+    "sensitivity-1 counts, inverse-CDF transform): per-group noise is "
+    "derived DETERMINISTICALLY from the public group key via a Knuth "
+    "multiplicative hash, so the release is reproducible and "
+    "oracle-checkable and the noise has the exact Laplace(1) shape "
+    "across groups — but it is NOT differential privacy: anyone can "
+    "recompute the key-derived noise and invert the release exactly. "
+    "Real DP requires noise drawn from a SECRET source (a seed the "
+    "adversary cannot reconstruct) — swap the hash input for a "
+    "private salt to get the actual mechanism; the plan shape (one "
+    "keyed shuffle, row-local noise expression) is unchanged. "
+    "Demonstrates the release-gate plumbing alongside kanon_check "
+    "and text_pii_scrub.",
 )
 def dp_noisy_counts_q(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")

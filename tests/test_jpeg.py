@@ -170,22 +170,85 @@ def test_progressive_dc_only_closed_form():
             ] == 100 + by * 3 + bx).all()
 
 
-def test_progressive_ac_refinement_still_raises():
+def _idct_expected(w, h, blocks, q_dc=8, q_ac1=16):
+    """Closed-form pixels for per-block (dc, ac1) coefficients — an
+    independent IDCT of the coefficient table, no entropy decode. Used
+    where the baseline encoder's minimal size-1 AC table cannot carry
+    the multi-bit magnitudes the refinement tests need."""
+    import numpy as np
+
+    from simple_data_engineering_project_spark.operators import jpeg as J
+
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    out = np.zeros((nby * 8, nbx * 8))
+    for i, (dc, ac) in enumerate(blocks):
+        by, bx = divmod(i, nbx)
+        blk = np.zeros((8, 8))
+        blk[0, 0] = dc * q_dc
+        r, c = J.ZIGZAG[1]
+        blk[r, c] = ac * q_ac1
+        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            J._C.T @ blk @ J._C + 128.0
+        )
+    return np.clip(np.round(out[:h, :w]), 0, 255).astype("uint8")
+
+
+def test_progressive_ac_refinement_matches_idct():
     from simple_data_engineering_project_spark.operators.jpeg import (
         encode_jpeg_progressive_gray,
     )
 
+    # AC successive approximation: first scan at al=ac_al sees ±1, each
+    # refinement scan appends one magnitude bit or newly reveals a
+    # coefficient whose top bit sits below ac_al. Magnitudes exercise
+    # every refinement branch: already-visible correction (|ac|≥2^ac_al,
+    # bits 1 and 0), newly visible mid-plane (|ac|<2^ac_al), and
+    # zero-history blocks.
+    for ac_al in (1, 2):
+        lo, hi = 1 << ac_al, (1 << (ac_al + 1)) - 1
+        blocks = []
+        for k in range(15):
+            if k % 4 == 0:
+                ac = (lo + k % (hi - lo + 1)) * (1 if k % 8 == 0 else -1)
+            elif k % 4 == 1 and ac_al == 2:
+                ac = 2 * (1 if k % 3 else -1)  # newly visible at bit 1
+            else:
+                ac = 0
+            blocks.append((k % 7 - 3, ac))
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive_gray(40, 24, blocks, ac_al=ac_al)
+        )
+        assert (prog == _idct_expected(40, 24, blocks)).all(), f"{ac_al}"
+
+
+def test_progressive_restart_intervals_match_idct():
+    from simple_data_engineering_project_spark.operators.jpeg import (
+        encode_jpeg_progressive_gray,
+    )
+
+    # RSTn inside progressive scans: DC prediction and EOB-run state
+    # reset at every segment boundary, in first AND refinement scans.
+    blocks = [(k % 7 - 3, [0, 5, -6, 0][k % 4]) for k in range(15)]
+    want = _idct_expected(40, 24, blocks)
+    for ri in (1, 2, 4):
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive_gray(
+                40, 24, blocks, dc_al=1, ac_al=2, restart_interval=ri
+            )
+        )
+        assert (prog == want).all(), f"ri={ri}"
+
+
+def test_multiscan_baseline_raises():
+    from simple_data_engineering_project_spark.operators.jpeg import (
+        encode_jpeg_progressive_gray,
+    )
+
+    # A legal multi-scan BASELINE file (per-component scan sequence):
+    # take the 2-scan progressive stream and flip SOF2→SOF0. Decoding
+    # only scans[0] would silently zero the AC band — must raise.
     payload = bytearray(encode_jpeg_progressive_gray(8, 8, [(0, 1)]))
-    # rewrite the AC scan header (Ss=1) to claim a refinement pass Ah=1
-    i = 2
-    while i < len(payload):
-        if payload[i] == 0xFF and payload[i + 1] == 0xDA:
-            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
-            if payload[i + 4 + 1 + 2] == 1:  # Ss byte of this SOS
-                payload[i + 4 + 1 + 2 + 2] = 0x10  # Ah=1, Al=0
-                break
-            i += 2 + seg_len
-        else:
-            i += 1
-    with pytest.raises(NotImplementedError):
+    i = payload.index(b"\xff\xc2")
+    payload[i + 1] = 0xC0
+    with pytest.raises(NotImplementedError, match="multi-scan baseline"):
         decode_jpeg_pixels(bytes(payload))

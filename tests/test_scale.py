@@ -49,13 +49,24 @@ def test_dim_joins_broadcast_not_shuffle(spark, sf_smoke):
 
 
 def test_flagship_single_aggregation_exchange(spark, sf_smoke):
-    plan = _optimized(catalog()["agg_value_by_region"].fn(spark, sf_smoke))
+    # nation/region are hinted broadcasts; customer is UNHINTED (it
+    # grows with sf — a forced hint would OOM at sf100+), so AQE/stats
+    # may pick either broadcast (≤1 exchange: the final groupBy) or
+    # sort-merge for it (+2 exchanges for the join sides). Both are
+    # acceptable; what is pinned is that the bounded dims never shuffle.
+    df = catalog()["agg_value_by_region"].fn(spark, sf_smoke)
+    plan = _optimized(df)
     import re
 
     exchanges = [
         l for l in plan.splitlines() if re.match(r"^\(\d+\) Exchange", l.strip())
     ]
-    assert len(exchanges) <= 1, exchanges  # only the final groupBy shuffles
+    assert len(exchanges) <= 3, exchanges
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # nation, region
+    # the hint set is exactly {nation, region} — re-hinting customer is
+    # the round-5 scale defect (VERDICT "What's wrong #4")
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2, analyzed
 
 
 def test_partitioned_sink_prunes_directories(spark, sf_smoke):
@@ -172,6 +183,29 @@ def test_no_partitionless_window_anywhere(spark, sf_smoke):
                 assert (
                     node.partitionSpec().size() > 0
                 ), f"{name}: partitionless {node.nodeName()}"
+
+
+def test_pagerank_rank_state_not_hinted(spark):
+    # Rank state is O(|V|) — a forced broadcast hint on the edge⋈rank
+    # join ignores the 64 MB threshold and OOMs executors at 10^9 nodes
+    # (round-5 VERDICT "What's wrong #1"). The ONLY intentional hint is
+    # the 1-row dangling-mass scalar: with checkpoint_every=0 and 2
+    # iterations its hint appears 3× in the analyzed plan (iteration 2
+    # re-embeds iteration 1's lineage: 2 live + 1 embedded). Re-hinting
+    # ranks/out would multiply that count — pin it exactly.
+    from simple_data_engineering_project_spark.operators.graph import pagerank
+
+    nodes = spark.range(5).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 2.0), (3, 0, 1.0)],
+        "src long, dst long, weight double",
+    )
+    r = pagerank(nodes, edges, iterations=2, checkpoint_every=0)
+    analyzed = r._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 3, analyzed
+    # invariant: Σ rank = 1 survives the hint removal
+    total = r.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
 
 
 def test_no_cartesian_products_anywhere(spark, sf_smoke):
