@@ -674,12 +674,18 @@ def semantic_dedup(
     # dot / (na * nb), the exact op sequence of cosine_similarity /
     # the oracle's sqrt(list_dot_product(...)) — bit-identical.
     norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, v: acc + v * v))
+    # Materialize once: sides feeds FOUR consumers (cluster census, both
+    # pair-join sides, final assignment) and the centroid-literal
+    # assignment expression is the expensive part of a scan — without
+    # this each consumer re-evaluates k×dim distance arithmetic per row.
+    # At cluster scale this is persist(); in-process localCheckpoint
+    # carries the same contract.
     sides = df.select(
         F.col(id_col),
         vd.alias("__v"),
         norm.alias("__norm"),
         _kmeans_assign_expr(vec_col, centroids).alias("cluster_id"),
-    )
+    ).localCheckpoint(eager=True)
     # Degenerate-cluster guard: one mega-cluster of size m costs m²
     # candidate pairs no matter how k was chosen. Members of clusters
     # above max_cluster_size skip the pair compare (is_dup=0), exactly

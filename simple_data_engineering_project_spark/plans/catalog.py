@@ -7023,18 +7023,25 @@ def kanon_check_q(spark, sf_dir):
 @register(
     "events_changepoint",
     """
-    WITH s AS (
+    WITH b AS (
       SELECT user_id, event_id, ts, value,
-             AVG(value)        OVER (PARTITION BY user_id) AS mu,
-             STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS sigma,
-             COUNT(*)          OVER (PARTITION BY user_id) AS n_u
+             CAST(floor(value * 100.0) AS BIGINT) AS v2
       FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, ts, value,
+             SUM(v2)      OVER (PARTITION BY user_id) AS s1,
+             SUM(v2 * v2) OVER (PARTITION BY user_id) AS s2,
+             COUNT(*)     OVER (PARTITION BY user_id) AS n_u
+      FROM b
     ),
     d AS (
       SELECT user_id, event_id, ts,
-             CAST(floor((value - mu) / sigma * 1000000.0 + 0.5) AS BIGINT)
+             CAST(floor((value - s1 / (n_u * 100.0))
+                   / (sqrt((n_u * s2 - s1 * s1) / (n_u * (n_u - 1))) / 100.0)
+                   * 1000000.0 + 0.5) AS BIGINT)
                AS dev_e6
-      FROM s WHERE n_u >= 20 AND sigma > 1e-12
+      FROM s WHERE n_u >= 20 AND n_u * s2 - s1 * s1 > 0
     ),
     c AS (
       SELECT user_id, event_id, ts,
@@ -7071,30 +7078,53 @@ def kanon_check_q(spark, sf_dir):
     "prefix_sum)) — two cumulative frames sharing one user-keyed sort. "
     "Deviations are standardized then scaled to e6 BIGINTs, so every "
     "cumulative sum is exact integer math (engine-identical regardless "
-    "of how a segment tree regroups float additions); the single "
-    "float->int rounding happens row-locally from (value, mu, sigma). "
-    "One shuffle on user_id shared by all four window passes + the "
-    "final keyed aggregate.",
+    "of how a segment tree regroups float additions). mu/sigma are "
+    "NOT float window aggregates (AVG/STDDEV partials regroup "
+    "differently per engine and a last-ulp difference can flip the "
+    "floor(x*1e6+0.5) boundary): values are floored row-locally to e2 "
+    "BIGINTs, the window carries only exact integer sums "
+    "(s1, s2=sum(v2^2), n), and mu/sigma come from the closed forms "
+    "s1/(100n) and sqrt((n*s2-s1^2)/(n(n-1)))/100 — a fixed sequence "
+    "of IEEE ops on identical operands, bit-equal in any engine. "
+    "(e2*e2 sums bound per-user n at ~50k before BIGINT overflow — "
+    "fine for user-keyed telemetry.) One shuffle on user_id shared by "
+    "all four window passes + the final keyed aggregate.",
 )
 def events_changepoint_q(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     wp = Window.partitionBy("user_id")
-    s = e.select(
+    b = e.select(
         "user_id",
         "event_id",
         "ts",
         "value",
-        F.avg("value").over(wp).alias("mu"),
-        F.stddev_samp("value").over(wp).alias("sigma"),
+        F.floor(F.col("value") * 100.0).cast("bigint").alias("v2"),
+    )
+    s = b.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.sum("v2").over(wp).alias("s1"),
+        F.sum(F.col("v2") * F.col("v2")).over(wp).alias("s2"),
         F.count("*").over(wp).alias("n_u"),
-    ).filter((F.col("n_u") >= 20) & (F.col("sigma") > 1e-12))
+    ).filter(
+        (F.col("n_u") >= 20)
+        & (F.col("n_u") * F.col("s2") - F.col("s1") * F.col("s1") > 0)
+    )
+    mu = F.col("s1") / (F.col("n_u") * 100.0)
+    sigma = (
+        F.sqrt(
+            (F.col("n_u") * F.col("s2") - F.col("s1") * F.col("s1"))
+            / (F.col("n_u") * (F.col("n_u") - 1))
+        )
+        / 100.0
+    )
     d = s.select(
         "user_id",
         "event_id",
         "ts",
-        F.floor(
-            (F.col("value") - F.col("mu")) / F.col("sigma") * 1000000.0 + 0.5
-        )
+        F.floor((F.col("value") - mu) / sigma * 1000000.0 + 0.5)
         .cast("bigint")
         .alias("dev_e6"),
     )
