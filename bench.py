@@ -106,6 +106,7 @@ HEADLINE = [
     # round-6 additions (never benched nor driver-sampled before)
     "kanon_check",
     "dp_noisy_counts",
+    "multimodal_mp4_frames",
 ]
 
 

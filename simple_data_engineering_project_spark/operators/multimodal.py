@@ -896,16 +896,23 @@ def encode_avi(frames: list[bytes], us_per_frame: int = 40000) -> bytes:
 
 
 def sample_video_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
-    """REAL frame sampling for RIFF/AVI containers (e.g. MJPEG).
+    """REAL frame sampling for RIFF/AVI and ISO-BMFF/MP4 containers.
 
-    Slicing frames out of an AVI needs NO codec — it is a pure chunk
-    walk: recurse through LIST chunks, read the frame clock from
+    Slicing frames out of either container needs NO codec. AVI is a pure
+    chunk walk: recurse through LIST chunks, read the frame clock from
     ``avih`` (microseconds per frame), collect every ``..dc``/``..db``
     stream chunk in order, then keep every k-th frame where
-    ``k = every_ms·1000 // us_per_frame``. Decoding a sampled frame's
-    pixels is a separate concern (the image path's job). Non-RIFF
-    containers (MP4/H.264, MKV) interleave codec state with framing and
-    still raise — that part genuinely needs ffmpeg."""
+    ``k = every_ms·1000 // us_per_frame``. MP4 dispatches to
+    :func:`.mp4.sample_mp4_frames` — an stbl sample-table walk
+    (stts/stsz/stsc/stco/stss) that keeps the first keyframe per
+    ``every_ms`` bucket. Decoding a sampled frame's pixels is a separate
+    concern (the image path's job). MKV/EBML and fragmented MP4 (moof)
+    interleave codec state with framing and still raise — that part
+    genuinely needs ffmpeg."""
+    if payload is not None and len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from .mp4 import sample_mp4_frames
+
+        return sample_mp4_frames(payload, every_ms)
     if (
         payload is None
         or len(payload) < 12
@@ -913,8 +920,8 @@ def sample_video_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
         or payload[8:12] != b"AVI "
     ):
         raise NotImplementedError(
-            "only RIFF/AVI containers are frame-sliceable without a codec "
-            "(MP4/MKV need ffmpeg, absent in this environment)"
+            "only RIFF/AVI and ISO-BMFF/MP4 containers are frame-sliceable "
+            "without a codec (MKV needs ffmpeg, absent in this environment)"
         )
     us_per_frame = 40000  # AVI default 25 fps when no avih present
     frames: list[bytes] = []
@@ -972,6 +979,59 @@ def media_avi_from_documents(
                             "width": None,
                             "height": None,
                             "duration_ms": len(frames) * us_per_frame // 1000,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+def media_mp4_from_documents(
+    docs: DataFrame,
+    frame_bytes: int = 64,
+    delta_ms: int = 500,
+    sync_every: int = 2,
+) -> DataFrame:
+    """Deterministic MP4 media table: each document's utf-8 bytes are cut
+    into ``frame_bytes`` samples and wrapped in a real ISO-BMFF container
+    (:func:`.mp4.encode_mp4`) at ``delta_ms`` per sample with every
+    ``sync_every``-th sample a keyframe; every 5th document uses the
+    64-bit co64/largesize layout so the >4 GiB offset path is exercised.
+
+    Sample content is a closed-form byte slice of the text, so an oracle
+    can predict each sampled keyframe's sha256 without parsing boxes —
+    an end-to-end proof that the sampler walks the actual stbl arrays
+    (stts clock, stsz extents, stsc/stco chunk offsets, stss sync
+    selection)."""
+    from .mp4 import encode_mp4
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                raw = (text or "").encode("utf-8")
+                frames = [
+                    raw[i : i + frame_bytes]
+                    for i in range(0, len(raw), frame_bytes)
+                ]
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_mp4(
+                            frames,
+                            timescale=1000,
+                            delta=delta_ms,
+                            sync_every=sync_every,
+                            use_co64=did % 5 == 0,
+                        ),
+                        "meta": {
+                            "modality": "video",
+                            "mime": "video/mp4",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": len(frames) * delta_ms,
                         },
                     }
                 )

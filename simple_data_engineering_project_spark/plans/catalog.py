@@ -6332,12 +6332,49 @@ def customer_rfm_q(spark, sf_dir):
     "sampled frame's sha256 as a closed-form text slice (sampled frame "
     "n = bytes [n*128, n*128+64)), so a hash match proves the sampler "
     "recovered the exact frame bytes from the container, not a fake. "
-    "Entropy-coded containers (MP4/MKV) still raise — that genuinely "
-    "needs ffmpeg; slicing AVI does not.",
+    "MP4 slices through the same dispatch (multimodal_mp4_frames); "
+    "MKV/EBML still raises — that genuinely needs ffmpeg.",
 )
 def multimodal_video_frames_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = mm_ops.media_avi_from_documents(d, frame_bytes=64, us_per_frame=500_000)
+    return mm_ops.sample_frames_df(media)
+
+
+@register(
+    "multimodal_mp4_frames",
+    """
+    SELECT doc_id AS media_id,
+           CAST(g.n AS INT) AS frame_no,
+           CAST(strlen(substring(text, g.n * 128 + 1, 64)) AS BIGINT)
+             AS n_bytes,
+           sha256(substring(text, g.n * 128 + 1, 64)) AS sha256
+    FROM documents,
+         unnest(generate_series(0,
+                CAST(floor((ceil(strlen(text) / 64.0) - 1) / 2.0) AS INT)))
+           AS g(n)
+    WHERE strlen(text) > 0
+    """,
+    tier="C",
+    note="C5 REAL ISO-BMFF (MP4) keyframe sampling: documents wrapped "
+    "in genuine MP4 containers (64-byte samples at 500 ms, every 2nd "
+    "sample a keyframe, multi-sample chunks, every 5th file using the "
+    "64-bit co64/largesize layout), then operators/mp4.py walks the "
+    "actual sample table — moov/trak/mdia box tree, hdlr=vide track "
+    "select, mdhd timescale, stts run-length clock, stsz extents, "
+    "stsc/stco chunk-offset arithmetic, stss sync selection — and "
+    "keeps the first keyframe per 1000 ms bucket. Keyframe n sits at "
+    "text bytes [n*128, n*128+64), the same closed form as the AVI "
+    "entry, so a sha256 hash match proves byte-exact sample recovery "
+    "from box arithmetic with no codec. Fragmented MP4 (moof) and "
+    "MKV/EBML raise — honest envelope. Embarrassingly parallel "
+    "mapInPandas; zero shuffles.",
+)
+def multimodal_mp4_frames_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_mp4_from_documents(
+        d, frame_bytes=64, delta_ms=500, sync_every=2
+    )
     return mm_ops.sample_frames_df(media)
 
 
