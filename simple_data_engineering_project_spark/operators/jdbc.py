@@ -45,11 +45,16 @@ def _connect(spark, url: str):
 
 def _table_exists(conn, table: str) -> bool:
     meta = conn.getMetaData()
-    rs = meta.getTables(None, None, table.upper(), None)
-    try:
-        return bool(rs.next())
-    finally:
-        rs.close()
+    # unquoted identifiers case-fold differently per engine: Derby
+    # stores UPPER, PostgreSQL stores lower — probe all three spellings
+    for name in (table, table.upper(), table.lower()):
+        rs = meta.getTables(None, None, name, None)
+        try:
+            if rs.next():
+                return True
+        finally:
+            rs.close()
+    return False
 
 
 def _execute(conn, sql: str) -> None:
@@ -58,6 +63,71 @@ def _execute(conn, sql: str) -> None:
         st.execute(sql)
     finally:
         st.close()
+
+
+def _q(c: str) -> str:
+    """Quote an identifier exactly: Spark's JDBC writer creates staging
+    columns with QUOTED (exact-case) names, so every reference must
+    quote identically or Derby/PG case-fold to a non-existent column."""
+    return '"' + c.replace('"', '""') + '"'
+
+
+def detect_dialect(url: str) -> str:
+    """'postgres' for jdbc:postgresql URLs, else 'merge' (standard SQL)."""
+    return "postgres" if url.startswith("jdbc:postgresql:") else "merge"
+
+
+def build_upsert_sql(
+    table: str,
+    stage: str,
+    cols: Sequence[str],
+    keys: Sequence[str],
+    dialect: str = "merge",
+) -> str:
+    """The single set-based statement that applies the staged batch.
+
+    dialect='postgres' emits the reference's exact construct
+    (dag.py:223-237): ``INSERT … SELECT … FROM stage ON CONFLICT (keys)
+    DO UPDATE SET col = EXCLUDED.col`` — PG-native last-write-wins that
+    works on every PG version (MERGE needs 15+) and tolerates the
+    warehouse key being enforced by any unique index. dialect='merge'
+    emits standard ``MERGE INTO`` (Derby/Oracle/SQL Server/PG 15+).
+    Pure string builder — unit-testable without a database."""
+    nonkeys = [c for c in cols if c not in keys]
+    if dialect == "postgres":
+        insert_cols = ", ".join(_q(c) for c in cols)
+        conflict = ", ".join(_q(k) for k in keys)
+        set_clause = ", ".join(f"{_q(c)} = EXCLUDED.{_q(c)}" for c in nonkeys)
+        return (
+            f"INSERT INTO {table} ({insert_cols}) "
+            f"SELECT {insert_cols} FROM {stage} "
+            f"ON CONFLICT ({conflict}) "
+            + (f"DO UPDATE SET {set_clause}" if nonkeys else "DO NOTHING")
+        )
+    on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in keys)
+    set_clause = ", ".join(f"t.{_q(c)} = s.{_q(c)}" for c in nonkeys)
+    insert_cols = ", ".join(_q(c) for c in cols)
+    insert_vals = ", ".join(f"s.{_q(c)}" for c in cols)
+    return (
+        f"MERGE INTO {table} t USING {stage} s ON {on} "
+        + (f"WHEN MATCHED THEN UPDATE SET {set_clause} " if nonkeys else "")
+        + f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
+
+
+def build_create_sql(
+    table: str, stage: str, keys: Sequence[str], dialect: str = "merge"
+) -> list[str]:
+    """DDL for a missing warehouse table: shape-clone the staged batch
+    (the reference's WITH-NO-DATA trick, dag.py:214-216, aimed at the
+    permanent table). The postgres dialect additionally installs the
+    PRIMARY KEY — ON CONFLICT arbitration requires a unique index,
+    exactly as the reference's DDL declares (dag.py:157-170)."""
+    ddl = [f"CREATE TABLE {table} AS SELECT * FROM {stage} WITH NO DATA"]
+    if dialect == "postgres":
+        pk = ", ".join(_q(k) for k in keys)
+        ddl.append(f"ALTER TABLE {table} ADD PRIMARY KEY ({pk})")
+    return ddl
 
 
 def jdbc_upsert(
@@ -69,13 +139,17 @@ def jdbc_upsert(
     driver: str = DERBY_DRIVER,
     batchsize: int = 10_000,
     stage_table: str | None = None,
+    dialect: str | None = None,
 ) -> None:
     """Keyed last-write-wins upsert of ``df`` into JDBC table ``table``.
 
     ``tiebreak`` picks the deterministic within-batch winner per key
     (greatest tiebreak wins, mirroring operators.upsert); defaults to
     ``keys`` (i.e. the batch is assumed key-unique, duplicates collapse
-    arbitrarily-but-deterministically by key order).
+    arbitrarily-but-deterministically by key order). ``dialect`` picks
+    the apply statement (:func:`build_upsert_sql`); None autodetects
+    from the URL — jdbc:postgresql gets the reference's native ON
+    CONFLICT protocol, everything else standard MERGE.
     """
     from .upsert import upsert_last_write_wins  # noqa: F401  (semantic twin)
     from pyspark.sql import Window
@@ -105,32 +179,13 @@ def jdbc_upsert(
         .save()
     )
 
+    d = dialect or detect_dialect(url)
     conn = _connect(spark, url)
     try:
         if not _table_exists(conn, table):
-            # the reference's WITH-NO-DATA shape clone (dag.py:214-216),
-            # aimed at the permanent warehouse table
-            _execute(
-                conn,
-                f"CREATE TABLE {table} AS SELECT * FROM {stage} WITH NO DATA",
-            )
-        # Spark's JDBC writer creates the stage with QUOTED (exact-case)
-        # column names; every reference here must quote identically or
-        # Derby/PG will case-fold to a non-existent column.
-        def q(c: str) -> str:
-            return '"' + c.replace('"', '""') + '"'
-
-        on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
-        nonkeys = [c for c in cols if c not in keys]
-        set_clause = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in nonkeys)
-        insert_cols = ", ".join(q(c) for c in cols)
-        insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
-        merge = (
-            f"MERGE INTO {table} t USING {stage} s ON {on} "
-            + (f"WHEN MATCHED THEN UPDATE SET {set_clause} " if nonkeys else "")
-            + f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
-        )
-        _execute(conn, merge)
+            for ddl in build_create_sql(table, stage, keys, d):
+                _execute(conn, ddl)
+        _execute(conn, build_upsert_sql(table, stage, cols, keys, d))
         _execute(conn, f"DROP TABLE {stage}")
     finally:
         conn.close()

@@ -1,0 +1,143 @@
+"""Object-store execution-path tests (reference parity: MinIO-first).
+
+The reference's whole control plane is S3 calls — landing uploads
+(gen_dag.py:39-51), manifest/staging/archive objects (dag.py:66-83,
+203-207, 259-266). The engine's path ops go through the Hadoop
+FileSystem API resolved PER URI (sources/__init__.py), so any
+Hadoop-visible store works; these tests prove that claim instead of
+assuming it:
+
+- ``viewfs://`` (bundled in hadoop-client-api) runs EVERYWHERE: a
+  non-``file:`` scheme with an authority component, mounted onto a local
+  directory. It catches the classic object-store breakages — default-FS
+  assumptions (``FileSystem.get(conf)`` instead of
+  ``path.getFileSystem``), unqualified Path arithmetic, scheme-dropping
+  string manipulation — without needing network.
+- ``s3a://`` against a moto S3 server runs wherever hadoop-aws + the AWS
+  SDK bundle are on the Spark classpath (any real deployment; skipped in
+  this container, which has no hadoop-aws jar and no network to fetch
+  one). It additionally exercises rename-as-copy semantics and the
+  directory committer.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_data_engineering_project_spark.pipeline import (
+    land_csv_files,
+    run_batch_pipeline,
+)
+from simple_data_engineering_project_spark.sources import (
+    fs_delete,
+    fs_exists,
+    list_files,
+)
+
+TS = "2024-06-01 00:00:00"
+
+
+def _run(spark, base):
+    return run_batch_pipeline(
+        spark,
+        landing_dir=f"{base}/landing",
+        staging_dir=f"{base}/staging",
+        warehouse_dir=f"{base}/warehouse",
+        archive_dir=f"{base}/archive",
+        deterministic_ts=TS,
+    )
+
+
+def _assert_pipeline_contract(spark, base):
+    """The A13/A14 happy-path + idempotent-replay contract, scheme-agnostic."""
+    land_csv_files(spark, f"{base}/landing", num_files=2, rows_per_file=300)
+    res = _run(spark, base)
+    assert len(res.processed_files) == 2
+    assert res.warehouse_rows == 600
+    # A14: archive-on-success moved everything out of landing
+    assert list_files(spark, f"{base}/landing", ".csv") == []
+    assert len(list_files(spark, f"{base}/archive", ".csv")) == 2
+    wh = spark.read.parquet(f"{base}/warehouse/cocoa_shipments")
+    assert wh.count() == 600
+    bad = wh.filter(
+        F.col("shipment_value_usd")
+        != F.round(F.col("shipment_weight_kg") * 2.5, 2)
+    ).count()
+    assert bad == 0
+    # A13: replaying the same keys is a no-op upsert
+    land_csv_files(spark, f"{base}/landing", num_files=1, rows_per_file=200, seed=7)
+    _run(spark, base)
+    n1 = spark.read.parquet(f"{base}/warehouse/cocoa_shipments").count()
+    land_csv_files(spark, f"{base}/landing", num_files=1, rows_per_file=200, seed=7)
+    _run(spark, base)
+    assert spark.read.parquet(f"{base}/warehouse/cocoa_shipments").count() == n1
+
+
+def test_pipeline_on_viewfs_scheme(spark, tmp_path):
+    # Mount viewfs://cocoa/data onto a local dir: every pipeline path op
+    # (listing, header probe, CSV scan, parquet stage, warehouse merge
+    # write-then-swap renames, archive move) must resolve its FileSystem
+    # from the URI — a single default-FS or local-path assumption fails
+    # loudly here with an unresolvable scheme/authority.
+    import os
+
+    local = str(tmp_path / "mount")
+    os.makedirs(local)
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    hc.set("fs.viewfs.mounttable.cocoa.link./data", f"file://{local}")
+    base = "viewfs://cocoa/data"
+    try:
+        _assert_pipeline_contract(spark, base)
+        # the bytes genuinely landed under the mounted local dir
+        assert os.path.isdir(f"{local}/warehouse/cocoa_shipments")
+    finally:
+        fs_delete(spark, f"{base}/warehouse")
+        shutil.rmtree(local, ignore_errors=True)
+
+
+def _s3a_on_classpath(spark) -> bool:
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.hadoop.fs.s3a.S3AFileSystem"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_pipeline_on_s3a_moto(spark):
+    # Full s3a:// run against an in-process moto S3 server. Needs
+    # hadoop-aws + AWS SDK bundle on the Spark classpath — present on
+    # real deployments, absent in this container (no network to fetch
+    # it), so the test self-skips rather than silently not existing.
+    if not _s3a_on_classpath(spark):
+        pytest.skip("hadoop-aws not on classpath; s3a:// unavailable here")
+    import boto3
+    from moto.server import ThreadedMotoServer
+
+    server = ThreadedMotoServer(port=0)
+    server.start()
+    try:
+        host, port = server.get_host_and_port()
+        endpoint = f"http://{host}:{port}"
+        boto3.client(
+            "s3",
+            endpoint_url=endpoint,
+            aws_access_key_id="test",
+            aws_secret_access_key="test",
+            region_name="us-east-1",
+        ).create_bucket(Bucket="data")
+        hc = spark.sparkContext._jsc.hadoopConfiguration()
+        hc.set("fs.s3a.endpoint", endpoint)
+        hc.set("fs.s3a.access.key", "test")
+        hc.set("fs.s3a.secret.key", "test")
+        hc.set("fs.s3a.path.style.access", "true")
+        hc.set("fs.s3a.connection.ssl.enabled", "false")
+        base = "s3a://data"
+        _assert_pipeline_contract(spark, base)
+        assert fs_exists(spark, f"{base}/warehouse/cocoa_shipments")
+    finally:
+        server.stop()
