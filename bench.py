@@ -107,6 +107,7 @@ HEADLINE = [
     "kanon_check",
     "dp_noisy_counts",
     "multimodal_mp4_frames",
+    "multimodal_webp",
 ]
 
 

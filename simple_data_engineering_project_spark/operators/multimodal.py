@@ -639,21 +639,25 @@ def media_jpeg_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """STUB for *pixel* decode of formats beyond the real codecs (WebP/
-    AVIF/GIF) — requires a codec library absent here. What decodes for
-    real: uncompressed BMP (:func:`decode_bmp`), PNG incl. all scanline
-    filters (:func:`decode_png`, stdlib zlib), BASELINE JPEG — full
-    entropy decode (Huffman + dequant + IDCT) via
-    :func:`.jpeg.decode_jpeg_pixels` for unsubsampled scans, and JPEG
-    metadata for anything SOF-bearing (:func:`decode_jpeg_dims`).
+    """STUB for *pixel* decode of the formats still outside the real
+    codec envelope (AVIF, lossy WebP) — those genuinely need a codec
+    library absent here. What decodes for REAL in this repo:
+    uncompressed BMP (:func:`decode_bmp`), PNG incl. all scanline
+    filters (:func:`decode_png`, stdlib zlib), JPEG — full entropy
+    decode incl. progressive and 4:2:0 (:func:`.jpeg.decode_jpeg_pixels`)
+    plus metadata for anything SOF-bearing (:func:`decode_jpeg_dims`),
+    GIF via a full LZW codec (:func:`.gif.decode_gif_pixels`), and
+    lossless WebP via a full VP8L decoder
+    (:func:`.webp.decode_webp_pixels`).
 
     On a real cluster: ``PIL.Image.open(io.BytesIO(payload))`` inside the
     same ``mapInPandas`` batch loop that ``extract_features`` uses.
     """
     raise NotImplementedError(
-        "WebP/AVIF/GIF pixel decode is stubbed: no codec libraries in "
-        "this environment (BMP → decode_bmp, PNG → decode_png, baseline "
-        "JPEG → jpeg.decode_jpeg_pixels, JPEG dims → decode_jpeg_dims)"
+        "AVIF / lossy-WebP pixel decode is stubbed: no codec libraries "
+        "in this environment (BMP → decode_bmp, PNG → decode_png, JPEG → "
+        "jpeg.decode_jpeg_pixels, GIF → gif.decode_gif_pixels, lossless "
+        "WebP → webp.decode_webp_pixels)"
     )
 
 
@@ -809,6 +813,91 @@ def gif_pixel_features(media: DataFrame) -> DataFrame:
                         "content_sum": int(
                             px[:, :, 0].sum(dtype=np.int64)
                         ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_extract, schema=JPEG_PIXEL_SCHEMA)
+
+
+def media_webp_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic lossless-WebP table: w=1+id%17, h=1+id%11, pixel
+    (x,y) = ARGB(255, (id+7x)%256, (3id+11y)%256, (id+x+y)%256) — the
+    pixel CONTENT is identical for every encoding variant, so one
+    closed-form oracle covers all of them, while id%6 cycles the VP8L
+    feature set the decoder must traverse: plain literals, LZ77 runs,
+    SUBTRACT_GREEN, PREDICTOR (mode id%14), COLOR_INDEXING (every image
+    has ≤ w·h ≤ 187 distinct colors, so palettization always fits), and
+    color-cache + meta prefix groups + runs combined."""
+    from .webp import encode_webp_lossless
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 1 + did % 17, 1 + did % 11
+                px = [
+                    [
+                        (0xFF << 24)
+                        | (((did + 7 * x) % 256) << 16)
+                        | (((3 * did + 11 * y) % 256) << 8)
+                        | ((did + x + y) % 256)
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                variant = did % 6
+                kw = {}
+                if variant == 1:
+                    kw = {"lz77_runs": True}
+                elif variant == 2:
+                    kw = {"subtract_green": True}
+                elif variant == 3:
+                    kw = {"predictor_mode": did % 14}
+                elif variant == 4:
+                    kw = {"palette": True}
+                elif variant == 5:
+                    kw = {
+                        "color_cache_bits": 5,
+                        "meta_tile_bits": 2,
+                        "lz77_runs": True,
+                    }
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_webp_lossless(px, **kw),
+                        "meta": {
+                            "modality": "image",
+                            "mime": "image/webp",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+def webp_pixel_features(media: DataFrame) -> DataFrame:
+    """Decode lossless-WebP payloads (real VP8L prefix-code/LZ77/
+    transform decode via :func:`.webp.decode_webp_pixels`) and emit the
+    exact RGBA pixel sum — embarrassingly parallel, zero shuffles."""
+    from .webp import decode_webp_pixels
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_webp_pixels(payload)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "content_sum": int(px.sum(dtype=np.int64)),
                     }
                 )
             yield pd.DataFrame(rows)

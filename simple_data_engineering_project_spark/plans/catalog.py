@@ -6884,6 +6884,48 @@ def multimodal_gif_q(spark, sf_dir):
 
 
 @register(
+    "multimodal_webp",
+    """
+    SELECT doc_id AS media_id,
+           w AS width,
+           h AS height,
+           CAST(SUM(255
+                + (doc_id + 7 * gx.x) % 256
+                + (3 * doc_id + 11 * gy.y) % 256
+                + (doc_id + gx.x + gy.y) % 256) AS BIGINT) AS content_sum
+    FROM (
+      SELECT doc_id,
+             CAST(1 + doc_id % 17 AS INTEGER) AS w,
+             CAST(1 + doc_id % 11 AS INTEGER) AS h
+      FROM documents
+    ),
+    unnest(generate_series(0, w - 1)) AS gx(x),
+    unnest(generate_series(0, h - 1)) AS gy(y)
+    GROUP BY doc_id, w, h
+    """,
+    tier="C",
+    note="C5 REAL lossless-WebP decode — a pure-stdlib VP8L decoder "
+    "(operators/webp.py, RFC 9649): RIFF walk, LSB-first bit reader, "
+    "both prefix-code forms (simple + full code-length codes with "
+    "16/17/18 RLE), LZ77 backrefs through the 120-entry 2D distance "
+    "map, color-cache (0x1e35a7bd hash), meta prefix groups, and all "
+    "four inverse transforms (SUBTRACT_GREEN, 14-mode PREDICTOR, "
+    "CROSS COLOR, COLOR_INDEXING with sub-byte packing). Every "
+    "document encodes the SAME closed-form pixel content through a "
+    "different VP8L feature set (id%6 cycles literals/runs/subtract-"
+    "green/predictor/palette/cache+meta), so one oracle formula "
+    "verifies every decode path — a bitstream desync anywhere "
+    "corrupts the pixel sum. Lossy WebP (VP8 intra) stays an honest "
+    "NotImplementedError stub. Embarrassingly parallel; zero "
+    "shuffles.",
+)
+def multimodal_webp_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_webp_from_documents(d)
+    return mm_ops.webp_pixel_features(media)
+
+
+@register(
     "events_quantile_sketch",
     """
     WITH r AS (

@@ -1183,8 +1183,12 @@ def test_avi_sampler_rejects_non_riff():
         sample_video_frames,
     )
 
-    with _pytest.raises(NotImplementedError):
+    # ftyp now routes to the REAL MP4 walker — a garbage body is a
+    # corrupt container (ValueError), not an unsupported format
+    with _pytest.raises(ValueError):
         sample_video_frames(b"\x00\x00\x00 ftypisom fake-mp4", 1000)
+    with _pytest.raises(NotImplementedError):
+        sample_video_frames(b"\x1a\x45\xdf\xa3 ebml-mkv stays out", 1000)
     with _pytest.raises(NotImplementedError):
         sample_video_frames(None, 1000)
 
