@@ -108,6 +108,7 @@ HEADLINE = [
     "dp_noisy_counts",
     "multimodal_mp4_frames",
     "multimodal_webp",
+    "multimodal_g711",
 ]
 
 

@@ -905,13 +905,80 @@ def webp_pixel_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=JPEG_PIXEL_SCHEMA)
 
 
+def media_g711_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic compressed-audio table: mono G.711 WAVs whose code
+    bytes are closed-form in doc_id — code i = (7·id + 13·i) % 256 over
+    n = 40 + id%160 samples; even ids are μ-law (fmt 0x0007), odd ids
+    A-law (fmt 0x0006). G.711 expansion is pure integer arithmetic, so
+    a SQL oracle predicts every decoded sample without a codec."""
+    from .audio_codecs import (
+        WAVE_FORMAT_ALAW,
+        WAVE_FORMAT_MULAW,
+        encode_wav_compressed,
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 40 + did % 160
+                codes = bytes((did * 7 + i * 13) % 256 for i in range(n))
+                fmt = WAVE_FORMAT_MULAW if did % 2 == 0 else WAVE_FORMAT_ALAW
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_wav_compressed(codes, fmt),
+                        "meta": {
+                            "modality": "audio",
+                            "mime": "audio/wav",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": n * 1000 // 8000,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+G711_SCHEMA = "media_id long, fmt int, n_samples bigint, sample_sum bigint"
+
+
+def audio_g711_features(media: DataFrame) -> DataFrame:
+    """Decode compressed-WAV payloads (G.711 μ-law/A-law + IMA ADPCM via
+    :mod:`.audio_codecs`) and emit exact decoded-sample sums —
+    embarrassingly parallel, zero shuffles."""
+    from .audio_codecs import decode_wav_compressed
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_wav_compressed(payload)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "fmt": d["format"],
+                        "n_samples": d["n_samples"],
+                        "sample_sum": sum(d["samples"]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_extract, schema=G711_SCHEMA)
+
+
 def decode_audio(payload: bytes) -> object:
-    """STUB for *compressed* audio codecs (MP3/AAC/…) — requires
-    soundfile/ffmpeg, absent in this environment. PCM WAV decodes for
-    real via :func:`decode_wav`."""
+    """STUB for compressed *psychoacoustic* audio codecs (MP3/AAC/Opus)
+    — those require real DSP libraries, absent here. What decodes for
+    REAL: PCM WAV (:func:`decode_wav`), and G.711 μ-law/A-law + IMA
+    ADPCM WAVs (:func:`.audio_codecs.decode_wav_compressed`)."""
     raise NotImplementedError(
-        "compressed audio decode is stubbed: no codec libraries in this "
-        "environment (PCM WAV is handled by decode_wav)"
+        "psychoacoustic audio decode (MP3/AAC/Opus) is stubbed: no codec "
+        "libraries in this environment (PCM WAV → decode_wav, "
+        "G.711/IMA-ADPCM WAV → audio_codecs.decode_wav_compressed)"
     )
 
 

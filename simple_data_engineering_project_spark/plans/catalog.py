@@ -6926,6 +6926,63 @@ def multimodal_webp_q(spark, sf_dir):
 
 
 @register(
+    "multimodal_g711",
+    """
+    WITH p AS (
+      SELECT doc_id, 40 + doc_id % 160 AS n, doc_id % 2 = 0 AS is_mu
+      FROM documents
+    ), c AS (
+      SELECT doc_id, is_mu, n,
+             (doc_id * 7 + g.i * 13) % 256 AS code
+      FROM p, unnest(generate_series(0, n - 1)) AS g(i)
+    ), d AS (
+      SELECT doc_id, is_mu, n,
+        CASE WHEN is_mu THEN
+          CASE WHEN (255 - code) >= 128
+            THEN 132 - (((255 - code) % 16) * 8 + 132)
+                 * (1 << ((255 - code) // 16 - 8))
+            ELSE (((255 - code) % 16) * 8 + 132)
+                 * (1 << ((255 - code) // 16)) - 132
+          END
+        ELSE
+          (CASE WHEN xor(code, 85) >= 128 THEN 1 ELSE -1 END) *
+          (CASE WHEN (xor(code, 85) % 128) // 16 = 0
+            THEN (xor(code, 85) % 16) * 16 + 8
+            ELSE ((xor(code, 85) % 16) * 16 + 264)
+                 * (1 << ((xor(code, 85) % 128) // 16 - 1))
+          END)
+        END AS sample
+      FROM c
+    )
+    SELECT doc_id AS media_id,
+           CAST(CASE WHEN is_mu THEN 7 ELSE 6 END AS INT) AS fmt,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(SUM(sample) AS BIGINT) AS sample_sum
+    FROM d GROUP BY doc_id, is_mu, n
+    """,
+    tier="C",
+    note="C5 REAL compressed-audio decode — G.711 logarithmic "
+    "companding (operators/audio_codecs.py), the telephony/voice-"
+    "corpus encoding: even docs are mu-law WAVs (fmt 0x0007), odd "
+    "docs A-law (fmt 0x0006, 0x55-XOR codes, inverted sign "
+    "convention), container parsed by hand (Python's wave module is "
+    "PCM-only). G.711 expansion is pure integer arithmetic — "
+    "((mant*8+132)<<exp)-132 on the complemented code — so the "
+    "oracle predicts every decoded sample IN SQL, no codec needed: "
+    "hash equality proves the byte-level code stream and both "
+    "expansion laws. IMA ADPCM (fmt 0x0011) decodes through the same "
+    "dispatch but is stateful+lossy, hence unit-pinned "
+    "(test_audio_codecs) rather than SQL-oracled; MP3/AAC/Opus stay "
+    "honest NotImplementedError stubs. Embarrassingly parallel; zero "
+    "shuffles.",
+)
+def multimodal_g711_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_g711_from_documents(d)
+    return mm_ops.audio_g711_features(media)
+
+
+@register(
     "events_quantile_sketch",
     """
     WITH r AS (
