@@ -12,10 +12,13 @@ spectral-selection and DC successive-approximation scans and AC
 successive-approximation refinement with EOB runs. Still OUTSIDE the
 envelope — these raise ``NotImplementedError``, the same honest-stub
 policy as the other media codecs (∅ in reference; Tier C extension):
-hierarchical/lossless (SOF3/5-15), non-8-bit precision, restart
-intervals inside progressive scans, subsampled progressive, and
-multi-scan *baseline* files (legal non-interleaved per-component scan
-sequences — only the single-interleaved-scan baseline layout decodes).
+hierarchical/lossless (SOF3/5-15), non-8-bit precision, arithmetic
+coding (SOF9-11), and multi-scan *baseline* files (legal
+non-interleaved per-component scan sequences — only the
+single-interleaved-scan baseline layout decodes). Progressive covers
+restart intervals AND subsampled chroma (interleaved DC scans over the
+padded MCU grid, per-component AC scans over each component's own
+block grid).
 
 The companion encoder synthesizes baseline JPEGs whose 8×8 blocks carry
 a chosen DC (and optionally one AC) coefficient, so decoded pixels are
@@ -451,6 +454,103 @@ def encode_jpeg_ycbcr420(
     return out + bytes(scan) + b"\xff\xd9"
 
 
+def encode_jpeg_progressive_ycbcr420(
+    width: int,
+    height: int,
+    y_dc: int,
+    cb_dc: int,
+    cr_dc: int,
+    q_dc: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
+    """Synthesize a constant-color PROGRESSIVE (SOF2) 4:2:0 JPEG: one
+    interleaved DC scan over 2×2-luma MCUs (optionally RSTn-split),
+    then one all-EOB AC scan per component covering that component's
+    OWN ceil(cw/8)×ceil(ch/8) block grid (not the padded MCU grid) —
+    the layout combination real progressive camera files use. Decoded
+    planes equal the baseline 4:2:0 encoding of the same DCs."""
+    qtab = bytearray([16] * 64)
+    qtab[0] = q_dc
+    dqt = b"\x00" + bytes(qtab)
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for cid, hv in ((1, 0x22), (2, 0x11), (3, 0x11)):
+        sof += struct.pack(">BBB", cid, hv, 0)
+    dht_dc = bytes([0x00] + DC_BITS) + bytes(DC_VALS)
+    dht_ac = bytes([0x10] + PROG_AC_BITS) + bytes(PROG_AC_VALS)
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+    def seg(marker: bytes, body: bytes) -> bytes:
+        return marker + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8" + seg(b"\xff\xdb", dqt) + seg(b"\xff\xc2", sof)
+    out += seg(b"\xff\xc4", dht_dc) + seg(b"\xff\xc4", dht_ac)
+    if restart_interval:
+        out += seg(b"\xff\xdd", struct.pack(">H", restart_interval))
+
+    # interleaved DC scan: 4 Y + 1 Cb + 1 Cr diffs per MCU
+    mcux = (width + 15) // 16
+    mcuy = (height + 15) // 16
+    dcs = {1: y_dc, 2: cb_dc, 3: cr_dc}
+    sos_dc = seg(
+        b"\xff\xda",
+        struct.pack(">B", 3)
+        + b"".join(struct.pack(">BB", c, 0) for c in (1, 2, 3))
+        + struct.pack(">BBB", 0, 0, 0),
+    )
+    scan = bytearray()
+    w = _BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+    rst = 0
+    mcu = 0
+    for _ in range(mcuy * mcux):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            scan.extend(w.flush())
+            scan.extend(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            w = _BitWriter()
+            pred = {1: 0, 2: 0, 3: 0}
+        mcu += 1
+        for cid, nblocks in ((1, 4), (2, 1), (3, 1)):
+            for _b in range(nblocks):
+                diff = dcs[cid] - pred[cid]
+                pred[cid] = dcs[cid]
+                t = _category(diff)
+                length, code = dc_codes[t]
+                w.write(code, length)
+                if t:
+                    w.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    scan.extend(w.flush())
+    out += sos_dc + bytes(scan)
+
+    # per-component AC scans: every block is zero → pure EOB runs over
+    # the component's OWN block grid. DRI=0 first: the restart interval
+    # applied to the DC scan above would otherwise make the decoder
+    # expect RSTn segmentation here too (DRI legally changes per scan).
+    if restart_interval:
+        out += seg(b"\xff\xdd", struct.pack(">H", 0))
+    for cid, hi, vi in ((1, 2, 2), (2, 1, 1), (3, 1, 1)):
+        cw = (width * hi + 1) // 2
+        ch = (height * vi + 1) // 2
+        nblocks = ((cw + 7) // 8) * ((ch + 7) // 8)
+        w = _BitWriter()
+        m = nblocks
+        while m:
+            chunk = min(m, 15)  # table carries EOB0..EOB3
+            r = chunk.bit_length() - 1
+            length, code = ac_codes[r << 4]
+            w.write(code, length)
+            if r:
+                w.write(chunk - (1 << r), r)
+            m -= chunk
+        out += seg(
+            b"\xff\xda",
+            struct.pack(">BBB", 1, cid, 0x00)
+            + struct.pack(">BBB", 1, 63, 0),
+        ) + w.flush()
+    return out + b"\xff\xd9"
+
+
 def _extract_entropy(payload: bytes, start: int) -> tuple[list[bytes], int]:
     """Byte-unstuffed entropy data from ``start``, split at RSTn markers.
     Returns (segments, next_pos) with next_pos at the terminating 0xFF."""
@@ -545,14 +645,34 @@ def _decode_progressive(sof, scans, qtabs) -> "np.ndarray":
     Supported: spectral selection (separate DC and AC scans, EOBRUN
     coding), DC successive approximation (point transform + 1-bit
     refinement scans), AC successive-approximation refinement
-    (correction-bit decoding, ``_refine_ac``), and restart intervals
-    (RSTn resets DC prediction / EOB run at each entropy-segment
-    boundary)."""
+    (correction-bit decoding, ``_refine_ac``), restart intervals (RSTn
+    resets DC prediction / EOB run at each entropy-segment boundary),
+    and SUBSAMPLED chroma (e.g. 4:2:0): interleaved DC scans walk
+    hi×vi blocks per component per MCU over the PADDED block grid,
+    non-interleaved AC scans walk only the component's own
+    ceil(cw/8)×ceil(ch/8) blocks, planes upsample nearest-neighbor —
+    the same layout rules as the baseline path."""
     w_, h, comps = sof
-    nbx = (w_ + 7) // 8
-    nby = (h + 7) // 8
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    for _, hi, vi, _ in comps:
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError("non-integral chroma upsampling")
+    mcux = (w_ + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    samp = {cid: (hi, vi) for cid, hi, vi, _ in comps}
+    # padded grid (interleaved scans cover it); own grid (AC scans)
+    pad_dims = {cid: (mcuy * vi, mcux * hi) for cid, (hi, vi) in samp.items()}
+
+    def own_dims(cid):
+        hi, vi = samp[cid]
+        cw = (w_ * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8, cw, ch
+
     coeffs = {
-        cid: np.zeros((nby, nbx, 64), dtype=np.int64) for cid, *_ in comps
+        cid: np.zeros((*pad_dims[cid], 64), dtype=np.int64)
+        for cid, *_ in comps
     }
     for sc, ss, se, ah, al, segs, htabs, ri in scans:
         seg_iter = iter(segs)
@@ -566,7 +686,30 @@ def _decode_progressive(sof, scans, qtabs) -> "np.ndarray":
                 reset()
             mcu += 1
 
-        if ss == 0:  # DC scan (interleaved over the scan's components)
+        interleaved = len(sc) > 1
+        if interleaved:
+            # MCU walk: (my, mx) → per scan component, its vi×hi blocks
+            def block_iter():
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        yield [
+                            (cid, dc_id, ac_id, my * samp[cid][1] + byy,
+                             mx * samp[cid][0] + bxx)
+                            for cid, dc_id, ac_id in sc
+                            for byy in range(samp[cid][1])
+                            for bxx in range(samp[cid][0])
+                        ]
+        else:
+            cid0 = sc[0][0]
+            nby_c, nbx_c, _, _ = own_dims(cid0)
+
+            def block_iter():
+                dc_id, ac_id = sc[0][1], sc[0][2]
+                for by in range(nby_c):
+                    for bx in range(nbx_c):
+                        yield [(cid0, dc_id, ac_id, by, bx)]
+
+        if ss == 0:  # DC scan
             if se != 0:
                 raise ValueError("DC scan must have Se=0")
             if ah == 0:
@@ -576,22 +719,20 @@ def _decode_progressive(sof, scans, qtabs) -> "np.ndarray":
                     for c in pred:
                         pred[c] = 0
 
-                for by in range(nby):
-                    for bx in range(nbx):
-                        _maybe_restart(_reset_pred)
-                        for cid, dc_id, _ac_id in sc:
-                            t = reader.read_huffman(htabs[(0, dc_id)])
-                            pred[cid] += _extend(reader.read_bits(t), t)
-                            coeffs[cid][by, bx, 0] = pred[cid] << al
+                for blocks in block_iter():
+                    _maybe_restart(_reset_pred)
+                    for cid, dc_id, _ac_id, by, bx in blocks:
+                        t = reader.read_huffman(htabs[(0, dc_id)])
+                        pred[cid] += _extend(reader.read_bits(t), t)
+                        coeffs[cid][by, bx, 0] = pred[cid] << al
             else:  # DC refinement: one correction bit per block
-                for by in range(nby):
-                    for bx in range(nbx):
-                        _maybe_restart(lambda: None)
-                        for cid, _dc_id, _ac_id in sc:
-                            if reader.read_bit():
-                                coeffs[cid][by, bx, 0] |= 1 << al
+                for blocks in block_iter():
+                    _maybe_restart(lambda: None)
+                    for cid, _dc_id, _ac_id, by, bx in blocks:
+                        if reader.read_bit():
+                            coeffs[cid][by, bx, 0] |= 1 << al
         else:  # AC scan: spec requires exactly one component
-            if len(sc) != 1:
+            if interleaved:
                 raise ValueError("AC scan must be single-component")
             cid, _dc_id, ac_id = sc[0]
             act = htabs[(1, ac_id)]
@@ -602,43 +743,45 @@ def _decode_progressive(sof, scans, qtabs) -> "np.ndarray":
                 eobrun = 0
 
             if ah != 0:  # successive-approximation refinement scan
-                for by in range(nby):
-                    for bx in range(nbx):
-                        _maybe_restart(_reset_eobrun)
-                        eobrun = _refine_ac(
-                            coeffs[cid][by, bx], reader, act, ss, se, al,
-                            eobrun,
-                        )
-                continue
-            for by in range(nby):
-                for bx in range(nbx):
+                for blocks in block_iter():
                     _maybe_restart(_reset_eobrun)
-                    if eobrun:
-                        eobrun -= 1
-                        continue
-                    k = ss
-                    while k <= se:
-                        rs = reader.read_huffman(act)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            eobrun = (1 << r) - 1 + reader.read_bits(r)
-                            break
-                        k += r
-                        coeffs[cid][by, bx, k] = (
-                            _extend(reader.read_bits(s), s) << al
-                        )
-                        k += 1
+                    _cid, _d, _a, by, bx = blocks[0]
+                    eobrun = _refine_ac(
+                        coeffs[cid][by, bx], reader, act, ss, se, al,
+                        eobrun,
+                    )
+                continue
+            for blocks in block_iter():
+                _maybe_restart(_reset_eobrun)
+                _cid, _d, _a, by, bx = blocks[0]
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.read_huffman(act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1 + reader.read_bits(r)
+                        break
+                    k += r
+                    coeffs[cid][by, bx, k] = (
+                        _extend(reader.read_bits(s), s) << al
+                    )
+                    k += 1
 
     qt_by_cid = {cid: tq for cid, _, _, tq in comps}
     out_planes = []
-    for cid, _hi, _vi, _tq in comps:
+    for cid, hi, vi, _tq in comps:
         q = qtabs[qt_by_cid[cid]]
-        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
-        for by in range(nby):
-            for bx in range(nbx):
+        nby_p, nbx_p = pad_dims[cid]
+        _nby_c, _nbx_c, cw, ch = own_dims(cid)
+        plane = np.zeros((nby_p * 8, nbx_p * 8), dtype=np.float64)
+        for by in range(nby_p):
+            for bx in range(nbx_p):
                 dq = coeffs[cid][by, bx] * q
                 block = np.zeros((8, 8), dtype=np.float64)
                 for idx, (rr, cc) in enumerate(ZIGZAG):
@@ -646,7 +789,10 @@ def _decode_progressive(sof, scans, qtabs) -> "np.ndarray":
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     _C.T @ block @ _C + 128.0
                 )
-        out_planes.append(np.clip(np.round(plane[:h, :w_]), 0, 255))
+        p = plane[:ch, :cw]
+        if hi != hmax or vi != vmax:  # nearest-neighbor chroma upsample
+            p = p.repeat(vmax // vi, axis=0).repeat(hmax // hi, axis=1)
+        out_planes.append(np.clip(np.round(p[:h, :w_]), 0, 255))
     if len(out_planes) == 1:
         return out_planes[0].astype(np.uint8)
     if len(out_planes) == 3:
@@ -719,10 +865,6 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
                     # non-interleaved single-component scans use MCU =
                     # one block regardless of declared factors
                     hi = vi = 1
-                if progressive and (hi, vi) != (1, 1):
-                    raise NotImplementedError(
-                        "subsampled progressive JPEG"
-                    )
                 comps.append((cid, hi, vi, tq))
             sof = (w_, h, comps)
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC8, 0xCC):

@@ -6532,12 +6532,15 @@ def text_heavy_hitters_q(spark, sf_dir):
     "MCUs, per-component predictors, NN upsample); PROGRESSIVE "
     "spectral selection, DC successive approximation, AC "
     "successive-approximation REFINEMENT (correction-bit decode), and "
-    "RSTn inside progressive scans — every 4th generated file is "
-    "progressive with planted AC coefficients whose antisymmetric "
-    "cosine profile leaves block pixel sums closed-form. Remaining "
-    "honest NotImplementedError stubs: hierarchical/lossless, "
-    "multi-scan baseline, subsampled progressive. Embarrassingly "
-    "parallel; zero shuffles.",
+    "RSTn inside progressive scans, and subsampled progressive "
+    "(4:2:0 SOF2 — pinned by constant-color tests; the oracle's "
+    "generator stays grayscale because BT.601 float rounding is not "
+    "SQL-exact) — every 4th generated file is progressive with "
+    "planted AC coefficients whose antisymmetric cosine profile "
+    "leaves block pixel sums closed-form. Remaining honest "
+    "NotImplementedError stubs: hierarchical/lossless, arithmetic "
+    "coding, multi-scan baseline. Embarrassingly parallel; zero "
+    "shuffles.",
 )
 def multimodal_jpeg_pixels_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")

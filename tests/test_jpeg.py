@@ -252,3 +252,24 @@ def test_multiscan_baseline_raises():
     payload[i + 1] = 0xC0
     with pytest.raises(NotImplementedError, match="multi-scan baseline"):
         decode_jpeg_pixels(bytes(payload))
+
+
+def test_progressive_420_equals_baseline_420():
+    from simple_data_engineering_project_spark.operators.jpeg import (
+        encode_jpeg_progressive_ycbcr420,
+        encode_jpeg_ycbcr420,
+    )
+
+    # subsampled progressive: interleaved DC scan walks 4Y+Cb+Cr blocks
+    # per MCU on the PADDED grid; AC scans walk each component's OWN
+    # ceil(cw/8)×ceil(ch/8) grid — non-multiple-of-16 dims make the two
+    # grids genuinely differ. Restart intervals split the DC scan.
+    for (w, h) in [(48, 32), (20, 14), (17, 9)]:
+        base = decode_jpeg_pixels(encode_jpeg_ycbcr420(w, h, -50, 30, -40))
+        for ri in (0, 2):
+            prog = decode_jpeg_pixels(
+                encode_jpeg_progressive_ycbcr420(
+                    w, h, -50, 30, -40, restart_interval=ri
+                )
+            )
+            assert (prog == base).all(), (w, h, ri)
