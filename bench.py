@@ -109,6 +109,7 @@ HEADLINE = [
     "multimodal_mp4_frames",
     "multimodal_webp",
     "multimodal_g711",
+    "multimodal_mkv_frames",
 ]
 
 

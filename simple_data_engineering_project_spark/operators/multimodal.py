@@ -1052,23 +1052,29 @@ def encode_avi(frames: list[bytes], us_per_frame: int = 40000) -> bytes:
 
 
 def sample_video_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
-    """REAL frame sampling for RIFF/AVI and ISO-BMFF/MP4 containers.
+    """REAL frame sampling for RIFF/AVI, ISO-BMFF/MP4, and Matroska/EBML
+    containers.
 
-    Slicing frames out of either container needs NO codec. AVI is a pure
+    Slicing frames out of any of the three needs NO codec. AVI is a pure
     chunk walk: recurse through LIST chunks, read the frame clock from
     ``avih`` (microseconds per frame), collect every ``..dc``/``..db``
     stream chunk in order, then keep every k-th frame where
     ``k = every_ms·1000 // us_per_frame``. MP4 dispatches to
     :func:`.mp4.sample_mp4_frames` — an stbl sample-table walk
-    (stts/stsz/stsc/stco/stss) that keeps the first keyframe per
-    ``every_ms`` bucket. Decoding a sampled frame's pixels is a separate
-    concern (the image path's job). MKV/EBML and fragmented MP4 (moof)
-    interleave codec state with framing and still raise — that part
-    genuinely needs ffmpeg."""
+    (stts/stsz/stsc/stco/stss); MKV/WebM to
+    :func:`.mkv.sample_mkv_frames` — an EBML walk to the video track's
+    SimpleBlocks; both keep the first keyframe per ``every_ms`` bucket.
+    Decoding a sampled frame's pixels is a separate concern (the image
+    path's job). Fragmented MP4 (moof), laced/BlockGroup Matroska, and
+    unknown containers still raise."""
     if payload is not None and len(payload) >= 12 and payload[4:8] == b"ftyp":
         from .mp4 import sample_mp4_frames
 
         return sample_mp4_frames(payload, every_ms)
+    if payload is not None and payload[:4] == b"\x1a\x45\xdf\xa3":
+        from .mkv import sample_mkv_frames
+
+        return sample_mkv_frames(payload, every_ms)
     if (
         payload is None
         or len(payload) < 12
@@ -1076,8 +1082,8 @@ def sample_video_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
         or payload[8:12] != b"AVI "
     ):
         raise NotImplementedError(
-            "only RIFF/AVI and ISO-BMFF/MP4 containers are frame-sliceable "
-            "without a codec (MKV needs ffmpeg, absent in this environment)"
+            "only RIFF/AVI, ISO-BMFF/MP4, and Matroska/EBML containers "
+            "are frame-sliceable without a codec"
         )
     us_per_frame = 40000  # AVI default 25 fps when no avih present
     frames: list[bytes] = []
@@ -1185,6 +1191,57 @@ def media_mp4_from_documents(
                         "meta": {
                             "modality": "video",
                             "mime": "video/mp4",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": len(frames) * delta_ms,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+def media_mkv_from_documents(
+    docs: DataFrame,
+    frame_bytes: int = 64,
+    delta_ms: int = 500,
+    sync_every: int = 2,
+) -> DataFrame:
+    """Deterministic Matroska media table: each document's utf-8 bytes
+    are cut into ``frame_bytes`` frames wrapped in real EBML containers
+    (:func:`.mkv.encode_mkv`) at ``delta_ms`` per frame with every
+    ``sync_every``-th frame a keyframe; every 3rd document uses a
+    non-default TimestampScale (2 ms ticks), exercising the two-level
+    cluster/block clock. Frame content is a closed-form byte slice of
+    the text, so an oracle predicts each sampled keyframe's sha256
+    without parsing EBML."""
+    from .mkv import encode_mkv
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                raw = (text or "").encode("utf-8")
+                frames = [
+                    raw[i : i + frame_bytes]
+                    for i in range(0, len(raw), frame_bytes)
+                ]
+                if did % 3 == 0:  # 2 ms ticks: same absolute times
+                    kw = {"timestamp_scale": 2_000_000,
+                          "delta_ms": delta_ms // 2}
+                else:
+                    kw = {"delta_ms": delta_ms}
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_mkv(
+                            frames, sync_every=sync_every, **kw
+                        ),
+                        "meta": {
+                            "modality": "video",
+                            "mime": "video/x-matroska",
                             "width": None,
                             "height": None,
                             "duration_ms": len(frames) * delta_ms,

@@ -6378,6 +6378,43 @@ def multimodal_mp4_frames_q(spark, sf_dir):
     return mm_ops.sample_frames_df(media)
 
 
+@register(
+    "multimodal_mkv_frames",
+    """
+    SELECT doc_id AS media_id,
+           CAST(g.n AS INT) AS frame_no,
+           CAST(strlen(substring(text, g.n * 128 + 1, 64)) AS BIGINT)
+             AS n_bytes,
+           sha256(substring(text, g.n * 128 + 1, 64)) AS sha256
+    FROM documents,
+         unnest(generate_series(0,
+                CAST(floor((ceil(strlen(text) / 64.0) - 1) / 2.0) AS INT)))
+           AS g(n)
+    WHERE strlen(text) > 0
+    """,
+    tier="C",
+    note="C5 REAL Matroska/WebM keyframe sampling: documents wrapped "
+    "in genuine EBML containers (64-byte frames at 500 ms, every 2nd a "
+    "keyframe, 4-frame clusters; every 3rd file uses a non-default "
+    "2 ms TimestampScale so the two-level cluster/block clock is "
+    "exercised), then operators/mkv.py walks the element tree — VINT "
+    "IDs/sizes, Info.TimestampScale, Tracks video-track select, "
+    "Cluster.Timestamp + SimpleBlock relative timestamps and keyframe "
+    "flags — and keeps the first keyframe per 1000 ms bucket. "
+    "Keyframe n sits at text bytes [n*128, n*128+64), the same closed "
+    "form as the AVI/MP4 entries, so a sha256 match proves byte-exact "
+    "frame recovery from EBML arithmetic with no codec. Laced blocks "
+    "and BlockGroup streams raise — honest envelope. Embarrassingly "
+    "parallel mapInPandas; zero shuffles.",
+)
+def multimodal_mkv_frames_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_mkv_from_documents(
+        d, frame_bytes=64, delta_ms=500, sync_every=2
+    )
+    return mm_ops.sample_frames_df(media)
+
+
 
 @register(
     "orders_seasonality",

@@ -71,5 +71,7 @@ def test_fragmented_and_ebml_raise():
         sample_mp4_frames(bytes(p))
     with pytest.raises(NotImplementedError):
         sample_mp4_frames(b"\x1a\x45\xdf\xa3" + b"\x00" * 32)  # EBML/MKV
-    with pytest.raises(NotImplementedError):
+    # the generic dispatch now routes EBML magic to the REAL MKV walker,
+    # so a garbage body is a corrupt container (ValueError)
+    with pytest.raises(ValueError):
         sample_video_frames(b"\x1a\x45\xdf\xa3" + b"\x00" * 32)

@@ -1187,8 +1187,10 @@ def test_avi_sampler_rejects_non_riff():
     # corrupt container (ValueError), not an unsupported format
     with _pytest.raises(ValueError):
         sample_video_frames(b"\x00\x00\x00 ftypisom fake-mp4", 1000)
+    # unknown container magic (FLV) stays out; AVI/MP4/MKV all dispatch
+    # to real walkers now
     with _pytest.raises(NotImplementedError):
-        sample_video_frames(b"\x1a\x45\xdf\xa3 ebml-mkv stays out", 1000)
+        sample_video_frames(b"FLV\x01\x05\x00\x00\x00\x09 not sliceable", 1000)
     with _pytest.raises(NotImplementedError):
         sample_video_frames(None, 1000)
 
