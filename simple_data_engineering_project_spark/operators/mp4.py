@@ -20,13 +20,19 @@ ISO-BMFF analogue of the AVI stride (reference has no video surface at
 all — Tier C extension; mirrors the AVI walk at
 multimodal.sample_video_frames).
 
-The companion :func:`encode_mp4` synthesizes real containers (ftyp +
-mdat + moov with a full stbl, multi-sample chunks, optional 64-bit
-largesize/co64) whose frame payloads are caller-chosen bytes, so an
-oracle can predict each sampled frame's hash without any parser —
-proving the box walk recovers the exact sample extents. Codec-entangled
-containers (MKV/EBML, fragmented MP4 ``moof``) still raise
-``NotImplementedError`` — honest envelope boundaries.
+Fragmented MP4 (the CMAF/DASH ``moof`` layout) decodes too: the sample
+table then lives per-fragment — ``mvex/trex`` defaults, ``tfhd``
+overrides, ``tfdt`` base decode times, ``trun`` per-sample
+size/duration/flags walks with first-sample-flags, data offsets
+relative to each moof (``_sample_fragmented``).
+
+The companion :func:`encode_mp4` / :func:`encode_mp4_fragmented`
+synthesize real containers (full-stbl progressive-download layout with
+multi-sample chunks and optional 64-bit largesize/co64; init-segment +
+moof/mdat fragment layout) whose frame payloads are caller-chosen
+bytes, so an oracle can predict each sampled frame's hash without any
+parser — proving the box walk recovers the exact sample extents.
+MKV/EBML routes to operators/mkv.py via the generic dispatch.
 """
 
 from __future__ import annotations
@@ -74,13 +80,11 @@ def sample_mp4_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
     time. See the module docstring for the box inventory."""
     if payload is None or len(payload) < 12 or payload[4:8] != b"ftyp":
         raise NotImplementedError(
-            "not an ISO-BMFF payload (MKV/EBML needs ffmpeg)"
+            "not an ISO-BMFF payload (MKV/EBML routes via operators/mkv.py)"
         )
     n = len(payload)
     if _find(payload, 0, n, b"moof") is not None:
-        raise NotImplementedError(
-            "fragmented MP4 (moof) carries its sample table per-fragment"
-        )
+        return _sample_fragmented(payload, every_ms)
     moov = _find(payload, 0, n, b"moov")
     if moov is None:
         raise ValueError("MP4 missing moov")
@@ -191,6 +195,144 @@ def sample_mp4_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
         if bucket not in seen:
             seen.add(bucket)
             kept.append(payload[offsets[s] : offsets[s] + sizes[s]])
+    return kept
+
+
+def _video_track_fmp4(payload: bytes, moov) -> tuple[int, int]:
+    """(track_ID, media timescale) of the init segment's video track."""
+    for tag, b, e in _walk_boxes(payload, *moov):
+        if tag != b"trak":
+            continue
+        tkhd = _find(payload, b, e, b"tkhd")
+        mdia = _find(payload, b, e, b"mdia")
+        if tkhd is None or mdia is None:
+            continue
+        hdlr = _find(payload, *mdia, b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        ver = payload[tkhd[0]]
+        off = tkhd[0] + 4 + (16 if ver else 8)
+        tid = int.from_bytes(payload[off : off + 4], "big")
+        mdhd = _find(payload, *mdia, b"mdhd")
+        ver2 = payload[mdhd[0]]
+        ts = int.from_bytes(
+            payload[mdhd[0] + (20 if ver2 else 12) :][:4], "big"
+        )
+        return tid, ts
+    raise ValueError("fMP4 has no video track in its init segment")
+
+
+def _sample_fragmented(payload: bytes, every_ms: int) -> list[bytes]:
+    """Fragmented MP4 (CMAF/DASH layout): the sample table lives in
+    per-fragment moof/traf/trun boxes — timescale and track id come from
+    the init segment's moov, per-sample defaults from mvex/trex, sample
+    times accumulate from tfdt + durations, byte extents from the trun
+    size walk relative to each moof (default-base-is-moof), and sync
+    detection reads the sample_is_non_sync_sample flag bit (0x10000),
+    honoring first-sample-flags overrides."""
+    n = len(payload)
+    moov = _find(payload, 0, n, b"moov")
+    if moov is None:
+        raise ValueError("fMP4 missing init-segment moov")
+    tid, timescale = _video_track_fmp4(payload, moov)
+    d_dur = d_size = d_flags = 0
+    mvex = _find(payload, *moov, b"mvex")
+    if mvex is not None:
+        for tag, b, e in _walk_boxes(payload, *mvex):
+            if tag == b"trex" and int.from_bytes(
+                payload[b + 4 : b + 8], "big"
+            ) == tid:
+                d_dur = int.from_bytes(payload[b + 12 : b + 16], "big")
+                d_size = int.from_bytes(payload[b + 16 : b + 20], "big")
+                d_flags = int.from_bytes(payload[b + 20 : b + 24], "big")
+
+    def u32(p, signed=False):
+        return int.from_bytes(payload[p : p + 4], "big", signed=signed)
+
+    kept: list[bytes] = []
+    seen: set[int] = set()
+    for tag, b, e in _walk_boxes(payload, 0, n):
+        if tag != b"moof":
+            continue
+        moof_start = b - 8
+        for tag2, b2, e2 in _walk_boxes(payload, b, e):
+            if tag2 != b"traf":
+                continue
+            tfhd = _find(payload, b2, e2, b"tfhd")
+            if tfhd is None:
+                raise ValueError("traf missing tfhd")
+            fl = int.from_bytes(payload[tfhd[0] + 1 : tfhd[0] + 4], "big")
+            p = tfhd[0] + 4
+            t_id = u32(p)
+            p += 4
+            base_off = None
+            if fl & 0x1:
+                base_off = int.from_bytes(payload[p : p + 8], "big")
+                p += 8
+            if fl & 0x2:
+                p += 4  # sample-description-index
+            dur, size, flags_d = d_dur, d_size, d_flags
+            if fl & 0x8:
+                dur = u32(p)
+                p += 4
+            if fl & 0x10:
+                size = u32(p)
+                p += 4
+            if fl & 0x20:
+                flags_d = u32(p)
+                p += 4
+            if base_off is None:
+                base_off = moof_start  # default-base-is-moof semantics
+            if t_id != tid:
+                continue
+            t = 0
+            tfdt = _find(payload, b2, e2, b"tfdt")
+            if tfdt is not None:
+                ver = payload[tfdt[0]]
+                t = int.from_bytes(
+                    payload[tfdt[0] + 4 : tfdt[0] + 4 + (8 if ver else 4)],
+                    "big",
+                )
+            for tag3, b3, e3 in _walk_boxes(payload, b2, e2):
+                if tag3 != b"trun":
+                    continue
+                tfl = int.from_bytes(payload[b3 + 1 : b3 + 4], "big")
+                p3 = b3 + 4
+                cnt = u32(p3)
+                p3 += 4
+                data_off = 0
+                if tfl & 0x1:
+                    data_off = u32(p3, signed=True)
+                    p3 += 4
+                first_flags = None
+                if tfl & 0x4:
+                    first_flags = u32(p3)
+                    p3 += 4
+                off = base_off + data_off
+                for i in range(cnt):
+                    sdur, ssize, sflags = dur, size, flags_d
+                    if tfl & 0x100:
+                        sdur = u32(p3)
+                        p3 += 4
+                    if tfl & 0x200:
+                        ssize = u32(p3)
+                        p3 += 4
+                    if tfl & 0x400:
+                        sflags = u32(p3)
+                        p3 += 4
+                    if tfl & 0x800:
+                        p3 += 4  # composition time offset
+                    if i == 0 and first_flags is not None:
+                        sflags = first_flags
+                    if not ssize:
+                        raise ValueError("fMP4 sample with no size")
+                    if (sflags & 0x10000) == 0:  # sync sample
+                        bucket = (t * 1000 // timescale) // every_ms
+                        if bucket not in seen:
+                            seen.add(bucket)
+                            kept.append(payload[off : off + ssize])
+                    off += ssize
+                    t += sdur
     return kept
 
 
@@ -305,3 +447,95 @@ def encode_mp4(
     )
     moov = box(b"moov", mvhd + trak)
     return ftyp + mdat_hdr + data + moov
+
+
+def _mkbox(fourcc: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + fourcc + body
+
+
+def _mkfull(fourcc: bytes, body: bytes, version: int = 0, flags: int = 0) -> bytes:
+    return _mkbox(fourcc, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+
+def encode_mp4_fragmented(
+    frames: list[bytes],
+    timescale: int = 1000,
+    delta: int = 500,
+    sync_every: int = 2,
+    frames_per_fragment: int = 4,
+) -> bytes:
+    """Minimal fragmented MP4 (CMAF/DASH layout): ftyp + an init-segment
+    moov (empty stbl, mvex/trex with the default sample duration) +
+    one moof/mdat pair per ``frames_per_fragment`` samples. Each traf
+    carries tfhd (default-base-is-moof), tfdt (base decode time), and a
+    trun with per-sample sizes + flags (every ``sync_every``-th sample
+    sync; 0 = all sync); durations ride the trex default, exercising the
+    defaults-inheritance path."""
+    empty_stbl = _mkbox(
+        b"stbl",
+        _mkfull(b"stsd", struct.pack(">I", 1)
+                + struct.pack(">I", 16) + b"raw " + b"\x00" * 8)
+        + _mkfull(b"stts", struct.pack(">I", 0))
+        + _mkfull(b"stsc", struct.pack(">I", 0))
+        + _mkfull(b"stsz", struct.pack(">II", 0, 0))
+        + _mkfull(b"stco", struct.pack(">I", 0)),
+    )
+    url = struct.pack(">I", 12) + b"url " + bytes([0, 0, 0, 1])
+    dinf = _mkbox(b"dinf", _mkfull(b"dref", struct.pack(">I", 1) + url))
+    minf = _mkbox(b"minf", _mkfull(b"vmhd", b"\x00" * 8) + dinf + empty_stbl)
+    hdlr = _mkfull(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00")
+    mdhd = _mkfull(
+        b"mdhd", struct.pack(">IIII", 0, 0, timescale, 0) + b"\x55\xc4\x00\x00"
+    )
+    mdia = _mkbox(b"mdia", mdhd + hdlr + minf)
+    tkhd = _mkfull(
+        b"tkhd", struct.pack(">IIIII", 0, 0, 1, 0, 0) + b"\x00" * 60
+    )
+    trak = _mkbox(b"trak", tkhd + mdia)
+    mvhd = _mkfull(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, 0)
+        + struct.pack(">I", 0x00010000)
+        + b"\x00" * 76
+        + struct.pack(">I", 2),
+    )
+    # trex: track 1 defaults — duration carries the frame clock
+    trex = _mkfull(
+        b"trex", struct.pack(">IIIII", 1, 1, delta, 0, 0)
+    )
+    moov = _mkbox(b"moov", mvhd + trak + _mkbox(b"mvex", trex))
+    out = _mkbox(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso5")
+    out += moov
+    seq = 0
+    for f0 in range(0, len(frames), frames_per_fragment):
+        chunk = frames[f0 : f0 + frames_per_fragment]
+        seq += 1
+        mfhd = _mkfull(b"mfhd", struct.pack(">I", seq))
+        # tfhd: default-base-is-moof (0x20000), no other fields
+        tfhd = _mkfull(b"tfhd", struct.pack(">I", 1), flags=0x20000)
+        tfdt = _mkfull(b"tfdt", struct.pack(">I", f0 * delta))
+        # trun: data-offset + per-sample size + per-sample flags
+        entries = b""
+        for j, data in enumerate(chunk):
+            i = f0 + j
+            sync = sync_every == 0 or i % sync_every == 0
+            sflags = 0x02000000 if sync else 0x00010001
+            entries += struct.pack(">II", len(data), sflags)
+        trun_wo_off = _mkfull(
+            b"trun",
+            struct.pack(">Ii", len(chunk), 0) + entries,
+            flags=0x1 | 0x200 | 0x400,
+        )
+        traf = _mkbox(b"traf", tfhd + tfdt + trun_wo_off)
+        moof_len = len(_mkbox(b"moof", mfhd + traf))
+        # data_offset: first sample byte relative to moof start
+        data_offset = moof_len + 8
+        trun = _mkfull(
+            b"trun",
+            struct.pack(">Ii", len(chunk), data_offset) + entries,
+            flags=0x1 | 0x200 | 0x400,
+        )
+        traf = _mkbox(b"traf", tfhd + tfdt + trun)
+        moof = _mkbox(b"moof", mfhd + traf)
+        out += moof + _mkbox(b"mdat", b"".join(chunk))
+    return out

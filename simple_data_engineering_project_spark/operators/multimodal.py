@@ -4,15 +4,20 @@ Images / audio / video ride through the engine as opaque ``binary``
 payloads plus a typed metadata struct — the lakehouse-standard shape
 (content bytes + modality + mime + content-address). The Spark-side
 plumbing (schema, Arrow batching, ``mapInPandas`` signature, partition
-sizing) is real and tested, and three codecs decode for real with pure
-stdlib/numpy: uncompressed 24bpp BMP (:func:`decode_bmp`), PNG with all
-five scanline filters (:func:`decode_png`, stdlib zlib), and PCM WAV
-(:func:`decode_wav`); image RESIZE is likewise real for those containers
+sizing) is real and tested, and the codec surface decodes for REAL with
+pure stdlib/numpy: uncompressed 24bpp BMP (:func:`decode_bmp`), PNG
+with all five scanline filters (:func:`decode_png`, stdlib zlib), JPEG
+incl. progressive/4:2:0 (:mod:`.jpeg`), GIF LZW (:mod:`.gif`), lossless
+WebP/VP8L (:mod:`.webp`), PCM WAV (:func:`decode_wav`) plus G.711 and
+IMA-ADPCM compressed WAV (:mod:`.audio_codecs`); video containers slice
+frames codec-free (RIFF/AVI here; ISO-BMFF incl. fragmented via
+:mod:`.mp4`; Matroska via :mod:`.mkv`); image RESIZE is likewise real
 (:func:`resize_image`: nearest-neighbor resample → PNG re-encode, run
-distributed by :func:`resize_media`). Codecs requiring external libraries
-(JPEG/WebP/MP3/MP4 — Pillow/ffmpeg are not in this environment) remain
-clearly-marked ``NotImplementedError`` stubs; undecodable payloads fall
-back to byte-level features rather than failing.
+distributed by :func:`resize_media`). The remaining stubs are the
+codecs that genuinely need DSP/codec libraries — AVIF, lossy WebP
+(VP8), MP3/AAC/Opus — clearly marked ``NotImplementedError``;
+undecodable payloads fall back to byte-level features rather than
+failing.
 
 Scale notes: binary payloads dominate row width, so partitioning must be
 by target batch *bytes*, not row count — ``repartition`` on a size-bucketed
@@ -1065,8 +1070,9 @@ def sample_video_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
     :func:`.mkv.sample_mkv_frames` — an EBML walk to the video track's
     SimpleBlocks; both keep the first keyframe per ``every_ms`` bucket.
     Decoding a sampled frame's pixels is a separate concern (the image
-    path's job). Fragmented MP4 (moof), laced/BlockGroup Matroska, and
-    unknown containers still raise."""
+    path's job). Fragmented MP4 (CMAF/DASH moof) decodes through the
+    same MP4 path; laced/BlockGroup Matroska and unknown containers
+    still raise."""
     if payload is not None and len(payload) >= 12 and payload[4:8] == b"ftyp":
         from .mp4 import sample_mp4_frames
 
@@ -1159,14 +1165,17 @@ def media_mp4_from_documents(
     into ``frame_bytes`` samples and wrapped in a real ISO-BMFF container
     (:func:`.mp4.encode_mp4`) at ``delta_ms`` per sample with every
     ``sync_every``-th sample a keyframe; every 5th document uses the
-    64-bit co64/largesize layout so the >4 GiB offset path is exercised.
+    64-bit co64/largesize layout so the >4 GiB offset path is
+    exercised, and every 7th uses the FRAGMENTED (CMAF/DASH moof)
+    layout so the per-fragment trun/tfdt/trex sample-table path runs
+    under the oracle too.
 
     Sample content is a closed-form byte slice of the text, so an oracle
     can predict each sampled keyframe's sha256 without parsing boxes —
     an end-to-end proof that the sampler walks the actual stbl arrays
     (stts clock, stsz extents, stsc/stco chunk offsets, stss sync
-    selection)."""
-    from .mp4 import encode_mp4
+    selection) or, for fragmented files, the moof/traf walk."""
+    from .mp4 import encode_mp4, encode_mp4_fragmented
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1178,16 +1187,25 @@ def media_mp4_from_documents(
                     raw[i : i + frame_bytes]
                     for i in range(0, len(raw), frame_bytes)
                 ]
+                if did % 7 == 0:
+                    payload = encode_mp4_fragmented(
+                        frames,
+                        timescale=1000,
+                        delta=delta_ms,
+                        sync_every=sync_every,
+                    )
+                else:
+                    payload = encode_mp4(
+                        frames,
+                        timescale=1000,
+                        delta=delta_ms,
+                        sync_every=sync_every,
+                        use_co64=did % 5 == 0,
+                    )
                 rows.append(
                     {
                         "media_id": did,
-                        "payload": encode_mp4(
-                            frames,
-                            timescale=1000,
-                            delta=delta_ms,
-                            sync_every=sync_every,
-                            use_co64=did % 5 == 0,
-                        ),
+                        "payload": payload,
                         "meta": {
                             "modality": "video",
                             "mime": "video/mp4",

@@ -6359,15 +6359,17 @@ def multimodal_video_frames_q(spark, sf_dir):
     note="C5 REAL ISO-BMFF (MP4) keyframe sampling: documents wrapped "
     "in genuine MP4 containers (64-byte samples at 500 ms, every 2nd "
     "sample a keyframe, multi-sample chunks, every 5th file using the "
-    "64-bit co64/largesize layout), then operators/mp4.py walks the "
-    "actual sample table — moov/trak/mdia box tree, hdlr=vide track "
-    "select, mdhd timescale, stts run-length clock, stsz extents, "
-    "stsc/stco chunk-offset arithmetic, stss sync selection — and "
+    "64-bit co64/largesize layout, every 7th the FRAGMENTED CMAF/DASH "
+    "moof layout), then operators/mp4.py walks the actual sample "
+    "table — moov/trak/mdia box tree, hdlr=vide track select, mdhd "
+    "timescale, stts run-length clock, stsz extents, stsc/stco "
+    "chunk-offset arithmetic, stss sync selection; for fragmented "
+    "files the per-fragment mvex/trex defaults + tfhd/tfdt/trun "
+    "size-duration-flags walk with moof-relative data offsets — and "
     "keeps the first keyframe per 1000 ms bucket. Keyframe n sits at "
     "text bytes [n*128, n*128+64), the same closed form as the AVI "
     "entry, so a sha256 hash match proves byte-exact sample recovery "
-    "from box arithmetic with no codec. Fragmented MP4 (moof) and "
-    "MKV/EBML raise — honest envelope. Embarrassingly parallel "
+    "from box arithmetic with no codec. Embarrassingly parallel "
     "mapInPandas; zero shuffles.",
 )
 def multimodal_mp4_frames_q(spark, sf_dir):

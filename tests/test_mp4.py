@@ -61,14 +61,28 @@ def test_dispatch_from_generic_sampler():
     assert sample_video_frames(p, every_ms=1000) == FRAMES[0::2]
 
 
-def test_fragmented_and_ebml_raise():
-    p = bytearray(encode_mp4(FRAMES))
-    # graft a moof box at the end: per-fragment sample tables unsupported
-    import struct
+def test_fragmented_cmaf_layout():
+    from simple_data_engineering_project_spark.operators.mp4 import (
+        encode_mp4_fragmented,
+    )
 
-    p += struct.pack(">I", 8) + b"moof"
-    with pytest.raises(NotImplementedError, match="fragmented"):
-        sample_mp4_frames(bytes(p))
+    # the CMAF/DASH layout: init moov (empty stbl, trex defaults) +
+    # moof/mdat pairs; durations inherit from trex, sizes/flags ride the
+    # trun, data offsets are moof-relative, sync = the non-sync flag bit
+    p = encode_mp4_fragmented(FRAMES)
+    assert sample_mp4_frames(p, every_ms=1000) == FRAMES[0::2]
+    assert sample_mp4_frames(p, every_ms=2000) == FRAMES[0::4]
+    assert sample_mp4_frames(
+        encode_mp4_fragmented(FRAMES, sync_every=0), every_ms=500
+    ) == FRAMES
+    # odd fragment sizes exercise tfdt base-time accumulation
+    assert sample_mp4_frames(
+        encode_mp4_fragmented(FRAMES, frames_per_fragment=3), every_ms=1000
+    ) == FRAMES[0::2]
+    assert sample_video_frames(p, every_ms=1000) == FRAMES[0::2]
+
+
+def test_ebml_rejected_by_mp4_walker():
     with pytest.raises(NotImplementedError):
         sample_mp4_frames(b"\x1a\x45\xdf\xa3" + b"\x00" * 32)  # EBML/MKV
     # the generic dispatch now routes EBML magic to the REAL MKV walker,
