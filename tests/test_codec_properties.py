@@ -1,0 +1,148 @@
+"""Hypothesis round-trip properties for the pure-stdlib codecs.
+
+The oracle entries verify fixed generator content; these throw random
+content at the codecs so dictionary/state-machine edge cases the
+generators never produce (pathological palettes, degenerate runs,
+extreme sample values, odd frame splits) still round-trip. No Spark —
+pure codec properties.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from simple_data_engineering_project_spark.operators.audio_codecs import (
+    WAVE_FORMAT_ALAW,
+    WAVE_FORMAT_MULAW,
+    alaw_decode_byte,
+    alaw_encode_sample,
+    decode_wav_compressed,
+    encode_wav_compressed,
+    ima_adpcm_decode,
+    ima_adpcm_encode,
+    mulaw_decode_byte,
+    mulaw_encode_sample,
+)
+from simple_data_engineering_project_spark.operators.mkv import (
+    encode_mkv,
+    sample_mkv_frames,
+)
+from simple_data_engineering_project_spark.operators.mp4 import (
+    encode_mp4,
+    encode_mp4_fragmented,
+    sample_mp4_frames,
+)
+from simple_data_engineering_project_spark.operators.webp import (
+    decode_webp_pixels,
+    encode_webp_lossless,
+)
+
+_FRAMES = st.lists(st.binary(min_size=1, max_size=40), min_size=1, max_size=24)
+
+
+@settings(max_examples=25, deadline=None)
+@given(frames=_FRAMES, spc=st.integers(1, 5), sync=st.sampled_from([0, 2, 3]))
+def test_mp4_all_sync_layouts_recover_exact_bytes(frames, spc, sync):
+    # with every_ms == delta, every sync sample is its own bucket: the
+    # sampler must return exactly the sync subsequence, byte-identical,
+    # for any chunking and any sync cadence
+    p = encode_mp4(frames, samples_per_chunk=spc, sync_every=sync)
+    want = frames if sync == 0 else frames[0::sync]
+    assert sample_mp4_frames(p, every_ms=500 * max(1, sync)) == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(frames=_FRAMES, fpf=st.integers(1, 5), sync=st.sampled_from([0, 2, 3]))
+def test_fragmented_mp4_matches_plain_layout(frames, fpf, sync):
+    every = 500 * max(1, sync)
+    plain = sample_mp4_frames(encode_mp4(frames, sync_every=sync), every)
+    frag = sample_mp4_frames(
+        encode_mp4_fragmented(frames, sync_every=sync, frames_per_fragment=fpf),
+        every,
+    )
+    assert frag == plain
+
+
+@settings(max_examples=25, deadline=None)
+@given(frames=_FRAMES, fpc=st.integers(1, 6), sync=st.sampled_from([0, 2, 3]))
+def test_mkv_matches_mp4_sampling(frames, fpc, sync):
+    every = 500 * max(1, sync)
+    mp4 = sample_mp4_frames(encode_mp4(frames, sync_every=sync), every)
+    mkv = sample_mkv_frames(
+        encode_mkv(frames, sync_every=sync, frames_per_cluster=fpc), every
+    )
+    assert mkv == mp4  # same bucket rule, same clock → identical choice
+
+
+_PIXEL = st.integers(0, 0xFFFFFFFF)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 7),
+    data=st.data(),
+    variant=st.sampled_from(
+        ["plain", "runs", "subgreen", "pred", "palette", "cache_meta"]
+    ),
+)
+def test_webp_roundtrip_random_pixels(w, h, data, variant):
+    rows = [
+        [data.draw(_PIXEL) for _ in range(w)] for _ in range(h)
+    ]
+    kw = {
+        "plain": {},
+        "runs": {"lz77_runs": True},
+        "subgreen": {"subtract_green": True},
+        "pred": {"predictor_mode": data.draw(st.integers(0, 13))},
+        "palette": {"palette": True},
+        "cache_meta": {
+            "color_cache_bits": 4,
+            "meta_tile_bits": 2,
+            "lz77_runs": True,
+        },
+    }[variant]
+    arr = decode_webp_pixels(encode_webp_lossless(rows, **kw))
+    for y in range(h):
+        for x in range(w):
+            px = rows[y][x]
+            assert tuple(int(v) for v in arr[y, x]) == (
+                (px >> 16) & 255,
+                (px >> 8) & 255,
+                px & 255,
+                px >> 24,
+            ), (variant, x, y)
+
+
+@settings(max_examples=50, deadline=None)
+@given(s=st.integers(-32768, 32767))
+def test_g711_companding_error_bounds(s):
+    m = mulaw_decode_byte(mulaw_encode_sample(s))
+    a = alaw_decode_byte(alaw_encode_sample(s))
+    assert abs(m - max(-32635, min(32635, s))) <= abs(s) / 16 + 40
+    assert abs(a - s) <= abs(s) / 12 + 40
+    # companded bytes survive the WAV container byte-for-byte
+    for fmt, enc in ((WAVE_FORMAT_MULAW, mulaw_encode_sample),
+                     (WAVE_FORMAT_ALAW, alaw_encode_sample)):
+        d = decode_wav_compressed(encode_wav_compressed(bytes([enc(s)]), fmt))
+        assert d["n_samples"] == 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    samples=st.lists(st.integers(-30000, 30000), min_size=2, max_size=300),
+    ba=st.sampled_from([16, 64, 256]),
+)
+def test_ima_adpcm_decode_is_deterministic_and_tracks(samples, ba):
+    # lossy but deterministic: decode(encode(x)) twice gives identical
+    # output, block headers carry the first sample of each block exactly,
+    # and every decoded sample stays in int16 range
+    enc = ima_adpcm_encode(samples, ba)
+    d1 = ima_adpcm_decode(enc, ba)
+    d2 = ima_adpcm_decode(enc, ba)
+    assert d1 == d2
+    spb = (ba - 4) * 2 + 1
+    for blk_start in range(0, len(samples), spb):
+        assert d1[blk_start] == samples[blk_start]  # header sample, exact
+    assert all(-32768 <= v <= 32767 for v in d1)
