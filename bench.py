@@ -110,6 +110,7 @@ HEADLINE = [
     "multimodal_webp",
     "multimodal_g711",
     "multimodal_mkv_frames",
+    "multimodal_flac",
 ]
 
 

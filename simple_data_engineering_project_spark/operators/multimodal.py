@@ -975,6 +975,87 @@ def audio_g711_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=G711_SCHEMA)
 
 
+def media_flac_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic FLAC table with closed-form sample content: channel
+    0 carries s_i = ((31·id + 17·i) % 4001) − 2000 over n = 100 + id%300
+    samples (channel 1, on even ids, ((13·id + 29·i) % 3001) − 1500) —
+    and id cycles the ENCODING across every subframe strategy (verbatim,
+    fixed orders 0-4, explicit-coefficient LPC) and, for stereo files,
+    all four decorrelation modes. FLAC is lossless, so decoded sums
+    equal the generator formula regardless of strategy — one SQL oracle
+    covers every decode path."""
+    from .flac import encode_flac
+
+    strategies = [
+        "verbatim", "fixed0", "fixed1", "fixed2", "fixed3", "fixed4", "lpc",
+    ]
+    modes = ["independent", "left_side", "right_side", "mid_side"]
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 100 + did % 300
+                ch0 = [((did * 31 + i * 17) % 4001) - 2000 for i in range(n)]
+                chans = [ch0]
+                if did % 2 == 0:
+                    chans.append(
+                        [((did * 13 + i * 29) % 3001) - 1500 for i in range(n)]
+                    )
+                payload = encode_flac(
+                    chans,
+                    blocksize=256,
+                    strategy=strategies[did % 7],
+                    stereo_mode=modes[(did // 2) % 4],
+                    lpc_coefs=[19, -7, 2],
+                    lpc_shift=4,
+                )
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": payload,
+                        "meta": {
+                            "modality": "audio",
+                            "mime": "audio/flac",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": n * 1000 // 16000,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+FLAC_SCHEMA = "media_id long, n_samples bigint, channels int, sample_sum bigint"
+
+
+def audio_flac_features(media: DataFrame) -> DataFrame:
+    """Decode FLAC payloads (real Rice/LPC/stereo-decorrelation decode
+    via :func:`.flac.decode_flac`) and emit exact all-channel sample
+    sums — embarrassingly parallel, zero shuffles."""
+    from .flac import decode_flac
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_flac(payload)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_samples": d["n_samples"],
+                        "channels": d["channels"],
+                        "sample_sum": sum(sum(ch) for ch in d["samples"]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_extract, schema=FLAC_SCHEMA)
+
+
 def decode_audio(payload: bytes) -> object:
     """STUB for compressed *psychoacoustic* audio codecs (MP3/AAC/Opus)
     — those require real DSP libraries, absent here. What decodes for

@@ -7025,6 +7025,49 @@ def multimodal_g711_q(spark, sf_dir):
 
 
 @register(
+    "multimodal_flac",
+    """
+    WITH p AS (
+      SELECT doc_id, 100 + doc_id % 300 AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS nch
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n, nch,
+             SUM((doc_id * 31 + g.i * 17) % 4001 - 2000) AS sum0,
+             SUM((doc_id * 13 + g.i * 29) % 3001 - 1500) AS sum1
+      FROM p, unnest(generate_series(0, n - 1)) AS g(i)
+      GROUP BY doc_id, n, nch
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(nch AS INT) AS channels,
+           CAST(sum0 + CASE WHEN nch = 2 THEN sum1 ELSE 0 END AS BIGINT)
+             AS sample_sum
+    FROM s
+    """,
+    tier="C",
+    note="C5 REAL FLAC decode (operators/flac.py) — the format speech "
+    "corpora (LibriSpeech, MLS) actually ship: STREAMINFO parse, "
+    "CRC-8-verified frame headers + CRC-16-verified frames, all four "
+    "subframe types (CONSTANT, VERBATIM, FIXED orders 0-4, LPC with "
+    "quantized coefficients and arithmetic shift), partitioned "
+    "Rice-coded residuals with zigzag mapping and raw-escape "
+    "partitions, and all three stereo decorrelation modes "
+    "(left/right/mid-side) undone exactly. The generator cycles every "
+    "strategy and stereo mode over closed-form sample content; FLAC "
+    "is LOSSLESS, so one SQL sum formula verifies every decode path — "
+    "a desync anywhere (rice parameter, LPC shift, CRC) breaks the "
+    "hash. Non-16-bit depth, wasted bits, and variable blocksize "
+    "raise — honest envelope. Embarrassingly parallel mapInPandas; "
+    "zero shuffles.",
+)
+def multimodal_flac_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_flac_from_documents(d)
+    return mm_ops.audio_flac_features(media)
+
+
+@register(
     "events_quantile_sketch",
     """
     WITH r AS (
