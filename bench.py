@@ -111,6 +111,7 @@ HEADLINE = [
     "multimodal_g711",
     "multimodal_mkv_frames",
     "multimodal_flac",
+    "multimodal_tiff",
 ]
 
 

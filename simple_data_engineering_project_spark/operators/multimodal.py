@@ -975,6 +975,88 @@ def audio_g711_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=G711_SCHEMA)
 
 
+def media_tiff_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic TIFF table: w=1+id%23, h=1+id%15; odd ids are
+    grayscale with pixel (id+7x+11y)%256, even ids RGB with channels
+    (v, 3v%256, (x+y)%256) for the same v. The ENCODING cycles the whole
+    baseline envelope — compression id%3 ∈ {none, PackBits, LZW}, byte
+    order (every 5th big-endian), strip height (every 4th uses 4-row
+    strips) — over identical closed-form pixel content, so one SQL
+    formula verifies every decompressor and layout."""
+    from .tiff import encode_tiff
+
+    comps = [1, 32773, 5]
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 1 + did % 23, 1 + did % 15
+                v = np.fromfunction(
+                    lambda y, x: (did + 7 * x + 11 * y) % 256, (h, w)
+                ).astype(np.uint8)
+                if did % 2 == 1:
+                    px = v
+                else:
+                    px = np.stack(
+                        [
+                            v,
+                            (3 * v.astype(np.int64) % 256).astype(np.uint8),
+                            np.fromfunction(
+                                lambda y, x: (x + y) % 256, (h, w)
+                            ).astype(np.uint8),
+                        ],
+                        axis=-1,
+                    )
+                payload = encode_tiff(
+                    px,
+                    compression=comps[did % 3],
+                    big_endian=did % 5 == 0,
+                    rows_per_strip=4 if did % 4 == 0 else 8,
+                )
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": payload,
+                        "meta": {
+                            "modality": "image",
+                            "mime": "image/tiff",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+def tiff_pixel_features(media: DataFrame) -> DataFrame:
+    """Decode TIFF payloads (real IFD/strip/PackBits/LZW decode via
+    :func:`.tiff.decode_tiff_pixels`) and emit exact pixel sums —
+    embarrassingly parallel, zero shuffles."""
+    from .tiff import decode_tiff_pixels
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_tiff_pixels(payload)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "content_sum": int(px.sum(dtype=np.int64)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_extract, schema=JPEG_PIXEL_SCHEMA)
+
+
 def media_flac_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic FLAC table with closed-form sample content: channel
     0 carries s_i = ((31·id + 17·i) % 4001) − 2000 over n = 100 + id%300

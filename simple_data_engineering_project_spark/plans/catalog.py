@@ -7068,6 +7068,48 @@ def multimodal_flac_q(spark, sf_dir):
 
 
 @register(
+    "multimodal_tiff",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 23 AS INTEGER) AS w,
+             CAST(1 + doc_id % 15 AS INTEGER) AS h
+      FROM documents
+    )
+    SELECT doc_id AS media_id, w AS width, h AS height,
+           CAST(SUM(
+             (doc_id + 7 * gx.x + 11 * gy.y) % 256
+             + CASE WHEN doc_id % 2 = 0
+                 THEN (3 * ((doc_id + 7 * gx.x + 11 * gy.y) % 256)) % 256
+                      + (gx.x + gy.y) % 256
+                 ELSE 0 END
+           ) AS BIGINT) AS content_sum
+    FROM p,
+         unnest(generate_series(0, w - 1)) AS gx(x),
+         unnest(generate_series(0, h - 1)) AS gy(y)
+    GROUP BY doc_id, w, h
+    """,
+    tier="C",
+    note="C5 REAL baseline-TIFF decode (operators/tiff.py) — the "
+    "scanned-document-corpus format: both byte orders, IFD tag walk, "
+    "multi-strip layouts via RowsPerStrip with offset/byte-count "
+    "arrays, 8-bit gray + chunky RGB, and all three corpus-dominant "
+    "compressions — none, PackBits RLE, and TIFF-flavor LZW "
+    "(MSB-first code packing with the libtiff EarlyChange width rule, "
+    "CLEAR/EOI, KwKwK, table reset before overflow). The generator "
+    "cycles compression x byte order x strip height over identical "
+    "closed-form pixel content, so one SQL formula verifies every "
+    "decompressor; tiled layouts, planar-2, predictor-2, CCITT and "
+    "JPEG-in-TIFF raise — honest envelope. Embarrassingly parallel "
+    "mapInPandas; zero shuffles.",
+)
+def multimodal_tiff_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_tiff_from_documents(d)
+    return mm_ops.tiff_pixel_features(media)
+
+
+@register(
     "events_quantile_sketch",
     """
     WITH r AS (
