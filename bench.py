@@ -113,6 +113,7 @@ HEADLINE = [
     "multimodal_flac",
     "multimodal_tiff",
     "bpe_apply",
+    "multimodal_pdf",
 ]
 
 

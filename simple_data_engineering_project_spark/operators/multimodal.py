@@ -1057,6 +1057,83 @@ def tiff_pixel_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=JPEG_PIXEL_SCHEMA)
 
 
+def media_pdf_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic PDF table: each document's text is cut into 40-char
+    lines and typeset as Td/Tj operators, 5 lines per page; id cycles
+    the stream filter (FlateDecode / LZWDecode / raw) and every 4th file
+    uses <hex> string literals instead of ( ) literals. Extraction must
+    therefore exercise the object scan, all three stream decoders, both
+    string syntaxes, and the escape rules — and the result is a
+    closed-form reconstruction of the source text (lines joined by
+    newline), SQL-checkable by sha256."""
+    from .pdf import encode_pdf
+
+    filters = ["flate", "lzw", "raw"]
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for doc_id, text in zip(pdf_["doc_id"], pdf_["text"]):
+                did = int(doc_id)
+                t = text or ""
+                lines = [t[i : i + 40] for i in range(0, len(t), 40)]
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_pdf(
+                            lines,
+                            filter_=filters[did % 3],
+                            hex_strings=did % 4 == 0,
+                            lines_per_page=5,
+                        ),
+                        "meta": {
+                            "modality": "text",
+                            "mime": "application/pdf",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+PDF_TEXT_SCHEMA = "media_id long, n_chars bigint, text_sha string"
+
+
+def pdf_text_features(media: DataFrame) -> DataFrame:
+    """Extract text from PDF payloads (real object-scan + stream-decode
+    + content-stream tokenization via :func:`.pdf.extract_pdf_text`)
+    and emit length + sha256 — embarrassingly parallel, zero shuffles.
+    Documents whose PDFs contain no text rows emit nothing."""
+    from .pdf import extract_pdf_text
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for mid, payload in zip(pdf_["media_id"], pdf_["payload"]):
+                text = extract_pdf_text(payload)
+                if not text:
+                    continue
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_chars": len(text),
+                        "text_sha": hashlib.sha256(
+                            text.encode("latin-1")
+                        ).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_chars", "text_sha"],
+            ).astype({"media_id": "int64", "n_chars": "int64"})
+
+    return media.mapInPandas(_extract, schema=PDF_TEXT_SCHEMA)
+
+
 def media_flac_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic FLAC table with closed-form sample content: channel
     0 carries s_i = ((31·id + 17·i) % 4001) − 2000 over n = 100 + id%300

@@ -7110,6 +7110,47 @@ def multimodal_tiff_q(spark, sf_dir):
 
 
 @register(
+    "multimodal_pdf",
+    """
+    WITH p AS (
+      SELECT doc_id, text,
+             CAST(ceil(strlen(text) / 40.0) AS INT) AS n_lines
+      FROM documents WHERE strlen(text) > 0
+    ), r AS (
+      SELECT doc_id,
+             string_agg(substring(text, g.i * 40 + 1, 40),
+                        chr(10) ORDER BY g.i) AS extracted
+      FROM p, unnest(generate_series(0, n_lines - 1)) AS g(i)
+      GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           CAST(strlen(extracted) AS BIGINT) AS n_chars,
+           sha256(extracted) AS text_sha
+    FROM r
+    """,
+    tier="C",
+    note="C4/C5 REAL PDF text extraction (operators/pdf.py) — the "
+    "entry point of every document-corpus pipeline: object scan "
+    "(robust to classic xref tables and xref-stream files), stream "
+    "decode for FlateDecode (stdlib zlib) AND LZWDecode (the "
+    "TIFF-variant LZW codec, as the PDF spec requires) AND raw, then "
+    "a content-stream walk of the text operators — Tj / ' / TJ "
+    "arrays, ( ) literals with the full escape set (octal, line "
+    "continuations) and <hex> strings, Td/T*/ET line breaks. The "
+    "generator typesets each document as 40-char Tj lines cycling "
+    "filter x string-syntax, so extraction must reproduce the source "
+    "text exactly (lines joined by newline) — sha256-verified against "
+    "a pure-SQL reconstruction. Encrypted files and /ObjStm "
+    "compressed object streams raise — honest envelope. "
+    "Embarrassingly parallel mapInPandas; zero shuffles.",
+)
+def multimodal_pdf_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_pdf_from_documents(d)
+    return mm_ops.pdf_text_features(media)
+
+
+@register(
     "events_quantile_sketch",
     """
     WITH r AS (
