@@ -208,6 +208,27 @@ def test_pagerank_rank_state_not_hinted(spark):
     assert abs(total - 1.0) < 1e-9
 
 
+def test_media_and_tokenizer_entries_shuffle_free(spark, sf_smoke):
+    # codec/sampling entries are scan → mapInPandas chains and bpe_apply
+    # is a scan → row-local expression: at 100 TB these must stay
+    # embarrassingly parallel — ANY Exchange in their plans means a
+    # shuffle crept into a per-row pipeline
+    for name in (
+        "multimodal_mp4_frames",
+        "multimodal_mkv_frames",
+        "multimodal_webp",
+        "multimodal_g711",
+        "multimodal_flac",
+        "multimodal_tiff",
+        "multimodal_pdf",
+        "multimodal_jpeg_pixels",
+        "multimodal_gif",
+        "bpe_apply",
+    ):
+        plan = _plan(catalog()[name].fn(spark, sf_smoke))
+        assert "Exchange" not in plan, name
+
+
 def test_no_cartesian_products_anywhere(spark, sf_smoke):
     # brute_force_topk intentionally cross-joins against a broadcast
     # single-row query side; everything else must be keyed
