@@ -496,7 +496,24 @@ def media_mixed_from_documents(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id", "text").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _spread_docs(docs).select("doc_id", "text").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
+
+
+
+def _spread_docs(docs: DataFrame) -> DataFrame:
+    """Widen parallelism for the compute-heavy codec generators when the
+    documents input has fewer partitions than the cluster can run (one
+    small parquet file in local tests scans as 1-2 partitions, idling
+    31 of 32 cores through a pure-Python decode). Hash-partitioning on
+    doc_id keeps the spread deterministic; when the input is already at
+    least cluster-wide — the 100 TB case — this is a NO-OP, no extra
+    shuffle (same contract as dedup._spread)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target, "doc_id")
+    return docs
 
 
 def media_wav_alternating_from_documents(docs: DataFrame) -> DataFrame:
@@ -528,7 +545,9 @@ def media_wav_alternating_from_documents(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _spread_docs(docs).select("doc_id").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
 
 
 AUDIO_FEATURE_SCHEMA = (
@@ -610,7 +629,9 @@ def media_png_from_documents(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _spread_docs(docs).select("doc_id").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
 
 
 def media_jpeg_from_documents(docs: DataFrame) -> DataFrame:
@@ -640,7 +661,9 @@ def media_jpeg_from_documents(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _spread_docs(docs).select("doc_id").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
 
 
 def decode_image(payload: bytes) -> object:
@@ -734,7 +757,9 @@ def media_jpeg_dc_from_documents(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _spread_docs(docs).select("doc_id").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
 
 
 JPEG_PIXEL_SCHEMA = "media_id long, width int, height int, content_sum bigint"
@@ -797,7 +822,9 @@ def media_gif_from_documents(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _spread_docs(docs).select("doc_id").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
 
 
 def gif_pixel_features(media: DataFrame) -> DataFrame:
@@ -883,7 +910,9 @@ def media_webp_from_documents(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _spread_docs(docs).select("doc_id").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
 
 
 def webp_pixel_features(media: DataFrame) -> DataFrame:
@@ -945,7 +974,9 @@ def media_g711_from_documents(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _spread_docs(docs).select("doc_id").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
 
 
 G711_SCHEMA = "media_id long, fmt int, n_samples bigint, sample_sum bigint"
@@ -1030,7 +1061,9 @@ def media_tiff_from_documents(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _spread_docs(docs).select("doc_id").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
 
 
 def tiff_pixel_features(media: DataFrame) -> DataFrame:
@@ -1097,7 +1130,9 @@ def media_pdf_from_documents(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id", "text").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _spread_docs(docs).select("doc_id", "text").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
 
 
 PDF_TEXT_SCHEMA = "media_id long, n_chars bigint, text_sha string"
@@ -1185,7 +1220,9 @@ def media_flac_from_documents(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _spread_docs(docs).select("doc_id").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
 
 
 FLAC_SCHEMA = "media_id long, n_samples bigint, channels int, sample_sum bigint"
@@ -1392,7 +1429,9 @@ def media_avi_from_documents(
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id", "text").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _spread_docs(docs).select("doc_id", "text").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
 
 
 def media_mp4_from_documents(
@@ -1457,7 +1496,9 @@ def media_mp4_from_documents(
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id", "text").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _spread_docs(docs).select("doc_id", "text").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
 
 
 def media_mkv_from_documents(
@@ -1508,7 +1549,9 @@ def media_mkv_from_documents(
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id", "text").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _spread_docs(docs).select("doc_id", "text").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
 
 
 FRAME_SCHEMA = T.StructType(

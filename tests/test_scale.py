@@ -208,11 +208,14 @@ def test_pagerank_rank_state_not_hinted(spark):
     assert abs(total - 1.0) < 1e-9
 
 
-def test_media_and_tokenizer_entries_shuffle_free(spark, sf_smoke):
+def test_media_and_tokenizer_entries_at_most_one_spread(spark, sf_smoke):
     # codec/sampling entries are scan → mapInPandas chains and bpe_apply
     # is a scan → row-local expression: at 100 TB these must stay
-    # embarrassingly parallel — ANY Exchange in their plans means a
-    # shuffle crept into a per-row pipeline
+    # embarrassingly parallel. The ONLY allowed Exchange is the
+    # deliberate _spread_docs hash-repartition that widens a
+    # narrower-than-cluster input before the compute-heavy decode (a
+    # no-op at scale); a second Exchange means a shuffle crept into the
+    # per-row pipeline itself.
     for name in (
         "multimodal_mp4_frames",
         "multimodal_mkv_frames",
@@ -226,7 +229,7 @@ def test_media_and_tokenizer_entries_shuffle_free(spark, sf_smoke):
         "bpe_apply",
     ):
         plan = _plan(catalog()[name].fn(spark, sf_smoke))
-        assert "Exchange" not in plan, name
+        assert plan.count("Exchange") <= 1, name
 
 
 def test_no_cartesian_products_anywhere(spark, sf_smoke):
