@@ -114,6 +114,7 @@ HEADLINE = [
     "multimodal_tiff",
     "bpe_apply",
     "multimodal_pdf",
+    "warc_extract",
 ]
 
 

@@ -1205,6 +1205,30 @@ def bpe_apply_oracle(n_merges: int = 6) -> str:
     )
 
 
+def html_to_text(col):
+    """HTML → text as a pure column expression — the Common Crawl
+    boilerplate-strip step, JVM-side (whole-stage codegen, zero Python):
+    drop the <head> block and <script>/<style> elements WITH content,
+    turn </p> and <br> into newlines, strip every remaining tag, decode
+    the core entities (specific ones first, &amp; LAST — the order that
+    makes escape→unescape an exact round trip), and trim trailing
+    newlines. Regexes stay in the RE2-compatible subset so the DuckDB
+    oracle can run the identical chain (with the 'g' flag — DuckDB
+    replaces first-match by default where Spark replaces all)."""
+    x = F.col(col) if isinstance(col, str) else col
+    x = F.regexp_replace(x, r"(?s)<head>.*?</head>", "")
+    x = F.regexp_replace(x, r"(?s)<script[^>]*>.*?</script>", "")
+    x = F.regexp_replace(x, r"(?s)<style[^>]*>.*?</style>", "")
+    x = F.regexp_replace(x, r"</p>|<br\s*/?>", "\n")
+    x = F.regexp_replace(x, r"<[^>]*>", "")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return F.regexp_replace(x, r"\n+$", "")
+
+
 def heavy_hitters(
     df: DataFrame, text_col: str = "text", capacity: int = 2000
 ) -> DataFrame:

@@ -7151,6 +7151,49 @@ def multimodal_pdf_q(spark, sf_dir):
 
 
 @register(
+    "warc_extract",
+    """
+    WITH p AS (
+      SELECT doc_id, text,
+             CAST(ceil(strlen(text) / 80.0) AS INT) AS n_lines
+      FROM documents WHERE strlen(text) > 0
+    ), r AS (
+      SELECT doc_id,
+             string_agg(substring(text, g.i * 80 + 1, 80),
+                        chr(10) ORDER BY g.i) AS extracted
+      FROM p, unnest(generate_series(0, n_lines - 1)) AS g(i)
+      GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           CAST(strlen(extracted) AS BIGINT) AS n_chars,
+           sha256(extracted) AS text_sha
+    FROM r
+    """,
+    tier="C",
+    note="C4 REAL WARC ingestion + HTML boilerplate strip — the Common "
+    "Crawl front end of an LLM corpus pipeline (operators/warc.py + "
+    "text.html_to_text): each document rides as an HTML page "
+    "(entity-escaped 80-char <p> lines plus head/style/script "
+    "boilerplate) inside a WARC file with request/response/metadata "
+    "records, every 2nd file member-gzipped (the actual crawl "
+    "layout). Extraction walks records by declared Content-Length — "
+    "never by scanning for the next WARC/1.0, which payloads legally "
+    "contain — gunzips member-wise, unwraps the HTTP message, then "
+    "strips boilerplate as a JVM-side codegen regexp chain (head/"
+    "script/style blocks with content, </p>-to-newline, tag strip, "
+    "entity decode with &amp; LAST so escape-unescape round-trips "
+    "exactly). The sha256 must equal a pure-SQL reconstruction of the "
+    "source lines — any slip in record walk, gunzip, HTTP split, tag "
+    "strip, or entity order breaks the hash. Chunked transfer "
+    "encoding raises. One spread + row-local work; no other shuffle.",
+)
+def warc_extract_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_warc_from_documents(d)
+    return mm_ops.warc_text_features(media)
+
+
+@register(
     "events_quantile_sketch",
     """
     WITH r AS (
