@@ -115,6 +115,7 @@ HEADLINE = [
     "bpe_apply",
     "multimodal_pdf",
     "warc_extract",
+    "webdataset_read",
 ]
 
 

@@ -1253,6 +1253,80 @@ def warc_text_features(media: DataFrame) -> DataFrame:
     ).filter(F.col("n_chars") > 0)
 
 
+def media_webdataset_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic WebDataset shards — the standard multimodal
+    training layout: per document a ustar archive holding the sample
+    group {stem}.txt / {stem}.cls / {stem}.json; every 2nd shard is
+    .tar.gz. Extraction must walk real tar blocks (and gunzip), then
+    regroup members by stem."""
+    from .shards import encode_tar
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for doc_id, text in zip(pdf_["doc_id"], pdf_["text"]):
+                did = int(doc_id)
+                stem = f"{did:08d}"
+                members = [
+                    (f"{stem}.txt", (text or "").encode("latin-1", "replace")),
+                    (f"{stem}.cls", str(did % 10).encode()),
+                    (f"{stem}.json", f'{{"id": {did}}}'.encode()),
+                ]
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_tar(members, gzipped=did % 2 == 0),
+                        "meta": {
+                            "modality": "text",
+                            "mime": "application/x-tar",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _spread_docs(docs).select("doc_id", "text").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
+
+
+WDS_SCHEMA = "media_id long, n_members int, cls int, txt_sha string"
+
+
+def webdataset_features(media: DataFrame) -> DataFrame:
+    """Parse WebDataset shards (real tar walk + gunzip + stem grouping
+    via :mod:`.shards`) and emit per-sample features."""
+    from .shards import group_webdataset, parse_tar
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for mid, payload in zip(pdf_["media_id"], pdf_["payload"]):
+                for _stem, sample in sorted(
+                    group_webdataset(parse_tar(payload)).items()
+                ):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "n_members": len(sample),
+                            "cls": int(sample["cls"].decode())
+                            if "cls" in sample
+                            else -1,
+                            "txt_sha": hashlib.sha256(
+                                sample.get("txt", b"")
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_members", "cls", "txt_sha"]
+            ).astype({"media_id": "int64", "n_members": "int32",
+                      "cls": "int32"})
+
+    return media.mapInPandas(_extract, schema=WDS_SCHEMA)
+
+
 def media_flac_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic FLAC table with closed-form sample content: channel
     0 carries s_i = ((31·id + 17·i) % 4001) − 2000 over n = 100 + id%300

@@ -7194,6 +7194,36 @@ def warc_extract_q(spark, sf_dir):
 
 
 @register(
+    "webdataset_read",
+    """
+    SELECT doc_id AS media_id,
+           CAST(3 AS INT) AS n_members,
+           CAST(doc_id % 10 AS INT) AS cls,
+           sha256(text) AS txt_sha
+    FROM documents
+    """,
+    tier="C",
+    note="C4/C5 REAL WebDataset shard ingestion (operators/shards.py) "
+    "— the standard multimodal training layout: per document a ustar "
+    "archive holding the {stem}.txt/.cls/.json sample group, every "
+    "2nd shard .tar.gz. The walker reads real 512-byte tar blocks "
+    "(octal size fields, checksummed headers, ustar prefix, "
+    "zero-block terminator; GNU long-name extensions raise), gunzips "
+    "whole-file members, and regroups by the WebDataset stem rule "
+    "(name up to the FIRST dot). Cross-validated BOTH directions "
+    "against stdlib tarfile — our archives read back with tarfile and "
+    "tarfile-written archives parse with our walker — so this is not "
+    "a self-consistent codec pair. The oracle predicts the sample "
+    "features (member count, class label, text sha) straight from "
+    "the source table. One spread + row-local work; no other shuffle.",
+)
+def webdataset_read_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_webdataset_from_documents(d)
+    return mm_ops.webdataset_features(media)
+
+
+@register(
     "events_quantile_sketch",
     """
     WITH r AS (
