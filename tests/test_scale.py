@@ -226,6 +226,8 @@ def test_media_and_tokenizer_entries_at_most_one_spread(spark, sf_smoke):
         "multimodal_pdf",
         "multimodal_jpeg_pixels",
         "multimodal_gif",
+        "warc_extract",
+        "webdataset_read",
         "bpe_apply",
     ):
         plan = _plan(catalog()[name].fn(spark, sf_smoke))
