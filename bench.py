@@ -116,6 +116,8 @@ HEADLINE = [
     "multimodal_pdf",
     "warc_extract",
     "webdataset_read",
+    "tfrecord_read",
+    "avro_read",
 ]
 
 

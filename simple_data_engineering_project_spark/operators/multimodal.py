@@ -1327,6 +1327,175 @@ def webdataset_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=WDS_SCHEMA)
 
 
+def media_tfrecord_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic TFRecord shards: per document one CRC-framed record
+    holding a tf.train.Example with text (bytes_list), label
+    (int64_list, id%10) and a small embedding (float_list of exact
+    small ints) — the TFDS corpus layout, no TensorFlow involved."""
+    from .tfrecord import encode_example, write_tfrecords
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for doc_id, text in zip(pdf_["doc_id"], pdf_["text"]):
+                did = int(doc_id)
+                ex = encode_example(
+                    {
+                        "text": (text or "").encode("latin-1", "replace"),
+                        "label": did % 10,
+                        "emb": [float(did % 7), float(did % 5)],
+                    }
+                )
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": write_tfrecords([ex]),
+                        "meta": {
+                            "modality": "text",
+                            "mime": "application/tfrecord",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _spread_docs(docs).select("doc_id", "text").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
+
+
+TFREC_SCHEMA = "media_id long, label int, emb_sum int, text_sha string"
+
+
+def tfrecord_features(media: DataFrame) -> DataFrame:
+    """Read TFRecord shards (CRC-32C-verified framing + Example proto
+    decode via :mod:`.tfrecord`) and emit per-record features."""
+    from .tfrecord import decode_example, read_tfrecords
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for mid, payload in zip(pdf_["media_id"], pdf_["payload"]):
+                for rec in read_tfrecords(payload):
+                    ex = decode_example(rec)
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "label": int(ex["label"]),
+                            "emb_sum": int(sum(ex["emb"])),
+                            "text_sha": hashlib.sha256(
+                                ex["text"]
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "label", "emb_sum", "text_sha"]
+            ).astype({"media_id": "int64", "label": "int32",
+                      "emb_sum": "int32"})
+
+    return media.mapInPandas(_extract, schema=TFREC_SCHEMA)
+
+
+def media_avro_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic Avro OCF table: per document a container with 3
+    flat records (long, string, double, nullable-long fields) split
+    over 2-record blocks; codec alternates null/deflate by id."""
+    from .avro import encode_avro
+
+    fields = [
+        ("k", "long"),
+        ("val", "long"),
+        ("name", "string"),
+        ("score", "double"),
+        ("opt", ["null", "long"]),
+    ]
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for doc_id in pdf_["doc_id"]:
+                did = int(doc_id)
+                recs = [
+                    {
+                        "k": k,
+                        "val": (did * 31 + k * 17) % 1000,
+                        "name": f"r{(did + k) % 10}",
+                        # quarter-integers: exact in binary, so sums are
+                        # engine-identical after the ×4 integerization
+                        "score": ((did + k) % 100) / 4.0,
+                        "opt": None if k == 1 else did % 50,
+                    }
+                    for k in range(3)
+                ]
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_avro(
+                            fields,
+                            recs,
+                            codec="deflate" if did % 2 == 0 else "null",
+                        ),
+                        "meta": {
+                            "modality": "text",
+                            "mime": "avro/binary",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _spread_docs(docs).select("doc_id").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
+
+
+AVRO_SCHEMA = (
+    "media_id long, n_rows int, val_sum bigint, score_sum_q bigint, "
+    "name_cat string, n_null int"
+)
+
+
+def avro_features(media: DataFrame) -> DataFrame:
+    """Parse Avro OCF payloads (real container walk + binary decode via
+    :mod:`.avro`) and emit per-file aggregates."""
+    from .avro import parse_avro
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for mid, payload in zip(pdf_["media_id"], pdf_["payload"]):
+                _schema, recs = parse_avro(payload)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_rows": len(recs),
+                        "val_sum": sum(r["val"] for r in recs),
+                        "score_sum_q": int(
+                            sum(int(r["score"] * 4) for r in recs)
+                        ),
+                        "name_cat": "".join(r["name"] for r in recs),
+                        "n_null": sum(1 for r in recs if r["opt"] is None),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_rows", "val_sum", "score_sum_q",
+                    "name_cat", "n_null",
+                ],
+            ).astype(
+                {"media_id": "int64", "n_rows": "int32",
+                 "val_sum": "int64", "score_sum_q": "int64",
+                 "n_null": "int32"}
+            )
+
+    return media.mapInPandas(_extract, schema=AVRO_SCHEMA)
+
+
 def media_flac_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic FLAC table with closed-form sample content: channel
     0 carries s_i = ((31·id + 17·i) % 4001) − 2000 over n = 100 + id%300

@@ -7224,6 +7224,70 @@ def webdataset_read_q(spark, sf_dir):
 
 
 @register(
+    "tfrecord_read",
+    """
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 10 AS INT) AS label,
+           CAST(doc_id % 7 + doc_id % 5 AS INT) AS emb_sum,
+           sha256(text) AS text_sha
+    FROM documents
+    """,
+    tier="C",
+    note="C4/C5 REAL TFRecord shard reading (operators/tfrecord.py) — "
+    "the TFDS/TensorFlow-lineage corpus layout: length-delimited "
+    "records framed with MASKED CRC-32C (Castagnoli; the crc of "
+    "'123456789' pins the published 0xE3069283 vector) verified on "
+    "BOTH the length and payload of every record, wrapping "
+    "tf.train.Example protos decoded by a dependency-free proto-"
+    "subset reader (bytes_list text, int64_list label, packed "
+    "float_list embedding — varints, length-delimited fields, the "
+    "Features map). The oracle predicts the features straight from "
+    "the source table; a CRC slip or proto-walk bug breaks the hash. "
+    "One spread + row-local work; no other shuffle.",
+)
+def tfrecord_read_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_tfrecord_from_documents(d)
+    return mm_ops.tfrecord_features(media)
+
+
+@register(
+    "avro_read",
+    """
+    SELECT doc_id AS media_id,
+           CAST(3 AS INT) AS n_rows,
+           CAST((doc_id * 31) % 1000 + (doc_id * 31 + 17) % 1000
+                + (doc_id * 31 + 34) % 1000 AS BIGINT) AS val_sum,
+           CAST(doc_id % 100 + (doc_id + 1) % 100 + (doc_id + 2) % 100
+                AS BIGINT) AS score_sum_q,
+           'r' || CAST(doc_id % 10 AS VARCHAR)
+             || 'r' || CAST((doc_id + 1) % 10 AS VARCHAR)
+             || 'r' || CAST((doc_id + 2) % 10 AS VARCHAR) AS name_cat,
+           CAST(1 AS INT) AS n_null
+    FROM documents
+    """,
+    tier="C",
+    note="A10/C4 REAL Avro Object Container File reading "
+    "(operators/avro.py) — the data-eng interchange staple (Kafka "
+    "archives, Sqoop exports), and this PySpark build ships NO "
+    "spark-avro datasource, so the engine reads the container itself: "
+    "metadata map, per-block sync-marker verification, null AND "
+    "deflate codecs, zigzag-varint longs, strings/doubles/booleans "
+    "and the [null,T] nullable union. CROSS-VALIDATED both directions "
+    "against the bundled Java Avro implementation (DataFileReader "
+    "reads our files; we read DataFileWriter's) — not a "
+    "self-consistent pair. Quarter-integer doubles keep the x4 "
+    "integerized sums engine-identical. The oracle predicts every "
+    "aggregate straight from doc_id. One spread + row-local work; no "
+    "other shuffle.",
+)
+def avro_read_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_avro_from_documents(d)
+    return mm_ops.avro_features(media)
+
+
+@register(
     "events_quantile_sketch",
     """
     WITH r AS (

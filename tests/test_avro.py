@@ -1,0 +1,90 @@
+"""Avro OCF pins: JVM cross-validation both directions, sync tamper
+detection, envelope raises."""
+
+from __future__ import annotations
+
+import pytest
+
+from simple_data_engineering_project_spark.operators.avro import (
+    encode_avro,
+    parse_avro,
+)
+
+FIELDS = [
+    ("id", "long"),
+    ("name", "string"),
+    ("score", "double"),
+    ("ok", "boolean"),
+    ("opt", ["null", "long"]),
+]
+ROWS = [
+    {"id": 1, "name": "alpha", "score": 1.25, "ok": True, "opt": 7},
+    {"id": -42, "name": "beta", "score": -0.5, "ok": False, "opt": None},
+    {"id": 2**40, "name": "", "score": 0.0, "ok": True, "opt": -9},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_roundtrip(codec):
+    schema, back = parse_avro(encode_avro(FIELDS, ROWS, codec=codec))
+    assert back == ROWS
+    assert [f["name"] for f in schema["fields"]] == [n for n, _ in FIELDS]
+
+
+def test_java_avro_cross_validation(spark):
+    # our files must read with the bundled Java Avro DataFileReader, and
+    # DataFileWriter's files must parse with our reader — the pair is
+    # NOT merely self-consistent
+    jvm = spark.sparkContext._jvm
+    for codec in ("null", "deflate"):
+        payload = encode_avro(FIELDS, ROWS, codec=codec)
+        sin = jvm.org.apache.avro.file.SeekableByteArrayInput(
+            bytearray(payload)
+        )
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            sin, jvm.org.apache.avro.generic.GenericDatumReader()
+        )
+        out = []
+        while reader.hasNext():
+            rec = reader.next()
+            out.append(
+                (rec.get("id"), str(rec.get("name")), rec.get("score"),
+                 rec.get("ok"), rec.get("opt"))
+            )
+        assert out == [
+            (r["id"], r["name"], r["score"], r["ok"], r["opt"]) for r in ROWS
+        ]
+    schema_json = (
+        '{"type":"record","name":"Row","fields":'
+        '[{"name":"id","type":"long"},{"name":"name","type":"string"}]}'
+    )
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter()
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    writer.create(schema, baos)
+    for i in range(5):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", i * 1000)
+        rec.put("name", f"row-{i}")
+        writer.append(rec)
+    writer.close()
+    _s, back = parse_avro(bytes(baos.toByteArray()))
+    assert back == [{"id": i * 1000, "name": f"row-{i}"} for i in range(5)]
+
+
+def test_sync_tamper_and_envelope():
+    p = bytearray(encode_avro(FIELDS, ROWS))
+    p[-1] ^= 0xFF  # corrupt the final block's sync marker
+    with pytest.raises(ValueError, match="sync"):
+        parse_avro(bytes(p))
+    # claim an unsupported codec (the metadata value 'null' → 'wild')
+    bad = encode_avro(FIELDS, ROWS, codec="null").replace(
+        b"\x08null", b"\x08wild"
+    )
+    with pytest.raises(NotImplementedError, match="codec"):
+        parse_avro(bad)
+    with pytest.raises(ValueError):
+        parse_avro(b"PAR1 not avro")

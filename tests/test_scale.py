@@ -228,6 +228,8 @@ def test_media_and_tokenizer_entries_at_most_one_spread(spark, sf_smoke):
         "multimodal_gif",
         "warc_extract",
         "webdataset_read",
+        "tfrecord_read",
+        "avro_read",
         "bpe_apply",
     ):
         plan = _plan(catalog()[name].fn(spark, sf_smoke))

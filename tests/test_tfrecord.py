@@ -1,0 +1,43 @@
+"""TFRecord pins: published CRC-32C vector, tamper detection, proto
+round trips."""
+
+from __future__ import annotations
+
+import pytest
+
+from simple_data_engineering_project_spark.operators.tfrecord import (
+    crc32c,
+    decode_example,
+    encode_example,
+    read_tfrecords,
+    write_tfrecords,
+)
+
+
+def test_crc32c_published_vectors():
+    # the canonical Castagnoli check value
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA  # RFC 3720 appendix vector
+
+
+def test_framing_roundtrip_and_tamper_detection():
+    recs = [b"hello", b"", b"x" * 1000, bytes(range(256))]
+    p = write_tfrecords(recs)
+    assert read_tfrecords(p) == recs
+    data_flip = bytearray(p)
+    data_flip[20] ^= 1  # inside the first payload
+    with pytest.raises(ValueError, match="CRC"):
+        read_tfrecords(bytes(data_flip))
+    len_flip = bytearray(p)
+    len_flip[0] ^= 1  # inside the first length field
+    with pytest.raises(ValueError, match="CRC"):
+        read_tfrecords(bytes(len_flip))
+
+
+def test_example_proto_roundtrip():
+    ex = {"text": b"some document \x00\xff", "label": 300, "emb": [0.5, -1.25]}
+    dec = decode_example(encode_example(ex))
+    assert dec["text"] == ex["text"]
+    assert dec["label"] == 300  # multi-byte varint
+    assert dec["emb"] == [0.5, -1.25]
