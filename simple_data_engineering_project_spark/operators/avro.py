@@ -6,12 +6,14 @@ ships no spark-avro datasource — so the engine reads the container
 format itself: ``Obj\\x01`` magic → file-metadata map (``avro.schema``
 JSON, ``avro.codec``) → 16-byte sync marker → data blocks of
 (record count, byte size, payload, sync) with the sync marker VERIFIED
-per block, codecs ``null`` and ``deflate`` (raw zlib). Record decoding
+per block, codecs ``null``, ``deflate`` (raw zlib) and ``snappy``
+(:mod:`.snappy` + the spec's 4-byte big-endian CRC32 of the
+uncompressed block). Record decoding
 covers the flat-record schema subset corpus tables use: string, bytes,
 int, long (zigzag varints), float, double, boolean, and the common
 ``["null", T]`` nullable union.
 
-Out of envelope (honest ``NotImplementedError``): snappy codec, nested
+Out of envelope (honest ``NotImplementedError``): nested
 records/arrays/maps/enums/fixed, and schema resolution against a
 different reader schema. The companion :func:`encode_avro` writes
 conformant files so the oracle entry verifies decoding byte-for-byte.
@@ -114,7 +116,7 @@ def parse_avro(payload: bytes) -> tuple[dict, list[dict]]:
             meta[key] = r.bytes_()
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(f"avro codec {codec!r}")
     if schema.get("type") != "record":
         raise NotImplementedError("non-record top-level avro schema")
@@ -129,6 +131,13 @@ def parse_avro(payload: bytes) -> tuple[dict, list[dict]]:
             raise ValueError("avro block sync-marker mismatch")
         if codec == "deflate":
             block = zlib.decompress(block, wbits=-15)
+        elif codec == "snappy":
+            from .snappy import snappy_decompress
+
+            crc = int.from_bytes(block[-4:], "big")
+            block = snappy_decompress(block[:-4])
+            if zlib.crc32(block) & 0xFFFFFFFF != crc:
+                raise ValueError("avro snappy block CRC mismatch")
         br = _Reader(block)
         for _ in range(n_rec):
             rows.append({n: _decode_value(br, t) for n, t in fields})
@@ -191,5 +200,10 @@ def encode_avro(
         if codec == "deflate":
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             body = co.compress(body) + co.flush()
+        elif codec == "snappy":
+            from .snappy import snappy_compress_literal
+
+            crc = zlib.crc32(body) & 0xFFFFFFFF
+            body = snappy_compress_literal(body) + crc.to_bytes(4, "big")
         out += _write_long(len(chunk)) + _write_long(len(body)) + body + sync
     return bytes(out)

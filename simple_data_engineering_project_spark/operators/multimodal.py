@@ -1435,7 +1435,7 @@ def media_avro_from_documents(docs: DataFrame) -> DataFrame:
                         "payload": encode_avro(
                             fields,
                             recs,
-                            codec="deflate" if did % 2 == 0 else "null",
+                            codec=["null", "deflate", "snappy"][did % 3],
                         ),
                         "meta": {
                             "modality": "text",

@@ -1,0 +1,94 @@
+"""Snappy (raw format) decompression in pure stdlib (SURVEY §2 C4).
+
+Snappy is the default block codec across the data-eng stack (Avro,
+Parquet, ORC, Kafka). The raw format is a varint uncompressed-length
+preamble followed by tagged elements — literals (with 1-4 extra length
+bytes for long runs) and back-references in three offset widths::
+
+    tag & 3 == 0  literal, len = (tag>>2)+1 (60-63 → that many extra
+                  little-endian length bytes)
+    tag & 3 == 1  copy, len = ((tag>>2) & 7) + 4, 11-bit offset
+                  ((tag & 0xE0) << 3) | next byte
+    tag & 3 == 2  copy, len = (tag>>2)+1, 16-bit LE offset
+    tag & 3 == 3  copy, len = (tag>>2)+1, 32-bit LE offset
+
+Copies may overlap forward (RLE-style), exactly like LZ77. The
+companion :func:`snappy_compress_literal` emits a valid all-literal
+stream (compression is optional in the format; correctness of DECODE is
+what the engine needs) — real compressed data for tests comes from the
+bundled snappy-java, making the decoder externally cross-validated.
+(∅ in reference; Tier C extension.)
+"""
+
+from __future__ import annotations
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    pos = 0
+    # varint uncompressed length
+    total = 0
+    shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        total |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:  # 60..63: that many extra length bytes
+                extra = ln - 59
+                ln = int.from_bytes(data[pos : pos + extra], "little")
+                pos += extra
+            ln += 1
+            out += data[pos : pos + ln]
+            pos += ln
+            continue
+        if kind == 1:
+            ln = ((tag >> 2) & 0x7) + 4
+            offset = ((tag & 0xE0) << 3) | data[pos]
+            pos += 1
+        elif kind == 2:
+            ln = (tag >> 2) + 1
+            offset = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:
+            ln = (tag >> 2) + 1
+            offset = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if offset == 0 or offset > len(out):
+            raise ValueError("snappy copy before stream start")
+        # overlapping forward copy (RLE) must copy byte-wise
+        start = len(out) - offset
+        for i in range(ln):
+            out.append(out[start + i])
+    if len(out) != total:
+        raise ValueError("snappy length mismatch")
+    return bytes(out)
+
+
+def snappy_compress_literal(data: bytes) -> bytes:
+    """Valid snappy stream with literal elements only (no matching) —
+    the format makes compression optional."""
+    out = bytearray()
+    v = len(data)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | 0x80 if v else b)
+        if not v:
+            break
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos : pos + 60]
+        out.append((len(chunk) - 1) << 2)
+        out += chunk
+        pos += len(chunk)
+    return bytes(out)

@@ -88,3 +88,62 @@ def test_sync_tamper_and_envelope():
         parse_avro(bad)
     with pytest.raises(ValueError):
         parse_avro(b"PAR1 not avro")
+
+
+def test_snappy_codec_and_java_snappy_cross_validation(spark):
+    # our snappy-coded files must read with Java Avro's snappy codec
+    # path, and CodecFactory.snappyCodec()-written files with our reader
+    schema, back = parse_avro(encode_avro(FIELDS, ROWS, codec="snappy"))
+    assert back == ROWS
+    jvm = spark.sparkContext._jvm
+    payload = encode_avro(FIELDS, ROWS, codec="snappy")
+    sin = jvm.org.apache.avro.file.SeekableByteArrayInput(bytearray(payload))
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        sin, jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    ids = []
+    while reader.hasNext():
+        ids.append(reader.next().get("id"))
+    assert ids == [r["id"] for r in ROWS]
+    schema_json = (
+        '{"type":"record","name":"Row","fields":'
+        '[{"name":"id","type":"long"}]}'
+    )
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter()
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.snappyCodec())
+    writer.create(jschema, baos)
+    for i in range(4):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("id", i * 7)
+        writer.append(rec)
+    writer.close()
+    _s, got = parse_avro(bytes(baos.toByteArray()))
+    assert got == [{"id": i * 7} for i in range(4)]
+
+
+def test_snappy_raw_roundtrips(spark):
+    from simple_data_engineering_project_spark.operators.snappy import (
+        snappy_compress_literal,
+        snappy_decompress,
+    )
+
+    jvm = spark.sparkContext._jvm
+    import random
+
+    rng = random.Random(7)
+    cases = [
+        b"",
+        b"a",
+        b"hello world " * 100,  # heavy matching when java compresses
+        bytes(range(256)) * 10,
+        b"abcabcabc" * 500,  # overlapping forward copies (RLE-style)
+        bytes(rng.randrange(256) for _ in range(10000)),  # incompressible
+    ]
+    for raw in cases:
+        comp = bytes(jvm.org.xerial.snappy.Snappy.compress(bytearray(raw)))
+        assert snappy_decompress(comp) == raw
+        assert snappy_decompress(snappy_compress_literal(raw)) == raw
