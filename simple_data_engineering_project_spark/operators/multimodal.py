@@ -277,8 +277,8 @@ def encode_jpeg_shell(width: int, height: int, n_components: int = 3) -> bytes:
     Enough container for any metadata parser — including
     :func:`decode_jpeg_dims`, exiftool, or Pillow's lazy header read —
     to extract dimensions; there is deliberately no entropy-coded scan
-    (pixel decode stays behind the :func:`decode_image` stub, which
-    needs a real codec)."""
+    — this shell exercises the METADATA-ONLY path, while full pixel
+    decode lives in :func:`.jpeg.decode_jpeg_pixels`."""
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     dqt = b"\x00" + bytes(range(1, 65))  # table 0, 64 dummy entries
     sof = struct.pack(">BHHB", 8, height, width, n_components)
@@ -1898,9 +1898,9 @@ def sample_frames_df(media: DataFrame, frame_bytes: int = 256) -> DataFrame:
     ``mapInPandas`` may emit any number of output rows per input row, so
     one Arrow pass covers decode→sample→per-frame features with no
     intermediate shuffle. Frame extraction dispatches on modality: video
-    payloads go through :func:`sample_video_frames` — REAL for RIFF/AVI
-    containers (chunk-walk slicing + avih clock stride; non-RIFF codecs
-    still raise); text/other payloads slice fixed-size byte windows, so
+    payloads go through :func:`sample_video_frames` — REAL for RIFF/AVI,
+    ISO-BMFF/MP4 (incl. fragmented) and Matroska containers (unknown
+    formats raise); text/other payloads slice fixed-size byte windows, so
     batching, ordering (frame_no) and per-frame hashing run for real
     on every modality. Empty payloads emit zero frames.
 
