@@ -185,12 +185,57 @@ def encode_png(
     )
 
 
+def encode_png_adam7(px: "np.ndarray") -> bytes:
+    """Adam7-interlaced 8-bit PNG from an (h, w, channels) array —
+    each pass its own filter-0 sub-image, per the spec's pass grid."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape[:2]
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    px3 = px.reshape(h, w, ch)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_OF_CHANNELS[ch], 0, 0, 1)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = px3[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)  # filter None
+            raw += row.tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indices: "np.ndarray", palette: "np.ndarray", trns: bytes | None = None
+) -> bytes:
+    """8-bit palette PNG (color type 3) from an (h, w) index array and
+    an (n, 3) palette, optional tRNS alpha table."""
+    indices = np.asarray(indices, dtype=np.uint8)
+    h, w = indices.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = bytearray()
+    for row in indices:
+        raw.append(0)
+        raw += row.tobytes()
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) + _png_chunk(
+        b"IEND", b""
+    )
+
+
 def decode_png(payload: bytes) -> dict:
     """Real PNG decode: critical chunks, zlib inflate, scanline
     unfiltering (all five filter types), 8-bit gray/gray+alpha/RGB/RGBA,
-    non-interlaced. Returns dimensions, channel count, and the exact
-    pixel-byte sum. Raises ValueError on anything else (16-bit, palette,
-    interlaced)."""
+    PALETTE color (PLTE + tRNS), and Adam7 interlace. Returns
+    dimensions, channel count, and the exact pixel-byte sum. 16-bit and
+    sub-byte depths raise ValueError."""
     px = decode_png_pixels(payload)
     return {
         "width": px.shape[1],
@@ -200,43 +245,24 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
-def decode_png_pixels(payload: bytes) -> "np.ndarray":
-    """PNG decode to the raw pixel array, shape (height, width,
-    channels) uint8 — the same unfilter path as :func:`decode_png`, kept
-    separate so transforms (resize) get pixels while the feature
-    extractor gets the cheap summary."""
-    if payload[: len(_PNG_SIG)] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, width = len(_PNG_SIG), None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if ctype == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", data)
-            )
-            if depth != 8 or color not in _PNG_CHANNELS or interlace:
-                raise ValueError(
-                    f"unsupported PNG (depth={depth}, color={color}, "
-                    f"interlace={interlace})"
-                )
-            channels = _PNG_CHANNELS[color]
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-    if width is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int):
+    """Undo the five PNG scanline filters over one filtered sub-image;
+    returns (height, width*channels) uint8 plus the bytes consumed."""
     stride = channels * width
-    if len(raw) != height * (stride + 1):
+    need = height * (stride + 1)
+    if len(raw) < need:
         raise ValueError("PNG IDAT size mismatch")
-    bpp = channels  # bytes per pixel at depth 8
+    bpp = channels
     out = np.zeros((height, stride), dtype=np.uint8)
-    raw_arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    raw_arr = np.frombuffer(raw[:need], dtype=np.uint8).reshape(
+        height, stride + 1
+    )
     for y in range(height):
         f = int(raw_arr[y, 0])
         cur = raw_arr[y, 1:].astype(np.int32)
@@ -267,7 +293,74 @@ def decode_png_pixels(payload: bytes) -> "np.ndarray":
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = line.astype(np.uint8)
-    return out.reshape(height, width, channels)
+    return out, need
+
+
+def decode_png_pixels(payload: bytes) -> "np.ndarray":
+    """PNG decode to the raw pixel array, shape (height, width,
+    channels) uint8 — all five scanline filters, 8-bit gray/gray+alpha/
+    RGB/RGBA, PALETTE color (PLTE lookup, tRNS alpha when present), and
+    Adam7 INTERLACE (each of the 7 passes is its own filtered sub-image
+    scattered back on the pass grid). 16-bit and sub-byte depths raise."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width = len(_PNG_SIG), None
+    idat = bytearray()
+    plte = trns = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or (color not in _PNG_CHANNELS and color != 3):
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color})"
+                )
+            channels = 1 if color == 3 else _PNG_CHANNELS[color]
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    if not interlace:
+        out, used = _png_unfilter(raw, width, height, channels)
+        if used != len(raw):
+            raise ValueError("PNG IDAT size mismatch")
+        px = out.reshape(height, width, channels)
+    else:  # Adam7: 7 independently-filtered passes on the pass grid
+        px = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            sub, used = _png_unfilter(raw[off:], pw, ph, channels)
+            off += used
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        if off != len(raw):
+            raise ValueError("PNG IDAT size mismatch")
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = px[:, :, 0]
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    return px
 
 
 def encode_jpeg_shell(width: int, height: int, n_components: int = 3) -> bytes:
