@@ -118,6 +118,7 @@ HEADLINE = [
     "webdataset_read",
     "tfrecord_read",
     "avro_read",
+    "multimodal_gif_frames",
 ]
 
 

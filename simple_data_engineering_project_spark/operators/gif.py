@@ -226,3 +226,151 @@ def decode_gif_pixels(payload: bytes) -> "np.ndarray":
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     raise ValueError("GIF has no image data")
+
+
+def encode_gif_animated(
+    frames: "list[np.ndarray]",
+    delays_cs: list[int],
+    palette: list[tuple[int, int, int]] | None = None,
+    rects: list[tuple[int, int]] | None = None,
+    transparent: int | None = None,
+    disposals: list[int] | None = None,
+) -> bytes:
+    """Multi-frame GIF89a: one Graphic Control Extension (delay,
+    disposal, optional transparency) + image descriptor per frame;
+    ``rects`` gives each frame's (left, top) offset for partial
+    updates. Frames are (h, w) index arrays into the shared palette."""
+    if palette is None:
+        palette = [(i, i, i) for i in range(256)]
+    sw = max((r[0] if rects else 0) + f.shape[1] for r, f in
+             zip(rects or [(0, 0)] * len(frames), frames))
+    sh = max((r[1] if rects else 0) + f.shape[0] for r, f in
+             zip(rects or [(0, 0)] * len(frames), frames))
+    nbits = max(2, (len(palette) - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | ((nbits - 1) & 7), 0, 0)
+    for i in range(1 << nbits):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        out += bytes((r, g, b))
+    for fi, frame in enumerate(frames):
+        left, top = (rects[fi] if rects else (0, 0))
+        disposal = (disposals[fi] if disposals else 1) & 7
+        gce_packed = (disposal << 2) | (1 if transparent is not None else 0)
+        out += struct.pack(
+            "<BBBBHBB", 0x21, 0xF9, 4, gce_packed, delays_cs[fi],
+            transparent if transparent is not None else 0, 0,
+        )
+        h, w = frame.shape
+        out += struct.pack("<BHHHHB", 0x2C, left, top, w, h, 0)
+        mcs = max(2, nbits)
+        out.append(mcs)
+        data = _LZWWriter(mcs).compress(
+            np.asarray(frame, dtype=np.uint8).tobytes()
+        )
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> "list[tuple[int, np.ndarray]]":
+    """Decode an animated GIF to composed frames: [(delay_cs, (sh, sw, 3)
+    RGB)] — Graphic Control Extensions drive delay/transparency/
+    disposal, partial frames paint at their (left, top) rects, and
+    disposal methods 1 (leave), 2 (restore background) and 3 (restore
+    previous) compose exactly per GIF89a."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 1 << ((packed & 7) + 1)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    if gct is not None:
+        canvas[:, :] = gct[bg if bg < len(gct) else 0]
+    frames: list[tuple[int, "np.ndarray"]] = []
+    delay = 0
+    transparent = None
+    disposal = 0
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:  # Graphic Control Extension
+                ln = payload[pos]
+                gce = payload[pos + 1 : pos + 1 + ln]
+                gpacked = gce[0]
+                delay = struct.unpack("<H", gce[1:3])[0]
+                disposal = (gpacked >> 2) & 7
+                transparent = gce[3] if gpacked & 1 else None
+                pos += 1 + ln
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            else:  # other extensions: skip sub-blocks
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+        elif block == 0x2C:
+            left, top, w, h, ipacked = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 1 << ((ipacked & 7) + 1)
+                ct = np.frombuffer(
+                    payload[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode(bytes(data), mcs)[: w * h], dtype=np.uint8
+            ).reshape(h, w)
+            if ipacked & 0x40:
+                order = [
+                    y
+                    for start, step in _INTERLACE_PASSES
+                    for y in range(start, h, step)
+                ]
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            before = canvas.copy() if disposal == 3 else None
+            region = canvas[top : top + h, left : left + w]
+            rgb = ct[idx]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:, :] = rgb
+            frames.append((delay, canvas.copy()))
+            if disposal == 2:  # restore background in the frame rect
+                bg_rgb = gct[bg if bg < len(gct) else 0] if gct is not None \
+                    else np.zeros(3, dtype=np.uint8)
+                canvas[top : top + h, left : left + w] = bg_rgb
+            elif disposal == 3 and before is not None:
+                canvas = before
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    return frames

@@ -1589,6 +1589,89 @@ def avro_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=AVRO_SCHEMA)
 
 
+def media_gif_animated_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic ANIMATED GIF table: nf = 3 + id%4 full-canvas
+    frames of w=1+id%20 × h=1+id%12, frame f a gradient of
+    base_f + x + y with base_f = (id + 17f) % 220 (values stay < 256,
+    so pixel sums are closed-form without wraparound), 50 cs (500 ms)
+    per frame via per-frame Graphic Control Extensions."""
+    from .gif import encode_gif_animated
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for doc_id in pdf_["doc_id"]:
+                did = int(doc_id)
+                w, h, nf = 1 + did % 20, 1 + did % 12, 3 + did % 4
+                frames = []
+                for f in range(nf):
+                    base = (did + 17 * f) % 220
+                    frames.append(
+                        np.fromfunction(
+                            lambda y, x: base + x + y, (h, w)
+                        ).astype(np.uint8)
+                    )
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_gif_animated(
+                            frames, delays_cs=[50] * nf
+                        ),
+                        "meta": {
+                            "modality": "video",
+                            "mime": "image/gif",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": nf * 500,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _spread_docs(docs).select("doc_id").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
+
+
+GIF_FRAME_SCHEMA = "media_id long, frame_no int, content_sum bigint"
+
+
+def gif_frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Sample animated-GIF frames by GCE-delay time buckets (first frame
+    per ``every_ms`` bucket, the same rule as the MP4/MKV samplers) and
+    emit exact gray-channel pixel sums of the COMPOSED frames."""
+    from .gif import decode_gif_frames
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for mid, payload in zip(pdf_["media_id"], pdf_["payload"]):
+                t_ms = 0
+                seen: set[int] = set()
+                kept = 0
+                for delay_cs, rgb in decode_gif_frames(payload):
+                    bucket = t_ms // every_ms
+                    if bucket not in seen:
+                        seen.add(bucket)
+                        rows.append(
+                            {
+                                "media_id": int(mid),
+                                "frame_no": kept,
+                                "content_sum": int(
+                                    rgb[:, :, 0].sum(dtype=np.int64)
+                                ),
+                            }
+                        )
+                        kept += 1
+                    t_ms += delay_cs * 10
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_no", "content_sum"]
+            ).astype({"media_id": "int64", "frame_no": "int32",
+                      "content_sum": "int64"})
+
+    return media.mapInPandas(_extract, schema=GIF_FRAME_SCHEMA)
+
+
 def media_flac_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic FLAC table with closed-form sample content: channel
     0 carries s_i = ((31·id + 17·i) % 4001) − 2000 over n = 100 + id%300

@@ -7288,6 +7288,46 @@ def avro_read_q(spark, sf_dir):
 
 
 @register(
+    "multimodal_gif_frames",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 20 AS BIGINT) AS w,
+             CAST(1 + doc_id % 12 AS BIGINT) AS h,
+             CAST(3 + doc_id % 4 AS INT) AS nf
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(g.k AS INT) AS frame_no,
+           CAST(w * h * ((doc_id + 17 * (2 * g.k)) % 220)
+                + h * (w * (w - 1) / 2)
+                + w * (h * (h - 1) / 2) AS BIGINT) AS content_sum
+    FROM p,
+         unnest(generate_series(0,
+                CAST(floor((nf - 1) / 2.0) AS INT))) AS g(k)
+    """,
+    tier="C",
+    note="C5 REAL animated-GIF frame sampling: multi-frame GIF89a "
+    "decode with full composition semantics — per-frame Graphic "
+    "Control Extensions (delay, transparency, disposal), partial-rect "
+    "painting, disposal modes leave/restore-background/restore-"
+    "previous (operators/gif.py decode_gif_frames, unit-pinned) — "
+    "then the same first-keyframe-per-time-bucket rule as the "
+    "MP4/MKV samplers, driven by GCE delays (500 ms frames, 1000 ms "
+    "buckets keep every 2nd frame). Sampled frame k is the composed "
+    "canvas of source frame 2k, whose gradient pixel sum is "
+    "closed-form in doc_id: w*h*base + h*w(w-1)/2 + w*h(h-1)/2 with "
+    "base=(id+34k)%220 — every sum flows through real LZW decode and "
+    "canvas composition. Embarrassingly parallel; one spread, no "
+    "other shuffle.",
+)
+def multimodal_gif_frames_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_gif_animated_from_documents(d)
+    return mm_ops.gif_frame_features(media)
+
+
+@register(
     "events_quantile_sketch",
     """
     WITH r AS (

@@ -230,6 +230,7 @@ def test_media_and_tokenizer_entries_at_most_one_spread(spark, sf_smoke):
         "webdataset_read",
         "tfrecord_read",
         "avro_read",
+        "multimodal_gif_frames",
         "bpe_apply",
     ):
         plan = _plan(catalog()[name].fn(spark, sf_smoke))
