@@ -117,6 +117,10 @@ HEADLINE = [
     "tfrecord_read",
     "avro_read",
     "multimodal_gif_frames",
+    # round-6b additions
+    "dedup_paragraphs",
+    "url_dedup",
+    "zip_read",
 ]
 
 

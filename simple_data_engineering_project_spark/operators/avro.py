@@ -6,9 +6,9 @@ ships no spark-avro datasource — so the engine reads the container
 format itself: ``Obj\\x01`` magic → file-metadata map (``avro.schema``
 JSON, ``avro.codec``) → 16-byte sync marker → data blocks of
 (record count, byte size, payload, sync) with the sync marker VERIFIED
-per block, codecs ``null``, ``deflate`` (raw zlib) and ``snappy``
+per block, codecs ``null``, ``deflate`` (raw zlib), ``snappy``
 (:mod:`.snappy` + the spec's 4-byte big-endian CRC32 of the
-uncompressed block). Record decoding
+uncompressed block), ``bzip2`` and ``xz`` (both stdlib). Record decoding
 covers the flat-record schema subset corpus tables use: string, bytes,
 int, long (zigzag varints), float, double, boolean, and the common
 ``["null", T]`` nullable union.
@@ -116,7 +116,7 @@ def parse_avro(payload: bytes) -> tuple[dict, list[dict]]:
             meta[key] = r.bytes_()
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
         raise NotImplementedError(f"avro codec {codec!r}")
     if schema.get("type") != "record":
         raise NotImplementedError("non-record top-level avro schema")
@@ -131,6 +131,14 @@ def parse_avro(payload: bytes) -> tuple[dict, list[dict]]:
             raise ValueError("avro block sync-marker mismatch")
         if codec == "deflate":
             block = zlib.decompress(block, wbits=-15)
+        elif codec == "bzip2":
+            import bz2
+
+            block = bz2.decompress(block)
+        elif codec == "xz":
+            import lzma
+
+            block = lzma.decompress(block, format=lzma.FORMAT_XZ)
         elif codec == "snappy":
             from .snappy import snappy_decompress
 
@@ -200,6 +208,14 @@ def encode_avro(
         if codec == "deflate":
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             body = co.compress(body) + co.flush()
+        elif codec == "bzip2":
+            import bz2
+
+            body = bz2.compress(body)
+        elif codec == "xz":
+            import lzma
+
+            body = lzma.compress(body, format=lzma.FORMAT_XZ)
         elif codec == "snappy":
             from .snappy import snappy_compress_literal
 

@@ -692,3 +692,79 @@ def dedup_spans_global(
             F.md5(F.coalesce(F.col("__clean"), F.lit(""))).alias("clean_md5"),
         )
     )
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_words: int = 10,
+) -> DataFrame:
+    """Corpus-level paragraph dedup with reassembly (the CCNet /
+    RefinedWeb line-dedup step): split each document into fixed-width
+    word "paragraphs", drop every paragraph whose content already
+    appeared anywhere earlier in the corpus (first occurrence by
+    (id, para_id) wins, globally), and stitch each document back
+    together from its surviving paragraphs.
+
+    Returns (id, n_paras, n_kept, kept_md5): paragraph counts before and
+    after dedup plus an md5 of the reassembled text (kept compact so the
+    oracle hash stays cheap). Documents with no alphanumeric words emit
+    no row; documents whose every paragraph was seen elsewhere first
+    emit n_kept=0 with md5('').
+
+    Scale shape: paragraph extraction is a row-local posexplode (zero
+    shuffles, output rows ~ corpus_words/para_words regardless of
+    document skew); global first-occurrence selection is ONE window
+    shuffle keyed on the 32-byte md5 of the paragraph (never the raw
+    text — bounded key width at 100 TB); reassembly is ONE keyed
+    aggregate back on the document id. No joins against the corpus, no
+    driver state. (∅ in reference; Tier C extension.)
+    """
+    from ..functions import tokens
+
+    words = F.filter(tokens(text_col), lambda t: t != "")
+    src = df.select(F.col(id_col), words.alias("__ws")).filter(
+        F.size("__ws") > 0
+    )
+    n_para = F.ceil(F.size("__ws") / F.lit(para_words)).cast("int")
+    paras = src.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_para - F.lit(1)),
+                lambda i: F.array_join(
+                    F.slice(
+                        "__ws", i * para_words + F.lit(1), para_words
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("para_id", "para"),
+    ).withColumn("__pmd5", F.md5("para"))
+    w = Window.partitionBy("__pmd5").orderBy(id_col, "para_id")
+    kept = (
+        paras.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__pmd5")
+    )
+    totals = paras.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_paras")
+    )
+    assembled = kept.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("para_id", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("__kept_text"),
+    )
+    return totals.join(assembled, id_col, "left").select(
+        id_col,
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.md5(F.coalesce(F.col("__kept_text"), F.lit(""))).alias(
+            "kept_md5"
+        ),
+    )

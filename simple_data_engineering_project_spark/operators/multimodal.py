@@ -1420,6 +1420,82 @@ def webdataset_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=WDS_SCHEMA)
 
 
+def media_zip_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic zip shards — the Kaggle-style corpus-dump layout:
+    per document a zip archive holding the same {stem}.txt / {stem}.cls
+    / {stem}.json sample group as the WebDataset entry; every 2nd
+    archive uses deflate members, the rest stored. Extraction must walk
+    the central directory for real (EOCD scan, central sizes, local
+    name/extra skip, CRC verify)."""
+    from .zipshard import encode_zip
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for doc_id, text in zip(pdf_["doc_id"], pdf_["text"]):
+                did = int(doc_id)
+                stem = f"{did:08d}"
+                members = [
+                    (f"{stem}.txt", (text or "").encode("latin-1", "replace")),
+                    (f"{stem}.cls", str(did % 10).encode()),
+                    (f"{stem}.json", f'{{"id": {did}}}'.encode()),
+                ]
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_zip(
+                            members, method=8 if did % 2 == 0 else 0
+                        ),
+                        "meta": {
+                            "modality": "text",
+                            "mime": "application/zip",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _spread_docs(docs).select("doc_id", "text").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
+
+
+def zip_features(media: DataFrame) -> DataFrame:
+    """Parse zip shards (real central-directory walk + inflate + CRC via
+    :mod:`.zipshard`) and emit per-sample features; sample grouping
+    reuses the WebDataset stem rule."""
+    from .shards import group_webdataset
+    from .zipshard import parse_zip
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for mid, payload in zip(pdf_["media_id"], pdf_["payload"]):
+                for _stem, sample in sorted(
+                    group_webdataset(parse_zip(payload)).items()
+                ):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "n_members": len(sample),
+                            "cls": int(sample["cls"].decode())
+                            if "cls" in sample
+                            else -1,
+                            "txt_sha": hashlib.sha256(
+                                sample.get("txt", b"")
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_members", "cls", "txt_sha"]
+            ).astype({"media_id": "int64", "n_members": "int32",
+                      "cls": "int32"})
+
+    return media.mapInPandas(_extract, schema=WDS_SCHEMA)
+
+
 def media_tfrecord_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic TFRecord shards: per document one CRC-framed record
     holding a tf.train.Example with text (bytes_list), label

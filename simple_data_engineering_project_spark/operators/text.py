@@ -8,6 +8,8 @@ by doc id so they compose with dedup/similarity stages.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1296,4 +1298,57 @@ def heavy_hitters(
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= F.lit(threshold))
+    )
+
+def url_normalize(col, tracking_prefixes=("utm_",)):
+    """Canonicalize a URL as a pure column expression — the Common
+    Crawl URL-dedup front end (CC-index dedups fetches by canonical
+    URL before any content pass), JVM-side in whole-stage codegen:
+
+    - lowercase the scheme and authority;
+    - strip the scheme's DEFAULT port only (``:80`` for http, ``:443``
+      for https — a non-default port is identity-bearing and kept);
+    - strip one leading ``www.``;
+    - strip trailing slashes from the path;
+    - drop the fragment (never sent to the server);
+    - drop tracking query params (``utm_*`` by default), sort the
+      survivors bytewise, and re-join — param order is not
+      identity-bearing, tracking params are noise.
+
+    Regexes stay in the RE2-compatible subset so a DuckDB oracle can
+    replay or closed-form-check the result. Returns the canonical URL
+    string; input must carry an explicit ``scheme://``.
+    (∅ in reference; Tier C extension.)
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .otherwise(auth)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    keep = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~reduce(
+            lambda a, b: a | b,
+            [p.startswith(pre) for pre in tracking_prefixes],
+        ),
+    )
+    q = F.array_join(F.array_sort(keep), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )

@@ -1,0 +1,127 @@
+"""Zip shard ingestion in pure stdlib (SURVEY §2 C4/C5).
+
+Plenty of public corpora and Kaggle-style dumps ship as plain ``.zip``
+archives (images + sidecar labels, document batches), and WebDataset's
+grouping rule applies to them just as well as to tar. This parses the
+format for real, the way a robust reader must:
+
+- the walk is driven by the END OF CENTRAL DIRECTORY record (scan the
+  last 64 KiB + 22 bytes for ``PK\\x05\\x06`` — the comment makes the
+  EOCD position variable) and the CENTRAL directory, never by scanning
+  for local-header magics (compressed bodies legally contain ``PK``
+  lookalikes — the same rule as the PDF/TIFF/MP4 walkers);
+- per entry the central record's sizes are authoritative (local headers
+  may carry zeros + a trailing data descriptor when flag bit 3 is set);
+  the local header is visited only to skip its own name/extra fields;
+- methods 0 (stored) and 8 (deflate, raw zlib) decompress; the CRC-32
+  of every decompressed member is VERIFIED against the central record.
+
+Out of envelope (honest ``NotImplementedError``): encrypted entries
+(flag bit 0), zip64 (any 0xFFFF/0xFFFFFFFF sentinel), and other
+compression methods (bzip2/lzma/zstd members are rare in corpus dumps).
+The companion :func:`encode_zip` writes conformant archives so the
+oracle entry verifies extraction byte-for-byte; tests cross-validate
+BOTH directions against stdlib :mod:`zipfile`. (∅ in reference; Tier C
+extension.)
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_EOCD_SIG = b"PK\x05\x06"
+_CEN_SIG = b"PK\x01\x02"
+_LOC_SIG = b"PK\x03\x04"
+
+
+def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
+    """(member name, bytes) in central-directory order; CRC verified."""
+    tail_start = max(0, len(payload) - (1 << 16) - 22)
+    eocd = payload.rfind(_EOCD_SIG, tail_start)
+    if eocd < 0:
+        raise ValueError("no zip end-of-central-directory record")
+    (n_disk, cd_disk, n_here, n_total, cd_size, cd_off, _clen) = struct.unpack(
+        "<HHHHIIH", payload[eocd + 4 : eocd + 22]
+    )
+    if n_disk or cd_disk:
+        raise NotImplementedError("multi-disk zip")
+    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
+        raise NotImplementedError("zip64")
+    out = []
+    pos = cd_off
+    for _ in range(n_total):
+        if payload[pos : pos + 4] != _CEN_SIG:
+            raise ValueError("central directory entry signature mismatch")
+        (
+            _vmade, _vneed, flags, method, _t, _d, crc, csize, usize,
+            nlen, xlen, clen, _dn, _ia, _ea, loc_off,
+        ) = struct.unpack("<HHHHHHIIIHHHHHII", payload[pos + 4 : pos + 46])
+        name = payload[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        pos += 46 + nlen + xlen + clen
+        if flags & 0x1:
+            raise NotImplementedError("encrypted zip entry")
+        if 0xFFFFFFFF in (csize, usize, loc_off):
+            raise NotImplementedError("zip64")
+        if payload[loc_off : loc_off + 4] != _LOC_SIG:
+            raise ValueError("local header signature mismatch")
+        lnlen, lxlen = struct.unpack(
+            "<HH", payload[loc_off + 26 : loc_off + 30]
+        )
+        data_at = loc_off + 30 + lnlen + lxlen
+        body = payload[data_at : data_at + csize]
+        if method == 0:
+            data = body
+        elif method == 8:
+            data = zlib.decompress(body, wbits=-15)
+        else:
+            raise NotImplementedError(f"zip compression method {method}")
+        if len(data) != usize or (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"zip member CRC/size mismatch: {name}")
+        if not name.endswith("/"):  # skip directory entries
+            out.append((name, data))
+    return out
+
+
+def encode_zip(
+    members: list[tuple[str, bytes]], method: int = 8
+) -> bytes:
+    """Minimal conformant zip: local headers + central directory + EOCD,
+    method 0 (stored) or 8 (deflate)."""
+    if method not in (0, 8):
+        raise ValueError("method must be 0 (stored) or 8 (deflate)")
+    out = bytearray()
+    central = bytearray()
+    for name, data in members:
+        nb = name.encode("utf-8")
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        if method == 8:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            body = co.compress(data) + co.flush()
+        else:
+            body = data
+        loc_off = len(out)
+        common = struct.pack(
+            "<HHHHIII", 0, method, 0, 0x21, crc, len(body), len(data)
+        )  # flags, method, time, date, crc, csize, usize
+        out += (
+            _LOC_SIG
+            + struct.pack("<H", 20)
+            + common
+            + struct.pack("<HH", len(nb), 0)
+            + nb
+            + body
+        )
+        central += (
+            _CEN_SIG
+            + struct.pack("<HH", 20, 20)
+            + common
+            + struct.pack("<HHHHHII", len(nb), 0, 0, 0, 0, 0, loc_off)
+            + nb
+        )
+    cd_off = len(out)
+    out += central
+    out += _EOCD_SIG + struct.pack(
+        "<HHHHIIH", 0, 0, len(members), len(members), len(central), cd_off, 0
+    )
+    return bytes(out)

@@ -7224,6 +7224,36 @@ def webdataset_read_q(spark, sf_dir):
 
 
 @register(
+    "zip_read",
+    """
+    SELECT doc_id AS media_id,
+           CAST(3 AS INT) AS n_members,
+           CAST(doc_id % 10 AS INT) AS cls,
+           sha256(text) AS txt_sha
+    FROM documents
+    """,
+    tier="C",
+    note="C4/C5 REAL zip shard ingestion (operators/zipshard.py) — "
+    "the Kaggle-style corpus-dump layout: per document a zip archive "
+    "holding the {stem}.txt/.cls/.json sample group, every 2nd "
+    "archive deflated. The walker is driven by the END OF CENTRAL "
+    "DIRECTORY record and the central directory — never by scanning "
+    "for local-header magics (compressed bodies legally contain PK "
+    "lookalikes; same rule as the PDF/TIFF/MP4 walkers) — with "
+    "central sizes authoritative, local name/extra skipped per entry, "
+    "stored+deflate members inflated, and every member's CRC-32 "
+    "VERIFIED. Encrypted/zip64/other-method entries raise. "
+    "Cross-validated BOTH directions against stdlib zipfile. The "
+    "oracle predicts the sample features straight from the source "
+    "table. One spread + row-local work; no other shuffle.",
+)
+def zip_read_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_zip_from_documents(d)
+    return mm_ops.zip_features(media)
+
+
+@register(
     "tfrecord_read",
     """
     SELECT doc_id AS media_id,
@@ -7271,8 +7301,9 @@ def tfrecord_read_q(spark, sf_dir):
     "(operators/avro.py) — the data-eng interchange staple (Kafka "
     "archives, Sqoop exports), and this PySpark build ships NO "
     "spark-avro datasource, so the engine reads the container itself: "
-    "metadata map, per-block sync-marker verification, null AND "
-    "deflate codecs, zigzag-varint longs, strings/doubles/booleans "
+    "metadata map, per-block sync-marker verification, "
+    "null/deflate/snappy/bzip2/xz codecs, zigzag-varint longs, "
+    "strings/doubles/booleans "
     "and the [null,T] nullable union. CROSS-VALIDATED both directions "
     "against the bundled Java Avro implementation (DataFileReader "
     "reads our files; we read DataFileWriter's) — not a "
@@ -7661,6 +7692,110 @@ def events_changepoint_q(spark, sf_dir):
         .alias("n_alarms_neg"),
         F.max("s_pos").alias("max_cusum_pos_e6"),
         F.max("s_neg").alias("max_cusum_neg_e6"),
+    )
+
+
+@register(
+    "dedup_paragraphs",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, CAST(g.n AS INT) AS para_id,
+             array_to_string(ws[g.n * 10 + 1 : g.n * 10 + 10], ' ') AS para
+      FROM (SELECT doc_id, ws FROM words WHERE len(ws) > 0),
+           unnest(generate_series(0,
+             CAST(ceil(len(ws) / 10.0) AS BIGINT) - 1)) AS g(n)
+    ),
+    kept AS (
+      SELECT doc_id, para_id, para FROM (
+        SELECT doc_id, para_id, para,
+               ROW_NUMBER() OVER (PARTITION BY md5(para)
+                 ORDER BY doc_id, para_id) AS rn
+        FROM paras) WHERE rn = 1
+    ),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_paras
+            FROM paras GROUP BY doc_id),
+    asm AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+                   string_agg(para, ' ' ORDER BY para_id) AS kept_text
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, t.n_paras,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           md5(COALESCE(a.kept_text, '')) AS kept_md5
+    FROM tot t LEFT JOIN asm a USING (doc_id)
+    """,
+    tier="C",
+    note="C2 corpus-level paragraph dedup with reassembly (the CCNet / "
+    "RefinedWeb line-dedup step): 10-word paragraphs, global "
+    "first-occurrence-wins by (doc_id, para_id), documents stitched "
+    "back from survivors. Shape: row-local posexplode (zero shuffles), "
+    "ONE window shuffle keyed on the paragraph md5 (32-byte key, never "
+    "raw text), ONE keyed aggregate for reassembly — no corpus joins, "
+    "no driver state, paragraph-skew bounded by para_words.",
+)
+def dedup_paragraphs_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.dedup_paragraphs(d, para_words=10)
+
+
+@register(
+    "url_dedup",
+    """
+    SELECT 'http' || CASE WHEN doc_id % 2 = 1 THEN 's' ELSE '' END
+           || '://site' || CAST(doc_id % 40 AS VARCHAR)
+           || '.example.com/docs/' || CAST(doc_id % 40 AS VARCHAR)
+           || '?a=1&b=2' AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    tier="C",
+    note="C2 URL canonicalization + dedup (the Common Crawl front end "
+    "— CC-index dedups fetches by canonical URL before any content "
+    "pass). Spark builds deterministically MESSY urls from doc_id "
+    "(upper-cased scheme/host, www., default ports, trailing slash, "
+    "shuffled+tracking query params, fragments), canonicalizes them "
+    "with url_normalize (pure codegen regex/array expressions), and "
+    "dedups; the ORACLE computes the canonical form analytically from "
+    "doc_id — a closed-form check that the parser actually normalizes "
+    "every axis. Shape: row-local canonicalization, ONE keyed "
+    "aggregate on the canonical url.",
+)
+def url_dedup_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 40).cast("string")
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(
+            F.lit("https")
+        ),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"),
+        k,
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":80"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/docs/"),
+        k,
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1&utm_source=feed")
+        ).otherwise(F.lit("?a=1&b=2")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    return (
+        d.select("doc_id", text_ops.url_normalize(messy).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
     )
 
 

@@ -24,7 +24,7 @@ ROWS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "bzip2", "xz"])
 def test_roundtrip(codec):
     schema, back = parse_avro(encode_avro(FIELDS, ROWS, codec=codec))
     assert back == ROWS
@@ -36,7 +36,7 @@ def test_java_avro_cross_validation(spark):
     # DataFileWriter's files must parse with our reader — the pair is
     # NOT merely self-consistent
     jvm = spark.sparkContext._jvm
-    for codec in ("null", "deflate"):
+    for codec in ("null", "deflate", "bzip2", "xz"):
         payload = encode_avro(FIELDS, ROWS, codec=codec)
         sin = jvm.org.apache.avro.file.SeekableByteArrayInput(
             bytearray(payload)
@@ -59,20 +59,28 @@ def test_java_avro_cross_validation(spark):
         '[{"name":"id","type":"long"},{"name":"name","type":"string"}]}'
     )
     schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
-    baos = jvm.java.io.ByteArrayOutputStream()
-    writer = jvm.org.apache.avro.file.DataFileWriter(
-        jvm.org.apache.avro.generic.GenericDatumWriter()
-    )
-    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
-    writer.create(schema, baos)
-    for i in range(5):
-        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
-        rec.put("id", i * 1000)
-        rec.put("name", f"row-{i}")
-        writer.append(rec)
-    writer.close()
-    _s, back = parse_avro(bytes(baos.toByteArray()))
-    assert back == [{"id": i * 1000, "name": f"row-{i}"} for i in range(5)]
+    cf = jvm.org.apache.avro.file.CodecFactory
+    for java_codec in (
+        cf.deflateCodec(6),
+        cf.bzip2Codec(),
+        cf.xzCodec(6),
+    ):
+        baos = jvm.java.io.ByteArrayOutputStream()
+        writer = jvm.org.apache.avro.file.DataFileWriter(
+            jvm.org.apache.avro.generic.GenericDatumWriter()
+        )
+        writer.setCodec(java_codec)
+        writer.create(schema, baos)
+        for i in range(5):
+            rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+            rec.put("id", i * 1000)
+            rec.put("name", f"row-{i}")
+            writer.append(rec)
+        writer.close()
+        _s, back = parse_avro(bytes(baos.toByteArray()))
+        assert back == [
+            {"id": i * 1000, "name": f"row-{i}"} for i in range(5)
+        ]
 
 
 def test_sync_tamper_and_envelope():

@@ -1275,3 +1275,64 @@ def test_compress_ratio_orders_boilerplate_prose_noise(spark):
     for did, text in [(1, boiler), (2, prose), (3, noise)]:
         assert out[did]["n_raw"] == len(text.encode())
         assert out[did]["ratio_e4"] == out[did]["n_gz"] * 10000 // out[did]["n_raw"]
+
+def test_dedup_paragraphs_global_first_wins(spark):
+    from simple_data_engineering_project_spark.operators.dedup import (
+        dedup_paragraphs,
+    )
+
+    # 3-word paragraphs. doc 1: [a b c][d e f]; doc 2 repeats doc 1's
+    # first paragraph then adds a fresh one; doc 3 is entirely doc 1.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),
+            (3, "a b c d e f"),
+            (4, "???"),  # no alnum words -> no output row
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs(df, para_words=3).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (2, 2)
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (2, 1)
+    assert (out[3]["n_paras"], out[3]["n_kept"]) == (2, 0)
+    import hashlib
+
+    assert out[2]["kept_md5"] == hashlib.md5(b"x y z").hexdigest()
+    assert out[3]["kept_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_url_normalize_axes(spark):
+    from simple_data_engineering_project_spark.operators.text import (
+        url_normalize,
+    )
+
+    cases = [
+        # scheme+host case, default port, www, trailing slash, fragment,
+        # param order + tracking params
+        (
+            "HTTP://WWW.Example.COM:80/a/b/?b=2&a=1&utm_source=x#frag",
+            "http://example.com/a/b?a=1&b=2",
+        ),
+        # https default port stripped, non-default port kept
+        ("https://Site.org:443/p", "https://site.org/p"),
+        ("https://site.org:8443/p", "https://site.org:8443/p"),
+        # http :443 is NOT default for http -> kept
+        ("http://site.org:443/p", "http://site.org:443/p"),
+        # empty query/path survive; lone '?' drops
+        ("https://site.org?", "https://site.org"),
+        # only tracking params -> no query at all
+        ("https://site.org/x?utm_a=1&utm_b=2", "https://site.org/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["canon"]
+        for r in df.select(
+            url_normalize("url").alias("canon")
+        ).collect()
+    ]
+    assert got == [want for _, want in cases]
