@@ -9,16 +9,22 @@ convert YCbCr→RGB (BT.601). The supported envelope covers baseline
 sequential (SOF0) including restart intervals (DRI/RSTn) and subsampled
 chroma (e.g. 4:2:0, nearest-neighbor upsample), plus progressive (SOF2)
 spectral-selection and DC successive-approximation scans and AC
-successive-approximation refinement with EOB runs. Still OUTSIDE the
-envelope — these raise ``NotImplementedError``, the same honest-stub
-policy as the other media codecs (∅ in reference; Tier C extension):
-hierarchical/lossless (SOF3/5-15), non-8-bit precision, arithmetic
-coding (SOF9-11), and multi-scan *baseline* files (legal
+successive-approximation refinement with EOB runs, and LOSSLESS
+sequential (SOF3, T.81 Annex H — the DNG/DICOM layout): Huffman-coded
+prediction differences with all seven predictor selections, mod-2^16
+arithmetic, point transform, precisions 2-16 (P≤8 returns uint8, else
+uint16), multi-component interleaved scans decoded as direct channel
+planes (no color transform, per spec). Still OUTSIDE the envelope —
+these raise ``NotImplementedError``, the same honest-stub policy as
+the other media codecs (∅ in reference; Tier C extension):
+hierarchical (SOF5-7/13-15), non-8-bit precision in DCT modes,
+arithmetic coding (SOF9-11), multi-scan *baseline* files (legal
 non-interleaved per-component scan sequences — only the
-single-interleaved-scan baseline layout decodes). Progressive covers
-restart intervals AND subsampled chroma (interleaved DC scans over the
-padded MCU grid, per-component AC scans over each component's own
-block grid).
+single-interleaved-scan baseline layout decodes), and restart
+intervals or subsampling or multi-scan layouts inside lossless scans.
+Progressive covers restart intervals AND subsampled chroma
+(interleaved DC scans over the padded MCU grid, per-component AC
+scans over each component's own block grid).
 
 The companion encoder synthesizes baseline JPEGs whose 8×8 blocks carry
 a chosen DC (and optionally one AC) coefficient, so decoded pixels are
@@ -221,6 +227,138 @@ def encode_jpeg_blocks(
     for marker, seg in segs:
         out += marker + struct.pack(">H", len(seg) + 2) + seg
     return out + bytes(scan) + b"\xff\xd9"
+
+
+# Lossless difference-category table: SSSS 0..16 (16 = the special
+# "diff is exactly 32768, no extra bits" code), all length 5 — a legal
+# (incomplete) canonical table big enough for 16-bit-precision diffs.
+LL_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+LL_VALS = list(range(17))
+
+
+def encode_jpeg_lossless(
+    samples: "np.ndarray",
+    predictor: int = 1,
+    precision: int = 8,
+    pt: int = 0,
+) -> bytes:
+    """Synthesize a lossless JPEG (SOF3) from exact sample values —
+    (h, w) or (h, w, ncomp) ints below 2**precision. Lossless means the
+    decoder must reproduce ``(samples >> pt) << pt`` bit-exactly, so any
+    round-trip is closed-form. ``predictor`` is the scan's Ss selection
+    (1..7); components are encoded interleaved, one sample each."""
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    vals = arr >> pt
+    default = 1 << (precision - 1 - pt)
+    codes = _canonical_codes(LL_BITS, LL_VALS)
+    bw = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for c in range(nc):
+                if y == 0 and x == 0:
+                    px = default
+                elif y == 0:
+                    px = vals[0, x - 1, c]
+                elif x == 0:
+                    px = vals[y - 1, 0, c]
+                else:
+                    a = vals[y, x - 1, c]
+                    b = vals[y - 1, x, c]
+                    cc = vals[y - 1, x - 1, c]
+                    px = (
+                        a, b, cc, a + b - cc,
+                        a + ((b - cc) >> 1), b + ((a - cc) >> 1),
+                        (a + b) >> 1,
+                    )[predictor - 1]
+                diff = int(vals[y, x, c] - px) & 0xFFFF
+                if diff == 32768:
+                    length, code = codes[16]
+                    bw.write(code, length)
+                    continue
+                signed = diff if diff < 32768 else diff - 65536
+                t = _category(signed)
+                length, code = codes[t]
+                bw.write(code, length)
+                if t:
+                    bw.write(
+                        signed if signed > 0 else signed + (1 << t) - 1, t
+                    )
+    sof = struct.pack(">BHHB", precision, h, w, nc) + b"".join(
+        struct.pack(">BBB", c + 1, 0x11, 0) for c in range(nc)
+    )
+    dht = bytes([0x00] + LL_BITS) + bytes(LL_VALS)
+    sos = (
+        bytes([nc])
+        + b"".join(struct.pack(">BB", c + 1, 0x00) for c in range(nc))
+        + struct.pack(">BBB", predictor, 0, pt)
+    )
+    out = b"\xff\xd8"
+    for marker, seg in ((b"\xff\xc3", sof), (b"\xff\xc4", dht), (b"\xff\xda", sos)):
+        out += marker + struct.pack(">H", len(seg) + 2) + seg
+    return out + bw.flush() + b"\xff\xd9"
+
+
+def _decode_lossless(
+    w_: int, h: int, comps: list, precision: int, scans: list
+) -> "np.ndarray":
+    """Annex H lossless decode: Huffman difference categories + EXTEND,
+    the seven predictors with the first-row/first-column/first-sample
+    rules, mod-2^16 sample arithmetic, output shifted by the point
+    transform. Components come back as direct planes — lossless JPEG
+    has no color transform."""
+    if len(scans) != 1:
+        raise NotImplementedError("multi-scan lossless JPEG")
+    sc, ss, _se, _ah, al, segs, htabs, restart_interval = scans[0]
+    if restart_interval or len(segs) != 1:
+        raise NotImplementedError("restart intervals in lossless scan")
+    psel = ss
+    if not 1 <= psel <= 7:
+        raise NotImplementedError(f"lossless predictor selection {psel}")
+    if [cid for cid, _, _ in sc] != [c[0] for c in comps]:
+        raise NotImplementedError(
+            "lossless scan does not cover all SOF components in order"
+        )
+    for _, hi, vi, _ in comps:
+        if hi != 1 or vi != 1:
+            raise NotImplementedError("subsampled lossless JPEG")
+    tabs = {cid: htabs[(0, td)] for cid, td, _ in sc}
+    order = [cid for cid, _, _ in sc]
+    default = 1 << (precision - 1 - al)
+    planes = {cid: np.zeros((h, w_), dtype=np.int64) for cid in order}
+    reader = _BitReader(segs[0])
+    for y in range(h):
+        for x in range(w_):
+            for cid in order:
+                ssss = reader.read_huffman(tabs[cid])
+                if ssss == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(reader.read_bits(ssss), ssss)
+                p = planes[cid]
+                if y == 0 and x == 0:
+                    px = default
+                elif y == 0:
+                    px = p[0, x - 1]
+                elif x == 0:
+                    px = p[y - 1, 0]
+                else:
+                    a = p[y, x - 1]
+                    b = p[y - 1, x]
+                    c = p[y - 1, x - 1]
+                    px = (
+                        a, b, c, a + b - c,
+                        a + ((b - c) >> 1), b + ((a - c) >> 1),
+                        (a + b) >> 1,
+                    )[psel - 1]
+                p[y, x] = (int(px) + diff) & 0xFFFF
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    out = [(planes[cid] << al).astype(dtype) for cid in order]
+    return out[0] if len(out) == 1 else np.stack(out, axis=-1)
 
 
 # Progressive AC table: EOB0..EOB3 (runs 1..15) + (run0, size1).
@@ -812,6 +950,8 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
     progressive = False
+    lossless = False
+    lossless_precision = 8
     scans: list[tuple] = []
     restart_interval = 0
     while pos + 4 <= n:
@@ -848,10 +988,15 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
                 vals = list(body[i + 17 : i + 17 + nv])
                 htabs[(tc, th)] = _decode_map(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progr.
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 DCT, SOF3 lossless
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             precision, h, w_, nc = struct.unpack(">BHHB", body[:6])
-            if precision != 8:
+            if lossless:
+                if not 2 <= precision <= 16:
+                    raise ValueError("invalid lossless precision")
+                lossless_precision = precision
+            elif precision != 8:
                 raise NotImplementedError("only 8-bit precision")
             comps = []
             for c in range(nc):
@@ -867,8 +1012,8 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
                     hi = vi = 1
                 comps.append((cid, hi, vi, tq))
             sof = (w_, h, comps)
-        elif 0xC3 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
-            raise NotImplementedError("hierarchical/lossless JPEG")
+        elif 0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
+            raise NotImplementedError("hierarchical/arithmetic JPEG")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -887,6 +1032,10 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
         pos += 2 + seg_len
     if sof is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
+
+    if lossless:
+        w_, h, comps = sof
+        return _decode_lossless(w_, h, comps, lossless_precision, scans)
 
     if progressive:
         return _decode_progressive(sof, scans, qtabs)

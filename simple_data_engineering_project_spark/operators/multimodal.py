@@ -799,8 +799,16 @@ def media_jpeg_dc_from_documents(docs: DataFrame) -> DataFrame:
     closed-form oracle still predicts it exactly — while a bitstream
     desync anywhere in the refinement decode corrupts everything after
     it. AC is only planted where base+k ∈ [20, 235] so the ±14 swing
-    cannot clip."""
-    from .jpeg import encode_jpeg_blocks, encode_jpeg_progressive_gray
+    cannot clip. Every 4th+2 document is LOSSLESS (SOF3) carrying the
+    SAME per-pixel content the DC grid produces (pixel of block k =
+    base+k), cycling all seven predictor selections by doc_id — sums
+    stay closed-form while the bytes exercise the Annex H
+    prediction/Huffman path."""
+    from .jpeg import (
+        encode_jpeg_blocks,
+        encode_jpeg_lossless,
+        encode_jpeg_progressive_gray,
+    )
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -823,8 +831,8 @@ def media_jpeg_dc_from_documents(docs: DataFrame) -> DataFrame:
                             else 0
                         )
                         blocks.append((base + k - 128, ac))
-                payload = (
-                    encode_jpeg_progressive_gray(
+                if progressive:
+                    payload = encode_jpeg_progressive_gray(
                         w,
                         h,
                         blocks,
@@ -832,9 +840,14 @@ def media_jpeg_dc_from_documents(docs: DataFrame) -> DataFrame:
                         ac_al=2,
                         restart_interval=2 if did % 8 == 0 else 0,
                     )
-                    if progressive
-                    else encode_jpeg_blocks(w, h, blocks)
-                )
+                elif did % 4 == 2:
+                    ys, xs = np.mgrid[0:h, 0:w]
+                    px = base + (ys // 8) * nbx + (xs // 8)
+                    payload = encode_jpeg_lossless(
+                        px, predictor=1 + (did // 4) % 7
+                    )
+                else:
+                    payload = encode_jpeg_blocks(w, h, blocks)
                 rows.append(
                     {
                         "media_id": did,

@@ -6576,10 +6576,12 @@ def text_heavy_hitters_q(spark, sf_dir):
     "generator stays grayscale because BT.601 float rounding is not "
     "SQL-exact) — every 4th generated file is progressive with "
     "planted AC coefficients whose antisymmetric cosine profile "
-    "leaves block pixel sums closed-form. Remaining honest "
-    "NotImplementedError stubs: hierarchical/lossless, arithmetic "
-    "coding, multi-scan baseline. Embarrassingly parallel; zero "
-    "shuffles.",
+    "leaves block pixel sums closed-form, and every 4th+2 file is "
+    "LOSSLESS (SOF3, Annex H) carrying the same closed-form pixel "
+    "content through the prediction/Huffman path, cycling all 7 "
+    "predictor selections. Remaining honest NotImplementedError "
+    "stubs: hierarchical, arithmetic coding, multi-scan baseline. "
+    "Embarrassingly parallel; zero shuffles.",
 )
 def multimodal_jpeg_pixels_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")

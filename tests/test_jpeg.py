@@ -273,3 +273,74 @@ def test_progressive_420_equals_baseline_420():
                 )
             )
             assert (prog == base).all(), (w, h, ri)
+
+
+def test_lossless_roundtrip_all_predictors_and_precisions():
+    import numpy as np
+
+    from simple_data_engineering_project_spark.operators.jpeg import (
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(7)
+    for pred in range(1, 8):
+        a = rng.randint(0, 256, size=(13, 17))
+        got = decode_jpeg_pixels(encode_jpeg_lossless(a, predictor=pred))
+        assert got.dtype == np.uint8 and np.array_equal(got, a)
+        a3 = rng.randint(0, 256, size=(9, 11, 3))
+        got = decode_jpeg_pixels(encode_jpeg_lossless(a3, predictor=pred))
+        assert got.shape == (9, 11, 3) and np.array_equal(got, a3)
+        a16 = rng.randint(0, 65536, size=(8, 10))
+        got = decode_jpeg_pixels(
+            encode_jpeg_lossless(a16, predictor=pred, precision=16)
+        )
+        assert got.dtype == np.uint16 and np.array_equal(got, a16)
+        # point transform: decoder returns (v >> pt) << pt
+        a12 = rng.randint(0, 4096, size=(6, 7))
+        got = decode_jpeg_pixels(
+            encode_jpeg_lossless(a12, predictor=pred, precision=12, pt=2)
+        )
+        assert np.array_equal(got, (a12 >> 2) << 2)
+
+
+def test_lossless_closed_form_anchors():
+    import numpy as np
+
+    from simple_data_engineering_project_spark.operators.jpeg import (
+        encode_jpeg_lossless,
+    )
+
+    # single sample: only the 2^(P-1) default-prediction path
+    assert decode_jpeg_pixels(encode_jpeg_lossless(np.array([[200]])))[
+        0, 0
+    ] == 200
+    # the category-16 special code: diff ≡ 32768 (mod 2^16), no extra
+    # bits — 32768 -> 0 after the default predictor 32768 hits it
+    w = np.array([[32768, 0], [1, 65535]], dtype=np.int64)
+    got = decode_jpeg_pixels(encode_jpeg_lossless(w, precision=16))
+    assert np.array_equal(got, w)
+    # predictor arithmetic is integer with arithmetic >> (floor), per
+    # Annex H: row [10, 0] over row [0, ...] with predictor 5
+    # (a + (b-c)>>1): at (1,1) a=0? — pin exact plane instead
+    a = np.array([[10, 0], [0, 250]])
+    for pred in range(1, 8):
+        got = decode_jpeg_pixels(encode_jpeg_lossless(a, predictor=pred))
+        assert np.array_equal(got, a), pred
+
+
+def test_lossless_envelope_raises():
+    import numpy as np
+    import pytest
+
+    from simple_data_engineering_project_spark.operators.jpeg import (
+        encode_jpeg_lossless,
+    )
+
+    blob = bytearray(encode_jpeg_lossless(np.full((4, 4), 9)))
+    # splice a DRI segment after SOI -> restart intervals are outside
+    # the lossless envelope and must raise, not desync
+    dri = b"\xff\xdd\x00\x04\x00\x02"
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg_pixels(bytes(blob[:2]) + dri + bytes(blob[2:]))
+    with pytest.raises(ValueError):
+        encode_jpeg_lossless(np.full((2, 2), 1), predictor=9)
