@@ -12,13 +12,15 @@ parameters, escape-to-raw partitions, zigzag mapping) and the three
 stereo decorrelation modes (left/side, right/side, mid/side) undone
 exactly per the spec.
 
-Out of envelope (honest ``NotImplementedError``): bit depths other than
-16, wasted-bits subframes, and variable-blocksize streams — rare in
-corpus FLAC, which is overwhelmingly 16-bit fixed-blocksize.
+The full frame-layout surface decodes: bit depths 8-32 (STREAMINFO or
+per-frame coded), wasted-bits subframes (k-1 unary, samples shifted
+back), and variable-blocksize streams (blocking-strategy bit, per-frame
+sizes, first-sample numbering).
 
 The companion :func:`encode_flac` writes spec-conformant streams from
-int16 samples with a caller-chosen subframe strategy (constant runs,
-verbatim, fixed orders, explicit-coefficient LPC, stereo modes), so the
+integer samples with a caller-chosen subframe strategy (constant runs,
+verbatim, fixed orders, explicit-coefficient LPC, stereo modes), bit
+depth, wasted-bit count, and optional explicit variable blocksizes, so the
 oracle entry can push closed-form sample content through every decode
 path — FLAC is lossless, so decoded sums equal the generator formula no
 matter which strategy encoded them. (∅ in reference; Tier C extension.)
@@ -216,22 +218,16 @@ def decode_flac(payload: bytes) -> dict:
             break
     if streaminfo is None:
         raise ValueError("FLAC missing STREAMINFO")
-    min_bs = int.from_bytes(streaminfo[0:2], "big")
-    max_bs = int.from_bytes(streaminfo[2:4], "big")
-    if min_bs != max_bs:
-        raise NotImplementedError("variable-blocksize FLAC")
     packed = int.from_bytes(streaminfo[10:18], "big")
     sample_rate = (packed >> 44) & 0xFFFFF
     channels = ((packed >> 41) & 0x7) + 1
     bps = ((packed >> 36) & 0x1F) + 1
-    total = packed & 0xFFFFFFFFF
-    if bps != 16:
-        raise NotImplementedError(f"{bps}-bit FLAC (16-bit only)")
 
+    total = packed & 0xFFFFFFFFF
     chans: list[list[int]] = [[] for _ in range(channels)]
     done = 0
     while done < total and pos < len(payload):
-        pos, bs = _decode_frame(payload, pos, channels, chans)
+        pos, bs = _decode_frame(payload, pos, channels, chans, bps)
         done += bs
     return {
         "sample_rate": sample_rate,
@@ -246,21 +242,25 @@ _BS_CODE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
             13: 8192, 14: 16384, 15: 32768}
 
 
-def _decode_frame(payload, pos, channels, chans) -> tuple[int, int]:
+_BPS_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _decode_frame(payload, pos, channels, chans, si_bps) -> tuple[int, int]:
     frame_start = pos
     br = _BitReader(payload, pos)
     sync = br.bits(14)
     if sync != 0x3FFE:
         raise ValueError(f"bad frame sync at {pos}")
     br.bits(1)  # reserved
-    if br.bits(1):  # blocking strategy: variable
-        raise NotImplementedError("variable-blocksize FLAC stream")
+    br.bits(1)  # blocking strategy (the coded number below differs only
+    # in meaning: frame number when fixed, first-sample number when
+    # variable — neither drives this sequential decode)
     bs_code = br.bits(4)
     sr_code = br.bits(4)
     ch_code = br.bits(4)
     bps_code = br.bits(3)
     br.bits(1)  # reserved
-    _read_utf8_coded(br)  # frame number
+    _read_utf8_coded(br)  # frame / first-sample number
     if bs_code == 6:
         blocksize = br.bits(8) + 1
     elif bs_code == 7:
@@ -273,8 +273,14 @@ def _decode_frame(payload, pos, channels, chans) -> tuple[int, int]:
         br.bits(8)
     elif sr_code in (13, 14):
         br.bits(16)
-    if bps_code not in (0, 4):  # 0=from streaminfo, 4=16-bit
-        raise NotImplementedError("per-frame bit depth other than 16")
+    if bps_code == 0:
+        bps = si_bps
+    elif bps_code in _BPS_CODE:
+        bps = _BPS_CODE[bps_code]
+        if bps != si_bps:
+            raise ValueError("frame bit depth differs from STREAMINFO")
+    else:
+        raise ValueError("reserved bit-depth code")
     hdr_end = br.bytepos()
     crc8 = br.bits(8)
     if _crc8(payload[frame_start:hdr_end]) != crc8:
@@ -303,7 +309,7 @@ def _decode_frame(payload, pos, channels, chans) -> tuple[int, int]:
             or (mode == "mid_side" and ch == 1)
             else 0
         )
-        sub.append(_decode_subframe(br, blocksize, 16 + extra))
+        sub.append(_decode_subframe(br, blocksize, bps + extra))
     br.align()
     crc_end = br.bytepos()
     crc16 = br.bits(16)
@@ -332,8 +338,19 @@ def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> list[int]:
     if br.bits(1):
         raise ValueError("subframe padding bit set")
     stype = br.bits(6)
-    if br.bits(1):
-        raise NotImplementedError("wasted-bits subframe")
+    # wasted bits: flag 1 means k >= 1 wasted bits with k-1 unary-coded;
+    # the subframe codes (sample >> k) at bps-k, decoder shifts back
+    wasted = 1 + br.unary() if br.bits(1) else 0
+    if wasted:
+        bps -= wasted
+        vals = _subframe_values(br, blocksize, bps, stype)
+        return [v << wasted for v in vals]
+    return _subframe_values(br, blocksize, bps, stype)
+
+
+def _subframe_values(
+    br: _BitReader, blocksize: int, bps: int, stype: int
+) -> list[int]:
     if stype == 0:  # CONSTANT
         return [br.signed(bps)] * blocksize
     if stype == 1:  # VERBATIM
@@ -397,24 +414,47 @@ def encode_flac(
     stereo_mode: str = "independent",
     lpc_coefs: list[int] | None = None,
     lpc_shift: int = 5,
+    bps: int = 16,
+    wasted: int = 0,
+    variable_blocksizes: list[int] | None = None,
 ) -> bytes:
-    """Spec-conformant FLAC for 16-bit channel signals. ``strategy``
+    """Spec-conformant FLAC for integer channel signals. ``strategy``
     picks the subframe coding — 'constant' (only valid for constant
     blocks), 'verbatim', 'fixed0'..'fixed4', or 'lpc' with explicit
     ``lpc_coefs``/``lpc_shift`` — and ``stereo_mode`` one of
-    independent/left_side/right_side/mid_side. Lossless by
-    construction: decode(encode(x)) == x for every strategy."""
+    independent/left_side/right_side/mid_side. ``bps`` is the sample
+    bit depth (8/12/16/20/24/32); ``wasted`` > 0 codes every subframe
+    with that many wasted bits (samples must be multiples of
+    2**wasted); ``variable_blocksizes`` switches to a variable-
+    blocksize stream with those exact per-frame sizes (must sum to the
+    signal length). Lossless by construction: decode(encode(x)) == x
+    for every strategy."""
     n_ch = len(channels)
     total = len(channels[0])
+    if variable_blocksizes is not None:
+        if sum(variable_blocksizes) != total:
+            raise ValueError("variable blocksizes must cover the signal")
+        min_bs, max_bs = min(variable_blocksizes), max(variable_blocksizes)
+        starts = []
+        f0 = 0
+        for b in variable_blocksizes:
+            starts.append((f0, b))
+            f0 += b
+    else:
+        min_bs = max_bs = blocksize
+        starts = [
+            (f0, min(blocksize, total - f0))
+            for f0 in range(0, total, blocksize)
+        ]
     out = bytearray(b"fLaC")
     packed = (
         (sample_rate << 44)
         | ((n_ch - 1) << 41)
-        | ((16 - 1) << 36)
+        | ((bps - 1) << 36)
         | total
     )
     si = (
-        struct.pack(">HH", blocksize, blocksize)
+        struct.pack(">HH", min_bs, max_bs)
         + b"\x00\x00\x00"  # min frame size (unknown)
         + b"\x00\x00\x00"  # max frame size
         + packed.to_bytes(8, "big")
@@ -422,8 +462,9 @@ def encode_flac(
     )
     out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
 
-    for fno, f0 in enumerate(range(0, total, blocksize)):
-        block = [ch[f0 : f0 + blocksize] for ch in channels]
+    bps_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps]
+    for fno, (f0, bs_len) in enumerate(starts):
+        block = [ch[f0 : f0 + bs_len] for ch in channels]
         bs = len(block[0])
         if n_ch == 2 and stereo_mode != "independent":
             l, r = block
@@ -441,13 +482,16 @@ def encode_flac(
         hdr = _BitWriter()
         hdr.write(0x3FFE, 14)
         hdr.write(0, 1)  # reserved
-        hdr.write(0, 1)  # fixed blocksize
+        hdr.write(1 if variable_blocksizes is not None else 0, 1)
         hdr.write(7, 4)  # blocksize: 16-bit value follows
         hdr.write(0, 4)  # sample rate: from STREAMINFO
         hdr.write(ch_code, 4)
-        hdr.write(4, 3)  # 16 bps
+        hdr.write(bps_code, 3)
         hdr.write(0, 1)  # reserved
-        for b in _utf8_coded(fno):
+        # fixed streams code the frame number; variable streams the
+        # first-sample number
+        coded = f0 if variable_blocksizes is not None else fno
+        for b in _utf8_coded(coded):
             hdr.write(b, 8)
         hdr.write(bs - 1, 16)
         hbytes = hdr.flush()
@@ -456,24 +500,47 @@ def encode_flac(
 
         bw = _BitWriter()
         for sub, extra in zip(subs, extras):
-            _write_subframe(bw, sub, 16 + extra, strategy, lpc_coefs, lpc_shift)
+            _write_subframe(
+                bw, sub, bps + extra, strategy, lpc_coefs, lpc_shift, wasted
+            )
         frame += bw.flush()
         frame += _crc16(bytes(frame)).to_bytes(2, "big")
         out += frame
     return bytes(out)
 
 
-def _write_subframe(bw, sub, bps, strategy, lpc_coefs, lpc_shift) -> None:
+def _write_subframe(
+    bw, sub, bps, strategy, lpc_coefs, lpc_shift, wasted: int = 0
+) -> None:
+    if wasted:
+        if any(v & ((1 << wasted) - 1) for v in sub):
+            raise ValueError("wasted-bit samples must be 2**wasted multiples")
+        sub = [v >> wasted for v in sub]
+        bps -= wasted
+    _write_subframe_body(bw, sub, bps, strategy, lpc_coefs, lpc_shift, wasted)
+
+
+def _wasted_flag(bw, wasted: int) -> None:
+    if wasted:
+        bw.write(1, 1)
+        bw.unary(wasted - 1)
+    else:
+        bw.write(0, 1)
+
+
+def _write_subframe_body(
+    bw, sub, bps, strategy, lpc_coefs, lpc_shift, wasted
+) -> None:
     if strategy == "constant" and all(v == sub[0] for v in sub):
         bw.write(0, 1)
         bw.write(0, 6)
-        bw.write(0, 1)
+        _wasted_flag(bw, wasted)
         bw.write(sub[0] & ((1 << bps) - 1), bps)
         return
     if strategy == "verbatim" or strategy == "constant":
         bw.write(0, 1)
         bw.write(1, 6)
-        bw.write(0, 1)
+        _wasted_flag(bw, wasted)
         for v in sub:
             bw.write(v & ((1 << bps) - 1), bps)
         return
@@ -484,7 +551,7 @@ def _write_subframe(bw, sub, bps, strategy, lpc_coefs, lpc_shift) -> None:
         coefs = _FIXED_COEFS[order]
         bw.write(0, 1)
         bw.write(8 + order, 6)
-        bw.write(0, 1)
+        _wasted_flag(bw, wasted)
         for v in sub[:order]:
             bw.write(v & ((1 << bps) - 1), bps)
         resid = [
@@ -497,13 +564,13 @@ def _write_subframe(bw, sub, bps, strategy, lpc_coefs, lpc_shift) -> None:
         coefs = lpc_coefs or [3, -2]
         order = len(coefs)
         if len(sub) <= order:  # tail block too short for the predictor
-            _write_subframe(bw, sub, bps, "verbatim", None, 0)
+            _write_subframe_body(bw, sub, bps, "verbatim", None, 0, wasted)
             return
         precision = max(c.bit_length() + 1 for c in coefs)
         precision = max(precision, 2)
         bw.write(0, 1)
         bw.write(32 + order - 1, 6)
-        bw.write(0, 1)
+        _wasted_flag(bw, wasted)
         for v in sub[:order]:
             bw.write(v & ((1 << bps) - 1), bps)
         bw.write(precision - 1, 4)

@@ -1767,9 +1767,12 @@ def media_flac_from_documents(docs: DataFrame) -> DataFrame:
     samples (channel 1, on even ids, ((13·id + 29·i) % 3001) − 1500) —
     and id cycles the ENCODING across every subframe strategy (verbatim,
     fixed orders 0-4, explicit-coefficient LPC) and, for stereo files,
-    all four decorrelation modes. FLAC is lossless, so decoded sums
-    equal the generator formula regardless of strategy — one SQL oracle
-    covers every decode path."""
+    all four decorrelation modes. Every 3rd id stores the same samples
+    at 24-bit depth and every 5th id as a VARIABLE-blocksize stream
+    (three uneven frames) — layout axes that change the bytes but not
+    the samples. FLAC is lossless, so decoded sums equal the generator
+    formula regardless of strategy — one SQL oracle covers every
+    decode path."""
     from .flac import encode_flac
 
     strategies = [
@@ -1796,6 +1799,12 @@ def media_flac_from_documents(docs: DataFrame) -> DataFrame:
                     stereo_mode=modes[(did // 2) % 4],
                     lpc_coefs=[19, -7, 2],
                     lpc_shift=4,
+                    bps=24 if did % 3 == 0 else 16,
+                    variable_blocksizes=(
+                        [n // 3, n // 3, n - 2 * (n // 3)]
+                        if did % 5 == 0
+                        else None
+                    ),
                 )
                 rows.append(
                     {

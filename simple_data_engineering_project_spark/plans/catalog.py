@@ -7055,13 +7055,15 @@ def multimodal_g711_q(spark, sf_dir):
     "quantized coefficients and arithmetic shift), partitioned "
     "Rice-coded residuals with zigzag mapping and raw-escape "
     "partitions, and all three stereo decorrelation modes "
-    "(left/right/mid-side) undone exactly. The generator cycles every "
-    "strategy and stereo mode over closed-form sample content; FLAC "
-    "is LOSSLESS, so one SQL sum formula verifies every decode path — "
-    "a desync anywhere (rice parameter, LPC shift, CRC) breaks the "
-    "hash. Non-16-bit depth, wasted bits, and variable blocksize "
-    "raise — honest envelope. Embarrassingly parallel mapInPandas; "
-    "zero shuffles.",
+    "(left/right/mid-side) undone exactly, plus the full frame-layout "
+    "surface: bit depths 8-32 (every 3rd file is 24-bit), wasted-bits "
+    "subframes (k-1 unary, samples shifted back — unit-pinned), and "
+    "VARIABLE-blocksize streams (every 5th file: three uneven frames, "
+    "first-sample numbering). The generator cycles every strategy, "
+    "stereo mode, and layout axis over closed-form sample content; "
+    "FLAC is LOSSLESS, so one SQL sum formula verifies every decode "
+    "path — a desync anywhere (rice parameter, LPC shift, CRC) breaks "
+    "the hash. Embarrassingly parallel mapInPandas; zero shuffles.",
 )
 def multimodal_flac_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")

@@ -68,11 +68,71 @@ def test_crc_tamper_detected():
 
 def test_envelope_rejections():
     p = bytearray(encode_flac([_sig(300, 9)]))
-    # claim 24-bit depth in STREAMINFO (bits-per-sample field)
+    # tamper STREAMINFO to claim 24-bit: the frame headers still code
+    # 16-bit, so the per-frame consistency check must catch it
     packed = int.from_bytes(p[18:26], "big")
     packed = (packed & ~(0x1F << 36)) | ((24 - 1) << 36)
     p[18:26] = packed.to_bytes(8, "big")
-    with pytest.raises(NotImplementedError, match="24-bit"):
+    with pytest.raises(ValueError, match="differs from STREAMINFO"):
         decode_flac(bytes(p))
     with pytest.raises(ValueError):
         decode_flac(b"OggS not a flac")
+    with pytest.raises(ValueError, match="cover the signal"):
+        encode_flac([_sig(300, 9)], variable_blocksizes=[100, 100])
+    with pytest.raises(ValueError, match="wasted"):
+        encode_flac([[3] * 100], strategy="verbatim", wasted=2)
+
+
+@pytest.mark.parametrize("bps", [8, 12, 20, 24])
+def test_bit_depths_roundtrip(bps):
+    import random
+
+    rng = random.Random(bps)
+    lim = (1 << (bps - 1)) - 1
+    s = [rng.randint(-lim - 1, lim) for _ in range(500)]
+    d = decode_flac(encode_flac([s], strategy="fixed2", bps=bps))
+    assert d["samples"][0] == s
+    # stereo decorrelation carries the +1-bit side channel at any depth
+    l = [rng.randint(-lim - 1, lim) for _ in range(400)]
+    r = [rng.randint(-lim - 1, lim) for _ in range(400)]
+    d = decode_flac(
+        encode_flac([l, r], strategy="fixed1", stereo_mode="mid_side", bps=bps)
+    )
+    assert d["samples"] == [l, r]
+
+
+@pytest.mark.parametrize(
+    "strategy", ["verbatim", "fixed2", "lpc", "constant"]
+)
+def test_wasted_bits_roundtrip(strategy):
+    base = [64] * 350 if strategy == "constant" else [
+        v * 8 for v in _sig(350, 5)
+    ]
+    d = decode_flac(
+        encode_flac(
+            [base], strategy=strategy, wasted=3,
+            lpc_coefs=[19, -7, 2], lpc_shift=4,
+        )
+    )
+    assert d["samples"][0] == base
+
+
+def test_variable_blocksize_roundtrip():
+    s = _sig(1000, 11)
+    d = decode_flac(
+        encode_flac(
+            [s], strategy="fixed2", variable_blocksizes=[300, 137, 400, 163]
+        )
+    )
+    assert d["samples"][0] == s
+    # combined: variable + 24-bit + wasted + stereo left/side
+    l = [v * 4 for v in _sig(700, 13)]
+    r = [v * 4 for v in _sig(700, 29)]
+    d = decode_flac(
+        encode_flac(
+            [l, r], strategy="lpc", stereo_mode="left_side", bps=24,
+            wasted=2, variable_blocksizes=[512, 188],
+            lpc_coefs=[19, -7, 2], lpc_shift=4,
+        )
+    )
+    assert d["samples"] == [l, r]
