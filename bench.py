@@ -121,6 +121,7 @@ HEADLINE = [
     "dedup_paragraphs",
     "url_dedup",
     "zip_read",
+    "multimodal_ogg_packets",
 ]
 
 

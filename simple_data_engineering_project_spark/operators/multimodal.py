@@ -2155,6 +2155,57 @@ def media_mkv_from_documents(
     )
 
 
+def media_ogg_from_documents(
+    docs: DataFrame,
+    packet_bytes: int = 64,
+    delta_ms: int = 500,
+    rate: int = 48000,
+) -> DataFrame:
+    """Deterministic Ogg media table: each document's utf-8 bytes cut
+    into ``packet_bytes`` packets wrapped in real Ogg pages
+    (:func:`.ogg.encode_ogg`, one packet per page so the granule clock
+    has packet resolution), packet i stamped granule
+    ``i · rate · delta_ms / 1000``. Packet content is a closed-form
+    byte slice of the text, so an oracle predicts each sampled packet's
+    sha256 without parsing a page."""
+    from .ogg import encode_ogg
+
+    spp = rate * delta_ms // 1000
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                raw = (text or "").encode("utf-8")
+                packets = [
+                    (raw[i : i + packet_bytes], (i // packet_bytes) * spp)
+                    for i in range(0, len(raw), packet_bytes)
+                ]
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": (
+                            encode_ogg(packets, serial=0x1000 + did % 977)
+                            if packets
+                            else b""
+                        ),
+                        "meta": {
+                            "modality": "audio",
+                            "mime": "audio/ogg",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": len(packets) * delta_ms,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _spread_docs(docs).select("doc_id", "text").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -2189,6 +2240,12 @@ def sample_frames_df(media: DataFrame, frame_bytes: int = 256) -> DataFrame:
             return sample_video_frames(payload)  # STUB: raises here
         if payload is None:
             return []
+        if modality == "audio" and payload[:4] == b"OggS":
+            # Ogg audio: packets sampled by granule-position time
+            # buckets — the container's codec-free clock
+            from .ogg import sample_ogg_packets
+
+            return sample_ogg_packets(payload)
         return [
             payload[i : i + frame_bytes]
             for i in range(0, len(payload), frame_bytes)

@@ -6417,6 +6417,44 @@ def multimodal_mkv_frames_q(spark, sf_dir):
     return mm_ops.sample_frames_df(media)
 
 
+@register(
+    "multimodal_ogg_packets",
+    """
+    SELECT doc_id AS media_id,
+           CAST(g.n AS INT) AS frame_no,
+           CAST(strlen(substring(text, g.n * 128 + 1, 64)) AS BIGINT)
+             AS n_bytes,
+           sha256(substring(text, g.n * 128 + 1, 64)) AS sha256
+    FROM documents,
+         unnest(generate_series(0,
+                CAST(floor((ceil(strlen(text) / 64.0) - 1) / 2.0) AS INT)))
+           AS g(n)
+    WHERE strlen(text) > 0
+    """,
+    tier="C",
+    note="C5 REAL Ogg packet sampling (operators/ogg.py) — the "
+    "Opus/Vorbis speech-corpus container: documents wrapped in genuine "
+    "Ogg pages (64-byte packets at 500 ms granule steps, one packet "
+    "per page, per-doc serial numbers), then the walker verifies every "
+    "page's CRC-32 (the Ogg polynomial, pinned against the published "
+    "CRC-32/POSIX check value), reassembles packets across lacing "
+    "values, and keeps the first packet per 1000 ms granule-time "
+    "bucket — the shared time-bucket rule of the AVI/MP4/MKV "
+    "samplers, with zero codec knowledge. Sampled packet n sits at "
+    "text bytes [n*128, n*128+64), the same closed form as the other "
+    "container entries, so a sha256 match proves byte-exact packet "
+    "recovery from the page walk. Continued packets, multi-segment "
+    "lacing, and sequence-gap/CRC tamper detection are unit-pinned. "
+    "Embarrassingly parallel mapInPandas; zero shuffles.",
+)
+def multimodal_ogg_packets_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_ogg_from_documents(
+        d, packet_bytes=64, delta_ms=500
+    )
+    return mm_ops.sample_frames_df(media)
+
+
 
 @register(
     "orders_seasonality",
