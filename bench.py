@@ -122,6 +122,9 @@ HEADLINE = [
     "url_dedup",
     "zip_read",
     "multimodal_ogg_packets",
+    "dq_expectations",
+    "mlm_mask_plan",
+    "text_cms_topk",
 ]
 
 

@@ -7841,6 +7841,258 @@ def url_dedup_q(spark, sf_dir):
     )
 
 
+@register(
+    "dq_expectations",
+    """
+    WITH scan AS (
+      SELECT
+        CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 45
+                 THEN 1 ELSE 0 END) AS BIGINT) AS quantity_range,
+        CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.08
+                 THEN 1 ELSE 0 END) AS BIGINT) AS discount_range,
+        CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                 OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS returnflag_domain,
+        CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS orderkey_not_null,
+        CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem
+    ),
+    uniq AS (
+      SELECT CAST(SUM(c - 1) AS BIGINT) AS dup_rows,
+             CAST(SUM(c) AS BIGINT) AS n_rows
+      FROM (SELECT COUNT(*) AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber)
+    )
+    SELECT rule, n_violations, n_rows,
+           n_violations = 0 AS pass
+    FROM (
+      SELECT 'quantity_in_1_45' AS rule, quantity_range AS n_violations,
+             n_rows FROM scan
+      UNION ALL
+      SELECT 'discount_in_0_008', discount_range, n_rows FROM scan
+      UNION ALL
+      SELECT 'returnflag_in_ANR', returnflag_domain, n_rows FROM scan
+      UNION ALL
+      SELECT 'orderkey_not_null', orderkey_not_null, n_rows FROM scan
+      UNION ALL
+      SELECT 'orderline_unique', dup_rows, n_rows FROM uniq
+    )
+    """,
+    tier="C",
+    note="C12 expectation-suite validation (the Great-Expectations-"
+    "style DQ gate a warehouse load runs before commit): range, "
+    "domain, not-null, and key-uniqueness assertions over lineitem, "
+    "one row per rule with violation counts and a pass flag. Shape: "
+    "the four row-local rules fuse into ONE full scan (conditional "
+    "partial aggs, map-side combined); uniqueness is one keyed "
+    "shuffle counting surplus rows per key. Thresholds chosen so the "
+    "testdata yields real violations (quantity>45, discount>0.08, "
+    "and the generator's ~14k duplicate (orderkey, linenumber) "
+    "pairs).",
+)
+def dq_expectations_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    scan = li.agg(
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 45), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("quantity_range"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.08), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("discount_range"),
+        F.sum(
+            F.when(
+                ~F.col("l_returnflag").isin("A", "N", "R")
+                | F.col("l_returnflag").isNull(),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("returnflag_domain"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("orderkey_not_null"),
+        F.count("*").alias("n_rows"),
+    )
+    uniq = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.col("c") - 1).cast("bigint").alias("dup_rows"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+        )
+    )
+    # stack() unpivots the one-row scan aggregate so the four fused
+    # rules cost ONE lineitem pass, not one re-aggregation per rule
+    scan_rules = scan.select(
+        F.expr(
+            "stack(4, 'quantity_in_1_45', quantity_range, "
+            "'discount_in_0_008', discount_range, "
+            "'returnflag_in_ANR', returnflag_domain, "
+            "'orderkey_not_null', orderkey_not_null) "
+            "AS (rule, n_violations)"
+        ),
+        "n_rows",
+    )
+    uniq_rule = uniq.select(
+        F.lit("orderline_unique").alias("rule"),
+        F.col("dup_rows").alias("n_violations"),
+        F.col("n_rows"),
+    )
+    return scan_rules.unionAll(uniq_rule).withColumn(
+        "pass", F.col("n_violations") == 0
+    )
+
+
+@register(
+    "mlm_mask_plan",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
+             ws[g.n] AS w, g.n AS pos1
+      FROM (SELECT doc_id, ws FROM words WHERE len(ws) > 0),
+           unnest(generate_series(1, len(ws))) AS g(n)
+    ),
+    masked AS (
+      SELECT doc_id, n_tokens, w, pos1
+      FROM tok
+      WHERE ((doc_id * 1000003 + (pos1 - 1) * 2654435761)
+             % 4294967296) % 100 < 15
+    )
+    SELECT t.doc_id, t.n_tokens,
+           CAST(COALESCE(m.n_masked, 0) AS INT) AS n_masked,
+           md5(COALESCE(m.mask_text, '')) AS mask_md5
+    FROM (SELECT DISTINCT doc_id, n_tokens FROM tok) t
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_masked,
+             string_agg(w, ' ' ORDER BY pos1) AS mask_text
+      FROM masked GROUP BY doc_id
+    ) m USING (doc_id)
+    """,
+    tier="C",
+    note="C4 MLM masking plan (the BERT-style 15% token-mask step of "
+    "an LLM-pretraining pipeline, made replayable): a token is masked "
+    "iff a Knuth multiplicative hash of (doc_id, position) lands "
+    "under the rate — deterministic, so the mask is reproducible "
+    "across runs/engines and the oracle replays it exactly. Emits "
+    "per-doc token/mask counts and an md5 of the masked-out token "
+    "sequence. Shape: entirely ROW-LOCAL (index-aware array filter "
+    "in codegen, no explode, no shuffle) — mask selection at 100 TB "
+    "costs one scan.",
+)
+def mlm_mask_plan_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(text_ops.tokens("text"), lambda t: t != "")
+    hv = lambda i: (  # noqa: E731
+        (
+            F.col("doc_id") * F.lit(1000003)
+            + i.cast("long") * F.lit(2654435761)
+        )
+        % F.lit(4294967296)
+    ) % 100
+    masked = F.filter(words, lambda t, i: hv(i) < 15)
+    return (
+        d.select(
+            "doc_id",
+            F.size(words).alias("n_tokens"),
+            F.size(masked).alias("n_masked"),
+            F.md5(F.array_join(masked, " ")).alias("mask_md5"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+@register(
+    "text_cms_topk",
+    """
+    WITH tok AS (
+      SELECT t AS token FROM (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text),
+          '[^a-z0-9]+', ' ', 'g')), ' ')) AS t
+        FROM documents
+      ) WHERE t <> ''
+    ),
+    cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+            FROM tok GROUP BY token),
+    cells AS (
+      SELECT j, substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 2)
+               AS cell,
+             CAST(SUM(exact_cnt) AS BIGINT) AS cell_sum
+      FROM cnt, unnest([0, 1, 2]) AS g(j)
+      GROUP BY 1, 2
+    ),
+    want AS (
+      SELECT c.token, c.exact_cnt, g.j,
+             substr(md5(CAST(g.j AS VARCHAR) || ':' || c.token), 1, 2)
+               AS cell
+      FROM cnt c, unnest([0, 1, 2]) AS g(j)
+    ),
+    est AS (
+      SELECT w.token, w.exact_cnt, MIN(s.cell_sum) AS cms_est
+      FROM want w JOIN cells s ON s.j = w.j AND s.cell = w.cell
+      GROUP BY w.token, w.exact_cnt
+    )
+    SELECT token, cms_est, exact_cnt
+    FROM est
+    ORDER BY cms_est DESC, token ASC
+    LIMIT 20
+    """,
+    tier="C",
+    note="C11 Count-Min Sketch frequency estimation (top-20 tokens by "
+    "CMS estimate, exact counts alongside): d=3 hash rows x 256 "
+    "string-keyed cells (md5 prefix — engine-identical, sidestepping "
+    "int-endianness), counters built by a keyed sum whose OUTPUT is "
+    "bounded at 768 rows no matter the vocabulary — the mergeable-"
+    "sketch scale path for frequency estimation over unbounded key "
+    "spaces (vs text_heavy_hitters' exact Misra-Gries). CMS counters "
+    "are plain sums, so partial aggregation makes the sketch "
+    "partition-order-independent and the estimate (min over rows) "
+    "deterministic — hence a FULL value-hash oracle, not rows-only. "
+    "Estimates >= exact counts by construction (one-sided error); "
+    "the 20-row report joins the bounded counter table broadcast.",
+)
+def text_cms_topk_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(text_ops.tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    cnt = toks.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("exact_cnt")
+    )
+    js = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j")
+    cell = F.substring(
+        F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("token"))),
+        1,
+        2,
+    )
+    cells = (
+        cnt.select(js, "token", "exact_cnt")
+        .select("j", cell.alias("cell"), "exact_cnt")
+        .groupBy("j", "cell")
+        .agg(F.sum("exact_cnt").cast("bigint").alias("cell_sum"))
+    )
+    est = (
+        cnt.select(js, "token", "exact_cnt")
+        .withColumn("cell", cell)
+        .join(F.broadcast(cells), ["j", "cell"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cell_sum").alias("cms_est"))
+    )
+    return (
+        est.select("token", "cms_est", "exact_cnt")
+        .orderBy(F.col("cms_est").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order

@@ -1336,3 +1336,56 @@ def test_url_normalize_axes(spark):
         ).collect()
     ]
     assert got == [want for _, want in cases]
+
+def test_mlm_mask_plan_is_deterministic_and_rate_bounded(spark):
+    from simple_data_engineering_project_spark.plans.catalog import catalog
+
+    q = catalog()["mlm_mask_plan"]
+    a = {r["doc_id"]: r for r in q.fn(spark, "/root/testdata/sf0.001").collect()}
+    b = {r["doc_id"]: r for r in q.fn(spark, "/root/testdata/sf0.001").collect()}
+    assert a.keys() == b.keys() and all(
+        a[k] == b[k] for k in a
+    )  # replayable mask
+    total = sum(r["n_tokens"] for r in a.values())
+    masked = sum(r["n_masked"] for r in a.values())
+    assert 0.10 < masked / total < 0.20  # 15% target rate
+    assert all(r["n_masked"] <= r["n_tokens"] for r in a.values())
+
+
+def test_cms_estimates_dominate_exact_counts(spark):
+    from simple_data_engineering_project_spark.plans.catalog import catalog
+
+    rows = catalog()["text_cms_topk"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 20
+    # CMS error is one-sided: estimate >= exact count, always
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
+    # the top of the report should be genuinely frequent tokens
+    assert rows[0]["exact_cnt"] > 1
+
+
+def test_dq_expectations_rules(spark):
+    import datetime
+
+    from simple_data_engineering_project_spark.plans.catalog import catalog
+
+    rows = {
+        r["rule"]: r
+        for r in catalog()["dq_expectations"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {
+        "quantity_in_1_45", "discount_in_0_008", "returnflag_in_ANR",
+        "orderkey_not_null", "orderline_unique",
+    }
+    # testdata has quantities up to 50 and duplicate line keys -> these
+    # rules must FAIL with real violation counts
+    assert not rows["quantity_in_1_45"]["pass"]
+    assert rows["orderline_unique"]["n_violations"] > 0
+    # and the always-clean rules must pass
+    assert rows["orderkey_not_null"]["pass"]
+    assert rows["returnflag_in_ANR"]["pass"]
+    n = rows["quantity_in_1_45"]["n_rows"]
+    assert all(r["n_rows"] == n for r in rows.values())
