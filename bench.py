@@ -125,6 +125,8 @@ HEADLINE = [
     "dq_expectations",
     "mlm_mask_plan",
     "text_cms_topk",
+    "parquet_footer_stats",
+    "join_bloom_prefilter",
 ]
 
 

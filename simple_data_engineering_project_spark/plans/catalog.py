@@ -8093,6 +8093,156 @@ def text_cms_topk_q(spark, sf_dir):
     )
 
 
+@register(
+    "parquet_footer_stats",
+    f"""
+    SELECT CAST(row_group_id AS INT) AS row_group,
+           path_in_schema AS col_path,
+           CAST(num_values AS BIGINT) AS num_values,
+           CAST(stats_null_count AS BIGINT) AS null_count,
+           CAST(total_compressed_size AS BIGINT) AS compressed_bytes,
+           CAST(total_uncompressed_size AS BIGINT) AS uncompressed_bytes,
+           compression AS codec
+    FROM parquet_metadata('{SCRATCH}/footer_probe/*.parquet')
+    """,
+    tier="C",
+    note="C12/A10 REAL parquet FOOTER decoding "
+    "(operators/parquet_meta.py) — the zone-map layer a scan planner "
+    "reads for row-group skipping and size estimation: the entry "
+    "writes lineitem as a real Spark parquet file (small block size "
+    "forces several row groups), then parses the FileMetaData footer "
+    "BY HAND — thrift compact protocol (4-bit field-id deltas, "
+    "zigzag varints, length-prefixed binaries, size|type list "
+    "headers) walked to RowGroup/ColumnChunk/ColumnMetaData/"
+    "Statistics per parquet.thrift — reading ONLY the file tail, "
+    "never a data page. The ORACLE is DuckDB's parquet_metadata() "
+    "over the SAME bytes: two independent footer decoders agreeing "
+    "on value counts, null counts, chunk sizes, and codecs — not a "
+    "round-trip. Footer-only I/O is the point at 100 TB: planning "
+    "touches KBs per file, and the per-file walk parallelizes as a "
+    "row-local mapInPandas over the file listing.",
+)
+def parquet_footer_stats_q(spark, sf_dir):
+    import pandas as _pd
+
+    out = f"{SCRATCH}/footer_probe"
+    li = _t(spark, sf_dir, "lineitem")
+    (
+        li.coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.block.size", 256 * 1024)
+        .parquet(out)
+    )
+    paths = sorted(
+        f"{out}/{p}"
+        for p in os.listdir(out)
+        if p.endswith(".parquet") and not p.startswith(".")
+    )
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def _extract(batches):
+        from ..operators.parquet_meta import read_footer_stats
+
+        for b in batches:
+            rows = []
+            for path in b["path"]:
+                rows.extend(read_footer_stats(path))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "row_group", "column", "num_values", "null_count",
+                    "compressed_bytes", "uncompressed_bytes", "codec",
+                ],
+            )
+
+    return pdf.mapInPandas(
+        _extract,
+        schema="row_group int, column string, num_values bigint, "
+        "null_count bigint, compressed_bytes bigint, "
+        "uncompressed_bytes bigint, codec string",
+    ).withColumnRenamed("column", "col_path")
+
+
+@register(
+    "join_bloom_prefilter",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+    tier="C",
+    note="C7 runtime Bloom-filter join pruning — the 100 TB shuffle "
+    "reducer when the build side is too big to broadcast as ROWS but "
+    "its BLOOM fits anywhere: the dim keys (BUILDING customers) fold "
+    "into a 16384-bit filter via one keyed bit_or aggregate whose "
+    "output is bounded at 256 longs regardless of dim size (bounded "
+    "model metadata, like centroids); the fact side then drops "
+    "non-candidate rows ROW-LOCALLY (three Knuth-hash bit probes "
+    "against the literal word array, pure codegen) BEFORE the exact "
+    "semi join sees them. Bloom filters have NO false negatives, so "
+    "the result equals the plain semi join — which IS the oracle; a "
+    "hash probe bug surfaces as a missing row. False-positive "
+    "pass-through is caught by the exact join behind it; pruning "
+    "effectiveness is unit-pinned.",
+)
+def join_bloom_prefilter_q(spark, sf_dir):
+    M_BITS = 16384
+    HASHES = (2654435761, 2246822519, 3266489917)
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    pos_cols = [
+        ((F.col("c_custkey") * F.lit(a)) % M_BITS).alias(f"p{i}")
+        for i, a in enumerate(HASHES)
+    ]
+    words = (
+        dim.select(F.explode(F.array(*pos_cols)).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .collect()
+    )
+    bloom = [0] * (M_BITS // 64)
+    for r in words:
+        bloom[r["word"]] = r["bits"]
+    fact = _t(spark, sf_dir, "orders").withColumn(
+        "__bloom", F.array(*[F.lit(w).cast("bigint") for w in bloom])
+    )
+    probes = [
+        F.expr(
+            f"(element_at(__bloom, CAST((o_custkey * {a}) % {M_BITS} "
+            f"DIV 64 AS INT) + 1) & shiftleft(CAST(1 AS BIGINT), "
+            f"CAST((o_custkey * {a}) % 64 AS INT))) != 0"
+        )
+        for a in HASHES
+    ]
+    cond = probes[0]
+    for p in probes[1:]:
+        cond = cond & p
+    candidates = fact.filter(cond).drop("__bloom")
+    exact = candidates.join(
+        F.broadcast(dim), candidates["o_custkey"] == dim["c_custkey"], "semi"
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).cast("bigint").alias("total_cents"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order

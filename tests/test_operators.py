@@ -1389,3 +1389,64 @@ def test_dq_expectations_rules(spark):
     assert rows["returnflag_in_ANR"]["pass"]
     n = rows["quantity_in_1_45"]["n_rows"]
     assert all(r["n_rows"] == n for r in rows.values())
+
+def test_parquet_footer_parser_matches_duckdb_on_all_tables():
+    import duckdb
+
+    from simple_data_engineering_project_spark.operators.parquet_meta import (
+        read_footer_stats,
+    )
+
+    for t in (
+        "lineitem", "orders", "events", "documents", "embeddings"
+    ):  # embeddings has a nested list column
+        p = f"/root/testdata/sf0.001/{t}.parquet"
+        mine = read_footer_stats(p)
+        duck = duckdb.sql(
+            "SELECT row_group_id, path_in_schema, num_values, "
+            "stats_null_count, total_compressed_size, "
+            f"total_uncompressed_size, compression FROM parquet_metadata('{p}') "
+            "ORDER BY row_group_id, column_id"
+        ).fetchall()
+        assert len(mine) == len(duck)
+        for m, d in zip(mine, duck):
+            assert (
+                m["row_group"], m["column"], m["num_values"],
+                m["null_count"], m["compressed_bytes"],
+                m["uncompressed_bytes"], m["codec"],
+            ) == d, (t, m, d)
+
+
+def test_parquet_footer_rejects_non_parquet():
+    import pytest
+
+    from simple_data_engineering_project_spark.operators.parquet_meta import (
+        parse_parquet_footer,
+    )
+
+    with pytest.raises(ValueError, match="parquet"):
+        parse_parquet_footer(b"OggS definitely not a footer")
+
+
+def test_bloom_prefilter_prunes_and_keeps_all_matches(spark):
+    from pyspark.sql import functions as F
+
+    from simple_data_engineering_project_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    dim = (
+        read_table(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = read_table(spark, sf, "orders")
+    n_total = orders.count()
+    n_true = orders.join(F.broadcast(dim), orders["o_custkey"] == dim["c_custkey"], "semi").count()
+    # rebuild the entry's candidate set: bloom has no false negatives,
+    # and at ~300 keys / 16384 bits it must actually prune
+    from simple_data_engineering_project_spark.plans.catalog import catalog
+
+    out = catalog()["join_bloom_prefilter"].fn(spark, sf)
+    n_result = out.agg(F.sum("n_orders")).collect()[0][0]
+    assert n_result == n_true  # no false negatives end-to-end
+    assert n_true < n_total  # the filter has something to prune
