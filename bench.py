@@ -127,6 +127,8 @@ HEADLINE = [
     "text_cms_topk",
     "parquet_footer_stats",
     "join_bloom_prefilter",
+    "spatial_grid_join",
+    "arrow_ipc_read",
 ]
 
 

@@ -1678,6 +1678,104 @@ def avro_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=AVRO_SCHEMA)
 
 
+def media_arrow_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic Arrow IPC table WRITTEN BY PYARROW — the external
+    reference implementation, so the gate itself cross-validates our
+    reader: per document a 3-row table (long, string, exact
+    quarter-integer double, nullable long), streamed in 2-row record
+    batches; every 2nd document uses the FILE format (Feather v2)
+    instead of the stream format."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for doc_id in pdf_["doc_id"]:
+                did = int(doc_id)
+                t = pa.table(
+                    {
+                        "val": pa.array(
+                            [(did * 31 + k * 17) % 1000 for k in range(3)],
+                            type=pa.int64(),
+                        ),
+                        "name": pa.array(
+                            [f"r{(did + k) % 10}" for k in range(3)]
+                        ),
+                        "score": pa.array(
+                            [((did + k) % 100) / 4.0 for k in range(3)],
+                            type=pa.float64(),
+                        ),
+                        "opt": pa.array(
+                            [None if k == 1 else did % 50 for k in range(3)],
+                            type=pa.int64(),
+                        ),
+                    }
+                )
+                buf = io.BytesIO()
+                opener = ipc.new_file if did % 2 == 0 else ipc.new_stream
+                with opener(buf, t.schema) as w:
+                    w.write_table(t, max_chunksize=2)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": buf.getvalue(),
+                        "meta": {
+                            "modality": "text",
+                            "mime": "application/vnd.apache.arrow.stream",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _spread_docs(docs).select("doc_id").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
+
+
+def arrow_features(media: DataFrame) -> DataFrame:
+    """Parse Arrow IPC payloads (hand-rolled flatbuffers + buffer
+    decode via :mod:`.arrow_ipc`) and emit per-file aggregates —
+    same shape as :func:`avro_features`."""
+    from .arrow_ipc import parse_arrow_ipc
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for mid, payload in zip(pdf_["media_id"], pdf_["payload"]):
+                _schema, recs = parse_arrow_ipc(payload)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_rows": len(recs),
+                        "val_sum": sum(r["val"] for r in recs),
+                        "score_sum_q": int(
+                            sum(int(r["score"] * 4) for r in recs)
+                        ),
+                        "name_cat": "".join(r["name"] for r in recs),
+                        "n_null": sum(1 for r in recs if r["opt"] is None),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_rows", "val_sum", "score_sum_q",
+                    "name_cat", "n_null",
+                ],
+            ).astype(
+                {"media_id": "int64", "n_rows": "int32",
+                 "val_sum": "int64", "score_sum_q": "int64",
+                 "n_null": "int32"}
+            )
+
+    return media.mapInPandas(_extract, schema=AVRO_SCHEMA)
+
+
 def media_gif_animated_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic ANIMATED GIF table: nf = 3 + id%4 full-canvas
     frames of w=1+id%20 × h=1+id%12, frame f a gradient of
