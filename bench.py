@@ -129,6 +129,7 @@ HEADLINE = [
     "join_bloom_prefilter",
     "spatial_grid_join",
     "arrow_ipc_read",
+    "multimodal_mp3_meta",
 ]
 
 

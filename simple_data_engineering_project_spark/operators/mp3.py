@@ -1,0 +1,163 @@
+"""MP3 frame-header walking in pure stdlib (SURVEY §2 C5).
+
+Auditing an MP3 corpus (duration, bitrate mix, frame integrity) needs
+NO audio decode — an MP3 file is a sequence of frames whose 4-byte
+headers declare everything: 11-bit sync, MPEG version, layer, bitrate
+and sample-rate indices, padding. The walk is header-driven: each
+frame's byte length follows from its own header
+(``144·bitrate/samplerate + padding`` for Layer III), so the walker
+JUMPS frame bodies by declared length and never pattern-scans payload
+bytes — frame bodies legally contain 0xFFE sync lookalikes (the same
+rule as the PDF/TIFF/MP4/zip walkers). ID3v2 prefix tags (syncsafe
+size) and the trailing 128-byte ID3v1 ``TAG`` block are skipped.
+
+Decoding actual audio (Huffman spectral data, IMDCT) is explicitly out
+of scope and unrelated to this metadata surface; free-format bitrate
+(index 0) and Layer II/I lengths outside the tables raise
+``NotImplementedError``. The companion :func:`encode_mp3_frames`
+synthesizes spec-valid frame sequences (headers + deterministic filler
+that embeds sync lookalikes) so the oracle predicts every aggregate in
+closed form. (∅ in reference; Tier C extension.)
+"""
+
+from __future__ import annotations
+
+# bitrate tables, kbps; index 1..14 (0 = free format, 15 = bad)
+_BITRATES = {
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+}
+# sample rates by (version, index); version 25 = MPEG-2.5
+_RATES = {
+    (1, 0): 44100, (1, 1): 48000, (1, 2): 32000,
+    (2, 0): 22050, (2, 1): 24000, (2, 2): 16000,
+    (25, 0): 11025, (25, 1): 12000, (25, 2): 8000,
+}
+
+
+def _frame_info(hdr: int) -> tuple[int, int, int]:
+    """(frame_bytes, samples, sample_rate) from a 32-bit frame header."""
+    if hdr >> 21 != 0x7FF:
+        raise ValueError("bad MP3 frame sync")
+    vbits = (hdr >> 19) & 0x3  # 00=2.5, 10=2, 11=1 (01 reserved)
+    version = {0: 25, 2: 2, 3: 1}.get(vbits)
+    if version is None:
+        raise ValueError("reserved MPEG version")
+    lbits = (hdr >> 17) & 0x3  # 01=III, 10=II, 11=I
+    layer = {1: 3, 2: 2, 3: 1}.get(lbits)
+    if layer is None:
+        raise ValueError("reserved layer")
+    br_idx = (hdr >> 12) & 0xF
+    sr_idx = (hdr >> 10) & 0x3
+    padding = (hdr >> 9) & 0x1
+    if br_idx == 0:
+        raise NotImplementedError("free-format MP3 bitrate")
+    if br_idx == 15 or sr_idx == 3:
+        raise ValueError("invalid bitrate/samplerate index")
+    bitrate = _BITRATES[(1 if version == 1 else 2, layer)][br_idx] * 1000
+    rate = _RATES[(version, sr_idx)]
+    if layer == 1:
+        length = (12 * bitrate // rate + padding) * 4
+        samples = 384
+    else:
+        per = 144 if (layer == 3 and version == 1) or layer == 2 else 72
+        length = per * bitrate // rate + padding
+        samples = per * 8
+    return length, samples, rate
+
+
+def walk_mp3(payload: bytes) -> dict:
+    """Frame walk → {n_frames, total_samples, sample_rate, total_bytes,
+    bitrates (sorted distinct kbps)}. Jumps each frame by its declared
+    length; anything that is not a frame, ID3v2, or ID3v1 where a frame
+    should start is an error."""
+    pos = 0
+    n = len(payload)
+    # ID3v2: "ID3" + ver(2) + flags(1) + 4-byte syncsafe size
+    if payload[:3] == b"ID3":
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    n_frames = 0
+    total_samples = 0
+    total_bytes = 0
+    rate0 = None
+    bitrates = set()
+    while pos < n:
+        if payload[pos : pos + 3] == b"TAG" and n - pos == 128:
+            break  # trailing ID3v1
+        if pos + 4 > n:
+            raise ValueError("truncated MP3 frame header")
+        hdr = int.from_bytes(payload[pos : pos + 4], "big")
+        length, samples, rate = _frame_info(hdr)
+        if rate0 is None:
+            rate0 = rate
+        elif rate != rate0:
+            raise ValueError("sample-rate change mid-stream")
+        bitrates.add(((hdr >> 12) & 0xF, (hdr >> 19) & 0x3, (hdr >> 17) & 0x3))
+        if pos + length > n:
+            raise ValueError("frame runs past end of payload")
+        n_frames += 1
+        total_samples += samples
+        total_bytes += length
+        pos += length
+    if n_frames == 0:
+        raise ValueError("no MP3 frames")
+    kbps = sorted(
+        _BITRATES[
+            (1 if {0: 25, 2: 2, 3: 1}[v] == 1 else 2, {1: 3, 2: 2, 3: 1}[l])
+        ][b]
+        for b, v, l in bitrates
+    )
+    return {
+        "n_frames": n_frames,
+        "total_samples": total_samples,
+        "sample_rate": rate0,
+        "total_bytes": total_bytes,
+        "bitrates_kbps": kbps,
+    }
+
+
+def encode_mp3_frames(
+    n_frames: int,
+    bitrate_idx: int = 9,
+    rate_idx: int = 0,
+    version: int = 1,
+    pad_every: int = 2,
+    id3v2_bytes: int = 0,
+    id3v1: bool = False,
+) -> bytes:
+    """Spec-valid MPEG Layer-III frame sequence: headers per the real
+    tables, bodies filled with a deterministic pattern that EMBEDS sync
+    lookalikes (0xFF 0xFB) so a scanning parser would desync."""
+    vbits = {1: 3, 2: 2, 25: 0}[version]
+    out = bytearray()
+    if id3v2_bytes:
+        size = id3v2_bytes
+        ss = bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+             (size >> 7) & 0x7F, size & 0x7F]
+        )
+        out += b"ID3\x04\x00\x00" + ss + bytes(id3v2_bytes)
+    for i in range(n_frames):
+        padding = 1 if pad_every and i % pad_every == 0 else 0
+        hdr = (
+            (0x7FF << 21) | (vbits << 19) | (0x1 << 17)  # layer III
+            | (0x1 << 16)  # no CRC
+            | (bitrate_idx << 12) | (rate_idx << 10) | (padding << 9)
+        )
+        length, _s, _r = _frame_info(hdr)
+        body = bytearray(
+            ((i + k) % 251 for k in range(length - 4))
+        )
+        if len(body) >= 6:  # plant a sync lookalike mid-body
+            body[2:4] = b"\xff\xfb"
+        out += hdr.to_bytes(4, "big") + body
+    if id3v1:
+        out += b"TAG" + bytes(125)
+    return bytes(out)

@@ -1678,6 +1678,89 @@ def avro_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=AVRO_SCHEMA)
 
 
+def media_mp3_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic MP3 table: per document 20 + id%60 real MPEG
+    Layer-III frames — bitrate index 9 + id%5 (so kbps = 128 + 32·(id%5)
+    by the Layer-III table's linear run), sample-rate index id%3,
+    padding on every 2nd frame, an ID3v2 prefix on even ids and a
+    trailing ID3v1 block on every 3rd — frame bodies embed sync
+    lookalikes, so only a length-driven walk survives."""
+    from .mp3 import encode_mp3_frames
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for doc_id in pdf_["doc_id"]:
+                did = int(doc_id)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_mp3_frames(
+                            n_frames=20 + did % 60,
+                            bitrate_idx=9 + did % 5,
+                            rate_idx=did % 3,
+                            version=1,
+                            pad_every=2,
+                            id3v2_bytes=10 + did % 50 if did % 2 == 0 else 0,
+                            id3v1=did % 3 == 0,
+                        ),
+                        "meta": {
+                            "modality": "audio",
+                            "mime": "audio/mpeg",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _spread_docs(docs).select("doc_id").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
+
+
+MP3_SCHEMA = (
+    "media_id long, n_frames int, sample_rate int, total_samples bigint, "
+    "total_bytes bigint, bitrate_kbps int"
+)
+
+
+def mp3_meta_features(media: DataFrame) -> DataFrame:
+    """Walk MP3 frame headers (length-driven, via :mod:`.mp3`) and emit
+    the corpus-audit aggregates."""
+    from .mp3 import walk_mp3
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for mid, payload in zip(pdf_["media_id"], pdf_["payload"]):
+                m = walk_mp3(payload)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_frames": m["n_frames"],
+                        "sample_rate": m["sample_rate"],
+                        "total_samples": m["total_samples"],
+                        "total_bytes": m["total_bytes"],
+                        "bitrate_kbps": m["bitrates_kbps"][0],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "sample_rate",
+                    "total_samples", "total_bytes", "bitrate_kbps",
+                ],
+            ).astype(
+                {"media_id": "int64", "n_frames": "int32",
+                 "sample_rate": "int32", "total_samples": "int64",
+                 "total_bytes": "int64", "bitrate_kbps": "int32"}
+            )
+
+    return media.mapInPandas(_extract, schema=MP3_SCHEMA)
+
+
 def media_arrow_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic Arrow IPC table WRITTEN BY PYARROW — the external
     reference implementation, so the gate itself cross-validates our

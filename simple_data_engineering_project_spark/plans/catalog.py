@@ -8369,6 +8369,47 @@ def arrow_ipc_read_q(spark, sf_dir):
     return mm_ops.arrow_features(media)
 
 
+@register(
+    "multimodal_mp3_meta",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             20 + doc_id % 60 AS n,
+             128 + 32 * (doc_id % 5) AS kbps,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS sr
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS INT) AS n_frames,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(n * 1152 AS BIGINT) AS total_samples,
+           CAST(n * (144 * kbps * 1000 // sr) + (n + 1) // 2 AS BIGINT)
+             AS total_bytes,
+           CAST(kbps AS INT) AS bitrate_kbps
+    FROM p
+    """,
+    tier="C",
+    note="C5 REAL MP3 frame-header walking (operators/mp3.py) — the "
+    "audio-corpus audit surface (duration, bitrate mix, frame "
+    "integrity) needs NO audio decode: 11-bit sync + version/layer/"
+    "bitrate/samplerate/padding fields give each frame's byte length "
+    "(144·br/sr + pad for Layer III), and the walker JUMPS bodies by "
+    "declared length — bodies embed 0xFFFB sync lookalikes, so a "
+    "pattern-scanning parser desyncs (the PDF/TIFF/MP4/zip rule "
+    "again). ID3v2 syncsafe prefixes and trailing ID3v1 blocks are "
+    "skipped. The oracle predicts frame counts, sample totals, and "
+    "exact byte sizes from the real Layer-III bitrate table's linear "
+    "128..256 run. Free-format bitrate raises; audio decode "
+    "(Huffman/IMDCT) is out of scope by design, not a stub. "
+    "Embarrassingly parallel mapInPandas; zero shuffles.",
+)
+def multimodal_mp3_meta_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_mp3_from_documents(d)
+    return mm_ops.mp3_meta_features(media)
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order

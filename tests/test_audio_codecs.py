@@ -94,3 +94,48 @@ def test_container_dispatch_and_unknown_format():
         decode_wav_compressed(bytes(bad))
     with pytest.raises(ValueError):
         decode_wav_compressed(b"RIFF\x00\x00\x00\x00AVI )")
+
+
+def test_mp3_walk_closed_form_and_tag_skipping():
+    from simple_data_engineering_project_spark.operators.mp3 import (
+        encode_mp3_frames,
+        walk_mp3,
+    )
+
+    # v1 L3 128 kbps / 44100: frame = 144*128000//44100 (+pad)
+    m = walk_mp3(encode_mp3_frames(10, bitrate_idx=9, rate_idx=0))
+    assert m == {
+        "n_frames": 10, "total_samples": 11520, "sample_rate": 44100,
+        "total_bytes": sum(417 + (1 - i % 2) for i in range(10)),
+        "bitrates_kbps": [128],
+    }
+    # ID3v2 prefix + trailing ID3v1 are skipped; v2 frames are 576-sample
+    m = walk_mp3(
+        encode_mp3_frames(
+            7, bitrate_idx=12, rate_idx=0, version=2, pad_every=0,
+            id3v2_bytes=33, id3v1=True,
+        )
+    )
+    assert (m["n_frames"], m["total_samples"], m["sample_rate"]) == (
+        7, 7 * 576, 22050,
+    )
+
+
+def test_mp3_walk_rejects_desync_and_free_format():
+    import pytest
+
+    from simple_data_engineering_project_spark.operators.mp3 import (
+        encode_mp3_frames,
+        walk_mp3,
+    )
+
+    good = bytearray(encode_mp3_frames(4, bitrate_idx=9, rate_idx=0))
+    good[0] = 0x00  # break the first sync
+    with pytest.raises(ValueError, match="sync"):
+        walk_mp3(bytes(good))
+    with pytest.raises(ValueError, match="past end"):
+        walk_mp3(encode_mp3_frames(4, bitrate_idx=9, rate_idx=0)[:-10])
+    free = bytearray(encode_mp3_frames(1, bitrate_idx=9, rate_idx=0))
+    free[2] &= 0x0F  # bitrate index -> 0 (free format)
+    with pytest.raises(NotImplementedError, match="free-format"):
+        walk_mp3(bytes(free))
