@@ -130,6 +130,7 @@ HEADLINE = [
     "spatial_grid_join",
     "arrow_ipc_read",
     "multimodal_mp3_meta",
+    "multimodal_exif",
 ]
 
 

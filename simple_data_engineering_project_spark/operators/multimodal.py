@@ -1761,6 +1761,102 @@ def mp3_meta_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=MP3_SCHEMA)
 
 
+def media_exif_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic EXIF'd JPEG table: real baseline JPEGs (one
+    DC-only block) with a conformant APP1 segment — IFD0 carrying
+    orientation/make/model, the ExifIFD carrying ISO, exposure
+    RATIONAL, and pixel dims; byte order alternates II/MM by id so
+    both endiannesses hit the oracle gate."""
+    from .exif import build_exif_app1, encode_exif_jpeg
+    from .jpeg import encode_jpeg_blocks
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for doc_id in pdf_["doc_id"]:
+                did = int(doc_id)
+                base = encode_jpeg_blocks(8, 8, [(did % 100, 0)])
+                app1 = build_exif_app1(
+                    ifd0=[
+                        (0x0112, 3, 1 + did % 8),
+                        (0x010F, 2, f"Cam{did % 5}"),
+                        (0x0110, 2, f"M-{did % 20}"),
+                    ],
+                    exif_ifd=[
+                        (0x8827, 3, 100 * (1 + did % 16)),
+                        (0x829A, 5, (1, 125 + did % 500)),
+                        (0xA002, 4, 8),
+                        (0xA003, 4, 8),
+                    ],
+                    byte_order="II" if did % 2 == 0 else "MM",
+                )
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_exif_jpeg(base, app1),
+                        "meta": {
+                            "modality": "image",
+                            "mime": "image/jpeg",
+                            "width": 8,
+                            "height": 8,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _spread_docs(docs).select("doc_id").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
+
+
+EXIF_SCHEMA = (
+    "media_id long, orientation int, make string, model string, iso int, "
+    "exp_denom int, px_w int, px_h int, pixel_sum bigint"
+)
+
+
+def exif_features(media: DataFrame) -> DataFrame:
+    """Parse the APP1 EXIF tags (real IFD walk via :mod:`.exif`) AND
+    decode the carrier JPEG's pixels — proving the APP1 insertion
+    leaves the image stream intact."""
+    from .exif import parse_exif
+    from .jpeg import decode_jpeg_pixels
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for mid, payload in zip(pdf_["media_id"], pdf_["payload"]):
+                t = parse_exif(payload)
+                px = decode_jpeg_pixels(payload)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "orientation": t[0x0112],
+                        "make": t[0x010F],
+                        "model": t[0x0110],
+                        "iso": t[0x8827],
+                        "exp_denom": t[0x829A][1],
+                        "px_w": t[0xA002],
+                        "px_h": t[0xA003],
+                        "pixel_sum": int(px.sum(dtype=np.int64)),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "orientation", "make", "model", "iso",
+                    "exp_denom", "px_w", "px_h", "pixel_sum",
+                ],
+            ).astype(
+                {"media_id": "int64", "orientation": "int32",
+                 "iso": "int32", "exp_denom": "int32", "px_w": "int32",
+                 "px_h": "int32", "pixel_sum": "int64"}
+            )
+
+    return media.mapInPandas(_extract, schema=EXIF_SCHEMA)
+
+
 def media_arrow_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic Arrow IPC table WRITTEN BY PYARROW — the external
     reference implementation, so the gate itself cross-validates our

@@ -8410,6 +8410,40 @@ def multimodal_mp3_meta_q(spark, sf_dir):
     return mm_ops.mp3_meta_features(media)
 
 
+@register(
+    "multimodal_exif",
+    """
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           'M-' || CAST(doc_id % 20 AS VARCHAR) AS model,
+           CAST(100 * (1 + doc_id % 16) AS INT) AS iso,
+           CAST(125 + doc_id % 500 AS INT) AS exp_denom,
+           CAST(8 AS INT) AS px_w,
+           CAST(8 AS INT) AS px_h,
+           CAST(64 * (doc_id % 100 + 128) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    tier="C",
+    note="C5 REAL EXIF extraction (operators/exif.py) — the "
+    "image-corpus curation metadata (orientation fixing, camera-model "
+    "dedup, capture bucketing): a JPEG APP1 walk to the embedded TIFF "
+    "structure, BOTH byte orders (ids alternate II/MM), IFD0 entry "
+    "records with the ExifIFD (0x8769) pointer followed, and the "
+    "offset-vs-inline value rule exercised where naive parsers break "
+    "(ASCII strings and RATIONALs are always indirect). The extractor "
+    "ALSO pixel-decodes the carrier JPEG, proving APP1 insertion "
+    "leaves the scan intact (pixel_sum = 64·(DC+128) closed form). "
+    "Unit tests pin exact APP1 bytes in both byte orders so the "
+    "encoder/decoder pair is not merely self-consistent. "
+    "Embarrassingly parallel mapInPandas; zero shuffles.",
+)
+def multimodal_exif_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_exif_from_documents(d)
+    return mm_ops.exif_features(media)
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order
