@@ -131,6 +131,8 @@ HEADLINE = [
     "arrow_ipc_read",
     "multimodal_mp3_meta",
     "multimodal_exif",
+    "npz_read",
+    "safetensors_read",
 ]
 
 

@@ -1857,6 +1857,183 @@ def exif_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=EXIF_SCHEMA)
 
 
+def media_npz_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic .npz table WRITTEN BY NUMPY (np.savez_compressed —
+    the external reference implementation, so the gate cross-validates
+    our reader): per document an archive holding 'emb' (2x3 float32
+    quarter-integers) and 'ids' (3 int64), every 2nd doc
+    Fortran-ordered so the stride swap is exercised."""
+    import io as _io
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for doc_id in pdf_["doc_id"]:
+                did = int(doc_id)
+                emb = np.array(
+                    [((did + k) % 40) / 4.0 for k in range(6)],
+                    dtype=np.float32,
+                ).reshape(2, 3)
+                if did % 2 == 0:
+                    emb = np.asfortranarray(emb)
+                ids = np.array(
+                    [(did * 31 + k * 17) % 1000 for k in range(3)],
+                    dtype=np.int64,
+                )
+                buf = _io.BytesIO()
+                writer = np.savez_compressed if did % 3 == 0 else np.savez
+                writer(buf, emb=emb, ids=ids)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": buf.getvalue(),
+                        "meta": {
+                            "modality": "text",
+                            "mime": "application/x-npz",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _spread_docs(docs).select("doc_id").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
+
+
+NPZ_SCHEMA = (
+    "media_id long, n_arrays int, emb_rows int, emb_cols int, "
+    "emb_sum_q bigint, ids_sum bigint"
+)
+
+
+def npz_features(media: DataFrame) -> DataFrame:
+    """Parse .npz shards (zip walk + npy header/buffer decode via
+    :mod:`.tensor_shards`) and emit per-archive aggregates."""
+    from .tensor_shards import parse_npz
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for mid, payload in zip(pdf_["media_id"], pdf_["payload"]):
+                arrs = parse_npz(payload)
+                eshape, _d, evals = arrs["emb"]
+                _is, _d2, ivals = arrs["ids"]
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_arrays": len(arrs),
+                        "emb_rows": eshape[0],
+                        "emb_cols": eshape[1],
+                        "emb_sum_q": int(sum(int(v * 4) for v in evals)),
+                        "ids_sum": sum(ivals),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_arrays", "emb_rows", "emb_cols",
+                    "emb_sum_q", "ids_sum",
+                ],
+            ).astype(
+                {"media_id": "int64", "n_arrays": "int32",
+                 "emb_rows": "int32", "emb_cols": "int32",
+                 "emb_sum_q": "int64", "ids_sum": "int64"}
+            )
+
+    return media.mapInPandas(_extract, schema=NPZ_SCHEMA)
+
+
+def media_safetensors_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic safetensors table: per document a shard with a
+    float32 weight (2x3 quarter-integers), an int64 bias (3), and a
+    __metadata__ block."""
+    from .tensor_shards import encode_safetensors
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for doc_id in pdf_["doc_id"]:
+                did = int(doc_id)
+                blob = encode_safetensors(
+                    {
+                        "layer.weight": (
+                            (2, 3), "F32",
+                            [((did + k) % 40) / 4.0 for k in range(6)],
+                        ),
+                        "layer.bias": (
+                            (3,), "I64",
+                            [(did * 31 + k * 17) % 1000 for k in range(3)],
+                        ),
+                    },
+                    metadata={"format": "pt", "doc": str(did)},
+                )
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": blob,
+                        "meta": {
+                            "modality": "text",
+                            "mime": "application/x-safetensors",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _spread_docs(docs).select("doc_id").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
+
+
+ST_SCHEMA = (
+    "media_id long, n_tensors int, weight_sum_q bigint, bias_sum bigint, "
+    "meta_doc string"
+)
+
+
+def safetensors_features(media: DataFrame) -> DataFrame:
+    """Parse safetensors shards (header/offset validation + buffer
+    decode via :mod:`.tensor_shards`) and emit per-shard aggregates."""
+    from .tensor_shards import parse_safetensors
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for mid, payload in zip(pdf_["media_id"], pdf_["payload"]):
+                tensors, meta = parse_safetensors(payload)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_tensors": len(tensors),
+                        "weight_sum_q": int(
+                            sum(
+                                int(v * 4)
+                                for v in tensors["layer.weight"]["values"]
+                            )
+                        ),
+                        "bias_sum": sum(tensors["layer.bias"]["values"]),
+                        "meta_doc": meta.get("doc", ""),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_tensors", "weight_sum_q", "bias_sum",
+                    "meta_doc",
+                ],
+            ).astype(
+                {"media_id": "int64", "n_tensors": "int32",
+                 "weight_sum_q": "int64", "bias_sum": "int64"}
+            )
+
+    return media.mapInPandas(_extract, schema=ST_SCHEMA)
+
+
 def media_arrow_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic Arrow IPC table WRITTEN BY PYARROW — the external
     reference implementation, so the gate itself cross-validates our

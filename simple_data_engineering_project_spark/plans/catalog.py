@@ -8444,6 +8444,70 @@ def multimodal_exif_q(spark, sf_dir):
     return mm_ops.exif_features(media)
 
 
+@register(
+    "npz_read",
+    """
+    SELECT doc_id AS media_id,
+           CAST(2 AS INT) AS n_arrays,
+           CAST(2 AS INT) AS emb_rows,
+           CAST(3 AS INT) AS emb_cols,
+           CAST(doc_id % 40 + (doc_id + 1) % 40 + (doc_id + 2) % 40
+                + (doc_id + 3) % 40 + (doc_id + 4) % 40
+                + (doc_id + 5) % 40 AS BIGINT) AS emb_sum_q,
+           CAST((doc_id * 31) % 1000 + (doc_id * 31 + 17) % 1000
+                + (doc_id * 31 + 34) % 1000 AS BIGINT) AS ids_sum
+    FROM documents
+    """,
+    tier="C",
+    note="C3/C4 REAL NumPy .npz shard reading "
+    "(operators/tensor_shards.py) — the embedding-dump format: the "
+    "zip central-directory walk (operators/zipshard.py, CRC-verified) "
+    "feeds an .npy parser — magic/version, ast.literal_eval header "
+    "(NEVER eval), explicit dtype table, Fortran-order stride swap "
+    "(every 2nd doc is F-ordered), pickled object arrays REFUSED by "
+    "design (code-execution hazard). Payloads are WRITTEN BY NUMPY "
+    "(savez / savez_compressed alternating), so the gate "
+    "cross-validates our reader against the reference implementation "
+    "on every row. Quarter-integer floats keep the x4 integerized "
+    "sums engine-identical. One spread + row-local work; no other "
+    "shuffle.",
+)
+def npz_read_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_npz_from_documents(d)
+    return mm_ops.npz_features(media)
+
+
+@register(
+    "safetensors_read",
+    """
+    SELECT doc_id AS media_id,
+           CAST(2 AS INT) AS n_tensors,
+           CAST(doc_id % 40 + (doc_id + 1) % 40 + (doc_id + 2) % 40
+                + (doc_id + 3) % 40 + (doc_id + 4) % 40
+                + (doc_id + 5) % 40 AS BIGINT) AS weight_sum_q,
+           CAST((doc_id * 31) % 1000 + (doc_id * 31 + 17) % 1000
+                + (doc_id * 31 + 34) % 1000 AS BIGINT) AS bias_sum,
+           CAST(doc_id AS VARCHAR) AS meta_doc
+    FROM documents
+    """,
+    tier="C",
+    note="C3/C4 REAL safetensors shard reading "
+    "(operators/tensor_shards.py) — the modern model/activation "
+    "weight-shard layout (8-byte LE header length + JSON tensor map + "
+    "one contiguous buffer): per-tensor dtype/shape/data_offsets "
+    "decode with offsets VALIDATED against the buffer (the format's "
+    "whole safety argument), F64..F16/I64..I8/U8/BOOL dtypes, "
+    "__metadata__ surfaced; BF16 raises (no stdlib decoder). "
+    "Closed-form oracle over quarter-integer weights. One spread + "
+    "row-local work; no other shuffle.",
+)
+def safetensors_read_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_safetensors_from_documents(d)
+    return mm_ops.safetensors_features(media)
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order
