@@ -133,6 +133,7 @@ HEADLINE = [
     "multimodal_exif",
     "npz_read",
     "safetensors_read",
+    "subtitles_parse",
 ]
 
 

@@ -1450,3 +1450,35 @@ def test_bloom_prefilter_prunes_and_keeps_all_matches(spark):
     n_result = out.agg(F.sum("n_orders")).collect()[0][0]
     assert n_result == n_true  # no false negatives end-to-end
     assert n_true < n_total  # the filter has something to prune
+
+def test_subtitle_parse_srt_and_vtt_forms(spark):
+    from simple_data_engineering_project_spark.operators.subtitles import (
+        subs_from_documents,
+        subtitle_features,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "one two three four five six seven"),  # srt, 2 cues
+         (1, "a b c d e"),  # vtt, 1 cue
+         (2, "!!!")],  # no words -> no row
+        "doc_id long, text string",
+    )
+    subs = {r["media_id"]: r for r in subs_from_documents(df).collect()}
+    assert subs[0]["kind"] == "srt" and subs[0]["sub_text"].startswith("1\n00:")
+    assert subs[1]["kind"] == "vtt" and subs[1]["sub_text"].startswith("WEBVTT")
+    assert "00:00:00,000 --> 00:00:01,500" in subs[0]["sub_text"]
+    assert "00:00:00.000 --> 00:00:01.500" in subs[1]["sub_text"]
+    assert 2 not in subs
+
+    feats = {
+        r["media_id"]: r
+        for r in subtitle_features(subs_from_documents(df)).collect()
+    }
+    import hashlib
+
+    assert (feats[0]["n_cues"], feats[0]["total_cue_ms"]) == (2, 3000)
+    assert (feats[1]["n_cues"], feats[1]["total_cue_ms"]) == (1, 1500)
+    assert feats[0]["text_sha"] == hashlib.sha256(
+        b"one two three four five six seven"
+    ).hexdigest()
+    assert feats[1]["text_sha"] == hashlib.sha256(b"a b c d e").hexdigest()
