@@ -134,6 +134,7 @@ HEADLINE = [
     "npz_read",
     "safetensors_read",
     "subtitles_parse",
+    "embedding_pca_power",
 ]
 
 

@@ -8542,6 +8542,112 @@ def subtitles_parse_q(spark, sf_dir):
     return subs_ops.subtitle_features(subs_ops.subs_from_documents(d))
 
 
+def _pca_power_oracle(n_iters: int = 5, dim: int = 64) -> str:
+    """Chained-CTE DuckDB replay of embedding_pca_power: the identical
+    integer-exact iteration (e4-quantized inputs, integer dot products
+    and sums — order-independent — and a PURE-INTEGER rescale, so not
+    one float op exists anywhere in the chain: DuckDB's HUGEINT sums
+    carry the *10000 headroom that int64 lacks, and Python's unbounded
+    ints do the same driver-side)."""
+    ctes = [
+        """x AS MATERIALIZED (
+      SELECT vec_id, g.n AS dim,
+             CAST(floor(CAST(embedding[g.n] AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS xe
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(n)
+    )""",
+        f"""v0 AS MATERIALIZED (
+      SELECT g.n AS dim,
+             CAST(CASE WHEN g.n = 1 THEN 10000 ELSE 0 END AS BIGINT) AS ve
+      FROM unnest(generate_series(1, {dim})) AS g(n)
+    )""",
+    ]
+    for k in range(1, n_iters + 1):
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+      SELECT x.vec_id, SUM(x.xe * v.ve) AS se
+      FROM x JOIN v{k - 1} v USING (dim) GROUP BY x.vec_id
+    ),
+    w{k} AS MATERIALIZED (
+      SELECT x.dim, SUM(x.xe * s.se) AS big
+      FROM x JOIN s{k} s USING (vec_id) GROUP BY x.dim
+    ),
+    v{k} AS MATERIALIZED (
+      SELECT dim,
+             CAST((CASE WHEN big < 0 THEN -1 ELSE 1 END)
+                  * ((abs(big) * 10000)
+                     // (SELECT MAX(abs(big)) FROM w{k})) AS BIGINT) AS ve
+      FROM w{k}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT CAST(dim AS INT) AS dim, ve AS v_e4 FROM v{n_iters}"
+    )
+
+
+@register(
+    "embedding_pca_power",
+    _pca_power_oracle(12, 64),
+    tier="C",
+    note="C3 top principal direction of the embedding table by POWER "
+    "ITERATION (v <- X'Xv, 12 rounds from e1) — the dimensionality-"
+    "reduction / drift-detection primitive beyond k-means. Fully "
+    "deterministic across engines by the integer-exact recipe: inputs "
+    "e4-quantized ROW-LOCALLY once, every dot product and component "
+    "sum is pure int64 (order-independent — no float partial-agg "
+    "noise), and the per-iteration rescale divides by the component "
+    "MAX (order-independent, unlike an L2 norm's float sum) with ONE "
+    "double trunc per component that both engines compute from "
+    "identical integers. Shape: the quantized table materializes "
+    "once (localCheckpoint — 10 passes re-read it); each iteration "
+    "is one scan + one 64-key aggregate; v is 64 ints of driver "
+    "metadata riding the closure as literals, exactly like the "
+    "k-means centroids. Int64 headroom holds to ~1e6 rows at this "
+    "dim; beyond that the same recipe rescales per block.",
+)
+def embedding_pca_power_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda e: F.floor(e.cast("double") * 10000 + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("xe"),
+    ).localCheckpoint()
+    dim = 64
+    v = [10000] + [0] * (dim - 1)
+    for _ in range(12):
+        vlit = F.array(*[F.lit(int(c)).cast("long") for c in v])
+        se = F.aggregate(
+            F.zip_with("xe", vlit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        rows = (
+            x.select(F.posexplode("xe").alias("pos", "xv"), se.alias("se"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("xv") * F.col("se")).alias("big"))
+            .collect()
+        )
+        big = [0] * dim
+        for r in rows:
+            big[r["pos"]] = r["big"]
+        vmax = max(abs(b) for b in big)
+        # pure integer rescale (abs//vmax on Python's unbounded ints)
+        # — bit-identical to the oracle's HUGEINT arithmetic
+        v = [
+            (-1 if b < 0 else 1) * ((abs(b) * 10000) // vmax)
+            for b in big
+        ]
+    return spark.createDataFrame(
+        [(i + 1, v[i]) for i in range(dim)], "dim int, v_e4 bigint"
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order
