@@ -135,6 +135,7 @@ HEADLINE = [
     "safetensors_read",
     "subtitles_parse",
     "embedding_pca_power",
+    "mp3_id3_tags",
 ]
 
 

@@ -161,3 +161,86 @@ def encode_mp3_frames(
     if id3v1:
         out += b"TAG" + bytes(125)
     return bytes(out)
+
+# ------------------------------------------------------------- ID3v2
+
+
+def parse_id3v2(payload: bytes) -> dict[str, str]:
+    """Text frames of an ID3v2.3/2.4 tag -> {frame_id: text}. v2.3
+    frame sizes are PLAIN big-endian; v2.4 are syncsafe — the classic
+    cross-version bug, handled per the header's major version. Text
+    encodings 0 (latin-1), 1 (utf-16 with BOM), and 3 (utf-8) decode;
+    compressed/encrypted frames and other versions raise."""
+    if payload[:3] != b"ID3":
+        raise ValueError("no ID3v2 tag")
+    major = payload[3]
+    if major not in (3, 4):
+        raise NotImplementedError(f"ID3v2.{major}")
+    if payload[5] & 0x40:
+        raise NotImplementedError("ID3v2 extended header")
+    size = 0
+    for b in payload[6:10]:
+        size = (size << 7) | (b & 0x7F)
+    end = 10 + size
+    pos = 10
+    out: dict[str, str] = {}
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if major == 4:  # syncsafe
+            fsize = 0
+            for b in payload[pos + 4 : pos + 8]:
+                fsize = (fsize << 7) | (b & 0x7F)
+        else:  # v2.3: plain big-endian
+            fsize = int.from_bytes(payload[pos + 4 : pos + 8], "big")
+        flags = int.from_bytes(payload[pos + 8 : pos + 10], "big")
+        if flags & 0x00C0 if major == 3 else flags & 0x000C:
+            raise NotImplementedError("compressed/encrypted ID3 frame")
+        body = payload[pos + 10 : pos + 10 + fsize]
+        if fid[:1] == b"T" and body:
+            enc = body[0]
+            raw = body[1:]
+            if enc == 0:
+                text = raw.decode("latin-1")
+            elif enc == 1:
+                text = raw.decode("utf-16")  # BOM-driven
+            elif enc == 3:
+                text = raw.decode("utf-8")
+            else:
+                raise NotImplementedError(f"ID3 text encoding {enc}")
+            out[fid.decode("ascii")] = text.rstrip("\x00")
+        pos += 10 + fsize
+    return out
+
+
+def encode_id3v2(
+    frames: list[tuple[str, str]], major: int = 3, encoding: int = 0,
+    padding: int = 16,
+) -> bytes:
+    """Conformant ID3v2.3/2.4 tag with text frames in the chosen
+    encoding (0 latin-1, 1 utf-16+BOM, 3 utf-8)."""
+    body = bytearray()
+    for fid, text in frames:
+        if encoding == 0:
+            raw = text.encode("latin-1")
+        elif encoding == 1:
+            raw = b"\xff\xfe" + text.encode("utf-16-le")
+        else:
+            raw = text.encode("utf-8")
+        data = bytes([encoding]) + raw
+        if major == 4:
+            n = len(data)
+            fsize = bytes(
+                [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F,
+                 n & 0x7F]
+            )
+        else:
+            fsize = len(data).to_bytes(4, "big")
+        body += fid.encode("ascii") + fsize + b"\x00\x00" + data
+    body += bytes(padding)
+    n = len(body)
+    ss = bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+    return b"ID3" + bytes([major, 0, 0]) + ss + bytes(body)

@@ -2034,6 +2034,88 @@ def safetensors_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=ST_SCHEMA)
 
 
+def media_mp3_id3_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic tagged-MP3 table: an ID3v2 tag (TIT2/TPE1/TALB)
+    prefixing real Layer-III frames; the tag MAJOR version alternates
+    2.3/2.4 by id (plain vs syncsafe frame sizes — the classic
+    cross-version bug) and the text encoding cycles
+    latin-1/utf-16/utf-8."""
+    from .mp3 import encode_id3v2, encode_mp3_frames
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for doc_id in pdf_["doc_id"]:
+                did = int(doc_id)
+                tag = encode_id3v2(
+                    [
+                        ("TIT2", f"T-{did % 100}"),
+                        ("TPE1", f"A-{did % 30}"),
+                        ("TALB", f"L-{did % 12}"),
+                    ],
+                    major=3 if did % 2 == 0 else 4,
+                    encoding=[0, 1, 3][did % 3],
+                )
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": tag
+                        + encode_mp3_frames(
+                            n_frames=5 + did % 10,
+                            bitrate_idx=9,
+                            rate_idx=0,
+                        ),
+                        "meta": {
+                            "modality": "audio",
+                            "mime": "audio/mpeg",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _spread_docs(docs).select("doc_id").mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
+
+
+ID3_SCHEMA = (
+    "media_id long, title string, artist string, album string, "
+    "n_frames int"
+)
+
+
+def mp3_id3_features(media: DataFrame) -> DataFrame:
+    """Parse the ID3v2 text frames AND walk the audio frames behind
+    them (via :mod:`.mp3`) — the tag skip and the frame walk must
+    agree on where the audio starts."""
+    from .mp3 import parse_id3v2, walk_mp3
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = []
+            for mid, payload in zip(pdf_["media_id"], pdf_["payload"]):
+                tags = parse_id3v2(payload)
+                m = walk_mp3(payload)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "title": tags.get("TIT2", ""),
+                        "artist": tags.get("TPE1", ""),
+                        "album": tags.get("TALB", ""),
+                        "n_frames": m["n_frames"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "title", "artist", "album", "n_frames"],
+            ).astype({"media_id": "int64", "n_frames": "int32"})
+
+    return media.mapInPandas(_extract, schema=ID3_SCHEMA)
+
+
 def media_arrow_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic Arrow IPC table WRITTEN BY PYARROW — the external
     reference implementation, so the gate itself cross-validates our

@@ -8648,6 +8648,33 @@ def embedding_pca_power_q(spark, sf_dir):
     )
 
 
+@register(
+    "mp3_id3_tags",
+    """
+    SELECT doc_id AS media_id,
+           'T-' || CAST(doc_id % 100 AS VARCHAR) AS title,
+           'A-' || CAST(doc_id % 30 AS VARCHAR) AS artist,
+           'L-' || CAST(doc_id % 12 AS VARCHAR) AS album,
+           CAST(5 + doc_id % 10 AS INT) AS n_frames
+    FROM documents
+    """,
+    tier="C",
+    note="C5 REAL ID3v2 tag parsing (operators/mp3.py) — the metadata "
+    "channel of an audio corpus: ID3v2.3 AND v2.4 headers (plain vs "
+    "SYNCSAFE frame sizes, the classic cross-version bug, alternated "
+    "by id), text frames in all three encodings (latin-1, utf-16 with "
+    "BOM, utf-8, cycled by id). The extractor ALSO walks the audio "
+    "frames behind the tag, so the tag-size skip and the frame walk "
+    "must agree on where the audio starts — a syncsafe slip breaks "
+    "n_frames. Closed-form oracle. Embarrassingly parallel "
+    "mapInPandas; zero shuffles.",
+)
+def mp3_id3_tags_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = mm_ops.media_mp3_id3_from_documents(d)
+    return mm_ops.mp3_id3_features(media)
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order

@@ -139,3 +139,32 @@ def test_mp3_walk_rejects_desync_and_free_format():
     free[2] &= 0x0F  # bitrate index -> 0 (free format)
     with pytest.raises(NotImplementedError, match="free-format"):
         walk_mp3(bytes(free))
+
+
+def test_id3v2_all_versions_and_encodings():
+    from simple_data_engineering_project_spark.operators.mp3 import (
+        encode_id3v2,
+        encode_mp3_frames,
+        parse_id3v2,
+        walk_mp3,
+    )
+
+    frames = [("TIT2", "Title héllo"), ("TPE1", "Artist"), ("TALB", "Al")]
+    for major in (3, 4):  # plain vs syncsafe frame sizes
+        for enc in (0, 1, 3):  # latin-1, utf-16+BOM, utf-8
+            got = parse_id3v2(encode_id3v2(frames, major=major, encoding=enc))
+            assert got == dict(frames), (major, enc)
+    # the tag skip and the frame walk must agree on the audio start
+    blob = encode_id3v2([("TIT2", "T")], major=4, encoding=3) + (
+        encode_mp3_frames(5, bitrate_idx=9, rate_idx=0)
+    )
+    assert walk_mp3(blob)["n_frames"] == 5
+    assert parse_id3v2(blob) == {"TIT2": "T"}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="ID3"):
+        parse_id3v2(b"\xff\xfb no tag here")
+    v22 = b"ID3\x02\x00\x00" + bytes([0, 0, 0, 10]) + bytes(10)
+    with pytest.raises(NotImplementedError, match="ID3v2.2"):
+        parse_id3v2(v22)

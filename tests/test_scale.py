@@ -232,6 +232,17 @@ def test_media_and_tokenizer_entries_at_most_one_spread(spark, sf_smoke):
         "avro_read",
         "multimodal_gif_frames",
         "bpe_apply",
+        # round-6 wave 3
+        "zip_read",
+        "multimodal_ogg_packets",
+        "multimodal_mp3_meta",
+        "multimodal_exif",
+        "npz_read",
+        "safetensors_read",
+        "arrow_ipc_read",
+        "subtitles_parse",
+        "mlm_mask_plan",
+        "mp3_id3_tags",
     ):
         plan = _plan(catalog()[name].fn(spark, sf_smoke))
         assert plan.count("Exchange") <= 1, name
