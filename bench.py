@@ -136,6 +136,7 @@ HEADLINE = [
     "subtitles_parse",
     "embedding_pca_power",
     "mp3_id3_tags",
+    "events_ols_trend",
 ]
 
 

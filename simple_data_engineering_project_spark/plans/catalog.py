@@ -8675,6 +8675,83 @@ def mp3_id3_tags_q(spark, sf_dir):
     return mm_ops.mp3_id3_features(media)
 
 
+@register(
+    "events_ols_trend",
+    """
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS ye2
+      FROM events
+    ),
+    x AS (
+      SELECT user_id,
+             (us - MIN(us) OVER (PARTITION BY user_id)) // 1000000 AS xs,
+             ye2
+      FROM b
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(xs) AS BIGINT) AS sx,
+             CAST(SUM(ye2) AS BIGINT) AS sy,
+             CAST(SUM(xs * ye2) AS BIGINT) AS sxy,
+             CAST(SUM(xs * xs) AS BIGINT) AS sxx
+      FROM x GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(n_events * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n_events * sxx - sx * sx AS BIGINT) AS slope_den
+    FROM s
+    WHERE n_events >= 2 AND n_events * sxx - sx * sx > 0
+    """,
+    tier="C",
+    note="C11 per-user OLS trend (value vs time — the drift/trend "
+    "detector behind engagement and sensor monitoring), EXACT: x is "
+    "integer seconds from the user's first event, y is e2-integerized "
+    "row-locally, so every moment sum (Σx, Σy, Σxy, Σx²) is pure "
+    "int64 — order-independent, no float partial-agg noise — and the "
+    "slope ships as the EXACT RATIONAL (nΣxy−ΣxΣy, nΣx²−(Σx)²) "
+    "numerator/denominator pair rather than a rounded quotient. One "
+    "user-keyed window (the per-user time origin) + one keyed "
+    "aggregate. Int64 headroom holds to ~10k events/user at this "
+    "value range; beyond that the same recipe runs in decimal(38).",
+)
+def events_ols_trend_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("ye2"),
+    )
+    x = base.select(
+        "user_id",
+        F.expr(
+            "CAST((us - min(us) OVER (PARTITION BY user_id)) "
+            "DIV 1000000 AS BIGINT)"
+        ).alias("xs"),
+        "ye2",
+    )
+    s = x.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("xs").alias("sx"),
+        F.sum("ye2").alias("sy"),
+        F.sum(F.col("xs") * F.col("ye2")).alias("sxy"),
+        F.sum(F.col("xs") * F.col("xs")).alias("sxx"),
+    )
+    num = F.col("n_events") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_events") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.select(
+            "user_id",
+            "n_events",
+            num.alias("slope_num"),
+            den.alias("slope_den"),
+        )
+        .filter((F.col("n_events") >= 2) & (F.col("slope_den") > 0))
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order

@@ -1512,3 +1512,35 @@ def test_pca_power_iteration_aligns_with_numpy(spark):
     # true top eigenvector (sign-insensitive); exactness is the oracle's
     # job, convergence QUALITY is pinned here
     assert abs(float(got @ top)) > 0.85
+
+def test_ols_trend_exact_rational_slope(spark):
+    from simple_data_engineering_project_spark.plans.catalog import catalog
+
+    # closed-form check: y = 3x + 5 exactly -> slope_num/slope_den == 3
+    # after the e2 scaling (y2 = 300x + 500)
+    df = spark.createDataFrame(
+        [
+            (1, f"2024-01-01 00:00:{s:02d}", 3.0 * s + 5.0)
+            for s in range(0, 50, 7)
+        ]
+        + [(2, "2024-01-01 00:00:00", 9.9)],  # single event: filtered
+        "user_id long, ts_s string, value double",
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value",
+                 "CAST(0 AS LONG) AS event_id", "'c' AS event_type",
+                 "'{}' AS props")
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.select("event_id", "ts", "user_id", "event_type", "value",
+                  "props").write.parquet(os.path.join(d, "events.parquet"))
+        # reuse the catalog fn against the synthetic table layout
+        out = {
+            r["user_id"]: r
+            for r in catalog()["events_ols_trend"].fn(spark, d).collect()
+        }
+    assert set(out) == {1}
+    r = out[1]
+    assert r["slope_num"] == 300 * r["slope_den"] // 1  # exact ratio 300
+    assert r["slope_num"] % r["slope_den"] == 0
+    assert r["slope_num"] // r["slope_den"] == 300
