@@ -137,6 +137,7 @@ HEADLINE = [
     "embedding_pca_power",
     "mp3_id3_tags",
     "events_ols_trend",
+    "sink_webdataset",
 ]
 
 

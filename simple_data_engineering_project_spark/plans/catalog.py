@@ -8752,6 +8752,93 @@ def events_ols_trend_q(spark, sf_dir):
     )
 
 
+@register(
+    "sink_webdataset",
+    """
+    SELECT doc_id, sha256(text) AS text_sha,
+           CAST(doc_id % 10 AS INT) AS cls
+    FROM documents
+    """,
+    tier="C",
+    note="C4/C5 distributed WebDataset EXPORT — the training-data "
+    "pipeline's last mile: documents shard into real ustar archives "
+    "({stem}.txt + {stem}.cls per sample, operators/shards.py "
+    "encode_tar) written ONE TAR PER ARROW BATCH from executors (the "
+    "shard-per-worker layout trainers consume; no driver data path, "
+    "no shuffle — whatever partitioning arrives is the sharding), "
+    "then read BACK through the tar walker and verified per sample "
+    "against the source table: the oracle sees every doc exactly "
+    "once with its text sha intact no matter how rows fell into "
+    "shards. Write + verify round trip in one entry, like "
+    "sink_parquet/sink_jsonl_shards.",
+)
+def sink_webdataset_q(spark, sf_dir):
+    import glob as _glob
+    import uuid as _uuid
+
+    import pandas as _pd
+
+    from ..operators.shards import encode_tar, group_webdataset, parse_tar
+
+    out = _scratch(sf_dir, "wds_sink")
+    os.makedirs(out, exist_ok=True)
+    for old in _glob.glob(f"{out}/shard-*.tar"):
+        os.remove(old)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _write(batches):
+        for b in batches:
+            members = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                stem = f"{int(doc_id):012d}"
+                members.append(
+                    (f"{stem}.txt", (text or "").encode("utf-8"))
+                )
+                members.append(
+                    (f"{stem}.cls", str(int(doc_id) % 10).encode())
+                )
+            if not members:
+                continue
+            path = f"{out}/shard-{_uuid.uuid4().hex}.tar"
+            with open(path, "wb") as f:
+                f.write(encode_tar(members))
+            yield _pd.DataFrame({"path": [path], "n": [len(members) // 2]})
+
+    shards = d.mapInPandas(_write, schema="path string, n int")
+    shards.count()  # materialize the export before reading it back
+
+    paths = sorted(_glob.glob(f"{out}/shard-*.tar"))
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def _read(batches):
+        import hashlib as _hl
+
+        for b in batches:
+            rows = []
+            for path in b["path"]:
+                with open(path, "rb") as f:
+                    payload = f.read()
+                for stem, sample in group_webdataset(
+                    parse_tar(payload)
+                ).items():
+                    rows.append(
+                        {
+                            "doc_id": int(stem),
+                            "text_sha": _hl.sha256(
+                                sample["txt"]
+                            ).hexdigest(),
+                            "cls": int(sample["cls"].decode()),
+                        }
+                    )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "text_sha", "cls"]
+            ).astype({"doc_id": "int64", "cls": "int32"})
+
+    return pdf.mapInPandas(
+        _read, schema="doc_id long, text_sha string, cls int"
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order

@@ -1544,3 +1544,25 @@ def test_ols_trend_exact_rational_slope(spark):
     assert r["slope_num"] == 300 * r["slope_den"] // 1  # exact ratio 300
     assert r["slope_num"] % r["slope_den"] == 0
     assert r["slope_num"] // r["slope_den"] == 300
+
+def test_sink_webdataset_actually_shards(spark):
+    import glob
+    import os
+
+    from simple_data_engineering_project_spark.plans.catalog import (
+        SCRATCH,
+        catalog,
+    )
+
+    out = catalog()["sink_webdataset"].fn(spark, "/root/testdata/sf0.001")
+    n = out.count()
+    assert n == 500  # every document exported exactly once
+    shards = glob.glob(f"{SCRATCH}/sf0.001/wds_sink/shard-*.tar")
+    assert len(shards) >= 1
+    # shards are real tar files readable by the stdlib
+    import tarfile
+
+    with tarfile.open(shards[0]) as tf:
+        names = tf.getnames()
+    assert any(x.endswith(".txt") for x in names)
+    assert any(x.endswith(".cls") for x in names)
