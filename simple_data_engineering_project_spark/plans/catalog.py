@@ -8598,44 +8598,62 @@ def _pca_power_oracle(n_iters: int = 5, dim: int = 64) -> str:
     "e4-quantized ROW-LOCALLY once, every dot product and component "
     "sum is pure int64 (order-independent — no float partial-agg "
     "noise), and the per-iteration rescale divides by the component "
-    "MAX (order-independent, unlike an L2 norm's float sum) with ONE "
-    "double trunc per component that both engines compute from "
-    "identical integers. Shape: the quantized table materializes "
-    "once (localCheckpoint — 10 passes re-read it); each iteration "
-    "is one scan + one 64-key aggregate; v is 64 ints of driver "
-    "metadata riding the closure as literals, exactly like the "
-    "k-means centroids. Int64 headroom holds to ~1e6 rows at this "
-    "dim; beyond that the same recipe rescales per block.",
+    "MAX (order-independent, unlike an L2 norm's float sum) in pure "
+    "integer arithmetic — no float op anywhere past quantization. "
+    "Shape: the SCALE-CORRECT iterative-linear-algebra layout — ONE "
+    "distributed pass builds the 64x64 integer GRAM matrix (numpy "
+    "int64 partials per Arrow batch, one 4096-key sum), then all 12 "
+    "power iterations run driver-local on that bounded matrix, "
+    "bit-identical to the oracle's per-pass form by integer "
+    "associativity (X'(Xv) == (X'X)v) — the bpe_train pattern: one "
+    "corpus-scale job, bounded-metadata driver loop, never one job "
+    "per iteration. Int64 headroom holds to ~1e6 rows at this dim; "
+    "beyond that the same recipe rescales per block.",
 )
 def embedding_pca_power_q(spark, sf_dir):
+    import numpy as _np
+    import pandas as _pd
+
     emb = _t(spark, sf_dir, "embeddings")
     x = emb.select(
-        "vec_id",
         F.transform(
             "embedding",
             lambda e: F.floor(e.cast("double") * 10000 + F.lit(0.5)).cast(
                 "long"
             ),
         ).alias("xe"),
-    ).localCheckpoint()
+    )
     dim = 64
+
+    def _gram(batches):
+        idx = _np.arange(dim)
+        for b in batches:
+            if len(b) == 0:
+                continue
+            m = _np.array(b["xe"].tolist(), dtype=_np.int64)
+            G = m.T @ m  # exact int64 partial (|xe| ~ 1e4, rows bounded)
+            yield _pd.DataFrame(
+                {
+                    "j": _np.repeat(idx, dim).astype("int32"),
+                    "k": _np.tile(idx, dim).astype("int32"),
+                    "g": G.ravel(),
+                }
+            )
+
+    rows = (
+        x.mapInPandas(_gram, schema="j int, k int, g long")
+        .groupBy("j", "k")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )
+    G = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        G[r["j"]][r["k"]] = r["g"]
     v = [10000] + [0] * (dim - 1)
     for _ in range(12):
-        vlit = F.array(*[F.lit(int(c)).cast("long") for c in v])
-        se = F.aggregate(
-            F.zip_with("xe", vlit, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
-        rows = (
-            x.select(F.posexplode("xe").alias("pos", "xv"), se.alias("se"))
-            .groupBy("pos")
-            .agg(F.sum(F.col("xv") * F.col("se")).alias("big"))
-            .collect()
-        )
-        big = [0] * dim
-        for r in rows:
-            big[r["pos"]] = r["big"]
+        big = [
+            sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)
+        ]
         vmax = max(abs(b) for b in big)
         # pure integer rescale (abs//vmax on Python's unbounded ints)
         # — bit-identical to the oracle's HUGEINT arithmetic
