@@ -146,3 +146,101 @@ def test_ima_adpcm_decode_is_deterministic_and_tracks(samples, ba):
     for blk_start in range(0, len(samples), spb):
         assert d1[blk_start] == samples[blk_start]  # header sample, exact
     assert all(-32768 <= v <= 32767 for v in d1)
+
+
+def _valid_payloads_wave3():
+    """One representative valid payload per round-6 wave-3 parser,
+    paired with its parse function."""
+    import io
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from simple_data_engineering_project_spark.operators import (
+        arrow_ipc,
+        exif,
+        jpeg,
+        mp3,
+        ogg,
+        parquet_meta,
+        tensor_shards,
+        zipshard,
+    )
+
+    out = []
+    out.append(
+        (
+            zipshard.encode_zip(
+                [("a.txt", b"alpha" * 30), ("b.bin", bytes(range(200)))],
+                method=8,
+            ),
+            zipshard.parse_zip,
+        )
+    )
+    out.append(
+        (
+            ogg.encode_ogg([(bytes([i]) * 40, i * 100) for i in range(4)]),
+            ogg.parse_ogg,
+        )
+    )
+    buf = io.BytesIO()
+    t = pa.table({"x": pa.array([1, 2, 3], type=pa.int64())})
+    with ipc.new_stream(buf, t.schema) as w:
+        w.write_table(t)
+    out.append((buf.getvalue(), arrow_ipc.parse_arrow_ipc))
+    nbuf = io.BytesIO()
+    np.save(nbuf, np.arange(20, dtype=np.int32))
+    out.append((nbuf.getvalue(), tensor_shards.parse_npy))
+    out.append(
+        (
+            tensor_shards.encode_safetensors(
+                {"w": ((4,), "F32", [1.0, 2.0, 3.0, 4.0])}
+            ),
+            tensor_shards.parse_safetensors,
+        )
+    )
+    out.append(
+        (
+            mp3.encode_mp3_frames(4, bitrate_idx=9, rate_idx=0),
+            mp3.walk_mp3,
+        )
+    )
+    out.append(
+        (
+            mp3.encode_id3v2([("TIT2", "t"), ("TALB", "a")], major=4),
+            mp3.parse_id3v2,
+        )
+    )
+    base = jpeg.encode_jpeg_blocks(8, 8, [(1, 0)])
+    app1 = exif.build_exif_app1(ifd0=[(0x010F, 2, "CamCo")])
+    out.append((exif.encode_exif_jpeg(base, app1), exif.parse_exif))
+    # parquet footer: use a real testdata tail
+    with open("/root/testdata/sf0.001/region.parquet", "rb") as f:
+        out.append((f.read(), parquet_meta.parse_parquet_footer))
+    return out
+
+
+def test_wave3_parsers_survive_truncation_everywhere():
+    # Every truncation of a valid payload must raise promptly (any
+    # exception type) or return — never hang, never loop forever. This
+    # catches missing length checks in walk loops.
+    for payload, parse in _valid_payloads_wave3():
+        step = max(1, len(payload) // 97)  # ~100 truncation points
+        for cut in range(0, len(payload), step):
+            try:
+                parse(payload[:cut])
+            except Exception:
+                pass
+
+
+def test_wave3_parsers_survive_bit_flips():
+    for payload, parse in _valid_payloads_wave3():
+        step = max(1, len(payload) // 61)
+        for at in range(0, len(payload), step):
+            mutated = bytearray(payload)
+            mutated[at] ^= 0x55
+            try:
+                parse(bytes(mutated))
+            except Exception:
+                pass
