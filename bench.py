@@ -138,6 +138,7 @@ HEADLINE = [
     "mp3_id3_tags",
     "events_ols_trend",
     "sink_webdataset",
+    "cc_dedup_two_stage",
 ]
 
 

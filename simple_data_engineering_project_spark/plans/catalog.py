@@ -8857,6 +8857,104 @@ def sink_webdataset_q(spark, sf_dir):
     )
 
 
+@register(
+    "cc_dedup_two_stage",
+    """
+    WITH canon AS (
+      SELECT doc_id, text,
+             'http' || CASE WHEN doc_id % 2 = 1 THEN 's' ELSE '' END
+             || '://site' || CAST(doc_id % 40 AS VARCHAR)
+             || '.example.com/docs/' || CAST(doc_id % 40 AS VARCHAR)
+             || '?a=1&b=2' AS curl
+      FROM documents
+    ),
+    url_kept AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY curl ORDER BY doc_id) AS rn
+        FROM canon) WHERE rn = 1
+    ),
+    content_kept AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM url_kept) WHERE rn = 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_input,
+           CAST((SELECT COUNT(*) FROM url_kept) AS BIGINT) AS n_after_url,
+           CAST((SELECT COUNT(*) FROM content_kept) AS BIGINT)
+             AS n_after_content,
+           (SELECT md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                       ORDER BY doc_id)) FROM content_kept) AS survivors_md5
+    """,
+    tier="C",
+    note="C2 the standard two-stage Common Crawl dedup ORDER: "
+    "URL-canonical dedup first (cheapest key — one keyed window on "
+    "the canonical URL, built with url_normalize from the same "
+    "deterministically-messy URLs as url_dedup), THEN content-"
+    "fingerprint dedup among the URL survivors only (one keyed window "
+    "on the md5 of normalized text). Staging matters at 100 TB: the "
+    "URL stage needs no text processing at all and shrinks the input "
+    "before any content hash is computed. Output pins both stage "
+    "counts and an order-insensitive digest of the surviving ids, so "
+    "a wrong stage ORDER (content-first keeps different ids) breaks "
+    "the hash.",
+)
+def cc_dedup_two_stage_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 40).cast("string")
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(
+            F.lit("https")
+        ),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"),
+        k,
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":80"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/docs/"),
+        k,
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1&utm_source=feed")
+        ).otherwise(F.lit("?a=1&b=2")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    canon = d.select(
+        "doc_id", "text", text_ops.url_normalize(messy).alias("curl")
+    )
+    w_url = Window.partitionBy("curl").orderBy("doc_id")
+    url_kept = (
+        canon.withColumn("rn", F.row_number().over(w_url))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    w_content = Window.partitionBy(doc_fingerprint("text")).orderBy("doc_id")
+    content_kept = (
+        url_kept.withColumn("rn", F.row_number().over(w_content))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    n_input = d.count()
+    n_url = url_kept.count()
+    survivors = content_kept.orderBy("doc_id").collect()
+    ids = [r["doc_id"] for r in survivors]
+    import hashlib as _hl
+
+    digest = _hl.md5(",".join(str(i) for i in ids).encode()).hexdigest()
+    return spark.createDataFrame(
+        [(n_input, n_url, len(ids), digest)],
+        "n_input bigint, n_after_url bigint, n_after_content bigint, "
+        "survivors_md5 string",
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order
