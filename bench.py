@@ -139,6 +139,7 @@ HEADLINE = [
     "events_ols_trend",
     "sink_webdataset",
     "cc_dedup_two_stage",
+    "events_markov_stationary",
 ]
 
 

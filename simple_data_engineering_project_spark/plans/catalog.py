@@ -8955,6 +8955,106 @@ def cc_dedup_two_stage_q(spark, sf_dir):
     )
 
 
+def _markov_stationary_oracle(n_iters: int = 20) -> str:
+    """Chained-CTE replay of events_markov_stationary: the identical
+    integer-exact iteration over the bounded transition matrix."""
+    ctes = [
+        """t AS MATERIALIZED (
+      SELECT from_type AS i, to_type AS j, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+      ) WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    r AS MATERIALIZED (SELECT i, SUM(c) AS rs FROM t GROUP BY i),
+    states AS MATERIALIZED (
+      SELECT i AS s, ROW_NUMBER() OVER (ORDER BY i) AS rank
+      FROM (SELECT DISTINCT i FROM t)
+    ),
+    p0 AS MATERIALIZED (
+      SELECT s, CAST(CASE WHEN rank = 1 THEN 1000000 ELSE 0 END
+                     AS BIGINT) AS pi
+      FROM states
+    )"""
+    ]
+    for k in range(1, n_iters + 1):
+        ctes.append(
+            f"""raw{k} AS MATERIALIZED (
+      SELECT t.j AS s, SUM((p.pi * t.c) // r.rs) AS v
+      FROM p{k - 1} p JOIN t ON t.i = p.s JOIN r ON r.i = p.s
+      GROUP BY t.j
+    ),
+    p{k} AS MATERIALIZED (
+      SELECT s, CAST((v * 1000000)
+                     // (SELECT MAX(v) FROM raw{k}) AS BIGINT) AS pi
+      FROM raw{k}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT s AS event_type, pi AS pi_e6 FROM p{n_iters}"
+    )
+
+
+@register(
+    "events_markov_stationary",
+    _markov_stationary_oracle(20),
+    tier="C",
+    note="C11 stationary distribution of the event-type Markov chain "
+    "(the steady-state the PageRank family converges to, on the "
+    "events_transitions matrix) — 20 power-iteration rounds, fully "
+    "integer-exact: the ONLY corpus-scale work is the one user-keyed "
+    "transition-count shuffle; the |types|² count matrix is bounded "
+    "model metadata collected to the driver, and every iteration is "
+    "pure int arithmetic ((pi·c) DIV rowsum sums, max-rescale) that "
+    "the chained-CTE oracle replays bit-exactly — the same "
+    "one-job-then-driver-loop shape as bpe_train and the Gram-matrix "
+    "PCA. States that receive no transitions drop out (never reached "
+    "in steady state).",
+)
+def events_markov_stationary_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            F.col("event_type").alias("i"),
+            F.lead("event_type").over(w).alias("j"),
+        )
+        .filter(F.col("j").isNotNull())
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    counts: dict[tuple[str, str], int] = {(r["i"], r["j"]): r["c"] for r in t}
+    outgoing = sorted({i for i, _ in counts})
+    incoming = sorted({j for _, j in counts})
+    rs = {
+        i: sum(c for (a, _), c in counts.items() if a == i) for i in outgoing
+    }
+    # p0 ranks the DISTINCT source states; raw_k groups by target, so
+    # after round 1 only states with incoming edges persist — exactly
+    # the oracle's join/group semantics (a dropped state's pi is 0 and
+    # contributes nothing regardless)
+    pi = {s: (1_000_000 if n == 0 else 0) for n, s in enumerate(outgoing)}
+    for _ in range(20):
+        raw = {
+            j: sum(
+                (pi.get(i, 0) * counts.get((i, j), 0)) // rs[i]
+                for i in outgoing
+            )
+            for j in incoming
+        }
+        m = max(raw.values())
+        pi = {j: (v * 1_000_000) // m for j, v in raw.items()}
+    return spark.createDataFrame(
+        sorted(pi.items()), "event_type string, pi_e6 bigint"
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order

@@ -1566,3 +1566,29 @@ def test_sink_webdataset_actually_shards(spark):
         names = tf.getnames()
     assert any(x.endswith(".txt") for x in names)
     assert any(x.endswith(".cls") for x in names)
+
+def test_markov_stationary_is_a_fixed_point(spark):
+    from simple_data_engineering_project_spark.plans.catalog import catalog
+
+    sf = "/root/testdata/sf0.001"
+    pi = {
+        r["event_type"]: r["pi_e6"]
+        for r in catalog()["events_markov_stationary"].fn(spark, sf).collect()
+    }
+    t = {
+        (r["from_type"], r["to_type"]): r["cnt"]
+        for r in catalog()["events_transitions"].fn(spark, sf).collect()
+    }
+    states = sorted(pi)
+    rs = {i: sum(c for (a, _), c in t.items() if a == i) for i in states}
+    # applying one more (float) transition step must leave the
+    # normalized distribution nearly unchanged — converged fixed point
+    total = sum(pi.values())
+    p = {s: pi[s] / total for s in states}
+    nxt = {
+        j: sum(p[i] * t.get((i, j), 0) / rs[i] for i in states)
+        for j in states
+    }
+    ntot = sum(nxt.values())
+    for s in states:
+        assert abs(nxt[s] / ntot - p[s]) < 1e-3, (s, nxt[s] / ntot, p[s])
