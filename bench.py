@@ -140,6 +140,7 @@ HEADLINE = [
     "sink_webdataset",
     "cc_dedup_two_stage",
     "events_markov_stationary",
+    "corpus_perplexity_buckets",
 ]
 
 

@@ -1592,3 +1592,19 @@ def test_markov_stationary_is_a_fixed_point(spark):
     ntot = sum(nxt.values())
     for s in states:
         assert abs(nxt[s] / ntot - p[s]) < 1e-3, (s, nxt[s] / ntot, p[s])
+
+def test_perplexity_buckets_are_tertiles(spark):
+    from simple_data_engineering_project_spark.plans.catalog import catalog
+
+    rows = catalog()["corpus_perplexity_buckets"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n = len(rows)
+    counts = {}
+    for r in rows:
+        counts[r["bucket"]] = counts.get(r["bucket"], 0) + 1
+    assert set(counts) == {"head", "middle", "tail"}
+    # exact integer tertile split: |head| = floor(n/3),
+    # |head|+|middle| = floor(2n/3)
+    assert counts["head"] == n // 3
+    assert counts["head"] + counts["middle"] == (2 * n) // 3
