@@ -141,6 +141,7 @@ HEADLINE = [
     "cc_dedup_two_stage",
     "events_markov_stationary",
     "corpus_perplexity_buckets",
+    "join_point_in_time",
 ]
 
 

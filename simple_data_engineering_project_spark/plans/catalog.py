@@ -9165,6 +9165,110 @@ def corpus_perplexity_buckets_q(spark, sf_dir):
     )
 
 
+@register(
+    "join_point_in_time",
+    """
+    WITH f AS (
+      SELECT user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             TIMESTAMP '2024-01-08 00:00:00'
+               + (user_id % 7) * INTERVAL 1 DAY AS b1,
+             TIMESTAMP '2024-01-18 00:00:00'
+               + (user_id % 5) * INTERVAL 1 DAY AS b2
+      FROM events
+    ),
+    v AS (
+      SELECT user_id, cents,
+             CASE WHEN ts < b1 THEN 0 WHEN ts < b2 THEN 1 ELSE 2 END
+               AS version
+      FROM f
+    )
+    SELECT user_id,
+           'S' || CAST(version AS VARCHAR) || '-'
+               || CAST(user_id % 4 AS VARCHAR) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS value_cents
+    FROM v
+    GROUP BY user_id, version
+    """,
+    tier="C",
+    note="C7/C-warehouse POINT-IN-TIME join — the feature-store "
+    "correctness join (train-time features must come from the dim "
+    "version valid AT the fact's timestamp, never a later one — the "
+    "classic label-leakage bug): a 3-version segment history per "
+    "customer (validity boundaries derived from the key) joins to "
+    "each event at its ts via equi-join ON THE KEY plus a row-local "
+    "[eff_from, eff_to) interval residual — a keyed shuffle, never a "
+    "cartesian or a partitionless sort. The oracle computes the "
+    "valid version analytically from the timestamp, so one fact "
+    "matched to a past-or-future version (an off-by-one on either "
+    "interval bound) breaks the hash. Open-ended first/last versions "
+    "use sentinel bounds.",
+)
+def join_point_in_time_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b1 = F.expr(
+        "timestamp'2024-01-08 00:00:00' "
+        "+ make_interval(0, 0, 0, CAST(custkey % 7 AS INT), 0, 0, 0)"
+    )
+    b2 = F.expr(
+        "timestamp'2024-01-18 00:00:00' "
+        "+ make_interval(0, 0, 0, CAST(custkey % 5 AS INT), 0, 0, 0)"
+    )
+    lo = F.lit("1900-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("2100-01-01 00:00:00").cast("timestamp")
+    dim = c.select(
+        "custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("version"),
+                    lo.alias("eff_from"),
+                    b1.alias("eff_to"),
+                ),
+                F.struct(
+                    F.lit(1).alias("version"),
+                    b1.alias("eff_from"),
+                    b2.alias("eff_to"),
+                ),
+                F.struct(
+                    F.lit(2).alias("version"),
+                    b2.alias("eff_from"),
+                    hi.alias("eff_to"),
+                ),
+            )
+        ).alias("v"),
+    ).select(
+        "custkey",
+        F.col("v.version").alias("version"),
+        F.col("v.eff_from").alias("eff_from"),
+        F.col("v.eff_to").alias("eff_to"),
+        F.concat(
+            F.lit("S"),
+            F.col("v.version").cast("string"),
+            F.lit("-"),
+            (F.col("custkey") % 4).cast("string"),
+        ).alias("segment"),
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    joined = ev.join(
+        dim,
+        (ev["user_id"] == dim["custkey"])
+        & (ev["ts"] >= dim["eff_from"])
+        & (ev["ts"] < dim["eff_to"]),
+    )
+    return joined.groupBy("user_id", "segment").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("value_cents"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order

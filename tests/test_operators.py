@@ -1608,3 +1608,21 @@ def test_perplexity_buckets_are_tertiles(spark):
     # |head|+|middle| = floor(2n/3)
     assert counts["head"] == n // 3
     assert counts["head"] + counts["middle"] == (2 * n) // 3
+
+def test_point_in_time_join_no_duplication_or_leakage(spark):
+    from pyspark.sql import functions as F
+
+    from simple_data_engineering_project_spark.plans.catalog import catalog
+    from simple_data_engineering_project_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    out = catalog()["join_point_in_time"].fn(spark, sf)
+    # every event matched EXACTLY one dim version: total matched events
+    # equals the fact count (no duplication from overlapping intervals,
+    # no drops from gaps)
+    n_matched = out.agg(F.sum("n_events")).collect()[0][0]
+    n_facts = read_table(spark, sf, "events").count()
+    assert n_matched == n_facts
+    # the join is keyed, never a cartesian
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
