@@ -142,6 +142,7 @@ HEADLINE = [
     "events_markov_stationary",
     "corpus_perplexity_buckets",
     "join_point_in_time",
+    "decontaminate_embedding",
 ]
 
 

@@ -9269,6 +9269,116 @@ def join_point_in_time_q(spark, sf_dir):
     )
 
 
+@register(
+    "decontaminate_embedding",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, e ->
+               CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+               AS xe
+      FROM embeddings
+    ),
+    ce AS (
+      SELECT vec_id, g.n AS dim, xe[g.n] AS xv
+      FROM (SELECT vec_id, xe FROM q WHERE vec_id % 10 <> 0),
+           unnest(generate_series(1, len(xe))) AS g(n)
+    ),
+    te AS (
+      SELECT vec_id AS tid, g.n AS dim, xe[g.n] AS tv
+      FROM (SELECT vec_id, xe FROM q WHERE vec_id % 10 = 0),
+           unnest(generate_series(1, len(xe))) AS g(n)
+    ),
+    na AS (SELECT vec_id, CAST(SUM(xv * xv) AS BIGINT) AS na2
+           FROM ce GROUP BY vec_id),
+    nb AS (SELECT tid, CAST(SUM(tv * tv) AS BIGINT) AS nb2
+           FROM te GROUP BY tid),
+    dots AS (
+      SELECT c.vec_id, t.tid, CAST(SUM(c.xv * t.tv) AS BIGINT) AS dot
+      FROM ce c JOIN te t ON c.dim = t.dim
+      GROUP BY c.vec_id, t.tid
+    ),
+    scored AS (
+      SELECT d.vec_id, d.tid,
+             d.dot / sqrt(CAST(na.na2 * nb.nb2 AS DOUBLE)) AS score
+      FROM dots d JOIN na ON na.vec_id = d.vec_id
+                  JOIN nb ON nb.tid = d.tid
+    )
+    SELECT vec_id, tid AS best_test_id,
+           CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+    FROM (
+      SELECT vec_id, tid, score,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, tid ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+    tier="C",
+    note="C2/C3 embedding-space decontamination — the modern "
+    "complement to the word-8-gram gate (dataset_decontaminate): "
+    "every corpus vector reports its nearest benchmark/test vector "
+    "(vec_id % 10 = 0 plays the held-out set) by cosine, so a "
+    "release gate can drop near-matches. Determinism recipe: "
+    "embeddings e4-integerized once, all dot products and norms are "
+    "EXACT int64 (numpy integer matmul — order-independent, unlike "
+    "float BLAS), and the cosine is one double divide from identical "
+    "integers, e6-floored row-locally. Scale shape: the test set is "
+    "bounded model metadata (like centroids) riding the closure into "
+    "an Arrow-batched integer matmul — corpus x |test| row-local "
+    "work, ZERO shuffles; a 100 TB corpus streams through while the "
+    "test matrix stays resident.",
+)
+def decontaminate_embedding_q(spark, sf_dir):
+    import numpy as _np
+    import pandas as _pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda e: F.floor(e.cast("double") * 10000 + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("xe"),
+    )
+    test_rows = sorted(
+        q.filter(F.col("vec_id") % 10 == 0).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    tids = _np.array([r["vec_id"] for r in test_rows], dtype=_np.int64)
+    T = _np.array([r["xe"] for r in test_rows], dtype=_np.int64)
+    nb2 = (T * T).sum(axis=1)  # exact int64
+
+    corpus = q.filter(F.col("vec_id") % 10 != 0)
+
+    def _match(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            C = _np.array(b["xe"].tolist(), dtype=_np.int64)
+            dots = C @ T.T  # exact integer matmul
+            na2 = (C * C).sum(axis=1)
+            score = dots / _np.sqrt(
+                (na2[:, None] * nb2[None, :]).astype(_np.float64)
+            )
+            best = score.argmax(axis=1)  # first index wins ties = min tid
+            rows = _np.arange(len(C))
+            yield _pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"].astype("int64"),
+                    "best_test_id": tids[best],
+                    "score_e6": _np.floor(
+                        score[rows, best] * 1_000_000 + 0.5
+                    ).astype("int64"),
+                }
+            )
+
+    return corpus.mapInPandas(
+        _match, schema="vec_id long, best_test_id long, score_e6 bigint"
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order

@@ -1626,3 +1626,31 @@ def test_point_in_time_join_no_duplication_or_leakage(spark):
     # the join is keyed, never a cartesian
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+def test_decontaminate_embedding_finds_planted_duplicate(spark):
+    import numpy as np
+
+    from simple_data_engineering_project_spark.plans.catalog import catalog
+    from simple_data_engineering_project_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["vec_id"]: r
+        for r in catalog()["decontaminate_embedding"].fn(spark, sf).collect()
+    }
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in read_table(spark, sf, "embeddings").collect()
+    }
+    # sanity vs a float reference: the reported best test id must be the
+    # true cosine argmax for a sample of corpus vectors
+    tests = sorted(i for i in emb if i % 10 == 0)
+    for vid in sorted(i for i in emb if i % 10 != 0)[:20]:
+        v = emb[vid]
+        sims = {
+            t: float(v @ emb[t] / (np.linalg.norm(v) * np.linalg.norm(emb[t])))
+            for t in tests
+        }
+        best = max(sims, key=lambda t: (sims[t], -t))
+        assert out[vid]["best_test_id"] == best, (vid, best)
+        assert abs(out[vid]["score_e6"] / 1e6 - sims[best]) < 2e-3
