@@ -264,9 +264,44 @@ def main() -> None:
         json.dump(full, f, indent=1)
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1950:  # driver keeps the last 2000 chars incl. newline
-        out["queries"] = {k: round(v, 1) for k, v in timings.items()}
-        line = json.dumps(out, separators=(",", ":"))
+        # The per-query map outgrew the window (97 entries at round 6).
+        # Keep on stdout: every query with NO prior-round recorded
+        # timing (its first number must reach the driver) plus the
+        # slowest of the rest; drop the FASTEST already-recorded
+        # queries until the line fits — the documented retirement rule,
+        # applied automatically. BENCH_LAST_FULL.json always carries
+        # the complete 3dp map.
+        recorded = _previously_recorded_names()
+        droppable = sorted(
+            (n for n in timings if n in recorded),
+            key=lambda n: timings[n],
+        )
+        kept = {k: round(v, 2) for k, v in timings.items()}
+        for name in droppable:
+            if len(line) <= 1950:
+                break
+            kept.pop(name)
+            out["queries"] = kept
+            out["omitted"] = len(timings) - len(kept)
+            line = json.dumps(out, separators=(",", ":"))
     print(line)
+
+
+def _previously_recorded_names() -> set[str]:
+    """Query names that already have a timing in any BENCH_r*.json."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    names: set[str] = set()
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        try:
+            prior = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        if "parsed" in prior and isinstance(prior["parsed"], dict):
+            prior = prior["parsed"]
+        names.update((prior.get("queries") or {}).keys())
+    return names
 
 
 def _regressions_vs_prior_round(timings: dict[str, float]) -> dict | None:
