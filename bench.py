@@ -143,6 +143,7 @@ HEADLINE = [
     "corpus_perplexity_buckets",
     "join_point_in_time",
     "decontaminate_embedding",
+    "scan_warc_datasource",
 ]
 
 

@@ -9379,6 +9379,101 @@ def decontaminate_embedding_q(spark, sf_dir):
     )
 
 
+@register(
+    "scan_warc_datasource",
+    """
+    WITH p AS (
+      SELECT doc_id, text,
+             CAST(ceil(strlen(text) / 80.0) AS INT) AS n_lines
+      FROM documents WHERE strlen(text) > 0
+    ), r AS (
+      SELECT doc_id,
+             string_agg(substring(text, g.i * 80 + 1, 80),
+                        chr(10) ORDER BY g.i) AS extracted
+      FROM p, unnest(generate_series(0, n_lines - 1)) AS g(i)
+      GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(strlen(extracted) AS BIGINT) AS n_chars,
+           sha256(extracted) AS text_sha
+    FROM r
+    """,
+    tier="A",
+    note="A10/C4 CUSTOM PYTHON DATASOURCE (Spark 4 "
+    "pyspark.sql.datasource API, operators/datasources.py): the "
+    "engine registers a real 'warcshards' format — "
+    "spark.read.format('warcshards').option('path', dir) — whose "
+    "reader hands the planner ONE InputPartition PER SHARD FILE, so "
+    "a 100 TB crawl fans out file-per-task exactly like the built-in "
+    "file sources (vs. a binaryFile+mapInPandas chain, this is the "
+    "idiomatic connector surface). The entry first EXPORTS documents "
+    "as multi-record WARC shards from executors (one file per Arrow "
+    "batch, request/response/metadata records, alternating gzipped "
+    "members), then scans them back through the registered format "
+    "and the codegen html_to_text strip; the sha must equal the "
+    "pure-SQL reconstruction — same oracle as warc_extract, now "
+    "end-to-end through the DataSource API.",
+)
+def scan_warc_datasource_q(spark, sf_dir):
+    import glob as _glob
+    import uuid as _uuid
+
+    import pandas as _pd
+
+    from ..operators.datasources import WarcShardDataSource
+    from ..operators.multimodal import _html_escape
+    from ..operators.text import html_to_text
+    from ..operators.warc import encode_warc
+
+    out = _scratch(sf_dir, "warc_ds")
+    os.makedirs(out, exist_ok=True)
+    for old in _glob.glob(f"{out}/*.warc"):
+        os.remove(old)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _write(batches):
+        for b in batches:
+            pages = []
+            gz = False
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                did = int(doc_id)
+                t = text or ""
+                if not t:
+                    continue
+                lines = [t[i : i + 80] for i in range(0, len(t), 80)]
+                html = (
+                    "<html><head><title>doc</title>"
+                    "<style>p{color:red}</style></head><body>"
+                    + "".join(f"<p>{_html_escape(ln)}</p>" for ln in lines)
+                    + "<script>var x=1;</script></body></html>"
+                ).encode("latin-1", "replace")
+                pages.append((f"http://example.org/{did}", html))
+                gz = did % 2 == 0  # last doc decides: both layouts occur
+            if not pages:
+                continue
+            path = f"{out}/shard-{_uuid.uuid4().hex}.warc"
+            with open(path, "wb") as f:
+                f.write(encode_warc(pages, gzip_members=gz))
+            yield _pd.DataFrame({"path": [path], "n": [len(pages)]})
+
+    d.mapInPandas(_write, schema="path string, n int").count()
+
+    try:
+        spark.dataSource.register(WarcShardDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    scanned = (
+        spark.read.format("warcshards").option("path", out).load()
+    )
+    text = html_to_text("html")
+    return scanned.select(
+        F.regexp_extract("uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.length(text).cast("long").alias("n_chars"),
+        F.sha2(text, 256).alias("text_sha"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order

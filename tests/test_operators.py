@@ -1654,3 +1654,34 @@ def test_decontaminate_embedding_finds_planted_duplicate(spark):
         best = max(sims, key=lambda t: (sims[t], -t))
         assert out[vid]["best_test_id"] == best, (vid, best)
         assert abs(out[vid]["score_e6"] / 1e6 - sims[best]) < 2e-3
+
+def test_warc_datasource_partitions_per_file(spark, tmp_path):
+    from simple_data_engineering_project_spark.operators.datasources import (
+        WarcShardDataSource,
+    )
+    from simple_data_engineering_project_spark.operators.warc import (
+        encode_warc,
+    )
+
+    for k in range(3):
+        (tmp_path / f"s{k}.warc").write_bytes(
+            encode_warc(
+                [(f"http://h/{k * 10 + i}", b"<p>x</p>") for i in range(2)],
+                gzip_members=k % 2 == 0,
+                seed=k,
+            )
+        )
+    try:
+        spark.dataSource.register(WarcShardDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("warcshards")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    # one InputPartition per shard file -> file-per-task fan-out
+    assert df.rdd.getNumPartitions() == 3
+    rows = sorted(r["uri"] for r in df.collect())
+    assert rows == sorted(f"http://h/{k * 10 + i}" for k in range(3) for i in range(2))
+    assert all(r["html"] == "<p>x</p>" for r in df.collect())
