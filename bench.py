@@ -277,6 +277,13 @@ def main() -> None:
             (n for n in timings if n in recorded),
             key=lambda n: timings[n],
         )
+        # last resort (fresh checkout, no BENCH_r*.json): still trim —
+        # an oversized line is ALWAYS worse than a partial map, because
+        # the driver's 2000-char tail would cut the JSON head off
+        droppable += sorted(
+            (n for n in timings if n not in recorded),
+            key=lambda n: timings[n],
+        )
         kept = {k: round(v, 2) for k, v in timings.items()}
         for name in droppable:
             if len(line) <= 1950:

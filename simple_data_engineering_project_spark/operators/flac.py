@@ -512,9 +512,13 @@ def encode_flac(
 def _write_subframe(
     bw, sub, bps, strategy, lpc_coefs, lpc_shift, wasted: int = 0
 ) -> None:
+    # real encoders DERIVE the wasted-bit count per subframe: a derived
+    # side/mid channel may support fewer shared low zero bits than the
+    # input channels (mid = (l+r)>>1 halves the guarantee), so the
+    # requested count clamps to what this channel's data actually has
+    while wasted and any(v & ((1 << wasted) - 1) for v in sub):
+        wasted -= 1
     if wasted:
-        if any(v & ((1 << wasted) - 1) for v in sub):
-            raise ValueError("wasted-bit samples must be 2**wasted multiples")
         sub = [v >> wasted for v in sub]
         bps -= wasted
     _write_subframe_body(bw, sub, bps, strategy, lpc_coefs, lpc_shift, wasted)

@@ -77,12 +77,14 @@ def walk_mp3(payload: bytes) -> dict:
     should start is an error."""
     pos = 0
     n = len(payload)
-    # ID3v2: "ID3" + ver(2) + flags(1) + 4-byte syncsafe size
+    # ID3v2: "ID3" + ver(2) + flags(1) + 4-byte syncsafe size; the v2.4
+    # footer flag (0x10) appends a 10-byte "3DI" footer NOT counted in
+    # the size field
     if payload[:3] == b"ID3":
         size = 0
         for b in payload[6:10]:
             size = (size << 7) | (b & 0x7F)
-        pos = 10 + size
+        pos = 10 + size + (10 if payload[5] & 0x10 else 0)
     n_frames = 0
     total_samples = 0
     total_bytes = 0
@@ -216,10 +218,11 @@ def parse_id3v2(payload: bytes) -> dict[str, str]:
 
 def encode_id3v2(
     frames: list[tuple[str, str]], major: int = 3, encoding: int = 0,
-    padding: int = 16,
+    padding: int = 16, footer: bool = False,
 ) -> bytes:
     """Conformant ID3v2.3/2.4 tag with text frames in the chosen
-    encoding (0 latin-1, 1 utf-16+BOM, 3 utf-8)."""
+    encoding (0 latin-1, 1 utf-16+BOM, 3 utf-8); ``footer`` appends
+    the v2.4 10-byte "3DI" footer (flag 0x10, not counted in size)."""
     body = bytearray()
     for fid, text in frames:
         if encoding == 0:
@@ -243,4 +246,8 @@ def encode_id3v2(
     ss = bytes(
         [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
     )
-    return b"ID3" + bytes([major, 0, 0]) + ss + bytes(body)
+    flags = 0x10 if footer else 0x00
+    out = b"ID3" + bytes([major, 0, flags]) + ss + bytes(body)
+    if footer:
+        out += b"3DI" + bytes([major, 0, flags]) + ss
+    return out

@@ -96,8 +96,6 @@ def parse_ogg(payload: bytes) -> list[tuple[int, bytes]]:
                 open_packet = True
         if open_packet or (acc and not lacing):
             partial[serial] = acc
-        elif len(lacing) == 0 and serial in partial:
-            pass  # empty page continues nothing
         pos = body_at + body_len
     if any(partial.values()):
         raise ValueError("Ogg stream ends mid-packet")

@@ -1342,7 +1342,10 @@ def url_normalize(col, tracking_prefixes=("utm_",)):
         u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
     )
     path = F.regexp_replace(path, r"/+$", "")
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # the query must be found BEFORE any '#': a bare `\?` would match a
+    # question mark inside the fragment ('page#frag?x=1') and leak
+    # fragment content into the canonical form
+    query = F.regexp_extract(u, r"^[^#]*?\?([^#]*)", 1)
     keep = F.filter(
         F.split(query, "&"),
         lambda p: (p != "")

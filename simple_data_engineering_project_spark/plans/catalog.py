@@ -7784,6 +7784,34 @@ def dedup_paragraphs_q(spark, sf_dir):
     return dedup_ops.dedup_paragraphs(d, para_words=10)
 
 
+def _messy_url():
+    """The deterministic MESSY url for a doc_id — shared by url_dedup
+    and cc_dedup_two_stage so the messiness axes (case, www, default
+    ports, trailing slash, param order + tracking params, fragments)
+    can never drift between the two entries and their oracles."""
+    k = (F.col("doc_id") % 40).cast("string")
+    return F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(
+            F.lit("https")
+        ),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"),
+        k,
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":80"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/docs/"),
+        k,
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1&utm_source=feed")
+        ).otherwise(F.lit("?a=1&b=2")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+
+
 @register(
     "url_dedup",
     """
@@ -7810,29 +7838,10 @@ def dedup_paragraphs_q(spark, sf_dir):
 )
 def url_dedup_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id")
-    k = (F.col("doc_id") % 40).cast("string")
-    messy = F.concat(
-        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(
-            F.lit("https")
-        ),
-        F.lit("://"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
-        F.lit("Site"),
-        k,
-        F.lit(".Example.COM"),
-        F.when(F.col("doc_id") % 4 == 0, F.lit(":80"))
-        .when(F.col("doc_id") % 4 == 1, F.lit(":443"))
-        .otherwise(F.lit("")),
-        F.lit("/docs/"),
-        k,
-        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1&utm_source=feed")
-        ).otherwise(F.lit("?a=1&b=2")),
-        F.when(F.col("doc_id") % 7 == 0, F.lit("#sec2")).otherwise(F.lit("")),
-    )
     return (
-        d.select("doc_id", text_ops.url_normalize(messy).alias("canonical_url"))
+        d.select(
+            "doc_id", text_ops.url_normalize(_messy_url()).alias("canonical_url")
+        )
         .groupBy("canonical_url")
         .agg(
             F.count("*").alias("n_dups"),
@@ -8905,29 +8914,8 @@ def sink_webdataset_q(spark, sf_dir):
 )
 def cc_dedup_two_stage_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    k = (F.col("doc_id") % 40).cast("string")
-    messy = F.concat(
-        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(
-            F.lit("https")
-        ),
-        F.lit("://"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
-        F.lit("Site"),
-        k,
-        F.lit(".Example.COM"),
-        F.when(F.col("doc_id") % 4 == 0, F.lit(":80"))
-        .when(F.col("doc_id") % 4 == 1, F.lit(":443"))
-        .otherwise(F.lit("")),
-        F.lit("/docs/"),
-        k,
-        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1&utm_source=feed")
-        ).otherwise(F.lit("?a=1&b=2")),
-        F.when(F.col("doc_id") % 7 == 0, F.lit("#sec2")).otherwise(F.lit("")),
-    )
     canon = d.select(
-        "doc_id", "text", text_ops.url_normalize(messy).alias("curl")
+        "doc_id", "text", text_ops.url_normalize(_messy_url()).alias("curl")
     )
     w_url = Window.partitionBy("curl").orderBy("doc_id")
     url_kept = (
@@ -9031,23 +9019,20 @@ def events_markov_stationary_q(spark, sf_dir):
     )
     counts: dict[tuple[str, str], int] = {(r["i"], r["j"]): r["c"] for r in t}
     outgoing = sorted({i for i, _ in counts})
-    incoming = sorted({j for _, j in counts})
     rs = {
         i: sum(c for (a, _), c in counts.items() if a == i) for i in outgoing
     }
-    # p0 ranks the DISTINCT source states; raw_k groups by target, so
-    # after round 1 only states with incoming edges persist — exactly
-    # the oracle's join/group semantics (a dropped state's pi is 0 and
-    # contributes nothing regardless)
+    # p0 ranks the DISTINCT source states. Each round, raw_j exists
+    # exactly when SOME edge (i, j) has its source i in the previous p
+    # table — the oracle's join+group semantics — so states reachable
+    # only from dropped sources drop out too (not merely go to zero):
+    # mirror the CTE by iterating edges against the CURRENT pi keys.
     pi = {s: (1_000_000 if n == 0 else 0) for n, s in enumerate(outgoing)}
     for _ in range(20):
-        raw = {
-            j: sum(
-                (pi.get(i, 0) * counts.get((i, j), 0)) // rs[i]
-                for i in outgoing
-            )
-            for j in incoming
-        }
+        raw: dict[str, int] = {}
+        for (i, j), c in counts.items():
+            if i in pi:
+                raw[j] = raw.get(j, 0) + (pi[i] * c) // rs[i]
         m = max(raw.values())
         pi = {j: (v * 1_000_000) // m for j, v in raw.items()}
     return spark.createDataFrame(

@@ -160,6 +160,13 @@ def test_id3v2_all_versions_and_encodings():
     )
     assert walk_mp3(blob)["n_frames"] == 5
     assert parse_id3v2(blob) == {"TIT2": "T"}
+    # v2.4 FOOTER flag: 10 extra bytes not counted in the size field —
+    # the walker must skip them too
+    blob = encode_id3v2(
+        [("TIT2", "T")], major=4, encoding=3, footer=True
+    ) + encode_mp3_frames(3, bitrate_idx=9, rate_idx=0)
+    assert walk_mp3(blob)["n_frames"] == 3
+    assert parse_id3v2(blob) == {"TIT2": "T"}
 
     import pytest
 

@@ -79,8 +79,11 @@ def test_envelope_rejections():
         decode_flac(b"OggS not a flac")
     with pytest.raises(ValueError, match="cover the signal"):
         encode_flac([_sig(300, 9)], variable_blocksizes=[100, 100])
-    with pytest.raises(ValueError, match="wasted"):
-        encode_flac([[3] * 100], strategy="verbatim", wasted=2)
+    # a wasted-bit request the data cannot support CLAMPS per subframe
+    # (real encoders derive k from the data) instead of failing
+    odd = [3] * 100
+    d = decode_flac(encode_flac([odd], strategy="verbatim", wasted=2))
+    assert d["samples"][0] == odd
 
 
 @pytest.mark.parametrize("bps", [8, 12, 20, 24])
@@ -115,6 +118,18 @@ def test_wasted_bits_roundtrip(strategy):
         )
     )
     assert d["samples"][0] == base
+
+
+def test_wasted_bits_clamp_with_mid_side():
+    # mid = (l+r)>>1 only guarantees HALF the input's shared zero bits:
+    # the encoder must clamp that subframe's wasted count, not raise
+    l = [v * 4 for v in _sig(300, 3)]
+    r = [v * 4 + 4 for v in _sig(300, 7)]  # mid is a multiple of 2 only
+    d = decode_flac(
+        encode_flac([l, r], strategy="fixed1", stereo_mode="mid_side",
+                    wasted=2)
+    )
+    assert d["samples"] == [l, r]
 
 
 def test_variable_blocksize_roundtrip():

@@ -1327,6 +1327,10 @@ def test_url_normalize_axes(spark):
         ("https://site.org?", "https://site.org"),
         # only tracking params -> no query at all
         ("https://site.org/x?utm_a=1&utm_b=2", "https://site.org/x"),
+        # a '?' INSIDE the fragment is not a query string
+        ("https://site.org/page#frag?x=1", "https://site.org/page"),
+        # real query AND a fragment with a '?': keep only the query
+        ("https://site.org/p?a=1#f?b=2", "https://site.org/p?a=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [
