@@ -51,9 +51,19 @@ class WarcShardReader(DataSourceReader):
         return [InputPartition(f) for f in files]
 
     def read(self, partition):
+        # one Arrow RecordBatch per shard file: the API's batch path —
+        # row tuples would cross the Python/JVM boundary one at a time
+        import pyarrow as pa
+
         from .warc import response_bodies
 
         with open(partition.value, "rb") as f:
             payload = f.read()
+        uris, htmls = [], []
         for uri, body in response_bodies(payload):
-            yield uri, body.decode("latin-1")
+            uris.append(uri)
+            htmls.append(body.decode("latin-1"))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(uris, type=pa.string()), pa.array(htmls, type=pa.string())],
+            names=["uri", "html"],
+        )
