@@ -170,10 +170,7 @@ def ima_adpcm_encode(samples: list[int], block_align: int = 256) -> bytes:
             nibbles.append(0)
         for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
             out.append(lo | (hi << 4))
-        # pad the final short block to block_align
-        pad = block_align - 4 - len(nibbles) // 2
-        if pad > 0:
-            out += b"\x00" * 0  # short final block is legal; no pad
+        # a short final block is legal — no padding to block_align
     return bytes(out)
 
 
@@ -239,6 +236,11 @@ def decode_wav_compressed(payload: bytes) -> dict:
         off += 8 + size + (size % 2)
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt/data")
+    if _ch != 1:
+        # interleaved multi-channel G.711 would silently merge L/R into
+        # one stream and stereo IMA-ADPCM's per-channel word layout
+        # would decode as garbage — honest envelope instead
+        raise NotImplementedError("multi-channel compressed WAVE")
     if fmt == WAVE_FORMAT_PCM:
         samples = [
             struct.unpack("<h", data[i : i + 2])[0]

@@ -369,6 +369,12 @@ def decode_gif_frames(payload: bytes) -> "list[tuple[int, np.ndarray]]":
                 canvas[top : top + h, left : left + w] = bg_rgb
             elif disposal == 3 and before is not None:
                 canvas = before
+            # a GCE scopes to ONE render block (GIF89a §23): a later
+            # frame without its own GCE must paint opaque with default
+            # delay/disposal, not inherit this frame's settings
+            delay = 0
+            transparent = None
+            disposal = 0
         elif block == 0x3B:
             break
         else:

@@ -84,7 +84,7 @@ def sample_mkv_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
 
     ts_scale = 1_000_000  # ns per tick (Matroska default: 1 ms ticks)
     video_track = None
-    blocks: list[tuple[int, bool, bytes]] = []  # (abs_ticks, key, data)
+    blocks: list[tuple[int, int, bool, bytes]] = []  # (track, ticks, key, data)
     for eid, b, e in _walk(payload, *segment):
         if eid == _INFO:
             for eid2, b2, e2 in _walk(payload, b, e):
@@ -117,11 +117,14 @@ def sample_mkv_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
                         raise NotImplementedError(
                             "laced SimpleBlock (Xiph/EBML/fixed lacing)"
                         )
-                    if video_track is not None and track == video_track:
-                        blocks.append(
-                            (cluster_ts + rel, bool(flags & 0x80),
-                             payload[p + 3 : e2])
-                        )
+                    # collect with the TRACK NUMBER and filter after the
+                    # walk: Segment element order is not mandated, so a
+                    # legal file may put Clusters before Tracks — a
+                    # during-walk video_track check would drop them all
+                    blocks.append(
+                        (track, cluster_ts + rel, bool(flags & 0x80),
+                         payload[p + 3 : e2])
+                    )
                 elif eid2 == _BLOCK_GROUP:
                     raise NotImplementedError(
                         "BlockGroup-coded stream (reference-frame "
@@ -131,8 +134,8 @@ def sample_mkv_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
         raise ValueError("MKV has no video track")
 
     kept, seen = [], set()
-    for ticks, key, data in blocks:
-        if not key:
+    for track, ticks, key, data in blocks:
+        if track != video_track or not key:
             continue
         t_ms = ticks * ts_scale // 1_000_000
         bucket = t_ms // every_ms

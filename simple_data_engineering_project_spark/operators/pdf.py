@@ -70,9 +70,13 @@ def _literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
             if nxt in _ESCAPES:
                 out += _ESCAPES[nxt]
                 i += 2
-            elif nxt.isdigit():  # octal \d{1,3}
+            elif nxt in (b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7"):
+                # octal escapes are \[0-7]{1,3}; '\8'/'\9' are NOT octal
+                # (spec: unrecognized escape = drop backslash, keep char)
                 j = i + 1
-                while j < min(i + 4, n) and data[j : j + 1].isdigit():
+                while j < min(i + 4, n) and data[j : j + 1] in (
+                    b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7"
+                ):
                     j += 1
                 out.append(int(data[i + 1 : j], 8) & 0xFF)
                 i = j
@@ -190,8 +194,13 @@ def extract_pdf_text(payload: bytes) -> str:
             data_start += 2
         elif payload[data_start : data_start + 1] == b"\n":
             data_start += 1
-        mlen = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", params)
-        if mlen:
+        # the direct/indirect split must NOT rely on a lookahead after
+        # (\d+): the regex engine backtracks the capture ('15 0 R' ->
+        # capture '1', lookahead sees '5') and silently truncates the
+        # stream — match the full number first, THEN inspect what
+        # follows it
+        mlen = re.search(rb"/Length\s+(\d+)", params)
+        if mlen and not re.match(rb"\s+\d+\s+R", params[mlen.end() :]):
             data_end = data_start + int(mlen.group(1))
             raw = payload[data_start:data_end]
             es = payload.find(b"endstream", data_end)

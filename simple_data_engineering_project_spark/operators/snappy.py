@@ -65,10 +65,16 @@ def snappy_decompress(data: bytes) -> bytes:
             pos += 4
         if offset == 0 or offset > len(out):
             raise ValueError("snappy copy before stream start")
-        # overlapping forward copy (RLE) must copy byte-wise
         start = len(out) - offset
-        for i in range(ln):
-            out.append(out[start + i])
+        if offset >= ln:
+            # non-overlapping: one bulk slice (the dominant case in
+            # real snappy output — a byte loop here was a multi-x tax
+            # on the avro decode path)
+            out += out[start : start + ln]
+        else:
+            # overlapping forward copy (RLE) must copy byte-wise
+            for i in range(ln):
+                out.append(out[start + i])
     if len(out) != total:
         raise ValueError("snappy length mismatch")
     return bytes(out)

@@ -88,6 +88,9 @@ def write_tfrecords(records: list[bytes]) -> bytes:
 
 
 def _varint(v: int) -> bytes:
+    # proto encodes negative int64 as the 10-byte two's-complement
+    # varint; Python's arithmetic >> would loop forever on a negative v
+    v &= 0xFFFFFFFFFFFFFFFF
     out = bytearray()
     while True:
         b = v & 0x7F
@@ -172,7 +175,8 @@ def decode_example(data: bytes) -> dict[str, object]:
                                     value = raw
                         elif f4 == 2:  # int64_list (packed varints)
                             v, _ = _read_varint(flist, 0)
-                            value = v
+                            # undo the two's-complement varint encoding
+                            value = v - (1 << 64) if v >= (1 << 63) else v
                         elif f4 == 3:  # float_list (packed floats)
                             value = [
                                 struct.unpack("<f", flist[i : i + 4])[0]

@@ -61,13 +61,18 @@ def parse_warc(payload: bytes) -> list[dict]:
         headers: dict[str, str] = {}
         for ln in lines[1:]:
             k, _, v = ln.partition(b":")
-            headers[k.strip().decode("latin-1")] = v.strip().decode("latin-1")
-        length = int(headers.get("Content-Length", "0"))
+            # ISO 28500 field names are CASE-INSENSITIVE: a writer
+            # emitting 'content-length' must not zero the record length
+            # (which would desync the whole walk)
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+                "latin-1"
+            )
+        length = int(headers.get("content-length", "0"))
         body_start = hdr_end + 4
         body = payload[body_start : body_start + length]
         records.append(
             {
-                "type": headers.get("WARC-Type", ""),
+                "type": headers.get("warc-type", ""),
                 "headers": headers,
                 "body": body,
             }
@@ -95,7 +100,7 @@ def response_bodies(payload: bytes) -> list[tuple[str, bytes]]:
                 "chunked transfer encoding in WARC response payload"
             )
         body = msg[sep + 4 :] if sep >= 0 else msg
-        out.append((rec["headers"].get("WARC-Target-URI", ""), body))
+        out.append((rec["headers"].get("warc-target-uri", ""), body))
     return out
 
 

@@ -244,3 +244,130 @@ def test_wave3_parsers_survive_bit_flips():
                 parse(bytes(mutated))
             except Exception:
                 pass
+
+
+def test_review_fix_pdf_indirect_length_and_odd_escapes():
+    from simple_data_engineering_project_spark.operators.pdf import (
+        extract_pdf_text,
+    )
+
+    # indirect '/Length 15 0 R' (multi-digit object number): the old
+    # regex backtracked to capture '1' and silently truncated the
+    # stream; the endstream fallback must recover the text
+    content = b"BT (hello world) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Length 15 0 R >>\nstream\n" + content
+        + b"\nendstream\nendobj\n"
+        b"15 0 obj\n" + str(len(content)).encode() + b"\nendobj\n"
+        b"%%EOF"
+    )
+    assert "hello world" in extract_pdf_text(pdf)
+
+    # '\8' is NOT an octal escape: drop the backslash, keep the char
+    pdf2 = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 22 >>\nstream\n"
+        b"BT (a\\8b octal\\101) Tj ET"[:0]  # placeholder, build below
+    )
+    body = b"BT (a\\8b \\101ok) Tj ET"
+    pdf2 = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert "a8b Aok" in extract_pdf_text(pdf2)
+
+
+def test_review_fix_tfrecord_negative_int64_roundtrip():
+    from simple_data_engineering_project_spark.operators.tfrecord import (
+        decode_example,
+        encode_example,
+    )
+
+    ex = encode_example({"label": -7, "text": b"x"})
+    got = decode_example(ex)
+    assert got["label"] == -7
+
+
+def test_review_fix_gif_gce_scopes_to_one_frame():
+    import numpy as np
+
+    from simple_data_engineering_project_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    # frame 1 carries a GCE with transparent index 9; frame 2's GCE is
+    # SPLICED OUT of the byte stream, so it must paint fully opaque
+    # (GIF89a scopes a GCE to exactly one render block)
+    f1 = np.full((4, 4), 5, dtype=np.uint8)
+    f2 = np.full((4, 4), 9, dtype=np.uint8)
+    blob = bytearray(
+        encode_gif_animated([f1, f2], delays_cs=[10, 10], transparent=9)
+    )
+    second_gce = blob.index(b"\x21\xf9\x04", blob.index(b"\x21\xf9\x04") + 1)
+    del blob[second_gce : second_gce + 8]
+    frames = decode_gif_frames(bytes(blob))
+    # frame 2's 9s must LAND (opaque), not vanish via stale transparency
+    assert int(frames[1][1][0, 0, 0]) == 9
+
+
+def test_review_fix_stereo_compressed_wav_raises():
+    import pytest
+
+    from simple_data_engineering_project_spark.operators.audio_codecs import (
+        decode_wav_compressed,
+        encode_wav_compressed,
+        WAVE_FORMAT_MULAW,
+    )
+
+    from simple_data_engineering_project_spark.operators.audio_codecs import (
+        mulaw_encode_sample,
+    )
+
+    codes = bytes(mulaw_encode_sample(s) for s in (0, 100, -100))
+    mono = encode_wav_compressed(codes, WAVE_FORMAT_MULAW)
+    # patch the fmt chunk's channel count to 2
+    at = mono.index(b"fmt ") + 8 + 2
+    stereo = mono[:at] + (2).to_bytes(2, "little") + mono[at + 2 :]
+    with pytest.raises(NotImplementedError, match="multi-channel"):
+        decode_wav_compressed(stereo)
+
+
+def test_review_fix_warc_header_names_case_insensitive():
+    from simple_data_engineering_project_spark.operators.warc import (
+        encode_warc,
+        parse_warc,
+        response_bodies,
+    )
+
+    blob = encode_warc([("http://h/1", b"<p>x</p>")])
+    lowered = blob.replace(b"Content-Length:", b"content-length:").replace(
+        b"WARC-Type:", b"warc-type:"
+    )
+    recs = parse_warc(lowered)
+    assert [r["type"] for r in recs] == ["request", "response", "metadata"]
+    assert response_bodies(lowered)[0][1] == b"<p>x</p>"
+
+
+def test_review_fix_snappy_long_nonoverlapping_copy():
+    from simple_data_engineering_project_spark.operators.snappy import (
+        snappy_decompress,
+    )
+
+    # hand-built stream: 40-byte literal then a 2-byte-offset copy of
+    # length 40 at offset 40 (non-overlapping bulk path)
+    lit = bytes(range(40))
+    stream = bytearray()
+    stream += bytes([80])  # uvarint total = 80
+    stream += bytes([(40 - 1) << 2]) + lit  # literal, len 40
+    stream += bytes([(2 << 0) | ((40 - 1) << 2) & 0xFF])  # see below
+    # build copy-2 element explicitly: tag=0b10 | (len-1)<<2, then
+    # little-endian 2-byte offset
+    stream = bytearray()
+    stream += bytes([80])
+    stream += bytes([(40 - 1) << 2]) + lit
+    stream += bytes([0x02 | ((40 - 1) << 2) & 0xFC]) if False else b""
+    ln = 40
+    tag = 0b10 | ((ln - 1) << 2)
+    stream += bytes([tag & 0xFF]) + (40).to_bytes(2, "little")
+    assert snappy_decompress(bytes(stream)) == lit + lit
