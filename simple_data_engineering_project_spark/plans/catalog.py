@@ -169,7 +169,7 @@ def agg_regional_distribution(spark, sf_dir):
     r = _t(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "l_returnflag")
@@ -1917,7 +1917,8 @@ def tpch_q1_q(spark, sf_dir):
     tier="C",
     note="TPC-H Q3 shape (o_orderpriority stands in for o_shippriority): "
     "selective dim filter → fact join → agg → top-10 with a deterministic "
-    "l_orderkey tiebreak. Scale: customer filter broadcast; TopK via "
+    "l_orderkey tiebreak. Scale: the customer filter is UNHINTED (grows "
+    "with sf) — AQE broadcast-converts while it fits; TopK via "
     "per-partition limit before the single-partition final sort.",
 )
 def tpch_q3_q(spark, sf_dir):
@@ -1931,7 +1932,7 @@ def tpch_q3_q(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(revenue()), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -1959,8 +1960,9 @@ def tpch_q3_q(spark, sf_dir):
     tier="C",
     note="TPC-H Q5 shape: 6-way join with a non-key residual "
     "(c_nationkey = s_nationkey) and a region-restricted dim chain. "
-    "Scale: region→nation→supplier collapses to one broadcast before "
-    "touching the fact; only lineitem⋈orders shuffles.",
+    "Scale: nation/region stay hinted (constant size); customer/"
+    "supplier are unhinted so AQE broadcasts them only while they fit; "
+    "only lineitem⋈orders must shuffle.",
 )
 def tpch_q5_q(spark, sf_dir):
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -1984,9 +1986,9 @@ def tpch_q5_q(spark, sf_dir):
     )
     return (
         li.join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == s.s_suppkey)
             & (c.c_nationkey == s.s_nationkey),
         )
@@ -2043,7 +2045,7 @@ def tpch_q6_q(spark, sf_dir):
     "on its own key, HAVING-filter, then join the survivors outward. "
     "Scale: the agg+filter shrinks lineitem to the rare keys BEFORE any "
     "join, so the orders join moves only qualifying orderkeys; customer "
-    "attaches by broadcast.",
+    "attaches unhinted (AQE broadcasts while it fits).",
 )
 def tpch_q18_q(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -2059,7 +2061,7 @@ def tpch_q18_q(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -3067,7 +3069,8 @@ def scan_text_q(spark, sf_dir):
     tier="C",
     note="TPC-H Q10 shape: who returned the most revenue last quarter. "
     "Time-sliced orders join return-filtered lineitem (both predicates "
-    "pushed to the scans), customer+nation broadcast, top-20 via "
+    "pushed to the scans), nation hinted + customer unhinted (AQE "
+    "broadcast while it fits), top-20 via "
     "per-partition TopK before the final single-partition sort. "
     "Revenue sums exactly in integer tenth-millis per row (the 4dp "
     "product is within 1ulp of an integer, so the per-row round is "
@@ -3093,7 +3096,7 @@ def tpch_q10_q(spark, sf_dir):
             F.round(F.col("rev") * F.lit(10000)).cast("long").alias("rev_tm"),
         )
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum("rev_tm").alias("sum_tm"))
@@ -3124,7 +3127,8 @@ def tpch_q10_q(spark, sf_dir):
     """,
     tier="C",
     note="TPC-H Q14 shape: promo revenue share for one month. The part "
-    "dimension broadcasts (only p_partkey/p_type read — column pruning), "
+    "dimension attaches unhinted — AQE broadcasts while it fits; only "
+    "p_partkey/p_type read (column pruning) — "
     "the month filter is pushed to the fact scan, and the conditional "
     "ratio is one global aggregate.",
 )
@@ -3137,7 +3141,7 @@ def tpch_q14_q(spark, sf_dir):
     rev = revenue()
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0) * F.sum(promo) / F.sum(rev), 4
@@ -3180,7 +3184,7 @@ def window_cumulative_q(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     monthly = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("m_total"))
@@ -3352,8 +3356,8 @@ def adhoc_sql_q(spark, sf_dir):
     """,
     tier="C",
     note="TPC-H Q7 shape: bilateral trade volume between two nations by "
-    "year. The nation pair predicate collapses supplier and customer to "
-    "two broadcast-filtered dims BEFORE the fact joins; the disjunctive "
+    "year. The nation pair predicate collapses supplier and customer "
+    "BEFORE the fact joins (unhinted — AQE broadcasts while small); the disjunctive "
     "pair condition is row-local after both nation names attach.",
 )
 def tpch_q7_q(spark, sf_dir):
@@ -3377,9 +3381,9 @@ def tpch_q7_q(spark, sf_dir):
         revenue().alias("volume"),
     )
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        li.join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.round(F.sum("volume"), 2).alias("revenue"))
@@ -3411,8 +3415,9 @@ def tpch_q7_q(spark, sf_dir):
     note="TPC-H Q8 shape: one nation's supplier market share inside a "
     "region's promo-part demand — an 8-way join where every dimension "
     "(part filtered to PROMO, region-restricted customer nations, "
-    "supplier→nation) broadcasts, leaving lineitem⋈orders as the only "
-    "shuffled join; the share is a conditional ratio per year.",
+    "supplier→nation) attaches small-side — nation/region hinted, the "
+    "growing dims unhinted for AQE — leaving lineitem⋈orders as the "
+    "only guaranteed shuffle; the share is a conditional ratio per year.",
 )
 def tpch_q8_q(spark, sf_dir):
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
@@ -3446,10 +3451,10 @@ def tpch_q8_q(spark, sf_dir):
     )
     vol = F.col("volume")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        li.join(p, F.col("l_partkey") == p.p_partkey)
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("o_year")
         .agg(
             F.round(
@@ -3509,7 +3514,7 @@ def tpch_q13_q(spark, sf_dir):
     "per branch) and pushes it into the part scan (observed "
     "PushedFilters); the quantity branches cover the whole domain so "
     "no lineitem bound exists, and the cross-side residual evaluates "
-    "row-local after the broadcast join. Revenue via exact integer "
+    "row-local after the (unhinted, AQE-broadcast) join. Revenue via exact integer "
     "tenth-millis (single global sum — the .xx5 boundary case).",
 )
 def tpch_q19_q(spark, sf_dir):
@@ -3528,7 +3533,7 @@ def tpch_q19_q(spark, sf_dir):
         & (F.col("l_quantity") < 10)
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
             (
@@ -3703,7 +3708,7 @@ def tpch_q17_q(spark, sf_dir):
             "l_quantity",
             F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .drop("p_partkey")
     )
     avgs = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("qavg"))
@@ -3743,8 +3748,8 @@ def tpch_q17_q(spark, sf_dir):
     "SEMI and NOT EXISTS → LEFT ANTI, both self-joins on the fact keyed "
     "on orderkey with the suppkey inequality as residual (testdata "
     "lacks receipt/commit dates; returnflag 'R' marks the failing "
-    "line). Nation/supplier dims broadcast; the two self-joins are the "
-    "only fact shuffles and share the orderkey key.",
+    "line). Nation stays hinted, supplier unhinted (AQE); the two "
+    "self-joins are the only fact shuffles and share the orderkey key.",
 )
 def tpch_q21_q(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
@@ -3768,7 +3773,7 @@ def tpch_q21_q(spark, sf_dir):
     l1 = li.filter(F.col("l_returnflag") == "R")
     base = (
         l1.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey", "l_suppkey", "s_name")
     )
     l2 = li.select(
@@ -4552,7 +4557,7 @@ def tpch_q2_q(spark, sf_dir):
     "part family) — the six-table join. Profit in exact integer "
     "tenth-millicents: revenue via the proven round(x*1e4) pattern, "
     "cost as cents x integral quantity. part filter prunes before the "
-    "fact joins; dims broadcast.",
+    "fact joins; nation hinted, part/supplier unhinted (AQE-sized).",
 )
 def tpch_q9_q(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -4564,12 +4569,12 @@ def tpch_q9_q(spark, sf_dir):
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     joined = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .join(
             ps,
             (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
         )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
     )
@@ -4623,7 +4628,7 @@ def tpch_q11_q(spark, sf_dir):
         "r_regionkey"
     )
     de = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
@@ -4660,7 +4665,8 @@ def tpch_q11_q(spark, sf_dir):
     note="TPC-H Q16 shape (supplier diversity per part segment, "
     "excluding flagged suppliers). The testdata supplier table has no "
     "comment column, so negative account balance stands in for the "
-    "complaints exclusion; the NOT IN is a broadcast anti-join, the "
+    "complaints exclusion; the NOT IN is an anti-join on unhinted "
+    "part/supplier subsets (AQE broadcasts while they fit), the "
     "distinct count one keyed aggregate.",
 )
 def tpch_q16_q(spark, sf_dir):
@@ -4674,9 +4680,9 @@ def tpch_q16_q(spark, sf_dir):
         "s_suppkey"
     )
     return (
-        ps.join(F.broadcast(pt), ps.ps_partkey == pt.p_partkey)
+        ps.join(pt, ps.ps_partkey == pt.p_partkey)
         .join(
-            F.broadcast(flagged),
+            flagged,
             ps.ps_suppkey == flagged.s_suppkey,
             "left_anti",
         )
@@ -4710,7 +4716,8 @@ def tpch_q16_q(spark, sf_dir):
     note="TPC-H Q20 shape (suppliers overstocked on a part family "
     "relative to a year's shipments). The availqty > 50% test is exact "
     "integer (availqty*2 > integral qty sum); the part-family IN is a "
-    "broadcast semi-join, the year aggregate one keyed shuffle.",
+    "semi-join on an unhinted part subset (AQE-sized), the year "
+    "aggregate one keyed shuffle.",
 )
 def tpch_q20_q(spark, sf_dir):
     ps = _partsupp(spark, sf_dir)
@@ -4731,14 +4738,14 @@ def tpch_q20_q(spark, sf_dir):
         "n_nationkey"
     )
     return (
-        ps.join(F.broadcast(small), ps.ps_partkey == small.p_partkey, "left_semi")
+        ps.join(small, ps.ps_partkey == small.p_partkey, "left_semi")
         .join(
             shipped,
             (ps.ps_partkey == shipped.l_partkey)
             & (ps.ps_suppkey == shipped.l_suppkey),
         )
         .filter(F.col("ps_availqty") * F.lit(2) > F.col("qty"))
-        .join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(s, F.col("ps_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_suppkey", "s_name")
         .distinct()
@@ -5173,8 +5180,8 @@ def graph_pagerank_q(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     edges = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .groupBy(
             F.col("c_nationkey").alias("src"),
             F.col("s_nationkey").alias("dst"),
@@ -6246,14 +6253,14 @@ def events_stickiness_q(spark, sf_dir):
     "arithmetic — no float in the hash). The concentration-risk "
     "metric supply-chain and antitrust dashboards compute. Two keyed "
     "aggregations over the same (region, supplier) volume relation; "
-    "dims broadcast into the fact scan.",
+    "nation hinted, supplier unhinted (AQE broadcasts while it fits).",
 )
 def supplier_concentration_q(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     vol = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_regionkey").alias("region_key"), "l_suppkey")
         .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
@@ -8242,7 +8249,7 @@ def join_bloom_prefilter_q(spark, sf_dir):
         cond = cond & p
     candidates = fact.filter(cond).drop("__bloom")
     exact = candidates.join(
-        F.broadcast(dim), candidates["o_custkey"] == dim["c_custkey"], "semi"
+        dim, candidates["o_custkey"] == dim["c_custkey"], "semi"
     )
     return exact.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
@@ -8896,8 +8903,10 @@ def sink_webdataset_q(spark, sf_dir):
            CAST((SELECT COUNT(*) FROM url_kept) AS BIGINT) AS n_after_url,
            CAST((SELECT COUNT(*) FROM content_kept) AS BIGINT)
              AS n_after_content,
-           (SELECT md5(string_agg(CAST(doc_id AS VARCHAR), ','
-                       ORDER BY doc_id)) FROM content_kept) AS survivors_md5
+           (SELECT bit_xor(CAST(('0x' ||
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT))
+            FROM content_kept) AS survivors_digest
     """,
     tier="C",
     note="C2 the standard two-stage Common Crawl dedup ORDER: "
@@ -8908,9 +8917,11 @@ def sink_webdataset_q(spark, sf_dir):
     "on the md5 of normalized text). Staging matters at 100 TB: the "
     "URL stage needs no text processing at all and shrinks the input "
     "before any content hash is computed. Output pins both stage "
-    "counts and an order-insensitive digest of the surviving ids, so "
-    "a wrong stage ORDER (content-first keeps different ids) breaks "
-    "the hash.",
+    "counts and an order-insensitive DISTRIBUTED digest of the "
+    "surviving ids (bit_xor of a per-id 60-bit md5 prefix — one "
+    "aggregate, no driver materialization; XOR commutes so no sort "
+    "and no overflow), so a wrong stage ORDER (content-first keeps "
+    "different ids) breaks the digest.",
 )
 def cc_dedup_two_stage_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -8931,15 +8942,21 @@ def cc_dedup_two_stage_q(spark, sf_dir):
     )
     n_input = d.count()
     n_url = url_kept.count()
-    survivors = content_kept.orderBy("doc_id").collect()
-    ids = [r["doc_id"] for r in survivors]
-    import hashlib as _hl
-
-    digest = _hl.md5(",".join(str(i) for i in ids).encode()).hexdigest()
+    # Order-insensitive digest of the surviving ids, computed as ONE
+    # distributed aggregate (bit_xor of a 60-bit md5 prefix per id).
+    # Never collects the survivor set: at 100 TB that is billions of
+    # ids, and XOR needs no ordering shuffle and cannot overflow.
+    row = content_kept.agg(
+        F.count("*").cast("bigint").alias("n_after_content"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
+            " 16, 10) as bigint))"
+        ).alias("survivors_digest"),
+    ).first()
     return spark.createDataFrame(
-        [(n_input, n_url, len(ids), digest)],
+        [(n_input, n_url, row["n_after_content"], row["survivors_digest"])],
         "n_input bigint, n_after_url bigint, n_after_content bigint, "
-        "survivors_md5 string",
+        "survivors_digest bigint",
     )
 
 
@@ -9266,12 +9283,14 @@ def join_point_in_time_q(spark, sf_dir):
     ),
     ce AS (
       SELECT vec_id, g.n AS dim, xe[g.n] AS xv
-      FROM (SELECT vec_id, xe FROM q WHERE vec_id % 10 <> 0),
+      FROM (SELECT vec_id, xe FROM q
+            WHERE NOT (vec_id % 10 = 0 AND vec_id < 2000)),
            unnest(generate_series(1, len(xe))) AS g(n)
     ),
     te AS (
       SELECT vec_id AS tid, g.n AS dim, xe[g.n] AS tv
-      FROM (SELECT vec_id, xe FROM q WHERE vec_id % 10 = 0),
+      FROM (SELECT vec_id, xe FROM q
+            WHERE vec_id % 10 = 0 AND vec_id < 2000),
            unnest(generate_series(1, len(xe))) AS g(n)
     ),
     na AS (SELECT vec_id, CAST(SUM(xv * xv) AS BIGINT) AS na2
@@ -9302,16 +9321,19 @@ def join_point_in_time_q(spark, sf_dir):
     note="C2/C3 embedding-space decontamination — the modern "
     "complement to the word-8-gram gate (dataset_decontaminate): "
     "every corpus vector reports its nearest benchmark/test vector "
-    "(vec_id % 10 = 0 plays the held-out set) by cosine, so a "
-    "release gate can drop near-matches. Determinism recipe: "
-    "embeddings e4-integerized once, all dot products and norms are "
-    "EXACT int64 (numpy integer matmul — order-independent, unlike "
-    "float BLAS), and the cosine is one double divide from identical "
-    "integers, e6-floored row-locally. Scale shape: the test set is "
-    "bounded model metadata (like centroids) riding the closure into "
-    "an Arrow-batched integer matmul — corpus x |test| row-local "
-    "work, ZERO shuffles; a 100 TB corpus streams through while the "
-    "test matrix stays resident.",
+    "by cosine, so a release gate can drop near-matches. The demo's "
+    "held-out set is vec_id % 10 = 0 AND vec_id < 2000 — the id CAP "
+    "makes it ≤200 vectors at EVERY scale factor, i.e. genuinely "
+    "bounded model metadata (a real benchmark set is fixed-size; a "
+    "derivation that grows with the corpus would grow the closure "
+    "with the data). Determinism recipe: embeddings e4-integerized "
+    "once, all dot products and norms are EXACT int64 (numpy integer "
+    "matmul — order-independent, unlike float BLAS), and the cosine "
+    "is one double divide from identical integers, e6-floored "
+    "row-locally. Scale shape: the bounded test matrix rides the "
+    "closure into an Arrow-batched integer matmul — corpus x |test| "
+    "row-local work, ZERO shuffles; a 100 TB corpus streams through "
+    "while the test matrix stays resident.",
 )
 def decontaminate_embedding_q(spark, sf_dir):
     import numpy as _np
@@ -9327,15 +9349,18 @@ def decontaminate_embedding_q(spark, sf_dir):
             ),
         ).alias("xe"),
     )
+    # Held-out set: vec_id % 10 == 0 capped at vec_id < 2000 — ≤200
+    # vectors at every scale factor, so the collected closure is
+    # corpus-size-INDEPENDENT (a real benchmark set is fixed-size).
+    is_test = (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 2000)
     test_rows = sorted(
-        q.filter(F.col("vec_id") % 10 == 0).collect(),
-        key=lambda r: r["vec_id"],
+        q.filter(is_test).collect(), key=lambda r: r["vec_id"]
     )
     tids = _np.array([r["vec_id"] for r in test_rows], dtype=_np.int64)
     T = _np.array([r["xe"] for r in test_rows], dtype=_np.int64)
     nb2 = (T * T).sum(axis=1)  # exact int64
 
-    corpus = q.filter(F.col("vec_id") % 10 != 0)
+    corpus = q.filter(~is_test)
 
     def _match(batches):
         for b in batches:

@@ -18,10 +18,50 @@ second:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# application ids whose executors already received the package zip
+_SHIPPED: set[str] = set()
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor Pythons via ``addPyFile``.
+
+    Arrow UDFs defined inside package modules pickle BY REFERENCE to
+    their module, so every Python worker must be able to ``import
+    simple_data_engineering_project_spark``. On a real cluster executors
+    never share the driver's cwd/sys.path — shipping a zip of the
+    package is the idiomatic mechanism (same posture as --py-files).
+    Locally this makes the engine robust to harnesses that launch the
+    driver from an arbitrary cwd instead of the repo root.
+
+    Once per SparkContext; the zip is a few hundred KB of .py files.
+    """
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED:
+        return
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"sdep_spark_pyfiles_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _, files in os.walk(pkg_root):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.join(
+                        os.path.basename(pkg_root),
+                        os.path.relpath(full, pkg_root),
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(app_id)
 
 
 def get_spark(
@@ -67,6 +107,7 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_package_on_executors(spark)
     return spark
 
 
@@ -84,4 +125,7 @@ def tune_for_queries(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # See get_spark: runtime bloom-filter join pruning.
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    # Executors must be able to import this package (Arrow UDFs pickle
+    # by module reference) no matter where the harness launched from.
+    ensure_package_on_executors(spark)
     return spark

@@ -511,3 +511,148 @@ def test_compact_parquet_reduces_file_count(spark, sf_smoke, tmp_path):
     files = parquet_data_files(spark, out)
     assert len(files) == n == 1
     assert spark.read.parquet(out).count() == li.count()
+
+
+# ------------------------------------------------- broadcast-hint audit
+
+# Every F.broadcast() call site in the package, as (file, enclosing
+# function, argument source). A forced hint bypasses Spark's 64 MB
+# auto-broadcast threshold, so it is only safe on relations whose size
+# is INDEPENDENT of the data volume: nation/region (25/5 rows at every
+# scale factor), single-row or per-category scalar aggregates, bounded
+# sketches (bloom words, CMS cells, MG candidates, band census), and
+# query/model metadata (ANN query sets, centroids). Anything derived
+# from customer/part/supplier/orders/lineitem/documents/events grows
+# linearly with scale factor and must stay UNHINTED — AQE converts the
+# join to broadcast at runtime while the side fits and degrades to
+# shuffle when it doesn't, instead of OOMing executors (round-6 verdict
+# defect class: 18 entries carried forced grow-table hints).
+#
+# New broadcast sites FAIL this audit until added here with a
+# boundedness justification in the comment.
+_BROADCAST_ALLOWLIST = {
+    # pipeline: staged batch keys — bounded by a single ingest batch,
+    # not by warehouse size
+    ("pipeline.py", "run_batch_pipeline", "staged_m.select('shipment_id').distinct()"),
+    # nation (25 rows) / region (5 rows) dims — constant at every sf
+    ("plans/catalog.py", "agg_value_by_region", "n"),
+    ("plans/catalog.py", "agg_value_by_region", "r"),
+    ("plans/catalog.py", "agg_regional_distribution", "n"),
+    ("plans/catalog.py", "agg_regional_distribution", "r"),
+    ("plans/catalog.py", "agg_rollup_q", "n"),
+    ("plans/catalog.py", "agg_rollup_q", "r"),
+    ("plans/catalog.py", "join_broadcast_dims", "r"),
+    ("plans/catalog.py", "join_cross_q", "r"),
+    ("plans/catalog.py", "tpch_q5_q", "r"),
+    ("plans/catalog.py", "tpch_q5_q", "n"),
+    ("plans/catalog.py", "tpch_q7_q", "n"),
+    ("plans/catalog.py", "tpch_q8_q", "r"),
+    ("plans/catalog.py", "tpch_q8_q", "n1"),
+    ("plans/catalog.py", "tpch_q8_q", "n2"),
+    ("plans/catalog.py", "tpch_q9_q", "n"),
+    ("plans/catalog.py", "tpch_q10_q", "n"),
+    ("plans/catalog.py", "tpch_q11_q", "r"),
+    ("plans/catalog.py", "tpch_q11_q", "n"),
+    ("plans/catalog.py", "tpch_q2_q", "r"),
+    ("plans/catalog.py", "tpch_q2_q", "n"),
+    ("plans/catalog.py", "tpch_q20_q", "n"),
+    ("plans/catalog.py", "tpch_q21_q", "n"),
+    ("plans/catalog.py", "window_cumulative_q", "n"),
+    ("plans/catalog.py", "supplier_concentration_q", "n"),
+    # single-row / per-category scalar aggregates — bounded by the
+    # category domain (order priorities, event types, weeks, bands),
+    # never by row count
+    ("plans/catalog.py", "point_lookup", "min_key"),  # 1 row (global min)
+    ("plans/catalog.py", "tpch_q15_q", "mx"),  # 1 row (global max)
+    ("plans/catalog.py", "tpch_q15_q", "top"),  # argmax set (ties only)
+    ("plans/catalog.py", "tpch_q11_q", "total"),  # 1 row
+    ("plans/catalog.py", "tpch_q22_q", "ab"),  # 1 row (global avg)
+    ("plans/catalog.py", "customer_rfm_q", "mx"),  # 1 row
+    ("plans/catalog.py", "outlier_zscore_q", "stats"),  # per event_type
+    ("plans/catalog.py", "outlier_mad_q", "med"),  # per event_type
+    ("plans/catalog.py", "outlier_mad_q", "mad"),  # per event_type
+    ("plans/catalog.py", "join_null_safe_q", "b"),  # distinct statuses (≤3)
+    ("plans/catalog.py", "domain_balance_q", "cap"),  # 1 row
+    ("plans/catalog.py", "corpus_mix_report_q", "tot"),  # 1 row
+    ("plans/catalog.py", "corpus_perplexity_buckets_q", "total"),  # 1 row
+    (
+        "plans/catalog.py",
+        "corpus_perplexity_buckets_q",
+        "spark.createDataFrame([(b, o) for b, o in offsets.items()], 'band int, off long')",
+    ),  # per-band offsets — band domain is fixed by the score formula
+    ("plans/catalog.py", "orders_seasonality_q", "t"),  # 1 row
+    ("plans/catalog.py", "graph_triangles_q", "n_edges"),  # 1 row
+    ("plans/catalog.py", "graph_triangles_q", "tri"),  # 1 row
+    ("plans/catalog.py", "events_quantile_sketch_q", "n"),  # per week
+    ("plans/catalog.py", "text_cms_topk_q", "cells"),  # CMS cells (fixed w×d)
+    # streaming static-enrich + explicit broadcast-join operators: the
+    # dim-side boundedness is the documented API contract
+    ("streaming/__init__.py", "enrich_stream_static", "dims"),
+    ("operators/joins.py", "join_broadcast", "dim"),
+    ("operators/joins.py", "join_range", "buckets"),
+    # bounded sketches / model metadata
+    ("operators/dedup.py", "_drop_oversize_buckets", "oversize"),  # skew guard: buckets over threshold
+    ("operators/graph.py", "pagerank", "dangling"),  # 1 row per iteration
+    ("operators/similarity.py", "semantic_dedup", "eligible"),  # oversize-cluster ids
+    ("operators/similarity.py", "brute_force_topk", "q"),  # ANN query set (API contract)
+    ("operators/similarity.py", "ivf_topk", "q"),
+    ("operators/similarity.py", "pq_topk", "q"),
+    ("operators/similarity.py", "lsh_topk", "q_b"),
+    ("operators/text.py", "tfidf_keywords", "n_docs"),  # 1 row
+    ("operators/text.py", "unigram_logprob", "total"),  # 1 row
+    ("operators/text.py", "heavy_hitters", "cand"),  # MG sketch (≤k per partition)
+    ("operators/text.py", "bm25_search", "stats"),  # 1 row
+    ("operators/text.py", "bm25_search", "dfreq"),  # per query token
+}
+
+
+def test_broadcast_hints_only_on_bounded_relations():
+    """AST audit: no forced F.broadcast on a scale-growing relation.
+
+    Walks every .py in the package for .broadcast(...) call sites and
+    requires each (file, function, argument) to appear in the bounded
+    allowlist above. Catches the round-6 defect class (forced hints on
+    customer/part/supplier-derived relations) mechanically, entry by
+    entry, before it can re-enter the catalog.
+    """
+    import ast
+    import os
+
+    import simple_data_engineering_project_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    found = set()
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as fh:
+                tree = ast.parse(fh.read())
+            funcs = [
+                (n.lineno, n.end_lineno, n.name)
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "broadcast"
+                ):
+                    encl = "<module>"
+                    best_lo = -1
+                    for lo, hi, name in funcs:
+                        if lo <= node.lineno <= hi and lo > best_lo:
+                            encl, best_lo = name, lo
+                    arg = ast.unparse(node.args[0]) if node.args else "?"
+                    found.add(
+                        (os.path.relpath(path, root).replace(os.sep, "/"), encl, arg)
+                    )
+    unknown = found - _BROADCAST_ALLOWLIST
+    assert not unknown, (
+        "forced broadcast on relations not in the bounded allowlist "
+        f"(justify boundedness or unhint): {sorted(unknown)}"
+    )
+    stale = _BROADCAST_ALLOWLIST - found
+    assert not stale, f"allowlist entries no longer in source: {sorted(stale)}"
