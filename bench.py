@@ -284,12 +284,15 @@ def main() -> None:
             (n for n in timings if n not in recorded),
             key=lambda n: timings[n],
         )
+        # re-check the budget at 2dp before dropping anything: the
+        # compacter map alone may already fit
         kept = {k: round(v, 2) for k, v in timings.items()}
+        out["queries"] = kept
+        line = json.dumps(out, separators=(",", ":"))
         for name in droppable:
             if len(line) <= 1950:
                 break
             kept.pop(name)
-            out["queries"] = kept
             out["omitted"] = len(timings) - len(kept)
             line = json.dumps(out, separators=(",", ":"))
     print(line)

@@ -175,6 +175,22 @@ def parse_arrow_ipc(payload: bytes) -> tuple[list[tuple[str, str]], list[dict]]:
                 (_i64(payload, bat + 16 * i), _i64(payload, bat + 16 * i + 8))
                 for i in range(nb)
             ]
+            # A malformed batch with fewer FieldNodes than schema columns
+            # must fail loudly like every other malformed-input path —
+            # zip() would silently truncate and emit rows missing keys.
+            if len(nodes) != len(schema):
+                raise ValueError(
+                    f"record batch carries {len(nodes)} field nodes for "
+                    f"{len(schema)} schema columns"
+                )
+            need = sum(
+                3 if typ == "utf8" else 2 for _n, typ in schema
+            )
+            if len(bufs) < need:
+                raise ValueError(
+                    f"record batch carries {len(bufs)} buffers; schema "
+                    f"needs {need}"
+                )
             cols = []
             bi = 0
             for (name, typ), (length, null_count) in zip(schema, nodes):

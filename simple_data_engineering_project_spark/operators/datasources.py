@@ -50,20 +50,40 @@ class WarcShardReader(DataSourceReader):
             raise FileNotFoundError(f"no .warc shards under {self.path}")
         return [InputPartition(f) for f in files]
 
+    # flush an Arrow batch once buffered page bytes cross this bound, so
+    # peak executor memory per task stays capped on multi-GB shards
+    # instead of materializing one batch per whole file
+    BATCH_BYTES = 64 * 1024 * 1024
+
     def read(self, partition):
-        # one Arrow RecordBatch per shard file: the API's batch path —
-        # row tuples would cross the Python/JVM boundary one at a time
+        # Arrow RecordBatches (the API's batch path — row tuples would
+        # cross the Python/JVM boundary one at a time), chunked by byte
+        # budget rather than one batch per shard file.
         import pyarrow as pa
 
         from .warc import response_bodies
 
         with open(partition.value, "rb") as f:
             payload = f.read()
-        uris, htmls = [], []
+        uris, htmls, buffered = [], [], 0
         for uri, body in response_bodies(payload):
             uris.append(uri)
             htmls.append(body.decode("latin-1"))
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(uris, type=pa.string()), pa.array(htmls, type=pa.string())],
-            names=["uri", "html"],
-        )
+            buffered += len(body) + len(uri)
+            if buffered >= self.BATCH_BYTES:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(uris, type=pa.string()),
+                        pa.array(htmls, type=pa.string()),
+                    ],
+                    names=["uri", "html"],
+                )
+                uris, htmls, buffered = [], [], 0
+        if uris:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(uris, type=pa.string()),
+                    pa.array(htmls, type=pa.string()),
+                ],
+                names=["uri", "html"],
+            )

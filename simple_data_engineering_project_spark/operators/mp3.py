@@ -110,11 +110,19 @@ def walk_mp3(payload: bytes) -> dict:
         pos += length
     if n_frames == 0:
         raise ValueError("no MP3 frames")
+    # distinct at the kbps level: the walked set is distinct per
+    # (bitrate_idx, version, layer) tuple, and a spec-legal mixed-layer
+    # stream can map two tuples to the same kbps value
     kbps = sorted(
-        _BITRATES[
-            (1 if {0: 25, 2: 2, 3: 1}[v] == 1 else 2, {1: 3, 2: 2, 3: 1}[l])
-        ][b]
-        for b, v, l in bitrates
+        {
+            _BITRATES[
+                (
+                    1 if {0: 25, 2: 2, 3: 1}[v] == 1 else 2,
+                    {1: 3, 2: 2, 3: 1}[l],
+                )
+            ][b]
+            for b, v, l in bitrates
+        }
     )
     return {
         "n_frames": n_frames,
@@ -197,7 +205,10 @@ def parse_id3v2(payload: bytes) -> dict[str, str]:
         else:  # v2.3: plain big-endian
             fsize = int.from_bytes(payload[pos + 4 : pos + 8], "big")
         flags = int.from_bytes(payload[pos + 8 : pos + 10], "big")
-        if flags & 0x00C0 if major == 3 else flags & 0x000C:
+        # v2.3 keeps compression/encryption in bits 7-6 of the second
+        # flag byte; v2.4 moved them to bits 3-2.
+        comp_enc_mask = 0x00C0 if major == 3 else 0x000C
+        if flags & comp_enc_mask:
             raise NotImplementedError("compressed/encrypted ID3 frame")
         body = payload[pos + 10 : pos + 10 + fsize]
         if fid[:1] == b"T" and body:

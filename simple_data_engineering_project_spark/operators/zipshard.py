@@ -38,7 +38,33 @@ _LOC_SIG = b"PK\x03\x04"
 def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
     """(member name, bytes) in central-directory order; CRC verified."""
     tail_start = max(0, len(payload) - (1 << 16) - 22)
-    eocd = payload.rfind(_EOCD_SIG, tail_start)
+    # Scan backwards over EOCD-signature candidates: an archive COMMENT
+    # may itself contain the 'PK\x05\x06' bytes (they sit after the real
+    # record, so a bare rfind would lock onto the lookalike). A comment
+    # can even embed a fully self-consistent EMPTY-zip EOCD (20 zero
+    # bytes after the signature, comment-length 0 landing on EOF), so
+    # comment-length alone cannot disambiguate: prefer the candidate
+    # whose central directory also ends exactly at the record
+    # (cd_off + cd_size == candidate — true for every archive without
+    # prepended data), falling back to comment-length consistency alone
+    # for prefix-shifted archives.
+    eocd = -1
+    fallback = -1
+    cand = payload.rfind(_EOCD_SIG, tail_start)
+    while cand >= 0:
+        if cand + 22 <= len(payload):
+            (cd_size_cand, cd_off_cand, clen_cand) = struct.unpack(
+                "<IIH", payload[cand + 12 : cand + 22]
+            )
+            if cand + 22 + clen_cand == len(payload):
+                if cd_off_cand + cd_size_cand == cand:
+                    eocd = cand
+                    break
+                if fallback < 0:
+                    fallback = cand
+        cand = payload.rfind(_EOCD_SIG, tail_start, cand)
+    if eocd < 0:
+        eocd = fallback
     if eocd < 0:
         raise ValueError("no zip end-of-central-directory record")
     (n_disk, cd_disk, n_here, n_total, cd_size, cd_off, _clen) = struct.unpack(

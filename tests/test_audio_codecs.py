@@ -175,3 +175,26 @@ def test_id3v2_all_versions_and_encodings():
     v22 = b"ID3\x02\x00\x00" + bytes([0, 0, 0, 10]) + bytes(10)
     with pytest.raises(NotImplementedError, match="ID3v2.2"):
         parse_id3v2(v22)
+
+
+def test_mp3_mixed_layer_same_kbps_is_distinct():
+    """bitrates_kbps is distinct at the KBPS level: a spec-legal
+    mixed-layer stream whose layers map different header tuples to the
+    same kbps (V1-L3 idx9 and V1-L2 idx8 are both 128) must report
+    [128] once, not twice."""
+    from simple_data_engineering_project_spark.operators.mp3 import (
+        _frame_info,
+        walk_mp3,
+    )
+
+    out = bytearray()
+    for layer_bits, br_idx in ((0b01, 9), (0b10, 8)):  # L3@128, L2@128
+        hdr = (
+            (0x7FF << 21) | (0b11 << 19) | (layer_bits << 17)
+            | (0b1 << 16) | (br_idx << 12) | (0 << 10) | (0 << 9)
+        )
+        length, _s, _r = _frame_info(hdr)
+        out += hdr.to_bytes(4, "big") + bytes(length - 4)
+    m = walk_mp3(bytes(out))
+    assert m["n_frames"] == 2
+    assert m["bitrates_kbps"] == [128]

@@ -1689,3 +1689,28 @@ def test_warc_datasource_partitions_per_file(spark, tmp_path):
     rows = sorted(r["uri"] for r in df.collect())
     assert rows == sorted(f"http://h/{k * 10 + i}" for k in range(3) for i in range(2))
     assert all(r["html"] == "<p>x</p>" for r in df.collect())
+
+
+def test_warc_reader_chunks_batches_by_byte_budget(tmp_path):
+    """The DataSource reader flushes bounded Arrow batches instead of
+    one batch per shard file, so a multi-GB shard cannot spike executor
+    memory. Driven directly (no Spark) with a tiny byte budget."""
+    from simple_data_engineering_project_spark.operators.datasources import (
+        WarcShardReader,
+    )
+    from simple_data_engineering_project_spark.operators.warc import (
+        encode_warc,
+    )
+
+    shard = tmp_path / "s0.warc"
+    records = [(f"http://h/{i}", b"<p>" + bytes(200) + b"</p>") for i in range(10)]
+    shard.write_bytes(encode_warc(records, gzip_members=False, seed=1))
+    reader = WarcShardReader(str(tmp_path))
+    reader.BATCH_BYTES = 500  # ~2 records per flush
+    parts = reader.partitions()
+    assert len(parts) == 1
+    batches = list(reader.read(parts[0]))
+    assert len(batches) > 1  # chunked, not one batch per file
+    uris = [u for b in batches for u in b.column(0).to_pylist()]
+    assert uris == [u for u, _ in records]
+    assert all(b.num_rows <= 3 for b in batches)
