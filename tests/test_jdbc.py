@@ -134,10 +134,12 @@ def test_merge_dialect_sql_unchanged():
 def test_postgres_dialect_end_to_end_if_available(spark):
     # Gated integration: set SDEP_PG_URL (jdbc:postgresql://…, with the
     # PG JDBC driver on the Spark classpath) to run the full protocol
-    # against a real PostgreSQL — absent in this container (no PG server,
-    # no network), so the test self-skips rather than silently not
-    # existing. Exercises stage write, WITH-NO-DATA create + PK install,
-    # ON CONFLICT apply, idempotent replay, and type round-trip.
+    # against a real PostgreSQL THROUGH SPARK's JDBC writer — the Java
+    # driver jar is absent in this container (no network), so the test
+    # self-skips rather than silently not existing. The dialect half
+    # (the exact ON CONFLICT statement sequence on a real PG 15) DOES
+    # run here: test_pg_dialect_live.py provisions an ephemeral
+    # PostgreSQL and drives it over the wire protocol directly.
     import os
 
     url = os.environ.get("SDEP_PG_URL")
