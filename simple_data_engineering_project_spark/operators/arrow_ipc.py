@@ -13,17 +13,26 @@ format itself, the way the spec defines it:
 - the flatbuffers layer is parsed BY HAND — root offset, vtables
   (u16 sizes + per-field offsets), tables, vectors, strings, unions,
   structs — no flatbuffers library;
-- ``Schema`` messages yield (name, type) per field (ints of any
-  width/sign, float32/64, bool, utf8); ``RecordBatch`` messages carry
-  FieldNode (length, null_count) and Buffer (offset, length) structs,
-  and columns decode from validity bitmaps + offsets + data buffers.
+- ``Schema`` messages yield a FIELD TREE per column (ints of any
+  width/sign, float32/64, bool, utf8, binary, and NESTED list/struct
+  of those, to any depth); ``RecordBatch`` messages carry FieldNode
+  (length, null_count) and Buffer (offset, length) structs in
+  depth-first pre-order, and columns decode recursively from validity
+  bitmaps + offsets + data buffers;
+- DICTIONARY-encoded columns decode for real: the field stores its
+  index width + dictionary id, ``DictionaryBatch`` messages (including
+  isDelta appends) materialize the id's value column, and batch
+  indices map through it;
+- LZ4_FRAME-compressed bodies decode through a pure-stdlib LZ4
+  frame/block decompressor (each buffer is an int64 uncompressed
+  length followed by an LZ4 frame; -1 marks a raw buffer). Frame
+  checksums are skipped, not verified.
 
-Out of envelope (honest ``NotImplementedError``): dictionary-encoded
-columns, nested/list/struct types, body compression (LZ4_FRAME/ZSTD),
-and big-endian streams. Tests cross-validate BOTH directions against
-pyarrow — our reader on ``pyarrow.ipc`` output and pyarrow on nothing
-(we only read; pyarrow is the writer side), plus tamper/envelope pins.
-(∅ in reference; Tier C extension.)
+Out of envelope (honest ``NotImplementedError``): ZSTD bodies,
+big-endian streams, float16, decimal/date/time/timestamp/interval,
+union/map/run-end types. Tests cross-validate against pyarrow (the
+writer side) including dictionary, nested, and lz4 payloads, plus
+tamper/envelope pins. (∅ in reference; Tier C extension.)
 """
 
 from __future__ import annotations
@@ -92,29 +101,9 @@ class _Table:
         return _Table(self.buf, elem + _i32(self.buf, elem))
 
 
-def _field_type(field: _Table) -> str:
-    """Map a Schema.Field to a type tag; union discriminant is field 2,
-    union value table field 3 (per Schema.fbs field ids + 1 skip for
-    the union type slot)."""
-    ttype = field.scalar(2, "<B", 0)
-    tval = field.table(3)
-    if ttype == 2:  # Int
-        bits = tval.scalar(0, "<i", 0) if tval else 0
-        signed = bool(tval.scalar(1, "<B", 0)) if tval else False
-        return f"{'int' if signed else 'uint'}{bits}"
-    if ttype == 3:  # FloatingPoint: 0 HALF, 1 SINGLE, 2 DOUBLE
-        prec = tval.scalar(0, "<h", 0) if tval else 0
-        if prec == 1:
-            return "float32"
-        if prec == 2:
-            return "float64"
-        raise NotImplementedError("float16 arrow column")
-    if ttype == 6:
-        return "bool"
-    if ttype == 5:
-        return "utf8"
-    raise NotImplementedError(f"arrow type discriminant {ttype}")
-
+# Schema.fbs Type union discriminants (order of declaration, 1-based)
+_T_INT, _T_FLOAT, _T_BINARY, _T_UTF8, _T_BOOL = 2, 3, 4, 5, 6
+_T_LIST, _T_STRUCT = 12, 13
 
 _FMT = {
     "int8": "b", "uint8": "B", "int16": "h", "uint16": "H",
@@ -123,14 +112,307 @@ _FMT = {
 }
 
 
+def _type_tag(ttype: int, tval: _Table | None) -> str:
+    if ttype == _T_INT:
+        bits = tval.scalar(0, "<i", 0) if tval else 0
+        signed = bool(tval.scalar(1, "<B", 0)) if tval else False
+        return f"{'int' if signed else 'uint'}{bits}"
+    if ttype == _T_FLOAT:  # precision: 0 HALF, 1 SINGLE, 2 DOUBLE
+        prec = tval.scalar(0, "<h", 0) if tval else 0
+        if prec == 1:
+            return "float32"
+        if prec == 2:
+            return "float64"
+        raise NotImplementedError("float16 arrow column")
+    if ttype == _T_BOOL:
+        return "bool"
+    if ttype == _T_UTF8:
+        return "utf8"
+    if ttype == _T_BINARY:
+        return "binary"
+    if ttype == _T_LIST:
+        return "list"
+    if ttype == _T_STRUCT:
+        return "struct"
+    raise NotImplementedError(f"arrow type discriminant {ttype}")
+
+
+def _parse_field(f: _Table) -> dict:
+    """Field -> spec tree {name, type, children, dict_id, index_type}."""
+    # Field: name(0), nullable(1), type_type(2), type(3),
+    # dictionary(4), children(5), custom_metadata(6)
+    ttype = f.scalar(2, "<B", 0)
+    typ = _type_tag(ttype, f.table(3))
+    _cat, nch = f.vector(5)
+    children = [_parse_field(f.vtable_elem(5, i)) for i in range(nch)]
+    if typ == "list" and len(children) != 1:
+        raise ValueError(f"list field carries {len(children)} children")
+    if typ not in ("list", "struct") and children:
+        raise NotImplementedError("children on a non-nested arrow type")
+    spec = {
+        "name": f.string(0),
+        "type": typ,
+        "children": children,
+        "dict_id": None,
+        "index_type": None,
+    }
+    enc = f.table(4)
+    if enc is not None:
+        # DictionaryEncoding: id(0), indexType(1: Int), isOrdered(2)
+        spec["dict_id"] = enc.scalar(0, "<q", 0)
+        it = enc.table(1)
+        if it is None:
+            spec["index_type"] = "int32"  # spec default
+        else:
+            bits = it.scalar(0, "<i", 0)
+            signed = bool(it.scalar(1, "<B", 0))
+            spec["index_type"] = f"{'int' if signed else 'uint'}{bits}"
+    return spec
+
+
+def _type_str(spec: dict) -> str:
+    t = spec["type"]
+    if t == "list":
+        return f"list<{_type_str(spec['children'][0])}>"
+    if t == "struct":
+        inner = ", ".join(
+            f"{c['name']}: {_type_str(c)}" for c in spec["children"]
+        )
+        return f"struct<{inner}>"
+    return t
+
+
+# ------------------------------------------------------------ lz4
+
+_LZ4_MAGIC = b"\x04\x22\x4d\x18"
+
+
+def lz4_block_decompress(src: bytes, out: bytearray) -> None:
+    """LZ4 *block* format, appending into ``out`` (the shared history
+    window, so linked-block frames decode correctly for free)."""
+    pos, n = 0, len(src)
+    while pos < n:
+        token = src[pos]
+        pos += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[pos]
+                pos += 1
+                lit += b
+                if b != 255:
+                    break
+        if pos + lit > n:
+            raise ValueError("lz4 literal run past block end")
+        out += src[pos : pos + lit]
+        pos += lit
+        if pos >= n:
+            break  # final literals-only sequence
+        off = src[pos] | (src[pos + 1] << 8)
+        pos += 2
+        if off == 0:
+            raise ValueError("lz4 zero match offset")
+        mlen = (token & 15) + 4
+        if (token & 15) == 15:
+            while True:
+                b = src[pos]
+                pos += 1
+                mlen += b
+                if b != 255:
+                    break
+        start = len(out) - off
+        if start < 0:
+            raise ValueError("lz4 match offset before window start")
+        for i in range(mlen):  # byte-wise: matches may self-overlap
+            out.append(out[start + i])
+
+
+def lz4_frame_decompress(data: bytes) -> bytes:
+    """LZ4 *frame* format (magic, descriptor, data blocks). Block and
+    content checksums are skipped, not verified."""
+    if data[:4] != _LZ4_MAGIC:
+        raise ValueError("not an lz4 frame")
+    flg, _bd = data[4], data[5]
+    if (flg >> 6) != 0b01:
+        raise ValueError("unsupported lz4 frame version")
+    pos = 6
+    if flg & 0x08:  # content size present
+        pos += 8
+    if flg & 0x01:  # dict id present
+        pos += 4
+    pos += 1  # header checksum byte
+    out = bytearray()
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("lz4 frame truncated before end mark")
+        (bsize,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if bsize == 0:  # EndMark
+            break
+        raw = bool(bsize & 0x80000000)
+        bsize &= 0x7FFFFFFF
+        if pos + bsize > len(data):
+            raise ValueError("lz4 block truncated")
+        block = data[pos : pos + bsize]
+        pos += bsize
+        if flg & 0x10:  # block checksum
+            pos += 4
+        if raw:
+            out += block
+        else:
+            lz4_block_decompress(block, out)
+    return bytes(out)
+
+
+# ------------------------------------------------------------ decode
+
+
+class _BatchBody:
+    """Buffer access for one RecordBatch body, decompressing per-buffer
+    when the batch declares BodyCompression."""
+
+    def __init__(self, payload, body_at, bufs, codec):
+        self.payload = payload
+        self.body_at = body_at
+        self.bufs = bufs
+        self.codec = codec
+        self.bi = 0
+
+    def next_buffer(self) -> bytes:
+        if self.bi >= len(self.bufs):
+            raise ValueError("record batch buffer list exhausted")
+        off, ln = self.bufs[self.bi]
+        self.bi += 1
+        raw = self.payload[self.body_at + off : self.body_at + off + ln]
+        if self.codec is None or ln == 0:
+            return raw
+        # compressed buffer: int64 uncompressed length, then frame;
+        # -1 means the buffer is stored uncompressed
+        ulen = _i64(raw, 0)
+        if ulen == -1:
+            return raw[8:]
+        plain = lz4_frame_decompress(raw[8:])
+        if len(plain) != ulen:
+            raise ValueError(
+                f"lz4 buffer decompressed to {len(plain)} bytes, "
+                f"declared {ulen}"
+            )
+        return plain
+
+
+def _decode_column(spec, nodes, body, dictionaries):
+    """Decode one column (and its subtree) from the node iterator and
+    body buffers; returns a Python list of values."""
+    try:
+        length, null_count = next(nodes)
+    except StopIteration:
+        raise ValueError(
+            "record batch carries fewer field nodes than schema columns"
+        ) from None
+    validity = body.next_buffer()
+
+    def is_null(i):
+        if null_count == 0 or not validity:
+            return False
+        return not (validity[i >> 3] >> (i & 7)) & 1
+
+    if spec["dict_id"] is not None:
+        # storage is the index array; values come from the dictionary
+        fmt = _FMT[spec["index_type"]]
+        data = body.next_buffer()
+        idxs = struct.unpack_from(f"<{length}{fmt}", data, 0)
+        if spec["dict_id"] not in dictionaries:
+            raise ValueError(
+                f"record batch references dictionary {spec['dict_id']} "
+                "before its DictionaryBatch"
+            )
+        values = dictionaries[spec["dict_id"]]
+        return [None if is_null(i) else values[idxs[i]] for i in range(length)]
+
+    typ = spec["type"]
+    if typ == "list":
+        offs_buf = body.next_buffer()
+        offs = struct.unpack_from(f"<{length + 1}i", offs_buf, 0)
+        child = _decode_column(spec["children"][0], nodes, body, dictionaries)
+        return [
+            None if is_null(i) else child[offs[i] : offs[i + 1]]
+            for i in range(length)
+        ]
+    if typ == "struct":
+        kids = [
+            (c["name"], _decode_column(c, nodes, body, dictionaries))
+            for c in spec["children"]
+        ]
+        return [
+            None
+            if is_null(i)
+            else {name: col[i] for name, col in kids}
+            for i in range(length)
+        ]
+    if typ in ("utf8", "binary"):
+        offs_buf = body.next_buffer()
+        data = body.next_buffer()
+        offs = struct.unpack_from(f"<{length + 1}i", offs_buf, 0)
+        if typ == "utf8":
+            return [
+                None
+                if is_null(i)
+                else data[offs[i] : offs[i + 1]].decode("utf-8")
+                for i in range(length)
+            ]
+        return [
+            None if is_null(i) else bytes(data[offs[i] : offs[i + 1]])
+            for i in range(length)
+        ]
+    if typ == "bool":
+        d = body.next_buffer()
+        return [
+            None if is_null(i) else bool((d[i >> 3] >> (i & 7)) & 1)
+            for i in range(length)
+        ]
+    fmt = _FMT[typ]
+    data = body.next_buffer()
+    vals = struct.unpack_from(f"<{length}{fmt}", data, 0)
+    return [None if is_null(i) else vals[i] for i in range(length)]
+
+
+def _batch_parts(payload, header, body_at):
+    """(nodes iterator, _BatchBody, n_rows) for a RecordBatch table."""
+    # RecordBatch: length(0), nodes(1), buffers(2), compression(3)
+    n_rows = header.scalar(0, "<q", 0)
+    nat, nn = header.vector(1)
+    nodes = iter(
+        [
+            (_i64(payload, nat + 16 * i), _i64(payload, nat + 16 * i + 8))
+            for i in range(nn)
+        ]
+    )
+    bat, nb = header.vector(2)
+    bufs = [
+        (_i64(payload, bat + 16 * i), _i64(payload, bat + 16 * i + 8))
+        for i in range(nb)
+    ]
+    codec = None
+    comp = header.table(3)
+    if comp is not None:
+        c = comp.scalar(0, "<b", 0)  # 0 LZ4_FRAME, 1 ZSTD
+        if c == 0:
+            codec = "lz4"
+        else:
+            raise NotImplementedError("zstd-compressed arrow body")
+    return nodes, _BatchBody(payload, body_at, bufs, codec), n_rows
+
+
 def parse_arrow_ipc(payload: bytes) -> tuple[list[tuple[str, str]], list[dict]]:
-    """(schema [(name, type)], rows) of an Arrow IPC stream or Feather
-    v2 file; nulls come back as None."""
+    """(schema [(name, type-string)], rows) of an Arrow IPC stream or
+    Feather v2 file; nulls come back as None, lists as Python lists,
+    structs as dicts, dictionary columns as their decoded values."""
     pos = 0
     if payload[:6] == b"ARROW1":  # file format: magic + padding, then stream
         pos = 8
-    schema: list[tuple[str, str]] = []
+    fields: list[dict] = []
     rows: list[dict] = []
+    dictionaries: dict[int, list] = {}
     n = len(payload)
     while pos + 8 <= n:
         cont = struct.unpack_from("<I", payload, pos)[0]
@@ -151,99 +433,54 @@ def parse_arrow_ipc(payload: bytes) -> tuple[list[tuple[str, str]], list[dict]]:
         body_at = meta_at + meta_len
         if htype == 1:  # Schema
             _vat, nf = header.vector(1)
-            for i in range(nf):
-                f = header.vtable_elem(1, i)
-                if f.table(4) is not None:  # dictionary encoding
-                    raise NotImplementedError("dictionary-encoded column")
-                _cat, nch = f.vector(5)
-                if nch:
-                    raise NotImplementedError("nested arrow column")
-                schema.append((f.string(0), _field_type(f)))
-        elif htype == 3:  # RecordBatch
-            if not schema:
-                raise ValueError("record batch before schema")
-            if header.table(3) is not None:
-                raise NotImplementedError("compressed arrow body")
-            # nodes: FieldNode structs {length:i64, null_count:i64}
-            nat, nn = header.vector(1)
-            nodes = [
-                (_i64(payload, nat + 16 * i), _i64(payload, nat + 16 * i + 8))
-                for i in range(nn)
+            fields = [
+                _parse_field(header.vtable_elem(1, i)) for i in range(nf)
             ]
-            bat, nb = header.vector(2)
-            bufs = [
-                (_i64(payload, bat + 16 * i), _i64(payload, bat + 16 * i + 8))
-                for i in range(nb)
-            ]
-            # A malformed batch with fewer FieldNodes than schema columns
-            # must fail loudly like every other malformed-input path —
-            # zip() would silently truncate and emit rows missing keys.
-            if len(nodes) != len(schema):
-                raise ValueError(
-                    f"record batch carries {len(nodes)} field nodes for "
-                    f"{len(schema)} schema columns"
-                )
-            need = sum(
-                3 if typ == "utf8" else 2 for _n, typ in schema
+        elif htype == 2:  # DictionaryBatch: id(0), data(1), isDelta(2)
+            if not fields:
+                raise ValueError("dictionary batch before schema")
+            did = header.scalar(0, "<q", 0)
+            is_delta = bool(header.scalar(2, "<B", 0))
+            spec = _dict_value_spec(fields, did)
+            nodes, body, _nr = _batch_parts(
+                payload, header.table(1), body_at
             )
-            if len(bufs) < need:
+            values = _decode_column(spec, nodes, body, dictionaries)
+            if is_delta and did in dictionaries:
+                dictionaries[did] = dictionaries[did] + values
+            else:
+                dictionaries[did] = values
+        elif htype == 3:  # RecordBatch
+            if not fields:
+                raise ValueError("record batch before schema")
+            nodes, body, n_rows = _batch_parts(payload, header, body_at)
+            cols = [
+                (f["name"], _decode_column(f, nodes, body, dictionaries))
+                for f in fields
+            ]
+            leftover = sum(1 for _ in nodes)
+            if leftover:
                 raise ValueError(
-                    f"record batch carries {len(bufs)} buffers; schema "
-                    f"needs {need}"
+                    f"record batch carries {leftover} extra field nodes"
                 )
-            cols = []
-            bi = 0
-            for (name, typ), (length, null_count) in zip(schema, nodes):
-                voff, vlen = bufs[bi]
-                bi += 1
-                validity = payload[body_at + voff : body_at + voff + vlen]
-
-                def is_null(i, _v=validity, _nc=null_count):
-                    if _nc == 0 or not _v:
-                        return False
-                    return not (_v[i >> 3] >> (i & 7)) & 1
-
-                if typ == "utf8":
-                    ooff, _olen = bufs[bi]
-                    doff, _dlen = bufs[bi + 1]
-                    bi += 2
-                    offs = struct.unpack_from(
-                        f"<{length + 1}i", payload, body_at + ooff
-                    )
-                    data = payload[body_at + doff :]
-                    col = [
-                        None
-                        if is_null(i)
-                        else data[offs[i] : offs[i + 1]].decode("utf-8")
-                        for i in range(length)
-                    ]
-                elif typ == "bool":
-                    doff, _dlen = bufs[bi]
-                    bi += 1
-                    d = payload[body_at + doff :]
-                    col = [
-                        None
-                        if is_null(i)
-                        else bool((d[i >> 3] >> (i & 7)) & 1)
-                        for i in range(length)
-                    ]
-                else:
-                    fmt = _FMT[typ]
-                    doff, _dlen = bufs[bi]
-                    bi += 1
-                    vals = struct.unpack_from(
-                        f"<{length}{fmt}", payload, body_at + doff
-                    )
-                    col = [
-                        None if is_null(i) else vals[i] for i in range(length)
-                    ]
-                cols.append((name, col))
-            for i in range(nodes[0][0] if nodes else 0):
+            for i in range(n_rows):
                 rows.append({name: col[i] for name, col in cols})
-        elif htype == 2:  # DictionaryBatch
-            raise NotImplementedError("dictionary batch")
         # 4 (Tensor) / 5 (SparseTensor) cannot appear in table streams
         pos = body_at + body_len
-    if not schema:
+    if not fields:
         raise ValueError("not an arrow IPC payload (no schema message)")
+    schema = [(f["name"], _type_str(f)) for f in fields]
     return schema, rows
+
+
+def _dict_value_spec(fields: list[dict], did: int) -> dict:
+    """The VALUE-type spec for dictionary id ``did``: the encoded
+    field's own type tree with the encoding stripped (a DictionaryBatch
+    body is a single-column RecordBatch of the value type)."""
+    stack = list(fields)
+    while stack:
+        f = stack.pop()
+        if f["dict_id"] == did:
+            return {**f, "dict_id": None, "index_type": None}
+        stack.extend(f["children"])
+    raise ValueError(f"dictionary batch for unknown id {did}")

@@ -1948,8 +1948,10 @@ def npz_features(media: DataFrame) -> DataFrame:
 
 def media_safetensors_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic safetensors table: per document a shard with a
-    float32 weight (2x3 quarter-integers), an int64 bias (3), and a
-    __metadata__ block."""
+    float32 weight (2x3 quarter-integers; every 3rd document stores it
+    as BF16 — quarter-integers below 16 fit bfloat16's 8 mantissa bits
+    exactly, so the aggregate oracle is dtype-independent), an int64
+    bias (3), and a __metadata__ block."""
     from .tensor_shards import encode_safetensors
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1960,7 +1962,8 @@ def media_safetensors_from_documents(docs: DataFrame) -> DataFrame:
                 blob = encode_safetensors(
                     {
                         "layer.weight": (
-                            (2, 3), "F32",
+                            (2, 3),
+                            "BF16" if did % 3 == 0 else "F32",
                             [((did + k) % 40) / 4.0 for k in range(6)],
                         ),
                         "layer.bias": (
@@ -2122,7 +2125,11 @@ def media_arrow_from_documents(docs: DataFrame) -> DataFrame:
     reader: per document a 3-row table (long, string, exact
     quarter-integer double, nullable long), streamed in 2-row record
     batches; every 2nd document uses the FILE format (Feather v2)
-    instead of the stream format."""
+    instead of the stream format. Wire-shape variants that aggregate
+    identically (so one oracle pins them all): every 3rd document
+    DICTIONARY-encodes the name column, every 4th≡1 adds a nested
+    list<int64> column (ignored by the extractor but decoded on the
+    wire), every 5th≡2 compresses bodies with LZ4_FRAME."""
     import io
 
     import pyarrow as pa
@@ -2133,28 +2140,38 @@ def media_arrow_from_documents(docs: DataFrame) -> DataFrame:
             rows = []
             for doc_id in pdf_["doc_id"]:
                 did = int(doc_id)
-                t = pa.table(
-                    {
-                        "val": pa.array(
-                            [(did * 31 + k * 17) % 1000 for k in range(3)],
-                            type=pa.int64(),
-                        ),
-                        "name": pa.array(
-                            [f"r{(did + k) % 10}" for k in range(3)]
-                        ),
-                        "score": pa.array(
-                            [((did + k) % 100) / 4.0 for k in range(3)],
-                            type=pa.float64(),
-                        ),
-                        "opt": pa.array(
-                            [None if k == 1 else did % 50 for k in range(3)],
-                            type=pa.int64(),
-                        ),
-                    }
-                )
+                name_col = pa.array([f"r{(did + k) % 10}" for k in range(3)])
+                if did % 3 == 0:
+                    name_col = name_col.dictionary_encode()
+                cols = {
+                    "val": pa.array(
+                        [(did * 31 + k * 17) % 1000 for k in range(3)],
+                        type=pa.int64(),
+                    ),
+                    "name": name_col,
+                    "score": pa.array(
+                        [((did + k) % 100) / 4.0 for k in range(3)],
+                        type=pa.float64(),
+                    ),
+                    "opt": pa.array(
+                        [None if k == 1 else did % 50 for k in range(3)],
+                        type=pa.int64(),
+                    ),
+                }
+                if did % 4 == 1:
+                    cols["tags"] = pa.array(
+                        [[did % 7, k] for k in range(3)],
+                        type=pa.list_(pa.int64()),
+                    )
+                t = pa.table(cols)
                 buf = io.BytesIO()
                 opener = ipc.new_file if did % 2 == 0 else ipc.new_stream
-                with opener(buf, t.schema) as w:
+                opts = (
+                    ipc.IpcWriteOptions(compression="lz4")
+                    if did % 5 == 2
+                    else None
+                )
+                with opener(buf, t.schema, options=opts) as w:
                     w.write_table(t, max_chunksize=2)
                 rows.append(
                     {
@@ -2648,10 +2665,12 @@ def media_mkv_from_documents(
     are cut into ``frame_bytes`` frames wrapped in real EBML containers
     (:func:`.mkv.encode_mkv`) at ``delta_ms`` per frame with every
     ``sync_every``-th frame a keyframe; every 3rd document uses a
-    non-default TimestampScale (2 ms ticks), exercising the two-level
-    cluster/block clock. Frame content is a closed-form byte slice of
-    the text, so an oracle predicts each sampled keyframe's sha256
-    without parsing EBML."""
+    non-default TimestampScale (2 ms ticks), docs ≡1/≡3 (mod 4) use
+    Xiph/EBML LACING (2-frame clusters), and docs ≡2 (mod 7) use
+    BlockGroup keyframe signalling — all layouts sample identically,
+    so the one closed-form oracle pins every wire shape. Frame content
+    is a closed-form byte slice of the text, so an oracle predicts
+    each sampled keyframe's sha256 without parsing EBML."""
     from .mkv import encode_mkv
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2669,6 +2688,20 @@ def media_mkv_from_documents(
                           "delta_ms": delta_ms // 2}
                 else:
                     kw = {"delta_ms": delta_ms}
+                # Layout variants that SAMPLE IDENTICALLY (so one
+                # closed-form oracle covers all): laced 2-frame
+                # clusters put both frames at the cluster tick whose
+                # keyframe leads it — bucket keeps that same keyframe;
+                # BlockGroups signal keyframes by ReferenceBlock
+                # absence instead of the flag bit.
+                if did % 4 == 1:
+                    kw["lacing"] = "xiph"
+                    kw["frames_per_cluster"] = 2
+                elif did % 4 == 3:
+                    kw["lacing"] = "ebml"
+                    kw["frames_per_cluster"] = 2
+                if did % 7 == 2:
+                    kw["block_groups"] = True
                 rows.append(
                     {
                         "media_id": did,

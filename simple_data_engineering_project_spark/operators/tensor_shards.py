@@ -17,12 +17,15 @@ formats this engine must ingest without their host libraries:
   data_offsets [begin, end)} + one contiguous byte buffer. Offsets are
   validated (within buffer, end >= begin); the optional ``__metadata__``
   entry is surfaced. Dtypes F64/F32/F16/I64/I32/I16/I8/U8/BOOL decode
-  (F16 via struct 'e').
+  (F16 via struct 'e'), and BF16 — the dominant dtype of real
+  checkpoint shards — decodes/encodes explicitly: a bfloat16 is
+  exactly the high half of a float32, so decode widens ``h << 16`` and
+  encode rounds the dropped half to nearest-even (NaNs preserved).
 
 Out of envelope (honest ``NotImplementedError``): pickled object
 arrays (``.npy`` with dtype 'O' — a code-execution hazard refused by
-design), npy format v3 unicode headers beyond ASCII, and BF16
-safetensors (no stdlib decoder). (∅ in reference; Tier C extension.)
+design) and npy format v3 unicode headers beyond ASCII. (∅ in
+reference; Tier C extension.)
 """
 
 from __future__ import annotations
@@ -99,7 +102,23 @@ _ST_DTYPES = {
     "F64": ("d", 8), "F32": ("f", 4), "F16": ("e", 2),
     "I64": ("q", 8), "I32": ("i", 4), "I16": ("h", 2),
     "I8": ("b", 1), "U8": ("B", 1), "BOOL": ("?", 1),
+    # BF16 has no struct letter: stored as u16, converted explicitly
+    # (a bfloat16 is exactly the high half of a float32)
+    "BF16": ("H", 2),
 }
+
+
+def _bf16_to_float(h: int) -> float:
+    return struct.unpack("<f", struct.pack("<I", h << 16))[0]
+
+
+def _float_to_bf16(v: float) -> int:
+    (u,) = struct.unpack("<I", struct.pack("<f", v))
+    if (u & 0x7F800000) == 0x7F800000 and (u & 0x007FFFFF):
+        return (u >> 16) | 0x0040  # NaN: keep it a NaN after truncation
+    # round-to-nearest-even on the dropped half, the checkpoint-writer
+    # convention (plain truncation biases toward zero)
+    return ((u + 0x7FFF + ((u >> 16) & 1)) >> 16) & 0xFFFF
 
 
 def parse_safetensors(payload: bytes) -> tuple[dict, dict]:
@@ -127,12 +146,13 @@ def parse_safetensors(payload: bytes) -> tuple[dict, dict]:
             n *= s
         if (b1 - b0) != n * size:
             raise ValueError(f"safetensors size mismatch: {name}")
+        vals = list(struct.unpack_from(f"<{n}{fmt}", payload, buf_at + b0))
+        if dtype == "BF16":
+            vals = [_bf16_to_float(h) for h in vals]
         tensors[name] = {
             "shape": tuple(spec["shape"]),
             "dtype": dtype,
-            "values": list(
-                struct.unpack_from(f"<{n}{fmt}", payload, buf_at + b0)
-            ),
+            "values": vals,
         }
     return tensors, meta
 
@@ -148,6 +168,8 @@ def encode_safetensors(
     for name in sorted(tensors):
         shape, dtype, vals = tensors[name]
         fmt, _size = _ST_DTYPES[dtype]
+        if dtype == "BF16":
+            vals = [_float_to_bf16(v) for v in vals]
         b0 = len(buf)
         buf += struct.pack(f"<{len(vals)}{fmt}", *vals)
         header[name] = {

@@ -6404,17 +6404,20 @@ def multimodal_mp4_frames_q(spark, sf_dir):
     tier="C",
     note="C5 REAL Matroska/WebM keyframe sampling: documents wrapped "
     "in genuine EBML containers (64-byte frames at 500 ms, every 2nd a "
-    "keyframe, 4-frame clusters; every 3rd file uses a non-default "
-    "2 ms TimestampScale so the two-level cluster/block clock is "
-    "exercised), then operators/mkv.py walks the element tree — VINT "
-    "IDs/sizes, Info.TimestampScale, Tracks video-track select, "
-    "Cluster.Timestamp + SimpleBlock relative timestamps and keyframe "
-    "flags — and keeps the first keyframe per 1000 ms bucket. "
+    "keyframe; every 3rd file a non-default 2 ms TimestampScale, "
+    "files ≡1/≡3 mod 4 Xiph/EBML LACED 2-frame clusters, files ≡2 "
+    "mod 7 BlockGroup keyframe signalling via ReferenceBlock absence "
+    "— layouts chosen to sample identically so ONE closed-form oracle "
+    "pins every wire shape), then operators/mkv.py walks the element "
+    "tree — VINT IDs/sizes, Info.TimestampScale, Tracks video-track "
+    "select, Cluster.Timestamp + (Simple)Block relative timestamps, "
+    "keyframe flags / ReferenceBlock absence, and all three lacing "
+    "size codings (Xiph 255-runs, fixed split, EBML signed-VINT "
+    "deltas) — and keeps the first keyframe per 1000 ms bucket. "
     "Keyframe n sits at text bytes [n*128, n*128+64), the same closed "
     "form as the AVI/MP4 entries, so a sha256 match proves byte-exact "
-    "frame recovery from EBML arithmetic with no codec. Laced blocks "
-    "and BlockGroup streams raise — honest envelope. Embarrassingly "
-    "parallel mapInPandas; zero shuffles.",
+    "frame recovery from EBML arithmetic with no codec. "
+    "Embarrassingly parallel mapInPandas; zero shuffles.",
 )
 def multimodal_mkv_frames_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -8371,12 +8374,17 @@ def spatial_grid_join_q(spark, sf_dir):
     "vectors, unions, structs — no flatbuffers library), Schema "
     "fields mapped through the Int/FloatingPoint/Utf8/Bool type "
     "union, RecordBatch FieldNode/Buffer structs driving "
-    "validity-bitmap + offsets + data buffer decode. The payloads "
-    "are WRITTEN BY PYARROW (2-row batches; every 2nd doc the "
-    "Feather-v2 FILE format) so the gate cross-validates our reader "
-    "against the reference implementation on every row — a vtable "
-    "slip or bitmap misread breaks the hash. Dictionary/nested/"
-    "compressed columns raise. One spread + row-local work; no "
+    "validity-bitmap + offsets + data buffer decode, plus "
+    "DICTIONARY batches (index arrays mapped through materialized "
+    "value columns), NESTED list columns (depth-first FieldNode "
+    "walk), and LZ4_FRAME-compressed bodies (pure-stdlib lz4 "
+    "frame/block decompressor). The payloads are WRITTEN BY PYARROW "
+    "(2-row batches; every 2nd doc the Feather-v2 FILE format, every "
+    "3rd dictionary-encoded, every 4th≡1 carrying a nested list "
+    "column, every 5th≡2 lz4-compressed) so the gate cross-validates "
+    "our reader against the reference implementation on every row — "
+    "a vtable slip, bitmap misread, or lz4 copy bug breaks the hash. "
+    "ZSTD bodies and float16 raise. One spread + row-local work; no "
     "other shuffle.",
 )
 def arrow_ipc_read_q(spark, sf_dir):
@@ -8513,10 +8521,12 @@ def npz_read_q(spark, sf_dir):
     "weight-shard layout (8-byte LE header length + JSON tensor map + "
     "one contiguous buffer): per-tensor dtype/shape/data_offsets "
     "decode with offsets VALIDATED against the buffer (the format's "
-    "whole safety argument), F64..F16/I64..I8/U8/BOOL dtypes, "
-    "__metadata__ surfaced; BF16 raises (no stdlib decoder). "
-    "Closed-form oracle over quarter-integer weights. One spread + "
-    "row-local work; no other shuffle.",
+    "whole safety argument), F64..F16/I64..I8/U8/BOOL dtypes plus "
+    "BF16 — the dominant checkpoint dtype, widened h<<16 to float32 "
+    "(every 3rd doc stores its weights BF16; quarter-integers < 16 "
+    "are bfloat16-exact so the oracle is dtype-independent) — and "
+    "__metadata__ surfaced. Closed-form oracle over quarter-integer "
+    "weights. One spread + row-local work; no other shuffle.",
 )
 def safetensors_read_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")

@@ -215,6 +215,42 @@ def _valid_payloads_wave3():
     base = jpeg.encode_jpeg_blocks(8, 8, [(1, 0)])
     app1 = exif.build_exif_app1(ifd0=[(0x010F, 2, "CamCo")])
     out.append((exif.encode_exif_jpeg(base, app1), exif.parse_exif))
+    # round-7 additions: laced/BlockGroup MKV, dictionary+nested+lz4
+    # arrow stream, BF16 safetensors
+    from simple_data_engineering_project_spark.operators import mkv
+
+    out.append(
+        (
+            mkv.encode_mkv(
+                [b"A" * 9, b"B" * 120, b"C" * 3, b"D" * 55],
+                sync_every=0,
+                frames_per_cluster=2,
+                lacing="ebml",
+                block_groups=True,
+            ),
+            mkv.sample_mkv_frames,
+        )
+    )
+    dbuf = io.BytesIO()
+    dt = pa.table(
+        {
+            "d": pa.array(["a", "b", "a", "c"] * 8).dictionary_encode(),
+            "l": pa.array([[1, 2], [], None, [7]] * 8),
+        }
+    )
+    with ipc.new_stream(
+        dbuf, dt.schema, options=ipc.IpcWriteOptions(compression="lz4")
+    ) as w:
+        w.write_table(dt)
+    out.append((dbuf.getvalue(), arrow_ipc.parse_arrow_ipc))
+    out.append(
+        (
+            tensor_shards.encode_safetensors(
+                {"b": ((3,), "BF16", [1.0, -2.0, 0.5])}
+            ),
+            tensor_shards.parse_safetensors,
+        )
+    )
     # parquet footer: use a real testdata tail
     with open("/root/testdata/sf0.001/region.parquet", "rb") as f:
         out.append((f.read(), parquet_meta.parse_parquet_footer))

@@ -37,14 +37,62 @@ def test_nondefault_timestamp_scale():
 def test_dispatch_and_envelope():
     p = encode_mkv(FRAMES)
     assert sample_video_frames(p, every_ms=1000) == FRAMES[0::2]
-    # laced SimpleBlock raises: set a lacing flag bit on the first block
-    raw = bytearray(p)
-    # first SimpleBlock id AFTER the Cluster id (0xA3 also occurs as the
-    # last byte of the EBML magic)
-    i = raw.index(b"\xa3", raw.index(b"\x1f\x43\xb6\x75"))
-    # id(1) + size VINT(len<127 → 1 byte) + track VINT(1) + rel(2) → flags
-    raw[i + 2 + 1 + 2] |= 0x02
-    with pytest.raises(NotImplementedError, match="laced"):
-        sample_mkv_frames(bytes(raw))
     with pytest.raises(NotImplementedError):
         sample_mkv_frames(b"RIFF1234WEBP not ebml")
+
+
+@pytest.mark.parametrize("mode", ["xiph", "fixed", "ebml"])
+def test_laced_blocks_decode(mode):
+    # one laced block per 3-frame cluster at the cluster timestamp;
+    # every cluster-leading frame is a keyframe (sync_every=0 ⇒ all),
+    # laced frames share the block's time so the 1 ms bucket keeps the
+    # FIRST frame of each laced block
+    frames = (
+        [bytes([65 + i]) * 16 for i in range(6)]  # fixed: equal sizes
+        if mode == "fixed"
+        else [b"A" * 7, b"B" * 300, b"C" * 2, b"D" * 300, b"E" * 40, b"F"]
+    )
+    p = encode_mkv(
+        frames, sync_every=0, frames_per_cluster=3, lacing=mode
+    )
+    assert sample_mkv_frames(p, every_ms=1) == [frames[0], frames[3]]
+    # a huge bucket keeps only the very first laced frame
+    assert sample_mkv_frames(p, every_ms=10**9) == [frames[0]]
+
+
+@pytest.mark.parametrize("lacing", [None, "xiph"])
+def test_block_groups_decode(lacing):
+    # keyframe-ness inside BlockGroup = ReferenceBlock ABSENCE; with
+    # sync_every=2 odd frames carry a ReferenceBlock and are skipped
+    p = encode_mkv(
+        FRAMES,
+        sync_every=0 if lacing else 2,
+        frames_per_cluster=2,
+        block_groups=True,
+        lacing=lacing,
+    )
+    if lacing:
+        # laced groups: first frame of each 2-frame cluster survives
+        assert sample_mkv_frames(p, every_ms=1) == FRAMES[0::2]
+    else:
+        assert sample_mkv_frames(p, every_ms=1) == FRAMES[0::2]
+
+
+def test_fixed_lacing_rejects_ragged_frames():
+    with pytest.raises(ValueError, match="equal frame sizes"):
+        encode_mkv([b"ab", b"c"], lacing="fixed", frames_per_cluster=2)
+
+
+@pytest.mark.parametrize("mode", ["xiph", "fixed", "ebml"])
+def test_single_frame_laced_cluster(mode):
+    # count-1 coded sizes means a 1-frame laced block codes ZERO sizes
+    # (regression: the EBML encoder wrote a spurious first-size VINT
+    # that decoded into the frame bytes)
+    p = encode_mkv(
+        [b"x" * 54], sync_every=0, frames_per_cluster=2, lacing=mode
+    )
+    assert sample_mkv_frames(p, every_ms=1) == [b"x" * 54]
+    # odd frame count: last cluster is a single laced frame
+    frames = [b"A" * 10, b"B" * 10, b"C" * 54]
+    p2 = encode_mkv(frames, sync_every=0, frames_per_cluster=2, lacing=mode)
+    assert sample_mkv_frames(p2, every_ms=1) == [b"A" * 10, b"C" * 54]

@@ -88,3 +88,40 @@ def test_safetensors_roundtrip_and_validation():
     short = struct.pack("<Q", len(hj)) + hj + b"\x00" * 8  # only 8 bytes
     with pytest.raises(ValueError, match="offsets|size"):
         parse_safetensors(short)
+
+
+def test_safetensors_bf16_round_trip_and_anchors():
+    """BF16 = high half of float32. Closed-form anchors pin the bit
+    convention (not just enc/dec self-consistency), the rounding test
+    pins round-to-nearest-even on the dropped half."""
+    import math
+    import struct
+
+    from simple_data_engineering_project_spark.operators.tensor_shards import (
+        _bf16_to_float,
+        _float_to_bf16,
+        encode_safetensors,
+        parse_safetensors,
+    )
+
+    # decode anchors (public bfloat16 bit patterns)
+    assert _bf16_to_float(0x3F80) == 1.0
+    assert _bf16_to_float(0xC000) == -2.0
+    assert _bf16_to_float(0x3FC0) == 1.5
+    assert _bf16_to_float(0x0000) == 0.0
+    assert _bf16_to_float(0x7F80) == math.inf
+    assert math.isnan(_bf16_to_float(0x7FC0))
+    # round-to-nearest-even: 0x3F808000 is the exact tie -> stays at
+    # the even 0x3F80; one ulp above the tie rounds up
+    assert _float_to_bf16(struct.unpack("<f", struct.pack("<I", 0x3F808000))[0]) == 0x3F80
+    assert _float_to_bf16(struct.unpack("<f", struct.pack("<I", 0x3F808001))[0]) == 0x3F81
+    assert _float_to_bf16(struct.unpack("<f", struct.pack("<I", 0x3F818000))[0]) == 0x3F82
+    assert math.isnan(_bf16_to_float(_float_to_bf16(math.nan)))
+
+    # file-level round trip with exactly-representable values
+    vals = [1.0, -2.0, 1.5, 0.0, 3.140625, -0.4375]
+    blob = encode_safetensors({"w": ((2, 3), "BF16", vals)})
+    tensors, _meta = parse_safetensors(blob)
+    assert tensors["w"]["dtype"] == "BF16"
+    assert tensors["w"]["shape"] == (2, 3)
+    assert tensors["w"]["values"] == vals
