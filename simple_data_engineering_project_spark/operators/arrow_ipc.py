@@ -103,7 +103,9 @@ class _Table:
 
 # Schema.fbs Type union discriminants (order of declaration, 1-based)
 _T_INT, _T_FLOAT, _T_BINARY, _T_UTF8, _T_BOOL = 2, 3, 4, 5, 6
+_T_DATE, _T_TIMESTAMP = 8, 10
 _T_LIST, _T_STRUCT = 12, 13
+_T_LARGEBINARY, _T_LARGEUTF8, _T_LARGELIST = 19, 20, 21
 
 _FMT = {
     "int8": "b", "uint8": "B", "int16": "h", "uint16": "H",
@@ -134,6 +136,28 @@ def _type_tag(ttype: int, tval: _Table | None) -> str:
         return "list"
     if ttype == _T_STRUCT:
         return "struct"
+    if ttype == _T_LARGEUTF8:
+        return "largeutf8"
+    if ttype == _T_LARGEBINARY:
+        return "largebinary"
+    if ttype == _T_LARGELIST:
+        return "largelist"
+    if ttype == _T_DATE:  # DateUnit: 0 DAY (int32), 1 MILLISECOND (int64)
+        # flatbuffers omits default-valued fields, and Date's declared
+        # DEFAULT is MILLISECOND — an absent unit means date64
+        unit = tval.scalar(0, "<h", 1) if tval else 1
+        return "date32" if unit == 0 else "date64"
+    if ttype == _T_TIMESTAMP:
+        # Timestamp: unit(0: 0 s, 1 ms, 2 us, 3 ns), timezone(1)
+        tz = tval.string(1) if tval else None
+        if tz:
+            raise NotImplementedError("timezone-aware arrow timestamp")
+        unit = tval.scalar(0, "<h", 0) if tval else 0
+        if unit == 3:
+            raise NotImplementedError(
+                "nanosecond arrow timestamp (datetime cannot hold ns)"
+            )
+        return ("ts_s", "ts_ms", "ts_us")[unit]
     raise NotImplementedError(f"arrow type discriminant {ttype}")
 
 
@@ -145,9 +169,9 @@ def _parse_field(f: _Table) -> dict:
     typ = _type_tag(ttype, f.table(3))
     _cat, nch = f.vector(5)
     children = [_parse_field(f.vtable_elem(5, i)) for i in range(nch)]
-    if typ == "list" and len(children) != 1:
+    if typ in ("list", "largelist") and len(children) != 1:
         raise ValueError(f"list field carries {len(children)} children")
-    if typ not in ("list", "struct") and children:
+    if typ not in ("list", "largelist", "struct") and children:
         raise NotImplementedError("children on a non-nested arrow type")
     spec = {
         "name": f.string(0),
@@ -330,9 +354,10 @@ def _decode_column(spec, nodes, body, dictionaries):
         return [None if is_null(i) else values[idxs[i]] for i in range(length)]
 
     typ = spec["type"]
-    if typ == "list":
+    if typ in ("list", "largelist"):
+        off_fmt = "i" if typ == "list" else "q"
         offs_buf = body.next_buffer()
-        offs = struct.unpack_from(f"<{length + 1}i", offs_buf, 0)
+        offs = struct.unpack_from(f"<{length + 1}{off_fmt}", offs_buf, 0)
         child = _decode_column(spec["children"][0], nodes, body, dictionaries)
         return [
             None if is_null(i) else child[offs[i] : offs[i + 1]]
@@ -349,11 +374,12 @@ def _decode_column(spec, nodes, body, dictionaries):
             else {name: col[i] for name, col in kids}
             for i in range(length)
         ]
-    if typ in ("utf8", "binary"):
+    if typ in ("utf8", "binary", "largeutf8", "largebinary"):
+        off_fmt = "i" if typ in ("utf8", "binary") else "q"
         offs_buf = body.next_buffer()
         data = body.next_buffer()
-        offs = struct.unpack_from(f"<{length + 1}i", offs_buf, 0)
-        if typ == "utf8":
+        offs = struct.unpack_from(f"<{length + 1}{off_fmt}", offs_buf, 0)
+        if typ in ("utf8", "largeutf8"):
             return [
                 None
                 if is_null(i)
@@ -364,6 +390,31 @@ def _decode_column(spec, nodes, body, dictionaries):
             None if is_null(i) else bytes(data[offs[i] : offs[i + 1]])
             for i in range(length)
         ]
+    if typ in ("date32", "date64", "ts_s", "ts_ms", "ts_us"):
+        import datetime as _dt
+
+        fmt = "i" if typ == "date32" else "q"
+        data = body.next_buffer()
+        vals = struct.unpack_from(f"<{length}{fmt}", data, 0)
+        epoch_d = _dt.date(1970, 1, 1)
+        epoch_t = _dt.datetime(1970, 1, 1)
+        if typ == "date32":
+            conv = lambda v: epoch_d + _dt.timedelta(days=v)  # noqa: E731
+        elif typ == "date64":
+            conv = lambda v: (  # noqa: E731
+                epoch_d + _dt.timedelta(milliseconds=v)
+            )
+        elif typ == "ts_s":
+            conv = lambda v: epoch_t + _dt.timedelta(seconds=v)  # noqa: E731
+        elif typ == "ts_ms":
+            conv = lambda v: (  # noqa: E731
+                epoch_t + _dt.timedelta(milliseconds=v)
+            )
+        else:
+            conv = lambda v: (  # noqa: E731
+                epoch_t + _dt.timedelta(microseconds=v)
+            )
+        return [None if is_null(i) else conv(vals[i]) for i in range(length)]
     if typ == "bool":
         d = body.next_buffer()
         return [

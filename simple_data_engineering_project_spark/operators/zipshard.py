@@ -14,14 +14,22 @@ format for real, the way a robust reader must:
   may carry zeros + a trailing data descriptor when flag bit 3 is set);
   the local header is visited only to skip its own name/extra fields;
 - methods 0 (stored) and 8 (deflate, raw zlib) decompress; the CRC-32
-  of every decompressed member is VERIFIED against the central record.
+  of every decompressed member is VERIFIED against the central record;
+- ZIP64 decodes for real — multi-GB shards and >65,535-member archives
+  are normal at corpus scale: a 0xFFFF/0xFFFFFFFF sentinel in the EOCD
+  routes through the zip64 EOCD locator (``PK\\x06\\x07``, fixed 20
+  bytes before the EOCD) to the zip64 EOCD record (``PK\\x06\\x06``),
+  and per-entry sentinels resolve through the 0x0001 extra field,
+  whose 8-byte values appear IN ORDER only for the fields that are
+  actually maxed.
 
 Out of envelope (honest ``NotImplementedError``): encrypted entries
-(flag bit 0), zip64 (any 0xFFFF/0xFFFFFFFF sentinel), and other
-compression methods (bzip2/lzma/zstd members are rare in corpus dumps).
-The companion :func:`encode_zip` writes conformant archives so the
-oracle entry verifies extraction byte-for-byte; tests cross-validate
-BOTH directions against stdlib :mod:`zipfile`. (∅ in reference; Tier C
+(flag bit 0), multi-disk archives, and other compression methods
+(bzip2/lzma/zstd members are rare in corpus dumps). The companion
+:func:`encode_zip` writes conformant archives so the oracle entry
+verifies extraction byte-for-byte; tests cross-validate BOTH
+directions against stdlib :mod:`zipfile`, including forced-zip64
+members and a >65,535-member archive. (∅ in reference; Tier C
 extension.)
 """
 
@@ -31,8 +39,37 @@ import struct
 import zlib
 
 _EOCD_SIG = b"PK\x05\x06"
+_EOCD64_LOC_SIG = b"PK\x06\x07"
+_EOCD64_SIG = b"PK\x06\x06"
 _CEN_SIG = b"PK\x01\x02"
 _LOC_SIG = b"PK\x03\x04"
+
+
+def _zip64_extra(
+    extra: bytes, usize: int, csize: int, loc_off: int
+) -> tuple[int, int, int]:
+    """Resolve 0xFFFFFFFF sentinels through the 0x0001 extra field —
+    its 8-byte values appear in (usize, csize, loc_off) order but ONLY
+    for fields that are actually maxed."""
+    pos = 0
+    while pos + 4 <= len(extra):
+        hid, hsz = struct.unpack_from("<HH", extra, pos)
+        pos += 4
+        if hid == 0x0001:
+            z = extra[pos : pos + hsz]
+            at = 0
+            if usize == 0xFFFFFFFF:
+                (usize,) = struct.unpack_from("<Q", z, at)
+                at += 8
+            if csize == 0xFFFFFFFF:
+                (csize,) = struct.unpack_from("<Q", z, at)
+                at += 8
+            if loc_off == 0xFFFFFFFF:
+                (loc_off,) = struct.unpack_from("<Q", z, at)
+                at += 8
+            return usize, csize, loc_off
+        pos += hsz
+    raise ValueError("zip64 sentinel without a 0x0001 extra field")
 
 
 def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
@@ -57,7 +94,15 @@ def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
                 "<IIH", payload[cand + 12 : cand + 22]
             )
             if cand + 22 + clen_cand == len(payload):
-                if cd_off_cand + cd_size_cand == cand:
+                # zip64: the locator sits between the central directory
+                # and the EOCD, so cd_off+cd_size lands at the EOCD64
+                # record instead of the EOCD — the locator signature is
+                # the consistency anchor there
+                is_z64 = (
+                    cand >= 20
+                    and payload[cand - 20 : cand - 16] == _EOCD64_LOC_SIG
+                )
+                if cd_off_cand + cd_size_cand == cand or is_z64:
                     eocd = cand
                     break
                 if fallback < 0:
@@ -72,8 +117,24 @@ def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
     )
     if n_disk or cd_disk:
         raise NotImplementedError("multi-disk zip")
-    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
-        raise NotImplementedError("zip64")
+    if 0xFFFF in (n_total, n_here) or 0xFFFFFFFF in (cd_off, cd_size):
+        # zip64: the fixed-size locator sits immediately before the EOCD
+        loc_at = eocd - 20
+        if loc_at < 0 or payload[loc_at : loc_at + 4] != _EOCD64_LOC_SIG:
+            raise ValueError("zip64 sentinels without an EOCD64 locator")
+        (z_disk, z_off, z_ndisks) = struct.unpack(
+            "<IQI", payload[loc_at + 4 : loc_at + 20]
+        )
+        if z_disk or z_ndisks > 1:
+            raise NotImplementedError("multi-disk zip64")
+        if payload[z_off : z_off + 4] != _EOCD64_SIG:
+            raise ValueError("zip64 EOCD record signature mismatch")
+        (zn_disk, zcd_disk, zn_here, zn_total, zcd_size, zcd_off) = (
+            struct.unpack("<IIQQQQ", payload[z_off + 16 : z_off + 56])
+        )
+        if zn_disk or zcd_disk:
+            raise NotImplementedError("multi-disk zip64")
+        n_total, cd_size, cd_off = zn_total, zcd_size, zcd_off
     out = []
     pos = cd_off
     for _ in range(n_total):
@@ -84,11 +145,12 @@ def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
             nlen, xlen, clen, _dn, _ia, _ea, loc_off,
         ) = struct.unpack("<HHHHHHIIIHHHHHII", payload[pos + 4 : pos + 46])
         name = payload[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        extra = payload[pos + 46 + nlen : pos + 46 + nlen + xlen]
         pos += 46 + nlen + xlen + clen
         if flags & 0x1:
             raise NotImplementedError("encrypted zip entry")
         if 0xFFFFFFFF in (csize, usize, loc_off):
-            raise NotImplementedError("zip64")
+            usize, csize, loc_off = _zip64_extra(extra, usize, csize, loc_off)
         if payload[loc_off : loc_off + 4] != _LOC_SIG:
             raise ValueError("local header signature mismatch")
         lnlen, lxlen = struct.unpack(

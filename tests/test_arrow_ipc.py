@@ -276,3 +276,54 @@ def test_lz4_raw_block_vectors_from_pyarrow_codec():
         out = bytearray()
         lz4_block_decompress(comp, out)
         assert bytes(out) == payload
+
+
+def test_large_offset_and_temporal_types():
+    """64-bit-offset large types and date/timestamp columns decode,
+    cross-validated against pyarrow; flatbuffers default-omission trap
+    pinned: Date's DECLARED default unit is MILLISECOND, so a date64
+    field arrives with NO unit field (regression: default 0 mis-tagged
+    it date32 and decoded garbage)."""
+    import datetime as dt
+
+    t = pa.table(
+        {
+            "lu": pa.array(["hello", None, "x" * 300], type=pa.large_string()),
+            "lb": pa.array([b"\x00\x01", b"", None], type=pa.large_binary()),
+            "ll": pa.array([[1, 2], [7], None], type=pa.large_list(pa.int64())),
+            "d32": pa.array(
+                [dt.date(2020, 1, 1), None, dt.date(1969, 12, 31)],
+                type=pa.date32(),
+            ),
+            "d64": pa.array(
+                [dt.date(2020, 6, 15), None, dt.date(1970, 1, 2)],
+                type=pa.date64(),
+            ),
+            "ts_s": pa.array(
+                [dt.datetime(2024, 1, 1, 0, 0, 1), None,
+                 dt.datetime(1960, 1, 1)],
+                type=pa.timestamp("s"),
+            ),
+            "ts_us": pa.array(
+                [dt.datetime(2024, 2, 29, 12, 34, 56, 789123), None,
+                 dt.datetime(1960, 1, 1)],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    schema, rows = parse_arrow_ipc(_stream(t, max_chunksize=2))
+    assert [tp for _n, tp in schema] == [
+        "largeutf8", "largebinary", "largelist", "date32", "date64",
+        "ts_s", "ts_us",
+    ]
+    assert rows == t.to_pylist()
+
+
+def test_temporal_envelope_raises():
+    for typ, match in [
+        (pa.timestamp("ns"), "nanosecond"),
+        (pa.timestamp("us", tz="UTC"), "timezone"),
+    ]:
+        t = pa.table({"x": pa.array([0], type=pa.int64()).cast(typ)})
+        with pytest.raises(NotImplementedError, match=match):
+            parse_arrow_ipc(_stream(t))

@@ -124,3 +124,120 @@ def test_zip_envelope_and_corruption():
         parse_zip(bytes(blob))
     with pytest.raises(ValueError, match="end-of-central"):
         parse_zip(b"not a zip at all")
+
+
+def _build_zip64_archive(members):
+    """Hand-construct a fully-sentineled zip64 archive: every member's
+    central sizes/offset maxed into 0x0001 extras, EOCD64 record +
+    locator, EOCD with all counts/offsets maxed. stdlib zipfile reads
+    it too, so both parsers see the same bytes."""
+    import struct
+    import zlib
+
+    out = bytearray()
+    central = bytearray()
+    for name, data in members:
+        nb = name.encode()
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        loc_off = len(out)
+        # local: sentinel sizes + zip64 extra (usize, csize)
+        lextra = struct.pack("<HHQQ", 0x0001, 16, len(data), len(data))
+        out += (
+            b"PK\x03\x04"
+            + struct.pack(
+                "<HHHHHIII", 45, 0, 0, 0, 0x21, crc,
+                0xFFFFFFFF, 0xFFFFFFFF,
+            )
+            + struct.pack("<HH", len(nb), len(lextra))
+            + nb
+            + lextra
+            + data
+        )
+        cextra = struct.pack(
+            "<HHQQQ", 0x0001, 24, len(data), len(data), loc_off
+        )
+        central += (
+            b"PK\x01\x02"
+            + struct.pack(
+                "<HHHHHHIII", 45, 45, 0, 0, 0, 0x21, crc,
+                0xFFFFFFFF, 0xFFFFFFFF,
+            )
+            + struct.pack(
+                "<HHHHHII", len(nb), len(cextra), 0, 0, 0, 0, 0xFFFFFFFF
+            )
+            + nb
+            + cextra
+        )
+    cd_off = len(out)
+    out += central
+    z64_at = len(out)
+    out += b"PK\x06\x06" + struct.pack(
+        "<QHHIIQQQQ", 44, 45, 45, 0, 0,
+        len(members), len(members), len(central), cd_off,
+    )
+    out += b"PK\x06\x07" + struct.pack("<IQI", 0, z64_at, 1)
+    out += b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF, 0xFFFFFFFF, 0xFFFFFFFF, 0
+    )
+    return bytes(out)
+
+
+def test_zip64_fully_sentineled_archive():
+    import io
+    import zipfile
+
+    from simple_data_engineering_project_spark.operators.zipshard import (
+        parse_zip,
+    )
+
+    members = [
+        ("big/0001.txt", b"payload " * 100),
+        ("big/0001.cls", b"3"),
+        ("PK\x05\x06trap.bin", bytes(range(256))),
+    ]
+    blob = _build_zip64_archive(members)
+    # stdlib reads the same bytes — cross-validation, not self-consistency
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert [(n, zf.read(n)) for n in zf.namelist()] == members
+    assert parse_zip(blob) == members
+
+
+def test_zip64_many_members_eocd64_from_stdlib():
+    # >65,535 members forces stdlib zipfile to write the EOCD64 record
+    # + locator with the EOCD count maxed at 0xFFFF
+    import io
+    import zipfile
+
+    from simple_data_engineering_project_spark.operators.zipshard import (
+        parse_zip,
+    )
+
+    buf = io.BytesIO()
+    n = 0xFFFF + 20
+    with zipfile.ZipFile(buf, "w", allowZip64=True) as z:
+        for i in range(n):
+            z.writestr(f"m{i:05d}", b"")
+    got = parse_zip(buf.getvalue())
+    assert len(got) == n
+    assert got[0] == ("m00000", b"") and got[-1] == (f"m{n-1:05d}", b"")
+
+
+def test_zip64_forced_member_extra_from_stdlib():
+    # stdlib force_zip64 writes zip64 local-header extras; the central
+    # records stay authoritative — the member must still extract
+    import io
+    import zipfile
+
+    from simple_data_engineering_project_spark.operators.zipshard import (
+        parse_zip,
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", allowZip64=True) as z:
+        with z.open("f.bin", "w", force_zip64=True) as f:
+            f.write(b"forced " * 50)
+        z.writestr("g.txt", "plain")
+    assert parse_zip(buf.getvalue()) == [
+        ("f.bin", b"forced " * 50),
+        ("g.txt", b"plain"),
+    ]
