@@ -229,6 +229,82 @@ def encode_jpeg_blocks(
     return out + bytes(scan) + b"\xff\xd9"
 
 
+def encode_jpeg_multiscan(
+    width: int,
+    height: int,
+    comp_blocks: list[list[tuple[int, int]]],
+    q_dc: int = 8,
+    q_ac1: int = 16,
+    restart_interval: int = 0,
+) -> bytes:
+    """Synthesize a MULTI-SCAN baseline JPEG: a 3-component 1x1-sampled
+    SOF0 whose entropy data arrives as one NON-INTERLEAVED scan per
+    component (the T.81-legal layout some encoders emit), each with its
+    own DC predictor chain and optional restart segmentation.
+    ``comp_blocks`` holds per-component (dc, ac1) quantized
+    coefficients in raster block order; with ``q_dc=8`` a DC-only
+    block decodes the component plane to exactly ``dc + 128``."""
+    if len(comp_blocks) != 3:
+        raise ValueError("expects 3 component block lists")
+    nbx = (width + 7) // 8
+    nby = (height + 7) // 8
+    for blocks in comp_blocks:
+        assert len(blocks) == nbx * nby
+    qtab = bytearray(64)
+    qtab[0] = q_dc
+    for i in range(1, 64):
+        qtab[i] = q_ac1
+    dqt = b"\x00" + bytes(qtab)
+    sof = struct.pack(">BHHB", 8, height, width, 3) + b"".join(
+        struct.pack(">BBB", cid, 0x11, 0) for cid in (1, 2, 3)
+    )
+    dht_dc = bytes([0x00] + DC_BITS) + bytes(DC_VALS)
+    dht_ac = bytes([0x10] + AC_BITS) + bytes(AC_VALS)
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+
+    out = b"\xff\xd8"
+    segs = [(b"\xff\xdb", dqt), (b"\xff\xc0", sof)]
+    if restart_interval:
+        segs.append((b"\xff\xdd", struct.pack(">H", restart_interval)))
+    segs += [(b"\xff\xc4", dht_dc), (b"\xff\xc4", dht_ac)]
+    for marker, seg in segs:
+        out += marker + struct.pack(">H", len(seg) + 2) + seg
+    for cid, blocks in zip((1, 2, 3), comp_blocks):
+        sos = struct.pack(">BBBBBB", 1, cid, 0x00, 0, 63, 0)
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        scan = bytearray()
+        w = _BitWriter()
+        prev = 0
+        rst = 0
+        for i, (dc, ac1) in enumerate(blocks):
+            if restart_interval and i and i % restart_interval == 0:
+                scan += w.flush()
+                scan += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                w = _BitWriter()
+                prev = 0
+            diff = dc - prev
+            prev = dc
+            t = _category(diff)
+            length, code = dc_codes[t]
+            w.write(code, length)
+            if t:
+                w.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+            if ac1:
+                t1 = _category(ac1)
+                if t1 != 1:
+                    raise ValueError("minimal AC table carries size-1 only")
+                length, code = ac_codes[0x01]
+                w.write(code, length)
+                w.write(ac1 if ac1 > 0 else ac1 + 1, 1)
+            length, code = ac_codes[0x00]  # EOB
+            w.write(code, length)
+        scan += w.flush()
+        out += bytes(scan)
+    return out + b"\xff\xd9"
+
+
 # Lossless difference-category table: SSSS 0..16 (16 = the special
 # "diff is exactly 32768, no extra bits" code), all length 5 — a legal
 # (incomplete) canonical table big enough for 16-bit-precision diffs.
@@ -1040,20 +1116,6 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
     if progressive:
         return _decode_progressive(sof, scans, qtabs)
 
-    if len(scans) > 1:
-        # Legal but unsupported: multi-scan BASELINE files (sequences of
-        # non-interleaved per-component scans). Decoding only scans[0]
-        # would silently return zero-filled planes for the others —
-        # raise instead, per the honest-envelope policy.
-        raise NotImplementedError("multi-scan baseline JPEG")
-    scan_comps, _ss, _se, _ah, _al, segments, htabs, restart_interval = (
-        scans[0]
-    )
-    if {cid for cid, _, _ in scan_comps} != {c[0] for c in sof[2]}:
-        raise NotImplementedError(
-            "baseline scan does not cover all SOF components"
-        )
-
     w_, h, comps = sof
     hmax = max(hi for _, hi, _, _ in comps)
     vmax = max(vi for _, _, vi, _ in comps)
@@ -1062,55 +1124,102 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
             raise NotImplementedError("non-integral chroma upsampling")
     mcux = (w_ + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    seg_iter = iter(segments)
-    reader = _BitReader(next(seg_iter))
     planes = {
         cid: np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.float64)
         for cid, hi, vi, _ in comps
     }
     samp_by_cid = {cid: (hi, vi) for cid, hi, vi, _ in comps}
     qt_by_cid = {cid: tq for cid, _, _, tq in comps}
-    tables_by_cid = {cid: (dc, ac) for cid, dc, ac in scan_comps}
-    pred = {cid: 0 for cid, *_ in comps}
-    mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                reader = _BitReader(next(seg_iter))
-                pred = {cid: 0 for cid, *_ in comps}
-            mcu += 1
-            for cid, _dc_id, _ac_id in scan_comps:
-                dc_id, ac_id = tables_by_cid[cid]
-                dct = htabs[(0, dc_id)]
-                act = htabs[(1, ac_id)]
-                q = qtabs[qt_by_cid[cid]]
-                hi, vi = samp_by_cid[cid]
-                for byy in range(vi):
-                    for bxx in range(hi):
-                        coeff = np.zeros(64, dtype=np.int64)
-                        t = reader.read_huffman(dct)
-                        pred[cid] += _extend(reader.read_bits(t), t)
-                        coeff[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = reader.read_huffman(act)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            coeff[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        block = np.zeros((8, 8), dtype=np.float64)
-                        dq = coeff * q
-                        for idx, (rr, cc) in enumerate(ZIGZAG):
-                            block[rr, cc] = dq[idx]
-                        spatial = _C.T @ block @ _C + 128.0
-                        r0 = my * 8 * vi + byy * 8
-                        c0 = mx * 8 * hi + bxx * 8
-                        planes[cid][r0 : r0 + 8, c0 : c0 + 8] = spatial
+
+    def _read_block(reader, dct, act, q, cid, pred):
+        coeff = np.zeros(64, dtype=np.int64)
+        t = reader.read_huffman(dct)
+        pred[cid] += _extend(reader.read_bits(t), t)
+        coeff[0] = pred[cid]
+        k = 1
+        while k < 64:
+            rs = reader.read_huffman(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            coeff[k] = _extend(reader.read_bits(s), s)
+            k += 1
+        block = np.zeros((8, 8), dtype=np.float64)
+        dq = coeff * q
+        for idx, (rr, cc) in enumerate(ZIGZAG):
+            block[rr, cc] = dq[idx]
+        return _C.T @ block @ _C + 128.0
+
+    # A baseline image is one interleaved scan OR a sequence of scans
+    # (commonly one non-interleaved scan per component) — decode each
+    # into the shared planes; every scan restarts its own predictors
+    # and restart-marker segmentation.
+    covered: set[int] = set()
+    for scan in scans:
+        scan_comps, ss, se, ah, al, segments, htabs, restart_interval = scan
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError(
+                "baseline scan carries progressive spectral/approximation "
+                f"parameters (ss={ss}, se={se}, ah={ah}, al={al})"
+            )
+        covered.update(cid for cid, _, _ in scan_comps)
+        seg_iter = iter(segments)
+        reader = _BitReader(next(seg_iter))
+        pred = {cid: 0 for cid, _, _ in scan_comps}
+        if len(scan_comps) == 1:
+            # non-interleaved: MCU = one block over the COMPONENT's own
+            # block grid (its plane dims scaled by its sampling factors)
+            cid, dc_id, ac_id = scan_comps[0]
+            dct, act = htabs[(0, dc_id)], htabs[(1, ac_id)]
+            q = qtabs[qt_by_cid[cid]]
+            hi, vi = samp_by_cid[cid]
+            cw = -(-w_ * hi // hmax)
+            ch = -(-h * vi // vmax)
+            nbx, nby = -(-cw // 8), -(-ch // 8)
+            blk = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and blk and blk % restart_interval == 0:
+                        reader = _BitReader(next(seg_iter))
+                        pred = {cid: 0}
+                    blk += 1
+                    spatial = _read_block(reader, dct, act, q, cid, pred)
+                    planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        spatial
+                    )
+        else:
+            tables_by_cid = {cid: (dc, ac) for cid, dc, ac in scan_comps}
+            mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        reader = _BitReader(next(seg_iter))
+                        pred = {cid: 0 for cid, _, _ in scan_comps}
+                    mcu += 1
+                    for cid, _dc_id, _ac_id in scan_comps:
+                        dc_id, ac_id = tables_by_cid[cid]
+                        dct = htabs[(0, dc_id)]
+                        act = htabs[(1, ac_id)]
+                        q = qtabs[qt_by_cid[cid]]
+                        hi, vi = samp_by_cid[cid]
+                        for byy in range(vi):
+                            for bxx in range(hi):
+                                spatial = _read_block(
+                                    reader, dct, act, q, cid, pred
+                                )
+                                r0 = my * 8 * vi + byy * 8
+                                c0 = mx * 8 * hi + bxx * 8
+                                planes[cid][r0 : r0 + 8, c0 : c0 + 8] = (
+                                    spatial
+                                )
+    if covered != {c[0] for c in comps}:
+        raise NotImplementedError(
+            "baseline scans do not cover all SOF components"
+        )
 
     out_planes = []
     for cid, hi, vi, _ in comps:

@@ -803,10 +803,15 @@ def media_jpeg_dc_from_documents(docs: DataFrame) -> DataFrame:
     SAME per-pixel content the DC grid produces (pixel of block k =
     base+k), cycling all seven predictor selections by doc_id — sums
     stay closed-form while the bytes exercise the Annex H
-    prediction/Huffman path."""
+    prediction/Huffman path. Every 4th+1 document is MULTI-SCAN
+    baseline — a 3-component SOF0 whose entropy data arrives as three
+    non-interleaved scans (one per component, every 8th+1 with restart
+    markers); neutral chroma (Cb=Cr=128 exactly) makes R=G=B=Y, so the
+    RGB content sum is exactly 3× the grayscale closed form."""
     from .jpeg import (
         encode_jpeg_blocks,
         encode_jpeg_lossless,
+        encode_jpeg_multiscan,
         encode_jpeg_progressive_gray,
     )
 
@@ -845,6 +850,19 @@ def media_jpeg_dc_from_documents(docs: DataFrame) -> DataFrame:
                     px = base + (ys // 8) * nbx + (xs // 8)
                     payload = encode_jpeg_lossless(
                         px, predictor=1 + (did // 4) % 7
+                    )
+                elif did % 4 == 1:
+                    # MULTI-SCAN baseline: three non-interleaved scans
+                    # (one per component). Neutral chroma (dc=0 ⇒
+                    # Cb=Cr=128 exactly) makes R=G=B=Y, so the RGB
+                    # content sum is exactly 3× the grayscale sum —
+                    # still closed-form for the oracle.
+                    neutral = [(0, 0)] * len(blocks)
+                    payload = encode_jpeg_multiscan(
+                        w,
+                        h,
+                        [blocks, neutral, neutral],
+                        restart_interval=2 if did % 8 == 1 else 0,
                     )
                 else:
                     payload = encode_jpeg_blocks(w, h, blocks)

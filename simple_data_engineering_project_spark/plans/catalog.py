@@ -6589,19 +6589,20 @@ def text_heavy_hitters_q(spark, sf_dir):
     SELECT doc_id AS media_id,
            w AS width,
            h AS height,
-           CAST(SUM(LEAST(8, w - 8 * bx.x) * LEAST(8, h - 8 * byy.y)
+           CAST(chans * SUM(LEAST(8, w - 8 * bx.x) * LEAST(8, h - 8 * byy.y)
                 * (base + byy.y * ((w + 7) // 8) + bx.x)) AS BIGINT)
              AS content_sum
     FROM (
       SELECT doc_id,
              CAST(1 + doc_id % 20 AS INTEGER) AS w,
              CAST(1 + doc_id % 12 AS INTEGER) AS h,
-             doc_id % 200 AS base
+             doc_id % 200 AS base,
+             CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 1 END AS chans
       FROM documents
     ),
     unnest(generate_series(0, (w + 7) // 8 - 1)) AS bx(x),
     unnest(generate_series(0, (h + 7) // 8 - 1)) AS byy(y)
-    GROUP BY doc_id, w, h
+    GROUP BY doc_id, w, h, chans
     """,
     tier="C",
     note="C5 REAL JPEG pixel decode — a pure-numpy/stdlib entropy "
@@ -6627,8 +6628,12 @@ def text_heavy_hitters_q(spark, sf_dir):
     "leaves block pixel sums closed-form, and every 4th+2 file is "
     "LOSSLESS (SOF3, Annex H) carrying the same closed-form pixel "
     "content through the prediction/Huffman path, cycling all 7 "
-    "predictor selections. Remaining honest NotImplementedError "
-    "stubs: hierarchical, arithmetic coding, multi-scan baseline. "
+    "predictor selections, and every 4th+1 file is MULTI-SCAN "
+    "baseline (three NON-INTERLEAVED per-component scans, each with "
+    "its own predictor chain and restart segmentation; neutral "
+    "chroma makes R=G=B=Y so the RGB sum is exactly 3x the "
+    "grayscale closed form). Remaining honest NotImplementedError "
+    "stubs: hierarchical, arithmetic coding. "
     "Embarrassingly parallel; zero shuffles.",
 )
 def multimodal_jpeg_pixels_q(spark, sf_dir):

@@ -239,18 +239,46 @@ def test_progressive_restart_intervals_match_idct():
         assert (prog == want).all(), f"ri={ri}"
 
 
-def test_multiscan_baseline_raises():
+def test_multiscan_baseline_decodes():
+    from simple_data_engineering_project_spark.operators.jpeg import (
+        encode_jpeg_multiscan,
+    )
+
+    # three non-interleaved scans, one per component; neutral chroma
+    # (dc=0 -> 128 exactly) makes R=G=B=Y = dc+128 per block
+    y = [(20, 0), (-20, 0)]
+    neutral = [(0, 0)] * 2
+    img = decode_jpeg_pixels(
+        encode_jpeg_multiscan(16, 8, [y, neutral, neutral])
+    )
+    assert img.shape == (8, 16, 3)
+    assert np.all(img[:, :8] == 148) and np.all(img[:, 8:] == 108)
+    # chroma planes decoded from their own scans shift colors per BT.601
+    img2 = decode_jpeg_pixels(
+        encode_jpeg_multiscan(8, 8, [[(0, 0)], [(0, 0)], [(10, 0)]])
+    )
+    assert tuple(img2[0, 0]) == (142, 121, 128)  # R=+1.402*10, G=-0.714*10
+    # restart markers segment each scan independently
+    dcs = [(i, 0) for i in range(4)]
+    img3 = decode_jpeg_pixels(
+        encode_jpeg_multiscan(32, 8, [dcs, [(0, 0)] * 4, [(0, 0)] * 4],
+                              restart_interval=2)
+    )
+    assert [int(v) for v in img3[0, ::8, 1]] == [128, 129, 130, 131]
+
+
+def test_baseline_scan_with_progressive_params_raises():
     from simple_data_engineering_project_spark.operators.jpeg import (
         encode_jpeg_progressive_gray,
     )
 
-    # A legal multi-scan BASELINE file (per-component scan sequence):
-    # take the 2-scan progressive stream and flip SOF2→SOF0. Decoding
-    # only scans[0] would silently zero the AC band — must raise.
+    # a spectral-selection stream re-labelled SOF0 is malformed: a
+    # baseline scan must declare the full 0..63 band with no point
+    # transform — raise loudly instead of decoding garbage
     payload = bytearray(encode_jpeg_progressive_gray(8, 8, [(0, 1)]))
     i = payload.index(b"\xff\xc2")
     payload[i + 1] = 0xC0
-    with pytest.raises(NotImplementedError, match="multi-scan baseline"):
+    with pytest.raises(ValueError, match="progressive spectral"):
         decode_jpeg_pixels(bytes(payload))
 
 
