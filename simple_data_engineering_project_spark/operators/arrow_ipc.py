@@ -14,8 +14,10 @@ format itself, the way the spec defines it:
   (u16 sizes + per-field offsets), tables, vectors, strings, unions,
   structs — no flatbuffers library;
 - ``Schema`` messages yield a FIELD TREE per column (ints of any
-  width/sign, float32/64, bool, utf8, binary, and NESTED list/struct
-  of those, to any depth); ``RecordBatch`` messages carry FieldNode
+  width/sign, float16/32/64, bool, utf8/binary and their Large 64-bit-
+  offset forms, date32/64, naive s/ms/us timestamps, s/ms/us times and
+  durations, decimal128, fixed-size binary/list, and NESTED
+  list/struct of those, to any depth); ``RecordBatch`` messages carry FieldNode
   (length, null_count) and Buffer (offset, length) structs in
   depth-first pre-order, and columns decode recursively from validity
   bitmaps + offsets + data buffers;
@@ -29,8 +31,8 @@ format itself, the way the spec defines it:
   checksums are skipped, not verified.
 
 Out of envelope (honest ``NotImplementedError``): ZSTD bodies,
-big-endian streams, float16, decimal/date/time/timestamp/interval,
-union/map/run-end types. Tests cross-validate against pyarrow (the
+big-endian streams, timezone-aware and nanosecond temporals,
+non-128-bit decimals, union/map/interval/run-end types. Tests cross-validate against pyarrow (the
 writer side) including dictionary, nested, and lz4 payloads, plus
 tamper/envelope pins. (∅ in reference; Tier C extension.)
 """
@@ -103,14 +105,16 @@ class _Table:
 
 # Schema.fbs Type union discriminants (order of declaration, 1-based)
 _T_INT, _T_FLOAT, _T_BINARY, _T_UTF8, _T_BOOL = 2, 3, 4, 5, 6
-_T_DATE, _T_TIMESTAMP = 8, 10
+_T_DECIMAL, _T_DATE, _T_TIME, _T_TIMESTAMP = 7, 8, 9, 10
 _T_LIST, _T_STRUCT = 12, 13
+_T_FIXEDBINARY, _T_FIXEDLIST = 15, 16
+_T_DURATION = 18
 _T_LARGEBINARY, _T_LARGEUTF8, _T_LARGELIST = 19, 20, 21
 
 _FMT = {
     "int8": "b", "uint8": "B", "int16": "h", "uint16": "H",
     "int32": "i", "uint32": "I", "int64": "q", "uint64": "Q",
-    "float32": "f", "float64": "d",
+    "float16": "e", "float32": "f", "float64": "d",
 }
 
 
@@ -121,11 +125,7 @@ def _type_tag(ttype: int, tval: _Table | None) -> str:
         return f"{'int' if signed else 'uint'}{bits}"
     if ttype == _T_FLOAT:  # precision: 0 HALF, 1 SINGLE, 2 DOUBLE
         prec = tval.scalar(0, "<h", 0) if tval else 0
-        if prec == 1:
-            return "float32"
-        if prec == 2:
-            return "float64"
-        raise NotImplementedError("float16 arrow column")
+        return ("float16", "float32", "float64")[prec]
     if ttype == _T_BOOL:
         return "bool"
     if ttype == _T_UTF8:
@@ -147,6 +147,33 @@ def _type_tag(ttype: int, tval: _Table | None) -> str:
         # DEFAULT is MILLISECOND — an absent unit means date64
         unit = tval.scalar(0, "<h", 1) if tval else 1
         return "date32" if unit == 0 else "date64"
+    if ttype == _T_TIME:
+        # Time: unit(0, default MILLISECOND=1), bitWidth(1, default 32)
+        unit = tval.scalar(0, "<h", 1) if tval else 1
+        if unit == 3:
+            raise NotImplementedError(
+                "nanosecond arrow time (datetime.time cannot hold ns)"
+            )
+        return ("time_s", "time_ms", "time_us")[unit]
+    if ttype == _T_DURATION:
+        # Duration: unit(0, default MILLISECOND); int64 storage
+        unit = tval.scalar(0, "<h", 1) if tval else 1
+        if unit == 3:
+            raise NotImplementedError("nanosecond arrow duration")
+        return ("dur_s", "dur_ms", "dur_us")[unit]
+    if ttype == _T_DECIMAL:
+        # Decimal: precision(0), scale(1), bitWidth(2, default 128)
+        bits = tval.scalar(2, "<i", 128) if tval else 128
+        if bits != 128:
+            raise NotImplementedError(f"decimal{bits} arrow column")
+        scale = tval.scalar(1, "<i", 0) if tval else 0
+        return f"decimal128:{scale}"
+    if ttype == _T_FIXEDBINARY:
+        width = tval.scalar(0, "<i", 0) if tval else 0
+        return f"fixedbinary:{width}"
+    if ttype == _T_FIXEDLIST:
+        size = tval.scalar(0, "<i", 0) if tval else 0
+        return f"fixedlist:{size}"
     if ttype == _T_TIMESTAMP:
         # Timestamp: unit(0: 0 s, 1 ms, 2 us, 3 ns), timezone(1)
         tz = tval.string(1) if tval else None
@@ -169,9 +196,10 @@ def _parse_field(f: _Table) -> dict:
     typ = _type_tag(ttype, f.table(3))
     _cat, nch = f.vector(5)
     children = [_parse_field(f.vtable_elem(5, i)) for i in range(nch)]
-    if typ in ("list", "largelist") and len(children) != 1:
+    is_listy = typ in ("list", "largelist") or typ.startswith("fixedlist:")
+    if is_listy and len(children) != 1:
         raise ValueError(f"list field carries {len(children)} children")
-    if typ not in ("list", "largelist", "struct") and children:
+    if not is_listy and typ != "struct" and children:
         raise NotImplementedError("children on a non-nested arrow type")
     spec = {
         "name": f.string(0),
@@ -196,8 +224,11 @@ def _parse_field(f: _Table) -> dict:
 
 def _type_str(spec: dict) -> str:
     t = spec["type"]
-    if t == "list":
-        return f"list<{_type_str(spec['children'][0])}>"
+    if t in ("list", "largelist"):
+        return f"{t}<{_type_str(spec['children'][0])}>"
+    if t.startswith("fixedlist:"):
+        n = t.split(":")[1]
+        return f"fixedlist<{_type_str(spec['children'][0])}, {n}>"
     if t == "struct":
         inner = ", ".join(
             f"{c['name']}: {_type_str(c)}" for c in spec["children"]
@@ -363,6 +394,58 @@ def _decode_column(spec, nodes, body, dictionaries):
             None if is_null(i) else child[offs[i] : offs[i + 1]]
             for i in range(length)
         ]
+    if typ.startswith("fixedlist:"):
+        n_elem = int(typ.split(":")[1])
+        child = _decode_column(spec["children"][0], nodes, body, dictionaries)
+        return [
+            None
+            if is_null(i)
+            else child[i * n_elem : (i + 1) * n_elem]
+            for i in range(length)
+        ]
+    if typ.startswith("fixedbinary:"):
+        width = int(typ.split(":")[1])
+        data = body.next_buffer()
+        return [
+            None
+            if is_null(i)
+            else bytes(data[i * width : (i + 1) * width])
+            for i in range(length)
+        ]
+    if typ.startswith("decimal128:"):
+        import decimal as _dec
+
+        scale = int(typ.split(":")[1])
+        data = body.next_buffer()
+        out = []
+        for i in range(length):
+            if is_null(i):
+                out.append(None)
+                continue
+            raw = int.from_bytes(
+                data[i * 16 : (i + 1) * 16], "little", signed=True
+            )
+            out.append(_dec.Decimal(raw).scaleb(-scale))
+        return out
+    if typ in ("time_s", "time_ms", "time_us", "dur_s", "dur_ms", "dur_us"):
+        import datetime as _dt
+
+        fmt = "i" if typ in ("time_s", "time_ms") else "q"
+        if typ.startswith("dur_"):
+            fmt = "q"  # Duration storage is always int64
+        data = body.next_buffer()
+        vals = struct.unpack_from(f"<{length}{fmt}", data, 0)
+        mult = {"s": 1_000_000, "ms": 1_000, "us": 1}[typ.split("_")[1]]
+
+        def conv(v, _m=mult, _t=typ):
+            us = v * _m
+            if _t.startswith("dur_"):
+                return _dt.timedelta(microseconds=us)
+            return (
+                _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+            ).time()
+
+        return [None if is_null(i) else conv(vals[i]) for i in range(length)]
     if typ == "struct":
         kids = [
             (c["name"], _decode_column(c, nodes, body, dictionaries))

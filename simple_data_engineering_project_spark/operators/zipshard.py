@@ -13,8 +13,10 @@ format for real, the way a robust reader must:
 - per entry the central record's sizes are authoritative (local headers
   may carry zeros + a trailing data descriptor when flag bit 3 is set);
   the local header is visited only to skip its own name/extra fields;
-- methods 0 (stored) and 8 (deflate, raw zlib) decompress; the CRC-32
-  of every decompressed member is VERIFIED against the central record;
+- methods 0 (stored), 8 (deflate, raw zlib), 12 (bzip2), and 14
+  (zip-LZMA, re-framed to a stdlib ALONE header with the central
+  record's size) decompress; the CRC-32 of every decompressed member
+  is VERIFIED against the central record;
 - ZIP64 decodes for real — multi-GB shards and >65,535-member archives
   are normal at corpus scale: a 0xFFFF/0xFFFFFFFF sentinel in the EOCD
   routes through the zip64 EOCD locator (``PK\\x06\\x07``, fixed 20
@@ -24,8 +26,8 @@ format for real, the way a robust reader must:
   actually maxed.
 
 Out of envelope (honest ``NotImplementedError``): encrypted entries
-(flag bit 0), multi-disk archives, and other compression methods
-(bzip2/lzma/zstd members are rare in corpus dumps). The companion
+(flag bit 0), multi-disk archives, and the remaining exotic methods
+(ppmd/zstd/xz members are rare in corpus dumps). The companion
 :func:`encode_zip` writes conformant archives so the oracle entry
 verifies extraction byte-for-byte; tests cross-validate BOTH
 directions against stdlib :mod:`zipfile`, including forced-zip64
@@ -162,6 +164,24 @@ def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
             data = body
         elif method == 8:
             data = zlib.decompress(body, wbits=-15)
+        elif method == 12:
+            import bz2
+
+            data = bz2.decompress(body)
+        elif method == 14:
+            # zip-LZMA member: version(2) + props-size(2) + raw LZMA1
+            # properties, then the stream. Re-frame as an ALONE header
+            # (props + 8-byte size) for the stdlib decompressor; the
+            # central usize supplies the size the zip layout omits.
+            import lzma
+
+            (psize,) = struct.unpack_from("<H", body, 2)
+            if psize != 5:
+                raise ValueError(f"zip lzma props size {psize}")
+            hdr = body[4:9] + usize.to_bytes(8, "little")
+            data = lzma.LZMADecompressor(lzma.FORMAT_ALONE).decompress(
+                hdr + body[9:]
+            )
         else:
             raise NotImplementedError(f"zip compression method {method}")
         if len(data) != usize or (zlib.crc32(data) & 0xFFFFFFFF) != crc:

@@ -41,8 +41,9 @@ def test_pyarrow_cross_validation(form):
 
 
 def test_envelope_raises():
-    # dictionary / nested / lz4 moved IN-envelope; what remains out is
-    # zstd bodies (no pure-stdlib zstd) and float16
+    # dictionary / nested / lz4 / float16 / temporal moved IN-envelope;
+    # what remains out is zstd bodies (no pure-stdlib zstd), map/union,
+    # and ns-precision time/duration
     t = _table()
     buf = io.BytesIO()
     with ipc.new_stream(
@@ -51,16 +52,12 @@ def test_envelope_raises():
         w.write_table(t)
     with pytest.raises(NotImplementedError, match="zstd"):
         parse_arrow_ipc(buf.getvalue())
-    import numpy as np
-
-    th = pa.table(
-        {"h": pa.array(np.array([1.0, 2.0], dtype=np.float16))}
-    )
-    bufh = io.BytesIO()
-    with ipc.new_stream(bufh, th.schema) as w:
-        w.write_table(th)
-    with pytest.raises(NotImplementedError, match="float16"):
-        parse_arrow_ipc(bufh.getvalue())
+    tm = pa.table({"m": pa.array([[("k", 1)]], type=pa.map_(pa.string(), pa.int64()))})
+    bufm = io.BytesIO()
+    with ipc.new_stream(bufm, tm.schema) as w:
+        w.write_table(tm)
+    with pytest.raises(NotImplementedError, match="discriminant"):
+        parse_arrow_ipc(bufm.getvalue())
     with pytest.raises(ValueError):
         parse_arrow_ipc(b"PAR1 not arrow at all")
 
@@ -313,7 +310,7 @@ def test_large_offset_and_temporal_types():
     )
     schema, rows = parse_arrow_ipc(_stream(t, max_chunksize=2))
     assert [tp for _n, tp in schema] == [
-        "largeutf8", "largebinary", "largelist", "date32", "date64",
+        "largeutf8", "largebinary", "largelist<int64>", "date32", "date64",
         "ts_s", "ts_us",
     ]
     assert rows == t.to_pylist()
@@ -327,3 +324,69 @@ def test_temporal_envelope_raises():
         t = pa.table({"x": pa.array([0], type=pa.int64()).cast(typ)})
         with pytest.raises(NotImplementedError, match=match):
             parse_arrow_ipc(_stream(t))
+
+
+def test_extended_scalar_types_decode():
+    """float16 (struct 'e'), time32/64, duration, fixed-size binary and
+    list, and decimal128 decode, cross-validated against pyarrow. Trap
+    pinned: Time/Duration DECLARE default unit MILLISECOND in the
+    flatbuffers schema, so an absent unit field means ms, not s."""
+    import datetime as dt
+    import decimal
+
+    import numpy as np
+
+    t = pa.table(
+        {
+            "f16": pa.array(np.array([1.5, -0.25, 65504.0], dtype=np.float16)),
+            "tm_s": pa.array(
+                [dt.time(1, 2, 3), None, dt.time(23, 59, 59)],
+                type=pa.time32("s"),
+            ),
+            "tm_ms": pa.array(
+                [dt.time(1, 2, 3, 500000), None, dt.time(0, 0)],
+                type=pa.time32("ms"),
+            ),
+            "tm_us": pa.array(
+                [dt.time(12, 0, 0, 123456), None, dt.time(6, 30)],
+                type=pa.time64("us"),
+            ),
+            "dur_us": pa.array(
+                [dt.timedelta(seconds=90), None, dt.timedelta(days=-1)],
+                type=pa.duration("us"),
+            ),
+            "fb": pa.array(
+                [b"abcd", None, b"\x00\x01\x02\x03"], type=pa.binary(4)
+            ),
+            "fl": pa.array(
+                [[1.0, 2.0], [3.0, 4.0], None],
+                type=pa.list_(pa.float64(), 2),
+            ),
+            "dec": pa.array(
+                [decimal.Decimal("123.45"), None, decimal.Decimal("-0.01")],
+                type=pa.decimal128(10, 2),
+            ),
+        }
+    )
+    schema, rows = parse_arrow_ipc(_stream(t, max_chunksize=2))
+    assert [tp for _n, tp in schema] == [
+        "float16", "time_s", "time_ms", "time_us", "dur_us",
+        "fixedbinary:4", "fixedlist<float64, 2>", "decimal128:2",
+    ]
+    assert rows == t.to_pylist()
+
+
+def test_ns_time_and_duration_raise():
+    import datetime as dt
+
+    for typ, match in [
+        (pa.time64("ns"), "nanosecond arrow time"),
+        (pa.duration("ns"), "nanosecond arrow duration"),
+    ]:
+        arr = (
+            pa.array([0], type=pa.int64()).cast(typ)
+            if typ != pa.duration("ns")
+            else pa.array([dt.timedelta(0)], type=typ)
+        )
+        with pytest.raises(NotImplementedError, match=match):
+            parse_arrow_ipc(_stream(pa.table({"x": arr})))

@@ -111,11 +111,15 @@ def test_zip_envelope_and_corruption():
         parse_zip,
     )
 
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w") as z:
-        z.writestr("b.txt", b"x" * 100, compress_type=zipfile.ZIP_BZIP2)
+    # bzip2/lzma moved in-envelope; method 98 (ppmd) stays out — forge
+    # it by patching the method field of a stored member
+    blob98 = bytearray(encode_zip([("p.bin", b"x" * 40)], method=0))
+    for sig in (b"PK\x03\x04", b"PK\x01\x02"):
+        at = blob98.index(sig)
+        off = 8 if sig == b"PK\x03\x04" else 10  # method field offset
+        blob98[at + off : at + off + 2] = (98).to_bytes(2, "little")
     with pytest.raises(NotImplementedError, match="method"):
-        parse_zip(buf.getvalue())
+        parse_zip(bytes(blob98))
 
     blob = bytearray(encode_zip([("a.txt", b"payload bytes")], method=0))
     at = blob.index(b"payload bytes")
@@ -240,4 +244,29 @@ def test_zip64_forced_member_extra_from_stdlib():
     assert parse_zip(buf.getvalue()) == [
         ("f.bin", b"forced " * 50),
         ("g.txt", b"plain"),
+    ]
+
+
+def test_zip_bzip2_and_lzma_members_from_stdlib():
+    # methods 12 (bzip2) and 14 (zip-LZMA, re-framed to an ALONE
+    # header for the stdlib decompressor) — written by stdlib zipfile
+    import io
+    import zipfile
+
+    from simple_data_engineering_project_spark.operators.zipshard import (
+        parse_zip,
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("b.txt", b"bzip body " * 40,
+                   compress_type=zipfile.ZIP_BZIP2)
+        z.writestr("l.txt", b"lzma body " * 40,
+                   compress_type=zipfile.ZIP_LZMA)
+        z.writestr("d.txt", b"deflate body",
+                   compress_type=zipfile.ZIP_DEFLATED)
+    assert parse_zip(buf.getvalue()) == [
+        ("b.txt", b"bzip body " * 40),
+        ("l.txt", b"lzma body " * 40),
+        ("d.txt", b"deflate body"),
     ]
