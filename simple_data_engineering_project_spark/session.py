@@ -29,23 +29,15 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 _SHIPPED: set[str] = set()
 
 
-def ensure_package_on_executors(spark: SparkSession) -> None:
-    """Ship this package to executor Pythons via ``addPyFile``.
+def build_package_zip() -> str:
+    """Zip this package for ``--py-files``-style shipping; returns the
+    zip path. Modules are stored as PRECOMPILED .pyc (zipimport loads
+    marshalled code directly), because a .py-only zip has no
+    __pycache__ and every fresh worker would re-parse the whole
+    package — measurable on the 25k-LoC tree."""
+    import importlib.util
+    import py_compile
 
-    Arrow UDFs defined inside package modules pickle BY REFERENCE to
-    their module, so every Python worker must be able to ``import
-    simple_data_engineering_project_spark``. On a real cluster executors
-    never share the driver's cwd/sys.path — shipping a zip of the
-    package is the idiomatic mechanism (same posture as --py-files).
-    Locally this makes the engine robust to harnesses that launch the
-    driver from an arbitrary cwd instead of the repo root.
-
-    Once per SparkContext; the zip is a few hundred KB of .py files.
-    """
-    sc = spark.sparkContext
-    app_id = sc.applicationId
-    if app_id in _SHIPPED:
-        return
     pkg_root = os.path.dirname(os.path.abspath(__file__))
     zpath = os.path.join(
         tempfile.gettempdir(), f"sdep_spark_pyfiles_{os.getpid()}.zip"
@@ -53,14 +45,69 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
         for dirpath, _, files in os.walk(pkg_root):
             for fn in sorted(files):
-                if fn.endswith(".py"):
-                    full = os.path.join(dirpath, fn)
-                    rel = os.path.join(
-                        os.path.basename(pkg_root),
-                        os.path.relpath(full, pkg_root),
-                    )
-                    zf.write(full, rel)
-    sc.addPyFile(zpath)
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.join(
+                    os.path.basename(pkg_root),
+                    os.path.relpath(full, pkg_root),
+                )
+                cached = importlib.util.cache_from_source(full)
+                if (
+                    not os.path.exists(cached)
+                    or os.path.getmtime(cached) < os.path.getmtime(full)
+                ):
+                    cached = py_compile.compile(full, doraise=True)
+                # legacy in-zip layout: module.pyc next to where the
+                # .py would sit
+                zf.write(cached, rel + "c")
+    return zpath
+
+
+def _workers_can_import(sc) -> bool:
+    """One tiny probe job: can an executor Python import this package
+    as-is (repo-root launch, shared filesystem, preset PYTHONPATH)?"""
+
+    def probe(_):
+        try:
+            import simple_data_engineering_project_spark  # noqa: F401
+
+            return [True]
+        except Exception:
+            return [False]
+
+    return sc.parallelize([0], 1).mapPartitions(probe).collect() == [True]
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Make ``import simple_data_engineering_project_spark`` work in
+    every executor Python, regardless of the driver's launch cwd.
+
+    Arrow UDFs defined inside package modules pickle BY REFERENCE to
+    their module, so Python workers must import the package; a harness
+    that launches the driver outside the repo root otherwise fails every
+    Arrow entry with a worker ModuleNotFoundError.
+
+    A probe task checks whether workers can already import the package
+    (true for repo-root launches — the worker cwd resolves it — and for
+    cluster images that bake the package in). Only when they cannot is
+    a precompiled zip shipped via ``addPyFile`` (the --py-files
+    posture). The probe-first order matters for throughput: a shipped
+    file bills its dependency-sync check to EVERY task afterwards —
+    measured ~20-40% on the many-short-stage batch pipeline — so the
+    common already-importable case must stay file-free. (Exporting
+    PYTHONPATH from here does NOT work: worker daemons take their
+    environment from the JVM, which captured it at session start,
+    before this code can run under a harness-owned session.)
+
+    Once per SparkContext.
+    """
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED:
+        return
+    if not _workers_can_import(sc):
+        sc.addPyFile(build_package_zip())
     _SHIPPED.add(app_id)
 
 
