@@ -17,7 +17,8 @@ format itself, the way the spec defines it:
   width/sign, float16/32/64, bool, utf8/binary and their Large 64-bit-
   offset forms, date32/64, naive s/ms/us timestamps, s/ms/us times and
   durations, decimal128, fixed-size binary/list, and NESTED
-  list/struct of those, to any depth); ``RecordBatch`` messages carry FieldNode
+  list/struct/map of those, to any depth — map surfaces as
+  (key, value) tuple lists matching pyarrow's to_pylist); ``RecordBatch`` messages carry FieldNode
   (length, null_count) and Buffer (offset, length) structs in
   depth-first pre-order, and columns decode recursively from validity
   bitmaps + offsets + data buffers;
@@ -32,7 +33,7 @@ format itself, the way the spec defines it:
 
 Out of envelope (honest ``NotImplementedError``): ZSTD bodies,
 big-endian streams, timezone-aware and nanosecond temporals,
-non-128-bit decimals, union/map/interval/run-end types. Tests cross-validate against pyarrow (the
+non-128-bit decimals, union/interval/run-end types. Tests cross-validate against pyarrow (the
 writer side) including dictionary, nested, and lz4 payloads, plus
 tamper/envelope pins. (∅ in reference; Tier C extension.)
 """
@@ -108,6 +109,7 @@ _T_INT, _T_FLOAT, _T_BINARY, _T_UTF8, _T_BOOL = 2, 3, 4, 5, 6
 _T_DECIMAL, _T_DATE, _T_TIME, _T_TIMESTAMP = 7, 8, 9, 10
 _T_LIST, _T_STRUCT = 12, 13
 _T_FIXEDBINARY, _T_FIXEDLIST = 15, 16
+_T_MAP = 17
 _T_DURATION = 18
 _T_LARGEBINARY, _T_LARGEUTF8, _T_LARGELIST = 19, 20, 21
 
@@ -174,6 +176,8 @@ def _type_tag(ttype: int, tval: _Table | None) -> str:
     if ttype == _T_FIXEDLIST:
         size = tval.scalar(0, "<i", 0) if tval else 0
         return f"fixedlist:{size}"
+    if ttype == _T_MAP:
+        return "map"
     if ttype == _T_TIMESTAMP:
         # Timestamp: unit(0: 0 s, 1 ms, 2 us, 3 ns), timezone(1)
         tz = tval.string(1) if tval else None
@@ -196,7 +200,9 @@ def _parse_field(f: _Table) -> dict:
     typ = _type_tag(ttype, f.table(3))
     _cat, nch = f.vector(5)
     children = [_parse_field(f.vtable_elem(5, i)) for i in range(nch)]
-    is_listy = typ in ("list", "largelist") or typ.startswith("fixedlist:")
+    is_listy = (
+        typ in ("list", "largelist", "map") or typ.startswith("fixedlist:")
+    )
     if is_listy and len(children) != 1:
         raise ValueError(f"list field carries {len(children)} children")
     if not is_listy and typ != "struct" and children:
@@ -226,6 +232,9 @@ def _type_str(spec: dict) -> str:
     t = spec["type"]
     if t in ("list", "largelist"):
         return f"{t}<{_type_str(spec['children'][0])}>"
+    if t == "map":
+        kv = spec["children"][0]["children"]
+        return f"map<{_type_str(kv[0])}, {_type_str(kv[1])}>"
     if t.startswith("fixedlist:"):
         n = t.split(":")[1]
         return f"fixedlist<{_type_str(spec['children'][0])}, {n}>"
@@ -385,6 +394,24 @@ def _decode_column(spec, nodes, body, dictionaries):
         return [None if is_null(i) else values[idxs[i]] for i in range(length)]
 
     typ = spec["type"]
+    if typ == "map":
+        # physically list<struct<key, value>>: int32 offsets, one
+        # entries child; surfaced as (key, value) tuple lists, matching
+        # pyarrow's to_pylist
+        offs_buf = body.next_buffer()
+        offs = struct.unpack_from(f"<{length + 1}i", offs_buf, 0)
+        entries = _decode_column(
+            spec["children"][0], nodes, body, dictionaries
+        )
+        kv_names = [c["name"] for c in spec["children"][0]["children"]]
+        pairs = [
+            (e[kv_names[0]], e[kv_names[1]]) if e is not None else None
+            for e in entries
+        ]
+        return [
+            None if is_null(i) else pairs[offs[i] : offs[i + 1]]
+            for i in range(length)
+        ]
     if typ in ("list", "largelist"):
         off_fmt = "i" if typ == "list" else "q"
         offs_buf = body.next_buffer()

@@ -52,12 +52,14 @@ def test_envelope_raises():
         w.write_table(t)
     with pytest.raises(NotImplementedError, match="zstd"):
         parse_arrow_ipc(buf.getvalue())
-    tm = pa.table({"m": pa.array([[("k", 1)]], type=pa.map_(pa.string(), pa.int64()))})
-    bufm = io.BytesIO()
-    with ipc.new_stream(bufm, tm.schema) as w:
-        w.write_table(tm)
+    ti = pa.table(
+        {"i": pa.array([(1, 2, 3)], type=pa.month_day_nano_interval())}
+    )
+    bufi = io.BytesIO()
+    with ipc.new_stream(bufi, ti.schema) as w:
+        w.write_table(ti)
     with pytest.raises(NotImplementedError, match="discriminant"):
-        parse_arrow_ipc(bufm.getvalue())
+        parse_arrow_ipc(bufi.getvalue())
     with pytest.raises(ValueError):
         parse_arrow_ipc(b"PAR1 not arrow at all")
 
@@ -390,3 +392,24 @@ def test_ns_time_and_duration_raise():
         )
         with pytest.raises(NotImplementedError, match=match):
             parse_arrow_ipc(_stream(pa.table({"x": arr})))
+
+
+def test_map_columns_decode():
+    t = pa.table(
+        {
+            "m": pa.array(
+                [[("k1", 1), ("k2", 2)], [], None, [("z", None)]],
+                type=pa.map_(pa.string(), pa.int64()),
+            ),
+            "mm": pa.array(
+                [[("a", [1, 2])], [], [("b", [])], None],
+                type=pa.map_(pa.string(), pa.list_(pa.int64())),
+            ),
+        }
+    )
+    schema, rows = parse_arrow_ipc(_stream(t, max_chunksize=2))
+    assert schema == [
+        ("m", "map<utf8, int64>"),
+        ("mm", "map<utf8, list<int64>>"),
+    ]
+    assert rows == t.to_pylist()
