@@ -65,25 +65,23 @@ class WarcShardReader(DataSourceReader):
 
         with open(partition.value, "rb") as f:
             payload = f.read()
-        uris, htmls, buffered = [], [], 0
-        for uri, body in response_bodies(payload):
-            uris.append(uri)
-            htmls.append(body.decode("latin-1"))
-            buffered += len(body) + len(uri)
-            if buffered >= self.BATCH_BYTES:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(uris, type=pa.string()),
-                        pa.array(htmls, type=pa.string()),
-                    ],
-                    names=["uri", "html"],
-                )
-                uris, htmls, buffered = [], [], 0
-        if uris:
-            yield pa.RecordBatch.from_arrays(
+
+        def batch(uris, htmls):
+            return pa.RecordBatch.from_arrays(
                 [
                     pa.array(uris, type=pa.string()),
                     pa.array(htmls, type=pa.string()),
                 ],
                 names=["uri", "html"],
             )
+
+        uris, htmls, buffered = [], [], 0
+        for uri, body in response_bodies(payload):
+            uris.append(uri)
+            htmls.append(body.decode("latin-1"))
+            buffered += len(body) + len(uri)
+            if buffered >= self.BATCH_BYTES:
+                yield batch(uris, htmls)
+                uris, htmls, buffered = [], [], 0
+        if uris:
+            yield batch(uris, htmls)

@@ -14,14 +14,16 @@ sequential (SOF3, T.81 Annex H — the DNG/DICOM layout): Huffman-coded
 prediction differences with all seven predictor selections, mod-2^16
 arithmetic, point transform, precisions 2-16 (P≤8 returns uint8, else
 uint16), multi-component interleaved scans decoded as direct channel
-planes (no color transform, per spec). Still OUTSIDE the envelope —
-these raise ``NotImplementedError``, the same honest-stub policy as
-the other media codecs (∅ in reference; Tier C extension):
+planes (no color transform, per spec). Baseline images may also arrive
+MULTI-SCAN (legal non-interleaved per-component scan sequences): each
+scan decodes into the shared planes — single-component scans over the
+component's own block grid, interleaved scans over the MCU grid — with
+per-scan predictors and restart segmentation. Still OUTSIDE the
+envelope — these raise ``NotImplementedError``, the same honest-stub
+policy as the other media codecs (∅ in reference; Tier C extension):
 hierarchical (SOF5-7/13-15), non-8-bit precision in DCT modes,
-arithmetic coding (SOF9-11), multi-scan *baseline* files (legal
-non-interleaved per-component scan sequences — only the
-single-interleaved-scan baseline layout decodes), and restart
-intervals or subsampling or multi-scan layouts inside lossless scans.
+arithmetic coding (SOF9-11), and restart intervals or subsampling or
+multi-scan layouts inside lossless scans.
 Progressive covers restart intervals AND subsampled chroma
 (interleaved DC scans over the padded MCU grid, per-component AC
 scans over each component's own block grid).
@@ -249,7 +251,10 @@ def encode_jpeg_multiscan(
     nbx = (width + 7) // 8
     nby = (height + 7) // 8
     for blocks in comp_blocks:
-        assert len(blocks) == nbx * nby
+        if len(blocks) != nbx * nby:
+            raise ValueError(
+                f"component carries {len(blocks)} blocks; needs {nbx * nby}"
+            )
     qtab = bytearray(64)
     qtab[0] = q_dc
     for i in range(1, 64):
@@ -1159,12 +1164,19 @@ def decode_jpeg_pixels(payload: bytes) -> "np.ndarray":
     # into the shared planes; every scan restarts its own predictors
     # and restart-marker segmentation.
     covered: set[int] = set()
+    sof_ids = {c[0] for c in comps}
     for scan in scans:
         scan_comps, ss, se, ah, al, segments, htabs, restart_interval = scan
         if (ss, se, ah, al) != (0, 63, 0, 0):
             raise ValueError(
                 "baseline scan carries progressive spectral/approximation "
                 f"parameters (ss={ss}, se={se}, ah={ah}, al={al})"
+            )
+        unknown = {cid for cid, _, _ in scan_comps} - sof_ids
+        if unknown:
+            raise ValueError(
+                f"baseline scan references component ids {sorted(unknown)} "
+                "absent from the SOF"
             )
         covered.update(cid for cid, _, _ in scan_comps)
         seg_iter = iter(segments)

@@ -130,6 +130,8 @@ def _laced_frames(buf: bytes, pos: int, end: int, flags: int) -> list[bytes]:
 def _parse_block(buf: bytes, b: int, e: int) -> tuple[int, int, int, list[bytes]]:
     """(track, relative_ts, flags, frames) of a Block/SimpleBlock body."""
     track, p = _read_vint(buf, b, keep_marker=False)
+    if p + 3 > e:
+        raise ValueError("(Simple)Block truncated before timestamp/flags")
     rel = int.from_bytes(buf[p : p + 2], "big", signed=True)
     flags = buf[p + 2]
     return track, rel, flags, _laced_frames(buf, p + 3, e, flags)

@@ -2691,6 +2691,17 @@ def media_mkv_from_documents(
     each sampled keyframe's sha256 without parsing EBML."""
     from .mkv import encode_mkv
 
+    # The laced layouts force 2-frame clusters whose keyframe flag is
+    # taken from the cluster's FIRST frame; the one-oracle-fits-all
+    # invariant therefore needs every cluster-leading frame (even
+    # indices) to be a keyframe under sync_every — true for 0/1/2 only.
+    # Guard it instead of silently mispredicting for laced documents.
+    if sync_every not in (0, 1, 2):
+        raise ValueError(
+            "media_mkv_from_documents: laced layout variants require "
+            f"sync_every in (0, 1, 2); got {sync_every}"
+        )
+
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []

@@ -8389,7 +8389,8 @@ def spatial_grid_join_q(spark, sf_dir):
     "column, every 5th≡2 lz4-compressed) so the gate cross-validates "
     "our reader against the reference implementation on every row — "
     "a vtable slip, bitmap misread, or lz4 copy bug breaks the hash. "
-    "ZSTD bodies and float16 raise. One spread + row-local work; no "
+    "ZSTD bodies raise (float16 decodes via struct-e). One spread "
+    "+ row-local work; no "
     "other shuffle.",
 )
 def arrow_ipc_read_q(spark, sf_dir):

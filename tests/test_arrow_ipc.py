@@ -413,3 +413,40 @@ def test_map_columns_decode():
         ("mm", "map<utf8, list<int64>>"),
     ]
     assert rows == t.to_pylist()
+
+
+def test_decimal128_full_38_digit_precision():
+    """scaleb under the DEFAULT decimal context (prec=28) silently
+    rounds >28-significant-digit values; decimal128 carries up to 38
+    (regression: 10**28+1 lost its trailing digit)."""
+    import decimal
+
+    big = decimal.Decimal(10**28 + 1)
+    t = pa.table(
+        {
+            "d0": pa.array([big], type=pa.decimal128(38, 0)),
+            "d2": pa.array(
+                [decimal.Decimal(10**30 + 7).scaleb(-2)],
+                type=pa.decimal128(38, 2),
+            ),
+        }
+    )
+    _s, rows = parse_arrow_ipc(_stream(t))
+    assert rows == t.to_pylist()
+    assert rows[0]["d0"] == big  # exact, not 1.0000000000000000000000000E+28
+
+
+def test_lz4_overlap_and_long_match_fast_paths():
+    # the slice-copy fast path (off >= mlen) and the period-tiling
+    # overlap path (off < mlen) must both reproduce pyarrow exactly
+    from simple_data_engineering_project_spark.operators.arrow_ipc import (
+        lz4_frame_decompress,
+    )
+
+    for payload in [
+        b"\x00" * 1_000_000,            # long self-overlapping matches
+        b"abcdefgh" * 100_000,          # period-8 overlap tiling
+        bytes(range(256)) * 4000,       # long non-overlapping matches
+    ]:
+        comp = bytes(pa.Codec("lz4").compress(payload, asbytes=True))
+        assert lz4_frame_decompress(comp) == payload

@@ -372,3 +372,19 @@ def test_lossless_envelope_raises():
         decode_jpeg_pixels(bytes(blob[:2]) + dri + bytes(blob[2:]))
     with pytest.raises(ValueError):
         encode_jpeg_lossless(np.full((2, 2), 1), predictor=9)
+
+
+def test_unknown_scan_component_raises_cleanly():
+    from simple_data_engineering_project_spark.operators.jpeg import (
+        encode_jpeg_blocks,
+    )
+
+    # rewrite the SOS component id 1 -> 9 (absent from SOF): must be a
+    # clean ValueError before any entropy decode, not a KeyError
+    payload = bytearray(encode_jpeg_blocks(8, 8, [(0, 0)]))
+    at = payload.index(b"\xff\xda")
+    # SOS: marker(2) len(2) ns(1) then (cid, tables) pairs
+    assert payload[at + 5] == 1
+    payload[at + 5] = 9
+    with pytest.raises(ValueError, match="absent from the SOF"):
+        decode_jpeg_pixels(bytes(payload))

@@ -96,3 +96,27 @@ def test_single_frame_laced_cluster(mode):
     frames = [b"A" * 10, b"B" * 10, b"C" * 54]
     p2 = encode_mkv(frames, sync_every=0, frames_per_cluster=2, lacing=mode)
     assert sample_mkv_frames(p2, every_ms=1) == [b"A" * 10, b"C" * 54]
+
+
+def test_truncated_block_raises_cleanly():
+    # a SimpleBlock body ending right after the track VINT must raise
+    # the module's ValueError, not IndexError
+    p = bytearray(encode_mkv([b"frame-bytes"], sync_every=0))
+    i = p.index(b"\xa3", p.index(b"\x1f\x43\xb6\x75"))
+    # shrink the SimpleBlock's declared size to 1 (track VINT only)
+    assert p[i + 1] & 0x80  # 1-byte size VINT
+    p[i + 1] = 0x81
+    with pytest.raises(ValueError, match="truncated before timestamp"):
+        sample_mkv_frames(bytes(p))
+
+
+def test_fixture_guard_rejects_misaligned_sync_every(spark):
+    import pytest as _pytest
+
+    from simple_data_engineering_project_spark.operators.multimodal import (
+        media_mkv_from_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "x" * 200)], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="sync_every"):
+        media_mkv_from_documents(docs, sync_every=3)
