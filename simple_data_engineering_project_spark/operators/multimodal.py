@@ -1454,10 +1454,17 @@ def webdataset_features(media: DataFrame) -> DataFrame:
 def media_zip_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic zip shards — the Kaggle-style corpus-dump layout:
     per document a zip archive holding the same {stem}.txt / {stem}.cls
-    / {stem}.json sample group as the WebDataset entry; every 2nd
-    archive uses deflate members, the rest stored. Extraction must walk
-    the central directory for real (EOCD scan, central sizes, local
-    name/extra skip, CRC verify)."""
+    / {stem}.json sample group as the WebDataset entry. Wire-shape
+    variants that extract identically (one oracle pins them all):
+    every 2nd archive deflated vs stored; docs ≡1/≡3 (mod 4) written
+    by STDLIB zipfile with bzip2 / zip-LZMA members; docs ≡2 (mod 6)
+    in the full ZIP64 layout (sentineled EOCD + EOCD64 record +
+    locator + per-entry 0x0001 extras). Extraction must walk the
+    central directory for real (EOCD scan incl. the zip64 route,
+    central sizes, local name/extra skip, CRC verify)."""
+    import io
+    import zipfile as _zf
+
     from .zipshard import encode_zip
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1471,12 +1478,25 @@ def media_zip_from_documents(docs: DataFrame) -> DataFrame:
                     (f"{stem}.cls", str(did % 10).encode()),
                     (f"{stem}.json", f'{{"id": {did}}}'.encode()),
                 ]
+                if did % 4 in (1, 3):
+                    comp = (
+                        _zf.ZIP_BZIP2 if did % 4 == 1 else _zf.ZIP_LZMA
+                    )
+                    buf = io.BytesIO()
+                    with _zf.ZipFile(buf, "w") as z:
+                        for name, data in members:
+                            z.writestr(name, data, compress_type=comp)
+                    payload = buf.getvalue()
+                else:
+                    payload = encode_zip(
+                        members,
+                        method=8 if did % 2 == 0 else 0,
+                        zip64=did % 6 == 2,
+                    )
                 rows.append(
                     {
                         "media_id": did,
-                        "payload": encode_zip(
-                            members, method=8 if did % 2 == 0 else 0
-                        ),
+                        "payload": payload,
                         "meta": {
                             "modality": "text",
                             "mime": "application/zip",

@@ -192,10 +192,16 @@ def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
 
 
 def encode_zip(
-    members: list[tuple[str, bytes]], method: int = 8
+    members: list[tuple[str, bytes]], method: int = 8, zip64: bool = False
 ) -> bytes:
     """Minimal conformant zip: local headers + central directory + EOCD,
-    method 0 (stored) or 8 (deflate)."""
+    method 0 (stored) or 8 (deflate).
+
+    ``zip64=True`` writes the full zip64 LAYOUT regardless of size —
+    every central size/offset maxed into a 0x0001 extra, an EOCD64
+    record + locator, sentineled EOCD counts — the wire shape any
+    multi-GB or >65,535-member shard carries (stdlib zipfile reads it,
+    so the layout is cross-validatable)."""
     if method not in (0, 8):
         raise ValueError("method must be 0 (stored) or 8 (deflate)")
     out = bytearray()
@@ -209,27 +215,72 @@ def encode_zip(
         else:
             body = data
         loc_off = len(out)
-        common = struct.pack(
-            "<HHHHIII", 0, method, 0, 0x21, crc, len(body), len(data)
-        )  # flags, method, time, date, crc, csize, usize
-        out += (
-            _LOC_SIG
-            + struct.pack("<H", 20)
-            + common
-            + struct.pack("<HH", len(nb), 0)
-            + nb
-            + body
-        )
-        central += (
-            _CEN_SIG
-            + struct.pack("<HH", 20, 20)
-            + common
-            + struct.pack("<HHHHHII", len(nb), 0, 0, 0, 0, 0, loc_off)
-            + nb
-        )
+        if zip64:
+            vneed = 45
+            lextra = struct.pack(
+                "<HHQQ", 0x0001, 16, len(data), len(body)
+            )
+            out += (
+                _LOC_SIG
+                + struct.pack(
+                    "<HHHHHIII", vneed, 0, method, 0, 0x21, crc,
+                    0xFFFFFFFF, 0xFFFFFFFF,
+                )
+                + struct.pack("<HH", len(nb), len(lextra))
+                + nb
+                + lextra
+                + body
+            )
+            cextra = struct.pack(
+                "<HHQQQ", 0x0001, 24, len(data), len(body), loc_off
+            )
+            central += (
+                _CEN_SIG
+                + struct.pack(
+                    "<HHHHHHIII", vneed, vneed, 0, method, 0, 0x21, crc,
+                    0xFFFFFFFF, 0xFFFFFFFF,
+                )
+                + struct.pack(
+                    "<HHHHHII", len(nb), len(cextra), 0, 0, 0, 0,
+                    0xFFFFFFFF,
+                )
+                + nb
+                + cextra
+            )
+        else:
+            common = struct.pack(
+                "<HHHHIII", 0, method, 0, 0x21, crc, len(body), len(data)
+            )  # flags, method, time, date, crc, csize, usize
+            out += (
+                _LOC_SIG
+                + struct.pack("<H", 20)
+                + common
+                + struct.pack("<HH", len(nb), 0)
+                + nb
+                + body
+            )
+            central += (
+                _CEN_SIG
+                + struct.pack("<HH", 20, 20)
+                + common
+                + struct.pack("<HHHHHII", len(nb), 0, 0, 0, 0, 0, loc_off)
+                + nb
+            )
     cd_off = len(out)
     out += central
-    out += _EOCD_SIG + struct.pack(
-        "<HHHHIIH", 0, 0, len(members), len(members), len(central), cd_off, 0
-    )
+    if zip64:
+        z64_at = len(out)
+        out += _EOCD64_SIG + struct.pack(
+            "<QHHIIQQQQ", 44, 45, 45, 0, 0,
+            len(members), len(members), len(central), cd_off,
+        )
+        out += _EOCD64_LOC_SIG + struct.pack("<IQI", 0, z64_at, 1)
+        out += _EOCD_SIG + struct.pack(
+            "<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF, 0xFFFFFFFF, 0xFFFFFFFF, 0
+        )
+    else:
+        out += _EOCD_SIG + struct.pack(
+            "<HHHHIIH", 0, 0, len(members), len(members), len(central),
+            cd_off, 0,
+        )
     return bytes(out)

@@ -7292,17 +7292,22 @@ def webdataset_read_q(spark, sf_dir):
     tier="C",
     note="C4/C5 REAL zip shard ingestion (operators/zipshard.py) — "
     "the Kaggle-style corpus-dump layout: per document a zip archive "
-    "holding the {stem}.txt/.cls/.json sample group, every 2nd "
-    "archive deflated. The walker is driven by the END OF CENTRAL "
-    "DIRECTORY record and the central directory — never by scanning "
-    "for local-header magics (compressed bodies legally contain PK "
-    "lookalikes; same rule as the PDF/TIFF/MP4 walkers) — with "
-    "central sizes authoritative, local name/extra skipped per entry, "
-    "stored+deflate members inflated, and every member's CRC-32 "
-    "VERIFIED. Encrypted/zip64/other-method entries raise. "
-    "Cross-validated BOTH directions against stdlib zipfile. The "
-    "oracle predicts the sample features straight from the source "
-    "table. One spread + row-local work; no other shuffle.",
+    "holding the {stem}.txt/.cls/.json sample group, cycling wire "
+    "shapes that extract identically so one oracle pins them all: "
+    "deflate vs stored, STDLIB-written bzip2 (docs ≡1 mod 4) and "
+    "zip-LZMA (≡3 mod 4, re-framed to an ALONE header for stdlib "
+    "lzma), and the FULL ZIP64 layout (≡2 mod 6: sentineled EOCD, "
+    "EOCD64 record + locator, per-entry 0x0001 extras — the shape "
+    "every multi-GB/>65k-member shard carries). The walker is driven "
+    "by the END OF CENTRAL DIRECTORY record and the central directory "
+    "— never by scanning for local-header magics (compressed bodies "
+    "legally contain PK lookalikes; same rule as the PDF/TIFF/MP4 "
+    "walkers) — with central sizes authoritative, local name/extra "
+    "skipped per entry, and every member's CRC-32 VERIFIED. "
+    "Encrypted/ppmd entries raise. Cross-validated BOTH directions "
+    "against stdlib zipfile. The oracle predicts the sample features "
+    "straight from the source table. One spread + row-local work; no "
+    "other shuffle.",
 )
 def zip_read_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")

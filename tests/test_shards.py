@@ -270,3 +270,23 @@ def test_zip_bzip2_and_lzma_members_from_stdlib():
         ("l.txt", b"lzma body " * 40),
         ("d.txt", b"deflate body"),
     ]
+
+
+def test_encode_zip_zip64_layout_cross_validated():
+    # the product encoder's zip64 mode: stdlib reads it, our parser
+    # reads it, both stored and deflate
+    import io
+    import zipfile
+
+    from simple_data_engineering_project_spark.operators.zipshard import (
+        encode_zip,
+        parse_zip,
+    )
+
+    members = [("a.txt", b"hello " * 50), ("b.cls", b"7")]
+    for method in (0, 8):
+        blob = encode_zip(members, method=method, zip64=True)
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        assert zf.testzip() is None
+        assert [(n, zf.read(n)) for n in zf.namelist()] == members
+        assert parse_zip(blob) == members
