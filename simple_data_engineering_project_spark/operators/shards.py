@@ -7,8 +7,12 @@ shard-per-worker. This parses that for real:
 
 - tar walk: 512-byte headers (name, octal size field, typeflag, ustar
   prefix), data rounded up to block size, two zero blocks terminate;
-  GNU long-name entries (typeflag ``L``/``K``) raise — WebDataset
-  writers emit plain ustar;
+  LONG PATHS decode through both mechanisms real archives use — GNU
+  ``L`` long-name data blocks (``K`` longlink targets are skipped) and
+  pax ``x``/``g`` extended headers ("<len> key=value\n" records,
+  ``path`` overriding the next member's name; ``g`` records persist as
+  archive-global defaults) — cross-validated against stdlib tarfile's
+  GNU_FORMAT and PAX_FORMAT writers;
 - optional whole-file gzip (``.tar.gz`` shards);
 - WebDataset grouping: members sorted into samples keyed by the name up
   to the FIRST dot, with everything after it the extension (the
@@ -25,6 +29,10 @@ import zlib
 
 
 def _octal(field: bytes) -> int:
+    if field and field[0] & 0x80:
+        # GNU base-256: high bit set, remaining bytes big-endian binary
+        # (the >8 GiB size encoding octal cannot express)
+        return int.from_bytes(bytes([field[0] & 0x7F]) + field[1:], "big")
     s = field.split(b"\x00")[0].strip()
     return int(s or b"0", 8)
 
@@ -36,6 +44,11 @@ def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
     out = []
     pos = 0
     n = len(payload)
+    # overrides from extension entries, consumed by the NEXT regular
+    # member: GNU 'L' long-name data blocks and pax 'x' path records
+    pending_name: str | None = None
+    pending_size: int | None = None
+    pax_globals: dict[str, str] = {}
     while pos + 512 <= n:
         hdr = payload[pos : pos + 512]
         if hdr == b"\x00" * 512:
@@ -43,15 +56,51 @@ def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
         name = hdr[0:100].split(b"\x00")[0].decode("utf-8")
         size = _octal(hdr[124:136])
         typeflag = hdr[156:157]
+        if typeflag not in (b"L", b"K", b"x", b"g") and pending_size is not None:
+            size = pending_size  # pax size override (>8 GiB members)
+            pending_size = None
         prefix = hdr[345:500].split(b"\x00")[0].decode("utf-8")
-        if typeflag in (b"L", b"K"):
-            raise NotImplementedError("GNU long-name tar extensions")
+        data = payload[pos + 512 : pos + 512 + size]
+        pos += 512 + ((size + 511) // 512) * 512
+        if typeflag == b"L":
+            # GNU longname: the data IS the next member's full name
+            # (NUL-terminated)
+            pending_name = data.split(b"\x00")[0].decode("utf-8")
+            continue
+        if typeflag == b"K":
+            continue  # GNU longlink: target of a symlink — irrelevant
+        if typeflag in (b"x", b"g"):
+            # pax header: "%d %s=%s\n" records; 'path' overrides the
+            # next member's name ('g' sets archive-global defaults)
+            records: dict[str, str] = {}
+            at = 0
+            while at < len(data):
+                sp = data.index(b" ", at)
+                rec_len = int(data[at:sp])
+                if rec_len <= 0 or at + rec_len > len(data):
+                    raise ValueError("pax record length out of range")
+                # record = "<len> <key>=<value>\n"; len counts ALL of it
+                rec = data[sp + 1 : at + rec_len - 1]
+                k, _, v = rec.partition(b"=")
+                records[k.decode("utf-8")] = v.decode("utf-8")
+                at += rec_len
+            if typeflag == b"g":
+                pax_globals.update(records)
+            else:
+                if "path" in records:
+                    pending_name = records["path"]
+                if "size" in records:
+                    pending_size = int(records["size"])
+            continue
         if prefix:
             name = f"{prefix}/{name}"
-        data = payload[pos + 512 : pos + 512 + size]
+        if pending_name is not None:
+            name = pending_name
+            pending_name = None
+        elif "path" in pax_globals:
+            name = pax_globals["path"]
         if typeflag in (b"0", b"\x00", b""):
             out.append((name, data))
-        pos += 512 + ((size + 511) // 512) * 512
     return out
 
 

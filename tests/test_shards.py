@@ -54,11 +54,29 @@ def test_webdataset_stem_grouping():
     assert g["000/0002"] == {"txt": b"x" * 600}
 
 
-def test_gnu_longname_raises():
-    p = bytearray(encode_tar([("a.txt", b"x")]))
-    p[156] = ord("L")  # claim a GNU long-name entry
-    with pytest.raises(NotImplementedError, match="long-name"):
-        parse_tar(bytes(p))
+def test_long_paths_gnu_and_pax_from_stdlib():
+    # >100-char paths through BOTH real-world mechanisms, written by
+    # stdlib tarfile — cross-validation, not self-consistency
+    long_name = "deep/" * 30 + "x" * 60 + ".txt"
+    members = [(long_name, b"long path data"), ("short.txt", b"s")]
+    for fmt in (tarfile.GNU_FORMAT, tarfile.PAX_FORMAT):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as w:
+            for n, d in members:
+                ti = tarfile.TarInfo(n)
+                ti.size = len(d)
+                w.addfile(ti, io.BytesIO(d))
+        assert parse_tar(buf.getvalue()) == members
+    # grouping still keys on the overridden long path
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.GNU_FORMAT) as w:
+        for ext in ("txt", "cls"):
+            n = "p/" * 60 + f"0001.{ext}"
+            ti = tarfile.TarInfo(n)
+            ti.size = 1
+            w.addfile(ti, io.BytesIO(b"z"))
+    g = group_webdataset(parse_tar(buf.getvalue()))
+    assert set(g["p/" * 60 + "0001"]) == {"txt", "cls"}
 
 def test_zip_cross_validation_both_directions():
     import io
@@ -290,3 +308,19 @@ def test_encode_zip_zip64_layout_cross_validated():
         assert zf.testzip() is None
         assert [(n, zf.read(n)) for n in zf.namelist()] == members
         assert parse_zip(blob) == members
+
+
+def test_gnu_base256_size_field():
+    # >8 GiB members use base-256 sizes (high bit + big-endian binary);
+    # forged onto a normal member with re-checksummed header
+    from simple_data_engineering_project_spark.operators.shards import (
+        encode_tar,
+        parse_tar,
+    )
+
+    blob = bytearray(encode_tar([("b.bin", b"q" * 700)]))
+    blob[124:136] = bytes([0x80]) + (700).to_bytes(11, "big")
+    hdr = bytearray(blob[0:512])
+    hdr[148:156] = b" " * 8
+    blob[148:156] = f"{sum(hdr):06o}\x00 ".encode()
+    assert parse_tar(bytes(blob)) == [("b.bin", b"q" * 700)]
