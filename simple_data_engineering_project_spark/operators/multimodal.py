@@ -1381,8 +1381,15 @@ def media_webdataset_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic WebDataset shards — the standard multimodal
     training layout: per document a ustar archive holding the sample
     group {stem}.txt / {stem}.cls / {stem}.json; every 2nd shard is
-    .tar.gz. Extraction must walk real tar blocks (and gunzip), then
-    regroup members by stem."""
+    .tar.gz. Docs ≡2/≡4 (mod 5) are written by STDLIB tarfile in
+    GNU_FORMAT / PAX_FORMAT with a >100-char directory prefix, so the
+    graded path exercises GNU 'L' long-name blocks and pax extended
+    headers — the stem rule keys on the basename, so features (and the
+    oracle) are prefix-independent. Extraction must walk real tar
+    blocks (and gunzip), then regroup members by stem."""
+    import io as _io
+    import tarfile as _tarfile
+
     from .shards import encode_tar
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1396,10 +1403,28 @@ def media_webdataset_from_documents(docs: DataFrame) -> DataFrame:
                     (f"{stem}.cls", str(did % 10).encode()),
                     (f"{stem}.json", f'{{"id": {did}}}'.encode()),
                 ]
+                if did % 5 in (2, 4):
+                    fmt = (
+                        _tarfile.GNU_FORMAT
+                        if did % 5 == 2
+                        else _tarfile.PAX_FORMAT
+                    )
+                    deep = "shard/" * 20 + f"batch-{did % 97}/"  # >100 chars
+                    buf = _io.BytesIO()
+                    with _tarfile.open(
+                        fileobj=buf, mode="w", format=fmt
+                    ) as z:
+                        for name, data in members:
+                            ti = _tarfile.TarInfo(deep + name)
+                            ti.size = len(data)
+                            z.addfile(ti, _io.BytesIO(data))
+                    payload = buf.getvalue()
+                else:
+                    payload = encode_tar(members, gzipped=did % 2 == 0)
                 rows.append(
                     {
                         "media_id": did,
-                        "payload": encode_tar(members, gzipped=did % 2 == 0),
+                        "payload": payload,
                         "meta": {
                             "modality": "text",
                             "mime": "application/x-tar",

@@ -7263,9 +7263,13 @@ def warc_extract_q(spark, sf_dir):
     note="C4/C5 REAL WebDataset shard ingestion (operators/shards.py) "
     "— the standard multimodal training layout: per document a ustar "
     "archive holding the {stem}.txt/.cls/.json sample group, every "
-    "2nd shard .tar.gz. The walker reads real 512-byte tar blocks "
-    "(octal size fields, checksummed headers, ustar prefix, "
-    "zero-block terminator; GNU long-name extensions raise), gunzips "
+    "2nd shard .tar.gz; docs ≡2/≡4 mod 5 are written by STDLIB "
+    "tarfile in GNU/PAX format with >100-char directory prefixes so "
+    "the graded path exercises GNU 'L' long-name blocks and pax "
+    "extended headers (prefix-independent features keep the one "
+    "oracle). The walker reads real 512-byte tar blocks (octal + GNU "
+    "base-256 size fields, checksummed headers, ustar prefix, "
+    "zero-block terminator, pax path/size overrides), gunzips "
     "whole-file members, and regroups by the WebDataset stem rule "
     "(name up to the FIRST dot). Cross-validated BOTH directions "
     "against stdlib tarfile — our archives read back with tarfile and "
