@@ -1576,7 +1576,9 @@ def media_tfrecord_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic TFRecord shards: per document one CRC-framed record
     holding a tf.train.Example with text (bytes_list), label
     (int64_list, id%10) and a small embedding (float_list of exact
-    small ints) — the TFDS corpus layout, no TensorFlow involved."""
+    small ints) — the TFDS corpus layout, no TensorFlow involved;
+    every 3rd shard whole-file-gzipped (.tfrecord.gz), features
+    unchanged so the one oracle covers both."""
     from .tfrecord import encode_example, write_tfrecords
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1594,7 +1596,9 @@ def media_tfrecord_from_documents(docs: DataFrame) -> DataFrame:
                 rows.append(
                     {
                         "media_id": did,
-                        "payload": write_tfrecords([ex]),
+                        "payload": write_tfrecords(
+                            [ex], gzipped=did % 3 == 0
+                        ),
                         "meta": {
                             "modality": "text",
                             "mime": "application/tfrecord",

@@ -50,7 +50,13 @@ def _masked(crc: int) -> int:
 
 
 def read_tfrecords(payload: bytes) -> list[bytes]:
-    """All record payloads, with both CRC-32Cs verified per record."""
+    """All record payloads, with both CRC-32Cs verified per record.
+    Whole-file gzip (TFRecordOptions compression_type='GZIP', the
+    common TFDS shipping form) is detected by magic and inflated."""
+    if payload[:2] == b"\x1f\x8b":
+        import zlib
+
+        payload = zlib.decompress(payload, wbits=31)
     out = []
     pos = 0
     n = len(payload)
@@ -73,7 +79,7 @@ def read_tfrecords(payload: bytes) -> list[bytes]:
     return out
 
 
-def write_tfrecords(records: list[bytes]) -> bytes:
+def write_tfrecords(records: list[bytes], gzipped: bool = False) -> bytes:
     out = bytearray()
     for data in records:
         length = struct.pack("<Q", len(data))
@@ -81,6 +87,11 @@ def write_tfrecords(records: list[bytes]) -> bytes:
         out += struct.pack("<I", _masked(crc32c(length)))
         out += data
         out += struct.pack("<I", _masked(crc32c(data)))
+    if gzipped:
+        import zlib
+
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(bytes(out)) + co.flush()
     return bytes(out)
 
 

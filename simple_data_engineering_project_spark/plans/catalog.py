@@ -7330,7 +7330,9 @@ def zip_read_q(spark, sf_dir):
     """,
     tier="C",
     note="C4/C5 REAL TFRecord shard reading (operators/tfrecord.py) — "
-    "the TFDS/TensorFlow-lineage corpus layout: length-delimited "
+    "the TFDS/TensorFlow-lineage corpus layout (every 3rd shard "
+    "whole-file-gzipped, the .tfrecord.gz shipping form, inflated by "
+    "magic): length-delimited "
     "records framed with MASKED CRC-32C (Castagnoli; the crc of "
     "'123456789' pins the published 0xE3069283 vector) verified on "
     "BOTH the length and payload of every record, wrapping "

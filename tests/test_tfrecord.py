@@ -41,3 +41,17 @@ def test_example_proto_roundtrip():
     assert dec["text"] == ex["text"]
     assert dec["label"] == 300  # multi-byte varint
     assert dec["emb"] == [0.5, -1.25]
+
+
+def test_gzipped_tfrecord_file():
+    # TFDS commonly ships .tfrecord.gz (whole-file gzip); detected by
+    # magic and inflated before the CRC-framed walk
+    from simple_data_engineering_project_spark.operators.tfrecord import (
+        read_tfrecords,
+        write_tfrecords,
+    )
+
+    recs = [b"alpha", b"b" * 300, b""]
+    blob = write_tfrecords(recs, gzipped=True)
+    assert blob[:2] == b"\x1f\x8b"
+    assert read_tfrecords(blob) == recs
