@@ -1384,8 +1384,10 @@ def media_webdataset_from_documents(docs: DataFrame) -> DataFrame:
     .tar.gz. Docs ≡2/≡4 (mod 5) are written by STDLIB tarfile in
     GNU_FORMAT / PAX_FORMAT with a >100-char directory prefix, so the
     graded path exercises GNU 'L' long-name blocks and pax extended
-    headers — the stem rule keys on the basename, so features (and the
-    oracle) are prefix-independent. Extraction must walk real tar
+    headers. Each shard holds ONE sample whose members share a single
+    prefix, and the emitted features carry no names at all — that is
+    why the oracle is prefix-independent (the stem KEY itself does
+    include the directory path). Extraction must walk real tar
     blocks (and gunzip), then regroup members by stem."""
     import io as _io
     import tarfile as _tarfile
@@ -1481,8 +1483,9 @@ def media_zip_from_documents(docs: DataFrame) -> DataFrame:
     per document a zip archive holding the same {stem}.txt / {stem}.cls
     / {stem}.json sample group as the WebDataset entry. Wire-shape
     variants that extract identically (one oracle pins them all):
-    every 2nd archive deflated vs stored; docs ≡1/≡3 (mod 4) written
-    by STDLIB zipfile with bzip2 / zip-LZMA members; docs ≡2 (mod 6)
+    docs ≡1/≡3 (mod 4) written by STDLIB zipfile with bzip2 /
+    zip-LZMA members; the remaining (even) docs alternate deflate
+    (≡0 mod 4) and stored (≡2 mod 4); docs ≡2 (mod 6)
     in the full ZIP64 layout (sentineled EOCD + EOCD64 record +
     locator + per-entry 0x0001 extras). Extraction must walk the
     central directory for real (EOCD scan incl. the zip64 route,
@@ -1513,9 +1516,12 @@ def media_zip_from_documents(docs: DataFrame) -> DataFrame:
                             z.writestr(name, data, compress_type=comp)
                     payload = buf.getvalue()
                 else:
+                    # even dids reach here (odd ones took the stdlib
+                    # branch above): ≡0 mod 4 deflated, ≡2 mod 4 stored
+                    # — both methods genuinely occur, incl. under zip64
                     payload = encode_zip(
                         members,
-                        method=8 if did % 2 == 0 else 0,
+                        method=8 if did % 4 == 0 else 0,
                         zip64=did % 6 == 2,
                     )
                 rows.append(

@@ -28,6 +28,21 @@ from __future__ import annotations
 import zlib
 
 
+def gunzip_members(payload: bytes) -> bytes:
+    """Inflate a gzip file INCLUDING concatenated members (RFC 1952
+    allows them; pigz and appending writers produce them — a one-shot
+    zlib.decompress stops at the first member and silently discards
+    the rest)."""
+    out = bytearray()
+    rest = payload
+    while rest:
+        d = zlib.decompressobj(wbits=31)
+        out += d.decompress(rest)
+        out += d.flush()
+        rest = d.unused_data
+    return bytes(out)
+
+
 def _octal(field: bytes) -> int:
     if field and field[0] & 0x80:
         # GNU base-256: high bit set, remaining bytes big-endian binary
@@ -39,8 +54,8 @@ def _octal(field: bytes) -> int:
 
 def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
     """(member name, bytes) in archive order; gzip detected by magic."""
-    if payload[:2] == b"\x1f\x8b":
-        payload = zlib.decompress(payload, wbits=31)
+    if payload[:3] == b"\x1f\x8b\x08":
+        payload = gunzip_members(payload)
     out = []
     pos = 0
     n = len(payload)
@@ -56,9 +71,12 @@ def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
         name = hdr[0:100].split(b"\x00")[0].decode("utf-8")
         size = _octal(hdr[124:136])
         typeflag = hdr[156:157]
-        if typeflag not in (b"L", b"K", b"x", b"g") and pending_size is not None:
-            size = pending_size  # pax size override (>8 GiB members)
-            pending_size = None
+        if typeflag not in (b"L", b"K", b"x", b"g"):
+            if pending_size is not None:
+                size = pending_size  # pax 'x' size override
+                pending_size = None
+            elif "size" in pax_globals:
+                size = int(pax_globals["size"])  # pax 'g' default
         prefix = hdr[345:500].split(b"\x00")[0].decode("utf-8")
         data = payload[pos + 512 : pos + 512 + size]
         pos += 512 + ((size + 511) // 512) * 512

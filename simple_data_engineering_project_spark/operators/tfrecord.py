@@ -52,11 +52,20 @@ def _masked(crc: int) -> int:
 def read_tfrecords(payload: bytes) -> list[bytes]:
     """All record payloads, with both CRC-32Cs verified per record.
     Whole-file gzip (TFRecordOptions compression_type='GZIP', the
-    common TFDS shipping form) is detected by magic and inflated."""
-    if payload[:2] == b"\x1f\x8b":
-        import zlib
+    common TFDS shipping form) is detected by magic and inflated —
+    including MULTI-MEMBER .gz files (appending writers concatenate
+    gzip members; a one-shot decompress would silently drop every
+    record after the first member). The sniff checks the CM byte too
+    and falls back to the plain walk on inflate failure: a legal
+    uncompressed file whose first record length is 0x8B1F + k*2^16
+    starts with the same two magic bytes."""
+    if payload[:3] == b"\x1f\x8b\x08":
+        from .shards import gunzip_members
 
-        payload = zlib.decompress(payload, wbits=31)
+        try:
+            payload = gunzip_members(payload)
+        except Exception:
+            pass  # length-field collision: CRC walk verifies below
     out = []
     pos = 0
     n = len(payload)

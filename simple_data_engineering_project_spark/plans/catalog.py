@@ -7298,7 +7298,7 @@ def webdataset_read_q(spark, sf_dir):
     "the Kaggle-style corpus-dump layout: per document a zip archive "
     "holding the {stem}.txt/.cls/.json sample group, cycling wire "
     "shapes that extract identically so one oracle pins them all: "
-    "deflate vs stored, STDLIB-written bzip2 (docs ≡1 mod 4) and "
+    "deflate (≡0 mod 4) vs stored (≡2 mod 4), STDLIB-written bzip2 (≡1 mod 4) and "
     "zip-LZMA (≡3 mod 4, re-framed to an ALONE header for stdlib "
     "lzma), and the FULL ZIP64 layout (≡2 mod 6: sentineled EOCD, "
     "EOCD64 record + locator, per-entry 0x0001 extras — the shape "

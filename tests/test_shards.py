@@ -324,3 +324,57 @@ def test_gnu_base256_size_field():
     hdr[148:156] = b" " * 8
     blob[148:156] = f"{sum(hdr):06o}\x00 ".encode()
     assert parse_tar(bytes(blob)) == [("b.bin", b"q" * 700)]
+
+
+def test_multi_member_gzip_tar():
+    # pigz-style multi-member .tar.gz of ONE archive: members split the
+    # compressed stream; all must inflate before the block walk
+    import zlib
+
+    from simple_data_engineering_project_spark.operators.shards import (
+        encode_tar,
+        parse_tar,
+    )
+
+    members = [("a.txt", b"alpha"), ("b.txt", b"b" * 600)]
+    plain = encode_tar(members)
+    half = len(plain) // 2
+    blob = b""
+    for part in (plain[:half], plain[half:]):
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        blob += co.compress(part) + co.flush()
+    assert parse_tar(blob) == members
+
+
+def test_pax_global_size_default_applies():
+    # a pax 'g' header's records are defaults for ALL following members
+    from simple_data_engineering_project_spark.operators.shards import (
+        encode_tar,
+        parse_tar,
+    )
+
+    base = bytearray(encode_tar([("a.bin", b"q" * 700)]))
+    # zero the octal size field; supply it via a preceding 'g' header
+    hdr = bytearray(base[0:512])
+    hdr[124:136] = b"00000000000\x00"
+    hdr[148:156] = b" " * 8
+    csum = sum(hdr)
+    hdr[148:156] = f"{csum:06o}\x00 ".encode()
+    body = bytes(hdr) + base[512:]
+    rec = b"12 size=700\n"
+    assert len(rec) == int(rec.split(b" ")[0])
+    g = bytearray(512)
+    g[0:7] = b"paxglob"
+    g[100:108] = b"0000644\x00"
+    g[108:116] = b"0000000\x00"
+    g[116:124] = b"0000000\x00"
+    g[124:136] = f"{len(rec):011o}\x00".encode()
+    g[136:148] = b"00000000000\x00"
+    g[148:156] = b" " * 8
+    g[156:157] = b"g"
+    g[257:263] = b"ustar\x00"
+    g[263:265] = b"00"
+    g[148:156] = f"{sum(g):06o}\x00 ".encode()
+    pad = (-len(rec)) % 512
+    blob = bytes(g) + rec + b"\x00" * pad + body
+    assert parse_tar(blob) == [("a.bin", b"q" * 700)]

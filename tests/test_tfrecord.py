@@ -55,3 +55,20 @@ def test_gzipped_tfrecord_file():
     blob = write_tfrecords(recs, gzipped=True)
     assert blob[:2] == b"\x1f\x8b"
     assert read_tfrecords(blob) == recs
+
+
+def test_multi_member_gzip_and_length_collision():
+    from simple_data_engineering_project_spark.operators.tfrecord import (
+        read_tfrecords,
+        write_tfrecords,
+    )
+
+    # concatenated gzip members (appending writers) must ALL decode
+    blob = write_tfrecords([b"first"], gzipped=True) + write_tfrecords(
+        [b"second", b"third"], gzipped=True
+    )
+    assert read_tfrecords(blob) == [b"first", b"second", b"third"]
+    # a plain file whose first record length is 0x8B1F starts with the
+    # gzip magic bytes — must fall back to the CRC walk, not crash
+    big = b"x" * 0x8B1F
+    assert read_tfrecords(write_tfrecords([big])) == [big]
