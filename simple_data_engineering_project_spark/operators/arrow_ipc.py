@@ -133,6 +133,8 @@ def _type_tag(ttype: int, tval: _Table | None) -> str:
         return f"{'int' if signed else 'uint'}{bits}"
     if ttype == _T_FLOAT:  # precision: 0 HALF, 1 SINGLE, 2 DOUBLE
         prec = tval.scalar(0, "<h", 0) if tval else 0
+        if prec not in (0, 1, 2):
+            raise ValueError(f"corrupt arrow FloatingPoint precision {prec}")
         return ("float16", "float32", "float64")[prec]
     if ttype == _T_BOOL:
         return "bool"
@@ -162,12 +164,16 @@ def _type_tag(ttype: int, tval: _Table | None) -> str:
             raise NotImplementedError(
                 "nanosecond arrow time (datetime.time cannot hold ns)"
             )
+        if unit not in (0, 1, 2):
+            raise ValueError(f"corrupt arrow TimeUnit {unit}")
         return ("time_s", "time_ms", "time_us")[unit]
     if ttype == _T_DURATION:
         # Duration: unit(0, default MILLISECOND); int64 storage
         unit = tval.scalar(0, "<h", 1) if tval else 1
         if unit == 3:
             raise NotImplementedError("nanosecond arrow duration")
+        if unit not in (0, 1, 2):
+            raise ValueError(f"corrupt arrow TimeUnit {unit}")
         return ("dur_s", "dur_ms", "dur_us")[unit]
     if ttype == _T_DECIMAL:
         # Decimal: precision(0), scale(1), bitWidth(2, default 128)
@@ -194,6 +200,8 @@ def _type_tag(ttype: int, tval: _Table | None) -> str:
             raise NotImplementedError(
                 "nanosecond arrow timestamp (datetime cannot hold ns)"
             )
+        if unit not in (0, 1, 2):
+            raise ValueError(f"corrupt arrow TimeUnit {unit}")
         return ("ts_s", "ts_ms", "ts_us")[unit]
     raise NotImplementedError(f"arrow type discriminant {ttype}")
 
@@ -267,6 +275,8 @@ def lz4_block_decompress(src: bytes, out: bytearray) -> None:
         lit = token >> 4
         if lit == 15:
             while True:
+                if pos >= n:
+                    raise ValueError("truncated lz4 literal length")
                 b = src[pos]
                 pos += 1
                 lit += b
@@ -278,6 +288,8 @@ def lz4_block_decompress(src: bytes, out: bytearray) -> None:
         pos += lit
         if pos >= n:
             break  # final literals-only sequence
+        if pos + 2 > n:
+            raise ValueError("truncated lz4 match offset")
         off = src[pos] | (src[pos + 1] << 8)
         pos += 2
         if off == 0:
@@ -285,6 +297,8 @@ def lz4_block_decompress(src: bytes, out: bytearray) -> None:
         mlen = (token & 15) + 4
         if (token & 15) == 15:
             while True:
+                if pos >= n:
+                    raise ValueError("truncated lz4 match length")
                 b = src[pos]
                 pos += 1
                 mlen += b

@@ -156,10 +156,13 @@ def _drop_oversize_buckets(
     members before pairing (a block of m emits m² pairs).
 
     The census aggregate combines map-side (one row per partition×block
-    crosses the wire); oversize blocks are rare by construction, so the
-    blacklist broadcasts and the filter adds no shuffle of the blocked
-    rows. Members of a dropped block still pair through their other
-    bands/blocks.
+    crosses the wire). The anti-join is deliberately UNhinted: oversize
+    blocks are rare for organic corpora (so AQE broadcasts the tiny
+    blacklist at runtime), but an adversarial corpus — a spam flood
+    where most blocks exceed the cap — can grow the blacklist without
+    bound, and a forced broadcast would OOM the driver; unhinted, AQE
+    degrades to a shuffled join. Members of a dropped block still pair
+    through their other bands/blocks.
     """
     oversize = (
         blocked.groupBy(*keys)
@@ -167,7 +170,7 @@ def _drop_oversize_buckets(
         .filter(F.col("__bn") > cap)
         .select(*keys)
     )
-    return blocked.join(F.broadcast(oversize), keys, "left_anti")
+    return blocked.join(oversize, keys, "left_anti")
 
 
 def minhash_lsh_candidates(

@@ -64,8 +64,19 @@ def read_tfrecords(payload: bytes) -> list[bytes]:
 
         try:
             payload = gunzip_members(payload)
-        except Exception:
-            pass  # length-field collision: CRC walk verifies below
+        except Exception as exc:
+            # Fall back to the raw walk ONLY for the documented
+            # collision (a legal uncompressed file whose first length
+            # field spells the gzip magic): its header must pass the
+            # masked length-CRC. A genuinely corrupt/truncated .gz has
+            # no valid raw header, so the gzip error propagates instead
+            # of surfacing later as a misleading CRC error on
+            # compressed bytes.
+            hdr = payload[:12]
+            if len(hdr) < 12 or _masked(crc32c(hdr[:8])) != struct.unpack(
+                "<I", hdr[8:12]
+            )[0]:
+                raise ValueError(f"corrupt gzipped TFRecord: {exc}") from exc
     out = []
     pos = 0
     n = len(payload)

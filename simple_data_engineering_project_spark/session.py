@@ -53,9 +53,13 @@ def build_package_zip() -> str:
                     os.path.relpath(full, pkg_root),
                 )
                 cached = importlib.util.cache_from_source(full)
+                # <= not <: an equal-mtime cache is NOT trusted — a
+                # source edit within mtime granularity (or an mtime-
+                # preserving checkout) would otherwise ship stale
+                # bytecode; recompiling is negligible next to shipping
                 if (
                     not os.path.exists(cached)
-                    or os.path.getmtime(cached) < os.path.getmtime(full)
+                    or os.path.getmtime(cached) <= os.path.getmtime(full)
                 ):
                     cached = py_compile.compile(full, doraise=True)
                 # legacy in-zip layout: module.pyc next to where the
@@ -100,13 +104,25 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     environment from the JVM, which captured it at session start,
     before this code can run under a harness-owned session.)
 
+    Probe-first applies to LOCAL masters only, where executors are
+    in-process threads: the probe is instant and generalizes trivially
+    (one Python env). On a real cluster the probe is skipped and the
+    zip ships unconditionally — a one-task probe job would block
+    session creation on dynamic-allocation clusters with no warm
+    executor, and one executor's importability doesn't generalize to a
+    heterogeneous fleet; unconditional --py-files is the standard
+    cluster posture and costs only the per-task dependency-sync check.
+
     Once per SparkContext.
     """
     sc = spark.sparkContext
     app_id = sc.applicationId
     if app_id in _SHIPPED:
         return
-    if not _workers_can_import(sc):
+    if sc.master.startswith("local"):
+        if not _workers_can_import(sc):
+            sc.addPyFile(build_package_zip())
+    else:
         sc.addPyFile(build_package_zip())
     _SHIPPED.add(app_id)
 

@@ -591,9 +591,12 @@ _BROADCAST_ALLOWLIST = {
     ("operators/joins.py", "join_broadcast", "dim"),
     ("operators/joins.py", "join_range", "buckets"),
     # bounded sketches / model metadata
-    ("operators/dedup.py", "_drop_oversize_buckets", "oversize"),  # skew guard: buckets over threshold
     ("operators/graph.py", "pagerank", "dangling"),  # 1 row per iteration
-    ("operators/similarity.py", "semantic_dedup", "eligible"),  # oversize-cluster ids
+    # k-means centroid model relation (k·dim doubles — model-sized, not
+    # corpus-sized; the MLlib-standard distribution mechanism). The hint
+    # also guarantees BroadcastNestedLoopJoin for the crossJoin instead
+    # of a CartesianProduct shuffle.
+    ("operators/similarity.py", "_nearest_centroid", "cents"),
     ("operators/similarity.py", "brute_force_topk", "q"),  # ANN query set (API contract)
     ("operators/similarity.py", "ivf_topk", "q"),
     ("operators/similarity.py", "pq_topk", "q"),
@@ -656,3 +659,127 @@ def test_broadcast_hints_only_on_bounded_relations():
     )
     stale = _BROADCAST_ALLOWLIST - found
     assert not stale, f"allowlist entries no longer in source: {sorted(stale)}"
+
+
+# Every driver materialization in the package, each justified bounded:
+# (file, enclosing function, first 60 chars of the receiver source).
+# The bound must come from the API contract, a fixed domain, or an
+# explicit cap — NEVER from "the data is small at this sf". A collect
+# whose row count scales with input rows must be redesigned (the
+# round-7 defect class: kmeans_fit's k-proportional collect riding
+# semantic_dedup's corpus-derived k).
+_COLLECT_ALLOWLIST = {
+    # 1-row / probe materializations
+    ("pipeline.py", "validate_header", "spark.read.text(path).limit(1)"),  # limit(1)
+    ("session.py", "_workers_can_import", "sc.parallelize([0], 1).mapPartitions(probe)"),  # 1 elem
+    ("operators/multimodal.py", "partition_by_payload_bytes", "media.select(F.sum(F.coalesce(F.length('payload'), F.lit(0))"),  # 1-row sum
+    ("plans/catalog.py", "window_ntile_percent_q", "o.agg(F.min('o_totalprice'), F.max('o_totalprice'), F.min('o"),  # 1 row
+    ("plans/catalog.py", "orders_pareto_q", "cust.agg(F.min('rev_cents'), F.max('rev_cents'), F.min('o_cu"),  # 1 row
+    # per-ingest-batch keys — bounded by one batch, not warehouse size
+    ("pipeline.py", "run_batch_pipeline", "staged_m.select(part).distinct()"),
+    ("pipeline.py", "run_batch_pipeline", "old.select('shipment_id', part).join(F.broadcast(staged_m.se"),
+    # fixed-domain / capped censuses
+    ("plans/catalog.py", "join_bloom_prefilter_q", "dim.select(F.explode(F.array(*pos_cols)).alias('pos')).selec"),  # 256 bloom words
+    ("plans/catalog.py", "embedding_pca_power_q", "x.mapInPandas(_gram, schema='j int, k int, g long').groupBy("),  # 64×64 Gram
+    ("plans/catalog.py", "events_markov_stationary_q", "ev.select(F.col('event_type').alias('i'), F.lead('event_type"),  # |types|²
+    ("plans/catalog.py", "corpus_perplexity_buckets_q", "banded.groupBy('band').count()"),  # fixed band domain
+    ("plans/catalog.py", "window_ntile_percent_q", "bucketed.groupBy('_b').agg(F.count('*').alias('c'))"),  # ≤ nbuckets
+    ("plans/catalog.py", "orders_pareto_q", "bucketed.groupBy('_b').agg(F.sum('rev_cents').alias('c'))"),  # ≤ nbuckets
+    ("plans/catalog.py", "decontaminate_embedding_q", "q.filter(is_test)"),  # capped ≤200 vectors (vec_id % 10 = 0 AND < 2000)
+    # bounded model training — k/API caps, mechanically enforced:
+    # kmeans_fit raises for k > 256 (fixed-k path only; derived-k
+    # consumers use kmeans_fit_df which never collects)
+    ("operators/similarity.py", "kmeans_fit", "df.select(F.col(id_col).alias('i'), F.col(vec_col).alias('v'"),
+    ("operators/similarity.py", "kmeans_fit", "assigned.select('cid', F.posexplode('v').alias('dim', 'x'))."),
+    ("operators/similarity.py", "_ivf_centroids", "corpus.select(F.col(corpus_id).alias('id'), F.col(corpus_vec"),  # nlist ≤ 16
+    ("operators/similarity.py", "_pq_codebooks", "corpus.select(F.col(corpus_id).alias('id'), F.col(corpus_vec"),  # m×256 codes
+    ("operators/similarity.py", "_pq_codebooks", "sub.select('j', 'code', F.posexplode('sv').alias('pos', 'x')"),
+    # bounded sketches / dictionaries
+    ("operators/text.py", "heavy_hitters", "toks.mapInPandas(_mg, schema='word string, part_total long')"),  # MG: ≤k per partition
+    ("operators/text.py", "bpe_train", "df.select(F.explode(tokens(text_col)).alias('word')).filter("),  # Heaps-bounded word dict
+    ("operators/text.py", "bpe_apply", "bpe_train(df, text_col, n_merges)"),  # n_merges rows
+}
+
+
+def test_driver_collects_only_on_bounded_relations():
+    """AST audit: every .collect()/.toPandas() site must be allowlisted
+    with a boundedness justification (pattern: the broadcast audit
+    above). Walks the package for driver-materialization call sites and
+    requires each (file, function, receiver) to appear in
+    _COLLECT_ALLOWLIST. Catches the round-7 defect class (a collect
+    whose row count scales with input — kmeans_fit's k-proportional
+    model collect under semantic_dedup's corpus-derived k) permanently:
+    a new collect site fails the gate until it is justified here, and a
+    removed site flags its stale allowlist row.
+    """
+    import ast
+    import os
+
+    import simple_data_engineering_project_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    found = set()
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as fh:
+                tree = ast.parse(fh.read())
+            funcs = [
+                (n.lineno, n.end_lineno, n.name)
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr
+                    in ("collect", "toPandas", "collectAsList", "toLocalIterator")
+                ):
+                    encl = "<module>"
+                    best_lo = -1
+                    for lo, hi, name in funcs:
+                        if lo <= node.lineno <= hi and lo > best_lo:
+                            encl, best_lo = name, lo
+                    recv = ast.unparse(node.func.value)[:60]
+                    found.add(
+                        (os.path.relpath(path, root).replace(os.sep, "/"), encl, recv)
+                    )
+    unknown = found - _COLLECT_ALLOWLIST
+    assert not unknown, (
+        "driver collect on relations not in the bounded allowlist "
+        f"(justify boundedness or redesign distributed): {sorted(unknown)}"
+    )
+    stale = _COLLECT_ALLOWLIST - found
+    assert not stale, f"allowlist entries no longer in source: {sorted(stale)}"
+
+
+def test_semantic_dedup_plan_size_independent_of_corpus(spark):
+    """The round-7 ceiling, pinned: semantic_dedup's plan must not grow
+    with the corpus (the old path inlined k × dim literal floats into
+    the assignment expression, with k = ceil(n / target_cluster_size) —
+    a 4× bigger corpus meant a ~4× bigger codegen expression that stops
+    compiling at scale). Build the operator over two corpora where the
+    derived k differs 4× and assert the optimized pair-stage plan stays
+    the same size (the model is a k-row relation, not plan literals).
+    """
+    from simple_data_engineering_project_spark.operators import similarity as sim
+
+    def build(n):
+        rows = [(i, [float(i % 7), float(i % 5), float(i % 3), 1.0]) for i in range(n)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        return sim.semantic_dedup(df, target_cluster_size=8, max_cluster_size=50)
+
+    small = build(64)   # k = 8
+    big = build(256)    # k = 32
+    p_small = _optimized(small)
+    p_big = _optimized(big)
+    # tolerate incidental variance (checkpoint ids, stats) but reject
+    # anything resembling k-proportional literal growth
+    assert len(p_big) < 1.5 * len(p_small), (
+        f"plan grew with corpus size: {len(p_small)} -> {len(p_big)} chars"
+    )
+    # and the assignment must not inline centroid literals at all
+    assert p_big.count("cast(") < 200
