@@ -31,9 +31,22 @@ format itself, the way the spec defines it:
   length followed by an LZ4 frame; -1 marks a raw buffer). Frame
   checksums are skipped, not verified.
 
-Out of envelope (honest ``NotImplementedError``): ZSTD bodies,
-big-endian streams, timezone-aware and nanosecond temporals,
-non-128-bit decimals, union/interval/run-end types. Tests cross-validate against pyarrow (the
+Also decoded for real: SPARSE and DENSE UNIONS (types buffer +
+dense offsets, typeIds remapping, no validity bitmap per the V5
+layout), RUN-END-ENCODED columns (bufferless parent expanded from the
+run_ends/values children), all three INTERVAL units (year-month int,
+day-time (days, ms) pairs, month-day-nano (m, d, ns) triples —
+tuple-comparable with pyarrow's MonthDayNano), TIMEZONE-AWARE
+timestamps (decoded as UTC instants — the tz string is display
+metadata; aware datetimes compare by instant with pyarrow's
+local-rendered values), and NANOSECOND temporals (ts/duration via
+pandas Timestamp/Timedelta, exactly pyarrow's to_pylist; time64[ns]
+truncates to µs like pyarrow).
+
+Out of envelope (honest ``NotImplementedError``): ZSTD bodies (no
+stdlib zstd on this Python; revisit when ``compression.zstd`` lands
+in 3.14), big-endian streams, non-128-bit decimals, view/list-view
+types. Tests cross-validate against pyarrow (the
 writer side) including dictionary, nested, and lz4 payloads, plus
 tamper/envelope pins. (∅ in reference; Tier C extension.)
 """
@@ -107,11 +120,14 @@ class _Table:
 # Schema.fbs Type union discriminants (order of declaration, 1-based)
 _T_INT, _T_FLOAT, _T_BINARY, _T_UTF8, _T_BOOL = 2, 3, 4, 5, 6
 _T_DECIMAL, _T_DATE, _T_TIME, _T_TIMESTAMP = 7, 8, 9, 10
+_T_INTERVAL = 11
 _T_LIST, _T_STRUCT = 12, 13
+_T_UNION = 14
 _T_FIXEDBINARY, _T_FIXEDLIST = 15, 16
 _T_MAP = 17
 _T_DURATION = 18
 _T_LARGEBINARY, _T_LARGEUTF8, _T_LARGELIST = 19, 20, 21
+_T_RUNEND = 22
 
 import decimal as _decimal
 
@@ -160,21 +176,24 @@ def _type_tag(ttype: int, tval: _Table | None) -> str:
     if ttype == _T_TIME:
         # Time: unit(0, default MILLISECOND=1), bitWidth(1, default 32)
         unit = tval.scalar(0, "<h", 1) if tval else 1
-        if unit == 3:
-            raise NotImplementedError(
-                "nanosecond arrow time (datetime.time cannot hold ns)"
-            )
-        if unit not in (0, 1, 2):
+        if unit not in (0, 1, 2, 3):
             raise ValueError(f"corrupt arrow TimeUnit {unit}")
-        return ("time_s", "time_ms", "time_us")[unit]
+        # time_ns truncates to microseconds — datetime.time cannot hold
+        # ns, and pyarrow's own to_pylist truncates identically
+        return ("time_s", "time_ms", "time_us", "time_ns")[unit]
     if ttype == _T_DURATION:
         # Duration: unit(0, default MILLISECOND); int64 storage
         unit = tval.scalar(0, "<h", 1) if tval else 1
-        if unit == 3:
-            raise NotImplementedError("nanosecond arrow duration")
-        if unit not in (0, 1, 2):
+        if unit not in (0, 1, 2, 3):
             raise ValueError(f"corrupt arrow TimeUnit {unit}")
-        return ("dur_s", "dur_ms", "dur_us")[unit]
+        return ("dur_s", "dur_ms", "dur_us", "dur_ns")[unit]
+    if ttype == _T_INTERVAL:
+        # Interval: unit(0, default YEAR_MONTH=0); DAY_TIME=1,
+        # MONTH_DAY_NANO=2
+        unit = tval.scalar(0, "<h", 0) if tval else 0
+        if unit not in (0, 1, 2):
+            raise ValueError(f"corrupt arrow IntervalUnit {unit}")
+        return ("interval_ym", "interval_dt", "interval_mdn")[unit]
     if ttype == _T_DECIMAL:
         # Decimal: precision(0), scale(1), bitWidth(2, default 128)
         bits = tval.scalar(2, "<i", 128) if tval else 128
@@ -190,19 +209,30 @@ def _type_tag(ttype: int, tval: _Table | None) -> str:
         return f"fixedlist:{size}"
     if ttype == _T_MAP:
         return "map"
+    if ttype == _T_UNION:
+        # Union: mode(0, default Sparse=0), typeIds(1) — ids read by
+        # _parse_field, which holds the type table
+        mode = tval.scalar(0, "<h", 0) if tval else 0
+        if mode not in (0, 1):
+            raise ValueError(f"corrupt arrow UnionMode {mode}")
+        return "union_sparse" if mode == 0 else "union_dense"
+    if ttype == _T_RUNEND:
+        # RunEndEncoded carries no fields of its own; run_ends and
+        # values arrive as the two children
+        return "runend"
     if ttype == _T_TIMESTAMP:
-        # Timestamp: unit(0: 0 s, 1 ms, 2 us, 3 ns), timezone(1)
+        # Timestamp: unit(0: 0 s, 1 ms, 2 us, 3 ns), timezone(1).
+        # tz-aware columns decode as UTC INSTANTS (aware datetimes with
+        # tzinfo=UTC): Arrow stores the epoch offset — the tz string is
+        # display metadata — and aware datetimes compare by instant, so
+        # values equal pyarrow's local-time-rendered to_pylist without
+        # shipping a tz database.
         tz = tval.string(1) if tval else None
-        if tz:
-            raise NotImplementedError("timezone-aware arrow timestamp")
         unit = tval.scalar(0, "<h", 0) if tval else 0
-        if unit == 3:
-            raise NotImplementedError(
-                "nanosecond arrow timestamp (datetime cannot hold ns)"
-            )
-        if unit not in (0, 1, 2):
+        if unit not in (0, 1, 2, 3):
             raise ValueError(f"corrupt arrow TimeUnit {unit}")
-        return ("ts_s", "ts_ms", "ts_us")[unit]
+        tag = ("ts_s", "ts_ms", "ts_us", "ts_ns")[unit]
+        return f"{tag}@{tz}" if tz else tag
     raise NotImplementedError(f"arrow type discriminant {ttype}")
 
 
@@ -219,7 +249,12 @@ def _parse_field(f: _Table) -> dict:
     )
     if is_listy and len(children) != 1:
         raise ValueError(f"list field carries {len(children)} children")
-    if not is_listy and typ != "struct" and children:
+    if typ == "runend" and len(children) != 2:
+        raise ValueError(
+            f"run-end field carries {len(children)} children (need 2)"
+        )
+    nested = is_listy or typ in ("struct", "runend") or typ.startswith("union_")
+    if not nested and children:
         raise NotImplementedError("children on a non-nested arrow type")
     spec = {
         "name": f.string(0),
@@ -228,6 +263,21 @@ def _parse_field(f: _Table) -> dict:
         "dict_id": None,
         "index_type": None,
     }
+    if typ.startswith("union_"):
+        # Union.typeIds: slot type-id -> child index mapping; absent
+        # means type id i IS child i
+        tv = f.table(3)
+        tat, tn = (tv.vector(1) if tv is not None else (0, 0))
+        if tn:
+            ids = struct.unpack_from(f"<{tn}i", tv.buf, tat)
+        else:
+            ids = tuple(range(len(children)))
+        if len(ids) != len(children):
+            raise ValueError(
+                f"union declares {len(ids)} type ids for "
+                f"{len(children)} children"
+            )
+        spec["type_ids"] = {tid: i for i, tid in enumerate(ids)}
     enc = f.table(4)
     if enc is not None:
         # DictionaryEncoding: id(0), indexType(1: Int), isOrdered(2)
@@ -257,6 +307,11 @@ def _type_str(spec: dict) -> str:
             f"{c['name']}: {_type_str(c)}" for c in spec["children"]
         )
         return f"struct<{inner}>"
+    if t.startswith("union_"):
+        inner = ", ".join(_type_str(c) for c in spec["children"])
+        return f"{t}<{inner}>"
+    if t == "runend":
+        return f"runend<{_type_str(spec['children'][1])}>"
     return t
 
 
@@ -401,6 +456,57 @@ def _decode_column(spec, nodes, body, dictionaries):
         raise ValueError(
             "record batch carries fewer field nodes than schema columns"
         ) from None
+
+    typ = spec["type"]
+    if typ.startswith("union_"):
+        # V5 unions carry NO validity bitmap — nulls live in the
+        # children. Buffers: types (int8 per slot), plus offsets
+        # (int32 per slot) for dense mode; children follow as their own
+        # FieldNode/buffer runs.
+        tids = struct.unpack_from(f"<{length}b", body.next_buffer(), 0)
+        dense = typ == "union_dense"
+        offs = (
+            struct.unpack_from(f"<{length}i", body.next_buffer(), 0)
+            if dense
+            else None
+        )
+        kids = [
+            _decode_column(c, nodes, body, dictionaries)
+            for c in spec["children"]
+        ]
+        id_map = spec["type_ids"]
+        out = []
+        for i in range(length):
+            ci = id_map.get(tids[i])
+            if ci is None:
+                raise ValueError(
+                    f"union slot carries undeclared type id {tids[i]}"
+                )
+            out.append(kids[ci][offs[i] if dense else i])
+        return out
+    if typ == "runend":
+        # the REE array itself owns NO buffers (not even validity);
+        # run_ends (non-null ints, logical end indices) and values are
+        # ordinary child arrays
+        run_ends = _decode_column(
+            spec["children"][0], nodes, body, dictionaries
+        )
+        values = _decode_column(
+            spec["children"][1], nodes, body, dictionaries
+        )
+        out = []
+        prev = 0
+        for end, v in zip(run_ends, values):
+            if end is None or end < prev:
+                raise ValueError("corrupt run-end array (non-monotonic)")
+            out.extend([v] * (end - prev))
+            prev = end
+        if len(out) != length:
+            raise ValueError(
+                f"run ends cover {len(out)} rows, node declares {length}"
+            )
+        return out
+
     validity = body.next_buffer()
 
     def is_null(i):
@@ -421,7 +527,6 @@ def _decode_column(spec, nodes, body, dictionaries):
         values = dictionaries[spec["dict_id"]]
         return [None if is_null(i) else values[idxs[i]] for i in range(length)]
 
-    typ = spec["type"]
     if typ == "map":
         # physically list<struct<key, value>>: int32 offsets, one
         # entries child; surfaced as (key, value) tuple lists, matching
@@ -487,25 +592,49 @@ def _decode_column(spec, nodes, body, dictionaries):
                 _dec.Decimal(raw).scaleb(-scale, _DEC128_CTX)
             )
         return out
-    if typ in ("time_s", "time_ms", "time_us", "dur_s", "dur_ms", "dur_us"):
+    if typ in (
+        "time_s", "time_ms", "time_us", "time_ns",
+        "dur_s", "dur_ms", "dur_us", "dur_ns",
+    ):
         import datetime as _dt
 
         fmt = "i" if typ in ("time_s", "time_ms") else "q"
-        if typ.startswith("dur_"):
-            fmt = "q"  # Duration storage is always int64
         data = body.next_buffer()
         vals = struct.unpack_from(f"<{length}{fmt}", data, 0)
-        mult = {"s": 1_000_000, "ms": 1_000, "us": 1}[typ.split("_")[1]]
+        unit = typ.split("_")[1]
+        if typ == "dur_ns":
+            # timedelta cannot hold ns; pandas Timedelta can, and is
+            # what pyarrow's own to_pylist returns for duration[ns]
+            import pandas as _pd
 
-        def conv(v, _m=mult, _t=typ):
-            us = v * _m
-            if _t.startswith("dur_"):
-                return _dt.timedelta(microseconds=us)
-            return (
-                _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
-            ).time()
+            conv = lambda v: _pd.Timedelta(v, unit="ns")  # noqa: E731
+        else:
+            # time_ns TRUNCATES to microseconds (datetime.time cannot
+            # hold ns) — exactly pyarrow's to_pylist behavior
+            mult = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[unit]
+
+            def conv(v, _m=mult, _t=typ):
+                us = (v // 1_000 if _t == "time_ns" else v) * _m
+                if _t.startswith("dur_"):
+                    return _dt.timedelta(microseconds=us)
+                return (
+                    _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+                ).time()
 
         return [None if is_null(i) else conv(vals[i]) for i in range(length)]
+    if typ in ("interval_ym", "interval_dt", "interval_mdn"):
+        data = body.next_buffer()
+        if typ == "interval_ym":  # int32 months
+            vals = struct.unpack_from(f"<{length}i", data, 0)
+        elif typ == "interval_dt":  # (int32 days, int32 ms) per element
+            flat = struct.unpack_from(f"<{length * 2}i", data, 0)
+            vals = [tuple(flat[2 * i : 2 * i + 2]) for i in range(length)]
+        else:  # MONTH_DAY_NANO: (int32 months, int32 days, int64 ns)
+            vals = [
+                struct.unpack_from("<iiq", data, 16 * i)
+                for i in range(length)
+            ]
+        return [None if is_null(i) else vals[i] for i in range(length)]
     if typ == "struct":
         kids = [
             (c["name"], _decode_column(c, nodes, body, dictionaries))
@@ -533,30 +662,40 @@ def _decode_column(spec, nodes, body, dictionaries):
             None if is_null(i) else bytes(data[offs[i] : offs[i + 1]])
             for i in range(length)
         ]
-    if typ in ("date32", "date64", "ts_s", "ts_ms", "ts_us"):
+    if typ in ("date32", "date64") or typ.startswith("ts_"):
         import datetime as _dt
 
+        base = typ.split("@")[0]  # tz-aware tags are "ts_<unit>@<tz>"
+        aware = "@" in typ
+        tzinfo = _dt.timezone.utc if aware else None
         fmt = "i" if typ == "date32" else "q"
         data = body.next_buffer()
         vals = struct.unpack_from(f"<{length}{fmt}", data, 0)
         epoch_d = _dt.date(1970, 1, 1)
-        epoch_t = _dt.datetime(1970, 1, 1)
+        epoch_t = _dt.datetime(1970, 1, 1, tzinfo=tzinfo)
         if typ == "date32":
             conv = lambda v: epoch_d + _dt.timedelta(days=v)  # noqa: E731
         elif typ == "date64":
             conv = lambda v: (  # noqa: E731
                 epoch_d + _dt.timedelta(milliseconds=v)
             )
-        elif typ == "ts_s":
+        elif base == "ts_s":
             conv = lambda v: epoch_t + _dt.timedelta(seconds=v)  # noqa: E731
-        elif typ == "ts_ms":
+        elif base == "ts_ms":
             conv = lambda v: (  # noqa: E731
                 epoch_t + _dt.timedelta(milliseconds=v)
             )
-        else:
+        elif base == "ts_us":
             conv = lambda v: (  # noqa: E731
                 epoch_t + _dt.timedelta(microseconds=v)
             )
+        else:  # ts_ns: datetime cannot hold ns; pandas Timestamp can,
+            # and matches pyarrow's to_pylist. tz-aware stays a UTC
+            # instant (aware values compare by instant).
+            import pandas as _pd
+
+            _tz = "UTC" if aware else None
+            conv = lambda v: _pd.Timestamp(v, unit="ns", tz=_tz)  # noqa: E731
         return [None if is_null(i) else conv(vals[i]) for i in range(length)]
     if typ == "bool":
         d = body.next_buffer()

@@ -2202,7 +2202,14 @@ def media_arrow_from_documents(docs: DataFrame) -> DataFrame:
     identically (so one oracle pins them all): every 3rd document
     DICTIONARY-encodes the name column, every 4th≡1 adds a nested
     list<int64> column (ignored by the extractor but decoded on the
-    wire), every 5th≡2 compresses bodies with LZ4_FRAME."""
+    wire), every 5th≡2 compresses bodies with LZ4_FRAME, every 7th≡3
+    RUN-END-encodes the name column (same values, REE wire layout),
+    every 7th≡5/≡6 adds a dense/sparse UNION column with custom type
+    codes, and every 11th≡4/≡7/≡9 adds a tz-aware ns timestamp /
+    month-day-nano interval / ns duration column — all ignored by the
+    extractor but decoded on the wire, so a union offset slip, REE
+    expansion bug, or temporal misread breaks the batch decode and the
+    hash."""
     import io
 
     import pyarrow as pa
@@ -2214,7 +2221,14 @@ def media_arrow_from_documents(docs: DataFrame) -> DataFrame:
             for doc_id in pdf_["doc_id"]:
                 did = int(doc_id)
                 name_col = pa.array([f"r{(did + k) % 10}" for k in range(3)])
-                if did % 3 == 0:
+                if did % 7 == 3:
+                    # REE takes precedence over dictionary when both
+                    # residues hit (did ≡ 24 mod 21): one encoding per
+                    # column keeps the fixture deterministic
+                    import pyarrow.compute as _pc
+
+                    name_col = _pc.run_end_encode(name_col)
+                elif did % 3 == 0:
                     name_col = name_col.dictionary_encode()
                 cols = {
                     "val": pa.array(
@@ -2235,6 +2249,44 @@ def media_arrow_from_documents(docs: DataFrame) -> DataFrame:
                     cols["tags"] = pa.array(
                         [[did % 7, k] for k in range(3)],
                         type=pa.list_(pa.int64()),
+                    )
+                if did % 7 == 5:
+                    cols["wire_u"] = pa.UnionArray.from_dense(
+                        pa.array([2, 9, 2], type=pa.int8()),
+                        pa.array([0, 0, 1], type=pa.int32()),
+                        [
+                            pa.array([did, did + 1], type=pa.int64()),
+                            pa.array([f"u{did % 5}"]),
+                        ],
+                        ["num", "txt"],
+                        [2, 9],  # non-contiguous codes: typeIds remap
+                    )
+                elif did % 7 == 6:
+                    cols["wire_u"] = pa.UnionArray.from_sparse(
+                        pa.array([0, 1, 0], type=pa.int8()),
+                        [
+                            pa.array(
+                                [did, None, did + 2], type=pa.int64()
+                            ),
+                            pa.array(["a", f"s{did % 3}", "c"]),
+                        ],
+                    )
+                if did % 11 == 4:
+                    cols["wire_ts"] = pa.array(
+                        [did * 1_000_000_007 + k for k in range(3)],
+                        type=pa.int64(),
+                    ).cast(pa.timestamp("ns", tz="America/New_York"))
+                elif did % 11 == 7:
+                    cols["wire_iv"] = pa.array(
+                        [
+                            pa.MonthDayNano([did % 24, k, did * 11 + k])
+                            for k in range(3)
+                        ]
+                    )
+                elif did % 11 == 9:
+                    cols["wire_d"] = pa.array(
+                        [did * 13 + k for k in range(3)],
+                        type=pa.duration("ns"),
                     )
                 t = pa.table(cols)
                 buf = io.BytesIO()

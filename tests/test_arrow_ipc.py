@@ -41,9 +41,9 @@ def test_pyarrow_cross_validation(form):
 
 
 def test_envelope_raises():
-    # dictionary / nested / lz4 / float16 / temporal moved IN-envelope;
-    # what remains out is zstd bodies (no pure-stdlib zstd), map/union,
-    # and ns-precision time/duration
+    # dictionary / nested / lz4 / float16 / temporal / union / interval
+    # / run-end moved IN-envelope; what remains out is zstd bodies (no
+    # pure-stdlib zstd until compression.zstd lands in 3.14)
     t = _table()
     buf = io.BytesIO()
     with ipc.new_stream(
@@ -52,14 +52,6 @@ def test_envelope_raises():
         w.write_table(t)
     with pytest.raises(NotImplementedError, match="zstd"):
         parse_arrow_ipc(buf.getvalue())
-    ti = pa.table(
-        {"i": pa.array([(1, 2, 3)], type=pa.month_day_nano_interval())}
-    )
-    bufi = io.BytesIO()
-    with ipc.new_stream(bufi, ti.schema) as w:
-        w.write_table(ti)
-    with pytest.raises(NotImplementedError, match="discriminant"):
-        parse_arrow_ipc(bufi.getvalue())
     with pytest.raises(ValueError):
         parse_arrow_ipc(b"PAR1 not arrow at all")
 
@@ -318,14 +310,40 @@ def test_large_offset_and_temporal_types():
     assert rows == t.to_pylist()
 
 
-def test_temporal_envelope_raises():
-    for typ, match in [
-        (pa.timestamp("ns"), "nanosecond"),
-        (pa.timestamp("us", tz="UTC"), "timezone"),
-    ]:
-        t = pa.table({"x": pa.array([0], type=pa.int64()).cast(typ)})
-        with pytest.raises(NotImplementedError, match=match):
-            parse_arrow_ipc(_stream(t))
+def test_tz_aware_and_ns_timestamps_decode():
+    """tz-aware columns decode as UTC INSTANTS: Arrow stores epoch
+    offsets (the tz string is display metadata), and aware datetimes
+    compare by instant, so values equal pyarrow's local-time-rendered
+    to_pylist while the decoder ships no tz database. ns precision
+    survives via pandas Timestamp — pyarrow's own to_pylist type."""
+    import datetime as dt
+
+    t = pa.table(
+        {
+            "nyc": pa.array(
+                [dt.datetime(2024, 7, 1, 12, 0, 0), None],
+                type=pa.timestamp("us", tz="America/New_York"),
+            ),
+            "utc_s": pa.array([1_700_000_000, None], type=pa.int64()).cast(
+                pa.timestamp("s", tz="UTC")
+            ),
+            "ns": pa.array(
+                [1_700_000_000_123_456_789, None], type=pa.timestamp("ns")
+            ),
+            "ns_tz": pa.array(
+                [1_700_000_000_123_456_789, None],
+                type=pa.timestamp("ns", tz="Asia/Tokyo"),
+            ),
+        }
+    )
+    schema, rows = parse_arrow_ipc(_stream(t, max_chunksize=1))
+    assert [tp for _n, tp in schema] == [
+        "ts_us@America/New_York", "ts_s@UTC", "ts_ns", "ts_ns@Asia/Tokyo",
+    ]
+    assert rows == t.to_pylist()  # aware == aware compares instants
+    assert rows[0]["nyc"].tzinfo == dt.timezone.utc  # decoded AS UTC
+    # full ns fidelity, no truncation
+    assert rows[0]["ns"].nanosecond == 789
 
 
 def test_extended_scalar_types_decode():
@@ -378,20 +396,121 @@ def test_extended_scalar_types_decode():
     assert rows == t.to_pylist()
 
 
-def test_ns_time_and_duration_raise():
-    import datetime as dt
+def test_ns_time_and_duration_decode():
+    """duration[ns] keeps full ns via pandas Timedelta (pyarrow's own
+    to_pylist type); time64[ns] TRUNCATES to µs exactly as pyarrow's
+    to_pylist does (datetime.time cannot hold ns)."""
+    t = pa.table(
+        {
+            "d": pa.array([1_123_456_789, -5, None], type=pa.duration("ns")),
+            "tm": pa.array(
+                [3_600_000_000_123, 59_999_999_999_999, None],
+                type=pa.time64("ns"),
+            ),
+        }
+    )
+    schema, rows = parse_arrow_ipc(_stream(t))
+    assert [tp for _n, tp in schema] == ["dur_ns", "time_ns"]
+    assert rows == t.to_pylist()
+    assert rows[0]["d"].nanoseconds == 789  # ns survive
 
-    for typ, match in [
-        (pa.time64("ns"), "nanosecond arrow time"),
-        (pa.duration("ns"), "nanosecond arrow duration"),
-    ]:
-        arr = (
-            pa.array([0], type=pa.int64()).cast(typ)
-            if typ != pa.duration("ns")
-            else pa.array([dt.timedelta(0)], type=typ)
-        )
-        with pytest.raises(NotImplementedError, match=match):
-            parse_arrow_ipc(_stream(pa.table({"x": arr})))
+
+def test_union_columns_decode():
+    """Sparse and dense unions, V5 layout: types int8 buffer (+ dense
+    int32 offsets), NO validity bitmap on the union itself — nulls live
+    in the children; non-contiguous custom type codes remap through the
+    declared typeIds vector."""
+    dense = pa.UnionArray.from_dense(
+        pa.array([5, 8, 5, 5, 8], type=pa.int8()),
+        pa.array([0, 0, 1, 2, 1], type=pa.int32()),
+        [pa.array([10, None, 30], type=pa.int64()), pa.array(["x", "y"])],
+        ["num", "txt"],
+        [5, 8],
+    )
+    sparse = pa.UnionArray.from_sparse(
+        pa.array([0, 1, 0, 1], type=pa.int8()),
+        [
+            pa.array([1, None, 3, None], type=pa.int64()),
+            pa.array(["a", None, "c", "d"]),
+        ],
+    )
+    t = pa.table({"du": dense})
+    schema, rows = parse_arrow_ipc(_stream(t, max_chunksize=2))
+    assert schema == [("du", "union_dense<int64, utf8>")]
+    assert rows == t.to_pylist()
+    t2 = pa.table({"su": sparse})
+    schema2, rows2 = parse_arrow_ipc(_stream(t2, max_chunksize=3))
+    assert schema2 == [("su", "union_sparse<int64, utf8>")]
+    assert rows2 == t2.to_pylist()
+
+
+def test_run_end_encoded_decode():
+    """REE parent owns NO buffers (not even validity); run_ends/values
+    arrive as ordinary children and expand to the logical length —
+    including across sliced record batches and lz4 bodies."""
+    import pyarrow.compute as pc
+
+    logical = ["x"] * 5 + ["y"] * 3 + [None] * 2 + ["z"]
+    t = pa.table({"r": pc.run_end_encode(pa.array(logical))})
+    schema, rows = parse_arrow_ipc(_stream(t, max_chunksize=4))
+    assert schema == [("r", "runend<utf8>")]
+    assert [r["r"] for r in rows] == logical
+    buf = io.BytesIO()
+    with ipc.new_stream(
+        buf, t.schema, options=ipc.IpcWriteOptions(compression="lz4")
+    ) as w:
+        w.write_table(t)
+    _s, rows_lz4 = parse_arrow_ipc(buf.getvalue())
+    assert [r["r"] for r in rows_lz4] == logical
+    # int-valued REE with a numeric run-end width variant
+    t3 = pa.table(
+        {
+            "n": pc.run_end_encode(
+                pa.array([7, 7, 7, None, 9], type=pa.int64())
+            )
+        }
+    )
+    _s3, rows3 = parse_arrow_ipc(_stream(t3))
+    assert [r["n"] for r in rows3] == [7, 7, 7, None, 9]
+
+
+def test_interval_units_decode():
+    """month-day-nano cross-validates against pyarrow (MonthDayNano is
+    tuple-comparable). pyarrow cannot CONSTRUCT year-month / day-time
+    columns, so those exercise the same wire bytes with the schema's
+    IntervalUnit field byte-patched in place (located through the
+    decoder's own flatbuffers tables, not offsets-by-guess): the
+    16-byte MDN element (3, 4, 5) reads back as months=3 under
+    YEAR_MONTH int32 and as (days=3, ms=4) under DAY_TIME."""
+    from simple_data_engineering_project_spark.operators.arrow_ipc import (
+        _Table,
+        _i32,
+    )
+
+    t = pa.table(
+        {"iv": pa.array([pa.MonthDayNano([3, 4, 5]), None])}
+    )
+    schema, rows = parse_arrow_ipc(_stream(t))
+    assert schema == [("iv", "interval_mdn")]
+    assert rows == t.to_pylist()
+    assert rows[0]["iv"] == (3, 4, 5)
+
+    payload = bytearray(_stream(t))
+    blob = bytes(payload)
+    meta_at = 8
+    root = _Table(blob, meta_at + _i32(blob, meta_at))
+    field0 = root.table(2).vtable_elem(1, 0)  # Schema.fields[0]
+    itab = field0.table(3)  # the Interval type table
+    upos = itab.pos + itab._off(0)  # unit scalar (int16)
+    assert payload[upos] == 2  # MONTH_DAY_NANO as written
+    payload[upos] = 0  # YEAR_MONTH: int32 months
+    s_ym, r_ym = parse_arrow_ipc(bytes(payload))
+    assert s_ym == [("iv", "interval_ym")]
+    assert r_ym[0]["iv"] == 3 and r_ym[1]["iv"] is None
+    payload[upos] = 1  # DAY_TIME: (int32 days, int32 ms)
+    s_dt, r_dt = parse_arrow_ipc(bytes(payload))
+    assert s_dt == [("iv", "interval_dt")]
+    assert r_dt[0]["iv"] == (3, 4) and r_dt[1]["iv"] is None
 
 
 def test_map_columns_decode():

@@ -251,6 +251,31 @@ def _valid_payloads_wave3():
             tensor_shards.parse_safetensors,
         )
     )
+    # round-8 additions: dense union + run-end-encoded + month-day-nano
+    # interval + tz-aware ns timestamp arrow stream — the tamper sweep
+    # hunts for missing bounds checks in the new decode paths
+    import pyarrow.compute as pc
+
+    ubuf = io.BytesIO()
+    ut = pa.table(
+        {
+            "u": pa.UnionArray.from_dense(
+                pa.array([2, 9, 2], type=pa.int8()),
+                pa.array([0, 0, 1], type=pa.int32()),
+                [pa.array([7, 8], type=pa.int64()), pa.array(["q"])],
+                ["n", "s"],
+                [2, 9],
+            ),
+            "r": pc.run_end_encode(pa.array(["a", "a", "b"])),
+            "iv": pa.array([pa.MonthDayNano([1, 2, 3])] * 3),
+            "ts": pa.array([10, 20, 30], type=pa.int64()).cast(
+                pa.timestamp("ns", tz="UTC")
+            ),
+        }
+    )
+    with ipc.new_stream(ubuf, ut.schema) as w:
+        w.write_table(ut)
+    out.append((ubuf.getvalue(), arrow_ipc.parse_arrow_ipc))
     # parquet footer: use a real testdata tail
     with open("/root/testdata/sf0.001/region.parquet", "rb") as f:
         out.append((f.read(), parquet_meta.parse_parquet_footer))
