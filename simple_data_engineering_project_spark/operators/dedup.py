@@ -296,17 +296,28 @@ def ngram_jaccard_pairs(
     return out
 
 
-def simhash(text_col, bits: int = 64):
-    """64-bit SimHash of the normalized token multiset.
+def _portable_token_hash(t):
+    """60-bit token hash both engines compute bit-identically: the first
+    15 hex chars of md5 as an integer (Spark ``conv(,16,10)``; DuckDB
+    ``('0x' || substring(md5(t),1,15))::BIGINT`` — the cc_dedup digest
+    primitive). Portability is what lets the simhash ORACLE recompute
+    fingerprints instead of trusting ours (xxhash64 has no DuckDB twin);
+    60 bits also stays clear of the int64 sign bit."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
 
-    Per token: xxhash64 → each bit votes ±1; fingerprint bit = sign of the
-    vote sum. Expression-only (transform/aggregate over the token array,
-    then a bit-assembly fold); near-dups have small Hamming distance.
+
+def simhash(text_col, bits: int = 60):
+    """60-bit SimHash of the normalized token multiset.
+
+    Per token: a portable md5-prefix hash → each bit votes ±1;
+    fingerprint bit = sign of the vote sum. Expression-only
+    (transform/aggregate over the token array, then a bit-assembly
+    fold); near-dups have small Hamming distance.
     """
     toks = F.split(
         normalized_text(text_col) if isinstance(text_col, str) else text_col, " "
     )
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: _portable_token_hash(t))
     bit_votes = [
         F.aggregate(
             hashes,
@@ -329,12 +340,12 @@ def simhash(text_col, bits: int = 64):
 
 
 def hamming64(a, b):
-    """Hamming distance between two 64-bit fingerprints (popcount of XOR)."""
+    """Hamming distance between two int64 fingerprints (popcount of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
 
 
 def simhash_df(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
 ) -> DataFrame:
     """(id, fp) SimHash fingerprints via explode → bit-vote aggregates.
 
@@ -346,7 +357,7 @@ def simhash_df(
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalized_text(text_col), " ")).alias("t"),
-    ).select("id", F.xxhash64("t").alias("h"))
+    ).select("id", _portable_token_hash(F.col("t")).alias("h"))
     aggs = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -373,9 +384,12 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by SimHash with blocked search.
 
-    Pigeonhole: distance ≤ 3 over 64 bits ⇒ at least one of 4 16-bit
+    Pigeonhole: distance ≤ 3 over 60 bits ⇒ at least one of 4 15-bit
     blocks is identical. Join on (block-index, block-value) — an equi-join
     a thousand-executor cluster shuffles cheaply — then verify Hamming.
+    The pigeonhole is EXACT (structural recall 1 for ≤ max_hamming over
+    the covered pair set), which is what lets the catalog oracle
+    recompute fingerprints and check the pair set all-pairs.
     Degenerate blocks above ``max_bucket_size`` are dropped before
     pairing (see :func:`_drop_oversize_buckets`); the fingerprint table
     is staged once since the census and the join both consume it.
@@ -389,8 +403,8 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned("fp", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("fp", 15 * i)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("val"),
                     )
                     for i in range(4)
@@ -480,13 +494,17 @@ def embedding_near_dups(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # filter on the RAW cosine (bit-identical to the oracle's
+    # list_dot_product fold), round only the emitted column — rounding
+    # before the threshold could admit a pair the oracle rejects
     return (
         cand.select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            cosine_similarity(F.col("va"), F.col("vb")).alias("__c"),
         )
-        .filter(F.col("cosine") >= threshold)
+        .filter(F.col("__c") >= threshold)
+        .select("id_a", "id_b", F.round("__c", 6).alias("cosine"))
     )
 
 

@@ -1374,28 +1374,111 @@ def dedup_exact_q(spark, sf_dir):
 
 @register(
     "dedup_minhash",
-    None,
+    f"""
+    WITH corpus AS ({_DOCS_WITH_DUPES_SQL}),
+    {_SHINGLE_SQL},
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(bit_xor(id_a * 4000037 + id_b) AS BIGINT) AS pair_digest,
+           CAST(SUM(CAST(floor(j * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_jaccard_e6
+    FROM p WHERE j >= 0.8
+    """,
     tier="C",
-    note="C2 MinHash+LSH near-dup candidates (shingle→minhash→band→bucket "
-    "join). Rows-only: banding is engine-specific; exactness pinned by "
-    "unit tests (injected near-dups must collide, Jaccard estimate ±0.2 "
-    "of exact).",
+    note="C2 MinHash+LSH near-dup pipeline (shingle→minhash→band→bucket "
+    "join→exact-Jaccard verify), graded by its SURVIVOR DIGEST "
+    "(round-8 upgrade from rows-only, the cc_dedup_two_stage trick): "
+    "the raw candidate set is engine-specific (xxhash64 family), so "
+    "the entry verifies candidates at exact Jaccard ≥ 0.8 and emits "
+    "order-insensitive aggregates of the verified set — pair count, "
+    "bit_xor pair digest, integer-quantized Jaccard sum — that the "
+    "DuckDB ALL-pairs twin computes exactly. A hash match proves 100% "
+    "LSH recall at 0.8 on this corpus AND per-pair Jaccard parity; "
+    "candidate quality (estimate ±0.2, injected dupes collide) stays "
+    "unit-pinned. Digest shuffles one row; no collect.",
 )
 def dedup_minhash_q(spark, sf_dir):
     corpus = _docs_with_dupes(spark, sf_dir)
-    return dedup_ops.minhash_lsh_candidates(corpus).orderBy("id_a", "id_b")
+    cands = dedup_ops.minhash_lsh_candidates(corpus)
+    ver = dedup_ops.ngram_jaccard_pairs(corpus, cands, threshold=0.8)
+    return ver.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.expr("bit_xor(id_a * 4000037 + id_b)")
+        .cast("bigint")
+        .alias("pair_digest"),
+        F.sum(
+            F.floor(F.col("jaccard") * 1000000 + F.lit(0.5)).cast("bigint")
+        ).alias("sum_jaccard_e6"),
+    )
+
+
+def _simhash_oracle() -> str:
+    """DuckDB twin that RECOMPUTES the 60-bit SimHash fingerprints from
+    scratch — possible because the token hash is the portable md5-prefix
+    integer (dedup._portable_token_hash; cc_dedup's digest primitive),
+    bit-identical in both engines — then checks the ENTIRE hamming ≤ 3
+    pair set all-pairs. No recall assumption: the Spark side's 4×15-bit
+    pigeonhole is structurally exact for distance ≤ 3, so pair-set
+    equality is the operator's full contract."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(60)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
+    )
+    return f"""
+    WITH corpus AS ({_DOCS_WITH_DUPES_SQL}),
+    tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' ')) AS t
+      FROM corpus
+    ),
+    th AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ),
+    votes AS MATERIALIZED (SELECT doc_id, {votes} FROM th GROUP BY doc_id),
+    fp AS MATERIALIZED (
+      SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM votes
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """
 
 
 @register(
     "dedup_simhash",
-    None,
+    _simhash_oracle(),
     tier="C",
-    note="C2 SimHash near-dup pairs via 16-bit block pigeonhole join. "
-    "Rows-only.",
+    note="C2 SimHash near-dup pairs (60-bit fingerprint → 15-bit block "
+    "pigeonhole join → Hamming ≤ 3), oracle-checked END-TO-END "
+    "(round-8 upgrade from rows-only): the token hash is the portable "
+    "md5-prefix integer, so the DuckDB twin recomputes every "
+    "fingerprint from the raw text (same ±1 bit votes, same sign "
+    "rule) and derives the hamming ≤ 3 pair set ALL-pairs — pair-set "
+    "equality checks the operator's complete contract with no recall "
+    "assumption (the 4×15-bit pigeonhole is structurally exact for "
+    "distance ≤ 3). Non-cryptographic-speed hashing is not the point "
+    "here; md5 is one codegen call per token and buys cross-engine "
+    "verifiability.",
 )
 def dedup_simhash_q(spark, sf_dir):
     corpus = _docs_with_dupes(spark, sf_dir)
-    return dedup_ops.simhash_near_dups(corpus, max_hamming=3).orderBy("id_a", "id_b")
+    return (
+        dedup_ops.simhash_near_dups(corpus, max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register(
@@ -1478,12 +1561,33 @@ def _embeddings_with_dupes(spark, sf_dir):
 
 @register(
     "dedup_embedding",
-    None,
+    """
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) AS c
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p WHERE c >= 0.95
+    """,
     tier="C",
     note="C2 embedding-cosine near-dup (semantic dedup): SRP-LSH blocking "
-    "→ exact cosine ≥ 0.95 verify, no O(n²) stage. Rows-only (LSH "
-    "banding is engine-specific); recall vs brute-force pinned by a "
-    "unit test; injected exact copies guarantee known pairs.",
+    "→ exact cosine ≥ 0.95 verify, no O(n²) stage. Oracle-checked "
+    "(round-8 upgrade from rows-only): the DuckDB twin computes "
+    "ALL-pairs exact cosine with the same fold order (dot / (‖a‖·‖b‖), "
+    "threshold on the RAW value, ROUND(·,6) only on the emitted "
+    "column), so a hash match additionally proves 100% SRP-LSH recall "
+    "at cosine ≥ 0.95 on this corpus — the candidate-set part that "
+    "stays engine-specific is exactly the part the exact verify "
+    "erases. Recall vs brute-force stays unit-pinned; injected exact "
+    "copies guarantee known pairs.",
 )
 def dedup_embedding_q(spark, sf_dir):
     corpus = _embeddings_with_dupes(spark, sf_dir)
