@@ -169,6 +169,11 @@ def winnow_fingerprints(
     identity that md5-of-whole-doc (:func:`~..functions.doc_fingerprint`)
     cannot give.
 
+    The gram hash is the portable md5-prefix integer
+    (:func:`~.dedup._portable_token_hash`), bit-identical in DuckDB —
+    which is what lets the doc_winnow catalog oracle recompute the
+    full fingerprint set from raw text instead of trusting ours.
+
     Scale shape: posexplode to (id, pos, gram-hash) — narrow rows — then
     the window minimum is a frame aggregate partitioned by id (one
     shuffle on id), then distinct. No per-row array folds. The
@@ -177,6 +182,8 @@ def winnow_fingerprints(
     re-run the regex per gram (O(chars²) per doc).
     """
     from pyspark.sql import Window as W
+
+    from .dedup import _portable_token_hash
 
     norm = df.select(
         F.col(id_col).alias("id"), normalized_text(text_col).alias("__norm")
@@ -189,7 +196,9 @@ def winnow_fingerprints(
                     F.lit(0),
                     F.greatest(F.length("__norm") - F.lit(k), F.lit(0)),
                 ),
-                lambda i: F.xxhash64(F.col("__norm").substr(i + 1, F.lit(k))),
+                lambda i: _portable_token_hash(
+                    F.col("__norm").substr(i + 1, F.lit(k))
+                ),
             )
         ).alias("pos", "h"),
     )

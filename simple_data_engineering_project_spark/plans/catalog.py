@@ -1829,12 +1829,35 @@ def doc_fingerprint_q(spark, sf_dir):
 
 @register(
     "doc_winnow",
-    None,
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             CAST(('0x' || substring(md5(substring(t, i + 1, 8)), 1, 15))
+               AS BIGINT) AS h
+      FROM n, unnest(range(0, greatest(strlen(t) - 8, 0) + 1)) AS u(i)
+    ),
+    w AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM g
+    )
+    SELECT DISTINCT doc_id AS id, fp AS fingerprint FROM w
+    """,
     tier="C",
     note="C4 winnowed rolling-hash fingerprints (MOSS scheme): min hash "
-    "per sliding window of char k-gram hashes. Any shared substring of "
-    "length ≥ k+window−1 shares a fingerprint. Rows-only (xxhash64 has "
-    "no DuckDB twin); the sharing guarantee is pinned by a unit test.",
+    "per sliding window of char k-gram hashes; any shared substring of "
+    "length ≥ k+window−1 shares a fingerprint (unit-pinned). "
+    "Oracle-checked END-TO-END (round-8 upgrade from rows-only): the "
+    "gram hash is the portable md5-prefix integer, so the DuckDB twin "
+    "recomputes every k-gram hash, window minimum (trailing partial "
+    "windows included — both engines truncate the frame identically), "
+    "and the distinct fingerprint set from raw text.",
 )
 def doc_winnow_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")

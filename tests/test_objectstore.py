@@ -18,6 +18,32 @@ assuming it:
   this container, which has no hadoop-aws jar and no network to fetch
   one). It additionally exercises rename-as-copy semantics and the
   directory committer.
+
+VENDORING RECIPE (to run the s3a leg on a networked machine/cluster,
+unmodified): the jar versions must match the Hadoop client shipped
+inside this PySpark build — check
+``ls $(python -c 'import pyspark, os; print(os.path.dirname(pyspark.__file__))')/jars/hadoop-client-api-*``
+(pyspark 4.1.2 ships hadoop-client 3.4.2). Then EITHER let Ivy resolve
+the matching hadoop-aws and its transitively-declared AWS SDK v2
+bundle::
+
+    spark-submit --packages org.apache.hadoop:hadoop-aws:3.4.2 ...
+    # or in code, BEFORE the session is built:
+    SparkSession.builder.config(
+        "spark.jars.packages", "org.apache.hadoop:hadoop-aws:3.4.2")
+
+OR vendor the two jars by hand into ``$SPARK_HOME/jars`` /
+``--jars``: ``hadoop-aws-3.4.2.jar`` plus the exact
+``software.amazon.awssdk:bundle`` version that hadoop-aws 3.4.2
+declares in its POM (Hadoop 3.4+ uses AWS SDK v2; mixing v1
+aws-java-sdk-bundle jars with 3.4.x fails with
+NoClassDefFoundError on software/amazon/awssdk paths). The moto
+endpoint conf ``test_pipeline_on_s3a_moto`` applies is the standard
+private-endpoint posture and works as-is against MinIO too:
+path-style access on, endpoint = the store URL, static credentials,
+``fs.s3a.change.detection.mode=none`` for stores without strong
+ETags. No code change in the engine is needed — path ops already
+resolve the FileSystem per URI.
 """
 
 from __future__ import annotations
