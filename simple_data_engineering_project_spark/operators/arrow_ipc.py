@@ -41,12 +41,16 @@ timestamps (decoded as UTC instants — the tz string is display
 metadata; aware datetimes compare by instant with pyarrow's
 local-rendered values), and NANOSECOND temporals (ts/duration via
 pandas Timestamp/Timedelta, exactly pyarrow's to_pylist; time64[ns]
-truncates to µs like pyarrow).
+truncates to µs like pyarrow), and the VIEW types — Utf8View/
+BinaryView (16-byte view structs, <= 12-byte values inlined, longer
+ones resolved through the RecordBatch's variadicBufferCounts-counted
+data buffers with the 4-byte prefix cross-checked) and ListView/
+LargeListView (offsets + sizes buffers, unordered ranges).
 
 Out of envelope (honest ``NotImplementedError``): ZSTD bodies (no
 stdlib zstd on this Python; revisit when ``compression.zstd`` lands
-in 3.14), big-endian streams, non-128-bit decimals, view/list-view
-types. Tests cross-validate against pyarrow (the
+in 3.14), big-endian streams, non-128-bit decimals.
+Tests cross-validate against pyarrow (the
 writer side) including dictionary, nested, and lz4 payloads, plus
 tamper/envelope pins. (∅ in reference; Tier C extension.)
 """
@@ -128,6 +132,7 @@ _T_MAP = 17
 _T_DURATION = 18
 _T_LARGEBINARY, _T_LARGEUTF8, _T_LARGELIST = 19, 20, 21
 _T_RUNEND = 22
+_T_BINARYVIEW, _T_UTF8VIEW, _T_LISTVIEW, _T_LARGELISTVIEW = 23, 24, 25, 26
 
 import decimal as _decimal
 
@@ -220,6 +225,14 @@ def _type_tag(ttype: int, tval: _Table | None) -> str:
         # RunEndEncoded carries no fields of its own; run_ends and
         # values arrive as the two children
         return "runend"
+    if ttype == _T_BINARYVIEW:
+        return "binaryview"
+    if ttype == _T_UTF8VIEW:
+        return "utf8view"
+    if ttype == _T_LISTVIEW:
+        return "listview"
+    if ttype == _T_LARGELISTVIEW:
+        return "largelistview"
     if ttype == _T_TIMESTAMP:
         # Timestamp: unit(0: 0 s, 1 ms, 2 us, 3 ns), timezone(1).
         # tz-aware columns decode as UTC INSTANTS (aware datetimes with
@@ -245,7 +258,8 @@ def _parse_field(f: _Table) -> dict:
     _cat, nch = f.vector(5)
     children = [_parse_field(f.vtable_elem(5, i)) for i in range(nch)]
     is_listy = (
-        typ in ("list", "largelist", "map") or typ.startswith("fixedlist:")
+        typ in ("list", "largelist", "map", "listview", "largelistview")
+        or typ.startswith("fixedlist:")
     )
     if is_listy and len(children) != 1:
         raise ValueError(f"list field carries {len(children)} children")
@@ -312,6 +326,8 @@ def _type_str(spec: dict) -> str:
         return f"{t}<{inner}>"
     if t == "runend":
         return f"runend<{_type_str(spec['children'][1])}>"
+    if t in ("listview", "largelistview"):
+        return f"{t}<{_type_str(spec['children'][0])}>"
     return t
 
 
@@ -418,12 +434,24 @@ class _BatchBody:
     """Buffer access for one RecordBatch body, decompressing per-buffer
     when the batch declares BodyCompression."""
 
-    def __init__(self, payload, body_at, bufs, codec):
+    def __init__(self, payload, body_at, bufs, codec, variadic=()):
         self.payload = payload
         self.body_at = body_at
         self.bufs = bufs
         self.codec = codec
         self.bi = 0
+        # RecordBatch.variadicBufferCounts: one entry per view-typed
+        # field in depth-first field order — how many data buffers that
+        # field appended after its views buffer
+        self.variadic = iter(variadic)
+
+    def next_variadic_count(self) -> int:
+        try:
+            return next(self.variadic)
+        except StopIteration:
+            raise ValueError(
+                "view column but no variadicBufferCounts entry left"
+            ) from None
 
     def next_buffer(self) -> bytes:
         if self.bi >= len(self.bufs):
@@ -662,6 +690,58 @@ def _decode_column(spec, nodes, body, dictionaries):
             None if is_null(i) else bytes(data[offs[i] : offs[i + 1]])
             for i in range(length)
         ]
+    if typ in ("utf8view", "binaryview"):
+        # view layout: one buffer of 16-byte view structs, then a
+        # VARIADIC run of data buffers whose count comes from the
+        # RecordBatch's variadicBufferCounts. Each view: int32 length;
+        # length <= 12 inlines the bytes, else int32 prefix + int32
+        # buffer index + int32 offset into that data buffer.
+        views = body.next_buffer()
+        data_bufs = [body.next_buffer() for _ in range(body.next_variadic_count())]
+        out = []
+        for i in range(length):
+            if is_null(i):
+                out.append(None)
+                continue
+            at = 16 * i
+            ln = _i32(views, at)
+            if ln < 0:
+                raise ValueError("negative view length")
+            if ln <= 12:
+                raw = views[at + 4 : at + 4 + ln]
+            else:
+                bidx = _i32(views, at + 8)
+                off = _i32(views, at + 12)
+                if bidx >= len(data_bufs):
+                    raise ValueError(
+                        f"view references data buffer {bidx} of "
+                        f"{len(data_bufs)}"
+                    )
+                raw = data_bufs[bidx][off : off + ln]
+                if len(raw) != ln:
+                    raise ValueError("view exceeds its data buffer")
+                if raw[:4] != views[at + 4 : at + 8]:
+                    raise ValueError("view prefix mismatch")
+            out.append(
+                raw.decode("utf-8") if typ == "utf8view" else bytes(raw)
+            )
+        return out
+    if typ in ("listview", "largelistview"):
+        # offsets AND sizes buffers (unordered, possibly overlapping
+        # ranges into the child — the out-of-order-write layout)
+        fmt = "i" if typ == "listview" else "q"
+        offs = struct.unpack_from(f"<{length}{fmt}", body.next_buffer(), 0)
+        sizes = struct.unpack_from(f"<{length}{fmt}", body.next_buffer(), 0)
+        child = _decode_column(spec["children"][0], nodes, body, dictionaries)
+        out = []
+        for i in range(length):
+            if is_null(i):
+                out.append(None)
+                continue
+            if offs[i] < 0 or sizes[i] < 0 or offs[i] + sizes[i] > len(child):
+                raise ValueError("list view range outside child array")
+            out.append(child[offs[i] : offs[i] + sizes[i]])
+        return out
     if typ in ("date32", "date64") or typ.startswith("ts_"):
         import datetime as _dt
 
@@ -711,7 +791,8 @@ def _decode_column(spec, nodes, body, dictionaries):
 
 def _batch_parts(payload, header, body_at):
     """(nodes iterator, _BatchBody, n_rows) for a RecordBatch table."""
-    # RecordBatch: length(0), nodes(1), buffers(2), compression(3)
+    # RecordBatch: length(0), nodes(1), buffers(2), compression(3),
+    # variadicBufferCounts(4)
     n_rows = header.scalar(0, "<q", 0)
     nat, nn = header.vector(1)
     nodes = iter(
@@ -733,7 +814,9 @@ def _batch_parts(payload, header, body_at):
             codec = "lz4"
         else:
             raise NotImplementedError("zstd-compressed arrow body")
-    return nodes, _BatchBody(payload, body_at, bufs, codec), n_rows
+    vat, vn = header.vector(4)
+    variadic = [_i64(payload, vat + 8 * i) for i in range(vn)]
+    return nodes, _BatchBody(payload, body_at, bufs, codec, variadic), n_rows
 
 
 def parse_arrow_ipc(payload: bytes) -> tuple[list[tuple[str, str]], list[dict]]:

@@ -2288,6 +2288,19 @@ def media_arrow_from_documents(docs: DataFrame) -> DataFrame:
                         [did * 13 + k for k in range(3)],
                         type=pa.duration("ns"),
                     )
+                if did % 13 == 6:
+                    # >12-byte values exercise the variadic data-buffer
+                    # path; short ones the inline path
+                    cols["wire_v"] = pa.array(
+                        [f"doc-{did} padded well past twelve bytes",
+                         f"s{did % 9}", None],
+                        type=pa.string_view(),
+                    )
+                elif did % 13 == 10:
+                    cols["wire_v"] = pa.array(
+                        [[did % 7, k] for k in range(3)],
+                        type=pa.list_view(pa.int64()),
+                    )
                 t = pa.table(cols)
                 buf = io.BytesIO()
                 opener = ipc.new_file if did % 2 == 0 else ipc.new_stream

@@ -474,6 +474,48 @@ def test_run_end_encoded_decode():
     assert [r["n"] for r in rows3] == [7, 7, 7, None, 9]
 
 
+def test_view_types_decode():
+    """Utf8View/BinaryView (16-byte view structs + variadic data
+    buffers counted by RecordBatch.variadicBufferCounts; <= 12-byte
+    values inline, longer ones carry a 4-byte prefix that must match
+    the referenced bytes) and ListView/LargeListView (offsets + sizes
+    buffers, ranges may be unordered) — all cross-validated against
+    pyarrow, including multi-batch and lz4-compressed forms."""
+    long = "a much longer string exceeding twelve bytes"
+    t = pa.table(
+        {
+            "sv": pa.array(
+                ["short", long, None, "", "exactly12byt"],
+                type=pa.string_view(),
+            ),
+            "bv": pa.array(
+                [b"x" * 3, b"y" * 40, None, b"", b"z" * 12],
+                type=pa.binary_view(),
+            ),
+            "lv": pa.array(
+                [[1, 2], [3], None, [], [4, 5, 6]],
+                type=pa.list_view(pa.int64()),
+            ),
+            "llv": pa.array(
+                [["a"], None, ["b", "c"], [], ["d"]],
+                type=pa.large_list_view(pa.string()),
+            ),
+        }
+    )
+    schema, rows = parse_arrow_ipc(_stream(t, max_chunksize=2))
+    assert [tp for _n, tp in schema] == [
+        "utf8view", "binaryview", "listview<int64>", "largelistview<utf8>",
+    ]
+    assert rows == t.to_pylist()
+    buf = io.BytesIO()
+    with ipc.new_stream(
+        buf, t.schema, options=ipc.IpcWriteOptions(compression="lz4")
+    ) as w:
+        w.write_table(t)
+    _s, rows_lz4 = parse_arrow_ipc(buf.getvalue())
+    assert rows_lz4 == t.to_pylist()
+
+
 def test_interval_units_decode():
     """month-day-nano cross-validates against pyarrow (MonthDayNano is
     tuple-comparable). pyarrow cannot CONSTRUCT year-month / day-time

@@ -271,6 +271,13 @@ def _valid_payloads_wave3():
             "ts": pa.array([10, 20, 30], type=pa.int64()).cast(
                 pa.timestamp("ns", tz="UTC")
             ),
+            "sv": pa.array(
+                ["in", "a much longer string exceeding twelve bytes", None],
+                type=pa.string_view(),
+            ),
+            "lv": pa.array(
+                [[1, 2], None, [3]], type=pa.list_view(pa.int64())
+            ),
         }
     )
     with ipc.new_stream(ubuf, ut.schema) as w:
