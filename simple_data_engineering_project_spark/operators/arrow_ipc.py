@@ -30,6 +30,9 @@ format itself, the way the spec defines it:
   frame/block decompressor (each buffer is an int64 uncompressed
   length followed by an LZ4 frame; -1 marks a raw buffer). Frame
   checksums are skipped, not verified.
+- ZSTD-compressed bodies decode through the pure-Python RFC 8878
+  decoder in :mod:`.zstd` (FSE + Huffman + sequence execution),
+  cross-validated against the zstd CLI and pyarrow's codec.
 
 Also decoded for real: SPARSE and DENSE UNIONS (types buffer +
 dense offsets, typeIds remapping, no validity bitmap per the V5
@@ -47,12 +50,11 @@ ones resolved through the RecordBatch's variadicBufferCounts-counted
 data buffers with the 4-byte prefix cross-checked) and ListView/
 LargeListView (offsets + sizes buffers, unordered ranges).
 
-Out of envelope (honest ``NotImplementedError``): ZSTD bodies (no
-stdlib zstd on this Python; revisit when ``compression.zstd`` lands
-in 3.14), big-endian streams, non-128-bit decimals.
+Out of envelope (honest ``NotImplementedError``/``ValueError``):
+big-endian streams, non-128-bit decimals, external zstd dictionaries.
 Tests cross-validate against pyarrow (the
-writer side) including dictionary, nested, and lz4 payloads, plus
-tamper/envelope pins. (∅ in reference; Tier C extension.)
+writer side) including dictionary, nested, lz4, and zstd payloads,
+plus tamper/envelope pins. (∅ in reference; Tier C extension.)
 """
 
 from __future__ import annotations
@@ -466,10 +468,15 @@ class _BatchBody:
         ulen = _i64(raw, 0)
         if ulen == -1:
             return raw[8:]
-        plain = lz4_frame_decompress(raw[8:])
+        if self.codec == "zstd":
+            from .zstd import zstd_decompress
+
+            plain = zstd_decompress(raw[8:])
+        else:
+            plain = lz4_frame_decompress(raw[8:])
         if len(plain) != ulen:
             raise ValueError(
-                f"lz4 buffer decompressed to {len(plain)} bytes, "
+                f"{self.codec} buffer decompressed to {len(plain)} bytes, "
                 f"declared {ulen}"
             )
         return plain
@@ -812,8 +819,10 @@ def _batch_parts(payload, header, body_at):
         c = comp.scalar(0, "<b", 0)  # 0 LZ4_FRAME, 1 ZSTD
         if c == 0:
             codec = "lz4"
+        elif c == 1:
+            codec = "zstd"  # pure-Python RFC 8878 decoder (zstd.py)
         else:
-            raise NotImplementedError("zstd-compressed arrow body")
+            raise ValueError(f"unknown arrow body compression codec {c}")
     vat, vn = header.vector(4)
     variadic = [_i64(payload, vat + 8 * i) for i in range(vn)]
     return nodes, _BatchBody(payload, body_at, bufs, codec, variadic), n_rows

@@ -2202,7 +2202,8 @@ def media_arrow_from_documents(docs: DataFrame) -> DataFrame:
     identically (so one oracle pins them all): every 3rd document
     DICTIONARY-encodes the name column, every 4th≡1 adds a nested
     list<int64> column (ignored by the extractor but decoded on the
-    wire), every 5th≡2 compresses bodies with LZ4_FRAME, every 7th≡3
+    wire), every 5th≡2 compresses bodies with LZ4_FRAME, every 5th≡4
+    with ZSTD (through the pure-Python RFC 8878 decoder), every 7th≡3
     RUN-END-encodes the name column (same values, REE wire layout),
     every 7th≡5/≡6 adds a dense/sparse UNION column with custom type
     codes, and every 11th≡4/≡7/≡9 adds a tz-aware ns timestamp /
@@ -2304,11 +2305,14 @@ def media_arrow_from_documents(docs: DataFrame) -> DataFrame:
                 t = pa.table(cols)
                 buf = io.BytesIO()
                 opener = ipc.new_file if did % 2 == 0 else ipc.new_stream
-                opts = (
-                    ipc.IpcWriteOptions(compression="lz4")
-                    if did % 5 == 2
-                    else None
-                )
+                if did % 5 == 2:
+                    opts = ipc.IpcWriteOptions(compression="lz4")
+                elif did % 5 == 4:
+                    # exercises the pure-Python RFC 8878 decoder
+                    # (operators/zstd.py) through the IPC body path
+                    opts = ipc.IpcWriteOptions(compression="zstd")
+                else:
+                    opts = None
                 with opener(buf, t.schema, options=opts) as w:
                     w.write_table(t, max_chunksize=2)
                 rows.append(

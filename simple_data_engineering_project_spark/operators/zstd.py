@@ -1,0 +1,663 @@
+"""Pure-Python Zstandard (RFC 8878) frame decoder (SURVEY §2 C5).
+
+zstd is the default body compression of several Arrow IPC writers, a
+common parquet/page codec, and the usual ``.tar.zst`` shard wrapper —
+and this Python (3.11) ships no ``compression.zstd``, so the engine
+decodes the format itself, the way the RFC defines it:
+
+- FRAMES: magic 0xFD2FB528, frame-header descriptor (FCS field size,
+  single-segment flag, checksum flag, dictionary-id flag), window
+  descriptor, then data blocks; skippable frames (0x184D2A50-5F) are
+  skipped; the optional 4-byte xxh64 content checksum is skipped, not
+  verified (no stdlib xxhash; lengths are still enforced).
+- BLOCKS: 3-byte headers (last/type/size); Raw copies, RLE repeats,
+  Compressed carries a literals section + a sequences section.
+- LITERALS: Raw/RLE forms, and Huffman-compressed forms in one or four
+  streams (with the 6-byte jump table), including Treeless blocks that
+  reuse the previous block's table. Huffman table descriptions come
+  either as direct 4-bit weights or as an FSE-COMPRESSED weight stream
+  (two interleaved states); the implicit last weight is recovered from
+  the next-power-of-two rule and the canonical table is built
+  weight-major, natural symbol order within a weight.
+- SEQUENCES: per-block FSE tables for literal-length, offset, and
+  match-length codes in all four modes — Predefined (the RFC's default
+  distributions), RLE, FSE_Compressed (self-describing normalized
+  counts incl. zero-probability repeat flags and "less-than-one"
+  slots), and Repeat. States initialize LL→OF→ML and update LL→ML→OF,
+  extra bits read OF→ML→LL per the spec; the three-slot repeat-offset
+  history implements the offset-value rules incl. the
+  literal-length-0 shift and the rep1−1 case.
+- All entropy bitstreams read BACKWARD from a 1-sentinel in the last
+  byte, as the format requires.
+
+Correctness is pinned by cross-validation against two reference
+implementations available in this environment — the zstd CLI and
+pyarrow's bundled codec — over content engineered to exercise every
+table mode (tiny/RLE-ish, highly repetitive, random-incompressible,
+large multi-block), plus truncation/bit-flip tamper sweeps. That is
+what makes this decoder honest where MP3/AAC were declined: the spec
+tables here (default FSE distributions, LL/ML/OF code value tables)
+are VERIFIED against independent encoders on every test run — a wrong
+table fails loudly instead of passing a self-consistent round-trip.
+
+Out of envelope (honest ``NotImplementedError``): external
+dictionaries (dictionary_id != 0 — IPC/parquet never use them) and
+window sizes above 512 MB (sanity bound).
+
+(∅ in reference; Tier C extension. Consumed by operators/arrow_ipc.py
+for ZSTD-compressed record-batch bodies.)
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAGIC = 0xFD2FB528
+_SKIPPABLE_LO, _SKIPPABLE_HI = 0x184D2A50, 0x184D2A5F
+_MAX_WINDOW = 512 << 20
+
+# RFC 8878 predefined FSE distributions (§3.1.1.3.2.2)
+_LL_DEFAULTS = (
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1,
+)
+_LL_DEFAULT_LOG = 6
+_ML_DEFAULTS = (
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+    -1, -1, -1, -1, -1,
+)
+_ML_DEFAULT_LOG = 6
+_OF_DEFAULTS = (
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1,
+)
+_OF_DEFAULT_LOG = 5
+
+# Literal-length code → (baseline, extra bits) (§3.1.1.3.2.1.1)
+_LL_BASE = tuple(range(16)) + (
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512,
+    1024, 2048, 4096, 8192, 16384, 32768, 65536,
+)
+_LL_BITS = (0,) * 16 + (
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+)
+# Match-length code → (baseline, extra bits)
+_ML_BASE = tuple(range(3, 35)) + (
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515,
+    1027, 2051, 4099, 8195, 16387, 32771, 65539,
+)
+_ML_BITS = (0,) * 32 + (
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+)
+
+
+class _BackBits:
+    """The RFC's backward bitstream: a 1-sentinel tops the final byte,
+    bits are consumed high-to-low walking toward the first byte."""
+
+    def __init__(self, data: bytes) -> None:
+        if not data:
+            raise ValueError("empty zstd bitstream")
+        last = data[-1]
+        if last == 0:
+            raise ValueError("zstd bitstream missing sentinel bit")
+        self.val = int.from_bytes(data, "little")
+        self.pos = 8 * len(data) - (8 - last.bit_length())  # drop pad
+        self.pos -= 1  # drop the sentinel itself
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self.pos -= n
+        if self.pos < 0:
+            raise ValueError("zstd bitstream exhausted")
+        return (self.val >> self.pos) & ((1 << n) - 1)
+
+    def read_lenient(self, n: int) -> int:
+        """Read that zero-pads past the start — FSE/Huffman streams
+        legally drain slightly past their last full symbol."""
+        if n == 0:
+            return 0
+        self.pos -= n
+        if self.pos <= -64:
+            raise ValueError("zstd bitstream over-drained")
+        if self.pos < 0:
+            return (self.val << -self.pos) & ((1 << n) - 1)
+        return (self.val >> self.pos) & ((1 << n) - 1)
+
+    @property
+    def empty(self) -> bool:
+        return self.pos <= 0
+
+
+# ------------------------------------------------------------- FSE
+
+
+def _fse_read_distribution(data: bytes, pos: int):
+    """Parse an FSE table description (§4.1.1): returns
+    (accuracy_log, [normalized counts], next byte position)."""
+    if pos >= len(data):
+        raise ValueError("truncated FSE table description")
+    # forward bitstream, little-endian within the byte run
+    bitpos = 0
+
+    def read(n):
+        nonlocal bitpos
+        end = pos + ((bitpos + n + 7) // 8)
+        if end > len(data):
+            raise ValueError("truncated FSE table description")
+        chunk = int.from_bytes(data[pos : pos + ((bitpos + n + 7) // 8)], "little")
+        v = (chunk >> bitpos) & ((1 << n) - 1)
+        bitpos += n
+        return v
+
+    accuracy_log = read(4) + 5
+    if accuracy_log > 9:
+        raise ValueError(f"FSE accuracy log {accuracy_log} > 9")
+    remaining = (1 << accuracy_log) + 1
+    counts: list[int] = []
+    while remaining > 1:
+        if len(counts) > 255:
+            raise ValueError("FSE distribution overruns symbol space")
+        bits = remaining.bit_length()  # max is 'remaining', needs this many
+        lo_mask = (1 << (bits - 1)) - 1
+        thresh = (1 << bits) - 1 - remaining  # count of small codes
+        v = read(bits - 1)
+        if v < thresh:
+            value = v
+        else:
+            v2 = v + (read(1) << (bits - 1))
+            value = v2 if v2 < (1 << (bits - 1)) else v2 - thresh
+        prob = value - 1  # -1 encodes "less than one"
+        counts.append(prob)
+        remaining -= abs(prob) if prob != 0 else 0
+        if prob == 0:
+            # 2-bit repeat flags: how many MORE zero-probability symbols
+            while True:
+                rep = read(2)
+                counts.extend([0] * rep)
+                if rep != 3:
+                    break
+    if remaining != 1:
+        raise ValueError("FSE distribution does not sum to table size")
+    return accuracy_log, counts, pos + (bitpos + 7) // 8
+
+
+def _fse_build_table(accuracy_log: int, counts: list[int]):
+    """Decode table per §4.1.2: per state (symbol, nb_bits, baseline)."""
+    size = 1 << accuracy_log
+    symbols = [0] * size
+    high = size - 1
+    # "less than 1" symbols take single slots from the table's end
+    for s, p in enumerate(counts):
+        if p == -1:
+            symbols[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    position = 0
+    for s, p in enumerate(counts):
+        if p <= 0:
+            continue
+        for _ in range(p):
+            symbols[position] = s
+            position = (position + step) & mask
+            while position > high:
+                position = (position + step) & mask
+    if position != 0:
+        raise ValueError("FSE table spread did not return to zero")
+    # per-symbol state numbering → nb_bits/baseline
+    next_count = {}
+    for s, p in enumerate(counts):
+        next_count[s] = abs(p) if p != 0 else 0
+    nb_bits = [0] * size
+    baseline = [0] * size
+    for state in range(size):
+        s = symbols[state]
+        freq = next_count[s]
+        next_count[s] = freq + 1
+        nb = accuracy_log - (freq.bit_length() - 1)
+        nb_bits[state] = nb
+        baseline[state] = (freq << nb) - size
+    return symbols, nb_bits, baseline
+
+
+class _FseDecoder:
+    def __init__(self, accuracy_log: int, counts: list[int]) -> None:
+        self.log = accuracy_log
+        self.symbols, self.nb_bits, self.baseline = _fse_build_table(
+            accuracy_log, counts
+        )
+        self.state = 0
+
+    def init_state(self, bits: _BackBits) -> None:
+        self.state = bits.read(self.log)
+
+    def peek_symbol(self) -> int:
+        return self.symbols[self.state]
+
+    def update_state(self, bits: _BackBits) -> None:
+        nb = self.nb_bits[self.state]
+        self.state = self.baseline[self.state] + bits.read_lenient(nb)
+
+
+# ----------------------------------------------------------- Huffman
+
+
+def _huffman_weights(data: bytes, pos: int):
+    """Huffman tree description (§4.2.1): returns (weights, next pos)."""
+    if pos >= len(data):
+        raise ValueError("truncated huffman description")
+    h = data[pos]
+    pos += 1
+    if h >= 128:  # direct: h-127 weights, 4 bits each
+        n = h - 127
+        nbytes = (n + 1) // 2
+        if pos + nbytes > len(data):
+            raise ValueError("truncated huffman weights")
+        weights = []
+        for i in range(n):
+            b = data[pos + i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        return weights, pos + nbytes
+    # FSE-compressed weight stream of h bytes, two alternating states
+    if pos + h > len(data):
+        raise ValueError("truncated huffman FSE weight stream")
+    blob = data[pos : pos + h]
+    log, counts, dpos = _fse_read_distribution(blob, 0)
+    if log > 6:
+        raise ValueError("huffman weight FSE accuracy log > 6")
+    bits = _BackBits(blob[dpos:])
+    even = _FseDecoder(log, counts)
+    odd = _FseDecoder(log, counts)
+    even.init_state(bits)
+    odd.init_state(bits)
+    # Two interleaved states; a state EMITS then updates (zero-filling
+    # past the stream start is legal) — when an update has over-drained,
+    # the OTHER state flushes its final symbol and decoding stops.
+    weights = []
+    while True:
+        weights.append(even.peek_symbol())
+        even.update_state(bits)
+        if bits.pos < 0:
+            weights.append(odd.peek_symbol())
+            break
+        weights.append(odd.peek_symbol())
+        odd.update_state(bits)
+        if bits.pos < 0:
+            weights.append(even.peek_symbol())
+            break
+        if len(weights) > 255:
+            raise ValueError("huffman weight stream overruns 255 symbols")
+    return weights, pos + h
+
+
+class _HuffDecoder:
+    def __init__(self, weights: list[int]) -> None:
+        # implicit last weight: completes the weight sum to the next
+        # power of two (strictly greater — the last symbol is coded)
+        total = sum((1 << (w - 1)) for w in weights if w > 0)
+        if total == 0:
+            raise ValueError("huffman table with no coded symbols")
+        max_bits = total.bit_length()  # log2 of next power of two > total
+        target = 1 << max_bits
+        last = target - total
+        if last & (last - 1):
+            raise ValueError("huffman weights do not complete a power of 2")
+        weights = weights + [last.bit_length()]
+        self.max_bits = max_bits
+        # weight-major fill (longest codes first), natural symbol order
+        table = [None] * target  # (symbol, nbits) per max_bits-prefix
+        at = 0
+        for w in range(1, max_bits + 1):
+            nbits = max_bits + 1 - w
+            span = 1 << (max_bits - nbits)
+            for s, ws in enumerate(weights):
+                if ws != w:
+                    continue
+                for _ in range(span):
+                    table[at] = (s, nbits)
+                    at += 1
+        if at != target:
+            raise ValueError("huffman table not fully populated")
+        self.table = table
+
+    def decode_stream(self, blob: bytes, n_out: int) -> bytearray:
+        bits = _BackBits(blob)
+        out = bytearray()
+        mb = self.max_bits
+        while len(out) < n_out:
+            idx = bits.read_lenient(mb)
+            sym, nb = self.table[idx]
+            bits.pos += mb - nb  # give back unused bits
+            out.append(sym)
+            if bits.pos <= -1 and len(out) < n_out:
+                raise ValueError("huffman stream drained early")
+        return out
+
+
+# ----------------------------------------------------------- blocks
+
+
+def _literals(data: bytes, pos: int, prev_huff):
+    """Literals section (§3.1.1.3.1). Returns
+    (literal bytes, next pos, huffman table for reuse)."""
+    if pos >= len(data):
+        raise ValueError("truncated literals section")
+    b0 = data[pos]
+    ltype = b0 & 3
+    size_fmt = (b0 >> 2) & 3
+    if ltype in (0, 1):  # Raw / RLE
+        if size_fmt in (0, 2):
+            # 00/10: 1-byte header, 5-bit size (fmt bit 2 is size bit 0)
+            rsize = b0 >> 3
+            hsz = 1
+        elif size_fmt == 1:
+            if pos + 2 > len(data):
+                raise ValueError("truncated literals header")
+            rsize = (b0 >> 4) | (data[pos + 1] << 4)
+            hsz = 2
+        else:
+            if pos + 3 > len(data):
+                raise ValueError("truncated literals header")
+            rsize = (b0 >> 4) | (data[pos + 1] << 4) | (data[pos + 2] << 12)
+            hsz = 3
+        pos += hsz
+        if ltype == 0:
+            if pos + rsize > len(data):
+                raise ValueError("raw literals past block end")
+            return bytearray(data[pos : pos + rsize]), pos + rsize, prev_huff
+        if pos + 1 > len(data):
+            raise ValueError("rle literal byte missing")
+        return bytearray(data[pos : pos + 1] * rsize), pos + 1, prev_huff
+    # Compressed (2) / Treeless (3)
+    if size_fmt == 0:
+        streams, bits_n, hsz = 1, 10, 3
+    elif size_fmt == 1:
+        streams, bits_n, hsz = 4, 10, 3
+    elif size_fmt == 2:
+        streams, bits_n, hsz = 4, 14, 4
+    else:
+        streams, bits_n, hsz = 4, 18, 5
+    if pos + hsz > len(data):
+        raise ValueError("truncated compressed-literals header")
+    hdr = int.from_bytes(data[pos : pos + hsz], "little")
+    regen = (hdr >> 4) & ((1 << bits_n) - 1)
+    comp = (hdr >> (4 + bits_n)) & ((1 << bits_n) - 1)
+    pos += hsz
+    end = pos + comp
+    if end > len(data):
+        raise ValueError("compressed literals past block end")
+    if ltype == 2:
+        _w, pos2 = _huffman_weights(data, pos)
+        huff = _HuffDecoder(_w)
+    else:
+        if prev_huff is None:
+            raise ValueError("treeless literals with no previous table")
+        huff = prev_huff
+        pos2 = pos
+    body = data[pos2:end]
+    if streams == 1:
+        out = huff.decode_stream(body, regen)
+    else:
+        if len(body) < 6:
+            raise ValueError("four-stream literals without jump table")
+        s1, s2, s3 = struct.unpack_from("<HHH", body, 0)
+        starts = [6, 6 + s1, 6 + s1 + s2, 6 + s1 + s2 + s3, len(body)]
+        if starts[3] > len(body):
+            raise ValueError("literal stream jump table past section")
+        per = (regen + 3) // 4
+        out = bytearray()
+        for i in range(4):
+            want = per if i < 3 else regen - 3 * per
+            if want < 0:
+                raise ValueError("negative final literal stream size")
+            out += huff.decode_stream(body[starts[i] : starts[i + 1]], want)
+    if len(out) != regen:
+        raise ValueError("literals regenerated size mismatch")
+    return out, end, huff
+
+
+def _sequences_tables(data, pos, mode, kind, prev):
+    """One of LL/OF/ML per Symbol_Compression_Modes (§3.1.1.3.2.1)."""
+    defaults = {
+        "ll": (_LL_DEFAULT_LOG, _LL_DEFAULTS, 35),
+        "of": (_OF_DEFAULT_LOG, _OF_DEFAULTS, 31),
+        "ml": (_ML_DEFAULT_LOG, _ML_DEFAULTS, 52),
+    }[kind]
+    if mode == 0:  # Predefined
+        return _FseDecoder(defaults[0], list(defaults[1])), pos
+    if mode == 1:  # RLE: single symbol, zero-bit table
+        if pos >= len(data):
+            raise ValueError("truncated RLE sequence table")
+        sym = data[pos]
+        dec = _FseDecoder.__new__(_FseDecoder)
+        dec.log = 0
+        dec.symbols, dec.nb_bits, dec.baseline = [sym], [0], [0]
+        dec.state = 0
+        return dec, pos + 1
+    if mode == 2:  # FSE_Compressed
+        log, counts, pos2 = _fse_read_distribution(data, pos)
+        return _FseDecoder(log, counts), pos2
+    if prev is None:  # Repeat
+        raise ValueError("repeat sequence table with no previous table")
+    # fresh decoder sharing the previous table arrays
+    dec = _FseDecoder.__new__(_FseDecoder)
+    dec.log, dec.symbols = prev.log, prev.symbols
+    dec.nb_bits, dec.baseline = prev.nb_bits, prev.baseline
+    dec.state = 0
+    return dec, pos
+
+
+def zstd_decompress(payload: bytes, max_output: int = _MAX_WINDOW) -> bytes:
+    """Decode a (possibly multi-frame) zstd payload."""
+    out = bytearray()
+    pos = 0
+    n = len(payload)
+    if n == 0:
+        raise ValueError("empty zstd payload")
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("truncated zstd magic")
+        magic = struct.unpack_from("<I", payload, pos)[0]
+        pos += 4
+        if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
+            if pos + 4 > n:
+                raise ValueError("truncated skippable frame size")
+            skip = struct.unpack_from("<I", payload, pos)[0]
+            pos += 4 + skip
+            if pos > n:
+                raise ValueError("skippable frame past payload end")
+            continue
+        if magic != _MAGIC:
+            raise ValueError(f"bad zstd magic 0x{magic:08x}")
+        pos = _frame(payload, pos, out, max_output)
+    return bytes(out)
+
+
+def _frame(data: bytes, pos: int, out: bytearray, max_output: int) -> int:
+    if pos >= len(data):
+        raise ValueError("truncated frame header")
+    fhd = data[pos]
+    pos += 1
+    if fhd & 0x08:
+        raise ValueError("reserved frame-header bit set")
+    single = bool(fhd & 0x20)
+    checksum = bool(fhd & 0x04)
+    did_sz = (0, 1, 2, 4)[fhd & 3]
+    fcs_code = fhd >> 6
+    fcs_sz = (1 if single else 0, 2, 4, 8)[fcs_code]
+    window = None
+    if not single:
+        if pos >= len(data):
+            raise ValueError("truncated window descriptor")
+        wd = data[pos]
+        pos += 1
+        base = 1 << (10 + (wd >> 3))
+        window = base + (base // 8) * (wd & 7)
+    if did_sz:
+        if pos + did_sz > len(data):
+            raise ValueError("truncated dictionary id")
+        did = int.from_bytes(data[pos : pos + did_sz], "little")
+        pos += did_sz
+        if did:
+            raise NotImplementedError("zstd external dictionary")
+    fcs = None
+    if fcs_sz:
+        if pos + fcs_sz > len(data):
+            raise ValueError("truncated frame content size")
+        fcs = int.from_bytes(data[pos : pos + fcs_sz], "little")
+        if fcs_sz == 2:
+            fcs += 256
+        pos += fcs_sz
+    if single:
+        window = fcs
+    if window is not None and window > _MAX_WINDOW:
+        raise NotImplementedError(f"zstd window {window} exceeds sanity cap")
+    frame_start = len(out)
+    prev_huff = None
+    tables = {"ll": None, "of": None, "ml": None}
+    rep = [1, 4, 8]
+    while True:
+        if pos + 3 > len(data):
+            raise ValueError("truncated block header")
+        bh = int.from_bytes(data[pos : pos + 3], "little")
+        pos += 3
+        last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+        if len(out) - frame_start + bsize > max_output + (1 << 17):
+            raise ValueError("zstd output exceeds allowed maximum")
+        if btype == 0:  # raw
+            if pos + bsize > len(data):
+                raise ValueError("raw block past payload end")
+            out += data[pos : pos + bsize]
+            pos += bsize
+        elif btype == 1:  # RLE
+            if pos >= len(data):
+                raise ValueError("rle block byte missing")
+            out += data[pos : pos + 1] * bsize
+            pos += 1
+        elif btype == 2:
+            if pos + bsize > len(data):
+                raise ValueError("compressed block past payload end")
+            prev_huff = _block(
+                data[pos : pos + bsize], out, prev_huff, tables, rep
+            )
+            pos += bsize
+        else:
+            raise ValueError("reserved block type")
+        if len(out) - frame_start > max_output:
+            raise ValueError("zstd output exceeds allowed maximum")
+        if last:
+            break
+    if fcs is not None and len(out) - frame_start != fcs:
+        raise ValueError(
+            f"frame decoded to {len(out) - frame_start} bytes, "
+            f"header declared {fcs}"
+        )
+    if checksum:
+        pos += 4  # xxh64 low 32 bits — skipped (documented)
+        if pos > len(data):
+            raise ValueError("truncated content checksum")
+    return pos
+
+
+def _block(blk: bytes, out: bytearray, prev_huff, tables, rep):
+    lits, pos, huff = _literals(blk, 0, prev_huff)
+    # sequences header
+    if pos >= len(blk):
+        raise ValueError("missing sequences section")
+    b0 = blk[pos]
+    if b0 < 128:
+        nseq = b0
+        pos += 1
+    elif b0 < 255:
+        if pos + 2 > len(blk):
+            raise ValueError("truncated sequence count")
+        nseq = ((b0 - 128) << 8) + blk[pos + 1]
+        pos += 2
+    else:
+        if pos + 3 > len(blk):
+            raise ValueError("truncated sequence count")
+        nseq = blk[pos + 1] + (blk[pos + 2] << 8) + 0x7F00
+        pos += 3
+    if nseq == 0:
+        out += lits
+        return huff
+    if pos >= len(blk):
+        raise ValueError("missing symbol compression modes")
+    modes = blk[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("reserved sequence-mode bits set")
+    ll, pos = _sequences_tables(blk, pos, modes >> 6, "ll", tables["ll"])
+    of, pos = _sequences_tables(blk, pos, (modes >> 4) & 3, "of", tables["of"])
+    ml, pos = _sequences_tables(blk, pos, (modes >> 2) & 3, "ml", tables["ml"])
+    tables["ll"], tables["of"], tables["ml"] = ll, of, ml
+    bits = _BackBits(blk[pos:])
+    ll.init_state(bits)
+    of.init_state(bits)
+    ml.init_state(bits)
+    lit_at = 0
+    for i in range(nseq):
+        of_code = of.peek_symbol()
+        if of_code > 31:
+            raise ValueError(f"offset code {of_code} out of range")
+        of_value = (1 << of_code) + bits.read_lenient(of_code)
+        ml_code = ml.peek_symbol()
+        if ml_code > 52:
+            raise ValueError(f"match-length code {ml_code} out of range")
+        match_len = _ML_BASE[ml_code] + bits.read_lenient(_ML_BITS[ml_code])
+        ll_code = ll.peek_symbol()
+        if ll_code > 35:
+            raise ValueError(f"literal-length code {ll_code} out of range")
+        lit_len = _LL_BASE[ll_code] + bits.read_lenient(_LL_BITS[ll_code])
+        # repeat-offset resolution (§3.1.1.5)
+        if of_value > 3:
+            offset = of_value - 3
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+        else:
+            # lit_len == 0 shifts the repeat index up by one; index 3
+            # then means "rep1 - 1"
+            idx = of_value - 1 if lit_len != 0 else of_value
+            if idx == 0:
+                offset = rep[0]
+            elif idx == 1:
+                offset = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            elif idx == 2:
+                offset = rep[2]
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            else:
+                offset = rep[0] - 1
+                if offset <= 0:
+                    raise ValueError("non-positive repeat offset")
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+        if lit_at + lit_len > len(lits):
+            raise ValueError("sequence literal run past literals buffer")
+        out += lits[lit_at : lit_at + lit_len]
+        lit_at += lit_len
+        if offset > len(out):
+            raise ValueError("match offset before output start")
+        if offset >= match_len:
+            start = len(out) - offset
+            out += out[start : start + match_len]
+        else:
+            start = len(out) - offset
+            for k in range(match_len):  # overlapping copy
+                out.append(out[start + k])
+        if i < nseq - 1:
+            ll.update_state(bits)
+            ml.update_state(bits)
+            of.update_state(bits)
+    out += lits[lit_at:]
+    return huff

@@ -8524,15 +8524,17 @@ def spatial_grid_join_q(spark, sf_dir):
     "frame/block decompressor). The payloads are WRITTEN BY PYARROW "
     "(2-row batches; every 2nd doc the Feather-v2 FILE format, every "
     "3rd dictionary-encoded, every 4th≡1 carrying a nested list "
-    "column, every 5th≡2 lz4-compressed, every 7th≡3 RUN-END-encoding "
+    "column, every 5th≡2 lz4-compressed, every 5th≡4 ZSTD-compressed "
+    "(decoded by the pure-Python RFC 8878 FSE/Huffman decoder in "
+    "operators/zstd.py, cross-validated against the zstd CLI and "
+    "pyarrow), every 7th≡3 RUN-END-encoding "
     "the name column, every 7th≡5/≡6 carrying dense/sparse UNION "
     "columns with custom type codes, every 11th≡4/≡7/≡9 carrying "
     "tz-aware-ns-timestamp / month-day-nano-interval / ns-duration "
     "columns) so the gate cross-validates our reader against the "
     "reference implementation on every row — a vtable slip, bitmap "
     "misread, union offset slip, REE expansion bug, or lz4 copy bug "
-    "breaks the hash. ZSTD bodies raise (float16 decodes via "
-    "struct-e). One spread + row-local work; no other shuffle.",
+    "breaks the hash (float16 decodes via struct-e). One spread + row-local work; no other shuffle.",
 )
 def arrow_ipc_read_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")

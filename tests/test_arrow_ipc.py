@@ -40,18 +40,18 @@ def test_pyarrow_cross_validation(form):
     assert rows == t.to_pylist()
 
 
-def test_envelope_raises():
-    # dictionary / nested / lz4 / float16 / temporal / union / interval
-    # / run-end moved IN-envelope; what remains out is zstd bodies (no
-    # pure-stdlib zstd until compression.zstd lands in 3.14)
+def test_zstd_bodies_decode_and_non_arrow_raises():
+    # round-8: zstd bodies moved IN-envelope (pure-Python RFC 8878
+    # decoder, operators/zstd.py) — the full type battery must survive
+    # a zstd-compressed round trip
     t = _table()
     buf = io.BytesIO()
     with ipc.new_stream(
         buf, t.schema, options=ipc.IpcWriteOptions(compression="zstd")
     ) as w:
-        w.write_table(t)
-    with pytest.raises(NotImplementedError, match="zstd"):
-        parse_arrow_ipc(buf.getvalue())
+        w.write_table(t, max_chunksize=3)
+    _schema, rows = parse_arrow_ipc(buf.getvalue())
+    assert rows == t.to_pylist()
     with pytest.raises(ValueError):
         parse_arrow_ipc(b"PAR1 not arrow at all")
 

@@ -1,0 +1,149 @@
+"""Zstandard decoder pins: cross-validation against TWO independent
+reference encoders (the zstd CLI and pyarrow's bundled codec) over
+content engineered to exercise every table mode, plus frame-level
+features and tamper robustness.
+
+This cross-validation is what makes the pure-Python decoder honest
+where MP3/AAC were declined: the RFC tables it embeds (default FSE
+distributions, LL/ML/OF code value tables, canonical Huffman ranking)
+are verified against independent encoders on every run — a wrong
+table fails loudly here instead of passing a self-consistent
+round-trip."""
+
+from __future__ import annotations
+
+import random
+import shutil
+import subprocess
+
+import pyarrow as pa
+import pytest
+
+from simple_data_engineering_project_spark.operators.zstd import (
+    zstd_decompress,
+)
+
+_HAVE_CLI = shutil.which("zstd") is not None
+
+
+def _cli(data: bytes, args: list[str]) -> bytes:
+    p = subprocess.run(
+        ["zstd", *args, "-c"], input=data, capture_output=True
+    )
+    assert p.returncode == 0, p.stderr
+    return p.stdout
+
+
+def _contents() -> dict[str, bytes]:
+    rnd = random.Random(123)
+    return {
+        # raw-literals + predefined sequence tables
+        "rle": b"a" * 5000,
+        # huffman literals + FSE-compressed tables at high levels
+        "text": (" ".join(f"w{i % 997}x{i % 89}" for i in range(30000))).encode(),
+        # incompressible -> raw blocks
+        "random": rnd.randbytes(60000),
+        # short runs -> RLE blocks / repeat offsets
+        "runs": b"".join(
+            bytes([rnd.randrange(4)]) * rnd.randrange(1, 200)
+            for _ in range(1500)
+        ),
+        "tiny": b"x",
+        "empty": b"",
+    }
+
+
+@pytest.mark.parametrize("lvl", [1, 3, 9, 19, 22])
+def test_pyarrow_cross_validation(lvl):
+    c = pa.Codec("zstd", compression_level=lvl)
+    for name, data in _contents().items():
+        enc = c.compress(data, asbytes=True)
+        assert zstd_decompress(enc) == data, (name, lvl)
+
+
+@pytest.mark.skipif(not _HAVE_CLI, reason="no zstd CLI on PATH")
+@pytest.mark.parametrize(
+    "args",
+    [["-1"], ["-3"], ["-19"], ["--ultra", "-22"], ["-5", "--long=25"],
+     ["-3", "--no-check"], ["-3", "--content-size"]],
+)
+def test_cli_cross_validation(args):
+    for name, data in _contents().items():
+        if not data:
+            continue
+        assert zstd_decompress(_cli(data, args)) == data, (name, args)
+
+
+@pytest.mark.skipif(not _HAVE_CLI, reason="no zstd CLI on PATH")
+def test_multi_frame_and_skippable():
+    a, b = _contents()["text"], _contents()["runs"]
+    enc = _cli(a, ["-3"]) + _cli(b, ["-9"])
+    assert zstd_decompress(enc) == a + b
+    skip = (
+        (0x184D2A50).to_bytes(4, "little")
+        + (5).to_bytes(4, "little")
+        + b"abcde"
+    )
+    assert zstd_decompress(skip + _cli(a, ["-3"])) == a
+
+
+def test_fuzz_structured_contents():
+    rnd = random.Random(999)
+    for trial in range(40):
+        kind = trial % 5
+        n = rnd.randrange(0, 30000)
+        if kind == 0:
+            data = rnd.randbytes(n)
+        elif kind == 1:
+            data = bytes([rnd.randrange(3)]) * n
+        elif kind == 2:
+            data = b"".join(
+                f"k{rnd.randrange(50)}=v{rnd.randrange(9)};".encode()
+                for _ in range(n // 8)
+            )
+        elif kind == 3:
+            data = b"".join(
+                rnd.randbytes(3) * rnd.randrange(1, 30)
+                for _ in range(n // 20)
+            )
+        else:
+            data = bytes(rnd.randrange(128, 131) for _ in range(n))
+        lvl = rnd.choice([1, 3, 12, 22])
+        enc = pa.Codec("zstd", compression_level=lvl).compress(
+            data, asbytes=True
+        )
+        assert zstd_decompress(enc) == data, (trial, kind, n, lvl)
+
+
+def test_frame_content_size_enforced():
+    enc = bytearray(pa.Codec("zstd").compress(b"q" * 100, asbytes=True))
+    # frame header: magic(4) + fhd(1); single-segment 1-byte FCS follows
+    assert enc[4] & 0x20  # single segment
+    enc[5] ^= 0x01  # corrupt the declared content size
+    with pytest.raises(ValueError, match="declared"):
+        zstd_decompress(bytes(enc))
+
+
+def test_envelope_and_corruption():
+    with pytest.raises(ValueError, match="magic"):
+        zstd_decompress(b"\x00\x01\x02\x03rest")
+    with pytest.raises(ValueError):
+        zstd_decompress(b"")
+    base = pa.Codec("zstd").compress(
+        b"".join(f"tok{i % 31} ".encode() for i in range(3000)), asbytes=True
+    )
+    # truncations and bit flips: any exception is fine, hangs and
+    # silent wrong output are not (the decoder re-verifies FCS)
+    step = max(1, len(base) // 80)
+    for cut in range(0, len(base), step):
+        try:
+            zstd_decompress(base[:cut])
+        except Exception:
+            pass
+    for at in range(0, len(base), step):
+        m = bytearray(base)
+        m[at] ^= 0x55
+        try:
+            zstd_decompress(bytes(m))
+        except Exception:
+            pass
