@@ -8,7 +8,9 @@ JSON, ``avro.codec``) → 16-byte sync marker → data blocks of
 (record count, byte size, payload, sync) with the sync marker VERIFIED
 per block, codecs ``null``, ``deflate`` (raw zlib), ``snappy``
 (:mod:`.snappy` + the spec's 4-byte big-endian CRC32 of the
-uncompressed block), ``bzip2`` and ``xz`` (both stdlib). Record decoding
+uncompressed block), ``bzip2`` and ``xz`` (both stdlib), and
+``zstandard`` (the pure-Python RFC 8878 decoder in :mod:`.zstd`; one
+raw frame per block, no trailing CRC per the spec). Record decoding
 covers the flat-record schema subset corpus tables use: string, bytes,
 int, long (zigzag varints), float, double, boolean, and the common
 ``["null", T]`` nullable union.
@@ -116,7 +118,7 @@ def parse_avro(payload: bytes) -> tuple[dict, list[dict]]:
             meta[key] = r.bytes_()
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz", "zstandard"):
         raise NotImplementedError(f"avro codec {codec!r}")
     if schema.get("type") != "record":
         raise NotImplementedError("non-record top-level avro schema")
@@ -146,6 +148,12 @@ def parse_avro(payload: bytes) -> tuple[dict, list[dict]]:
             block = snappy_decompress(block[:-4])
             if zlib.crc32(block) & 0xFFFFFFFF != crc:
                 raise ValueError("avro snappy block CRC mismatch")
+        elif codec == "zstandard":
+            # one raw zstd frame per block, no trailing CRC (only the
+            # snappy codec carries one, per the spec)
+            from .zstd import zstd_decompress
+
+            block = zstd_decompress(block)
         br = _Reader(block)
         for _ in range(n_rec):
             rows.append({n: _decode_value(br, t) for n, t in fields})
@@ -221,5 +229,12 @@ def encode_avro(
 
             crc = zlib.crc32(body) & 0xFFFFFFFF
             body = snappy_compress_literal(body) + crc.to_bytes(4, "big")
+        elif codec == "zstandard":
+            # pyarrow's bundled encoder — a reference implementation,
+            # so decoding through operators/zstd.py stays a
+            # cross-implementation check
+            import pyarrow as _pa
+
+            body = _pa.Codec("zstd").compress(body, asbytes=True)
         out += _write_long(len(chunk)) + _write_long(len(body)) + body + sync
     return bytes(out)

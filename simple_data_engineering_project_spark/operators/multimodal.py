@@ -1381,7 +1381,9 @@ def media_webdataset_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic WebDataset shards — the standard multimodal
     training layout: per document a ustar archive holding the sample
     group {stem}.txt / {stem}.cls / {stem}.json; every 2nd shard is
-    .tar.gz. Docs ≡2/≡4 (mod 5) are written by STDLIB tarfile in
+    .tar.gz and docs ≡5 (mod 10) are .tar.zst (pyarrow-compressed,
+    decoded by the pure-Python RFC 8878 decoder by magic sniff).
+    Docs ≡2/≡4 (mod 5) are written by STDLIB tarfile in
     GNU_FORMAT / PAX_FORMAT with a >100-char directory prefix, so the
     graded path exercises GNU 'L' long-name blocks and pax extended
     headers. Each shard holds ONE sample whose members share a single
@@ -1423,6 +1425,14 @@ def media_webdataset_from_documents(docs: DataFrame) -> DataFrame:
                     payload = buf.getvalue()
                 else:
                     payload = encode_tar(members, gzipped=did % 2 == 0)
+                    if did % 10 == 5:
+                        # .tar.zst shard (pyarrow-compressed; decoded
+                        # by the pure-Python RFC 8878 decoder)
+                        import pyarrow as _pa
+
+                        payload = _pa.Codec("zstd").compress(
+                            payload, asbytes=True
+                        )
                 rows.append(
                     {
                         "media_id": did,
@@ -1517,11 +1527,18 @@ def media_zip_from_documents(docs: DataFrame) -> DataFrame:
                     payload = buf.getvalue()
                 else:
                     # even dids reach here (odd ones took the stdlib
-                    # branch above): ≡0 mod 4 deflated, ≡2 mod 4 stored
-                    # — both methods genuinely occur, incl. under zip64
+                    # branch above): ≡0 mod 4 deflated (≡4 mod 12 as
+                    # method-93 Zstandard instead), ≡2 mod 4 stored —
+                    # all methods genuinely occur, incl. under zip64
+                    if did % 12 == 4:
+                        m = 93
+                    elif did % 4 == 0:
+                        m = 8
+                    else:
+                        m = 0
                     payload = encode_zip(
                         members,
-                        method=8 if did % 4 == 0 else 0,
+                        method=m,
                         zip64=did % 6 == 2,
                     )
                 rows.append(
@@ -1656,7 +1673,9 @@ def tfrecord_features(media: DataFrame) -> DataFrame:
 def media_avro_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic Avro OCF table: per document a container with 3
     flat records (long, string, double, nullable-long fields) split
-    over 2-record blocks; codec alternates null/deflate by id."""
+    over 2-record blocks; codec cycles null/deflate/snappy/zstandard
+    by id (zstandard blocks are pyarrow-compressed and decode through
+    the pure-Python RFC 8878 decoder)."""
     from .avro import encode_avro
 
     fields = [
@@ -1690,7 +1709,9 @@ def media_avro_from_documents(docs: DataFrame) -> DataFrame:
                         "payload": encode_avro(
                             fields,
                             recs,
-                            codec=["null", "deflate", "snappy"][did % 3],
+                            codec=["null", "deflate", "snappy", "zstandard"][
+                                did % 4
+                            ],
                         ),
                         "meta": {
                             "modality": "text",

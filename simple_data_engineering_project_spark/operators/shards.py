@@ -13,7 +13,9 @@ shard-per-worker. This parses that for real:
   ``path`` overriding the next member's name; ``g`` records persist as
   archive-global defaults) — cross-validated against stdlib tarfile's
   GNU_FORMAT and PAX_FORMAT writers;
-- optional whole-file gzip (``.tar.gz`` shards);
+- optional whole-file gzip (``.tar.gz``) and zstd (``.tar.zst``,
+  through the pure-Python RFC 8878 decoder in :mod:`.zstd`) shards,
+  both detected by magic;
 - WebDataset grouping: members sorted into samples keyed by the name up
   to the FIRST dot, with everything after it the extension (the
   WebDataset rule — ``a.seg.png`` is extension ``seg.png``).
@@ -53,9 +55,13 @@ def _octal(field: bytes) -> int:
 
 
 def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
-    """(member name, bytes) in archive order; gzip detected by magic."""
+    """(member name, bytes) in archive order; gzip/zstd by magic."""
     if payload[:3] == b"\x1f\x8b\x08":
         payload = gunzip_members(payload)
+    elif payload[:4] == b"\x28\xb5\x2f\xfd":  # .tar.zst
+        from .zstd import zstd_decompress
+
+        payload = zstd_decompress(payload)
     out = []
     pos = 0
     n = len(payload)

@@ -13,10 +13,11 @@ format for real, the way a robust reader must:
 - per entry the central record's sizes are authoritative (local headers
   may carry zeros + a trailing data descriptor when flag bit 3 is set);
   the local header is visited only to skip its own name/extra fields;
-- methods 0 (stored), 8 (deflate, raw zlib), 12 (bzip2), and 14
+- methods 0 (stored), 8 (deflate, raw zlib), 12 (bzip2), 14
   (zip-LZMA, re-framed to a stdlib ALONE header with the central
-  record's size) decompress; the CRC-32 of every decompressed member
-  is VERIFIED against the central record;
+  record's size), and 93 (Zstandard, through the pure-Python RFC 8878
+  decoder in :mod:`.zstd`) decompress; the CRC-32 of every
+  decompressed member is VERIFIED against the central record;
 - ZIP64 decodes for real — multi-GB shards and >65,535-member archives
   are normal at corpus scale: a 0xFFFF/0xFFFFFFFF sentinel in the EOCD
   routes through the zip64 EOCD locator (``PK\\x06\\x07``, fixed 20
@@ -27,7 +28,7 @@ format for real, the way a robust reader must:
 
 Out of envelope (honest ``NotImplementedError``): encrypted entries
 (flag bit 0), multi-disk archives, and the remaining exotic methods
-(ppmd/zstd/xz members are rare in corpus dumps). The companion
+(ppmd/xz members are rare in corpus dumps). The companion
 :func:`encode_zip` writes conformant archives so the oracle entry
 verifies extraction byte-for-byte; tests cross-validate BOTH
 directions against stdlib :mod:`zipfile`, including forced-zip64
@@ -182,6 +183,12 @@ def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
             data = lzma.LZMADecompressor(lzma.FORMAT_ALONE).decompress(
                 hdr + body[9:]
             )
+        elif method == 93:
+            # Zstandard member (APPNOTE 6.3.7+): the body is one raw
+            # zstd frame
+            from .zstd import zstd_decompress
+
+            data = zstd_decompress(body)
         else:
             raise NotImplementedError(f"zip compression method {method}")
         if len(data) != usize or (zlib.crc32(data) & 0xFFFFFFFF) != crc:
@@ -195,15 +202,17 @@ def encode_zip(
     members: list[tuple[str, bytes]], method: int = 8, zip64: bool = False
 ) -> bytes:
     """Minimal conformant zip: local headers + central directory + EOCD,
-    method 0 (stored) or 8 (deflate).
+    method 0 (stored), 8 (deflate), or 93 (Zstandard — compressed with
+    pyarrow's bundled reference encoder, so reading it back through
+    operators/zstd.py stays a cross-implementation check).
 
     ``zip64=True`` writes the full zip64 LAYOUT regardless of size —
     every central size/offset maxed into a 0x0001 extra, an EOCD64
     record + locator, sentineled EOCD counts — the wire shape any
     multi-GB or >65,535-member shard carries (stdlib zipfile reads it,
     so the layout is cross-validatable)."""
-    if method not in (0, 8):
-        raise ValueError("method must be 0 (stored) or 8 (deflate)")
+    if method not in (0, 8, 93):
+        raise ValueError("method must be 0 (stored), 8 (deflate), or 93")
     out = bytearray()
     central = bytearray()
     for name, data in members:
@@ -212,6 +221,10 @@ def encode_zip(
         if method == 8:
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             body = co.compress(data) + co.flush()
+        elif method == 93:
+            import pyarrow as _pa
+
+            body = _pa.Codec("zstd").compress(data, asbytes=True)
         else:
             body = data
         loc_off = len(out)

@@ -24,7 +24,7 @@ ROWS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "bzip2", "xz"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "bzip2", "xz", "zstandard"])
 def test_roundtrip(codec):
     schema, back = parse_avro(encode_avro(FIELDS, ROWS, codec=codec))
     assert back == ROWS

@@ -44,6 +44,57 @@ def test_block_boundary_sizes_and_gzip():
     assert parse_tar(encode_tar(edge, gzipped=True)) == edge
 
 
+def test_tar_zst_by_magic():
+    # .tar.zst shards: zstd sniffed by magic; the compressor is
+    # pyarrow's bundled reference encoder, the decoder is ours
+    # (operators/zstd.py) — a cross-implementation pair, and the CLI
+    # form decodes too when available
+    import shutil
+    import subprocess
+
+    import pyarrow as pa
+
+    edge = [(f"{n}.bin", bytes(range(256)) * n) for n in (0, 1, 3, 9)]
+    raw = encode_tar(edge)
+    assert parse_tar(pa.Codec("zstd").compress(raw, asbytes=True)) == edge
+    if shutil.which("zstd"):
+        p = subprocess.run(
+            ["zstd", "-9", "-c"], input=raw, capture_output=True
+        )
+        assert p.returncode == 0
+        assert parse_tar(p.stdout) == edge
+
+
+def test_zip_zstd_members():
+    # method 93 (Zstandard) members: written with the pyarrow reference
+    # encoder, read back through operators/zstd.py with the central
+    # directory's CRC-32 verified over the decompressed bytes
+    from simple_data_engineering_project_spark.operators.zipshard import (
+        encode_zip,
+        parse_zip,
+    )
+
+    members = [
+        ("a.txt", b"alpha " * 500),
+        ("b.bin", bytes(range(256)) * 40),
+        ("empty", b""),
+    ]
+    z = encode_zip(members, method=93)
+    assert parse_zip(z) == members
+    # zip64 layout composes with method 93
+    z64 = encode_zip(members, method=93, zip64=True)
+    assert parse_zip(z64) == members
+    # CRC over the DECOMPRESSED bytes still gates: corrupt one byte of
+    # the first member's compressed body (local header is 30 + name)
+    broken = bytearray(z)
+    broken[30 + len("a.txt") + 6] ^= 0x01
+    try:
+        got = parse_zip(bytes(broken))
+        assert got != members  # must not silently equal
+    except Exception:
+        pass
+
+
 def test_webdataset_stem_grouping():
     g = group_webdataset(parse_tar(encode_tar(MEMBERS)))
     assert g["000/0001"] == {
