@@ -471,7 +471,10 @@ class _BatchBody:
         if self.codec == "zstd":
             from .zstd import zstd_decompress
 
-            plain = zstd_decompress(raw[8:])
+            if ulen < 0:
+                raise ValueError(f"negative declared buffer length {ulen}")
+            # the declared length doubles as the decompression-bomb cap
+            plain = zstd_decompress(raw[8:], max_output=ulen)
         else:
             plain = lz4_frame_decompress(raw[8:])
         if len(plain) != ulen:
@@ -517,7 +520,15 @@ def _decode_column(spec, nodes, body, dictionaries):
                 raise ValueError(
                     f"union slot carries undeclared type id {tids[i]}"
                 )
-            out.append(kids[ci][offs[i] if dense else i])
+            at = offs[i] if dense else i
+            # range-check: a negative offset would silently alias the
+            # child's tail via Python indexing
+            if at < 0 or at >= len(kids[ci]):
+                raise ValueError(
+                    f"union offset {at} outside child {ci} "
+                    f"(length {len(kids[ci])})"
+                )
+            out.append(kids[ci][at])
         return out
     if typ == "runend":
         # the REE array itself owns NO buffers (not even validity);

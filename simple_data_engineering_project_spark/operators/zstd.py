@@ -163,7 +163,6 @@ def _fse_read_distribution(data: bytes, pos: int):
         if len(counts) > 255:
             raise ValueError("FSE distribution overruns symbol space")
         bits = remaining.bit_length()  # max is 'remaining', needs this many
-        lo_mask = (1 << (bits - 1)) - 1
         thresh = (1 << bits) - 1 - remaining  # count of small codes
         v = read(bits - 1)
         if v < thresh:
@@ -297,12 +296,20 @@ def _huffman_weights(data: bytes, pos: int):
 
 class _HuffDecoder:
     def __init__(self, weights: list[int]) -> None:
+        # RFC 8878 caps Huffman code lengths at 11 bits, so no legal
+        # weight exceeds 11 — reject BEFORE sizing anything from the
+        # weights (a crafted weight of 200 would otherwise attempt a
+        # 2^200-entry table)
+        if any(w > 11 for w in weights):
+            raise ValueError("huffman weight exceeds the 11-bit code cap")
         # implicit last weight: completes the weight sum to the next
         # power of two (strictly greater — the last symbol is coded)
         total = sum((1 << (w - 1)) for w in weights if w > 0)
         if total == 0:
             raise ValueError("huffman table with no coded symbols")
         max_bits = total.bit_length()  # log2 of next power of two > total
+        if max_bits > 11:
+            raise ValueError("huffman table exceeds the 11-bit depth cap")
         target = 1 << max_bits
         last = target - total
         if last & (last - 1):
@@ -527,7 +534,9 @@ def _frame(data: bytes, pos: int, out: bytearray, max_output: int) -> int:
         bh = int.from_bytes(data[pos : pos + 3], "little")
         pos += 3
         last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
-        if len(out) - frame_start + bsize > max_output + (1 << 17):
+        # cap is on the whole PAYLOAD: concatenated frames must not
+        # multiply the budget (decompression-bomb guard)
+        if len(out) + bsize > max_output + (1 << 17):
             raise ValueError("zstd output exceeds allowed maximum")
         if btype == 0:  # raw
             if pos + bsize > len(data):
@@ -543,12 +552,13 @@ def _frame(data: bytes, pos: int, out: bytearray, max_output: int) -> int:
             if pos + bsize > len(data):
                 raise ValueError("compressed block past payload end")
             prev_huff = _block(
-                data[pos : pos + bsize], out, prev_huff, tables, rep
+                data[pos : pos + bsize], out, prev_huff, tables, rep,
+                frame_start,
             )
             pos += bsize
         else:
             raise ValueError("reserved block type")
-        if len(out) - frame_start > max_output:
+        if len(out) > max_output:
             raise ValueError("zstd output exceeds allowed maximum")
         if last:
             break
@@ -564,8 +574,14 @@ def _frame(data: bytes, pos: int, out: bytearray, max_output: int) -> int:
     return pos
 
 
-def _block(blk: bytes, out: bytearray, prev_huff, tables, rep):
+_BLOCK_MAX = 1 << 17  # Block_Maximum_Decompressed_Size ceiling (128 KB)
+
+
+def _block(blk, out: bytearray, prev_huff, tables, rep, frame_start):
+    block_start = len(out)
     lits, pos, huff = _literals(blk, 0, prev_huff)
+    if len(lits) > _BLOCK_MAX:
+        raise ValueError("literals exceed the 128 KB block maximum")
     # sequences header
     if pos >= len(blk):
         raise ValueError("missing sequences section")
@@ -646,8 +662,15 @@ def _block(blk: bytes, out: bytearray, prev_huff, tables, rep):
             raise ValueError("sequence literal run past literals buffer")
         out += lits[lit_at : lit_at + lit_len]
         lit_at += lit_len
-        if offset > len(out):
-            raise ValueError("match offset before output start")
+        if offset > len(out) - frame_start:
+            # frames are independent: a back-reference may not reach
+            # into a PREVIOUS frame's output
+            raise ValueError("match offset before frame start")
+        if len(out) + match_len - block_start > _BLOCK_MAX:
+            # enforce the per-block decompressed ceiling DURING
+            # sequence execution — a crafted block must not balloon
+            # gigabytes before the post-block budget check fires
+            raise ValueError("block decodes past the 128 KB block maximum")
         if offset >= match_len:
             start = len(out) - offset
             out += out[start : start + match_len]

@@ -444,6 +444,32 @@ def test_union_columns_decode():
     assert rows2 == t2.to_pylist()
 
 
+def test_union_offset_tamper_raises():
+    """Round-8 review finding: a tampered dense-union offsets buffer
+    must raise ValueError — a negative offset previously aliased the
+    child's LAST element via Python indexing (silently wrong data)."""
+    u = pa.UnionArray.from_dense(
+        pa.array([0, 0, 0], type=pa.int8()),
+        pa.array([7, 1, 6], type=pa.int32()),  # distinctive byte pattern
+        [pa.array([10, 11, 12, 13, 14, 15, 16, 17], type=pa.int64())],
+        ["n"],
+        [0],
+    )
+    blob = _stream(pa.table({"u": u}))
+    pat = (7).to_bytes(4, "little") + (1).to_bytes(4, "little") + (
+        6
+    ).to_bytes(4, "little")
+    at = blob.index(pat)
+    for bad in ((-1), 99):
+        tampered = bytearray(blob)
+        tampered[at : at + 4] = (bad % 2**32).to_bytes(4, "little")
+        with pytest.raises(ValueError, match="union offset"):
+            parse_arrow_ipc(bytes(tampered))
+    # untampered still decodes
+    _s, rows = parse_arrow_ipc(blob)
+    assert [r["u"] for r in rows] == [17, 11, 16]
+
+
 def test_run_end_encoded_decode():
     """REE parent owns NO buffers (not even validity); run_ends/values
     arrive as ordinary children and expand to the logical length —

@@ -124,6 +124,33 @@ def test_frame_content_size_enforced():
         zstd_decompress(bytes(enc))
 
 
+def test_multi_frame_bomb_respects_payload_cap():
+    """Round-8 review finding: the output cap must be payload-wide, not
+    per-frame — concatenated frames must not multiply the budget (a
+    140-byte crafted payload previously expanded to 31 MB under a 4 MB
+    cap)."""
+    frame = pa.Codec("zstd").compress(b"B" * 3_000_000, asbytes=True)
+    with pytest.raises(ValueError, match="exceeds"):
+        zstd_decompress(frame * 10, max_output=4_000_000)
+    # a single frame within the cap still decodes
+    assert len(zstd_decompress(frame, max_output=4_000_000)) == 3_000_000
+
+
+def test_huffman_weight_caps():
+    """Round-8 review finding: RFC 8878 caps Huffman code lengths at 11
+    bits; crafted weights must raise ValueError BEFORE any table sizing
+    (a weight of 200 previously attempted a 2^200-entry allocation and
+    escaped as OverflowError)."""
+    from simple_data_engineering_project_spark.operators.zstd import (
+        _HuffDecoder,
+    )
+
+    for weights in ([15] * 128, [200], [33], [12]):
+        with pytest.raises(ValueError):
+            _HuffDecoder(list(weights))
+    assert _HuffDecoder([1, 1]).max_bits == 2  # legal tiny table intact
+
+
 def test_envelope_and_corruption():
     with pytest.raises(ValueError, match="magic"):
         zstd_decompress(b"\x00\x01\x02\x03rest")
