@@ -8,8 +8,8 @@ decodes the format itself, the way the RFC defines it:
 - FRAMES: magic 0xFD2FB528, frame-header descriptor (FCS field size,
   single-segment flag, checksum flag, dictionary-id flag), window
   descriptor, then data blocks; skippable frames (0x184D2A50-5F) are
-  skipped; the optional 4-byte xxh64 content checksum is skipped, not
-  verified (no stdlib xxhash; lengths are still enforced).
+  skipped; the optional content checksum is VERIFIED via the in-module
+  pure-Python :func:`xxh64` (low 32 bits over the decoded frame).
 - BLOCKS: 3-byte headers (last/type/size); Raw copies, RLE repeats,
   Compressed carries a literals section + a sequences section.
 - LITERALS: Raw/RLE forms, and Huffman-compressed forms in one or four
@@ -55,6 +55,70 @@ import struct
 _MAGIC = 0xFD2FB528
 _SKIPPABLE_LO, _SKIPPABLE_HI = 0x184D2A50, 0x184D2A5F
 _MAX_WINDOW = 512 << 20
+
+_M64 = (1 << 64) - 1
+_XXP1, _XXP2, _XXP3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_XXP4, _XXP5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 (the public xxHash spec) — zstd frames checksum their
+    decoded content with the low 32 bits of XXH64(content, 0), so the
+    decoder can VERIFY instead of skipping. Cross-validated against
+    every checksummed frame the zstd CLI writes in the test battery
+    (the CLI checksums by default) plus the spec's published vectors.
+    """
+    n = len(data)
+    pos = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while pos + 32 <= n:
+            for i, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[pos + 8 * i : pos + 8 * i + 8], "little")
+                v = _rotl((v + lane * _XXP2) & _M64, 31) * _XXP1 & _M64
+                if i == 0:
+                    v1 = v
+                elif i == 1:
+                    v2 = v
+                elif i == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            pos += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= _rotl((v * _XXP2) & _M64, 31) * _XXP1 & _M64
+            h = ((h & _M64) * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while pos + 8 <= n:
+        lane = int.from_bytes(data[pos : pos + 8], "little")
+        h ^= _rotl((lane * _XXP2) & _M64, 31) * _XXP1 & _M64
+        h = (_rotl(h, 27) * _XXP1 + _XXP4) & _M64
+        pos += 8
+    if pos + 4 <= n:
+        lane = int.from_bytes(data[pos : pos + 4], "little")
+        h ^= (lane * _XXP1) & _M64
+        h = (_rotl(h, 23) * _XXP2 + _XXP3) & _M64
+        pos += 4
+    while pos < n:
+        h ^= (data[pos] * _XXP5) & _M64
+        h = (_rotl(h, 11) * _XXP1) & _M64
+        pos += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
 
 # RFC 8878 predefined FSE distributions (§3.1.1.3.2.2)
 _LL_DEFAULTS = (
@@ -568,9 +632,16 @@ def _frame(data: bytes, pos: int, out: bytearray, max_output: int) -> int:
             f"header declared {fcs}"
         )
     if checksum:
-        pos += 4  # xxh64 low 32 bits — skipped (documented)
-        if pos > len(data):
+        if pos + 4 > len(data):
             raise ValueError("truncated content checksum")
+        want = int.from_bytes(data[pos : pos + 4], "little")
+        got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+        if got != want:
+            raise ValueError(
+                f"zstd content checksum mismatch ({got:#010x} != "
+                f"{want:#010x})"
+            )
+        pos += 4
     return pos
 
 

@@ -124,6 +124,26 @@ def test_frame_content_size_enforced():
         zstd_decompress(bytes(enc))
 
 
+def test_xxh64_vectors_and_checksum_verification():
+    """xxh64 against the spec's published vectors (short paths) and a
+    CLI-checksummed frame (exercises the 32-byte stripe loop: the CLI
+    checksums by default, so decode success IS checksum verification);
+    a flipped checksum byte must raise."""
+    from simple_data_engineering_project_spark.operators.zstd import xxh64
+
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    assert xxh64(b"message digest") == 0x066ED728FCEEB3BE
+    if _HAVE_CLI:
+        data = (" ".join(f"w{i % 997}" for i in range(50000))).encode()
+        enc = bytearray(_cli(data, ["-9"]))
+        assert zstd_decompress(bytes(enc)) == data
+        enc[-1] ^= 0x7F
+        with pytest.raises(ValueError, match="checksum"):
+            zstd_decompress(bytes(enc))
+
+
 def test_multi_frame_bomb_respects_payload_cap():
     """Round-8 review finding: the output cap must be payload-wide, not
     per-frame — concatenated frames must not multiply the budget (a
