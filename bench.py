@@ -168,6 +168,8 @@ HEADLINE = [
 STEADY_STATE = {
     "curate_corpus",
     "semantic_dedup",
+    "dedup_minhash",  # round-8 survivor-digest entry: +verify stage rides
+    # the same shingle/minhash codegen compile (11.4 s cold, 3.2 s steady)
     "scan_warc_datasource",
     "warc_extract",
     "webdataset_read",
