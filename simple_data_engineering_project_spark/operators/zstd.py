@@ -192,9 +192,6 @@ class _BackBits:
             return (self.val << -self.pos) & ((1 << n) - 1)
         return (self.val >> self.pos) & ((1 << n) - 1)
 
-    @property
-    def empty(self) -> bool:
-        return self.pos <= 0
 
 
 # ------------------------------------------------------------- FSE
