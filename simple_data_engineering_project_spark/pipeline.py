@@ -41,39 +41,57 @@ def generate_cocoa_data(
 ) -> DataFrame:
     """Synthetic cocoa shipments (reference A16, generate_data.py:24-47).
 
-    Same value domains, rebuilt as seeded column expressions over
+    Same value domains, rebuilt as KEY-DERIVED column expressions over
     ``spark.range`` — fully distributed (the reference builds rows in a
     Python loop) and deterministic given (num_records, seed):
 
     - shipment_id: md5(seed, id) — unique + reproducible (the reference's
       uuid4 is nondeterministic, a correctness trap per SURVEY §1.4)
+    - every random draw is a Knuth multiplicative-hash uniform of
+      (id, seed, column-index) in PURE INTEGER arithmetic (the
+      dp_noisy_counts/dataset_split mechanism) instead of ``F.rand``:
+      rand() values depend on the RANGE PARTITIONING (a different core
+      count reshuffles every draw), while the hash is row-keyed — stable
+      across parallelism, engines, and layouts, which is what makes the
+      generator itself DuckDB-oracle-checkable
     - timestamp: uniform over a fixed 2-year window (the reference uses
       [now-2y, now], nondeterministic; we pin the window)
     - temperature_celsius: NULL with p = 0.1 (generate_data.py:40-41)
     """
+
+    def u_int(k: int, scale: int):
+        # floor(uniform(id,k) * scale) without any float op:
+        # h ∈ [0, 2^32) via ((id*31+seed*131+k) % 1000003) * knuth, then
+        # (h*scale) >> 32 — pure int64 (h*scale < 2^58 for every scale
+        # here; a double division would lose exactness past 2^53),
+        # ANSI-overflow-safe, and bit-identical in DuckDB
+        h = (
+            (F.col("id") * 31 + F.lit(seed * 131 + k)) % F.lit(1_000_003)
+        ) * F.lit(2654435761) % F.lit(4294967296)
+        return F.shiftrightunsigned(h * F.lit(scale), 32)
+
     regions = F.array(*[F.lit(r) for r in COCOA_REGIONS])
     beans = F.array(*[F.lit(b) for b in BEAN_TYPES])
     epoch_lo = F.lit(1672531200)  # 2023-01-01 UTC
-    window_s = F.lit(2 * 365 * 24 * 3600)
+    window_s = 2 * 365 * 24 * 3600
     return (
         spark.range(num_records)
         .select(
             F.md5(F.concat(F.lit(f"seed{seed}-"), F.col("id"))).alias("shipment_id"),
-            F.timestamp_seconds(
-                epoch_lo + (F.rand(seed) * window_s).cast("long")
-            ).alias("timestamp"),
+            F.timestamp_seconds(epoch_lo + u_int(0, window_s)).alias("timestamp"),
             F.concat(
-                F.lit("FARM-"), (100 + (F.rand(seed + 1) * 101).cast("int")).cast("string")
+                F.lit("FARM-"), (100 + u_int(1, 101)).cast("string")
             ).alias("farm_id"),
-            regions[(F.rand(seed + 2) * len(COCOA_REGIONS)).cast("int")].alias("region"),
-            beans[(F.rand(seed + 3) * len(BEAN_TYPES)).cast("int")].alias("bean_type"),
-            F.round(F.lit(7.5) + F.rand(seed + 4) * F.lit(2.3), 2).alias("quality_score"),
-            (500 + (F.rand(seed + 5) * 4501).cast("int"))
-            .cast("double")
-            .alias("shipment_weight_kg"),
+            regions[u_int(2, len(COCOA_REGIONS)).cast("int")].alias("region"),
+            beans[u_int(3, len(BEAN_TYPES)).cast("int")].alias("bean_type"),
+            # integer basis points / deciunits: the domain is already
+            # 2dp/1dp-stepped, and integer construction sidesteps the
+            # Spark-vs-DuckDB ROUND half-boundary divergence
+            ((750 + u_int(4, 230)) / F.lit(100.0)).alias("quality_score"),
+            (500 + u_int(5, 4501)).cast("double").alias("shipment_weight_kg"),
             F.when(
-                F.rand(seed + 6) >= 0.1,
-                F.round(F.lit(18.0) + F.rand(seed + 7) * F.lit(7.0), 1),
+                u_int(6, 10) >= 1,
+                (180 + u_int(7, 70)) / F.lit(10.0),
             ).alias("temperature_celsius"),
         )
     )

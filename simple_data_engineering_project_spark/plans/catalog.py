@@ -32,6 +32,8 @@ from ..operators import similarity as sim_ops
 from ..operators import text as text_ops
 from ..operators.upsert import upsert_last_write_wins
 from ..session import tune_for_queries
+from ..schemas import BEAN_TYPES as _BEAN_TYPES
+from ..schemas import COCOA_REGIONS as _COCOA_REGIONS
 from ..schemas import TESTDATA_SCHEMAS
 from ..sources import csv_roundtrip, read_table, scan_parquet, sink_parquet
 
@@ -399,14 +401,48 @@ def scan_orc_q(spark, sf_dir):
     return orc_roundtrip(spark, s, _scratch(sf_dir, "scan_orc_supplier"))
 
 
+def _gen_synthetic_oracle(n: int = 10_000, seed: int = 42) -> str:
+    """DuckDB replay of generate_cocoa_data: every draw is the same
+    Knuth-hash uniform in pure int64 arithmetic ((h*scale) >> 32), so
+    the generator itself is hash-checkable — no float op anywhere but
+    the final /100.0 and /10.0 integer-to-double divides."""
+    regions = ", ".join(f"'{r}'" for r in _COCOA_REGIONS)
+    beans = ", ".join(f"'{b}'" for b in _BEAN_TYPES)
+
+    def u(k: int, scale: int) -> str:
+        return (
+            f"((((id * 31 + {seed * 131 + k}) % 1000003) * 2654435761) "
+            f"% 4294967296 * {scale}) >> 32"
+        )
+
+    return f"""
+    SELECT md5('seed{seed}-' || CAST(id AS VARCHAR)) AS shipment_id,
+           make_timestamp((1672531200 + ({u(0, 63072000)})) * 1000000)
+             AS timestamp,
+           'FARM-' || CAST(100 + ({u(1, 101)}) AS VARCHAR) AS farm_id,
+           ([{regions}])[CAST(({u(2, 16)}) AS INT) + 1] AS region,
+           ([{beans}])[CAST(({u(3, 3)}) AS INT) + 1] AS bean_type,
+           (750 + ({u(4, 230)})) / 100.0 AS quality_score,
+           CAST(500 + ({u(5, 4501)}) AS DOUBLE) AS shipment_weight_kg,
+           CASE WHEN ({u(6, 10)}) >= 1
+                THEN (180 + ({u(7, 70)})) / 10.0 END AS temperature_celsius
+    FROM range(0, {n}) t(id)
+    """
+
+
 @register(
     "gen_synthetic",
-    None,
+    _gen_synthetic_oracle(),
     tier="A",
     note="A16 synthetic generator (generate_data.py domains) rebuilt as "
-    "seeded column expressions over spark.range — distributed, "
-    "deterministic, no driver-side row loop. Rows-only check "
-    "(reference output is random; ours is seeded but engine-specific).",
+    "KEY-DERIVED column expressions over spark.range — distributed, no "
+    "driver-side row loop, and (round-8 upgrade from rows-only) every "
+    "draw is a Knuth-hash uniform of (id, seed, column) computed in "
+    "pure int64 ((h*scale) >> 32), so values are independent of "
+    "partitioning/core count — F.rand's draws reshuffle with the range "
+    "partitioning — and the DuckDB twin replays the generator "
+    "hash-exactly. The reference's uuid4/now() nondeterminism stays "
+    "deliberately pinned (SURVEY §1.4).",
 )
 def gen_synthetic_q(spark, sf_dir):
     from ..pipeline import generate_cocoa_data
@@ -9730,7 +9766,10 @@ _DRIVER_VERIFIED: set[str] = {
     "agg_value_by_region", "agg_quality_trend", "agg_regional_distribution",
     "filter_predicates", "topk_shipments", "point_lookup", "enrich_value",
     "union_all", "upsert_last_write_wins", "scan_parquet_pushdown",
-    "scan_csv", "sink_parquet", "scan_json", "scan_orc", "gen_synthetic",
+    "scan_csv", "sink_parquet", "scan_json", "scan_orc",
+    # gen_synthetic: rows-only in r1, oracle-backed in round 8 (Knuth-
+    # hash generator replay) — must re-enter a grading window
+
     "join_broadcast_dims", "join_semi", "join_anti", "join_range",
     "join_asof", "agg_rollup", "agg_cube", "window_rank",
     "window_lag_moving", "setops", "setops_except", "exact_stats",
