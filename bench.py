@@ -157,6 +157,8 @@ HEADLINE = [
     "join_point_in_time",
     "decontaminate_embedding",
     "scan_warc_datasource",
+    # round-8 additions
+    "events_hll_deterministic",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose

@@ -4483,6 +4483,111 @@ def events_hll_rollup_q(spark, sf_dir):
 
 
 @register(
+    "events_hll_deterministic",
+    """
+    WITH obs AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(h % 256 AS INT) AS j,
+             CAST(CASE WHEN (h >> 8) = 0 THEN 53
+                  ELSE 53 - length(bin(h >> 8)) END AS INT) AS rho
+      FROM (SELECT event_type, ts,
+                   CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                         1, 15)) AS BIGINT) AS h
+            FROM events)
+    ),
+    daily AS (
+      SELECT event_type, day, j, MAX(rho) AS m FROM obs GROUP BY 1, 2, 3
+    ),
+    weekly AS (
+      SELECT event_type, CAST(date_trunc('week', day) AS TIMESTAMP) AS week,
+             j, MAX(m) AS m
+      FROM daily GROUP BY 1, 2, 3
+    )
+    SELECT event_type, week,
+           CAST(256 - COUNT(*) AS BIGINT) AS n_zero_regs,
+           CAST(SUM(1::BIGINT << (53 - m))
+                + (256 - COUNT(*)) * (1::BIGINT << 53) AS BIGINT)
+             AS harmonic_sum_scaled,
+           CAST(bit_xor(j * 64 + m) AS BIGINT) AS reg_digest
+    FROM weekly GROUP BY event_type, week
+    """,
+    tier="C",
+    note="C11 DETERMINISTIC mergeable HLL rollup — the cross-engine-"
+    "reproducible complement to events_hll_rollup (whose Datasketches "
+    "binaries are engine-specific by nature): register index and rank "
+    "derive from the portable md5-prefix hash (j = h mod 256, "
+    "rho = leading zeros of the remaining 52 bits + 1 via length(bin)), "
+    "daily sketches are (type, day, j, max rho) rows — ≤256 per group, "
+    "the KB-scale materialization that makes weekly/monthly rollups a "
+    "cheap max-merge instead of a raw rescan — and the weekly union is "
+    "MAX over register rows (trivially mergeable, order-insensitive). "
+    "The graded columns are pure int64: zero-register count, the "
+    "harmonic sum scaled by 2^53 (each register contributes "
+    "2^(53-M) exactly; ≤256·2^53 < 2^62), and a bit_xor register "
+    "digest — the float estimate step (alpha·m²/sum + linear-counting "
+    "correction) is unit-pinned against exact distinct counts instead "
+    "of hash-compared, because ln() is not bit-reproducible across "
+    "engines. Two keyed aggregates with map-side combine; the sketch "
+    "content itself is proven identical in both engines.",
+)
+def events_hll_deterministic_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.shiftrightunsigned(h, 8)
+    obs = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.pmod(h, F.lit(256)).cast("int").alias("j"),
+        F.when(w == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(w)))
+        .cast("int")
+        .alias("rho"),
+    )
+    daily = obs.groupBy("event_type", "day", "j").agg(F.max("rho").alias("m"))
+    weekly = daily.groupBy(
+        "event_type", F.date_trunc("week", "day").alias("week"), "j"
+    ).agg(F.max("m").alias("m"))
+    return (
+        weekly.groupBy("event_type", "week")
+        .agg(
+            F.count("*").alias("__nz"),
+            F.sum(
+                F.expr("shiftleft(cast(1 as bigint), 53 - m)")
+            ).alias("__hs"),
+            F.expr("bit_xor(j * 64 + m)").cast("bigint").alias("reg_digest"),
+        )
+        .select(
+            "event_type",
+            "week",
+            (F.lit(256) - F.col("__nz")).cast("long").alias("n_zero_regs"),
+            (F.col("__hs") + (F.lit(256) - F.col("__nz")) * F.lit(1 << 53))
+            .cast("long")
+            .alias("harmonic_sum_scaled"),
+            "reg_digest",
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+def hll_deterministic_estimate(
+    n_zero_regs: int, harmonic_sum_scaled: int, m: int = 256
+) -> float:
+    """HLL estimate from the entry's integer sketch summary (driver-side
+    float math, deliberately outside the hash-graded columns): standard
+    alpha_m·m²/harmonic-sum with the small-range linear-counting
+    correction. Accuracy vs exact distinct counts is unit-pinned."""
+    import math
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m * (1 << 53) / harmonic_sum_scaled
+    if est <= 2.5 * m and n_zero_regs > 0:
+        est = m * math.log(m / n_zero_regs)
+    return est
+
+
+@register(
     "events_rolling_mau",
     """
     WITH du AS (

@@ -794,6 +794,39 @@ def test_hll_rollup_mergeable(spark, sf_smoke):
     assert merged == oneshot
 
 
+def test_hll_deterministic_estimate_accuracy(spark, sf_smoke):
+    """The integer sketch columns of events_hll_deterministic feed the
+    driver-side float estimator; pin its accuracy against exact
+    distinct counts (the float step itself is deliberately outside the
+    hash-graded columns — ln() is not bit-reproducible across engines)."""
+    from simple_data_engineering_project_spark.plans.catalog import (
+        catalog,
+        hll_deterministic_estimate,
+    )
+    from simple_data_engineering_project_spark.sources import read_table
+
+    est = {
+        (r["event_type"], r["week"]): hll_deterministic_estimate(
+            r["n_zero_regs"], r["harmonic_sum_scaled"]
+        )
+        for r in catalog()["events_hll_deterministic"].fn(spark, sf_smoke).collect()
+    }
+    ev = read_table(spark, sf_smoke, "events")
+    exact = {
+        (r["event_type"], r["week"]): r["n"]
+        for r in ev.groupBy(
+            "event_type",
+            F.date_trunc("week", F.date_trunc("day", "ts")).alias("week"),
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    # m=256 => HLL std error ~1.04/sqrt(256) = 6.5%; allow 3 sigma.
+    for k, e in est.items():
+        assert abs(e - exact[k]) / max(exact[k], 1) < 0.20, (k, e, exact[k])
+
+
 def test_pq_topk_recall_vs_brute_force(spark):
     from simple_data_engineering_project_spark.operators.similarity import pq_topk
 
