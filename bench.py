@@ -159,6 +159,7 @@ HEADLINE = [
     "scan_warc_datasource",
     # round-8 additions
     "events_hll_deterministic",
+    "sink_tar_zst",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -198,6 +199,8 @@ STEADY_STATE = {
     "multimodal_ogg_packets",
     "multimodal_mp3_meta",
     "multimodal_exif",
+    "sink_tar_zst",  # round-8: two mapInPandas stages; 10.1 s cold
+    # (Arrow-worker + codegen start) vs 4.9 s steady
 }
 
 

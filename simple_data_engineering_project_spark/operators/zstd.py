@@ -1,4 +1,5 @@
-"""Pure-Python Zstandard (RFC 8878) frame decoder (SURVEY §2 C5).
+"""Pure-Python Zstandard (RFC 8878) frame decoder AND encoder
+(SURVEY §2 C5).
 
 zstd is the default body compression of several Arrow IPC writers, a
 common parquet/page codec, and the usual ``.tar.zst`` shard wrapper —
@@ -44,8 +45,16 @@ Out of envelope (honest ``NotImplementedError``): external
 dictionaries (dictionary_id != 0 — IPC/parquet never use them) and
 window sizes above 512 MB (sanity bound).
 
+The ENCODER (:func:`zstd_compress`, bottom of module) writes raw/RLE
+blocks plus compressed blocks carrying raw literals and greedy-LZ
+sequences under the RFC's predefined FSE distributions; every frame it
+emits is decoded (checksum-verified) by the reference zstd CLI in the
+test battery, so the write path is held to the same cross-validation
+standard as the read path.
+
 (∅ in reference; Tier C extension. Consumed by operators/arrow_ipc.py
-for ZSTD-compressed record-batch bodies.)
+for ZSTD-compressed record-batch bodies and by the sink_tar_zst
+catalog entry for .tar.zst shard export.)
 """
 
 from __future__ import annotations
@@ -752,3 +761,228 @@ def _block(blk, out: bytearray, prev_huff, tables, rep, frame_start):
             of.update_state(bits)
     out += lits[lit_at:]
     return huff
+
+# ----------------------------------------------------------- encoder
+#
+# RFC 8878 COMPRESSOR (SURVEY §2 C5): raw + RLE blocks, and compressed
+# blocks carrying RAW literals plus greedy-LZ sequences entropy-coded
+# with the spec's PREDEFINED FSE distributions (Symbol_Compression_Modes
+# = 0x00 — no table descriptions on the wire, nothing to get wrong that
+# the decoder's own cross-validated tables would not catch). Offsets are
+# always emitted as Offset_Value = offset + 3, so the repeat-offset
+# history is never engaged. The encode-side FSE tables are DERIVED from
+# the decoder's `_fse_build_table`: for each symbol the decode states
+# that emit it have (baseline, 2^nb_bits) windows that exactly partition
+# the state space, so walking the sequence codes BACKWARD picks the
+# unique predecessor state per step — bit-for-bit the inverse of the
+# decode loop above. Honesty: every test battery round-trips frames
+# through the in-container zstd CLI (a reference decoder, checksums
+# verified), not just through this module's own decoder.
+
+_MIN_MATCH = 8  # below this a match rarely beats its ~4-byte seq cost
+
+
+def _ll_code(v: int) -> int:
+    if v < 16:
+        return v
+    c = 35
+    while _LL_BASE[c] > v:
+        c -= 1
+    return c
+
+
+def _ml_code(v: int) -> int:
+    if v < 35:
+        return v - 3
+    c = 52
+    while _ML_BASE[c] > v:
+        c -= 1
+    return c
+
+
+class _FseEncoder:
+    """Encode-side view of a predefined FSE table: per symbol, the
+    ordered (baseline, nb_bits, state) windows from the decode table."""
+
+    def __init__(self, accuracy_log: int, counts) -> None:
+        self.log = accuracy_log
+        symbols, nb_bits, baseline = _fse_build_table(
+            accuracy_log, list(counts)
+        )
+        per: dict[int, list[tuple[int, int, int]]] = {}
+        for st in range(1 << accuracy_log):
+            per.setdefault(symbols[st], []).append(
+                (baseline[st], nb_bits[st], st)
+            )
+        for v in per.values():
+            v.sort()
+        self.per = per
+
+    def chain(self, codes: list[int]):
+        """States s_0..s_{n-1} with symbols[s_i] = codes[i] and each
+        s_{i+1} inside s_i's update window; returns (s_0, updates)
+        where updates[i] = (bits_value, nb) the decoder reads at s_i."""
+        st = self.per[codes[-1]][0][2]
+        updates: list[tuple[int, int]] = [(0, 0)] * (len(codes) - 1)
+        for i in range(len(codes) - 2, -1, -1):
+            for base, nb, cand in self.per[codes[i]]:
+                if base <= st < base + (1 << nb):
+                    updates[i] = (st - base, nb)
+                    st = cand
+                    break
+            else:  # pragma: no cover - partition property guarantees hit
+                raise AssertionError("FSE window partition violated")
+        return st, updates
+
+
+_LL_ENC = _ML_ENC = _OF_ENC = None
+
+
+def _encoders():
+    global _LL_ENC, _ML_ENC, _OF_ENC
+    if _LL_ENC is None:
+        _LL_ENC = _FseEncoder(_LL_DEFAULT_LOG, _LL_DEFAULTS)
+        _ML_ENC = _FseEncoder(_ML_DEFAULT_LOG, _ML_DEFAULTS)
+        _OF_ENC = _FseEncoder(_OF_DEFAULT_LOG, _OF_DEFAULTS)
+    return _LL_ENC, _ML_ENC, _OF_ENC
+
+
+def _lz_greedy(blk: bytes):
+    """Greedy single-block LZ: hash-table of 8-byte prefixes with
+    LZ4-style skip acceleration over incompressible runs. Returns
+    (sequences [(lit_len, match_len, offset)], literal bytes)."""
+    n = len(blk)
+    table: dict[bytes, int] = {}
+    seqs: list[tuple[int, int, int]] = []
+    lits = bytearray()
+    i = 0
+    lit_start = 0
+    misses = 0
+    while i + _MIN_MATCH <= n:
+        key = blk[i : i + _MIN_MATCH]
+        j = table.get(key)
+        table[key] = i
+        if j is None or blk[j : j + _MIN_MATCH] != key:
+            misses += 1
+            i += 1 + (misses >> 6)
+            continue
+        misses = 0
+        m = _MIN_MATCH
+        while i + m < n and blk[j + m] == blk[i + m]:
+            m += 1
+        seqs.append((i - lit_start, m, i - j))
+        lits += blk[lit_start:i]
+        for p in (i + 1, i + m - _MIN_MATCH):
+            if i < p and p + _MIN_MATCH <= n:
+                table[blk[p : p + _MIN_MATCH]] = p
+        i += m
+        lit_start = i
+    lits += blk[lit_start:]
+    return seqs, bytes(lits)
+
+
+def _raw_literals_header(size: int) -> bytes:
+    if size < 32:
+        return bytes([size << 3])
+    if size < 4096:
+        return bytes([0x04 | ((size & 0xF) << 4), size >> 4])
+    return bytes(
+        [0x0C | ((size & 0xF) << 4), (size >> 4) & 0xFF, size >> 12]
+    )
+
+
+def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
+    nseq = len(seqs)
+    if nseq < 128:
+        head = bytes([nseq])
+    elif nseq < 0x7F00:
+        head = bytes([128 + (nseq >> 8), nseq & 0xFF])
+    else:
+        head = bytes([255]) + struct.pack("<H", nseq - 0x7F00)
+    head += b"\x00"  # modes: Predefined for LL, OF, ML
+
+    ll_enc, ml_enc, of_enc = _encoders()
+    ll_codes = [_ll_code(s[0]) for s in seqs]
+    ml_codes = [_ml_code(s[1]) for s in seqs]
+    of_codes = [(s[2] + 3).bit_length() - 1 for s in seqs]
+    ll0, ll_upd = ll_enc.chain(ll_codes)
+    ml0, ml_upd = ml_enc.chain(ml_codes)
+    of0, of_upd = of_enc.chain(of_codes)
+
+    # fields in DECODE order; emitted low-end-first below so the
+    # backward reader sees exactly this order
+    fields: list[tuple[int, int]] = [
+        (ll0, ll_enc.log),
+        (of0, of_enc.log),
+        (ml0, ml_enc.log),
+    ]
+    for i, (ll, ml, off) in enumerate(seqs):
+        ofc = of_codes[i]
+        fields.append(((off + 3) - (1 << ofc), ofc))
+        mlc = ml_codes[i]
+        fields.append((ml - _ML_BASE[mlc], _ML_BITS[mlc]))
+        llc = ll_codes[i]
+        fields.append((ll - _LL_BASE[llc], _LL_BITS[llc]))
+        if i < nseq - 1:
+            fields.append(ll_upd[i])
+            fields.append(ml_upd[i])
+            fields.append(of_upd[i])
+
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    for v, nb in reversed(fields):
+        acc |= v << nacc
+        nacc += nb
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    acc |= 1 << nacc  # sentinel
+    nacc += 1
+    while nacc > 0:
+        out.append(acc & 0xFF)
+        acc >>= 8
+        nacc -= 8
+    return head + bytes(out)
+
+
+def _compress_block(blk: bytes) -> bytes | None:
+    """Compressed-block body (literals + sequences), or None when the
+    block does not beat raw storage."""
+    seqs, lits = _lz_greedy(blk)
+    if not seqs:
+        return None
+    body = _raw_literals_header(len(lits)) + lits + _encode_sequences(seqs)
+    return body if len(body) < len(blk) else None
+
+
+def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
+    """Encode ``data`` as one RFC 8878 zstd frame (single-segment,
+    8-byte content size, optional verified XXH64 content checksum)."""
+    if len(data) > _MAX_WINDOW:
+        raise ValueError("zstd_compress input exceeds the 512 MB cap")
+    fhd = 0xC0 | 0x20 | (0x04 if checksum else 0)
+    out = bytearray(struct.pack("<IBQ", _MAGIC, fhd, len(data)))
+    if not data:
+        out += (1).to_bytes(3, "little")  # one empty last raw block
+    pos = 0
+    n = len(data)
+    while pos < n:
+        blk = data[pos : pos + _BLOCK_MAX]
+        pos += len(blk)
+        last = 1 if pos >= n else 0
+        if len(blk) >= 2 and blk.count(blk[0]) == len(blk):
+            out += (len(blk) << 3 | 1 << 1 | last).to_bytes(3, "little")
+            out.append(blk[0])
+            continue
+        body = _compress_block(blk) if len(blk) >= _MIN_MATCH * 2 else None
+        if body is not None:
+            out += (len(body) << 3 | 2 << 1 | last).to_bytes(3, "little")
+            out += body
+        else:
+            out += (len(blk) << 3 | 0 << 1 | last).to_bytes(3, "little")
+            out += blk
+    if checksum:
+        out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)

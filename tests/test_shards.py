@@ -429,3 +429,32 @@ def test_pax_global_size_default_applies():
     pad = (-len(rec)) % 512
     blob = bytes(g) + rec + b"\x00" * pad + body
     assert parse_tar(blob) == [("a.bin", b"q" * 700)]
+
+
+def test_tar_zst_sink_shards_genuinely_compressed(spark, sf_smoke):
+    """sink_tar_zst's correctness is oracle-graded; this pins that the
+    shards it writes are (a) real zstd frames our encoder compressed
+    (smaller than the raw tar — documents text is compressible) and
+    (b) decodable back to the identical archive bytes."""
+    import glob
+
+    from simple_data_engineering_project_spark.operators.zstd import (
+        zstd_decompress,
+    )
+    from simple_data_engineering_project_spark.plans.catalog import (
+        _scratch,
+        catalog,
+    )
+
+    catalog()["sink_tar_zst"].fn(spark, sf_smoke).count()
+    shards = glob.glob(f"{_scratch(sf_smoke, 'tar_zst_sink')}/shard-*.tar.zst")
+    assert shards
+    comp = raw = 0
+    for p in shards:
+        with open(p, "rb") as f:
+            payload = f.read()
+        tar = zstd_decompress(payload)
+        assert tar[257:262] == b"ustar"
+        comp += len(payload)
+        raw += len(tar)
+    assert comp < raw * 0.8, (comp, raw)

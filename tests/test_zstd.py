@@ -194,3 +194,72 @@ def test_envelope_and_corruption():
             zstd_decompress(bytes(m))
         except Exception:
             pass
+
+
+# --------------------------------------------------------- encoder
+
+from simple_data_engineering_project_spark.operators.zstd import (  # noqa: E402
+    zstd_compress,
+)
+
+
+def _enc_contents() -> dict[str, bytes]:
+    rnd = random.Random(77)
+    return {
+        **_contents(),
+        "block_edge": b"Z" * 131072 + b"Q" * 5,  # exact 128 KB boundary
+        "almost_rle": b"\x00" * 131071 + b"\x01",
+        "multi_block": (b"shared boilerplate line %d\n" % 7) * 20000,
+        "mixed": b"".join(
+            (b"hdr%06d" % i) + bytes([i % 251]) * (i % 37)
+            for i in range(8000)
+        ),
+        "long_random": rnd.randbytes(300000),
+    }
+
+
+def test_encoder_roundtrip_own_decoder():
+    for name, data in _enc_contents().items():
+        for checksum in (True, False):
+            enc = zstd_compress(data, checksum=checksum)
+            assert zstd_decompress(enc) == data, (name, checksum)
+
+
+@pytest.mark.skipif(not _HAVE_CLI, reason="zstd CLI not on PATH")
+def test_cli_reference_decodes_our_frames():
+    """THE honesty check for the encoder: the reference zstd CLI must
+    decode every frame this module writes (and verify its checksum —
+    our frames carry one, and the CLI rejects mismatches)."""
+    for name, data in _enc_contents().items():
+        p = subprocess.run(
+            ["zstd", "-d", "-c"],
+            input=zstd_compress(data),
+            capture_output=True,
+        )
+        assert p.returncode == 0, (name, p.stderr)
+        assert p.stdout == data, name
+
+
+def test_encoder_fuzz_roundtrip():
+    rnd = random.Random(42)
+    for trial in range(30):
+        parts = []
+        for _ in range(rnd.randrange(1, 8)):
+            kind = rnd.randrange(3)
+            if kind == 0:
+                parts.append(bytes([rnd.randrange(256)]) * rnd.randrange(1, 4000))
+            elif kind == 1:
+                parts.append(rnd.randbytes(rnd.randrange(1, 3000)))
+            else:
+                word = rnd.randbytes(rnd.randrange(2, 30))
+                parts.append(word * rnd.randrange(1, 300))
+        data = b"".join(parts)
+        assert zstd_decompress(zstd_compress(data)) == data, trial
+
+
+def test_encoder_compresses_repetitive_content():
+    data = (b"the quick brown fox jumps over the lazy dog. " * 5000)
+    enc = zstd_compress(data)
+    assert len(enc) < len(data) // 100  # genuinely compressed
+    raw = random.Random(9).randbytes(100000)
+    assert len(zstd_compress(raw)) <= len(raw) + 100  # raw fallback
