@@ -41,9 +41,15 @@ tables here (default FSE distributions, LL/ML/OF code value tables)
 are VERIFIED against independent encoders on every test run — a wrong
 table fails loudly instead of passing a self-consistent round-trip.
 
-Out of envelope (honest ``NotImplementedError``): external
-dictionaries (dictionary_id != 0 — IPC/parquet never use them) and
-window sizes above 512 MB (sanity bound).
+EXTERNAL DICTIONARIES (RFC 8878 §5) decode when supplied via the
+``dictionary=`` parameter: trained dictionaries (magic 0xEC30A437)
+seed the first block's Repeat/Treeless entropy state, the initial
+repeat-offset history, and the window prefix frames back-reference;
+raw-content blobs act as history-only dictionaries. Cross-validated
+against dictionaries TRAINED BY THE CLI (``zstd --train``) and frames
+it writes at multiple levels, incl. ``--no-dictID``. A frame that
+references a dictionary not provided still raises — out of envelope
+only remains window sizes above 512 MB (sanity bound).
 
 The ENCODER (:func:`zstd_compress`, bottom of module) writes raw/RLE
 blocks plus compressed blocks carrying raw literals and greedy-LZ
@@ -529,13 +535,61 @@ def _sequences_tables(data, pos, mode, kind, prev):
     return dec, pos
 
 
-def zstd_decompress(payload: bytes, max_output: int = _MAX_WINDOW) -> bytes:
-    """Decode a (possibly multi-frame) zstd payload."""
+_DICT_MAGIC = 0xEC30A437
+
+
+class _Dictionary:
+    """A parsed RFC 8878 §5 dictionary: entropy tables that seed the
+    first block's Repeat/Treeless modes, the initial repeat-offset
+    history, and content that frames may back-reference as window
+    history. A blob not starting with the dictionary magic is a RAW
+    CONTENT dictionary (content only, default entropy/rep state)."""
+
+    __slots__ = ("dict_id", "huff", "ll", "of", "ml", "rep", "content")
+
+    def __init__(self, raw: bytes) -> None:
+        if len(raw) < 4 or struct.unpack_from("<I", raw)[0] != _DICT_MAGIC:
+            self.dict_id = None  # raw content: matches any frame
+            self.huff = self.ll = self.of = self.ml = None
+            self.rep = [1, 4, 8]
+            self.content = bytes(raw)
+            return
+        if len(raw) < 8:
+            raise ValueError("truncated zstd dictionary header")
+        self.dict_id = struct.unpack_from("<I", raw, 4)[0]
+        if self.dict_id == 0:
+            raise ValueError("zstd dictionary id 0 is reserved")
+        weights, pos = _huffman_weights(raw, 8)
+        self.huff = _HuffDecoder(weights)
+        # FSE tables in spec order: offsets, match lengths, lit lengths
+        log, counts, pos = _fse_read_distribution(raw, pos)
+        self.of = _FseDecoder(log, counts)
+        log, counts, pos = _fse_read_distribution(raw, pos)
+        self.ml = _FseDecoder(log, counts)
+        log, counts, pos = _fse_read_distribution(raw, pos)
+        self.ll = _FseDecoder(log, counts)
+        if pos + 12 > len(raw):
+            raise ValueError("truncated zstd dictionary repeat offsets")
+        self.rep = list(struct.unpack_from("<III", raw, pos))
+        if any(r <= 0 for r in self.rep):
+            raise ValueError("non-positive zstd dictionary repeat offset")
+        self.content = bytes(raw[pos + 12 :])
+
+
+def zstd_decompress(
+    payload: bytes,
+    max_output: int = _MAX_WINDOW,
+    dictionary: bytes | None = None,
+) -> bytes:
+    """Decode a (possibly multi-frame) zstd payload. ``dictionary``
+    supplies an RFC 8878 §5 dictionary (trained format by magic, else
+    raw content) for frames that reference one."""
     out = bytearray()
     pos = 0
     n = len(payload)
     if n == 0:
         raise ValueError("empty zstd payload")
+    d = _Dictionary(dictionary) if dictionary is not None else None
     while pos < n:
         if pos + 4 > n:
             raise ValueError("truncated zstd magic")
@@ -551,11 +605,17 @@ def zstd_decompress(payload: bytes, max_output: int = _MAX_WINDOW) -> bytes:
             continue
         if magic != _MAGIC:
             raise ValueError(f"bad zstd magic 0x{magic:08x}")
-        pos = _frame(payload, pos, out, max_output)
+        pos = _frame(payload, pos, out, max_output, d)
     return bytes(out)
 
 
-def _frame(data: bytes, pos: int, out: bytearray, max_output: int) -> int:
+def _frame(
+    data: bytes,
+    pos: int,
+    out: bytearray,
+    max_output: int,
+    dictionary: "_Dictionary | None" = None,
+) -> int:
     if pos >= len(data):
         raise ValueError("truncated frame header")
     fhd = data[pos]
@@ -575,13 +635,24 @@ def _frame(data: bytes, pos: int, out: bytearray, max_output: int) -> int:
         pos += 1
         base = 1 << (10 + (wd >> 3))
         window = base + (base // 8) * (wd & 7)
+    did = 0
     if did_sz:
         if pos + did_sz > len(data):
             raise ValueError("truncated dictionary id")
         did = int.from_bytes(data[pos : pos + did_sz], "little")
         pos += did_sz
-        if did:
-            raise NotImplementedError("zstd external dictionary")
+    if did and dictionary is None:
+        raise NotImplementedError(
+            "zstd external dictionary (none provided)"
+        )
+    if (
+        did
+        and dictionary.dict_id is not None
+        and dictionary.dict_id != did
+    ):
+        raise ValueError(
+            f"frame wants dictionary {did}, got {dictionary.dict_id}"
+        )
     fcs = None
     if fcs_sz:
         if pos + fcs_sz > len(data):
@@ -594,10 +665,34 @@ def _frame(data: bytes, pos: int, out: bytearray, max_output: int) -> int:
         window = fcs
     if window is not None and window > _MAX_WINDOW:
         raise NotImplementedError(f"zstd window {window} exceeds sanity cap")
-    frame_start = len(out)
-    prev_huff = None
-    tables = {"ll": None, "of": None, "ml": None}
-    rep = [1, 4, 8]
+    if dictionary is not None:
+        # decode into a DETACHED buffer seeded with the dictionary
+        # content so back-references may reach into it (the virtual
+        # window prefix), and seed entropy/repeat state from the
+        # dictionary's tables for the first block's Repeat/Treeless
+        # modes
+        work = bytearray(dictionary.content)
+        base = window_base = len(work)
+        if dictionary.dict_id is not None:
+            window_base = 0  # trained dict content is referenceable
+            prev_huff = dictionary.huff
+            tables = {
+                "ll": dictionary.ll,
+                "of": dictionary.of,
+                "ml": dictionary.ml,
+            }
+            rep = list(dictionary.rep)
+        else:  # raw content dictionary: history only
+            window_base = 0
+            prev_huff = None
+            tables = {"ll": None, "of": None, "ml": None}
+            rep = [1, 4, 8]
+    else:
+        work = out
+        base = window_base = len(out)
+        prev_huff = None
+        tables = {"ll": None, "of": None, "ml": None}
+        rep = [1, 4, 8]
     while True:
         if pos + 3 > len(data):
             raise ValueError("truncated block header")
@@ -606,48 +701,52 @@ def _frame(data: bytes, pos: int, out: bytearray, max_output: int) -> int:
         last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
         # cap is on the whole PAYLOAD: concatenated frames must not
         # multiply the budget (decompression-bomb guard)
-        if len(out) + bsize > max_output + (1 << 17):
+        tot = len(out) + (len(work) - base if work is not out else 0)
+        if tot + bsize > max_output + (1 << 17):
             raise ValueError("zstd output exceeds allowed maximum")
         if btype == 0:  # raw
             if pos + bsize > len(data):
                 raise ValueError("raw block past payload end")
-            out += data[pos : pos + bsize]
+            work += data[pos : pos + bsize]
             pos += bsize
         elif btype == 1:  # RLE
             if pos >= len(data):
                 raise ValueError("rle block byte missing")
-            out += data[pos : pos + 1] * bsize
+            work += data[pos : pos + 1] * bsize
             pos += 1
         elif btype == 2:
             if pos + bsize > len(data):
                 raise ValueError("compressed block past payload end")
             prev_huff = _block(
-                data[pos : pos + bsize], out, prev_huff, tables, rep,
-                frame_start,
+                data[pos : pos + bsize], work, prev_huff, tables, rep,
+                window_base,
             )
             pos += bsize
         else:
             raise ValueError("reserved block type")
-        if len(out) > max_output:
+        tot = len(out) + (len(work) - base if work is not out else 0)
+        if tot > max_output:
             raise ValueError("zstd output exceeds allowed maximum")
         if last:
             break
-    if fcs is not None and len(out) - frame_start != fcs:
+    if fcs is not None and len(work) - base != fcs:
         raise ValueError(
-            f"frame decoded to {len(out) - frame_start} bytes, "
+            f"frame decoded to {len(work) - base} bytes, "
             f"header declared {fcs}"
         )
     if checksum:
         if pos + 4 > len(data):
             raise ValueError("truncated content checksum")
         want = int.from_bytes(data[pos : pos + 4], "little")
-        got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+        got = xxh64(bytes(work[base:])) & 0xFFFFFFFF
         if got != want:
             raise ValueError(
                 f"zstd content checksum mismatch ({got:#010x} != "
                 f"{want:#010x})"
             )
         pos += 4
+    if work is not out:
+        out += work[base:]
     return pos
 
 

@@ -263,3 +263,75 @@ def test_encoder_compresses_repetitive_content():
     assert len(enc) < len(data) // 100  # genuinely compressed
     raw = random.Random(9).randbytes(100000)
     assert len(zstd_compress(raw)) <= len(raw) + 100  # raw fallback
+
+
+# ------------------------------------------------------ dictionaries
+
+
+@pytest.mark.skipif(not _HAVE_CLI, reason="zstd CLI not on PATH")
+def test_dictionary_decode_cross_validated(tmp_path):
+    """RFC 8878 §5 external dictionaries: train a REAL dictionary with
+    the reference CLI, compress samples against it at two levels, and
+    decode with ours — entropy-table seeding (Repeat/Treeless first
+    blocks), dict-content back-references, and the initial repeat
+    offsets all come from the dictionary."""
+    rnd = random.Random(5)
+    words = "alpha beta gamma delta epsilon zeta shared header metric".split()
+    samples = []
+    for i in range(50):
+        txt = f"LOGFILE v1.0 host=prod-{i % 8:02d} region=us-east\n" + "\n".join(
+            f"{rnd.choice(words)}={rnd.randrange(1000)} "
+            f"ts=2026-08-15T06:{rnd.randrange(60):02d}:{rnd.randrange(60):02d}"
+            for _ in range(rnd.randrange(20, 60))
+        )
+        p = tmp_path / f"s{i:02d}.txt"
+        p.write_text(txt)
+        samples.append(p)
+    dict_path = tmp_path / "dict"
+    r = subprocess.run(
+        ["zstd", "--train", *map(str, samples), "-o", str(dict_path)],
+        capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr
+    d = dict_path.read_bytes()
+
+    for p in samples[:10]:
+        data = p.read_bytes()
+        for lvl in ("-1", "-19"):
+            enc = subprocess.run(
+                ["zstd", "-D", str(dict_path), lvl, "-c", str(p)],
+                capture_output=True,
+            ).stdout
+            assert zstd_decompress(enc, dictionary=d) == data, (p, lvl)
+
+    # --no-dictID: frame carries id 0 but still needs the dictionary
+    data = samples[0].read_bytes()
+    enc = subprocess.run(
+        ["zstd", "-D", str(dict_path), "--no-dictID", "-c", str(samples[0])],
+        capture_output=True,
+    ).stdout
+    assert zstd_decompress(enc, dictionary=d) == data
+
+    # raw-content dictionary (no magic): history-only seeding
+    raw_dict = samples[1].read_bytes()
+    enc = subprocess.run(
+        ["zstd", "-D", str(samples[1]), "-c", str(samples[0])],
+        capture_output=True,
+    ).stdout
+    assert zstd_decompress(enc, dictionary=raw_dict) == data
+
+    # negatives: a dict-referencing frame without a dictionary, and a
+    # dictionary whose id does not match the frame's
+    enc = subprocess.run(
+        ["zstd", "-D", str(dict_path), "-c", str(samples[0])],
+        capture_output=True,
+    ).stdout
+    with pytest.raises(NotImplementedError, match="dictionary"):
+        zstd_decompress(enc)
+    wrong = d[:4] + b"\x99\x99\x99\x99" + d[8:]
+    with pytest.raises(ValueError, match="wants dictionary"):
+        zstd_decompress(enc, dictionary=wrong)
+
+    # a provided dictionary does not perturb dict-free frames
+    plain = _cli(data, ["-9"])
+    assert zstd_decompress(plain, dictionary=d) == data
