@@ -16,7 +16,9 @@ format itself, the way the spec defines it:
 - ``Schema`` messages yield a FIELD TREE per column (ints of any
   width/sign, float16/32/64, bool, utf8/binary and their Large 64-bit-
   offset forms, date32/64, naive s/ms/us timestamps, s/ms/us times and
-  durations, decimal128, fixed-size binary/list, and NESTED
+  durations, decimal32/64/128/256 (one width-parameterized
+  two's-complement path; 256 cross-validated against pyarrow),
+  fixed-size binary/list, and NESTED
   list/struct/map of those, to any depth — map surfaces as
   (key, value) tuple lists matching pyarrow's to_pylist); ``RecordBatch`` messages carry FieldNode
   (length, null_count) and Buffer (offset, length) structs in
@@ -51,7 +53,7 @@ data buffers with the 4-byte prefix cross-checked) and ListView/
 LargeListView (offsets + sizes buffers, unordered ranges).
 
 Out of envelope (honest ``NotImplementedError``/``ValueError``):
-big-endian streams, non-128-bit decimals, external zstd dictionaries.
+big-endian streams.
 Tests cross-validate against pyarrow (the
 writer side) including dictionary, nested, lz4, and zstd payloads,
 plus tamper/envelope pins. (∅ in reference; Tier C extension.)
@@ -138,9 +140,9 @@ _T_BINARYVIEW, _T_UTF8VIEW, _T_LISTVIEW, _T_LARGELISTVIEW = 23, 24, 25, 26
 
 import decimal as _decimal
 
-# decimal128 carries up to 38 significant digits; give the scaling
+# decimal256 carries up to 76 significant digits; give the scaling
 # step comfortable headroom (the default context would round at 28)
-_DEC128_CTX = _decimal.Context(prec=50)
+_DEC128_CTX = _decimal.Context(prec=90)
 
 _FMT = {
     "int8": "b", "uint8": "B", "int16": "h", "uint16": "H",
@@ -202,12 +204,16 @@ def _type_tag(ttype: int, tval: _Table | None) -> str:
             raise ValueError(f"corrupt arrow IntervalUnit {unit}")
         return ("interval_ym", "interval_dt", "interval_mdn")[unit]
     if ttype == _T_DECIMAL:
-        # Decimal: precision(0), scale(1), bitWidth(2, default 128)
+        # Decimal: precision(0), scale(1), bitWidth(2, default 128).
+        # All four widths share one layout (two's-complement
+        # little-endian integers at bitWidth/8 bytes); 256 is
+        # cross-validated against pyarrow, 32/64 are the same code
+        # path at a narrower width.
         bits = tval.scalar(2, "<i", 128) if tval else 128
-        if bits != 128:
-            raise NotImplementedError(f"decimal{bits} arrow column")
+        if bits not in (32, 64, 128, 256):
+            raise ValueError(f"invalid decimal bit width {bits}")
         scale = tval.scalar(1, "<i", 0) if tval else 0
-        return f"decimal128:{scale}"
+        return f"decimal{bits}:{scale}"
     if ttype == _T_FIXEDBINARY:
         width = tval.scalar(0, "<i", 0) if tval else 0
         return f"fixedbinary:{width}"
@@ -618,10 +624,12 @@ def _decode_column(spec, nodes, body, dictionaries):
             else bytes(data[i * width : (i + 1) * width])
             for i in range(length)
         ]
-    if typ.startswith("decimal128:"):
+    if typ.startswith("decimal"):
         import decimal as _dec
 
-        scale = int(typ.split(":")[1])
+        head, scale_s = typ.split(":")
+        width = int(head[len("decimal"):]) // 8
+        scale = int(scale_s)
         data = body.next_buffer()
         out = []
         for i in range(length):
@@ -629,11 +637,11 @@ def _decode_column(spec, nodes, body, dictionaries):
                 out.append(None)
                 continue
             raw = int.from_bytes(
-                data[i * 16 : (i + 1) * 16], "little", signed=True
+                data[i * width : (i + 1) * width], "little", signed=True
             )
-            # scale under an explicit 50-digit context: decimal128
-            # holds up to 38 significant digits, and the DEFAULT
-            # context (prec=28) silently ROUNDS the scaleb result
+            # scale under an explicit wide context: decimal256 holds
+            # up to 76 significant digits, and the DEFAULT context
+            # (prec=28) silently ROUNDS the scaleb result
             out.append(
                 _dec.Decimal(raw).scaleb(-scale, _DEC128_CTX)
             )

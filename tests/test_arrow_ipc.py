@@ -637,3 +637,28 @@ def test_lz4_overlap_and_long_match_fast_paths():
     ]:
         comp = bytes(pa.Codec("lz4").compress(payload, asbytes=True))
         assert lz4_frame_decompress(comp) == payload
+
+
+def test_decimal256_cross_validated():
+    """decimal256 (76 significant digits) decodes via the same
+    width-parameterized two's-complement path as decimal128,
+    cross-validated against pyarrow including full-precision and
+    negative values plus nulls."""
+    import decimal
+
+    big = decimal.Decimal(10**75 + 3)
+    t = pa.table(
+        {
+            "d0": pa.array(
+                [big, None, decimal.Decimal(-(10**60 + 1))],
+                type=pa.decimal256(76, 0),
+            ),
+            "d9": pa.array(
+                [decimal.Decimal(10**40 + 7).scaleb(-9), None, None],
+                type=pa.decimal256(76, 9),
+            ),
+        }
+    )
+    _s, rows = parse_arrow_ipc(_stream(t))
+    assert rows == t.to_pylist()
+    assert rows[0]["d0"] == big  # exact at 76 digits
