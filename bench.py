@@ -160,6 +160,7 @@ HEADLINE = [
     # round-8 additions
     "events_hll_deterministic",
     "sink_tar_zst",
+    "sink_arrow_ipc",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -201,6 +202,7 @@ STEADY_STATE = {
     "multimodal_exif",
     "sink_tar_zst",  # round-8: two mapInPandas stages; 10.1 s cold
     # (Arrow-worker + codegen start) vs 4.9 s steady
+    "sink_arrow_ipc",  # round-8: same shape; 8.0 s cold vs 4.2 s steady
 }
 
 

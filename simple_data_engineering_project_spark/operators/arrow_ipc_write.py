@@ -1,0 +1,334 @@
+"""Arrow IPC stream WRITING in pure stdlib (SURVEY §2 C5).
+
+The write-side complement to :mod:`.arrow_ipc`: the engine emits the
+interchange format of the Python data stack itself — encapsulated
+messages (continuation marker + flatbuffers ``Message`` + 8-aligned
+body), a ``Schema`` message, one ``RecordBatch`` per batch, and the
+end-of-stream marker — with the flatbuffers layer BUILT BY HAND
+(vtables, tables, strings, offset vectors, struct vectors; no
+flatbuffers library), exactly the structures the sibling reader
+parses.
+
+Envelope: int8..int64/uint8..uint64, float32/64, bool, utf8, binary
+columns with validity bitmaps; optional per-buffer body compression
+through this repo's own RFC 8878 zstd ENCODER (:mod:`.zstd`
+``zstd_compress`` — each buffer becomes an int64 uncompressed length +
+frame, or ``-1`` + raw bytes when compression does not pay, the
+convention both pyarrow and the sibling reader use).
+
+Honesty: the test battery has PYARROW (the reference implementation)
+read every stream this module writes — plain and zstd-compressed — and
+compares ``to_pylist`` against the source rows, so the hand-built
+flatbuffers AND the zstd encoder are cross-validated through an
+independent reader, not just round-tripped through the sibling module.
+
+(∅ in reference; Tier C extension. Consumed by the sink_arrow_ipc
+catalog entry.)
+"""
+
+from __future__ import annotations
+
+import struct
+
+# Schema.fbs Type union discriminants (shared with the reader)
+_T_INT, _T_FLOAT, _T_BINARY, _T_UTF8, _T_BOOL = 2, 3, 4, 5, 6
+
+_SCALAR_FMT = {"i8": "b", "u8": "B", "i16": "h", "i32": "i", "i64": "q"}
+_SCALAR_SIZE = {"i8": 1, "u8": 1, "i16": 2, "i32": 4, "i64": 8}
+
+
+class _Block:
+    """One allocation unit: bytes plus u32 fixups to other blocks.
+    Blocks are laid out in creation order, so CREATE PARENTS FIRST —
+    flatbuffers uoffsets are unsigned and must point forward."""
+
+    __slots__ = ("align", "data", "fixups", "table_at")
+
+    def __init__(self, align: int) -> None:
+        self.align = align
+        self.data = bytearray()
+        # (position inside this block, target block, offset inside it;
+        #  inner None = target.table_at, resolved late)
+        self.fixups: list[tuple[int, "_Block", int | None]] = []
+        self.table_at = 0
+
+
+class _Builder:
+    def __init__(self) -> None:
+        self.blocks: list[_Block] = []
+
+    def block(self, align: int = 8) -> _Block:
+        b = _Block(align)
+        self.blocks.append(b)
+        return b
+
+    def assemble(self) -> bytes:
+        pos = 0
+        places: dict[int, int] = {}
+        for b in self.blocks:
+            pos += (-pos) % b.align
+            places[id(b)] = pos
+            pos += len(b.data)
+        out = bytearray(pos)
+        for b in self.blocks:
+            at = places[id(b)]
+            out[at : at + len(b.data)] = b.data
+            for fp, target, inner in b.fixups:
+                if inner is None:
+                    inner = target.table_at
+                rel = places[id(target)] + inner - (at + fp)
+                if rel <= 0:
+                    raise AssertionError("flatbuffers offset not forward")
+                struct.pack_into("<I", out, at + fp, rel)
+        return bytes(out)
+
+
+def _fill_table(b: _Block, slots: dict[int, tuple]) -> None:
+    """Write a vtable+table into ``b``. ``slots[idx]`` is
+    ``(kind, value)``: a scalar kind from ``_SCALAR_FMT`` with an int
+    value, or ``"ref"`` with a ``(block, inner)`` / ``block`` value.
+    Fields at their flatbuffers DEFAULTS must be omitted by the caller.
+    Sets ``b.table_at`` (where parents point)."""
+    nslots = (max(slots) + 1) if slots else 0
+    vt_size = 4 + 2 * nslots
+    table_at = vt_size + (-vt_size) % 8  # keep i64 slots 8-aligned
+    offs: dict[int, int] = {}
+    cur = 4  # the table starts with its 4-byte soffset back to the vtable
+    for idx in sorted(
+        slots, key=lambda i: -_SCALAR_SIZE.get(slots[i][0], 4)
+    ):
+        size = _SCALAR_SIZE.get(slots[idx][0], 4)
+        cur += (-cur) % size
+        offs[idx] = cur
+        cur += size
+    b.data += struct.pack("<HH", vt_size, cur)
+    for idx in range(nslots):
+        b.data += struct.pack("<H", offs.get(idx, 0))
+    b.data += b"\x00" * (table_at - vt_size)
+    tbl = bytearray(cur)
+    struct.pack_into("<i", tbl, 0, table_at)
+    for idx, (kind, value) in slots.items():
+        at = offs[idx]
+        if kind == "ref":
+            target, inner = (
+                value if isinstance(value, tuple) else (value, None)
+            )
+            b.fixups.append((table_at + at, target, inner))
+        else:
+            struct.pack_into(f"<{_SCALAR_FMT[kind]}", tbl, at, value)
+    b.data += tbl
+    b.table_at = table_at
+
+
+def _string(bld: _Builder, s: str) -> _Block:
+    raw = s.encode("utf-8")
+    b = bld.block(4)
+    b.data += struct.pack("<I", len(raw)) + raw + b"\x00"
+    return b
+
+
+def _fill_ref_vector(b: _Block, items: list[_Block]) -> None:
+    b.data += struct.pack("<I", len(items))
+    for i, target in enumerate(items):
+        b.fixups.append((4 + 4 * i, target, None))
+        b.data += b"\x00\x00\x00\x00"
+
+
+def _struct_vector(bld: _Builder, pairs: list[tuple[int, int]]) -> _Block:
+    """Vector of 16-byte (i64, i64) structs (FieldNode / Buffer);
+    4 bytes of leading pad put the elements on an 8-byte boundary."""
+    b = bld.block(8)
+    b.data += b"\x00" * 4
+    b.data += struct.pack("<I", len(pairs))
+    for x, y in pairs:
+        b.data += struct.pack("<qq", x, y)
+    b.table_at = 4  # parents point at the length word
+    return b
+
+
+def _type_table(bld: _Builder, tag: str) -> tuple[int, _Block]:
+    b = bld.block(8)
+    if tag.startswith(("int", "uint")):
+        bits = int(tag.lstrip("uint"))
+        slots = {0: ("i32", bits)}
+        if tag.startswith("int"):
+            slots[1] = ("u8", 1)  # is_signed (default false)
+        _fill_table(b, slots)
+        return _T_INT, b
+    if tag in ("float32", "float64"):
+        _fill_table(b, {0: ("i16", 1 if tag == "float32" else 2)})
+        return _T_FLOAT, b
+    if tag in ("bool", "utf8", "binary"):
+        _fill_table(b, {})
+        return {"bool": _T_BOOL, "utf8": _T_UTF8, "binary": _T_BINARY}[tag], b
+    raise ValueError(f"unsupported arrow write type {tag!r}")
+
+
+def _encapsulate(meta: bytes, body: bytes = b"") -> bytes:
+    pad = (-len(meta)) % 8
+    meta_p = meta + b"\x00" * pad
+    return (
+        b"\xff\xff\xff\xff" + struct.pack("<i", len(meta_p)) + meta_p + body
+    )
+
+
+def _bitmap(flags: list[bool]) -> bytes:
+    out = bytearray((len(flags) + 7) // 8)
+    for i, f in enumerate(flags):
+        if f:
+            out[i >> 3] |= 1 << (i & 7)
+    return bytes(out)
+
+
+def _schema_message(schema: list[tuple[str, str]]) -> bytes:
+    bld = _Builder()
+    root = bld.block(4)
+    root.data += b"\x00\x00\x00\x00"
+    # strict parent-first creation order: Message, Schema, fields
+    # vector, then each Field with its name/type children
+    msg = bld.block(8)
+    sch = bld.block(8)
+    fields_vec = bld.block(4)
+    field_blocks = []
+    for name, tag in schema:
+        f = bld.block(8)
+        name_b = _string(bld, name)
+        ttag, type_b = _type_table(bld, tag)
+        _fill_table(
+            f,
+            {
+                0: ("ref", name_b),
+                1: ("u8", 1),  # nullable (default false)
+                2: ("u8", ttag),
+                3: ("ref", type_b),
+            },
+        )
+        field_blocks.append(f)
+    _fill_ref_vector(fields_vec, field_blocks)
+    _fill_table(sch, {1: ("ref", fields_vec)})  # endianness 0 = default
+    _fill_table(msg, {0: ("i16", 4), 1: ("u8", 1), 2: ("ref", sch)})
+    root.fixups.append((0, msg, None))
+    return _encapsulate(bld.assemble())
+
+
+def _encode_column(tag: str, values: list):
+    """(FieldNode pair, [buffer bytes...]) for one column."""
+    n = len(values)
+    nulls = [v is None for v in values]
+    null_count = sum(nulls)
+    validity = _bitmap([not x for x in nulls]) if null_count else b""
+    bufs = [validity]
+    if tag in ("utf8", "binary"):
+        offs = [0]
+        data = bytearray()
+        for v in values:
+            if v is not None:
+                data += v.encode("utf-8") if tag == "utf8" else v
+            offs.append(len(data))
+        if offs[-1] > 0x7FFFFFFF:
+            raise ValueError("batch too large for int32 offsets")
+        bufs.append(struct.pack(f"<{n + 1}i", *offs))
+        bufs.append(bytes(data))
+    elif tag == "bool":
+        bufs.append(_bitmap([bool(v) for v in values]))
+    else:
+        fmt = {
+            "int8": "b", "uint8": "B", "int16": "h", "uint16": "H",
+            "int32": "i", "uint32": "I", "int64": "q", "uint64": "Q",
+            "float32": "f", "float64": "d",
+        }[tag]
+        zero = 0.0 if tag.startswith("float") else 0
+        bufs.append(
+            struct.pack(
+                f"<{n}{fmt}", *(zero if v is None else v for v in values)
+            )
+        )
+    return (n, null_count), bufs
+
+
+def _batch_message(
+    schema: list[tuple[str, str]],
+    batch: dict[str, list],
+    compression: str | None,
+) -> bytes:
+    nodes: list[tuple[int, int]] = []
+    raw_bufs: list[bytes] = []
+    n_rows = len(batch[schema[0][0]]) if schema else 0
+    for name, tag in schema:
+        values = batch[name]
+        if len(values) != n_rows:
+            raise ValueError("ragged record batch")
+        node, bufs = _encode_column(tag, values)
+        nodes.append(node)
+        raw_bufs.extend(bufs)
+
+    if compression is not None:
+        if compression != "zstd":
+            raise ValueError(f"unsupported write compression {compression}")
+        from .zstd import zstd_compress
+
+        packed = []
+        for raw in raw_bufs:
+            if not raw:
+                packed.append(b"")
+                continue
+            comp = zstd_compress(raw, checksum=False)
+            if len(comp) < len(raw):
+                packed.append(struct.pack("<q", len(raw)) + comp)
+            else:  # -1: stored uncompressed
+                packed.append(struct.pack("<q", -1) + raw)
+        raw_bufs = packed
+
+    body = bytearray()
+    buf_meta: list[tuple[int, int]] = []
+    for raw in raw_bufs:
+        body += b"\x00" * ((-len(body)) % 8)
+        buf_meta.append((len(body), len(raw)))
+        body += raw
+    body += b"\x00" * ((-len(body)) % 8)
+
+    bld = _Builder()
+    root = bld.block(4)
+    root.data += b"\x00\x00\x00\x00"
+    msg = bld.block(8)
+    rb = bld.block(8)
+    nodes_vec = _struct_vector(bld, nodes)
+    bufs_vec = _struct_vector(bld, buf_meta)
+    rb_slots = {
+        0: ("i64", n_rows),
+        1: ("ref", nodes_vec),
+        2: ("ref", bufs_vec),
+    }
+    if compression is not None:
+        comp_tbl = bld.block(8)
+        _fill_table(comp_tbl, {0: ("i8", 1)})  # codec ZSTD (default LZ4)
+        rb_slots[3] = ("ref", comp_tbl)
+    _fill_table(rb, rb_slots)
+    _fill_table(
+        msg,
+        {
+            0: ("i16", 4),  # version V5
+            1: ("u8", 3),  # header: RecordBatch
+            2: ("ref", rb),
+            3: ("i64", len(body)),
+        },
+    )
+    root.fixups.append((0, msg, None))
+    return _encapsulate(bld.assemble(), bytes(body))
+
+
+def encode_arrow_stream(
+    schema: list[tuple[str, str]],
+    batches: list[dict[str, list]],
+    compression: str | None = None,
+) -> bytes:
+    """Encode an Arrow IPC STREAM: schema message, one RecordBatch per
+    batch, end-of-stream marker. ``schema`` is ``[(name, tag)]`` with
+    tags from the envelope above; each batch maps name -> values
+    (``None`` = null). ``compression="zstd"`` compresses every buffer
+    with this repo's own encoder."""
+    out = bytearray(_schema_message(schema))
+    for batch in batches:
+        out += _batch_message(schema, batch, compression)
+    out += b"\xff\xff\xff\xff\x00\x00\x00\x00"
+    return bytes(out)

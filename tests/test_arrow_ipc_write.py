@@ -1,0 +1,169 @@
+"""Arrow IPC writer pins: PYARROW is the reference READER for every
+stream the hand-built flatbuffers writer emits — plain and
+zstd-compressed (the latter also cross-validates the repo's RFC 8878
+encoder through pyarrow's independent zstd decoder)."""
+
+from __future__ import annotations
+
+import io
+import random
+
+import pyarrow as pa
+import pytest
+
+from simple_data_engineering_project_spark.operators.arrow_ipc import (
+    parse_arrow_ipc,
+)
+from simple_data_engineering_project_spark.operators.arrow_ipc_write import (
+    encode_arrow_stream,
+)
+
+_SCHEMA = [
+    ("id", "int64"),
+    ("name", "utf8"),
+    ("score", "float64"),
+    ("flag", "bool"),
+    ("blob", "binary"),
+    ("small", "int16"),
+    ("u", "uint32"),
+]
+
+
+def _expect(schema, batches):
+    rows = []
+    for b in batches:
+        for i in range(len(b[schema[0][0]])):
+            rows.append({k: b[k][i] for k, _ in schema})
+    return rows
+
+
+@pytest.mark.parametrize("comp", [None, "zstd"])
+def test_pyarrow_reads_our_streams(comp):
+    batches = [
+        {
+            "id": [1, 2, None],
+            "name": ["alpha", None, "gämma ☃"],
+            "score": [1.5, None, -2.25],
+            "flag": [True, False, None],
+            "blob": [b"\x00\x01", b"", None],
+            "small": [-5, None, 300],
+            "u": [0, 4_000_000_000, None],
+        },
+        {
+            "id": [10],
+            "name": ["solo"],
+            "score": [0.0],
+            "flag": [True],
+            "blob": [b"xyz"],
+            "small": [7],
+            "u": [1],
+        },
+    ]
+    stream = encode_arrow_stream(_SCHEMA, batches, compression=comp)
+    t = pa.ipc.open_stream(io.BytesIO(stream)).read_all()
+    assert t.to_pylist() == _expect(_SCHEMA, batches)
+    # the sibling reader agrees
+    _s, rows = parse_arrow_ipc(stream)
+    assert rows == _expect(_SCHEMA, batches)
+
+
+@pytest.mark.parametrize("comp", [None, "zstd"])
+def test_fuzz_random_batches(comp):
+    rnd = random.Random(99)
+    schema = [
+        ("a", "int64"),
+        ("b", "utf8"),
+        ("c", "float32"),
+        ("d", "uint8"),
+        ("e", "bool"),
+    ]
+    batches = []
+    for _ in range(rnd.randrange(1, 5)):
+        n = rnd.randrange(0, 400)
+        batches.append(
+            {
+                "a": [
+                    None if rnd.random() < 0.2 else rnd.randrange(-(2**62), 2**62)
+                    for _ in range(n)
+                ],
+                "b": [
+                    None
+                    if rnd.random() < 0.2
+                    else "w" * rnd.randrange(0, 50) + "é"
+                    for _ in range(n)
+                ],
+                "c": [
+                    None if rnd.random() < 0.2 else float(rnd.randrange(1000))
+                    for _ in range(n)
+                ],
+                "d": [
+                    None if rnd.random() < 0.2 else rnd.randrange(256)
+                    for _ in range(n)
+                ],
+                "e": [
+                    None if rnd.random() < 0.2 else bool(rnd.randrange(2))
+                    for _ in range(n)
+                ],
+            }
+        )
+    stream = encode_arrow_stream(schema, batches, compression=comp)
+    t = pa.ipc.open_stream(io.BytesIO(stream)).read_all()
+    assert t.to_pylist() == _expect(schema, batches)
+    _s, rows = parse_arrow_ipc(stream)
+    assert rows == _expect(schema, batches)
+
+
+def test_zstd_buffers_cross_128kb_blocks():
+    """A data buffer > 128 KB forces the encoder's multi-block frame
+    path; pyarrow must still reassemble it exactly."""
+    text = "repeated boilerplate sentence %d. "
+    batch = {"doc": [text % (i % 7) * 40 for i in range(300)]}
+    stream = encode_arrow_stream(
+        [("doc", "utf8")], [batch], compression="zstd"
+    )
+    t = pa.ipc.open_stream(io.BytesIO(stream)).read_all()
+    assert t.to_pylist() == _expect([("doc", "utf8")], [batch])
+    # genuinely compressed: the body beats the raw utf8 payload
+    raw = sum(len(s.encode()) for s in batch["doc"])
+    assert len(stream) < raw // 2
+
+
+def test_empty_stream_and_zero_row_batch():
+    stream = encode_arrow_stream(_SCHEMA, [])
+    t = pa.ipc.open_stream(io.BytesIO(stream)).read_all()
+    assert t.num_rows == 0
+    assert t.schema.names == [n for n, _ in _SCHEMA]
+
+    empty = {k: [] for k, _ in _SCHEMA}
+    stream = encode_arrow_stream(_SCHEMA, [empty])
+    t = pa.ipc.open_stream(io.BytesIO(stream)).read_all()
+    assert t.num_rows == 0
+
+
+def test_schema_round_trip_types():
+    """pyarrow must reconstruct the exact column types, not just
+    values — pins the hand-written Type union tables."""
+    stream = encode_arrow_stream(_SCHEMA, [])
+    t = pa.ipc.open_stream(io.BytesIO(stream)).read_all()
+    want = {
+        "id": pa.int64(),
+        "name": pa.utf8(),
+        "score": pa.float64(),
+        "flag": pa.bool_(),
+        "blob": pa.binary(),
+        "small": pa.int16(),
+        "u": pa.uint32(),
+    }
+    for name, typ in want.items():
+        assert t.schema.field(name).type == typ, name
+
+
+def test_errors():
+    with pytest.raises(ValueError, match="unsupported arrow write type"):
+        encode_arrow_stream([("x", "decimal128")], [])
+    with pytest.raises(ValueError, match="ragged"):
+        encode_arrow_stream(
+            [("a", "int64"), ("b", "int64")], [{"a": [1], "b": [1, 2]}]
+        )
+    with pytest.raises(ValueError, match="unsupported write compression"):
+        encode_arrow_stream([("a", "int64")], [{"a": [1]}], compression="lz4")
