@@ -61,3 +61,73 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ------------------------------------------------ transformWithState
+
+def _have_tws_runtime() -> bool:
+    """Spark 4's transformWithStateInPandas drives its state protocol
+    over protobuf (pyspark/sql/streaming/proto/StateMessage_pb2) — the
+    API surface imports fine, but every query needs ``google.protobuf``
+    in the driver-worker Python. This image ships pyspark WITHOUT
+    protobuf, so the operator is environment-gated exactly like the
+    hadoop-aws jar: present, tested for construction, self-skipping at
+    execution. On a real cluster, ``pip install protobuf>=4`` on driver
+    and executors (or ship it via --py-files) enables it unmodified."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, sum_value) on the MODERN Spark 4
+    arbitrary-state API (``transformWithStateInPandas``) — the
+    successor to :func:`running_user_totals`'s applyInPandasWithState:
+    composable named state variables (ValueState here; ListState /
+    MapState / timers / TTL in the same handle API), Arrow-batched.
+
+    Semantics match :func:`running_user_totals` with no timeout leg
+    (timeMode None); state is one (n, s) ValueState row per user,
+    O(distinct users), sharded by the grouping key.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    class _UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [StructField("n", LongType()), StructField("s", DoubleType())]
+            )
+            self._agg = handle.getValueState("agg", schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            st = self._agg.get()
+            n, s = st if st else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].fillna(0.0).sum())
+            self._agg.update((int(n), float(s)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _UserTotals(),
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

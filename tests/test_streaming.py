@@ -301,3 +301,63 @@ def test_stream_stream_outer_join_emits_unmatched(spark, sf_smoke, events_dir):
         assert any(r_event is None for _, r_event in got)
     finally:
         q.stop()
+
+
+def test_tws_running_totals_match_batch(spark, sf_smoke, events_dir):
+    """transformWithStateInPandas leg of the running-totals operator.
+    Gated on google.protobuf (the TWS state protocol's driver-worker
+    dependency, absent from this image — see _have_tws_runtime for the
+    enablement recipe); the plan still CONSTRUCTS unconditionally, so
+    a pyspark upgrade that breaks the API surface fails loudly here."""
+    from simple_data_engineering_project_spark.streaming import (
+        read_events_stream,
+    )
+    from simple_data_engineering_project_spark.streaming.stateful import (
+        _have_tws_runtime,
+        running_user_totals_tws,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    out = running_user_totals_tws(stream)  # plan construction: ungated
+    assert set(out.schema.fieldNames()) == {
+        "user_id", "n_events", "sum_value"
+    }
+    if not _have_tws_runtime():
+        pytest.skip("google.protobuf not installed (TWS state protocol)")
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            f"{events_dir}/../tws_ckpt",
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql(
+            """SELECT user_id, n_events, sum_value FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM t_tws) WHERE rn = 1"""
+        ).collect()
+    }
+    from simple_data_engineering_project_spark.sources import read_table
+
+    want = {
+        (r["user_id"], r["n"], round(r["s"], 6))
+        for r in read_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
