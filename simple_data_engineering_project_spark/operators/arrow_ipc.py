@@ -16,8 +16,8 @@ format itself, the way the spec defines it:
 - ``Schema`` messages yield a FIELD TREE per column (ints of any
   width/sign, float16/32/64, bool, utf8/binary and their Large 64-bit-
   offset forms, date32/64, naive s/ms/us timestamps, s/ms/us times and
-  durations, decimal32/64/128/256 (one width-parameterized
-  two's-complement path; 256 cross-validated against pyarrow),
+  durations, decimal128/256 (one width-parameterized
+  two's-complement path, both cross-validated against pyarrow),
   fixed-size binary/list, and NESTED
   list/struct/map of those, to any depth — map surfaces as
   (key, value) tuple lists matching pyarrow's to_pylist); ``RecordBatch`` messages carry FieldNode
@@ -53,7 +53,13 @@ data buffers with the 4-byte prefix cross-checked) and ListView/
 LargeListView (offsets + sizes buffers, unordered ranges).
 
 Out of envelope (honest ``NotImplementedError``/``ValueError``):
-big-endian streams.
+big-endian streams; decimal32/64 (structurally trivial but NO
+in-container reference can write or read them — pyarrow 16 lacks the
+types — so accepting them would be self-consistent-only, the exact
+trap this repo declines); zstd bodies that reference an external
+dictionary (no IPC writer emits them — pyarrow's zstd IPC path has no
+dictionary transport — so there is nothing to plumb the
+``zstd_decompress(dictionary=...)`` parameter from).
 Tests cross-validate against pyarrow (the
 writer side) including dictionary, nested, lz4, and zstd payloads,
 plus tamper/envelope pins. (∅ in reference; Tier C extension.)
@@ -205,13 +211,16 @@ def _type_tag(ttype: int, tval: _Table | None) -> str:
         return ("interval_ym", "interval_dt", "interval_mdn")[unit]
     if ttype == _T_DECIMAL:
         # Decimal: precision(0), scale(1), bitWidth(2, default 128).
-        # All four widths share one layout (two's-complement
-        # little-endian integers at bitWidth/8 bytes); 256 is
-        # cross-validated against pyarrow, 32/64 are the same code
-        # path at a narrower width.
+        # 128 and 256 share one width-parameterized two's-complement
+        # path, both cross-validated against pyarrow. 32/64 stay
+        # DECLINED: structurally trivial, but no in-container reference
+        # can write or read them (pyarrow 16 lacks the types), so
+        # accepting them would be verified by nothing but this module
+        # itself — the self-consistency trap the verify protocol
+        # forbids.
         bits = tval.scalar(2, "<i", 128) if tval else 128
-        if bits not in (32, 64, 128, 256):
-            raise ValueError(f"invalid decimal bit width {bits}")
+        if bits not in (128, 256):
+            raise NotImplementedError(f"decimal{bits} arrow column")
         scale = tval.scalar(1, "<i", 0) if tval else 0
         return f"decimal{bits}:{scale}"
     if ttype == _T_FIXEDBINARY:

@@ -576,20 +576,32 @@ class _Dictionary:
         self.content = bytes(raw[pos + 12 :])
 
 
+def parse_zstd_dictionary(raw: bytes) -> _Dictionary:
+    """Parse an RFC 8878 §5 dictionary once for reuse across many
+    :func:`zstd_decompress` calls (a shard reader decoding thousands of
+    small dict-referencing frames should not re-parse the entropy
+    tables per frame)."""
+    return _Dictionary(raw)
+
+
 def zstd_decompress(
     payload: bytes,
     max_output: int = _MAX_WINDOW,
-    dictionary: bytes | None = None,
+    dictionary: "bytes | _Dictionary | None" = None,
 ) -> bytes:
     """Decode a (possibly multi-frame) zstd payload. ``dictionary``
     supplies an RFC 8878 §5 dictionary (trained format by magic, else
-    raw content) for frames that reference one."""
+    raw content) for frames that reference one — raw bytes or a
+    pre-parsed :func:`parse_zstd_dictionary` result."""
     out = bytearray()
     pos = 0
     n = len(payload)
     if n == 0:
         raise ValueError("empty zstd payload")
-    d = _Dictionary(dictionary) if dictionary is not None else None
+    if dictionary is None or isinstance(dictionary, _Dictionary):
+        d = dictionary
+    else:
+        d = _Dictionary(dictionary)
     while pos < n:
         if pos + 4 > n:
             raise ValueError("truncated zstd magic")

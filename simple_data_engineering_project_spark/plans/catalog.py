@@ -9086,6 +9086,57 @@ def events_ols_trend_q(spark, sf_dir):
     )
 
 
+def _shard_sink_roundtrip(
+    spark, sf_dir, leaf, suffix, encode_batch, decode_shard,
+    read_schema, pandas_dtypes,
+):
+    """Shared scaffold for the export sinks (webdataset / tar.zst /
+    arrow IPC): shard ``documents`` one archive per Arrow batch written
+    FROM EXECUTORS (no driver data path, no shuffle — arrival
+    partitioning is the sharding), materialize the export, then read
+    every shard back and emit per-document verification rows for the
+    oracle. ``encode_batch(pandas_batch) -> payload bytes``;
+    ``decode_shard(payload) -> list[row dict]``."""
+    import glob as _glob
+    import uuid as _uuid
+
+    import pandas as _pd
+
+    out = _scratch(sf_dir, leaf)
+    os.makedirs(out, exist_ok=True)
+    for old in _glob.glob(f"{out}/shard-*.{suffix}"):
+        os.remove(old)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _write(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            payload = encode_batch(b)
+            path = f"{out}/shard-{_uuid.uuid4().hex}.{suffix}"
+            with open(path, "wb") as f:
+                f.write(payload)
+            yield _pd.DataFrame({"path": [path], "n": [len(b)]})
+
+    shards = d.mapInPandas(_write, schema="path string, n int")
+    shards.count()  # materialize the export before reading it back
+
+    paths = sorted(_glob.glob(f"{out}/shard-*.{suffix}"))
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    columns = [c.strip().split()[0] for c in read_schema.split(",")]
+
+    def _read(batches):
+        for b in batches:
+            rows = []
+            for path in b["path"]:
+                with open(path, "rb") as f:
+                    payload = f.read()
+                rows.extend(decode_shard(payload))
+            yield _pd.DataFrame(rows, columns=columns).astype(pandas_dtypes)
+
+    return pdf.mapInPandas(_read, schema=read_schema)
+
+
 @register(
     "sink_webdataset",
     """
@@ -9107,69 +9158,32 @@ def events_ols_trend_q(spark, sf_dir):
     "sink_parquet/sink_jsonl_shards.",
 )
 def sink_webdataset_q(spark, sf_dir):
-    import glob as _glob
-    import uuid as _uuid
-
-    import pandas as _pd
-
     from ..operators.shards import encode_tar, group_webdataset, parse_tar
 
-    out = _scratch(sf_dir, "wds_sink")
-    os.makedirs(out, exist_ok=True)
-    for old in _glob.glob(f"{out}/shard-*.tar"):
-        os.remove(old)
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    def _encode(b):
+        members = []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            stem = f"{int(doc_id):012d}"
+            members.append((f"{stem}.txt", (text or "").encode("utf-8")))
+            members.append((f"{stem}.cls", str(int(doc_id) % 10).encode()))
+        return encode_tar(members)
 
-    def _write(batches):
-        for b in batches:
-            members = []
-            for doc_id, text in zip(b["doc_id"], b["text"]):
-                stem = f"{int(doc_id):012d}"
-                members.append(
-                    (f"{stem}.txt", (text or "").encode("utf-8"))
-                )
-                members.append(
-                    (f"{stem}.cls", str(int(doc_id) % 10).encode())
-                )
-            if not members:
-                continue
-            path = f"{out}/shard-{_uuid.uuid4().hex}.tar"
-            with open(path, "wb") as f:
-                f.write(encode_tar(members))
-            yield _pd.DataFrame({"path": [path], "n": [len(members) // 2]})
-
-    shards = d.mapInPandas(_write, schema="path string, n int")
-    shards.count()  # materialize the export before reading it back
-
-    paths = sorted(_glob.glob(f"{out}/shard-*.tar"))
-    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
-
-    def _read(batches):
+    def _decode(payload):
         import hashlib as _hl
 
-        for b in batches:
-            rows = []
-            for path in b["path"]:
-                with open(path, "rb") as f:
-                    payload = f.read()
-                for stem, sample in group_webdataset(
-                    parse_tar(payload)
-                ).items():
-                    rows.append(
-                        {
-                            "doc_id": int(stem),
-                            "text_sha": _hl.sha256(
-                                sample["txt"]
-                            ).hexdigest(),
-                            "cls": int(sample["cls"].decode()),
-                        }
-                    )
-            yield _pd.DataFrame(
-                rows, columns=["doc_id", "text_sha", "cls"]
-            ).astype({"doc_id": "int64", "cls": "int32"})
+        return [
+            {
+                "doc_id": int(stem),
+                "text_sha": _hl.sha256(sample["txt"]).hexdigest(),
+                "cls": int(sample["cls"].decode()),
+            }
+            for stem, sample in group_webdataset(parse_tar(payload)).items()
+        ]
 
-    return pdf.mapInPandas(
-        _read, schema="doc_id long, text_sha string, cls int"
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "wds_sink", "tar", _encode, _decode,
+        "doc_id long, text_sha string, cls int",
+        {"doc_id": "int64", "cls": "int32"},
     )
 
 
@@ -9197,62 +9211,35 @@ def sink_webdataset_q(spark, sf_dir):
     "like sink_webdataset.",
 )
 def sink_tar_zst_q(spark, sf_dir):
-    import glob as _glob
-    import uuid as _uuid
-
-    import pandas as _pd
-
     from ..operators.shards import encode_tar, parse_tar
     from ..operators.zstd import zstd_compress
 
-    out = _scratch(sf_dir, "tar_zst_sink")
-    os.makedirs(out, exist_ok=True)
-    for old in _glob.glob(f"{out}/shard-*.tar.zst"):
-        os.remove(old)
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    def _encode(b):
+        return zstd_compress(
+            encode_tar(
+                [
+                    (f"{int(doc_id):012d}.txt", (text or "").encode("utf-8"))
+                    for doc_id, text in zip(b["doc_id"], b["text"])
+                ]
+            )
+        )
 
-    def _write(batches):
-        for b in batches:
-            members = [
-                (f"{int(doc_id):012d}.txt", (text or "").encode("utf-8"))
-                for doc_id, text in zip(b["doc_id"], b["text"])
-            ]
-            if not members:
-                continue
-            payload = zstd_compress(encode_tar(members))
-            path = f"{out}/shard-{_uuid.uuid4().hex}.tar.zst"
-            with open(path, "wb") as f:
-                f.write(payload)
-            yield _pd.DataFrame({"path": [path], "n": [len(members)]})
-
-    shards = d.mapInPandas(_write, schema="path string, n int")
-    shards.count()  # materialize the export before reading it back
-
-    paths = sorted(_glob.glob(f"{out}/shard-*.tar.zst"))
-    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
-
-    def _read(batches):
+    def _decode(payload):
         import hashlib as _hl
 
-        for b in batches:
-            rows = []
-            for path in b["path"]:
-                with open(path, "rb") as f:
-                    payload = f.read()
-                for name, data in parse_tar(payload):
-                    rows.append(
-                        {
-                            "doc_id": int(name[:-4]),
-                            "text_sha": _hl.sha256(data).hexdigest(),
-                            "n_bytes": len(data),
-                        }
-                    )
-            yield _pd.DataFrame(
-                rows, columns=["doc_id", "text_sha", "n_bytes"]
-            ).astype({"doc_id": "int64", "n_bytes": "int64"})
+        return [
+            {
+                "doc_id": int(name[:-4]),
+                "text_sha": _hl.sha256(data).hexdigest(),
+                "n_bytes": len(data),
+            }
+            for name, data in parse_tar(payload)
+        ]
 
-    return pdf.mapInPandas(
-        _read, schema="doc_id long, text_sha string, n_bytes long"
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "tar_zst_sink", "tar.zst", _encode, _decode,
+        "doc_id long, text_sha string, n_bytes long",
+        {"doc_id": "int64", "n_bytes": "int64"},
     )
 
 
@@ -9279,67 +9266,39 @@ def sink_tar_zst_q(spark, sf_dir):
     "shuffle — arrival partitioning is the sharding.",
 )
 def sink_arrow_ipc_q(spark, sf_dir):
-    import glob as _glob
-    import uuid as _uuid
-
-    import pandas as _pd
-
     from ..operators.arrow_ipc import parse_arrow_ipc
     from ..operators.arrow_ipc_write import encode_arrow_stream
 
-    out = _scratch(sf_dir, "arrow_ipc_sink")
-    os.makedirs(out, exist_ok=True)
-    for old in _glob.glob(f"{out}/shard-*.arrows"):
-        os.remove(old)
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    def _encode(b):
+        return encode_arrow_stream(
+            [("doc_id", "int64"), ("text", "utf8")],
+            [{
+                "doc_id": [int(x) for x in b["doc_id"]],
+                "text": list(b["text"]),
+            }],
+            compression="zstd",
+        )
 
-    def _write(batches):
-        for b in batches:
-            if not len(b):
-                continue
-            stream = encode_arrow_stream(
-                [("doc_id", "int64"), ("text", "utf8")],
-                [{
-                    "doc_id": [int(x) for x in b["doc_id"]],
-                    "text": list(b["text"]),
-                }],
-                compression="zstd",
-            )
-            path = f"{out}/shard-{_uuid.uuid4().hex}.arrows"
-            with open(path, "wb") as f:
-                f.write(stream)
-            yield _pd.DataFrame({"path": [path], "n": [len(b)]})
-
-    shards = d.mapInPandas(_write, schema="path string, n int")
-    shards.count()  # materialize the export before reading it back
-
-    paths = sorted(_glob.glob(f"{out}/shard-*.arrows"))
-    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
-
-    def _read(batches):
+    def _decode(payload):
         import hashlib as _hl
 
-        for b in batches:
-            rows = []
-            for path in b["path"]:
-                with open(path, "rb") as f:
-                    payload = f.read()
-                _schema, recs = parse_arrow_ipc(payload)
-                for r in recs:
-                    raw = (r["text"] or "").encode("utf-8")
-                    rows.append(
-                        {
-                            "doc_id": int(r["doc_id"]),
-                            "text_sha": _hl.sha256(raw).hexdigest(),
-                            "n_bytes": len(raw),
-                        }
-                    )
-            yield _pd.DataFrame(
-                rows, columns=["doc_id", "text_sha", "n_bytes"]
-            ).astype({"doc_id": "int64", "n_bytes": "int64"})
+        _schema, recs = parse_arrow_ipc(payload)
+        rows = []
+        for r in recs:
+            raw = (r["text"] or "").encode("utf-8")
+            rows.append(
+                {
+                    "doc_id": int(r["doc_id"]),
+                    "text_sha": _hl.sha256(raw).hexdigest(),
+                    "n_bytes": len(raw),
+                }
+            )
+        return rows
 
-    return pdf.mapInPandas(
-        _read, schema="doc_id long, text_sha string, n_bytes long"
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "arrow_ipc_sink", "arrows", _encode, _decode,
+        "doc_id long, text_sha string, n_bytes long",
+        {"doc_id": "int64", "n_bytes": "int64"},
     )
 
 

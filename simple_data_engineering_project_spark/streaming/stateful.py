@@ -82,17 +82,11 @@ def _have_tws_runtime() -> bool:
         return False
 
 
-def running_user_totals_tws(events: DataFrame) -> DataFrame:
-    """Per-user running (n_events, sum_value) on the MODERN Spark 4
-    arbitrary-state API (``transformWithStateInPandas``) — the
-    successor to :func:`running_user_totals`'s applyInPandasWithState:
-    composable named state variables (ValueState here; ListState /
-    MapState / timers / TTL in the same handle API), Arrow-batched.
-
-    Semantics match :func:`running_user_totals` with no timeout leg
-    (timeMode None); state is one (n, s) ValueState row per user,
-    O(distinct users), sharded by the grouping key.
-    """
+def make_user_totals_processor():
+    """The StatefulProcessor behind :func:`running_user_totals_tws`,
+    exposed so its handler logic is unit-drivable with a fake handle
+    (the live execution path is environment-gated on protobuf, and a
+    gated test alone would leave handleInputRows unexecuted here)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -125,8 +119,22 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return _UserTotals()
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, sum_value) on the MODERN Spark 4
+    arbitrary-state API (``transformWithStateInPandas``) — the
+    successor to :func:`running_user_totals`'s applyInPandasWithState:
+    composable named state variables (ValueState here; ListState /
+    MapState / timers / TTL in the same handle API), Arrow-batched.
+
+    Semantics match :func:`running_user_totals` with no timeout leg
+    (timeMode None); state is one (n, s) ValueState row per user,
+    O(distinct users), sharded by the grouping key.
+    """
     return events.groupBy("user_id").transformWithStateInPandas(
-        _UserTotals(),
+        make_user_totals_processor(),
         outputStructType="user_id bigint, n_events bigint, sum_value double",
         outputMode="Update",
         timeMode="None",

@@ -662,3 +662,39 @@ def test_decimal256_cross_validated():
     _s, rows = parse_arrow_ipc(_stream(t))
     assert rows == t.to_pylist()
     assert rows[0]["d0"] == big  # exact at 76 digits
+
+
+def test_decimal32_64_declined():
+    """decimal32/64 raise: structurally trivial, but pyarrow 16 can
+    neither write nor read them, so nothing in-container could verify
+    a decode — the module declines instead of self-certifying. The
+    crafted schema reuses the repo's own writer framing with the
+    Decimal type table built by hand (bitWidth 64, scale 2)."""
+    from simple_data_engineering_project_spark.operators import (
+        arrow_ipc_write as w,
+    )
+
+    bld = w._Builder()
+    root = bld.block(4)
+    root.data += b"\x00\x00\x00\x00"
+    msg = bld.block(8)
+    sch = bld.block(8)
+    fields_vec = bld.block(4)
+    f = bld.block(8)
+    name_b = w._string(bld, "d")
+    type_b = bld.block(8)
+    # Decimal table: precision(0)=10, scale(1)=2, bitWidth(2)=64
+    w._fill_table(
+        type_b, {0: ("i32", 10), 1: ("i32", 2), 2: ("i32", 64)}
+    )
+    w._fill_table(
+        f,
+        {0: ("ref", name_b), 1: ("u8", 1), 2: ("u8", 7), 3: ("ref", type_b)},
+    )
+    w._fill_ref_vector(fields_vec, [f])
+    w._fill_table(sch, {1: ("ref", fields_vec)})
+    w._fill_table(msg, {0: ("i16", 4), 1: ("u8", 1), 2: ("ref", sch)})
+    root.fixups.append((0, msg, None))
+    stream = w._encapsulate(bld.assemble()) + b"\xff\xff\xff\xff\x00\x00\x00\x00"
+    with pytest.raises(NotImplementedError, match="decimal64"):
+        parse_arrow_ipc(stream)

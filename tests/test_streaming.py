@@ -361,3 +361,55 @@ def test_tws_running_totals_match_batch(spark, sf_smoke, events_dir):
         .collect()
     }
     assert got == want
+
+
+def test_tws_handler_logic_with_fake_handle():
+    """Drives the StatefulProcessor's handleInputRows directly with a
+    fake handle/ValueState (the live TWS path is protobuf-gated in
+    this image), pinning state accumulation across calls, null
+    handling, and the output row shape against outputStructType."""
+    import pandas as pd
+
+    from simple_data_engineering_project_spark.streaming.stateful import (
+        make_user_totals_processor,
+    )
+
+    class _FakeState:
+        def __init__(self):
+            self.v = None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class _FakeHandle:
+        def __init__(self):
+            self.state = _FakeState()
+
+        def getValueState(self, name, schema):
+            assert name == "agg"
+            assert [f.name for f in schema.fields] == ["n", "s"]
+            return self.state
+
+    proc = make_user_totals_processor()
+    h = _FakeHandle()
+    proc.init(h)
+    out1 = list(
+        proc.handleInputRows(
+            (7,), iter([pd.DataFrame({"value": [1.5, None, 2.0]})]), None
+        )
+    )
+    assert len(out1) == 1
+    assert list(out1[0].columns) == ["user_id", "n_events", "sum_value"]
+    assert out1[0].iloc[0].tolist() == [7, 3, 3.5]
+    assert h.state.v == (3, 3.5)
+    # state survives to the next micro-batch and accumulates
+    out2 = list(
+        proc.handleInputRows(
+            (7,), iter([pd.DataFrame({"value": [4.0]})]), None
+        )
+    )
+    assert out2[0].iloc[0].tolist() == [7, 4, 7.5]
+    proc.close()

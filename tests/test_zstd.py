@@ -295,43 +295,43 @@ def test_dictionary_decode_cross_validated(tmp_path):
     assert r.returncode == 0, r.stderr
     d = dict_path.read_bytes()
 
+    def _cli_d(*args):
+        p = subprocess.run(["zstd", *args], capture_output=True)
+        assert p.returncode == 0, p.stderr
+        return p.stdout
+
     for p in samples[:10]:
         data = p.read_bytes()
         for lvl in ("-1", "-19"):
-            enc = subprocess.run(
-                ["zstd", "-D", str(dict_path), lvl, "-c", str(p)],
-                capture_output=True,
-            ).stdout
+            enc = _cli_d("-D", str(dict_path), lvl, "-c", str(p))
             assert zstd_decompress(enc, dictionary=d) == data, (p, lvl)
 
     # --no-dictID: frame carries id 0 but still needs the dictionary
     data = samples[0].read_bytes()
-    enc = subprocess.run(
-        ["zstd", "-D", str(dict_path), "--no-dictID", "-c", str(samples[0])],
-        capture_output=True,
-    ).stdout
+    enc = _cli_d("-D", str(dict_path), "--no-dictID", "-c", str(samples[0]))
     assert zstd_decompress(enc, dictionary=d) == data
 
     # raw-content dictionary (no magic): history-only seeding
     raw_dict = samples[1].read_bytes()
-    enc = subprocess.run(
-        ["zstd", "-D", str(samples[1]), "-c", str(samples[0])],
-        capture_output=True,
-    ).stdout
+    enc = _cli_d("-D", str(samples[1]), "-c", str(samples[0]))
     assert zstd_decompress(enc, dictionary=raw_dict) == data
 
     # negatives: a dict-referencing frame without a dictionary, and a
     # dictionary whose id does not match the frame's
-    enc = subprocess.run(
-        ["zstd", "-D", str(dict_path), "-c", str(samples[0])],
-        capture_output=True,
-    ).stdout
+    enc = _cli_d("-D", str(dict_path), "-c", str(samples[0]))
     with pytest.raises(NotImplementedError, match="dictionary"):
         zstd_decompress(enc)
     wrong = d[:4] + b"\x99\x99\x99\x99" + d[8:]
     with pytest.raises(ValueError, match="wants dictionary"):
         zstd_decompress(enc, dictionary=wrong)
 
-    # a provided dictionary does not perturb dict-free frames
+    # a provided dictionary does not perturb dict-free frames, and the
+    # pre-parsed form decodes identically to raw bytes
+    from simple_data_engineering_project_spark.operators.zstd import (
+        parse_zstd_dictionary,
+    )
+
     plain = _cli(data, ["-9"])
+    parsed = parse_zstd_dictionary(d)
     assert zstd_decompress(plain, dictionary=d) == data
+    assert zstd_decompress(enc, dictionary=parsed) == samples[0].read_bytes()
