@@ -248,8 +248,16 @@ def curate_corpus(
         keys=["__fp"],
         tiebreak=[id_col],
     ).drop("__fp")
+    # 32 hashes / 8 bands (r=4) instead of the fuzzy stage's 64/16
+    # default: per-pair candidate recall at the J=0.8 threshold is
+    # 1-(1-0.8^4)^8 = 0.985 (0.999 at J>=0.9) BEFORE the exact-Jaccard
+    # verify, and the signature expression — the pipeline's dominant
+    # codegen + compute cost — halves. The standalone
+    # dedup_fuzzy_keep_one entry keeps its 64/16 default (its DuckDB
+    # oracle replays those parameters).
     return dedup_fuzzy_keep_one(
-        exact, id_col=id_col, text_col=text_col, threshold=jaccard_threshold
+        exact, id_col=id_col, text_col=text_col, threshold=jaccard_threshold,
+        num_hashes=32, bands=8,
     )
 
 
