@@ -225,10 +225,10 @@ def encode_avro(
 
             body = lzma.compress(body, format=lzma.FORMAT_XZ)
         elif codec == "snappy":
-            from .snappy import snappy_compress_literal
+            from .snappy import snappy_compress
 
             crc = zlib.crc32(body) & 0xFFFFFFFF
-            body = snappy_compress_literal(body) + crc.to_bytes(4, "big")
+            body = snappy_compress(body) + crc.to_bytes(4, "big")
         elif codec == "zstandard":
             # pyarrow's bundled encoder — a reference implementation,
             # so decoding through operators/zstd.py stays a

@@ -12,11 +12,15 @@ bytes for long runs) and back-references in three offset widths::
     tag & 3 == 2  copy, len = (tag>>2)+1, 16-bit LE offset
     tag & 3 == 3  copy, len = (tag>>2)+1, 32-bit LE offset
 
-Copies may overlap forward (RLE-style), exactly like LZ77. The
-companion :func:`snappy_compress_literal` emits a valid all-literal
-stream (compression is optional in the format; correctness of DECODE is
-what the engine needs) — real compressed data for tests comes from the
-bundled snappy-java, making the decoder externally cross-validated.
+Copies may overlap forward (RLE-style), exactly like LZ77.
+
+Both directions are REAL and reference-validated against the bundled
+snappy-java: the decoder reads snappy-java's output, and
+:func:`snappy_compress` (greedy LZ, 4-byte-prefix hash table, 64-byte
+copy elements) writes streams snappy-java decodes — the Avro snappy
+write path uses it, so Java Avro reads our snappy-coded files through
+its own codec. :func:`snappy_compress_literal` remains as the minimal
+all-literal form (compression is optional in the format).
 (∅ in reference; Tier C extension.)
 """
 
@@ -97,4 +101,73 @@ def snappy_compress_literal(data: bytes) -> bytes:
         out.append((len(chunk) - 1) << 2)
         out += chunk
         pos += len(chunk)
+    return bytes(out)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """REAL snappy compression: greedy LZ over a hash table of 4-byte
+    prefixes (min match 4, skip acceleration over incompressible runs),
+    emitting literal elements and 1-64-byte copy elements with 16-bit
+    (kind 2) or 32-bit (kind 3) offsets. Long matches split into copy
+    elements that never leave a sub-4-byte remainder. Validated by
+    snappy-java decoding every stream this writes (the Avro snappy
+    cross-validation test reads our files through Java Avro's codec,
+    and the direct battery calls org.xerial.snappy from the JVM)."""
+    out = bytearray()
+    v = len(data)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | 0x80 if v else b)
+        if not v:
+            break
+
+    def put_literal(seg: bytes) -> None:
+        if not seg:
+            return
+        ln = len(seg) - 1
+        if ln < 60:
+            out.append(ln << 2)
+        else:
+            nb = (ln.bit_length() + 7) // 8
+            out.append((59 + nb) << 2)
+            out.extend(ln.to_bytes(nb, "little"))
+        out.extend(seg)
+
+    n = len(data)
+    table: dict[bytes, int] = {}
+    i = 0
+    lit_start = 0
+    misses = 0
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is None:
+            misses += 1
+            i += 1 + (misses >> 6)
+            continue
+        misses = 0
+        m = 4
+        while i + m < n and data[j + m] == data[i + m]:
+            m += 1
+        put_literal(data[lit_start:i])
+        off = i - j
+        rem = m
+        while rem > 0:
+            ln = 64 if rem >= 68 or rem <= 64 else 60
+            ln = min(ln, rem)
+            if off < 65536:
+                out.append(((ln - 1) << 2) | 2)
+                out.extend(off.to_bytes(2, "little"))
+            else:
+                out.append(((ln - 1) << 2) | 3)
+                out.extend(off.to_bytes(4, "little"))
+            rem -= ln
+        for p in (i + 1, i + m - 4):
+            if i < p and p + 4 <= n:
+                table[data[p : p + 4]] = p
+        i += m
+        lit_start = i
+    put_literal(data[lit_start:])
     return bytes(out)

@@ -155,3 +155,48 @@ def test_snappy_raw_roundtrips(spark):
         comp = bytes(jvm.org.xerial.snappy.Snappy.compress(bytearray(raw)))
         assert snappy_decompress(comp) == raw
         assert snappy_decompress(snappy_compress_literal(raw)) == raw
+
+
+def test_snappy_compress_cross_validated(spark):
+    """The REAL snappy encoder (greedy LZ) against the bundled
+    snappy-java, both directions, plus genuine-compression and
+    round-trip pins across content shapes."""
+    import random
+
+    from simple_data_engineering_project_spark.operators.snappy import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    rnd = random.Random(7)
+    cases = {
+        "empty": b"",
+        "one": b"A",
+        "rle": b"\x07" * 100000,
+        "rep": b"the quick brown fox. " * 5000,
+        "rand": rnd.randbytes(100000),
+        "mixed": b"".join(
+            (b"h%06d" % i) + bytes([i % 251]) * (i % 37) for i in range(5000)
+        ),
+        "edge_65_67": b"Q" * 8 + b"." * 100 + b"Q" * 8 + b"x",
+    }
+    jvm = spark.sparkContext._jvm
+    for name, d in cases.items():
+        enc = snappy_compress(d)
+        assert snappy_decompress(enc) == d, name
+        back = bytes(jvm.org.xerial.snappy.Snappy.uncompress(bytearray(enc)))
+        assert back == d, name
+    assert len(snappy_compress(b"z" * 100000)) < 5000  # real compression
+    # fuzz: random repetitive structures round-trip both engines
+    for trial in range(20):
+        parts = []
+        for _ in range(rnd.randrange(1, 6)):
+            w = rnd.randbytes(rnd.randrange(1, 20))
+            parts.append(w * rnd.randrange(1, 200))
+            parts.append(rnd.randbytes(rnd.randrange(0, 500)))
+        d = b"".join(parts)
+        enc = snappy_compress(d)
+        assert snappy_decompress(enc) == d, trial
+        assert bytes(
+            jvm.org.xerial.snappy.Snappy.uncompress(bytearray(enc))
+        ) == d, trial

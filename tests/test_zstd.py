@@ -335,3 +335,20 @@ def test_dictionary_decode_cross_validated(tmp_path):
     parsed = parse_zstd_dictionary(d)
     assert zstd_decompress(plain, dictionary=d) == data
     assert zstd_decompress(enc, dictionary=parsed) == samples[0].read_bytes()
+
+    # tamper sweep over the dictionary blob itself: truncations and
+    # bit flips either parse (content flips are legal) or raise the
+    # module's ValueError/NotImplementedError — never hang or escape
+    # as IndexError/OverflowError
+    for cut in range(0, len(d), max(1, len(d) // 60)):
+        try:
+            parse_zstd_dictionary(d[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for at in range(0, len(d), max(1, len(d) // 120)):
+        m = bytearray(d)
+        m[at] ^= 0x55
+        try:
+            parse_zstd_dictionary(bytes(m))
+        except (ValueError, NotImplementedError):
+            pass
