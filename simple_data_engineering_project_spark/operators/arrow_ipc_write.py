@@ -180,13 +180,11 @@ def _bitmap(flags: list[bool]) -> bytes:
     return bytes(out)
 
 
-def _schema_message(schema: list[tuple[str, str]]) -> bytes:
-    bld = _Builder()
-    root = bld.block(4)
-    root.data += b"\x00\x00\x00\x00"
-    # strict parent-first creation order: Message, Schema, fields
-    # vector, then each Field with its name/type children
-    msg = bld.block(8)
+def _build_schema_table(bld: _Builder, schema: list[tuple[str, str]]) -> _Block:
+    """Emit the Schema table tree (fields vector, Field tables with
+    name/type children) into ``bld``; blocks are created strictly
+    parent-first. Shared by the stream schema message and the Feather
+    file footer."""
     sch = bld.block(8)
     fields_vec = bld.block(4)
     field_blocks = []
@@ -206,6 +204,15 @@ def _schema_message(schema: list[tuple[str, str]]) -> bytes:
         field_blocks.append(f)
     _fill_ref_vector(fields_vec, field_blocks)
     _fill_table(sch, {1: ("ref", fields_vec)})  # endianness 0 = default
+    return sch
+
+
+def _schema_message(schema: list[tuple[str, str]]) -> bytes:
+    bld = _Builder()
+    root = bld.block(4)
+    root.data += b"\x00\x00\x00\x00"
+    msg = bld.block(8)
+    sch = _build_schema_table(bld, schema)
     _fill_table(msg, {0: ("i16", 4), 1: ("u8", 1), 2: ("ref", sch)})
     root.fixups.append((0, msg, None))
     return _encapsulate(bld.assemble())
@@ -314,7 +321,13 @@ def _batch_message(
         },
     )
     root.fixups.append((0, msg, None))
-    return _encapsulate(bld.assemble(), bytes(body))
+    meta = bld.assemble()
+    pad = (-len(meta)) % 8
+    return (
+        _encapsulate(meta, bytes(body)),
+        8 + len(meta) + pad,  # metaDataLength incl. the 8-byte prefix
+        len(body),
+    )
 
 
 def encode_arrow_stream(
@@ -329,6 +342,51 @@ def encode_arrow_stream(
     with this repo's own encoder."""
     out = bytearray(_schema_message(schema))
     for batch in batches:
-        out += _batch_message(schema, batch, compression)
+        frame, _meta_len, _body_len = _batch_message(
+            schema, batch, compression
+        )
+        out += frame
     out += b"\xff\xff\xff\xff\x00\x00\x00\x00"
+    return bytes(out)
+
+
+def encode_feather_file(
+    schema: list[tuple[str, str]],
+    batches: list[dict[str, list]],
+    compression: str | None = None,
+) -> bytes:
+    """Encode the Arrow IPC FILE format (Feather v2): ``ARROW1`` magic,
+    the stream messages, the EOS marker, then a Footer flatbuffer
+    (schema + Block structs locating every RecordBatch for seekable
+    readers), the int32 footer length, and the trailing magic —
+    readable by ``pyarrow.ipc.open_file`` / ``pyarrow.feather``."""
+    out = bytearray(b"ARROW1\x00\x00")
+    out += _schema_message(schema)
+    blocks: list[tuple[int, int, int]] = []
+    for batch in batches:
+        frame, meta_len, body_len = _batch_message(schema, batch, compression)
+        blocks.append((len(out), meta_len, body_len))
+        out += frame
+    out += b"\xff\xff\xff\xff\x00\x00\x00\x00"
+
+    bld = _Builder()
+    root = bld.block(4)
+    root.data += b"\x00\x00\x00\x00"
+    footer = bld.block(8)
+    sch = _build_schema_table(bld, schema)
+    blocks_vec = bld.block(8)
+    blocks_vec.data += b"\x00" * 4  # elements (24-byte structs) 8-aligned
+    blocks_vec.data += struct.pack("<I", len(blocks))
+    for off, mlen, blen in blocks:
+        blocks_vec.data += struct.pack("<qi4xq", off, mlen, blen)
+    blocks_vec.table_at = 4
+    _fill_table(
+        footer,
+        {0: ("i16", 4), 1: ("ref", sch), 3: ("ref", blocks_vec)},
+    )
+    root.fixups.append((0, footer, None))
+    fbytes = bld.assemble()
+    out += fbytes
+    out += struct.pack("<i", len(fbytes))
+    out += b"ARROW1"
     return bytes(out)

@@ -167,3 +167,40 @@ def test_errors():
         )
     with pytest.raises(ValueError, match="unsupported write compression"):
         encode_arrow_stream([("a", "int64")], [{"a": [1]}], compression="lz4")
+
+
+@pytest.mark.parametrize("comp", [None, "zstd"])
+def test_feather_file_format(comp):
+    """encode_feather_file's footer (Schema + Block structs) must
+    satisfy pyarrow's SEEKABLE readers — open_file walks the footer
+    blocks, not the stream — and the sibling reader's stream-after-
+    magic path still decodes the same file."""
+    import pyarrow.feather as feather
+
+    from simple_data_engineering_project_spark.operators.arrow_ipc_write import (
+        encode_feather_file,
+    )
+
+    schema = [("id", "int64"), ("name", "utf8"), ("score", "float64")]
+    batches = [
+        {
+            "id": [1, 2, None],
+            "name": ["a", None, "c"],
+            "score": [1.5, None, -2.0],
+        },
+        {"id": [9], "name": ["z"], "score": [0.5]},
+    ]
+    f = encode_feather_file(schema, batches, compression=comp)
+    t = pa.ipc.open_file(io.BytesIO(f)).read_all()
+    assert t.to_pylist() == _expect(schema, batches)
+    assert feather.read_table(io.BytesIO(f)).to_pylist() == _expect(
+        schema, batches
+    )
+    _s, rows = parse_arrow_ipc(f)
+    assert rows == _expect(schema, batches)
+    # per-batch random access through the footer blocks
+    rd = pa.ipc.open_file(io.BytesIO(f))
+    assert rd.num_record_batches == 2
+    assert rd.get_batch(1).to_pylist() == [
+        {"id": 9, "name": "z", "score": 0.5}
+    ]
