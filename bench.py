@@ -161,6 +161,8 @@ HEADLINE = [
     "events_hll_deterministic",
     "sink_tar_zst",
     "sink_arrow_ipc",
+    "hybrid_search_rrf",
+    "hard_negative_mining",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -203,6 +205,7 @@ STEADY_STATE = {
     "sink_tar_zst",  # round-8: two mapInPandas stages; 10.1 s cold
     # (Arrow-worker + codegen start) vs 4.9 s steady
     "sink_arrow_ipc",  # round-8: same shape; 8.0 s cold vs 4.2 s steady
+    "hybrid_search_rrf",  # round-8: BM25-leg codegen; 9.6 s cold, 3.9 s steady
 }
 
 

@@ -58,6 +58,48 @@ def brute_force_topk(
     return _topk_per_query(scored, k)
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    label_col: str = "label",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    query_label: str = "query_label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every query vector, the
+    top-k most-similar corpus items with a DIFFERENT label — the
+    embedding-training data miner (highest-loss negatives are the
+    near-misses, not random picks).
+
+    Same plan shape as :func:`brute_force_topk` (queries ≪ corpus is
+    the API contract, so the query side broadcasts), with the label
+    mismatch applied IN the join condition — rows sharing the query's
+    label never leave the scan. NULL labels drop on both sides
+    (NULL <> x is NULL), matching SQL semantics.
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("item_id"),
+        F.col(corpus_vec).alias("__cv"),
+        F.col(label_col).alias("__cl"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        F.col(query_label).alias("__ql"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("__cl") != F.col("__ql")
+    ).select(
+        "query_id",
+        "item_id",
+        cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
+    )
+    return _topk_per_query(scored, k)
+
+
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     """Exact top-k per query over (query_id, item_id, cosine) — two-phase
     so no single task ever ranks the whole scored set.

@@ -5303,6 +5303,188 @@ def bm25_search_q(spark, sf_dir):
 
 
 @register(
+    "hybrid_search_rrf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    ), toks2 AS (
+      SELECT * FROM toks WHERE token <> ''
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks2 GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks2
+      WHERE token IN ({', '.join(repr(t) for t in _BM25_TERMS)})
+      GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token
+    ), contrib AS (
+      SELECT tf.doc_id,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS c
+      FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+           CROSS JOIN stats
+    ), lex AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        FROM (SELECT doc_id, ROUND(SUM(c), 4) AS bm25
+              FROM contrib GROUP BY doc_id)
+      ) WHERE lex_rank <= 20
+    ), q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ), semscored AS (
+      SELECT e.vec_id AS doc_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS c
+      FROM embeddings e CROSS JOIN q
+    ), sem AS (
+      SELECT doc_id, sem_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY c DESC, doc_id) AS sem_rank
+        FROM semscored
+      ) WHERE sem_rank <= 20
+    ), fused AS (
+      SELECT doc_id,
+             COALESCE(1.0 / (60.0 + l.lex_rank), 0.0)
+               + COALESCE(1.0 / (60.0 + s.sem_rank), 0.0) AS rrf_raw,
+             CASE WHEN l.lex_rank IS NULL THEN 0 ELSE 1 END AS lh,
+             CASE WHEN s.sem_rank IS NULL THEN 0 ELSE 1 END AS sh
+      FROM lex l FULL OUTER JOIN sem s USING (doc_id)
+    )
+    SELECT doc_id, ROUND(rrf_raw, 6) AS rrf,
+           CAST(lh AS INT) AS lex_hit, CAST(sh AS INT) AS sem_hit,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY rrf_raw DESC, doc_id)
+            AS rank FROM fused)
+    WHERE rank <= 15
+    """,
+    tier="C",
+    note="C3+C4 HYBRID retrieval via reciprocal-rank fusion — the "
+    "standard RAG retrieval recipe: BM25 top-20 (lexical leg, the "
+    "bm25_search pipeline) and brute-force cosine top-20 for the "
+    "min-vec_id query (semantic leg, the similarity_topk pipeline) "
+    "full-outer-join on doc id, score = Σ 1/(60+rank) over the legs "
+    "that returned the doc (RRF k=60, Cormack et al.), final top-15 "
+    "by the two-phase distributed rank (partition-local prune, then "
+    "one bounded pass keyed on a data-derived tag — never a "
+    "partitionless window). RRF terms are unit fractions of integer "
+    "ranks summed in a fixed order, so the fused doubles are "
+    "bit-identical across engines and the oracle hash-checks the "
+    "whole fusion end-to-end.",
+)
+def hybrid_search_rrf_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = text_ops.bm25_search(d, _BM25_TERMS).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    qv = emb.join(
+        emb.agg(F.min("vec_id").alias("vec_id")), "vec_id"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    sem = sim_ops.brute_force_topk(emb, qv, k=20).select(
+        F.col("item_id").alias("doc_id"), F.col("rank").alias("sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(60.0) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60.0) + F.col("sem_rank")), F.lit(0.0)
+            )
+        ).alias("__rrf"),
+        F.col("lex_rank").isNotNull().cast("int").alias("lex_hit"),
+        F.col("sem_rank").isNotNull().cast("int").alias("sem_hit"),
+    )
+    # data-derived tag for the phase-2 window key (lit() would fold away
+    # and collapse the rank to a partitionless window)
+    total = fused.agg(F.count("*").alias("__tag"))
+    tagged = fused.crossJoin(F.broadcast(total))
+    order = [F.col("__rrf").desc(), F.col("doc_id").asc()]
+    with_pid = tagged.withColumn("__pid", F.spark_partition_id())
+    w1 = Window.partitionBy("__pid").orderBy(*order)
+    local = (
+        with_pid.withColumn("__lr", F.row_number().over(w1))
+        .filter(F.col("__lr") <= 15)
+        .drop("__lr", "__pid")
+    )
+    w2 = Window.partitionBy("__tag").orderBy(*order)
+    return (
+        local.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 15)
+        .select(
+            "doc_id",
+            F.round("__rrf", 6).alias("rrf"),
+            "lex_hit",
+            "sem_hit",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS ql
+      FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS item_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS c
+      FROM embeddings e JOIN q ON e.label <> q.ql
+    )
+    SELECT query_id, item_id, ROUND(c, 6) AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY c DESC, item_id) AS rank FROM scored)
+    WHERE rank <= 5
+    """,
+    tier="C",
+    note="C3 contrastive HARD-NEGATIVE mining — the embedding-training "
+    "data step: for each of 8 anchor vectors (bounded, "
+    "corpus-independent query batch), the top-5 most-similar corpus "
+    "vectors with a DIFFERENT label (near-misses are the "
+    "highest-loss negatives; random negatives train nothing). Label "
+    "mismatch rides the broadcast join condition so same-label rows "
+    "never leave the scan; ranking is the two-phase per-query top-k "
+    "(operators/similarity.py hard_negative_topk). Oracle-checked "
+    "against DuckDB's all-pairs label-filtered cosine.",
+)
+def hard_negative_mining_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = sim_ops.hard_negative_topk(emb, q, k=5)
+    return out.select(
+        "query_id",
+        "item_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@register(
     "sample_per_group",
     """
     SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (

@@ -575,6 +575,7 @@ _BROADCAST_ALLOWLIST = {
     ("plans/catalog.py", "domain_balance_q", "cap"),  # 1 row
     ("plans/catalog.py", "corpus_mix_report_q", "tot"),  # 1 row
     ("plans/catalog.py", "corpus_perplexity_buckets_q", "total"),  # 1 row
+    ("plans/catalog.py", "hybrid_search_rrf_q", "total"),  # 1 row (phase-2 tag)
     (
         "plans/catalog.py",
         "corpus_perplexity_buckets_q",
@@ -598,6 +599,7 @@ _BROADCAST_ALLOWLIST = {
     # of a CartesianProduct shuffle.
     ("operators/similarity.py", "_nearest_centroid", "cents"),
     ("operators/similarity.py", "brute_force_topk", "q"),  # ANN query set (API contract)
+    ("operators/similarity.py", "hard_negative_topk", "q"),  # anchor set (API contract)
     ("operators/similarity.py", "ivf_topk", "q"),
     ("operators/similarity.py", "pq_topk", "q"),
     ("operators/similarity.py", "lsh_topk", "q_b"),
