@@ -163,6 +163,7 @@ HEADLINE = [
     "sink_arrow_ipc",
     "hybrid_search_rrf",
     "hard_negative_mining",
+    "embedding_matryoshka",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose

@@ -5485,6 +5485,98 @@ def hard_negative_mining_q(spark, sf_dir):
 
 
 @register(
+    "embedding_matryoshka",
+    """
+    WITH dims AS (SELECT unnest([16, 32, 64]) AS dim),
+    q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    scored AS (
+      SELECT d.dim, e.vec_id AS item_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[])[1:d.dim],
+                              q.qv[1:d.dim])
+               / (sqrt(list_dot_product(
+                    CAST(e.embedding AS DOUBLE[])[1:d.dim],
+                    CAST(e.embedding AS DOUBLE[])[1:d.dim]))
+                * sqrt(list_dot_product(q.qv[1:d.dim], q.qv[1:d.dim])))
+               AS c
+      FROM embeddings e CROSS JOIN q CROSS JOIN dims d
+    ),
+    ranked AS (
+      SELECT dim, item_id, c,
+             row_number() OVER (PARTITION BY dim
+               ORDER BY c DESC, item_id) AS rank
+      FROM scored
+    ),
+    top AS (SELECT * FROM ranked WHERE rank <= 10),
+    full_top AS (SELECT item_id FROM top WHERE dim = 64)
+    SELECT t.dim, t.item_id, ROUND(t.c, 6) AS cosine,
+           CAST(t.rank AS INT) AS rank,
+           CAST(CASE WHEN f.item_id IS NULL THEN 0 ELSE 1 END AS INT)
+             AS in_full_topk
+    FROM top t LEFT JOIN full_top f USING (item_id)
+    """,
+    tier="C",
+    note="C3 MATRYOSHKA truncation evaluation — the MRL-embedding "
+    "retrieval question: how much of the full-dimension top-k does a "
+    "16- or 32-dim PREFIX of the same vectors recover (cheap first-"
+    "stage retrieval over truncated prefixes, full-dim re-rank)? "
+    "Cosine per (dim, item) over sliced prefixes — F.slice keeps the "
+    "fold in codegen, one row per dim via explode of the bounded dim "
+    "list — then per-dim top-10 (keyed window, dim is the partition) "
+    "and a membership flag against the full-dim set. Fully "
+    "deterministic double math shared with similarity_topk, so every "
+    "per-dim ranking and the overlap flags hash-check against the "
+    "DuckDB twin.",
+)
+def embedding_matryoshka_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.join(
+        emb.agg(F.min("vec_id").alias("vec_id")), "vec_id"
+    ).select(
+        F.col("vec_id").alias("__qid"),
+        F.col("embedding").alias("__qv"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "__qv",
+            F.explode(F.array(F.lit(16), F.lit(32), F.lit(64))).alias(
+                "dim"
+            ),
+        )
+        .select(
+            "dim",
+            F.col("vec_id").alias("item_id"),
+            cosine_similarity(
+                F.slice("embedding", 1, F.col("dim")),
+                F.slice("__qv", 1, F.col("dim")),
+            ).alias("c"),
+        )
+    )
+    w = Window.partitionBy("dim").orderBy(F.col("c").desc(), F.col("item_id"))
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+    full_top = top.filter(F.col("dim") == 64).select(
+        F.col("item_id").alias("__fi")
+    )
+    return (
+        top.join(full_top, top.item_id == full_top.__fi, "left")
+        .select(
+            "dim",
+            "item_id",
+            F.round("c", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("__fi").isNotNull().cast("int").alias("in_full_topk"),
+        )
+    )
+
+
+@register(
     "sample_per_group",
     """
     SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (

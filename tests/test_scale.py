@@ -576,6 +576,7 @@ _BROADCAST_ALLOWLIST = {
     ("plans/catalog.py", "corpus_mix_report_q", "tot"),  # 1 row
     ("plans/catalog.py", "corpus_perplexity_buckets_q", "total"),  # 1 row
     ("plans/catalog.py", "hybrid_search_rrf_q", "total"),  # 1 row (phase-2 tag)
+    ("plans/catalog.py", "embedding_matryoshka_q", "q"),  # 1 row (min-id query)
     (
         "plans/catalog.py",
         "corpus_perplexity_buckets_q",
