@@ -164,6 +164,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "hard_negative_mining",
     "embedding_matryoshka",
+    "domain_mix_temperature",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose

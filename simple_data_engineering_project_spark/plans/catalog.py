@@ -1341,6 +1341,108 @@ def sample_hash_q(spark, sf_dir):
     return o.filter(bucket < 5).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+@register(
+    "domain_mix_temperature",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'web'
+                  WHEN CAST(substr(source, 4) AS INT) < 15 THEN 'books'
+                  ELSE 'code' END AS domain
+      FROM documents
+    ),
+    counts AS (SELECT domain, COUNT(*) AS n_docs FROM d GROUP BY domain),
+    tot AS (SELECT SUM(n_docs) AS total FROM counts),
+    ratios AS (
+      SELECT domain, n_docs,
+             sqrt(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))
+               / CAST(n_docs AS DOUBLE) AS ratio
+      FROM counts CROSS JOIN tot
+    ),
+    mx AS (SELECT MAX(ratio) AS mr FROM ratios),
+    rates AS (
+      SELECT domain, n_docs,
+             CAST(FLOOR(ratio / mr * 1000000.0) AS BIGINT) AS keep_ppm
+      FROM ratios CROSS JOIN mx
+    ),
+    kept AS (
+      SELECT d.domain, COUNT(*) AS n_kept
+      FROM d JOIN rates USING (domain)
+      WHERE ((doc_id % 1000003) * 2654435761) % 4294967296 % 1000000
+              < keep_ppm
+      GROUP BY d.domain
+    )
+    SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept, keep_ppm
+    FROM rates LEFT JOIN kept USING (domain)
+    """,
+    tier="C",
+    note="C4/C12 TEMPERATURE-BASED DATA MIXING (alpha=0.5) — the "
+    "pretraining mix sampler: target share per domain q_d ∝ "
+    "share_d^alpha flattens the natural distribution toward rare "
+    "domains, the per-doc keep rate r_d ∝ q_d/n_d is normalized so "
+    "the largest rate is exactly 1 (pure down-sampling, no "
+    "replication), quantized to integer ppm (floor — Spark and "
+    "DuckDB agree; a bare BIGINT cast would round in DuckDB), and "
+    "membership is the portable Knuth-hash uniform in pure integer "
+    "arithmetic — fully deterministic, so per-domain doc and "
+    "survivor counts hash-check cross-engine. Plan: one keyed count, "
+    "two 1-row scalar broadcasts, one bounded-domain-table join "
+    "(unhinted — AQE broadcasts it), one filtered recount; the "
+    "corpus is touched twice and never collected.",
+)
+def domain_mix_temperature_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.substring("source", 4, 10).cast("int") < 10, F.lit("web")
+        )
+        .when(F.substring("source", 4, 10).cast("int") < 15, F.lit("books"))
+        .otherwise(F.lit("code"))
+        .alias("domain"),
+    )
+    counts = d.groupBy("domain").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    ratios = counts.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        (
+            F.sqrt(
+                F.col("n_docs").cast("double")
+                / F.col("total").cast("double")
+            )
+            / F.col("n_docs").cast("double")
+        ).alias("ratio"),
+    )
+    mx = ratios.agg(F.max("ratio").alias("mr"))
+    rates = ratios.crossJoin(F.broadcast(mx)).select(
+        "domain",
+        "n_docs",
+        F.floor(F.col("ratio") / F.col("mr") * F.lit(1000000.0))
+        .cast("long")
+        .alias("keep_ppm"),
+    )
+    u = F.pmod(
+        F.pmod(
+            (F.col("doc_id") % 1000003) * F.lit(2654435761),
+            F.lit(4294967296),
+        ),
+        F.lit(1000000),
+    )
+    kept = (
+        d.join(rates.select("domain", "keep_ppm"), "domain")
+        .filter(u < F.col("keep_ppm"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return rates.join(kept, "domain", "left").select(
+        "domain",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        "keep_ppm",
+    )
+
+
 # =====================================================================
 # Tier C — LLM training-data operators (dedup / similarity / text / media)
 # =====================================================================
