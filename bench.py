@@ -165,6 +165,7 @@ HEADLINE = [
     "hard_negative_mining",
     "embedding_matryoshka",
     "domain_mix_temperature",
+    "fim_split_plan",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose

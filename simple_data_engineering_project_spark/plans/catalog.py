@@ -8625,6 +8625,79 @@ def dq_expectations_q(spark, sf_dir):
 
 
 @register(
+    "fim_split_plan",
+    """
+    WITH d AS (
+      SELECT doc_id, text, strlen(text) AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+      SELECT doc_id, text, n,
+             ((doc_id % 1000003) * 2654435761) % 4294967296 AS u1,
+             (((doc_id + 500009) % 1000003) * 2654435761)
+               % 4294967296 AS u2
+      FROM d
+    ),
+    pts AS (
+      SELECT doc_id, text, n, u1,
+             LEAST(u1 % (n + 1), u2 % (n + 1)) AS lo,
+             GREATEST(u1 % (n + 1), u2 % (n + 1)) AS hi
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(lo AS BIGINT) AS prefix_len,
+           CAST(hi - lo AS BIGINT) AS middle_len,
+           CAST(n - hi AS BIGINT) AS suffix_len,
+           CASE WHEN u1 % 10 < 9 THEN 'psm' ELSE 'spm' END AS mode,
+           md5(substr(text, CAST(lo + 1 AS INT),
+                      CAST(hi - lo AS INT))) AS middle_md5
+    FROM pts
+    """,
+    tier="C",
+    note="C4 FIM (fill-in-the-middle) SPLIT PLANNING — the code-model "
+    "training transform (Bavarian et al.): each document gets two "
+    "deterministic split points from independent Knuth-hash streams "
+    "(order-normalized so prefix/middle/suffix partition the text "
+    "exactly), a 90/10 PSM/SPM mode draw from the same hash, and the "
+    "md5 of the extracted middle proves the SUBSTRING itself — not "
+    "just the lengths — is identical cross-engine (1-based substr "
+    "semantics agree). Pure row-local integer + hash arithmetic, "
+    "zero shuffles; reproducible by construction, so the whole plan "
+    "hash-checks against the DuckDB twin.",
+)
+def fim_split_plan_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    n = F.length("text").cast("long")
+    u1 = F.pmod(
+        (F.col("doc_id") % 1000003) * F.lit(2654435761), F.lit(4294967296)
+    )
+    u2 = F.pmod(
+        ((F.col("doc_id") + 500009) % 1000003) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
+    p1 = F.pmod(u1, n + 1)
+    p2 = F.pmod(u2, n + 1)
+    lo = F.least(p1, p2)
+    hi = F.greatest(p1, p2)
+    return d.select(
+        "doc_id",
+        lo.cast("long").alias("prefix_len"),
+        (hi - lo).cast("long").alias("middle_len"),
+        (n - hi).cast("long").alias("suffix_len"),
+        F.when(F.pmod(u1, F.lit(10)) < 9, F.lit("psm"))
+        .otherwise(F.lit("spm"))
+        .alias("mode"),
+        F.md5(
+            F.substring(
+                "text", (lo + 1).cast("int"), (hi - lo).cast("int")
+            )
+        ).alias("middle_md5"),
+    )
+
+
+@register(
     "mlm_mask_plan",
     """
     WITH words AS (
