@@ -1395,9 +1395,10 @@ def domain_mix_temperature_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(
-            F.substring("source", 4, 10).cast("int") < 10, F.lit("web")
+            F.expr("substring(source, 4)").cast("int") < 10, F.lit("web")
         )
-        .when(F.substring("source", 4, 10).cast("int") < 15, F.lit("books"))
+        .when(F.expr("substring(source, 4)").cast("int") < 15,
+              F.lit("books"))
         .otherwise(F.lit("code"))
         .alias("domain"),
     )
@@ -5513,9 +5514,13 @@ def hybrid_search_rrf_q(spark, sf_dir):
         F.col("sem_rank").isNotNull().cast("int").alias("sem_hit"),
     )
     # data-derived tag for the phase-2 window key (lit() would fold away
-    # and collapse the rank to a partitionless window)
-    total = fused.agg(F.count("*").alias("__tag"))
-    tagged = fused.crossJoin(F.broadcast(total))
+    # and collapse the rank to a partitionless window). Derived from a
+    # CHEAP single-column aggregate — tagging with fused.agg(count)
+    # would embed a second copy of the whole fusion DAG in the plan
+    # just to make one broadcast row (review finding: both legs ran
+    # twice).
+    tag = emb.agg(F.min("vec_id").alias("__tag"))
+    tagged = fused.crossJoin(F.broadcast(tag))
     order = [F.col("__rrf").desc(), F.col("doc_id").asc()]
     with_pid = tagged.withColumn("__pid", F.spark_partition_id())
     w1 = Window.partitionBy("__pid").orderBy(*order)
@@ -5651,17 +5656,24 @@ def embedding_matryoshka_q(spark, sf_dir):
             ),
         )
         .select(
-            "dim",
+            # dim doubles as the query id so the existing TWO-PHASE
+            # per-query rank applies — a plain per-dim window would
+            # have one task sort the whole corpus per dim (3
+            # partitions total), the exact collapse _topk_per_query
+            # exists to avoid
+            F.col("dim").alias("query_id"),
             F.col("vec_id").alias("item_id"),
             cosine_similarity(
                 F.slice("embedding", 1, F.col("dim")),
                 F.slice("__qv", 1, F.col("dim")),
-            ).alias("c"),
+            ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("dim").orderBy(F.col("c").desc(), F.col("item_id"))
-    top = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= 10
+    top = sim_ops._topk_per_query(scored, 10).select(
+        F.col("query_id").alias("dim"),
+        "item_id",
+        F.col("cosine").alias("c"),
+        "rank",
     )
     full_top = top.filter(F.col("dim") == 64).select(
         F.col("item_id").alias("__fi")

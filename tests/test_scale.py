@@ -575,7 +575,7 @@ _BROADCAST_ALLOWLIST = {
     ("plans/catalog.py", "domain_balance_q", "cap"),  # 1 row
     ("plans/catalog.py", "corpus_mix_report_q", "tot"),  # 1 row
     ("plans/catalog.py", "corpus_perplexity_buckets_q", "total"),  # 1 row
-    ("plans/catalog.py", "hybrid_search_rrf_q", "total"),  # 1 row (phase-2 tag)
+    ("plans/catalog.py", "hybrid_search_rrf_q", "tag"),  # 1 row (phase-2 tag)
     ("plans/catalog.py", "embedding_matryoshka_q", "q"),  # 1 row (min-id query)
     ("plans/catalog.py", "domain_mix_temperature_q", "tot"),  # 1 row
     ("plans/catalog.py", "domain_mix_temperature_q", "mx"),  # 1 row
