@@ -166,6 +166,7 @@ HEADLINE = [
     "embedding_matryoshka",
     "domain_mix_temperature",
     "fim_split_plan",
+    "basket_rules",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose

@@ -6828,6 +6828,83 @@ def basket_pairs_q(spark, sf_dir):
     )
 
 
+@register(
+    "basket_rules",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    ic AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey),
+    pc AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS c_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT part_a, part_b,
+           CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(ia.c AS BIGINT) AS c_a,
+           CAST(ib.c AS BIGINT) AS c_b,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n_orders * c_ab AS BIGINT) AS lift_num,
+           CAST(ia.c * ib.c AS BIGINT) AS lift_den
+    FROM pc JOIN ic ia ON pc.part_a = ia.l_partkey
+            JOIN ic ib ON pc.part_b = ib.l_partkey
+            CROSS JOIN n
+    """,
+    tier="C",
+    note="C8/C11 ASSOCIATION RULES over order baskets — the classic "
+    "market-basket miner one level past basket_pairs' support counts: "
+    "every part pair at support ≥ 3 ships its EXACT integer rule "
+    "statistics (pair support, both item supports, basket universe, "
+    "and lift as the exact rational N·c(ab) / c(a)·c(b); confidence "
+    "in either direction is c_ab/c_a resp. c_ab/c_b from the same "
+    "columns) — no float anywhere, so the whole rule table "
+    "hash-checks. Plan: distinct-first collapses repeat lines, the "
+    "pair join is keyed on the order key (bounded by basket size), "
+    "supports are two keyed counts re-joined on part ids, and the "
+    "1-row basket-universe scalar broadcasts.",
+)
+def basket_rules_q(spark, sf_dir):
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = items.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    ic = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pc = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    ia = ic.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a"))
+    ib = ic.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b"))
+    return (
+        pc.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            (F.col("n_orders") * F.col("c_ab")).cast("long").alias("lift_num"),
+            (F.col("c_a") * F.col("c_b")).cast("long").alias("lift_den"),
+        )
+    )
+
+
 
 @register(
     "events_stickiness",

@@ -579,6 +579,7 @@ _BROADCAST_ALLOWLIST = {
     ("plans/catalog.py", "embedding_matryoshka_q", "q"),  # 1 row (min-id query)
     ("plans/catalog.py", "domain_mix_temperature_q", "tot"),  # 1 row
     ("plans/catalog.py", "domain_mix_temperature_q", "mx"),  # 1 row
+    ("plans/catalog.py", "basket_rules_q", "n"),  # 1 row (basket universe)
     (
         "plans/catalog.py",
         "corpus_perplexity_buckets_q",
