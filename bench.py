@@ -167,6 +167,7 @@ HEADLINE = [
     "domain_mix_temperature",
     "fim_split_plan",
     "basket_rules",
+    "events_attribution",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose

@@ -2898,6 +2898,85 @@ def timeseries_gapfill_q(spark, sf_dir):
 
 
 @register(
+    "events_attribution",
+    """
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS pus FROM events
+      WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, epoch_us(ts) AS tus, event_type AS ttype
+      FROM events WHERE event_type IN ('view', 'click', 'signup')
+    ),
+    joined AS (
+      SELECT p.user_id, p.pus, t.tus, t.ttype
+      FROM p LEFT JOIN t
+        ON p.user_id = t.user_id
+       AND t.tus < p.pus
+       AND t.tus >= p.pus - 604800000000
+    )
+    SELECT user_id, pus AS purchase_us,
+           CAST(COUNT(tus) AS BIGINT) AS n_touches,
+           MIN(CASE WHEN tus IS NULL THEN NULL
+               ELSE printf('%020d|%s', tus, ttype) END) AS first_touch,
+           MAX(CASE WHEN tus IS NULL THEN NULL
+               ELSE printf('%020d|%s', tus, ttype) END) AS last_touch
+    FROM joined GROUP BY user_id, pus
+    """,
+    tier="C",
+    note="C11 marketing ATTRIBUTION — first-touch and last-touch per "
+    "conversion: every purchase finds its earliest and latest "
+    "preceding touchpoint (view/click/signup) within a 7-day "
+    "lookback. Timestamps compare as exact epoch microseconds (the "
+    "sessionize_gaps lesson — second-truncated casts diverge), the "
+    "touch join is KEYED on user_id with the time window as a "
+    "residual predicate (per-user activity bounds the blow-up, the "
+    "join_point_in_time shape), and first/last select via MIN/MAX "
+    "over zero-padded '(us)|type' encodings — total order, no "
+    "arg_min tie ambiguity, identical in both engines. Zero-touch "
+    "purchases survive with NULL attributions via the left join.",
+)
+def events_attribution_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("pus")
+    )
+    t = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.unix_micros("ts").alias("tus"),
+        F.col("event_type").alias("ttype"),
+    )
+    joined = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("tus") < F.col("pus"))
+        & (F.col("tus") >= F.col("pus") - F.lit(604800000000)),
+        "left",
+    )
+    enc = F.when(
+        F.col("tus").isNotNull(),
+        F.concat(
+            F.lpad(F.col("tus").cast("string"), 20, "0"),
+            F.lit("|"),
+            F.col("ttype"),
+        ),
+    )
+    return joined.groupBy("user_id", "pus").agg(
+        F.count("tus").cast("long").alias("n_touches"),
+        F.min(enc).alias("first_touch"),
+        F.max(enc).alias("last_touch"),
+    ).select(
+        "user_id",
+        F.col("pus").alias("purchase_us"),
+        "n_touches",
+        "first_touch",
+        "last_touch",
+    )
+
+
+@register(
     "events_funnel",
     """
     WITH s AS (
