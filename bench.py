@@ -168,6 +168,7 @@ HEADLINE = [
     "fim_split_plan",
     "basket_rules",
     "events_attribution",
+    "dedup_cluster_report",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -211,6 +212,7 @@ STEADY_STATE = {
     # (Arrow-worker + codegen start) vs 4.9 s steady
     "sink_arrow_ipc",  # round-8: same shape; 8.0 s cold vs 4.2 s steady
     "hybrid_search_rrf",  # round-8: BM25-leg codegen; 9.6 s cold, 3.9 s steady
+    "dedup_cluster_report",  # round-8: shingle/minhash codegen; 6.3 s cold, 4.6 s steady
 }
 
 

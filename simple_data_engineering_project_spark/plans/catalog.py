@@ -1660,6 +1660,85 @@ def dedup_fuzzy_keep_one_q(spark, sf_dir):
 
 
 @register(
+    "dedup_cluster_report",
+    f"""
+    WITH RECURSIVE corpus AS ({_DOCS_WITH_DUPES_SQL}),
+    {_SHINGLE_SQL},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON r.lbl = e.src
+      WHERE e.dst != r.node
+    ),
+    comp AS (
+      SELECT node, LEAST(node, MIN(lbl)) AS component
+      FROM reach GROUP BY node
+    ),
+    sizes AS (
+      SELECT component, COUNT(*) AS cluster_size
+      FROM comp GROUP BY component
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS removable_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    tier="C",
+    note="C2 DEDUP CLUSTER REPORT — the pre-dedup audit every curation "
+    "pipeline runs before committing to a destructive keep-one pass: "
+    "the near-dup (Jaccard ≥ 0.8) component-size histogram with the "
+    "removable-doc count per size (Σ size−1 = docs a keep-one pass "
+    "would drop). Spark side: banded LSH candidates → exact-Jaccard "
+    "verify → min-label components (the dedup_fuzzy_keep_one "
+    "machinery) → two bounded keyed aggregates. The DuckDB twin "
+    "recomputes components from ALL-pairs exact Jaccard with a "
+    "recursive closure, so a hash match proves full LSH recall AND "
+    "identical clustering, summarized per size.",
+)
+def dedup_cluster_report_q(spark, sf_dir):
+    from ..operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        _spread,
+    )
+
+    corpus = _docs_with_dupes(spark, sf_dir)
+    df = _spread(corpus, "doc_id").localCheckpoint()
+    # 32 hashes / 8 bands like curate_corpus: candidate recall 0.985 at
+    # J=0.8 (0.999 at J>=0.9) before the exact verify, and the
+    # signature expression halves — SAFE because the all-pairs oracle
+    # hash-mismatches loudly on any recall miss
+    cands = minhash_lsh_candidates(
+        df, "doc_id", "text", num_hashes=32, bands=8
+    )
+    verified = ngram_jaccard_pairs(df, cands, "doc_id", "text", 5, 0.8)
+    comp = connected_components(verified)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("removable_docs"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "removable_docs",
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH corpus AS ({_DOCS_WITH_DUPES_SQL}),
