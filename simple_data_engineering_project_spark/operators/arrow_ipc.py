@@ -412,6 +412,8 @@ def lz4_frame_decompress(data: bytes) -> bytes:
     content checksums are skipped, not verified."""
     if data[:4] != _LZ4_MAGIC:
         raise ValueError("not an lz4 frame")
+    if len(data) < 7:  # magic + FLG + BD + header checksum
+        raise ValueError("lz4 frame truncated in header")
     flg, _bd = data[4], data[5]
     if (flg >> 6) != 0b01:
         raise ValueError("unsupported lz4 frame version")

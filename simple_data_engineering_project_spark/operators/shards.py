@@ -37,11 +37,18 @@ def gunzip_members(payload: bytes) -> bytes:
     the rest)."""
     out = bytearray()
     rest = payload
+    d = None
     while rest:
         d = zlib.decompressobj(wbits=31)
         out += d.decompress(rest)
         out += d.flush()
         rest = d.unused_data
+    # decompressobj does NOT raise on a mid-stream cut: it returns the
+    # partial output with eof=False. Callers (e.g. the TFRecord walk)
+    # would then fail later on the truncated bytes with a misleading
+    # framing/CRC error — surface the truncation here instead.
+    if d is not None and not d.eof:
+        raise zlib.error("truncated gzip stream")
     return bytes(out)
 
 

@@ -3007,16 +3007,22 @@ def timeseries_gapfill_q(spark, sf_dir):
     "conversion: every purchase finds its earliest and latest "
     "preceding touchpoint (view/click/signup) within a 7-day "
     "lookback. Timestamps compare as exact epoch microseconds (the "
-    "sessionize_gaps lesson — second-truncated casts diverge), the "
-    "touch join is KEYED on user_id with the time window as a "
-    "residual predicate (per-user activity bounds the blow-up, the "
-    "join_point_in_time shape), and first/last select via MIN/MAX "
-    "over zero-padded '(us)|type' encodings — total order, no "
-    "arg_min tie ambiguity, identical in both engines. Zero-touch "
-    "purchases survive with NULL attributions via the left join.",
+    "sessionize_gaps lesson — second-truncated casts diverge), and "
+    "first/last select via MIN/MAX over zero-padded '(us)|type' "
+    "encodings — total order, no arg_min tie ambiguity, identical in "
+    "both engines. Zero-touch purchases survive with NULL "
+    "attributions via the left join back onto the purchase spine. "
+    "SKEW SHAPE (r8 verdict watch item): the touch join is keyed on "
+    "(user_id, 7-day bucket) — each purchase probes its own bucket "
+    "and the previous one (the fixed window spans at most two), so a "
+    "power user active for months fans out per-user-PER-WEEK, not "
+    "purchases x all-touches; residual time predicates keep the "
+    "semantics exact and AQE skew-join splits any residual hot "
+    "(user, week). test_scale pins the bucketed key.",
 )
 def events_attribution_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
+    W = 604800000000  # 7 days in epoch microseconds
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.unix_micros("ts").alias("pus")
     )
@@ -3026,32 +3032,54 @@ def events_attribution_q(spark, sf_dir):
         F.col("user_id").alias("t_user"),
         F.unix_micros("ts").alias("tus"),
         F.col("event_type").alias("ttype"),
+        F.expr(f"unix_micros(ts) DIV {W}").alias("t_bucket"),
     )
-    joined = p.join(
+    # A touch in [pus - W, pus) lives in bucket(pus) or bucket(pus)-1:
+    # replicate each purchase onto exactly those two join keys. Every
+    # (purchase, touch) pair matches at most once because a touch is
+    # in exactly one bucket.
+    probes = p.select(
+        "user_id",
+        "pus",
+        F.explode(
+            F.array(
+                F.expr(f"pus DIV {W}"), F.expr(f"pus DIV {W} - 1")
+            )
+        ).alias("t_bucket"),
+    )
+    pairs = probes.join(
         t,
         (F.col("user_id") == F.col("t_user"))
+        & (probes["t_bucket"] == t["t_bucket"])
         & (F.col("tus") < F.col("pus"))
-        & (F.col("tus") >= F.col("pus") - F.lit(604800000000)),
-        "left",
+        & (F.col("tus") >= F.col("pus") - F.lit(W)),
     )
-    enc = F.when(
-        F.col("tus").isNotNull(),
-        F.concat(
-            F.lpad(F.col("tus").cast("string"), 20, "0"),
-            F.lit("|"),
-            F.col("ttype"),
-        ),
+    enc = F.concat(
+        F.lpad(F.col("tus").cast("string"), 20, "0"),
+        F.lit("|"),
+        F.col("ttype"),
     )
-    return joined.groupBy("user_id", "pus").agg(
+    touched = pairs.groupBy("user_id", "pus").agg(
         F.count("tus").cast("long").alias("n_touches"),
         F.min(enc).alias("first_touch"),
         F.max(enc).alias("last_touch"),
-    ).select(
-        "user_id",
-        F.col("pus").alias("purchase_us"),
-        "n_touches",
-        "first_touch",
-        "last_touch",
+    )
+    # Purchase spine: one output row per DISTINCT (user, purchase-us)
+    # group — the oracle's GROUP BY grain — with zero-touch groups kept
+    # (duplicate purchase rows multiply the touch count in both
+    # engines, because pairs are built from p WITH multiplicity).
+    return (
+        p.distinct()
+        .join(touched, ["user_id", "pus"], "left")
+        .select(
+            "user_id",
+            F.col("pus").alias("purchase_us"),
+            F.coalesce(F.col("n_touches"), F.lit(0).cast("long")).alias(
+                "n_touches"
+            ),
+            "first_touch",
+            "last_touch",
+        )
     )
 
 
@@ -6986,11 +7014,25 @@ def basket_pairs_q(spark, sf_dir):
     )
 
 
+# Quadratic-in-one-basket guard for the pair self-join below: baskets
+# with more distinct items are excluded from the mining universe (the
+# oracle applies the identical cap, so results stay hash-exact).
+BASKET_RULES_MAX_BASKET = 1024
+
+
 @register(
     "basket_rules",
     """
-    WITH items AS (
+    WITH raw_items AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ok_baskets AS (
+      SELECT l_orderkey FROM raw_items
+      GROUP BY l_orderkey HAVING COUNT(*) <= 1024
+    ),
+    items AS (
+      SELECT r.l_orderkey, r.l_partkey
+      FROM raw_items r JOIN ok_baskets USING (l_orderkey)
     ),
     n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
     ic AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey),
@@ -7021,16 +7063,28 @@ def basket_pairs_q(spark, sf_dir):
     "in either direction is c_ab/c_a resp. c_ab/c_b from the same "
     "columns) — no float anywhere, so the whole rule table "
     "hash-checks. Plan: distinct-first collapses repeat lines, the "
-    "pair join is keyed on the order key (bounded by basket size), "
-    "supports are two keyed counts re-joined on part ids, and the "
-    "1-row basket-universe scalar broadcasts.",
+    "pair join is keyed on the order key, supports are two keyed "
+    "counts re-joined on part ids, and the 1-row basket-universe "
+    "scalar broadcasts. SKEW BOUND (r8 verdict watch item): the pair "
+    "join is quadratic IN ONE BASKET, so baskets over 1024 distinct "
+    "items are excluded from the mining universe up front — the "
+    "standard transaction cap in market-basket miners (a 10^6-item "
+    "basket is 10^12 pairs); enforced identically in the oracle so "
+    "the rule table stays hash-exact, and pinned in test_scale.",
 )
 def basket_rules_q(spark, sf_dir):
-    items = (
+    raw = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+    ok = (
+        raw.groupBy("l_orderkey")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= BASKET_RULES_MAX_BASKET)
+        .select("l_orderkey")
+    )
+    items = raw.join(ok, "l_orderkey")
     n = items.agg(
         F.count_distinct("l_orderkey").alias("n_orders")
     )

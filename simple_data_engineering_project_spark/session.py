@@ -29,6 +29,19 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 _SHIPPED: set[str] = set()
 
 
+def _pyc_is_fresh(source_path: str, cached_path: str) -> bool:
+    """True only when the cached .pyc is STRICTLY newer than its source.
+
+    An equal-mtime cache is not trusted: a source edit within mtime
+    granularity (or an mtime-preserving checkout) would otherwise ship
+    stale bytecode to executors; recompiling is negligible next to
+    shipping (ADVICE r8 finding #2, regression-tested in
+    tests/test_session_ship.py)."""
+    return os.path.exists(cached_path) and os.path.getmtime(
+        cached_path
+    ) > os.path.getmtime(source_path)
+
+
 def build_package_zip() -> str:
     """Zip this package for ``--py-files``-style shipping; returns the
     zip path. Modules are stored as PRECOMPILED .pyc (zipimport loads
@@ -53,14 +66,7 @@ def build_package_zip() -> str:
                     os.path.relpath(full, pkg_root),
                 )
                 cached = importlib.util.cache_from_source(full)
-                # <= not <: an equal-mtime cache is NOT trusted — a
-                # source edit within mtime granularity (or an mtime-
-                # preserving checkout) would otherwise ship stale
-                # bytecode; recompiling is negligible next to shipping
-                if (
-                    not os.path.exists(cached)
-                    or os.path.getmtime(cached) <= os.path.getmtime(full)
-                ):
+                if not _pyc_is_fresh(full, cached):
                     cached = py_compile.compile(full, doraise=True)
                 # legacy in-zip layout: module.pyc next to where the
                 # .py would sit

@@ -269,6 +269,43 @@ def test_lz4_raw_block_vectors_from_pyarrow_codec():
         assert bytes(out) == payload
 
 
+def test_corrupt_inputs_raise_module_convention_not_indexerror():
+    """ADVICE r8 #4 regression: corrupt FloatingPoint precision and
+    truncated LZ4 frames/blocks must raise the module's ValueError
+    convention, never a bare IndexError."""
+    from simple_data_engineering_project_spark.operators.arrow_ipc import (
+        _T_FLOAT,
+        _type_tag,
+        lz4_block_decompress,
+        lz4_frame_decompress,
+    )
+
+    class _FakeFloat:
+        def scalar(self, idx, fmt, default):
+            return 3  # not HALF/SINGLE/DOUBLE
+
+    with pytest.raises(ValueError, match="FloatingPoint precision"):
+        _type_tag(_T_FLOAT, _FakeFloat())
+
+    # magic-only / header-truncated frames
+    for frame in [b"\x04\x22\x4d\x18", b"\x04\x22\x4d\x18\x60", b"\x04\x22\x4d\x18\x60\x40"]:
+        with pytest.raises(ValueError, match="lz4 frame truncated"):
+            lz4_frame_decompress(frame)
+    # frame cut before the EndMark
+    good = bytes(pa.Codec("lz4").compress(b"hello " * 500, asbytes=True))
+    with pytest.raises(ValueError, match="lz4"):
+        lz4_frame_decompress(good[:-6])
+    # block truncated mid-sequence
+    comp = bytes(pa.Codec("lz4_raw").compress(bytes(range(64)) * 100, asbytes=True))
+    for cut in (1, 2, len(comp) // 2):
+        try:
+            lz4_block_decompress(comp[:cut], bytearray())
+        except ValueError:
+            pass  # the required convention
+        # silent success is also legal for a cut that lands on a
+        # sequence boundary; IndexError would fail the test loudly
+
+
 def test_large_offset_and_temporal_types():
     """64-bit-offset large types and date/timestamp columns decode,
     cross-validated against pyarrow; flatbuffers default-omission trap

@@ -258,6 +258,96 @@ def test_no_cartesian_products_anywhere(spark, sf_smoke):
         assert "CartesianProduct" not in plan, name
 
 
+def test_attribution_join_keyed_on_user_and_time_bucket(spark, sf_smoke):
+    """r8 verdict watch item: the purchase⋈touch join must be keyed on
+    (user_id, 7-day bucket) — NOT user_id alone with the window as the
+    only residual — so a months-active power user fans out per-week,
+    not purchases × all-touches."""
+    plan = _plan(catalog()["events_attribution"].fn(spark, sf_smoke))
+    join_lines = [
+        l for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l
+            or "BroadcastHashJoin" in l)
+    ]
+    probe = [l for l in join_lines if "t_bucket" in l and "user_id" in l]
+    assert probe, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_basket_rules_caps_basket_size_before_pair_join(spark, sf_smoke):
+    """r8 verdict watch item: the pair self-join is quadratic in one
+    basket; the mining universe must exclude baskets over the cap
+    BEFORE pairing, and the pair join must stay keyed on the order."""
+    import importlib
+
+    # plans/__init__ rebinds the name "catalog" to the function, so a
+    # plain `import ... as` resolves the attribute, not the module
+    _cat_mod = importlib.import_module(
+        "simple_data_engineering_project_spark.plans.catalog"
+    )
+    assert _cat_mod.BASKET_RULES_MAX_BASKET == 1024
+    plan = _plan(catalog()["basket_rules"].fn(spark, sf_smoke))
+    assert "1024" in plan, plan  # the cap filter reached the plan
+    join_lines = [
+        l for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l
+            or "BroadcastHashJoin" in l)  # smoke-scale AQE may broadcast
+    ]
+    assert any("l_orderkey" in l for l in join_lines), plan
+    # the only nested-loop is the 1-row basket-universe scalar cross
+    # (HashAggregate with no grouping keys → bounded by construction)
+    if "BroadcastNestedLoopJoin" in plan:
+        import re
+
+        assert re.search(r"HashAggregate\(keys=\[\]", plan), plan
+
+
+def test_cluster_report_candidates_from_keyed_bucket_join(spark, sf_smoke):
+    """r8 newcomer pin: near-dup candidates must come from an equi
+    (band-bucket) join — never an all-pairs/nested-loop comparison.
+    The entry's own executed plan hides its joins behind the component
+    loop's localCheckpoint, so pin the candidate stage directly at the
+    entry's production parameters (32 hashes / 8 bands)."""
+    from simple_data_engineering_project_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(
+        minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=32, bands=8)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    join_lines = [
+        l for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l
+            or "BroadcastHashJoin" in l)
+    ]
+    # the self-join key is the (band, band-signature) bucket
+    assert any("band" in l for l in join_lines), plan
+
+
+def test_hybrid_rrf_joins_keyed_and_broadcasts_bounded(spark, sf_smoke):
+    """r8 newcomer pin: the BM25/cosine fusion joins on doc_id (keyed),
+    and the only nested-loop appearance is the bounded 1-row tag/query
+    broadcast — no unbounded relation may ride a broadcast."""
+    df = catalog()["hybrid_search_rrf"].fn(spark, sf_smoke)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    # every BroadcastNestedLoopJoin (the scalar-tag pattern) must have a
+    # 1-row aggregate underneath it, i.e. bounded by construction
+    if "BroadcastNestedLoopJoin" in plan:
+        import re
+
+        # scalar broadcasts in this entry come from global aggregates
+        # (no grouping keys) — visible as HashAggregate(keys=[], ...)
+        assert re.search(r"HashAggregate\(keys=\[\]", plan), plan
+
+
 # ------------------------------------------------------------- bucketing
 
 

@@ -38,6 +38,65 @@ def test_zip_builder_ships_precompiled_package():
     assert all(n.endswith(".pyc") for n in names)
 
 
+def test_equal_mtime_pyc_is_recompiled(tmp_path):
+    """ADVICE r8 #2: an equal-mtime cache must NOT be trusted — a source
+    edit within mtime granularity would ship stale bytecode."""
+    src = tmp_path / "m.py"
+    src.write_text("X = 1\n")
+    import importlib.util
+    import py_compile
+
+    cached = py_compile.compile(str(src), doraise=True)
+    assert cached == importlib.util.cache_from_source(str(src))
+    # strictly newer cache → fresh
+    later = os.path.getmtime(str(src)) + 10
+    os.utime(cached, (later, later))
+    assert sess._pyc_is_fresh(str(src), cached)
+    # EQUAL mtimes → stale (the round-8 fix: <= not <)
+    t = os.path.getmtime(str(src))
+    os.utime(cached, (t, t))
+    assert not sess._pyc_is_fresh(str(src), cached)
+    # cache older than source → stale; missing cache → stale
+    os.utime(cached, (t - 10, t - 10))
+    assert not sess._pyc_is_fresh(str(src), cached)
+    os.remove(cached)
+    assert not sess._pyc_is_fresh(str(src), cached)
+
+
+def test_cluster_master_ships_without_probe(monkeypatch, tmp_path):
+    """ADVICE r8 #3: on a NON-local master the one-task probe job would
+    block session creation on dynamic-allocation clusters with no warm
+    executor — the zip must ship unconditionally, probe never run."""
+    shipped = []
+
+    class _FakeSC:
+        master = "spark://cluster:7077"
+        applicationId = "app-fake-cluster-0001"
+
+        def addPyFile(self, path):
+            shipped.append(path)
+
+    class _FakeSpark:
+        sparkContext = _FakeSC()
+
+    def _boom(sc):
+        raise AssertionError("probe job must not run on a cluster master")
+
+    monkeypatch.setattr(sess, "_workers_can_import", _boom)
+    zpath = str(tmp_path / "pkg.zip")
+    open(zpath, "wb").close()
+    monkeypatch.setattr(sess, "build_package_zip", lambda: zpath)
+    sess._SHIPPED.discard(_FakeSC.applicationId)
+    try:
+        sess.ensure_package_on_executors(_FakeSpark())
+        assert shipped == [zpath]
+        # idempotent per application id
+        sess.ensure_package_on_executors(_FakeSpark())
+        assert shipped == [zpath]
+    finally:
+        sess._SHIPPED.discard(_FakeSC.applicationId)
+
+
 def test_worker_import_from_hostile_cwd_end_to_end():
     """The real failure scenario, reproduced in a subprocess: driver
     launched from /tmp runs an Arrow UDF defined in the package. Only

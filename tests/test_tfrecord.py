@@ -72,3 +72,39 @@ def test_multi_member_gzip_and_length_collision():
     # gzip magic bytes — must fall back to the CRC walk, not crash
     big = b"x" * 0x8B1F
     assert read_tfrecords(write_tfrecords([big])) == [big]
+
+
+def test_truncated_gzip_raises_gzip_error_not_crc(tmp_path=None):
+    """ADVICE r8 #1 regression: a truncated/corrupt .tfrecord.gz must
+    surface as a gzip decode error, NOT be silently retried as an
+    uncompressed file and fail later with a misleading CRC message."""
+    from simple_data_engineering_project_spark.operators.tfrecord import (
+        read_tfrecords,
+        write_tfrecords,
+    )
+
+    blob = write_tfrecords([b"payload-one", b"payload-two"], gzipped=True)
+    truncated = blob[: len(blob) // 2]
+    with pytest.raises(ValueError, match="corrupt gzipped TFRecord"):
+        read_tfrecords(truncated)
+    # bit-flip in the deflate stream: same contract
+    corrupt = bytearray(blob)
+    corrupt[len(corrupt) // 2] ^= 0xFF
+    with pytest.raises(ValueError, match="corrupt gzipped TFRecord"):
+        read_tfrecords(bytes(corrupt))
+
+
+def test_full_three_byte_magic_collision_falls_back():
+    """A legal UNCOMPRESSED file whose first record length spells the
+    full 3-byte gzip magic (length & 0xFFFFFF == 0x088B1F) triggers the
+    sniff, fails inflate, and must fall back to the raw CRC walk —
+    proven by its valid masked length-CRC header."""
+    from simple_data_engineering_project_spark.operators.tfrecord import (
+        read_tfrecords,
+        write_tfrecords,
+    )
+
+    big = b"z" * 0x088B1F  # 559,903 bytes => header starts 1f 8b 08
+    blob = write_tfrecords([big, b"tail"])
+    assert blob[:3] == b"\x1f\x8b\x08"
+    assert read_tfrecords(blob) == [big, b"tail"]
