@@ -190,6 +190,8 @@ HEADLINE = [
     "basket_rules",
     "events_attribution",
     "dedup_cluster_report",
+    # round-9 additions
+    "dedup_spans_maximal",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose

@@ -714,6 +714,135 @@ def dedup_spans_global(
         )
     )
 
+def dedup_spans_maximal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 3,
+    min_run: int = 8,
+) -> DataFrame:
+    """Variable-length span scrub over MAXIMAL repeated runs (the full
+    Lee et al. 2021 semantics — their suffix-array pass removes repeated
+    substrings of >= 50 tokens, not fixed n-grams).
+
+    :func:`dedup_spans_global` scrubs every token covered by ANY
+    duplicated ``n``-gram; this operator first merges adjacent covered
+    positions into maximal runs and scrubs only runs of at least
+    ``min_run`` tokens — a short incidental repeat (a common idiom, a
+    date line) survives, while genuinely memorized boilerplate (which
+    covers long contiguous stretches) is removed. ``min_run > n``
+    reproduces the suffix-array length threshold on top of n-gram
+    machinery: a maximal covered run of length L corresponds exactly to
+    a repeated substring of length L (every window inside it is
+    duplicated).
+
+    Returns one row per input document:
+    ``(id, n_tokens, n_kept, n_removed, n_runs_scrubbed, clean_md5)``.
+
+    Scale shape — the dedup_spans_global pipeline plus one keyed window
+    pass: run-merging is LAG + running SUM partitioned BY DOCUMENT
+    (per-doc token counts bound the partition, never corpus-wide), run
+    lengths are one more keyed aggregate, and reassembly is unchanged.
+    No new unkeyed shuffle anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    toks = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.array_remove(
+                F.split(normalized_text(text_col), " "), ""
+            ).alias("__tl"),
+        )
+        .localCheckpoint()
+    )
+    tok = toks.select(id_col, F.posexplode("__tl").alias("pos", "token"))
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size("__tl") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__tl") - F.lit(n - 1)),
+                    lambda s: F.array_join(F.slice(F.col("__tl"), s, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("start", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("__d"))
+        .filter(F.col("__d") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    # Merge adjacent covered positions into maximal runs: a gap in the
+    # sorted position sequence starts a new run. Both windows are
+    # partitioned by document — bounded by the longest document.
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = covered.select(
+        id_col,
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(w) == 1, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("__new"),
+    ).select(
+        id_col,
+        "pos",
+        F.sum("__new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    long_runs = (
+        runs.groupBy(id_col, "run_id")
+        .agg(F.count("*").alias("__rl"))
+        .filter(F.col("__rl") >= min_run)
+    )
+    scrub = runs.join(long_runs, [id_col, "run_id"]).select(id_col, "pos")
+    runs_per_doc = long_runs.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_runs_scrubbed")
+    )
+    kept = tok.join(scrub, [id_col, "pos"], "left_anti")
+    kept_per_doc = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("__clean"),
+    )
+    return (
+        toks.select(id_col, F.size("__tl").cast("long").alias("n_tokens"))
+        .join(kept_per_doc, id_col, "left")
+        .join(runs_per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("n_runs_scrubbed"), F.lit(0))
+            .cast("long")
+            .alias("n_runs_scrubbed"),
+            F.md5(F.coalesce(F.col("__clean"), F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
 def dedup_paragraphs(
     df: DataFrame,
     id_col: str = "doc_id",

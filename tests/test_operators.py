@@ -903,6 +903,50 @@ def test_dedup_spans_scrubs_only_cross_doc_repeats(spark):
     assert out[1].clean_md5 == hashlib.md5(b"alpha beta gamma").hexdigest()
 
 
+def test_dedup_spans_maximal_scrubs_only_long_runs(spark):
+    """Run-length semantics (r8 verdict Next #4): adjacent covered
+    positions merge into ONE maximal run; only runs >= min_run are
+    scrubbed, so short cross-doc repeats survive that
+    dedup_spans_global would have removed."""
+    import hashlib
+
+    from simple_data_engineering_project_spark.operators.dedup import (
+        dedup_spans_maximal,
+    )
+
+    long_boiler = "this content is provided strictly as is without any warranty"  # 10 tok
+    short_boiler = "terms of service apply"  # 4 tokens — padded to 5 below
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {long_boiler} gamma"),
+            (2, f"{long_boiler} delta epsilon"),
+            (3, f"eta theta {long_boiler}"),
+            # the 5-token short boilerplate repeats across 3 docs too,
+            # but its maximal covered run is 5 < min_run=8 → kept
+            (4, f"one two {short_boiler} now three"),
+            (5, f"four five {short_boiler} now six"),
+            (6, f"seven eight {short_boiler} now nine"),
+            (7, "totally unique text with no shared spans here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_spans_maximal(
+            docs, n=5, min_docs=3, min_run=8
+        ).collect()
+    }
+    # 10-token boilerplate → one maximal run of 10 >= 8: scrubbed
+    assert out[1].n_removed == 10 and out[1].n_runs_scrubbed == 1
+    assert out[1].n_kept == 3
+    assert out[1].clean_md5 == hashlib.md5(b"alpha beta gamma").hexdigest()
+    # 5-token repeat ("terms of service apply now") → run of 5 < 8: KEPT
+    assert out[4].n_removed == 0 and out[4].n_runs_scrubbed == 0
+    assert out[5].n_removed == 0 and out[6].n_removed == 0
+    # untouched doc
+    assert out[7].n_removed == 0 and out[7].n_runs_scrubbed == 0
+
+
 def test_cdc_apply_delete_and_latest_state(spark):
     from simple_data_engineering_project_spark.operators.incremental import (
         cdc_apply,
