@@ -192,6 +192,7 @@ HEADLINE = [
     "dedup_cluster_report",
     # round-9 additions
     "dedup_spans_maximal",
+    "scan_parquet_pure",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose

@@ -1,0 +1,367 @@
+"""Parquet DATA PAGE reading in pure Python (SURVEY §2 C12, round 9).
+
+:mod:`parquet_meta` stops at the footer — the planner's view. This
+module reads the pages themselves: the full column-chunk walk the way
+the format defines it (parquet-format/README + parquet.thrift), built
+on the repo's own codec stack (snappy.py, zstd.py, stdlib zlib) so a
+shard processor can materialize parquet values with no JVM and no
+pyarrow on the worker:
+
+- column chunks start at ``dictionary_page_offset`` (when present) or
+  ``data_page_offset``; each page is a thrift-compact ``PageHeader``
+  followed by ``compressed_page_size`` bytes;
+- v1 data pages carry ``<4-byte len><RLE/bit-packed definition
+  levels>`` (only when the column is optional) then the values; v2
+  pages carry uncompressed level runs of declared byte length before a
+  values region that is compressed independently;
+- values decode from PLAIN (fixed-width LE scalars, bit-packed
+  booleans, length-prefixed byte arrays) or PLAIN_/RLE_DICTIONARY
+  (one leading bit-width byte, then RLE/bit-packed hybrid indices into
+  the chunk's PLAIN dictionary page);
+- definition levels re-seat nulls; only FLAT columns are supported
+  (max repetition level 0) — nested lists/maps raise, they are the
+  JVM reader's job in this engine.
+
+Honesty per the repo rule: every path is cross-validated against a
+reference READER in-container — pyarrow reads the same bytes in the
+unit tests, and the graded catalog entry decodes the driver-generated
+testdata files and hash-matches DuckDB's independent parquet reader
+over the same files.
+
+Scale shape: one file per task (the file-per-task DataSource posture);
+a column chunk decodes sequentially but chunks/files decode in
+parallel across executors. Pure-Python throughput is MB/s-constant —
+this is the no-JVM fallback/audit path, not a replacement for the
+vectorized scan.
+
+Unsupported by documented decision: DELTA_* and BYTE_STREAM_SPLIT
+encodings, BROTLI/LZO codecs (no encoder in-container to validate
+against), nested schemas, INT96 re-assembly (returned as raw bytes).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from .parquet_meta import _Compact
+
+# physical types (parquet.thrift Type)
+_BOOLEAN, _INT32, _INT64, _INT96 = 0, 1, 2, 3
+_FLOAT, _DOUBLE, _BYTE_ARRAY, _FLBA = 4, 5, 6, 7
+
+_PLAIN, _PLAIN_DICT, _RLE, _RLE_DICT = 0, 2, 3, 8
+
+_PAGE_DATA, _PAGE_DICT, _PAGE_DATA_V2 = 0, 2, 3
+
+
+def _decompress(codec: int, payload: bytes, uncompressed_size: int) -> bytes:
+    if codec == 0:  # UNCOMPRESSED
+        return payload
+    if codec == 1:  # SNAPPY
+        from .snappy import snappy_decompress
+
+        return snappy_decompress(payload)
+    if codec == 2:  # GZIP
+        return zlib.decompress(payload, wbits=31)
+    if codec == 6:  # ZSTD
+        from .zstd import zstd_decompress
+
+        return zstd_decompress(payload, max_output=uncompressed_size)
+    if codec == 7:  # LZ4_RAW: one raw lz4 block, size known from header
+        from .arrow_ipc import lz4_block_decompress
+
+        out = bytearray()
+        lz4_block_decompress(payload, out)
+        return bytes(out)
+    raise NotImplementedError(f"parquet codec {codec} not supported")
+
+
+def _rle_bp_hybrid(data: bytes, pos: int, bit_width: int, count: int) -> tuple[list[int], int]:
+    """RLE/bit-packed hybrid (parquet-format Encodings.md): varint
+    header ``(len << 1) | is_bit_packed``; RLE runs carry one value in
+    ceil(bit_width/8) LE bytes, bit-packed runs carry len*8 values
+    LSB-first. Returns (values[:count], new_pos)."""
+    out: list[int] = []
+    width_bytes = (bit_width + 7) // 8
+    n = len(data)
+    while len(out) < count:
+        if pos >= n:
+            raise ValueError("truncated RLE/bit-packed run")
+        header = 0
+        shift = 0
+        while True:
+            b = data[pos]
+            pos += 1
+            header |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        if header & 1:  # bit-packed: (header >> 1) groups of 8 values
+            groups = header >> 1
+            nbytes = groups * bit_width  # == groups*8*bit_width/8 bits
+            if pos + nbytes > n:
+                raise ValueError("bit-packed run past page end")
+            chunk = data[pos : pos + nbytes]
+            pos += nbytes
+            if bit_width == 0:
+                out.extend([0] * (groups * 8))
+            else:
+                acc = int.from_bytes(chunk, "little")
+                mask = (1 << bit_width) - 1
+                out.extend(
+                    (acc >> (i * bit_width)) & mask for i in range(groups * 8)
+                )
+        else:  # RLE run
+            run_len = header >> 1
+            if bit_width == 0:
+                v = 0
+            else:
+                if pos + width_bytes > n:
+                    raise ValueError("RLE run value past page end")
+                v = int.from_bytes(data[pos : pos + width_bytes], "little")
+                pos += width_bytes
+            out.extend([v] * run_len)
+    return out[:count], pos
+
+
+def _plain_values(data: bytes, pos: int, ptype: int, count: int, type_length: int = 0):
+    """Decode ``count`` PLAIN values of physical type ``ptype`` starting
+    at ``pos``; returns (values, new_pos)."""
+    if ptype == _BOOLEAN:
+        vals = []
+        for i in range(count):
+            vals.append(bool((data[pos + (i >> 3)] >> (i & 7)) & 1))
+        return vals, pos + ((count + 7) >> 3)
+    if ptype in (_INT32, _INT64, _FLOAT, _DOUBLE):
+        fmt, size = {
+            _INT32: ("i", 4),
+            _INT64: ("q", 8),
+            _FLOAT: ("f", 4),
+            _DOUBLE: ("d", 8),
+        }[ptype]
+        end = pos + size * count
+        if end > len(data):
+            raise ValueError("PLAIN values past page end")
+        return list(struct.unpack_from(f"<{count}{fmt}", data, pos)), end
+    if ptype == _BYTE_ARRAY:
+        vals = []
+        for _ in range(count):
+            (ln,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            if pos + ln > len(data):
+                raise ValueError("BYTE_ARRAY past page end")
+            vals.append(bytes(data[pos : pos + ln]))
+            pos += ln
+        return vals, pos
+    if ptype == _FLBA:
+        vals = []
+        for _ in range(count):
+            vals.append(bytes(data[pos : pos + type_length]))
+            pos += type_length
+        return vals, pos
+    if ptype == _INT96:
+        vals = []
+        for _ in range(count):
+            vals.append(bytes(data[pos : pos + 12]))
+            pos += 12
+        return vals, pos
+    raise NotImplementedError(f"physical type {ptype}")
+
+
+def _parse_schema(meta: dict) -> dict[str, dict]:
+    """Flatten FileMetaData.schema (field 2, depth-first SchemaElement
+    list) into {leaf_name: {type, type_length, max_def, max_rep}}.
+    Only flat schemas (root + leaves) keep max_rep 0; nested leaves
+    record their depth so readers can refuse them loudly."""
+    elems = meta.get(2, [])
+    if not elems:
+        raise ValueError("parquet footer carries no schema")
+    out: dict[str, dict] = {}
+    # walk the flattened tree depth-first, tracking def/rep levels
+    idx = 0
+
+    def walk(children: int, max_def: int, max_rep: int, prefix: str):
+        nonlocal idx
+        for _ in range(children):
+            el = elems[idx]
+            idx += 1
+            # SchemaElement: 1=type 2=type_length 3=repetition_type
+            # 4=name 5=num_children 6=converted_type
+            rep = el.get(3, 0)
+            d = max_def + (1 if rep == 1 else 0) + (1 if rep == 2 else 0)
+            r = max_rep + (1 if rep == 2 else 0)
+            name = el.get(4, b"").decode("utf-8")
+            path = f"{prefix}{name}"
+            kids = el.get(5, 0)
+            if kids:
+                walk(kids, d, r, f"{path}.")
+            else:
+                out[path] = {
+                    "type": el.get(1),
+                    "type_length": el.get(2, 0),
+                    "max_def": d,
+                    "max_rep": r,
+                    "converted": el.get(6),
+                }
+
+    root = elems[0]
+    idx = 1  # elems[0] IS the root; its children follow depth-first
+    walk(root.get(5, 0), 0, 0, "")
+    return out
+
+
+def _read_page_header(buf: bytes, pos: int) -> tuple[dict, int]:
+    c = _Compact(buf, pos)
+    return c.struct(), c.pos
+
+
+def read_column_chunk(buf: bytes, col_meta: dict, leaf: dict) -> list:
+    """All values (None for nulls) of one column chunk.
+
+    ``col_meta`` is the raw ColumnMetaData thrift dict (field ids per
+    parquet.thrift): 1=type 4=codec 5=num_values 9=data_page_offset
+    11=dictionary_page_offset. ``leaf`` comes from :func:`_parse_schema`.
+    """
+    if leaf["max_rep"] > 0:
+        raise NotImplementedError("nested (repeated) columns not supported")
+    ptype = col_meta.get(1)
+    codec = col_meta.get(4, 0)
+    num_values = col_meta.get(5, 0)
+    max_def = leaf["max_def"]
+    dl_width = max(max_def, 1).bit_length() if max_def else 0
+    pos = col_meta.get(11) or col_meta.get(9)
+    dictionary: list | None = None
+    out: list = []
+    while len(out) < num_values:
+        header, pos = _read_page_header(buf, pos)
+        page_type = header.get(1)
+        comp_size = header.get(3, 0)
+        raw = buf[pos : pos + comp_size]
+        pos += comp_size
+        if page_type == _PAGE_DICT:
+            dph = header.get(7, {})
+            page = _decompress(codec, raw, header.get(2, 0))
+            dictionary, _ = _plain_values(
+                page, 0, ptype, dph.get(1, 0), leaf["type_length"]
+            )
+            continue
+        if page_type == _PAGE_DATA:
+            dph = header.get(5, {})
+            n = dph.get(1, 0)
+            enc = dph.get(2, _PLAIN)
+            page = _decompress(codec, raw, header.get(2, 0))
+            p = 0
+            if max_def:
+                (ll,) = struct.unpack_from("<I", page, 0)
+                levels, _ = _rle_bp_hybrid(page, 4, dl_width, n)
+                p = 4 + ll
+            else:
+                levels = [max_def] * n
+        elif page_type == _PAGE_DATA_V2:
+            dph = header.get(8, {})
+            n = dph.get(1, 0)
+            enc = dph.get(4, _PLAIN)
+            dl_len = dph.get(5, 0)
+            rl_len = dph.get(6, 0)
+            if rl_len:
+                raise NotImplementedError("repetition levels (nested)")
+            if max_def:
+                levels, _ = _rle_bp_hybrid(raw, 0, dl_width, n)
+            else:
+                levels = [max_def] * n
+            body = raw[dl_len:]
+            # is_compressed (field 7) defaults TRUE; levels are never
+            # compressed in v2, only the values region
+            page = (
+                _decompress(codec, body, header.get(2, 0) - dl_len)
+                if header.get(7, True)
+                else body
+            )
+            p = 0
+        else:
+            # index or unknown page: skip its body
+            continue
+        n_present = sum(1 for l in levels if l == max_def)
+        if enc in (_PLAIN_DICT, _RLE_DICT):
+            if dictionary is None:
+                raise ValueError("dictionary-encoded page before dictionary")
+            bw = page[p]
+            idxs, _ = _rle_bp_hybrid(page, p + 1, bw, n_present)
+            present = [dictionary[i] for i in idxs]
+        elif enc == _PLAIN:
+            present, _ = _plain_values(
+                page, p, ptype, n_present, leaf["type_length"]
+            )
+        elif enc == _RLE and ptype == _BOOLEAN:
+            # RLE as a VALUE encoding exists only for booleans
+            # (bit-width 1), prefixed by a 4-byte LE run length
+            bits, _ = _rle_bp_hybrid(page, p + 4, 1, n_present)
+            present = [bool(b) for b in bits]
+        else:
+            raise NotImplementedError(f"encoding {enc} not supported")
+        it = iter(present)
+        out.extend(next(it) if l == max_def else None for l in levels)
+    return out[:num_values]
+
+
+def pure_parquet_scan(spark, paths: list[str], columns: list[str], schema: str):
+    """Distributed scan through this module's pure-Python reader:
+    FILE-PER-TASK over ``paths`` (the DataSource posture — at 100 TB the
+    path list is itself a distributed listing and each executor task
+    decodes whole files independently; no shuffle anywhere). ``schema``
+    is the Spark DDL of the output; byte-array columns whose DDL type is
+    string are utf-8 decoded."""
+    from pyspark.sql.types import StringType, StructType
+
+    out_schema = StructType.fromDDL(schema)
+    str_cols = {f.name for f in out_schema.fields if isinstance(f.dataType, StringType)}
+    pdf = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(max(len(paths), 1))
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            for path in b["path"]:
+                cols = read_parquet_columns(path, columns)
+                data = {}
+                for c in columns:
+                    v = cols[c]
+                    if c in str_cols:
+                        v = [
+                            None if x is None else x.decode("utf-8")
+                            for x in v
+                        ]
+                    data[c] = v
+                yield pd.DataFrame(data)
+
+    return pdf.mapInPandas(gen, schema=out_schema)
+
+
+def read_parquet_columns(path: str, columns: list[str]) -> dict[str, list]:
+    """Decode the requested FLAT columns of one parquet file into
+    Python lists (None for nulls), all row groups concatenated in file
+    order. Raises on nested columns and unsupported encodings."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:4] != b"PAR1" or buf[-4:] != b"PAR1":
+        raise ValueError("not a parquet file")
+    (flen,) = struct.unpack("<I", buf[-8:-4])
+    meta = _Compact(buf[len(buf) - 8 - flen : len(buf) - 8]).struct()
+    schema = _parse_schema(meta)
+    out: dict[str, list] = {c: [] for c in columns}
+    for rg in meta.get(4, []):
+        by_path: dict[str, dict] = {}
+        for cc in rg.get(1, []):
+            md = cc.get(3)
+            if md is None:
+                continue
+            path_parts = [p.decode("utf-8") for p in md.get(3, [])]
+            by_path[".".join(path_parts)] = md
+        for c in columns:
+            if c not in by_path:
+                raise ValueError(f"column {c!r} not in file")
+            out[c].extend(read_column_chunk(buf, by_path[c], schema[c]))
+    return out

@@ -9294,6 +9294,43 @@ def parquet_footer_stats_q(spark, sf_dir):
 
 
 @register(
+    "scan_parquet_pure",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderpriority
+    FROM orders
+    """,
+    tier="C",
+    note="C12/C5 pure-Python parquet DATA-PAGE scan (round 9) — the "
+    "engine reads the driver-generated orders.parquet with its OWN "
+    "format walk (thrift-compact page headers, RLE/bit-packed hybrid "
+    "definition levels and dictionary indices, PLAIN scalar/byte-array "
+    "decode, pages inflated by the repo's own snappy/zstd decoders), "
+    "no JVM parquet reader and no pyarrow in the loop; the oracle is "
+    "DuckDB's independent C++ reader over the SAME file, so a hash "
+    "match cross-validates two unrelated implementations of the whole "
+    "format stack on real bytes. Unit battery additionally "
+    "cross-validates vs pyarrow: all 5 codecs, v1+v2 pages, dict "
+    "fallback-to-PLAIN mid-chunk, REQUIRED/OPTIONAL, multi-row-group/"
+    "multi-page, temporal+decimal physicals, truncation/bit-flip "
+    "sweeps. Scale: FILE-PER-TASK mapInPandas (no shuffle; at 100 TB "
+    "the path list is a distributed listing) — the no-JVM audit/"
+    "fallback path, MB/s-constant by design, not the vectorized scan.",
+)
+def scan_parquet_pure_q(spark, sf_dir):
+    from ..operators.parquet_data import pure_parquet_scan
+
+    return pure_parquet_scan(
+        spark,
+        [f"{sf_dir}/orders.parquet"],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority"],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderpriority string",
+    )
+
+
+@register(
     "join_bloom_prefilter",
     """
     SELECT o_orderpriority,

