@@ -193,6 +193,7 @@ HEADLINE = [
     # round-9 additions
     "dedup_spans_maximal",
     "scan_parquet_pure",
+    "dsir_importance",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose

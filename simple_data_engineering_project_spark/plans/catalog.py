@@ -5539,6 +5539,196 @@ def text_unigram_logprob_q(spark, sf_dir):
     return text_ops.unigram_logprob(d)
 
 
+@register(
+    "dsir_importance",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tl
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5(tl[g.s] || ' ' || tl[g.s + 1]),
+                                1, 15))::BIGINT % 4096 AS bucket
+      FROM toks, unnest(generate_series(1, len(tl) - 1)) AS g(s)
+      WHERE len(tl) >= 2
+    ), ct AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM feats
+      WHERE lang = 'en' GROUP BY bucket
+    ), cr AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM feats GROUP BY bucket
+    ), tot AS (
+      SELECT (SELECT COALESCE(SUM(c), 0) FROM ct) AS t,
+             (SELECT COALESCE(SUM(c), 0) FROM cr) AS r
+    ), lnr AS (
+      SELECT cr.bucket,
+             CAST(floor(ln(
+               ((CAST(COALESCE(ct.c, 0) AS DOUBLE) + 1.0)
+                  / (CAST(tot.t AS DOUBLE) + 4096.0))
+               / ((CAST(cr.c AS DOUBLE) + 1.0)
+                  / (CAST(tot.r AS DOUBLE) + 4096.0))
+             ) * 1000000.0) AS BIGINT) AS q
+      FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot
+    ), docw AS (
+      SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             CAST(SUM(l.q) AS BIGINT) AS logw_micro
+      FROM feats f JOIN lnr l USING (bucket)
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_feats, logw_micro,
+           CAST(CASE WHEN rnk <= 100 THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM (
+      SELECT t.doc_id,
+             CAST(COALESCE(d.n_feats, 0) AS BIGINT) AS n_feats,
+             CAST(COALESCE(d.logw_micro, 0) AS BIGINT) AS logw_micro,
+             row_number() OVER (
+               ORDER BY COALESCE(d.logw_micro, 0) DESC, t.doc_id
+             ) AS rnk
+      FROM toks t LEFT JOIN docw d USING (doc_id)
+    )
+    """,
+    tier="C",
+    note="C12/C4 DSIR importance resampling (Xie et al. 2023, 'Data "
+    "Selection for LMs via Importance Resampling') — the standard "
+    "target-aware pretraining selector: hashed-BIGRAM bag models "
+    "(portable md5-prefix hash into 4096 buckets) for the TARGET "
+    "distribution (lang='en' docs) and the RAW corpus, Laplace +1 "
+    "smoothing, per-doc importance = sum of per-bucket log ratios. "
+    "HASH-EXACT across engines because each bucket's log-ratio is "
+    "quantized to integer MICRO-units first (floor(ln*1e6)) and the "
+    "per-doc weight is then an order-independent INTEGER sum — no "
+    "float summation order in the grade. keep = DSIR's resample: the "
+    "top-100 docs by importance (tie-broken by id). Scale: explode → "
+    "two bounded 4096-row bucket censuses → broadcast-size dimension "
+    "joined back to doc features (AQE decides); the top-k is the "
+    "two-phase rank (per-input-partition top-100 first, survivors "
+    "bounded by partitions x 100, then the final rank over that small "
+    "set keyed by a data-derived constant — never a corpus-wide "
+    "single-task window).",
+)
+def dsir_importance_q(spark, sf_dir):
+    B = 4096
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.array_remove(F.split(normalized_text("text"), " "), "").alias(
+            "__tl"
+        ),
+    )
+    feats = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("__tl") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__tl") - 1),
+                    lambda s: F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.element_at("__tl", s),
+                                    F.lit(" "),
+                                    F.element_at("__tl", s + 1),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % B,
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("bucket"),
+    )
+    ct = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    cr = feats.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tot = cr.join(ct, "bucket", "left").agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("t"),
+        F.coalesce(F.sum("cr"), F.lit(0)).alias("r"),
+    )
+    lnr = (
+        cr.join(ct, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + 1.0)
+                        / (F.col("t").cast("double") + float(B))
+                    )
+                    / (
+                        (F.col("cr").cast("double") + 1.0)
+                        / (F.col("r").cast("double") + float(B))
+                    )
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    docw = (
+        feats.join(lnr, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("q").cast("long").alias("logw_micro"),
+        )
+    )
+    K = 100
+    scored = (
+        toks.select("doc_id")
+        .join(docw, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce(F.col("logw_micro"), F.lit(0))
+            .cast("long")
+            .alias("logw_micro"),
+        )
+    )
+    # DSIR resample = global top-K by weight, two-phase so no task ever
+    # ranks the whole corpus: phase 1 ranks inside each input partition
+    # (survivors <= partitions*K), phase 2 ranks the survivors keyed on
+    # a DATA-DERIVED constant (doc_id % 1 is never constant-folded, so
+    # the window keeps a shuffle key — the _topk_per_query lesson).
+    order = [F.col("logw_micro").desc(), F.col("doc_id").asc()]
+    w1 = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    cand = (
+        scored.withColumn("__lr", F.row_number().over(w1))
+        .filter(F.col("__lr") <= K)
+        .drop("__lr")
+        .select("doc_id", (F.col("doc_id") % 1).alias("__q"))
+    )
+    topk = (
+        scored.join(cand.select("doc_id", "__q"), "doc_id")
+        .withColumn(
+            "__rnk",
+            F.row_number().over(
+                Window.partitionBy("__q").orderBy(*order)
+            ),
+        )
+        .filter(F.col("__rnk") <= K)
+        .select("doc_id", F.lit(1).alias("__keep"))
+    )
+    return scored.join(topk, "doc_id", "left").select(
+        "doc_id",
+        "n_feats",
+        "logw_micro",
+        F.coalesce(F.col("__keep"), F.lit(0)).cast("int").alias("keep"),
+    )
+
+
 _BM25_TERMS = ["spark", "window", "join", "stream"]
 
 

@@ -702,6 +702,7 @@ _BROADCAST_ALLOWLIST = {
     ("operators/text.py", "heavy_hitters", "cand"),  # MG sketch (≤k per partition)
     ("operators/text.py", "bm25_search", "stats"),  # 1 row
     ("operators/text.py", "bm25_search", "dfreq"),  # per query token
+    ("plans/catalog.py", "dsir_importance_q", "tot"),  # 1-row scalar agg
 }
 
 
