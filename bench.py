@@ -194,6 +194,7 @@ HEADLINE = [
     "dedup_spans_maximal",
     "scan_parquet_pure",
     "dsir_importance",
+    "sink_parquet_pure",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -236,6 +237,8 @@ STEADY_STATE = {
     "sink_tar_zst",  # round-8: two mapInPandas stages; 10.1 s cold
     # (Arrow-worker + codegen start) vs 4.9 s steady
     "sink_arrow_ipc",  # round-8: same shape; 8.0 s cold vs 4.2 s steady
+    "sink_parquet_pure",  # round-9: same two-mapInPandas shape as the
+    # other export sinks (write + reference read-back)
     "hybrid_search_rrf",  # round-8: BM25-leg codegen; 9.6 s cold, 3.9 s steady
     "dedup_cluster_report",  # round-8: shingle/minhash codegen; 6.3 s cold, 4.6 s steady
 }

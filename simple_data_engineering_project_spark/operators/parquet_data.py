@@ -345,7 +345,11 @@ def read_parquet_columns(path: str, columns: list[str]) -> dict[str, list]:
     Python lists (None for nulls), all row groups concatenated in file
     order. Raises on nested columns and unsupported encodings."""
     with open(path, "rb") as f:
-        buf = f.read()
+        return read_parquet_bytes(f.read(), columns)
+
+
+def read_parquet_bytes(buf: bytes, columns: list[str]) -> dict[str, list]:
+    """:func:`read_parquet_columns` over an in-memory file image."""
     if buf[:4] != b"PAR1" or buf[-4:] != b"PAR1":
         raise ValueError("not a parquet file")
     (flen,) = struct.unpack("<I", buf[-8:-4])

@@ -201,6 +201,79 @@ def test_nested_and_unknown_fail_loudly(tmp_path):
         read_parquet_columns(str(path), ["missing_col"])
 
 
+def test_pure_writer_read_by_pyarrow_duckdb_and_own_reader(tmp_path):
+    """Write-side honesty: files authored byte-for-byte by
+    parquet_write must be readable by BOTH in-container reference
+    readers (pyarrow, DuckDB) with values, nulls, and logical string
+    types intact — and by the repo's own page reader."""
+    import duckdb
+
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        write_parquet_file,
+    )
+
+    cols = {
+        "k": [1, None, -3, 2**31 - 1, -(2**31)],
+        "big": [None, 2**62, -(2**62), 0, 7],
+        "v": [1.5, float("-0.0"), None, 2.2250738585072014e-308, -1e300],
+        "s": ["", None, "δ-utf8 ✓", "x" * 1000, "plain"],
+    }
+    types = {"k": "int", "big": "bigint", "v": "double", "s": "string"}
+    for comp in ("none", "snappy"):
+        path = str(tmp_path / f"w-{comp}.parquet")
+        assert write_parquet_file(path, cols, types, compression=comp) == 5
+        t = pq.read_table(path)
+        assert t.to_pydict() == cols
+        assert pa.types.is_string(t.schema.field("s").type)
+        got = duckdb.sql(f"SELECT * FROM '{path}'").fetchall()
+        assert [r[0] for r in got] == cols["k"]
+        assert [r[3] for r in got] == cols["s"]
+        mine = read_parquet_columns(path, ["k", "big", "v", "s"])
+        assert mine["k"] == cols["k"]
+        assert [None if x is None else x.decode() for x in mine["s"]] == cols["s"]
+
+
+def test_pure_writer_all_null_and_single_row(tmp_path):
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        write_parquet_file,
+    )
+
+    path = str(tmp_path / "nulls.parquet")
+    write_parquet_file(
+        path,
+        {"a": [None, None, None], "b": ["only", None, None]},
+        {"a": "bigint", "b": "string"},
+    )
+    assert pq.read_table(path).to_pydict() == {
+        "a": [None, None, None],
+        "b": ["only", None, None],
+    }
+    path2 = str(tmp_path / "one.parquet")
+    write_parquet_file(path2, {"x": [42]}, {"x": "int"})
+    assert pq.read_table(path2).to_pydict() == {"x": [42]}
+
+
+def test_pure_writer_rejects_unsupported(tmp_path):
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        write_parquet_file,
+    )
+
+    with pytest.raises(NotImplementedError, match="not writable"):
+        write_parquet_file(
+            str(tmp_path / "x.parquet"), {"a": [True]}, {"a": "boolean"}
+        )
+    with pytest.raises(NotImplementedError, match="codec"):
+        write_parquet_file(
+            str(tmp_path / "x.parquet"), {"a": [1]}, {"a": "int"},
+            compression="brotli",
+        )
+    with pytest.raises(ValueError, match="ragged"):
+        write_parquet_file(
+            str(tmp_path / "x.parquet"), {"a": [1], "b": [1, 2]},
+            {"a": "int", "b": "int"},
+        )
+
+
 def test_truncation_and_bitflip_never_hang_or_lie(tmp_path):
     t = _table(n=300)
     path = tmp_path / "victim.parquet"
