@@ -195,6 +195,7 @@ HEADLINE = [
     "scan_parquet_pure",
     "dsir_importance",
     "sink_parquet_pure",
+    "ngram_novelty",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose

@@ -5729,6 +5729,101 @@ def dsir_importance_q(spark, sf_dir):
     )
 
 
+@register(
+    "ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tl
+      FROM documents
+    ), gram AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(tl[g.s:g.s + 4], ' ') AS gram
+      FROM toks, unnest(generate_series(1, len(tl) - 4)) AS g(s)
+      WHERE len(tl) >= 5
+    ), firsts AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM gram GROUP BY gram
+    ), per_doc AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN f.first_doc = g.doc_id
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM gram g JOIN firsts f USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0
+                ELSE (p.n_novel * 1000000) // p.n_grams
+                END AS BIGINT) AS novelty_ppm
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tier="C",
+    note="C4 n-gram NOVELTY curve (round 9) — the corpus-curation "
+    "signal behind 'how much of this doc is new material': for every "
+    "distinct word 5-gram the corpus-wide FIRST document (min doc_id) "
+    "is charged with introducing it; each doc then reports its "
+    "distinct-gram count, how many it introduced, and the novelty "
+    "share in exact integer ppm (positive integers, so DuckDB // and "
+    "Spark DIV agree). A doc full of previously-seen grams scores 0 — "
+    "the streaming-ingest complement to dedup_spans_global's scrub. "
+    "Scale: gram explode → one keyed MIN aggregate (map-side partial) "
+    "→ equi-join back on the gram → per-doc count; the gram key stays "
+    "a string for oracle parity, xxhash64 at real scale.",
+)
+def ngram_novelty_q(spark, sf_dir):
+    n = 5
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.array_remove(F.split(normalized_text("text"), " "), "").alias(
+            "__tl"
+        ),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("__tl") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__tl") - F.lit(n - 1)),
+                    lambda s: F.array_join(F.slice(F.col("__tl"), s, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    ).distinct()
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        toks.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.when(F.coalesce(F.col("n_grams"), F.lit(0)) == 0, F.lit(0))
+            .otherwise(
+                F.expr("(n_novel * 1000000) DIV n_grams")
+            )
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )
+
+
 _BM25_TERMS = ["spark", "window", "join", "stream"]
 
 
