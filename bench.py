@@ -196,6 +196,7 @@ HEADLINE = [
     "dsir_importance",
     "sink_parquet_pure",
     "ngram_novelty",
+    "sink_avro",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -240,6 +241,7 @@ STEADY_STATE = {
     "sink_arrow_ipc",  # round-8: same shape; 8.0 s cold vs 4.2 s steady
     "sink_parquet_pure",  # round-9: same two-mapInPandas shape as the
     # other export sinks (write + reference read-back)
+    "sink_avro",  # round-9: same export-sink shape
     "hybrid_search_rrf",  # round-8: BM25-leg codegen; 9.6 s cold, 3.9 s steady
     "dedup_cluster_report",  # round-8: shingle/minhash codegen; 6.3 s cold, 4.6 s steady
 }
