@@ -34,9 +34,15 @@ parallel across executors. Pure-Python throughput is MB/s-constant —
 this is the no-JVM fallback/audit path, not a replacement for the
 vectorized scan.
 
-Unsupported by documented decision: DELTA_* and BYTE_STREAM_SPLIT
-encodings, BROTLI/LZO codecs (no encoder in-container to validate
-against), nested schemas, INT96 re-assembly (returned as raw bytes).
+Round-9 second pass: the DELTA family (DELTA_BINARY_PACKED with
+modular accumulation in the physical width, DELTA_LENGTH_BYTE_ARRAY,
+DELTA_BYTE_ARRAY prefix sharing) and BYTE_STREAM_SPLIT decode too —
+pyarrow can WRITE all four (column_encoding / use_byte_stream_split),
+so each is cross-validated against reference-written bytes.
+
+Unsupported by documented decision: BROTLI/LZO codecs (no encoder
+in-container to validate against), nested schemas, INT96 re-assembly
+(returned as raw bytes).
 """
 
 from __future__ import annotations
@@ -51,6 +57,7 @@ _BOOLEAN, _INT32, _INT64, _INT96 = 0, 1, 2, 3
 _FLOAT, _DOUBLE, _BYTE_ARRAY, _FLBA = 4, 5, 6, 7
 
 _PLAIN, _PLAIN_DICT, _RLE, _RLE_DICT = 0, 2, 3, 8
+_DELTA_BINARY, _DELTA_LENGTH_BA, _DELTA_BA, _BYTE_STREAM_SPLIT = 5, 6, 7, 9
 
 _PAGE_DATA, _PAGE_DICT, _PAGE_DATA_V2 = 0, 2, 3
 
@@ -123,6 +130,107 @@ def _rle_bp_hybrid(data: bytes, pos: int, bit_width: int, count: int) -> tuple[l
                 pos += width_bytes
             out.extend([v] * run_len)
     return out[:count], pos
+
+
+def _delta_binary_packed(
+    data: bytes, pos: int, count: int, bits: int = 64
+) -> tuple[list[int], int]:
+    """DELTA_BINARY_PACKED (parquet-format Encodings.md §Delta): header
+    <block size><miniblocks per block><total count><first value>, then
+    per block <min delta><one bit width per miniblock><packed deltas>.
+    Per spec the accumulation is MODULAR in the physical width
+    (``bits``), so extreme int32/int64 ranges wrap exactly like the
+    reference writers produced them. Returns (values, new_pos)."""
+    mask_w = (1 << bits) - 1
+    sign = 1 << (bits - 1)
+
+    def wrap(v: int) -> int:
+        v &= mask_w
+        return v - (1 << bits) if v & sign else v
+
+    def varint():
+        nonlocal pos
+        v = 0
+        shift = 0
+        while True:
+            b = data[pos]
+            pos += 1
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return v
+            shift += 7
+
+    def zz():
+        u = varint()
+        return (u >> 1) ^ -(u & 1)
+
+    block_size = varint()
+    n_mini = varint()
+    total = varint()
+    first = zz()
+    if total == 0:
+        return [], pos
+    out = [first]
+    per_mini = block_size // n_mini
+    while len(out) < total:
+        min_delta = zz()
+        widths = data[pos : pos + n_mini]
+        pos += n_mini
+        for m in range(n_mini):
+            if len(out) >= total:
+                # trailing miniblocks of the last block are still
+                # PRESENT in the stream (writers pad); skip their bytes
+                pos += per_mini * widths[m] // 8
+                continue
+            w = widths[m]
+            nbytes = per_mini * w // 8
+            chunk = data[pos : pos + nbytes]
+            pos += nbytes
+            if w == 0:
+                deltas = [0] * per_mini
+            else:
+                acc = int.from_bytes(chunk, "little")
+                mask = (1 << w) - 1
+                deltas = [(acc >> (i * w)) & mask for i in range(per_mini)]
+            for d in deltas:
+                if len(out) >= total:
+                    break
+                out.append(wrap(out[-1] + min_delta + d))
+    return out[:count], pos
+
+
+def _delta_length_byte_array(data: bytes, pos: int, count: int) -> tuple[list[bytes], int]:
+    lengths, pos = _delta_binary_packed(data, pos, count)
+    vals = []
+    for ln in lengths:
+        vals.append(bytes(data[pos : pos + ln]))
+        pos += ln
+    return vals, pos
+
+
+def _delta_byte_array(data: bytes, pos: int, count: int) -> tuple[list[bytes], int]:
+    prefixes, pos = _delta_binary_packed(data, pos, count)
+    suffixes, pos = _delta_length_byte_array(data, pos, count)
+    vals: list[bytes] = []
+    prev = b""
+    for p, s in zip(prefixes, suffixes):
+        prev = prev[:p] + s
+        vals.append(prev)
+    return vals, pos
+
+
+def _byte_stream_split(data: bytes, pos: int, ptype: int, count: int, type_length: int):
+    width = {_INT32: 4, _INT64: 8, _FLOAT: 4, _DOUBLE: 8, _FLBA: type_length}.get(ptype)
+    if not width:
+        raise NotImplementedError(f"BYTE_STREAM_SPLIT for type {ptype}")
+    streams = [data[pos + k * count : pos + (k + 1) * count] for k in range(width)]
+    raw = bytes(
+        b for i in range(count) for b in (s[i] for s in streams)
+    )
+    if ptype == _FLBA:
+        return [raw[i * width : (i + 1) * width] for i in range(count)], pos + width * count
+    fmt = {_INT32: "i", _INT64: "q", _FLOAT: "f", _DOUBLE: "d"}[ptype]
+    return list(struct.unpack(f"<{count}{fmt}", raw)), pos + width * count
 
 
 def _plain_values(data: bytes, pos: int, ptype: int, count: int, type_length: int = 0):
@@ -298,6 +406,18 @@ def read_column_chunk(buf: bytes, col_meta: dict, leaf: dict) -> list:
             # (bit-width 1), prefixed by a 4-byte LE run length
             bits, _ = _rle_bp_hybrid(page, p + 4, 1, n_present)
             present = [bool(b) for b in bits]
+        elif enc == _DELTA_BINARY and ptype in (_INT32, _INT64):
+            present, _ = _delta_binary_packed(
+                page, p, n_present, bits=32 if ptype == _INT32 else 64
+            )
+        elif enc == _DELTA_LENGTH_BA and ptype == _BYTE_ARRAY:
+            present, _ = _delta_length_byte_array(page, p, n_present)
+        elif enc == _DELTA_BA and ptype in (_BYTE_ARRAY, _FLBA):
+            present, _ = _delta_byte_array(page, p, n_present)
+        elif enc == _BYTE_STREAM_SPLIT:
+            present, _ = _byte_stream_split(
+                page, p, ptype, n_present, leaf["type_length"]
+            )
         else:
             raise NotImplementedError(f"encoding {enc} not supported")
         it = iter(present)

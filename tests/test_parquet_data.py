@@ -144,6 +144,66 @@ def test_dictionary_fallback_to_plain_mid_chunk(tmp_path):
     _assert_matches(path)
 
 
+@pytest.mark.parametrize("page_version", ["1.0", "2.0"])
+def test_delta_and_byte_stream_split_encodings(tmp_path, page_version):
+    """Round-9 second pass: the DELTA family and BYTE_STREAM_SPLIT
+    decode against pyarrow-WRITTEN reference bytes — including
+    negative jumps, shared prefixes, nulls, and multi-page streams."""
+    import random
+
+    rnd = random.Random(9)
+    n = 4000
+    t = pa.table(
+        {
+            "i64": pa.array(
+                [None if i % 13 == 0 else rnd.randint(-(2**62), 2**62) for i in range(n)],
+                pa.int64(),
+            ),
+            "i32": pa.array(
+                [None if i % 7 == 0 else rnd.randint(-(2**31), 2**31 - 1) for i in range(n)],
+                pa.int32(),
+            ),
+            "mono": pa.array(range(n), pa.int64()),
+            "s_pref": pa.array(
+                [None if i % 11 == 0 else f"common/prefix/{i % 17}/doc-{i}" for i in range(n)]
+            ),
+            "s_len": pa.array([f"v{i}" * (i % 9) for i in range(n)]),
+            "f64": pa.array(
+                [None if i % 19 == 0 else rnd.uniform(-1e300, 1e300) for i in range(n)],
+                pa.float64(),
+            ),
+            "f32": pa.array([float(i) * 0.25 for i in range(n)], pa.float32()),
+        }
+    )
+    path = tmp_path / f"delta-{page_version}.parquet"
+    pq.write_table(
+        t,
+        path,
+        compression="snappy",
+        use_dictionary=False,
+        data_page_size=2048,  # force multiple pages per chunk
+        data_page_version=page_version,
+        column_encoding={
+            "i64": "DELTA_BINARY_PACKED",
+            "i32": "DELTA_BINARY_PACKED",
+            "mono": "DELTA_BINARY_PACKED",
+            "s_pref": "DELTA_BYTE_ARRAY",
+            "s_len": "DELTA_LENGTH_BYTE_ARRAY",
+            "f64": "BYTE_STREAM_SPLIT",
+            "f32": "BYTE_STREAM_SPLIT",
+        },
+    )
+    encs = {
+        pq.ParquetFile(path).metadata.row_group(0).column(i).path_in_schema:
+        pq.ParquetFile(path).metadata.row_group(0).column(i).encodings
+        for i in range(7)
+    }
+    assert "DELTA_BINARY_PACKED" in encs["i64"]
+    assert "DELTA_BYTE_ARRAY" in encs["s_pref"]
+    assert "BYTE_STREAM_SPLIT" in encs["f64"]
+    _assert_matches(path)
+
+
 def test_temporal_and_decimal_physical_values(tmp_path):
     import datetime as dt
 
