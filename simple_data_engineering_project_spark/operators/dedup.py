@@ -644,6 +644,16 @@ def dedup_spans_global(
     collisions are immaterial to a boilerplate scrub) so the shuffle
     moves 8-byte keys instead of ~6-word strings.
     """
+    toks, tok, covered = _span_coverage(df, id_col, text_col, n, min_docs)
+    return _span_report(toks, tok, covered, id_col)
+
+
+def _span_coverage(df, id_col, text_col, n, min_docs):
+    """Shared front half of the span scrubbers: (toks, tok, covered)
+    where ``covered`` is the distinct (id, pos) set lying under any
+    ``n``-gram repeated in >= ``min_docs`` distinct documents. The gram
+    join key stays a STRING for oracle parity; at 100 TB swap it for
+    ``xxhash64(gram)`` — one place now, both operators inherit it."""
     # _spread BEFORE the checkpoint: localCheckpoint preserves
     # partitioning, so a one-partition small file would otherwise pin
     # all gram construction and explodes to a single core
@@ -689,7 +699,15 @@ def dedup_spans_global(
         )
         .distinct()
     )
-    kept = tok.join(covered, [id_col, "pos"], "left_anti")
+    return toks, tok, covered
+
+
+def _span_report(toks, tok, scrub, id_col, extra=None):
+    """Shared back half: remove the (id, pos) ``scrub`` set, reassemble
+    survivors in order, and report per-doc counts + the clean digest.
+    ``extra`` optionally left-joins additional per-doc columns
+    (coalesced to 0 longs)."""
+    kept = tok.join(scrub, [id_col, "pos"], "left_anti")
     kept_per_doc = kept.groupBy(id_col).agg(
         F.count("*").alias("n_kept"),
         F.array_join(
@@ -700,19 +718,28 @@ def dedup_spans_global(
             " ",
         ).alias("__clean"),
     )
-    return (
-        toks.select(id_col, F.size("__tl").cast("long").alias("n_tokens"))
-        .join(kept_per_doc, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.md5(F.coalesce(F.col("__clean"), F.lit(""))).alias("clean_md5"),
-        )
+    out = toks.select(
+        id_col, F.size("__tl").cast("long").alias("n_tokens")
+    ).join(kept_per_doc, id_col, "left")
+    cols = [
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    ]
+    if extra is not None:
+        extra_df, extra_cols = extra
+        out = out.join(extra_df, id_col, "left")
+        cols += [
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in extra_cols
+        ]
+    cols.append(
+        F.md5(F.coalesce(F.col("__clean"), F.lit(""))).alias("clean_md5")
     )
+    return out.select(*cols)
 
 def dedup_spans_maximal(
     df: DataFrame,
@@ -748,45 +775,7 @@ def dedup_spans_maximal(
     """
     from pyspark.sql.window import Window
 
-    toks = (
-        _spread(df, id_col)
-        .select(
-            F.col(id_col),
-            F.array_remove(
-                F.split(normalized_text(text_col), " "), ""
-            ).alias("__tl"),
-        )
-        .localCheckpoint()
-    )
-    tok = toks.select(id_col, F.posexplode("__tl").alias("pos", "token"))
-    grams = toks.select(
-        F.col(id_col),
-        F.posexplode(
-            F.when(
-                F.size("__tl") >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__tl") - F.lit(n - 1)),
-                    lambda s: F.array_join(F.slice(F.col("__tl"), s, n), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("start", "gram"),
-    )
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.count_distinct(F.col(id_col)).alias("__d"))
-        .filter(F.col("__d") >= min_docs)
-        .select("gram")
-    )
-    covered = (
-        grams.join(dup, "gram")
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
-            ).alias("pos"),
-        )
-        .distinct()
-    )
+    toks, tok, covered = _span_coverage(df, id_col, text_col, n, min_docs)
     # Merge adjacent covered positions into maximal runs: a gap in the
     # sorted position sequence starts a new run. Both windows are
     # partitioned by document — bounded by the longest document.
@@ -813,33 +802,8 @@ def dedup_spans_maximal(
     runs_per_doc = long_runs.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_runs_scrubbed")
     )
-    kept = tok.join(scrub, [id_col, "pos"], "left_anti")
-    kept_per_doc = kept.groupBy(id_col).agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "token"))),
-                lambda s: s["token"],
-            ),
-            " ",
-        ).alias("__clean"),
-    )
-    return (
-        toks.select(id_col, F.size("__tl").cast("long").alias("n_tokens"))
-        .join(kept_per_doc, id_col, "left")
-        .join(runs_per_doc, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce(F.col("n_runs_scrubbed"), F.lit(0))
-            .cast("long")
-            .alias("n_runs_scrubbed"),
-            F.md5(F.coalesce(F.col("__clean"), F.lit(""))).alias("clean_md5"),
-        )
+    return _span_report(
+        toks, tok, scrub, id_col, extra=(runs_per_doc, ["n_runs_scrubbed"])
     )
 
 

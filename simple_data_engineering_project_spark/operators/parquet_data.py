@@ -379,11 +379,14 @@ def read_column_chunk(buf: bytes, col_meta: dict, leaf: dict) -> list:
             else:
                 levels = [max_def] * n
             body = raw[dl_len:]
-            # is_compressed (field 7) defaults TRUE; levels are never
-            # compressed in v2, only the values region
+            # is_compressed is DataPageHeaderV2 field 7 (NOT PageHeader
+            # field 7, which is dictionary_page_header) and defaults
+            # TRUE; a writer may legally store an incompressible page
+            # raw even when the chunk codec is set. Levels are never
+            # compressed in v2, only the values region.
             page = (
                 _decompress(codec, body, header.get(2, 0) - dl_len)
-                if header.get(7, True)
+                if dph.get(7, True)
                 else body
             )
             p = 0

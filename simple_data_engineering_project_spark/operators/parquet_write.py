@@ -230,7 +230,7 @@ def build_parquet_bytes(
         schema_elems.append(bytes(el))
 
     col_chunks = []
-    total_comp = 0
+    total_uncomp = 0
     for c, ptype, off, comp_size, uncomp_size in chunks:
         md = bytearray()
         last = 0
@@ -254,12 +254,14 @@ def build_parquet_bytes(
         last = _struct_field(cc, last, 3, bytes(md))
         cc.append(0)
         col_chunks.append(bytes(cc))
-        total_comp += comp_size
+        total_uncomp += uncomp_size
 
     rg = bytearray()
     last = 0
     last = _list_field(rg, last, 1, _T_STRUCT, col_chunks)
-    last = _i64_field(rg, last, 2, total_comp)
+    # RowGroup.total_byte_size is the UNCOMPRESSED data size per
+    # parquet.thrift — consumers size splits/memory from it
+    last = _i64_field(rg, last, 2, total_uncomp)
     last = _i64_field(rg, last, 3, num_rows)
     rg.append(0)
 

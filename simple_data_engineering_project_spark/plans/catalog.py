@@ -2997,9 +2997,11 @@ def timeseries_gapfill_q(spark, sf_dir):
     SELECT user_id, pus AS purchase_us,
            CAST(COUNT(tus) AS BIGINT) AS n_touches,
            MIN(CASE WHEN tus IS NULL THEN NULL
-               ELSE printf('%020d|%s', tus, ttype) END) AS first_touch,
+               ELSE printf('%020d|%s', tus + 4611686018427387904, ttype)
+               END) AS first_touch,
            MAX(CASE WHEN tus IS NULL THEN NULL
-               ELSE printf('%020d|%s', tus, ttype) END) AS last_touch
+               ELSE printf('%020d|%s', tus + 4611686018427387904, ttype)
+               END) AS last_touch
     FROM joined GROUP BY user_id, pus
     """,
     tier="C",
@@ -3054,8 +3056,17 @@ def events_attribution_q(spark, sf_dir):
         & (F.col("tus") < F.col("pus"))
         & (F.col("tus") >= F.col("pus") - F.lit(W)),
     )
+    # +2^62 keeps the zero-padded encoding POSITIVE for any epoch-us
+    # value, so string MIN/MAX stays a total order even for pre-1970
+    # touches ('-' sorts before digits and lpad would keep the sign
+    # inside the padding — the review-pass finding); same shift in the
+    # oracle's printf.
     enc = F.concat(
-        F.lpad(F.col("tus").cast("string"), 20, "0"),
+        F.lpad(
+            (F.col("tus") + F.lit(4611686018427387904)).cast("string"),
+            20,
+            "0",
+        ),
         F.lit("|"),
         F.col("ttype"),
     )
@@ -5644,19 +5655,24 @@ def dsir_importance_q(spark, sf_dir):
                 ),
             ).otherwise(F.array().cast("array<long>"))
         ).alias("bucket"),
-    )
+    ).localCheckpoint()  # 3 narrow cols; consumed by ct, cr AND docw —
+    # without this the scan+normalize+md5-per-bigram explode (the
+    # dominant cost) executes once per consumer (review-pass finding)
     ct = (
         feats.filter(F.col("lang") == "en")
         .groupBy("bucket")
         .agg(F.count("*").alias("ct"))
     )
     cr = feats.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tot = cr.join(ct, "bucket", "left").agg(
+    # one <=4096-row joined relation feeds both the scalar totals and
+    # the per-bucket log-ratios
+    joined = cr.join(ct, "bucket", "left")
+    tot = joined.agg(
         F.coalesce(F.sum("ct"), F.lit(0)).alias("t"),
         F.coalesce(F.sum("cr"), F.lit(0)).alias("r"),
     )
     lnr = (
-        cr.join(ct, "bucket", "left")
+        joined
         .crossJoin(F.broadcast(tot))
         .select(
             "bucket",

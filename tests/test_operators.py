@@ -947,6 +947,29 @@ def test_dedup_spans_maximal_scrubs_only_long_runs(spark):
     assert out[7].n_removed == 0 and out[7].n_runs_scrubbed == 0
 
 
+def test_attribution_touch_encoding_total_order_for_negative_us(spark):
+    """Review-pass regression: the zero-padded touch encoding must stay
+    a total order for PRE-1970 (negative) epoch-microsecond values —
+    lpad of a raw negative would keep the sign inside the padding and
+    sort before every positive. Both engines shift by 2^62 first."""
+    import duckdb
+
+    vals = [-(10**15), -1, 0, 1, 10**15]
+    rows = spark.createDataFrame(
+        [(v,) for v in vals], "tus long"
+    ).selectExpr(
+        "tus", "lpad(cast(tus + 4611686018427387904 as string), 20, '0') AS enc"
+    ).orderBy("tus").collect()
+    encs = [r.enc for r in rows]
+    assert encs == sorted(encs)  # string order == numeric order
+    # bit-identical to the oracle's printf form
+    duck = duckdb.sql(
+        "SELECT printf('%020d', v + 4611686018427387904) FROM "
+        "(SELECT unnest([" + ",".join(map(str, vals)) + "]) AS v)"
+    ).fetchall()
+    assert [d[0] for d in duck] == encs
+
+
 def test_cdc_apply_delete_and_latest_state(spark):
     from simple_data_engineering_project_spark.operators.incremental import (
         cdc_apply,

@@ -334,6 +334,53 @@ def test_pure_writer_rejects_unsupported(tmp_path):
         )
 
 
+def test_v2_page_is_compressed_false_is_honored():
+    """Review-pass regression: DataPageHeaderV2.is_compressed (field 7
+    of the V2 header, NOT of the PageHeader) may be false while the
+    chunk codec is snappy — the values region must then be used raw.
+    pyarrow never writes this combination, so the page is hand-built
+    with the writer's own thrift helpers."""
+    import struct as _struct
+
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        read_column_chunk,
+    )
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        _i32_field,
+        _struct_field,
+    )
+
+    values = [7, -3, 42]
+    body = _struct.pack("<3i", *values)  # REQUIRED column: no levels
+    # DataPageHeaderV2: 1=num_values 2=num_nulls 3=num_rows 4=encoding
+    # 5=dl_byte_len 6=rl_byte_len 7=is_compressed(false)
+    dph = bytearray()
+    last = 0
+    last = _i32_field(dph, last, 1, 3)
+    last = _i32_field(dph, last, 2, 0)
+    last = _i32_field(dph, last, 3, 3)
+    last = _i32_field(dph, last, 4, 0)  # PLAIN
+    last = _i32_field(dph, last, 5, 0)
+    last = _i32_field(dph, last, 6, 0)
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        _field,
+    )
+
+    last = _field(dph, last, 7, 2)  # compact BOOL FALSE wire type
+    dph.append(0)
+    hdr = bytearray()
+    last = 0
+    last = _i32_field(hdr, last, 1, 3)  # DATA_PAGE_V2
+    last = _i32_field(hdr, last, 2, len(body))
+    last = _i32_field(hdr, last, 3, len(body))
+    last = _struct_field(hdr, last, 8, bytes(dph))
+    hdr.append(0)
+    buf = bytes(hdr) + body
+    col_meta = {1: 1, 4: 1, 5: 3, 9: 0}  # INT32, SNAPPY codec, 3 values
+    leaf = {"type": 1, "type_length": 0, "max_def": 0, "max_rep": 0}
+    assert read_column_chunk(buf, col_meta, leaf) == values
+
+
 def test_truncation_and_bitflip_never_hang_or_lie(tmp_path):
     t = _table(n=300)
     path = tmp_path / "victim.parquet"
