@@ -197,6 +197,7 @@ HEADLINE = [
     "sink_parquet_pure",
     "ngram_novelty",
     "sink_avro",
+    "sink_tfrecord",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -242,6 +243,7 @@ STEADY_STATE = {
     "sink_parquet_pure",  # round-9: same two-mapInPandas shape as the
     # other export sinks (write + reference read-back)
     "sink_avro",  # round-9: same export-sink shape
+    "sink_tfrecord",  # round-9: same export-sink shape
     "hybrid_search_rrf",  # round-8: BM25-leg codegen; 9.6 s cold, 3.9 s steady
     "dedup_cluster_report",  # round-8: shingle/minhash codegen; 6.3 s cold, 4.6 s steady
 }
