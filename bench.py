@@ -198,6 +198,7 @@ HEADLINE = [
     "ngram_novelty",
     "sink_avro",
     "sink_tfrecord",
+    "scan_orc_pure",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -244,6 +245,8 @@ STEADY_STATE = {
     # other export sinks (write + reference read-back)
     "sink_avro",  # round-9: same export-sink shape
     "sink_tfrecord",  # round-9: same export-sink shape
+    "scan_orc_pure",  # round-9: JVM ORC stage + pure-Python stripe
+    # decode; Arrow-worker + codegen dominate the first pass
     "hybrid_search_rrf",  # round-8: BM25-leg codegen; 9.6 s cold, 3.9 s steady
     "dedup_cluster_report",  # round-8: shingle/minhash codegen; 6.3 s cold, 4.6 s steady
 }

@@ -388,6 +388,61 @@ def scan_json_q(spark, sf_dir):
 
 
 @register(
+    "scan_orc_pure",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderpriority
+    FROM orders
+    """,
+    tier="C",
+    note="C12 pure-Python ORC DATA scan (round 9) — the THIRD columnar "
+    "format the repo authors a reader for: Spark's JVM ORC writer "
+    "(the reference implementation) stages orders as ZSTD ORC, and "
+    "the engine reads the stripes back with its OWN format walk — "
+    "hand-parsed protobuf postscript/footer/stripe-footers, 3-byte "
+    "chunked stream decompression through the repo's own zstd/snappy "
+    "decoders, boolean-RLE PRESENT bitmaps, full integer RLEv2 (all "
+    "four sub-encodings incl. PATCHED_BASE with the byte-aligned "
+    "patch list and closest-fixed-bits entry width), DIRECT_V2 and "
+    "DICTIONARY_V2 strings — no JVM reader and no pyarrow in the "
+    "decode loop. Oracle = DuckDB over the SOURCE rows, so the grade "
+    "proves writer(JVM) -> reader(pure Python) end-to-end on real "
+    "bytes; the unit battery separately cross-validates vs "
+    "pyarrow.orc across 4 codecs, 49-stripe layouts, and every RLEv2 "
+    "shape. Scale: FILE-PER-TASK mapInPandas, no shuffle.",
+)
+def scan_orc_pure_q(spark, sf_dir):
+    import glob as _glob
+
+    import pandas as _pd
+
+    out = _scratch(sf_dir, "orc_pure_orders")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    ]
+    _t(spark, sf_dir, "orders").select(*cols).write.mode(
+        "overwrite"
+    ).orc(out)
+    paths = sorted(_glob.glob(f"{out}/part-*.orc"))
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def _read(batches):
+        from ..operators.orc_data import read_orc_columns
+
+        for b in batches:
+            for path in b["path"]:
+                decoded = read_orc_columns(path, cols)
+                yield _pd.DataFrame(decoded)
+
+    return pdf.mapInPandas(
+        _read,
+        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderpriority string",
+    )
+
+
+@register(
     "scan_orc",
     "SELECT * FROM supplier",
     tier="A",

@@ -1,0 +1,165 @@
+"""Pure-Python ORC reader vs the in-container references.
+
+pyarrow.orc (ORC C++) writes the cross-validation files; Spark's JVM
+ORC writer provides a second, independent writer. Coverage: all four
+stream codecs, multi-stripe layouts, every RLEv2 sub-encoding
+(SHORT_REPEAT / DIRECT / PATCHED_BASE incl. negative bases and the
+byte-aligned closest-fixed-bits patch list / DELTA both directions),
+boolean-RLE PRESENT bitmaps, DIRECT_V2 + DICTIONARY_V2 strings, and
+loud declines for unsupported kinds.
+"""
+
+from __future__ import annotations
+
+import io
+import random
+
+import pyarrow as pa
+import pyarrow.orc as po
+import pytest
+
+from simple_data_engineering_project_spark.operators.orc_data import (
+    read_orc_columns,
+    rlev2_decode,
+)
+
+
+def _assert_matches(blob_or_path, columns=None):
+    src = io.BytesIO(blob_or_path) if isinstance(blob_or_path, bytes) else blob_or_path
+    f = po.ORCFile(src)
+    ref = f.read()
+    cols = columns or ref.column_names
+    mine = read_orc_columns(blob_or_path, cols)
+    for c in cols:
+        t = ref.schema.field(c).type
+        rv = ref.column(c).to_pylist()
+        if pa.types.is_date32(t):
+            rv = ref.column(c).cast(pa.int32()).to_pylist()
+        assert mine[c] == rv, (c, mine[c][:5], rv[:5])
+
+
+def _stress_table(n=50000):
+    import datetime as dt
+
+    rnd = random.Random(7)
+    return pa.table(
+        {
+            # outliers every ~100 rows force PATCHED_BASE
+            "patched": pa.array(
+                [rnd.randint(0, 100) if i % 100 else rnd.randint(2**40, 2**45) for i in range(n)],
+                pa.int64(),
+            ),
+            "patched_neg": pa.array(
+                [rnd.randint(-100, 0) if i % 90 else -rnd.randint(2**40, 2**45) for i in range(n)],
+                pa.int64(),
+            ),
+            "mono_up": pa.array(range(n), pa.int64()),  # DELTA ascending
+            "mono_dn": pa.array(range(n, 0, -1), pa.int64()),  # DELTA desc
+            "const": pa.array([42] * n, pa.int64()),  # SHORT_REPEAT
+            "rand_wide": pa.array(
+                [rnd.randint(-(2**62), 2**62) for _ in range(n)], pa.int64()
+            ),  # DIRECT at wide widths
+            "with_nulls": pa.array(
+                [None if i % 3 else i for i in range(n)], pa.int64()
+            ),
+            "dict_s": pa.array(
+                [None if i % 11 == 0 else f"val-{i % 13}" for i in range(n)]
+            ),
+            "direct_s": pa.array([f"unique-{i}" for i in range(n)]),
+            "d": pa.array([i * 0.5 for i in range(n)], pa.float64()),
+            "f": pa.array([i * 0.25 for i in range(n)], pa.float32()),
+            "b": pa.array([i % 3 == 0 for i in range(n)], pa.bool_()),
+            "date": pa.array(
+                [dt.date(2020, 1, 1) + dt.timedelta(days=i % 5000) for i in range(n)],
+                pa.date32(),
+            ),
+        }
+    )
+
+
+@pytest.mark.parametrize("comp", ["UNCOMPRESSED", "ZLIB", "SNAPPY", "ZSTD"])
+def test_codecs_and_rlev2_shapes_vs_pyarrow(comp):
+    buf = io.BytesIO()
+    po.write_table(_stress_table(), buf, compression=comp, stripe_size=64 * 1024)
+    blob = buf.getvalue()
+    assert po.ORCFile(io.BytesIO(blob)).nstripes > 1  # multi-stripe
+    _assert_matches(blob)
+
+
+def test_spark_written_orc_second_independent_writer(spark, tmp_path):
+    import glob
+
+    out = str(tmp_path / "sparkorc")
+    spark.range(20000).selectExpr(
+        "id",
+        "CASE WHEN id % 9 = 0 THEN NULL ELSE concat('cat-', id % 7) END AS s",
+        "CAST(id AS DOUBLE) * 1.5 AS v",
+        "id % 2 = 0 AS flag",
+        "CAST(id % 1000 AS INT) AS small",
+    ).coalesce(1).write.mode("overwrite").orc(out)
+    (path,) = glob.glob(f"{out}/part-*.orc")
+    _assert_matches(path)
+
+
+def test_unsupported_kinds_fail_loudly(tmp_path):
+    import datetime as dt
+
+    t = pa.table(
+        {
+            "ts": pa.array([dt.datetime(2021, 1, 1)], pa.timestamp("us")),
+            "ok": pa.array([1], pa.int64()),
+        }
+    )
+    buf = io.BytesIO()
+    po.write_table(t, buf)
+    blob = buf.getvalue()
+    with pytest.raises(NotImplementedError, match="kind"):
+        read_orc_columns(blob, ["ts"])
+    assert read_orc_columns(blob, ["ok"])["ok"] == [1]
+    with pytest.raises(ValueError, match="not in file"):
+        read_orc_columns(blob, ["missing"])
+
+
+def test_rlev2_synthetic_edges():
+    # hand-checkable SHORT_REPEAT: width 1 byte, repeat 5, value 7 (zz 14)
+    assert rlev2_decode(bytes([0x02, 14]), 5, signed=True) == [7] * 5
+    # fixed-delta run (width code 0): base 100, delta -2, length 4
+    # header: sub=3(11), wcode=0, len-1=3 -> 0b1100_0000, 0x03
+    import struct as _s
+
+    def zz(v):
+        return (v << 1) ^ (v >> 63)
+
+    def varint(v):
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    blob = bytes([0xC0, 0x03]) + varint(zz(100)) + varint(zz(-2))
+    assert rlev2_decode(blob, 4, signed=True) == [100, 98, 96, 94]
+
+
+def test_truncation_and_bitflip_never_hang(tmp_path):
+    buf = io.BytesIO()
+    po.write_table(_stress_table(n=2000), buf, compression="ZLIB")
+    blob = buf.getvalue()
+    good = read_orc_columns(blob, ["patched", "dict_s"])
+    for off in (50, len(blob) // 3, len(blob) // 2):
+        dam = bytearray(blob)
+        dam[off] ^= 0xFF
+        try:
+            got = read_orc_columns(bytes(dam), ["patched", "dict_s"])
+            assert len(got["patched"]) == len(good["patched"])
+        except Exception as exc:  # loud errors are fine; hangs are not
+            assert not isinstance(exc, (SystemExit, KeyboardInterrupt))
+    for cut in (len(blob) - 1, len(blob) // 2, 10):
+        try:
+            read_orc_columns(blob[:cut], ["patched"])
+        except Exception as exc:
+            assert not isinstance(exc, (SystemExit, KeyboardInterrupt))
