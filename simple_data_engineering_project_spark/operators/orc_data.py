@@ -189,6 +189,10 @@ def _byte_rle(data: bytes, count: int) -> list[int]:
             lit = 256 - h
             out.extend(data[pos : pos + lit])
             pos += lit
+    if len(out) < count:
+        # silently-short output would mis-seat values against the
+        # PRESENT bitmap or drop tail rows — fail loudly instead
+        raise ValueError("truncated ORC byte-RLE stream")
     return out[:count]
 
 
@@ -289,7 +293,10 @@ def rlev2_decode(data: bytes, count: int, signed: bool) -> list[int]:
             # readers' getClosestFixedBits) — packing at exactly
             # pgw+pw desyncs whenever the sum is not in the closed set
             need = pgw + pw
-            patch_width = next(w for w in _WIDTHS if w >= need)
+            # clamp like the reference getClosestFixedBits: a corrupt
+            # header can spell pgw+pw up to 72, which must not escape
+            # as a bare StopIteration
+            patch_width = next((w for w in _WIDTHS if w >= need), 64)
             patches = [br.take(patch_width) for _ in range(pll)]
             pos = br.align()
             idx = 0
@@ -320,6 +327,8 @@ def rlev2_decode(data: bytes, count: int, signed: bool) -> list[int]:
                 for _ in range(length - 2):
                     seq.append(seq[-1] + delta0)
             out.extend(seq[:length])
+    if len(out) < count:
+        raise ValueError("truncated ORC RLEv2 stream")
     return out[:count]
 
 
@@ -389,12 +398,19 @@ def read_orc_columns(path_or_bytes, columns: list[str]) -> dict[str, list]:
         sf = _pb_map(_decompress_stream(codec, sf_raw))
         streams = [_pb_map(s) for s in _as_list(sf.get(1))]
         encodings = [_pb_map(e) for e in _as_list(sf.get(2))]
-        # stream bodies lie sequentially from the stripe start
+        # stream bodies lie sequentially from the stripe start; record
+        # OFFSETS only and slice lazily per requested column — copying
+        # every stream (row indexes, unrequested columns) would re-copy
+        # the whole stripe per file (review-pass finding)
+        wanted = {leaves[c]["col_id"] for c in columns}
         pos = offset
         located: dict[tuple[int, int], bytes] = {}
         for s in streams:
             kind, col, ln = s.get(1, 0), s.get(2, 0), s.get(3, 0)
-            located[(col, kind)] = buf[pos : pos + ln]
+            if col in wanted and kind in (
+                _S_PRESENT, _S_DATA, _S_LENGTH, _S_DICT
+            ):
+                located[(col, kind)] = buf[pos : pos + ln]
             pos += ln
         for c in columns:
             cid = leaves[c]["col_id"]
@@ -414,6 +430,17 @@ def _decode_column(located, codec, cid, kind, enc, dict_size, n_rows) -> list:
         raw = located.get((cid, skind))
         return None if raw is None else _decompress_stream(codec, raw)
 
+    # RLEv1 column encodings (DIRECT=0 / DICTIONARY=1, written by
+    # orc.write.format=0.11 era writers) use a different integer RLE —
+    # feeding them to the v2 decoder silently mis-decodes, so decline
+    # loudly for every kind whose streams carry integer RLE
+    if kind in (
+        _K_SHORT, _K_INT, _K_LONG, _K_DATE,
+        _K_STRING, _K_BINARY, _K_VARCHAR, _K_CHAR,
+    ) and enc in (0, 1):
+        raise NotImplementedError(
+            "ORC RLEv1 column encoding (0.11 format) not supported"
+        )
     present_raw = stream(_S_PRESENT)
     present = (
         _bool_rle(present_raw, n_rows) if present_raw is not None else None
@@ -423,7 +450,8 @@ def _decode_column(located, codec, cid, kind, enc, dict_size, n_rows) -> list:
     if kind in (_K_SHORT, _K_INT, _K_LONG, _K_DATE):
         vals = rlev2_decode(data or b"", n_vals, signed=True)
     elif kind == _K_BYTE:
-        vals = _byte_rle(data or b"", n_vals)
+        # byte-RLE carries raw bytes; tinyint is SIGNED
+        vals = [v - 256 if v >= 128 else v for v in _byte_rle(data or b"", n_vals)]
     elif kind == _K_BOOLEAN:
         vals = _bool_rle(data or b"", n_vals)
     elif kind == _K_DOUBLE:

@@ -10499,16 +10499,18 @@ def sink_tfrecord_q(spark, sf_dir):
     )
 
     def _encode(b):
-        recs = [
-            encode_example(
-                {
-                    "doc_id": int(doc_id),
-                    "lang": (lang or "").encode("utf-8"),
-                    "text": (text or "").encode("utf-8"),
-                }
-            )
-            for doc_id, lang, text in zip(b["doc_id"], b["lang"], b["text"])
-        ]
+        # NULLs round-trip as ABSENT features (an Example cannot carry
+        # None) so the read-back matches the oracle's NULL semantics —
+        # review-pass finding: coalescing to '' diverges from
+        # sha256(NULL)/strlen(NULL) on any null row
+        recs = []
+        for doc_id, lang, text in zip(b["doc_id"], b["lang"], b["text"]):
+            feats = {"doc_id": int(doc_id)}
+            if lang is not None:
+                feats["lang"] = lang.encode("utf-8")
+            if text is not None:
+                feats["text"] = text.encode("utf-8")
+            recs.append(encode_example(feats))
         return write_tfrecords(recs, gzipped=True)
 
     def _decode(payload):
@@ -10517,13 +10519,16 @@ def sink_tfrecord_q(spark, sf_dir):
         out = []
         for rec in read_tfrecords(payload):
             ex = decode_example(rec)
-            text = ex["text"]
+            text = ex.get("text")
+            lang = ex.get("lang")
             out.append(
                 {
                     "doc_id": int(ex["doc_id"]),
-                    "lang": ex["lang"].decode("utf-8"),
-                    "text_sha": _hl.sha256(text).hexdigest(),
-                    "n_bytes": len(text),
+                    "lang": None if lang is None else lang.decode("utf-8"),
+                    "text_sha": None
+                    if text is None
+                    else _hl.sha256(text).hexdigest(),
+                    "n_bytes": None if text is None else len(text),
                 }
             )
         return out
@@ -10531,7 +10536,7 @@ def sink_tfrecord_q(spark, sf_dir):
     return _shard_sink_roundtrip(
         spark, sf_dir, "tfrecord_sink", "tfrecord.gz", _encode, _decode,
         "doc_id long, lang string, text_sha string, n_bytes long",
-        {"doc_id": "int64", "n_bytes": "int64"},
+        {"doc_id": "int64", "n_bytes": "Int64"},  # nullable: NULL text
         select_cols=("doc_id", "lang", "text"),
     )
 
@@ -10581,22 +10586,28 @@ def sink_avro_q(spark, sf_dir):
         import hashlib as _hl
 
         _schema, rows = parse_avro(payload)
-        return [
-            {
-                "doc_id": int(r["doc_id"]),
-                "lang": r["lang"],
-                "text_sha": _hl.sha256(
-                    (r["text"] or "").encode("utf-8")
-                ).hexdigest(),
-                "n_bytes": len((r["text"] or "").encode("utf-8")),
-            }
-            for r in rows
-        ]
+        out = []
+        for r in rows:
+            # NULL text stays NULL end-to-end (sha256(NULL)/strlen(NULL)
+            # are NULL in the oracle) — the nullable union already
+            # carries None, don't coalesce it away
+            tb = None if r["text"] is None else r["text"].encode("utf-8")
+            out.append(
+                {
+                    "doc_id": int(r["doc_id"]),
+                    "lang": r["lang"],
+                    "text_sha": None
+                    if tb is None
+                    else _hl.sha256(tb).hexdigest(),
+                    "n_bytes": None if tb is None else len(tb),
+                }
+            )
+        return out
 
     return _shard_sink_roundtrip(
         spark, sf_dir, "avro_sink", "avro", _encode, _decode,
         "doc_id long, lang string, text_sha string, n_bytes long",
-        {"doc_id": "int64", "n_bytes": "int64"},
+        {"doc_id": "int64", "n_bytes": "Int64"},  # nullable: NULL text
         select_cols=("doc_id", "lang", "text"),
     )
 

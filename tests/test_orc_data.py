@@ -120,6 +120,28 @@ def test_unsupported_kinds_fail_loudly(tmp_path):
         read_orc_columns(blob, ["missing"])
 
 
+def test_tinyint_sign_extension():
+    """Review-pass regression (confirmed repro): byte-RLE carries raw
+    0..255 bytes; tinyint is SIGNED and must sign-extend."""
+    t = pa.table({"b": pa.array([-1, -128, 0, 5, 127], pa.int8())})
+    buf = io.BytesIO()
+    po.write_table(t, buf)
+    assert read_orc_columns(buf.getvalue(), ["b"])["b"] == [-1, -128, 0, 5, 127]
+
+
+def test_rlev1_011_format_declined_loudly():
+    """Review-pass regression (confirmed repro): 0.11-format files use
+    RLEv1 integer encoding — feeding it to the v2 decoder silently
+    mis-decodes, so the v1 column encodings must raise."""
+    t = pa.table({"x": pa.array([0, 1, 2] * 100, pa.int64()),
+                  "s": pa.array([f"v{i%5}" for i in range(300)])})
+    buf = io.BytesIO()
+    po.write_table(t, buf, file_version="0.11")
+    for c in ("x", "s"):
+        with pytest.raises(NotImplementedError, match="RLEv1"):
+            read_orc_columns(buf.getvalue(), [c])
+
+
 def test_rlev2_synthetic_edges():
     # hand-checkable SHORT_REPEAT: width 1 byte, repeat 5, value 7 (zz 14)
     assert rlev2_decode(bytes([0x02, 14]), 5, signed=True) == [7] * 5
@@ -155,11 +177,13 @@ def test_truncation_and_bitflip_never_hang(tmp_path):
         dam[off] ^= 0xFF
         try:
             got = read_orc_columns(bytes(dam), ["patched", "dict_s"])
+            # silent success must at least preserve the row count
             assert len(got["patched"]) == len(good["patched"])
-        except Exception as exc:  # loud errors are fine; hangs are not
-            assert not isinstance(exc, (SystemExit, KeyboardInterrupt))
+        except Exception:
+            pass  # any loud error is the accepted contract
     for cut in (len(blob) - 1, len(blob) // 2, 10):
         try:
             read_orc_columns(blob[:cut], ["patched"])
-        except Exception as exc:
-            assert not isinstance(exc, (SystemExit, KeyboardInterrupt))
+        except Exception:
+            pass  # loud errors fine; the test guards against hangs
+            # (pytest-level timeout) and silent wrong output above
