@@ -16,10 +16,12 @@ is defined:
 - Boolean/byte RLE for PRESENT bitmaps, full integer RLEv2 — all four
   sub-encodings: SHORT_REPEAT, DIRECT, PATCHED_BASE, DELTA — with the
   spec's closed 5-bit width-code table and MSB-first bit unpacking;
-- columns: BOOLEAN, BYTE, SHORT/INT/LONG (zigzag RLEv2), FLOAT/DOUBLE
-  (LE streams), DATE (epoch-day RLEv2), STRING/BINARY in both
-  DIRECT_V2 (LENGTH + DATA) and DICTIONARY_V2 (indices + dict) column
-  encodings, with PRESENT re-seating nulls.
+- columns: BOOLEAN, BYTE (sign-extended), SHORT/INT/LONG (zigzag
+  RLEv2), FLOAT/DOUBLE (LE streams), DATE (epoch-day RLEv2),
+  TIMESTAMP (2015-epoch seconds + trailing-zero-compressed nanos,
+  incl. the C++ writer's negative-nanos pre-1970 convention),
+  STRING/BINARY in both DIRECT_V2 (LENGTH + DATA) and DICTIONARY_V2
+  (indices + dict) column encodings, with PRESENT re-seating nulls.
 
 Honesty: cross-validated against the in-container reference
 implementations — pyarrow.orc (ORC C++) writes the unit-battery files
@@ -27,9 +29,9 @@ across codecs/encodings/multi-stripe layouts, and the graded catalog
 entry decodes files written by SPARK's JVM ORC writer and hash-matches
 DuckDB reading the same source rows.
 
-Declined loudly: TIMESTAMP (seconds+nanos dual stream with the 2015
-epoch — no entry needs it yet), DECIMAL, UNION, and nested LIST/MAP/
-STRUCT leaves; RLEv1 (modern writers emit v2).
+Declined loudly: DECIMAL, UNION, and nested LIST/MAP/STRUCT leaves;
+RLEv1 column encodings (0.11-era files — silently mis-decoding
+through the v2 decoder is worse than raising).
 
 Scale shape: file-per-task, same as parquet_data.pure_parquet_scan —
 each executor decodes whole files independently, no shuffle.
@@ -50,6 +52,10 @@ _K_DATE, _K_VARCHAR, _K_CHAR = 15, 16, 17
 
 # Stream.kind enum
 _S_PRESENT, _S_DATA, _S_LENGTH, _S_DICT = 0, 1, 2, 3
+_S_SECONDARY = 5
+
+# TIMESTAMP seconds are relative to 2015-01-01 00:00:00 UTC
+_TS_EPOCH_SECONDS = 1420070400
 
 # RLEv2 5-bit width-code table (spec "Bit packing" closed set)
 _WIDTHS = [
@@ -385,7 +391,7 @@ def read_orc_columns(path_or_bytes, columns: list[str]) -> dict[str, list]:
         if c not in leaves:
             raise ValueError(f"column {c!r} not in file")
         kind = leaves[c]["kind"]
-        if kind in (_K_TIMESTAMP, _K_LIST, _K_MAP, _K_STRUCT):
+        if kind in (_K_LIST, _K_MAP, _K_STRUCT):
             raise NotImplementedError(f"ORC column kind {kind} not supported")
     out: dict[str, list] = {c: [] for c in columns}
     for st in stripes:
@@ -408,7 +414,7 @@ def read_orc_columns(path_or_bytes, columns: list[str]) -> dict[str, list]:
         for s in streams:
             kind, col, ln = s.get(1, 0), s.get(2, 0), s.get(3, 0)
             if col in wanted and kind in (
-                _S_PRESENT, _S_DATA, _S_LENGTH, _S_DICT
+                _S_PRESENT, _S_DATA, _S_LENGTH, _S_DICT, _S_SECONDARY
             ):
                 located[(col, kind)] = buf[pos : pos + ln]
             pos += ln
@@ -449,6 +455,29 @@ def _decode_column(located, codec, cid, kind, enc, dict_size, n_rows) -> list:
     data = stream(_S_DATA)
     if kind in (_K_SHORT, _K_INT, _K_LONG, _K_DATE):
         vals = rlev2_decode(data or b"", n_vals, signed=True)
+    elif kind == _K_TIMESTAMP:
+        # DATA = seconds since 2015-01-01 UTC (signed RLEv2);
+        # SECONDARY = nanos with the trailing-zero compression: low 3
+        # bits z (when nonzero) mean "multiply the remaining bits by
+        # 10^(z+1)". The ORC C++ writer stores pre-1970 fractions as
+        # NEGATIVE nanos, so the raw value is interpreted as two's-
+        # complement int64 with an ARITHMETIC shift — cross-validated
+        # against pyarrow for both eras (the Java writer's non-negative
+        # convention decodes identically for epoch >= 0, which is what
+        # Spark-written testdata contains). Returns epoch NANOSECONDS.
+        secs = rlev2_decode(data or b"", n_vals, signed=True)
+        nanos_raw = rlev2_decode(
+            stream(_S_SECONDARY) or b"", n_vals, signed=False
+        )
+        vals = []
+        for s, nr in zip(secs, nanos_raw):
+            if nr >= 1 << 63:  # two's-complement negative
+                nr -= 1 << 64
+            z = nr & 7
+            n = nr >> 3  # arithmetic shift (Python >> floors)
+            if z:
+                n *= 10 ** (z + 1)
+            vals.append((s + _TS_EPOCH_SECONDS) * 1_000_000_000 + n)
     elif kind == _K_BYTE:
         # byte-RLE carries raw bytes; tinyint is SIGNED
         vals = [v - 256 if v >= 128 else v for v in _byte_rle(data or b"", n_vals)]

@@ -101,21 +101,69 @@ def test_spark_written_orc_second_independent_writer(spark, tmp_path):
     _assert_matches(path)
 
 
-def test_unsupported_kinds_fail_loudly(tmp_path):
+def test_timestamps_decode_both_eras():
+    """2015-epoch seconds + trailing-zero-compressed nanos, incl. the
+    C++ writer's NEGATIVE-nanos pre-1970 convention (a pre-1970
+    fractional second stores nanos as a two's-complement negative with
+    an arithmetic shift — cross-validated against pyarrow)."""
     import datetime as dt
 
     t = pa.table(
         {
-            "ts": pa.array([dt.datetime(2021, 1, 1)], pa.timestamp("us")),
+            "ts": pa.array(
+                [
+                    dt.datetime(2015, 1, 1),
+                    dt.datetime(2015, 1, 1, 0, 0, 1),
+                    dt.datetime(2020, 6, 15, 12, 30, 45, 123456),
+                    dt.datetime(1969, 12, 31, 23, 59, 59),
+                    dt.datetime(1950, 1, 1, 0, 0, 0, 500000),
+                    dt.datetime(1999, 12, 31, 23, 59, 59, 999999),
+                    None,
+                ],
+                pa.timestamp("us"),
+            )
+        }
+    )
+    for comp in ("UNCOMPRESSED", "ZLIB"):
+        buf = io.BytesIO()
+        po.write_table(t, buf, compression=comp)
+        blob = buf.getvalue()
+        ref = po.ORCFile(io.BytesIO(blob)).read().column("ts")
+        assert (
+            read_orc_columns(blob, ["ts"])["ts"]
+            == ref.cast(pa.int64()).to_pylist()
+        )
+
+
+def test_spark_written_timestamps(spark, tmp_path):
+    import glob
+
+    out = str(tmp_path / "sparkts")
+    spark.sql(
+        "SELECT id, timestamp_micros(1577836800000000 + id * 987654321) AS ts "
+        "FROM range(5000)"
+    ).coalesce(1).write.mode("overwrite").orc(out)
+    (path,) = glob.glob(f"{out}/part-*.orc")
+    ref = po.ORCFile(path).read()
+    assert (
+        read_orc_columns(path, ["ts"])["ts"]
+        == ref.column("ts").cast(pa.int64()).to_pylist()
+    )
+
+
+def test_unsupported_kinds_fail_loudly(tmp_path):
+    t = pa.table(
+        {
+            "l": pa.array([[1, 2]], pa.list_(pa.int64())),
             "ok": pa.array([1], pa.int64()),
         }
     )
     buf = io.BytesIO()
     po.write_table(t, buf)
     blob = buf.getvalue()
-    with pytest.raises(NotImplementedError, match="kind"):
-        read_orc_columns(blob, ["ts"])
     assert read_orc_columns(blob, ["ok"])["ok"] == [1]
+    with pytest.raises((NotImplementedError, ValueError)):
+        read_orc_columns(blob, ["l"])
     with pytest.raises(ValueError, match="not in file"):
         read_orc_columns(blob, ["missing"])
 
