@@ -29,9 +29,12 @@ across codecs/encodings/multi-stripe layouts, and the graded catalog
 entry decodes files written by SPARK's JVM ORC writer and hash-matches
 DuckDB reading the same source rows.
 
-Declined loudly: DECIMAL, UNION, and nested LIST/MAP/STRUCT leaves;
-RLEv1 column encodings (0.11-era files — silently mis-decoding
-through the v2 decoder is worse than raising).
+DECIMAL decodes too (unbounded zigzag-varint unscaled values + a
+signed-RLEv2 per-value scale stream → Python Decimal).
+
+Declined loudly: UNION and nested LIST/MAP/STRUCT leaves; RLEv1
+column encodings (0.11-era files — silently mis-decoding through the
+v2 decoder is worse than raising).
 
 Scale shape: file-per-task, same as parquet_data.pure_parquet_scan —
 each executor decodes whole files independently, no shuffle.
@@ -48,7 +51,7 @@ _MAGIC = b"ORC"
 _K_BOOLEAN, _K_BYTE, _K_SHORT, _K_INT, _K_LONG = 0, 1, 2, 3, 4
 _K_FLOAT, _K_DOUBLE, _K_STRING, _K_BINARY = 5, 6, 7, 8
 _K_TIMESTAMP, _K_LIST, _K_MAP, _K_STRUCT = 9, 10, 11, 12
-_K_DATE, _K_VARCHAR, _K_CHAR = 15, 16, 17
+_K_DECIMAL, _K_DATE, _K_VARCHAR, _K_CHAR = 14, 15, 16, 17
 
 # Stream.kind enum
 _S_PRESENT, _S_DATA, _S_LENGTH, _S_DICT = 0, 1, 2, 3
@@ -478,6 +481,21 @@ def _decode_column(located, codec, cid, kind, enc, dict_size, n_rows) -> list:
             if z:
                 n *= 10 ** (z + 1)
             vals.append((s + _TS_EPOCH_SECONDS) * 1_000_000_000 + n)
+    elif kind == _K_DECIMAL:
+        # DATA = unbounded zigzag varints (unscaled values);
+        # SECONDARY = per-value scale, signed RLEv2
+        import decimal as _dec
+
+        scales = rlev2_decode(
+            stream(_S_SECONDARY) or b"", n_vals, signed=True
+        )
+        vals = []
+        p = 0
+        for sc in scales:
+            u, p = _varint(data or b"", p)
+            vals.append(
+                _dec.Decimal(_unzigzag(u)).scaleb(-sc)
+            )
     elif kind == _K_BYTE:
         # byte-RLE carries raw bytes; tinyint is SIGNED
         vals = [v - 256 if v >= 128 else v for v in _byte_rle(data or b"", n_vals)]

@@ -151,6 +151,21 @@ def test_spark_written_timestamps(spark, tmp_path):
     )
 
 
+def test_decimals_decode():
+    import decimal as D
+
+    vals = [
+        D.Decimal("123.45"), D.Decimal("-0.01"), None,
+        D.Decimal("99999999999999.99"), D.Decimal("0.00"),
+        D.Decimal("-8765432.10"),
+    ]
+    t = pa.table({"dec": pa.array(vals, pa.decimal128(16, 2))})
+    for comp in ("UNCOMPRESSED", "ZLIB"):
+        buf = io.BytesIO()
+        po.write_table(t, buf, compression=comp)
+        assert read_orc_columns(buf.getvalue(), ["dec"])["dec"] == vals
+
+
 def test_unsupported_kinds_fail_loudly(tmp_path):
     t = pa.table(
         {
