@@ -199,6 +199,7 @@ HEADLINE = [
     "sink_avro",
     "sink_tfrecord",
     "scan_orc_pure",
+    "sink_orc_pure",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -247,6 +248,7 @@ STEADY_STATE = {
     "sink_tfrecord",  # round-9: same export-sink shape
     "scan_orc_pure",  # round-9: JVM ORC stage + pure-Python stripe
     # decode; Arrow-worker + codegen dominate the first pass
+    "sink_orc_pure",  # round-9: same export-sink shape
     "hybrid_search_rrf",  # round-8: BM25-leg codegen; 9.6 s cold, 3.9 s steady
     "dedup_cluster_report",  # round-8: shingle/minhash codegen; 6.3 s cold, 4.6 s steady
 }

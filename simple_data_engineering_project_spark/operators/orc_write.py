@@ -1,0 +1,244 @@
+"""ORC file writing in pure Python (SURVEY §2 C12, round 9).
+
+The write-side twin of :mod:`orc_data`, completing the third columnar
+format the repo authors in both directions (parquet_data/parquet_write,
+arrow_ipc read+write, orc_data + this). Scope is the shard-exporter
+subset, every piece hand-built per the ORC v1 spec:
+
+- protobuf wire encoding (varints, length-delimited messages, packed
+  repeated varints) for Type/StripeInformation/StripeFooter/Footer/
+  PostScript — no protobuf dependency;
+- one stripe, codec NONE (the PostScript declares it; chunk framing
+  does not exist for NONE, which keeps the on-disk layout exactly the
+  concatenated streams);
+- integer columns as RLEv2 DIRECT runs (<=512 values, zigzag, the
+  closed bit-width table, MSB-first packing — the same table and bit
+  order orc_data decodes);
+- strings as DIRECT_V2 (RLEv2 LENGTH + concatenated DATA), doubles as
+  LE streams, OPTIONAL nulls via boolean-RLE PRESENT bitmaps
+  (literal-form byte-RLE);
+- no row indexes (indexLength 0) and no statistics — readers treat
+  both as optional.
+
+Honesty per the write-path rule: pyarrow.orc (ORC C++) is the
+in-container reference READER — the unit battery and the graded
+`sink_orc_pure` round trip read every file this writer emits through
+it, values, nulls, and types; the repo's own :mod:`orc_data` re-reads
+them as a second check.
+
+Scale shape: file-per-task (the export-sink posture) — embarrassingly
+parallel, no shuffle, MB/s-constant pure-Python encode by design.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAGIC = b"ORC"
+
+_K_LONG, _K_DOUBLE, _K_STRING, _K_STRUCT = 4, 6, 7, 12
+_DDL_TO_KIND = {"bigint": _K_LONG, "double": _K_DOUBLE, "string": _K_STRING}
+
+_WIDTHS = [
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+    17, 18, 19, 20, 21, 22, 23, 24, 26, 28, 30, 32, 40, 48, 56, 64,
+]
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(fid: int, wire: int) -> bytes:
+    return _varint((fid << 3) | wire)
+
+
+def _pb_varint(fid: int, v: int) -> bytes:
+    return _tag(fid, 0) + _varint(v)
+
+
+def _pb_bytes(fid: int, b: bytes) -> bytes:
+    return _tag(fid, 2) + _varint(len(b)) + b
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+class _BitWriter:
+    """MSB-first bit packing (the layout orc_data._BitReader reads)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, v: int, width: int) -> None:
+        self.acc = (self.acc << width) | (v & ((1 << width) - 1))
+        self.nbits += width
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def rlev2_direct_encode(values: list[int], signed: bool) -> bytes:
+    """All values as RLEv2 DIRECT runs of <=512 — always legal, never
+    the densest choice; the decoder side proves the framing."""
+    out = bytearray()
+    for i in range(0, len(values), 512):
+        chunk = values[i : i + 512]
+        enc = [_zigzag(v) if signed else v for v in chunk]
+        need = max(1, max(e.bit_length() for e in enc))
+        code = next(k for k, w in enumerate(_WIDTHS) if w >= need)
+        width = _WIDTHS[code]
+        n = len(chunk) - 1
+        out.append(0x40 | (code << 1) | (n >> 8))  # sub-encoding 1 = DIRECT
+        out.append(n & 0xFF)
+        bw = _BitWriter()
+        for e in enc:
+            bw.put(e, width)
+        out += bw.done()
+    return bytes(out)
+
+
+def _bool_rle_encode(bits: list[bool]) -> bytes:
+    """Boolean RLE: bit-pack MSB-first into bytes, then emit the bytes
+    as byte-RLE LITERAL groups (header 256-n, n<=128)."""
+    packed = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for k, bit in enumerate(bits[i : i + 8]):
+            if bit:
+                byte |= 1 << (7 - k)
+        packed.append(byte)
+    out = bytearray()
+    for i in range(0, len(packed), 128):
+        group = packed[i : i + 128]
+        out.append(256 - len(group))
+        out += group
+    return bytes(out)
+
+
+def build_orc_bytes(columns: dict[str, list], ddl_types: dict[str, str]) -> bytes:
+    """One single-stripe, codec-NONE ORC file as bytes. All columns are
+    OPTIONAL (None round-trips as null)."""
+    names = list(columns)
+    num_rows = len(columns[names[0]]) if names else 0
+    for c in names:
+        if ddl_types[c] not in _DDL_TO_KIND:
+            raise NotImplementedError(f"type {ddl_types[c]} not writable")
+        if len(columns[c]) != num_rows:
+            raise ValueError("ragged columns")
+
+    # streams per column (ids: 0 = root struct, 1.. = leaves in order)
+    stream_meta: list[tuple[int, int, int]] = []  # (column, kind, length)
+    bodies = bytearray()
+    encodings = [0]  # root struct: DIRECT
+    for idx, c in enumerate(names, start=1):
+        vals = columns[c]
+        kind = _DDL_TO_KIND[ddl_types[c]]
+        present = [v is not None for v in vals]
+        nn = [v for v in vals if v is not None]
+        if not all(present):
+            pb = _bool_rle_encode(present)
+            stream_meta.append((idx, 0, len(pb)))  # PRESENT
+            bodies += pb
+        if kind == _K_LONG:
+            data = rlev2_direct_encode([int(v) for v in nn], signed=True)
+            stream_meta.append((idx, 1, len(data)))
+            bodies += data
+            encodings.append(2)  # DIRECT_V2
+        elif kind == _K_DOUBLE:
+            data = struct.pack(f"<{len(nn)}d", *[float(v) for v in nn])
+            stream_meta.append((idx, 1, len(data)))
+            bodies += data
+            encodings.append(0)  # DIRECT
+        else:  # STRING
+            raw = [
+                v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                for v in nn
+            ]
+            data = b"".join(raw)
+            lens = rlev2_direct_encode([len(r) for r in raw], signed=False)
+            stream_meta.append((idx, 1, len(data)))  # DATA
+            bodies += data
+            stream_meta.append((idx, 2, len(lens)))  # LENGTH
+            bodies += lens
+            encodings.append(2)  # DIRECT_V2
+
+    stripe_footer = bytearray()
+    for col, skind, ln in stream_meta:
+        msg = _pb_varint(1, skind) + _pb_varint(2, col) + _pb_varint(3, ln)
+        stripe_footer += _pb_bytes(1, msg)
+    for enc in encodings:
+        stripe_footer += _pb_bytes(2, _pb_varint(1, enc))
+    stripe_footer += _pb_bytes(3, b"UTC")  # writerTimezone
+
+    body = bytearray(_MAGIC)
+    stripe_offset = len(body)
+    body += bodies
+    body += stripe_footer
+
+    stripe_info = (
+        _pb_varint(1, stripe_offset)
+        + _pb_varint(2, 0)  # indexLength
+        + _pb_varint(3, len(bodies))
+        + _pb_varint(4, len(stripe_footer))
+        + _pb_varint(5, num_rows)
+    )
+
+    # types: root struct + one leaf per column (depth-first ids)
+    root = _pb_varint(1, _K_STRUCT)
+    root += _pb_bytes(2, b"".join(_varint(i) for i in range(1, len(names) + 1)))
+    for c in names:
+        root += _pb_bytes(3, c.encode("utf-8"))
+    types = [_pb_bytes(4, root)]
+    for c in names:
+        types.append(_pb_bytes(4, _pb_varint(1, _DDL_TO_KIND[ddl_types[c]])))
+
+    footer = (
+        _pb_varint(1, 3)  # headerLength ("ORC")
+        + _pb_varint(2, len(body))  # contentLength
+        + _pb_bytes(3, stripe_info)
+        + b"".join(types)
+        + _pb_varint(6, num_rows)
+        + _pb_varint(8, 10000)  # rowIndexStride
+    )
+    body += footer
+
+    postscript = (
+        _pb_varint(1, len(footer))
+        + _pb_varint(2, 0)  # CompressionKind NONE
+        + _pb_bytes(4, _varint(0) + _varint(12))  # version 0.12 (packed)
+        + _pb_varint(5, 0)  # metadataLength
+        + _pb_varint(6, 1)  # writerVersion
+        + _pb_bytes(8000, b"ORC")
+    )
+    body += postscript
+    if len(postscript) > 255:
+        raise ValueError("postscript too long")
+    body.append(len(postscript))
+    return bytes(body)
+
+
+def write_orc_file(path: str, columns: dict[str, list], ddl_types: dict[str, str]) -> int:
+    blob = build_orc_bytes(columns, ddl_types)
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(columns[next(iter(columns))]) if columns else 0

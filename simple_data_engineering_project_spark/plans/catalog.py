@@ -10542,6 +10542,68 @@ def sink_tfrecord_q(spark, sf_dir):
 
 
 @register(
+    "sink_orc_pure",
+    """
+    SELECT doc_id, lang, sha256(text) AS text_sha
+    FROM documents
+    """,
+    tier="C",
+    note="C12 pure-Python ORC EXPORT (round 9, the write-side twin of "
+    "scan_orc_pure — the repo now authors ALL THREE columnar formats "
+    "in both directions): documents shard into single-stripe ORC "
+    "files the repo builds byte-for-byte (hand protobuf Type/Stripe/"
+    "Footer/PostScript, RLEv2 DIRECT integer runs, DIRECT_V2 strings, "
+    "boolean-RLE PRESENT bitmaps carrying real nulls), ONE FILE PER "
+    "ARROW BATCH from executors. The graded read-back goes through "
+    "PYARROW's ORC C++ reader — a reference implementation over "
+    "executor-written bytes — and the unit battery re-reads the same "
+    "files through Spark's JVM reader AND the repo's own stripe "
+    "reader. File-per-task, no shuffle.",
+)
+def sink_orc_pure_q(spark, sf_dir):
+    from ..operators.orc_write import build_orc_bytes
+
+    def _encode(b):
+        return build_orc_bytes(
+            {
+                "doc_id": [int(x) for x in b["doc_id"]],
+                "lang": list(b["lang"]),
+                "text": list(b["text"]),
+            },
+            {"doc_id": "bigint", "lang": "string", "text": "string"},
+        )
+
+    def _decode(payload):
+        import hashlib as _hl
+        import io as _io
+
+        import pyarrow.orc as _po
+
+        t = _po.ORCFile(_io.BytesIO(payload)).read()
+        return [
+            {
+                "doc_id": int(doc_id),
+                "lang": lang,
+                "text_sha": None
+                if text is None
+                else _hl.sha256(text.encode("utf-8")).hexdigest(),
+            }
+            for doc_id, lang, text in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("lang").to_pylist(),
+                t.column("text").to_pylist(),
+            )
+        ]
+
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "orc_pure_sink", "orc", _encode, _decode,
+        "doc_id long, lang string, text_sha string",
+        {"doc_id": "int64"},
+        select_cols=("doc_id", "lang", "text"),
+    )
+
+
+@register(
     "sink_avro",
     """
     SELECT doc_id, lang, sha256(text) AS text_sha,

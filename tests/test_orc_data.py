@@ -230,6 +230,57 @@ def test_rlev2_synthetic_edges():
     assert rlev2_decode(blob, 4, signed=True) == [100, 98, 96, 94]
 
 
+def test_pure_writer_read_by_pyarrow_spark_and_own_reader(spark, tmp_path):
+    """Write-side honesty for ORC: files authored byte-for-byte by
+    orc_write must be readable by BOTH in-container reference readers
+    (pyarrow's ORC C++ and Spark's JVM reader) with values, nulls and
+    types intact — and by the repo's own stripe reader."""
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        write_orc_file,
+    )
+
+    cols = {
+        "k": [1, None, -3, 2**62, -(2**62)],
+        "v": [1.5, None, -0.0, 2.2250738585072014e-308, -1e300],
+        "s": ["", None, "δ-utf8 ✓", "x" * 1000, "plain"],
+    }
+    types = {"k": "bigint", "v": "double", "s": "string"}
+    path = str(tmp_path / "own.orc")
+    assert write_orc_file(path, cols, types) == 5
+    ref = po.ORCFile(path).read()
+    assert ref.to_pydict() == cols
+    assert pa.types.is_string(ref.schema.field("s").type)
+    assert read_orc_columns(path, ["k", "v", "s"]) == cols
+    rows = sorted(
+        spark.read.orc(path).collect(),
+        key=lambda r: (r.k is None, r.k if r.k is not None else 0),
+    )
+    assert [(r.k, r.v, r.s) for r in rows] == sorted(
+        zip(cols["k"], cols["v"], cols["s"]),
+        key=lambda t: (t[0] is None, t[0] if t[0] is not None else 0),
+    )
+
+
+def test_pure_writer_multi_run_and_rejects(tmp_path):
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+        write_orc_file,
+    )
+
+    cols = {"a": list(range(3000)), "b": [f"r{i % 17}" for i in range(3000)]}
+    blob = build_orc_bytes(cols, {"a": "bigint", "b": "string"})
+    t = po.ORCFile(io.BytesIO(blob)).read()
+    assert t.column("a").to_pylist() == cols["a"]
+    assert t.column("b").to_pylist() == cols["b"]
+    with pytest.raises(NotImplementedError, match="not writable"):
+        write_orc_file(str(tmp_path / "x.orc"), {"f": [True]}, {"f": "boolean"})
+    with pytest.raises(ValueError, match="ragged"):
+        write_orc_file(
+            str(tmp_path / "x.orc"), {"a": [1], "b": [1, 2]},
+            {"a": "bigint", "b": "bigint"},
+        )
+
+
 def test_truncation_and_bitflip_never_hang(tmp_path):
     buf = io.BytesIO()
     po.write_table(_stress_table(n=2000), buf, compression="ZLIB")
