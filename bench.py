@@ -426,10 +426,27 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
         "n_timed": len(timings),
+        # load keys are appended AFTER the queries map so they land in
+        # the driver's last-2000-chars stdout window even when the map
+        # is truncated — the quiet/noisy verdict always reaches the
+        # judge in-band
         "load1": round(load_start[0], 2),
+        "load1_end": round(load_end[0], 2),
     }
-    if load_start[0] > NOISY_LOAD:
+    if load_start[0] > NOISY_LOAD or load_end[0] > NOISY_LOAD:
         out["noisy"] = True
+    # Retry-variance disclosure (round-9 advice): the min(first, retry)
+    # policy is asymmetric — it can mask a genuine regression whose
+    # retry got one lucky run. Surface every retried entry whose two
+    # measurements disagree by >1.3x so the judge sees the variance,
+    # not just the minimum (both raw numbers stay in 'retried').
+    high_var = sorted(
+        n
+        for n, r in retried.items()
+        if max(r["first"], r["retry"]) > 1.3 * min(r["first"], r["retry"])
+    )
+    if high_var:
+        out["high_variance"] = high_var
     full = dict(
         out,
         queries=timings,

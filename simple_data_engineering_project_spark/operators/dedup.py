@@ -749,9 +749,10 @@ def dedup_spans_maximal(
     min_docs: int = 3,
     min_run: int = 8,
 ) -> DataFrame:
-    """Variable-length span scrub over MAXIMAL repeated runs (the full
-    Lee et al. 2021 semantics — their suffix-array pass removes repeated
-    substrings of >= 50 tokens, not fixed n-grams).
+    """Variable-length span scrub over MAXIMAL repeated runs (an
+    upper-bound approximation of the Lee et al. 2021 suffix-array pass,
+    which removes repeated substrings of >= 50 tokens rather than fixed
+    n-grams).
 
     :func:`dedup_spans_global` scrubs every token covered by ANY
     duplicated ``n``-gram; this operator first merges adjacent covered
@@ -759,10 +760,13 @@ def dedup_spans_maximal(
     ``min_run`` tokens — a short incidental repeat (a common idiom, a
     date line) survives, while genuinely memorized boilerplate (which
     covers long contiguous stretches) is removed. ``min_run > n``
-    reproduces the suffix-array length threshold on top of n-gram
-    machinery: a maximal covered run of length L corresponds exactly to
-    a repeated substring of length L (every window inside it is
-    duplicated).
+    approximates the suffix-array length threshold on top of n-gram
+    machinery. Note the approximation is an UPPER BOUND on what the
+    suffix-array pass would scrub: every window inside a merged run is
+    duplicated somewhere, but adjacent windows may be duplicated
+    against DIFFERENT documents, so the run as a whole need not occur
+    contiguously anywhere else — this scrub is slightly more aggressive
+    than the exact semantics (round-9 advice).
 
     Returns one row per input document:
     ``(id, n_tokens, n_kept, n_removed, n_runs_scrubbed, clean_md5)``.

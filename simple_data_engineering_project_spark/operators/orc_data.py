@@ -446,6 +446,7 @@ def _decode_column(located, codec, cid, kind, enc, dict_size, n_rows) -> list:
     if kind in (
         _K_SHORT, _K_INT, _K_LONG, _K_DATE,
         _K_STRING, _K_BINARY, _K_VARCHAR, _K_CHAR,
+        _K_TIMESTAMP, _K_DECIMAL,
     ) and enc in (0, 1):
         raise NotImplementedError(
             "ORC RLEv1 column encoding (0.11 format) not supported"

@@ -5710,18 +5710,18 @@ def dsir_importance_q(spark, sf_dir):
                 ),
             ).otherwise(F.array().cast("array<long>"))
         ).alias("bucket"),
-    ).localCheckpoint()  # 3 narrow cols; consumed by ct, cr AND docw —
-    # without this the scan+normalize+md5-per-bigram explode (the
-    # dominant cost) executes once per consumer (review-pass finding)
-    ct = (
-        feats.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count("*").alias("ct"))
+    ).localCheckpoint()  # 3 narrow cols; consumed by the fused census
+    # AND docw — without this the scan+normalize+md5-per-bigram explode
+    # (the dominant cost) executes once per consumer
+    # one conditional aggregation produces BOTH censuses in a single
+    # pass over feats (en-only target count + all-lang raw count) —
+    # buckets with zero en bigrams get ct=0, which the downstream
+    # coalesce treated identically when this was a left join of two
+    # separate groupBys
+    joined = feats.groupBy("bucket").agg(
+        F.count(F.when(F.col("lang") == "en", F.lit(1))).alias("ct"),
+        F.count("*").alias("cr"),
     )
-    cr = feats.groupBy("bucket").agg(F.count("*").alias("cr"))
-    # one <=4096-row joined relation feeds both the scalar totals and
-    # the per-bucket log-ratios
-    joined = cr.join(ct, "bucket", "left")
     tot = joined.agg(
         F.coalesce(F.sum("ct"), F.lit(0)).alias("t"),
         F.coalesce(F.sum("cr"), F.lit(0)).alias("r"),
@@ -5840,8 +5840,8 @@ def dsir_importance_q(spark, sf_dir):
     "share in exact integer ppm (positive integers, so DuckDB // and "
     "Spark DIV agree). A doc full of previously-seen grams scores 0 — "
     "the streaming-ingest complement to dedup_spans_global's scrub. "
-    "Scale: gram explode → one keyed MIN aggregate (map-side partial) "
-    "→ equi-join back on the gram → per-doc count; the gram key stays "
+    "Scale: gram explode → gram-partitioned window MIN (ONE keyed "
+    "exchange — no join back) → per-doc count; the gram key stays "
     "a string for oracle parity, xxhash64 at real scale.",
 )
 def ngram_novelty_q(spark, sf_dir):
@@ -5865,9 +5865,15 @@ def ngram_novelty_q(spark, sf_dir):
             ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
     ).distinct()
-    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    # corpus-wide first-doc per gram as a gram-partitioned window MIN:
+    # one gram-keyed exchange total, vs the former groupBy("gram") +
+    # equi-join back which paid the same shuffle PLUS a join exchange
+    # under AQE's worst case (round-9 verdict finding #4)
     per_doc = (
-        grams.join(firsts, "gram")
+        grams.withColumn(
+            "first_doc",
+            F.min("doc_id").over(Window.partitionBy("gram")),
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_grams"),

@@ -185,6 +185,29 @@ def test_no_partitionless_window_anywhere(spark, sf_smoke):
                 ), f"{name}: partitionless {node.nodeName()}"
 
 
+def test_ngram_novelty_first_doc_via_window_not_join(spark, sf_smoke):
+    # round-9 verdict #4: per-gram first-doc must be a gram-partitioned
+    # window MIN (one keyed exchange), not groupBy("gram") + equi-join
+    # back (same shuffle PLUS a join exchange under AQE's worst case).
+    # The entry's ONLY join is the final doc_id left join that restores
+    # gramless documents.
+    q = catalog()["ngram_novelty"]
+    plan = q.fn(spark, sf_smoke)._jdf.queryExecution().executedPlan()
+    joins = [
+        n.nodeName()
+        for n in _iter_physical_nodes(plan)
+        if "Join" in n.nodeName()
+    ]
+    assert len(joins) == 1, joins
+    gram_windows = [
+        n
+        for n in _iter_physical_nodes(plan)
+        if "Window" in n.nodeName()
+        and "gram" in n.partitionSpec().toString()
+    ]
+    assert gram_windows, "expected a gram-partitioned Window node"
+
+
 def test_pagerank_rank_state_not_hinted(spark):
     # Rank state is O(|V|) — a forced broadcast hint on the edge⋈rank
     # join ignores the 64 MB threshold and OOMs executors at 10^9 nodes
