@@ -112,9 +112,18 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     Hash-partitioning on ``key`` means the downstream groupBy(key) can
     reuse the distribution. When the input is already at least as wide as
     the cluster (the 100 TB case), this is a no-op — no extra shuffle.
+
+    The partition probe reads ``queryExecution().toRdd()`` — NOT
+    ``df.rdd``, which wraps the plan in a javaToPython conversion and
+    re-runs the whole analysis on that separate plan (round-10
+    profiling: 1.3 s/run of pure probe overhead in curate_corpus).
+    ``toRdd`` is the same physical plan the subsequent action (a
+    localCheckpoint in every call site) materializes, and the JVM
+    caches it on the Dataset, so the wide-input probe costs nothing
+    extra.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if df._jdf.queryExecution().toRdd().getNumPartitions() < target:
         return df.repartition(target, key)
     return df
 
@@ -270,9 +279,9 @@ def ngram_jaccard_pairs(
     """
     candidates = candidates.localCheckpoint()
     cand_ids = (
-        candidates.select(F.col("id_a").alias("cid"))
-        .union(candidates.select(F.col("id_b").alias("cid")))
-        .distinct()
+        candidates.select(
+            F.explode(F.array("id_a", "id_b")).alias("cid")
+        ).distinct()
     )
     suspects = df.join(
         cand_ids, df[id_col] == F.col("cid"), "left_semi"
@@ -526,40 +535,83 @@ def connected_components(
     analysis cost explodes — the known trap of iterative DataFrame
     algorithms).
     """
-    # Materialize the symmetric edge list once: it is re-joined every
-    # round, and upstream it may be an expensive pipeline (LSH candidate
-    # generation + verification) that must not re-execute per iteration.
-    sym = (
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # ONE materialization sets up the whole iteration: each input edge
+    # explodes to both directions PLUS a flagged self-loop per endpoint
+    # — a single pass over the edge relation (upstream it may be an
+    # expensive pipeline — LSH candidates + verification — that must
+    # not re-execute; the earlier union-of-selects form executed it
+    # once per branch, and separate sym/labels/rounds checkpoints paid
+    # three jobs for what this pays in one; round-10 curate_corpus
+    # profiling). Self-loops are emitted per INCIDENT EDGE, so a node
+    # of degree d carries d duplicate self-loops — harmless: they feed
+    # MIN/MAX aggregates only, and the first groupBy(src) deduplicates
+    # the label table before round 2.
+    def _dir(src_col, dst_col, self_flag):
+        return F.struct(
+            F.col(src_col).alias("src"),
+            (F.col(src_col) if self_flag else F.col(dst_col)).alias("dst"),
+            F.lit(self_flag).alias("__self"),
+        )
+
+    rounds_edges = (
+        edges.select(
+            F.explode(
+                F.array(
+                    _dir(id_a, id_b, False),
+                    _dir(id_b, id_a, False),
+                    _dir(id_a, id_a, True),
+                    _dir(id_b, id_b, True),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst", "e.__self")
         .localCheckpoint()
     )
-    nodes = sym.select(F.col("src").alias("node")).distinct()
-    labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.node)
+    # Initial labels: every node labels itself — derived from the
+    # checkpointed edge relation, no separate materialization (the
+    # distinct executes inside round 1's job). The distinct is
+    # REQUIRED, not cosmetic: labels joins on dst, so degree-many
+    # duplicate label rows would multiply against the degree-many
+    # self-loop rows of the same node — quadratic in degree on hubs.
+    labels = (
+        rounds_edges.filter(F.col("__self"))
+        .select(F.col("src").alias("node"), F.col("src").alias("component"))
+        .distinct()
+    )
+    for it in range(max_iter):
+        # The self-loop row delivers the node's OWN current label into
+        # the same aggregate, so one pass yields both the new label
+        # (min over self + neighbors) and the old one — the convergence
+        # check is then a filter over this checkpointed result instead
+        # of a separate new⋈old join per round.
+        step = (
+            rounds_edges.join(labels, rounds_edges.dst == labels.node)
             .groupBy("src")
-            .agg(F.min("component").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
+            .agg(
+                F.min("component").alias("component"),
+                F.max(
+                    F.when(F.col("__self"), F.col("component"))
+                ).alias("__old"),
             )
-            .localCheckpoint()
         )
+        if it == 0 and max_iter > 1:
+            # Round 1 cannot converge on a nonempty edge set — every
+            # pair has two distinct endpoints, so the larger one takes
+            # a smaller label. Skip the check AND the checkpoint: the
+            # step has a single consumer (round 2's join), so round 2
+            # executes both rounds in one job over the checkpointed
+            # edge relation. (Degenerate self-pair edges merely cost
+            # one extra round.) Two fewer jobs on the diameter-1
+            # clique graphs LSH dedup produces.
+            labels = step.select(F.col("src").alias("node"), "component")
+            continue
+        step = step.localCheckpoint()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
+            step.filter(F.col("component") != F.col("__old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = step.select(F.col("src").alias("node"), "component")
         if changed == 0:
             break
     return labels
@@ -590,10 +642,15 @@ def dedup_fuzzy_keep_one(
     this is the "stage the filtered corpus to storage once" step every
     multi-pass dedup job does.
     """
-    # _spread first: the checkpoint materializes on the input's current
-    # partitioning, so a narrow input would both evaluate its upstream
-    # pipeline on few cores and pin every later pass narrow
-    df = _spread(df, id_col).localCheckpoint()
+    # Checkpoint FIRST, probe after: probing the unmaterialized input
+    # forces its AQE query stages just to read a partition count
+    # (round-10 profiling: 1.3 s/run on the curate_corpus chain), while
+    # the probe on the materialized LogicalRDD is free. If the
+    # checkpoint landed narrow (AQE coalesces small shuffles; single
+    # small files scan as 1-2 splits), _spread layers a cheap
+    # repartition of the already-materialized rows so the four
+    # downstream passes still run cluster-wide.
+    df = _spread(df.localCheckpoint(), id_col)
     cands = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes, bands, seed)
     verified = ngram_jaccard_pairs(df, cands, id_col, text_col, k, threshold)
     comp = connected_components(verified)

@@ -604,7 +604,9 @@ def _spread_docs(docs: DataFrame) -> DataFrame:
     least cluster-wide — the 100 TB case — this is a NO-OP, no extra
     shuffle (same contract as dedup._spread)."""
     target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
+    # toRdd, not df.rdd: the latter analyzes a separate javaToPython
+    # plan just to read the partition count (see dedup._spread)
+    if docs._jdf.queryExecution().toRdd().getNumPartitions() < target:
         return docs.repartition(target, "doc_id")
     return docs
 
