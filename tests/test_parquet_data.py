@@ -399,3 +399,246 @@ def test_truncation_and_bitflip_never_hang_or_lie(tmp_path):
             assert len(got["i64"]) == len(good["i64"])
         except Exception as exc:  # any loud error is acceptable
             assert not isinstance(exc, (SystemExit, KeyboardInterrupt))
+
+
+# ---------------------------------------------------------------------
+# Round 10: one-level nested (LIST / STRUCT) Dremel assembly + INT96
+# ---------------------------------------------------------------------
+
+from simple_data_engineering_project_spark.operators.parquet_data import (  # noqa: E402
+    read_parquet_nested_columns,
+)
+
+
+def _nested_table(n=200):
+    def lst(i):
+        if i % 7 == 0:
+            return None
+        return [None if (i + j) % 5 == 0 else i * 100 + j for j in range(i % 4)]
+
+    def lstr(i):
+        if i % 11 == 0:
+            return None
+        return [None if j == 1 and i % 3 == 0 else f"s{i}-{j}" for j in range(i % 3)]
+
+    def st(i):
+        if i % 13 == 0:
+            return None
+        return {
+            "a": None if i % 6 == 0 else f"a{i}",
+            "b": None if i % 9 == 0 else i * 0.25,
+        }
+
+    return pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "lst": pa.array([lst(i) for i in range(n)], pa.list_(pa.int64())),
+            "lstr": pa.array([lstr(i) for i in range(n)], pa.list_(pa.string())),
+            "ld": pa.array(
+                [None if i % 17 == 0 else [i + 0.5] * (i % 3) for i in range(n)],
+                pa.list_(pa.float64()),
+            ),
+            "st": pa.array(
+                [st(i) for i in range(n)],
+                pa.struct([("a", pa.string()), ("b", pa.float64())]),
+            ),
+        }
+    )
+
+
+def _assert_nested_matches(path, columns):
+    ref = pq.read_table(path, columns=columns)
+    mine = read_parquet_nested_columns(str(path), columns)
+
+    def dec(v):
+        if isinstance(v, bytes):
+            return v.decode("utf-8")
+        if isinstance(v, list):
+            return [dec(x) for x in v]
+        if isinstance(v, dict):
+            return {k: dec(x) for k, x in v.items()}
+        return v
+
+    for c in columns:
+        rv = ref.column(c).to_pylist()
+        mv = [dec(v) for v in mine[c]]
+        assert mv == rv, (path, c, mv[:6], rv[:6])
+
+
+@pytest.mark.parametrize("page_version", ["1.0", "2.0"])
+@pytest.mark.parametrize("dictionary", [True, False])
+@pytest.mark.parametrize("codec", ["none", "snappy", "zstd", "gzip"])
+def test_nested_list_struct_vs_pyarrow(tmp_path, page_version, dictionary, codec):
+    t = _nested_table()
+    path = tmp_path / "nested.parquet"
+    pq.write_table(
+        t,
+        path,
+        data_page_version=page_version,
+        use_dictionary=dictionary,
+        compression=codec,
+    )
+    _assert_nested_matches(path, ["id", "lst", "lstr", "ld", "st"])
+
+
+def test_nested_multi_row_group_and_page_spill(tmp_path):
+    # Small row groups + tiny pages: lists span page boundaries inside
+    # a chunk (levels continue across pages) but never row groups.
+    t = _nested_table(n=500)
+    path = tmp_path / "nested_rg.parquet"
+    pq.write_table(
+        t, path, row_group_size=64, data_page_size=256, use_dictionary=False
+    )
+    _assert_nested_matches(path, ["id", "lst", "lstr", "st"])
+
+
+def test_nested_spark_written_second_independent_writer(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "spark_nested")
+    df = spark.range(150).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 == 0, F.lit(None)).otherwise(
+            F.transform(
+                F.when(
+                    (F.col("id") % 4).cast("int") >= 1,
+                    F.sequence(F.lit(1), (F.col("id") % 4).cast("int")),
+                ).otherwise(F.expr("array()").cast("array<int>")),
+                lambda i: F.when(i == 2, F.lit(None).cast("bigint")).otherwise(
+                    (F.col("id") * 10 + i).cast("bigint")
+                ),
+            )
+        ).alias("lst"),
+        F.when(F.col("id") % 5 == 0, F.lit(None)).otherwise(
+            F.struct(
+                F.concat(F.lit("v"), F.col("id").cast("string")).alias("a"),
+                (F.col("id") * 0.5).alias("b"),
+            )
+        ).alias("st"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    import glob
+
+    (path,) = glob.glob(f"{out}/part-*.parquet")
+    ref = {r["id"]: r for r in df.collect()}
+    mine = read_parquet_nested_columns(path, ["id", "lst", "st"])
+    for i, rid in enumerate(mine["id"]):
+        exp = ref[rid]
+        got_lst = mine["lst"][i]
+        assert got_lst == exp["lst"], (rid, got_lst, exp["lst"])
+        got_st = mine["st"][i]
+        if exp["st"] is None:
+            assert got_st is None
+        else:
+            assert got_st["a"].decode("utf-8") == exp["st"]["a"]
+            assert got_st["b"] == exp["st"]["b"]
+
+
+def test_int96_timestamps_pyarrow_both_eras(tmp_path):
+    import datetime
+
+    ts = [
+        datetime.datetime(1969, 7, 20, 20, 17, 40, 123456),
+        datetime.datetime(2026, 8, 15, 12, 0, 0, 1),
+        None,
+        datetime.datetime(1900, 1, 1, 0, 0, 0, 500000),
+        datetime.datetime(1970, 1, 1),
+        datetime.datetime(2262, 4, 11, 23, 47, 16, 854775),
+    ]
+    exp = []
+    for x in ts:
+        if x is None:
+            exp.append(None)
+            continue
+        d = x - datetime.datetime(1970, 1, 1)
+        exp.append((d.days * 86400 + d.seconds) * 10**9 + d.microseconds * 1000)
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us"))})
+    for dic in (False, True):
+        path = tmp_path / f"int96_{dic}.parquet"
+        pq.write_table(
+            t, path, use_deprecated_int96_timestamps=True, use_dictionary=dic
+        )
+        got = read_parquet_columns(str(path), ["ts"])["ts"]
+        assert got == exp, (dic, got, exp)
+
+
+def test_int96_spark_written_java_convention(spark, tmp_path):
+    # Spark's INT96 writer uses the Java/Impala convention (true Julian
+    # day + non-negative nanos-of-day) — the other of the two layouts
+    # the signed-nanos decode must cover.
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "spark_int96")
+    old = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        df = spark.sql(
+            "SELECT * FROM VALUES "
+            "(timestamp'1969-07-20 20:17:40.123456'),"
+            "(timestamp'2026-08-15 12:00:00.000001'),"
+            "(CAST(NULL AS timestamp)),"
+            "(timestamp'1970-01-01 00:00:00') AS t(ts)"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", old)
+    import glob
+
+    (path,) = glob.glob(f"{out}/part-*.parquet")
+    got = read_parquet_columns(path, ["ts"])["ts"]
+    exp = [
+        -14182939876544000,
+        1786795200000001000,
+        None,
+        0,
+    ]
+    # session TZ is UTC in tests, so literals are UTC wall-clock
+    assert sorted(
+        (x for x in got if x is not None)
+    ) == sorted(x for x in exp if x is not None)
+    assert got.count(None) == 1
+
+
+def test_nested_deeper_shapes_decline_loudly(tmp_path):
+    cases = {
+        "m": pa.array([{"k": 1}, {"j": 2}], pa.map_(pa.string(), pa.int64())),
+        "ls": pa.array(
+            [[{"x": 1}], []],
+            pa.list_(pa.struct([("x", pa.int64())])),
+        ),
+        "sl": pa.array(
+            [{"v": [1, 2]}, {"v": []}],
+            pa.struct([("v", pa.list_(pa.int64()))]),
+        ),
+        "ll": pa.array([[[1]], [[2], [3]]], pa.list_(pa.list_(pa.int64()))),
+    }
+    for name, arr in cases.items():
+        path = tmp_path / f"deep_{name}.parquet"
+        pq.write_table(pa.table({name: arr}), path)
+        with pytest.raises(NotImplementedError, match="one level"):
+            read_parquet_nested_columns(str(path), [name])
+
+
+def test_nested_truncation_and_bitflip_never_hang_or_lie(tmp_path):
+    t = _nested_table(n=150)
+    path = tmp_path / "nvictim.parquet"
+    pq.write_table(t, path, compression="snappy")
+    blob = open(path, "rb").read()
+    good = read_parquet_nested_columns(str(path), ["lst", "st"])
+    hurt = tmp_path / "nhurt.parquet"
+    for off in (120, len(blob) // 3, len(blob) // 2, 2 * len(blob) // 3):
+        dam = bytearray(blob)
+        dam[off] ^= 0xFF
+        hurt.write_bytes(bytes(dam))
+        try:
+            got = read_parquet_nested_columns(str(hurt), ["lst", "st"])
+            assert len(got["lst"]) == len(good["lst"])
+        except Exception as exc:
+            assert not isinstance(exc, (SystemExit, KeyboardInterrupt))
+    for cut in (len(blob) - 9, len(blob) // 2, 60):
+        hurt.write_bytes(blob[:cut])
+        with pytest.raises(Exception):
+            read_parquet_nested_columns(str(hurt), ["lst", "st"])
