@@ -10425,7 +10425,13 @@ def sink_webdataset_q(spark, sf_dir):
     "repo AUTHORS byte-for-byte (hand-rolled thrift compact "
     "PageHeader/SchemaElement/RowGroup/FileMetaData, v1 data pages, "
     "RLE definition levels carrying real nulls, PLAIN values, pages "
-    "compressed by the repo's own snappy encoder), ONE FILE PER ARROW "
+    "compressed by the repo's own snappy encoder; round 10 adds "
+    "PLAIN_DICTIONARY pages for low-cardinality columns — lang here "
+    "dictionary-encodes — plus per-chunk null_count/min_value/"
+    "max_value statistics with the column_orders list that makes "
+    "readers trust them, BOOLEAN, and multi-row-group layouts; a unit "
+    "test proves pyarrow dataset fragments actually SKIP row groups "
+    "on the written stats), ONE FILE PER ARROW "
     "BATCH from executors (no driver data path, no shuffle). The "
     "read-back half of the graded round trip uses PYARROW — a "
     "reference reader over executor-written bytes, so the grade "

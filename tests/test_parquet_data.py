@@ -14,6 +14,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from simple_data_engineering_project_spark.operators.parquet_data import (
+    read_parquet_bytes,
     read_parquet_columns,
 )
 
@@ -320,7 +321,9 @@ def test_pure_writer_rejects_unsupported(tmp_path):
 
     with pytest.raises(NotImplementedError, match="not writable"):
         write_parquet_file(
-            str(tmp_path / "x.parquet"), {"a": [True]}, {"a": "boolean"}
+            str(tmp_path / "x.parquet"),
+            {"a": [b"\x00"]},
+            {"a": "binary"},
         )
     with pytest.raises(NotImplementedError, match="codec"):
         write_parquet_file(
@@ -642,3 +645,158 @@ def test_nested_truncation_and_bitflip_never_hang_or_lie(tmp_path):
         hurt.write_bytes(blob[:cut])
         with pytest.raises(Exception):
             read_parquet_nested_columns(str(hurt), ["lst", "st"])
+
+
+# ---------------------------------------------------------------------
+# Round 10: writer dictionary pages + column statistics + row groups
+# ---------------------------------------------------------------------
+
+
+def test_pure_writer_dictionary_pages_read_by_all_three(tmp_path):
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    import duckdb
+
+    n = 1200
+    cols = {
+        "k": [None if i % 97 == 0 else i % 5 for i in range(n)],
+        "v": [None if i % 53 == 0 else f"cat{i % 7}" for i in range(n)],
+        "hi": list(range(n)),  # high cardinality stays PLAIN
+    }
+    ddl = {"k": "bigint", "v": "string", "hi": "bigint"}
+    for codec in ("none", "snappy"):
+        path = tmp_path / f"dict_{codec}.parquet"
+        path.write_bytes(build_parquet_bytes(cols, ddl, codec))
+        md = pq.ParquetFile(path).metadata.row_group(0)
+        by_name = {
+            md.column(i).path_in_schema: md.column(i)
+            for i in range(md.num_columns)
+        }
+        assert "PLAIN_DICTIONARY" in by_name["k"].encodings
+        assert "PLAIN_DICTIONARY" in by_name["v"].encodings
+        assert "PLAIN_DICTIONARY" not in by_name["hi"].encodings
+        # reference reader
+        t = pq.read_table(path)
+        for c in cols:
+            assert t.column(c).to_pylist() == cols[c], (codec, c)
+        # second independent reference reader
+        rows = duckdb.sql(
+            f"SELECT count(*), count(k), count(v) FROM read_parquet('{path}')"
+        ).fetchone()
+        assert rows[0] == n
+        # own page reader
+        mine = read_parquet_columns(str(path), ["k", "v", "hi"])
+        assert mine["k"] == cols["k"] and mine["hi"] == cols["hi"]
+        assert [
+            None if x is None else x.decode() for x in mine["v"]
+        ] == cols["v"]
+
+
+def test_pure_writer_statistics_cross_validated(tmp_path):
+    from simple_data_engineering_project_spark.operators.parquet_meta import (
+        read_footer_stats,
+    )
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    import duckdb
+
+    cols = {
+        "i": [5, None, -3, 12, 7, None],
+        "s": ["mango", "apple", None, "zebra", "kiwi", "apple"],
+        "d": [0.0, -2.5, 3.75, None, 0.0, 1.0],
+        "b": [True, True, None, False, True, True],
+    }
+    ddl = {"i": "bigint", "s": "string", "d": "double", "b": "boolean"}
+    path = tmp_path / "stats.parquet"
+    path.write_bytes(build_parquet_bytes(cols, ddl, "snappy"))
+    # pyarrow honors min/max only when column_orders is present
+    md = pq.ParquetFile(path).metadata.row_group(0)
+    st = {
+        md.column(i).path_in_schema: md.column(i).statistics
+        for i in range(md.num_columns)
+    }
+    assert st["i"].has_min_max and (st["i"].min, st["i"].max) == (-3, 12)
+    assert st["i"].null_count == 2
+    assert (st["s"].min, st["s"].max) == ("apple", "zebra")
+    assert (st["d"].min, st["d"].max) == (-2.5, 3.75)
+    assert (st["b"].min, st["b"].max) == (False, True)
+    # the -0.0 min convention is visible through DuckDB's raw view
+    dk = {
+        r[0]: r[1:]
+        for r in duckdb.sql(
+            f"SELECT path_in_schema, stats_min_value, stats_max_value, "
+            f"stats_null_count FROM parquet_metadata('{path}')"
+        ).fetchall()
+    }
+    assert dk["i"] == ("-3", "12", 2)
+    assert dk["s"] == ("apple", "zebra", 1)
+    assert dk["d"] == ("-2.5", "3.75", 1)
+    # the IEEE zero convention: a chunk whose extremes are zeros writes
+    # -0.0 as min and +0.0 as max
+    pathz = tmp_path / "zeros.parquet"
+    pathz.write_bytes(
+        build_parquet_bytes({"z": [0.0, None, 0.0]}, {"z": "double"}, "none")
+    )
+    dkz = duckdb.sql(
+        f"SELECT stats_min_value, stats_max_value "
+        f"FROM parquet_metadata('{pathz}')"
+    ).fetchone()
+    assert dkz == ("-0.0", "0.0")
+    # the repo's own footer walker sees the same null counts
+    own = {r["column"]: r for r in read_footer_stats(str(path))}
+    assert own["i"]["null_count"] == 2 and own["s"]["null_count"] == 1
+
+    # NaN in a double chunk suppresses min/max but keeps null_count
+    cols2 = {"d": [1.0, float("nan"), None, 2.0]}
+    path2 = tmp_path / "nan.parquet"
+    path2.write_bytes(build_parquet_bytes(cols2, {"d": "double"}, "none"))
+    st2 = pq.ParquetFile(path2).metadata.row_group(0).column(0).statistics
+    assert not st2.has_min_max
+    assert st2.null_count == 1
+
+
+def test_pure_writer_row_group_skipping_actually_prunes(tmp_path):
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    n = 3000
+    cols = {"x": list(range(n)), "y": [f"r{i}" for i in range(n)]}
+    path = tmp_path / "skip.parquet"
+    path.write_bytes(
+        build_parquet_bytes(
+            cols, {"x": "bigint", "y": "string"}, "snappy",
+            row_group_size=1000,
+        )
+    )
+    assert pq.ParquetFile(path).metadata.num_row_groups == 3
+    frag = list(ds.dataset(str(path), format="parquet").get_fragments())[0]
+    kept = list(frag.split_by_row_group(pc.field("x") >= 2500))
+    assert len(kept) == 1  # stats pruned 2 of 3 groups
+    kept_all = list(frag.split_by_row_group(pc.field("x") >= 0))
+    assert len(kept_all) == 3
+    # values still complete through a filtered dataset read
+    t = ds.dataset(str(path), format="parquet").to_table(
+        filter=pc.field("x") >= 2500
+    )
+    assert sorted(t.column("x").to_pylist()) == list(range(2500, n))
+
+
+def test_pure_writer_boolean_round_trip(tmp_path):
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    vals = [True, False, None, True] * 13 + [False, None]
+    blob = build_parquet_bytes({"b": vals}, {"b": "boolean"}, "snappy")
+    import io
+
+    assert pq.read_table(io.BytesIO(blob)).column("b").to_pylist() == vals
+    assert read_parquet_bytes(blob, ["b"])["b"] == vals
