@@ -481,7 +481,17 @@ def _decode_column(located, codec, cid, kind, enc, dict_size, n_rows) -> list:
             n = nr >> 3  # arithmetic shift (Python >> floors)
             if z:
                 n *= 10 ** (z + 1)
-            vals.append((s + _TS_EPOCH_SECONDS) * 1_000_000_000 + n)
+            s += _TS_EPOCH_SECONDS
+            # The Java writer stores trunc-toward-zero seconds with
+            # ALWAYS-POSITIVE nanos; readers (verified against
+            # pyarrow's C++ on hand-built fixtures, round 10) subtract
+            # one second when the seconds are negative and a fraction
+            # is present. The C++ writer's negative-nanos convention
+            # never hits this branch (its seconds and nanos share a
+            # sign), so both writer families decode identically.
+            if s < 0 and n > 0:
+                s -= 1
+            vals.append(s * 1_000_000_000 + n)
     elif kind == _K_DECIMAL:
         # DATA = unbounded zigzag varints (unscaled values);
         # SECONDARY = per-value scale, signed RLEv2

@@ -10565,8 +10565,11 @@ def sink_tfrecord_q(spark, sf_dir):
     "in both directions): documents shard into single-stripe ORC "
     "files the repo builds byte-for-byte (hand protobuf Type/Stripe/"
     "Footer/PostScript, RLEv2 DIRECT integer runs, DIRECT_V2 strings, "
-    "boolean-RLE PRESENT bitmaps carrying real nulls), ONE FILE PER "
-    "ARROW BATCH from executors. The graded read-back goes through "
+    "boolean-RLE PRESENT bitmaps carrying real nulls; round 10 adds "
+    "ZLIB/SNAPPY stripe compression with ORC's 3-byte chunk framing — "
+    "the graded files now write ZLIB — plus TIMESTAMP (C++ signed-"
+    "nanos convention, both eras) and DECIMAL write support), ONE "
+    "FILE PER ARROW BATCH from executors. The graded read-back goes through "
     "PYARROW's ORC C++ reader — a reference implementation over "
     "executor-written bytes — and the unit battery re-reads the same "
     "files through Spark's JVM reader AND the repo's own stripe "
@@ -10583,6 +10586,7 @@ def sink_orc_pure_q(spark, sf_dir):
                 "text": list(b["text"]),
             },
             {"doc_id": "bigint", "lang": "string", "text": "string"},
+            compression="zlib",
         )
 
     def _decode(payload):

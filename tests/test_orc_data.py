@@ -301,3 +301,131 @@ def test_truncation_and_bitflip_never_hang(tmp_path):
         except Exception:
             pass  # loud errors fine; the test guards against hangs
             # (pytest-level timeout) and silent wrong output above
+
+
+# ---------------------------------------------------------------------
+# Round 10: writer compression framing + TIMESTAMP/DECIMAL write side
+# ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("codec", ["none", "zlib", "snappy"])
+def test_pure_writer_codecs_read_by_pyarrow_and_own_reader(tmp_path, codec):
+    import decimal
+
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    D = decimal.Decimal
+    cols = {
+        "i": [1, None, -77, 123456789012, 5],
+        "s": ["alpha", None, "beta", "", "δ ✓"],
+        "d": [1.5, -2.25, None, 0.0, 99.0],
+        "ts": [
+            -14182939876544000,  # 1969-07-20 20:17:40.123456
+            1786795200000001000,
+            None,
+            0,
+            1700000000_500_000_000,  # trailing-zero nanos
+        ],
+        "ts2": [-1000000000, -1500000000, 250000000, -2208988799500000000, 123],
+        "dec": [D("12.34"), D("-0.01"), None, D("99999999.99"), D("0.00")],
+    }
+    ddl = {
+        "i": "bigint", "s": "string", "d": "double",
+        "ts": "timestamp", "ts2": "timestamp", "dec": "decimal(10,2)",
+    }
+    path = str(tmp_path / f"w_{codec}.orc")
+    open(path, "wb").write(build_orc_bytes(cols, ddl, codec))
+    t = po.ORCFile(path).read()
+    for c in ("i", "s", "d", "dec"):
+        assert t.column(c).to_pylist() == cols[c], (codec, c)
+    assert t.column("ts").cast("int64").to_pylist() == cols["ts"]
+    assert t.column("ts2").cast("int64").to_pylist() == cols["ts2"]
+    mine = read_orc_columns(path, list(cols))
+    assert mine == cols, codec
+
+
+def test_pure_writer_zlib_multiblock_spark_reread(spark, tmp_path):
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    n = 20000
+    cols = {
+        "x": [i * 37 - 5000 for i in range(n)],
+        "y": [f"row-{i % 111}-pad" * 2 for i in range(n)],
+    }
+    blob = build_orc_bytes(
+        cols, {"x": "bigint", "y": "string"}, "zlib", block_size=4096
+    )
+    blob_none = build_orc_bytes(cols, {"x": "bigint", "y": "string"}, "none")
+    assert len(blob) < len(blob_none) // 2  # compression actually bites
+    path = str(tmp_path / "zlib_multi.orc")
+    open(path, "wb").write(blob)
+    rows = spark.read.orc(path).orderBy("x").collect()
+    assert [r.x for r in rows] == cols["x"]
+    assert [r.y for r in rows[:5]] == cols["y"][:5]
+    assert read_orc_columns(path, ["x", "y"]) == cols
+
+
+def test_pure_writer_timestamp_spark_and_decimal_spark_reread(spark, tmp_path):
+    import decimal
+
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    D = decimal.Decimal
+    cols = {
+        "ts": [-14182939876544000, 0, 1786795200000001000, None],
+        "dec": [D("3.14"), D("-123.45"), None, D("0.01")],
+    }
+    path = str(tmp_path / "tsdec.orc")
+    open(path, "wb").write(
+        build_orc_bytes(
+            cols, {"ts": "timestamp", "dec": "decimal(9,2)"}, "zlib"
+        )
+    )
+    df = spark.read.orc(path)
+    got = df.selectExpr(
+        "unix_micros(ts) AS us", "CAST(dec AS STRING) AS ds"
+    ).collect()
+    exp_us = [
+        None if t is None else t // 1000 for t in cols["ts"]
+    ]
+    assert sorted(
+        (r.us for r in got if r.us is not None)
+    ) == sorted(u for u in exp_us if u is not None)
+    assert {r.ds for r in got} == {
+        None if d is None else str(d) for d in cols["dec"]
+    }
+
+
+def test_reader_java_convention_pre1970_fraction_spark_written(spark, tmp_path):
+    """Round-10 regression: the Java ORC writer stores trunc-toward-
+    zero seconds with positive nanos; readers must subtract one second
+    when absolute seconds are negative and a fraction is present.
+    Round 9 validated only against pyarrow's C++ WRITER (signed-nanos
+    convention), which never exercises that branch — Spark's JVM
+    writer here is the genuine Java-convention reference."""
+    out = str(tmp_path / "jvm_pre1970")
+    spark.sql(
+        "SELECT * FROM VALUES "
+        "(timestamp'1969-07-20 20:17:40.123456'),"
+        "(timestamp'1900-01-01 00:00:00.5'),"
+        "(timestamp'2026-08-15 12:00:00.000001'),"
+        "(timestamp'1970-01-01 00:00:00.25') AS t(ts)"
+    ).coalesce(1).write.mode("overwrite").orc(out)
+    import glob
+
+    (path,) = glob.glob(f"{out}/part-*.orc")
+    got = sorted(read_orc_columns(path, ["ts"])["ts"])
+    assert got == sorted(
+        [
+            -14182939876544000,
+            -2208988799500000000,
+            1786795200000001000,
+            250000000,
+        ]
+    ), got
