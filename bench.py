@@ -202,6 +202,8 @@ HEADLINE = [
     "sink_orc_pure",
     # round-10 additions
     "scan_parquet_nested",
+    "scan_parquet_prune",
+    "scan_parquet_int96",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -253,6 +255,9 @@ STEADY_STATE = {
     "sink_orc_pure",  # round-9: same export-sink shape
     "scan_parquet_nested",  # round-10: JVM nested-parquet stage +
     # pure-Python Dremel assembly; same shape as scan_orc_pure
+    "scan_parquet_prune",  # round-10: JVM sorted stage + footer-stats
+    # pruned decode; same fixture-then-scan shape
+    "scan_parquet_int96",  # round-10: JVM INT96 stage + pure decode
     "hybrid_search_rrf",  # round-8: BM25-leg codegen; 9.6 s cold, 3.9 s steady
     "dedup_cluster_report",  # round-8: shingle/minhash codegen; 6.3 s cold, 4.6 s steady
 }

@@ -572,65 +572,142 @@ def read_parquet_nested_bytes(buf: bytes, columns: list[str]) -> dict[str, list]
     schema = _parse_schema(meta)
     out: dict[str, list] = {c: [] for c in columns}
     for rg in meta.get(4, []):
-        by_path: dict[str, dict] = {}
+        _decode_row_group(buf, rg, schema, columns, out)
+    return out
+
+
+def _decode_row_group(
+    buf: bytes, rg: dict, schema: dict, columns: list[str], out: dict
+) -> None:
+    by_path: dict[str, dict] = {}
+    for cc in rg.get(1, []):
+        md = cc.get(3)
+        if md is None:
+            continue
+        path_parts = [p.decode("utf-8") for p in md.get(3, [])]
+        by_path[".".join(path_parts)] = md
+    for c in columns:
+        leaves = sorted(
+            p for p in schema if p == c or p.startswith(c + ".")
+        )
+        if not leaves:
+            raise ValueError(f"column {c!r} not in file")
+        lf0 = schema[leaves[0]]
+        comps = leaves[0].count(".")
+        # LIST: the standard 3-level shape (col.list.element — the
+        # repeated node must be the MIDDLE path component, which
+        # rules out single-field list<struct> and struct<list>
+        # leaves that also present one repeated leaf) or a bare
+        # repeated primitive at top level
+        is_list = (
+            len(leaves) == 1
+            and lf0["max_rep"] == 1
+            and (
+                (comps == 2 and lf0["levels"][1][2] == 2)
+                or comps == 0
+            )
+        )
+        if leaves == [c] and lf0["max_rep"] == 0:
+            out[c].extend(read_column_chunk(buf, by_path[c], lf0))
+        elif is_list:
+            reps, defs, present = read_chunk_levels(
+                buf, by_path[leaves[0]], lf0
+            )
+            out[c].extend(_assemble_list(reps, defs, present, lf0))
+        elif all(
+            schema[p]["max_rep"] == 0 and "." not in p[len(c) + 1 :]
+            for p in leaves
+        ):
+            parts: dict[str, tuple] = {}
+            for p in leaves:
+                leaf = schema[p]
+                _r, defs, present = read_chunk_levels(
+                    buf, by_path[p], leaf
+                )
+                parts[p[len(c) + 1 :]] = (
+                    defs,
+                    present,
+                    leaf["max_def"],
+                    leaf["levels"][-2][0],
+                )
+            out[c].extend(_assemble_struct(parts))
+        else:
+            raise NotImplementedError(
+                f"column {c!r}: only one level of LIST or STRUCT "
+                "nesting is supported (maps, list<struct>, "
+                "struct<list> decline loudly)"
+            )
+
+
+def read_parquet_pruned_columns(
+    path: str,
+    columns: list[str],
+    prune_col: str,
+    lo=None,
+    hi=None,
+) -> tuple[dict[str, list], int, int]:
+    """:func:`read_parquet_pruned_bytes` over a file path."""
+    with open(path, "rb") as f:
+        return read_parquet_pruned_bytes(f.read(), columns, prune_col, lo, hi)
+
+
+def read_parquet_pruned_bytes(
+    buf: bytes,
+    columns: list[str],
+    prune_col: str,
+    lo=None,
+    hi=None,
+) -> tuple[dict[str, list], int, int]:
+    """Row-group-SKIPPING scan: decode only the row groups whose
+    ``prune_col`` statistics interval [min_value, max_value] intersects
+    [lo, hi] (either bound may be None = unbounded). Returns
+    ``(columns dict, groups_decoded, groups_total)``.
+
+    This is footer-driven planning on the reader side: the min/max
+    zone maps land in the footer (parquet_meta reads them; the repo's
+    own writer emits them), and a range predicate eliminates row
+    groups BEFORE any page decode — the I/O-elimination move that
+    makes a 100 TB range scan touch only the files and groups that
+    can match. Row groups whose chunk lacks statistics are read
+    conservatively. NOTE: surviving rows still need the row-level
+    filter applied downstream — group elimination is necessarily
+    conservative."""
+    from .parquet_meta import decode_stat_value
+
+    if buf[:4] != b"PAR1" or buf[-4:] != b"PAR1":
+        raise ValueError("not a parquet file")
+    (flen,) = struct.unpack("<I", buf[-8:-4])
+    meta = _Compact(buf[len(buf) - 8 - flen : len(buf) - 8]).struct()
+    schema = _parse_schema(meta)
+    out: dict[str, list] = {c: [] for c in columns}
+    n_total = n_read = 0
+    for rg in meta.get(4, []):
+        n_total += 1
+        keep = True
         for cc in rg.get(1, []):
             md = cc.get(3)
             if md is None:
                 continue
-            path_parts = [p.decode("utf-8") for p in md.get(3, [])]
-            by_path[".".join(path_parts)] = md
-        for c in columns:
-            leaves = sorted(
-                p for p in schema if p == c or p.startswith(c + ".")
+            pathname = ".".join(
+                p.decode("utf-8") for p in md.get(3, [])
             )
-            if not leaves:
-                raise ValueError(f"column {c!r} not in file")
-            lf0 = schema[leaves[0]]
-            comps = leaves[0].count(".")
-            # LIST: the standard 3-level shape (col.list.element — the
-            # repeated node must be the MIDDLE path component, which
-            # rules out single-field list<struct> and struct<list>
-            # leaves that also present one repeated leaf) or a bare
-            # repeated primitive at top level
-            is_list = (
-                len(leaves) == 1
-                and lf0["max_rep"] == 1
-                and (
-                    (comps == 2 and lf0["levels"][1][2] == 2)
-                    or comps == 0
-                )
-            )
-            if leaves == [c] and lf0["max_rep"] == 0:
-                out[c].extend(read_column_chunk(buf, by_path[c], lf0))
-            elif is_list:
-                reps, defs, present = read_chunk_levels(
-                    buf, by_path[leaves[0]], lf0
-                )
-                out[c].extend(_assemble_list(reps, defs, present, lf0))
-            elif all(
-                schema[p]["max_rep"] == 0 and "." not in p[len(c) + 1 :]
-                for p in leaves
+            if pathname != prune_col:
+                continue
+            stats = md.get(12, {})
+            mn = decode_stat_value(stats.get(6), md.get(1))
+            mx = decode_stat_value(stats.get(5), md.get(1))
+            if mn is None or mx is None:
+                break  # no stats: conservative read
+            if (hi is not None and mn > hi) or (
+                lo is not None and mx < lo
             ):
-                parts: dict[str, tuple] = {}
-                for p in leaves:
-                    leaf = schema[p]
-                    _r, defs, present = read_chunk_levels(
-                        buf, by_path[p], leaf
-                    )
-                    parts[p[len(c) + 1 :]] = (
-                        defs,
-                        present,
-                        leaf["max_def"],
-                        leaf["levels"][-2][0],
-                    )
-                out[c].extend(_assemble_struct(parts))
-            else:
-                raise NotImplementedError(
-                    f"column {c!r}: only one level of LIST or STRUCT "
-                    "nesting is supported (maps, list<struct>, "
-                    "struct<list> decline loudly)"
-                )
-    return out
+                keep = False
+            break
+        if not keep:
+            continue
+        n_read += 1
+        _decode_row_group(buf, rg, schema, columns, out)
+    return out, n_read, n_total
 
 
 def pure_parquet_scan(spark, paths: list[str], columns: list[str], schema: str):

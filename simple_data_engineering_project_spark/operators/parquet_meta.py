@@ -147,14 +147,20 @@ def parse_parquet_footer(tail: bytes) -> dict:
             stats = md.get(12, {})  # Statistics
             cols.append(
                 {
-                    # ColumnMetaData: 3=path_in_schema, 4=codec,
-                    # 5=num_values, 6/7=sizes; Statistics: 3=null_count.
+                    # ColumnMetaData: 1=type, 3=path_in_schema,
+                    # 4=codec, 5=num_values, 6/7=sizes; Statistics:
+                    # 3=null_count, 5=max_value, 6=min_value (raw
+                    # PLAIN bytes — decode_stat_value turns them into
+                    # comparable Python values for row-group pruning).
                     # Nested paths join with ", " — DuckDB's
                     # parquet_metadata rendering, which the oracle
                     # compares against verbatim.
                     "column": b", ".join(md.get(3, [])).decode("utf-8"),
+                    "type": md.get(1),
                     "num_values": md.get(5),
                     "null_count": stats.get(3),
+                    "min_value": stats.get(6),
+                    "max_value": stats.get(5),
                     "codec": _CODECS.get(md.get(4), str(md.get(4))),
                     "compressed_bytes": md.get(7),
                     "uncompressed_bytes": md.get(6),
@@ -185,3 +191,23 @@ def read_footer_stats(path: str, probe_bytes: int = 1 << 20) -> list[dict]:
         for col in rg["columns"]:
             out.append({"row_group": rg_id, **col})
     return out
+
+
+def decode_stat_value(raw: bytes | None, ptype: int):
+    """Decode one Statistics min_value/max_value blob (PLAIN encoding,
+    no length prefix) into a comparable Python value by physical type.
+    BYTE_ARRAY stays bytes (unsigned lexicographic order — the column
+    order the modern fields are defined in)."""
+    if raw is None:
+        return None
+    if ptype == 0:  # BOOLEAN
+        return raw[:1] != b"\x00"
+    if ptype == 1:  # INT32
+        return struct.unpack("<i", raw[:4])[0]
+    if ptype == 2:  # INT64
+        return struct.unpack("<q", raw[:8])[0]
+    if ptype == 4:  # FLOAT
+        return struct.unpack("<f", raw[:4])[0]
+    if ptype == 5:  # DOUBLE
+        return struct.unpack("<d", raw[:8])[0]
+    return bytes(raw)  # BYTE_ARRAY / FLBA

@@ -800,3 +800,49 @@ def test_pure_writer_boolean_round_trip(tmp_path):
 
     assert pq.read_table(io.BytesIO(blob)).column("b").to_pylist() == vals
     assert read_parquet_bytes(blob, ["b"])["b"] == vals
+
+
+def test_pruned_scan_skips_groups_both_writers(tmp_path):
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        read_parquet_pruned_columns,
+    )
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    n = 3000
+    cols = {"x": list(range(n)), "y": [f"r{i}" for i in range(n)]}
+    own = tmp_path / "own.parquet"
+    own.write_bytes(
+        build_parquet_bytes(
+            cols, {"x": "bigint", "y": "string"}, "snappy",
+            row_group_size=500,
+        )
+    )
+    ref = tmp_path / "ref.parquet"
+    pq.write_table(pa.table(cols), ref, row_group_size=500)
+    for path in (own, ref):
+        data, r, t = read_parquet_pruned_columns(
+            str(path), ["x", "y"], "x", lo=2200, hi=2600
+        )
+        assert t == 6 and r == 2, (path, r, t)  # 4 of 6 groups skipped
+        assert set(range(2200, 2601)) <= set(data["x"])
+        assert all(2000 <= v < 3000 for v in data["x"])  # conservative
+        # unbounded reads everything
+        full, r2, t2 = read_parquet_pruned_columns(str(path), ["x"], "x")
+        assert (r2, t2) == (6, 6) and full["x"] == cols["x"]
+        # disjoint range decodes nothing
+        none, r3, _ = read_parquet_pruned_columns(
+            str(path), ["x"], "x", lo=10**9
+        )
+        assert r3 == 0 and none["x"] == []
+    # string-keyed pruning uses unsigned byte-wise order
+    scols = {"s": sorted(f"k{i:05d}" for i in range(1000))}
+    sp = tmp_path / "s.parquet"
+    sp.write_bytes(
+        build_parquet_bytes(scols, {"s": "string"}, "none", row_group_size=250)
+    )
+    d, r, t = read_parquet_pruned_columns(
+        str(sp), ["s"], "s", lo=b"k00900", hi=b"k00950"
+    )
+    assert r == 1 and t == 4
