@@ -204,6 +204,7 @@ HEADLINE = [
     "scan_parquet_nested",
     "scan_parquet_prune",
     "scan_parquet_int96",
+    "sink_orc_typed",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -258,6 +259,7 @@ STEADY_STATE = {
     "scan_parquet_prune",  # round-10: JVM sorted stage + footer-stats
     # pruned decode; same fixture-then-scan shape
     "scan_parquet_int96",  # round-10: JVM INT96 stage + pure decode
+    "sink_orc_typed",  # round-10: same export-sink shape
     "hybrid_search_rrf",  # round-8: BM25-leg codegen; 9.6 s cold, 3.9 s steady
     "dedup_cluster_report",  # round-8: shingle/minhash codegen; 6.3 s cold, 4.6 s steady
 }

@@ -10315,6 +10315,7 @@ def events_ols_trend_q(spark, sf_dir):
 def _shard_sink_roundtrip(
     spark, sf_dir, leaf, suffix, encode_batch, decode_shard,
     read_schema, pandas_dtypes, select_cols=("doc_id", "text"),
+    table="documents",
 ):
     """Shared scaffold for the export sinks (webdataset / tar.zst /
     arrow IPC): shard ``documents`` one archive per Arrow batch written
@@ -10332,7 +10333,7 @@ def _shard_sink_roundtrip(
     os.makedirs(out, exist_ok=True)
     for old in _glob.glob(f"{out}/shard-*.{suffix}"):
         os.remove(old)
-    d = _t(spark, sf_dir, "documents").select(*select_cols)
+    d = _t(spark, sf_dir, table).select(*select_cols)
 
     def _write(batches):
         for b in batches:
@@ -11540,6 +11541,96 @@ def scan_parquet_nested_q(spark, sf_dir):
         F.col("st.p").alias("p"),
         F.col("st").isNull().cast("int").alias("st_null"),
     )
+
+
+@register(
+    "sink_orc_typed",
+    """
+    SELECT event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS amt_cents
+    FROM events
+    """,
+    tier="C",
+    note="C12 typed ORC EXPORT (round 10) — grades the write paths "
+    "sink_orc_pure cannot reach: events export through the pure "
+    "writer's new TIMESTAMP (Java convention: trunc-toward-zero "
+    "seconds vs the 2015 epoch + positive trailing-zero-compressed "
+    "nanos) and DECIMAL(12,2) (unbounded zigzag varint unscaled + "
+    "signed-RLEv2 scale stream) columns under ZLIB stripe "
+    "compression with ORC's 3-byte chunk framing, ONE FILE PER ARROW "
+    "BATCH from executors. Read-back goes through PYARROW's ORC C++ "
+    "reader (reference implementation) and compares exact integer "
+    "microseconds and cents against DuckDB computing the same from "
+    "the SOURCE rows — every conversion in the chain is integer-"
+    "exact, so a single nano of drift in the epoch math or one "
+    "mis-scaled decimal digit hash-mismatches. File-per-task, no "
+    "shuffle.",
+)
+def sink_orc_typed_q(spark, sf_dir):
+    from ..operators.orc_write import build_orc_bytes
+
+    def _encode(b):
+        import decimal as _dec
+
+        ts_ns = [
+            None if _pdna(v) else int(v.value)
+            for v in b["ts"]
+        ]
+        amt = [
+            None
+            if _pdna(v)
+            else _dec.Decimal(int(v * 100 + 0.5) if v >= 0 else -int(-v * 100 + 0.5)).scaleb(-2)
+            for v in b["value"]
+        ]
+        return build_orc_bytes(
+            {
+                "event_id": [int(x) for x in b["event_id"]],
+                "ts": ts_ns,
+                "amt": amt,
+            },
+            {
+                "event_id": "bigint",
+                "ts": "timestamp",
+                "amt": "decimal(12,2)",
+            },
+            compression="zlib",
+        )
+
+    def _decode(payload):
+        import io as _io
+
+        import pyarrow.orc as _po
+
+        t = _po.ORCFile(_io.BytesIO(payload)).read()
+        return [
+            {
+                "event_id": int(eid),
+                "ts_us": None if ts is None else ts // 1000,
+                "amt_cents": None
+                if amt is None
+                else int(amt.scaleb(2)),
+            }
+            for eid, ts, amt in zip(
+                t.column("event_id").to_pylist(),
+                t.column("ts").cast("int64").to_pylist(),
+                t.column("amt").to_pylist(),
+            )
+        ]
+
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "orc_typed_sink", "orc", _encode, _decode,
+        "event_id long, ts_us long, amt_cents long",
+        {"event_id": "int64", "ts_us": "Int64", "amt_cents": "Int64"},
+        select_cols=("event_id", "ts", "value"),
+        table="events",
+    )
+
+
+def _pdna(v) -> bool:
+    import pandas as _pd
+
+    return v is None or (_pd.isna(v) if not isinstance(v, str) else False)
 
 
 @register(
