@@ -32,7 +32,14 @@ DuckDB reading the same source rows.
 DECIMAL decodes too (unbounded zigzag-varint unscaled values + a
 signed-RLEv2 per-value scale stream → Python Decimal).
 
-Declined loudly: UNION and nested LIST/MAP/STRUCT leaves; RLEv1
+ONE level of nesting decodes too (round 10,
+:func:`read_orc_nested_columns`): array<scalar> via the parent's
+PRESENT + LENGTH streams slicing a child scalar column sized by the
+summed lengths, and struct<scalar,...> via the parent's PRESENT with
+one child entry per present row — cross-validated against pyarrow.orc
+across 4 codecs, multi-stripe layouts, and Spark-written files.
+
+Declined loudly: MAP, UNION, nesting deeper than one level; RLEv1
 column encodings (0.11-era files — silently mis-decoding through the
 v2 decoder is worse than raising).
 
@@ -51,7 +58,7 @@ _MAGIC = b"ORC"
 _K_BOOLEAN, _K_BYTE, _K_SHORT, _K_INT, _K_LONG = 0, 1, 2, 3, 4
 _K_FLOAT, _K_DOUBLE, _K_STRING, _K_BINARY = 5, 6, 7, 8
 _K_TIMESTAMP, _K_LIST, _K_MAP, _K_STRUCT = 9, 10, 11, 12
-_K_DECIMAL, _K_DATE, _K_VARCHAR, _K_CHAR = 14, 15, 16, 17
+_K_UNION, _K_DECIMAL, _K_DATE, _K_VARCHAR, _K_CHAR = 13, 14, 15, 16, 17
 
 # Stream.kind enum
 _S_PRESENT, _S_DATA, _S_LENGTH, _S_DICT = 0, 1, 2, 3
@@ -431,6 +438,163 @@ def read_orc_columns(path_or_bytes, columns: list[str]) -> dict[str, list]:
                     enc_pb.get(1, 0), enc_pb.get(2, 0), n_rows,
                 )
             )
+    return out
+
+
+def _subtype_ids(t: dict) -> list[int]:
+    """Type.subtypes — packed or unpacked repeated uint32."""
+    out: list[int] = []
+    for v in _as_list(t.get(2)):
+        if isinstance(v, int):
+            out.append(v)
+        else:
+            p = 0
+            while p < len(v):
+                u, p = _varint(v, p)
+                out.append(u)
+    return out
+
+
+def read_orc_nested_columns(path_or_bytes, columns: list[str]) -> dict[str, list]:
+    """Decode top-level columns with ONE level of nesting (round 10):
+    ``array<scalar>`` (LIST type: parent LENGTH stream + child scalar
+    column sized by the summed lengths) and ``struct<scalar,...>``
+    (parent PRESENT only; child columns carry one entry per present
+    parent row). Scalar columns pass through unchanged. MAP, UNION and
+    deeper nesting decline loudly — mirroring the parquet reader's
+    one-level contract."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        buf = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            buf = f.read()
+    codec, _footer, types, stripes = _parse_tail(buf)
+    leaves = _leaf_columns(types)
+    plan: dict[str, dict] = {}
+    for c in columns:
+        if c not in leaves:
+            raise ValueError(f"column {c!r} not in file")
+        cid = leaves[c]["col_id"]
+        kind = leaves[c]["kind"]
+        if kind == _K_LIST:
+            (elem_id,) = _subtype_ids(types[cid])
+            ek = types[elem_id].get(1, 0)
+            if ek in (_K_LIST, _K_MAP, _K_STRUCT, _K_UNION):
+                raise NotImplementedError(
+                    f"ORC column {c!r}: only one level of nesting"
+                )
+            plan[c] = {"kind": kind, "cid": cid, "children": [elem_id]}
+        elif kind == _K_STRUCT:
+            kids = _subtype_ids(types[cid])
+            fnames = [n.decode("utf-8") for n in _as_list(types[cid].get(3))]
+            for k in kids:
+                if types[k].get(1, 0) in (
+                    _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
+                ):
+                    raise NotImplementedError(
+                        f"ORC column {c!r}: only one level of nesting"
+                    )
+            plan[c] = {
+                "kind": kind, "cid": cid, "children": kids,
+                "fields": fnames,
+            }
+        elif kind in (_K_MAP, _K_UNION):
+            raise NotImplementedError(
+                f"ORC column kind {kind} not supported (map/union)"
+            )
+        else:
+            plan[c] = {"kind": kind, "cid": cid, "children": []}
+    out: dict[str, list] = {c: [] for c in columns}
+    for st in stripes:
+        offset = st.get(1, 0)
+        index_len = st.get(2, 0)
+        data_len = st.get(3, 0)
+        footer_len = st.get(4, 0)
+        n_rows = st.get(5, 0)
+        sf_raw = buf[offset + index_len + data_len :][:footer_len]
+        sf = _pb_map(_decompress_stream(codec, sf_raw))
+        streams = [_pb_map(s) for s in _as_list(sf.get(1))]
+        encodings = [_pb_map(e) for e in _as_list(sf.get(2))]
+        wanted: set[int] = set()
+        for p in plan.values():
+            wanted.add(p["cid"])
+            wanted.update(p["children"])
+        pos = offset
+        located: dict[tuple[int, int], bytes] = {}
+        for s in streams:
+            skind, col, ln = s.get(1, 0), s.get(2, 0), s.get(3, 0)
+            if col in wanted and skind in (
+                _S_PRESENT, _S_DATA, _S_LENGTH, _S_DICT, _S_SECONDARY
+            ):
+                located[(col, skind)] = buf[pos : pos + ln]
+            pos += ln
+
+        def dec(cid2, count):
+            e = encodings[cid2] if cid2 < len(encodings) else {}
+            return _decode_column(
+                located, codec, cid2, types[cid2].get(1, 0),
+                e.get(1, 0), e.get(2, 0), count,
+            )
+
+        for c in columns:
+            p = plan[c]
+            cid = p["cid"]
+            if p["kind"] == _K_LIST:
+                praw = located.get((cid, _S_PRESENT))
+                present = (
+                    _bool_rle(_decompress_stream(codec, praw), n_rows)
+                    if praw is not None
+                    else [True] * n_rows
+                )
+                n_present = sum(present)
+                lraw = located.get((cid, _S_LENGTH))
+                lengths = rlev2_decode(
+                    _decompress_stream(codec, lraw) if lraw else b"",
+                    n_present,
+                    signed=False,
+                )
+                elems = dec(p["children"][0], sum(lengths))
+                rows: list = []
+                li = 0
+                ei = 0
+                for pr in present:
+                    if not pr:
+                        rows.append(None)
+                        continue
+                    ln = lengths[li]
+                    li += 1
+                    rows.append(elems[ei : ei + ln])
+                    ei += ln
+                out[c].extend(rows)
+            elif p["kind"] == _K_STRUCT:
+                praw = located.get((cid, _S_PRESENT))
+                present = (
+                    _bool_rle(_decompress_stream(codec, praw), n_rows)
+                    if praw is not None
+                    else [True] * n_rows
+                )
+                n_present = sum(present)
+                fields = {
+                    f: dec(k, n_present)
+                    for f, k in zip(p["fields"], p["children"])
+                }
+                rows = []
+                j = 0
+                for pr in present:
+                    if not pr:
+                        rows.append(None)
+                        continue
+                    rows.append({f: fields[f][j] for f in p["fields"]})
+                    j += 1
+                out[c].extend(rows)
+            else:
+                e = encodings[cid] if cid < len(encodings) else {}
+                out[c].extend(
+                    _decode_column(
+                        located, codec, cid, p["kind"],
+                        e.get(1, 0), e.get(2, 0), n_rows,
+                    )
+                )
     return out
 
 

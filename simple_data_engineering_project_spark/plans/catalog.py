@@ -11544,6 +11544,125 @@ def scan_parquet_nested_q(spark, sf_dir):
 
 
 @register(
+    "scan_orc_nested",
+    """
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN -1
+                ELSE o_orderkey % 5 END AS INT) AS lst_len,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'NULL'
+                ELSE COALESCE(array_to_string(
+                  list_transform(
+                    range(1, CAST(o_orderkey % 5 AS BIGINT) + 1),
+                    i -> CASE WHEN i = 3 AND o_orderkey % 3 = 0 THEN 'N'
+                         ELSE CAST(o_orderkey * 10 + i AS VARCHAR) END),
+                  ','), '')
+           END AS lst_csv,
+           CASE WHEN o_orderkey % 11 = 0 OR o_orderkey % 13 = 0
+                THEN NULL ELSE o_orderstatus END AS s,
+           CASE WHEN o_orderkey % 11 = 0 OR o_orderkey % 17 = 0
+                THEN NULL ELSE o_totalprice END AS p,
+           CAST(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS INT)
+             AS st_null
+    FROM orders
+    """,
+    tier="C",
+    note="C12 pure-Python ORC NESTED scan (round 10) — the ORC twin "
+    "of scan_parquet_nested, same derivation and oracle: Spark's JVM "
+    "ORC writer stages array<bigint> and struct<s:string,p:double> "
+    "columns (null/empty/null-element residue cases), and the pure "
+    "reader assembles them from the format's nested stream layout "
+    "(operators/orc_data.py read_orc_nested_columns: LIST = parent "
+    "PRESENT + LENGTH streams slicing a child scalar column sized by "
+    "the summed lengths; STRUCT = parent PRESENT with one child "
+    "entry per present row; MAP/UNION/deeper decline loudly). "
+    "Flattened scalars hash-match DuckDB recomputing from source "
+    "rows; the unit battery cross-validates vs pyarrow.orc across 4 "
+    "codecs + multi-stripe + Spark-written files. FILE-PER-TASK "
+    "mapInPandas, no shuffle.",
+)
+def scan_orc_nested_q(spark, sf_dir):
+    import glob as _glob
+
+    import pandas as _pd
+
+    out = _scratch(sf_dir, "orc_nested_orders")
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    n = (k % 5).cast("int")
+    lst = F.when(k % 7 == 0, F.lit(None).cast("array<bigint>")).otherwise(
+        F.transform(
+            F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda i: F.when(
+                (i == 3) & (k % 3 == 0), F.lit(None).cast("bigint")
+            ).otherwise((k * 10 + i).cast("bigint")),
+        )
+    )
+    st = F.when(
+        k % 11 == 0, F.lit(None).cast("struct<s:string,p:double>")
+    ).otherwise(
+        F.struct(
+            F.when(k % 13 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("s"),
+            F.when(k % 17 == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("p"),
+        )
+    )
+    (
+        o.select(k.alias("o_orderkey"), lst.alias("lst"), st.alias("st"))
+        .repartition(8)
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    paths = sorted(_glob.glob(f"{out}/part-*.orc"))
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def _read(batches):
+        from ..operators.orc_data import read_orc_nested_columns
+
+        for b in batches:
+            for path in b["path"]:
+                d = read_orc_nested_columns(
+                    path, ["o_orderkey", "lst", "st"]
+                )
+                rows = []
+                for key, lv, sv in zip(
+                    d["o_orderkey"], d["lst"], d["st"]
+                ):
+                    rows.append(
+                        {
+                            "o_orderkey": key,
+                            "lst_len": -1 if lv is None else len(lv),
+                            "lst_csv": "NULL"
+                            if lv is None
+                            else ",".join(
+                                "N" if x is None else str(x)
+                                for x in lv
+                            ),
+                            "s": None if sv is None else sv["s"],
+                            "p": None if sv is None else sv["p"],
+                            "st_null": 1 if sv is None else 0,
+                        }
+                    )
+                yield _pd.DataFrame(
+                    rows,
+                    columns=[
+                        "o_orderkey", "lst_len", "lst_csv", "s", "p",
+                        "st_null",
+                    ],
+                )
+
+    return pdf.mapInPandas(
+        _read,
+        schema="o_orderkey bigint, lst_len int, lst_csv string, "
+        "s string, p double, st_null int",
+    )
+
+
+@register(
     "sink_orc_typed",
     """
     SELECT event_id,

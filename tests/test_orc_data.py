@@ -429,3 +429,143 @@ def test_reader_java_convention_pre1970_fraction_spark_written(spark, tmp_path):
             250000000,
         ]
     ), got
+
+
+# ---------------------------------------------------------------------
+# Round 10: one-level nested (LIST / STRUCT) decode
+# ---------------------------------------------------------------------
+
+from simple_data_engineering_project_spark.operators.orc_data import (  # noqa: E402
+    read_orc_nested_columns,
+)
+
+
+def _nested_orc_table(n=300):
+    def lst(i):
+        if i % 7 == 0:
+            return None
+        return [None if (i + j) % 5 == 0 else i * 100 + j for j in range(i % 4)]
+
+    def lstr(i):
+        if i % 11 == 0:
+            return None
+        return [
+            None if j == 1 and i % 3 == 0 else f"s{i}-{j}" for j in range(i % 3)
+        ]
+
+    def st(i):
+        if i % 13 == 0:
+            return None
+        return {
+            "a": None if i % 6 == 0 else f"a{i}",
+            "b": None if i % 9 == 0 else i * 0.25,
+        }
+
+    return pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "lst": pa.array([lst(i) for i in range(n)], pa.list_(pa.int64())),
+            "lstr": pa.array(
+                [lstr(i) for i in range(n)], pa.list_(pa.string())
+            ),
+            "st": pa.array(
+                [st(i) for i in range(n)],
+                pa.struct([("a", pa.string()), ("b", pa.float64())]),
+            ),
+        }
+    )
+
+
+@pytest.mark.parametrize("codec", ["UNCOMPRESSED", "ZLIB", "SNAPPY", "ZSTD"])
+def test_nested_list_struct_vs_pyarrow_orc(tmp_path, codec):
+    t = _nested_orc_table()
+    path = str(tmp_path / f"nested_{codec}.orc")
+    po.write_table(t, path, compression=codec)
+    got = read_orc_nested_columns(path, ["id", "lst", "lstr", "st"])
+    for c in ("id", "lst", "lstr", "st"):
+        assert got[c] == t.column(c).to_pylist(), (codec, c)
+
+
+def test_nested_multi_stripe(tmp_path):
+    t = _nested_orc_table(n=2000)
+    path = str(tmp_path / "nested_ms.orc")
+    po.write_table(t, path, stripe_size=4096)
+    got = read_orc_nested_columns(path, ["id", "lst", "st"])
+    for c in ("id", "lst", "st"):
+        assert got[c] == t.column(c).to_pylist(), c
+
+
+def test_nested_spark_written_orc(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "spark_nested_orc")
+    df = spark.range(150).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 == 0, F.lit(None)).otherwise(
+            F.transform(
+                F.when(
+                    (F.col("id") % 4).cast("int") >= 1,
+                    F.sequence(F.lit(1), (F.col("id") % 4).cast("int")),
+                ).otherwise(F.expr("array()").cast("array<int>")),
+                lambda i: F.when(i == 2, F.lit(None).cast("bigint")).otherwise(
+                    (F.col("id") * 10 + i).cast("bigint")
+                ),
+            )
+        ).alias("lst"),
+        F.when(F.col("id") % 5 == 0, F.lit(None)).otherwise(
+            F.struct(
+                F.concat(F.lit("v"), F.col("id").cast("string")).alias("a"),
+                (F.col("id") * 0.5).alias("b"),
+            )
+        ).alias("st"),
+    )
+    df.coalesce(1).write.mode("overwrite").orc(out)
+    import glob
+
+    (path,) = glob.glob(f"{out}/part-*.orc")
+    ref = {r["id"]: r for r in df.collect()}
+    mine = read_orc_nested_columns(path, ["id", "lst", "st"])
+    for i, rid in enumerate(mine["id"]):
+        exp = ref[rid]
+        assert mine["lst"][i] == exp["lst"], rid
+        if exp["st"] is None:
+            assert mine["st"][i] is None
+        else:
+            assert mine["st"][i] == {"a": exp["st"]["a"], "b": exp["st"]["b"]}
+
+
+def test_nested_deep_shapes_decline_loudly_orc(tmp_path):
+    cases = {
+        "m": pa.array([{"k": 1}], pa.map_(pa.string(), pa.int64())),
+        "ls": pa.array(
+            [[{"x": 1}]], pa.list_(pa.struct([("x", pa.int64())]))
+        ),
+        "sl": pa.array(
+            [{"v": [1]}], pa.struct([("v", pa.list_(pa.int64()))])
+        ),
+        "ll": pa.array([[[1]]], pa.list_(pa.list_(pa.int64()))),
+    }
+    for name, arr in cases.items():
+        path = str(tmp_path / f"deep_{name}.orc")
+        po.write_table(pa.table({name: arr}), path)
+        with pytest.raises(NotImplementedError):
+            read_orc_nested_columns(path, [name])
+
+
+def test_nested_truncation_and_bitflip_never_hang_orc(tmp_path):
+    t = _nested_orc_table(n=200)
+    path = tmp_path / "nvictim.orc"
+    po.write_table(t, str(path), compression="ZLIB")
+    blob = path.read_bytes()
+    good = read_orc_nested_columns(blob, ["lst", "st"])
+    for off in (30, len(blob) // 3, len(blob) // 2, 2 * len(blob) // 3):
+        dam = bytearray(blob)
+        dam[off] ^= 0xFF
+        try:
+            got = read_orc_nested_columns(bytes(dam), ["lst", "st"])
+            assert len(got["lst"]) == len(good["lst"])
+        except Exception as exc:
+            assert not isinstance(exc, (SystemExit, KeyboardInterrupt))
+    for cut in (len(blob) - 7, len(blob) // 2, 20):
+        with pytest.raises(Exception):
+            read_orc_nested_columns(blob[:cut], ["lst", "st"])
