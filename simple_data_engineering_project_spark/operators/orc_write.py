@@ -316,10 +316,17 @@ def build_orc_bytes(
         elif kind == _K_DECIMAL:
             import decimal as _dec
 
-            unscaled = [
-                int(_dec.Decimal(v).scaleb(scale).to_integral_exact())
-                for v in nn
-            ]
+            unscaled = []
+            for v in nn:
+                sc = _dec.Decimal(v).scaleb(scale)
+                if sc != sc.to_integral_value():
+                    # silent half-even rounding here would corrupt
+                    # values claiming to fit the declared scale —
+                    # decline loudly per the repo rule
+                    raise ValueError(
+                        f"decimal value {v} does not fit scale {scale}"
+                    )
+                unscaled.append(int(sc))
             data = frame(
                 b"".join(_varint(_zigzag_unbounded(u)) for u in unscaled)
             )

@@ -157,17 +157,23 @@ def _plain(values: list, ptype: int) -> bytes:
 
 
 def _bitpacked_indices(idxs: list[int], bit_width: int) -> bytes:
-    """Dictionary indices as one bit-packed RLE/bit-packed-hybrid run
+    """Dictionary indices as bit-packed RLE/bit-packed-hybrid runs
     (groups of 8, LSB-first; trailing pad indices are ignored by
-    readers, which track the value count from the page header)."""
-    groups = (len(idxs) + 7) // 8
-    padded = idxs + [0] * (groups * 8 - len(idxs))
-    acc = 0
-    for i, v in enumerate(padded):
-        acc |= v << (i * bit_width)
-    return _varint((groups << 1) | 1) + acc.to_bytes(
-        groups * bit_width, "little"
-    )
+    readers, which track the value count from the page header). Runs
+    are capped at 512 values so the accumulator integer stays small —
+    one giant run would make the shift-or loop quadratic in the chunk
+    size."""
+    out = bytearray()
+    for start in range(0, len(idxs), 512):
+        chunk = idxs[start : start + 512]
+        groups = (len(chunk) + 7) // 8
+        padded = chunk + [0] * (groups * 8 - len(chunk))
+        acc = 0
+        for i, v in enumerate(padded):
+            acc |= v << (i * bit_width)
+        out += _varint((groups << 1) | 1)
+        out += acc.to_bytes(groups * bit_width, "little")
+    return bytes(out)
 
 
 def _stat_bytes(v, ptype: int) -> bytes:

@@ -569,3 +569,16 @@ def test_nested_truncation_and_bitflip_never_hang_orc(tmp_path):
     for cut in (len(blob) - 7, len(blob) // 2, 20):
         with pytest.raises(Exception):
             read_orc_nested_columns(blob[:cut], ["lst", "st"])
+
+
+def test_pure_writer_decimal_scale_mismatch_declines(tmp_path):
+    import decimal
+
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    with pytest.raises(ValueError, match="does not fit scale"):
+        build_orc_bytes(
+            {"d": [decimal.Decimal("1.234")]}, {"d": "decimal(9,2)"}
+        )

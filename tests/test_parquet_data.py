@@ -846,3 +846,18 @@ def test_pruned_scan_skips_groups_both_writers(tmp_path):
         str(sp), ["s"], "s", lo=b"k00900", hi=b"k00950"
     )
     assert r == 1 and t == 4
+
+
+def test_pure_writer_dictionary_multi_run_indices(tmp_path):
+    # >512 present values exercises the capped bit-packed run chain
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    import io
+
+    vals = [f"c{i % 9}" for i in range(5000)]
+    blob = build_parquet_bytes({"v": vals}, {"v": "string"}, "snappy")
+    assert pq.read_table(io.BytesIO(blob)).column("v").to_pylist() == vals
+    got = read_parquet_bytes(blob, ["v"])["v"]
+    assert [x.decode() for x in got] == vals
