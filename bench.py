@@ -444,9 +444,13 @@ def main() -> None:
         # is truncated — the quiet/noisy verdict always reaches the
         # judge in-band
         "load1": round(load_start[0], 2),
+        # informational only: the bench's own 32-thread execution
+        # dominates the 1-minute load by the time it finishes, so the
+        # end reading can NOT feed the noisy verdict (first round-10
+        # run: load1_end 12.4 from our own final queries)
         "load1_end": round(load_end[0], 2),
     }
-    if load_start[0] > NOISY_LOAD or load_end[0] > NOISY_LOAD:
+    if load_start[0] > NOISY_LOAD:
         out["noisy"] = True
     # Retry-variance disclosure (round-9 advice): the min(first, retry)
     # policy is asymmetric — it can mask a genuine regression whose
