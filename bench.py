@@ -206,6 +206,7 @@ HEADLINE = [
     "scan_parquet_int96",
     "sink_orc_typed",
     "scan_orc_nested",
+    "sink_parquet_typed",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -262,6 +263,7 @@ STEADY_STATE = {
     "scan_parquet_int96",  # round-10: JVM INT96 stage + pure decode
     "sink_orc_typed",  # round-10: same export-sink shape
     "scan_orc_nested",  # round-10: JVM nested-ORC stage + pure decode
+    "sink_parquet_typed",  # round-10: same export-sink shape
     "hybrid_search_rrf",  # round-8: BM25-leg codegen; 9.6 s cold, 3.9 s steady
     "dedup_cluster_report",  # round-8: shingle/minhash codegen; 6.3 s cold, 4.6 s steady
 }

@@ -48,7 +48,13 @@ _SPARK_TO_PHYSICAL = {
     "bigint": _PT_INT64,
     "double": _PT_DOUBLE,
     "string": _PT_BYTE_ARRAY,
+    # round 10: temporal logical types over integer physicals —
+    # values are epoch MICROSECONDS (timestamp) / epoch DAYS (date)
+    "timestamp": _PT_INT64,
+    "date": _PT_INT32,
 }
+# SchemaElement.converted_type (field 6) per parquet.thrift
+_CONVERTED = {"string": 0, "date": 6, "timestamp": 10}  # UTF8/DATE/TIMESTAMP_MICROS
 # columns whose distinct count stays at or below half the present
 # values (and within the 16-bit index budget) get a dictionary page
 _DICT_MAX_CARD = 65536
@@ -410,8 +416,8 @@ def build_parquet_bytes(
         last = _i32_field(el, last, 1, _SPARK_TO_PHYSICAL[ddl_types[c]])
         last = _i32_field(el, last, 3, 1)  # OPTIONAL
         last = _bin_field(el, last, 4, c.encode("utf-8"))
-        if ddl_types[c] == "string":
-            last = _i32_field(el, last, 6, 0)  # ConvertedType UTF8
+        if ddl_types[c] in _CONVERTED:
+            last = _i32_field(el, last, 6, _CONVERTED[ddl_types[c]])
         el.append(0)
         schema_elems.append(bytes(el))
 

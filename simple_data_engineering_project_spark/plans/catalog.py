@@ -11544,6 +11544,84 @@ def scan_parquet_nested_q(spark, sf_dir):
 
 
 @register(
+    "sink_parquet_typed",
+    """
+    SELECT event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           event_type
+    FROM events
+    """,
+    tier="C",
+    note="C12 typed parquet EXPORT (round 10, the parquet twin of "
+    "sink_orc_typed): events export through the pure writer's new "
+    "TIMESTAMP_MICROS and DATE converted types (epoch-micros/"
+    "epoch-days over INT64/INT32 physicals) — event_type "
+    "dictionary-encodes through the round-10 PLAIN_DICTIONARY path "
+    "and every chunk carries trusted min/max statistics — ONE FILE "
+    "PER ARROW BATCH from executors. Read-back goes through PYARROW "
+    "(reference reader; values come back as real timestamp[us]/"
+    "date32 logical types, compared as exact integer micros/days) "
+    "against DuckDB computing the same integers from SOURCE rows. "
+    "File-per-task, no shuffle.",
+)
+def sink_parquet_typed_q(spark, sf_dir):
+    from ..operators.parquet_write import build_parquet_bytes
+
+    def _encode(b):
+        ts_us = [
+            None if _pdna(v) else int(v.value) // 1000 for v in b["ts"]
+        ]
+        return build_parquet_bytes(
+            {
+                "event_id": [int(x) for x in b["event_id"]],
+                "ts": ts_us,
+                "day": [
+                    None if u is None else u // 86_400_000_000
+                    for u in ts_us
+                ],
+                "event_type": list(b["event_type"]),
+            },
+            {
+                "event_id": "bigint",
+                "ts": "timestamp",
+                "day": "date",
+                "event_type": "string",
+            },
+            compression="snappy",
+        )
+
+    def _decode(payload):
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(_io.BytesIO(payload))
+        return [
+            {
+                "event_id": int(eid),
+                "ts_us": ts,
+                "day": day,
+                "event_type": et,
+            }
+            for eid, ts, day, et in zip(
+                t.column("event_id").to_pylist(),
+                t.column("ts").cast("int64").to_pylist(),
+                t.column("day").cast("int32").to_pylist(),
+                t.column("event_type").to_pylist(),
+            )
+        ]
+
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "pq_typed_sink", "parquet", _encode, _decode,
+        "event_id long, ts_us long, day long, event_type string",
+        {"event_id": "int64", "ts_us": "Int64", "day": "Int64"},
+        select_cols=("event_id", "ts", "event_type"),
+        table="events",
+    )
+
+
+@register(
     "scan_orc_nested",
     """
     SELECT o_orderkey,

@@ -861,3 +861,35 @@ def test_pure_writer_dictionary_multi_run_indices(tmp_path):
     assert pq.read_table(io.BytesIO(blob)).column("v").to_pylist() == vals
     got = read_parquet_bytes(blob, ["v"])["v"]
     assert [x.decode() for x in got] == vals
+
+
+def test_pure_writer_timestamp_and_date_types(tmp_path):
+    import io
+
+    import duckdb
+
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    cols = {
+        "ts": [0, 1700000000_123456, None, 86399_999999, 1786795200_000001],
+        "d": [0, 19000, None, 1, 20321],
+    }
+    blob = build_parquet_bytes(cols, {"ts": "timestamp", "d": "date"}, "snappy")
+    t = pq.read_table(io.BytesIO(blob))
+    assert str(t.schema.field("ts").type).startswith("timestamp[us")
+    assert str(t.schema.field("d").type) == "date32[day]"
+    assert t.column("ts").cast("int64").to_pylist() == cols["ts"]
+    assert t.column("d").cast("int32").to_pylist() == cols["d"]
+    path = tmp_path / "typed.parquet"
+    path.write_bytes(blob)
+    got = duckdb.sql(
+        f"SELECT CAST(epoch_us(ts) AS BIGINT), CAST(d - DATE '1970-01-01' AS BIGINT) "
+        f"FROM read_parquet('{path}') ORDER BY 1 NULLS LAST"
+    ).fetchall()
+    exp = sorted(
+        ((u, dd) for u, dd in zip(cols["ts"], cols["d"]) if u is not None)
+    ) + [(None, None)]
+    assert got == exp
+    assert read_parquet_bytes(blob, ["ts", "d"]) == cols
