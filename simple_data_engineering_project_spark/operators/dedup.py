@@ -647,10 +647,15 @@ def dedup_fuzzy_keep_one(
     # (round-10 profiling: 1.3 s/run on the curate_corpus chain), while
     # the probe on the materialized LogicalRDD is free. If the
     # checkpoint landed narrow (AQE coalesces small shuffles; single
-    # small files scan as 1-2 splits), _spread layers a cheap
-    # repartition of the already-materialized rows so the four
-    # downstream passes still run cluster-wide.
-    df = _spread(df.localCheckpoint(), id_col)
+    # small files scan as 1-2 splits), the widening repartition is
+    # checkpointed TOO — left lazy, each of the four downstream passes
+    # would re-pay that full-corpus shuffle in its own job (round-10
+    # review finding); when the input is already wide the second
+    # checkpoint never happens.
+    df = df.localCheckpoint()
+    spread = _spread(df, id_col)
+    if spread is not df:
+        df = spread.localCheckpoint()
     cands = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes, bands, seed)
     verified = ngram_jaccard_pairs(df, cands, id_col, text_col, k, threshold)
     comp = connected_components(verified)

@@ -368,18 +368,8 @@ def _leaf_columns(types: list[dict]) -> dict[str, dict]:
     if not types or types[0].get(1, _K_STRUCT) != _K_STRUCT:
         raise ValueError("ORC root is not a struct")
     root = types[0]
-    # subtypes is `repeated uint32` — writers may emit it PACKED (one
-    # length-delimited blob of varints) or unpacked (one varint per
-    # field occurrence); handle both
-    subtypes: list[int] = []
-    for v in _as_list(root.get(2)):
-        if isinstance(v, int):
-            subtypes.append(v)
-        else:
-            p = 0
-            while p < len(v):
-                u, p = _varint(v, p)
-                subtypes.append(u)
+    # subtypes is `repeated uint32` — PACKED or unpacked; shared walk
+    subtypes = _subtype_ids(root)
     names = [n.decode("utf-8") for n in _as_list(root.get(3))]
     out = {}
     for name, cid in zip(names, subtypes):
@@ -540,6 +530,18 @@ def read_orc_nested_columns(path_or_bytes, columns: list[str]) -> dict[str, list
             p = plan[c]
             cid = p["cid"]
             if p["kind"] == _K_LIST:
+                # the parent's LENGTH stream is integer RLE too: an
+                # 0.11-era DIRECT/DICTIONARY encoding would silently
+                # mis-decode through the v2 decoder — same loud
+                # decline as the scalar path (round-10 review finding)
+                enc_parent = (
+                    encodings[cid] if cid < len(encodings) else {}
+                ).get(1, 0)
+                if enc_parent in (0, 1):
+                    raise NotImplementedError(
+                        "ORC RLEv1 column encoding (0.11 format) "
+                        "not supported"
+                    )
                 praw = located.get((cid, _S_PRESENT))
                 present = (
                     _bool_rle(_decompress_stream(codec, praw), n_rows)

@@ -347,6 +347,17 @@ def _parse_schema(meta: dict) -> dict[str, dict]:
     return out
 
 
+def _parse_file(buf: bytes) -> tuple[dict, dict]:
+    """Shared magic check + footer parse: (FileMetaData thrift map,
+    parsed schema) — one copy for the flat, nested, and pruned
+    readers."""
+    if buf[:4] != b"PAR1" or buf[-4:] != b"PAR1":
+        raise ValueError("not a parquet file")
+    (flen,) = struct.unpack("<I", buf[-8:-4])
+    meta = _Compact(buf[len(buf) - 8 - flen : len(buf) - 8]).struct()
+    return meta, _parse_schema(meta)
+
+
 def _read_page_header(buf: bytes, pos: int) -> tuple[dict, int]:
     c = _Compact(buf, pos)
     return c.struct(), c.pos
@@ -565,11 +576,7 @@ def read_parquet_nested_bytes(buf: bytes, columns: list[str]) -> dict[str, list]
     dicts (None for null structs/fields). Deeper shapes — maps,
     list<struct>, struct<list> — decline loudly; they remain the JVM
     reader's job."""
-    if buf[:4] != b"PAR1" or buf[-4:] != b"PAR1":
-        raise ValueError("not a parquet file")
-    (flen,) = struct.unpack("<I", buf[-8:-4])
-    meta = _Compact(buf[len(buf) - 8 - flen : len(buf) - 8]).struct()
-    schema = _parse_schema(meta)
+    meta, schema = _parse_file(buf)
     out: dict[str, list] = {c: [] for c in columns}
     for rg in meta.get(4, []):
         _decode_row_group(buf, rg, schema, columns, out)
@@ -674,11 +681,7 @@ def read_parquet_pruned_bytes(
     conservative."""
     from .parquet_meta import decode_stat_value
 
-    if buf[:4] != b"PAR1" or buf[-4:] != b"PAR1":
-        raise ValueError("not a parquet file")
-    (flen,) = struct.unpack("<I", buf[-8:-4])
-    meta = _Compact(buf[len(buf) - 8 - flen : len(buf) - 8]).struct()
-    schema = _parse_schema(meta)
+    meta, schema = _parse_file(buf)
     out: dict[str, list] = {c: [] for c in columns}
     n_total = n_read = 0
     for rg in meta.get(4, []):
@@ -779,11 +782,7 @@ def read_parquet_columns(path: str, columns: list[str]) -> dict[str, list]:
 
 def read_parquet_bytes(buf: bytes, columns: list[str]) -> dict[str, list]:
     """:func:`read_parquet_columns` over an in-memory file image."""
-    if buf[:4] != b"PAR1" or buf[-4:] != b"PAR1":
-        raise ValueError("not a parquet file")
-    (flen,) = struct.unpack("<I", buf[-8:-4])
-    meta = _Compact(buf[len(buf) - 8 - flen : len(buf) - 8]).struct()
-    schema = _parse_schema(meta)
+    meta, schema = _parse_file(buf)
     out: dict[str, list] = {c: [] for c in columns}
     for rg in meta.get(4, []):
         by_path: dict[str, dict] = {}

@@ -14,7 +14,10 @@ these files in the tests and the graded entry, values AND logical
 types (UTF8 converted type), and the repo's own :mod:`parquet_data`
 round-trips them too.
 
-Scope: BOOLEAN/INT32/INT64/DOUBLE/BYTE_ARRAY(utf8) physical types,
+Scope: BOOLEAN/INT32/INT64/DOUBLE/BYTE_ARRAY(utf8) physical types
+plus the TIMESTAMP_MICROS and DATE converted types over integer
+physicals (round 10 — epoch micros / epoch days in, real
+timestamp[us]/date32 logical types back out of pyarrow and DuckDB),
 OPTIONAL fields with null def-levels, codecs UNCOMPRESSED and SNAPPY,
 PLAIN_DICTIONARY pages when a column's distinct count earns them
 (round 10), per-chunk column STATISTICS (null_count + min_value/
@@ -269,10 +272,25 @@ def _write_column_chunk(body: bytearray, vals: list, ptype: int, codec_id: int):
     present = [v for v in vals if v is not None]
     stats = _statistics(present, n - len(present), ptype)
 
+    # Doubles dedup by their IEEE BIT PATTERN, not Python equality:
+    # -0.0 == 0.0 would merge the two zeros and rewrite later-seen
+    # values with the first-seen sign bit (round-10 review finding);
+    # bit keys also collapse identical NaNs instead of giving every
+    # NaN its own slot.
+    if ptype == _PT_DOUBLE:
+        def _key(v):
+            return struct.pack("<d", v)
+    else:
+        def _key(v):
+            return v
+
     uniq: dict = {}
+    dict_vals: list = []
     for v in present:
-        if v not in uniq:
-            uniq[v] = len(uniq)
+        k = _key(v)
+        if k not in uniq:
+            uniq[k] = len(uniq)
+            dict_vals.append(v)
     use_dict = (
         ptype != _PT_BOOLEAN  # booleans bit-pack tighter PLAIN
         and 0 < len(uniq) <= _DICT_MAX_CARD
@@ -282,7 +300,7 @@ def _write_column_chunk(body: bytearray, vals: list, ptype: int, codec_id: int):
     dict_offset = None
     comp_size = uncomp_size = 0
     if use_dict:
-        draw = _plain(list(uniq), ptype)
+        draw = _plain(dict_vals, ptype)
         dcomp = pack(draw)
         dph = bytearray()
         last = 0
@@ -297,7 +315,7 @@ def _write_column_chunk(body: bytearray, vals: list, ptype: int, codec_id: int):
         uncomp_size += len(hdr) + len(draw)
         bw = max(1, (len(uniq) - 1).bit_length())
         values_region = bytes([bw]) + _bitpacked_indices(
-            [uniq[v] for v in present], bw
+            [uniq[_key(v)] for v in present], bw
         )
         enc = 2  # PLAIN_DICTIONARY data page (v1 convention)
     else:

@@ -11769,6 +11769,7 @@ def sink_orc_typed_q(spark, sf_dir):
 
     def _encode(b):
         import decimal as _dec
+        import math as _math
 
         ts_ns = [
             None if _pdna(v) else int(v.value)
@@ -11777,7 +11778,10 @@ def sink_orc_typed_q(spark, sf_dir):
         amt = [
             None
             if _pdna(v)
-            else _dec.Decimal(int(v * 100 + 0.5) if v >= 0 else -int(-v * 100 + 0.5)).scaleb(-2)
+            # floor(v*100 + 0.5) unconditionally — the oracle's exact
+            # convention; a sign-split trunc variant diverges at
+            # negative half-cent boundaries (round-10 review finding)
+            else _dec.Decimal(_math.floor(v * 100 + 0.5)).scaleb(-2)
             for v in b["value"]
         ]
         return build_orc_bytes(
