@@ -207,6 +207,7 @@ HEADLINE = [
     "sink_orc_typed",
     "scan_orc_nested",
     "sink_parquet_typed",
+    "scan_orc_prune",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -264,6 +265,8 @@ STEADY_STATE = {
     "sink_orc_typed",  # round-10: same export-sink shape
     "scan_orc_nested",  # round-10: JVM nested-ORC stage + pure decode
     "sink_parquet_typed",  # round-10: same export-sink shape
+    "scan_orc_prune",  # round-10: JVM sorted ORC stage + stripe-stats
+    # pruned decode; same fixture-then-scan shape
     "hybrid_search_rrf",  # round-8: BM25-leg codegen; 9.6 s cold, 3.9 s steady
     "dedup_cluster_report",  # round-8: shingle/minhash codegen; 6.3 s cold, 4.6 s steady
 }

@@ -11909,6 +11909,73 @@ def scan_parquet_prune_q(spark, sf_dir):
 
 
 @register(
+    "scan_orc_prune",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 2999
+    """,
+    tier="C",
+    note="C12 ORC stripe-SKIPPING scan (round 10) — the ORC twin of "
+    "scan_parquet_prune: orders staged sorted by key through Spark's "
+    "JVM ORC writer (range partition + small stripe size → stripes "
+    "with tight key ranges), then the pure planner reads ONLY the "
+    "METADATA section's per-stripe ColumnStatistics (hand-parsed "
+    "protobuf; IntegerStatistics are sint64 ZIGZAG varints — "
+    "verified against a Spark file whose key sum round-trips "
+    "exactly) and decodes just the stripes whose key interval "
+    "intersects the predicate; eliminated stripes' data bytes are "
+    "never touched (orc_data.read_orc_pruned_columns). Conservative "
+    "on missing stats, exact row filter downstream, oracle = DuckDB "
+    "running the plain range query on source rows; a unit test pins "
+    "that stripes actually get skipped. FILE-PER-TASK mapInPandas, "
+    "no shuffle.",
+)
+def scan_orc_prune_q(spark, sf_dir):
+    import glob as _glob
+
+    import pandas as _pd
+
+    LO, HI = 1000, 2999
+    out = _scratch(sf_dir, "orc_prune_orders")
+    (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .option("orc.stripe.size", 64 * 1024)
+        .orc(out)
+    )
+    paths = sorted(_glob.glob(f"{out}/part-*.orc"))
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def _read(batches):
+        from ..operators.orc_data import read_orc_pruned_columns
+
+        cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+        for b in batches:
+            for path in b["path"]:
+                data, _r, _t_ = read_orc_pruned_columns(
+                    path, cols, "o_orderkey", lo=LO, hi=HI
+                )
+                yield _pd.DataFrame(data, columns=cols)
+
+    return (
+        pdf.mapInPandas(
+            _read,
+            schema="o_orderkey bigint, o_totalprice double, "
+            "o_orderpriority string",
+        )
+        # stripe elimination is conservative: the exact row filter
+        # still runs on the surviving stripes' rows
+        .filter(
+            (F.col("o_orderkey") >= LO) & (F.col("o_orderkey") <= HI)
+        )
+    )
+
+
+@register(
     "scan_parquet_int96",
     """
     SELECT o_orderkey,

@@ -582,3 +582,56 @@ def test_pure_writer_decimal_scale_mismatch_declines(tmp_path):
         build_orc_bytes(
             {"d": [decimal.Decimal("1.234")]}, {"d": "decimal(9,2)"}
         )
+
+
+def test_stripe_stats_and_pruned_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from simple_data_engineering_project_spark.operators.orc_data import (
+        read_orc_pruned_columns,
+        read_stripe_stats,
+    )
+
+    out = str(tmp_path / "prune")
+    (
+        spark.range(30000)
+        .select(
+            F.col("id").alias("x"),
+            F.concat(F.lit("r"), F.col("id").cast("string")).alias("y"),
+        )
+        .repartitionByRange(1, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .option("orc.stripe.size", 65536)
+        .orc(out)
+    )
+    import glob
+
+    (path,) = glob.glob(f"{out}/part-*.orc")
+    stats = read_stripe_stats(path)
+    assert len(stats) >= 2  # several stripes with tight ranges
+    s0 = stats[0][1]  # column id 1 = x
+    assert s0["min"] == 0 and s0["max"] < 30000 and not s0["has_null"]
+    # range hitting only the tail stripe(s) prunes the head
+    data, r, t = read_orc_pruned_columns(
+        path, ["x", "y"], "x", lo=29000, hi=29500
+    )
+    assert r < t, (r, t)
+    assert set(range(29000, 29501)) <= set(data["x"])
+    # unbounded reads everything
+    full, r2, t2 = read_orc_pruned_columns(path, ["x"], "x")
+    assert r2 == t2 and full["x"] == list(range(30000))
+    # disjoint range decodes nothing
+    none, r3, _ = read_orc_pruned_columns(path, ["x"], "x", lo=10**9)
+    assert r3 == 0 and none["x"] == []
+    # string-keyed pruning via StringStatistics: the r-prefixed keys
+    # overlap lexicographically across stripes ("r29990" < "r999"),
+    # so conservativeness is the contract here — all requested values
+    # present, stripes kept whenever their [min,max] overlaps
+    d2, rs, ts = read_orc_pruned_columns(
+        path, ["y"], "y", lo="r29990", hi="r29995"
+    )
+    assert rs <= ts and {"r29990", "r29995"} <= set(d2["y"])
+    # a range above every stripe's lexicographic max prunes all
+    _d3, rz, _tz = read_orc_pruned_columns(path, ["y"], "y", lo="zzz")
+    assert rz == 0
