@@ -32,8 +32,15 @@ subset, every piece hand-built per the ORC v1 spec:
 - DECIMAL (round 10): DATA = unbounded zigzag varints of unscaled
   values, SECONDARY = signed RLEv2 per-value scales, precision/scale
   in the Type message;
-- no row indexes (indexLength 0) and no statistics — readers treat
-  both as optional.
+- multi-stripe layouts via ``stripe_rows`` with per-stripe
+  ColumnStatistics in the METADATA section and merged file-level
+  statistics in the footer (round 10): IntegerStatistics as sint64
+  zigzag min/max/sum (sum omitted on int64 overflow), DoubleStatistics
+  as fixed64 (omitted when the stripe contains NaN), StringStatistics
+  as byte-wise min/max + total length — the zone maps
+  orc_data.read_orc_pruned_columns skips stripes on, round-tripped
+  through the repo's own stats reader and proven prunable;
+- no row indexes (indexLength 0) — readers treat them as optional.
 
 Honesty per the write-path rule: pyarrow.orc (ORC C++) is the
 in-container reference READER — the unit battery and the graded
@@ -225,11 +232,16 @@ def build_orc_bytes(
     ddl_types: dict[str, str],
     compression: str = "none",
     block_size: int = 262144,
+    stripe_rows: int | None = None,
 ) -> bytes:
-    """One single-stripe ORC file as bytes. All columns are OPTIONAL
-    (None round-trips as null). ``compression`` ∈ none/zlib/snappy;
+    """One ORC file as bytes. All columns are OPTIONAL (None
+    round-trips as null). ``compression`` ∈ none/zlib/snappy;
     timestamp values are epoch NANOSECONDS ints, decimal values are
-    ``decimal.Decimal`` (or anything Decimal() accepts)."""
+    ``decimal.Decimal`` (or anything Decimal() accepts);
+    ``stripe_rows`` splits rows into multiple stripes (round 10), and
+    every stripe's per-column statistics land in the METADATA section
+    plus merged file-level statistics in the footer — the zone maps
+    :func:`orc_data.read_orc_pruned_columns` skips stripes on."""
     if compression not in _CODECS:
         raise NotImplementedError(f"codec {compression} not writable")
     codec_id = _CODECS[compression]
@@ -244,136 +256,188 @@ def build_orc_bytes(
     def frame(raw: bytes) -> bytes:
         return _frame(raw, codec_id, block_size)
 
-    # streams per column (ids: 0 = root struct, 1.. = leaves in order)
-    stream_meta: list[tuple[int, int, int]] = []  # (column, kind, length)
-    bodies = bytearray()
-    encodings = [0]  # root struct: DIRECT
-    for idx, c in enumerate(names, start=1):
-        vals = columns[c]
-        kind, _prec, scale = kinds[c]
-        present = [v is not None for v in vals]
-        nn = [v for v in vals if v is not None]
-        if not all(present):
-            pb = frame(_bool_rle_encode(present))
-            stream_meta.append((idx, 0, len(pb)))  # PRESENT
-            bodies += pb
-        if kind == _K_LONG:
-            data = frame(rlev2_direct_encode([int(v) for v in nn], signed=True))
-            stream_meta.append((idx, 1, len(data)))
-            bodies += data
-            encodings.append(2)  # DIRECT_V2
-        elif kind == _K_DOUBLE:
-            data = frame(struct.pack(f"<{len(nn)}d", *[float(v) for v in nn]))
-            stream_meta.append((idx, 1, len(data)))
-            bodies += data
-            encodings.append(0)  # DIRECT
-        elif kind == _K_TIMESTAMP:
-            # The JAVA writer convention — the one ALL THREE
-            # in-container readers (Spark's JVM/Hive vectorized
-            # reader, pyarrow's ORC C++, orc_data) decode
-            # identically: floor-decompose into (seconds,
-            # positive nanos), then store seconds+1 when the absolute
-            # seconds are negative and a fraction is present, because
-            # readers subtract one second in exactly that case
-            # (verified against hand-built fixtures through all three
-            # readers, round 10). The C++ writer's alternative —
-            # signed nanos — makes Spark's JVM reader throw
-            # ('nanos > 999999999 or < 0'), so it is not usable for
-            # files that claim all-reference-reader readability. The
-            # convention's one representational hole, t in (-1s, 0)
-            # — where the stored seconds would be 0 and the rule
-            # cannot fire — declines loudly instead of silently
-            # flipping the fraction's sign.
-            secs, nanos = [], []
-            for v in nn:
-                t = int(v)
-                s, n = divmod(t, 1_000_000_000)
-                if s < 0 and n > 0:
-                    if s == -1:
-                        raise ValueError(
-                            "ORC Java timestamp convention cannot "
-                            "represent values in (-1s, 0) exclusive; "
-                            f"got {t} ns"
-                        )
-                    s += 1
-                secs.append(s)
-                nanos.append(n)
-            data = frame(
-                rlev2_direct_encode(
-                    [s - _TS_EPOCH_SECONDS for s in secs], signed=True
-                )
-            )
-            sec_stream = frame(
-                rlev2_direct_encode(
-                    [_encode_nanos(n) for n in nanos], signed=False
-                )
-            )
-            stream_meta.append((idx, 1, len(data)))  # DATA
-            bodies += data
-            stream_meta.append((idx, 5, len(sec_stream)))  # SECONDARY
-            bodies += sec_stream
-            encodings.append(2)  # DIRECT_V2
-        elif kind == _K_DECIMAL:
-            import decimal as _dec
-
-            unscaled = []
-            for v in nn:
-                sc = _dec.Decimal(v).scaleb(scale)
-                if sc != sc.to_integral_value():
-                    # silent half-even rounding here would corrupt
-                    # values claiming to fit the declared scale —
-                    # decline loudly per the repo rule
-                    raise ValueError(
-                        f"decimal value {v} does not fit scale {scale}"
+    def emit_stripe(start: int, n_s: int):
+        """(bodies, framed stripe footer, per-column-id stats dicts)
+        for rows [start, start+n_s)."""
+        # streams per column (ids: 0 = root struct, 1.. = leaves)
+        stream_meta: list[tuple[int, int, int]] = []
+        bodies = bytearray()
+        encodings = [0]  # root struct: DIRECT
+        stats: list[dict] = [
+            {"n": n_s, "has_null": False, "kind": None, "present": []}
+        ]
+        for idx, c in enumerate(names, start=1):
+            vals = columns[c][start : start + n_s]
+            kind, _prec, scale = kinds[c]
+            present = [v is not None for v in vals]
+            nn = [v for v in vals if v is not None]
+            if not all(present):
+                pb = frame(_bool_rle_encode(present))
+                stream_meta.append((idx, 0, len(pb)))  # PRESENT
+                bodies += pb
+            if kind == _K_LONG:
+                nn = [int(v) for v in nn]
+                data = frame(rlev2_direct_encode(nn, signed=True))
+                stream_meta.append((idx, 1, len(data)))
+                bodies += data
+                encodings.append(2)  # DIRECT_V2
+            elif kind == _K_DOUBLE:
+                nn = [float(v) for v in nn]
+                data = frame(struct.pack(f"<{len(nn)}d", *nn))
+                stream_meta.append((idx, 1, len(data)))
+                bodies += data
+                encodings.append(0)  # DIRECT
+            elif kind == _K_TIMESTAMP:
+                # The JAVA writer convention — the one ALL THREE
+                # in-container readers (Spark's JVM/Hive vectorized
+                # reader, pyarrow's ORC C++, orc_data) decode
+                # identically: floor-decompose into (seconds,
+                # positive nanos), then store seconds+1 when the
+                # absolute seconds are negative and a fraction is
+                # present, because readers subtract one second in
+                # exactly that case (verified against hand-built
+                # fixtures through all three readers, round 10). The
+                # C++ writer's alternative — signed nanos — makes
+                # Spark's JVM reader throw ('nanos > 999999999 or
+                # < 0'), so it is not usable for files that claim
+                # all-reference-reader readability. The convention's
+                # one representational hole, t in (-1s, 0) — where
+                # the stored seconds would be 0 and the rule cannot
+                # fire — declines loudly instead of silently flipping
+                # the fraction's sign.
+                secs, nanos = [], []
+                for v in nn:
+                    t = int(v)
+                    sv, nv = divmod(t, 1_000_000_000)
+                    if sv < 0 and nv > 0:
+                        if sv == -1:
+                            raise ValueError(
+                                "ORC Java timestamp convention cannot "
+                                "represent values in (-1s, 0) "
+                                f"exclusive; got {t} ns"
+                            )
+                        sv += 1
+                    secs.append(sv)
+                    nanos.append(nv)
+                data = frame(
+                    rlev2_direct_encode(
+                        [sv - _TS_EPOCH_SECONDS for sv in secs],
+                        signed=True,
                     )
-                unscaled.append(int(sc))
-            data = frame(
-                b"".join(_varint(_zigzag_unbounded(u)) for u in unscaled)
-            )
-            sec_stream = frame(
-                rlev2_direct_encode([scale] * len(nn), signed=True)
-            )
-            stream_meta.append((idx, 1, len(data)))  # DATA
-            bodies += data
-            stream_meta.append((idx, 5, len(sec_stream)))  # SECONDARY
-            bodies += sec_stream
-            encodings.append(2)  # DIRECT_V2
-        else:  # STRING
-            raw = [
-                v.encode("utf-8") if isinstance(v, str) else bytes(v)
-                for v in nn
-            ]
-            data = frame(b"".join(raw))
-            lens = frame(
-                rlev2_direct_encode([len(r) for r in raw], signed=False)
-            )
-            stream_meta.append((idx, 1, len(data)))  # DATA
-            bodies += data
-            stream_meta.append((idx, 2, len(lens)))  # LENGTH
-            bodies += lens
-            encodings.append(2)  # DIRECT_V2
+                )
+                sec_stream = frame(
+                    rlev2_direct_encode(
+                        [_encode_nanos(nv) for nv in nanos], signed=False
+                    )
+                )
+                stream_meta.append((idx, 1, len(data)))  # DATA
+                bodies += data
+                stream_meta.append((idx, 5, len(sec_stream)))  # SECONDARY
+                bodies += sec_stream
+                encodings.append(2)  # DIRECT_V2
+            elif kind == _K_DECIMAL:
+                import decimal as _dec
 
-    stripe_footer = bytearray()
-    for col, skind, ln in stream_meta:
-        msg = _pb_varint(1, skind) + _pb_varint(2, col) + _pb_varint(3, ln)
-        stripe_footer += _pb_bytes(1, msg)
-    for enc in encodings:
-        stripe_footer += _pb_bytes(2, _pb_varint(1, enc))
-    stripe_footer += _pb_bytes(3, b"UTC")  # writerTimezone
-    stripe_footer = bytearray(frame(bytes(stripe_footer)))
+                unscaled = []
+                for v in nn:
+                    sc = _dec.Decimal(v).scaleb(scale)
+                    if sc != sc.to_integral_value():
+                        # silent half-even rounding here would corrupt
+                        # values claiming to fit the declared scale —
+                        # decline loudly per the repo rule
+                        raise ValueError(
+                            f"decimal value {v} does not fit scale "
+                            f"{scale}"
+                        )
+                    unscaled.append(int(sc))
+                data = frame(
+                    b"".join(
+                        _varint(_zigzag_unbounded(u)) for u in unscaled
+                    )
+                )
+                sec_stream = frame(
+                    rlev2_direct_encode([scale] * len(nn), signed=True)
+                )
+                stream_meta.append((idx, 1, len(data)))  # DATA
+                bodies += data
+                stream_meta.append((idx, 5, len(sec_stream)))  # SECONDARY
+                bodies += sec_stream
+                encodings.append(2)  # DIRECT_V2
+            else:  # STRING
+                nn = [
+                    v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                    for v in nn
+                ]
+                data = frame(b"".join(nn))
+                lens = frame(
+                    rlev2_direct_encode(
+                        [len(r) for r in nn], signed=False
+                    )
+                )
+                stream_meta.append((idx, 1, len(data)))  # DATA
+                bodies += data
+                stream_meta.append((idx, 2, len(lens)))  # LENGTH
+                bodies += lens
+                encodings.append(2)  # DIRECT_V2
+            stats.append(
+                {
+                    "n": len(nn),
+                    "has_null": not all(present),
+                    "kind": kind,
+                    "present": nn,
+                }
+            )
+
+        stripe_footer = bytearray()
+        for col, skind, ln in stream_meta:
+            msg = (
+                _pb_varint(1, skind)
+                + _pb_varint(2, col)
+                + _pb_varint(3, ln)
+            )
+            stripe_footer += _pb_bytes(1, msg)
+        for enc in encodings:
+            stripe_footer += _pb_bytes(2, _pb_varint(1, enc))
+        stripe_footer += _pb_bytes(3, b"UTC")  # writerTimezone
+        return bodies, frame(bytes(stripe_footer)), stats
 
     body = bytearray(_MAGIC)
-    stripe_offset = len(body)
-    body += bodies
-    body += stripe_footer
+    rows_per = stripe_rows or max(num_rows, 1)
+    stripe_infos: list[bytes] = []
+    per_stripe_stats: list[list[dict]] = []
+    for start in range(0, max(num_rows, 1), rows_per):
+        n_s = min(rows_per, num_rows - start) if num_rows else 0
+        bodies, sf, stats = emit_stripe(start, n_s)
+        stripe_offset = len(body)
+        body += bodies
+        body += sf
+        stripe_infos.append(
+            _pb_varint(1, stripe_offset)
+            + _pb_varint(2, 0)  # indexLength
+            + _pb_varint(3, len(bodies))
+            + _pb_varint(4, len(sf))
+            + _pb_varint(5, n_s)
+        )
+        per_stripe_stats.append(stats)
+        if num_rows == 0:
+            break
 
-    stripe_info = (
-        _pb_varint(1, stripe_offset)
-        + _pb_varint(2, 0)  # indexLength
-        + _pb_varint(3, len(bodies))
-        + _pb_varint(4, len(stripe_footer))
-        + _pb_varint(5, num_rows)
+    # Footer.contentLength covers header + stripes only — the METADATA
+    # section (per-stripe ColumnStatistics, the stripe-pruning zone
+    # maps orc_data.read_stripe_stats decodes) sits after the content,
+    # before the footer, with its length declared in the PostScript.
+    content_length = len(body)
+    metadata = b"".join(
+        _pb_bytes(
+            1,
+            b"".join(
+                _pb_bytes(1, _column_statistics_pb(cs)) for cs in stats
+            ),
+        )
+        for stats in per_stripe_stats
     )
+    metadata = frame(metadata)
+    body += metadata
 
     # types: root struct + one leaf per column (depth-first ids)
     root = _pb_varint(1, _K_STRUCT)
@@ -389,12 +453,29 @@ def build_orc_bytes(
             t += _pb_varint(6, scale)
         types.append(_pb_bytes(4, t))
 
+    # file-level statistics (Footer field 7): the per-stripe stats
+    # merged column-wise
+    file_stats: list[dict] = []
+    for ci in range(len(names) + 1):
+        merged = {
+            "n": sum(st[ci]["n"] for st in per_stripe_stats),
+            "has_null": any(st[ci]["has_null"] for st in per_stripe_stats),
+            "kind": per_stripe_stats[0][ci]["kind"],
+            "present": [
+                v for st in per_stripe_stats for v in st[ci]["present"]
+            ],
+        }
+        file_stats.append(merged)
+
     footer = (
         _pb_varint(1, 3)  # headerLength ("ORC")
-        + _pb_varint(2, len(body))  # contentLength
-        + _pb_bytes(3, stripe_info)
+        + _pb_varint(2, content_length)
+        + b"".join(_pb_bytes(3, si) for si in stripe_infos)
         + b"".join(types)
         + _pb_varint(6, num_rows)
+        + b"".join(
+            _pb_bytes(7, _column_statistics_pb(cs)) for cs in file_stats
+        )
         + _pb_varint(8, 10000)  # rowIndexStride
     )
     footer = frame(footer)
@@ -405,7 +486,7 @@ def build_orc_bytes(
         + _pb_varint(2, codec_id)  # CompressionKind
         + (_pb_varint(3, block_size) if codec_id else b"")
         + _pb_bytes(4, _varint(0) + _varint(12))  # version 0.12 (packed)
-        + _pb_varint(5, 0)  # metadataLength
+        + _pb_varint(5, len(metadata))  # metadataLength
         + _pb_varint(6, 1)  # writerVersion
         + _pb_bytes(8000, b"ORC")
     )
@@ -414,6 +495,45 @@ def build_orc_bytes(
         raise ValueError("postscript too long")
     body.append(len(postscript))
     return bytes(body)
+
+
+def _column_statistics_pb(cs: dict) -> bytes:
+    """One protobuf ColumnStatistics: numberOfValues + typed min/max
+    (+sum) + hasNull. IntegerStatistics carry sint64 ZIGZAG varints —
+    the encoding orc_data.read_stripe_stats round-trips; the sum is
+    omitted when it overflows int64 range (the Java writer's rule).
+    Doubles omit min/max when the stripe contains NaN; strings record
+    byte-wise min/max and total length."""
+    msg = _pb_varint(1, cs["n"])
+    kind = cs["kind"]
+    present = cs["present"]
+    if present and kind == _K_LONG:
+        sm = sum(present)
+        ints = _pb_varint(1, _zigzag(min(present))) + _pb_varint(
+            2, _zigzag(max(present))
+        )
+        if -(2**63) <= sm < 2**63:
+            ints += _pb_varint(3, _zigzag(sm))
+        msg += _pb_bytes(2, ints)
+    elif present and kind == _K_DOUBLE and not any(v != v for v in present):
+        dbl = (
+            _tag(1, 1)
+            + struct.pack("<d", min(present))
+            + _tag(2, 1)
+            + struct.pack("<d", max(present))
+            + _tag(3, 1)
+            + struct.pack("<d", sum(present))
+        )
+        msg += _pb_bytes(3, dbl)
+    elif present and kind == _K_STRING:
+        st = (
+            _pb_bytes(1, min(present))
+            + _pb_bytes(2, max(present))
+            + _pb_varint(3, _zigzag(sum(len(v) for v in present)))
+        )
+        msg += _pb_bytes(4, st)
+    msg += _pb_varint(10, 1 if cs["has_null"] else 0)
+    return msg
 
 
 def write_orc_file(

@@ -635,3 +635,53 @@ def test_stripe_stats_and_pruned_scan(spark, tmp_path):
     # a range above every stripe's lexicographic max prunes all
     _d3, rz, _tz = read_orc_pruned_columns(path, ["y"], "y", lo="zzz")
     assert rz == 0
+
+
+def test_pure_writer_multi_stripe_stats_and_own_pruning(spark, tmp_path):
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+    from simple_data_engineering_project_spark.operators.orc_data import (
+        read_orc_pruned_columns,
+        read_stripe_stats,
+    )
+
+    n = 5000
+    cols = {
+        "x": list(range(n)),
+        "s": [f"k{i:06d}" for i in range(n)],
+        "d": [None if i % 97 == 0 else i * 0.5 for i in range(n)],
+    }
+    ddl = {"x": "bigint", "s": "string", "d": "double"}
+    path = str(tmp_path / "ms.orc")
+    open(path, "wb").write(
+        build_orc_bytes(cols, ddl, "zlib", stripe_rows=1000)
+    )
+    # reference readers: pyarrow AND Spark JVM
+    t = po.ORCFile(path).read()
+    for c in cols:
+        assert t.column(c).to_pylist() == cols[c], c
+    rows = spark.read.orc(path).orderBy("x").collect()
+    assert [r.x for r in rows] == cols["x"]
+    assert [r.s for r in rows[:3]] == cols["s"][:3]
+    # our own stats read back exactly what was written
+    stats = read_stripe_stats(path)
+    assert len(stats) == 5
+    assert stats[2][1] == {
+        "n": 1000, "min": 2000, "max": 2999, "has_null": False,
+    }
+    assert stats[0][2]["min"] == "k000000"
+    assert stats[0][2]["max"] == "k000999"
+    assert stats[3][3]["has_null"] is True  # the d-null stripe rows
+    # and our own pruner skips on them
+    data, r, tt = read_orc_pruned_columns(
+        path, ["x", "s"], "x", lo=3200, hi=3400
+    )
+    assert (r, tt) == (1, 5)
+    assert set(range(3200, 3401)) <= set(data["x"])
+    # NaN in a stripe suppresses double min/max but keeps counts
+    cols2 = {"d": [1.0, float("nan"), 2.0]}
+    p2 = str(tmp_path / "nan.orc")
+    open(p2, "wb").write(build_orc_bytes(cols2, {"d": "double"}))
+    s2 = read_stripe_stats(p2)
+    assert s2[0][1]["min"] is None and s2[0][1]["n"] == 3
