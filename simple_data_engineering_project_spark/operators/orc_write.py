@@ -8,7 +8,7 @@ subset, every piece hand-built per the ORC v1 spec:
 - protobuf wire encoding (varints, length-delimited messages, packed
   repeated varints) for Type/StripeInformation/StripeFooter/Footer/
   PostScript — no protobuf dependency;
-- one stripe; codecs NONE, ZLIB (raw deflate via stdlib) and SNAPPY
+- single- or multi-stripe; codecs NONE, ZLIB (raw deflate via stdlib) and SNAPPY
   (the repo's own encoder) — round 10: compressed files carry ORC's
   3-byte chunk framing ((length << 1) | isOriginal, little-endian) on
   every stream, the stripe footer, and the file footer, with the
