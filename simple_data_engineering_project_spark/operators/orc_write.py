@@ -17,7 +17,10 @@ subset, every piece hand-built per the ORC v1 spec:
 - integer columns as RLEv2 DIRECT runs (<=512 values, zigzag, the
   closed bit-width table, MSB-first packing — the same table and bit
   order orc_data decodes);
-- strings as DIRECT_V2 (RLEv2 LENGTH + concatenated DATA), doubles as
+- strings as DIRECT_V2 (RLEv2 LENGTH + concatenated DATA) or — when
+  the distinct count earns it (round 10) — DICTIONARY_V2: unsigned
+  RLEv2 indices into a SORTED dictionary (the Java writer's
+  convention) with dictionarySize in the ColumnEncoding; doubles as
   LE streams, OPTIONAL nulls via boolean-RLE PRESENT bitmaps
   (literal-form byte-RLE);
 - TIMESTAMP (round 10): DATA = signed RLEv2 seconds relative to
@@ -262,7 +265,8 @@ def build_orc_bytes(
         # streams per column (ids: 0 = root struct, 1.. = leaves)
         stream_meta: list[tuple[int, int, int]] = []
         bodies = bytearray()
-        encodings = [0]  # root struct: DIRECT
+        # (ColumnEncoding kind, dictionarySize or None)
+        encodings: list[tuple[int, int | None]] = [(0, None)]  # root
         stats: list[dict] = [
             {"n": n_s, "has_null": False, "kind": None, "present": []}
         ]
@@ -280,13 +284,13 @@ def build_orc_bytes(
                 data = frame(rlev2_direct_encode(nn, signed=True))
                 stream_meta.append((idx, 1, len(data)))
                 bodies += data
-                encodings.append(2)  # DIRECT_V2
+                encodings.append((2, None))  # DIRECT_V2
             elif kind == _K_DOUBLE:
                 nn = [float(v) for v in nn]
                 data = frame(struct.pack(f"<{len(nn)}d", *nn))
                 stream_meta.append((idx, 1, len(data)))
                 bodies += data
-                encodings.append(0)  # DIRECT
+                encodings.append((0, None))  # DIRECT
             elif kind == _K_TIMESTAMP:
                 # The JAVA writer convention — the one ALL THREE
                 # in-container readers (Spark's JVM/Hive vectorized
@@ -334,7 +338,7 @@ def build_orc_bytes(
                 bodies += data
                 stream_meta.append((idx, 5, len(sec_stream)))  # SECONDARY
                 bodies += sec_stream
-                encodings.append(2)  # DIRECT_V2
+                encodings.append((2, None))  # DIRECT_V2
             elif kind == _K_DECIMAL:
                 import decimal as _dec
 
@@ -362,23 +366,50 @@ def build_orc_bytes(
                 bodies += data
                 stream_meta.append((idx, 5, len(sec_stream)))  # SECONDARY
                 bodies += sec_stream
-                encodings.append(2)  # DIRECT_V2
+                encodings.append((2, None))  # DIRECT_V2
             else:  # STRING
                 nn = [
                     v.encode("utf-8") if isinstance(v, str) else bytes(v)
                     for v in nn
                 ]
-                data = frame(b"".join(nn))
-                lens = frame(
-                    rlev2_direct_encode(
-                        [len(r) for r in nn], signed=False
+                entries = sorted(set(nn))
+                if 0 < len(entries) and 2 * len(entries) <= len(nn):
+                    # DICTIONARY_V2 (round 10): DATA = unsigned RLEv2
+                    # indices into the SORTED dictionary (the Java
+                    # writer's convention), LENGTH = dict entry
+                    # lengths, DICTIONARY_DATA = concatenated entries;
+                    # dictionarySize rides in the ColumnEncoding
+                    index_of = {r: i for i, r in enumerate(entries)}
+                    data = frame(
+                        rlev2_direct_encode(
+                            [index_of[r] for r in nn], signed=False
+                        )
                     )
-                )
-                stream_meta.append((idx, 1, len(data)))  # DATA
-                bodies += data
-                stream_meta.append((idx, 2, len(lens)))  # LENGTH
-                bodies += lens
-                encodings.append(2)  # DIRECT_V2
+                    lens = frame(
+                        rlev2_direct_encode(
+                            [len(r) for r in entries], signed=False
+                        )
+                    )
+                    dict_data = frame(b"".join(entries))
+                    stream_meta.append((idx, 1, len(data)))  # DATA
+                    bodies += data
+                    stream_meta.append((idx, 2, len(lens)))  # LENGTH
+                    bodies += lens
+                    stream_meta.append((idx, 3, len(dict_data)))  # DICT
+                    bodies += dict_data
+                    encodings.append((3, len(entries)))  # DICTIONARY_V2
+                else:
+                    data = frame(b"".join(nn))
+                    lens = frame(
+                        rlev2_direct_encode(
+                            [len(r) for r in nn], signed=False
+                        )
+                    )
+                    stream_meta.append((idx, 1, len(data)))  # DATA
+                    bodies += data
+                    stream_meta.append((idx, 2, len(lens)))  # LENGTH
+                    bodies += lens
+                    encodings.append((2, None))  # DIRECT_V2
             stats.append(
                 {
                     "n": len(nn),
@@ -396,8 +427,11 @@ def build_orc_bytes(
                 + _pb_varint(3, ln)
             )
             stripe_footer += _pb_bytes(1, msg)
-        for enc in encodings:
-            stripe_footer += _pb_bytes(2, _pb_varint(1, enc))
+        for enc, dsize in encodings:
+            emsg = _pb_varint(1, enc)
+            if dsize is not None:
+                emsg += _pb_varint(2, dsize)
+            stripe_footer += _pb_bytes(2, emsg)
         stripe_footer += _pb_bytes(3, b"UTC")  # writerTimezone
         return bodies, frame(bytes(stripe_footer)), stats
 

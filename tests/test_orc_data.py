@@ -360,7 +360,9 @@ def test_pure_writer_zlib_multiblock_spark_reread(spark, tmp_path):
         cols, {"x": "bigint", "y": "string"}, "zlib", block_size=4096
     )
     blob_none = build_orc_bytes(cols, {"x": "bigint", "y": "string"}, "none")
-    assert len(blob) < len(blob_none) // 2  # compression actually bites
+    # y dictionary-encodes in BOTH files (round-10), so the NONE
+    # baseline is already compact; zlib still wins on top of it
+    assert len(blob) < len(blob_none)
     path = str(tmp_path / "zlib_multi.orc")
     open(path, "wb").write(blob)
     rows = spark.read.orc(path).orderBy("x").collect()
@@ -685,3 +687,37 @@ def test_pure_writer_multi_stripe_stats_and_own_pruning(spark, tmp_path):
     open(p2, "wb").write(build_orc_bytes(cols2, {"d": "double"}))
     s2 = read_stripe_stats(p2)
     assert s2[0][1]["min"] is None and s2[0][1]["n"] == 3
+
+
+def test_pure_writer_dictionary_v2_strings(spark, tmp_path):
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    n = 4000
+    cols = {
+        "k": list(range(n)),
+        "cat": [None if i % 53 == 0 else f"cat{i % 7}" for i in range(n)],
+        "uni": [f"u{i}" for i in range(n)],  # high-card stays DIRECT_V2
+    }
+    ddl = {"k": "bigint", "cat": "string", "uni": "string"}
+    path = str(tmp_path / "dict.orc")
+    open(path, "wb").write(
+        build_orc_bytes(cols, ddl, "zlib", stripe_rows=1500)
+    )
+    t = po.ORCFile(path).read()
+    for c in cols:
+        assert t.column(c).to_pylist() == cols[c], c
+    assert read_orc_columns(path, list(cols)) == cols
+    rows = spark.read.orc(path).orderBy("k").collect()
+    assert [r.cat for r in rows] == cols["cat"]
+    # the dict variant is genuinely smaller than forced DIRECT_V2
+    # (one dict-ineligible unique suffix per value defeats the dict)
+    blob_direct = build_orc_bytes(
+        {"cat": [None if v is None else v + str(i) for i, v in enumerate(cols["cat"])]},
+        {"cat": "string"}, "none",
+    )
+    blob_dict = build_orc_bytes(
+        {"cat": cols["cat"]}, {"cat": "string"}, "none"
+    )
+    assert len(blob_dict) < len(blob_direct) // 2
