@@ -776,11 +776,16 @@ def _decode_column(located, codec, cid, kind, enc, dict_size, n_rows) -> list:
         )
         vals = []
         p = 0
-        for sc in scales:
-            u, p = _varint(data or b"", p)
-            vals.append(
-                _dec.Decimal(_unzigzag(u)).scaleb(-sc)
-            )
+        # full-precision context: the DEFAULT context (prec=28) would
+        # silently round >28-digit unscaled values during the scale
+        # shift (round-11 twin of the writer-side fix)
+        with _dec.localcontext() as _ctx:
+            _ctx.prec = _dec.MAX_PREC
+            for sc in scales:
+                u, p = _varint(data or b"", p)
+                vals.append(
+                    _dec.Decimal(_unzigzag(u)).scaleb(-sc)
+                )
     elif kind == _K_BYTE:
         # byte-RLE carries raw bytes; tinyint is SIGNED
         vals = [v - 256 if v >= 128 else v for v in _byte_rle(data or b"", n_vals)]

@@ -272,7 +272,7 @@ def build_orc_bytes(
         ]
         for idx, c in enumerate(names, start=1):
             vals = columns[c][start : start + n_s]
-            kind, _prec, scale = kinds[c]
+            kind, prec, scale = kinds[c]
             present = [v is not None for v in vals]
             nn = [v for v in vals if v is not None]
             if not all(present):
@@ -344,16 +344,28 @@ def build_orc_bytes(
 
                 unscaled = []
                 for v in nn:
-                    sc = _dec.Decimal(v).scaleb(scale)
-                    if sc != sc.to_integral_value():
-                        # silent half-even rounding here would corrupt
-                        # values claiming to fit the declared scale —
-                        # decline loudly per the repo rule
+                    # scale shift under full precision: the default
+                    # decimal context (prec=28) would silently round
+                    # >28-digit values BEFORE the fit check below,
+                    # letting corrupted-but-integral results through
+                    with _dec.localcontext() as ctx:
+                        ctx.prec = _dec.MAX_PREC
+                        sc = _dec.Decimal(v).scaleb(scale)
+                        if sc != sc.to_integral_value():
+                            # silent rounding here would corrupt values
+                            # claiming to fit the declared scale —
+                            # decline loudly per the repo rule
+                            raise ValueError(
+                                f"decimal value {v} does not fit scale "
+                                f"{scale}"
+                            )
+                        u = int(sc)
+                    if len(str(abs(u))) > prec:
                         raise ValueError(
-                            f"decimal value {v} does not fit scale "
-                            f"{scale}"
+                            f"decimal value {v} exceeds declared "
+                            f"precision {prec}"
                         )
-                    unscaled.append(int(sc))
+                    unscaled.append(u)
                 data = frame(
                     b"".join(
                         _varint(_zigzag_unbounded(u)) for u in unscaled

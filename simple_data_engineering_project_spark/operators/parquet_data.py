@@ -678,8 +678,19 @@ def read_parquet_pruned_bytes(
     can match. Row groups whose chunk lacks statistics are read
     conservatively. NOTE: surviving rows still need the row-level
     filter applied downstream — group elimination is necessarily
-    conservative."""
+    conservative.
+
+    Bound types: numeric prune columns take numeric lo/hi; BYTE_ARRAY
+    prune columns take ``bytes`` or ``str`` bounds — str bounds are
+    utf-8 encoded before comparison (utf-8 byte order equals
+    code-point order, so the comparison matches the ORC twin's str
+    semantics)."""
     from .parquet_meta import decode_stat_value
+
+    if isinstance(lo, str):
+        lo = lo.encode("utf-8")
+    if isinstance(hi, str):
+        hi = hi.encode("utf-8")
 
     meta, schema = _parse_file(buf)
     out: dict[str, list] = {c: [] for c in columns}

@@ -196,11 +196,22 @@ def test_rlev1_011_format_declined_loudly():
     """Review-pass regression (confirmed repro): 0.11-format files use
     RLEv1 integer encoding — feeding it to the v2 decoder silently
     mis-decodes, so the v1 column encodings must raise."""
-    t = pa.table({"x": pa.array([0, 1, 2] * 100, pa.int64()),
-                  "s": pa.array([f"v{i%5}" for i in range(300)])})
+    import decimal as _dec
+
+    t = pa.table({
+        "x": pa.array([0, 1, 2] * 100, pa.int64()),
+        "s": pa.array([f"v{i%5}" for i in range(300)]),
+        # TIMESTAMP/DECIMAL DATA/SECONDARY streams carry integer RLE
+        # too — a 0.11 DIRECT encoding must decline, not mis-decode
+        # through the RLEv2 decoder (round-10 review finding)
+        "ts": pa.array([1_000_000 + i for i in range(300)],
+                       pa.timestamp("us")),
+        "d": pa.array([_dec.Decimal(f"{i}.25") for i in range(300)],
+                      pa.decimal128(10, 2)),
+    })
     buf = io.BytesIO()
     po.write_table(t, buf, file_version="0.11")
-    for c in ("x", "s"):
+    for c in ("x", "s", "ts", "d"):
         with pytest.raises(NotImplementedError, match="RLEv1"):
             read_orc_columns(buf.getvalue(), [c])
 
@@ -721,3 +732,32 @@ def test_pure_writer_dictionary_v2_strings(spark, tmp_path):
         {"cat": cols["cat"]}, {"cat": "string"}, "none"
     )
     assert len(blob_dict) < len(blob_direct) // 2
+
+
+def test_writer_high_precision_decimal_no_silent_rounding():
+    """Round-11 regression (ADVICE high, confirmed repro): the scale
+    shift ran under the DEFAULT decimal context (prec=28), so a
+    decimal(38,2) value with >28 significant digits was silently
+    ROUNDED before the fit check — which then passed because the
+    rounded result is integral. The shift must run at full precision
+    and values whose digit count exceeds the declared precision must
+    decline loudly."""
+    import decimal
+
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    D = decimal.Decimal
+    big = D("123456789012345678901234567890123456.78")
+    blob = build_orc_bytes({"x": [big, D("1.50")]}, {"x": "decimal(38,2)"})
+    t = po.ORCFile(io.BytesIO(blob)).read()
+    assert t.column("x").to_pylist() == [big, D("1.50")]
+    # own reader round-trips the full 38 digits too
+    assert read_orc_columns(blob, ["x"])["x"] == [big, D("1.50")]
+    # declared-precision overflow declines (was silently truncated)
+    with pytest.raises(ValueError, match="precision"):
+        build_orc_bytes({"x": [D("12345.67")]}, {"x": "decimal(4,2)"})
+    # scale misfit still declines
+    with pytest.raises(ValueError, match="scale"):
+        build_orc_bytes({"x": [D("1.234")]}, {"x": "decimal(10,2)"})
