@@ -128,9 +128,10 @@ def _struct_field(out: bytearray, last: int, fid: int, body: bytes) -> int:
     return last
 
 
-def _rle_levels(levels: list[int]) -> bytes:
-    """Definition levels as RLE runs (bit width 1), v1 framing: the
-    4-byte LE byte length prefixes the hybrid stream."""
+def _rle_runs(levels: list[int]) -> bytes:
+    """Def/rep levels as RLE runs of the RLE/bit-packed hybrid (run
+    value stored in ceil(bit_width/8) = 1 byte for any level ≤ 255 —
+    valid for every max_def/max_rep this writer emits), UNframed."""
     body = bytearray()
     i, n = 0, len(levels)
     while i < n:
@@ -138,9 +139,15 @@ def _rle_levels(levels: list[int]) -> bytes:
         while j < n and levels[j] == levels[i]:
             j += 1
         body += _varint((j - i) << 1)  # RLE run header
-        body.append(levels[i])  # one value in ceil(1/8)=1 byte
+        body.append(levels[i])
         i = j
-    return struct.pack("<I", len(body)) + bytes(body)
+    return bytes(body)
+
+
+def _rle_levels(levels: list[int]) -> bytes:
+    """V1 framing: 4-byte LE byte length prefixes the hybrid stream."""
+    body = _rle_runs(levels)
+    return struct.pack("<I", len(body)) + body
 
 
 def _plain(values: list, ptype: int) -> bytes:
@@ -183,6 +190,78 @@ def _bitpacked_indices(idxs: list[int], bit_width: int) -> bytes:
         out += _varint((groups << 1) | 1)
         out += acc.to_bytes(groups * bit_width, "little")
     return bytes(out)
+
+
+def _delta_binary_packed(values: list[int], width: int) -> bytes:
+    """DELTA_BINARY_PACKED (parquet-format Encodings.md §Delta):
+    ``<block size> <miniblocks per block> <total count> <first value>``
+    then per 128-value block ``<min delta (zigzag)> <4 miniblock bit
+    widths> <bit-packed adjusted deltas>``. Deltas wrap in the physical
+    ``width`` (32/64) exactly like the reader's modular accumulation;
+    miniblocks holding no values get bit width 0 and no data;
+    partially-filled miniblocks pad with zeros (readers stop at the
+    declared count). Bit packing is LSB-first little-endian — the same
+    layout as the RLE hybrid's bit-packed runs."""
+    BLOCK, NMB = 128, 4
+    MB = BLOCK // NMB  # 32 values per miniblock
+    out = bytearray()
+    out += _varint(BLOCK)
+    out += _varint(NMB)
+    out += _varint(len(values))
+    out += _zigzag(values[0] if values else 0)
+    if len(values) <= 1:
+        return bytes(out)
+    half = 1 << (width - 1)
+    full = 1 << width
+    deltas = [
+        ((values[i] - values[i - 1] + half) % full) - half
+        for i in range(1, len(values))
+    ]
+    for bs in range(0, len(deltas), BLOCK):
+        block = deltas[bs : bs + BLOCK]
+        mind = min(block)
+        out += _zigzag(mind)
+        adj = [d - mind for d in block]
+        widths = []
+        packed = []
+        for m in range(NMB):
+            mb = adj[m * MB : (m + 1) * MB]
+            if not mb:
+                widths.append(0)
+                continue
+            bw = max(v.bit_length() for v in mb)
+            widths.append(bw)
+            if bw == 0:
+                continue
+            mb = mb + [0] * (MB - len(mb))
+            acc = 0
+            for i, v in enumerate(mb):
+                acc |= v << (i * bw)
+            packed.append(acc.to_bytes(MB * bw // 8, "little"))
+        out += bytes(widths)
+        for p in packed:
+            out += p
+    return bytes(out)
+
+
+def _delta_length_byte_array(present: list) -> bytes:
+    """DELTA_LENGTH_BYTE_ARRAY: DELTA_BINARY_PACKED int32 lengths, then
+    the concatenated byte-array data."""
+    enc = [
+        v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        for v in present
+    ]
+    return _delta_binary_packed([len(b) for b in enc], 32) + b"".join(enc)
+
+
+def _byte_stream_split(present: list) -> bytes:
+    """BYTE_STREAM_SPLIT for doubles: stream k holds byte k of every
+    value — transposed IEEE bytes, the layout that makes the codec's
+    job easy on slowly-varying floats."""
+    raw = struct.pack(f"<{len(present)}d", *present)
+    return bytes(
+        raw[i * 8 + k] for k in range(8) for i in range(len(present))
+    )
 
 
 def _stat_bytes(v, ptype: int) -> bytes:
@@ -341,11 +420,251 @@ def _write_column_chunk(body: bytearray, vals: list, ptype: int, codec_id: int):
     return encodings, dict_offset, data_offset, comp_size, uncomp_size, stats
 
 
+def _parse_ddl(ddl: str):
+    """('scalar', t) | ('array', elem_t) | ('struct', [(name, t), ...])
+    for a Spark DDL type string — ONE level of nesting, scalar
+    elements/fields only (the same envelope the reader assembles);
+    deeper shapes decline loudly."""
+    s = ddl.strip()
+    low = s.lower()
+    if low.startswith("array<") and s.endswith(">"):
+        elem = s[6:-1].strip()
+        if elem.lower() not in _SPARK_TO_PHYSICAL:
+            raise NotImplementedError(
+                f"array element type {elem!r} not writable (one level "
+                "of nesting, scalar elements only)"
+            )
+        return ("array", elem.lower())
+    if low.startswith("struct<") and s.endswith(">"):
+        fields = []
+        for part in s[7:-1].split(","):
+            name, _, t = part.partition(":")
+            t = t.strip().lower()
+            if t not in _SPARK_TO_PHYSICAL:
+                raise NotImplementedError(
+                    f"struct field type {t!r} not writable (one level "
+                    "of nesting, scalar fields only)"
+                )
+            fields.append((name.strip(), t))
+        return ("struct", fields)
+    if low in _SPARK_TO_PHYSICAL:
+        return ("scalar", low)
+    raise NotImplementedError(f"type {ddl} not writable")
+
+
+def _list_levels(vals: list):
+    """(def_levels, rep_levels, present) for the standard 3-level LIST
+    shape: def 0 = null list, 1 = empty list, 2 = null element,
+    3 = present element; rep 1 marks continuation within a row."""
+    defs: list[int] = []
+    reps: list[int] = []
+    present: list = []
+    for row in vals:
+        if row is None:
+            defs.append(0)
+            reps.append(0)
+        elif len(row) == 0:
+            defs.append(1)
+            reps.append(0)
+        else:
+            for k, e in enumerate(row):
+                reps.append(0 if k == 0 else 1)
+                if e is None:
+                    defs.append(2)
+                else:
+                    defs.append(3)
+                    present.append(e)
+    return defs, reps, present
+
+
+def _struct_field_levels(vals: list, fname: str):
+    """(def_levels, present) for one field of an OPTIONAL struct:
+    def 0 = null struct, 1 = present struct / null field, 2 = value."""
+    defs: list[int] = []
+    present: list = []
+    for row in vals:
+        if row is None:
+            defs.append(0)
+        else:
+            v = row.get(fname) if isinstance(row, dict) else getattr(row, fname)
+            if v is None:
+                defs.append(1)
+            else:
+                defs.append(2)
+                present.append(v)
+    return defs, present
+
+
+# v2 value encodings by physical type: the DELTA family for ints and
+# strings, BYTE_STREAM_SPLIT for doubles, PLAIN (bit-packed) booleans
+_V2_ENC = {
+    _PT_INT32: 5,  # DELTA_BINARY_PACKED
+    _PT_INT64: 5,
+    _PT_BYTE_ARRAY: 6,  # DELTA_LENGTH_BYTE_ARRAY
+    _PT_DOUBLE: 9,  # BYTE_STREAM_SPLIT
+    _PT_BOOLEAN: 0,  # PLAIN
+}
+
+
+def _write_column_chunk_v2(body: bytearray, vals: list, ptype: int, codec_id: int):
+    """V2 data page: def/rep levels live OUTSIDE the compressed region
+    (unframed RLE; their byte lengths are header fields), only the
+    values region compresses, and the value encodings are the modern
+    ones (_V2_ENC) — the write-side twin of the reader's round-9 DELTA/
+    BYTE_STREAM_SPLIT decode paths. Returns the same tuple shape as the
+    v1 writer (dict_offset always None)."""
+    from .snappy import snappy_compress
+
+    n = len(vals)
+    levels = [0 if v is None else 1 for v in vals]
+    present = [v for v in vals if v is not None]
+    stats = _statistics(present, n - len(present), ptype)
+    enc = _V2_ENC[ptype]
+    if ptype in (_PT_INT32, _PT_INT64):
+        raw_vals = _delta_binary_packed(
+            [int(v) for v in present], 32 if ptype == _PT_INT32 else 64
+        )
+    elif ptype == _PT_BYTE_ARRAY:
+        raw_vals = _delta_length_byte_array(present)
+    elif ptype == _PT_DOUBLE:
+        raw_vals = _byte_stream_split(present)
+    else:
+        raw_vals = _plain(present, ptype)
+    comp_vals = snappy_compress(raw_vals) if codec_id else raw_vals
+    def_bytes = _rle_runs(levels)
+
+    dph = bytearray()
+    last = 0
+    last = _i32_field(dph, last, 1, n)  # num_values
+    last = _i32_field(dph, last, 2, n - len(present))  # num_nulls
+    last = _i32_field(dph, last, 3, n)  # num_rows (flat: 1 per value)
+    last = _i32_field(dph, last, 4, enc)
+    last = _i32_field(dph, last, 5, len(def_bytes))
+    last = _i32_field(dph, last, 6, 0)  # no rep levels (flat)
+    # is_compressed: compact bool lives in the field header itself
+    last = _field(dph, last, 7, 1 if codec_id else 2)
+    dph.append(0)
+    hdr = _page_header(
+        3,
+        len(def_bytes) + len(raw_vals),
+        len(def_bytes) + len(comp_vals),
+        8,
+        bytes(dph),
+    )
+    data_offset = len(body)
+    body += hdr
+    body += def_bytes
+    body += comp_vals
+    comp_size = len(hdr) + len(def_bytes) + len(comp_vals)
+    uncomp_size = len(hdr) + len(def_bytes) + len(raw_vals)
+    return [enc, 3], None, data_offset, comp_size, uncomp_size, stats
+
+
+def _encode_values(present: list, ptype: int, page_version: int) -> tuple[bytes, int]:
+    """(raw value bytes, encoding id) for a NESTED leaf chunk — PLAIN
+    on v1 pages, the _V2_ENC family on v2 (nested chunks skip the
+    dictionary path; the flat writers keep theirs)."""
+    if page_version == 2:
+        enc = _V2_ENC[ptype]
+        if ptype in (_PT_INT32, _PT_INT64):
+            return _delta_binary_packed(
+                [int(v) for v in present],
+                32 if ptype == _PT_INT32 else 64,
+            ), enc
+        if ptype == _PT_BYTE_ARRAY:
+            return _delta_length_byte_array(present), enc
+        if ptype == _PT_DOUBLE:
+            return _byte_stream_split(present), enc
+        return _plain(present, ptype), 0
+    return _plain(present, ptype), 0
+
+
+def _write_nested_chunk(
+    body: bytearray,
+    defs: list[int],
+    reps: list[int] | None,
+    present: list,
+    n_rows: int,
+    ptype: int,
+    codec_id: int,
+    page_version: int,
+):
+    """One LEAF chunk under a LIST or STRUCT column: caller supplies
+    the already-computed def/rep level streams; this emits the page in
+    the requested layout (v1: prefixed-RLE rep + def levels inside the
+    compressed region; v2: unframed levels outside it). Returns the
+    same tuple shape as the flat chunk writers."""
+    from .snappy import snappy_compress
+
+    def pack(raw: bytes) -> bytes:
+        return snappy_compress(raw) if codec_id else raw
+
+    n = len(defs)
+    stats = _statistics(present, n - len(present), ptype)
+    raw_vals, enc = _encode_values(present, ptype, page_version)
+
+    if page_version == 2:
+        rep_bytes = _rle_runs(reps) if reps is not None else b""
+        def_bytes = _rle_runs(defs)
+        comp_vals = pack(raw_vals)
+        dph = bytearray()
+        last = 0
+        last = _i32_field(dph, last, 1, n)
+        last = _i32_field(dph, last, 2, n - len(present))
+        last = _i32_field(dph, last, 3, n_rows)
+        last = _i32_field(dph, last, 4, enc)
+        last = _i32_field(dph, last, 5, len(def_bytes))
+        last = _i32_field(dph, last, 6, len(rep_bytes))
+        last = _field(dph, last, 7, 1 if codec_id else 2)
+        dph.append(0)
+        hdr = _page_header(
+            3,
+            len(rep_bytes) + len(def_bytes) + len(raw_vals),
+            len(rep_bytes) + len(def_bytes) + len(comp_vals),
+            8,
+            bytes(dph),
+        )
+        data_offset = len(body)
+        body += hdr
+        body += rep_bytes
+        body += def_bytes
+        body += comp_vals
+        comp_size = len(hdr) + len(rep_bytes) + len(def_bytes) + len(comp_vals)
+        uncomp_size = len(hdr) + len(rep_bytes) + len(def_bytes) + len(raw_vals)
+        return [enc, 3], None, data_offset, comp_size, uncomp_size, stats
+
+    raw = b""
+    if reps is not None:
+        raw += _rle_levels(reps)
+    raw += _rle_levels(defs) + raw_vals
+    comp = pack(raw)
+    dph = bytearray()
+    last = 0
+    last = _i32_field(dph, last, 1, n)
+    last = _i32_field(dph, last, 2, enc)
+    last = _i32_field(dph, last, 3, 3)  # RLE def levels
+    last = _i32_field(dph, last, 4, 3)  # RLE rep levels
+    dph.append(0)
+    hdr = _page_header(0, len(raw), len(comp), 5, bytes(dph))
+    data_offset = len(body)
+    body += hdr
+    body += comp
+    return (
+        [enc, 3],
+        None,
+        data_offset,
+        len(hdr) + len(comp),
+        len(hdr) + len(raw),
+        stats,
+    )
+
+
 def build_parquet_bytes(
     columns: dict[str, list],
     ddl_types: dict[str, str],
     compression: str = "snappy",
     row_group_size: int | None = None,
+    page_version: int = 1,
 ) -> bytes:
     """One parquet FILE as bytes.
 
@@ -356,59 +675,101 @@ def build_parquet_bytes(
     chunk carries null_count + min_value/max_value statistics; and
     ``row_group_size`` splits rows into multiple row groups so those
     statistics drive row-group skipping in readers.
+
+    ``page_version=2`` (round 11) writes DataPageV2 instead: levels
+    outside the compressed region, DELTA_BINARY_PACKED ints/temporals,
+    DELTA_LENGTH_BYTE_ARRAY strings, BYTE_STREAM_SPLIT doubles —
+    closing the read/write asymmetry left by the round-9 reader, which
+    already decodes all of these.
     """
     names = list(columns)
     num_rows = len(columns[names[0]]) if names else 0
+    plans = {c: _parse_ddl(ddl_types[c]) for c in names}
+    n_leaves = sum(
+        len(p[1]) if p[0] == "struct" else 1 for p in plans.values()
+    )
     for c in names:
         if len(columns[c]) != num_rows:
             raise ValueError("ragged columns")
-        if ddl_types[c] not in _SPARK_TO_PHYSICAL:
-            raise NotImplementedError(f"type {ddl_types[c]} not writable")
     if compression not in ("none", "snappy"):
         raise NotImplementedError(f"codec {compression} not writable")
     codec_id = 1 if compression == "snappy" else 0
     rg_size = row_group_size or max(num_rows, 1)
 
+    def _leaf_metadata(
+        path: list[str], ptype: int, n_values: int, chunk
+    ) -> bytes:
+        encodings, dict_off, data_off, comp_size, uncomp_size, stats = chunk
+        md = bytearray()
+        last = 0
+        last = _i32_field(md, last, 1, ptype)
+        last = _list_field(
+            md, last, 2, _T_I32, [_zigzag(e) for e in encodings]
+        )
+        last = _list_field(
+            md, last, 3, _T_BINARY,
+            [_varint(len(p.encode())) + p.encode() for p in path],
+        )
+        last = _i32_field(md, last, 4, codec_id)
+        last = _i64_field(md, last, 5, n_values)
+        last = _i64_field(md, last, 6, uncomp_size)
+        last = _i64_field(md, last, 7, comp_size)
+        last = _i64_field(md, last, 9, data_off)
+        if dict_off is not None:
+            last = _i64_field(md, last, 11, dict_off)
+        last = _struct_field(md, last, 12, stats)
+        md.append(0)
+        cc = bytearray()
+        last = 0
+        last = _i64_field(
+            cc, last, 2, dict_off if dict_off is not None else data_off
+        )
+        last = _struct_field(cc, last, 3, bytes(md))
+        cc.append(0)
+        return bytes(cc)
+
     body = bytearray(_MAGIC)
     row_groups = []
+    flat_writer = (
+        _write_column_chunk_v2 if page_version == 2 else _write_column_chunk
+    )
     for start in range(0, max(num_rows, 1), rg_size):
         n_rg = min(rg_size, num_rows - start) if num_rows else 0
         col_chunks = []
         total_uncomp = 0
         for c in names:
-            ptype = _SPARK_TO_PHYSICAL[ddl_types[c]]
+            kind, detail = plans[c]
             vals = columns[c][start : start + n_rg]
-            (
-                encodings, dict_off, data_off, comp_size, uncomp_size,
-                stats,
-            ) = _write_column_chunk(body, vals, ptype, codec_id)
-            md = bytearray()
-            last = 0
-            last = _i32_field(md, last, 1, ptype)
-            last = _list_field(
-                md, last, 2, _T_I32,
-                [_zigzag(e) for e in encodings],
-            )
-            last = _list_field(
-                md, last, 3, _T_BINARY,
-                [_varint(len(c.encode())) + c.encode()],
-            )
-            last = _i32_field(md, last, 4, codec_id)
-            last = _i64_field(md, last, 5, n_rg)
-            last = _i64_field(md, last, 6, uncomp_size)
-            last = _i64_field(md, last, 7, comp_size)
-            last = _i64_field(md, last, 9, data_off)
-            if dict_off is not None:
-                last = _i64_field(md, last, 11, dict_off)
-            last = _struct_field(md, last, 12, stats)
-            md.append(0)
-            cc = bytearray()
-            last = 0
-            last = _i64_field(cc, last, 2, dict_off if dict_off is not None else data_off)
-            last = _struct_field(cc, last, 3, bytes(md))
-            cc.append(0)
-            col_chunks.append(bytes(cc))
-            total_uncomp += uncomp_size
+            if kind == "scalar":
+                ptype = _SPARK_TO_PHYSICAL[detail]
+                chunk = flat_writer(body, vals, ptype, codec_id)
+                col_chunks.append(_leaf_metadata([c], ptype, n_rg, chunk))
+                total_uncomp += chunk[4]
+            elif kind == "array":
+                ptype = _SPARK_TO_PHYSICAL[detail]
+                defs, reps, present = _list_levels(vals)
+                chunk = _write_nested_chunk(
+                    body, defs, reps, present, n_rg, ptype, codec_id,
+                    page_version,
+                )
+                col_chunks.append(
+                    _leaf_metadata(
+                        [c, "list", "element"], ptype, len(defs), chunk
+                    )
+                )
+                total_uncomp += chunk[4]
+            else:  # struct
+                for fname, ftype in detail:
+                    ptype = _SPARK_TO_PHYSICAL[ftype]
+                    defs, present = _struct_field_levels(vals, fname)
+                    chunk = _write_nested_chunk(
+                        body, defs, None, present, n_rg, ptype,
+                        codec_id, page_version,
+                    )
+                    col_chunks.append(
+                        _leaf_metadata([c, fname], ptype, n_rg, chunk)
+                    )
+                    total_uncomp += chunk[4]
         rg = bytearray()
         last = 0
         last = _list_field(rg, last, 1, _T_STRUCT, col_chunks)
@@ -421,27 +782,57 @@ def build_parquet_bytes(
         if num_rows == 0:
             break
 
-    # schema elements: root then one leaf per column
+    # schema elements: root, then the (pre-order) tree per column
     root = bytearray()
     last = 0
     last = _bin_field(root, last, 4, b"root")
     last = _i32_field(root, last, 5, len(names))
     root.append(0)
     schema_elems = [bytes(root)]
-    for c in names:
+
+    def _leaf_elem(name: str, t: str, repetition: int = 1) -> bytes:
         el = bytearray()
         last = 0
-        last = _i32_field(el, last, 1, _SPARK_TO_PHYSICAL[ddl_types[c]])
-        last = _i32_field(el, last, 3, 1)  # OPTIONAL
-        last = _bin_field(el, last, 4, c.encode("utf-8"))
-        if ddl_types[c] in _CONVERTED:
-            last = _i32_field(el, last, 6, _CONVERTED[ddl_types[c]])
+        last = _i32_field(el, last, 1, _SPARK_TO_PHYSICAL[t])
+        last = _i32_field(el, last, 3, repetition)
+        last = _bin_field(el, last, 4, name.encode("utf-8"))
+        if t in _CONVERTED:
+            last = _i32_field(el, last, 6, _CONVERTED[t])
         el.append(0)
-        schema_elems.append(bytes(el))
+        return bytes(el)
+
+    def _group_elem(
+        name: str, num_children: int, repetition: int,
+        converted: int | None = None,
+    ) -> bytes:
+        el = bytearray()
+        last = 0
+        last = _i32_field(el, last, 3, repetition)
+        last = _bin_field(el, last, 4, name.encode("utf-8"))
+        last = _i32_field(el, last, 5, num_children)
+        if converted is not None:
+            last = _i32_field(el, last, 6, converted)
+        el.append(0)
+        return bytes(el)
+
+    for c in names:
+        kind, detail = plans[c]
+        if kind == "scalar":
+            schema_elems.append(_leaf_elem(c, detail))
+        elif kind == "array":
+            # the standard 3-level LIST shape: optional group (LIST)
+            # { repeated group list { optional <t> element } }
+            schema_elems.append(_group_elem(c, 1, 1, converted=3))
+            schema_elems.append(_group_elem("list", 1, 2))
+            schema_elems.append(_leaf_elem("element", detail))
+        else:
+            schema_elems.append(_group_elem(c, len(detail), 1))
+            for fname, ftype in detail:
+                schema_elems.append(_leaf_elem(fname, ftype))
 
     fmd = bytearray()
     last = 0
-    last = _i32_field(fmd, last, 1, 1)  # version
+    last = _i32_field(fmd, last, 1, page_version)  # format version
     last = _list_field(fmd, last, 2, _T_STRUCT, schema_elems)
     last = _i64_field(fmd, last, 3, num_rows)
     last = _list_field(fmd, last, 4, _T_STRUCT, row_groups)
@@ -453,7 +844,7 @@ def build_parquet_bytes(
     # empty TypeDefinedOrder struct: 0x1C (field 1, struct) 0x00
     # (empty struct stop) 0x00 (union stop).
     last = _list_field(
-        fmd, last, 7, _T_STRUCT, [b"\x1c\x00\x00"] * len(names)
+        fmd, last, 7, _T_STRUCT, [b"\x1c\x00\x00"] * n_leaves
     )
     fmd.append(0)
 

@@ -10568,8 +10568,10 @@ def sink_tfrecord_q(spark, sf_dir):
     "Footer/PostScript, RLEv2 DIRECT integer runs, DIRECT_V2 strings, "
     "boolean-RLE PRESENT bitmaps carrying real nulls; round 10 adds "
     "ZLIB/SNAPPY stripe compression with ORC's 3-byte chunk framing — "
-    "the graded files now write ZLIB — plus TIMESTAMP (C++ signed-"
-    "nanos convention, both eras) and DECIMAL write support), ONE "
+    "the graded files now write ZLIB — plus TIMESTAMP (Java "
+    "convention: positive nanos, seconds+1 for negative sub-second "
+    "instants — the one Spark's JVM reader accepts) and DECIMAL "
+    "write support), ONE "
     "FILE PER ARROW BATCH from executors. The graded read-back goes through "
     "PYARROW's ORC C++ reader — a reference implementation over "
     "executor-written bytes — and the unit battery re-reads the same "
@@ -11618,6 +11620,192 @@ def sink_parquet_typed_q(spark, sf_dir):
         {"event_id": "int64", "ts_us": "Int64", "day": "Int64"},
         select_cols=("event_id", "ts", "event_type"),
         table="events",
+    )
+
+
+@register(
+    "sink_parquet_v2",
+    """
+    SELECT doc_id, n_chars, lang,
+           CAST(n_chars AS DOUBLE) / 128 AS score
+    FROM documents
+    """,
+    tier="C",
+    note="C12 parquet V2-PAGE export (round 11) — closes the writer's "
+    "read/write asymmetry with its own reader: documents shard into "
+    "DataPageV2 files (levels OUTSIDE the compressed region with "
+    "explicit byte-length header fields) using the modern encodings "
+    "the round-9 reader already decodes — DELTA_BINARY_PACKED for "
+    "doc_id/n_chars (128-value blocks, 4 miniblocks, per-miniblock "
+    "bit widths, deltas wrapped in the physical width), "
+    "DELTA_LENGTH_BYTE_ARRAY for lang, BYTE_STREAM_SPLIT for the "
+    "score double — ONE FILE PER ARROW BATCH from executors. "
+    "Read-back goes through PYARROW (reference reader) against "
+    "DuckDB recomputing from source rows; the unit battery re-reads "
+    "the same shapes through DuckDB AND the repo's own reader, plus "
+    "wrap-around/single-value/all-null/block-boundary edges. "
+    "File-per-task, no shuffle. Score divides by a power of two, so "
+    "the double is IEEE-exact in both engines.",
+)
+def sink_parquet_v2_q(spark, sf_dir):
+    from ..operators.parquet_write import build_parquet_bytes
+
+    def _encode(b):
+        n_chars = [int(x) for x in b["n_chars"]]
+        return build_parquet_bytes(
+            {
+                "doc_id": [int(x) for x in b["doc_id"]],
+                "n_chars": n_chars,
+                "lang": list(b["lang"]),
+                "score": [float(n) / 128.0 for n in n_chars],
+            },
+            {
+                "doc_id": "bigint",
+                "n_chars": "bigint",
+                "lang": "string",
+                "score": "double",
+            },
+            compression="snappy",
+            page_version=2,
+        )
+
+    def _decode(payload):
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(_io.BytesIO(payload))
+        return [
+            {
+                "doc_id": int(d),
+                "n_chars": int(n),
+                "lang": lang,
+                "score": float(s),
+            }
+            for d, n, lang, s in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("n_chars").to_pylist(),
+                t.column("lang").to_pylist(),
+                t.column("score").to_pylist(),
+            )
+        ]
+
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "pq_v2_sink", "parquet", _encode, _decode,
+        "doc_id long, n_chars long, lang string, score double",
+        {"doc_id": "int64", "n_chars": "int64"},
+        select_cols=("doc_id", "n_chars", "lang"),
+    )
+
+
+@register(
+    "sink_parquet_nested",
+    """
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN -1
+                ELSE o_orderkey % 5 END AS INT) AS lst_len,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'NULL'
+                ELSE COALESCE(array_to_string(
+                  list_transform(
+                    range(1, CAST(o_orderkey % 5 AS BIGINT) + 1),
+                    i -> CASE WHEN i = 3 AND o_orderkey % 3 = 0 THEN 'N'
+                         ELSE CAST(o_orderkey * 10 + i AS VARCHAR) END),
+                  ','), '')
+           END AS lst_csv,
+           CASE WHEN o_orderkey % 11 = 0 OR o_orderkey % 13 = 0
+                THEN NULL ELSE o_orderstatus END AS s,
+           CASE WHEN o_orderkey % 11 = 0 OR o_orderkey % 17 = 0
+                THEN NULL ELSE o_totalprice END AS p,
+           CAST(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS INT)
+             AS st_null
+    FROM orders
+    """,
+    tier="C",
+    note="C12 parquet NESTED export (round 11, the write-side twin of "
+    "scan_parquet_nested, same derivation and oracle as the orc scan "
+    "twin): the pure writer emits the standard 3-level LIST shape "
+    "(optional group (LIST) { repeated group list { optional element "
+    "} }) with REAL repetition/definition levels — def 0/1/2/3 for "
+    "null list / empty list / null element / value, rep 1 marking "
+    "continuation — and per-field OPTIONAL-struct chunks (def 0/1/2), "
+    "multi-component path_in_schema, on DataPageV2 with the DELTA "
+    "family. array<bigint> and struct<s:string,p:double> columns "
+    "carry the null/empty/null-element residue cases. Read-back goes "
+    "through PYARROW (reference reader assembling the same levels) "
+    "and flattens to scalars DuckDB recomputes from source rows; the "
+    "unit battery re-reads through DuckDB, Spark's JVM reader AND the "
+    "repo's own nested assembler on BOTH page versions. "
+    "File-per-task, no shuffle.",
+)
+def sink_parquet_nested_q(spark, sf_dir):
+    from ..operators.parquet_write import build_parquet_bytes
+
+    def _encode(b):
+        lsts, sts = [], []
+        for k, st_s, st_p in zip(
+            b["o_orderkey"], b["o_orderstatus"], b["o_totalprice"]
+        ):
+            k = int(k)
+            if k % 7 == 0:
+                lsts.append(None)
+            else:
+                lsts.append([
+                    None if (i == 3 and k % 3 == 0) else k * 10 + i
+                    for i in range(1, k % 5 + 1)
+                ])
+            if k % 11 == 0:
+                sts.append(None)
+            else:
+                sts.append({
+                    "s": None if k % 13 == 0 else str(st_s),
+                    "p": None if k % 17 == 0 else float(st_p),
+                })
+        return build_parquet_bytes(
+            {
+                "o_orderkey": [int(x) for x in b["o_orderkey"]],
+                "lst": lsts,
+                "st": sts,
+            },
+            {
+                "o_orderkey": "bigint",
+                "lst": "array<bigint>",
+                "st": "struct<s:string,p:double>",
+            },
+            compression="snappy",
+            page_version=2,
+        )
+
+    def _decode(payload):
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(_io.BytesIO(payload))
+        rows = []
+        for k, lst, st in zip(
+            t.column("o_orderkey").to_pylist(),
+            t.column("lst").to_pylist(),
+            t.column("st").to_pylist(),
+        ):
+            rows.append({
+                "o_orderkey": int(k),
+                "lst_len": -1 if lst is None else len(lst),
+                "lst_csv": "NULL" if lst is None else ",".join(
+                    "N" if e is None else str(e) for e in lst
+                ),
+                "s": None if st is None else st["s"],
+                "p": None if st is None else st["p"],
+                "st_null": 1 if st is None else 0,
+            })
+        return rows
+
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "pq_nested_sink", "parquet", _encode, _decode,
+        "o_orderkey long, lst_len int, lst_csv string, s string, "
+        "p double, st_null int",
+        {"o_orderkey": "int64", "lst_len": "int32", "st_null": "int32"},
+        select_cols=("o_orderkey", "o_orderstatus", "o_totalprice"),
+        table="orders",
     )
 
 

@@ -9,6 +9,9 @@ fail-loudly contract for malformed inputs.
 
 from __future__ import annotations
 
+import io
+
+import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -846,6 +849,13 @@ def test_pruned_scan_skips_groups_both_writers(tmp_path):
         str(sp), ["s"], "s", lo=b"k00900", hi=b"k00950"
     )
     assert r == 1 and t == 4
+    # round-11 (ADVICE low): natural str bounds utf-8-encode instead of
+    # raising TypeError against the bytes-typed BYTE_ARRAY stats —
+    # matching the ORC twin's str semantics
+    d2, r2, t2 = read_parquet_pruned_columns(
+        str(sp), ["s"], "s", lo="k00900", hi="k00950"
+    )
+    assert (r2, t2) == (1, 4) and d2 == d
 
 
 def test_pure_writer_dictionary_multi_run_indices(tmp_path):
@@ -893,3 +903,198 @@ def test_pure_writer_timestamp_and_date_types(tmp_path):
     ) + [(None, None)]
     assert got == exp
     assert read_parquet_bytes(blob, ["ts", "d"]) == cols
+
+
+# ---------------------------------------------------------------------
+# Round 11: v2/DELTA data pages + nested LIST/STRUCT write side
+# ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("codec", ["none", "snappy"])
+def test_pure_writer_v2_delta_pages_three_readers(tmp_path, codec):
+    """DataPageV2 with DELTA_BINARY_PACKED ints, DELTA_LENGTH_BYTE_ARRAY
+    strings, BYTE_STREAM_SPLIT doubles — the write-side twin of the
+    round-9 reader paths, cross-validated against pyarrow, DuckDB and
+    the repo's own reader."""
+    import random
+
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    rnd = random.Random(11)
+    n = 4000
+    cols = {
+        "i32": [None if i % 17 == 0 else rnd.randint(-2**31, 2**31 - 1)
+                for i in range(n)],
+        "i64": [None if i % 13 == 0 else rnd.randint(-2**62, 2**62)
+                for i in range(n)],
+        "mono": list(range(n)),
+        "s": [None if i % 11 == 0 else f"doc-{i % 97}-" + "x" * (i % 7)
+              for i in range(n)],
+        "d": [None if i % 19 == 0 else rnd.random() * 1e6 - 5e5
+              for i in range(n)],
+        "b": [None if i % 23 == 0 else (i % 3 == 0) for i in range(n)],
+        "ts": [None if i % 29 == 0 else 1700000000_000000 + i * 987654
+               for i in range(n)],
+    }
+    ddl = {"i32": "int", "i64": "bigint", "mono": "bigint", "s": "string",
+           "d": "double", "b": "boolean", "ts": "timestamp"}
+    blob = build_parquet_bytes(
+        cols, ddl, codec, row_group_size=1024, page_version=2
+    )
+    t = pq.read_table(io.BytesIO(blob))
+    for c in ("i32", "i64", "mono", "s", "d", "b"):
+        assert t.column(c).to_pylist() == cols[c], (codec, c)
+    assert t.column("ts").cast("int64").to_pylist() == cols["ts"]
+    path = tmp_path / "v2.parquet"
+    path.write_bytes(blob)
+    got = duckdb.sql(
+        f"SELECT count(*), sum(i64), min(s), max(s) "
+        f"FROM read_parquet('{path}')"
+    ).fetchone()
+    assert got[0] == n
+    assert got[1] == sum(v for v in cols["i64"] if v is not None)
+    mine = read_parquet_bytes(blob, ["i64", "mono", "d", "b"])
+    assert mine["i64"] == cols["i64"] and mine["mono"] == cols["mono"]
+    assert mine["d"] == cols["d"] and mine["b"] == cols["b"]
+
+
+def test_pure_writer_v2_delta_edge_shapes():
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    # all-null, single value, empty, and wrap-around deltas (the
+    # reader accumulates modularly in the physical width; the writer
+    # must produce wrapped deltas or the zigzag varints explode)
+    blob = build_parquet_bytes(
+        {"x": [None] * 10}, {"x": "bigint"}, "none", page_version=2
+    )
+    assert pq.read_table(io.BytesIO(blob)).column("x").to_pylist() == [None] * 10
+    blob = build_parquet_bytes({"x": [7]}, {"x": "bigint"}, "none", page_version=2)
+    assert pq.read_table(io.BytesIO(blob)).column("x").to_pylist() == [7]
+    blob = build_parquet_bytes({"x": []}, {"x": "bigint"}, "none", page_version=2)
+    assert pq.read_table(io.BytesIO(blob)).column("x").to_pylist() == []
+    ext = [0, 2**62, -2**62, 2**62, 0, -2**60, 2**62 + 2**61]
+    blob = build_parquet_bytes({"x": ext}, {"x": "bigint"}, "none", page_version=2)
+    assert pq.read_table(io.BytesIO(blob)).column("x").to_pylist() == ext
+    assert read_parquet_bytes(blob, ["x"])["x"] == ext
+    # exactly one full block + one value (block-boundary handling)
+    vals = [i * i for i in range(129)]
+    blob = build_parquet_bytes({"x": vals}, {"x": "bigint"}, "none", page_version=2)
+    assert read_parquet_bytes(blob, ["x"])["x"] == vals
+
+
+@pytest.mark.parametrize("pv", [1, 2])
+def test_pure_writer_nested_list_struct_three_readers(tmp_path, pv):
+    """One-level LIST + STRUCT through the pure writer (round-11 ask):
+    real repetition/definition levels, 3-level LIST shape, per-field
+    struct chunks — read back by pyarrow, DuckDB, and the repo's own
+    nested reader, on both page versions."""
+    import random
+
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        read_parquet_nested_bytes,
+    )
+
+    rnd = random.Random(pv)
+    n = 1500
+    lists, slists, structs = [], [], []
+    for i in range(n):
+        if i % 13 == 0:
+            lists.append(None)
+        elif i % 7 == 0:
+            lists.append([])
+        else:
+            lists.append([
+                None if rnd.random() < 0.1 else rnd.randint(-1000, 1000)
+                for _ in range(rnd.randint(1, 6))
+            ])
+        if i % 11 == 0:
+            slists.append(None)
+        elif i % 5 == 0:
+            slists.append([])
+        else:
+            slists.append([
+                None if rnd.random() < 0.1 else f"t{rnd.randint(0, 50)}"
+                for _ in range(rnd.randint(1, 4))
+            ])
+        structs.append(
+            None if i % 17 == 0 else {
+                "a": None if i % 3 == 0 else i * 7,
+                "b": None if i % 4 == 0 else f"s{i % 29}",
+            }
+        )
+    cols = {"id": list(range(n)), "li": lists, "ls": slists, "st": structs}
+    ddl = {"id": "bigint", "li": "array<bigint>", "ls": "array<string>",
+           "st": "struct<a:bigint,b:string>"}
+    blob = build_parquet_bytes(
+        cols, ddl, "snappy", row_group_size=600, page_version=pv
+    )
+    t = pq.read_table(io.BytesIO(blob))
+    assert t.column("li").to_pylist() == lists
+    assert t.column("ls").to_pylist() == slists
+    assert t.column("st").to_pylist() == structs
+    path = tmp_path / f"nested_v{pv}.parquet"
+    path.write_bytes(blob)
+    got = duckdb.sql(
+        f"SELECT count(*), sum(len(li)), sum(st.a) "
+        f"FROM read_parquet('{path}')"
+    ).fetchone()
+    assert got == (
+        n,
+        sum(len(x) for x in lists if x is not None),
+        sum(s["a"] for s in structs if s is not None and s["a"] is not None),
+    )
+    mine = read_parquet_nested_bytes(blob, ["li", "st"])
+    assert mine["li"] == lists
+    assert [
+        None if s is None else {
+            k: (v.decode() if isinstance(v, bytes) else v)
+            for k, v in s.items()
+        }
+        for s in mine["st"]
+    ] == structs
+    # deeper nesting declines loudly
+    with pytest.raises(NotImplementedError):
+        build_parquet_bytes(
+            {"m": [[[1]]]}, {"m": "array<array<bigint>>"}, "none"
+        )
+
+
+def test_pure_writer_v2_and_nested_spark_reread(spark, tmp_path):
+    """Spark's JVM reader is the fourth independent reader over the
+    v2/nested files — values and logical types."""
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    n = 3000
+    cols = {
+        "id": list(range(n)),
+        "li": [None if i % 9 == 0 else [i, i + 1, None][: 1 + i % 3]
+               for i in range(n)],
+        "st": [None if i % 8 == 0 else {"a": i, "b": f"v{i % 5}"}
+               for i in range(n)],
+        "s": [f"name-{i % 41}" for i in range(n)],
+    }
+    ddl = {"id": "bigint", "li": "array<bigint>",
+           "st": "struct<a:bigint,b:string>", "s": "string"}
+    path = str(tmp_path / "sparkback.parquet")
+    open(path, "wb").write(
+        build_parquet_bytes(cols, ddl, "snappy", page_version=2)
+    )
+    df = spark.read.parquet(path)
+    assert df.count() == n
+    rows = df.orderBy("id").collect()
+    assert [r.li for r in rows] == [
+        None if v is None else list(v) for v in cols["li"]
+    ]
+    assert [
+        None if r.st is None else {"a": r.st.a, "b": r.st.b} for r in rows
+    ] == cols["st"]
+    assert [r.s for r in rows] == cols["s"]
