@@ -172,13 +172,32 @@ def _bool_rle_encode(bits: list[bool]) -> bytes:
 
 
 def _kind_of(ddl: str) -> tuple[int, int | None, int | None]:
-    """(type kind, precision, scale) for a DDL type string."""
+    """(type kind, precision, scale) for a scalar DDL type string."""
     m = _DECIMAL_RE.match(ddl)
     if m:
         return _K_DECIMAL, int(m.group(1)), int(m.group(2))
     if ddl in _DDL_TO_KIND:
         return _DDL_TO_KIND[ddl], None, None
     raise NotImplementedError(f"type {ddl} not writable")
+
+
+def _plan_of(ddl: str):
+    """('scalar'|'list', (kind, prec, scale)) or
+    ('struct', [(fname, (kind, prec, scale)), ...]) — ONE level of
+    LIST/STRUCT nesting with scalar elements/fields (round 11, the
+    write-side twin of orc_data.read_orc_nested_columns); deeper
+    shapes and maps decline loudly."""
+    s = ddl.strip()
+    low = s.lower()
+    if low.startswith("array<") and s.endswith(">"):
+        return ("list", _kind_of(s[6:-1].strip().lower()))
+    if low.startswith("struct<") and s.endswith(">"):
+        fields = []
+        for part in s[7:-1].split(","):
+            fname, _, t = part.partition(":")
+            fields.append((fname.strip(), _kind_of(t.strip().lower())))
+        return ("struct", fields)
+    return ("scalar", _kind_of(low))
 
 
 def _zigzag_unbounded(v: int) -> int:
@@ -250,11 +269,19 @@ def build_orc_bytes(
     codec_id = _CODECS[compression]
     names = list(columns)
     num_rows = len(columns[names[0]]) if names else 0
-    kinds: dict[str, tuple[int, int | None, int | None]] = {}
+    plans: dict[str, tuple] = {}
+    ids: dict[str, int] = {}
+    next_id = 1
     for c in names:
-        kinds[c] = _kind_of(ddl_types[c])
+        plans[c] = _plan_of(ddl_types[c])
+        ids[c] = next_id
+        pk, detail = plans[c]
+        next_id += 1 + (
+            len(detail) if pk == "struct" else (1 if pk == "list" else 0)
+        )
         if len(columns[c]) != num_rows:
             raise ValueError("ragged columns")
+    n_nodes = next_id - 1
 
     def frame(raw: bytes) -> bytes:
         return _frame(raw, codec_id, block_size)
@@ -270,26 +297,28 @@ def build_orc_bytes(
         stats: list[dict] = [
             {"n": n_s, "has_null": False, "kind": None, "present": []}
         ]
-        for idx, c in enumerate(names, start=1):
-            vals = columns[c][start : start + n_s]
-            kind, prec, scale = kinds[c]
-            present = [v is not None for v in vals]
-            nn = [v for v in vals if v is not None]
+        def emit_present(idx: int, present: list[bool]) -> None:
             if not all(present):
                 pb = frame(_bool_rle_encode(present))
                 stream_meta.append((idx, 0, len(pb)))  # PRESENT
-                bodies += pb
+                bodies.extend(pb)
+
+        def emit_leaf(idx: int, vals: list, kps: tuple) -> None:
+            kind, prec, scale = kps
+            present = [v is not None for v in vals]
+            nn = [v for v in vals if v is not None]
+            emit_present(idx, present)
             if kind == _K_LONG:
                 nn = [int(v) for v in nn]
                 data = frame(rlev2_direct_encode(nn, signed=True))
                 stream_meta.append((idx, 1, len(data)))
-                bodies += data
+                bodies.extend(data)
                 encodings.append((2, None))  # DIRECT_V2
             elif kind == _K_DOUBLE:
                 nn = [float(v) for v in nn]
                 data = frame(struct.pack(f"<{len(nn)}d", *nn))
                 stream_meta.append((idx, 1, len(data)))
-                bodies += data
+                bodies.extend(data)
                 encodings.append((0, None))  # DIRECT
             elif kind == _K_TIMESTAMP:
                 # The JAVA writer convention — the one ALL THREE
@@ -335,9 +364,9 @@ def build_orc_bytes(
                     )
                 )
                 stream_meta.append((idx, 1, len(data)))  # DATA
-                bodies += data
+                bodies.extend(data)
                 stream_meta.append((idx, 5, len(sec_stream)))  # SECONDARY
-                bodies += sec_stream
+                bodies.extend(sec_stream)
                 encodings.append((2, None))  # DIRECT_V2
             elif kind == _K_DECIMAL:
                 import decimal as _dec
@@ -375,9 +404,9 @@ def build_orc_bytes(
                     rlev2_direct_encode([scale] * len(nn), signed=True)
                 )
                 stream_meta.append((idx, 1, len(data)))  # DATA
-                bodies += data
+                bodies.extend(data)
                 stream_meta.append((idx, 5, len(sec_stream)))  # SECONDARY
-                bodies += sec_stream
+                bodies.extend(sec_stream)
                 encodings.append((2, None))  # DIRECT_V2
             else:  # STRING
                 nn = [
@@ -404,11 +433,11 @@ def build_orc_bytes(
                     )
                     dict_data = frame(b"".join(entries))
                     stream_meta.append((idx, 1, len(data)))  # DATA
-                    bodies += data
+                    bodies.extend(data)
                     stream_meta.append((idx, 2, len(lens)))  # LENGTH
-                    bodies += lens
+                    bodies.extend(lens)
                     stream_meta.append((idx, 3, len(dict_data)))  # DICT
-                    bodies += dict_data
+                    bodies.extend(dict_data)
                     encodings.append((3, len(entries)))  # DICTIONARY_V2
                 else:
                     data = frame(b"".join(nn))
@@ -418,9 +447,9 @@ def build_orc_bytes(
                         )
                     )
                     stream_meta.append((idx, 1, len(data)))  # DATA
-                    bodies += data
+                    bodies.extend(data)
                     stream_meta.append((idx, 2, len(lens)))  # LENGTH
-                    bodies += lens
+                    bodies.extend(lens)
                     encodings.append((2, None))  # DIRECT_V2
             stats.append(
                 {
@@ -430,6 +459,55 @@ def build_orc_bytes(
                     "present": nn,
                 }
             )
+
+        for c in names:
+            pkind, detail = plans[c]
+            vals = columns[c][start : start + n_s]
+            idx = ids[c]
+            if pkind == "scalar":
+                emit_leaf(idx, vals, detail)
+            elif pkind == "list":
+                # LIST parent: PRESENT (+) LENGTH = unsigned RLEv2
+                # per-present-row element counts; the child column
+                # carries the flattened elements (orc_data's nested
+                # reader slices it back by the summed lengths)
+                present = [v is not None for v in vals]
+                emit_present(idx, present)
+                lengths = [len(v) for v in vals if v is not None]
+                ls = frame(rlev2_direct_encode(lengths, signed=False))
+                stream_meta.append((idx, 2, len(ls)))  # LENGTH
+                bodies.extend(ls)
+                encodings.append((2, None))  # DIRECT_V2
+                stats.append({
+                    "n": len(lengths),
+                    "has_null": not all(present),
+                    "kind": None,
+                    "present": [],
+                })
+                elems = [
+                    e for v in vals if v is not None for e in v
+                ]
+                emit_leaf(idx + 1, elems, detail)
+            else:  # struct
+                # STRUCT parent: PRESENT only; each field is a child
+                # column holding one entry per PRESENT struct row
+                present = [v is not None for v in vals]
+                emit_present(idx, present)
+                encodings.append((0, None))  # DIRECT
+                stats.append({
+                    "n": sum(present),
+                    "has_null": not all(present),
+                    "kind": None,
+                    "present": [],
+                })
+                rows_p = [v for v in vals if v is not None]
+                for j, (fname, kps) in enumerate(detail):
+                    fvals = [
+                        v.get(fname) if isinstance(v, dict)
+                        else getattr(v, fname)
+                        for v in rows_p
+                    ]
+                    emit_leaf(idx + 1 + j, fvals, kps)
 
         stripe_footer = bytearray()
         for col, skind, ln in stream_meta:
@@ -485,24 +563,47 @@ def build_orc_bytes(
     metadata = frame(metadata)
     body += metadata
 
-    # types: root struct + one leaf per column (depth-first ids)
-    root = _pb_varint(1, _K_STRUCT)
-    root += _pb_bytes(2, b"".join(_varint(i) for i in range(1, len(names) + 1)))
-    for c in names:
-        root += _pb_bytes(3, c.encode("utf-8"))
-    types = [_pb_bytes(4, root)]
-    for c in names:
-        kind, prec, scale = kinds[c]
+    # types: root struct + the (pre-order) subtree per column
+    def _scalar_type_pb(kps: tuple) -> bytes:
+        kind, prec, scale = kps
         t = _pb_varint(1, kind)
         if kind == _K_DECIMAL:
             t += _pb_varint(5, prec)
             t += _pb_varint(6, scale)
-        types.append(_pb_bytes(4, t))
+        return t
+
+    root = _pb_varint(1, _K_STRUCT)
+    root += _pb_bytes(2, b"".join(_varint(ids[c]) for c in names))
+    for c in names:
+        root += _pb_bytes(3, c.encode("utf-8"))
+    types = [_pb_bytes(4, root)]
+    for c in names:
+        pkind, detail = plans[c]
+        if pkind == "scalar":
+            types.append(_pb_bytes(4, _scalar_type_pb(detail)))
+        elif pkind == "list":
+            t = _pb_varint(1, 10)  # LIST
+            t += _pb_bytes(2, _varint(ids[c] + 1))
+            types.append(_pb_bytes(4, t))
+            types.append(_pb_bytes(4, _scalar_type_pb(detail)))
+        else:
+            t = _pb_varint(1, _K_STRUCT)
+            t += _pb_bytes(
+                2,
+                b"".join(
+                    _varint(ids[c] + 1 + j) for j in range(len(detail))
+                ),
+            )
+            for fname, _kps in detail:
+                t += _pb_bytes(3, fname.encode("utf-8"))
+            types.append(_pb_bytes(4, t))
+            for _fname, kps in detail:
+                types.append(_pb_bytes(4, _scalar_type_pb(kps)))
 
     # file-level statistics (Footer field 7): the per-stripe stats
     # merged column-wise
     file_stats: list[dict] = []
-    for ci in range(len(names) + 1):
+    for ci in range(n_nodes + 1):
         merged = {
             "n": sum(st[ci]["n"] for st in per_stripe_stats),
             "has_null": any(st[ci]["has_null"] for st in per_stripe_stats),

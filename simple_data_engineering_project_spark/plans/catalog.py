@@ -11740,6 +11740,42 @@ def sink_parquet_v2_q(spark, sf_dir):
 def sink_parquet_nested_q(spark, sf_dir):
     from ..operators.parquet_write import build_parquet_bytes
 
+    _encode = _nested_residue_encode_decode(
+        lambda cols: build_parquet_bytes(
+            cols,
+            {
+                "o_orderkey": "bigint",
+                "lst": "array<bigint>",
+                "st": "struct<s:string,p:double>",
+            },
+            compression="snappy",
+            page_version=2,
+        )
+    )
+
+    def _decode(payload):
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        return _nested_residue_flatten(_pq.read_table(_io.BytesIO(payload)))
+
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "pq_nested_sink", "parquet", _encode, _decode,
+        "o_orderkey long, lst_len int, lst_csv string, s string, "
+        "p double, st_null int",
+        {"o_orderkey": "int64", "lst_len": "int32", "st_null": "int32"},
+        select_cols=("o_orderkey", "o_orderstatus", "o_totalprice"),
+        table="orders",
+    )
+
+
+def _nested_residue_encode_decode(build_bytes):
+    """Shared encode/decode pair for the nested export twins
+    (sink_parquet_nested / sink_orc_nested): same orders-derived
+    array<bigint> + struct<s:string,p:double> residue cases, same
+    flattening the shared oracle recomputes."""
+
     def _encode(b):
         lsts, sts = [], []
         for k, st_s, st_p in zip(
@@ -11760,47 +11796,100 @@ def sink_parquet_nested_q(spark, sf_dir):
                     "s": None if k % 13 == 0 else str(st_s),
                     "p": None if k % 17 == 0 else float(st_p),
                 })
-        return build_parquet_bytes(
+        return build_bytes(
             {
                 "o_orderkey": [int(x) for x in b["o_orderkey"]],
                 "lst": lsts,
                 "st": sts,
-            },
+            }
+        )
+
+    return _encode
+
+
+def _nested_residue_flatten(t):
+    """Flatten a read-back pyarrow table from the nested export twins
+    into the scalar rows the shared oracle recomputes."""
+    rows = []
+    for k, lst, st in zip(
+        t.column("o_orderkey").to_pylist(),
+        t.column("lst").to_pylist(),
+        t.column("st").to_pylist(),
+    ):
+        rows.append({
+            "o_orderkey": int(k),
+            "lst_len": -1 if lst is None else len(lst),
+            "lst_csv": "NULL" if lst is None else ",".join(
+                "N" if e is None else str(e) for e in lst
+            ),
+            "s": None if st is None else st["s"],
+            "p": None if st is None else st["p"],
+            "st_null": 1 if st is None else 0,
+        })
+    return rows
+
+
+@register(
+    "sink_orc_nested",
+    """
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN -1
+                ELSE o_orderkey % 5 END AS INT) AS lst_len,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'NULL'
+                ELSE COALESCE(array_to_string(
+                  list_transform(
+                    range(1, CAST(o_orderkey % 5 AS BIGINT) + 1),
+                    i -> CASE WHEN i = 3 AND o_orderkey % 3 = 0 THEN 'N'
+                         ELSE CAST(o_orderkey * 10 + i AS VARCHAR) END),
+                  ','), '')
+           END AS lst_csv,
+           CASE WHEN o_orderkey % 11 = 0 OR o_orderkey % 13 = 0
+                THEN NULL ELSE o_orderstatus END AS s,
+           CASE WHEN o_orderkey % 11 = 0 OR o_orderkey % 17 = 0
+                THEN NULL ELSE o_totalprice END AS p,
+           CAST(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS INT)
+             AS st_null
+    FROM orders
+    """,
+    tier="C",
+    note="C12 ORC NESTED export (round 11, the ORC twin of "
+    "sink_parquet_nested — same derivation, same oracle): the pure "
+    "ORC writer emits one-level LIST (parent PRESENT + unsigned-RLEv2 "
+    "LENGTH, child column carrying the flattened elements) and STRUCT "
+    "(parent PRESENT, per-field child columns sized by the present "
+    "rows) with pre-order type-tree ids — exactly the stream layout "
+    "orc_data's nested reader assembles. Null/empty/null-element "
+    "residue cases ride through ZLIB chunk framing. Read-back goes "
+    "through PYARROW's ORC C++ reader and flattens to scalars DuckDB "
+    "recomputes from source rows; the unit battery re-reads the same "
+    "shapes through Spark's JVM reader AND the repo's own nested "
+    "assembler across all three codecs, multi-stripe. File-per-task, "
+    "no shuffle.",
+)
+def sink_orc_nested_q(spark, sf_dir):
+    from ..operators.orc_write import build_orc_bytes
+
+    _encode = _nested_residue_encode_decode(
+        lambda cols: build_orc_bytes(
+            cols,
             {
                 "o_orderkey": "bigint",
                 "lst": "array<bigint>",
                 "st": "struct<s:string,p:double>",
             },
-            compression="snappy",
-            page_version=2,
+            compression="zlib",
         )
+    )
 
     def _decode(payload):
         import io as _io
 
-        import pyarrow.parquet as _pq
+        import pyarrow.orc as _po
 
-        t = _pq.read_table(_io.BytesIO(payload))
-        rows = []
-        for k, lst, st in zip(
-            t.column("o_orderkey").to_pylist(),
-            t.column("lst").to_pylist(),
-            t.column("st").to_pylist(),
-        ):
-            rows.append({
-                "o_orderkey": int(k),
-                "lst_len": -1 if lst is None else len(lst),
-                "lst_csv": "NULL" if lst is None else ",".join(
-                    "N" if e is None else str(e) for e in lst
-                ),
-                "s": None if st is None else st["s"],
-                "p": None if st is None else st["p"],
-                "st_null": 1 if st is None else 0,
-            })
-        return rows
+        return _nested_residue_flatten(_po.ORCFile(_io.BytesIO(payload)).read())
 
     return _shard_sink_roundtrip(
-        spark, sf_dir, "pq_nested_sink", "parquet", _encode, _decode,
+        spark, sf_dir, "orc_nested_sink", "orc", _encode, _decode,
         "o_orderkey long, lst_len int, lst_csv string, s string, "
         "p double, st_null int",
         {"o_orderkey": "int64", "lst_len": "int32", "st_null": "int32"},
