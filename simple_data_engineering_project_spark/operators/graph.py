@@ -30,7 +30,6 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 10,
     damping: float = 0.85,
-    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Weighted PageRank with dangling-mass redistribution.
 
@@ -39,56 +38,91 @@ def pagerank(
 
     Per iteration::
 
-        out(s)      = Σ_dst weight(s, dst)
-        contrib(d)  = Σ_src rank(s) · weight(s, d) / out(s)
+        share(s, d) = weight(s, d) / out(s)          (precomputed once)
+        contrib(d)  = Σ_src rank(s) · share(s, d)
         dangling    = Σ_{s: out(s)=0} rank(s)
         rank'(d)    = (1−α)/N + α · (contrib(d) + dangling/N)
 
     which preserves Σ rank = 1 exactly (up to float) every iteration.
+
+    Round-11 shape (6.1 s → headroom at sf0.1, same semantics):
+
+    - The out-weight normalization happens ONCE on the checkpointed
+      edge relation (``share``), dropping the per-iteration rank⋈out
+      join the previous shape paid.
+    - The dangling-mass aggregate is FUSED into the contribution
+      aggregate: dangling-node ranks enter the same groupBy under a
+      NULL key (one aggregation pass per iteration instead of two
+      separate jobs, each of which re-evaluated the rank lineage).
+    - Contribution state — O(|V|) rows — materializes per iteration
+      via eager localCheckpoint, the Pregel-superstep state write: the
+      next iteration and the dangling-scalar broadcast both read a
+      LEAF, so nothing re-executes and the analyzed plan stays
+      constant-depth for any iteration count. At cluster scale this is
+      a persist()/checkpoint of the per-superstep state, the standard
+      iterative-graph cost.
+
     The rank relation (one row per node) joins the edge list UNHINTED —
     rank state is O(|V|), so forcing a broadcast would OOM executors on
     web-scale graphs; AQE broadcast-converts at runtime when the state
     actually fits (``test_scale.test_pagerank_rank_state_not_hinted``
     pins the absence of the hint). The per-iteration shuffle is the
-    groupBy(dst) on edge contributions. The only forced broadcast is the
-    dangling-mass scalar — a literal 1-row aggregate.
+    groupBy on edge contributions. The only forced broadcast is the
+    dangling-mass scalar — a literal 1-row aggregate over the
+    checkpointed contribution state.
     """
-    # Materialize the loop-invariant relations once: every iteration
-    # re-reads them, and leaving their lineage inline makes the final
-    # plan re-embed the whole upstream join tree 10× (analysis time
-    # explodes superlinearly — measured minutes at 10 iterations even on
-    # a 25-node graph). At cluster scale this is a persist(); in-process
-    # localCheckpoint carries the same contract.
+    # Materialize the loop-invariant normalized edge relation once:
+    # every iteration re-reads it, and leaving the lineage inline makes
+    # the final plan re-embed the whole upstream join tree 10×.
+    edges = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    out = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     edges = (
-        edges.groupBy("src", "dst")
-        .agg(F.sum("weight").alias("weight"))
+        edges.join(out, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("share"))
         .localCheckpoint(eager=True)
     )
-    out = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    # dangling nodes (no outgoing edges), loop-invariant
+    dang_nodes = (
+        nodes.join(edges.select("src").distinct(),
+                   nodes.node == F.col("src"), "left_anti")
+        .select("node")
+        .localCheckpoint(eager=True)
+    )
     n = nodes.count()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
 
-    for i in range(iterations):
-        dangling = (
-            ranks.join(out, ranks.node == out.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-        )
+    for _ in range(iterations):
+        # One aggregation pass: edge contributions keyed by dst, plus
+        # the dangling ranks under a NULL key. No broadcast hint on
+        # ranks: it is O(|V|); AQE broadcast-converts when the runtime
+        # size is under the threshold and degrades to a shuffled join
+        # at 10^9 nodes instead of OOMing.
         contrib = (
-            # no broadcast hint on ranks/out: both are O(|V|) relations.
-            # AQE broadcast-converts when their runtime size is under the
-            # threshold; a forced hint would ignore the threshold and OOM
-            # at 10^9 nodes.
             edges.join(ranks, edges.src == ranks.node)
-            .join(out, "src")
             .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") * F.col("weight") / F.col("out_w")).alias("c"),
+                F.col("dst").alias("cnode"),
+                (F.col("rank") * F.col("share")).alias("c"),
             )
-            .groupBy("node")
+            .unionByName(
+                ranks.join(dang_nodes, "node").select(
+                    F.lit(None).cast(dict(nodes.dtypes)["node"]).alias("cnode"),
+                    F.col("rank").alias("c"),
+                )
+            )
+            .groupBy("cnode")
             .agg(F.sum("c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        dangling = contrib.filter(F.col("cnode").isNull()).agg(
+            F.coalesce(F.sum("c"), F.lit(0.0)).alias("dm")
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(
+                contrib.filter(F.col("cnode").isNotNull())
+                .withColumnRenamed("cnode", "node"),
+                "node",
+                "left",
+            )
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
@@ -99,13 +133,4 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            # Rank state is one row per node — checkpointing it is O(|V|)
-            # and bounds the plan at ~checkpoint_every iterations of
-            # joins instead of a tree that compounds per step. Eager: the
-            # next iteration's analysis must see a leaf, not the
-            # un-truncated lineage. Cadence 2 measured best at sf0.1
-            # (every-1 pays 3× in per-job scheduling, every-5 pays ~2×
-            # in Catalyst analysis of the deeper plan).
-            ranks = ranks.localCheckpoint(eager=True)
     return ranks

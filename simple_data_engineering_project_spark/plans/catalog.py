@@ -6324,6 +6324,12 @@ def _pagerank_oracle(iterations: int = 10, damping: float = 0.85) -> str:
           GROUP BY 1, 2
         )""",
         "oute AS MATERIALIZED (SELECT src, SUM(weight) AS out_w FROM base GROUP BY src)",
+        # round 11: the out-weight normalization happens ONCE (share),
+        # matching graph.py's precomputed rank*share float op order
+        """edges_n AS MATERIALIZED (
+          SELECT b.src, b.dst, b.weight / o.out_w AS share
+          FROM base b JOIN oute o ON o.src = b.src
+        )""",
         "nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation)",
         "cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes)",
         "rk0 AS MATERIALIZED (SELECT node, 1.0 / nn AS rank FROM nodes CROSS JOIN cnt)",
@@ -6338,10 +6344,9 @@ def _pagerank_oracle(iterations: int = 10, damping: float = 0.85) -> str:
         )
         ctes.append(
             f"""cb{i} AS MATERIALIZED (
-              SELECT e.dst AS node, SUM(r.rank * e.weight / o.out_w) AS c
-              FROM base e
+              SELECT e.dst AS node, SUM(r.rank * e.share) AS c
+              FROM edges_n e
               JOIN rk{i} r ON r.node = e.src
-              JOIN oute o ON o.src = e.src
               GROUP BY e.dst
             )"""
         )
@@ -6367,11 +6372,17 @@ def _pagerank_oracle(iterations: int = 10, damping: float = 0.85) -> str:
     tier="C",
     note="C-ext weighted PageRank (10 iters, α=0.85, dangling-mass "
     "redistribution) on the customer-nation → supplier-nation trade "
-    "graph derived from lineitem⋈orders⋈customer⋈supplier. Rank state "
-    "is one row per node — O(|V|), so the edge⋈rank join carries NO "
-    "forced broadcast hint (AQE broadcast-converts when the state fits, "
-    "degrades to a shuffled join at 10^9 nodes instead of OOMing); the "
-    "per-iteration shuffle is groupBy(dst) on edge contributions. "
+    "graph derived from lineitem⋈orders⋈customer⋈supplier. Round-11 "
+    "shape: out-weight normalization precomputed ONCE on the "
+    "checkpointed edge relation (share = weight/out_w, dropping the "
+    "per-iteration rank⋈out join), dangling mass FUSED into the "
+    "contribution aggregate under a NULL key (one aggregation pass "
+    "per iteration, not two jobs), contribution state — O(|V|) rows — "
+    "materialized per iteration so nothing re-executes and the plan "
+    "stays constant-depth. Rank state joins the edge list UNHINTED "
+    "(AQE broadcast-converts when the state fits, degrades to a "
+    "shuffled join at 10^9 nodes instead of OOMing); the "
+    "per-iteration shuffle is the contribution groupBy. "
     "operators/graph.py.",
 )
 def graph_pagerank_q(spark, sf_dir):

@@ -212,10 +212,10 @@ def test_pagerank_rank_state_not_hinted(spark):
     # Rank state is O(|V|) — a forced broadcast hint on the edge⋈rank
     # join ignores the 64 MB threshold and OOMs executors at 10^9 nodes
     # (round-5 VERDICT "What's wrong #1"). The ONLY intentional hint is
-    # the 1-row dangling-mass scalar: with checkpoint_every=0 and 2
-    # iterations its hint appears 3× in the analyzed plan (iteration 2
-    # re-embeds iteration 1's lineage: 2 live + 1 embedded). Re-hinting
-    # ranks/out would multiply that count — pin it exactly.
+    # the 1-row dangling-mass scalar: the round-11 shape materializes
+    # the contribution state per iteration, so the analyzed plan is
+    # constant-depth and carries exactly ONE live hint regardless of
+    # iteration count. Re-hinting ranks/edges would raise it — pin it.
     from simple_data_engineering_project_spark.operators.graph import pagerank
 
     nodes = spark.range(5).select(F.col("id").alias("node"))
@@ -223,10 +223,11 @@ def test_pagerank_rank_state_not_hinted(spark):
         [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 2.0), (3, 0, 1.0)],
         "src long, dst long, weight double",
     )
-    r = pagerank(nodes, edges, iterations=2, checkpoint_every=0)
+    r = pagerank(nodes, edges, iterations=2)
     analyzed = r._jdf.queryExecution().analyzed().toString()
-    assert analyzed.count("ResolvedHint") == 3, analyzed
-    # invariant: Σ rank = 1 survives the hint removal
+    assert analyzed.count("ResolvedHint") == 1, analyzed
+    # invariant: Σ rank = 1 survives the hint removal (node 4 is
+    # dangling, so the NULL-key fusion path is exercised)
     total = r.agg(F.sum("rank")).collect()[0][0]
     assert abs(total - 1.0) < 1e-9
 
