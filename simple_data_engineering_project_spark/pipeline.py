@@ -209,15 +209,24 @@ def _with_load_month(df: DataFrame) -> DataFrame:
 
 
 def _write_partitioned(df: DataFrame, path: str) -> None:
-    """partitionBy write clustered on the partition column.
+    """partitionBy write clustered on the partition column and SORTED
+    on the merge key within partitions.
 
     Without the repartition every shuffle task holding rows of a month
     opens a writer for it — months × tasks small files. Clustering first
     yields ~one file per month; at real scale swap the plain repartition
     for (month, salt) with a per-file row target to cap file size.
+
+    The within-partition sort on shipment_id (round 11) costs one local
+    sort at write time — no extra shuffle — and makes every row group's
+    shipment_id min/max zone map TIGHT and disjoint, so the next run's
+    key-range probe (run_batch_pipeline's moved-month scan) skips row
+    groups at the parquet footer instead of decoding them. The same
+    layout move zorder_layout makes for multi-column ranges.
     """
     (
         df.repartition(F.col(WAREHOUSE_PARTITION_COL))
+        .sortWithinPartitions("shipment_id")
         .write.mode("overwrite")
         .partitionBy(WAREHOUSE_PARTITION_COL)
         .parquet(path)
@@ -305,8 +314,19 @@ def run_batch_pipeline(
             # move a key across months; its old copy must be deleted).
             # Column-pruned scan of (key, month) only — parquet reads two
             # columns, not the table — semi-joined against the batch keys.
+            # The batch key-RANGE prefilter (round 11) is conservative
+            # (the semi-join still decides membership) but PUSHES to the
+            # parquet scan, where the sorted-within-partition warehouse
+            # layout (_write_partitioned) gives every row group a tight
+            # shipment_id zone map: row groups outside the batch's key
+            # range are skipped at the footer, never decoded. Bounds are
+            # a 1-row aggregate — bounded driver data.
+            lo, hi = staged_m.agg(
+                F.min("shipment_id"), F.max("shipment_id")
+            ).first()
             moved = (
                 old.select("shipment_id", part)
+                .filter(F.col("shipment_id").between(lo, hi))
                 .join(
                     F.broadcast(staged_m.select("shipment_id").distinct()),
                     "shipment_id",
