@@ -556,9 +556,13 @@ def read_orc_nested_columns(
     ``array<scalar>`` (LIST type: parent LENGTH stream + child scalar
     column sized by the summed lengths) and ``struct<scalar,...>``
     (parent PRESENT only; child columns carry one entry per present
-    parent row). Scalar columns pass through unchanged. MAP, UNION and
-    deeper nesting decline loudly — mirroring the parquet reader's
-    one-level contract."""
+    parent row). Round 11 adds ``list<struct<scalars>>`` (the element
+    STRUCT carries its own PRESENT over all elements; its field
+    columns are sized by the present elements) and ``map<k,v>``
+    (the LIST layout with two children: key and value columns each
+    sized by the summed lengths; rows come back as Python dicts).
+    Scalar columns pass through unchanged. UNION and deeper nesting
+    decline loudly — mirroring the parquet reader's contract."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         buf = bytes(path_or_bytes)
     else:
@@ -575,11 +579,33 @@ def read_orc_nested_columns(
         if kind == _K_LIST:
             (elem_id,) = _subtype_ids(types[cid])
             ek = types[elem_id].get(1, 0)
-            if ek in (_K_LIST, _K_MAP, _K_STRUCT, _K_UNION):
+            if ek == _K_STRUCT:
+                # list<struct<scalars>> (round 11): the element struct's
+                # fields are grandchild columns sized by the PRESENT
+                # elements
+                gkids = _subtype_ids(types[elem_id])
+                gnames = [
+                    n.decode("utf-8")
+                    for n in _as_list(types[elem_id].get(3))
+                ]
+                for g in gkids:
+                    if types[g].get(1, 0) in (
+                        _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
+                    ):
+                        raise NotImplementedError(
+                            f"ORC column {c!r}: list<struct> fields "
+                            "must be scalar"
+                        )
+                plan[c] = {
+                    "kind": kind, "cid": cid, "children": [elem_id],
+                    "elem_struct": (elem_id, gnames, gkids),
+                }
+            elif ek in (_K_LIST, _K_MAP, _K_UNION):
                 raise NotImplementedError(
-                    f"ORC column {c!r}: only one level of nesting"
+                    f"ORC column {c!r}: unsupported element nesting"
                 )
-            plan[c] = {"kind": kind, "cid": cid, "children": [elem_id]}
+            else:
+                plan[c] = {"kind": kind, "cid": cid, "children": [elem_id]}
         elif kind == _K_STRUCT:
             kids = _subtype_ids(types[cid])
             fnames = [n.decode("utf-8") for n in _as_list(types[cid].get(3))]
@@ -594,9 +620,22 @@ def read_orc_nested_columns(
                 "kind": kind, "cid": cid, "children": kids,
                 "fields": fnames,
             }
-        elif kind in (_K_MAP, _K_UNION):
+        elif kind == _K_MAP:
+            # map<scalar,scalar> (round 11): parent LENGTH stream, two
+            # child columns (keys, values) each sized by the summed
+            # lengths — the LIST layout with two children
+            kid, vid = _subtype_ids(types[cid])
+            for k in (kid, vid):
+                if types[k].get(1, 0) in (
+                    _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
+                ):
+                    raise NotImplementedError(
+                        f"ORC column {c!r}: map keys/values must be scalar"
+                    )
+            plan[c] = {"kind": kind, "cid": cid, "children": [kid, vid]}
+        elif kind == _K_UNION:
             raise NotImplementedError(
-                f"ORC column kind {kind} not supported (map/union)"
+                f"ORC column kind {kind} not supported (union)"
             )
         else:
             plan[c] = {"kind": kind, "cid": cid, "children": []}
@@ -617,6 +656,8 @@ def read_orc_nested_columns(
         for p in plan.values():
             wanted.add(p["cid"])
             wanted.update(p["children"])
+            if "elem_struct" in p:
+                wanted.update(p["elem_struct"][2])
         pos = offset
         located: dict[tuple[int, int], bytes] = {}
         for s in streams:
@@ -663,7 +704,35 @@ def read_orc_nested_columns(
                     n_present,
                     signed=False,
                 )
-                elems = dec(p["children"][0], sum(lengths))
+                n_elems = sum(lengths)
+                if "elem_struct" in p:
+                    # list<struct>: assemble the element dicts first —
+                    # the element STRUCT column carries its own PRESENT
+                    # over all n_elems positions; its field columns are
+                    # sized by the PRESENT elements
+                    elem_id, gnames, gkids = p["elem_struct"]
+                    eraw = located.get((elem_id, _S_PRESENT))
+                    epresent = (
+                        _bool_rle(
+                            _decompress_stream(codec, eraw), n_elems
+                        )
+                        if eraw is not None
+                        else [True] * n_elems
+                    )
+                    n_ep = sum(epresent)
+                    fields = {
+                        f: dec(g, n_ep) for f, g in zip(gnames, gkids)
+                    }
+                    elems = []
+                    j = 0
+                    for epr in epresent:
+                        if not epr:
+                            elems.append(None)
+                            continue
+                        elems.append({f: fields[f][j] for f in gnames})
+                        j += 1
+                else:
+                    elems = dec(p["children"][0], n_elems)
                 rows: list = []
                 li = 0
                 ei = 0
@@ -674,6 +743,46 @@ def read_orc_nested_columns(
                     ln = lengths[li]
                     li += 1
                     rows.append(elems[ei : ei + ln])
+                    ei += ln
+                out[c].extend(rows)
+            elif p["kind"] == _K_MAP:
+                enc_parent = (
+                    encodings[cid] if cid < len(encodings) else {}
+                ).get(1, 0)
+                if enc_parent in (0, 1):
+                    raise NotImplementedError(
+                        "ORC RLEv1 column encoding (0.11 format) "
+                        "not supported"
+                    )
+                praw = located.get((cid, _S_PRESENT))
+                present = (
+                    _bool_rle(_decompress_stream(codec, praw), n_rows)
+                    if praw is not None
+                    else [True] * n_rows
+                )
+                n_present = sum(present)
+                lraw = located.get((cid, _S_LENGTH))
+                lengths = rlev2_decode(
+                    _decompress_stream(codec, lraw) if lraw else b"",
+                    n_present,
+                    signed=False,
+                )
+                total = sum(lengths)
+                kid, vid = p["children"]
+                keys = dec(kid, total)
+                vals = dec(vid, total)
+                rows = []
+                li = 0
+                ei = 0
+                for pr in present:
+                    if not pr:
+                        rows.append(None)
+                        continue
+                    ln = lengths[li]
+                    li += 1
+                    rows.append(
+                        dict(zip(keys[ei : ei + ln], vals[ei : ei + ln]))
+                    )
                     ei += ln
                 out[c].extend(rows)
             elif p["kind"] == _K_STRUCT:

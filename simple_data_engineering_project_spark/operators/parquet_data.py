@@ -541,6 +541,55 @@ def _assemble_list(reps, defs, present, leaf) -> list:
     return rows
 
 
+def _assemble_repeated_group(parts: dict[str, dict], as_map: bool) -> list:
+    """Dremel assembly for a repeated GROUP element — the shared shape
+    under ``list<struct<...>>`` (c.list.element.f leaves) and
+    ``map<k,v>`` (c.key_value.{key,value} leaves, the element group
+    being the pair itself). ``parts`` maps field name -> dict with
+    ``reps``/``defs``/``present``/``max_def`` plus the thresholds
+    ``d_outer`` (cum def before the repeated node), ``d_rep`` (at it)
+    and ``d_elem`` (at the element group; == d_rep for maps). All
+    sibling leaves share reps and the defs pattern up to d_elem, so any
+    leaf drives the skeleton; field-level nulls come from each leaf's
+    own defs. Returns lists of dicts (or None), or Python dicts for
+    ``as_map``."""
+    names = list(parts)
+    f0 = parts[names[0]]
+    seated: dict[str, list] = {}
+    for f, pp in parts.items():
+        it = iter(pp["present"])
+        seated[f] = [
+            next(it) if d == pp["max_def"] else None for d in pp["defs"]
+        ]
+    rows: list = []
+    cur: list | None = None
+    for i, (r, d) in enumerate(zip(f0["reps"], f0["defs"])):
+        if r == 0:
+            if d < f0["d_outer"]:
+                rows.append(None)
+                cur = None
+                continue
+            if d < f0["d_rep"]:
+                rows.append([])
+                cur = None
+                continue
+            cur = []
+            rows.append(cur)
+        elif cur is None:
+            raise ValueError("repetition level continues a null/empty group")
+        if d < f0["d_elem"]:
+            cur.append(None)
+        else:
+            cur.append({f: seated[f][i] for f in names})
+    if as_map:
+        return [
+            None if row is None
+            else {p["key"]: p["value"] for p in row}
+            for row in rows
+        ]
+    return rows
+
+
 def _assemble_struct(parts: dict[str, tuple]) -> list:
     """Assemble a one-level struct from its primitive field chunks.
     ``parts`` maps field name -> (def_levels, present_values, max_def,
@@ -638,11 +687,47 @@ def _decode_row_group(
                     leaf["levels"][-2][0],
                 )
             out[c].extend(_assemble_struct(parts))
+        elif all(
+            schema[p]["max_rep"] == 1
+            and schema[p]["levels"][1][2] == 2
+            and p.count(".") in (2, 3)
+            for p in leaves
+        ) and len({p.count(".") for p in leaves}) == 1:
+            # one repeated GROUP level (round 11): list<struct<...>>
+            # (c.list.element.f — 3 dots) or map<k,v>
+            # (c.key_value.{key,value} — 2 dots, the pair group itself
+            # being the element)
+            comps = leaves[0].count(".")
+            is_map = comps == 2 and {
+                p.rsplit(".", 1)[1] for p in leaves
+            } == {"key", "value"}
+            if comps == 2 and not is_map:
+                raise NotImplementedError(
+                    f"column {c!r}: repeated group with non-map field "
+                    "names is not a supported shape"
+                )
+            gparts: dict[str, dict] = {}
+            for p in leaves:
+                leaf = schema[p]
+                reps, defs, present = read_chunk_levels(
+                    buf, by_path[p], leaf
+                )
+                lv = leaf["levels"]
+                gparts[p.rsplit(".", 1)[1]] = {
+                    "reps": reps,
+                    "defs": defs,
+                    "present": present,
+                    "max_def": leaf["max_def"],
+                    "d_outer": lv[0][0],
+                    "d_rep": lv[1][0],
+                    "d_elem": lv[1][0] if is_map else lv[2][0],
+                }
+            out[c].extend(_assemble_repeated_group(gparts, as_map=is_map))
         else:
             raise NotImplementedError(
-                f"column {c!r}: only one level of LIST or STRUCT "
-                "nesting is supported (maps, list<struct>, "
-                "struct<list> decline loudly)"
+                f"column {c!r}: supported nesting is one level of LIST "
+                "or STRUCT, list<struct<scalars>>, and map<k,v>; "
+                "deeper shapes decline loudly"
             )
 
 

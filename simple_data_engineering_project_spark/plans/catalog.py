@@ -12028,6 +12028,246 @@ def scan_orc_nested_q(spark, sf_dir):
     )
 
 
+_NESTED2_ORACLE = """
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN -1
+                ELSE o_orderkey % 4 END AS INT) AS ls_len,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'NULL'
+                ELSE COALESCE(array_to_string(
+                  list_transform(
+                    range(1, CAST(o_orderkey % 4 AS BIGINT) + 1),
+                    i -> CASE WHEN i = 2 AND o_orderkey % 5 = 0 THEN 'N'
+                         ELSE concat(
+                           CASE WHEN i = 3 AND o_orderkey % 3 = 0 THEN '_'
+                                ELSE CAST(o_orderkey * 10 + i AS VARCHAR) END,
+                           ':',
+                           CASE WHEN (o_orderkey + i) % 13 = 0 THEN '_'
+                                ELSE 's' || CAST((o_orderkey + i) % 9
+                                             AS VARCHAR) END)
+                         END),
+                  ','), '')
+           END AS ls_csv,
+           CAST(CASE WHEN o_orderkey % 11 = 0 THEN -1
+                ELSE o_orderkey % 3 END AS INT) AS m_len,
+           CASE WHEN o_orderkey % 11 = 0 THEN 'NULL'
+                ELSE COALESCE(array_to_string(
+                  list_transform(
+                    range(0, CAST(o_orderkey % 3 AS BIGINT)),
+                    j -> 'k' || CAST(j AS VARCHAR) || '=' ||
+                         CASE WHEN (o_orderkey + j) % 17 = 0 THEN 'N'
+                              ELSE CAST(o_orderkey + j AS VARCHAR) END),
+                  ','), '')
+           END AS m_csv
+    FROM orders
+    """
+
+
+def _nested2_frame(spark, sf_dir):
+    """orders → (o_orderkey, ls: list<struct<q,t>>, m: map<string,
+    bigint>) with null/empty/null-element/null-field/null-value
+    residue — the shared fixture derivation for the round-11 deep-
+    nesting scan twins."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    n_ls = (k % 4).cast("int")
+    seq_ls = F.when(n_ls >= 1, F.sequence(F.lit(1), n_ls)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ls = F.when(
+        k % 7 == 0, F.lit(None).cast("array<struct<q:bigint,t:string>>")
+    ).otherwise(
+        F.transform(
+            seq_ls,
+            lambda i: F.when(
+                (i == 2) & (k % 5 == 0),
+                F.lit(None).cast("struct<q:bigint,t:string>"),
+            ).otherwise(
+                F.struct(
+                    F.when(
+                        (i == 3) & (k % 3 == 0),
+                        F.lit(None).cast("bigint"),
+                    )
+                    .otherwise((k * 10 + i).cast("bigint"))
+                    .alias("q"),
+                    F.when(
+                        (k + i) % 13 == 0, F.lit(None).cast("string")
+                    )
+                    .otherwise(
+                        F.concat(F.lit("s"), ((k + i) % 9).cast("string"))
+                    )
+                    .alias("t"),
+                )
+            ),
+        )
+    )
+    n_m = (k % 3).cast("int")
+    seq_m = F.when(n_m >= 1, F.sequence(F.lit(0), n_m - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    m = F.when(
+        k % 11 == 0, F.lit(None).cast("map<string,bigint>")
+    ).otherwise(
+        F.map_from_arrays(
+            F.transform(
+                seq_m, lambda j: F.concat(F.lit("k"), j.cast("string"))
+            ),
+            F.transform(
+                seq_m,
+                lambda j: F.when(
+                    (k + j) % 17 == 0, F.lit(None).cast("bigint")
+                ).otherwise((k + j).cast("bigint")),
+            ),
+        )
+    )
+    return o.select(k.alias("o_orderkey"), ls.alias("ls"), m.alias("m"))
+
+
+def _nested2_flatten_rows(d, decode_bytes: bool):
+    """Flatten pure-reader output for the deep-nesting twins: list
+    elements render as 'q:t' ('_' for null fields, 'N' for a null
+    element), map entries as sorted 'key=value' ('N' for null values).
+    ``decode_bytes`` utf-8-decodes the parquet reader's byte
+    strings."""
+
+    def _s(v):
+        if v is None:
+            return None
+        return v.decode("utf-8") if decode_bytes and isinstance(v, bytes) else v
+
+    rows = []
+    for key, lv, mv in zip(d["o_orderkey"], d["ls"], d["m"]):
+        if lv is None:
+            ls_len, ls_csv = -1, "NULL"
+        else:
+            ls_len = len(lv)
+            ls_csv = ",".join(
+                "N" if e is None else (
+                    ("_" if e["q"] is None else str(e["q"]))
+                    + ":"
+                    + ("_" if e["t"] is None else _s(e["t"]))
+                )
+                for e in lv
+            )
+        if mv is None:
+            m_len, m_csv = -1, "NULL"
+        else:
+            m_len = len(mv)
+            m_csv = ",".join(
+                f"{_s(kk)}={'N' if vv is None else vv}"
+                for kk, vv in sorted(
+                    (( _s(kk), vv) for kk, vv in mv.items())
+                )
+            )
+        rows.append({
+            "o_orderkey": key,
+            "ls_len": ls_len,
+            "ls_csv": ls_csv,
+            "m_len": m_len,
+            "m_csv": m_csv,
+        })
+    return rows
+
+
+_NESTED2_SCHEMA = (
+    "o_orderkey bigint, ls_len int, ls_csv string, m_len int, m_csv string"
+)
+
+
+@register(
+    "scan_parquet_nested2",
+    _NESTED2_ORACLE,
+    tier="C",
+    note="C12 pure-Python parquet DEEP-NESTING scan (round 11, closing "
+    "the round-10 decline boundary): list<struct<q:bigint,t:string>> "
+    "and map<string,bigint> assemble from repetition/definition levels "
+    "through one shared repeated-group Dremel pass — the element "
+    "struct's fields are sibling leaves sharing reps and the defs "
+    "pattern up to the element group's level, so any leaf drives the "
+    "null-list/empty-list/null-element skeleton and each leaf's own "
+    "defs seat field-level nulls; maps are the same shape with the "
+    "pair group as the element. Spark's JVM writer stages the fixture "
+    "(null/empty/null-element/null-field/null-value residue), the "
+    "pure reader assembles it FILE-PER-TASK via mapInPandas, flattened "
+    "scalars hash-match DuckDB recomputing from source rows; the unit "
+    "battery cross-validates vs pyarrow over v1+v2 pages × dict/plain "
+    "× multi-row-group. Deeper nesting still declines loudly.",
+)
+def scan_parquet_nested2_q(spark, sf_dir):
+    import glob as _glob
+
+    import pandas as _pd
+
+    out = _scratch(sf_dir, "pq_nested2_orders")
+    _nested2_frame(spark, sf_dir).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(out)
+    paths = sorted(_glob.glob(f"{out}/part-*.parquet"))
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def _read(batches):
+        from ..operators.parquet_data import read_parquet_nested_columns
+
+        for b in batches:
+            for path in b["path"]:
+                d = read_parquet_nested_columns(
+                    path, ["o_orderkey", "ls", "m"]
+                )
+                yield _pd.DataFrame(
+                    _nested2_flatten_rows(d, decode_bytes=True),
+                    columns=[
+                        "o_orderkey", "ls_len", "ls_csv", "m_len", "m_csv",
+                    ],
+                )
+
+    return pdf.mapInPandas(_read, schema=_NESTED2_SCHEMA)
+
+
+@register(
+    "scan_orc_nested2",
+    _NESTED2_ORACLE,
+    tier="C",
+    note="C12 pure-Python ORC DEEP-NESTING scan (round 11, the ORC "
+    "twin of scan_parquet_nested2 — same fixture, same oracle): "
+    "list<struct<q,t>> decodes as parent PRESENT+LENGTH over an "
+    "element STRUCT that carries its own PRESENT across all elements "
+    "with field columns sized by the present elements; map<string,"
+    "bigint> is the LIST layout with two children (key and value "
+    "columns each sized by the summed lengths). Spark-JVM-written "
+    "fixture, FILE-PER-TASK mapInPandas read-back, flattened scalars "
+    "hash-matched vs DuckDB on source rows; unit battery "
+    "cross-validates vs pyarrow.orc across 4 codecs + multi-stripe. "
+    "UNION and deeper nesting still decline loudly.",
+)
+def scan_orc_nested2_q(spark, sf_dir):
+    import glob as _glob
+
+    import pandas as _pd
+
+    out = _scratch(sf_dir, "orc_nested2_orders")
+    _nested2_frame(spark, sf_dir).repartition(8).write.mode(
+        "overwrite"
+    ).orc(out)
+    paths = sorted(_glob.glob(f"{out}/part-*.orc"))
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def _read(batches):
+        from ..operators.orc_data import read_orc_nested_columns
+
+        for b in batches:
+            for path in b["path"]:
+                d = read_orc_nested_columns(
+                    path, ["o_orderkey", "ls", "m"]
+                )
+                yield _pd.DataFrame(
+                    _nested2_flatten_rows(d, decode_bytes=False),
+                    columns=[
+                        "o_orderkey", "ls_len", "ls_csv", "m_len", "m_csv",
+                    ],
+                )
+
+    return pdf.mapInPandas(_read, schema=_NESTED2_SCHEMA)
+
+
 @register(
     "sink_orc_typed",
     """

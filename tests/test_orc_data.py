@@ -548,11 +548,10 @@ def test_nested_spark_written_orc(spark, tmp_path):
 
 
 def test_nested_deep_shapes_decline_loudly_orc(tmp_path):
+    # round 11 moved map<k,v> and list<struct> to the SUPPORTED side
+    # (test_nested_list_struct_and_map_decode); struct<list> and
+    # list<list> still decline loudly
     cases = {
-        "m": pa.array([{"k": 1}], pa.map_(pa.string(), pa.int64())),
-        "ls": pa.array(
-            [[{"x": 1}]], pa.list_(pa.struct([("x", pa.int64())]))
-        ),
         "sl": pa.array(
             [{"v": [1]}], pa.struct([("v", pa.list_(pa.int64()))])
         ),
@@ -851,3 +850,67 @@ def test_pure_writer_nested_spark_reread(spark, tmp_path):
     assert [
         None if r.st is None else {"a": r.st.a, "b": r.st.b} for r in rows
     ] == cols["st"]
+
+
+@pytest.mark.parametrize("comp", ["UNCOMPRESSED", "ZLIB", "SNAPPY", "ZSTD"])
+def test_nested_list_struct_and_map_decode(comp):
+    """Round 11: list<struct<scalars>> (element STRUCT with its own
+    PRESENT over all elements, field columns sized by present
+    elements) and map<k,v> (LIST layout with key+value children)
+    decode against pyarrow-written reference bytes, multi-stripe."""
+    import random
+
+    from simple_data_engineering_project_spark.operators.orc_data import (
+        read_orc_nested_columns,
+    )
+
+    rnd = random.Random(7)
+    n = 3000
+    ls_rows, map_rows = [], []
+    for i in range(n):
+        if i % 13 == 0:
+            ls_rows.append(None)
+        elif i % 7 == 0:
+            ls_rows.append([])
+        else:
+            ls_rows.append([
+                None if rnd.random() < 0.08 else {
+                    "a": None if rnd.random() < 0.1 else rnd.randint(-99, 99),
+                    "b": None if rnd.random() < 0.1 else f"x{rnd.randint(0, 20)}",
+                }
+                for _ in range(rnd.randint(1, 5))
+            ])
+        if i % 11 == 0:
+            map_rows.append(None)
+        elif i % 5 == 0:
+            map_rows.append({})
+        else:
+            map_rows.append({
+                f"k{j}": (None if rnd.random() < 0.1 else j * i)
+                for j in range(rnd.randint(1, 4))
+            })
+    t = pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "ls": pa.array(
+            ls_rows,
+            pa.list_(pa.struct([("a", pa.int64()), ("b", pa.string())])),
+        ),
+        "m": pa.array(
+            [None if r is None else list(r.items()) for r in map_rows],
+            pa.map_(pa.string(), pa.int64()),
+        ),
+    })
+    buf = io.BytesIO()
+    po.write_table(t, buf, compression=comp, stripe_size=64 * 1024)
+    mine = read_orc_nested_columns(buf.getvalue(), ["ls", "m", "id"])
+    assert mine["id"] == list(range(n))
+    assert mine["ls"] == ls_rows
+    assert mine["m"] == map_rows
+    # deeper shapes still decline loudly
+    t2 = pa.table({
+        "ll": pa.array([[[1]], [[2], [3]]], pa.list_(pa.list_(pa.int64()))),
+    })
+    buf2 = io.BytesIO()
+    po.write_table(t2, buf2)
+    with pytest.raises(NotImplementedError):
+        read_orc_nested_columns(buf2.getvalue(), ["ll"])

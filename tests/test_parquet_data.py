@@ -609,12 +609,10 @@ def test_int96_spark_written_java_convention(spark, tmp_path):
 
 
 def test_nested_deeper_shapes_decline_loudly(tmp_path):
+    # round 11 moved map<k,v> and list<struct> to the SUPPORTED side
+    # (see test_nested_list_struct_and_map below); struct<list> and
+    # list<list> still decline loudly
     cases = {
-        "m": pa.array([{"k": 1}, {"j": 2}], pa.map_(pa.string(), pa.int64())),
-        "ls": pa.array(
-            [[{"x": 1}], []],
-            pa.list_(pa.struct([("x", pa.int64())])),
-        ),
         "sl": pa.array(
             [{"v": [1, 2]}, {"v": []}],
             pa.struct([("v", pa.list_(pa.int64()))]),
@@ -624,8 +622,76 @@ def test_nested_deeper_shapes_decline_loudly(tmp_path):
     for name, arr in cases.items():
         path = tmp_path / f"deep_{name}.parquet"
         pq.write_table(pa.table({name: arr}), path)
-        with pytest.raises(NotImplementedError, match="one level"):
+        with pytest.raises(NotImplementedError):
             read_parquet_nested_columns(str(path), [name])
+
+
+@pytest.mark.parametrize("pv", ["1.0", "2.0"])
+@pytest.mark.parametrize("dic", [True, False])
+def test_nested_list_struct_and_map(tmp_path, pv, dic):
+    """Round 11: list<struct<scalars>> and map<k,v> assemble through
+    the shared repeated-group Dremel pass — null list/empty list/null
+    element/null field/null value residue, vs pyarrow-written files
+    across page versions and dictionary modes."""
+    import random
+
+    rnd = random.Random(7)
+    n = 1200
+    ls_rows, map_rows = [], []
+    for i in range(n):
+        if i % 13 == 0:
+            ls_rows.append(None)
+        elif i % 7 == 0:
+            ls_rows.append([])
+        else:
+            ls_rows.append([
+                None if rnd.random() < 0.08 else {
+                    "a": None if rnd.random() < 0.1 else rnd.randint(-99, 99),
+                    "b": None if rnd.random() < 0.1 else f"x{rnd.randint(0, 20)}",
+                }
+                for _ in range(rnd.randint(1, 5))
+            ])
+        if i % 11 == 0:
+            map_rows.append(None)
+        elif i % 5 == 0:
+            map_rows.append({})
+        else:
+            map_rows.append({
+                f"k{j}": (None if rnd.random() < 0.1 else j * i)
+                for j in range(rnd.randint(1, 4))
+            })
+    t = pa.table({
+        "ls": pa.array(
+            ls_rows,
+            pa.list_(pa.struct([("a", pa.int64()), ("b", pa.string())])),
+        ),
+        "m": pa.array(
+            [None if r is None else list(r.items()) for r in map_rows],
+            pa.map_(pa.string(), pa.int64()),
+        ),
+    })
+    path = tmp_path / f"lsmap-{pv}-{dic}.parquet"
+    pq.write_table(
+        t, path, compression="snappy", data_page_version=pv,
+        use_dictionary=dic, row_group_size=500,
+    )
+    mine = read_parquet_nested_columns(str(path), ["ls", "m"])
+    got_ls = [
+        None if r is None else [
+            None if e is None else {
+                "a": e["a"],
+                "b": None if e["b"] is None else e["b"].decode(),
+            }
+            for e in r
+        ]
+        for r in mine["ls"]
+    ]
+    assert got_ls == ls_rows
+    got_m = [
+        None if r is None else {k.decode(): v for k, v in r.items()}
+        for r in mine["m"]
+    ]
+    assert got_m == map_rows
 
 
 def test_nested_truncation_and_bitflip_never_hang_or_lie(tmp_path):
