@@ -181,22 +181,34 @@ def _kind_of(ddl: str) -> tuple[int, int | None, int | None]:
     raise NotImplementedError(f"type {ddl} not writable")
 
 
+def _struct_fields_of(body: str) -> list[tuple[str, tuple]]:
+    fields = []
+    for part in body.split(","):
+        fname, _, t = part.partition(":")
+        fields.append((fname.strip(), _kind_of(t.strip().lower())))
+    return fields
+
+
 def _plan_of(ddl: str):
-    """('scalar'|'list', (kind, prec, scale)) or
-    ('struct', [(fname, (kind, prec, scale)), ...]) — ONE level of
-    LIST/STRUCT nesting with scalar elements/fields (round 11, the
-    write-side twin of orc_data.read_orc_nested_columns); deeper
-    shapes and maps decline loudly."""
+    """('scalar'|'list', (kind, prec, scale)),
+    ('struct'|'list_struct', [(fname, (kind, prec, scale)), ...]) or
+    ('map', (key kps, value kps)) — the shapes
+    orc_data.read_orc_nested_columns assembles (round 11 adds
+    list<struct<scalars>> and map<scalar,scalar>); deeper shapes
+    decline loudly."""
     s = ddl.strip()
     low = s.lower()
     if low.startswith("array<") and s.endswith(">"):
-        return ("list", _kind_of(s[6:-1].strip().lower()))
+        elem = s[6:-1].strip()
+        if elem.lower().startswith("struct<") and elem.endswith(">"):
+            return ("list_struct", _struct_fields_of(elem[7:-1]))
+        return ("list", _kind_of(elem.lower()))
+    if low.startswith("map<") and s.endswith(">"):
+        kt, _, vt = s[4:-1].partition(",")
+        return ("map", (_kind_of(kt.strip().lower()),
+                        _kind_of(vt.strip().lower())))
     if low.startswith("struct<") and s.endswith(">"):
-        fields = []
-        for part in s[7:-1].split(","):
-            fname, _, t = part.partition(":")
-            fields.append((fname.strip(), _kind_of(t.strip().lower())))
-        return ("struct", fields)
+        return ("struct", _struct_fields_of(s[7:-1]))
     return ("scalar", _kind_of(low))
 
 
@@ -276,9 +288,13 @@ def build_orc_bytes(
         plans[c] = _plan_of(ddl_types[c])
         ids[c] = next_id
         pk, detail = plans[c]
-        next_id += 1 + (
-            len(detail) if pk == "struct" else (1 if pk == "list" else 0)
-        )
+        next_id += {
+            "scalar": 1,
+            "list": 2,
+            "struct": 1 + len(detail),
+            "list_struct": 2 + len(detail),
+            "map": 3,
+        }[pk]
         if len(columns[c]) != num_rows:
             raise ValueError("ragged columns")
     n_nodes = next_id - 1
@@ -460,34 +476,74 @@ def build_orc_bytes(
                 }
             )
 
+        def emit_lengths(idx: int, vals: list) -> list:
+            """Parent PRESENT + unsigned-RLEv2 LENGTH streams for a
+            LIST/MAP node; returns the present rows (lists or dicts)."""
+            present = [v is not None for v in vals]
+            emit_present(idx, present)
+            rows_p = [v for v in vals if v is not None]
+            ls = frame(
+                rlev2_direct_encode([len(v) for v in rows_p], signed=False)
+            )
+            stream_meta.append((idx, 2, len(ls)))  # LENGTH
+            bodies.extend(ls)
+            encodings.append((2, None))  # DIRECT_V2
+            stats.append({
+                "n": len(rows_p),
+                "has_null": not all(present),
+                "kind": None,
+                "present": [],
+            })
+            return rows_p
+
         for c in names:
             pkind, detail = plans[c]
             vals = columns[c][start : start + n_s]
             idx = ids[c]
             if pkind == "scalar":
                 emit_leaf(idx, vals, detail)
+            elif pkind == "list_struct":
+                # LIST parent → element STRUCT (own PRESENT over all
+                # elements) → field leaves over present elements —
+                # the layout orc_data's nested reader assembles
+                rows_p = emit_lengths(idx, vals)
+                elems = [e for v in rows_p for e in v]
+                epresent = [e is not None for e in elems]
+                emit_present(idx + 1, epresent)
+                encodings.append((0, None))  # struct: DIRECT
+                stats.append({
+                    "n": sum(epresent),
+                    "has_null": not all(epresent),
+                    "kind": None,
+                    "present": [],
+                })
+                elems_p = [e for e in elems if e is not None]
+                for j, (fname, kps) in enumerate(detail):
+                    fvals = [
+                        e.get(fname) if isinstance(e, dict)
+                        else getattr(e, fname)
+                        for e in elems_p
+                    ]
+                    emit_leaf(idx + 2 + j, fvals, kps)
+            elif pkind == "map":
+                rows_p = emit_lengths(idx, vals)
+                emit_leaf(
+                    idx + 1,
+                    [k for v in rows_p for k in v.keys()],
+                    detail[0],
+                )
+                emit_leaf(
+                    idx + 2,
+                    [x for v in rows_p for x in v.values()],
+                    detail[1],
+                )
             elif pkind == "list":
                 # LIST parent: PRESENT (+) LENGTH = unsigned RLEv2
                 # per-present-row element counts; the child column
                 # carries the flattened elements (orc_data's nested
                 # reader slices it back by the summed lengths)
-                present = [v is not None for v in vals]
-                emit_present(idx, present)
-                lengths = [len(v) for v in vals if v is not None]
-                ls = frame(rlev2_direct_encode(lengths, signed=False))
-                stream_meta.append((idx, 2, len(ls)))  # LENGTH
-                bodies.extend(ls)
-                encodings.append((2, None))  # DIRECT_V2
-                stats.append({
-                    "n": len(lengths),
-                    "has_null": not all(present),
-                    "kind": None,
-                    "present": [],
-                })
-                elems = [
-                    e for v in vals if v is not None for e in v
-                ]
-                emit_leaf(idx + 1, elems, detail)
+                rows_p = emit_lengths(idx, vals)
+                emit_leaf(idx + 1, [e for v in rows_p for e in v], detail)
             else:  # struct
                 # STRUCT parent: PRESENT only; each field is a child
                 # column holding one entry per PRESENT struct row
@@ -586,6 +642,30 @@ def build_orc_bytes(
             t += _pb_bytes(2, _varint(ids[c] + 1))
             types.append(_pb_bytes(4, t))
             types.append(_pb_bytes(4, _scalar_type_pb(detail)))
+        elif pkind == "list_struct":
+            t = _pb_varint(1, 10)  # LIST
+            t += _pb_bytes(2, _varint(ids[c] + 1))
+            types.append(_pb_bytes(4, t))
+            st = _pb_varint(1, _K_STRUCT)
+            st += _pb_bytes(
+                2,
+                b"".join(
+                    _varint(ids[c] + 2 + j) for j in range(len(detail))
+                ),
+            )
+            for fname, _kps in detail:
+                st += _pb_bytes(3, fname.encode("utf-8"))
+            types.append(_pb_bytes(4, st))
+            for _fname, kps in detail:
+                types.append(_pb_bytes(4, _scalar_type_pb(kps)))
+        elif pkind == "map":
+            t = _pb_varint(1, 11)  # MAP
+            t += _pb_bytes(
+                2, _varint(ids[c] + 1) + _varint(ids[c] + 2)
+            )
+            types.append(_pb_bytes(4, t))
+            types.append(_pb_bytes(4, _scalar_type_pb(detail[0])))
+            types.append(_pb_bytes(4, _scalar_type_pb(detail[1])))
         else:
             t = _pb_varint(1, _K_STRUCT)
             t += _pb_bytes(

@@ -420,33 +420,50 @@ def _write_column_chunk(body: bytearray, vals: list, ptype: int, codec_id: int):
     return encodings, dict_offset, data_offset, comp_size, uncomp_size, stats
 
 
+def _scalar_fields(body: str, ctx: str) -> list[tuple[str, str]]:
+    """Parse 'a:bigint,b:string' into [(name, type)] — scalar types
+    only; anything else declines loudly."""
+    fields = []
+    for part in body.split(","):
+        name, _, t = part.partition(":")
+        t = t.strip().lower()
+        if t not in _SPARK_TO_PHYSICAL:
+            raise NotImplementedError(
+                f"{ctx} field type {t!r} not writable (scalar fields only)"
+            )
+        fields.append((name.strip(), t))
+    return fields
+
+
 def _parse_ddl(ddl: str):
     """('scalar', t) | ('array', elem_t) | ('struct', [(name, t), ...])
-    for a Spark DDL type string — ONE level of nesting, scalar
-    elements/fields only (the same envelope the reader assembles);
+    | ('array_struct', [(name, t), ...]) | ('map', (key_t, val_t)) for
+    a Spark DDL type string — the shapes the reader assembles
+    (round 11 adds array<struct<scalars>> and map<scalar,scalar>);
     deeper shapes decline loudly."""
     s = ddl.strip()
     low = s.lower()
     if low.startswith("array<") and s.endswith(">"):
         elem = s[6:-1].strip()
-        if elem.lower() not in _SPARK_TO_PHYSICAL:
+        el = elem.lower()
+        if el.startswith("struct<") and elem.endswith(">"):
+            return ("array_struct", _scalar_fields(elem[7:-1], "list<struct>"))
+        if el not in _SPARK_TO_PHYSICAL:
             raise NotImplementedError(
-                f"array element type {elem!r} not writable (one level "
-                "of nesting, scalar elements only)"
+                f"array element type {elem!r} not writable "
+                "(scalar or struct<scalars> elements only)"
             )
-        return ("array", elem.lower())
+        return ("array", el)
+    if low.startswith("map<") and s.endswith(">"):
+        kt, _, vt = s[4:-1].partition(",")
+        kt, vt = kt.strip().lower(), vt.strip().lower()
+        if kt not in _SPARK_TO_PHYSICAL or vt not in _SPARK_TO_PHYSICAL:
+            raise NotImplementedError(
+                f"map type {ddl!r} not writable (scalar keys/values only)"
+            )
+        return ("map", (kt, vt))
     if low.startswith("struct<") and s.endswith(">"):
-        fields = []
-        for part in s[7:-1].split(","):
-            name, _, t = part.partition(":")
-            t = t.strip().lower()
-            if t not in _SPARK_TO_PHYSICAL:
-                raise NotImplementedError(
-                    f"struct field type {t!r} not writable (one level "
-                    "of nesting, scalar fields only)"
-                )
-            fields.append((name.strip(), t))
-        return ("struct", fields)
+        return ("struct", _scalar_fields(s[7:-1], "struct"))
     if low in _SPARK_TO_PHYSICAL:
         return ("scalar", low)
     raise NotImplementedError(f"type {ddl} not writable")
@@ -474,6 +491,63 @@ def _list_levels(vals: list):
                 else:
                     defs.append(3)
                     present.append(e)
+    return defs, reps, present
+
+
+def _list_struct_levels(vals: list, fname: str):
+    """(def_levels, rep_levels, present) for ONE field of a
+    list<struct> column: def 0 = null list, 1 = empty list, 2 = null
+    element, 3 = present element / null field, 4 = value."""
+    defs: list[int] = []
+    reps: list[int] = []
+    present: list = []
+    for row in vals:
+        if row is None:
+            defs.append(0)
+            reps.append(0)
+        elif len(row) == 0:
+            defs.append(1)
+            reps.append(0)
+        else:
+            for k, e in enumerate(row):
+                reps.append(0 if k == 0 else 1)
+                if e is None:
+                    defs.append(2)
+                    continue
+                v = e.get(fname) if isinstance(e, dict) else getattr(e, fname)
+                if v is None:
+                    defs.append(3)
+                else:
+                    defs.append(4)
+                    present.append(v)
+    return defs, reps, present
+
+
+def _map_levels(vals: list, which: str):
+    """(def_levels, rep_levels, present) for the key or value leaf of
+    a map column. Keys are REQUIRED (def 0 = null map, 1 = empty map,
+    2 = key); values are OPTIONAL (2 = null value, 3 = value)."""
+    defs: list[int] = []
+    reps: list[int] = []
+    present: list = []
+    for row in vals:
+        if row is None:
+            defs.append(0)
+            reps.append(0)
+        elif len(row) == 0:
+            defs.append(1)
+            reps.append(0)
+        else:
+            for k, (kk, vv) in enumerate(row.items()):
+                reps.append(0 if k == 0 else 1)
+                if which == "key":
+                    defs.append(2)
+                    present.append(kk)
+                elif vv is None:
+                    defs.append(2)
+                else:
+                    defs.append(3)
+                    present.append(vv)
     return defs, reps, present
 
 
@@ -686,7 +760,9 @@ def build_parquet_bytes(
     num_rows = len(columns[names[0]]) if names else 0
     plans = {c: _parse_ddl(ddl_types[c]) for c in names}
     n_leaves = sum(
-        len(p[1]) if p[0] == "struct" else 1 for p in plans.values()
+        len(p[1]) if p[0] in ("struct", "array_struct")
+        else (2 if p[0] == "map" else 1)
+        for p in plans.values()
     )
     for c in names:
         if len(columns[c]) != num_rows:
@@ -758,6 +834,36 @@ def build_parquet_bytes(
                     )
                 )
                 total_uncomp += chunk[4]
+            elif kind == "array_struct":
+                for fname, ftype in detail:
+                    ptype = _SPARK_TO_PHYSICAL[ftype]
+                    defs, reps, present = _list_struct_levels(vals, fname)
+                    chunk = _write_nested_chunk(
+                        body, defs, reps, present, n_rg, ptype,
+                        codec_id, page_version,
+                    )
+                    col_chunks.append(
+                        _leaf_metadata(
+                            [c, "list", "element", fname], ptype,
+                            len(defs), chunk,
+                        )
+                    )
+                    total_uncomp += chunk[4]
+            elif kind == "map":
+                for which, t in zip(("key", "value"), detail):
+                    ptype = _SPARK_TO_PHYSICAL[t]
+                    defs, reps, present = _map_levels(vals, which)
+                    chunk = _write_nested_chunk(
+                        body, defs, reps, present, n_rg, ptype,
+                        codec_id, page_version,
+                    )
+                    col_chunks.append(
+                        _leaf_metadata(
+                            [c, "key_value", which], ptype,
+                            len(defs), chunk,
+                        )
+                    )
+                    total_uncomp += chunk[4]
             else:  # struct
                 for fname, ftype in detail:
                     ptype = _SPARK_TO_PHYSICAL[ftype]
@@ -825,6 +931,19 @@ def build_parquet_bytes(
             schema_elems.append(_group_elem(c, 1, 1, converted=3))
             schema_elems.append(_group_elem("list", 1, 2))
             schema_elems.append(_leaf_elem("element", detail))
+        elif kind == "array_struct":
+            schema_elems.append(_group_elem(c, 1, 1, converted=3))
+            schema_elems.append(_group_elem("list", 1, 2))
+            schema_elems.append(_group_elem("element", len(detail), 1))
+            for fname, ftype in detail:
+                schema_elems.append(_leaf_elem(fname, ftype))
+        elif kind == "map":
+            # optional group (MAP) { repeated group key_value
+            # { required key; optional value } }
+            schema_elems.append(_group_elem(c, 1, 1, converted=1))
+            schema_elems.append(_group_elem("key_value", 2, 2))
+            schema_elems.append(_leaf_elem("key", detail[0], repetition=0))
+            schema_elems.append(_leaf_elem("value", detail[1]))
         else:
             schema_elems.append(_group_elem(c, len(detail), 1))
             for fname, ftype in detail:

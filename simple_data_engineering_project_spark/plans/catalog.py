@@ -12268,6 +12268,146 @@ def scan_orc_nested2_q(spark, sf_dir):
     return pdf.mapInPandas(_read, schema=_NESTED2_SCHEMA)
 
 
+def _nested2_python_values(keys):
+    """The _nested2_frame derivation in plain Python — the write-side
+    twins build their nested values executor-side from the batch
+    keys."""
+    lss, ms = [], []
+    for k in keys:
+        k = int(k)
+        if k % 7 == 0:
+            lss.append(None)
+        else:
+            lss.append([
+                None if (i == 2 and k % 5 == 0) else {
+                    "q": None if (i == 3 and k % 3 == 0) else k * 10 + i,
+                    "t": None if (k + i) % 13 == 0 else f"s{(k + i) % 9}",
+                }
+                for i in range(1, k % 4 + 1)
+            ])
+        if k % 11 == 0:
+            ms.append(None)
+        else:
+            ms.append({
+                f"k{j}": (None if (k + j) % 17 == 0 else k + j)
+                for j in range(k % 3)
+            })
+    return lss, ms
+
+
+def _nested2_sink_decode(t):
+    """pyarrow table → flattened rows (maps come back as key/value
+    tuple lists from pyarrow; normalize to dicts first)."""
+    d = {
+        "o_orderkey": t.column("o_orderkey").to_pylist(),
+        "ls": t.column("ls").to_pylist(),
+        "m": [
+            None if r is None else dict(r)
+            for r in t.column("m").to_pylist()
+        ],
+    }
+    return _nested2_flatten_rows(d, decode_bytes=False)
+
+
+_NESTED2_DDL = {
+    "o_orderkey": "bigint",
+    "ls": "array<struct<q:bigint,t:string>>",
+    "m": "map<string,bigint>",
+}
+
+
+@register(
+    "sink_parquet_nested2",
+    _NESTED2_ORACLE,
+    tier="C",
+    note="C12 parquet DEEP-NESTING export (round 11, the write-side "
+    "twin of scan_parquet_nested2 — same derivation, same oracle): "
+    "the pure writer emits list<struct<q,t>> (5-deep definition "
+    "levels through the 3-level LIST shape with an element group) and "
+    "map<string,bigint> (MAP converted type, repeated key_value group, "
+    "REQUIRED keys) on DataPageV2 with the DELTA family, ONE FILE PER "
+    "ARROW BATCH from executors. Read-back goes through PYARROW and "
+    "flattens to scalars DuckDB recomputes from source keys; the unit "
+    "battery re-reads through DuckDB, Spark's JVM reader AND the "
+    "repo's own assembler on both page versions. File-per-task, no "
+    "shuffle.",
+)
+def sink_parquet_nested2_q(spark, sf_dir):
+    from ..operators.parquet_write import build_parquet_bytes
+
+    def _encode(b):
+        keys = [int(x) for x in b["o_orderkey"]]
+        lss, ms = _nested2_python_values(keys)
+        return build_parquet_bytes(
+            {"o_orderkey": keys, "ls": lss, "m": ms},
+            _NESTED2_DDL,
+            compression="snappy",
+            page_version=2,
+        )
+
+    def _decode(payload):
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        return _nested2_sink_decode(_pq.read_table(_io.BytesIO(payload)))
+
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "pq_nested2_sink", "parquet", _encode, _decode,
+        _NESTED2_SCHEMA,
+        {"o_orderkey": "int64", "ls_len": "int32", "m_len": "int32"},
+        select_cols=("o_orderkey",),
+        table="orders",
+    )
+
+
+@register(
+    "sink_orc_nested2",
+    _NESTED2_ORACLE,
+    tier="C",
+    note="C12 ORC DEEP-NESTING export (round 11, the ORC twin of "
+    "sink_parquet_nested2 — same derivation, same oracle): the pure "
+    "ORC writer emits list<struct<q,t>> (LIST parent LENGTH → element "
+    "STRUCT with its own PRESENT over all elements → field leaves "
+    "over present elements) and map<string,bigint> (MAP type node "
+    "with key/value children sized by the summed lengths) through "
+    "ZLIB chunk framing, ONE FILE PER ARROW BATCH from executors. "
+    "Read-back goes through PYARROW's ORC C++ reader and flattens to "
+    "scalars DuckDB recomputes from source keys; the unit battery "
+    "re-reads through Spark's JVM reader AND the repo's own nested "
+    "assembler across all three codecs, multi-stripe. File-per-task, "
+    "no shuffle.",
+)
+def sink_orc_nested2_q(spark, sf_dir):
+    from ..operators.orc_write import build_orc_bytes
+
+    def _encode(b):
+        keys = [int(x) for x in b["o_orderkey"]]
+        lss, ms = _nested2_python_values(keys)
+        return build_orc_bytes(
+            {"o_orderkey": keys, "ls": lss, "m": ms},
+            _NESTED2_DDL,
+            compression="zlib",
+        )
+
+    def _decode(payload):
+        import io as _io
+
+        import pyarrow.orc as _po
+
+        return _nested2_sink_decode(
+            _po.ORCFile(_io.BytesIO(payload)).read()
+        )
+
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "orc_nested2_sink", "orc", _encode, _decode,
+        _NESTED2_SCHEMA,
+        {"o_orderkey": "int64", "ls_len": "int32", "m_len": "int32"},
+        select_cols=("o_orderkey",),
+        table="orders",
+    )
+
+
 @register(
     "sink_orc_typed",
     """

@@ -914,3 +914,88 @@ def test_nested_list_struct_and_map_decode(comp):
     po.write_table(t2, buf2)
     with pytest.raises(NotImplementedError):
         read_orc_nested_columns(buf2.getvalue(), ["ll"])
+
+
+@pytest.mark.parametrize("codec", ["none", "zlib", "snappy"])
+def test_pure_writer_list_struct_and_map(codec, tmp_path):
+    """Round 11 write-side twin of test_nested_list_struct_and_map_
+    decode: the pure ORC writer emits list<struct<scalars>> (LIST
+    parent LENGTH → element STRUCT with its own PRESENT → field leaves
+    over present elements) and map<k,v> (MAP node with key/value
+    children over the summed lengths) — read back by pyarrow and the
+    repo's own nested reader, multi-stripe."""
+    import random
+
+    from simple_data_engineering_project_spark.operators.orc_data import (
+        read_orc_nested_columns,
+    )
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    rnd = random.Random(9)
+    n = 1500
+    ls_rows, map_rows = [], []
+    for i in range(n):
+        if i % 13 == 0:
+            ls_rows.append(None)
+        elif i % 7 == 0:
+            ls_rows.append([])
+        else:
+            ls_rows.append([
+                None if rnd.random() < 0.08 else {
+                    "a": None if rnd.random() < 0.1 else rnd.randint(-99, 99),
+                    "b": None if rnd.random() < 0.1 else f"x{rnd.randint(0, 20)}",
+                }
+                for _ in range(rnd.randint(1, 5))
+            ])
+        if i % 11 == 0:
+            map_rows.append(None)
+        elif i % 5 == 0:
+            map_rows.append({})
+        else:
+            map_rows.append({
+                f"k{j}": (None if rnd.random() < 0.1 else j * i)
+                for j in range(rnd.randint(1, 4))
+            })
+    cols = {"id": list(range(n)), "ls": ls_rows, "m": map_rows}
+    ddl = {"id": "bigint", "ls": "array<struct<a:bigint,b:string>>",
+           "m": "map<string,bigint>"}
+    blob = build_orc_bytes(cols, ddl, codec, stripe_rows=600)
+    t = po.ORCFile(io.BytesIO(blob)).read()
+    assert t.column("id").to_pylist() == cols["id"]
+    assert t.column("ls").to_pylist() == ls_rows
+    assert [
+        None if r is None else dict(r) for r in t.column("m").to_pylist()
+    ] == map_rows
+    mine = read_orc_nested_columns(blob, ["ls", "m"])
+    assert mine["ls"] == ls_rows
+    assert mine["m"] == map_rows
+
+
+def test_pure_writer_list_struct_map_spark_reread(spark, tmp_path):
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    n = 2000
+    cols = {
+        "id": list(range(n)),
+        "ls": [None if i % 9 == 0 else
+               [{"a": i, "b": f"v{i % 5}"}, None][: 1 + i % 2]
+               for i in range(n)],
+        "m": [None if i % 8 == 0 else {"x": i, "y": None}
+              for i in range(n)],
+    }
+    ddl = {"id": "bigint", "ls": "array<struct<a:bigint,b:string>>",
+           "m": "map<string,bigint>"}
+    path = str(tmp_path / "wn2spark.orc")
+    open(path, "wb").write(build_orc_bytes(cols, ddl, "zlib"))
+    rows = spark.read.orc(path).orderBy("id").collect()
+    assert [
+        None if r.ls is None else [
+            None if e is None else {"a": e.a, "b": e.b} for e in r.ls
+        ]
+        for r in rows
+    ] == cols["ls"]
+    assert [None if r.m is None else dict(r.m) for r in rows] == cols["m"]

@@ -1164,3 +1164,112 @@ def test_pure_writer_v2_and_nested_spark_reread(spark, tmp_path):
         None if r.st is None else {"a": r.st.a, "b": r.st.b} for r in rows
     ] == cols["st"]
     assert [r.s for r in rows] == cols["s"]
+
+
+@pytest.mark.parametrize("pv", [1, 2])
+def test_pure_writer_list_struct_and_map(tmp_path, pv):
+    """Round 11 write-side twin of test_nested_list_struct_and_map:
+    array<struct<scalars>> and map<k,v> through the pure writer —
+    5-deep definition levels, required map keys — read back by
+    pyarrow, DuckDB and the repo's own nested reader."""
+    import random
+
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        read_parquet_nested_bytes,
+    )
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    rnd = random.Random(9)
+    n = 1200
+    ls_rows, map_rows = [], []
+    for i in range(n):
+        if i % 13 == 0:
+            ls_rows.append(None)
+        elif i % 7 == 0:
+            ls_rows.append([])
+        else:
+            ls_rows.append([
+                None if rnd.random() < 0.08 else {
+                    "a": None if rnd.random() < 0.1 else rnd.randint(-99, 99),
+                    "b": None if rnd.random() < 0.1 else f"x{rnd.randint(0, 20)}",
+                }
+                for _ in range(rnd.randint(1, 5))
+            ])
+        if i % 11 == 0:
+            map_rows.append(None)
+        elif i % 5 == 0:
+            map_rows.append({})
+        else:
+            map_rows.append({
+                f"k{j}": (None if rnd.random() < 0.1 else j * i)
+                for j in range(rnd.randint(1, 4))
+            })
+    cols = {"id": list(range(n)), "ls": ls_rows, "m": map_rows}
+    ddl = {"id": "bigint", "ls": "array<struct<a:bigint,b:string>>",
+           "m": "map<string,bigint>"}
+    blob = build_parquet_bytes(
+        cols, ddl, "snappy", row_group_size=500, page_version=pv
+    )
+    t = pq.read_table(io.BytesIO(blob))
+    assert t.column("ls").to_pylist() == ls_rows
+    assert [
+        None if r is None else dict(r) for r in t.column("m").to_pylist()
+    ] == map_rows
+    path = tmp_path / f"wn2-{pv}.parquet"
+    path.write_bytes(blob)
+    got = duckdb.sql(
+        f"SELECT count(*), sum(len(ls)), sum(cardinality(m)) "
+        f"FROM read_parquet('{path}')"
+    ).fetchone()
+    assert got == (
+        n,
+        sum(len(x) for x in ls_rows if x is not None),
+        sum(len(x) for x in map_rows if x is not None),
+    )
+    mine = read_parquet_nested_bytes(blob, ["ls", "m"])
+    assert [
+        None if r is None else [
+            None if e is None else {
+                "a": e["a"],
+                "b": None if e["b"] is None else e["b"].decode(),
+            }
+            for e in r
+        ]
+        for r in mine["ls"]
+    ] == ls_rows
+    assert [
+        None if r is None else {k.decode(): v for k, v in r.items()}
+        for r in mine["m"]
+    ] == map_rows
+
+
+def test_pure_writer_list_struct_map_spark_reread(spark, tmp_path):
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    n = 2000
+    cols = {
+        "id": list(range(n)),
+        "ls": [None if i % 9 == 0 else
+               [{"a": i, "b": f"v{i % 5}"}, None][: 1 + i % 2]
+               for i in range(n)],
+        "m": [None if i % 8 == 0 else {"x": i, "y": None}
+              for i in range(n)],
+    }
+    ddl = {"id": "bigint", "ls": "array<struct<a:bigint,b:string>>",
+           "m": "map<string,bigint>"}
+    path = str(tmp_path / "wn2spark.parquet")
+    open(path, "wb").write(
+        build_parquet_bytes(cols, ddl, "snappy", page_version=2)
+    )
+    rows = spark.read.parquet(path).orderBy("id").collect()
+    assert [
+        None if r.ls is None else [
+            None if e is None else {"a": e.a, "b": e.b} for e in r.ls
+        ]
+        for r in rows
+    ] == cols["ls"]
+    assert [None if r.m is None else dict(r.m) for r in rows] == cols["m"]
