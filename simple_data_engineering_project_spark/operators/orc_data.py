@@ -39,7 +39,9 @@ summed lengths, and struct<scalar,...> via the parent's PRESENT with
 one child entry per present row — cross-validated against pyarrow.orc
 across 4 codecs, multi-stripe layouts, and Spark-written files.
 
-Declined loudly: MAP, UNION, nesting deeper than one level; RLEv1
+Round 11 adds list<struct<scalars>> (element STRUCT with its own
+PRESENT over all elements) and map<scalar,scalar> (LIST layout with
+key/value children). Declined loudly: UNION, deeper nesting; RLEv1
 column encodings (0.11-era files — silently mis-decoding through the
 v2 decoder is worse than raising).
 

@@ -22,8 +22,10 @@ pyarrow on the worker:
   Dremel record assembly for ONE level of nesting — ``array<primitive>``
   (3-level LIST and top-level repeated-primitive shapes) and
   ``struct<primitive,...>`` — via :func:`read_parquet_nested_bytes`;
-  deeper shapes (maps, list<struct>, struct<list>) decline loudly and
-  remain the JVM reader's job.
+  round 11 adds ``list<struct<scalars>>`` and ``map<k,v>`` through a
+  shared repeated-group assembler; deeper shapes (struct<list>,
+  list<list>, nested maps) decline loudly and remain the JVM reader's
+  job.
 
 Honesty per the repo rule: every path is cross-validated against a
 reference READER in-container — pyarrow reads the same bytes in the
@@ -622,9 +624,11 @@ def read_parquet_nested_bytes(buf: bytes, columns: list[str]) -> dict[str, list]
     level of nesting: ``array<primitive>`` (3-level LIST or a bare
     top-level repeated primitive) and ``struct<primitive,...>``. Lists come
     back as Python lists (None for null lists/elements), structs as
-    dicts (None for null structs/fields). Deeper shapes — maps,
-    list<struct>, struct<list> — decline loudly; they remain the JVM
-    reader's job."""
+    dicts (None for null structs/fields). Round 11 adds
+    ``list<struct<scalars>>`` (lists of dicts) and ``map<k,v>``
+    (Python dicts) through the shared repeated-group assembler.
+    Deeper shapes — struct<list>, list<list>, nested maps — decline
+    loudly; they remain the JVM reader's job."""
     meta, schema = _parse_file(buf)
     out: dict[str, list] = {c: [] for c in columns}
     for rg in meta.get(4, []):

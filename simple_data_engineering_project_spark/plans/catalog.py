@@ -11940,7 +11940,9 @@ def sink_orc_nested_q(spark, sf_dir):
     "(operators/orc_data.py read_orc_nested_columns: LIST = parent "
     "PRESENT + LENGTH streams slicing a child scalar column sized by "
     "the summed lengths; STRUCT = parent PRESENT with one child "
-    "entry per present row; MAP/UNION/deeper decline loudly). "
+    "entry per present row; round 11 moved MAP and list<struct> to "
+    "the supported side — scan_orc_nested2; UNION/deeper decline "
+    "loudly). "
     "Flattened scalars hash-match DuckDB recomputing from source "
     "rows; the unit battery cross-validates vs pyarrow.orc across 4 "
     "codecs + multi-stripe + Spark-written files. FILE-PER-TASK "
