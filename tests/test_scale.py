@@ -798,7 +798,10 @@ _COLLECT_ALLOWLIST = {
     ("plans/catalog.py", "orders_pareto_q", "cust.agg(F.min('rev_cents'), F.max('rev_cents'), F.min('o_cu"),  # 1 row
     # per-ingest-batch keys — bounded by one batch, not warehouse size
     ("pipeline.py", "run_batch_pipeline", "staged_m.select(part).distinct()"),
-    ("pipeline.py", "run_batch_pipeline", "old.select('shipment_id', part).join(F.broadcast(staged_m.se"),
+    # moved-month probe: distinct months only — bounded by the month
+    # domain, never row-proportional (round 11 added the pushed
+    # key-range prefilter ahead of the semi-join)
+    ("pipeline.py", "run_batch_pipeline", "old.select('shipment_id', part).filter(F.col('shipment_id')."),
     # fixed-domain / capped censuses
     ("plans/catalog.py", "join_bloom_prefilter_q", "dim.select(F.explode(F.array(*pos_cols)).alias('pos')).selec"),  # 256 bloom words
     ("plans/catalog.py", "embedding_pca_power_q", "x.mapInPandas(_gram, schema='j int, k int, g long').groupBy("),  # 64×64 Gram
