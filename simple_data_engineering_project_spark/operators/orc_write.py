@@ -14,9 +14,13 @@ subset, every piece hand-built per the ORC v1 spec:
   every stream, the stripe footer, and the file footer, with the
   block size declared in the PostScript; incompressible chunks store
   original bytes with the isOriginal bit;
-- integer columns as RLEv2 DIRECT runs (<=512 values, zigzag, the
-  closed bit-width table, MSB-first packing — the same table and bit
-  order orc_data decodes);
+- integer streams as RLEv2 with run detection (round 11,
+  :func:`rlev2_encode`): SHORT_REPEAT for 3-10 value constant runs,
+  fixed-delta DELTA for longer constant runs and arithmetic
+  sequences, DIRECT otherwise (<=512 values, zigzag, the closed
+  bit-width table, MSB-first packing — the same sub-encoding set and
+  bit order orc_data decodes; ~2x smaller uncompressed stripes on
+  id/dictionary/scale-stream shapes);
 - strings as DIRECT_V2 (RLEv2 LENGTH + concatenated DATA) or — when
   the distinct count earns it (round 10) — DICTIONARY_V2: unsigned
   RLEv2 indices into a SORTED dictionary (the Java writer's
@@ -150,6 +154,70 @@ def rlev2_direct_encode(values: list[int], signed: bool) -> bytes:
         for e in enc:
             bw.put(e, width)
         out += bw.done()
+    return bytes(out)
+
+
+def _varint_signed(v: int, signed: bool) -> bytes:
+    return _varint(_zigzag(v) if signed else v)
+
+
+def rlev2_encode(values: list[int], signed: bool) -> bytes:
+    """Integer RLEv2 with run detection (round 11): constant runs of
+    3-10 emit SHORT_REPEAT (1 header byte + big-endian minimal-width
+    value), longer constant runs and arithmetic sequences emit
+    fixed-delta DELTA runs (wcode 0: 2-byte header + base + delta
+    varints, <=512 values), everything else falls back to DIRECT —
+    the exact sub-encoding set orc_data.rlev2_decode round-trips,
+    cross-validated against pyarrow's and Spark's JVM readers. Wins
+    are real on the streams this writer emits: per-value decimal
+    scale streams and dictionary LENGTH streams collapse ~512x,
+    monotonic ids ~30x."""
+    out = bytearray()
+    lits: list[int] = []
+
+    def flush_lits():
+        if lits:
+            out.extend(rlev2_direct_encode(lits, signed))
+            lits.clear()
+
+    i, n = 0, len(values)
+    while i < n:
+        # maximal constant-delta run from i, capped at 512
+        j = i + 1
+        if j < n:
+            d = values[j] - values[i]
+            while (
+                j + 1 < n
+                and j + 1 - i < 512
+                and values[j + 1] - values[j] == d
+            ):
+                j += 1
+        length = j - i + 1 if j < n else 1
+        if j < n and length >= 3 and d == 0 and length <= 10:
+            flush_lits()
+            v = values[i]
+            u = _zigzag(v) if signed else v
+            width = max(1, (u.bit_length() + 7) // 8)
+            out.append(((width - 1) << 3) | (length - 3))
+            out += u.to_bytes(width, "big")
+            i = j + 1
+        elif j < n and (
+            (d == 0 and length > 10) or (d != 0 and length >= 4)
+        ):
+            flush_lits()
+            # fixed-delta DELTA run: header sub=3, wcode=0, 9-bit
+            # length-1; base (zigzag when signed), delta ALWAYS zigzag
+            out.append(0xC0 | ((length - 1) >> 8))
+            out.append((length - 1) & 0xFF)
+            out += _varint_signed(values[i], signed)
+            out += _varint(_zigzag(d))
+            i = j + 1
+        else:
+            lits.append(values[i])
+            if len(lits) == 512:
+                flush_lits()
+            i += 1
+    flush_lits()
     return bytes(out)
 
 
@@ -326,7 +394,7 @@ def build_orc_bytes(
             emit_present(idx, present)
             if kind == _K_LONG:
                 nn = [int(v) for v in nn]
-                data = frame(rlev2_direct_encode(nn, signed=True))
+                data = frame(rlev2_encode(nn, signed=True))
                 stream_meta.append((idx, 1, len(data)))
                 bodies.extend(data)
                 encodings.append((2, None))  # DIRECT_V2
@@ -369,13 +437,13 @@ def build_orc_bytes(
                     secs.append(sv)
                     nanos.append(nv)
                 data = frame(
-                    rlev2_direct_encode(
+                    rlev2_encode(
                         [sv - _TS_EPOCH_SECONDS for sv in secs],
                         signed=True,
                     )
                 )
                 sec_stream = frame(
-                    rlev2_direct_encode(
+                    rlev2_encode(
                         [_encode_nanos(nv) for nv in nanos], signed=False
                     )
                 )
@@ -417,7 +485,7 @@ def build_orc_bytes(
                     )
                 )
                 sec_stream = frame(
-                    rlev2_direct_encode([scale] * len(nn), signed=True)
+                    rlev2_encode([scale] * len(nn), signed=True)
                 )
                 stream_meta.append((idx, 1, len(data)))  # DATA
                 bodies.extend(data)
@@ -438,12 +506,12 @@ def build_orc_bytes(
                     # dictionarySize rides in the ColumnEncoding
                     index_of = {r: i for i, r in enumerate(entries)}
                     data = frame(
-                        rlev2_direct_encode(
+                        rlev2_encode(
                             [index_of[r] for r in nn], signed=False
                         )
                     )
                     lens = frame(
-                        rlev2_direct_encode(
+                        rlev2_encode(
                             [len(r) for r in entries], signed=False
                         )
                     )
@@ -458,7 +526,7 @@ def build_orc_bytes(
                 else:
                     data = frame(b"".join(nn))
                     lens = frame(
-                        rlev2_direct_encode(
+                        rlev2_encode(
                             [len(r) for r in nn], signed=False
                         )
                     )
@@ -483,7 +551,7 @@ def build_orc_bytes(
             emit_present(idx, present)
             rows_p = [v for v in vals if v is not None]
             ls = frame(
-                rlev2_direct_encode([len(v) for v in rows_p], signed=False)
+                rlev2_encode([len(v) for v in rows_p], signed=False)
             )
             stream_meta.append((idx, 2, len(ls)))  # LENGTH
             bodies.extend(ls)
