@@ -1044,3 +1044,31 @@ def test_rlev2_encoder_run_detection_roundtrip():
     assert len(rlev2_encode(const, False)) < len(
         rlev2_direct_encode(const, False)
     ) / 25
+
+
+def test_pure_writer_deep_shapes_edge_residue_orc():
+    """Round-11 adversarial probes pinned: bigint-keyed maps, lists
+    whose elements are ALL None, int64-boundary RLEv2 values."""
+    from simple_data_engineering_project_spark.operators.orc_data import (
+        read_orc_nested_columns,
+    )
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+        rlev2_encode,
+    )
+
+    m = [None, {}, {1: 10, 2: None}, {7: 70}]
+    blob = build_orc_bytes({"m": m}, {"m": "map<bigint,bigint>"}, "zlib")
+    assert [
+        None if r is None else dict(r)
+        for r in po.ORCFile(io.BytesIO(blob)).read().column("m").to_pylist()
+    ] == m
+    assert read_orc_nested_columns(blob, ["m"])["m"] == m
+
+    ls = [[None, None], None, [None]]
+    blob = build_orc_bytes({"ls": ls}, {"ls": "array<struct<a:bigint>>"}, "none")
+    assert po.ORCFile(io.BytesIO(blob)).read().column("ls").to_pylist() == ls
+    assert read_orc_nested_columns(blob, ["ls"])["ls"] == ls
+
+    v = [-2**63, 2**63 - 1, -2**63, -2**63, -2**63, 0]
+    assert rlev2_decode(rlev2_encode(v, True), len(v), True) == v

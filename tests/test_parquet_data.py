@@ -1273,3 +1273,50 @@ def test_pure_writer_list_struct_map_spark_reread(spark, tmp_path):
         for r in rows
     ] == cols["ls"]
     assert [None if r.m is None else dict(r.m) for r in rows] == cols["m"]
+
+
+def test_pure_writer_deep_shapes_edge_residue():
+    """Round-11 adversarial probes pinned: bigint-keyed maps, unicode/
+    empty string keys, all-empty lists, all-None struct elements,
+    int32 wrap-around deltas, constant columns through v2 DELTA."""
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        read_parquet_nested_bytes,
+    )
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    m = [None, {}, {1: 10, 2: None}, {7: 70}]
+    blob = build_parquet_bytes(
+        {"m": m}, {"m": "map<bigint,bigint>"}, "snappy", page_version=2
+    )
+    assert [
+        None if r is None else dict(r)
+        for r in pq.read_table(io.BytesIO(blob)).column("m").to_pylist()
+    ] == m
+    assert read_parquet_nested_bytes(blob, ["m"])["m"] == m
+
+    m2 = [{"é": 1.5, "": 2.0}, None]
+    blob = build_parquet_bytes(
+        {"m": m2}, {"m": "map<string,double>"}, "none", page_version=2
+    )
+    assert [
+        None if r is None else dict(r)
+        for r in pq.read_table(io.BytesIO(blob)).column("m").to_pylist()
+    ] == m2
+
+    blob = build_parquet_bytes(
+        {"ls": [[], [], []]}, {"ls": "array<struct<a:bigint>>"}, "none"
+    )
+    assert pq.read_table(io.BytesIO(blob)).column("ls").to_pylist() == [
+        [], [], [],
+    ]
+
+    vals = [2**31 - 1, -2**31, 0, -1, 2**31 - 1, None]
+    blob = build_parquet_bytes({"x": vals}, {"x": "int"}, "none", page_version=2)
+    assert pq.read_table(io.BytesIO(blob)).column("x").to_pylist() == vals
+    assert read_parquet_bytes(blob, ["x"])["x"] == vals
+
+    blob = build_parquet_bytes({"x": [5] * 1000}, {"x": "bigint"}, "none",
+                               page_version=2)
+    assert read_parquet_bytes(blob, ["x"])["x"] == [5] * 1000
