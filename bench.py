@@ -212,6 +212,14 @@ HEADLINE = [
     "scan_orc_nested",
     "sink_parquet_typed",
     "scan_orc_prune",
+    # round 11: v2/DELTA pages, nested write-side, deep-nesting twins
+    "sink_parquet_v2",
+    "sink_parquet_nested",
+    "sink_orc_nested",
+    "scan_parquet_nested2",
+    "scan_orc_nested2",
+    "sink_parquet_nested2",
+    "sink_orc_nested2",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -223,6 +231,11 @@ HEADLINE = [
 STEADY_STATE = {
     "curate_corpus",
     "semantic_dedup",
+    # 10-iteration join/agg loop: the first run pays one-time codegen
+    # for every per-iteration shape (~0.5-0.9 s); steady-state is what
+    # a long-lived cluster pays (round-11 verdict ask measured this
+    # way: 4.9 s cold / ~4.2 s steady, cold_extra records the split)
+    "graph_pagerank",
     "dedup_minhash",  # round-8 survivor-digest entry: +verify stage rides
     # the same shingle/minhash codegen compile (11.4 s cold, 3.2 s steady)
     "scan_warc_datasource",
