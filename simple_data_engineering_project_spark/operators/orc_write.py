@@ -14,6 +14,10 @@ subset, every piece hand-built per the ORC v1 spec:
   every stream, the stripe footer, and the file footer, with the
   block size declared in the PostScript; incompressible chunks store
   original bytes with the isOriginal bit;
+- the reader's full scalar kind set writes (round 11): BOOLEAN
+  (bool-RLE DATA), TINYINT (byte-RLE), SMALLINT/INT/BIGINT/DATE
+  (signed RLEv2), FLOAT/DOUBLE (LE streams), plus
+  TIMESTAMP/DECIMAL/STRING below;
 - integer streams as RLEv2 with run detection (round 11,
   :func:`rlev2_encode`): SHORT_REPEAT for 3-10 value constant runs,
   fixed-delta DELTA for longer constant runs and arithmetic
@@ -67,13 +71,20 @@ import zlib
 
 _MAGIC = b"ORC"
 
-_K_LONG, _K_DOUBLE, _K_STRING, _K_STRUCT = 4, 6, 7, 12
-_K_TIMESTAMP, _K_DECIMAL = 9, 14
+_K_BOOLEAN, _K_BYTE, _K_SHORT, _K_INT, _K_LONG = 0, 1, 2, 3, 4
+_K_FLOAT, _K_DOUBLE, _K_STRING, _K_STRUCT = 5, 6, 7, 12
+_K_TIMESTAMP, _K_DECIMAL, _K_DATE = 9, 14, 15
 _DDL_TO_KIND = {
+    "boolean": _K_BOOLEAN,
+    "tinyint": _K_BYTE,
+    "smallint": _K_SHORT,
+    "int": _K_INT,
     "bigint": _K_LONG,
+    "float": _K_FLOAT,
     "double": _K_DOUBLE,
     "string": _K_STRING,
     "timestamp": _K_TIMESTAMP,
+    "date": _K_DATE,
 }
 _DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
 _TS_EPOCH_SECONDS = 1420070400  # 2015-01-01 00:00:00 UTC
@@ -218,6 +229,17 @@ def rlev2_encode(values: list[int], signed: bool) -> bytes:
                 flush_lits()
             i += 1
     flush_lits()
+    return bytes(out)
+
+
+def _byte_rle_encode(vals: list[int]) -> bytes:
+    """Byte-RLE LITERAL groups (header 256-n, n<=128) — always legal;
+    the decoder side (orc_data._byte_rle) proves the framing."""
+    out = bytearray()
+    for i in range(0, len(vals), 128):
+        group = vals[i : i + 128]
+        out.append(256 - len(group))
+        out += bytes(v & 0xFF for v in group)
     return bytes(out)
 
 
@@ -392,12 +414,32 @@ def build_orc_bytes(
             present = [v is not None for v in vals]
             nn = [v for v in vals if v is not None]
             emit_present(idx, present)
-            if kind == _K_LONG:
+            if kind in (_K_SHORT, _K_INT, _K_LONG, _K_DATE):
+                # DATE rides the same signed-RLEv2 DATA stream as the
+                # int family (values are epoch days)
                 nn = [int(v) for v in nn]
                 data = frame(rlev2_encode(nn, signed=True))
                 stream_meta.append((idx, 1, len(data)))
                 bodies.extend(data)
                 encodings.append((2, None))  # DIRECT_V2
+            elif kind == _K_BYTE:
+                nn = [int(v) for v in nn]
+                data = frame(_byte_rle_encode(nn))
+                stream_meta.append((idx, 1, len(data)))
+                bodies.extend(data)
+                encodings.append((0, None))  # DIRECT
+            elif kind == _K_BOOLEAN:
+                nn = [bool(v) for v in nn]
+                data = frame(_bool_rle_encode(nn))
+                stream_meta.append((idx, 1, len(data)))
+                bodies.extend(data)
+                encodings.append((0, None))  # DIRECT
+            elif kind == _K_FLOAT:
+                nn = [float(v) for v in nn]
+                data = frame(struct.pack(f"<{len(nn)}f", *nn))
+                stream_meta.append((idx, 1, len(data)))
+                bodies.extend(data)
+                encodings.append((0, None))  # DIRECT
             elif kind == _K_DOUBLE:
                 nn = [float(v) for v in nn]
                 data = frame(struct.pack(f"<{len(nn)}d", *nn))
@@ -535,11 +577,23 @@ def build_orc_bytes(
                     stream_meta.append((idx, 2, len(lens)))  # LENGTH
                     bodies.extend(lens)
                     encodings.append((2, None))  # DIRECT_V2
+            # statistics families: the int family shares
+            # IntegerStatistics, FLOAT shares DoubleStatistics;
+            # DATE/BOOLEAN have their own messages (DateStatistics /
+            # BucketStatistics) this writer does not emit — they get
+            # count+hasNull only, which readers treat as "no zone map"
+            stats_kind = kind
+            if kind in (_K_SHORT, _K_INT, _K_BYTE):
+                stats_kind = _K_LONG
+            elif kind == _K_FLOAT:
+                stats_kind = _K_DOUBLE
+            elif kind in (_K_DATE, _K_BOOLEAN):
+                stats_kind = None
             stats.append(
                 {
                     "n": len(nn),
                     "has_null": not all(present),
-                    "kind": kind,
+                    "kind": stats_kind,
                     "present": nn,
                 }
             )

@@ -14,7 +14,9 @@ these files in the tests and the graded entry, values AND logical
 types (UTF8 converted type), and the repo's own :mod:`parquet_data`
 round-trips them too.
 
-Scope: BOOLEAN/INT32/INT64/DOUBLE/BYTE_ARRAY(utf8) physical types
+Scope: BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY(utf8) physical
+types (FLOAT round 11, incl. BYTE_STREAM_SPLIT v2 pages and
+bit-pattern dictionary keys so -0.0/+0.0 survive)
 plus the TIMESTAMP_MICROS and DATE converted types over integer
 physicals (round 10 — epoch micros / epoch days in, real
 timestamp[us]/date32 logical types back out of pyarrow and DuckDB),
@@ -44,11 +46,12 @@ _MAGIC = b"PAR1"
 _T_I32, _T_I64, _T_BINARY, _T_LIST, _T_STRUCT = 5, 6, 8, 9, 12
 
 _PT_BOOLEAN = 0
-_PT_INT32, _PT_INT64, _PT_DOUBLE, _PT_BYTE_ARRAY = 1, 2, 5, 6
+_PT_INT32, _PT_INT64, _PT_FLOAT, _PT_DOUBLE, _PT_BYTE_ARRAY = 1, 2, 4, 5, 6
 _SPARK_TO_PHYSICAL = {
     "boolean": _PT_BOOLEAN,
     "int": _PT_INT32,
     "bigint": _PT_INT64,
+    "float": _PT_FLOAT,
     "double": _PT_DOUBLE,
     "string": _PT_BYTE_ARRAY,
     # round 10: temporal logical types over integer physicals —
@@ -162,6 +165,8 @@ def _plain(values: list, ptype: int) -> bytes:
         return struct.pack(f"<{len(present)}i", *present)
     if ptype == _PT_INT64:
         return struct.pack(f"<{len(present)}q", *present)
+    if ptype == _PT_FLOAT:
+        return struct.pack(f"<{len(present)}f", *present)
     if ptype == _PT_DOUBLE:
         return struct.pack(f"<{len(present)}d", *present)
     out = bytearray()
@@ -254,13 +259,16 @@ def _delta_length_byte_array(present: list) -> bytes:
     return _delta_binary_packed([len(b) for b in enc], 32) + b"".join(enc)
 
 
-def _byte_stream_split(present: list) -> bytes:
-    """BYTE_STREAM_SPLIT for doubles: stream k holds byte k of every
-    value — transposed IEEE bytes, the layout that makes the codec's
-    job easy on slowly-varying floats."""
-    raw = struct.pack(f"<{len(present)}d", *present)
+def _byte_stream_split(present: list, width: int = 8) -> bytes:
+    """BYTE_STREAM_SPLIT for floats/doubles: stream k holds byte k of
+    every value — transposed IEEE bytes, the layout that makes the
+    codec's job easy on slowly-varying floats."""
+    fmt = "d" if width == 8 else "f"
+    raw = struct.pack(f"<{len(present)}{fmt}", *present)
     return bytes(
-        raw[i * 8 + k] for k in range(8) for i in range(len(present))
+        raw[i * width + k]
+        for k in range(width)
+        for i in range(len(present))
     )
 
 
@@ -273,6 +281,8 @@ def _stat_bytes(v, ptype: int) -> bytes:
         return struct.pack("<i", v)
     if ptype == _PT_INT64:
         return struct.pack("<q", v)
+    if ptype == _PT_FLOAT:
+        return struct.pack("<f", v)
     if ptype == _PT_DOUBLE:
         return struct.pack("<d", v)
     return v.encode("utf-8") if isinstance(v, str) else bytes(v)
@@ -289,7 +299,7 @@ def _statistics(present: list, null_count: int, ptype: int) -> bytes:
     last = 0
     last = _i64_field(st, last, 3, null_count)
     write_minmax = bool(present)
-    if write_minmax and ptype == _PT_DOUBLE:
+    if write_minmax and ptype in (_PT_FLOAT, _PT_DOUBLE):
         write_minmax = not any(v != v for v in present)  # NaN check
     if write_minmax:
         if ptype == _PT_BYTE_ARRAY:
@@ -301,7 +311,7 @@ def _statistics(present: list, null_count: int, ptype: int) -> bytes:
             mn, mx = min(enc), max(enc)
         else:
             mn, mx = min(present), max(present)
-            if ptype == _PT_DOUBLE:
+            if ptype in (_PT_FLOAT, _PT_DOUBLE):
                 # IEEE zero convention: -0.0 as min, +0.0 as max
                 if mn == 0.0:
                     mn = -0.0
@@ -356,9 +366,11 @@ def _write_column_chunk(body: bytearray, vals: list, ptype: int, codec_id: int):
     # values with the first-seen sign bit (round-10 review finding);
     # bit keys also collapse identical NaNs instead of giving every
     # NaN its own slot.
-    if ptype == _PT_DOUBLE:
+    if ptype in (_PT_FLOAT, _PT_DOUBLE):
+        _fmt = "<f" if ptype == _PT_FLOAT else "<d"
+
         def _key(v):
-            return struct.pack("<d", v)
+            return struct.pack(_fmt, v)
     else:
         def _key(v):
             return v
@@ -575,6 +587,7 @@ _V2_ENC = {
     _PT_INT32: 5,  # DELTA_BINARY_PACKED
     _PT_INT64: 5,
     _PT_BYTE_ARRAY: 6,  # DELTA_LENGTH_BYTE_ARRAY
+    _PT_FLOAT: 9,  # BYTE_STREAM_SPLIT (4 streams)
     _PT_DOUBLE: 9,  # BYTE_STREAM_SPLIT
     _PT_BOOLEAN: 0,  # PLAIN
 }
@@ -600,8 +613,10 @@ def _write_column_chunk_v2(body: bytearray, vals: list, ptype: int, codec_id: in
         )
     elif ptype == _PT_BYTE_ARRAY:
         raw_vals = _delta_length_byte_array(present)
-    elif ptype == _PT_DOUBLE:
-        raw_vals = _byte_stream_split(present)
+    elif ptype in (_PT_FLOAT, _PT_DOUBLE):
+        raw_vals = _byte_stream_split(
+            present, 4 if ptype == _PT_FLOAT else 8
+        )
     else:
         raw_vals = _plain(present, ptype)
     comp_vals = snappy_compress(raw_vals) if codec_id else raw_vals
@@ -647,8 +662,10 @@ def _encode_values(present: list, ptype: int, page_version: int) -> tuple[bytes,
             ), enc
         if ptype == _PT_BYTE_ARRAY:
             return _delta_length_byte_array(present), enc
-        if ptype == _PT_DOUBLE:
-            return _byte_stream_split(present), enc
+        if ptype in (_PT_FLOAT, _PT_DOUBLE):
+            return _byte_stream_split(
+                present, 4 if ptype == _PT_FLOAT else 8
+            ), enc
         return _plain(present, ptype), 0
     return _plain(present, ptype), 0
 

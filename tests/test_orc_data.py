@@ -283,8 +283,11 @@ def test_pure_writer_multi_run_and_rejects(tmp_path):
     t = po.ORCFile(io.BytesIO(blob)).read()
     assert t.column("a").to_pylist() == cols["a"]
     assert t.column("b").to_pylist() == cols["b"]
+    # boolean became writable in round 11; interval types never are
     with pytest.raises(NotImplementedError, match="not writable"):
-        write_orc_file(str(tmp_path / "x.orc"), {"f": [True]}, {"f": "boolean"})
+        write_orc_file(
+            str(tmp_path / "x.orc"), {"f": [1]}, {"f": "interval day"}
+        )
     with pytest.raises(ValueError, match="ragged"):
         write_orc_file(
             str(tmp_path / "x.orc"), {"a": [1], "b": [1, 2]},
@@ -1072,3 +1075,52 @@ def test_pure_writer_deep_shapes_edge_residue_orc():
 
     v = [-2**63, 2**63 - 1, -2**63, -2**63, -2**63, 0]
     assert rlev2_decode(rlev2_encode(v, True), len(v), True) == v
+
+
+@pytest.mark.parametrize("codec", ["none", "zlib", "snappy"])
+def test_pure_writer_full_scalar_kind_set(codec, spark, tmp_path):
+    """Round 11: the writer covers the reader's whole scalar kind set —
+    BOOLEAN (bool-RLE DATA), TINYINT (byte-RLE), SMALLINT/INT (signed
+    RLEv2), FLOAT (4-byte LE), DATE (epoch-day RLEv2) — read back by
+    pyarrow, the own reader, and Spark's JVM reader."""
+    import random
+    import struct as _st
+
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    rnd = random.Random(4)
+    n = 3000
+    f32 = lambda v: _st.unpack("<f", _st.pack("<f", v))[0]  # noqa: E731
+    cols = {
+        "b": [None if i % 11 == 0 else (i % 3 == 0) for i in range(n)],
+        "t": [None if i % 13 == 0 else (i % 256) - 128 for i in range(n)],
+        "s": [None if i % 7 == 0 else (i % 65536) - 32768 for i in range(n)],
+        "i": [None if i % 9 == 0 else rnd.randint(-2**31, 2**31 - 1)
+              for i in range(n)],
+        "f": [None if i % 5 == 0 else f32(rnd.uniform(-1e30, 1e30))
+              for i in range(n)],
+        "d": [None if i % 17 == 0 else 18000 + (i % 4000) for i in range(n)],
+    }
+    ddl = {"b": "boolean", "t": "tinyint", "s": "smallint", "i": "int",
+           "f": "float", "d": "date"}
+    blob = build_orc_bytes(cols, ddl, codec, stripe_rows=700)
+    t = po.ORCFile(io.BytesIO(blob)).read()
+    for c in ("b", "t", "s", "i", "f"):
+        assert t.column(c).to_pylist() == cols[c], (codec, c)
+    assert t.column("d").cast("int32").to_pylist() == cols["d"]
+    assert read_orc_columns(blob, list(cols)) == cols
+    path = str(tmp_path / f"kinds_{codec}.orc")
+    open(path, "wb").write(blob)
+    df = spark.read.orc(path)
+    got = df.selectExpr(
+        "b", "CAST(t AS INT) t", "CAST(s AS INT) s", "i", "f",
+        "CAST(d - DATE'1970-01-01' AS INT) AS dd",
+    ).collect()
+    assert sorted(
+        (r.i for r in got if r.i is not None)
+    ) == sorted(v for v in cols["i"] if v is not None)
+    assert sorted(
+        (r.dd for r in got if r.dd is not None)
+    ) == sorted(v for v in cols["d"] if v is not None)
