@@ -220,6 +220,8 @@ HEADLINE = [
     "scan_orc_nested2",
     "sink_parquet_nested2",
     "sink_orc_nested2",
+    "sink_parquet_nested3",
+    "sink_orc_nested3",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose

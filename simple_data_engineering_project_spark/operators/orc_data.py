@@ -40,8 +40,10 @@ one child entry per present row — cross-validated against pyarrow.orc
 across 4 codecs, multi-stripe layouts, and Spark-written files.
 
 Round 11 adds list<struct<scalars>> (element STRUCT with its own
-PRESENT over all elements) and map<scalar,scalar> (LIST layout with
-key/value children). Declined loudly: UNION, deeper nesting; RLEv1
+PRESENT over all elements), map<scalar,scalar> (LIST layout with
+key/value children), and struct fields mixing scalars with
+list<scalar> (struct<list>). Declined loudly: UNION, deeper nesting;
+RLEv1
 column encodings (0.11-era files — silently mis-decoding through the
 v2 decoder is worse than raising).
 
@@ -611,16 +613,32 @@ def read_orc_nested_columns(
         elif kind == _K_STRUCT:
             kids = _subtype_ids(types[cid])
             fnames = [n.decode("utf-8") for n in _as_list(types[cid].get(3))]
+            list_kids: dict[int, int] = {}
+            extra: list[int] = []
             for k in kids:
-                if types[k].get(1, 0) in (
-                    _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
-                ):
+                kk = types[k].get(1, 0)
+                if kk == _K_LIST:
+                    # struct<list<scalar>> field (round 11): the kid's
+                    # PRESENT/LENGTH cover the present struct rows; its
+                    # element column is a grandchild
+                    (g,) = _subtype_ids(types[k])
+                    if types[g].get(1, 0) in (
+                        _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
+                    ):
+                        raise NotImplementedError(
+                            f"ORC column {c!r}: struct list fields "
+                            "must have scalar elements"
+                        )
+                    list_kids[k] = g
+                    extra.append(g)
+                elif kk in (_K_MAP, _K_STRUCT, _K_UNION):
                     raise NotImplementedError(
                         f"ORC column {c!r}: only one level of nesting"
                     )
             plan[c] = {
-                "kind": kind, "cid": cid, "children": kids,
-                "fields": fnames,
+                "kind": kind, "cid": cid, "children": kids + extra,
+                "fields": fnames, "field_kids": kids,
+                "list_kids": list_kids,
             }
         elif kind == _K_MAP:
             # map<scalar,scalar> (round 11): parent LENGTH stream, two
@@ -795,9 +813,44 @@ def read_orc_nested_columns(
                     else [True] * n_rows
                 )
                 n_present = sum(present)
+                list_kids = p.get("list_kids", {})
+
+                def _dec_field(k, count):
+                    if k not in list_kids:
+                        return dec(k, count)
+                    # struct<list> field: kid PRESENT over the present
+                    # struct rows, LENGTH over its present count, the
+                    # element column sized by the summed lengths
+                    kpraw = located.get((k, _S_PRESENT))
+                    kpresent = (
+                        _bool_rle(_decompress_stream(codec, kpraw), count)
+                        if kpraw is not None
+                        else [True] * count
+                    )
+                    klraw = located.get((k, _S_LENGTH))
+                    klengths = rlev2_decode(
+                        _decompress_stream(codec, klraw) if klraw else b"",
+                        sum(kpresent),
+                        signed=False,
+                    )
+                    elems = dec(list_kids[k], sum(klengths))
+                    vals = []
+                    li = ei = 0
+                    for kpr in kpresent:
+                        if not kpr:
+                            vals.append(None)
+                            continue
+                        ln = klengths[li]
+                        li += 1
+                        vals.append(elems[ei : ei + ln])
+                        ei += ln
+                    return vals
+
                 fields = {
-                    f: dec(k, n_present)
-                    for f, k in zip(p["fields"], p["children"])
+                    f: _dec_field(k, n_present)
+                    for f, k in zip(
+                        p["fields"], p.get("field_kids", p["children"])
+                    )
                 }
                 rows = []
                 j = 0

@@ -298,7 +298,24 @@ def _plan_of(ddl: str):
         return ("map", (_kind_of(kt.strip().lower()),
                         _kind_of(vt.strip().lower())))
     if low.startswith("struct<") and s.endswith(">"):
-        return ("struct", _struct_fields_of(s[7:-1]))
+        body = s[7:-1]
+        if "array<" in body.lower():
+            # struct with mixed scalar/list fields (round 11)
+            fields = []
+            for part in body.split(","):
+                fname, _, t = part.partition(":")
+                t = t.strip()
+                if t.lower().startswith("array<") and t.endswith(">"):
+                    fields.append(
+                        (fname.strip(),
+                         ("list", _kind_of(t[6:-1].strip().lower())))
+                    )
+                else:
+                    fields.append(
+                        (fname.strip(), ("scalar", _kind_of(t.lower())))
+                    )
+            return ("struct_mixed", fields)
+        return ("struct", _struct_fields_of(body))
     return ("scalar", _kind_of(low))
 
 
@@ -378,13 +395,18 @@ def build_orc_bytes(
         plans[c] = _plan_of(ddl_types[c])
         ids[c] = next_id
         pk, detail = plans[c]
-        next_id += {
-            "scalar": 1,
-            "list": 2,
-            "struct": 1 + len(detail),
-            "list_struct": 2 + len(detail),
-            "map": 3,
-        }[pk]
+        if pk == "struct_mixed":
+            next_id += 1 + sum(
+                2 if fk == "list" else 1 for _fn, (fk, _k) in detail
+            )
+        else:
+            next_id += {
+                "scalar": 1,
+                "list": 2,
+                "struct": 1 + len(detail),
+                "list_struct": 2 + len(detail),
+                "map": 3,
+            }[pk]
         if len(columns[c]) != num_rows:
             raise ValueError("ragged columns")
     n_nodes = next_id - 1
@@ -666,6 +688,38 @@ def build_orc_bytes(
                 # reader slices it back by the summed lengths)
                 rows_p = emit_lengths(idx, vals)
                 emit_leaf(idx + 1, [e for v in rows_p for e in v], detail)
+            elif pkind == "struct_mixed":
+                # STRUCT whose fields mix scalars and list<scalar>
+                # (round 11): list fields get their own PRESENT over
+                # the present struct rows + LENGTH + element leaf
+                present = [v is not None for v in vals]
+                emit_present(idx, present)
+                encodings.append((0, None))  # DIRECT
+                stats.append({
+                    "n": sum(present),
+                    "has_null": not all(present),
+                    "kind": None,
+                    "present": [],
+                })
+                rows_p = [v for v in vals if v is not None]
+                kid = idx + 1
+                for fname, (fkind, kps) in detail:
+                    fvals = [
+                        v.get(fname) if isinstance(v, dict)
+                        else getattr(v, fname)
+                        for v in rows_p
+                    ]
+                    if fkind == "scalar":
+                        emit_leaf(kid, fvals, kps)
+                        kid += 1
+                    else:
+                        frows_p = emit_lengths(kid, fvals)
+                        emit_leaf(
+                            kid + 1,
+                            [e for v in frows_p for e in v],
+                            kps,
+                        )
+                        kid += 2
             else:  # struct
                 # STRUCT parent: PRESENT only; each field is a child
                 # column holding one entry per PRESENT struct row
@@ -788,6 +842,25 @@ def build_orc_bytes(
             types.append(_pb_bytes(4, t))
             types.append(_pb_bytes(4, _scalar_type_pb(detail[0])))
             types.append(_pb_bytes(4, _scalar_type_pb(detail[1])))
+        elif pkind == "struct_mixed":
+            kid_ids = []
+            kid = ids[c] + 1
+            for _fname, (fk, _k) in detail:
+                kid_ids.append(kid)
+                kid += 2 if fk == "list" else 1
+            t = _pb_varint(1, _K_STRUCT)
+            t += _pb_bytes(2, b"".join(_varint(k) for k in kid_ids))
+            for fname, _f in detail:
+                t += _pb_bytes(3, fname.encode("utf-8"))
+            types.append(_pb_bytes(4, t))
+            for (fname, (fk, kps)), k in zip(detail, kid_ids):
+                if fk == "scalar":
+                    types.append(_pb_bytes(4, _scalar_type_pb(kps)))
+                else:
+                    lt = _pb_varint(1, 10)  # LIST
+                    lt += _pb_bytes(2, _varint(k + 1))
+                    types.append(_pb_bytes(4, lt))
+                    types.append(_pb_bytes(4, _scalar_type_pb(kps)))
         else:
             t = _pb_varint(1, _K_STRUCT)
             t += _pb_bytes(

@@ -543,6 +543,73 @@ def _assemble_list(reps, defs, present, leaf) -> list:
     return rows
 
 
+_STRUCT_NULL = object()  # sentinel: the ENCLOSING struct row is null
+
+
+def _assemble_list_field(reps, defs, present, max_def, d_struct, d_outer, d_rep):
+    """Per-row values of ONE list-typed struct field: _STRUCT_NULL when
+    the enclosing struct is null (d < d_struct), None when the field
+    itself is null, [] when empty, else the element list."""
+    rows: list = []
+    cur: list | None = None
+    it = iter(present)
+    for r, d in zip(reps, defs):
+        if r == 0:
+            if d < d_struct:
+                rows.append(_STRUCT_NULL)
+                cur = None
+                continue
+            if d < d_outer:
+                rows.append(None)
+                cur = None
+                continue
+            if d < d_rep:
+                rows.append([])
+                cur = None
+                continue
+            cur = []
+            rows.append(cur)
+        elif cur is None:
+            raise ValueError("repetition level continues a null/empty list")
+        cur.append(next(it) if d == max_def else None)
+    return rows
+
+
+def _assemble_struct_mixed(scalar_parts: dict, list_parts: dict) -> list:
+    """One-level struct whose fields mix scalars and lists
+    (struct<f:scalar, v:array<scalar>> — round 11). ``scalar_parts``
+    maps field -> (defs, present, max_def, d_struct); ``list_parts``
+    maps field -> per-row values from :func:`_assemble_list_field`
+    (with _STRUCT_NULL marking null struct rows). Struct NULLness comes
+    from whichever family is available — all fields agree below the
+    struct's level."""
+    n_rows = None
+    null_row: list[bool] = []
+    seated: dict[str, list] = {}
+    for f, (defs, present, max_def, d_struct) in scalar_parts.items():
+        it = iter(present)
+        seated[f] = [next(it) if d == max_def else None for d in defs]
+        if n_rows is None:
+            n_rows = len(defs)
+            null_row = [d < d_struct for d in defs]
+    for f, rows in list_parts.items():
+        seated[f] = rows
+        if n_rows is None:
+            n_rows = len(rows)
+            null_row = [v is _STRUCT_NULL for v in rows]
+    names = list(scalar_parts) + list(list_parts)
+    out = []
+    for i in range(n_rows or 0):
+        if null_row[i]:
+            out.append(None)
+        else:
+            out.append({
+                f: (None if seated[f][i] is _STRUCT_NULL else seated[f][i])
+                for f in names
+            })
+    return out
+
+
 def _assemble_repeated_group(parts: dict[str, dict], as_map: bool) -> list:
     """Dremel assembly for a repeated GROUP element — the shared shape
     under ``list<struct<...>>`` (c.list.element.f leaves) and
@@ -675,22 +742,43 @@ def _decode_row_group(
             )
             out[c].extend(_assemble_list(reps, defs, present, lf0))
         elif all(
-            schema[p]["max_rep"] == 0 and "." not in p[len(c) + 1 :]
+            (schema[p]["max_rep"] == 0 and p.count(".") == 1)
+            or (
+                schema[p]["max_rep"] == 1
+                and p.count(".") == 3
+                and schema[p]["levels"][2][2] == 2
+            )
             for p in leaves
         ):
-            parts: dict[str, tuple] = {}
+            # one-level struct; fields may mix scalars and
+            # array<scalar> (struct<list>, round 11)
+            scalar_parts: dict[str, tuple] = {}
+            list_parts: dict[str, list] = {}
             for p in leaves:
                 leaf = schema[p]
-                _r, defs, present = read_chunk_levels(
+                reps, defs, present = read_chunk_levels(
                     buf, by_path[p], leaf
                 )
-                parts[p[len(c) + 1 :]] = (
-                    defs,
-                    present,
-                    leaf["max_def"],
-                    leaf["levels"][-2][0],
+                if leaf["max_rep"] == 0:
+                    scalar_parts[p[len(c) + 1 :]] = (
+                        defs,
+                        present,
+                        leaf["max_def"],
+                        leaf["levels"][0][0],
+                    )
+                else:
+                    lv = leaf["levels"]
+                    fname = p[len(c) + 1 :].split(".")[0]
+                    list_parts[fname] = _assemble_list_field(
+                        reps, defs, present, leaf["max_def"],
+                        lv[0][0], lv[1][0], lv[2][0],
+                    )
+            if list_parts:
+                out[c].extend(
+                    _assemble_struct_mixed(scalar_parts, list_parts)
                 )
-            out[c].extend(_assemble_struct(parts))
+            else:
+                out[c].extend(_assemble_struct(scalar_parts))
         elif all(
             schema[p]["max_rep"] == 1
             and schema[p]["levels"][1][2] == 2

@@ -475,7 +475,30 @@ def _parse_ddl(ddl: str):
             )
         return ("map", (kt, vt))
     if low.startswith("struct<") and s.endswith(">"):
-        return ("struct", _scalar_fields(s[7:-1], "struct"))
+        body = s[7:-1]
+        if "array<" in body.lower():
+            # struct with mixed scalar/list fields (round 11)
+            fields = []
+            for part in body.split(","):
+                name, _, t = part.partition(":")
+                t = t.strip()
+                tl = t.lower()
+                if tl.startswith("array<") and t.endswith(">"):
+                    el = t[6:-1].strip().lower()
+                    if el not in _SPARK_TO_PHYSICAL:
+                        raise NotImplementedError(
+                            f"struct list-field element {el!r} not "
+                            "writable (scalar elements only)"
+                        )
+                    fields.append((name.strip(), ("array", el)))
+                elif tl in _SPARK_TO_PHYSICAL:
+                    fields.append((name.strip(), ("scalar", tl)))
+                else:
+                    raise NotImplementedError(
+                        f"struct field type {t!r} not writable"
+                    )
+            return ("struct_mixed", fields)
+        return ("struct", _scalar_fields(body, "struct"))
     if low in _SPARK_TO_PHYSICAL:
         return ("scalar", low)
     raise NotImplementedError(f"type {ddl} not writable")
@@ -560,6 +583,36 @@ def _map_levels(vals: list, which: str):
                 else:
                     defs.append(3)
                     present.append(vv)
+    return defs, reps, present
+
+
+def _struct_list_field_levels(vals: list, fname: str):
+    """(def_levels, rep_levels, present) for a LIST-typed field of an
+    OPTIONAL struct: def 0 = null struct, 1 = null list field,
+    2 = empty list, 3 = null element, 4 = value."""
+    defs: list[int] = []
+    reps: list[int] = []
+    present: list = []
+    for row in vals:
+        if row is None:
+            defs.append(0)
+            reps.append(0)
+            continue
+        v = row.get(fname) if isinstance(row, dict) else getattr(row, fname)
+        if v is None:
+            defs.append(1)
+            reps.append(0)
+        elif len(v) == 0:
+            defs.append(2)
+            reps.append(0)
+        else:
+            for k, e in enumerate(v):
+                reps.append(0 if k == 0 else 1)
+                if e is None:
+                    defs.append(3)
+                else:
+                    defs.append(4)
+                    present.append(e)
     return defs, reps, present
 
 
@@ -777,7 +830,7 @@ def build_parquet_bytes(
     num_rows = len(columns[names[0]]) if names else 0
     plans = {c: _parse_ddl(ddl_types[c]) for c in names}
     n_leaves = sum(
-        len(p[1]) if p[0] in ("struct", "array_struct")
+        len(p[1]) if p[0] in ("struct", "array_struct", "struct_mixed")
         else (2 if p[0] == "map" else 1)
         for p in plans.values()
     )
@@ -881,6 +934,33 @@ def build_parquet_bytes(
                         )
                     )
                     total_uncomp += chunk[4]
+            elif kind == "struct_mixed":
+                for fname, (fkind, ftype) in detail:
+                    ptype = _SPARK_TO_PHYSICAL[ftype]
+                    if fkind == "scalar":
+                        defs, present = _struct_field_levels(vals, fname)
+                        chunk = _write_nested_chunk(
+                            body, defs, None, present, n_rg, ptype,
+                            codec_id, page_version,
+                        )
+                        col_chunks.append(
+                            _leaf_metadata([c, fname], ptype, n_rg, chunk)
+                        )
+                    else:  # list field
+                        defs, reps, present = _struct_list_field_levels(
+                            vals, fname
+                        )
+                        chunk = _write_nested_chunk(
+                            body, defs, reps, present, n_rg, ptype,
+                            codec_id, page_version,
+                        )
+                        col_chunks.append(
+                            _leaf_metadata(
+                                [c, fname, "list", "element"], ptype,
+                                len(defs), chunk,
+                            )
+                        )
+                    total_uncomp += chunk[4]
             else:  # struct
                 for fname, ftype in detail:
                     ptype = _SPARK_TO_PHYSICAL[ftype]
@@ -961,6 +1041,15 @@ def build_parquet_bytes(
             schema_elems.append(_group_elem("key_value", 2, 2))
             schema_elems.append(_leaf_elem("key", detail[0], repetition=0))
             schema_elems.append(_leaf_elem("value", detail[1]))
+        elif kind == "struct_mixed":
+            schema_elems.append(_group_elem(c, len(detail), 1))
+            for fname, (fkind, ftype) in detail:
+                if fkind == "scalar":
+                    schema_elems.append(_leaf_elem(fname, ftype))
+                else:
+                    schema_elems.append(_group_elem(fname, 1, 1, converted=3))
+                    schema_elems.append(_group_elem("list", 1, 2))
+                    schema_elems.append(_leaf_elem("element", ftype))
         else:
             schema_elems.append(_group_elem(c, len(detail), 1))
             for fname, ftype in detail:

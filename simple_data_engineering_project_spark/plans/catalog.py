@@ -12410,6 +12410,180 @@ def sink_orc_nested2_q(spark, sf_dir):
     )
 
 
+_NESTED3_ORACLE = """
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 17 = 0 THEN 1 ELSE 0 END AS INT)
+             AS st_null,
+           CASE WHEN o_orderkey % 17 = 0 OR o_orderkey % 3 = 0
+                THEN NULL ELSE o_orderkey * 7 END AS a,
+           CAST(CASE WHEN o_orderkey % 17 = 0 THEN -2
+                WHEN o_orderkey % 7 = 0 THEN -1
+                ELSE o_orderkey % 4 END AS INT) AS v_len,
+           CASE WHEN o_orderkey % 17 = 0 THEN 'SN'
+                WHEN o_orderkey % 7 = 0 THEN 'NULL'
+                ELSE COALESCE(array_to_string(
+                  list_transform(
+                    range(1, CAST(o_orderkey % 4 AS BIGINT) + 1),
+                    i -> CASE WHEN i = 2 AND o_orderkey % 9 = 0 THEN 'N'
+                         ELSE CAST(o_orderkey * 100 + i AS VARCHAR) END),
+                  ','), '')
+           END AS v_csv,
+           CASE WHEN o_orderkey % 17 = 0 OR o_orderkey % 13 = 0
+                THEN NULL
+                ELSE 's' || CAST(o_orderkey % 9 AS VARCHAR) END AS s
+    FROM orders
+    """
+
+_NESTED3_SCHEMA = (
+    "o_orderkey bigint, st_null int, a bigint, v_len int, "
+    "v_csv string, s string"
+)
+
+
+def _nested3_python_values(keys):
+    """struct<a, v:array<bigint>, s> rows with null-struct/null-field/
+    null-list/empty-list/null-element residue, derived from the batch
+    keys — the struct<list> write-twin fixture."""
+    out = []
+    for k in keys:
+        k = int(k)
+        if k % 17 == 0:
+            out.append(None)
+            continue
+        v = (
+            None if k % 7 == 0 else [
+                None if (i == 2 and k % 9 == 0) else k * 100 + i
+                for i in range(1, k % 4 + 1)
+            ]
+        )
+        out.append({
+            "a": None if k % 3 == 0 else k * 7,
+            "v": v,
+            "s": None if k % 13 == 0 else f"s{k % 9}",
+        })
+    return out
+
+
+def _nested3_flatten(t):
+    rows = []
+    for k, st in zip(
+        t.column("o_orderkey").to_pylist(), t.column("st").to_pylist()
+    ):
+        if st is None:
+            rows.append({
+                "o_orderkey": int(k), "st_null": 1, "a": None,
+                "v_len": -2, "v_csv": "SN", "s": None,
+            })
+            continue
+        v = st["v"]
+        rows.append({
+            "o_orderkey": int(k),
+            "st_null": 0,
+            "a": st["a"],
+            "v_len": -1 if v is None else len(v),
+            "v_csv": "NULL" if v is None else ",".join(
+                "N" if e is None else str(e) for e in v
+            ),
+            "s": st["s"],
+        })
+    return rows
+
+
+@register(
+    "sink_parquet_nested3",
+    _NESTED3_ORACLE,
+    tier="C",
+    note="C12 parquet STRUCT<LIST> export (round 11, completing the "
+    "deep-shape family in both directions): the pure writer emits a "
+    "struct whose fields MIX scalars and array<scalar> — the list "
+    "field carries 5-state definition levels (null struct / null "
+    "field / empty list / null element / value) with its own "
+    "repetition stream while sibling scalar fields stay rep-free, "
+    "path_in_schema c.f vs c.v.list.element under one OPTIONAL group. "
+    "DataPageV2 + DELTA encodings, ONE FILE PER ARROW BATCH from "
+    "executors. Read-back via PYARROW, flattened scalars recomputed "
+    "by DuckDB from source keys; the unit battery adds DuckDB/"
+    "Spark-JVM/own-reader re-reads on both page versions plus the "
+    "pyarrow-written READ-side twin. File-per-task, no shuffle.",
+)
+def sink_parquet_nested3_q(spark, sf_dir):
+    from ..operators.parquet_write import build_parquet_bytes
+
+    def _encode(b):
+        keys = [int(x) for x in b["o_orderkey"]]
+        return build_parquet_bytes(
+            {"o_orderkey": keys, "st": _nested3_python_values(keys)},
+            {
+                "o_orderkey": "bigint",
+                "st": "struct<a:bigint,v:array<bigint>,s:string>",
+            },
+            compression="snappy",
+            page_version=2,
+        )
+
+    def _decode(payload):
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        return _nested3_flatten(_pq.read_table(_io.BytesIO(payload)))
+
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "pq_nested3_sink", "parquet", _encode, _decode,
+        _NESTED3_SCHEMA,
+        {"o_orderkey": "int64", "st_null": "int32", "a": "Int64",
+         "v_len": "int32"},
+        select_cols=("o_orderkey",),
+        table="orders",
+    )
+
+
+@register(
+    "sink_orc_nested3",
+    _NESTED3_ORACLE,
+    tier="C",
+    note="C12 ORC STRUCT<LIST> export (round 11, the ORC twin of "
+    "sink_parquet_nested3 — same derivation, same oracle): the pure "
+    "writer's struct fields mix scalars and list<scalar> — the list "
+    "field gets its own PRESENT over the present struct rows plus an "
+    "unsigned-RLEv2 LENGTH stream with the element leaf sized by the "
+    "summed lengths, exactly the layout orc_data's struct<list> "
+    "reader assembles. ZLIB chunk framing, ONE FILE PER ARROW BATCH "
+    "from executors; PYARROW read-back graded vs DuckDB on source "
+    "keys; Spark-JVM + own-reader re-reads in the unit battery. "
+    "File-per-task, no shuffle.",
+)
+def sink_orc_nested3_q(spark, sf_dir):
+    from ..operators.orc_write import build_orc_bytes
+
+    def _encode(b):
+        keys = [int(x) for x in b["o_orderkey"]]
+        return build_orc_bytes(
+            {"o_orderkey": keys, "st": _nested3_python_values(keys)},
+            {
+                "o_orderkey": "bigint",
+                "st": "struct<a:bigint,v:array<bigint>,s:string>",
+            },
+            compression="zlib",
+        )
+
+    def _decode(payload):
+        import io as _io
+
+        import pyarrow.orc as _po
+
+        return _nested3_flatten(_po.ORCFile(_io.BytesIO(payload)).read())
+
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "orc_nested3_sink", "orc", _encode, _decode,
+        _NESTED3_SCHEMA,
+        {"o_orderkey": "int64", "st_null": "int32", "a": "Int64",
+         "v_len": "int32"},
+        select_cols=("o_orderkey",),
+        table="orders",
+    )
+
+
 @register(
     "sink_orc_typed",
     """

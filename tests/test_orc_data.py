@@ -551,13 +551,9 @@ def test_nested_spark_written_orc(spark, tmp_path):
 
 
 def test_nested_deep_shapes_decline_loudly_orc(tmp_path):
-    # round 11 moved map<k,v> and list<struct> to the SUPPORTED side
-    # (test_nested_list_struct_and_map_decode); struct<list> and
-    # list<list> still decline loudly
+    # round 11 moved map<k,v>, list<struct> AND struct<list> to the
+    # SUPPORTED side; list<list> still declines loudly
     cases = {
-        "sl": pa.array(
-            [{"v": [1]}], pa.struct([("v", pa.list_(pa.int64()))])
-        ),
         "ll": pa.array([[[1]]], pa.list_(pa.list_(pa.int64()))),
     }
     for name, arr in cases.items():
@@ -1124,3 +1120,60 @@ def test_pure_writer_full_scalar_kind_set(codec, spark, tmp_path):
     assert sorted(
         (r.dd for r in got if r.dd is not None)
     ) == sorted(v for v in cols["d"] if v is not None)
+
+
+@pytest.mark.parametrize("codec", ["none", "zlib", "snappy"])
+def test_struct_list_both_directions_orc(codec, tmp_path, spark):
+    """Round 11: struct<scalar, array<scalar>> reads from pyarrow-
+    written ORC (list kid's PRESENT/LENGTH over present struct rows)
+    AND writes through the pure writer — pyarrow, Spark-JVM and own
+    reader read-backs."""
+    import random
+
+    from simple_data_engineering_project_spark.operators.orc_data import (
+        read_orc_nested_columns,
+    )
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    rnd = random.Random(13)
+    n = 1500
+    rows = []
+    for i in range(n):
+        if i % 17 == 0:
+            rows.append(None)
+        else:
+            v = (
+                None if i % 7 == 0 else
+                [] if i % 5 == 0 else
+                [None if rnd.random() < 0.1 else rnd.randint(-99, 99)
+                 for _ in range(rnd.randint(1, 4))]
+            )
+            rows.append({
+                "a": None if i % 3 == 0 else i * 7,
+                "v": v,
+                "s": None if i % 4 == 0 else f"x{i % 9}",
+            })
+    # READ side: pyarrow-written
+    t = pa.table({"st": pa.array(rows, pa.struct([
+        ("a", pa.int64()), ("v", pa.list_(pa.int64())), ("s", pa.string()),
+    ]))})
+    buf = io.BytesIO()
+    po.write_table(t, buf, compression="ZLIB", stripe_size=64 * 1024)
+    assert read_orc_nested_columns(buf.getvalue(), ["st"])["st"] == rows
+    # WRITE side
+    blob = build_orc_bytes(
+        {"st": rows}, {"st": "struct<a:bigint,v:array<bigint>,s:string>"},
+        codec, stripe_rows=600,
+    )
+    assert po.ORCFile(io.BytesIO(blob)).read().column("st").to_pylist() == rows
+    assert read_orc_nested_columns(blob, ["st"])["st"] == rows
+    path = str(tmp_path / f"sl_{codec}.orc")
+    open(path, "wb").write(blob)
+    srows = spark.read.orc(path).collect()
+    assert sorted(
+        (r.st.a for r in srows if r.st is not None and r.st.a is not None)
+    ) == sorted(
+        r["a"] for r in rows if r is not None and r["a"] is not None
+    )

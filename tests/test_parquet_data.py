@@ -609,14 +609,9 @@ def test_int96_spark_written_java_convention(spark, tmp_path):
 
 
 def test_nested_deeper_shapes_decline_loudly(tmp_path):
-    # round 11 moved map<k,v> and list<struct> to the SUPPORTED side
-    # (see test_nested_list_struct_and_map below); struct<list> and
-    # list<list> still decline loudly
+    # round 11 moved map<k,v>, list<struct> AND struct<list> to the
+    # SUPPORTED side; list<list> still declines loudly
     cases = {
-        "sl": pa.array(
-            [{"v": [1, 2]}, {"v": []}],
-            pa.struct([("v", pa.list_(pa.int64()))]),
-        ),
         "ll": pa.array([[[1]], [[2], [3]]], pa.list_(pa.list_(pa.int64()))),
     }
     for name, arr in cases.items():
@@ -1320,3 +1315,68 @@ def test_pure_writer_deep_shapes_edge_residue():
     blob = build_parquet_bytes({"x": [5] * 1000}, {"x": "bigint"}, "none",
                                page_version=2)
     assert read_parquet_bytes(blob, ["x"])["x"] == [5] * 1000
+
+
+@pytest.mark.parametrize("pv", [1, 2])
+def test_struct_list_both_directions(tmp_path, pv, spark):
+    """Round 11: struct<scalar, array<scalar>> reads from pyarrow-
+    written files (mixed-struct Dremel assembly distinguishing null
+    struct / null field / empty list / null element) AND writes
+    through the pure writer — read back by pyarrow, DuckDB, Spark's
+    JVM reader and the own reader."""
+    import random
+
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        read_parquet_nested_bytes,
+    )
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    rnd = random.Random(13)
+    n = 1500
+    rows = []
+    for i in range(n):
+        if i % 17 == 0:
+            rows.append(None)
+        else:
+            v = (
+                None if i % 7 == 0 else
+                [] if i % 5 == 0 else
+                [None if rnd.random() < 0.1 else rnd.randint(-99, 99)
+                 for _ in range(rnd.randint(1, 4))]
+            )
+            rows.append({"a": None if i % 3 == 0 else i * 7, "v": v})
+    ddl = {"st": "struct<a:bigint,v:array<bigint>>"}
+    # READ side: pyarrow-written reference bytes
+    t = pa.table({"st": pa.array(
+        rows, pa.struct([("a", pa.int64()), ("v", pa.list_(pa.int64()))])
+    )})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="snappy",
+                   data_page_version=f"{pv}.0", row_group_size=600)
+    assert read_parquet_nested_bytes(buf.getvalue(), ["st"])["st"] == rows
+    # WRITE side: own bytes through all four readers
+    blob = build_parquet_bytes(
+        {"st": rows}, ddl, "snappy", row_group_size=600, page_version=pv
+    )
+    assert pq.read_table(io.BytesIO(blob)).column("st").to_pylist() == rows
+    assert read_parquet_nested_bytes(blob, ["st"])["st"] == rows
+    path = str(tmp_path / f"sl{pv}.parquet")
+    open(path, "wb").write(blob)
+    got = duckdb.sql(
+        f"SELECT count(*), sum(st.a), sum(len(st.v)) "
+        f"FROM read_parquet('{path}')"
+    ).fetchone()
+    assert got == (
+        n,
+        sum(r["a"] for r in rows if r is not None and r["a"] is not None),
+        sum(len(r["v"]) for r in rows
+            if r is not None and r["v"] is not None),
+    )
+    srows = spark.read.parquet(path).collect()
+    assert sorted(
+        (r.st.a for r in srows if r.st is not None and r.st.a is not None)
+    ) == sorted(
+        r["a"] for r in rows if r is not None and r["a"] is not None
+    )
