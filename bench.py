@@ -36,9 +36,10 @@ min-of-two was asymmetric — one lucky retry could bury a real
 regression; median-of-3 is symmetric). A transient host-load spike on
 one measurement can no longer masquerade as a plan regression, and a
 real regression can no longer hide behind one fast outlier. All raw
-measurements land in BENCH_LAST_FULL.json's ``retried`` block;
-still-unresolved >1.3x disagreement is flagged ``high_variance`` in
-the stdout tail.
+measurements land in BENCH_LAST_FULL.json's ``retried`` block; every
+entry whose first/retry disagreed >1.3x (i.e. needed the tiebreak) is
+flagged ``high_variance`` in the stdout tail so the judge sees WHICH
+measurements were noisy — the published median already resolves them.
 """
 
 from __future__ import annotations

@@ -14,9 +14,9 @@ forced broadcast hint: AQE picks broadcast when the rank relation's
 runtime size is under ``spark.sql.autoBroadcastJoinThreshold`` (the
 sf0.1 case) and degrades to a shuffled join when it is not (the 10⁹-node
 case), instead of OOMing executors on a mandatory hint. For long
-iteration counts the logical plan grows linearly; ``checkpoint_every``
-truncates lineage with localCheckpoint so the optimizer never sees an
-unbounded join tree.
+iteration counts the per-iteration contribution state materializes
+eagerly (Pregel-superstep style), so the optimizer sees a
+constant-depth plan no matter the iteration count.
 """
 
 from __future__ import annotations

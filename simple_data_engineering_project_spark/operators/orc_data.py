@@ -820,7 +820,19 @@ def read_orc_nested_columns(
                         return dec(k, count)
                     # struct<list> field: kid PRESENT over the present
                     # struct rows, LENGTH over its present count, the
-                    # element column sized by the summed lengths
+                    # element column sized by the summed lengths. The
+                    # kid's LENGTH stream is integer RLE — a 0.11-era
+                    # DIRECT/DICTIONARY encoding must decline like the
+                    # top-level LIST/MAP branches (round-11 review
+                    # finding)
+                    kenc = (
+                        encodings[k] if k < len(encodings) else {}
+                    ).get(1, 0)
+                    if kenc in (0, 1):
+                        raise NotImplementedError(
+                            "ORC RLEv1 column encoding (0.11 format) "
+                            "not supported"
+                        )
                     kpraw = located.get((k, _S_PRESENT))
                     kpresent = (
                         _bool_rle(_decompress_stream(codec, kpraw), count)

@@ -244,8 +244,8 @@ def _byte_rle_encode(vals: list[int]) -> bytes:
 
 
 def _bool_rle_encode(bits: list[bool]) -> bytes:
-    """Boolean RLE: bit-pack MSB-first into bytes, then emit the bytes
-    as byte-RLE LITERAL groups (header 256-n, n<=128)."""
+    """Boolean RLE: bit-pack MSB-first into bytes, then frame the
+    bytes through the shared byte-RLE literal-group encoder."""
     packed = bytearray()
     for i in range(0, len(bits), 8):
         byte = 0
@@ -253,12 +253,7 @@ def _bool_rle_encode(bits: list[bool]) -> bytes:
             if bit:
                 byte |= 1 << (7 - k)
         packed.append(byte)
-    out = bytearray()
-    for i in range(0, len(packed), 128):
-        group = packed[i : i + 128]
-        out.append(256 - len(group))
-        out += group
-    return bytes(out)
+    return _byte_rle_encode(list(packed))
 
 
 def _kind_of(ddl: str) -> tuple[int, int | None, int | None]:
@@ -271,9 +266,32 @@ def _kind_of(ddl: str) -> tuple[int, int | None, int | None]:
     raise NotImplementedError(f"type {ddl} not writable")
 
 
+def _split_top(body: str) -> list[str]:
+    """Split a DDL body on TOP-LEVEL commas only — commas inside
+    decimal(p,s) or nested <> must not split fields (round-11 review
+    finding: struct<a:decimal(10,2),...> split mid-type and declined
+    with a garbage type name)."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in body:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def _struct_fields_of(body: str) -> list[tuple[str, tuple]]:
     fields = []
-    for part in body.split(","):
+    for part in _split_top(body):
         fname, _, t = part.partition(":")
         fields.append((fname.strip(), _kind_of(t.strip().lower())))
     return fields
@@ -294,9 +312,11 @@ def _plan_of(ddl: str):
             return ("list_struct", _struct_fields_of(elem[7:-1]))
         return ("list", _kind_of(elem.lower()))
     if low.startswith("map<") and s.endswith(">"):
-        kt, _, vt = s[4:-1].partition(",")
-        return ("map", (_kind_of(kt.strip().lower()),
-                        _kind_of(vt.strip().lower())))
+        kv = _split_top(s[4:-1])
+        if len(kv) != 2:
+            raise NotImplementedError(f"type {ddl} not writable")
+        return ("map", (_kind_of(kv[0].strip().lower()),
+                        _kind_of(kv[1].strip().lower())))
     if low.startswith("struct<") and s.endswith(">"):
         body = s[7:-1]
         if "array<" in body.lower():
@@ -440,12 +460,26 @@ def build_orc_bytes(
                 # DATE rides the same signed-RLEv2 DATA stream as the
                 # int family (values are epoch days)
                 nn = [int(v) for v in nn]
+                # decline loudly on narrow-type overflow — the stream
+                # carries the full value, so a reader would silently
+                # wrap/truncate it (round-11 review finding; parquet's
+                # struct.pack twin raises for the same inputs)
+                if kind == _K_SHORT and nn and not (
+                    -(2**15) <= min(nn) and max(nn) < 2**15
+                ):
+                    raise ValueError("smallint value out of range")
+                if kind == _K_INT and nn and not (
+                    -(2**31) <= min(nn) and max(nn) < 2**31
+                ):
+                    raise ValueError("int value out of range")
                 data = frame(rlev2_encode(nn, signed=True))
                 stream_meta.append((idx, 1, len(data)))
                 bodies.extend(data)
                 encodings.append((2, None))  # DIRECT_V2
             elif kind == _K_BYTE:
                 nn = [int(v) for v in nn]
+                if nn and not (-128 <= min(nn) and max(nn) < 128):
+                    raise ValueError("tinyint value out of range")
                 data = frame(_byte_rle_encode(nn))
                 stream_meta.append((idx, 1, len(data)))
                 bodies.extend(data)
@@ -457,7 +491,15 @@ def build_orc_bytes(
                 bodies.extend(data)
                 encodings.append((0, None))  # DIRECT
             elif kind == _K_FLOAT:
-                nn = [float(v) for v in nn]
+                # round through float32 BEFORE stats: DATA stores the
+                # rounded value, so stats computed on unrounded doubles
+                # could declare min > stored-min and let stats-trusting
+                # readers prune stripes that match (round-11 review
+                # finding)
+                nn = [
+                    struct.unpack("<f", struct.pack("<f", float(v)))[0]
+                    for v in nn
+                ]
                 data = frame(struct.pack(f"<{len(nn)}f", *nn))
                 stream_meta.append((idx, 1, len(data)))
                 bodies.extend(data)

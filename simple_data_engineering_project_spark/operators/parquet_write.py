@@ -265,11 +265,9 @@ def _byte_stream_split(present: list, width: int = 8) -> bytes:
     codec's job easy on slowly-varying floats."""
     fmt = "d" if width == 8 else "f"
     raw = struct.pack(f"<{len(present)}{fmt}", *present)
-    return bytes(
-        raw[i * width + k]
-        for k in range(width)
-        for i in range(len(present))
-    )
+    # strided slices do the transpose at C speed (a per-byte Python
+    # generator costs n*width interpreter ops on the hot write path)
+    return b"".join(raw[k::width] for k in range(width))
 
 
 def _stat_bytes(v, ptype: int) -> bytes:
@@ -432,11 +430,34 @@ def _write_column_chunk(body: bytearray, vals: list, ptype: int, codec_id: int):
     return encodings, dict_offset, data_offset, comp_size, uncomp_size, stats
 
 
+def _split_top(body: str) -> list[str]:
+    """Split a DDL body on TOP-LEVEL commas only — commas inside
+    decimal(p,s) or nested <> must not split fields (round-11 review
+    finding: struct<a:decimal(10,2),...> split mid-type and declined
+    with a garbage type name)."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in body:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def _scalar_fields(body: str, ctx: str) -> list[tuple[str, str]]:
     """Parse 'a:bigint,b:string' into [(name, type)] — scalar types
     only; anything else declines loudly."""
     fields = []
-    for part in body.split(","):
+    for part in _split_top(body):
         name, _, t = part.partition(":")
         t = t.strip().lower()
         if t not in _SPARK_TO_PHYSICAL:
@@ -467,8 +488,10 @@ def _parse_ddl(ddl: str):
             )
         return ("array", el)
     if low.startswith("map<") and s.endswith(">"):
-        kt, _, vt = s[4:-1].partition(",")
-        kt, vt = kt.strip().lower(), vt.strip().lower()
+        kv = _split_top(s[4:-1])
+        if len(kv) != 2:
+            raise NotImplementedError(f"type {ddl} not writable")
+        kt, vt = kv[0].strip().lower(), kv[1].strip().lower()
         if kt not in _SPARK_TO_PHYSICAL or vt not in _SPARK_TO_PHYSICAL:
             raise NotImplementedError(
                 f"map type {ddl!r} not writable (scalar keys/values only)"
@@ -479,7 +502,7 @@ def _parse_ddl(ddl: str):
         if "array<" in body.lower():
             # struct with mixed scalar/list fields (round 11)
             fields = []
-            for part in body.split(","):
+            for part in _split_top(body):
                 name, _, t = part.partition(":")
                 t = t.strip()
                 tl = t.lower()

@@ -1177,3 +1177,53 @@ def test_struct_list_both_directions_orc(codec, tmp_path, spark):
     ) == sorted(
         r["a"] for r in rows if r is not None and r["a"] is not None
     )
+
+
+def test_round11_review_findings_regressions(tmp_path):
+    """Round-11 code-review findings, each a confirmed repro before
+    the fix: (1) tinyint/smallint/int silently wrapped out-of-range
+    values through byte-RLE masking / full-width RLEv2 streams;
+    (2) FLOAT statistics were computed on unrounded doubles so the
+    declared min could exceed the stored float32 minimum — a
+    stats-trusting pruner would skip stripes holding matching rows;
+    (3) struct<list> kid LENGTH streams skipped the 0.11 RLEv1 decline
+    guard; (4) DDL comma splits broke decimal(p,s) struct fields."""
+    import decimal as _dec
+    import struct as _st
+
+    from simple_data_engineering_project_spark.operators.orc_data import (
+        read_orc_nested_columns,
+        read_stripe_stats,
+    )
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    # (1) narrow-type overflow declines loudly
+    for t, bad in (("tinyint", 300), ("smallint", 100000), ("int", 2**40)):
+        with pytest.raises(ValueError, match="out of range"):
+            build_orc_bytes({"x": [bad]}, {"x": t})
+
+    # (2) float stats match the stored float32 values exactly
+    blob = build_orc_bytes({"f": [1.3, 2.7]}, {"f": "float"})
+    f32 = lambda v: _st.unpack("<f", _st.pack("<f", v))[0]  # noqa: E731
+    st = read_stripe_stats(blob)
+    assert st[0][1]["min"] == f32(1.3) and st[0][1]["max"] == f32(2.7)
+
+    # (3) 0.11-era struct<list> declines instead of mis-slicing
+    t = pa.table({"st": pa.array(
+        [{"v": [1.5, 2.5]}], pa.struct([("v", pa.list_(pa.float64()))])
+    )})
+    buf = io.BytesIO()
+    po.write_table(t, buf, file_version="0.11")
+    with pytest.raises(NotImplementedError, match="RLEv1"):
+        read_orc_nested_columns(buf.getvalue(), ["st"])
+
+    # (4) decimal(p,s) struct fields parse and round-trip
+    D = _dec.Decimal
+    rows = [None, {"a": D("1.25"), "b": 7}, {"a": None, "b": None}]
+    blob = build_orc_bytes(
+        {"st": rows}, {"st": "struct<a:decimal(10,2),b:int>"}, "none"
+    )
+    assert po.ORCFile(io.BytesIO(blob)).read().column("st").to_pylist() == rows
+    assert read_orc_nested_columns(blob, ["st"])["st"] == rows
