@@ -223,6 +223,8 @@ HEADLINE = [
     "sink_orc_nested2",
     "sink_parquet_nested3",
     "sink_orc_nested3",
+    "sink_parquet_nested4",
+    "sink_orc_nested4",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose

@@ -41,9 +41,9 @@ across 4 codecs, multi-stripe layouts, and Spark-written files.
 
 Round 11 adds list<struct<scalars>> (element STRUCT with its own
 PRESENT over all elements), map<scalar,scalar> (LIST layout with
-key/value children), and struct fields mixing scalars with
-list<scalar> (struct<list>). Declined loudly: UNION, deeper nesting;
-RLEv1
+key/value children), struct fields mixing scalars with
+list<scalar> (struct<list>), and list<list<scalar>> (chained
+LENGTH levels). Declined loudly: UNION, deeper nesting; RLEv1
 column encodings (0.11-era files — silently mis-decoding through the
 v2 decoder is worse than raising).
 
@@ -604,7 +604,23 @@ def read_orc_nested_columns(
                     "kind": kind, "cid": cid, "children": [elem_id],
                     "elem_struct": (elem_id, gnames, gkids),
                 }
-            elif ek in (_K_LIST, _K_MAP, _K_UNION):
+            elif ek == _K_LIST:
+                # list<list<scalar>> (round 11): the inner LIST node
+                # carries its own PRESENT/LENGTH over the outer
+                # elements; its element column is a grandchild
+                (g,) = _subtype_ids(types[elem_id])
+                if types[g].get(1, 0) in (
+                    _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
+                ):
+                    raise NotImplementedError(
+                        f"ORC column {c!r}: list<list> elements must "
+                        "be scalar"
+                    )
+                plan[c] = {
+                    "kind": kind, "cid": cid, "children": [elem_id, g],
+                    "elem_list": (elem_id, g),
+                }
+            elif ek in (_K_MAP, _K_UNION):
                 raise NotImplementedError(
                     f"ORC column {c!r}: unsupported element nesting"
                 )
@@ -725,7 +741,49 @@ def read_orc_nested_columns(
                     signed=False,
                 )
                 n_elems = sum(lengths)
-                if "elem_struct" in p:
+                if "elem_list" in p:
+                    # list<list>: the inner LIST node's PRESENT covers
+                    # all outer elements; its LENGTH covers the present
+                    # inner lists; the grandchild leaf is sized by the
+                    # summed inner lengths. 0.11 RLEv1 declines like
+                    # every other integer-RLE stream.
+                    inner_id, g = p["elem_list"]
+                    ienc = (
+                        encodings[inner_id]
+                        if inner_id < len(encodings)
+                        else {}
+                    ).get(1, 0)
+                    if ienc in (0, 1):
+                        raise NotImplementedError(
+                            "ORC RLEv1 column encoding (0.11 format) "
+                            "not supported"
+                        )
+                    ipraw = located.get((inner_id, _S_PRESENT))
+                    ipresent = (
+                        _bool_rle(
+                            _decompress_stream(codec, ipraw), n_elems
+                        )
+                        if ipraw is not None
+                        else [True] * n_elems
+                    )
+                    ilraw = located.get((inner_id, _S_LENGTH))
+                    ilengths = rlev2_decode(
+                        _decompress_stream(codec, ilraw) if ilraw else b"",
+                        sum(ipresent),
+                        signed=False,
+                    )
+                    grand = dec(g, sum(ilengths))
+                    elems = []
+                    li = ei = 0
+                    for ipr in ipresent:
+                        if not ipr:
+                            elems.append(None)
+                            continue
+                        ln = ilengths[li]
+                        li += 1
+                        elems.append(grand[ei : ei + ln])
+                        ei += ln
+                elif "elem_struct" in p:
                     # list<struct>: assemble the element dicts first —
                     # the element STRUCT column carries its own PRESENT
                     # over all n_elems positions; its field columns are

@@ -310,6 +310,8 @@ def _plan_of(ddl: str):
         elem = s[6:-1].strip()
         if elem.lower().startswith("struct<") and elem.endswith(">"):
             return ("list_struct", _struct_fields_of(elem[7:-1]))
+        if elem.lower().startswith("array<") and elem.endswith(">"):
+            return ("list_list", _kind_of(elem[6:-1].strip().lower()))
         return ("list", _kind_of(elem.lower()))
     if low.startswith("map<") and s.endswith(">"):
         kv = _split_top(s[4:-1])
@@ -423,6 +425,7 @@ def build_orc_bytes(
             next_id += {
                 "scalar": 1,
                 "list": 2,
+                "list_list": 3,
                 "struct": 1 + len(detail),
                 "list_struct": 2 + len(detail),
                 "map": 3,
@@ -688,6 +691,15 @@ def build_orc_bytes(
             idx = ids[c]
             if pkind == "scalar":
                 emit_leaf(idx, vals, detail)
+            elif pkind == "list_list":
+                # outer LENGTH over rows, inner LENGTH over the outer
+                # elements, element leaf over the flattened values
+                rows_p = emit_lengths(idx, vals)
+                inners = [e for v in rows_p for e in v]
+                inners_p = emit_lengths(idx + 1, inners)
+                emit_leaf(
+                    idx + 2, [e for v in inners_p for e in v], detail
+                )
             elif pkind == "list_struct":
                 # LIST parent → element STRUCT (own PRESENT over all
                 # elements) → field leaves over present elements —
@@ -858,6 +870,14 @@ def build_orc_bytes(
         elif pkind == "list":
             t = _pb_varint(1, 10)  # LIST
             t += _pb_bytes(2, _varint(ids[c] + 1))
+            types.append(_pb_bytes(4, t))
+            types.append(_pb_bytes(4, _scalar_type_pb(detail)))
+        elif pkind == "list_list":
+            t = _pb_varint(1, 10)  # LIST
+            t += _pb_bytes(2, _varint(ids[c] + 1))
+            types.append(_pb_bytes(4, t))
+            t = _pb_varint(1, 10)  # inner LIST
+            t += _pb_bytes(2, _varint(ids[c] + 2))
             types.append(_pb_bytes(4, t))
             types.append(_pb_bytes(4, _scalar_type_pb(detail)))
         elif pkind == "list_struct":

@@ -543,6 +543,52 @@ def _assemble_list(reps, defs, present, leaf) -> list:
     return rows
 
 
+def _assemble_list_list(reps, defs, present, leaf) -> list:
+    """Dremel assembly for TWO repeated levels — list<list<scalar>>
+    (round 11): the standard shape nests a second 3-level LIST as the
+    outer element (c.list.element.list.element, max_rep 2). Thresholds
+    from the cumulative levels: d < d_outer → null outer list,
+    < d_rep1 → empty outer, < d_elem → null inner list, < d_rep2 →
+    empty inner, < max_def → null element."""
+    lv = leaf["levels"]
+    d_outer, d_rep1, d_elem, d_rep2 = lv[0][0], lv[1][0], lv[2][0], lv[3][0]
+    max_def = leaf["max_def"]
+    rows: list = []
+    outer: list | None = None
+    inner: list | None = None
+    it = iter(present)
+    for r, d in zip(reps, defs):
+        open_inner = True
+        if r == 0:
+            if d < d_outer:
+                rows.append(None)
+                outer = inner = None
+                continue
+            if d < d_rep1:
+                rows.append([])
+                outer = inner = None
+                continue
+            outer = []
+            rows.append(outer)
+        elif r == 2:
+            open_inner = False
+        if outer is None or (not open_inner and inner is None):
+            raise ValueError("repetition level continues a null/empty list")
+        if open_inner:
+            if d < d_elem:
+                outer.append(None)
+                inner = None
+                continue
+            if d < d_rep2:
+                outer.append([])
+                inner = None
+                continue
+            inner = []
+            outer.append(inner)
+        inner.append(next(it) if d == max_def else None)
+    return rows
+
+
 _STRUCT_NULL = object()  # sentinel: the ENCLOSING struct row is null
 
 
@@ -815,11 +861,23 @@ def _decode_row_group(
                     "d_elem": lv[1][0] if is_map else lv[2][0],
                 }
             out[c].extend(_assemble_repeated_group(gparts, as_map=is_map))
+        elif (
+            len(leaves) == 1
+            and lf0["max_rep"] == 2
+            and leaves[0].count(".") == 4
+            and lf0["levels"][1][2] == 2
+            and lf0["levels"][3][2] == 2
+        ):
+            # list<list<scalar>> (round 11): two repeated levels
+            reps, defs, present = read_chunk_levels(
+                buf, by_path[leaves[0]], lf0
+            )
+            out[c].extend(_assemble_list_list(reps, defs, present, lf0))
         else:
             raise NotImplementedError(
-                f"column {c!r}: supported nesting is one level of LIST "
-                "or STRUCT, list<struct<scalars>>, and map<k,v>; "
-                "deeper shapes decline loudly"
+                f"column {c!r}: supported nesting is LIST/STRUCT one "
+                "level, list<struct<scalars>>, struct<list>, map<k,v> "
+                "and list<list<scalar>>; deeper shapes decline loudly"
             )
 
 

@@ -481,6 +481,14 @@ def _parse_ddl(ddl: str):
         el = elem.lower()
         if el.startswith("struct<") and elem.endswith(">"):
             return ("array_struct", _scalar_fields(elem[7:-1], "list<struct>"))
+        if el.startswith("array<") and elem.endswith(">"):
+            inner = elem[6:-1].strip().lower()
+            if inner not in _SPARK_TO_PHYSICAL:
+                raise NotImplementedError(
+                    f"list<list> element type {inner!r} not writable "
+                    "(scalar elements only)"
+                )
+            return ("array_array", inner)
         if el not in _SPARK_TO_PHYSICAL:
             raise NotImplementedError(
                 f"array element type {elem!r} not writable "
@@ -578,6 +586,41 @@ def _list_struct_levels(vals: list, fname: str):
                 else:
                     defs.append(4)
                     present.append(v)
+    return defs, reps, present
+
+
+def _list_list_levels(vals: list):
+    """(def_levels, rep_levels, present) for list<list<scalar>>:
+    def 0 = null outer, 1 = empty outer, 2 = null inner, 3 = empty
+    inner, 4 = null element, 5 = value; rep 1 starts a new inner list,
+    rep 2 continues one."""
+    defs: list[int] = []
+    reps: list[int] = []
+    present: list = []
+    for row in vals:
+        if row is None:
+            defs.append(0)
+            reps.append(0)
+        elif len(row) == 0:
+            defs.append(1)
+            reps.append(0)
+        else:
+            for oi, inner in enumerate(row):
+                r0 = 0 if oi == 0 else 1
+                if inner is None:
+                    defs.append(2)
+                    reps.append(r0)
+                elif len(inner) == 0:
+                    defs.append(3)
+                    reps.append(r0)
+                else:
+                    for ei, e in enumerate(inner):
+                        reps.append(r0 if ei == 0 else 2)
+                        if e is None:
+                            defs.append(4)
+                        else:
+                            defs.append(5)
+                            present.append(e)
     return defs, reps, present
 
 
@@ -927,6 +970,20 @@ def build_parquet_bytes(
                     )
                 )
                 total_uncomp += chunk[4]
+            elif kind == "array_array":
+                ptype = _SPARK_TO_PHYSICAL[detail]
+                defs, reps, present = _list_list_levels(vals)
+                chunk = _write_nested_chunk(
+                    body, defs, reps, present, n_rg, ptype,
+                    codec_id, page_version,
+                )
+                col_chunks.append(
+                    _leaf_metadata(
+                        [c, "list", "element", "list", "element"],
+                        ptype, len(defs), chunk,
+                    )
+                )
+                total_uncomp += chunk[4]
             elif kind == "array_struct":
                 for fname, ftype in detail:
                     ptype = _SPARK_TO_PHYSICAL[ftype]
@@ -1049,6 +1106,12 @@ def build_parquet_bytes(
             # the standard 3-level LIST shape: optional group (LIST)
             # { repeated group list { optional <t> element } }
             schema_elems.append(_group_elem(c, 1, 1, converted=3))
+            schema_elems.append(_group_elem("list", 1, 2))
+            schema_elems.append(_leaf_elem("element", detail))
+        elif kind == "array_array":
+            schema_elems.append(_group_elem(c, 1, 1, converted=3))
+            schema_elems.append(_group_elem("list", 1, 2))
+            schema_elems.append(_group_elem("element", 1, 1, converted=3))
             schema_elems.append(_group_elem("list", 1, 2))
             schema_elems.append(_leaf_elem("element", detail))
         elif kind == "array_struct":

@@ -12584,6 +12584,164 @@ def sink_orc_nested3_q(spark, sf_dir):
     )
 
 
+_NESTED4_ORACLE = """
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN -1
+                ELSE o_orderkey % 4 END AS INT) AS ll_len,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'NULL'
+                ELSE COALESCE(array_to_string(
+                  list_transform(
+                    range(1, CAST(o_orderkey % 4 AS BIGINT) + 1),
+                    i -> CASE
+                      WHEN i = 2 AND o_orderkey % 9 = 0 THEN 'N'
+                      WHEN i = 1 AND o_orderkey % 11 = 0 THEN '_'
+                      ELSE array_to_string(
+                        list_transform(
+                          range(1, (o_orderkey + i) % 3 + 2),
+                          j -> CASE WHEN j = 2 AND o_orderkey % 3 = 0
+                               THEN 'N'
+                               ELSE CAST(o_orderkey * 100 + i * 10 + j
+                                         AS VARCHAR) END),
+                        ',') END),
+                  ';'), '')
+           END AS ll_csv
+    FROM orders
+    """
+
+_NESTED4_SCHEMA = "o_orderkey bigint, ll_len int, ll_csv string"
+
+
+def _nested4_python_values(keys):
+    """list<list<bigint>> rows with null-outer/empty-outer/null-inner/
+    empty-inner/null-element residue derived from the batch keys."""
+    out = []
+    for k in keys:
+        k = int(k)
+        if k % 7 == 0:
+            out.append(None)
+            continue
+        outer = []
+        for i in range(1, k % 4 + 1):
+            if i == 2 and k % 9 == 0:
+                outer.append(None)
+            elif i == 1 and k % 11 == 0:
+                outer.append([])
+            else:
+                outer.append([
+                    None if (j == 2 and k % 3 == 0) else k * 100 + i * 10 + j
+                    for j in range(1, (k + i) % 3 + 2)
+                ])
+        out.append(outer)
+    return out
+
+
+def _nested4_flatten(t):
+    rows = []
+    for k, ll in zip(
+        t.column("o_orderkey").to_pylist(), t.column("ll").to_pylist()
+    ):
+        if ll is None:
+            rows.append({"o_orderkey": int(k), "ll_len": -1,
+                         "ll_csv": "NULL"})
+            continue
+        rows.append({
+            "o_orderkey": int(k),
+            "ll_len": len(ll),
+            "ll_csv": ";".join(
+                "N" if inner is None else
+                "_" if len(inner) == 0 else
+                ",".join("N" if e is None else str(e) for e in inner)
+                for inner in ll
+            ),
+        })
+    return rows
+
+
+@register(
+    "sink_parquet_nested4",
+    _NESTED4_ORACLE,
+    tier="C",
+    note="C12 parquet LIST<LIST> export (round 11, the two-repeated-"
+    "level shape): the pure writer emits 6-state definition levels "
+    "(null outer / empty outer / null inner / empty inner / null "
+    "element / value) with repetition levels 0/1/2 marking row / "
+    "inner-list / element continuation through the doubly-nested "
+    "3-level LIST schema, on DataPageV2 + DELTA. ONE FILE PER ARROW "
+    "BATCH from executors; PYARROW read-back graded vs DuckDB "
+    "recomputing the nested-transform derivation from source keys; "
+    "the unit battery re-reads via DuckDB, Spark's JVM reader AND the "
+    "own two-level Dremel assembler on both page versions. "
+    "File-per-task, no shuffle.",
+)
+def sink_parquet_nested4_q(spark, sf_dir):
+    from ..operators.parquet_write import build_parquet_bytes
+
+    def _encode(b):
+        keys = [int(x) for x in b["o_orderkey"]]
+        return build_parquet_bytes(
+            {"o_orderkey": keys, "ll": _nested4_python_values(keys)},
+            {"o_orderkey": "bigint", "ll": "array<array<bigint>>"},
+            compression="snappy",
+            page_version=2,
+        )
+
+    def _decode(payload):
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        return _nested4_flatten(_pq.read_table(_io.BytesIO(payload)))
+
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "pq_nested4_sink", "parquet", _encode, _decode,
+        _NESTED4_SCHEMA,
+        {"o_orderkey": "int64", "ll_len": "int32"},
+        select_cols=("o_orderkey",),
+        table="orders",
+    )
+
+
+@register(
+    "sink_orc_nested4",
+    _NESTED4_ORACLE,
+    tier="C",
+    note="C12 ORC LIST<LIST> export (round 11, the ORC twin of "
+    "sink_parquet_nested4 — same derivation, same oracle): the pure "
+    "writer chains two LENGTH levels — outer over rows, inner over "
+    "the outer elements with its own PRESENT — with the element leaf "
+    "sized by the summed inner lengths, exactly the layout orc_data's "
+    "two-level reader assembles. ZLIB chunk framing, ONE FILE PER "
+    "ARROW BATCH from executors; PYARROW read-back graded vs DuckDB "
+    "on source keys; Spark-JVM + own-reader re-reads in the unit "
+    "battery. File-per-task, no shuffle.",
+)
+def sink_orc_nested4_q(spark, sf_dir):
+    from ..operators.orc_write import build_orc_bytes
+
+    def _encode(b):
+        keys = [int(x) for x in b["o_orderkey"]]
+        return build_orc_bytes(
+            {"o_orderkey": keys, "ll": _nested4_python_values(keys)},
+            {"o_orderkey": "bigint", "ll": "array<array<bigint>>"},
+            compression="zlib",
+        )
+
+    def _decode(payload):
+        import io as _io
+
+        import pyarrow.orc as _po
+
+        return _nested4_flatten(_po.ORCFile(_io.BytesIO(payload)).read())
+
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "orc_nested4_sink", "orc", _encode, _decode,
+        _NESTED4_SCHEMA,
+        {"o_orderkey": "int64", "ll_len": "int32"},
+        select_cols=("o_orderkey",),
+        table="orders",
+    )
+
+
 @register(
     "sink_orc_typed",
     """

@@ -551,10 +551,16 @@ def test_nested_spark_written_orc(spark, tmp_path):
 
 
 def test_nested_deep_shapes_decline_loudly_orc(tmp_path):
-    # round 11 moved map<k,v>, list<struct> AND struct<list> to the
-    # SUPPORTED side; list<list> still declines loudly
+    # round 11 moved map<k,v>, list<struct>, struct<list> AND
+    # list<list> to the SUPPORTED side; three-deep lists and maps with
+    # nested values still decline loudly
     cases = {
-        "ll": pa.array([[[1]]], pa.list_(pa.list_(pa.int64()))),
+        "lll": pa.array(
+            [[[[1]]]], pa.list_(pa.list_(pa.list_(pa.int64())))
+        ),
+        "mv": pa.array(
+            [[("k", [1, 2])]], pa.map_(pa.string(), pa.list_(pa.int64()))
+        ),
     }
     for name, arr in cases.items():
         path = str(tmp_path / f"deep_{name}.orc")
@@ -818,10 +824,11 @@ def test_pure_writer_nested_list_struct(codec):
     mine = read_orc_nested_columns(blob, ["li", "st"])
     assert mine["li"] == lists
     assert mine["st"] == structs
-    # deeper nesting declines loudly
+    # deeper nesting declines loudly (list<list> became writable in
+    # the late round-11 wave; three-deep still declines)
     with pytest.raises(NotImplementedError):
         build_orc_bytes(
-            {"m": [[[1]]]}, {"m": "array<array<bigint>>"}, "none"
+            {"m": [[[[1]]]]}, {"m": "array<array<array<bigint>>>"}, "none"
         )
 
 
@@ -907,12 +914,14 @@ def test_nested_list_struct_and_map_decode(comp):
     assert mine["m"] == map_rows
     # deeper shapes still decline loudly
     t2 = pa.table({
-        "ll": pa.array([[[1]], [[2], [3]]], pa.list_(pa.list_(pa.int64()))),
+        "lll": pa.array(
+            [[[[1]]]], pa.list_(pa.list_(pa.list_(pa.int64())))
+        ),
     })
     buf2 = io.BytesIO()
     po.write_table(t2, buf2)
     with pytest.raises(NotImplementedError):
-        read_orc_nested_columns(buf2.getvalue(), ["ll"])
+        read_orc_nested_columns(buf2.getvalue(), ["lll"])
 
 
 @pytest.mark.parametrize("codec", ["none", "zlib", "snappy"])
@@ -1227,3 +1236,64 @@ def test_round11_review_findings_regressions(tmp_path):
     )
     assert po.ORCFile(io.BytesIO(blob)).read().column("st").to_pylist() == rows
     assert read_orc_nested_columns(blob, ["st"])["st"] == rows
+
+
+@pytest.mark.parametrize("codec", ["none", "zlib", "snappy"])
+def test_list_list_both_directions_orc(codec, tmp_path, spark):
+    """Round 11: list<list<scalar>> through ORC — inner LIST node with
+    its own PRESENT/LENGTH over the outer elements — both
+    directions."""
+    import random
+
+    from simple_data_engineering_project_spark.operators.orc_data import (
+        read_orc_nested_columns,
+    )
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    rnd = random.Random(21)
+    n = 1200
+    rows = []
+    for i in range(n):
+        if i % 13 == 0:
+            rows.append(None)
+        elif i % 7 == 0:
+            rows.append([])
+        else:
+            outer = []
+            for _oi in range(rnd.randint(1, 4)):
+                rr = rnd.random()
+                if rr < 0.1:
+                    outer.append(None)
+                elif rr < 0.2:
+                    outer.append([])
+                else:
+                    outer.append([
+                        None if rnd.random() < 0.1 else rnd.randint(-99, 99)
+                        for _ in range(rnd.randint(1, 3))
+                    ])
+            rows.append(outer)
+    # READ side: pyarrow-written
+    t = pa.table({"ll": pa.array(rows, pa.list_(pa.list_(pa.int64())))})
+    buf = io.BytesIO()
+    po.write_table(t, buf, compression="ZLIB", stripe_size=64 * 1024)
+    assert read_orc_nested_columns(buf.getvalue(), ["ll"])["ll"] == rows
+    # WRITE side
+    blob = build_orc_bytes(
+        {"ll": rows}, {"ll": "array<array<bigint>>"}, codec, stripe_rows=500
+    )
+    assert po.ORCFile(io.BytesIO(blob)).read().column("ll").to_pylist() == rows
+    assert read_orc_nested_columns(blob, ["ll"])["ll"] == rows
+    path = str(tmp_path / f"ll_{codec}.orc")
+    open(path, "wb").write(blob)
+    srows = spark.read.orc(path).collect()
+    exp_inner = sum(
+        len(x) for r in rows if r is not None
+        for x in r if x is not None
+    )
+    got_inner = sum(
+        len(x) for r in srows if r.ll is not None
+        for x in r.ll if x is not None
+    )
+    assert got_inner == exp_inner

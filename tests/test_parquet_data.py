@@ -609,10 +609,16 @@ def test_int96_spark_written_java_convention(spark, tmp_path):
 
 
 def test_nested_deeper_shapes_decline_loudly(tmp_path):
-    # round 11 moved map<k,v>, list<struct> AND struct<list> to the
-    # SUPPORTED side; list<list> still declines loudly
+    # round 11 moved map<k,v>, list<struct>, struct<list> AND
+    # list<list> to the SUPPORTED side; three-deep lists and maps with
+    # nested values still decline loudly
     cases = {
-        "ll": pa.array([[[1]], [[2], [3]]], pa.list_(pa.list_(pa.int64()))),
+        "lll": pa.array(
+            [[[[1]]]], pa.list_(pa.list_(pa.list_(pa.int64())))
+        ),
+        "mv": pa.array(
+            [[("k", [1, 2])]], pa.map_(pa.string(), pa.list_(pa.int64()))
+        ),
     }
     for name, arr in cases.items():
         path = tmp_path / f"deep_{name}.parquet"
@@ -1120,10 +1126,11 @@ def test_pure_writer_nested_list_struct_three_readers(tmp_path, pv):
         }
         for s in mine["st"]
     ] == structs
-    # deeper nesting declines loudly
+    # deeper nesting declines loudly (list<list> became writable in
+    # the late round-11 wave; three-deep still declines)
     with pytest.raises(NotImplementedError):
         build_parquet_bytes(
-            {"m": [[[1]]]}, {"m": "array<array<bigint>>"}, "none"
+            {"m": [[[[1]]]]}, {"m": "array<array<array<bigint>>>"}, "none"
         )
 
 
@@ -1380,3 +1387,69 @@ def test_struct_list_both_directions(tmp_path, pv, spark):
     ) == sorted(
         r["a"] for r in rows if r is not None and r["a"] is not None
     )
+
+
+@pytest.mark.parametrize("pv", [1, 2])
+def test_list_list_both_directions(tmp_path, pv, spark):
+    """Round 11: list<list<scalar>> — TWO repeated levels — reads from
+    pyarrow-written files and writes through the pure writer; pyarrow,
+    DuckDB, Spark-JVM and own-reader read-backs."""
+    import random
+
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        read_parquet_nested_bytes,
+    )
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    rnd = random.Random(21)
+    n = 1200
+    rows = []
+    for i in range(n):
+        if i % 13 == 0:
+            rows.append(None)
+        elif i % 7 == 0:
+            rows.append([])
+        else:
+            outer = []
+            for _oi in range(rnd.randint(1, 4)):
+                rr = rnd.random()
+                if rr < 0.1:
+                    outer.append(None)
+                elif rr < 0.2:
+                    outer.append([])
+                else:
+                    outer.append([
+                        None if rnd.random() < 0.1 else rnd.randint(-99, 99)
+                        for _ in range(rnd.randint(1, 3))
+                    ])
+            rows.append(outer)
+    # READ side
+    t = pa.table({"ll": pa.array(rows, pa.list_(pa.list_(pa.int64())))})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="snappy",
+                   data_page_version=f"{pv}.0", row_group_size=500)
+    assert read_parquet_nested_bytes(buf.getvalue(), ["ll"])["ll"] == rows
+    # WRITE side
+    blob = build_parquet_bytes(
+        {"ll": rows}, {"ll": "array<array<bigint>>"}, "snappy",
+        row_group_size=500, page_version=pv,
+    )
+    assert pq.read_table(io.BytesIO(blob)).column("ll").to_pylist() == rows
+    assert read_parquet_nested_bytes(blob, ["ll"])["ll"] == rows
+    path = str(tmp_path / f"ll{pv}.parquet")
+    open(path, "wb").write(blob)
+    assert duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{path}')"
+    ).fetchone()[0] == n
+    srows = spark.read.parquet(path).collect()
+    exp_inner = sum(
+        len(x) for r in rows if r is not None
+        for x in r if x is not None
+    )
+    got_inner = sum(
+        len(x) for r in srows if r.ll is not None
+        for x in r.ll if x is not None
+    )
+    assert got_inner == exp_inner
