@@ -69,6 +69,8 @@ import re
 import struct
 import zlib
 
+from .ddl import split_top as _split_top
+
 _MAGIC = b"ORC"
 
 _K_BOOLEAN, _K_BYTE, _K_SHORT, _K_INT, _K_LONG = 0, 1, 2, 3, 4
@@ -266,29 +268,6 @@ def _kind_of(ddl: str) -> tuple[int, int | None, int | None]:
     raise NotImplementedError(f"type {ddl} not writable")
 
 
-def _split_top(body: str) -> list[str]:
-    """Split a DDL body on TOP-LEVEL commas only — commas inside
-    decimal(p,s) or nested <> must not split fields (round-11 review
-    finding: struct<a:decimal(10,2),...> split mid-type and declined
-    with a garbage type name)."""
-    parts: list[str] = []
-    depth = 0
-    cur: list[str] = []
-    for ch in body:
-        if ch in "<(":
-            depth += 1
-        elif ch in ">)":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        parts.append("".join(cur))
-    return parts
-
-
 def _struct_fields_of(body: str) -> list[tuple[str, tuple]]:
     fields = []
     for part in _split_top(body):
@@ -324,7 +303,7 @@ def _plan_of(ddl: str):
         if "array<" in body.lower():
             # struct with mixed scalar/list fields (round 11)
             fields = []
-            for part in body.split(","):
+            for part in _split_top(body):
                 fname, _, t = part.partition(":")
                 t = t.strip()
                 if t.lower().startswith("array<") and t.endswith(">"):
@@ -499,11 +478,9 @@ def build_orc_bytes(
                 # could declare min > stored-min and let stats-trusting
                 # readers prune stripes that match (round-11 review
                 # finding)
-                nn = [
-                    struct.unpack("<f", struct.pack("<f", float(v)))[0]
-                    for v in nn
-                ]
-                data = frame(struct.pack(f"<{len(nn)}f", *nn))
+                raw = struct.pack(f"<{len(nn)}f", *[float(v) for v in nn])
+                nn = list(struct.unpack(f"<{len(nn)}f", raw))
+                data = frame(raw)
                 stream_meta.append((idx, 1, len(data)))
                 bodies.extend(data)
                 encodings.append((0, None))  # DIRECT

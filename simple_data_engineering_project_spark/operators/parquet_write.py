@@ -40,6 +40,8 @@ from __future__ import annotations
 
 import struct
 
+from .ddl import split_top as _split_top
+
 _MAGIC = b"PAR1"
 
 # thrift compact wire types
@@ -428,29 +430,6 @@ def _write_column_chunk(body: bytearray, vals: list, ptype: int, codec_id: int):
     uncomp_size += len(hdr) + len(raw)
     encodings = [2, 3] if use_dict else [0, 3]
     return encodings, dict_offset, data_offset, comp_size, uncomp_size, stats
-
-
-def _split_top(body: str) -> list[str]:
-    """Split a DDL body on TOP-LEVEL commas only — commas inside
-    decimal(p,s) or nested <> must not split fields (round-11 review
-    finding: struct<a:decimal(10,2),...> split mid-type and declined
-    with a garbage type name)."""
-    parts: list[str] = []
-    depth = 0
-    cur: list[str] = []
-    for ch in body:
-        if ch in "<(":
-            depth += 1
-        elif ch in ">)":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        parts.append("".join(cur))
-    return parts
 
 
 def _scalar_fields(body: str, ctx: str) -> list[tuple[str, str]]:

@@ -1281,19 +1281,84 @@ def test_list_list_both_directions_orc(codec, tmp_path, spark):
     assert read_orc_nested_columns(buf.getvalue(), ["ll"])["ll"] == rows
     # WRITE side
     blob = build_orc_bytes(
-        {"ll": rows}, {"ll": "array<array<bigint>>"}, codec, stripe_rows=500
+        {"id": list(range(n)), "ll": rows},
+        {"id": "bigint", "ll": "array<array<bigint>>"}, codec,
+        stripe_rows=500,
     )
     assert po.ORCFile(io.BytesIO(blob)).read().column("ll").to_pylist() == rows
     assert read_orc_nested_columns(blob, ["ll"])["ll"] == rows
     path = str(tmp_path / f"ll_{codec}.orc")
     open(path, "wb").write(blob)
-    srows = spark.read.orc(path).collect()
-    exp_inner = sum(
-        len(x) for r in rows if r is not None
-        for x in r if x is not None
+    # Spark-JVM read-back: FULL value/structure comparison keyed by id
+    srows = spark.read.orc(path).orderBy("id").collect()
+    assert [
+        None if r.ll is None else [
+            None if x is None else list(x) for x in r.ll
+        ]
+        for r in srows
+    ] == rows
+
+
+def test_deep_nested_truncation_and_bitflip_never_hang_orc(tmp_path):
+    """Adversarial-input sweep over the round-11 deep shapes written
+    by the PURE ORC WRITER — same malformed-input contract."""
+    from simple_data_engineering_project_spark.operators.orc_data import (
+        read_orc_nested_columns,
     )
-    got_inner = sum(
-        len(x) for r in srows if r.ll is not None
-        for x in r.ll if x is not None
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
     )
-    assert got_inner == exp_inner
+
+    n = 300
+    cols = {
+        "ls": [None if i % 13 == 0 else
+               [{"a": i, "b": f"v{i % 5}"}, None][: 1 + i % 2]
+               for i in range(n)],
+        "m": [None if i % 11 == 0 else {"x": i, "y": None}
+              for i in range(n)],
+        "st": [None if i % 9 == 0 else {"a": i, "v": [i, None][: 1 + i % 2]}
+               for i in range(n)],
+        "ll": [None if i % 7 == 0 else [[i], None, []][: 1 + i % 3]
+               for i in range(n)],
+    }
+    ddl = {"ls": "array<struct<a:bigint,b:string>>",
+           "m": "map<string,bigint>",
+           "st": "struct<a:bigint,v:array<bigint>>",
+           "ll": "array<array<bigint>>"}
+    blob = build_orc_bytes(cols, ddl, "zlib")
+    good = read_orc_nested_columns(blob, list(cols))
+    for off in (30, len(blob) // 3, len(blob) // 2, 2 * len(blob) // 3):
+        dam = bytearray(blob)
+        dam[off] ^= 0xFF
+        try:
+            got = read_orc_nested_columns(bytes(dam), list(cols))
+            assert len(got["ls"]) == len(good["ls"])
+        except Exception as exc:
+            assert not isinstance(exc, (SystemExit, KeyboardInterrupt))
+    for cut in (len(blob) - 6, len(blob) // 2, 40):
+        with pytest.raises(Exception):
+            read_orc_nested_columns(blob[:cut], list(cols))
+
+
+def test_struct_mixed_decimal_and_array_fields():
+    """Round-11 second-review regression (confirmed repro): the
+    struct_mixed DDL branch still used a raw comma split, so a struct
+    mixing decimal(p,s) with array fields declined with a garbage
+    type name."""
+    import decimal as _dec
+
+    from simple_data_engineering_project_spark.operators.orc_data import (
+        read_orc_nested_columns,
+    )
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    D = _dec.Decimal
+    rows = [None, {"a": D("1.25"), "b": [1, 2]}, {"a": None, "b": None}]
+    blob = build_orc_bytes(
+        {"st": rows}, {"st": "struct<a:decimal(10,2),b:array<bigint>>"},
+        "none",
+    )
+    assert po.ORCFile(io.BytesIO(blob)).read().column("st").to_pylist() == rows
+    assert read_orc_nested_columns(blob, ["st"])["st"] == rows

@@ -1433,7 +1433,8 @@ def test_list_list_both_directions(tmp_path, pv, spark):
     assert read_parquet_nested_bytes(buf.getvalue(), ["ll"])["ll"] == rows
     # WRITE side
     blob = build_parquet_bytes(
-        {"ll": rows}, {"ll": "array<array<bigint>>"}, "snappy",
+        {"id": list(range(n)), "ll": rows},
+        {"id": "bigint", "ll": "array<array<bigint>>"}, "snappy",
         row_group_size=500, page_version=pv,
     )
     assert pq.read_table(io.BytesIO(blob)).column("ll").to_pylist() == rows
@@ -1443,13 +1444,54 @@ def test_list_list_both_directions(tmp_path, pv, spark):
     assert duckdb.sql(
         f"SELECT count(*) FROM read_parquet('{path}')"
     ).fetchone()[0] == n
-    srows = spark.read.parquet(path).collect()
-    exp_inner = sum(
-        len(x) for r in rows if r is not None
-        for x in r if x is not None
+    # Spark-JVM read-back: FULL value/structure comparison keyed by id
+    srows = spark.read.parquet(path).orderBy("id").collect()
+    assert [
+        None if r.ll is None else [
+            None if x is None else list(x) for x in r.ll
+        ]
+        for r in srows
+    ] == rows
+
+
+def test_deep_nested_truncation_and_bitflip_never_hang(tmp_path):
+    """Adversarial-input sweep over the round-11 deep shapes written
+    by the PURE WRITER: any exception is fine, hangs and silent wrong
+    output are not (the malformed-input contract every parser in this
+    repo carries)."""
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        read_parquet_nested_bytes,
     )
-    got_inner = sum(
-        len(x) for r in srows if r.ll is not None
-        for x in r.ll if x is not None
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
     )
-    assert got_inner == exp_inner
+
+    n = 300
+    cols = {
+        "ls": [None if i % 13 == 0 else
+               [{"a": i, "b": f"v{i % 5}"}, None][: 1 + i % 2]
+               for i in range(n)],
+        "m": [None if i % 11 == 0 else {"x": i, "y": None}
+              for i in range(n)],
+        "st": [None if i % 9 == 0 else {"a": i, "v": [i, None][: 1 + i % 2]}
+               for i in range(n)],
+        "ll": [None if i % 7 == 0 else [[i], None, []][: 1 + i % 3]
+               for i in range(n)],
+    }
+    ddl = {"ls": "array<struct<a:bigint,b:string>>",
+           "m": "map<string,bigint>",
+           "st": "struct<a:bigint,v:array<bigint>>",
+           "ll": "array<array<bigint>>"}
+    blob = build_parquet_bytes(cols, ddl, "snappy", page_version=2)
+    good = read_parquet_nested_bytes(blob, list(cols))
+    for off in (80, len(blob) // 3, len(blob) // 2, 2 * len(blob) // 3):
+        dam = bytearray(blob)
+        dam[off] ^= 0xFF
+        try:
+            got = read_parquet_nested_bytes(bytes(dam), list(cols))
+            assert len(got["ls"]) == len(good["ls"])
+        except Exception as exc:
+            assert not isinstance(exc, (SystemExit, KeyboardInterrupt))
+    for cut in (len(blob) - 9, len(blob) // 2, 60):
+        with pytest.raises(Exception):
+            read_parquet_nested_bytes(blob[:cut], list(cols))
