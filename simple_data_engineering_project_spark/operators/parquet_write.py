@@ -695,28 +695,79 @@ def _write_column_chunk_v2(body: bytearray, vals: list, ptype: int, codec_id: in
     """V2 data page: def/rep levels live OUTSIDE the compressed region
     (unframed RLE; their byte lengths are header fields), only the
     values region compresses, and the value encodings are the modern
-    ones (_V2_ENC) — the write-side twin of the reader's round-9 DELTA/
-    BYTE_STREAM_SPLIT decode paths. Returns the same tuple shape as the
-    v1 writer (dict_offset always None)."""
+    ones — RLE_DICTIONARY when a column's distinct count earns it
+    (the v2 convention: PLAIN dictionary page + encoding-8 data page,
+    round 11), else the _V2_ENC family (DELTA ints/strings,
+    BYTE_STREAM_SPLIT floats/doubles) — the write-side twin of the
+    reader's decode paths. Returns the same tuple shape as the v1
+    writer."""
     from .snappy import snappy_compress
 
     n = len(vals)
     levels = [0 if v is None else 1 for v in vals]
     present = [v for v in vals if v is not None]
     stats = _statistics(present, n - len(present), ptype)
-    enc = _V2_ENC[ptype]
-    if ptype in (_PT_INT32, _PT_INT64):
-        raw_vals = _delta_binary_packed(
-            [int(v) for v in present], 32 if ptype == _PT_INT32 else 64
-        )
-    elif ptype == _PT_BYTE_ARRAY:
-        raw_vals = _delta_length_byte_array(present)
-    elif ptype in (_PT_FLOAT, _PT_DOUBLE):
-        raw_vals = _byte_stream_split(
-            present, 4 if ptype == _PT_FLOAT else 8
-        )
+
+    # dictionary eligibility mirrors the v1 writer (bit-pattern keys
+    # for floats/doubles so -0.0/+0.0 and NaNs keep their identities)
+    if ptype in (_PT_FLOAT, _PT_DOUBLE):
+        _fmt = "<f" if ptype == _PT_FLOAT else "<d"
+
+        def _key(v):
+            return struct.pack(_fmt, v)
     else:
-        raw_vals = _plain(present, ptype)
+        def _key(v):
+            return v
+
+    uniq: dict = {}
+    dict_vals: list = []
+    for v in present:
+        k = _key(v)
+        if k not in uniq:
+            uniq[k] = len(uniq)
+            dict_vals.append(v)
+    use_dict = (
+        ptype != _PT_BOOLEAN
+        and 0 < len(uniq) <= _DICT_MAX_CARD
+        and 2 * len(uniq) <= len(present)
+    )
+
+    dict_offset = None
+    dict_hdr_comp = dict_hdr_raw = 0
+    if use_dict:
+        draw = _plain(dict_vals, ptype)
+        dcomp = snappy_compress(draw) if codec_id else draw
+        dph = bytearray()
+        last = 0
+        last = _i32_field(dph, last, 1, len(uniq))
+        last = _i32_field(dph, last, 2, 0)  # PLAIN dictionary page (v2)
+        dph.append(0)
+        hdr = _page_header(2, len(draw), len(dcomp), 7, bytes(dph))
+        dict_offset = len(body)
+        body += hdr
+        body += dcomp
+        dict_hdr_comp = len(hdr) + len(dcomp)
+        dict_hdr_raw = len(hdr) + len(draw)
+        bw = max(1, (len(uniq) - 1).bit_length())
+        raw_vals = bytes([bw]) + _bitpacked_indices(
+            [uniq[_key(v)] for v in present], bw
+        )
+        enc = 8  # RLE_DICTIONARY
+    else:
+        enc = _V2_ENC[ptype]
+        if ptype in (_PT_INT32, _PT_INT64):
+            raw_vals = _delta_binary_packed(
+                [int(v) for v in present],
+                32 if ptype == _PT_INT32 else 64,
+            )
+        elif ptype == _PT_BYTE_ARRAY:
+            raw_vals = _delta_length_byte_array(present)
+        elif ptype in (_PT_FLOAT, _PT_DOUBLE):
+            raw_vals = _byte_stream_split(
+                present, 4 if ptype == _PT_FLOAT else 8
+            )
+        else:
+            raw_vals = _plain(present, ptype)
     comp_vals = snappy_compress(raw_vals) if codec_id else raw_vals
     def_bytes = _rle_runs(levels)
 
@@ -742,9 +793,16 @@ def _write_column_chunk_v2(body: bytearray, vals: list, ptype: int, codec_id: in
     body += hdr
     body += def_bytes
     body += comp_vals
-    comp_size = len(hdr) + len(def_bytes) + len(comp_vals)
-    uncomp_size = len(hdr) + len(def_bytes) + len(raw_vals)
-    return [enc, 3], None, data_offset, comp_size, uncomp_size, stats
+    comp_size = dict_hdr_comp + len(hdr) + len(def_bytes) + len(comp_vals)
+    uncomp_size = dict_hdr_raw + len(hdr) + len(def_bytes) + len(raw_vals)
+    return (
+        [enc, 3],
+        dict_offset,
+        data_offset,
+        comp_size,
+        uncomp_size,
+        stats,
+    )
 
 
 def _encode_values(present: list, ptype: int, page_version: int) -> tuple[bytes, int]:

@@ -11649,8 +11649,11 @@ def sink_parquet_typed_q(spark, sf_dir):
     "the round-9 reader already decodes — DELTA_BINARY_PACKED for "
     "doc_id/n_chars (128-value blocks, 4 miniblocks, per-miniblock "
     "bit widths, deltas wrapped in the physical width), "
-    "DELTA_LENGTH_BYTE_ARRAY for lang, BYTE_STREAM_SPLIT for the "
-    "score double — ONE FILE PER ARROW BATCH from executors. "
+    "RLE_DICTIONARY for low-cardinality lang (PLAIN dictionary page "
+    "+ encoding-8 data page, the v2 convention — late round 11; "
+    "high-cardinality strings fall back to DELTA_LENGTH_BYTE_ARRAY), "
+    "BYTE_STREAM_SPLIT for the score double — ONE FILE PER ARROW "
+    "BATCH from executors. "
     "Read-back goes through PYARROW (reference reader) against "
     "DuckDB recomputing from source rows; the unit battery re-reads "
     "the same shapes through DuckDB AND the repo's own reader, plus "

@@ -1495,3 +1495,62 @@ def test_deep_nested_truncation_and_bitflip_never_hang(tmp_path):
     for cut in (len(blob) - 9, len(blob) // 2, 60):
         with pytest.raises(Exception):
             read_parquet_nested_bytes(blob[:cut], list(cols))
+
+
+@pytest.mark.parametrize("codec", ["none", "snappy"])
+def test_pure_writer_v2_rle_dictionary(tmp_path, codec, spark):
+    """Round 11 (late): v2 pages dictionary-encode when the distinct
+    count earns it — PLAIN dictionary page + RLE_DICTIONARY (enc 8)
+    data page, the modern convention — falling back to the DELTA
+    family for high-cardinality columns. pyarrow/DuckDB/Spark/own
+    reader read-backs; signed zeros keep their identities via
+    bit-pattern dictionary keys."""
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    import struct as _st
+
+    n = 4000
+    cols = {
+        "cat": [None if i % 17 == 0 else f"c{i % 9}" for i in range(n)],
+        "num": [None if i % 13 == 0 else (i % 40) * 7 for i in range(n)],
+        "fz": [(-0.0 if i % 2 else 0.0) for i in range(n)],
+        "uni": [f"u-{i}" for i in range(n)],
+    }
+    ddl = {"cat": "string", "num": "bigint", "fz": "double",
+           "uni": "string"}
+    blob = build_parquet_bytes(
+        cols, ddl, codec, row_group_size=1200, page_version=2
+    )
+    t = pq.read_table(io.BytesIO(blob))
+    assert t.column("cat").to_pylist() == cols["cat"]
+    assert t.column("num").to_pylist() == cols["num"]
+    assert [
+        _st.pack("<d", v) for v in t.column("fz").to_pylist()
+    ] == [_st.pack("<d", v) for v in cols["fz"]]
+    assert t.column("uni").to_pylist() == cols["uni"]
+    pf = pq.ParquetFile(io.BytesIO(blob))
+    encs = {
+        pf.metadata.row_group(0).column(i).path_in_schema:
+        pf.metadata.row_group(0).column(i).encodings
+        for i in range(4)
+    }
+    assert "RLE_DICTIONARY" in encs["cat"]
+    assert "DELTA_LENGTH_BYTE_ARRAY" in encs["uni"]
+    path = str(tmp_path / f"v2d_{codec}.parquet")
+    open(path, "wb").write(blob)
+    got = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT cat), sum(num) "
+        f"FROM read_parquet('{path}')"
+    ).fetchone()
+    assert got == (n, 9, sum(v for v in cols["num"] if v is not None))
+    mine = read_parquet_bytes(blob, ["cat", "num"])
+    assert [
+        None if v is None else v.decode() for v in mine["cat"]
+    ] == cols["cat"]
+    assert mine["num"] == cols["num"]
+    rows = spark.read.parquet(path).collect()
+    assert sorted(
+        (r.num for r in rows if r.num is not None)
+    ) == sorted(v for v in cols["num"] if v is not None)
