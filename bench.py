@@ -225,6 +225,9 @@ HEADLINE = [
     "sink_orc_nested3",
     "sink_parquet_nested4",
     "sink_orc_nested4",
+    # round 12: RLEv1 promotion + nested/dictionary IPC write
+    "scan_orc_rle1",
+    "sink_arrow_ipc_nested",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -289,6 +292,10 @@ STEADY_STATE = {
     "sink_parquet_typed",  # round-10: same export-sink shape
     "scan_orc_prune",  # round-10: JVM sorted ORC stage + stripe-stats
     # pruned decode; same fixture-then-scan shape
+    "scan_orc_rle1",  # round-12: JVM 0.11-format stage + pure RLEv1
+    # decode; same fixture-then-scan shape
+    "sink_arrow_ipc_nested",  # round-12: same export-sink shape as
+    # sink_arrow_ipc (two mapInPandas stages)
     "hybrid_search_rrf",  # round-8: BM25-leg codegen; 9.6 s cold, 3.9 s steady
     "dedup_cluster_report",  # round-8: shingle/minhash codegen; 6.3 s cold, 4.6 s steady
 }

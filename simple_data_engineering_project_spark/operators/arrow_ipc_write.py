@@ -10,7 +10,14 @@ flatbuffers library), exactly the structures the sibling reader
 parses.
 
 Envelope: int8..int64/uint8..uint64, float32/64, bool, utf8, binary
-columns with validity bitmaps; optional per-buffer body compression
+columns with validity bitmaps; round 12 adds ``list<scalar>`` /
+``struct<scalars>`` (recursive FieldNode/buffer runs in pre-order,
+int32 list offsets) and ``dict:utf8`` (a DictionaryEncoding'd field
+with int32 indexes whose values ship in one DictionaryBatch message
+per id, emitted between the schema and the first record batch; the
+Feather footer lists those frames in its dictionaries block vector) —
+closing the read/write asymmetry the sibling reader left (it decodes
+these shapes since round 9). Optional per-buffer body compression
 through this repo's own RFC 8878 zstd ENCODER (:mod:`.zstd`
 ``zstd_compress`` — each buffer becomes an int64 uncompressed length +
 frame, or ``-1`` + raw bytes when compression does not pay, the
@@ -32,9 +39,28 @@ import struct
 
 # Schema.fbs Type union discriminants (shared with the reader)
 _T_INT, _T_FLOAT, _T_BINARY, _T_UTF8, _T_BOOL = 2, 3, 4, 5, 6
+_T_LIST, _T_STRUCT = 12, 13
 
 _SCALAR_FMT = {"i8": "b", "u8": "B", "i16": "h", "i32": "i", "i64": "q"}
 _SCALAR_SIZE = {"i8": 1, "u8": 1, "i16": 2, "i32": 4, "i64": 8}
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas at angle-bracket depth 0."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
 
 
 class _Block:
@@ -180,6 +206,77 @@ def _bitmap(flags: list[bool]) -> bytes:
     return bytes(out)
 
 
+def _dict_ids(schema: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic dictionary-id assignment: top-level ``dict:``
+    columns in schema order get ids 0, 1, ... — recomputed identically
+    by the schema builder and the batch encoder."""
+    ids: dict[str, int] = {}
+    for name, tag in schema:
+        if tag.startswith("dict:"):
+            ids[name] = len(ids)
+    return ids
+
+
+def _field_block(bld: _Builder, name: str, tag: str, dict_id: int | None):
+    """One Field table (recursively, for nested tags). Round 12 adds
+    ``list<inner>`` (Type List disc 12, one "item" child),
+    ``struct<n:tag,...>`` (Type Struct disc 13, per-field children)
+    and ``dict:utf8`` (utf8 value type + DictionaryEncoding table with
+    int32 indexes) to the scalar envelope. Blocks are created strictly
+    parent-first (flatbuffers uoffsets point forward)."""
+    f = bld.block(8)
+    name_b = _string(bld, name)
+    slots: dict[int, tuple] = {0: ("ref", name_b), 1: ("u8", 1)}
+    children: list[tuple[str, str]] = []
+    if tag.startswith("dict:"):
+        inner = tag[5:]
+        if inner != "utf8":
+            raise ValueError(
+                f"dictionary-encoded arrow write supports utf8 values "
+                f"only, got {inner!r}"
+            )
+        ttag, type_b = _type_table(bld, inner)
+        enc = bld.block(8)
+        idx_t = bld.block(8)
+        slots[2] = ("u8", ttag)
+        slots[3] = ("ref", type_b)
+        slots[4] = ("ref", enc)
+        _fill_table(f, slots)
+        # DictionaryEncoding: id(0 i64), indexType(1: Int), isOrdered(2)
+        _fill_table(enc, {0: ("i64", dict_id or 0), 1: ("ref", idx_t)})
+        _fill_table(idx_t, {0: ("i32", 32), 1: ("u8", 1)})  # int32 signed
+        return f
+    if tag.startswith("list<") and tag.endswith(">"):
+        type_b = bld.block(8)
+        slots[2] = ("u8", _T_LIST)
+        slots[3] = ("ref", type_b)
+        children = [("item", tag[5:-1].strip())]
+    elif tag.startswith("struct<") and tag.endswith(">"):
+        type_b = bld.block(8)
+        slots[2] = ("u8", _T_STRUCT)
+        slots[3] = ("ref", type_b)
+        for part in _split_top(tag[7:-1]):
+            fn, _, ft = part.partition(":")
+            if not ft:
+                raise ValueError(f"bad struct field spec {part!r}")
+            children.append((fn.strip(), ft.strip()))
+    else:
+        ttag, type_b0 = _type_table(bld, tag)
+        slots[2] = ("u8", ttag)
+        slots[3] = ("ref", type_b0)
+        _fill_table(f, slots)
+        return f
+    ch_vec = bld.block(4)
+    slots[5] = ("ref", ch_vec)
+    _fill_table(f, slots)
+    _fill_table(type_b, {})  # List / Struct_ carry no fields
+    ch_blocks = [
+        _field_block(bld, cn, ct, None) for cn, ct in children
+    ]
+    _fill_ref_vector(ch_vec, ch_blocks)
+    return f
+
+
 def _build_schema_table(bld: _Builder, schema: list[tuple[str, str]]) -> _Block:
     """Emit the Schema table tree (fields vector, Field tables with
     name/type children) into ``bld``; blocks are created strictly
@@ -187,21 +284,11 @@ def _build_schema_table(bld: _Builder, schema: list[tuple[str, str]]) -> _Block:
     file footer."""
     sch = bld.block(8)
     fields_vec = bld.block(4)
-    field_blocks = []
-    for name, tag in schema:
-        f = bld.block(8)
-        name_b = _string(bld, name)
-        ttag, type_b = _type_table(bld, tag)
-        _fill_table(
-            f,
-            {
-                0: ("ref", name_b),
-                1: ("u8", 1),  # nullable (default false)
-                2: ("u8", ttag),
-                3: ("ref", type_b),
-            },
-        )
-        field_blocks.append(f)
+    ids = _dict_ids(schema)
+    field_blocks = [
+        _field_block(bld, name, tag, ids.get(name))
+        for name, tag in schema
+    ]
     _fill_ref_vector(fields_vec, field_blocks)
     _fill_table(sch, {1: ("ref", fields_vec)})  # endianness 0 = default
     return sch
@@ -218,13 +305,45 @@ def _schema_message(schema: list[tuple[str, str]]) -> bytes:
     return _encapsulate(bld.assemble())
 
 
-def _encode_column(tag: str, values: list):
-    """(FieldNode pair, [buffer bytes...]) for one column."""
+def _encode_column(tag: str, values: list, dict_index=None):
+    """(FieldNode pairs, [buffer bytes...]) for one column — a flat
+    pre-order list of nodes/buffers covering the column's whole
+    subtree (round 12: ``list<...>`` / ``struct<...>`` recurse;
+    ``dict:utf8`` emits the int32 index array against ``dict_index``,
+    the value→slot mapping of the column's DictionaryBatch)."""
     n = len(values)
     nulls = [v is None for v in values]
     null_count = sum(nulls)
     validity = _bitmap([not x for x in nulls]) if null_count else b""
     bufs = [validity]
+    if tag.startswith("dict:"):
+        idxs = [0 if v is None else dict_index[v] for v in values]
+        bufs.append(struct.pack(f"<{n}i", *idxs))
+        return [(n, null_count)], bufs
+    if tag.startswith("list<") and tag.endswith(">"):
+        inner = tag[5:-1].strip()
+        offs = [0]
+        flat: list = []
+        for v in values:
+            if v is not None:
+                flat.extend(v)
+            offs.append(len(flat))
+        if offs[-1] > 0x7FFFFFFF:
+            raise ValueError("batch too large for int32 list offsets")
+        bufs.append(struct.pack(f"<{n + 1}i", *offs))
+        child_nodes, child_bufs = _encode_column(inner, flat)
+        return [(n, null_count)] + child_nodes, bufs + child_bufs
+    if tag.startswith("struct<") and tag.endswith(">"):
+        nodes = [(n, null_count)]
+        for part in _split_top(tag[7:-1]):
+            fn, _, ft = part.partition(":")
+            fvals = [
+                None if v is None else v.get(fn.strip()) for v in values
+            ]
+            cn, cb = _encode_column(ft.strip(), fvals)
+            nodes.extend(cn)
+            bufs.extend(cb)
+        return nodes, bufs
     if tag in ("utf8", "binary"):
         offs = [0]
         data = bytearray()
@@ -250,25 +369,14 @@ def _encode_column(tag: str, values: list):
                 f"<{n}{fmt}", *(zero if v is None else v for v in values)
             )
         )
-    return (n, null_count), bufs
+    return [(n, null_count)], bufs
 
 
-def _batch_message(
-    schema: list[tuple[str, str]],
-    batch: dict[str, list],
-    compression: str | None,
-) -> bytes:
-    nodes: list[tuple[int, int]] = []
-    raw_bufs: list[bytes] = []
-    n_rows = len(batch[schema[0][0]]) if schema else 0
-    for name, tag in schema:
-        values = batch[name]
-        if len(values) != n_rows:
-            raise ValueError("ragged record batch")
-        node, bufs = _encode_column(tag, values)
-        nodes.append(node)
-        raw_bufs.extend(bufs)
-
+def _pack_body(
+    raw_bufs: list[bytes], compression: str | None
+) -> tuple[bytes, list[tuple[int, int]]]:
+    """8-aligned body bytes + Buffer (offset, length) metadata,
+    compressing per-buffer when requested."""
     if compression is not None:
         if compression != "zstd":
             raise ValueError(f"unsupported write compression {compression}")
@@ -285,7 +393,6 @@ def _batch_message(
             else:  # -1: stored uncompressed
                 packed.append(struct.pack("<q", -1) + raw)
         raw_bufs = packed
-
     body = bytearray()
     buf_meta: list[tuple[int, int]] = []
     for raw in raw_bufs:
@@ -293,11 +400,25 @@ def _batch_message(
         buf_meta.append((len(body), len(raw)))
         body += raw
     body += b"\x00" * ((-len(body)) % 8)
+    return bytes(body), buf_meta
 
+
+def _emit_batch(
+    n_rows: int,
+    nodes: list[tuple[int, int]],
+    raw_bufs: list[bytes],
+    compression: str | None,
+    dict_id: int | None = None,
+) -> tuple[bytes, int, int]:
+    """Encapsulated RecordBatch message — or, when ``dict_id`` is not
+    None, a DictionaryBatch message wrapping the RecordBatch table."""
+    body, buf_meta = _pack_body(raw_bufs, compression)
     bld = _Builder()
     root = bld.block(4)
     root.data += b"\x00\x00\x00\x00"
     msg = bld.block(8)
+    if dict_id is not None:
+        db = bld.block(8)
     rb = bld.block(8)
     nodes_vec = _struct_vector(bld, nodes)
     bufs_vec = _struct_vector(bld, buf_meta)
@@ -311,12 +432,15 @@ def _batch_message(
         _fill_table(comp_tbl, {0: ("i8", 1)})  # codec ZSTD (default LZ4)
         rb_slots[3] = ("ref", comp_tbl)
     _fill_table(rb, rb_slots)
+    if dict_id is not None:
+        # DictionaryBatch: id(0), data(1: RecordBatch), isDelta(2)
+        _fill_table(db, {0: ("i64", dict_id), 1: ("ref", rb)})
     _fill_table(
         msg,
         {
             0: ("i16", 4),  # version V5
-            1: ("u8", 3),  # header: RecordBatch
-            2: ("ref", rb),
+            1: ("u8", 2 if dict_id is not None else 3),
+            2: ("ref", db if dict_id is not None else rb),
             3: ("i64", len(body)),
         },
     )
@@ -324,10 +448,69 @@ def _batch_message(
     meta = bld.assemble()
     pad = (-len(meta)) % 8
     return (
-        _encapsulate(meta, bytes(body)),
+        _encapsulate(meta, body),
         8 + len(meta) + pad,  # metaDataLength incl. the 8-byte prefix
         len(body),
     )
+
+
+def _batch_message(
+    schema: list[tuple[str, str]],
+    batch: dict[str, list],
+    compression: str | None,
+    dict_indexes: dict[str, dict] | None = None,
+) -> tuple[bytes, int, int]:
+    nodes: list[tuple[int, int]] = []
+    raw_bufs: list[bytes] = []
+    n_rows = len(batch[schema[0][0]]) if schema else 0
+    for name, tag in schema:
+        values = batch[name]
+        if len(values) != n_rows:
+            raise ValueError("ragged record batch")
+        col_nodes, bufs = _encode_column(
+            tag, values, (dict_indexes or {}).get(name)
+        )
+        nodes.extend(col_nodes)
+        raw_bufs.extend(bufs)
+    return _emit_batch(n_rows, nodes, raw_bufs, compression)
+
+
+def _build_dictionaries(
+    schema: list[tuple[str, str]],
+    batches: list[dict[str, list]],
+) -> tuple[dict[str, dict], list[tuple[int, list]]]:
+    """(per-column value→index mappings, [(dict_id, values)]) for the
+    ``dict:`` columns — values in first-appearance order across ALL
+    batches, so one DictionaryBatch per id precedes every record
+    batch (no delta batches needed)."""
+    ids = _dict_ids(schema)
+    indexes: dict[str, dict] = {}
+    payloads: list[tuple[int, list]] = []
+    for name, tag in schema:
+        if name not in ids:
+            continue
+        idx: dict = {}
+        for batch in batches:
+            for v in batch[name]:
+                if v is not None and v not in idx:
+                    idx[v] = len(idx)
+        indexes[name] = idx
+        payloads.append((ids[name], list(idx)))
+    return indexes, payloads
+
+
+def _dict_batch_frames(
+    payloads: list[tuple[int, list]], compression: str | None
+) -> list[tuple[bytes, int, int]]:
+    """One encapsulated DictionaryBatch frame per dictionary id; the
+    wrapped RecordBatch is a single non-null utf8 column."""
+    frames = []
+    for did, values in payloads:
+        nodes, bufs = _encode_column("utf8", values)
+        frames.append(
+            _emit_batch(len(values), nodes, bufs, compression, dict_id=did)
+        )
+    return frames
 
 
 def encode_arrow_stream(
@@ -341,9 +524,12 @@ def encode_arrow_stream(
     (``None`` = null). ``compression="zstd"`` compresses every buffer
     with this repo's own encoder."""
     out = bytearray(_schema_message(schema))
+    dict_indexes, dict_payloads = _build_dictionaries(schema, batches)
+    for frame, _m, _b in _dict_batch_frames(dict_payloads, compression):
+        out += frame
     for batch in batches:
         frame, _meta_len, _body_len = _batch_message(
-            schema, batch, compression
+            schema, batch, compression, dict_indexes
         )
         out += frame
     out += b"\xff\xff\xff\xff\x00\x00\x00\x00"
@@ -362,28 +548,41 @@ def encode_feather_file(
     readable by ``pyarrow.ipc.open_file`` / ``pyarrow.feather``."""
     out = bytearray(b"ARROW1\x00\x00")
     out += _schema_message(schema)
+    dict_indexes, dict_payloads = _build_dictionaries(schema, batches)
+    dict_blocks: list[tuple[int, int, int]] = []
+    for frame, meta_len, body_len in _dict_batch_frames(
+        dict_payloads, compression
+    ):
+        dict_blocks.append((len(out), meta_len, body_len))
+        out += frame
     blocks: list[tuple[int, int, int]] = []
     for batch in batches:
-        frame, meta_len, body_len = _batch_message(schema, batch, compression)
+        frame, meta_len, body_len = _batch_message(
+            schema, batch, compression, dict_indexes
+        )
         blocks.append((len(out), meta_len, body_len))
         out += frame
     out += b"\xff\xff\xff\xff\x00\x00\x00\x00"
+
+    def _block_vec(entries):
+        bv = bld.block(8)
+        bv.data += b"\x00" * 4  # elements (24-byte structs) 8-aligned
+        bv.data += struct.pack("<I", len(entries))
+        for off, mlen, blen in entries:
+            bv.data += struct.pack("<qi4xq", off, mlen, blen)
+        bv.table_at = 4
+        return bv
 
     bld = _Builder()
     root = bld.block(4)
     root.data += b"\x00\x00\x00\x00"
     footer = bld.block(8)
     sch = _build_schema_table(bld, schema)
-    blocks_vec = bld.block(8)
-    blocks_vec.data += b"\x00" * 4  # elements (24-byte structs) 8-aligned
-    blocks_vec.data += struct.pack("<I", len(blocks))
-    for off, mlen, blen in blocks:
-        blocks_vec.data += struct.pack("<qi4xq", off, mlen, blen)
-    blocks_vec.table_at = 4
-    _fill_table(
-        footer,
-        {0: ("i16", 4), 1: ("ref", sch), 3: ("ref", blocks_vec)},
-    )
+    # Footer: version(0), schema(1), dictionaries(2), recordBatches(3)
+    slots = {0: ("i16", 4), 1: ("ref", sch), 3: ("ref", _block_vec(blocks))}
+    if dict_blocks:
+        slots[2] = ("ref", _block_vec(dict_blocks))
+    _fill_table(footer, slots)
     root.fixups.append((0, footer, None))
     fbytes = bld.assemble()
     out += fbytes

@@ -74,6 +74,13 @@ def pagerank(
     # Materialize the loop-invariant normalized edge relation once:
     # every iteration re-reads it, and leaving the lineage inline makes
     # the final plan re-embed the whole upstream join tree 10×.
+    # Drop NULL-endpoint edges up front: the contribution pass uses a
+    # NULL cnode key to carry dangling-node rank, so a dirty edge row
+    # with a NULL dst would silently masquerade as dangling mass (and
+    # a NULL src can never match a node) — round-12 advice fix.
+    edges = edges.filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
     edges = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
     out = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     edges = (

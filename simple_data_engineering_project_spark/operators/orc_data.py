@@ -43,9 +43,11 @@ Round 11 adds list<struct<scalars>> (element STRUCT with its own
 PRESENT over all elements), map<scalar,scalar> (LIST layout with
 key/value children), struct fields mixing scalars with
 list<scalar> (struct<list>), and list<list<scalar>> (chained
-LENGTH levels). Declined loudly: UNION, deeper nesting; RLEv1
-column encodings (0.11-era files — silently mis-decoding through the
-v2 decoder is worse than raising).
+LENGTH levels). Round 12 adds integer RLEv1 (Hive-0.11-era files,
+column encodings DIRECT=0/DICTIONARY=1): every integer-stream decode
+dispatches on the column encoding via :func:`_int_rle`,
+cross-validated against pyarrow-written ``file_version="0.11"``
+fixtures. Declined loudly: UNION, deeper nesting.
 
 Scale shape: file-per-task, same as parquet_data.pure_parquet_scan —
 each executor decodes whole files independently, no shuffle.
@@ -350,6 +352,53 @@ def rlev2_decode(data: bytes, count: int, signed: bool) -> list[int]:
     if len(out) < count:
         raise ValueError("truncated ORC RLEv2 stream")
     return out[:count]
+
+
+def rlev1_decode(data: bytes, count: int, signed: bool) -> list[int]:
+    """Integer RLEv1 — the Hive-0.11-era encoding (column encodings
+    DIRECT=0 / DICTIONARY=1). Two sub-blocks per the ORC spec:
+
+    * header byte 0..127: a RUN of ``header+3`` values — one signed
+      delta byte (-128..127) then the base value as a varint (zigzag
+      when the column is signed); values are base, base+delta, ...
+    * header byte 128..255: ``256-header`` LITERAL varints.
+
+    Cross-validated against pyarrow-written ``file_version="0.11"``
+    fixtures (tests/test_orc_data.py) across int/string-length/
+    dictionary-index/timestamp/decimal-scale/LIST-length streams."""
+    out: list[int] = []
+    pos = 0
+    n = len(data)
+    while len(out) < count and pos < n:
+        h = data[pos]
+        pos += 1
+        if h < 128:  # run
+            run = h + 3
+            delta = data[pos]
+            if delta >= 128:
+                delta -= 256
+            pos += 1
+            u, pos = _varint(data, pos)
+            base = _unzigzag(u) if signed else u
+            out.extend(base + i * delta for i in range(run))
+        else:  # 256-h literal varints
+            for _ in range(256 - h):
+                u, pos = _varint(data, pos)
+                out.append(_unzigzag(u) if signed else u)
+    if len(out) < count:
+        raise ValueError("truncated ORC RLEv1 stream")
+    return out[:count]
+
+
+def _int_rle(data: bytes, count: int, signed: bool, enc: int) -> list[int]:
+    """Dispatch integer RLE by column encoding: DIRECT/DICTIONARY
+    (0/1, Hive-0.11 files) carry RLEv1 streams; DIRECT_V2/
+    DICTIONARY_V2 (2/3) carry RLEv2. Feeding one format to the other
+    decoder silently mis-decodes, so every integer-stream call site
+    routes through this dispatch (round-12; formerly a loud decline)."""
+    if enc in (0, 1):
+        return rlev1_decode(data, count, signed)
+    return rlev2_decode(data, count, signed)
 
 
 def _parse_tail(buf: bytes) -> tuple[int, dict, list[dict], list[dict]]:
@@ -716,17 +765,11 @@ def read_orc_nested_columns(
             cid = p["cid"]
             if p["kind"] == _K_LIST:
                 # the parent's LENGTH stream is integer RLE too: an
-                # 0.11-era DIRECT/DICTIONARY encoding would silently
-                # mis-decode through the v2 decoder — same loud
-                # decline as the scalar path (round-10 review finding)
+                # 0.11-era DIRECT/DICTIONARY encoding carries RLEv1
+                # (round-12: decoded via _int_rle, formerly declined)
                 enc_parent = (
                     encodings[cid] if cid < len(encodings) else {}
                 ).get(1, 0)
-                if enc_parent in (0, 1):
-                    raise NotImplementedError(
-                        "ORC RLEv1 column encoding (0.11 format) "
-                        "not supported"
-                    )
                 praw = located.get((cid, _S_PRESENT))
                 present = (
                     _bool_rle(_decompress_stream(codec, praw), n_rows)
@@ -735,10 +778,11 @@ def read_orc_nested_columns(
                 )
                 n_present = sum(present)
                 lraw = located.get((cid, _S_LENGTH))
-                lengths = rlev2_decode(
+                lengths = _int_rle(
                     _decompress_stream(codec, lraw) if lraw else b"",
                     n_present,
                     signed=False,
+                    enc=enc_parent,
                 )
                 n_elems = sum(lengths)
                 if "elem_list" in p:
@@ -753,11 +797,6 @@ def read_orc_nested_columns(
                         if inner_id < len(encodings)
                         else {}
                     ).get(1, 0)
-                    if ienc in (0, 1):
-                        raise NotImplementedError(
-                            "ORC RLEv1 column encoding (0.11 format) "
-                            "not supported"
-                        )
                     ipraw = located.get((inner_id, _S_PRESENT))
                     ipresent = (
                         _bool_rle(
@@ -767,10 +806,11 @@ def read_orc_nested_columns(
                         else [True] * n_elems
                     )
                     ilraw = located.get((inner_id, _S_LENGTH))
-                    ilengths = rlev2_decode(
+                    ilengths = _int_rle(
                         _decompress_stream(codec, ilraw) if ilraw else b"",
                         sum(ipresent),
                         signed=False,
+                        enc=ienc,
                     )
                     grand = dec(g, sum(ilengths))
                     elems = []
@@ -827,11 +867,6 @@ def read_orc_nested_columns(
                 enc_parent = (
                     encodings[cid] if cid < len(encodings) else {}
                 ).get(1, 0)
-                if enc_parent in (0, 1):
-                    raise NotImplementedError(
-                        "ORC RLEv1 column encoding (0.11 format) "
-                        "not supported"
-                    )
                 praw = located.get((cid, _S_PRESENT))
                 present = (
                     _bool_rle(_decompress_stream(codec, praw), n_rows)
@@ -840,10 +875,11 @@ def read_orc_nested_columns(
                 )
                 n_present = sum(present)
                 lraw = located.get((cid, _S_LENGTH))
-                lengths = rlev2_decode(
+                lengths = _int_rle(
                     _decompress_stream(codec, lraw) if lraw else b"",
                     n_present,
                     signed=False,
+                    enc=enc_parent,
                 )
                 total = sum(lengths)
                 kid, vid = p["children"]
@@ -879,18 +915,12 @@ def read_orc_nested_columns(
                     # struct<list> field: kid PRESENT over the present
                     # struct rows, LENGTH over its present count, the
                     # element column sized by the summed lengths. The
-                    # kid's LENGTH stream is integer RLE — a 0.11-era
-                    # DIRECT/DICTIONARY encoding must decline like the
-                    # top-level LIST/MAP branches (round-11 review
-                    # finding)
+                    # kid's LENGTH stream is integer RLE — dispatched
+                    # by encoding version like every other site
+                    # (round-12: RLEv1 decoded, formerly declined)
                     kenc = (
                         encodings[k] if k < len(encodings) else {}
                     ).get(1, 0)
-                    if kenc in (0, 1):
-                        raise NotImplementedError(
-                            "ORC RLEv1 column encoding (0.11 format) "
-                            "not supported"
-                        )
                     kpraw = located.get((k, _S_PRESENT))
                     kpresent = (
                         _bool_rle(_decompress_stream(codec, kpraw), count)
@@ -898,10 +928,11 @@ def read_orc_nested_columns(
                         else [True] * count
                     )
                     klraw = located.get((k, _S_LENGTH))
-                    klengths = rlev2_decode(
+                    klengths = _int_rle(
                         _decompress_stream(codec, klraw) if klraw else b"",
                         sum(kpresent),
                         signed=False,
+                        enc=kenc,
                     )
                     elems = dec(list_kids[k], sum(klengths))
                     vals = []
@@ -947,18 +978,11 @@ def _decode_column(located, codec, cid, kind, enc, dict_size, n_rows) -> list:
         raw = located.get((cid, skind))
         return None if raw is None else _decompress_stream(codec, raw)
 
-    # RLEv1 column encodings (DIRECT=0 / DICTIONARY=1, written by
-    # orc.write.format=0.11 era writers) use a different integer RLE —
-    # feeding them to the v2 decoder silently mis-decodes, so decline
-    # loudly for every kind whose streams carry integer RLE
-    if kind in (
-        _K_SHORT, _K_INT, _K_LONG, _K_DATE,
-        _K_STRING, _K_BINARY, _K_VARCHAR, _K_CHAR,
-        _K_TIMESTAMP, _K_DECIMAL,
-    ) and enc in (0, 1):
-        raise NotImplementedError(
-            "ORC RLEv1 column encoding (0.11 format) not supported"
-        )
+    # DIRECT/DICTIONARY (0/1) column encodings are Hive-0.11-era
+    # RLEv1 integer streams; DIRECT_V2/DICTIONARY_V2 are RLEv2.
+    # Every integer-stream decode below dispatches on `enc` via
+    # _int_rle (round-12: RLEv1 promoted from a loud decline to a
+    # real decode, cross-validated against pyarrow 0.11 fixtures).
     present_raw = stream(_S_PRESENT)
     present = (
         _bool_rle(present_raw, n_rows) if present_raw is not None else None
@@ -966,7 +990,7 @@ def _decode_column(located, codec, cid, kind, enc, dict_size, n_rows) -> list:
     n_vals = sum(present) if present is not None else n_rows
     data = stream(_S_DATA)
     if kind in (_K_SHORT, _K_INT, _K_LONG, _K_DATE):
-        vals = rlev2_decode(data or b"", n_vals, signed=True)
+        vals = _int_rle(data or b"", n_vals, signed=True, enc=enc)
     elif kind == _K_TIMESTAMP:
         # DATA = seconds since 2015-01-01 UTC (signed RLEv2);
         # SECONDARY = nanos with the trailing-zero compression: low 3
@@ -977,9 +1001,9 @@ def _decode_column(located, codec, cid, kind, enc, dict_size, n_rows) -> list:
         # against pyarrow for both eras (the Java writer's non-negative
         # convention decodes identically for epoch >= 0, which is what
         # Spark-written testdata contains). Returns epoch NANOSECONDS.
-        secs = rlev2_decode(data or b"", n_vals, signed=True)
-        nanos_raw = rlev2_decode(
-            stream(_S_SECONDARY) or b"", n_vals, signed=False
+        secs = _int_rle(data or b"", n_vals, signed=True, enc=enc)
+        nanos_raw = _int_rle(
+            stream(_S_SECONDARY) or b"", n_vals, signed=False, enc=enc
         )
         vals = []
         for s, nr in zip(secs, nanos_raw):
@@ -1005,8 +1029,8 @@ def _decode_column(located, codec, cid, kind, enc, dict_size, n_rows) -> list:
         # SECONDARY = per-value scale, signed RLEv2
         import decimal as _dec
 
-        scales = rlev2_decode(
-            stream(_S_SECONDARY) or b"", n_vals, signed=True
+        scales = _int_rle(
+            stream(_S_SECONDARY) or b"", n_vals, signed=True, enc=enc
         )
         vals = []
         p = 0
@@ -1033,18 +1057,20 @@ def _decode_column(located, codec, cid, kind, enc, dict_size, n_rows) -> list:
         lengths_raw = stream(_S_LENGTH)
         if enc in (1, 3):  # DICTIONARY / DICTIONARY_V2
             dict_data = stream(_S_DICT) or b""
-            dict_lens = rlev2_decode(
-                lengths_raw or b"", dict_size, signed=False
+            dict_lens = _int_rle(
+                lengths_raw or b"", dict_size, signed=False, enc=enc
             )
             entries = []
             p = 0
             for ln in dict_lens:
                 entries.append(dict_data[p : p + ln])
                 p += ln
-            idxs = rlev2_decode(data or b"", n_vals, signed=False)
+            idxs = _int_rle(data or b"", n_vals, signed=False, enc=enc)
             vals = [entries[i] for i in idxs]
-        else:  # DIRECT_V2: LENGTH + concatenated DATA
-            lens = rlev2_decode(lengths_raw or b"", n_vals, signed=False)
+        else:  # DIRECT / DIRECT_V2: LENGTH + concatenated DATA
+            lens = _int_rle(
+                lengths_raw or b"", n_vals, signed=False, enc=enc
+            )
             vals = []
             p = 0
             for ln in lens:

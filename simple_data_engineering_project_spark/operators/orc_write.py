@@ -701,6 +701,23 @@ def build_orc_bytes(
                     ]
                     emit_leaf(idx + 2 + j, fvals, kps)
             elif pkind == "map":
+                # validate cell shape up front (parquet_write twin,
+                # round-12 advice fix): a list-of-pairs row or a None
+                # key must decline descriptively, not die on a bare
+                # AttributeError/TypeError mid-encode
+                for v in vals:
+                    if v is None:
+                        continue
+                    if not hasattr(v, "keys"):
+                        raise ValueError(
+                            "map cell must be a dict/mapping, got "
+                            f"{type(v).__name__}"
+                        )
+                    if any(k is None for k in v.keys()):
+                        raise ValueError(
+                            "map key is None but ORC map keys are "
+                            "non-nullable in this writer"
+                        )
                 rows_p = emit_lengths(idx, vals)
                 emit_leaf(
                     idx + 1,

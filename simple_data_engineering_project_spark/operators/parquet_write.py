@@ -614,11 +614,29 @@ def _map_levels(vals: list, which: str):
         if row is None:
             defs.append(0)
             reps.append(0)
-        elif len(row) == 0:
+            continue
+        # validate the cell shape up front: a Spark-style list of
+        # (k, v) tuples or any other non-mapping would otherwise die
+        # on a bare AttributeError mid-encode, and a None key would
+        # die on an incidental TypeError in the stats/byte paths even
+        # though the schema declares keys REQUIRED (round-12 advice
+        # fix — decline descriptively instead)
+        if not hasattr(row, "items"):
+            raise ValueError(
+                "map cell must be a dict/mapping, got "
+                f"{type(row).__name__} (convert list-of-pairs rows "
+                "with dict(...) before encoding)"
+            )
+        if len(row) == 0:
             defs.append(1)
             reps.append(0)
         else:
             for k, (kk, vv) in enumerate(row.items()):
+                if kk is None:
+                    raise ValueError(
+                        "map key is None but the parquet schema "
+                        "declares map keys REQUIRED"
+                    )
                 reps.append(0 if k == 0 else 1)
                 if which == "key":
                     defs.append(2)
@@ -795,8 +813,13 @@ def _write_column_chunk_v2(body: bytearray, vals: list, ptype: int, codec_id: in
     body += comp_vals
     comp_size = dict_hdr_comp + len(hdr) + len(def_bytes) + len(comp_vals)
     uncomp_size = dict_hdr_raw + len(hdr) + len(def_bytes) + len(raw_vals)
+    # ColumnMetaData.encodings is the set of ALL encodings used in the
+    # chunk: the v2 dictionary page itself is PLAIN (0), so it must be
+    # listed alongside RLE_DICTIONARY (8) and RLE (3) — the v1 path's
+    # PLAIN_DICTIONARY (2) covers both pages, the v2 split does not
+    # (round-12 advice fix).
     return (
-        [enc, 3],
+        [0, enc, 3] if use_dict else [enc, 3],
         dict_offset,
         data_offset,
         comp_size,

@@ -10820,6 +10820,112 @@ def sink_arrow_ipc_q(spark, sf_dir):
 
 
 @register(
+    "sink_arrow_ipc_nested",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN -1
+                ELSE doc_id % 4 END AS INT) AS wl_len,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE CAST((doc_id % 4) * 7 * doc_id
+                     + ((doc_id % 4) * ((doc_id % 4) - 1)) / 2
+                     - CASE WHEN doc_id % 4 = 3 AND doc_id % 3 = 0
+                            THEN 7 * doc_id + 2 ELSE 0 END
+                     AS BIGINT) END AS wl_sum,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS INT)
+             AS m_null,
+           CASE WHEN doc_id % 11 = 0 OR doc_id % 17 = 0 THEN NULL
+                ELSE lang END AS m_lang,
+           CASE WHEN doc_id % 11 = 0 THEN NULL ELSE n_chars END AS m_n,
+           source AS src
+    FROM documents
+    """,
+    tier="C",
+    note="C5 Arrow IPC NESTED+DICTIONARY export (round 12, closing "
+    "the writer's last asymmetry vs the sibling reader): documents "
+    "shard into .arrows streams carrying a list<int64> column "
+    "(null/empty/null-element residues), a struct<lang:utf8,n:int64> "
+    "column (null structs + null fields), and a DICTIONARY-encoded "
+    "utf8 column (the low-cardinality source tag: int32 indexes in "
+    "the record batches, values shipped once per shard in a "
+    "DictionaryBatch message between schema and first batch) — all "
+    "hand-built flatbuffers (arrow_ipc_write: recursive pre-order "
+    "FieldNode/buffer runs, DictionaryEncoding tables) with "
+    "ZSTD-compressed bodies from the repo's RFC 8878 encoder. "
+    "Read-back through the sibling pure reader flattens to scalars "
+    "DuckDB recomputes from source rows; the unit battery has "
+    "PYARROW (reference) read the same shapes — values AND types — "
+    "plain and compressed, stream and Feather-footer forms. "
+    "File-per-task, no shuffle.",
+)
+def sink_arrow_ipc_nested_q(spark, sf_dir):
+    from ..operators.arrow_ipc import parse_arrow_ipc
+    from ..operators.arrow_ipc_write import encode_arrow_stream
+
+    def _wl(doc_id: int):
+        if doc_id % 13 == 0:
+            return None
+        return [
+            None if (i == 2 and doc_id % 3 == 0) else doc_id * 7 + i
+            for i in range(doc_id % 4)
+        ]
+
+    def _encode(b):
+        ids = [int(x) for x in b["doc_id"]]
+        return encode_arrow_stream(
+            [
+                ("doc_id", "int64"),
+                ("wl", "list<int64>"),
+                ("meta", "struct<lang:utf8,n:int64>"),
+                ("src", "dict:utf8"),
+            ],
+            [{
+                "doc_id": ids,
+                "wl": [_wl(i) for i in ids],
+                "meta": [
+                    None if i % 11 == 0 else {
+                        "lang": None if i % 17 == 0 else lg,
+                        "n": int(nc),
+                    }
+                    for i, lg, nc in zip(ids, b["lang"], b["n_chars"])
+                ],
+                "src": list(b["source"]),
+            }],
+            compression="zstd",
+        )
+
+    def _decode(payload):
+        _schema, recs = parse_arrow_ipc(payload)
+        rows = []
+        for r in recs:
+            wl, meta = r["wl"], r["meta"]
+            rows.append(
+                {
+                    "doc_id": int(r["doc_id"]),
+                    "wl_len": -1 if wl is None else len(wl),
+                    "wl_sum": None
+                    if wl is None
+                    else sum(x for x in wl if x is not None),
+                    "m_null": 1 if meta is None else 0,
+                    "m_lang": None if meta is None else meta["lang"],
+                    "m_n": None if meta is None else meta["n"],
+                    "src": r["src"],
+                }
+            )
+        return rows
+
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "arrow_ipc_nested_sink", "arrows", _encode, _decode,
+        "doc_id long, wl_len int, wl_sum long, m_null int, "
+        "m_lang string, m_n long, src string",
+        {
+            "doc_id": "int64", "wl_len": "int32", "wl_sum": "Int64",
+            "m_null": "int32", "m_n": "Int64",
+        },
+        select_cols=("doc_id", "lang", "source", "n_chars"),
+    )
+
+
+@register(
     "cc_dedup_two_stage",
     """
     WITH canon AS (
@@ -13040,6 +13146,137 @@ def scan_parquet_int96_q(spark, sf_dir):
     return decoded.select(
         "o_orderkey",
         F.expr("ts DIV 1000").cast("bigint").alias("ts_us"),
+    )
+
+
+@register(
+    "scan_orc_rle1",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                ELSE o_orderpriority END AS cat,
+           't-' || CAST(o_orderkey AS VARCHAR) AS tag,
+           o_totalprice AS price,
+           CAST(9131 + o_orderkey % 2000 AS INT) AS dte_days,
+           CAST(o_orderkey * 625 AS BIGINT) AS dc_tenk,
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN -1
+                ELSE o_orderkey % 5 END AS INT) AS arr_len,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE CAST((o_orderkey % 5) * o_orderkey * 10
+                     + ((o_orderkey % 5) * ((o_orderkey % 5) + 1)) / 2
+                     AS BIGINT) END AS arr_sum
+    FROM orders
+    """,
+    tier="C",
+    note="C12 Hive-0.11 RLEv1 ORC scan (round 12 promotion of the "
+    "last read-surface decline a long-lived warehouse would hit): "
+    "orders-derived columns are staged by Spark's JVM ORC writer "
+    "with orc.write.format=0.11 — integer RLEv1 (run: count+delta+"
+    "varint base; literal: negative count + varints) under DIRECT=0/"
+    "DICTIONARY=1 column encodings — and decoded by the pure reader, "
+    "whose every integer-stream site now dispatches on the column "
+    "encoding (orc_data._int_rle). Coverage in one file: RLEv1 int "
+    "DATA (key), DICTIONARY string (low-cardinality cat: RLEv1 "
+    "indexes + dictionary LENGTH), DIRECT string (unique tag: RLEv1 "
+    "LENGTH), DATE (RLEv1 days), DECIMAL(18,4) (varint unscaled + "
+    "RLEv1 scale stream, flattened to exact ten-thousandths), and "
+    "LIST (RLEv1 LENGTH slicing the element column) with null/empty "
+    "residues. Flattened scalars hash-match DuckDB recomputing the "
+    "derivations from source rows; the unit battery additionally "
+    "cross-validates RLEv1 decode against pyarrow-written 0.11 "
+    "fixtures across 3 codecs and multi-stripe layouts "
+    "(tests/test_orc_data.py). FILE-PER-TASK mapInPandas, no "
+    "shuffle.",
+)
+def scan_orc_rle1_q(spark, sf_dir):
+    import glob as _glob
+
+    import pandas as _pd
+
+    out = _scratch(sf_dir, "orc_rle1_orders")
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    n = (k % 5).cast("int")
+    arr = F.when(k % 7 == 0, F.lit(None).cast("array<bigint>")).otherwise(
+        F.transform(
+            F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda i: (k * 10 + i).cast("bigint"),
+        )
+    )
+    (
+        o.select(
+            k.alias("o_orderkey"),
+            F.when(k % 9 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("cat"),
+            F.concat(F.lit("t-"), k.cast("string")).alias("tag"),
+            F.col("o_totalprice").alias("price"),
+            F.date_add(
+                F.lit("1995-01-01").cast("date"), (k % 2000).cast("int")
+            ).alias("dte"),
+            # o_orderkey * 0.0625 is exact at 4 decimal digits, so the
+            # DECIMAL(18,4) varint+scale streams round-trip bit-exactly
+            (k.cast("decimal(14,0)") * F.lit(625)).cast("decimal(18,0)")
+            .alias("dc_raw"),
+            arr.alias("arr"),
+        )
+        .withColumn(
+            "dc", (F.col("dc_raw") / F.lit(10000)).cast("decimal(18,4)")
+        )
+        .drop("dc_raw")
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("orc.write.format", "0.11")
+        .orc(out)
+    )
+    paths = sorted(_glob.glob(f"{out}/part-*.orc"))
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def _read(batches):
+        from ..operators.orc_data import read_orc_nested_columns
+
+        cols = ["o_orderkey", "cat", "tag", "price", "dte", "dc", "arr"]
+        for b in batches:
+            for path in b["path"]:
+                d = read_orc_nested_columns(path, cols)
+                rows = []
+                for key, cat, tag, price, dte, dc, av in zip(
+                    d["o_orderkey"], d["cat"], d["tag"], d["price"],
+                    d["dte"], d["dc"], d["arr"],
+                ):
+                    rows.append(
+                        {
+                            "o_orderkey": key,
+                            "cat": cat,
+                            "tag": tag,
+                            "price": price,
+                            # pure reader returns DATE as epoch days
+                            "dte_days": dte,
+                            # exact integer ten-thousandths
+                            "dc_tenk": None
+                            if dc is None
+                            else int(dc.scaleb(4)),
+                            "arr_len": -1 if av is None else len(av),
+                            "arr_sum": None
+                            if av is None
+                            else sum(av),
+                        }
+                    )
+                yield _pd.DataFrame(
+                    rows,
+                    columns=[
+                        "o_orderkey", "cat", "tag", "price", "dte_days",
+                        "dc_tenk", "arr_len", "arr_sum",
+                    ],
+                )
+
+    return pdf.mapInPandas(
+        _read,
+        schema="o_orderkey bigint, cat string, tag string, "
+        "price double, dte_days int, dc_tenk bigint, arr_len int, "
+        "arr_sum bigint",
     )
 
 

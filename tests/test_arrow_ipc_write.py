@@ -204,3 +204,123 @@ def test_feather_file_format(comp):
     assert rd.get_batch(1).to_pylist() == [
         {"id": 9, "name": "z", "score": 0.5}
     ]
+
+
+_NESTED_SCHEMA = [
+    ("k", "int64"),
+    ("lst", "list<int64>"),
+    ("st", "struct<a:int64,b:utf8>"),
+    ("d", "dict:utf8"),
+    ("ls", "list<utf8>"),
+]
+_NESTED_BATCHES = [
+    {
+        "k": [1, 2, None, 4],
+        "lst": [[1, 2], [], None, [5, None, 7]],
+        "st": [
+            {"a": 1, "b": "x"}, None,
+            {"a": None, "b": "y"}, {"a": 4, "b": None},
+        ],
+        "d": ["red", "green", None, "red"],
+        "ls": [["a", "bb"], None, [], ["c", None]],
+    },
+    {
+        "k": [5, 6],
+        "lst": [[9], None],
+        "st": [None, {"a": 6, "b": "z"}],
+        "d": ["blue", "green"],
+        "ls": [[None], ["dd"]],
+    },
+]
+
+
+@pytest.mark.parametrize("comp", [None, "zstd"])
+def test_nested_and_dictionary_columns(comp):
+    """Round-12: list<scalar>, struct<scalars> and dict:utf8 columns —
+    pyarrow (reference) reads values AND types; the sibling reader
+    agrees; dictionary values ship in DictionaryBatch messages that
+    precede the record batches (two batches share one dictionary)."""
+    stream = encode_arrow_stream(_NESTED_SCHEMA, _NESTED_BATCHES,
+                                 compression=comp)
+    t = pa.ipc.open_stream(io.BytesIO(stream)).read_all()
+    assert str(t.schema.field("d").type) == \
+        "dictionary<values=string, indices=int32, ordered=0>"
+    assert str(t.schema.field("lst").type) == "list<item: int64>"
+    assert str(t.schema.field("st").type) == "struct<a: int64, b: string>"
+    for name, _tag in _NESTED_SCHEMA:
+        want = _NESTED_BATCHES[0][name] + _NESTED_BATCHES[1][name]
+        assert t.column(name).to_pylist() == want, name
+    _s, rows = parse_arrow_ipc(stream)
+    for name, _tag in _NESTED_SCHEMA:
+        want = _NESTED_BATCHES[0][name] + _NESTED_BATCHES[1][name]
+        assert [r[name] for r in rows] == want, name
+
+
+@pytest.mark.parametrize("comp", [None, "zstd"])
+def test_nested_feather_file_with_dictionary_footer(comp):
+    """The Feather footer must list DictionaryBatch frames in its
+    dictionaries block vector — pyarrow's open_file seeks through the
+    footer, so a missing entry breaks random access specifically."""
+    from simple_data_engineering_project_spark.operators.arrow_ipc_write import (
+        encode_feather_file,
+    )
+
+    blob = encode_feather_file(_NESTED_SCHEMA, _NESTED_BATCHES,
+                               compression=comp)
+    f = pa.ipc.open_file(io.BytesIO(blob))
+    assert f.num_record_batches == 2
+    t = f.read_all()
+    for name, _tag in _NESTED_SCHEMA:
+        want = _NESTED_BATCHES[0][name] + _NESTED_BATCHES[1][name]
+        assert t.column(name).to_pylist() == want, name
+    _s, rows = parse_arrow_ipc(blob)
+    assert [r["d"] for r in rows] == \
+        _NESTED_BATCHES[0]["d"] + _NESTED_BATCHES[1]["d"]
+
+
+@pytest.mark.parametrize("comp", [None, "zstd"])
+def test_nested_fuzz_random_batches(comp):
+    rnd = random.Random(1212)
+    schema = [
+        ("k", "int64"),
+        ("lst", "list<float64>"),
+        ("st", "struct<x:int32,s:utf8,f:float64>"),
+        ("d", "dict:utf8"),
+    ]
+    vocab = [f"w{i}" for i in range(7)]
+    batches = []
+    for _ in range(5):
+        n = rnd.randint(0, 40)
+        batches.append({
+            "k": [rnd.randint(-2**40, 2**40) if rnd.random() > 0.1
+                  else None for _ in range(n)],
+            "lst": [
+                None if rnd.random() < 0.15 else [
+                    None if rnd.random() < 0.2 else rnd.uniform(-1e6, 1e6)
+                    for _ in range(rnd.randint(0, 6))
+                ] for _ in range(n)
+            ],
+            "st": [
+                None if rnd.random() < 0.15 else {
+                    "x": rnd.randint(-1000, 1000)
+                    if rnd.random() > 0.2 else None,
+                    "s": rnd.choice(vocab) if rnd.random() > 0.2 else None,
+                    "f": rnd.uniform(-10, 10)
+                    if rnd.random() > 0.2 else None,
+                } for _ in range(n)
+            ],
+            "d": [rnd.choice(vocab) if rnd.random() > 0.2 else None
+                  for _ in range(n)],
+        })
+    stream = encode_arrow_stream(schema, batches, compression=comp)
+    t = pa.ipc.open_stream(io.BytesIO(stream)).read_all()
+    _s, rows = parse_arrow_ipc(stream)
+    for name, _tag in schema:
+        want = [v for b in batches for v in b[name]]
+        assert t.column(name).to_pylist() == want, name
+        assert [r[name] for r in rows] == want, name
+
+
+def test_dictionary_value_type_decline():
+    with pytest.raises(ValueError, match="utf8"):
+        encode_arrow_stream([("d", "dict:int64")], [{"d": [1]}])

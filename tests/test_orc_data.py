@@ -192,18 +192,17 @@ def test_tinyint_sign_extension():
     assert read_orc_columns(buf.getvalue(), ["b"])["b"] == [-1, -128, 0, 5, 127]
 
 
-def test_rlev1_011_format_declined_loudly():
-    """Review-pass regression (confirmed repro): 0.11-format files use
-    RLEv1 integer encoding — feeding it to the v2 decoder silently
-    mis-decodes, so the v1 column encodings must raise."""
+def test_rlev1_011_format_decodes():
+    """Round-12 promotion: 0.11-format files (RLEv1 integer encoding,
+    column encodings DIRECT=0/DICTIONARY=1) now DECODE — formerly a
+    loud decline. Cross-validated against the pyarrow reference
+    reader on a pyarrow-written 0.11 file covering int/string/
+    timestamp/decimal scalar kinds."""
     import decimal as _dec
 
     t = pa.table({
         "x": pa.array([0, 1, 2] * 100, pa.int64()),
         "s": pa.array([f"v{i%5}" for i in range(300)]),
-        # TIMESTAMP/DECIMAL DATA/SECONDARY streams carry integer RLE
-        # too — a 0.11 DIRECT encoding must decline, not mis-decode
-        # through the RLEv2 decoder (round-10 review finding)
         "ts": pa.array([1_000_000 + i for i in range(300)],
                        pa.timestamp("us")),
         "d": pa.array([_dec.Decimal(f"{i}.25") for i in range(300)],
@@ -211,9 +210,39 @@ def test_rlev1_011_format_declined_loudly():
     })
     buf = io.BytesIO()
     po.write_table(t, buf, file_version="0.11")
-    for c in ("x", "s", "ts", "d"):
-        with pytest.raises(NotImplementedError, match="RLEv1"):
-            read_orc_columns(buf.getvalue(), [c])
+    data = buf.getvalue()
+    assert po.ORCFile(io.BytesIO(data)).file_version == "0.11"
+    got = read_orc_columns(data, ["x", "s", "ts", "d"])
+    assert got["x"] == [0, 1, 2] * 100
+    assert got["s"] == [f"v{i%5}" for i in range(300)]
+    # reader returns epoch nanoseconds
+    assert got["ts"] == [(1_000_000 + i) * 1000 for i in range(300)]
+    assert got["d"] == [_dec.Decimal(f"{i}.25") for i in range(300)]
+
+
+def test_rlev1_synthetic_edges():
+    """Hand-checkable RLEv1 blocks + truncation guard."""
+    from simple_data_engineering_project_spark.operators.orc_data import (
+        rlev1_decode,
+    )
+
+    # run: header 2 -> 5 values, delta +3, base varint 7 (unsigned)
+    assert rlev1_decode(bytes([0x02, 0x03, 0x07]), 5, signed=False) == \
+        [7, 10, 13, 16, 19]
+    # negative delta: header 0 -> 3 values, delta -1 (0xFF), base 100
+    assert rlev1_decode(bytes([0x00, 0xFF, 0x64]), 3, signed=False) == \
+        [100, 99, 98]
+    # signed base uses zigzag: zz(-3) = 5
+    assert rlev1_decode(bytes([0x00, 0x01, 0x05]), 3, signed=True) == \
+        [-3, -2, -1]
+    # literals: header 0xFD -> 3 varints; signed zigzag 0,-1,1
+    assert rlev1_decode(bytes([0xFD, 0x00, 0x01, 0x02]), 3, signed=True) == \
+        [0, -1, 1]
+    # multi-byte varint literal: 300 = 0xAC 0x02 (unsigned)
+    assert rlev1_decode(bytes([0xFF, 0xAC, 0x02]), 1, signed=False) == [300]
+    # truncated stream fails loudly, never silently short
+    with pytest.raises(ValueError, match="truncated"):
+        rlev1_decode(bytes([0x02, 0x03, 0x07]), 6, signed=False)
 
 
 def test_rlev2_synthetic_edges():
@@ -1195,8 +1224,9 @@ def test_round11_review_findings_regressions(tmp_path):
     (2) FLOAT statistics were computed on unrounded doubles so the
     declared min could exceed the stored float32 minimum — a
     stats-trusting pruner would skip stripes holding matching rows;
-    (3) struct<list> kid LENGTH streams skipped the 0.11 RLEv1 decline
-    guard; (4) DDL comma splits broke decimal(p,s) struct fields."""
+    (3) struct<list> kid LENGTH streams mishandled 0.11 RLEv1 files
+    (declined in r11, decoded since r12); (4) DDL comma splits broke
+    decimal(p,s) struct fields."""
     import decimal as _dec
     import struct as _st
 
@@ -1219,14 +1249,16 @@ def test_round11_review_findings_regressions(tmp_path):
     st = read_stripe_stats(blob)
     assert st[0][1]["min"] == f32(1.3) and st[0][1]["max"] == f32(2.7)
 
-    # (3) 0.11-era struct<list> declines instead of mis-slicing
+    # (3) 0.11-era struct<list> kid LENGTH streams route through the
+    # RLEv1 decoder (round-12 promotion; formerly a loud decline)
     t = pa.table({"st": pa.array(
-        [{"v": [1.5, 2.5]}], pa.struct([("v", pa.list_(pa.float64()))])
+        [{"v": [1.5, 2.5]}, {"v": []}, None],
+        pa.struct([("v", pa.list_(pa.float64()))])
     )})
     buf = io.BytesIO()
     po.write_table(t, buf, file_version="0.11")
-    with pytest.raises(NotImplementedError, match="RLEv1"):
-        read_orc_nested_columns(buf.getvalue(), ["st"])
+    got = read_orc_nested_columns(buf.getvalue(), ["st"])["st"]
+    assert got == [{"v": [1.5, 2.5]}, {"v": []}, None]
 
     # (4) decimal(p,s) struct fields parse and round-trip
     D = _dec.Decimal
@@ -1362,3 +1394,132 @@ def test_struct_mixed_decimal_and_array_fields():
     )
     assert po.ORCFile(io.BytesIO(blob)).read().column("st").to_pylist() == rows
     assert read_orc_nested_columns(blob, ["st"])["st"] == rows
+
+
+def test_rlev1_randomized_cross_validation():
+    """Round-12: randomized RLEv1 (file_version=0.11) fixtures across
+    three codecs and multi-stripe layouts, cross-validated against the
+    pyarrow reference reader — int runs/literals, dictionary and
+    direct strings, timestamps, decimals, dates, list LENGTH streams,
+    null mixes."""
+    import datetime as _dt
+    import decimal as _dec
+    import random as _rnd
+
+    from simple_data_engineering_project_spark.operators.orc_data import (
+        read_orc_nested_columns,
+    )
+
+    _rnd.seed(1205)
+    n = 6000
+    epoch = _dt.date(1970, 1, 1)
+    runs = []
+    v = 0
+    while len(runs) < n:
+        v += _rnd.randint(-3, 3)
+        runs.extend([v] * _rnd.randint(1, 60))
+    runs = runs[:n]
+    cols = {
+        "i": pa.array(
+            [_rnd.randint(-10**12, 10**12) if _rnd.random() > 0.1
+             else None for _ in range(n)], pa.int64()),
+        "r": pa.array(runs, pa.int32()),
+        "s": pa.array(
+            [_rnd.choice(["alpha", "beta", "gamma"])
+             if _rnd.random() > 0.1 else None for _ in range(n)]),
+        "u": pa.array(
+            ["s%d-%s" % (i, "x" * _rnd.randint(0, 9))
+             if _rnd.random() > 0.1 else None for i in range(n)]),
+        "ts": pa.array(
+            [_dt.datetime(2020, 1, 1)
+             + _dt.timedelta(seconds=_rnd.randint(0, 10**8),
+                             microseconds=_rnd.randint(0, 999999))
+             if _rnd.random() > 0.1 else None for _ in range(n)],
+            pa.timestamp("us")),
+        "dc": pa.array(
+            [_dec.Decimal(_rnd.randint(-10**10, 10**10)).scaleb(-4)
+             if _rnd.random() > 0.1 else None for _ in range(n)],
+            pa.decimal128(18, 4)),
+        "l": pa.array(
+            [[_rnd.randint(-100, 100)
+              for _ in range(_rnd.randint(0, 5))]
+             if _rnd.random() > 0.15 else None for _ in range(n)],
+            pa.list_(pa.int32())),
+        "d": pa.array(
+            [epoch + _dt.timedelta(days=_rnd.randint(0, 20000))
+             if _rnd.random() > 0.1 else None for _ in range(n)],
+            pa.date32()),
+    }
+    t = pa.table(cols)
+    for codec in ("uncompressed", "zlib", "snappy"):
+        buf = io.BytesIO()
+        po.write_table(t, buf, file_version="0.11", compression=codec,
+                       stripe_size=64 * 1024)
+        data = buf.getvalue()
+        ref = po.ORCFile(io.BytesIO(data))
+        assert ref.file_version == "0.11"
+        if codec == "uncompressed":
+            assert ref.nstripes > 1  # multi-stripe coverage
+        ref_t = ref.read()
+        got = read_orc_columns(data, ["i", "r", "s", "u", "d", "ts", "dc"])
+        assert got["i"] == ref_t["i"].to_pylist()
+        assert got["r"] == ref_t["r"].to_pylist()
+        assert got["s"] == ref_t["s"].to_pylist()
+        assert got["u"] == ref_t["u"].to_pylist()
+        assert got["d"] == [
+            None if x is None else (x - epoch).days
+            for x in ref_t["d"].to_pylist()]
+        assert got["ts"] == [
+            None if x is None else
+            ((x - _dt.datetime(1970, 1, 1)).days * 86400
+             + (x - _dt.datetime(1970, 1, 1)).seconds) * 10**9
+            + (x - _dt.datetime(1970, 1, 1)).microseconds * 1000
+            for x in ref_t["ts"].to_pylist()]
+        assert got["dc"] == ref_t["dc"].to_pylist()
+        assert read_orc_nested_columns(data, ["l"])["l"] == \
+            ref_t["l"].to_pylist()
+
+
+def test_scan_orc_rle1_entry_stages_011_files(spark, sf_smoke):
+    """The graded scan_orc_rle1 entry must actually exercise RLEv1: a
+    silent fallback to 0.12 staging would leave the new decode path
+    ungraded. Pin the staged files' version AND a spot row."""
+    from simple_data_engineering_project_spark.plans import catalog as _cat
+    from simple_data_engineering_project_spark.plans.catalog import _scratch
+
+    import glob as _glob
+
+    q = _cat()["scan_orc_rle1"]
+    df = q.fn(spark, sf_smoke)
+    rows = {r["o_orderkey"]: r for r in df.collect()}
+    paths = sorted(
+        _glob.glob(f"{_scratch(sf_smoke, 'orc_rle1_orders')}/part-*.orc")
+    )
+    assert paths, "entry staged no ORC files"
+    for p in paths:
+        assert po.ORCFile(p).file_version == "0.11"
+    # spot-check derivations on one non-residue key
+    k = next(k for k in sorted(rows) if k % 9 and k % 7 and k % 5 == 3)
+    r = rows[k]
+    assert r["tag"] == f"t-{k}"
+    assert r["dte_days"] == 9131 + k % 2000
+    assert r["dc_tenk"] == k * 625
+    assert r["arr_len"] == 3
+    assert r["arr_sum"] == 3 * k * 10 + 6
+
+
+def test_orc_map_cell_shape_and_none_key_decline_descriptively():
+    """Round-12 advice-fix twin of the parquet writer check."""
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    ddl = {"m": "map<string,bigint>"}
+    with pytest.raises(ValueError, match="mapping"):
+        build_orc_bytes({"m": [[("a", 1)]]}, ddl, "none")
+    with pytest.raises(ValueError, match="None"):
+        build_orc_bytes({"m": [{None: 1}]}, ddl, "none")
+    rows = [{"a": 1, "b": None}, None, {}]
+    blob = build_orc_bytes({"m": rows}, ddl, "none")
+    got = po.ORCFile(io.BytesIO(blob)).read().column("m").to_pylist()
+    assert [None if v is None else dict(v) for v in got] == rows

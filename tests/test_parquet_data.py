@@ -1554,3 +1554,47 @@ def test_pure_writer_v2_rle_dictionary(tmp_path, codec, spark):
     assert sorted(
         (r.num for r in rows if r.num is not None)
     ) == sorted(v for v in cols["num"] if v is not None)
+
+
+def test_v2_dict_chunk_encodings_include_plain():
+    """Round-12 advice regression: ColumnMetaData.encodings is the set
+    of ALL encodings used in the chunk; a v2 dictionary chunk's
+    dictionary page is PLAIN (0), so [RLE_DICTIONARY, RLE] alone
+    under-declares it. pyarrow's metadata surface is the reference
+    check."""
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    blob = build_parquet_bytes(
+        {"s": [f"v{i % 4}" for i in range(200)]},
+        {"s": "string"}, "snappy", page_version=2,
+    )
+    md = pq.ParquetFile(io.BytesIO(blob)).metadata
+    col = md.row_group(0).column(0)
+    assert "RLE_DICTIONARY" in col.encodings
+    assert "PLAIN" in col.encodings  # the dictionary page's encoding
+    # values still round-trip through the reference reader
+    t = pq.read_table(io.BytesIO(blob))
+    assert t.column("s").to_pylist() == [f"v{i % 4}" for i in range(200)]
+
+
+def test_map_cell_shape_and_none_key_decline_descriptively():
+    """Round-12 advice regression: a Spark-style list-of-pairs map cell
+    or a None key must decline with a descriptive error, not a bare
+    AttributeError/TypeError mid-encode."""
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    ddl = {"m": "map<string,bigint>"}
+    with pytest.raises(ValueError, match="mapping"):
+        build_parquet_bytes({"m": [[("a", 1), ("b", 2)]]}, ddl, "none")
+    with pytest.raises(ValueError, match="REQUIRED"):
+        build_parquet_bytes({"m": [{None: 1}]}, ddl, "none")
+    # well-formed dict rows still encode
+    rows = [{"a": 1, "b": None}, None, {}]
+    blob = build_parquet_bytes({"m": rows}, ddl, "none")
+    t = pq.read_table(io.BytesIO(blob))
+    got = [None if v is None else dict(v) for v in t.column("m").to_pylist()]
+    assert got == rows

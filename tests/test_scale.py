@@ -232,6 +232,38 @@ def test_pagerank_rank_state_not_hinted(spark):
     assert abs(total - 1.0) < 1e-9
 
 
+def test_pagerank_null_endpoint_edges_dropped(spark):
+    """Round-12 advice regression: the NULL-key dangling-mass fusion
+    must not let a dirty edge row with a NULL dst masquerade as
+    dangling mass (nor a NULL src contribute anything) — NULL-endpoint
+    edges are filtered before the loop, so ranks equal the clean-edge
+    run exactly."""
+    from simple_data_engineering_project_spark.operators.graph import pagerank
+
+    nodes = spark.range(5).select(F.col("id").alias("node"))
+    clean = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 2.0), (3, 0, 1.0)],
+        "src long, dst long, weight double",
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(0, None, 5.0), (None, 2, 3.0)],
+            "src long, dst long, weight double",
+        )
+    )
+    want = {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, clean, iterations=3).collect()
+    }
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, dirty, iterations=3).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+
+
 def test_media_and_tokenizer_entries_at_most_one_spread(spark, sf_smoke):
     # codec/sampling entries are scan → mapInPandas chains and bpe_apply
     # is a scan → row-local expression: at 100 TB these must stay
