@@ -225,9 +225,14 @@ HEADLINE = [
     "sink_orc_nested3",
     "sink_parquet_nested4",
     "sink_orc_nested4",
-    # round 12: RLEv1 promotion + nested/dictionary IPC write
+    # round 12: RLEv1 promotion + nested/dictionary IPC write +
+    # map-with-nested-values both directions both formats
     "scan_orc_rle1",
     "sink_arrow_ipc_nested",
+    "scan_parquet_nested5",
+    "scan_orc_nested5",
+    "sink_parquet_nested5",
+    "sink_orc_nested5",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -294,6 +299,11 @@ STEADY_STATE = {
     # pruned decode; same fixture-then-scan shape
     "scan_orc_rle1",  # round-12: JVM 0.11-format stage + pure RLEv1
     # decode; same fixture-then-scan shape
+    "scan_parquet_nested5",  # round-12: JVM nested-map stage + pure
+    # decode; same fixture-then-scan shape
+    "scan_orc_nested5",  # round-12: ORC twin of the above
+    "sink_parquet_nested5",  # round-12: export-sink shape
+    "sink_orc_nested5",  # round-12: export-sink shape
     "sink_arrow_ipc_nested",  # round-12: same export-sink shape as
     # sink_arrow_ipc (two mapInPandas stages)
     "hybrid_search_rrf",  # round-8: BM25-leg codegen; 9.6 s cold, 3.9 s steady

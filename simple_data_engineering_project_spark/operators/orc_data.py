@@ -47,7 +47,9 @@ LENGTH levels). Round 12 adds integer RLEv1 (Hive-0.11-era files,
 column encodings DIRECT=0/DICTIONARY=1): every integer-stream decode
 dispatches on the column encoding via :func:`_int_rle`,
 cross-validated against pyarrow-written ``file_version="0.11"``
-fixtures. Declined loudly: UNION, deeper nesting.
+fixtures, plus map values that are themselves structs or lists
+(map<k,struct<scalars>>, map<k,list<scalar>>). Declined loudly:
+UNION, deeper nesting.
 
 Scale shape: file-per-task, same as parquet_data.pure_parquet_scan —
 each executor decodes whole files independently, no shuffle.
@@ -614,8 +616,12 @@ def read_orc_nested_columns(
     columns are sized by the present elements) and ``map<k,v>``
     (the LIST layout with two children: key and value columns each
     sized by the summed lengths; rows come back as Python dicts).
-    Scalar columns pass through unchanged. UNION and deeper nesting
-    decline loudly — mirroring the parquet reader's contract."""
+    Round 12 adds ``map<k, struct<scalars>>`` (the value STRUCT
+    carries its own PRESENT over all entries) and ``map<k,
+    list<scalar>>`` (the value LIST carries its own PRESENT + LENGTH
+    over entries). Scalar columns pass through unchanged. UNION and
+    deeper nesting decline loudly — mirroring the parquet reader's
+    contract."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         buf = bytes(path_or_bytes)
     else:
@@ -708,16 +714,51 @@ def read_orc_nested_columns(
         elif kind == _K_MAP:
             # map<scalar,scalar> (round 11): parent LENGTH stream, two
             # child columns (keys, values) each sized by the summed
-            # lengths — the LIST layout with two children
+            # lengths — the LIST layout with two children. Round 12
+            # adds map<k, struct<scalars>> (the value STRUCT carries
+            # its own PRESENT over all entries; field leaves sized by
+            # the present entries) and map<k, list<scalar>> (the value
+            # LIST carries its own PRESENT + LENGTH over entries).
             kid, vid = _subtype_ids(types[cid])
-            for k in (kid, vid):
-                if types[k].get(1, 0) in (
+            if types[kid].get(1, 0) in (
+                _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
+            ):
+                raise NotImplementedError(
+                    f"ORC column {c!r}: map keys must be scalar"
+                )
+            vk = types[vid].get(1, 0)
+            plan[c] = {"kind": kind, "cid": cid, "children": [kid, vid]}
+            if vk == _K_STRUCT:
+                gkids = _subtype_ids(types[vid])
+                gnames = [
+                    n.decode("utf-8")
+                    for n in _as_list(types[vid].get(3))
+                ]
+                for g in gkids:
+                    if types[g].get(1, 0) in (
+                        _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
+                    ):
+                        raise NotImplementedError(
+                            f"ORC column {c!r}: map<struct> fields "
+                            "must be scalar"
+                        )
+                plan[c]["children"] = [kid, vid] + gkids
+                plan[c]["val_struct"] = (vid, gnames, gkids)
+            elif vk == _K_LIST:
+                (g,) = _subtype_ids(types[vid])
+                if types[g].get(1, 0) in (
                     _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
                 ):
                     raise NotImplementedError(
-                        f"ORC column {c!r}: map keys/values must be scalar"
+                        f"ORC column {c!r}: map<list> elements must "
+                        "be scalar"
                     )
-            plan[c] = {"kind": kind, "cid": cid, "children": [kid, vid]}
+                plan[c]["children"] = [kid, vid, g]
+                plan[c]["val_list"] = (vid, g)
+            elif vk in (_K_MAP, _K_UNION):
+                raise NotImplementedError(
+                    f"ORC column {c!r}: unsupported map value nesting"
+                )
         elif kind == _K_UNION:
             raise NotImplementedError(
                 f"ORC column kind {kind} not supported (union)"
@@ -882,9 +923,63 @@ def read_orc_nested_columns(
                     enc=enc_parent,
                 )
                 total = sum(lengths)
-                kid, vid = p["children"]
+                kid = p["children"][0]
                 keys = dec(kid, total)
-                vals = dec(vid, total)
+                if "val_struct" in p:
+                    # map<k, struct>: the value STRUCT's PRESENT covers
+                    # all entries; field leaves sized by present entries
+                    vid, gnames, gkids = p["val_struct"]
+                    vraw = located.get((vid, _S_PRESENT))
+                    vpresent = (
+                        _bool_rle(_decompress_stream(codec, vraw), total)
+                        if vraw is not None
+                        else [True] * total
+                    )
+                    n_vp = sum(vpresent)
+                    fields = {
+                        f: dec(g, n_vp) for f, g in zip(gnames, gkids)
+                    }
+                    vals = []
+                    j = 0
+                    for vp in vpresent:
+                        if not vp:
+                            vals.append(None)
+                            continue
+                        vals.append({f: fields[f][j] for f in gnames})
+                        j += 1
+                elif "val_list" in p:
+                    # map<k, list>: the value LIST's PRESENT + LENGTH
+                    # cover the entries; element leaf by summed lengths
+                    vid, g = p["val_list"]
+                    venc = (
+                        encodings[vid] if vid < len(encodings) else {}
+                    ).get(1, 0)
+                    vraw = located.get((vid, _S_PRESENT))
+                    vpresent = (
+                        _bool_rle(_decompress_stream(codec, vraw), total)
+                        if vraw is not None
+                        else [True] * total
+                    )
+                    vlraw = located.get((vid, _S_LENGTH))
+                    vlengths = _int_rle(
+                        _decompress_stream(codec, vlraw) if vlraw else b"",
+                        sum(vpresent),
+                        signed=False,
+                        enc=venc,
+                    )
+                    elems = dec(g, sum(vlengths))
+                    vals = []
+                    li2 = ei2 = 0
+                    for vp in vpresent:
+                        if not vp:
+                            vals.append(None)
+                            continue
+                        ln2 = vlengths[li2]
+                        li2 += 1
+                        vals.append(elems[ei2 : ei2 + ln2])
+                        ei2 += ln2
+                else:
+                    vals = dec(p["children"][1], total)
                 rows = []
                 li = 0
                 ei = 0

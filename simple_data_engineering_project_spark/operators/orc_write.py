@@ -279,10 +279,11 @@ def _struct_fields_of(body: str) -> list[tuple[str, tuple]]:
 def _plan_of(ddl: str):
     """('scalar'|'list', (kind, prec, scale)),
     ('struct'|'list_struct', [(fname, (kind, prec, scale)), ...]) or
-    ('map', (key kps, value kps)) — the shapes
+    ('map', (key kps, value kps)), ('map_struct', (key kps,
+    fields)) or ('map_list', (key kps, elem kps)) — the shapes
     orc_data.read_orc_nested_columns assembles (round 11 adds
-    list<struct<scalars>> and map<scalar,scalar>); deeper shapes
-    decline loudly."""
+    list<struct<scalars>> and map<scalar,scalar>; round 12 adds map
+    values that are structs or lists); deeper shapes decline loudly."""
     s = ddl.strip()
     low = s.lower()
     if low.startswith("array<") and s.endswith(">"):
@@ -296,8 +297,18 @@ def _plan_of(ddl: str):
         kv = _split_top(s[4:-1])
         if len(kv) != 2:
             raise NotImplementedError(f"type {ddl} not writable")
+        vraw = kv[1].strip()
+        vlow = vraw.lower()
+        if vlow.startswith("struct<") and vraw.endswith(">"):
+            # map<k, struct<scalars>> (round 12)
+            return ("map_struct", (_kind_of(kv[0].strip().lower()),
+                                   _struct_fields_of(vraw[7:-1])))
+        if vlow.startswith("array<") and vraw.endswith(">"):
+            # map<k, array<scalar>> (round 12)
+            return ("map_list", (_kind_of(kv[0].strip().lower()),
+                                 _kind_of(vraw[6:-1].strip().lower())))
         return ("map", (_kind_of(kv[0].strip().lower()),
-                        _kind_of(kv[1].strip().lower())))
+                        _kind_of(vlow)))
     if low.startswith("struct<") and s.endswith(">"):
         body = s[7:-1]
         if "array<" in body.lower():
@@ -400,6 +411,8 @@ def build_orc_bytes(
             next_id += 1 + sum(
                 2 if fk == "list" else 1 for _fn, (fk, _k) in detail
             )
+        elif pk == "map_struct":  # map + key + value struct + fields
+            next_id += 3 + len(detail[1])
         else:
             next_id += {
                 "scalar": 1,
@@ -408,6 +421,7 @@ def build_orc_bytes(
                 "struct": 1 + len(detail),
                 "list_struct": 2 + len(detail),
                 "map": 3,
+                "map_list": 4,  # map + key + value list + element
             }[pk]
         if len(columns[c]) != num_rows:
             raise ValueError("ragged columns")
@@ -700,7 +714,7 @@ def build_orc_bytes(
                         for e in elems_p
                     ]
                     emit_leaf(idx + 2 + j, fvals, kps)
-            elif pkind == "map":
+            elif pkind in ("map", "map_struct", "map_list"):
                 # validate cell shape up front (parquet_write twin,
                 # round-12 advice fix): a list-of-pairs row or a None
                 # key must decline descriptively, not die on a bare
@@ -724,11 +738,39 @@ def build_orc_bytes(
                     [k for v in rows_p for k in v.keys()],
                     detail[0],
                 )
-                emit_leaf(
-                    idx + 2,
-                    [x for v in rows_p for x in v.values()],
-                    detail[1],
-                )
+                entries = [x for v in rows_p for x in v.values()]
+                if pkind == "map":
+                    emit_leaf(idx + 2, entries, detail[1])
+                elif pkind == "map_struct":
+                    # value STRUCT: own PRESENT over all entries; field
+                    # leaves over the present entries (round 12 — the
+                    # list_struct layout under a MAP parent)
+                    epresent = [e is not None for e in entries]
+                    emit_present(idx + 2, epresent)
+                    encodings.append((0, None))  # struct: DIRECT
+                    stats.append({
+                        "n": sum(epresent),
+                        "has_null": not all(epresent),
+                        "kind": None,
+                        "present": [],
+                    })
+                    entries_p = [e for e in entries if e is not None]
+                    for j, (fname, kps) in enumerate(detail[1]):
+                        fvals = [
+                            e.get(fname) if isinstance(e, dict)
+                            else getattr(e, fname)
+                            for e in entries_p
+                        ]
+                        emit_leaf(idx + 3 + j, fvals, kps)
+                else:  # map_list
+                    # value LIST: own PRESENT + LENGTH over entries;
+                    # element leaf over the flattened values (round 12)
+                    inners_p = emit_lengths(idx + 2, entries)
+                    emit_leaf(
+                        idx + 3,
+                        [e for v in inners_p for e in v],
+                        detail[1],
+                    )
             elif pkind == "list":
                 # LIST parent: PRESENT (+) LENGTH = unsigned RLEv2
                 # per-present-row element counts; the child column
@@ -897,6 +939,37 @@ def build_orc_bytes(
             )
             types.append(_pb_bytes(4, t))
             types.append(_pb_bytes(4, _scalar_type_pb(detail[0])))
+            types.append(_pb_bytes(4, _scalar_type_pb(detail[1])))
+        elif pkind == "map_struct":
+            t = _pb_varint(1, 11)  # MAP
+            t += _pb_bytes(
+                2, _varint(ids[c] + 1) + _varint(ids[c] + 2)
+            )
+            types.append(_pb_bytes(4, t))
+            types.append(_pb_bytes(4, _scalar_type_pb(detail[0])))
+            st = _pb_varint(1, _K_STRUCT)
+            st += _pb_bytes(
+                2,
+                b"".join(
+                    _varint(ids[c] + 3 + j)
+                    for j in range(len(detail[1]))
+                ),
+            )
+            for fname, _kps in detail[1]:
+                st += _pb_bytes(3, fname.encode("utf-8"))
+            types.append(_pb_bytes(4, st))
+            for _fname, kps in detail[1]:
+                types.append(_pb_bytes(4, _scalar_type_pb(kps)))
+        elif pkind == "map_list":
+            t = _pb_varint(1, 11)  # MAP
+            t += _pb_bytes(
+                2, _varint(ids[c] + 1) + _varint(ids[c] + 2)
+            )
+            types.append(_pb_bytes(4, t))
+            types.append(_pb_bytes(4, _scalar_type_pb(detail[0])))
+            lt = _pb_varint(1, 10)  # LIST
+            lt += _pb_bytes(2, _varint(ids[c] + 3))
+            types.append(_pb_bytes(4, lt))
             types.append(_pb_bytes(4, _scalar_type_pb(detail[1])))
         elif pkind == "struct_mixed":
             kid_ids = []

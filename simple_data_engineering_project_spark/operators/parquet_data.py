@@ -22,10 +22,12 @@ pyarrow on the worker:
   Dremel record assembly for ONE level of nesting — ``array<primitive>``
   (3-level LIST and top-level repeated-primitive shapes) and
   ``struct<primitive,...>`` — via :func:`read_parquet_nested_bytes`;
-  round 11 adds ``list<struct<scalars>>`` and ``map<k,v>`` through a
-  shared repeated-group assembler; deeper shapes (struct<list>,
-  list<list>, nested maps) decline loudly and remain the JVM reader's
-  job.
+  round 11 adds ``list<struct<scalars>>``, ``map<k,v>``,
+  ``struct<list>`` and ``list<list<scalar>>``; round 12 adds map
+  values that are themselves structs or lists (``map<k,struct>``,
+  ``map<k,list<scalar>>``); deeper shapes (three-deep lists, nested
+  map values beyond those, unions) decline loudly and remain the JVM
+  reader's job.
 
 Honesty per the repo rule: every path is cross-validated against a
 reference READER in-container — pyarrow reads the same bytes in the
@@ -705,6 +707,133 @@ def _assemble_repeated_group(parts: dict[str, dict], as_map: bool) -> list:
     return rows
 
 
+def _assemble_map_struct_value(key: dict, vparts: dict[str, dict]) -> list:
+    """``map<k, struct<scalars>>`` (round 12): the key leaf drives the
+    entry skeleton; the value-field leaves are INDEX-ALIGNED with it
+    (all leaves share the repetition structure of the key_value pair),
+    with their own definition levels distinguishing null-value-struct
+    (d < d_value) / null field (d < max_def) / field value. Returns
+    Python dicts (or None for null maps)."""
+    names = list(vparts)
+    seated: dict[str, list] = {}
+    for f, pp in vparts.items():
+        it = iter(pp["present"])
+        seated[f] = [
+            next(it) if d == pp["max_def"] else None for d in pp["defs"]
+        ]
+    f0 = vparts[names[0]]
+    d_value = f0["d_value"]
+    vdefs = f0["defs"]
+    if len(vdefs) != len(key["defs"]):
+        raise ValueError("map key/value leaf level counts disagree")
+    kit = iter(key["present"])
+    rows: list = []
+    cur: dict | None = None
+    for i, (r, d) in enumerate(zip(key["reps"], key["defs"])):
+        if r == 0:
+            if d < key["d_outer"]:
+                rows.append(None)
+                cur = None
+                continue
+            if d < key["d_rep"]:
+                rows.append({})
+                cur = None
+                continue
+            cur = {}
+            rows.append(cur)
+        elif cur is None:
+            raise ValueError("repetition level continues a null/empty map")
+        k = next(kit)  # map keys are REQUIRED at the entry level
+        cur[k] = (
+            None
+            if vdefs[i] < d_value
+            else {f: seated[f][i] for f in names}
+        )
+    return rows
+
+
+def _assemble_map_list_value(key: dict, vleaf: dict) -> list:
+    """``map<k, list<scalar>>`` (round 12): the value leaf carries TWO
+    repetition levels (entry, element), so it is walked independently
+    into per-row entry-value lists — rep 0 new row, rep 1 new entry,
+    rep 2 next element; defs distinguish null map / empty map / null
+    list / empty list / null element / value — then zipped with the
+    key skeleton. Entry counts must agree between the two leaves."""
+    vrows: list = []
+    cur_row: list | None = None
+    cur_list: list | None = None
+    it = iter(vleaf["present"])
+    for r, d in zip(vleaf["reps"], vleaf["defs"]):
+        if r == 0:
+            if d < vleaf["d_outer"]:
+                vrows.append(None)
+                cur_row = None
+                continue
+            if d < vleaf["d_rep"]:
+                vrows.append([])
+                cur_row = None
+                continue
+            cur_row = []
+            vrows.append(cur_row)
+            new_entry = True
+        elif r == 1:
+            if cur_row is None:
+                raise ValueError(
+                    "repetition level continues a null/empty map"
+                )
+            new_entry = True
+        else:
+            new_entry = False
+        if new_entry:
+            if d < vleaf["d_value"]:
+                cur_row.append(None)
+                cur_list = None
+            elif d < vleaf["d_list"]:
+                cur_row.append([])
+                cur_list = None
+            else:
+                cur_list = []
+                cur_row.append(cur_list)
+                cur_list.append(
+                    next(it) if d == vleaf["max_def"] else None
+                )
+        else:
+            if cur_list is None:
+                raise ValueError(
+                    "repetition level continues a null/empty list"
+                )
+            cur_list.append(next(it) if d == vleaf["max_def"] else None)
+    krows: list = []
+    kcur: list | None = None
+    kit = iter(key["present"])
+    for r, d in zip(key["reps"], key["defs"]):
+        if r == 0:
+            if d < key["d_outer"]:
+                krows.append(None)
+                kcur = None
+                continue
+            if d < key["d_rep"]:
+                krows.append([])
+                kcur = None
+                continue
+            kcur = []
+            krows.append(kcur)
+        elif kcur is None:
+            raise ValueError("repetition level continues a null/empty map")
+        kcur.append(next(kit))
+    if len(krows) != len(vrows):
+        raise ValueError("map key/value leaf row counts disagree")
+    out: list = []
+    for kr, vr in zip(krows, vrows):
+        if kr is None:
+            out.append(None)
+            continue
+        if vr is None or len(vr) != len(kr):
+            raise ValueError("map key/value leaf entry counts disagree")
+        out.append(dict(zip(kr, vr)))
+    return out
+
+
 def _assemble_struct(parts: dict[str, tuple]) -> list:
     """Assemble a one-level struct from its primitive field chunks.
     ``parts`` maps field name -> (def_levels, present_values, max_def,
@@ -738,10 +867,12 @@ def read_parquet_nested_bytes(buf: bytes, columns: list[str]) -> dict[str, list]
     top-level repeated primitive) and ``struct<primitive,...>``. Lists come
     back as Python lists (None for null lists/elements), structs as
     dicts (None for null structs/fields). Round 11 adds
-    ``list<struct<scalars>>`` (lists of dicts) and ``map<k,v>``
-    (Python dicts) through the shared repeated-group assembler.
-    Deeper shapes — struct<list>, list<list>, nested maps — decline
-    loudly; they remain the JVM reader's job."""
+    ``list<struct<scalars>>`` (lists of dicts), ``map<k,v>``
+    (Python dicts), ``struct<list>`` and ``list<list<scalar>>``;
+    round 12 adds ``map<k,struct<scalars>>`` and
+    ``map<k,list<scalar>>``. Deeper shapes — three-deep lists,
+    deeper map values, unions — decline loudly; they remain the JVM
+    reader's job."""
     meta, schema = _parse_file(buf)
     out: dict[str, list] = {c: [] for c in columns}
     for rg in meta.get(4, []):
@@ -873,11 +1004,81 @@ def _decode_row_group(
                 buf, by_path[leaves[0]], lf0
             )
             out[c].extend(_assemble_list_list(reps, defs, present, lf0))
+        elif (
+            f"{c}.key_value.key" in leaves
+            and schema[f"{c}.key_value.key"]["max_rep"] == 1
+            and schema[f"{c}.key_value.key"]["levels"][1][2] == 2
+        ):
+            # map with NESTED values (round 12): the key leaf is the
+            # plain map shape, the value side is a struct (field
+            # leaves at c.key_value.value.f) or a 3-level list
+            # (c.key_value.value.list.element, two repetition levels)
+            kp = f"{c}.key_value.key"
+            kl = schema[kp]
+            kreps, kdefs, kpres = read_chunk_levels(buf, by_path[kp], kl)
+            key_part = {
+                "reps": kreps, "defs": kdefs, "present": kpres,
+                "max_def": kl["max_def"],
+                "d_outer": kl["levels"][0][0],
+                "d_rep": kl["levels"][1][0],
+            }
+            vleaves = [
+                p for p in leaves
+                if p.startswith(f"{c}.key_value.value")
+            ]
+            if (
+                len(vleaves) == 1
+                and vleaves[0].count(".") == 4
+                and schema[vleaves[0]]["max_rep"] == 2
+                and schema[vleaves[0]]["levels"][3][2] == 2
+            ):
+                leaf = schema[vleaves[0]]
+                reps, defs, present = read_chunk_levels(
+                    buf, by_path[vleaves[0]], leaf
+                )
+                lv = leaf["levels"]
+                out[c].extend(
+                    _assemble_map_list_value(
+                        key_part,
+                        {
+                            "reps": reps, "defs": defs,
+                            "present": present,
+                            "max_def": leaf["max_def"],
+                            "d_outer": lv[0][0], "d_rep": lv[1][0],
+                            "d_value": lv[2][0], "d_list": lv[3][0],
+                        },
+                    )
+                )
+            elif vleaves and all(
+                p.count(".") == 3 and schema[p]["max_rep"] == 1
+                for p in vleaves
+            ):
+                vparts: dict[str, dict] = {}
+                for p in vleaves:
+                    leaf = schema[p]
+                    reps, defs, present = read_chunk_levels(
+                        buf, by_path[p], leaf
+                    )
+                    vparts[p.rsplit(".", 1)[1]] = {
+                        "reps": reps, "defs": defs, "present": present,
+                        "max_def": leaf["max_def"],
+                        "d_value": leaf["levels"][2][0],
+                    }
+                out[c].extend(
+                    _assemble_map_struct_value(key_part, vparts)
+                )
+            else:
+                raise NotImplementedError(
+                    f"column {c!r}: map values may be scalars, "
+                    "struct<scalars> or list<scalar>; deeper value "
+                    "shapes decline loudly"
+                )
         else:
             raise NotImplementedError(
                 f"column {c!r}: supported nesting is LIST/STRUCT one "
                 "level, list<struct<scalars>>, struct<list>, map<k,v> "
-                "and list<list<scalar>>; deeper shapes decline loudly"
+                "(incl. struct/list values since round 12) and "
+                "list<list<scalar>>; deeper shapes decline loudly"
             )
 
 
@@ -968,7 +1169,9 @@ def pure_parquet_scan(spark, paths: list[str], columns: list[str], schema: str):
     wherever the DDL says string — including inside ``array<string>``
     and struct fields — and one level of LIST/STRUCT nesting decodes
     through :func:`read_parquet_nested_bytes`."""
-    from pyspark.sql.types import ArrayType, StringType, StructType
+    from pyspark.sql.types import (
+        ArrayType, MapType, StringType, StructType,
+    )
 
     out_schema = StructType.fromDDL(schema)
 
@@ -981,6 +1184,19 @@ def pure_parquet_scan(spark, paths: list[str], columns: list[str], schema: str):
                 return None
             return lambda v: (
                 None if v is None else [el(x) for x in v]
+            )
+        if isinstance(dt, MapType):
+            kc = _converter(dt.keyType)
+            vc = _converter(dt.valueType)
+            if kc is None and vc is None:
+                return None
+            return lambda v: (
+                None
+                if v is None
+                else {
+                    (kc(k) if kc else k): (vc(x) if vc else x)
+                    for k, x in v.items()
+                }
             )
         if isinstance(dt, StructType):
             fs = {f.name: _converter(f.dataType) for f in dt.fields}

@@ -449,10 +449,12 @@ def _scalar_fields(body: str, ctx: str) -> list[tuple[str, str]]:
 
 def _parse_ddl(ddl: str):
     """('scalar', t) | ('array', elem_t) | ('struct', [(name, t), ...])
-    | ('array_struct', [(name, t), ...]) | ('map', (key_t, val_t)) for
-    a Spark DDL type string — the shapes the reader assembles
-    (round 11 adds array<struct<scalars>> and map<scalar,scalar>);
-    deeper shapes decline loudly."""
+    | ('array_struct', [(name, t), ...]) | ('map', (key_t, val_t))
+    | ('map_struct', (key_t, fields)) | ('map_list', (key_t, elem_t))
+    for a Spark DDL type string — the shapes the reader assembles
+    (round 11 adds array<struct<scalars>> and map<scalar,scalar>;
+    round 12 adds struct/list map values); deeper shapes decline
+    loudly."""
     s = ddl.strip()
     low = s.lower()
     if low.startswith("array<") and s.endswith(">"):
@@ -478,10 +480,32 @@ def _parse_ddl(ddl: str):
         kv = _split_top(s[4:-1])
         if len(kv) != 2:
             raise NotImplementedError(f"type {ddl} not writable")
-        kt, vt = kv[0].strip().lower(), kv[1].strip().lower()
-        if kt not in _SPARK_TO_PHYSICAL or vt not in _SPARK_TO_PHYSICAL:
+        kt = kv[0].strip().lower()
+        vraw = kv[1].strip()
+        vt = vraw.lower()
+        if kt not in _SPARK_TO_PHYSICAL:
             raise NotImplementedError(
-                f"map type {ddl!r} not writable (scalar keys/values only)"
+                f"map key type {kv[0]!r} not writable (scalar keys only)"
+            )
+        if vt.startswith("struct<") and vraw.endswith(">"):
+            # map<k, struct<scalars>> (round 12)
+            return (
+                "map_struct",
+                (kt, _scalar_fields(vraw[7:-1], "map<struct>")),
+            )
+        if vt.startswith("array<") and vraw.endswith(">"):
+            # map<k, array<scalar>> (round 12)
+            el = vraw[6:-1].strip().lower()
+            if el not in _SPARK_TO_PHYSICAL:
+                raise NotImplementedError(
+                    f"map list-value element {el!r} not writable "
+                    "(scalar elements only)"
+                )
+            return ("map_list", (kt, el))
+        if vt not in _SPARK_TO_PHYSICAL:
+            raise NotImplementedError(
+                f"map value type {kv[1]!r} not writable (scalar, "
+                "struct<scalars> or array<scalar> values only)"
             )
         return ("map", (kt, vt))
     if low.startswith("struct<") and s.endswith(">"):
@@ -646,6 +670,77 @@ def _map_levels(vals: list, which: str):
                 else:
                     defs.append(3)
                     present.append(vv)
+    return defs, reps, present
+
+
+def _map_struct_field_levels(vals: list, fname: str):
+    """(def_levels, rep_levels, present) for ONE field leaf of a
+    map<k, struct<...>> value (round 12). Level alphabet: 0 null map,
+    1 empty map, 2 entry with NULL value struct, 3 struct present but
+    field null, 4 field value. The repetition structure mirrors the
+    key leaf exactly (one slot per entry)."""
+    defs: list[int] = []
+    reps: list[int] = []
+    present: list = []
+    for row in vals:
+        if row is None:
+            defs.append(0)
+            reps.append(0)
+        elif len(row) == 0:
+            defs.append(1)
+            reps.append(0)
+        else:
+            for k, vv in enumerate(row.values()):
+                reps.append(0 if k == 0 else 1)
+                if vv is None:
+                    defs.append(2)
+                    continue
+                f = (
+                    vv.get(fname)
+                    if isinstance(vv, dict)
+                    else getattr(vv, fname)
+                )
+                if f is None:
+                    defs.append(3)
+                else:
+                    defs.append(4)
+                    present.append(f)
+    return defs, reps, present
+
+
+def _map_list_value_levels(vals: list):
+    """(def_levels, rep_levels, present) for the element leaf of a
+    map<k, array<scalar>> value (round 12) — TWO repetition levels
+    (rep 1 = next entry, rep 2 = next element). Level alphabet:
+    0 null map, 1 empty map, 2 entry with NULL list, 3 empty list,
+    4 null element, 5 element value."""
+    defs: list[int] = []
+    reps: list[int] = []
+    present: list = []
+    for row in vals:
+        if row is None:
+            defs.append(0)
+            reps.append(0)
+        elif len(row) == 0:
+            defs.append(1)
+            reps.append(0)
+        else:
+            for k, vv in enumerate(row.values()):
+                r0 = 0 if k == 0 else 1
+                if vv is None:
+                    defs.append(2)
+                    reps.append(r0)
+                elif len(vv) == 0:
+                    defs.append(3)
+                    reps.append(r0)
+                else:
+                    for ei, e in enumerate(vv):
+                        reps.append(r0 if ei == 0 else 2)
+                        if e is None:
+                            defs.append(4)
+                        else:
+                            defs.append(5)
+                            present.append(e)
     return defs, reps, present
 
 
@@ -955,11 +1050,16 @@ def build_parquet_bytes(
     names = list(columns)
     num_rows = len(columns[names[0]]) if names else 0
     plans = {c: _parse_ddl(ddl_types[c]) for c in names}
-    n_leaves = sum(
-        len(p[1]) if p[0] in ("struct", "array_struct", "struct_mixed")
-        else (2 if p[0] == "map" else 1)
-        for p in plans.values()
-    )
+    def _plan_leaves(p) -> int:
+        if p[0] in ("struct", "array_struct", "struct_mixed"):
+            return len(p[1])
+        if p[0] == "map_struct":  # key + one leaf per value field
+            return 1 + len(p[1][1])
+        if p[0] in ("map", "map_list"):
+            return 2
+        return 1
+
+    n_leaves = sum(_plan_leaves(p) for p in plans.values())
     for c in names:
         if len(columns[c]) != num_rows:
             raise ValueError("ragged columns")
@@ -1074,6 +1174,64 @@ def build_parquet_bytes(
                         )
                     )
                     total_uncomp += chunk[4]
+            elif kind == "map_struct":
+                key_t, fields = detail
+                ptype = _SPARK_TO_PHYSICAL[key_t]
+                # _map_levels also validates cell shape + non-None keys
+                defs, reps, present = _map_levels(vals, "key")
+                chunk = _write_nested_chunk(
+                    body, defs, reps, present, n_rg, ptype,
+                    codec_id, page_version,
+                )
+                col_chunks.append(
+                    _leaf_metadata(
+                        [c, "key_value", "key"], ptype, len(defs), chunk,
+                    )
+                )
+                total_uncomp += chunk[4]
+                for fname, ftype in fields:
+                    ptype = _SPARK_TO_PHYSICAL[ftype]
+                    defs, reps, present = _map_struct_field_levels(
+                        vals, fname
+                    )
+                    chunk = _write_nested_chunk(
+                        body, defs, reps, present, n_rg, ptype,
+                        codec_id, page_version,
+                    )
+                    col_chunks.append(
+                        _leaf_metadata(
+                            [c, "key_value", "value", fname], ptype,
+                            len(defs), chunk,
+                        )
+                    )
+                    total_uncomp += chunk[4]
+            elif kind == "map_list":
+                key_t, elem_t = detail
+                ptype = _SPARK_TO_PHYSICAL[key_t]
+                defs, reps, present = _map_levels(vals, "key")
+                chunk = _write_nested_chunk(
+                    body, defs, reps, present, n_rg, ptype,
+                    codec_id, page_version,
+                )
+                col_chunks.append(
+                    _leaf_metadata(
+                        [c, "key_value", "key"], ptype, len(defs), chunk,
+                    )
+                )
+                total_uncomp += chunk[4]
+                ptype = _SPARK_TO_PHYSICAL[elem_t]
+                defs, reps, present = _map_list_value_levels(vals)
+                chunk = _write_nested_chunk(
+                    body, defs, reps, present, n_rg, ptype,
+                    codec_id, page_version,
+                )
+                col_chunks.append(
+                    _leaf_metadata(
+                        [c, "key_value", "value", "list", "element"],
+                        ptype, len(defs), chunk,
+                    )
+                )
+                total_uncomp += chunk[4]
             elif kind == "struct_mixed":
                 for fname, (fkind, ftype) in detail:
                     ptype = _SPARK_TO_PHYSICAL[ftype]
@@ -1187,6 +1345,22 @@ def build_parquet_bytes(
             schema_elems.append(_group_elem("key_value", 2, 2))
             schema_elems.append(_leaf_elem("key", detail[0], repetition=0))
             schema_elems.append(_leaf_elem("value", detail[1]))
+        elif kind == "map_struct":
+            key_t, fields = detail
+            schema_elems.append(_group_elem(c, 1, 1, converted=1))
+            schema_elems.append(_group_elem("key_value", 2, 2))
+            schema_elems.append(_leaf_elem("key", key_t, repetition=0))
+            schema_elems.append(_group_elem("value", len(fields), 1))
+            for fname, ftype in fields:
+                schema_elems.append(_leaf_elem(fname, ftype))
+        elif kind == "map_list":
+            key_t, elem_t = detail
+            schema_elems.append(_group_elem(c, 1, 1, converted=1))
+            schema_elems.append(_group_elem("key_value", 2, 2))
+            schema_elems.append(_leaf_elem("key", key_t, repetition=0))
+            schema_elems.append(_group_elem("value", 1, 1, converted=3))
+            schema_elems.append(_group_elem("list", 1, 2))
+            schema_elems.append(_leaf_elem("element", elem_t))
         elif kind == "struct_mixed":
             schema_elems.append(_group_elem(c, len(detail), 1))
             for fname, (fkind, ftype) in detail:

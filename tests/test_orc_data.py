@@ -580,22 +580,27 @@ def test_nested_spark_written_orc(spark, tmp_path):
 
 
 def test_nested_deep_shapes_decline_loudly_orc(tmp_path):
-    # round 11 moved map<k,v>, list<struct>, struct<list> AND
-    # list<list> to the SUPPORTED side; three-deep lists and maps with
-    # nested values still decline loudly
-    cases = {
-        "lll": pa.array(
-            [[[[1]]]], pa.list_(pa.list_(pa.list_(pa.int64())))
-        ),
-        "mv": pa.array(
-            [[("k", [1, 2])]], pa.map_(pa.string(), pa.list_(pa.int64()))
-        ),
-    }
-    for name, arr in cases.items():
-        path = str(tmp_path / f"deep_{name}.orc")
-        po.write_table(pa.table({name: arr}), path)
-        with pytest.raises(NotImplementedError):
-            read_orc_nested_columns(path, [name])
+    # round 12 moved map-with-nested-values (struct/list) to the
+    # SUPPORTED side; three-deep lists and map<k,map> still decline
+    path = str(tmp_path / "deep_lll.orc")
+    po.write_table(pa.table({"lll": pa.array(
+        [[[[1]]]], pa.list_(pa.list_(pa.list_(pa.int64())))
+    )}), path)
+    with pytest.raises(NotImplementedError):
+        read_orc_nested_columns(path, ["lll"])
+    path = str(tmp_path / "deep_mm.orc")
+    po.write_table(pa.table({"mm": pa.array(
+        [[("k", [("x", 1)])]],
+        pa.map_(pa.string(), pa.map_(pa.string(), pa.int64())),
+    )}), path)
+    with pytest.raises(NotImplementedError):
+        read_orc_nested_columns(path, ["mm"])
+    # map<k, list> now decodes (round 12)
+    path = str(tmp_path / "deep_mv.orc")
+    po.write_table(pa.table({"mv": pa.array(
+        [[("k", [1, 2])]], pa.map_(pa.string(), pa.list_(pa.int64()))
+    )}), path)
+    assert read_orc_nested_columns(path, ["mv"])["mv"] == [{"k": [1, 2]}]
 
 
 def test_nested_truncation_and_bitflip_never_hang_orc(tmp_path):
@@ -1523,3 +1528,178 @@ def test_orc_map_cell_shape_and_none_key_decline_descriptively():
     blob = build_orc_bytes({"m": rows}, ddl, "none")
     got = po.ORCFile(io.BytesIO(blob)).read().column("m").to_pylist()
     assert [None if v is None else dict(v) for v in got] == rows
+
+
+def _map_nested_fixture(n=2000):
+    def mk_ms(i):
+        if i % 7 == 0:
+            return None
+        if i % 5 == 0:
+            return {}
+        out = {}
+        for k in range(i % 3 + 1):
+            if (i + k) % 11 == 0:
+                out[f"k{k}"] = None
+            else:
+                out[f"k{k}"] = {
+                    "a": None if (i + k) % 13 == 0 else i * 10 + k,
+                    "b": None if (i + k) % 17 == 0 else f"v{(i+k)%9}",
+                }
+        return out
+
+    def mk_ml(i):
+        if i % 7 == 0:
+            return None
+        if i % 5 == 0:
+            return {}
+        out = {}
+        for k in range(i % 3 + 1):
+            if (i + k) % 11 == 0:
+                out[f"k{k}"] = None
+            elif (i + k) % 13 == 0:
+                out[f"k{k}"] = []
+            else:
+                out[f"k{k}"] = [
+                    None if (j == 1 and (i + k) % 3 == 0)
+                    else i * 100 + k * 10 + j
+                    for j in range((i + k) % 4 + 1)
+                ]
+        return out
+
+    return [mk_ms(i) for i in range(n)], [mk_ml(i) for i in range(n)]
+
+
+@pytest.mark.parametrize("codec", ["uncompressed", "zlib", "snappy"])
+def test_orc_map_nested_values_pyarrow_written(codec):
+    """Round 12: map<string,struct> and map<string,list> decode from
+    pyarrow-written ORC across codecs and multi-stripe layouts."""
+    from simple_data_engineering_project_spark.operators.orc_data import (
+        read_orc_nested_columns,
+    )
+
+    ms, ml = _map_nested_fixture()
+    n = len(ms)
+    t = pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "ms": pa.array(
+            [None if m is None else list(m.items()) for m in ms],
+            pa.map_(pa.string(), pa.struct(
+                [("a", pa.int64()), ("b", pa.string())]
+            )),
+        ),
+        "ml": pa.array(
+            [None if m is None else list(m.items()) for m in ml],
+            pa.map_(pa.string(), pa.list_(pa.int64())),
+        ),
+    })
+    buf = io.BytesIO()
+    po.write_table(t, buf, compression=codec, stripe_size=64 * 1024)
+    data = buf.getvalue()
+    if codec == "uncompressed":
+        assert po.ORCFile(io.BytesIO(data)).nstripes > 1
+    got = read_orc_nested_columns(data, ["id", "ms", "ml"])
+    assert got["id"] == list(range(n))
+    assert got["ms"] == ms
+    assert got["ml"] == ml
+
+
+@pytest.mark.parametrize("codec", ["none", "zlib", "snappy"])
+def test_orc_map_nested_values_write_read(codec):
+    """Own writer → pyarrow (reference) + own reader."""
+    from simple_data_engineering_project_spark.operators.orc_data import (
+        read_orc_nested_columns,
+    )
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    ms, ml = _map_nested_fixture(800)
+    n = len(ms)
+    blob = build_orc_bytes(
+        {"id": list(range(n)), "ms": ms, "ml": ml},
+        {
+            "id": "bigint",
+            "ms": "map<string,struct<a:bigint,b:string>>",
+            "ml": "map<string,array<bigint>>",
+        },
+        codec,
+    )
+    t = po.ORCFile(io.BytesIO(blob)).read()
+    assert [
+        None if m is None else dict(m) for m in t.column("ms").to_pylist()
+    ] == ms
+    assert [
+        None if m is None else dict(m) for m in t.column("ml").to_pylist()
+    ] == ml
+    own = read_orc_nested_columns(blob, ["id", "ms", "ml"])
+    assert own["ms"] == ms and own["ml"] == ml
+
+
+def test_orc_map_nested_values_spark_reads_our_file(spark, tmp_path):
+    """Spark's JVM ORC reader is the second independent reader for the
+    pure writer's map-with-nested-values layout."""
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    ms, ml = _map_nested_fixture(300)
+    n = len(ms)
+    blob = build_orc_bytes(
+        {"id": list(range(n)), "ms": ms, "ml": ml},
+        {
+            "id": "bigint",
+            "ms": "map<string,struct<a:bigint,b:string>>",
+            "ml": "map<string,array<bigint>>",
+        },
+        "zlib",
+    )
+    p = tmp_path / "map5.orc"
+    p.write_bytes(blob)
+    rows = (
+        spark.read.orc(str(p))
+        .orderBy("id")
+        .collect()
+    )
+    assert len(rows) == n
+    for r in rows:
+        i = r["id"]
+        got_ms = None if r["ms"] is None else {
+            k: (None if v is None else v.asDict()) for k, v in r["ms"].items()
+        }
+        got_ml = None if r["ml"] is None else dict(r["ml"])
+        assert got_ms == ms[i], i
+        assert got_ml == ml[i], i
+
+
+def test_orc_map_nested_values_truncation_sweep():
+    from simple_data_engineering_project_spark.operators.orc_data import (
+        read_orc_nested_columns,
+    )
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    ms, ml = _map_nested_fixture(120)
+    blob = build_orc_bytes(
+        {"id": list(range(120)), "ms": ms, "ml": ml},
+        {
+            "id": "bigint",
+            "ms": "map<string,struct<a:bigint,b:string>>",
+            "ml": "map<string,array<bigint>>",
+        },
+        "none",
+    )
+    assert len(read_orc_nested_columns(blob, ["ms", "ml"])["ms"]) == 120
+    for cut in (len(blob) - 6, len(blob) // 2, 40):
+        with pytest.raises(Exception):
+            read_orc_nested_columns(blob[:cut], ["ms", "ml"])
+    rnd = random.Random(6)
+    for _ in range(60):
+        pos = rnd.randrange(len(blob))
+        mut = bytearray(blob)
+        mut[pos] ^= 1 << rnd.randrange(8)
+        try:
+            got = read_orc_nested_columns(bytes(mut), ["ms", "ml"])
+            assert len(got["ms"]) == len(got["ml"])
+        except Exception as exc:
+            assert not isinstance(exc, (SystemExit, KeyboardInterrupt))

@@ -609,22 +609,28 @@ def test_int96_spark_written_java_convention(spark, tmp_path):
 
 
 def test_nested_deeper_shapes_decline_loudly(tmp_path):
-    # round 11 moved map<k,v>, list<struct>, struct<list> AND
-    # list<list> to the SUPPORTED side; three-deep lists and maps with
-    # nested values still decline loudly
-    cases = {
-        "lll": pa.array(
-            [[[[1]]]], pa.list_(pa.list_(pa.list_(pa.int64())))
-        ),
-        "mv": pa.array(
-            [[("k", [1, 2])]], pa.map_(pa.string(), pa.list_(pa.int64()))
-        ),
-    }
-    for name, arr in cases.items():
-        path = tmp_path / f"deep_{name}.parquet"
-        pq.write_table(pa.table({name: arr}), path)
-        with pytest.raises(NotImplementedError):
-            read_parquet_nested_columns(str(path), [name])
+    # round 12 moved map-with-nested-values (struct/list) to the
+    # SUPPORTED side; three-deep lists and map<k,map> still decline
+    path = tmp_path / "deep_lll.parquet"
+    pq.write_table(pa.table({"lll": pa.array(
+        [[[[1]]]], pa.list_(pa.list_(pa.list_(pa.int64())))
+    )}), path)
+    with pytest.raises(NotImplementedError):
+        read_parquet_nested_columns(str(path), ["lll"])
+    path = tmp_path / "deep_mm.parquet"
+    pq.write_table(pa.table({"mm": pa.array(
+        [[("k", [("x", 1)])]],
+        pa.map_(pa.string(), pa.map_(pa.string(), pa.int64())),
+    )}), path)
+    with pytest.raises(NotImplementedError):
+        read_parquet_nested_columns(str(path), ["mm"])
+    # map<k, list> now decodes (round 12)
+    path = tmp_path / "deep_mv.parquet"
+    pq.write_table(pa.table({"mv": pa.array(
+        [[("k", [1, 2])]], pa.map_(pa.string(), pa.list_(pa.int64()))
+    )}), path)
+    got = read_parquet_nested_columns(str(path), ["mv"])["mv"]
+    assert got == [{b"k": [1, 2]}]
 
 
 @pytest.mark.parametrize("pv", ["1.0", "2.0"])
@@ -1598,3 +1604,206 @@ def test_map_cell_shape_and_none_key_decline_descriptively():
     t = pq.read_table(io.BytesIO(blob))
     got = [None if v is None else dict(v) for v in t.column("m").to_pylist()]
     assert got == rows
+
+
+def _nested5_fixture(n=800):
+    def mk_ms(i):
+        if i % 7 == 0:
+            return None
+        if i % 5 == 0:
+            return {}
+        out = {}
+        for k in range(i % 3 + 1):
+            if (i + k) % 11 == 0:
+                out[f"k{k}"] = None
+            else:
+                out[f"k{k}"] = {
+                    "a": None if (i + k) % 13 == 0 else i * 10 + k,
+                    "b": None if (i + k) % 17 == 0 else f"v{(i+k)%9}",
+                }
+        return out
+
+    def mk_ml(i):
+        if i % 7 == 0:
+            return None
+        if i % 5 == 0:
+            return {}
+        out = {}
+        for k in range(i % 3 + 1):
+            if (i + k) % 11 == 0:
+                out[f"k{k}"] = None
+            elif (i + k) % 13 == 0:
+                out[f"k{k}"] = []
+            else:
+                out[f"k{k}"] = [
+                    None if (j == 1 and (i + k) % 3 == 0)
+                    else i * 100 + k * 10 + j
+                    for j in range((i + k) % 4 + 1)
+                ]
+        return out
+
+    return [mk_ms(i) for i in range(n)], [mk_ml(i) for i in range(n)]
+
+
+@pytest.mark.parametrize("codec", ["none", "snappy"])
+@pytest.mark.parametrize("pv", [1, 2])
+def test_map_nested_values_write_read(codec, pv):
+    """Round 12: map<string,struct<scalars>> and map<string,
+    array<bigint>> through the pure writer, cross-validated against
+    pyarrow AND DuckDB, plus the own-reader round trip — v1+v2 pages,
+    multi-row-group, full null/empty residue."""
+    import duckdb
+
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        read_parquet_nested_bytes,
+    )
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    ms, ml = _nested5_fixture()
+    n = len(ms)
+    cols = {"id": list(range(n)), "ms": ms, "ml": ml}
+    ddl = {
+        "id": "bigint",
+        "ms": "map<string,struct<a:bigint,b:string>>",
+        "ml": "map<string,array<bigint>>",
+    }
+    blob = build_parquet_bytes(
+        cols, ddl, codec, row_group_size=300, page_version=pv
+    )
+    t = pq.read_table(io.BytesIO(blob))
+    assert [
+        None if m is None else dict(m) for m in t.column("ms").to_pylist()
+    ] == ms
+    assert [
+        None if m is None else dict(m) for m in t.column("ml").to_pylist()
+    ] == ml
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".parquet") as f:
+        f.write(blob)
+        f.flush()
+        r = duckdb.connect().execute(
+            f"SELECT id, ms, ml FROM '{f.name}' ORDER BY id"
+        ).fetchall()
+    dconv = lambda m: None if m is None else dict(  # noqa: E731
+        zip(m["key"], m["value"])
+    )
+    assert [dconv(x[1]) for x in r] == ms
+    assert [dconv(x[2]) for x in r] == ml
+
+    def conv(v):
+        if isinstance(v, bytes):
+            return v.decode()
+        if isinstance(v, dict):
+            return {conv(k): conv(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [conv(x) for x in v]
+        return v
+
+    own = read_parquet_nested_bytes(blob, ["id", "ms", "ml"])
+    assert [conv(x) for x in own["ms"]] == ms
+    assert [conv(x) for x in own["ml"]] == ml
+
+
+def test_map_nested_values_spark_written(spark, tmp_path):
+    """Spark's JVM writer is the second independent writer for the
+    map-with-nested-values read path."""
+    import glob
+
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        read_parquet_nested_columns,
+    )
+
+    out = str(tmp_path / "pqmap5")
+    (
+        spark.range(2000)
+        .selectExpr(
+            "id",
+            "CASE WHEN id % 7 = 0 THEN NULL WHEN id % 5 = 0 THEN map() "
+            "ELSE map_from_arrays("
+            "  transform(sequence(1, CAST(id % 3 AS INT) + 1),"
+            "            i -> concat('k', i)),"
+            "  transform(sequence(1, CAST(id % 3 AS INT) + 1), i ->"
+            "    CASE WHEN (id + i) % 11 = 0 THEN NULL"
+            "    ELSE named_struct("
+            "      'a', CASE WHEN (id+i) % 13 = 0 THEN CAST(NULL AS "
+            "BIGINT) ELSE id * 10 + i END,"
+            "      'b', CASE WHEN (id+i) % 17 = 0 THEN CAST(NULL AS "
+            "STRING) ELSE concat('v', (id+i) % 9) END) END)) END AS ms",
+            "CASE WHEN id % 7 = 0 THEN NULL WHEN id % 5 = 0 THEN map() "
+            "ELSE map_from_arrays("
+            "  transform(sequence(1, CAST(id % 3 AS INT) + 1),"
+            "            i -> concat('k', i)),"
+            "  transform(sequence(1, CAST(id % 3 AS INT) + 1), i ->"
+            "    CASE WHEN (id + i) % 11 = 0 THEN NULL"
+            "    WHEN (id + i) % 13 = 0 THEN CAST(array() AS "
+            "ARRAY<BIGINT>)"
+            "    ELSE transform(sequence(1, CAST((id + i) % 4 AS INT)),"
+            "      j -> CASE WHEN j = 2 AND (id+i) % 3 = 0 THEN CAST("
+            "NULL AS BIGINT) ELSE id * 100 + i * 10 + j END) END)) "
+            "END AS ml",
+        )
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+    def conv(v):
+        if isinstance(v, bytes):
+            return v.decode()
+        if isinstance(v, dict):
+            return {conv(k): conv(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [conv(x) for x in v]
+        return v
+
+    for p in sorted(glob.glob(out + "/part-*.parquet")):
+        ref = pq.read_table(p)
+        got = read_parquet_nested_columns(p, ["id", "ms", "ml"])
+        for col in ("ms", "ml"):
+            exp = [
+                None if m is None else dict(m)
+                for m in ref.column(col).to_pylist()
+            ]
+            assert [conv(x) for x in got[col]] == exp, col
+
+
+def test_map_nested_values_truncation_and_bitflips():
+    """Fail-loudly contract: truncated/corrupted map-nested files must
+    raise, never hang or silently return wrong shapes."""
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        read_parquet_nested_bytes,
+    )
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    ms, ml = _nested5_fixture(120)
+    blob = build_parquet_bytes(
+        {"id": list(range(120)), "ms": ms, "ml": ml},
+        {
+            "id": "bigint",
+            "ms": "map<string,struct<a:bigint,b:string>>",
+            "ml": "map<string,array<bigint>>",
+        },
+        "none",
+    )
+    good = read_parquet_nested_bytes(blob, ["ms", "ml"])
+    assert len(good["ms"]) == 120
+    for cut in (len(blob) - 9, len(blob) // 2, 60):
+        with pytest.raises(Exception):
+            read_parquet_nested_bytes(blob[:cut], ["ms", "ml"])
+    import random as _random
+
+    rnd = _random.Random(5)
+    for _ in range(60):
+        pos = rnd.randrange(len(blob))
+        mut = bytearray(blob)
+        mut[pos] ^= 1 << rnd.randrange(8)
+        try:
+            got = read_parquet_nested_bytes(bytes(mut), ["ms", "ml"])
+            assert len(got["ms"]) == len(got["ml"])
+        except Exception as exc:
+            assert not isinstance(exc, (SystemExit, KeyboardInterrupt))
