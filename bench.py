@@ -233,6 +233,7 @@ HEADLINE = [
     "scan_orc_nested5",
     "sink_parquet_nested5",
     "sink_orc_nested5",
+    "scan_parquet_brotli",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -304,6 +305,8 @@ STEADY_STATE = {
     "scan_orc_nested5",  # round-12: ORC twin of the above
     "sink_parquet_nested5",  # round-12: export-sink shape
     "sink_orc_nested5",  # round-12: export-sink shape
+    "scan_parquet_brotli",  # round-12: pyarrow-brotli stage + pure
+    # RFC 7932 decode; same fixture-then-scan shape
     "sink_arrow_ipc_nested",  # round-12: same export-sink shape as
     # sink_arrow_ipc (two mapInPandas stages)
     "hybrid_search_rrf",  # round-8: BM25-leg codegen; 9.6 s cold, 3.9 s steady

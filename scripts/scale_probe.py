@@ -1,0 +1,159 @@
+"""Empirical 10x scale probe (round 12, VERDICT r11 ask #10).
+
+The plan audits in tests/test_scale.py argue the expensive entries
+scale ~linearly by SHAPE (keyed shuffles, bounded collects, no
+cartesian products); this probe adds direct evidence: run the most
+expensive bench entries at sf0.1 and at a deterministic 10x slice and
+record the wall-time ratio. A ~linear fit (ratio ~<= 10x, typically
+well under on fixed-overhead-dominated entries) backs the 100x design
+claims; a super-linear ratio would expose a hidden n^2.
+
+The 10x documents slice is 10 deterministic copies of sf0.1's
+documents: copy 0 is the original; copies 1..9 shift doc_id by
+c * 10_000_000 and rotate the letters 'etaoin' by c positions via
+translate(), so texts differ in nearly every token — near-dup and
+fuzzy-dedup entries keep realistic candidate rates instead of the
+quadratic per-clique blowup verbatim copies would cause (every copy
+would LSH-collide with every other, overstating scaling by the copy
+count, not the corpus size). Other tables copy through unchanged.
+pipeline_e2e scales its own generator (rows_per_file x10).
+
+Usage: python scripts/scale_probe.py  -> prints one JSON line and
+writes BENCH_SCALE_r12.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from simple_data_engineering_project_spark import plans  # noqa: E402
+from simple_data_engineering_project_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALED_DIR = "/tmp/sdep_scale10"
+ENTRIES = [
+    "curate_corpus",
+    "bpe_apply",
+    "dedup_cluster_report",
+    "sink_tar_zst",
+    "dedup_minhash",
+]
+ROT = "etaoin"
+
+
+def build_scaled_dir(spark) -> None:
+    shutil.rmtree(SCALED_DIR, ignore_errors=True)
+    os.makedirs(SCALED_DIR, exist_ok=True)
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    copies = [d]
+    for c in range(1, 10):
+        rot = ROT[c % 6:] + ROT[: c % 6]
+        copies.append(
+            d.select(
+                (F.col("doc_id") + F.lit(c * 10_000_000)).alias("doc_id"),
+                F.translate("text", ROT, rot).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.coalesce(4).write.mode("overwrite").parquet(
+        f"{SCALED_DIR}/documents.parquet"
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        src = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(src):
+            dst = f"{SCALED_DIR}/{t}.parquet"
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
+
+
+def _execute(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    build_scaled_dir(spark)
+    cat = plans.catalog()
+    out: dict[str, dict] = {}
+    for name in ENTRIES:
+        q = cat[name]
+        times = {}
+        for label, sfd in (("sf01", SF_DIR), ("sf01_x10", SCALED_DIR)):
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            _execute(q.fn(spark, sfd))  # untimed steady-state warm pass
+            t0 = time.perf_counter()
+            _execute(q.fn(spark, sfd))
+            times[label] = round(time.perf_counter() - t0, 2)
+        times["ratio"] = round(times["sf01_x10"] / max(times["sf01"], 1e-9), 2)
+        out[name] = times
+        print(name, times, flush=True)
+
+    # pipeline_e2e: scale its own generator 10x
+    from simple_data_engineering_project_spark.pipeline import (
+        land_csv_files,
+        run_batch_pipeline,
+    )
+
+    def pipe(rows_per_file: int) -> float:
+        base = "/tmp/sdep_scaleprobe_pipe"
+        shutil.rmtree(base, ignore_errors=True)
+        t0 = time.perf_counter()
+        land_csv_files(
+            spark, f"{base}/landing", num_files=6,
+            rows_per_file=rows_per_file,
+        )
+        run_batch_pipeline(
+            spark,
+            landing_dir=f"{base}/landing",
+            staging_dir=f"{base}/staging",
+            warehouse_dir=f"{base}/warehouse",
+            archive_dir=f"{base}/archive",
+            deterministic_ts="2024-01-01 00:00:00",
+        )
+        wh = spark.read.parquet(f"{base}/warehouse/cocoa_shipments")
+        _execute(wh.groupBy("region").agg({"shipment_value_usd": "sum"}))
+        elapsed = round(time.perf_counter() - t0, 2)
+        shutil.rmtree(base, ignore_errors=True)
+        return elapsed
+
+    pipe(2_000)  # warm the path
+    base_t = pipe(100_000)
+    big_t = pipe(1_000_000)
+    out["pipeline_e2e"] = {
+        "sf01": base_t,
+        "sf01_x10": big_t,
+        "ratio": round(big_t / max(base_t, 1e-9), 2),
+    }
+    print("pipeline_e2e", out["pipeline_e2e"], flush=True)
+
+    result = {
+        "probe": "10x_wall_time_scaling",
+        "round": 12,
+        "load1": round(os.getloadavg()[0], 2),
+        "entries": out,
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BENCH_SCALE_r12.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, separators=(",", ":")))
+    shutil.rmtree(SCALED_DIR, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

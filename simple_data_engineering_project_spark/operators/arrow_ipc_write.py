@@ -229,6 +229,14 @@ def _field_block(bld: _Builder, name: str, tag: str, dict_id: int | None):
     slots: dict[int, tuple] = {0: ("ref", name_b), 1: ("u8", 1)}
     children: list[tuple[str, str]] = []
     if tag.startswith("dict:"):
+        if dict_id is None:
+            # a nested dict field would collide on id 0 AND never get
+            # its values collected (dictionaries are built from
+            # top-level columns only) — decline loudly
+            raise ValueError(
+                "dictionary-encoded columns are supported at the top "
+                "level only"
+            )
         inner = tag[5:]
         if inner != "utf8":
             raise ValueError(

@@ -50,9 +50,13 @@ so each is cross-validated against reference-written bytes.
 Round-10 additions: INT96 timestamps decode to epoch nanoseconds
 (signed nanos-of-day handles both the Java/Impala positive convention
 and pyarrow's negative pre-1970 fractions), and the nested shapes
-above. Unsupported by documented decision: BROTLI/LZO codecs (no
-encoder in-container to validate against) and nesting deeper than one
-level.
+above. Round 12 adds BROTLI page decode (operators/brotli.py — full
+RFC 7932, validated against pyarrow's bundled reference both as a
+codec fuzz target and via hand-built transform-selecting streams).
+Unsupported by documented decision: the LZO codec (no reference
+in-container); the pure WRITER stays none/snappy (a brotli encoder
+is a capability gap, not an honesty decline — pyarrow could verify
+one — and remains future work).
 """
 
 from __future__ import annotations
@@ -81,6 +85,12 @@ def _decompress(codec: int, payload: bytes, uncompressed_size: int) -> bytes:
         return snappy_decompress(payload)
     if codec == 2:  # GZIP
         return zlib.decompress(payload, wbits=31)
+    if codec == 4:  # BROTLI (round 12: RFC 7932 decoder, promoted
+        # from a decline now that pyarrow's bundled brotli provides
+        # the in-container reference to validate against)
+        from .brotli import brotli_decompress
+
+        return brotli_decompress(payload, expected_size=uncompressed_size)
     if codec == 6:  # ZSTD
         from .zstd import zstd_decompress
 
@@ -726,7 +736,14 @@ def _assemble_map_struct_value(key: dict, vparts: dict[str, dict]) -> list:
     vdefs = f0["defs"]
     if len(vdefs) != len(key["defs"]):
         raise ValueError("map key/value leaf level counts disagree")
+    # seat keys positionally (None where d < max_def) instead of
+    # consuming an iterator mid-walk: spec requires REQUIRED keys, but
+    # a spec-odd OPTIONAL key must not silently misalign every later
+    # entry (round-12 review finding) — it surfaces as a None key
     kit = iter(key["present"])
+    kseated = [
+        next(kit) if d == key["max_def"] else None for d in key["defs"]
+    ]
     rows: list = []
     cur: dict | None = None
     for i, (r, d) in enumerate(zip(key["reps"], key["defs"])):
@@ -743,8 +760,7 @@ def _assemble_map_struct_value(key: dict, vparts: dict[str, dict]) -> list:
             rows.append(cur)
         elif cur is None:
             raise ValueError("repetition level continues a null/empty map")
-        k = next(kit)  # map keys are REQUIRED at the entry level
-        cur[k] = (
+        cur[kseated[i]] = (
             None
             if vdefs[i] < d_value
             else {f: seated[f][i] for f in names}
@@ -803,10 +819,15 @@ def _assemble_map_list_value(key: dict, vleaf: dict) -> list:
                     "repetition level continues a null/empty list"
                 )
             cur_list.append(next(it) if d == vleaf["max_def"] else None)
+    # seat keys positionally — see _assemble_map_struct_value's note on
+    # spec-odd OPTIONAL keys (they surface as None, never misalign)
+    kit = iter(key["present"])
+    kseated = [
+        next(kit) if d == key["max_def"] else None for d in key["defs"]
+    ]
     krows: list = []
     kcur: list | None = None
-    kit = iter(key["present"])
-    for r, d in zip(key["reps"], key["defs"]):
+    for i, (r, d) in enumerate(zip(key["reps"], key["defs"])):
         if r == 0:
             if d < key["d_outer"]:
                 krows.append(None)
@@ -820,7 +841,7 @@ def _assemble_map_list_value(key: dict, vleaf: dict) -> list:
             krows.append(kcur)
         elif kcur is None:
             raise ValueError("repetition level continues a null/empty map")
-        kcur.append(next(kit))
+        kcur.append(kseated[i])
     if len(krows) != len(vrows):
         raise ValueError("map key/value leaf row counts disagree")
     out: list = []

@@ -324,3 +324,15 @@ def test_nested_fuzz_random_batches(comp):
 def test_dictionary_value_type_decline():
     with pytest.raises(ValueError, match="utf8"):
         encode_arrow_stream([("d", "dict:int64")], [{"d": [1]}])
+
+
+def test_nested_dictionary_columns_decline():
+    """Round-12 review regression: a dict: tag nested inside a list or
+    struct would collide on dictionary id 0 and never get its values
+    collected — it must decline loudly."""
+    with pytest.raises(ValueError, match="top level"):
+        encode_arrow_stream([("l", "list<dict:utf8>")], [{"l": [["a"]]}])
+    with pytest.raises(ValueError, match="top level"):
+        encode_arrow_stream(
+            [("s", "struct<d:dict:utf8>")], [{"s": [{"d": "a"}]}]
+        )

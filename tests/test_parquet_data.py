@@ -1807,3 +1807,54 @@ def test_map_nested_values_truncation_and_bitflips():
             assert len(got["ms"]) == len(got["ml"])
         except Exception as exc:
             assert not isinstance(exc, (SystemExit, KeyboardInterrupt))
+
+
+def test_map_assemblers_tolerate_optional_keys():
+    """Round-12 review regression: the spec requires REQUIRED map
+    keys, but a spec-odd OPTIONAL key must surface as a None key —
+    never silently misalign every later entry (the first cut consumed
+    the key iterator unconditionally)."""
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        _assemble_map_list_value,
+        _assemble_map_struct_value,
+    )
+
+    # two rows, two entries each; second entry of row 1 has a NULL key
+    # (def 2 < max_def 3 — an optional-key layout)
+    key = {
+        "reps": [0, 1, 0, 1],
+        "defs": [3, 2, 3, 3],
+        "present": ["a", "b", "c"],
+        "max_def": 3,
+        "d_outer": 1,
+        "d_rep": 2,
+    }
+    vparts = {
+        "f": {
+            "reps": [0, 1, 0, 1],
+            "defs": [4, 4, 4, 3],
+            "present": [1, 2, 3],
+            "max_def": 4,
+            "d_value": 3,
+        }
+    }
+    got = _assemble_map_struct_value(key, vparts)
+    assert got == [
+        {"a": {"f": 1}, None: {"f": 2}},
+        {"b": {"f": 3}, "c": {"f": None}},
+    ]
+    vleaf = {
+        "reps": [0, 1, 0, 1],
+        "defs": [5, 5, 5, 4],
+        "present": [10, 20, 30],
+        "max_def": 5,
+        "d_outer": 1,
+        "d_rep": 2,
+        "d_value": 3,
+        "d_list": 4,
+    }
+    got = _assemble_map_list_value(key, vleaf)
+    assert got == [
+        {"a": [10], None: [20]},
+        {"b": [30], "c": [None]},
+    ]
