@@ -231,3 +231,41 @@ def test_output_size_bomb_guard():
     comp = bytes(c.compress(big))
     with pytest.raises(ValueError, match="exceeds|!="):
         brotli_decompress(comp, 1000)  # declared far smaller
+
+
+def test_metadata_skip_blocks_and_uncompressed():
+    """Hand-built stream: a metadata skip block (encoders never emit
+    one), then an uncompressed meta-block, then a final empty block —
+    all three spec forms the compress-based fuzz can't reach."""
+    payload = b"hello metadata"
+    meta = b"\xde\xad\xbe\xef"
+    bw = _bw()
+    bw.w(0, 1)               # WBITS=16
+    # metadata block: ISLAST=0, MNIBBLES code 3, reserved 0,
+    # MSKIPBYTES=1, skip length byte (len-1), align, bytes
+    bw.w(0, 1)
+    bw.w(3, 2)
+    bw.w(0, 1)
+    bw.w(1, 2)
+    bw.w(len(meta) - 1, 8)
+    while len(bw.bits) % 8:
+        bw.w(0, 1)
+    for b in meta:
+        bw.w(b, 8)
+    # uncompressed meta-block: ISLAST=0, MNIBBLES->4, MLEN,
+    # ISUNCOMPRESSED=1, align, raw bytes
+    bw.w(0, 1)
+    bw.w(0, 2)
+    bw.w(len(payload) - 1, 16)
+    bw.w(1, 1)
+    while len(bw.bits) % 8:
+        bw.w(0, 1)
+    for b in payload:
+        bw.w(b, 8)
+    # final empty block
+    bw.w(1, 1)
+    bw.w(1, 1)
+    stream = bw.bytes()
+    # the reference decoder agrees the stream is valid and means this
+    assert _reference_decode(stream, 64) == payload
+    assert brotli_decompress(stream, len(payload)) == payload
