@@ -234,6 +234,7 @@ HEADLINE = [
     "sink_parquet_nested5",
     "sink_orc_nested5",
     "scan_parquet_brotli",
+    "sink_parquet_brotli",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -307,6 +308,8 @@ STEADY_STATE = {
     "sink_orc_nested5",  # round-12: export-sink shape
     "scan_parquet_brotli",  # round-12: pyarrow-brotli stage + pure
     # RFC 7932 decode; same fixture-then-scan shape
+    "sink_parquet_brotli",  # round-12: export-sink shape (own RFC
+    # 7932 encoder + pyarrow read-back)
     "sink_arrow_ipc_nested",  # round-12: same export-sink shape as
     # sink_arrow_ipc (two mapInPandas stages)
     "hybrid_search_rrf",  # round-8: BM25-leg codegen; 9.6 s cold, 3.9 s steady

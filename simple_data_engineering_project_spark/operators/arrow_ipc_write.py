@@ -10,9 +10,11 @@ flatbuffers library), exactly the structures the sibling reader
 parses.
 
 Envelope: int8..int64/uint8..uint64, float32/64, bool, utf8, binary
-columns with validity bitmaps; round 12 adds ``list<scalar>`` /
-``struct<scalars>`` (recursive FieldNode/buffer runs in pre-order,
-int32 list offsets) and ``dict:utf8`` (a DictionaryEncoding'd field
+columns with validity bitmaps; round 12 adds ``list<...>`` /
+``struct<...>`` in ARBITRARY composition over that scalar envelope —
+list<struct>, struct<list>, list<list> all round-trip (the field and
+column builders recurse; pyarrow confirms values AND exact types) —
+plus ``dict:utf8`` (a DictionaryEncoding'd field
 with int32 indexes whose values ship in one DictionaryBatch message
 per id, emitted between the schema and the first record batch; the
 Feather footer lists those frames in its dictionaries block vector) —

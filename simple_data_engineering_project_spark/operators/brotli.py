@@ -1,4 +1,13 @@
-"""Brotli (RFC 7932) DECODER in pure Python (SURVEY §2 C12, round 12).
+"""Brotli (RFC 7932) codec in pure Python (SURVEY §2 C12, round 12).
+
+DECODER: the full bit stream (below). ENCODER
+(:func:`brotli_compress`): literals-only meta-blocks with per-block
+order-0 Huffman literal codes through the complex prefix-code header
+form (exact package-merge length-limited codes, chain-free 16/17
+repeat-run emission) and a store-path uncompressed meta-block when
+entropy coding does not pay — no LZ matches or dictionary references
+yet (documented capability bound, not an honesty decline). Every
+encoder stream is validated against pyarrow's reference DECODER.
 
 Closes the last promotable parquet-codec decline: pyarrow writes
 BROTLI-compressed parquet pages in-container, so a reference
@@ -731,3 +740,313 @@ def brotli_decompress(data: bytes, expected_size: int | None = None) -> bytes:
             f"brotli output size {len(out)} != declared {expected_size}"
         )
     return bytes(out)
+
+
+# ---------------------------------------------------------------- encode
+
+
+class _BitW:
+    """LSB-first bit writer (the stream's bit order)."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def w(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def w_code(self, code: int, n: int) -> None:
+        """A canonical prefix code word: bits MSB-first (the decoder
+        composes (code << 1) | bit)."""
+        for k in range(n - 1, -1, -1):
+            self.w((code >> k) & 1, 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+
+    def bytes(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _package_merge(freqs: dict[int, int], cap: int) -> dict[int, int]:
+    """Exact length-limited Huffman code lengths (package-merge).
+    Returns symbol -> length (1..cap); requires len(freqs) >= 2 and
+    2^cap >= len(freqs)."""
+    syms = sorted(freqs, key=lambda s: (freqs[s], s))
+    n = len(syms)
+    if (1 << cap) < n:
+        raise ValueError("length cap too small for alphabet")
+    # each item: (weight, {symbol: count}) — merged packages carry the
+    # multiset of leaf symbols they contain. Classic package-merge:
+    # L-1 rounds of "package the current list pairwise, then merge
+    # with the leaves"; a symbol's code length is how many of the
+    # final list's first 2n-2 items contain it.
+    leaves = [(freqs[s], {s: 1}) for s in syms]
+    lst = list(leaves)
+    for _ in range(cap - 1):
+        packaged = []
+        for i in range(0, len(lst) - 1, 2):
+            a, b = lst[i], lst[i + 1]
+            bag = dict(a[1])
+            for s, c in b[1].items():
+                bag[s] = bag.get(s, 0) + c
+            packaged.append((a[0] + b[0], bag))
+        lst = sorted(packaged + leaves, key=lambda x: x[0])
+    lengths = {s: 0 for s in syms}
+    for _w, bag in lst[: 2 * n - 2]:
+        for s, c in bag.items():
+            lengths[s] += c
+    # sanity: kraft sum must be exactly 1
+    if sum(1 << (cap - L) for L in lengths.values()) != 1 << cap:
+        raise AssertionError("package-merge produced non-complete code")
+    return lengths
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), deflate-style canonical assignment
+    (the exact convention _Prefix decodes)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev = 0
+    for ln, s in sorted((ln, s) for s, ln in lengths.items() if ln):
+        code <<= ln - prev
+        prev = ln
+        out[s] = (code, ln)
+        code += 1
+    return out
+
+
+# inverse of the 4-bit-peek fixed code: CLC length value -> (bits, n)
+_CLC_EMIT = {0: (0b00, 2), 4: (0b01, 2), 3: (0b10, 2),
+             2: (0b011, 3), 1: (0b0111, 4), 5: (0b1111, 4)}
+
+
+def _emit_complex_prefix_code(bw: _BitW, lengths: dict[int, int],
+                              alphabet: int) -> None:
+    """Emit a complex prefix code header for ``lengths`` (symbol ->
+    1..15, complete). Zero runs use code-length symbol 17; repeated
+    nonzero lengths use single 16s (3-6 repeats each, kept chain-free
+    by re-emitting the plain length between groups)."""
+    # 1. build the code-length symbol event list
+    events: list[tuple[int, int]] = []  # (cl_symbol, extra_value|-1)
+    sym = 0
+    while sym < alphabet:
+        ln = lengths.get(sym, 0)
+        if ln == 0:
+            run = 0
+            while sym + run < alphabet and lengths.get(sym + run, 0) == 0:
+                run += 1
+            if sym + run >= alphabet:
+                break  # trailing zeros are implicit
+            left = run
+            while left >= 3:
+                take = min(left, 10)
+                events.append((17, take - 3))
+                left -= take
+                if left >= 3:
+                    # consecutive 17s CHAIN in the decoder (repeat =
+                    # 8*(r-2)+3+extra) — a plain 0 resets the state so
+                    # each 17 stands alone
+                    events.append((0, -1))
+                    left -= 1
+            for _ in range(left):
+                events.append((0, -1))
+            sym += run
+        else:
+            run = 1
+            while (
+                sym + run < alphabet
+                and lengths.get(sym + run, 0) == ln
+            ):
+                run += 1
+            events.append((ln, -1))
+            left = run - 1
+            while left >= 3:
+                take = min(left, 6)
+                events.append((16, take - 3))
+                left -= take
+                if left >= 3:
+                    # a fresh plain length resets the repeat
+                    # accumulator so each 16 stands alone
+                    events.append((ln, -1))
+                    left -= 1
+            for _ in range(left):
+                events.append((ln, -1))
+            sym += run
+    # 2. CLC over the event symbols (lengths capped at 5)
+    clc_freq: dict[int, int] = {}
+    for cl, _x in events:
+        clc_freq[cl] = clc_freq.get(cl, 0) + 1
+    if len(clc_freq) == 1:
+        only = next(iter(clc_freq))
+        # a complete 2-symbol code (the unused partner never occurs)
+        other = 0 if only != 0 else 5
+        clc_lengths = {only: 1, other: 1}
+    else:
+        clc_lengths = _package_merge(clc_freq, 5)
+    clc_codes = _canonical_codes(clc_lengths)
+    # 3. emit: HSKIP=0, then CLC lengths in order until space fills
+    bw.w(0, 2)  # complex form, HSKIP 0
+    space = 0
+    for s in _CLC_ORDER:
+        ln = clc_lengths.get(s, 0)
+        bits, n = _CLC_EMIT[ln]
+        bw.w(bits, n)
+        if ln:
+            space += 32 >> ln
+            if space >= 32:
+                break
+    # 4. emit the event list through the CLC
+    for cl, extra in events:
+        code, n = clc_codes[cl]
+        bw.w_code(code, n)
+        if cl == 16:
+            bw.w(extra, 2)
+        elif cl == 17:
+            bw.w(extra, 3)
+
+
+def _emit_literal_code(bw: _BitW, freqs: dict[int, int]):
+    """Emit the literal prefix code (simple when <= 4 distinct bytes,
+    complex otherwise); returns symbol -> (code, length) for the data
+    section ((sym, 0) lengths mean zero bits)."""
+    distinct = sorted(freqs)
+    if len(distinct) == 1:
+        bw.w(1, 2)  # simple
+        bw.w(0, 2)  # NSYM-1 = 0
+        bw.w(distinct[0], 8)
+        return {distinct[0]: (0, 0)}
+    if len(distinct) == 2:
+        bw.w(1, 2)
+        bw.w(1, 2)
+        for s in distinct:
+            bw.w(s, 8)
+        return {distinct[0]: (0, 1), distinct[1]: (1, 1)}
+    if len(distinct) == 3:
+        # decoder assigns lengths {1,2,2}: first symbol length 1, the
+        # other two sorted — order by frequency desc for the length-1
+        # slot
+        first = max(distinct, key=lambda s: (freqs[s], -s))
+        rest = sorted(s for s in distinct if s != first)
+        bw.w(1, 2)
+        bw.w(2, 2)
+        for s in [first] + rest:
+            bw.w(s, 8)
+        return {
+            first: (0, 1), rest[0]: (0b10, 2), rest[1]: (0b11, 2),
+        }
+    if len(distinct) == 4:
+        # flat {2,2,2,2}, tree_select 0, symbols sorted
+        bw.w(1, 2)
+        bw.w(3, 2)
+        for s in distinct:
+            bw.w(s, 8)
+        bw.w(0, 1)  # tree_select
+        return {s: (i, 2) for i, s in enumerate(distinct)}
+    lengths = _package_merge(freqs, 15)
+    _emit_complex_prefix_code(bw, lengths, 256)
+    return _canonical_codes(lengths)
+
+
+def _emit_const_code(bw: _BitW, sym: int, abits: int) -> None:
+    """Simple 1-symbol prefix code (0 bits per decode)."""
+    bw.w(1, 2)
+    bw.w(0, 2)
+    bw.w(sym, abits)
+
+
+def brotli_compress(data: bytes) -> bytes:
+    """Encode a VALID RFC 7932 stream: literals-only meta-blocks with
+    one order-0 Huffman literal code each (no LZ matches, no
+    dictionary references — entropy coding only, order-0-optimal on
+    each block; a store-path uncompressed meta-block when entropy
+    coding does not pay). The write twin the decoder needed for
+    surface parity — every stream is validated against pyarrow's
+    reference DECODER in the unit battery and round-trips through
+    :func:`brotli_decompress`."""
+    out = _BitW()
+    out.w(0, 1)  # WBITS = 16
+    CHUNK = 1 << 22  # 4 MiB fits MNIBBLES=6
+    pos = 0
+
+    def emit_mlen(bw: _BitW, mlen: int) -> None:
+        if mlen <= 1 << 16:
+            bw.w(0, 2)
+            bw.w(mlen - 1, 16)
+        elif mlen <= 1 << 20:
+            bw.w(1, 2)
+            bw.w(mlen - 1, 20)
+        else:
+            bw.w(2, 2)
+            bw.w(mlen - 1, 24)
+
+    while pos < len(data):
+        chunk = data[pos : pos + CHUNK]
+        pos += len(chunk)
+        mlen = len(chunk)
+        freqs: dict[int, int] = {}
+        for b in chunk:
+            freqs[b] = freqs.get(b, 0) + 1
+        body = _BitW()
+        body.w(0, 1)  # ISUNCOMPRESSED = 0
+        body.w(0, 1)  # NBLTYPESL = 1
+        body.w(0, 1)  # NBLTYPESI = 1
+        body.w(0, 1)  # NBLTYPESD = 1
+        body.w(0, 2)  # NPOSTFIX
+        body.w(0, 4)  # NDIRECT
+        body.w(0, 2)  # context mode LSB6
+        body.w(0, 1)  # NTREESL = 1
+        body.w(0, 1)  # NTREESD = 1
+        codes = _emit_literal_code(body, freqs)
+        # one command inserting the whole block: insert codes 0..23
+        # cover 0..22593+2^24 contiguously
+        ic = next(
+            i for i, (off, e) in enumerate(_INSERT)
+            if off <= mlen < off + max(1 << e, 1)
+        )
+        ioff, iext = _INSERT[ic]
+        low = ic & 7
+        if ic < 8:
+            cmd = 128 + (low << 3)
+        elif ic < 16:
+            cmd = 256 + (low << 3)
+        else:
+            cmd = 448 + (low << 3)
+        _emit_const_code(body, cmd, 10)
+        _emit_const_code(body, 0, 6)  # distance code (never consumed)
+        body.w(mlen - ioff, iext)
+        for b in chunk:
+            code, n = codes[b]
+            if n:
+                body.w_code(code, n)
+        compressed_bits = len(body.out) * 8 + body.nbits
+        out.w(0, 1)  # ISLAST = 0 (the empty last block terminates)
+        if compressed_bits >= mlen * 8:
+            # store path: uncompressed meta-block
+            emit_mlen(out, mlen)
+            out.w(1, 1)  # ISUNCOMPRESSED
+            out.align()
+            out.out += chunk
+        else:
+            emit_mlen(out, mlen)
+            # splice the body bits (starting at the ISUNCOMPRESSED bit)
+            for byte in body.out:
+                out.w(byte, 8)
+            if body.nbits:
+                out.w(body.acc, body.nbits)
+    # final empty last block
+    out.w(1, 1)
+    out.w(1, 1)
+    return out.bytes()

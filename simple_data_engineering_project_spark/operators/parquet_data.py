@@ -54,9 +54,9 @@ above. Round 12 adds BROTLI page decode (operators/brotli.py — full
 RFC 7932, validated against pyarrow's bundled reference both as a
 codec fuzz target and via hand-built transform-selecting streams).
 Unsupported by documented decision: the LZO codec (no reference
-in-container); the pure WRITER stays none/snappy (a brotli encoder
-is a capability gap, not an honesty decline — pyarrow could verify
-one — and remains future work).
+in-container). The pure WRITER compresses none/snappy/brotli (the
+brotli encoder is the repo's own literals+Huffman RFC 7932 encoder,
+every stream validated against pyarrow's reference decoder).
 """
 
 from __future__ import annotations

@@ -68,6 +68,22 @@ _CONVERTED = {"string": 0, "date": 6, "timestamp": 10}  # UTF8/DATE/TIMESTAMP_MI
 _DICT_MAX_CARD = 65536
 
 
+def _page_compress(codec_id: int, raw: bytes) -> bytes:
+    """Compress one page body for the chunk codec (0 none, 1 snappy,
+    4 brotli — round 12 adds brotli via the repo's own RFC 7932
+    literals+Huffman encoder, validated against pyarrow's reference
+    decoder)."""
+    if codec_id == 1:
+        from .snappy import snappy_compress
+
+        return snappy_compress(raw)
+    if codec_id == 4:
+        from .brotli import brotli_compress
+
+        return brotli_compress(raw)
+    return raw
+
+
 def _varint(v: int) -> bytes:
     out = bytearray()
     while True:
@@ -351,10 +367,8 @@ def _write_column_chunk(body: bytearray, vals: list, ptype: int, codec_id: int):
     """Append the pages of one column chunk; returns the thrift fields
     the ColumnMetaData needs: (encodings, dict_offset, data_offset,
     comp_size, uncomp_size, stats_bytes)."""
-    from .snappy import snappy_compress
-
     def pack(raw: bytes) -> bytes:
-        return snappy_compress(raw) if codec_id else raw
+        return _page_compress(codec_id, raw)
 
     n = len(vals)
     levels = [0 if v is None else 1 for v in vals]
@@ -814,8 +828,6 @@ def _write_column_chunk_v2(body: bytearray, vals: list, ptype: int, codec_id: in
     BYTE_STREAM_SPLIT floats/doubles) — the write-side twin of the
     reader's decode paths. Returns the same tuple shape as the v1
     writer."""
-    from .snappy import snappy_compress
-
     n = len(vals)
     levels = [0 if v is None else 1 for v in vals]
     present = [v for v in vals if v is not None]
@@ -849,7 +861,7 @@ def _write_column_chunk_v2(body: bytearray, vals: list, ptype: int, codec_id: in
     dict_hdr_comp = dict_hdr_raw = 0
     if use_dict:
         draw = _plain(dict_vals, ptype)
-        dcomp = snappy_compress(draw) if codec_id else draw
+        dcomp = _page_compress(codec_id, draw)
         dph = bytearray()
         last = 0
         last = _i32_field(dph, last, 1, len(uniq))
@@ -881,7 +893,7 @@ def _write_column_chunk_v2(body: bytearray, vals: list, ptype: int, codec_id: in
             )
         else:
             raw_vals = _plain(present, ptype)
-    comp_vals = snappy_compress(raw_vals) if codec_id else raw_vals
+    comp_vals = _page_compress(codec_id, raw_vals)
     def_bytes = _rle_runs(levels)
 
     dph = bytearray()
@@ -959,10 +971,8 @@ def _write_nested_chunk(
     the requested layout (v1: prefixed-RLE rep + def levels inside the
     compressed region; v2: unframed levels outside it). Returns the
     same tuple shape as the flat chunk writers."""
-    from .snappy import snappy_compress
-
     def pack(raw: bytes) -> bytes:
-        return snappy_compress(raw) if codec_id else raw
+        return _page_compress(codec_id, raw)
 
     n = len(defs)
     stats = _statistics(present, n - len(present), ptype)
@@ -1063,9 +1073,9 @@ def build_parquet_bytes(
     for c in names:
         if len(columns[c]) != num_rows:
             raise ValueError("ragged columns")
-    if compression not in ("none", "snappy"):
+    if compression not in ("none", "snappy", "brotli"):
         raise NotImplementedError(f"codec {compression} not writable")
-    codec_id = 1 if compression == "snappy" else 0
+    codec_id = {"none": 0, "snappy": 1, "brotli": 4}[compression]
     rg_size = row_group_size or max(num_rows, 1)
 
     def _leaf_metadata(

@@ -13844,6 +13844,110 @@ def scan_parquet_brotli_q(spark, sf_dir):
     )
 
 
+@register(
+    "sink_parquet_brotli",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                ELSE o_orderpriority END AS cat,
+           't-' || CAST(o_orderkey AS VARCHAR) AS tag,
+           o_totalprice AS price,
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN -1
+                ELSE o_orderkey % 5 END AS INT) AS arr_len,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE CAST((o_orderkey % 5) * o_orderkey * 10
+                     + ((o_orderkey % 5) * ((o_orderkey % 5) + 1)) / 2
+                     AS BIGINT) END AS arr_sum
+    FROM orders
+    """,
+    tier="C",
+    note="C12 BROTLI parquet EXPORT (round 12, the write twin of "
+    "scan_parquet_brotli — same derivation, same oracle): the pure "
+    "writer compresses v2 pages through the repo's own RFC 7932 "
+    "ENCODER (operators/brotli.py brotli_compress — literals-only "
+    "meta-blocks with per-block order-0 Huffman literal codes emitted "
+    "through the complex prefix-code header form, chain-free 16/17 "
+    "repeat runs, exact package-merge length-limited codes, and a "
+    "store-path uncompressed meta-block when entropy coding does not "
+    "pay; no LZ matches — entropy coding only, documented). Read-back "
+    "goes through PYARROW's reference reader (which also verifies the "
+    "declared BROTLI codec id) and flattens to scalars DuckDB "
+    "recomputes from source rows — DuckDB itself cannot read brotli "
+    "parquet, so the reference-reader leg carries the decode check "
+    "while the oracle grades values. The unit battery additionally "
+    "validates every encoder stream against pyarrow's brotli "
+    "DECODER directly. ONE FILE PER ARROW BATCH from executors, "
+    "file-per-task, no shuffle.",
+)
+def sink_parquet_brotli_q(spark, sf_dir):
+    from ..operators.parquet_write import build_parquet_bytes
+
+    def _encode(b):
+        keys = [int(x) for x in b["o_orderkey"]]
+        return build_parquet_bytes(
+            {
+                "o_orderkey": keys,
+                "cat": [
+                    None if k % 9 == 0 else str(p)
+                    for k, p in zip(keys, b["o_orderpriority"])
+                ],
+                "tag": [f"t-{k}" for k in keys],
+                "price": [float(v) for v in b["o_totalprice"]],
+                "arr": [
+                    None if k % 7 == 0
+                    else [k * 10 + i for i in range(1, k % 5 + 1)]
+                    for k in keys
+                ],
+            },
+            {
+                "o_orderkey": "bigint", "cat": "string", "tag": "string",
+                "price": "double", "arr": "array<bigint>",
+            },
+            compression="brotli",
+            page_version=2,
+        )
+
+    def _decode(payload):
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        pf = _pq.ParquetFile(_io.BytesIO(payload))
+        assert (
+            pf.metadata.row_group(0).column(0).compression == "BROTLI"
+        ), "staged shard is not brotli-compressed"
+        t = pf.read()
+        rows = []
+        for key, cat, tag, price, av in zip(
+            t.column("o_orderkey").to_pylist(),
+            t.column("cat").to_pylist(),
+            t.column("tag").to_pylist(),
+            t.column("price").to_pylist(),
+            t.column("arr").to_pylist(),
+        ):
+            rows.append({
+                "o_orderkey": int(key),
+                "cat": cat,
+                "tag": tag,
+                "price": price,
+                "arr_len": -1 if av is None else len(av),
+                "arr_sum": None if av is None else sum(av),
+            })
+        return rows
+
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "pq_brotli_sink", "parquet", _encode, _decode,
+        "o_orderkey bigint, cat string, tag string, price double, "
+        "arr_len int, arr_sum bigint",
+        {
+            "o_orderkey": "int64", "arr_len": "int32",
+            "arr_sum": "Int64",
+        },
+        select_cols=("o_orderkey", "o_orderpriority", "o_totalprice"),
+        table="orders",
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate grades the first
 # 50 entries of queries() per round; with 104 entries, a fixed order

@@ -336,3 +336,34 @@ def test_nested_dictionary_columns_decline():
         encode_arrow_stream(
             [("s", "struct<d:dict:utf8>")], [{"s": [{"d": "a"}]}]
         )
+
+
+@pytest.mark.parametrize("comp", [None, "zstd"])
+def test_deeper_nesting_composes(comp):
+    """The recursive field/column builders compose: list<struct>,
+    struct<list> and list<list> round-trip through pyarrow (values AND
+    exact types) and the sibling reader with no extra code paths."""
+    schema = [
+        ("ls", "list<struct<a:int64,b:utf8>>"),
+        ("sl", "struct<x:int64,v:list<float64>>"),
+        ("ll", "list<list<int64>>"),
+    ]
+    batch = {
+        "ls": [[{"a": 1, "b": "x"}, None], None, [],
+               [{"a": None, "b": None}]],
+        "sl": [{"x": 1, "v": [1.5, None]}, None,
+               {"x": None, "v": None}, {"x": 4, "v": []}],
+        "ll": [[[1, 2], None, []], None, [], [[None, 5]]],
+    }
+    blob = encode_arrow_stream(schema, [batch], compression=comp)
+    t = pa.ipc.open_stream(io.BytesIO(blob)).read_all()
+    assert [str(f.type) for f in t.schema] == [
+        "list<item: struct<a: int64, b: string>>",
+        "struct<x: int64, v: list<item: double>>",
+        "list<item: list<item: int64>>",
+    ]
+    for name, _tag in schema:
+        assert t.column(name).to_pylist() == batch[name], name
+    _s, rows = parse_arrow_ipc(blob)
+    for name, _tag in schema:
+        assert [r[name] for r in rows] == batch[name], name

@@ -269,3 +269,121 @@ def test_metadata_skip_blocks_and_uncompressed():
     # the reference decoder agrees the stream is valid and means this
     assert _reference_decode(stream, 64) == payload
     assert brotli_decompress(stream, len(payload)) == payload
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_encoder_streams_validate_against_reference_decoder(seed):
+    """Every stream brotli_compress emits must decode through
+    pyarrow's reference brotli (values AND stream validity), plus the
+    sibling decoder — text, binary, constant, few-symbol, empty,
+    multi-chunk (>4 MiB), and store-path payloads."""
+    from simple_data_engineering_project_spark.operators.brotli import (
+        brotli_compress,
+    )
+
+    c = pa.Codec("brotli")
+    rnd = random.Random(seed)
+    payloads = [
+        b"", b"x", b"hello world", b"a" * 1000,
+        bytes(range(256)) * 50,
+        os.urandom(60000),             # store path
+        open("/root/repo/SURVEY.md", "rb").read(),
+    ]
+    if seed == 1:
+        payloads.append(os.urandom(5_000_000))  # two chunks
+    for _ in range(40):
+        k = rnd.randrange(4)
+        if k == 0:
+            payloads.append(
+                bytes(rnd.randrange(256)
+                      for _ in range(rnd.randrange(2000))))
+        elif k == 1:
+            payloads.append(
+                bytes([rnd.randrange(6)]) * rnd.randrange(1, 500))
+        elif k == 2:
+            payloads.append(
+                (" ".join(str(rnd.randrange(100))
+                          for _ in range(rnd.randrange(300)))).encode())
+        else:
+            payloads.append(
+                bytes(rnd.choice(b"ABCDEFG")
+                      for _ in range(rnd.randrange(1000))))
+    for t in payloads:
+        enc = brotli_compress(t)
+        assert bytes(c.decompress(enc, len(t))) == t
+        assert brotli_decompress(enc, len(t)) == t
+
+
+def test_encoder_compresses_text():
+    from simple_data_engineering_project_spark.operators.brotli import (
+        brotli_compress,
+    )
+
+    text = open("/root/repo/SURVEY.md", "rb").read()
+    assert len(brotli_compress(text)) < 0.75 * len(text)
+
+
+def test_parquet_brotli_write_read():
+    """Pure writer with compression=brotli: pyarrow (reference) reads
+    values AND the declared BROTLI codec; the own reader round-trips;
+    both page versions."""
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        read_parquet_bytes,
+    )
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    rnd = random.Random(2)
+    n = 3000
+    cols = {
+        "i": [rnd.randint(-10**9, 10**9) if rnd.random() > 0.1
+              else None for _ in range(n)],
+        "s": [None if rnd.random() < 0.1
+              else f"w{rnd.randrange(500)}" for _ in range(n)],
+        "d": [rnd.uniform(-1e6, 1e6) for _ in range(n)],
+        "m": [None if i % 7 == 0
+              else {f"k{j}": i * 10 + j for j in range(i % 3)}
+              for i in range(n)],
+    }
+    ddl = {"i": "bigint", "s": "string", "d": "double",
+           "m": "map<string,bigint>"}
+    for pv in (1, 2):
+        blob = build_parquet_bytes(
+            cols, ddl, "brotli", row_group_size=1000, page_version=pv
+        )
+        pf = pq.ParquetFile(io.BytesIO(blob))
+        assert pf.metadata.row_group(0).column(0).compression == "BROTLI"
+        t = pf.read()
+        assert t.column("i").to_pylist() == cols["i"]
+        assert t.column("s").to_pylist() == cols["s"]
+        assert t.column("d").to_pylist() == cols["d"]
+        assert [
+            None if m is None else dict(m)
+            for m in t.column("m").to_pylist()
+        ] == cols["m"]
+        own = read_parquet_bytes(blob, ["i", "d"])
+        assert own["i"] == cols["i"] and own["d"] == cols["d"]
+
+
+def test_encoder_simple_code_orderings():
+    """2/3/4-distinct-symbol payloads exercise the simple prefix-code
+    forms whose symbol-ordering conventions the reference decoder
+    arbitrates (sorted pairs, length-1-first triples, flat quads)."""
+    from simple_data_engineering_project_spark.operators.brotli import (
+        brotli_compress,
+    )
+
+    c = pa.Codec("brotli")
+    rnd = random.Random(9)
+    for distinct in (2, 3, 4):
+        for _ in range(15):
+            alpha = rnd.sample(range(256), distinct)
+            t = bytes(rnd.choices(
+                alpha, weights=[10**i for i in range(distinct)],
+                k=rnd.randrange(distinct, 400)))
+            if len(set(t)) != distinct:
+                continue
+            enc = brotli_compress(t)
+            assert bytes(c.decompress(enc, len(t))) == t
+            assert brotli_decompress(enc, len(t)) == t

@@ -1703,3 +1703,57 @@ def test_orc_map_nested_values_truncation_sweep():
             assert len(got["ms"]) == len(got["ml"])
         except Exception as exc:
             assert not isinstance(exc, (SystemExit, KeyboardInterrupt))
+
+
+def test_rlev1_nested_shapes_decode():
+    """Round-12: every nested LENGTH chain routes RLEv1 when the file
+    is 0.11-era — map, list<struct>, list<list>, struct<list> all
+    cross-validated against pyarrow on pyarrow-written 0.11 files."""
+    from simple_data_engineering_project_spark.operators.orc_data import (
+        read_orc_nested_columns,
+    )
+
+    n = 400
+    rows_m = [
+        None if i % 7 == 0 else
+        {f"k{j}": (None if (i + j) % 5 == 0 else i * 10 + j)
+         for j in range(i % 3)}
+        for i in range(n)
+    ]
+    rows_ls = [
+        None if i % 6 == 0 else
+        [None if (i + j) % 7 == 0 else
+         {"a": i + j, "b": f"s{j}"} for j in range(i % 4)]
+        for i in range(n)
+    ]
+    rows_ll = [
+        None if i % 5 == 0 else
+        [None if (i + j) % 9 == 0 else
+         [i * 10 + j * 2 + e for e in range(j % 3)]
+         for j in range(i % 4)]
+        for i in range(n)
+    ]
+    rows_sl = [
+        None if i % 8 == 0 else
+        {"v": None if i % 9 == 0 else [i + j for j in range(i % 3)]}
+        for i in range(n)
+    ]
+    t = pa.table({
+        "m": pa.array(
+            [None if r is None else list(r.items()) for r in rows_m],
+            pa.map_(pa.string(), pa.int64())),
+        "ls": pa.array(rows_ls, pa.list_(
+            pa.struct([("a", pa.int64()), ("b", pa.string())]))),
+        "ll": pa.array(rows_ll, pa.list_(pa.list_(pa.int64()))),
+        "sl": pa.array(rows_sl, pa.struct(
+            [("v", pa.list_(pa.int64()))])),
+    })
+    buf = io.BytesIO()
+    po.write_table(t, buf, file_version="0.11")
+    data = buf.getvalue()
+    assert po.ORCFile(io.BytesIO(data)).file_version == "0.11"
+    got = read_orc_nested_columns(data, ["m", "ls", "ll", "sl"])
+    assert got["m"] == rows_m
+    assert got["ls"] == rows_ls
+    assert got["ll"] == rows_ll
+    assert got["sl"] == rows_sl
