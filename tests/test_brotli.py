@@ -387,3 +387,54 @@ def test_encoder_simple_code_orderings():
             enc = brotli_compress(t)
             assert bytes(c.decompress(enc, len(t))) == t
             assert brotli_decompress(enc, len(t)) == t
+
+
+def test_npostfix_ndirect_distances_vs_reference():
+    """pyarrow's encoder rarely (if ever) emits NPOSTFIX/NDIRECT > 0,
+    so the parameterized distance formula is arbitrated with
+    hand-built streams decoded by the reference decoder: one direct
+    code (dist = code-16+1) and one long-form code under NPOSTFIX=2
+    with low bits spliced back in."""
+    c = pa.Codec("brotli")
+
+    def build_direct():
+        bw = _bw()
+        bw.w(0, 1); bw.w(1, 1); bw.w(0, 1)
+        bw.w(0, 2); bw.w(6 - 1, 16)      # MLEN 6 = 2 lits + copy 4
+        bw.w(0, 1); bw.w(0, 1); bw.w(0, 1)
+        bw.w(2, 2); bw.w(8, 4)           # NPOSTFIX=2, NDIRECT raw 8
+        bw.w(0, 2); bw.w(0, 1); bw.w(0, 1)
+        bw.w(1, 2); bw.w(1, 2); bw.w(ord("a"), 8); bw.w(ord("b"), 8)
+        bw.w(1, 2); bw.w(0, 2); bw.w(128 + (2 << 3) + 2, 10)
+        alpha = 16 + (8 << 2) + (48 << 2)
+        abits = (alpha - 1).bit_length()
+        bw.w(1, 2); bw.w(0, 2); bw.w(16 + 1, abits)  # direct: dist 2
+        # data: literals a,b (1-bit codes) then no distance extra
+        bw.bits.append(0); bw.bits.append(1)
+        return bw.bytes()
+
+    def build_long():
+        bw = _bw()
+        bw.w(0, 1); bw.w(1, 1); bw.w(0, 1)
+        bw.w(0, 2); bw.w(54 - 1, 16)     # 50 lits + copy 4
+        bw.w(0, 1); bw.w(0, 1); bw.w(0, 1)
+        bw.w(2, 2); bw.w(0, 4)           # NPOSTFIX=2, NDIRECT 0
+        bw.w(0, 2); bw.w(0, 1); bw.w(0, 1)
+        bw.w(1, 2); bw.w(1, 2); bw.w(ord("a"), 8); bw.w(ord("b"), 8)
+        # insert code 13 (offset 50, 4 extra bits), copy code 2
+        bw.w(1, 2); bw.w(0, 2); bw.w(256 + ((13 - 8) << 3) + 2, 10)
+        alpha = 16 + (48 << 2)
+        abits = (alpha - 1).bit_length()
+        # hcode=1, lcode=3: ndistbits 1, offset 2; extra 1 ->
+        # dist = ((2+1)<<2)+3+0+1 = 16
+        bw.w(1, 2); bw.w(0, 2); bw.w(16 + ((1 << 2) | 3), abits)
+        bw.w(0, 4)                        # insert extra
+        for ch in b"ab" * 25:
+            bw.bits.append(0 if ch == ord("a") else 1)
+        bw.w(1, 1)                        # distance extra bit
+        return bw.bytes()
+
+    for stream in (build_direct(), build_long()):
+        ref = _reference_decode(stream, 80)
+        assert ref is not None
+        assert brotli_decompress(stream, len(ref)) == ref
