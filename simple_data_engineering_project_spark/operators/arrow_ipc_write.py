@@ -11,10 +11,12 @@ parses.
 
 Envelope: int8..int64/uint8..uint64, float32/64, bool, utf8, binary
 columns with validity bitmaps; round 12 adds ``list<...>`` /
-``struct<...>`` in ARBITRARY composition over that scalar envelope —
-list<struct>, struct<list>, list<list> all round-trip (the field and
-column builders recurse; pyarrow confirms values AND exact types) —
-plus ``dict:utf8`` (a DictionaryEncoding'd field
+``struct<...>`` / ``map<k,v>`` in ARBITRARY composition over that
+scalar envelope — list<struct>, struct<list>, list<list>,
+map-with-list/struct-values and list<map> all round-trip (the field
+and column builders recurse; pyarrow confirms values AND exact
+types; map entries structs are non-nullable with REQUIRED keys per
+the spec) — plus ``dict:utf8`` (a DictionaryEncoding'd field
 with int32 indexes whose values ship in one DictionaryBatch message
 per id, emitted between the schema and the first record batch; the
 Feather footer lists those frames in its dictionaries block vector) —
@@ -42,6 +44,7 @@ import struct
 # Schema.fbs Type union discriminants (shared with the reader)
 _T_INT, _T_FLOAT, _T_BINARY, _T_UTF8, _T_BOOL = 2, 3, 4, 5, 6
 _T_LIST, _T_STRUCT = 12, 13
+_T_MAP = 17
 
 _SCALAR_FMT = {"i8": "b", "u8": "B", "i16": "h", "i32": "i", "i64": "q"}
 _SCALAR_SIZE = {"i8": 1, "u8": 1, "i16": 2, "i32": 4, "i64": 8}
@@ -219,16 +222,21 @@ def _dict_ids(schema: list[tuple[str, str]]) -> dict[str, int]:
     return ids
 
 
-def _field_block(bld: _Builder, name: str, tag: str, dict_id: int | None):
+def _field_block(bld: _Builder, name: str, tag: str, dict_id: int | None,
+                 nullable: bool = True):
     """One Field table (recursively, for nested tags). Round 12 adds
     ``list<inner>`` (Type List disc 12, one "item" child),
-    ``struct<n:tag,...>`` (Type Struct disc 13, per-field children)
-    and ``dict:utf8`` (utf8 value type + DictionaryEncoding table with
-    int32 indexes) to the scalar envelope. Blocks are created strictly
+    ``struct<n:tag,...>`` (Type Struct disc 13, per-field children),
+    ``map<k,v>`` (Type Map disc 17 with the spec's non-nullable
+    entries struct and REQUIRED key child) and ``dict:utf8`` (utf8
+    value type + DictionaryEncoding table with int32 indexes) to the
+    scalar envelope — all composable. Blocks are created strictly
     parent-first (flatbuffers uoffsets point forward)."""
     f = bld.block(8)
     name_b = _string(bld, name)
-    slots: dict[int, tuple] = {0: ("ref", name_b), 1: ("u8", 1)}
+    slots: dict[int, tuple] = {0: ("ref", name_b)}
+    if nullable:
+        slots[1] = ("u8", 1)
     children: list[tuple[str, str]] = []
     if tag.startswith("dict:"):
         if dict_id is None:
@@ -255,6 +263,32 @@ def _field_block(bld: _Builder, name: str, tag: str, dict_id: int | None):
         # DictionaryEncoding: id(0 i64), indexType(1: Int), isOrdered(2)
         _fill_table(enc, {0: ("i64", dict_id or 0), 1: ("ref", idx_t)})
         _fill_table(idx_t, {0: ("i32", 32), 1: ("u8", 1)})  # int32 signed
+        return f
+    if tag.startswith("map<") and tag.endswith(">"):
+        kv = _split_top(tag[4:-1])
+        if len(kv) != 2:
+            raise ValueError(f"bad map spec {tag!r}")
+        type_b = bld.block(8)
+        slots[2] = ("u8", _T_MAP)
+        slots[3] = ("ref", type_b)
+        ch_vec = bld.block(4)
+        slots[5] = ("ref", ch_vec)
+        _fill_table(f, slots)
+        _fill_table(type_b, {})  # keysSorted stays default false
+        entries = bld.block(8)
+        ename = _string(bld, "entries")
+        e_type = bld.block(8)
+        e_vec = bld.block(4)
+        # entries struct: non-nullable per the spec
+        _fill_table(entries, {
+            0: ("ref", ename), 2: ("u8", _T_STRUCT),
+            3: ("ref", e_type), 5: ("ref", e_vec),
+        })
+        _fill_table(e_type, {})
+        kb = _field_block(bld, "key", kv[0], None, nullable=False)
+        vb = _field_block(bld, "value", kv[1], None)
+        _fill_ref_vector(e_vec, [kb, vb])
+        _fill_ref_vector(ch_vec, [entries])
         return f
     if tag.startswith("list<") and tag.endswith(">"):
         type_b = bld.block(8)
@@ -330,6 +364,32 @@ def _encode_column(tag: str, values: list, dict_index=None):
         idxs = [0 if v is None else dict_index[v] for v in values]
         bufs.append(struct.pack(f"<{n}i", *idxs))
         return [(n, null_count)], bufs
+    if tag.startswith("map<") and tag.endswith(">"):
+        kv = _split_top(tag[4:-1])
+        offs = [0]
+        keys: list = []
+        vals: list = []
+        for v in values:
+            if v is not None:
+                items = v.items() if hasattr(v, "items") else v
+                for k, x in items:
+                    if k is None:
+                        raise ValueError(
+                            "map key is None but arrow map keys are "
+                            "non-nullable"
+                        )
+                    keys.append(k)
+                    vals.append(x)
+            offs.append(len(keys))
+        if offs[-1] > 0x7FFFFFFF:
+            raise ValueError("batch too large for int32 map offsets")
+        bufs.append(struct.pack(f"<{n + 1}i", *offs))
+        # entries struct: non-nullable, no null entries -> empty bitmap
+        nodes = [(n, null_count), (len(keys), 0)]
+        bufs.append(b"")
+        knodes, kbufs = _encode_column(kv[0], keys)
+        vnodes, vbufs = _encode_column(kv[1], vals)
+        return nodes + knodes + vnodes, bufs + kbufs + vbufs
     if tag.startswith("list<") and tag.endswith(">"):
         inner = tag[5:-1].strip()
         offs = [0]

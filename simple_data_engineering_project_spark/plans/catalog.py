@@ -10836,7 +10836,13 @@ def sink_arrow_ipc_q(spark, sf_dir):
            CASE WHEN doc_id % 11 = 0 OR doc_id % 17 = 0 THEN NULL
                 ELSE lang END AS m_lang,
            CASE WHEN doc_id % 11 = 0 THEN NULL ELSE n_chars END AS m_n,
-           source AS src
+           source AS src,
+           CASE WHEN doc_id % 5 = 0 THEN 'NULL'
+                WHEN doc_id % 3 = 0 THEN ''
+                ELSE 'a=' || CAST(n_chars AS VARCHAR) || ',b=' ||
+                     CASE WHEN doc_id % 7 = 0 THEN 'N'
+                          ELSE CAST(doc_id % 7 AS VARCHAR) END
+           END AS mp_csv
     FROM documents
     """,
     tier="C",
@@ -10877,6 +10883,7 @@ def sink_arrow_ipc_nested_q(spark, sf_dir):
                 ("wl", "list<int64>"),
                 ("meta", "struct<lang:utf8,n:int64>"),
                 ("src", "dict:utf8"),
+                ("mp", "map<utf8,int64>"),
             ],
             [{
                 "doc_id": ids,
@@ -10889,6 +10896,15 @@ def sink_arrow_ipc_nested_q(spark, sf_dir):
                     for i, lg, nc in zip(ids, b["lang"], b["n_chars"])
                 ],
                 "src": list(b["source"]),
+                "mp": [
+                    None if i % 5 == 0
+                    else {} if i % 3 == 0
+                    else {
+                        "a": int(nc),
+                        "b": None if i % 7 == 0 else i % 7,
+                    }
+                    for i, nc in zip(ids, b["n_chars"])
+                ],
             }],
             compression="zstd",
         )
@@ -10897,7 +10913,7 @@ def sink_arrow_ipc_nested_q(spark, sf_dir):
         _schema, recs = parse_arrow_ipc(payload)
         rows = []
         for r in recs:
-            wl, meta = r["wl"], r["meta"]
+            wl, meta, mp = r["wl"], r["meta"], r["mp"]
             rows.append(
                 {
                     "doc_id": int(r["doc_id"]),
@@ -10909,6 +10925,12 @@ def sink_arrow_ipc_nested_q(spark, sf_dir):
                     "m_lang": None if meta is None else meta["lang"],
                     "m_n": None if meta is None else meta["n"],
                     "src": r["src"],
+                    "mp_csv": "NULL"
+                    if mp is None
+                    else ",".join(
+                        f"{k}=" + ("N" if v is None else str(v))
+                        for k, v in sorted(mp)
+                    ),
                 }
             )
         return rows
@@ -10916,7 +10938,7 @@ def sink_arrow_ipc_nested_q(spark, sf_dir):
     return _shard_sink_roundtrip(
         spark, sf_dir, "arrow_ipc_nested_sink", "arrows", _encode, _decode,
         "doc_id long, wl_len int, wl_sum long, m_null int, "
-        "m_lang string, m_n long, src string",
+        "m_lang string, m_n long, src string, mp_csv string",
         {
             "doc_id": "int64", "wl_len": "int32", "wl_sum": "Int64",
             "m_null": "int32", "m_n": "Int64",

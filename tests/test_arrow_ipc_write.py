@@ -367,3 +367,62 @@ def test_deeper_nesting_composes(comp):
     _s, rows = parse_arrow_ipc(blob)
     for name, _tag in schema:
         assert [r[name] for r in rows] == batch[name], name
+
+
+@pytest.mark.parametrize("comp", [None, "zstd"])
+def test_map_columns_compose(comp):
+    """Round-12 late wave: map<k,v> (Type Map with the spec's
+    non-nullable entries struct and REQUIRED key) composes with the
+    nested envelope — scalar values, list values, struct values, and
+    maps inside lists — pyarrow confirms values AND exact types."""
+    from simple_data_engineering_project_spark.operators.arrow_ipc_write import (
+        encode_feather_file,
+    )
+
+    schema = [
+        ("m", "map<utf8,int64>"),
+        ("ml", "map<utf8,list<int64>>"),
+        ("ms", "map<utf8,struct<a:int64,b:utf8>>"),
+        ("lm", "list<map<utf8,int64>>"),
+    ]
+    batch = {
+        "m": [{"a": 1, "b": None}, None, {}, {"c": 3}],
+        "ml": [{"x": [1, None]}, None, {}, {"y": None, "z": []}],
+        "ms": [{"k": {"a": 1, "b": "v"}}, None, {}, {"q": None}],
+        "lm": [[{"a": 1}, None], None, [], [{}]],
+    }
+
+    def expect(name):
+        return [
+            None if v is None else (
+                [None if e is None else list(e.items()) for e in v]
+                if name == "lm" else list(v.items())
+            )
+            for v in batch[name]
+        ]
+
+    stream = encode_arrow_stream(schema, [batch], compression=comp)
+    t = pa.ipc.open_stream(io.BytesIO(stream)).read_all()
+    assert [str(f.type) for f in t.schema] == [
+        "map<string, int64>",
+        "map<string, list<item: int64>>",
+        "map<string, struct<a: int64, b: string>>",
+        "list<item: map<string, int64>>",
+    ]
+    for name, _tag in schema:
+        assert t.column(name).to_pylist() == expect(name), name
+    _s, rows = parse_arrow_ipc(stream)
+    for name, _tag in schema:
+        assert [r[name] for r in rows] == expect(name), name
+    # feather form too (footer round trip)
+    fblob = encode_feather_file(schema, [batch], compression=comp)
+    tf = pa.ipc.open_file(io.BytesIO(fblob)).read_all()
+    for name, _tag in schema:
+        assert tf.column(name).to_pylist() == expect(name), name
+
+
+def test_map_none_key_declines():
+    with pytest.raises(ValueError, match="non-nullable"):
+        encode_arrow_stream(
+            [("m", "map<utf8,int64>")], [{"m": [{None: 1}]}]
+        )
