@@ -1082,14 +1082,18 @@ def brotli_compress(data: bytes) -> bytes:
             bw.w(mlen - 1, 24)
 
     pos = 0
+    # The decoder's distance ring persists across meta-blocks (RFC 7932
+    # §4), so the simulated ring must live outside the chunk loop. A
+    # store-path chunk leaves the decoder's ring untouched, so the
+    # planning mutations for that chunk are rolled back below.
+    ring = [4, 11, 15, 16]
     while pos < len(data):
         chunk = data[pos: pos + CHUNK]
         pos += len(chunk)
         mlen = len(chunk)
         cmds = _lz_parse(chunk, window)
 
-        # assign symbols, mirroring the decoder's ring-buffer rules
-        dists = [4, 11, 15, 16]
+        dists = list(ring)
         lit_freq: dict[int, int] = {}
         cmd_freq: dict[int, int] = {}
         dist_freq: dict[int, int] = {}
@@ -1188,11 +1192,14 @@ def brotli_compress(data: bytes) -> bytes:
             out.w(1, 1)  # ISUNCOMPRESSED
             out.align()
             out.out += chunk
+            # decoder ring untouched by the store path: discard the
+            # planning mutations (ring keeps its pre-chunk state)
         else:
             for byte in body.out:
                 out.w(byte, 8)
             if body.nbits:
                 out.w(body.acc, body.nbits)
+            ring = dists
     # final empty last block
     out.w(1, 1)
     out.w(1, 1)

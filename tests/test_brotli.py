@@ -438,3 +438,62 @@ def test_npostfix_ndirect_distances_vs_reference():
         ref = _reference_decode(stream, 80)
         assert ref is not None
         assert brotli_decompress(stream, len(ref)) == ref
+
+
+def test_encoder_distance_ring_persists_across_meta_blocks():
+    """Regression: the encoder's simulated distance ring must persist
+    across 4 MiB meta-blocks (RFC 7932 §4 — the decoder's ring does).
+    A >4 MiB COMPRESSIBLE payload whose second chunk begins with a
+    distance-4 repeat: the pre-fix per-chunk ring reset made the
+    encoder emit an implicit last-distance cell that the decoder
+    resolved against the chunk-1 ring head (distance 1000 here),
+    silently corrupting the output. Validated against pyarrow's
+    reference decoder AND the sibling decoder; also asserts both
+    chunks actually took the compressed (non-store) path."""
+    from simple_data_engineering_project_spark.operators.brotli import (
+        brotli_compress,
+    )
+
+    rnd = random.Random(7)
+    chunk_len = 1 << 22
+    # chunk 1: matches at distance 1000 -> pushes 1000 into the ring
+    block = bytes(
+        rnd.choice(b"abcdefghijklmnopqrstuvwxyz ") for _ in range(1000)
+    )
+    chunk1 = (block * ((chunk_len // 1000) + 1))[:chunk_len]
+    # chunk 2: begins with a distance-4 repeat
+    chunk2 = b"wxyz" * 7 + block * 200
+    data = chunk1 + chunk2
+    assert len(data) > chunk_len
+    enc = brotli_compress(data)
+    # both chunks compressed (not store): far below the raw size
+    assert len(enc) < len(data) // 100
+    c = pa.Codec("brotli")
+    assert bytes(c.decompress(enc, len(data))) == data
+    assert brotli_decompress(enc, len(data)) == data
+
+
+def test_encoder_ring_rollback_on_store_chunk():
+    """A compressible chunk 1 (pushes distances) followed by an
+    incompressible store-path chunk 2 and a compressible chunk 3 that
+    opens with a short-distance repeat: the simulated ring must carry
+    chunk 1's pushes THROUGH the store chunk (which leaves the
+    decoder's ring untouched) without also absorbing chunk 2's
+    planning-time mutations."""
+    from simple_data_engineering_project_spark.operators.brotli import (
+        brotli_compress,
+    )
+
+    rnd = random.Random(11)
+    chunk_len = 1 << 22
+    block = bytes(
+        rnd.choice(b"abcdefghijklmnopqrstuvwxyz ") for _ in range(777)
+    )
+    chunk1 = (block * ((chunk_len // 777) + 1))[:chunk_len]
+    chunk2 = os.urandom(chunk_len)  # store path
+    chunk3 = b"wxyz" * 7 + block * 50
+    data = chunk1 + chunk2 + chunk3
+    enc = brotli_compress(data)
+    c = pa.Codec("brotli")
+    assert bytes(c.decompress(enc, len(data))) == data
+    assert brotli_decompress(enc, len(data)) == data
