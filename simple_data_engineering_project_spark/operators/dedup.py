@@ -20,8 +20,11 @@ JVM-side expressions (no Python in the hot path):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..functions import normalized_text
 
@@ -59,6 +62,16 @@ def shingles(col, k: int = 5):
     NULL and concat_ws skips them, matching array_join(slice(...)).
     """
     toks = F.split(normalized_text(col) if isinstance(col, str) else col, " ")
+    return shingles_from_tokens(toks, k)
+
+
+def shingles_from_tokens(toks, k: int = 5):
+    """:func:`shingles` over an ALREADY-TOKENIZED array<string> column.
+
+    Pipelines that tokenize once and stage the token array (curate_corpus
+    materializes it through the exact-dedup checkpoint) skip the
+    normalization regex here — at corpus scale the regex pass over full
+    text is the dominant per-row cost of signature computation."""
     m = F.greatest(F.size(toks) - F.lit(k), F.lit(0)) + F.lit(1)
     acc = F.slice(toks, 1, m)
     for j in range(2, k + 1):
@@ -95,14 +108,51 @@ def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 42):
     array fold is evaluated interpreted per row.
     """
     hashes = F.transform(shingle_col, _shingle_hash)
+
+    def _mk(a: int, b: int):
+        # one-arg closure: a two-arg lambda (h, ab) would make
+        # F.transform bind the second parameter to the ELEMENT INDEX
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(hashes, lambda h, ab=ab: F.pmod(ab[0] * h + ab[1], F.lit(_P)))
-            )
-            for ab in _hash_family(num_hashes, seed)
+            F.array_min(F.transform(hashes, _mk(a, b)))
+            for a, b in _hash_family(num_hashes, seed)
         ]
     )
+
+
+def _minhash_sig_arrow(num_hashes: int, seed: int):
+    """Row-local MinHash signature as an Arrow-batched column: takes the
+    array<long> of shingle hashes (JVM xxhash64 — bit-identical to the
+    explode→groupBy path) and folds the universal-hash minima in numpy.
+
+    Why this exists alongside :func:`minhash_signatures_df`: the
+    explode→agg path costs a full (id, hash) shuffle plus a join back
+    to the corpus when the signature must ride WITH the rows (the
+    fuzzy-dedup base checkpoint). This form is shuffle-free — one
+    projection inside whatever job materializes the corpus — and the
+    numpy fold ((num_hashes × shingles) broadcast, a*h+b < 2^62 so
+    int64 never overflows) is vectorized where the Catalyst
+    higher-order-function fold is interpreted per element (round-13
+    profiling: the interpreted fold QUINTUPLED curate_corpus).
+    """
+    fam = _hash_family(num_hashes, seed)
+    a = np.array([f[0] for f in fam], dtype=np.int64).reshape(-1, 1)
+    b = np.array([f[1] for f in fam], dtype=np.int64).reshape(-1, 1)
+
+    @pandas_udf("array<long>")
+    def sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in hashes:
+            if hs is None:
+                out.append(None)
+                continue
+            h = np.asarray(hs, dtype=np.int64)
+            out.append(((a * h + b) % _P).min(axis=1))
+        return pd.Series(out)
+
+    return sig
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
@@ -135,6 +185,7 @@ def minhash_signatures_df(
     k: int = 5,
     num_hashes: int = 64,
     seed: int = 42,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """(id, sig: array<long>) via explode → 64 min-aggregates.
 
@@ -142,11 +193,18 @@ def minhash_signatures_df(
     hash aggregate computing all minima — whole-stage codegen, map-side
     combine, shuffle carries one row per id. At 100 TB this is strictly
     a scan + one keyed agg; no interpreted lambdas in the hot path.
+    ``toks_col`` names a pre-tokenized array<string> column to shingle
+    instead of re-normalizing ``text_col`` (see curate_corpus).
     """
     df = _spread(df, id_col)
+    sh_expr = (
+        shingles_from_tokens(F.col(toks_col), k)
+        if toks_col
+        else shingles(text_col, k)
+    )
     exploded = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, k)).alias("sh"),
+        F.explode(sh_expr).alias("sh"),
     ).select("id", _shingle_hash(F.col("sh")).alias("h"))
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P))).alias(f"m{i}")
@@ -171,7 +229,10 @@ def _drop_oversize_buckets(
     where most blocks exceed the cap — can grow the blacklist without
     bound, and a forced broadcast would OOM the driver; unhinted, AQE
     degrades to a shuffled join. Members of a dropped block still pair
-    through their other bands/blocks.
+    through their other bands/blocks. (A window-count form — one pass
+    over the block-key shuffle — was tried in round 13 and LOST ~3 s on
+    curate_corpus: WindowExec's mandatory sort over every banded row
+    costs more than the tiny combined census crossing the wire.)
     """
     oversize = (
         blocked.groupBy(*keys)
@@ -191,6 +252,8 @@ def minhash_lsh_candidates(
     bands: int = 16,
     seed: int = 42,
     max_bucket_size: int = 10_000,
+    toks_col: str | None = None,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -212,8 +275,17 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     # Materialize signatures: one narrow row per doc (64 longs), consumed
     # twice (bucket-size census + pairing join). At corpus scale this is
-    # the "signature table" every production MinHash pipeline stages.
-    sig = minhash_signatures_df(df, id_col, text_col, k, num_hashes, seed).localCheckpoint()
+    # the "signature table" every production MinHash pipeline pipelines
+    # stages. ``sig_df`` lets a caller that ALREADY staged signatures
+    # (dedup_fuzzy_keep_one computes them row-locally inside its base
+    # checkpoint — one materialization instead of two jobs) hand in the
+    # (id, sig) table directly.
+    if sig_df is not None:
+        sig = sig_df
+    else:
+        sig = minhash_signatures_df(
+            df, id_col, text_col, k, num_hashes, seed, toks_col
+        ).localCheckpoint()
     banded = sig.select(
         "id",
         "sig",
@@ -264,6 +336,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.0,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate (id_a, id_b) pairs.
 
@@ -287,7 +360,12 @@ def ngram_jaccard_pairs(
         cand_ids, df[id_col] == F.col("cid"), "left_semi"
     )
     sh = suspects.select(
-        F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
+        F.col(id_col).alias("id"),
+        (
+            shingles_from_tokens(F.col(toks_col), k)
+            if toks_col
+            else shingles(text_col, k)
+        ).alias("sh"),
     )
     out = (
         candidates.join(sh.withColumnRenamed("sh", "sh_a"), F.col("id_a") == F.col("id"))
@@ -626,6 +704,7 @@ def dedup_fuzzy_keep_one(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Full fuzzy-dedup pipeline: keep one document per near-dup cluster.
 
@@ -642,6 +721,25 @@ def dedup_fuzzy_keep_one(
     this is the "stage the filtered corpus to storage once" step every
     multi-pass dedup job does.
     """
+    # The MinHash signature rides INSIDE the base checkpoint —
+    # shingle hashes JVM-side (xxhash64, identical values to the
+    # explode→groupBy path), minima folded in one Arrow-batched numpy
+    # pass — so ONE materialization stages corpus + signatures
+    # together, where the separate explode→groupBy signature job costs
+    # an extra shuffle + its own checkpoint (round-13 profiling:
+    # ~1 s/run of pure job overhead on curate_corpus). Shuffle-free
+    # and embarrassingly parallel, so the trade holds at cluster scale.
+    sh_expr = (
+        shingles_from_tokens(F.col(toks_col), k)
+        if toks_col
+        else shingles(text_col, k)
+    )
+    df = df.withColumn(
+        "__sig",
+        _minhash_sig_arrow(num_hashes, seed)(
+            F.transform(sh_expr, _shingle_hash)
+        ),
+    )
     # Checkpoint FIRST, probe after: probing the unmaterialized input
     # forces its AQE query stages just to read a partition count
     # (round-10 profiling: 1.3 s/run on the curate_corpus chain), while
@@ -656,8 +754,18 @@ def dedup_fuzzy_keep_one(
     spread = _spread(df, id_col)
     if spread is not df:
         df = spread.localCheckpoint()
-    cands = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes, bands, seed)
-    verified = ngram_jaccard_pairs(df, cands, id_col, text_col, k, threshold)
+    sig = df.select(
+        F.col(id_col).alias("id"), F.col("__sig").alias("sig")
+    )
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, k, num_hashes, bands, seed,
+        toks_col=toks_col, sig_df=sig,
+    )
+    verified = ngram_jaccard_pairs(
+        df.drop("__sig"), cands, id_col, text_col, k, threshold,
+        toks_col=toks_col,
+    )
+    df = df.drop("__sig")
     comp = connected_components(verified)
     winners = comp.groupBy("component").agg(F.min("node").alias("__keep"))
     drop = (

@@ -41,14 +41,18 @@ def token_count_bpe_ish(col: str = "text"):
     return F.regexp_count(F.col(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
 
 
-def quality_score_expr(text_col: str = "text"):
+def quality_score_expr(text_col: str = "text", toks=None):
     """The rounded quality score as a row-local column expression.
 
     Exposed separately so pipelines can gate on quality with a plain
     ``filter`` (zero joins) while :func:`quality_features` serves the
-    full feature table.
+    full feature table. ``toks`` supplies a pre-tokenized array<string>
+    column so single-pass pipelines skip the normalization regex (the
+    punctuation count still reads the raw text — it is a property of
+    the UN-normalized string).
     """
-    toks = tokens(text_col)
+    if toks is None:
+        toks = tokens(text_col)
     n_tok = F.size(toks).cast("double")
     n_char = F.length(F.col(text_col)).cast("double")
     en_stop = F.array(*[F.lit(s) for s in _STOPWORDS["en"]])
@@ -66,9 +70,12 @@ def quality_score_expr(text_col: str = "text"):
     return F.round(score, 4)
 
 
-def lang_pred_expr(text_col: str = "text"):
-    """Predicted language as a row-local column expression (see lang_id)."""
-    toks = F.array_distinct(tokens(text_col))
+def lang_pred_expr(text_col: str = "text", toks=None):
+    """Predicted language as a row-local column expression (see lang_id).
+
+    ``toks`` supplies a pre-tokenized array<string> column (skips the
+    normalization regex)."""
+    toks = F.array_distinct(tokens(text_col) if toks is None else toks)
     scored = [
         F.struct(
             F.size(
@@ -229,22 +236,93 @@ def curate_corpus(
     scale — cheap row-local filters (lang, quality) run first and
     typically drop most of the corpus before any shuffle happens.
     """
-    from ..functions import doc_fingerprint
     from .dedup import _spread, dedup_exact, dedup_fuzzy_keep_one
 
-    # Both gates are row-local expressions — apply them as ONE filter in
-    # the scan stage (no joins, no second pass over the corpus). The
-    # expressions are the exact ones lang_id/quality_features expose.
-    # _spread BEFORE the filter: the gates are the expensive part of the
-    # scan, and a narrow small-file input would evaluate them on one
+    # Tokenize ONCE: the normalization regex over full text is the
+    # dominant per-row cost of every text stage, and the naive chain
+    # pays it five times (lang gate, quality gate, fingerprint, minhash
+    # shingles, verify shingles). One projection computes the token
+    # array; both gates, the exact-dedup fingerprint (md5 of the
+    # re-joined tokens — identical bytes to md5(normalized_text) since
+    # normalization collapses whitespace), and — staged through the
+    # fuzzy stage's checkpoint — both shingle passes all reuse it.
+    # _spread BEFORE the projection: the regex is the expensive part of
+    # the scan, and a narrow small-file input would evaluate it on one
     # core (the exchange moves raw rows, which is cheap; no-op when the
     # input is already wide).
-    filtered = _spread(docs, id_col).filter(
-        (lang_pred_expr(text_col)["lang"] == lang)
-        & (quality_score_expr(text_col) >= min_quality)
-    )
+    toked = _spread(docs, id_col).withColumn("__toks", tokens(text_col))
+    if lang in _STOPWORDS:
+        # Scalar argmax instead of greatest() over (score, lang)
+        # structs: struct comparison is evaluated interpreted, and the
+        # gate only needs "did `lang` win", not the winner itself.
+        # Identical semantics to lang_pred_expr (argmax with
+        # lexicographically-greatest tie-break): `lang` wins iff per
+        # rival it scores strictly higher, or ties and sorts greater.
+        # The distinct-token array and the target-language score are
+        # computed once in a projection and shared with the quality
+        # gate's stopword ratio (Catalyst CSE does not reach across
+        # filter conjuncts).
+        dt = F.array_distinct(F.col("__toks"))
+        toked = toked.withColumn("__dt", dt)
+        scores = {
+            code: F.size(
+                F.array_intersect(
+                    F.col("__dt"), F.array(*[F.lit(s) for s in sw])
+                )
+            )
+            for code, sw in _STOPWORDS.items()
+        }
+        tgt = scores[lang]
+        lang_ok = F.lit(True)
+        for code, sc in scores.items():
+            if code == lang:
+                continue
+            beats = (tgt > sc) if lang < code else (tgt >= sc)
+            lang_ok = lang_ok & beats
+        # quality_score_expr inlined over the staged arrays; the
+        # stopword-ratio term reuses the target-language intersect
+        # when lang == 'en' (the score formula always rates against
+        # the English list).
+        n_tok = F.size(F.col("__toks")).cast("double")
+        n_char = F.length(F.col(text_col)).cast("double")
+        stop_hits = (
+            tgt if lang == "en"
+            else F.size(
+                F.array_intersect(
+                    F.col("__dt"),
+                    F.array(*[F.lit(s) for s in _STOPWORDS["en"]]),
+                )
+            )
+        ).cast("double")
+        punct = F.regexp_count(
+            F.col(text_col), F.lit(r"[^\w\s]")
+        ).cast("double")
+        punct_ratio = F.when(n_char > 0, punct / n_char).otherwise(
+            F.lit(0.0)
+        )
+        stop_ratio = stop_hits / F.lit(float(len(_STOPWORDS["en"])))
+        score = F.round(
+            F.least(n_tok / F.lit(20.0), F.lit(1.0)) * F.lit(0.4)
+            + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0)))
+            * F.lit(0.3)
+            + F.least(stop_ratio * F.lit(2.0), F.lit(1.0)) * F.lit(0.3),
+            4,
+        )
+        filtered = toked.filter(lang_ok & (score >= min_quality)).drop(
+            "__dt"
+        )
+    else:
+        filtered = toked.filter(
+            (lang_pred_expr(text_col, toks=F.col("__toks"))["lang"] == lang)
+            & (
+                quality_score_expr(text_col, toks=F.col("__toks"))
+                >= min_quality
+            )
+        )
     exact = dedup_exact(
-        filtered.withColumn("__fp", doc_fingerprint(text_col)),
+        filtered.withColumn(
+            "__fp", F.md5(F.concat_ws(" ", F.col("__toks")))
+        ),
         keys=["__fp"],
         tiebreak=[id_col],
     ).drop("__fp")
@@ -259,8 +337,8 @@ def curate_corpus(
     # sf0.001 + sf0.01 with these parameters).
     return dedup_fuzzy_keep_one(
         exact, id_col=id_col, text_col=text_col, threshold=jaccard_threshold,
-        num_hashes=32, bands=8,
-    )
+        num_hashes=32, bands=8, toks_col="__toks",
+    ).drop("__toks")
 
 
 def decontaminate(
