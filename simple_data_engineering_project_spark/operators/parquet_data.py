@@ -339,10 +339,11 @@ def _parse_schema(meta: dict) -> dict[str, dict]:
             name = el.get(4, b"").decode("utf-8")
             path = f"{prefix}{name}"
             kids = el.get(5, 0)
-            # cumulative (def, rep, repetition_code) after each path
-            # element — the nested assembler derives its null/empty
-            # thresholds from these
-            lv = levels + [(d, r, rep)]
+            # cumulative (def, rep, repetition_code, converted_type)
+            # after each path element — the nested assemblers derive
+            # their null/empty thresholds from the first three; the
+            # generic assembler shapes LIST/MAP values from the fourth
+            lv = levels + [(d, r, rep, el.get(6))]
             if kids:
                 walk(kids, d, r, f"{path}.", lv)
             else:
@@ -527,7 +528,7 @@ def _assemble_list(reps, defs, present, leaf) -> list:
     means a null element."""
     levels = leaf["levels"]
     rep_idx = next(
-        i for i, (_d, _r, code) in enumerate(levels) if code == 2
+        i for i, lv in enumerate(levels) if lv[2] == 2
     )
     d_rep = levels[rep_idx][0]
     d_outer = levels[rep_idx - 1][0] if rep_idx > 0 else 0
@@ -876,6 +877,174 @@ def _assemble_struct(parts: dict[str, tuple]) -> list:
     ]
 
 
+class _GenLeaf:
+    """Per-leaf cursor for the generic Dremel assembler: seated values
+    (positionally aligned with the level streams — None where the def
+    level is below the leaf's max), rep/def streams, and a position."""
+
+    __slots__ = ("reps", "defs", "seated", "pos", "n")
+
+    def __init__(self, reps, defs, present, max_def):
+        self.reps = reps
+        self.defs = defs
+        it = iter(present)
+        self.seated = [
+            next(it) if d == max_def else None for d in defs
+        ]
+        self.pos = 0
+        self.n = len(defs)
+
+
+def _build_column_tree(col: str, leaves: list[str], schema: dict) -> dict:
+    """Node tree for one top-level column from its leaves' cumulative
+    ``levels``. Node: {name, d, r, rep, converted, children, path}
+    where ``d``/``r`` are the cumulative def/rep levels AT the node,
+    ``rep`` its repetition code (0 required / 1 optional / 2 repeated),
+    and ``path`` the dotted leaf path for leaf nodes (None for groups).
+    Children keep schema order (the depth-first walk sorted first, so
+    re-sort by each leaf's original index is unnecessary — field order
+    only affects dict key order, and the row converter looks fields up
+    by name)."""
+    root: dict = {
+        "name": col, "children": [], "order": [], "path": None,
+    }
+    for p in leaves:
+        segs = p.split(".")
+        lv = schema[p]["levels"]
+        node = root
+        for i, seg in enumerate(segs):
+            d, r, rep = lv[i][0], lv[i][1], lv[i][2]
+            conv = lv[i][3] if len(lv[i]) > 3 else None
+            if i == 0:
+                node.update(d=d, r=r, rep=rep, converted=conv)
+                continue
+            nxt = None
+            for ch in node["children"]:
+                if ch["name"] == seg:
+                    nxt = ch
+                    break
+            if nxt is None:
+                nxt = {
+                    "name": seg, "d": d, "r": r, "rep": rep,
+                    "converted": conv, "children": [], "path": None,
+                }
+                node["children"].append(nxt)
+            node = nxt
+        node["path"] = p
+    # per-node flat leaf-cursor list (subtree order) filled at read time
+    return root
+
+
+def _gen_node_leaves(node: dict, out: list) -> None:
+    if node["path"] is not None:
+        out.append(node["path"])
+    for ch in node["children"]:
+        _gen_node_leaves(ch, out)
+
+
+def _assemble_generic(tree: dict, curs: dict[str, "_GenLeaf"]) -> list:
+    """Record assembly for ARBITRARY nesting depth (Dremel): LIST and
+    MAP annotated groups, structs, and repeated nodes compose freely —
+    three-deep lists, map<k, map<k, v>>, list<map>, struct<map<...>>
+    all reconstruct through the same recursion. Spec refs: Dremel
+    (Melnik et al., VLDB 2010) record assembly; parquet-format
+    LogicalTypes.md nested-shape conventions (3-level LIST,
+    key_value MAP with REQUIRED keys)."""
+
+    def sub_leaves(node):
+        if "__leaves" not in node:
+            paths: list = []
+            _gen_node_leaves(node, paths)
+            node["__leaves"] = [curs[p] for p in paths]
+        return node["__leaves"]
+
+    def peek_def(node):
+        c = sub_leaves(node)[0]
+        return c.defs[c.pos]
+
+    def skip(node):
+        for c in sub_leaves(node):
+            c.pos += 1
+
+    def build_value(node):
+        """One value for ``node``, all ancestors defined. Consumes one
+        slot from every leaf in the subtree (possibly more for repeated
+        descendants)."""
+        children = node["children"]
+        if not children:  # leaf
+            c = curs[node["path"]]
+            v = c.seated[c.pos]
+            c.pos += 1
+            return v
+        if node["rep"] == 1 and peek_def(node) < node["d"]:
+            skip(node)
+            return None
+        # LIST/MAP annotated group: single repeated child drives a list
+        if len(children) == 1 and children[0]["rep"] == 2:
+            rep_node = children[0]
+            items = build_repeated(rep_node)
+            kids = rep_node["children"]
+            is_map = (
+                len(kids) == 2
+                and {k["name"] for k in kids} == {"key", "value"}
+                and (
+                    node["converted"] in (1, 2)
+                    or rep_node["name"] == "key_value"
+                )
+            )
+            if is_map:
+                return {e["key"]: e["value"] for e in items}
+            return items
+        return {ch["name"]: build_field(ch) for ch in children}
+
+    def build_field(node):
+        # a struct field that is itself REPEATED (legacy 2-level list)
+        if node["rep"] == 2:
+            return build_repeated(node)
+        return build_value(node)
+
+    def build_instance(node):
+        """One element of a repeated node (its own def level already
+        established >= node.d by the caller's loop)."""
+        kids = node["children"]
+        if not kids:  # repeated primitive
+            c = curs[node["path"]]
+            v = c.seated[c.pos]
+            c.pos += 1
+            return v
+        if len(kids) == 1 and (
+            node["name"] in ("list", "bag", "key_value")
+            or kids[0]["name"] in ("element", "item", "array_element")
+        ):
+            # standard 3-level shape: repeated group wrapping the
+            # element node (parquet-format back-compat rules; a
+            # repeated group NOT matching these names is itself the
+            # element — legacy 2-level list<struct<one field>>)
+            return build_value(kids[0])
+        return {ch["name"]: build_field(ch) for ch in kids}
+
+    def build_repeated(node):
+        if peek_def(node) < node["d"]:
+            skip(node)
+            return []
+        items = [build_instance(node)]
+        drv = sub_leaves(node)[0]
+        while drv.pos < drv.n and drv.reps[drv.pos] == node["r"]:
+            items.append(build_instance(node))
+        return items
+
+    rows: list = []
+    drv = sub_leaves(tree)[0]
+    while drv.pos < drv.n:
+        rows.append(build_field(tree))
+    for c in curs.values():
+        if c.pos != c.n:
+            raise ValueError(
+                "generic assembly desync: leaf stream not fully consumed"
+            )
+    return rows
+
+
 def read_parquet_nested_columns(path: str, columns: list[str]) -> dict[str, list]:
     """:func:`read_parquet_nested_bytes` over a file path."""
     with open(path, "rb") as f:
@@ -899,6 +1068,19 @@ def read_parquet_nested_bytes(buf: bytes, columns: list[str]) -> dict[str, list]
     for rg in meta.get(4, []):
         _decode_row_group(buf, rg, schema, columns, out)
     return out
+
+
+def _decode_generic_column(
+    buf: bytes, c: str, leaves: list[str], schema: dict, by_path: dict
+) -> list:
+    """One column of one row group through the generic assembler."""
+    tree = _build_column_tree(c, leaves, schema)
+    curs = {}
+    for p in leaves:
+        leaf = schema[p]
+        reps, defs, present = read_chunk_levels(buf, by_path[p], leaf)
+        curs[p] = _GenLeaf(reps, defs, present, leaf["max_def"])
+    return _assemble_generic(tree, curs)
 
 
 def _decode_row_group(
@@ -945,6 +1127,11 @@ def _decode_row_group(
                 schema[p]["max_rep"] == 1
                 and p.count(".") == 3
                 and schema[p]["levels"][2][2] == 2
+                # 3-level LIST field only: a map field (c.f.key_value.*)
+                # presents the same depth/rep signature but needs the
+                # generic assembler
+                and p.split(".")[2] == "list"
+                and p.split(".")[3] == "element"
             )
             for p in leaves
         ):
@@ -1089,17 +1276,20 @@ def _decode_row_group(
                     _assemble_map_struct_value(key_part, vparts)
                 )
             else:
-                raise NotImplementedError(
-                    f"column {c!r}: map values may be scalars, "
-                    "struct<scalars> or list<scalar>; deeper value "
-                    "shapes decline loudly"
+                # deeper map values (map/list-of-struct/nested lists):
+                # the generic Dremel assembler (round 13)
+                out[c].extend(
+                    _decode_generic_column(buf, c, leaves, schema, by_path)
                 )
         else:
-            raise NotImplementedError(
-                f"column {c!r}: supported nesting is LIST/STRUCT one "
-                "level, list<struct<scalars>>, struct<list>, map<k,v> "
-                "(incl. struct/list values since round 12) and "
-                "list<list<scalar>>; deeper shapes decline loudly"
+            # any other nesting composition — three-deep lists, deeper
+            # map values, struct<map>, list<map<..>> … — assembles
+            # through the generic Dremel recursion (round 13). Only
+            # parquet shapes with no Spark analogue (e.g. thrift UNION
+            # schemas) remain out of envelope, and they fail loudly in
+            # tree construction.
+            out[c].extend(
+                _decode_generic_column(buf, c, leaves, schema, by_path)
             )
 
 

@@ -610,23 +610,37 @@ def test_int96_spark_written_java_convention(spark, tmp_path):
     assert got.count(None) == 1
 
 
-def test_nested_deeper_shapes_decline_loudly(tmp_path):
-    # round 12 moved map-with-nested-values (struct/list) to the
-    # SUPPORTED side; three-deep lists and map<k,map> still decline
+def test_nested_deeper_shapes_assemble_generically(tmp_path):
+    # round 13: the generic Dremel assembler takes every former
+    # decline — three-deep lists, map<k,map>, struct<map>, list<map>
     path = tmp_path / "deep_lll.parquet"
     pq.write_table(pa.table({"lll": pa.array(
-        [[[[1]]]], pa.list_(pa.list_(pa.list_(pa.int64())))
+        [[[[1]]], None, [[[2, None], []], None], [[]], []],
+        pa.list_(pa.list_(pa.list_(pa.int64())))
     )}), path)
-    with pytest.raises(NotImplementedError):
-        read_parquet_nested_columns(str(path), ["lll"])
+    got = read_parquet_nested_columns(str(path), ["lll"])["lll"]
+    assert got == [
+        [[[1]]], None, [[[2, None], []], None], [[]], [],
+    ]
     path = tmp_path / "deep_mm.parquet"
     pq.write_table(pa.table({"mm": pa.array(
-        [[("k", [("x", 1)])]],
+        [[("k", [("x", 1)])], None, [("e", [])], []],
         pa.map_(pa.string(), pa.map_(pa.string(), pa.int64())),
     )}), path)
-    with pytest.raises(NotImplementedError):
-        read_parquet_nested_columns(str(path), ["mm"])
-    # map<k, list> now decodes (round 12)
+    got = read_parquet_nested_columns(str(path), ["mm"])["mm"]
+    assert got == [{b"k": {b"x": 1}}, None, {b"e": {}}, {}]
+    path = tmp_path / "deep_sm.parquet"
+    pq.write_table(pa.table({"sm": pa.array(
+        [{"m": {"k": 1}, "t": 7}, {"m": None, "t": 8}, None],
+        pa.struct([
+            ("m", pa.map_(pa.string(), pa.int64())), ("t", pa.int64()),
+        ]),
+    )}), path)
+    got = read_parquet_nested_columns(str(path), ["sm"])["sm"]
+    assert got == [
+        {"m": {b"k": 1}, "t": 7}, {"m": None, "t": 8}, None,
+    ]
+    # map<k, list> decodes (round 12 specialist path, unchanged)
     path = tmp_path / "deep_mv.parquet"
     pq.write_table(pa.table({"mv": pa.array(
         [[("k", [1, 2])]], pa.map_(pa.string(), pa.list_(pa.int64()))
@@ -1860,3 +1874,123 @@ def test_map_assemblers_tolerate_optional_keys():
         {"a": [10], None: [20]},
         {"b": [30], "c": [None]},
     ]
+
+
+def _pa_to_reader_convention(v, typ):
+    """pyarrow pylist value -> the pure reader's convention: maps as
+    Python dicts, strings as raw utf-8 bytes (type conversion is the
+    downstream converter's job)."""
+    if v is None:
+        return None
+    if pa.types.is_map(typ):
+        return {
+            _pa_to_reader_convention(k, typ.key_type):
+                _pa_to_reader_convention(x, typ.item_type)
+            for k, x in v
+        }
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        return [_pa_to_reader_convention(x, typ.value_type) for x in v]
+    if pa.types.is_struct(typ):
+        return {
+            f.name: _pa_to_reader_convention(v[f.name], f.type)
+            for f in typ
+        }
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return v.encode() if isinstance(v, str) else v
+    return v
+
+
+@pytest.mark.parametrize("row_group_size", [None, 2])
+def test_generic_assembler_vs_pyarrow(tmp_path, row_group_size):
+    """Round 13: the generic Dremel assembler, cross-validated against
+    pyarrow on every formerly-declined composition — three-deep lists,
+    map<k,map<k,v>>, map<k,list<struct>>, struct<map>, list<map>,
+    list<list<struct<scalar,list>>>, map<k,struct<map>> — with
+    null/empty residue at every level and row-group splits."""
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        read_parquet_nested_bytes,
+    )
+
+    cases = {
+        "l3": pa.array(
+            [[[[1, 2], [3]], [[4]]], None, [[[5], None], []], [[]], []],
+            type=pa.list_(pa.list_(pa.list_(pa.int64()))),
+        ),
+        "mm": pa.array(
+            [{"a": {"x": 1, "y": 2}, "b": {}}, None, {"c": {"z": None}}, {}],
+            type=pa.map_(pa.string(), pa.map_(pa.string(), pa.int64())),
+        ),
+        "mls": pa.array(
+            [
+                {"a": [{"u": 1, "s": "p"}, None], "b": []},
+                {"c": [{"u": None, "s": "q"}]},
+                None,
+                {},
+            ],
+            type=pa.map_(
+                pa.string(),
+                pa.list_(
+                    pa.struct([("u", pa.int64()), ("s", pa.string())])
+                ),
+            ),
+        ),
+        "sm": pa.array(
+            [
+                {"m": {"k": 1}, "t": 7},
+                {"m": None, "t": 8},
+                None,
+                {"m": {}, "t": None},
+            ],
+            type=pa.struct(
+                [("m", pa.map_(pa.string(), pa.int64())), ("t", pa.int64())]
+            ),
+        ),
+        "lm": pa.array(
+            [[{"a": 1}, {}, None], [], None, [{"b": 2, "c": 3}]],
+            type=pa.list_(pa.map_(pa.string(), pa.int64())),
+        ),
+        "lls": pa.array(
+            [
+                [[{"f": 1.5, "g": [1, 2]}, None]],
+                [[]],
+                None,
+                [[{"f": None, "g": []}], [{"f": 2.0, "g": None}]],
+            ],
+            type=pa.list_(
+                pa.list_(
+                    pa.struct(
+                        [("f", pa.float64()), ("g", pa.list_(pa.int64()))]
+                    )
+                )
+            ),
+        ),
+        "msm": pa.array(
+            [{"a": {"i": {"x": True}}}, None, {"b": {}}],
+            type=pa.map_(
+                pa.string(),
+                pa.struct([("i", pa.map_(pa.string(), pa.bool_()))]),
+            ),
+        ),
+    }
+    n = max(len(a) for a in cases.values())
+    cols = {}
+    for name, arr in cases.items():
+        if len(arr) < n:
+            arr = pa.concat_arrays(
+                [arr, pa.array([None] * (n - len(arr)), type=arr.type)]
+            )
+        cols[name] = arr
+    tbl = pa.table(cols)
+    buf = io.BytesIO()
+    pq.write_table(
+        tbl, buf, compression="snappy",
+        row_group_size=row_group_size or n,
+    )
+    got = read_parquet_nested_bytes(buf.getvalue(), list(cols))
+    for name in cols:
+        typ = tbl.schema.field(name).type
+        want = [
+            _pa_to_reader_convention(v, typ)
+            for v in tbl.column(name).to_pylist()
+        ]
+        assert got[name] == want, name
