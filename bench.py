@@ -235,6 +235,12 @@ HEADLINE = [
     "sink_orc_nested5",
     "scan_parquet_brotli",
     "sink_parquet_brotli",
+    # round 13: generic-depth nesting (three-deep lists + map-of-map)
+    # both directions in both pure formats
+    "scan_parquet_nested6",
+    "scan_orc_nested6",
+    "sink_parquet_nested6",
+    "sink_orc_nested6",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose

@@ -1,4 +1,5 @@
-"""Empirical 10x scale probe (round 12, VERDICT r11 ask #10).
+"""Empirical 10x scale probe (round 12, VERDICT r11 ask #10; round 13
+extends it to the pure-codec entries and a 30x pipeline point).
 
 The plan audits in tests/test_scale.py argue the expensive entries
 scale ~linearly by SHAPE (keyed shuffles, bounded collects, no
@@ -15,11 +16,19 @@ translate(), so texts differ in nearly every token — near-dup and
 fuzzy-dedup entries keep realistic candidate rates instead of the
 quadratic per-clique blowup verbatim copies would cause (every copy
 would LSH-collide with every other, overstating scaling by the copy
-count, not the corpus size). Other tables copy through unchanged.
-pipeline_e2e scales its own generator (rows_per_file x10).
+count, not the corpus size). Round 13 scales ORDERS the same way
+(copies 1..9 shift o_orderkey by c * 100_000_000 — the pure-codec
+entries derive their fixtures from the key, so shifted copies keep
+realistic null/length residue) for the three expensive pure-Python
+codec entries (scan/sink_parquet_brotli, scan_orc_pure): per-page
+Python cost x page-count growth is exactly where a super-linear
+surprise would hide (VERDICT r12 ask #5). Other tables copy through
+unchanged. pipeline_e2e scales its own generator (rows_per_file x10,
+plus a 30x point to separate fixed-cost amortization from creeping
+super-linearity — r12 ask #10).
 
 Usage: python scripts/scale_probe.py  -> prints one JSON line and
-writes BENCH_SCALE_r12.json at the repo root.
+writes BENCH_SCALE_r13.json at the repo root.
 """
 
 from __future__ import annotations
@@ -45,6 +54,10 @@ ENTRIES = [
     "dedup_cluster_report",
     "sink_tar_zst",
     "dedup_minhash",
+    # round 13: the expensive pure-Python codec entries (orders-keyed)
+    "scan_parquet_brotli",
+    "sink_parquet_brotli",
+    "scan_orc_pure",
 ]
 ROT = "etaoin"
 
@@ -69,8 +82,23 @@ def build_scaled_dir(spark) -> None:
     big.coalesce(4).write.mode("overwrite").parquet(
         f"{SCALED_DIR}/documents.parquet"
     )
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    ocopies = [o]
+    for c in range(1, 10):
+        ocopies.append(
+            o.withColumn(
+                "o_orderkey",
+                F.col("o_orderkey") + F.lit(c * 100_000_000),
+            )
+        )
+    obig = ocopies[0]
+    for c in ocopies[1:]:
+        obig = obig.unionByName(c)
+    obig.coalesce(8).write.mode("overwrite").parquet(
+        f"{SCALED_DIR}/orders.parquet"
+    )
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "embeddings"):
+              "lineitem", "events", "embeddings"):
         src = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(src):
             dst = f"{SCALED_DIR}/{t}.parquet"
@@ -134,21 +162,25 @@ def main() -> None:
     pipe(2_000)  # warm the path
     base_t = pipe(100_000)
     big_t = pipe(1_000_000)
+    bigger_t = pipe(3_000_000)  # 30x point (r12 ask #10): separates
+    # fixed-cost amortization from creeping super-linearity
     out["pipeline_e2e"] = {
         "sf01": base_t,
         "sf01_x10": big_t,
         "ratio": round(big_t / max(base_t, 1e-9), 2),
+        "sf01_x30": bigger_t,
+        "ratio30": round(bigger_t / max(base_t, 1e-9), 2),
     }
     print("pipeline_e2e", out["pipeline_e2e"], flush=True)
 
     result = {
         "probe": "10x_wall_time_scaling",
-        "round": 12,
+        "round": 13,
         "load1": round(os.getloadavg()[0], 2),
         "entries": out,
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BENCH_SCALE_r12.json"), "w") as f:
+    with open(os.path.join(root, "BENCH_SCALE_r13.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, separators=(",", ":")))
     shutil.rmtree(SCALED_DIR, ignore_errors=True)

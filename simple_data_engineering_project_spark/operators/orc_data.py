@@ -48,8 +48,10 @@ column encodings DIRECT=0/DICTIONARY=1): every integer-stream decode
 dispatches on the column encoding via :func:`_int_rle`,
 cross-validated against pyarrow-written ``file_version="0.11"``
 fixtures, plus map values that are themselves structs or lists
-(map<k,struct<scalars>>, map<k,list<scalar>>). Declined loudly:
-UNION, deeper nesting.
+(map<k,struct<scalars>>, map<k,list<scalar>>). Round 13 adds the
+GENERIC recursive node reader: any LIST/MAP/STRUCT composition —
+three-deep lists, map-of-map, struct<map> — decodes through one
+recursion over the PRESENT/LENGTH chains. Declined loudly: UNION.
 
 Scale shape: file-per-task, same as parquet_data.pure_parquet_scan —
 each executor decodes whole files independently, no shuffle.
@@ -500,6 +502,100 @@ def _subtype_ids(t: dict) -> list[int]:
     return out
 
 
+def _all_subtree_ids(types: list[dict], cid: int) -> list[int]:
+    """All type ids in the subtree rooted at ``cid`` (pre-order)."""
+    out = [cid]
+    for k in _subtype_ids(types[cid]):
+        out.extend(_all_subtree_ids(types, k))
+    return out
+
+
+def _read_generic_node(
+    cid, count, types, located, encodings, codec
+) -> list:
+    """Recursive ORC composite decode for ARBITRARY nesting depth
+    (round 13): every node owns a PRESENT stream sized by its parent's
+    present count; LIST/MAP add a LENGTH stream over the present
+    instances and size their children by the summed lengths; STRUCT
+    fields weave by the present flags. Scalars delegate to
+    :func:`_decode_column` (which handles its own PRESENT +
+    dictionary). UNION declines loudly. ORC spec: each compound
+    type's streams nest by the parent's present cardinality —
+    composition needs no per-shape cases."""
+    kind = types[cid].get(1, 0)
+    if kind == _K_UNION:
+        raise NotImplementedError("ORC union columns not supported")
+    if kind not in (_K_STRUCT, _K_LIST, _K_MAP):
+        e = encodings[cid] if cid < len(encodings) else {}
+        return _decode_column(
+            located, codec, cid, kind, e.get(1, 0), e.get(2, 0), count
+        )
+    praw = located.get((cid, _S_PRESENT))
+    present = (
+        _bool_rle(_decompress_stream(codec, praw), count)
+        if praw is not None
+        else [True] * count
+    )
+    n_present = sum(present)
+    if kind == _K_STRUCT:
+        kids = _subtype_ids(types[cid])
+        fnames = [
+            n.decode("utf-8") for n in _as_list(types[cid].get(3))
+        ]
+        fields = [
+            _read_generic_node(
+                k, n_present, types, located, encodings, codec
+            )
+            for k in kids
+        ]
+        rows: list = []
+        j = 0
+        for pr in present:
+            if not pr:
+                rows.append(None)
+                continue
+            rows.append({f: col[j] for f, col in zip(fnames, fields)})
+            j += 1
+        return rows
+    enc_parent = (encodings[cid] if cid < len(encodings) else {}).get(1, 0)
+    lraw = located.get((cid, _S_LENGTH))
+    lengths = _int_rle(
+        _decompress_stream(codec, lraw) if lraw else b"",
+        n_present, signed=False, enc=enc_parent,
+    )
+    total = sum(lengths)
+    if kind == _K_LIST:
+        (eid,) = _subtype_ids(types[cid])
+        elems = _read_generic_node(
+            eid, total, types, located, encodings, codec
+        )
+        rows = []
+        li = ei = 0
+        for pr in present:
+            if not pr:
+                rows.append(None)
+                continue
+            ln = lengths[li]
+            li += 1
+            rows.append(elems[ei: ei + ln])
+            ei += ln
+        return rows
+    kid, vid = _subtype_ids(types[cid])
+    keys = _read_generic_node(kid, total, types, located, encodings, codec)
+    vals = _read_generic_node(vid, total, types, located, encodings, codec)
+    rows = []
+    li = ei = 0
+    for pr in present:
+        if not pr:
+            rows.append(None)
+            continue
+        ln = lengths[li]
+        li += 1
+        rows.append(dict(zip(keys[ei: ei + ln], vals[ei: ei + ln])))
+        ei += ln
+    return rows
+
+
 def read_stripe_stats(path_or_bytes) -> list[list[dict]]:
     """Per-stripe, per-column statistics from the ORC METADATA section
     (between the stripes and the footer; PostScript field 5 gives its
@@ -619,9 +715,10 @@ def read_orc_nested_columns(
     Round 12 adds ``map<k, struct<scalars>>`` (the value STRUCT
     carries its own PRESENT over all entries) and ``map<k,
     list<scalar>>`` (the value LIST carries its own PRESENT + LENGTH
-    over entries). Scalar columns pass through unchanged. UNION and
-    deeper nesting decline loudly — mirroring the parquet reader's
-    contract."""
+    over entries). Scalar columns pass through unchanged. Round 13:
+    any composition the enumerated plans above decline falls through
+    to :func:`_read_generic_node` — only UNION declines loudly,
+    mirroring the parquet reader's contract."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         buf = bytes(path_or_bytes)
     else:
@@ -635,136 +732,151 @@ def read_orc_nested_columns(
             raise ValueError(f"column {c!r} not in file")
         cid = leaves[c]["col_id"]
         kind = leaves[c]["kind"]
-        if kind == _K_LIST:
-            (elem_id,) = _subtype_ids(types[cid])
-            ek = types[elem_id].get(1, 0)
-            if ek == _K_STRUCT:
-                # list<struct<scalars>> (round 11): the element struct's
-                # fields are grandchild columns sized by the PRESENT
-                # elements
-                gkids = _subtype_ids(types[elem_id])
-                gnames = [
-                    n.decode("utf-8")
-                    for n in _as_list(types[elem_id].get(3))
-                ]
-                for g in gkids:
+        try:
+            if kind == _K_LIST:
+                (elem_id,) = _subtype_ids(types[cid])
+                ek = types[elem_id].get(1, 0)
+                if ek == _K_STRUCT:
+                    # list<struct<scalars>> (round 11): the element struct's
+                    # fields are grandchild columns sized by the PRESENT
+                    # elements
+                    gkids = _subtype_ids(types[elem_id])
+                    gnames = [
+                        n.decode("utf-8")
+                        for n in _as_list(types[elem_id].get(3))
+                    ]
+                    for g in gkids:
+                        if types[g].get(1, 0) in (
+                            _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
+                        ):
+                            raise NotImplementedError(
+                                f"ORC column {c!r}: list<struct> fields "
+                                "must be scalar"
+                            )
+                    plan[c] = {
+                        "kind": kind, "cid": cid, "children": [elem_id],
+                        "elem_struct": (elem_id, gnames, gkids),
+                    }
+                elif ek == _K_LIST:
+                    # list<list<scalar>> (round 11): the inner LIST node
+                    # carries its own PRESENT/LENGTH over the outer
+                    # elements; its element column is a grandchild
+                    (g,) = _subtype_ids(types[elem_id])
                     if types[g].get(1, 0) in (
                         _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
                     ):
                         raise NotImplementedError(
-                            f"ORC column {c!r}: list<struct> fields "
-                            "must be scalar"
+                            f"ORC column {c!r}: list<list> elements must "
+                            "be scalar"
+                        )
+                    plan[c] = {
+                        "kind": kind, "cid": cid, "children": [elem_id, g],
+                        "elem_list": (elem_id, g),
+                    }
+                elif ek in (_K_MAP, _K_UNION):
+                    raise NotImplementedError(
+                        f"ORC column {c!r}: unsupported element nesting"
+                    )
+                else:
+                    plan[c] = {"kind": kind, "cid": cid, "children": [elem_id]}
+            elif kind == _K_STRUCT:
+                kids = _subtype_ids(types[cid])
+                fnames = [n.decode("utf-8") for n in _as_list(types[cid].get(3))]
+                list_kids: dict[int, int] = {}
+                extra: list[int] = []
+                for k in kids:
+                    kk = types[k].get(1, 0)
+                    if kk == _K_LIST:
+                        # struct<list<scalar>> field (round 11): the kid's
+                        # PRESENT/LENGTH cover the present struct rows; its
+                        # element column is a grandchild
+                        (g,) = _subtype_ids(types[k])
+                        if types[g].get(1, 0) in (
+                            _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
+                        ):
+                            raise NotImplementedError(
+                                f"ORC column {c!r}: struct list fields "
+                                "must have scalar elements"
+                            )
+                        list_kids[k] = g
+                        extra.append(g)
+                    elif kk in (_K_MAP, _K_STRUCT, _K_UNION):
+                        raise NotImplementedError(
+                            f"ORC column {c!r}: only one level of nesting"
                         )
                 plan[c] = {
-                    "kind": kind, "cid": cid, "children": [elem_id],
-                    "elem_struct": (elem_id, gnames, gkids),
+                    "kind": kind, "cid": cid, "children": kids + extra,
+                    "fields": fnames, "field_kids": kids,
+                    "list_kids": list_kids,
                 }
-            elif ek == _K_LIST:
-                # list<list<scalar>> (round 11): the inner LIST node
-                # carries its own PRESENT/LENGTH over the outer
-                # elements; its element column is a grandchild
-                (g,) = _subtype_ids(types[elem_id])
-                if types[g].get(1, 0) in (
+            elif kind == _K_MAP:
+                # map<scalar,scalar> (round 11): parent LENGTH stream, two
+                # child columns (keys, values) each sized by the summed
+                # lengths — the LIST layout with two children. Round 12
+                # adds map<k, struct<scalars>> (the value STRUCT carries
+                # its own PRESENT over all entries; field leaves sized by
+                # the present entries) and map<k, list<scalar>> (the value
+                # LIST carries its own PRESENT + LENGTH over entries).
+                kid, vid = _subtype_ids(types[cid])
+                if types[kid].get(1, 0) in (
                     _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
                 ):
                     raise NotImplementedError(
-                        f"ORC column {c!r}: list<list> elements must "
-                        "be scalar"
+                        f"ORC column {c!r}: map keys must be scalar"
                     )
-                plan[c] = {
-                    "kind": kind, "cid": cid, "children": [elem_id, g],
-                    "elem_list": (elem_id, g),
-                }
-            elif ek in (_K_MAP, _K_UNION):
+                vk = types[vid].get(1, 0)
+                plan[c] = {"kind": kind, "cid": cid, "children": [kid, vid]}
+                if vk == _K_STRUCT:
+                    gkids = _subtype_ids(types[vid])
+                    gnames = [
+                        n.decode("utf-8")
+                        for n in _as_list(types[vid].get(3))
+                    ]
+                    for g in gkids:
+                        if types[g].get(1, 0) in (
+                            _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
+                        ):
+                            raise NotImplementedError(
+                                f"ORC column {c!r}: map<struct> fields "
+                                "must be scalar"
+                            )
+                    plan[c]["children"] = [kid, vid] + gkids
+                    plan[c]["val_struct"] = (vid, gnames, gkids)
+                elif vk == _K_LIST:
+                    (g,) = _subtype_ids(types[vid])
+                    if types[g].get(1, 0) in (
+                        _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
+                    ):
+                        raise NotImplementedError(
+                            f"ORC column {c!r}: map<list> elements must "
+                            "be scalar"
+                        )
+                    plan[c]["children"] = [kid, vid, g]
+                    plan[c]["val_list"] = (vid, g)
+                elif vk in (_K_MAP, _K_UNION):
+                    raise NotImplementedError(
+                        f"ORC column {c!r}: unsupported map value nesting"
+                    )
+            elif kind == _K_UNION:
                 raise NotImplementedError(
-                    f"ORC column {c!r}: unsupported element nesting"
+                    f"ORC column kind {kind} not supported (union)"
                 )
             else:
-                plan[c] = {"kind": kind, "cid": cid, "children": [elem_id]}
-        elif kind == _K_STRUCT:
-            kids = _subtype_ids(types[cid])
-            fnames = [n.decode("utf-8") for n in _as_list(types[cid].get(3))]
-            list_kids: dict[int, int] = {}
-            extra: list[int] = []
-            for k in kids:
-                kk = types[k].get(1, 0)
-                if kk == _K_LIST:
-                    # struct<list<scalar>> field (round 11): the kid's
-                    # PRESENT/LENGTH cover the present struct rows; its
-                    # element column is a grandchild
-                    (g,) = _subtype_ids(types[k])
-                    if types[g].get(1, 0) in (
-                        _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
-                    ):
-                        raise NotImplementedError(
-                            f"ORC column {c!r}: struct list fields "
-                            "must have scalar elements"
-                        )
-                    list_kids[k] = g
-                    extra.append(g)
-                elif kk in (_K_MAP, _K_STRUCT, _K_UNION):
-                    raise NotImplementedError(
-                        f"ORC column {c!r}: only one level of nesting"
-                    )
-            plan[c] = {
-                "kind": kind, "cid": cid, "children": kids + extra,
-                "fields": fnames, "field_kids": kids,
-                "list_kids": list_kids,
-            }
-        elif kind == _K_MAP:
-            # map<scalar,scalar> (round 11): parent LENGTH stream, two
-            # child columns (keys, values) each sized by the summed
-            # lengths — the LIST layout with two children. Round 12
-            # adds map<k, struct<scalars>> (the value STRUCT carries
-            # its own PRESENT over all entries; field leaves sized by
-            # the present entries) and map<k, list<scalar>> (the value
-            # LIST carries its own PRESENT + LENGTH over entries).
-            kid, vid = _subtype_ids(types[cid])
-            if types[kid].get(1, 0) in (
-                _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
+                plan[c] = {"kind": kind, "cid": cid, "children": []}
+        except NotImplementedError:
+            # generic fallback (round 13): any composition the
+            # enumerated plans decline assembles through the
+            # recursive node reader; only UNION stays declined
+            if any(
+                types[i].get(1, 0) == _K_UNION
+                for i in _all_subtree_ids(types, cid)
             ):
-                raise NotImplementedError(
-                    f"ORC column {c!r}: map keys must be scalar"
-                )
-            vk = types[vid].get(1, 0)
-            plan[c] = {"kind": kind, "cid": cid, "children": [kid, vid]}
-            if vk == _K_STRUCT:
-                gkids = _subtype_ids(types[vid])
-                gnames = [
-                    n.decode("utf-8")
-                    for n in _as_list(types[vid].get(3))
-                ]
-                for g in gkids:
-                    if types[g].get(1, 0) in (
-                        _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
-                    ):
-                        raise NotImplementedError(
-                            f"ORC column {c!r}: map<struct> fields "
-                            "must be scalar"
-                        )
-                plan[c]["children"] = [kid, vid] + gkids
-                plan[c]["val_struct"] = (vid, gnames, gkids)
-            elif vk == _K_LIST:
-                (g,) = _subtype_ids(types[vid])
-                if types[g].get(1, 0) in (
-                    _K_LIST, _K_MAP, _K_STRUCT, _K_UNION
-                ):
-                    raise NotImplementedError(
-                        f"ORC column {c!r}: map<list> elements must "
-                        "be scalar"
-                    )
-                plan[c]["children"] = [kid, vid, g]
-                plan[c]["val_list"] = (vid, g)
-            elif vk in (_K_MAP, _K_UNION):
-                raise NotImplementedError(
-                    f"ORC column {c!r}: unsupported map value nesting"
-                )
-        elif kind == _K_UNION:
-            raise NotImplementedError(
-                f"ORC column kind {kind} not supported (union)"
-            )
-        else:
-            plan[c] = {"kind": kind, "cid": cid, "children": []}
+                raise
+            plan[c] = {
+                "kind": "generic", "cid": cid,
+                "children": _all_subtree_ids(types, cid)[1:],
+            }
+
     out: dict[str, list] = {c: [] for c in columns}
     for si, st in enumerate(stripes):
         if _keep is not None and not _keep[si]:
@@ -1057,6 +1169,12 @@ def read_orc_nested_columns(
                     rows.append({f: fields[f][j] for f in p["fields"]})
                     j += 1
                 out[c].extend(rows)
+            elif p["kind"] == "generic":
+                out[c].extend(
+                    _read_generic_node(
+                        cid, n_rows, types, located, encodings, codec
+                    )
+                )
             else:
                 e = encodings[cid] if cid < len(encodings) else {}
                 out[c].extend(

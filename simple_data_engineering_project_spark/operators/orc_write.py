@@ -283,7 +283,10 @@ def _plan_of(ddl: str):
     fields)) or ('map_list', (key kps, elem kps)) — the shapes
     orc_data.read_orc_nested_columns assembles (round 11 adds
     list<struct<scalars>> and map<scalar,scalar>; round 12 adds map
-    values that are structs or lists); deeper shapes decline loudly."""
+    values that are structs or lists) — the ENUMERATED fast paths.
+    Deeper compositions no longer decline here: build_orc_bytes falls
+    through to :func:`_parse_ddl_tree` + the recursive node emitter
+    (round 13)."""
     s = ddl.strip()
     low = s.lower()
     if low.startswith("array<") and s.endswith(">"):
@@ -329,6 +332,49 @@ def _plan_of(ddl: str):
             return ("struct_mixed", fields)
         return ("struct", _struct_fields_of(body))
     return ("scalar", _kind_of(low))
+
+
+def _parse_ddl_tree(ddl: str):
+    """Recursive type tree for the GENERIC nested writer (round 13,
+    the parquet_write twin): ``('scalar', kps)`` / ``('list',
+    subtree)`` / ``('map', (key_kps, value_subtree))`` / ``('struct',
+    [(name, subtree), ...])`` — unbounded depth. Map keys must be
+    scalar (the ORC MAP layout)."""
+    s = ddl.strip()
+    low = s.lower()
+    if low.startswith("array<") and s.endswith(">"):
+        return ("list", _parse_ddl_tree(s[6:-1]))
+    if low.startswith("map<") and s.endswith(">"):
+        kv = _split_top(s[4:-1])
+        if len(kv) != 2:
+            raise NotImplementedError(f"type {ddl} not writable")
+        return (
+            "map",
+            (_kind_of(kv[0].strip().lower()), _parse_ddl_tree(kv[1])),
+        )
+    if low.startswith("struct<") and s.endswith(">"):
+        fields = []
+        for part in _split_top(s[7:-1]):
+            name, _, t = part.partition(":")
+            if not name.strip() or not t.strip():
+                raise NotImplementedError(f"type {ddl} not writable")
+            fields.append((name.strip(), _parse_ddl_tree(t)))
+        if not fields:
+            raise NotImplementedError(f"type {ddl} not writable")
+        return ("struct", fields)
+    return ("scalar", _kind_of(low))
+
+
+def _tree_node_count(tree) -> int:
+    """ORC type ids consumed by a generic subtree (pre-order)."""
+    kind, detail = tree
+    if kind == "scalar":
+        return 1
+    if kind == "list":
+        return 1 + _tree_node_count(detail)
+    if kind == "map":
+        return 2 + _tree_node_count(detail[1])  # map + key + value…
+    return 1 + sum(_tree_node_count(sub) for _n, sub in detail)
 
 
 def _zigzag_unbounded(v: int) -> int:
@@ -404,7 +450,13 @@ def build_orc_bytes(
     ids: dict[str, int] = {}
     next_id = 1
     for c in names:
-        plans[c] = _plan_of(ddl_types[c])
+        try:
+            plans[c] = _plan_of(ddl_types[c])
+        except NotImplementedError:
+            # generic fallback (round 13): any composition the
+            # enumerated plans decline writes through the recursive
+            # node emitter
+            plans[c] = ("nested", _parse_ddl_tree(ddl_types[c]))
         ids[c] = next_id
         pk, detail = plans[c]
         if pk == "struct_mixed":
@@ -413,6 +465,8 @@ def build_orc_bytes(
             )
         elif pk == "map_struct":  # map + key + value struct + fields
             next_id += 3 + len(detail[1])
+        elif pk == "nested":
+            next_id += _tree_node_count(detail)
         else:
             next_id += {
                 "scalar": 1,
@@ -676,12 +730,76 @@ def build_orc_bytes(
             })
             return rows_p
 
+        def emit_node(idx: int, vals: list, tree) -> int:
+            """Recursive stripe emission for a generic nested column
+            (round 13): returns the next free type id. Streams,
+            encodings and statistics land in pre-order = type-id
+            order, the invariant the footer builders rely on."""
+            nk, nd = tree
+            if nk == "scalar":
+                emit_leaf(idx, vals, nd)
+                return idx + 1
+            if nk == "list":
+                for v in vals:
+                    if v is not None and not isinstance(v, (list, tuple)):
+                        raise ValueError(
+                            "list cell must be a sequence, got "
+                            f"{type(v).__name__}"
+                        )
+                rows_p = emit_lengths(idx, vals)
+                return emit_node(
+                    idx + 1, [e for v in rows_p for e in v], nd
+                )
+            if nk == "map":
+                for v in vals:
+                    if v is None:
+                        continue
+                    if not hasattr(v, "keys"):
+                        raise ValueError(
+                            "map cell must be a dict/mapping, got "
+                            f"{type(v).__name__}"
+                        )
+                    if any(k is None for k in v.keys()):
+                        raise ValueError(
+                            "map key is None but ORC map keys are "
+                            "non-nullable in this writer"
+                        )
+                rows_p = emit_lengths(idx, vals)
+                emit_leaf(
+                    idx + 1, [k for v in rows_p for k in v.keys()], nd[0]
+                )
+                return emit_node(
+                    idx + 2, [x for v in rows_p for x in v.values()], nd[1]
+                )
+            # struct
+            present = [v is not None for v in vals]
+            emit_present(idx, present)
+            encodings.append((0, None))  # DIRECT
+            stats.append({
+                "n": sum(present),
+                "has_null": not all(present),
+                "kind": None,
+                "present": [],
+            })
+            rows_p = [v for v in vals if v is not None]
+            kid = idx + 1
+            for fname, sub in nd:
+                fvals = [
+                    v.get(fname) if isinstance(v, dict)
+                    else getattr(v, fname)
+                    for v in rows_p
+                ]
+                kid = emit_node(kid, fvals, sub)
+            return kid
+
         for c in names:
             pkind, detail = plans[c]
             vals = columns[c][start : start + n_s]
             idx = ids[c]
             if pkind == "scalar":
                 emit_leaf(idx, vals, detail)
+            elif pkind == "nested":
+                emit_node(idx, vals, detail)
             elif pkind == "list_list":
                 # outer LENGTH over rows, inner LENGTH over the outer
                 # elements, element leaf over the flattened values
@@ -899,10 +1017,44 @@ def build_orc_bytes(
     for c in names:
         root += _pb_bytes(3, c.encode("utf-8"))
     types = [_pb_bytes(4, root)]
+    def _tree_types(tree, tid: int) -> tuple[list[bytes], int]:
+        """Pre-order footer Type protobufs for a generic subtree
+        rooted at type id ``tid``; returns (messages, next id)."""
+        nk, nd = tree
+        if nk == "scalar":
+            return [_pb_bytes(4, _scalar_type_pb(nd))], tid + 1
+        if nk == "list":
+            subs, nxt = _tree_types(nd, tid + 1)
+            t = _pb_varint(1, 10) + _pb_bytes(2, _varint(tid + 1))
+            return [_pb_bytes(4, t)] + subs, nxt
+        if nk == "map":
+            key_pb = _pb_bytes(4, _scalar_type_pb(nd[0]))
+            vsubs, nxt = _tree_types(nd[1], tid + 2)
+            t = _pb_varint(1, 11) + _pb_bytes(
+                2, _varint(tid + 1) + _varint(tid + 2)
+            )
+            return [_pb_bytes(4, t), key_pb] + vsubs, nxt
+        # struct
+        kid_ids: list[int] = []
+        subs = []
+        kid = tid + 1
+        for _fname, sub in nd:
+            kid_ids.append(kid)
+            s, kid = _tree_types(sub, kid)
+            subs += s
+        t = _pb_varint(1, _K_STRUCT)
+        t += _pb_bytes(2, b"".join(_varint(k) for k in kid_ids))
+        for fname, _sub in nd:
+            t += _pb_bytes(3, fname.encode("utf-8"))
+        return [_pb_bytes(4, t)] + subs, kid
+
     for c in names:
         pkind, detail = plans[c]
         if pkind == "scalar":
             types.append(_pb_bytes(4, _scalar_type_pb(detail)))
+        elif pkind == "nested":
+            msgs, _nxt = _tree_types(detail, ids[c])
+            types.extend(msgs)
         elif pkind == "list":
             t = _pb_varint(1, 10)  # LIST
             t += _pb_bytes(2, _varint(ids[c] + 1))

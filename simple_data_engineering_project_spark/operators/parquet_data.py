@@ -1060,9 +1060,11 @@ def read_parquet_nested_bytes(buf: bytes, columns: list[str]) -> dict[str, list]
     ``list<struct<scalars>>`` (lists of dicts), ``map<k,v>``
     (Python dicts), ``struct<list>`` and ``list<list<scalar>>``;
     round 12 adds ``map<k,struct<scalars>>`` and
-    ``map<k,list<scalar>>``. Deeper shapes — three-deep lists,
-    deeper map values, unions — decline loudly; they remain the JVM
-    reader's job."""
+    ``map<k,list<scalar>>``. Round 13 adds the GENERIC Dremel
+    assembler: any LIST/MAP/STRUCT composition — three-deep lists,
+    map<k,map>, struct<map>, list<map> — assembles through one
+    recursion; only shapes with no Spark analogue (thrift unions)
+    remain out of envelope."""
     meta, schema = _parse_file(buf)
     out: dict[str, list] = {c: [] for c in columns}
     for rg in meta.get(4, []):

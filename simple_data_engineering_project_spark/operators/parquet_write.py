@@ -465,10 +465,12 @@ def _parse_ddl(ddl: str):
     """('scalar', t) | ('array', elem_t) | ('struct', [(name, t), ...])
     | ('array_struct', [(name, t), ...]) | ('map', (key_t, val_t))
     | ('map_struct', (key_t, fields)) | ('map_list', (key_t, elem_t))
-    for a Spark DDL type string — the shapes the reader assembles
+    for a Spark DDL type string — the ENUMERATED fast-path shapes
     (round 11 adds array<struct<scalars>> and map<scalar,scalar>;
-    round 12 adds struct/list map values); deeper shapes decline
-    loudly."""
+    round 12 adds struct/list map values). Deeper compositions no
+    longer decline here: build_parquet_bytes falls through to
+    :func:`_parse_ddl_tree` + the generic level generator (round
+    13)."""
     s = ddl.strip()
     low = s.lower()
     if low.startswith("array<") and s.endswith(">"):
@@ -550,6 +552,186 @@ def _parse_ddl(ddl: str):
     if low in _SPARK_TO_PHYSICAL:
         return ("scalar", low)
     raise NotImplementedError(f"type {ddl} not writable")
+
+
+def _parse_ddl_tree(ddl: str):
+    """Recursive type tree for the GENERIC nested writer (round 13):
+    ``('scalar', t)`` / ``('list', subtree)`` / ``('map', (key_t,
+    value_subtree))`` / ``('struct', [(name, subtree), ...])`` with
+    unbounded depth — three-deep lists, map values of any shape,
+    struct<map> all parse. Scalar leaves are restricted to the same
+    physical set as the flat writer; map keys must be scalar (the
+    parquet MAP convention)."""
+    s = ddl.strip()
+    low = s.lower()
+    if low.startswith("array<") and s.endswith(">"):
+        return ("list", _parse_ddl_tree(s[6:-1]))
+    if low.startswith("map<") and s.endswith(">"):
+        kv = _split_top(s[4:-1])
+        if len(kv) != 2:
+            raise NotImplementedError(f"type {ddl} not writable")
+        kt = kv[0].strip().lower()
+        if kt not in _SPARK_TO_PHYSICAL:
+            raise NotImplementedError(
+                f"map key type {kv[0]!r} not writable (scalar keys only)"
+            )
+        return ("map", (kt, _parse_ddl_tree(kv[1])))
+    if low.startswith("struct<") and s.endswith(">"):
+        fields = []
+        for part in _split_top(s[7:-1]):
+            name, _, t = part.partition(":")
+            if not name.strip() or not t.strip():
+                raise NotImplementedError(f"type {ddl} not writable")
+            fields.append((name.strip(), _parse_ddl_tree(t)))
+        if not fields:
+            raise NotImplementedError(f"type {ddl} not writable")
+        return ("struct", fields)
+    if low in _SPARK_TO_PHYSICAL:
+        return ("scalar", low)
+    raise NotImplementedError(f"type {ddl} not writable")
+
+
+class _WLeaf:
+    """Per-leaf write stream for the generic level generator."""
+
+    __slots__ = ("path", "stype", "max_def", "max_rep", "defs", "reps",
+                 "present", "required")
+
+    def __init__(self, path, stype, max_def, max_rep, required=False):
+        self.path = path
+        self.stype = stype
+        self.max_def = max_def
+        self.max_rep = max_rep
+        self.required = required
+        self.defs: list[int] = []
+        self.reps: list[int] = []
+        self.present: list = []
+
+    def add(self, rep: int, d: int, value=None, defined=False) -> None:
+        self.reps.append(rep)
+        self.defs.append(d)
+        if defined:
+            self.present.append(value)
+
+
+def _annotate_tree(tree, path, d, r, leaves):
+    """Mirror of the type tree with write-time level annotations:
+    {kind, d (cumulative def BEFORE this node's own increments), r
+    (cumulative rep), lo/hi leaf-index range, children}. Leaves append
+    in depth-first order (the column-chunk emission order). Every
+    non-key node is written OPTIONAL (the writer's convention); map
+    keys are REQUIRED per the parquet MAP shape."""
+    kind, detail = tree
+    node = {"kind": kind, "d": d, "r": r, "lo": len(leaves)}
+    if kind == "scalar":
+        leaves.append(_WLeaf(path, detail, d + 1, r))
+    elif kind == "list":
+        node["child"] = _annotate_tree(
+            detail, path + ["list", "element"], d + 2, r + 1, leaves
+        )
+    elif kind == "map":
+        kt, vt = detail
+        leaves.append(
+            _WLeaf(path + ["key_value", "key"], kt, d + 2, r + 1,
+                   required=True)
+        )
+        node["vchild"] = _annotate_tree(
+            vt, path + ["key_value", "value"], d + 2, r + 1, leaves
+        )
+    else:  # struct
+        node["children"] = [
+            (fname, _annotate_tree(sub, path + [fname], d + 1, r, leaves))
+            for fname, sub in detail
+        ]
+    node["hi"] = len(leaves)
+    return node
+
+
+def _generic_levels(vals: list, tree) -> list:
+    """Per-leaf ``_WLeaf`` streams for an arbitrarily nested column —
+    the exact inverse of the reader's generic Dremel assembler. One
+    entry lands in EVERY subtree leaf when a node is null/empty (the
+    cutoff marker); repeated nodes emit one entry set per element with
+    the repetition level of the deepest continuing node. Cell-shape
+    and None-key validation mirror _map_levels."""
+    leaves: list[_WLeaf] = []
+    root = _annotate_tree(tree, [], 0, 0, leaves)
+
+    def add_all(node, rep, d):
+        for i in range(node["lo"], node["hi"]):
+            leaves[i].add(rep, d)
+
+    def emit(node, value, rep, d):
+        kind = node["kind"]
+        if kind == "scalar":
+            leaf = leaves[node["lo"]]
+            if value is None:
+                leaf.add(rep, d)
+            else:
+                leaf.add(rep, d + 1, value, defined=True)
+            return
+        if kind == "struct":
+            if value is None:
+                add_all(node, rep, d)
+                return
+            if not isinstance(value, dict):
+                raise ValueError(
+                    f"struct cell must be a dict, got {type(value).__name__}"
+                )
+            for fname, sub in node["children"]:
+                emit(sub, value.get(fname), rep, d + 1)
+            return
+        if kind == "list":
+            if value is None:
+                add_all(node, rep, d)
+                return
+            if not isinstance(value, (list, tuple)):
+                raise ValueError(
+                    f"list cell must be a sequence, got {type(value).__name__}"
+                )
+            if len(value) == 0:
+                add_all(node, rep, d + 1)
+                return
+            r_node = node["r"] + 1
+            for i, item in enumerate(value):
+                emit(node["child"], item, rep if i == 0 else r_node, d + 2)
+            return
+        # map
+        if value is None:
+            add_all(node, rep, d)
+            return
+        if not isinstance(value, dict):
+            raise ValueError(
+                f"map cell must be a dict, got {type(value).__name__}"
+            )
+        if len(value) == 0:
+            add_all(node, rep, d + 1)
+            return
+        key_leaf = leaves[node["lo"]]
+        r_node = node["r"] + 1
+        first = True
+        for k, v in value.items():
+            if k is None:
+                raise ValueError("map keys must be non-None")
+            rr = rep if first else r_node
+            first = False
+            key_leaf.add(rr, d + 2, k, defined=True)
+            emit(node["vchild"], v, rr, d + 2)
+
+    for cell in vals:
+        emit(root, cell, 0, 0)
+    return leaves
+
+
+def _tree_leaf_count(tree) -> int:
+    kind, detail = tree
+    if kind == "scalar":
+        return 1
+    if kind == "list":
+        return _tree_leaf_count(detail)
+    if kind == "map":
+        return 1 + _tree_leaf_count(detail[1])
+    return sum(_tree_leaf_count(sub) for _n, sub in detail)
 
 
 def _list_levels(vals: list):
@@ -1059,7 +1241,16 @@ def build_parquet_bytes(
     """
     names = list(columns)
     num_rows = len(columns[names[0]]) if names else 0
-    plans = {c: _parse_ddl(ddl_types[c]) for c in names}
+
+    def _plan(ddl: str):
+        # enumerated fast paths first; anything deeper goes through the
+        # generic level generator (round 13)
+        try:
+            return _parse_ddl(ddl)
+        except NotImplementedError:
+            return ("nested", _parse_ddl_tree(ddl))
+
+    plans = {c: _plan(ddl_types[c]) for c in names}
     def _plan_leaves(p) -> int:
         if p[0] in ("struct", "array_struct", "struct_mixed"):
             return len(p[1])
@@ -1067,6 +1258,8 @@ def build_parquet_bytes(
             return 1 + len(p[1][1])
         if p[0] in ("map", "map_list"):
             return 2
+        if p[0] == "nested":
+            return _tree_leaf_count(p[1])
         return 1
 
     n_leaves = sum(_plan_leaves(p) for p in plans.values())
@@ -1242,6 +1435,23 @@ def build_parquet_bytes(
                     )
                 )
                 total_uncomp += chunk[4]
+            elif kind == "nested":
+                # generic nested column (round 13): one chunk per leaf
+                # from the recursive level generator
+                for leaf in _generic_levels(vals, detail):
+                    ptype = _SPARK_TO_PHYSICAL[leaf.stype]
+                    chunk = _write_nested_chunk(
+                        body, leaf.defs,
+                        leaf.reps if leaf.max_rep else None,
+                        leaf.present, n_rg, ptype, codec_id,
+                        page_version,
+                    )
+                    col_chunks.append(
+                        _leaf_metadata(
+                            [c] + leaf.path, ptype, len(leaf.defs), chunk
+                        )
+                    )
+                    total_uncomp += chunk[4]
             elif kind == "struct_mixed":
                 for fname, (fkind, ftype) in detail:
                     ptype = _SPARK_TO_PHYSICAL[ftype]
@@ -1380,6 +1590,36 @@ def build_parquet_bytes(
                     schema_elems.append(_group_elem(fname, 1, 1, converted=3))
                     schema_elems.append(_group_elem("list", 1, 2))
                     schema_elems.append(_leaf_elem("element", ftype))
+        elif kind == "nested":
+
+            def _emit_tree(name, tree, repetition=1):
+                tkind, tdetail = tree
+                if tkind == "scalar":
+                    schema_elems.append(
+                        _leaf_elem(name, tdetail, repetition)
+                    )
+                elif tkind == "list":
+                    schema_elems.append(
+                        _group_elem(name, 1, repetition, converted=3)
+                    )
+                    schema_elems.append(_group_elem("list", 1, 2))
+                    _emit_tree("element", tdetail)
+                elif tkind == "map":
+                    kt, vt = tdetail
+                    schema_elems.append(
+                        _group_elem(name, 1, repetition, converted=1)
+                    )
+                    schema_elems.append(_group_elem("key_value", 2, 2))
+                    schema_elems.append(_leaf_elem("key", kt, repetition=0))
+                    _emit_tree("value", vt)
+                else:  # struct
+                    schema_elems.append(
+                        _group_elem(name, len(tdetail), repetition)
+                    )
+                    for fname, sub in tdetail:
+                        _emit_tree(fname, sub)
+
+            _emit_tree(c, detail)
         else:
             schema_elems.append(_group_elem(c, len(detail), 1))
             for fname, ftype in detail:

@@ -579,23 +579,36 @@ def test_nested_spark_written_orc(spark, tmp_path):
             assert mine["st"][i] == {"a": exp["st"]["a"], "b": exp["st"]["b"]}
 
 
-def test_nested_deep_shapes_decline_loudly_orc(tmp_path):
-    # round 12 moved map-with-nested-values (struct/list) to the
-    # SUPPORTED side; three-deep lists and map<k,map> still decline
+def test_nested_deep_shapes_assemble_generically_orc(tmp_path):
+    # round 13: the generic recursive node reader takes every former
+    # decline — three-deep lists, map<k,map>, struct<map>
     path = str(tmp_path / "deep_lll.orc")
     po.write_table(pa.table({"lll": pa.array(
-        [[[[1]]]], pa.list_(pa.list_(pa.list_(pa.int64())))
+        [[[[1]]], None, [[[2, None], []], None], [[]], []],
+        pa.list_(pa.list_(pa.list_(pa.int64())))
     )}), path)
-    with pytest.raises(NotImplementedError):
-        read_orc_nested_columns(path, ["lll"])
+    assert read_orc_nested_columns(path, ["lll"])["lll"] == [
+        [[[1]]], None, [[[2, None], []], None], [[]], [],
+    ]
     path = str(tmp_path / "deep_mm.orc")
     po.write_table(pa.table({"mm": pa.array(
-        [[("k", [("x", 1)])]],
+        [[("k", [("x", 1)])], None, [("e", [])], []],
         pa.map_(pa.string(), pa.map_(pa.string(), pa.int64())),
     )}), path)
-    with pytest.raises(NotImplementedError):
-        read_orc_nested_columns(path, ["mm"])
-    # map<k, list> now decodes (round 12)
+    assert read_orc_nested_columns(path, ["mm"])["mm"] == [
+        {"k": {"x": 1}}, None, {"e": {}}, {},
+    ]
+    path = str(tmp_path / "deep_sm.orc")
+    po.write_table(pa.table({"sm": pa.array(
+        [{"m": {"k": 1}, "t": 7}, {"m": None, "t": 8}, None],
+        pa.struct([
+            ("m", pa.map_(pa.string(), pa.int64())), ("t", pa.int64()),
+        ]),
+    )}), path)
+    assert read_orc_nested_columns(path, ["sm"])["sm"] == [
+        {"m": {"k": 1}, "t": 7}, {"m": None, "t": 8}, None,
+    ]
+    # map<k, list> decodes (round 12 specialist path, unchanged)
     path = str(tmp_path / "deep_mv.orc")
     po.write_table(pa.table({"mv": pa.array(
         [[("k", [1, 2])]], pa.map_(pa.string(), pa.list_(pa.int64()))
@@ -858,12 +871,14 @@ def test_pure_writer_nested_list_struct(codec):
     mine = read_orc_nested_columns(blob, ["li", "st"])
     assert mine["li"] == lists
     assert mine["st"] == structs
-    # deeper nesting declines loudly (list<list> became writable in
-    # the late round-11 wave; three-deep still declines)
-    with pytest.raises(NotImplementedError):
-        build_orc_bytes(
-            {"m": [[[[1]]]]}, {"m": "array<array<array<bigint>>>"}, "none"
-        )
+    # three-deep lists write through the generic node emitter
+    # (round 13) and read back via the reference reader
+    deep = build_orc_bytes(
+        {"m": [[[[1]]]]}, {"m": "array<array<array<bigint>>>"}, "none"
+    )
+    assert po.read_table(io.BytesIO(deep)).column("m").to_pylist() == [
+        [[[1]]]
+    ]
 
 
 def test_pure_writer_nested_spark_reread(spark, tmp_path):
@@ -946,7 +961,7 @@ def test_nested_list_struct_and_map_decode(comp):
     assert mine["id"] == list(range(n))
     assert mine["ls"] == ls_rows
     assert mine["m"] == map_rows
-    # deeper shapes still decline loudly
+    # deeper shapes assemble through the generic node reader (round 13)
     t2 = pa.table({
         "lll": pa.array(
             [[[[1]]]], pa.list_(pa.list_(pa.list_(pa.int64())))
@@ -954,8 +969,9 @@ def test_nested_list_struct_and_map_decode(comp):
     })
     buf2 = io.BytesIO()
     po.write_table(t2, buf2)
-    with pytest.raises(NotImplementedError):
-        read_orc_nested_columns(buf2.getvalue(), ["lll"])
+    assert read_orc_nested_columns(buf2.getvalue(), ["lll"])["lll"] == [
+        [[[1]]]
+    ]
 
 
 @pytest.mark.parametrize("codec", ["none", "zlib", "snappy"])
@@ -1757,3 +1773,98 @@ def test_rlev1_nested_shapes_decode():
     assert got["ls"] == rows_ls
     assert got["ll"] == rows_ll
     assert got["sl"] == rows_sl
+
+
+_GENERIC_WRITE_CASES_ORC = [
+    ("array<array<array<bigint>>>",
+     [[[[1, 2], [3]], [[4]]], None, [[[5], None], []], [[]], []]),
+    ("map<string,map<string,bigint>>",
+     [{"a": {"x": 1, "y": 2}, "b": {}}, None, {"c": {"z": None}}, {},
+      {"d": None}]),
+    ("map<string,array<struct<u:bigint,s:string>>>",
+     [{"a": [{"u": 1, "s": "p"}, None], "b": []},
+      {"c": [{"u": None, "s": "q"}]}, None, {}, None]),
+    ("struct<m:map<string,bigint>,t:bigint>",
+     [{"m": {"k": 1}, "t": 7}, {"m": None, "t": 8}, None,
+      {"m": {}, "t": None}, {"m": {"z": 9}, "t": 1}]),
+    ("array<map<string,bigint>>",
+     [[{"a": 1}, {}, None], [], None, [{"b": 2, "c": 3}], None]),
+    ("array<array<struct<f:double,g:array<bigint>>>>",
+     [[[{"f": 1.5, "g": [1, 2]}, None]], [[]], None,
+      [[{"f": None, "g": []}], [{"f": 2.0, "g": None}]], []]),
+    ("map<string,struct<i:map<string,boolean>>>",
+     [{"a": {"i": {"x": True}}}, None, {"b": {}}, {"c": {"i": None}},
+      {}]),
+]
+
+
+def _canon_tree_orc(v, tree):
+    """Canonical value per writer type tree (missing struct fields
+    seat as None; ORC strings stay str in both readers)."""
+    kind, det = tree
+    if v is None:
+        return None
+    if kind == "scalar":
+        return v
+    if kind == "list":
+        return [_canon_tree_orc(x, det) for x in v]
+    if kind == "map":
+        return {k: _canon_tree_orc(x, det[1]) for k, x in v.items()}
+    return {n: _canon_tree_orc(v.get(n), sub) for n, sub in det}
+
+
+@pytest.mark.parametrize("codec", ["none", "zlib", "snappy"])
+@pytest.mark.parametrize("srows", [None, 2])
+def test_generic_writer_deep_shapes_vs_pyarrow_orc(codec, srows):
+    """Round 13 write side (ORC twin of the parquet battery): the
+    recursive node emitter writes every formerly-declined composition;
+    pyarrow.orc (reference reader) and the own generic node reader
+    both read the files back value-exact across codecs and stripe
+    splits."""
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        _parse_ddl_tree,
+        build_orc_bytes,
+    )
+
+    def pan(v, typ):
+        if v is None:
+            return None
+        if pa.types.is_map(typ):
+            return {k: pan(x, typ.item_type) for k, x in v}
+        if pa.types.is_list(typ):
+            return [pan(x, typ.value_type) for x in v]
+        if pa.types.is_struct(typ):
+            return {f.name: pan(v[f.name], f.type) for f in typ}
+        return v
+
+    for ddl, rows in _GENERIC_WRITE_CASES_ORC:
+        tree = _parse_ddl_tree(ddl)
+        data = build_orc_bytes(
+            {"c": rows}, {"c": ddl}, compression=codec, stripe_rows=srows
+        )
+        want = [_canon_tree_orc(r, tree) for r in rows]
+        tbl = po.read_table(io.BytesIO(data))
+        got_pa = [
+            pan(v, tbl.schema.field("c").type)
+            for v in tbl.column("c").to_pylist()
+        ]
+        assert got_pa == want, (ddl, codec, srows)
+        got_own = read_orc_nested_columns(data, ["c"])["c"]
+        assert got_own == want, (ddl, codec, srows)
+
+
+def test_generic_writer_validates_cells_orc():
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    with pytest.raises(ValueError, match="map key is None"):
+        build_orc_bytes(
+            {"c": [{None: {"x": 1}}]},
+            {"c": "map<string,map<string,bigint>>"}, "none",
+        )
+    with pytest.raises(ValueError, match="list cell must be a sequence"):
+        build_orc_bytes(
+            {"c": [{"k": 5}]},
+            {"c": "array<array<array<bigint>>>"}, "none",
+        )
