@@ -1002,7 +1002,16 @@ def _lz_parse(chunk: bytes, window: int):
     """Greedy LZ77 parse: [(insert_literals: bytes, copy_len, dist)]
     with a trailing (literals, 0, 0) when the chunk ends in literals.
     Hash chains over 4-byte prefixes, bounded probe depth; positions
-    inside long matches index every 4th offset (speed/ratio trade)."""
+    inside long matches index every 4th offset (speed/ratio trade).
+
+    One-byte LAZY MATCHING was implemented and MEASURED in round 13,
+    then deliberately dropped: on real text it bought only -1.9%
+    compressed size for +81% encode time, and on word-salad synthetic
+    text it made the ratio slightly WORSE (deferred positions perturb
+    the hash chains and the last-distance reuse the command coder
+    leans on) at 2.2x the time. For a pure-Python encoder whose bench
+    cost is the binding constraint, greedy is the right point on that
+    curve."""
     n = len(chunk)
     table: dict[bytes, list[int]] = {}
     cmds: list[tuple[bytes, int, int]] = []
