@@ -286,6 +286,14 @@ def minhash_lsh_candidates(
         sig = minhash_signatures_df(
             df, id_col, text_col, k, num_hashes, seed, toks_col
         ).localCheckpoint()
+    # Null signatures (null-text docs via the Arrow row-local path)
+    # never pair: without this filter every null-sig doc lands in the
+    # SAME bucket of every band (xxhash64 of a null slice is the
+    # constant seed), an O(m²) candidate blowup on dirty corpora —
+    # and the explode→groupBy path emits no row for them at all, so
+    # filtering keeps the two signature paths equivalent (round-13
+    # review finding).
+    sig = sig.filter(F.col("sig").isNotNull())
     banded = sig.select(
         "id",
         "sig",

@@ -581,6 +581,14 @@ def _read_generic_node(
             ei += ln
         return rows
     kid, vid = _subtype_ids(types[cid])
+    if types[kid].get(1, 0) in (_K_LIST, _K_MAP, _K_STRUCT, _K_UNION):
+        # loud decline (round-13 review): composite map keys are legal
+        # ORC but cannot seat as Python dict keys — without this the
+        # dict(zip(...)) below dies with an unrelated TypeError
+        raise NotImplementedError(
+            "ORC map keys must be scalar (composite key types cannot "
+            "seat as Python dict keys)"
+        )
     keys = _read_generic_node(kid, total, types, located, encodings, codec)
     vals = _read_generic_node(vid, total, types, located, encodings, codec)
     rows = []
@@ -866,9 +874,16 @@ def read_orc_nested_columns(
         except NotImplementedError:
             # generic fallback (round 13): any composition the
             # enumerated plans decline assembles through the
-            # recursive node reader; only UNION stays declined
+            # recursive node reader; UNION and composite map keys
+            # (unhashable as Python dict keys) stay declined — the
+            # key check repeats at read time as a belt-and-braces
             if any(
                 types[i].get(1, 0) == _K_UNION
+                or (
+                    types[i].get(1, 0) == _K_MAP
+                    and types[_subtype_ids(types[i])[0]].get(1, 0)
+                    in (_K_LIST, _K_MAP, _K_STRUCT, _K_UNION)
+                )
                 for i in _all_subtree_ids(types, cid)
             ):
                 raise

@@ -772,6 +772,14 @@ def build_orc_bytes(
                     idx + 2, [x for v in rows_p for x in v.values()], nd[1]
                 )
             # struct
+            for v in vals:
+                if v is not None and not (
+                    isinstance(v, dict) or hasattr(v, "__fields__")
+                ):
+                    raise ValueError(
+                        "struct cell must be a dict/Row, got "
+                        f"{type(v).__name__}"
+                    )
             present = [v is not None for v in vals]
             emit_present(idx, present)
             encodings.append((0, None))  # DIRECT

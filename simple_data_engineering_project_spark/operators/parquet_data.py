@@ -942,6 +942,34 @@ def _gen_node_leaves(node: dict, out: list) -> None:
         _gen_node_leaves(ch, out)
 
 
+def _check_tree_assemblable(col: str, node: dict) -> None:
+    """Loud decline for compositions Python assembly cannot represent:
+    a MAP whose key is itself composite (legal parquet, but Python
+    dict keys must be hashable — round-13 review: the raw TypeError
+    from ``{list: ...}`` deep in assembly was not the documented
+    decline)."""
+    kids = node["children"]
+    if len(kids) == 1 and kids[0]["rep"] == 2:
+        rk = kids[0]["children"]
+        if (
+            len(rk) == 2
+            and {k["name"] for k in rk} == {"key", "value"}
+            and (
+                node["converted"] in (1, 2)
+                or kids[0]["name"] == "key_value"
+            )
+        ):
+            key_node = next(k for k in rk if k["name"] == "key")
+            if key_node["children"]:
+                raise NotImplementedError(
+                    f"column {col!r}: map keys must be scalar "
+                    "(composite key types cannot seat as Python "
+                    "dict keys)"
+                )
+    for ch in kids:
+        _check_tree_assemblable(col, ch)
+
+
 def _assemble_generic(tree: dict, curs: dict[str, "_GenLeaf"]) -> list:
     """Record assembly for ARBITRARY nesting depth (Dremel): LIST and
     MAP annotated groups, structs, and repeated nodes compose freely —
@@ -1077,6 +1105,7 @@ def _decode_generic_column(
 ) -> list:
     """One column of one row group through the generic assembler."""
     tree = _build_column_tree(c, leaves, schema)
+    _check_tree_assemblable(c, tree)
     curs = {}
     for p in leaves:
         leaf = schema[p]
@@ -1222,26 +1251,40 @@ def _decode_row_group(
             # map with NESTED values (round 12): the key leaf is the
             # plain map shape, the value side is a struct (field
             # leaves at c.key_value.value.f) or a 3-level list
-            # (c.key_value.value.list.element, two repetition levels)
+            # (c.key_value.value.list.element, two repetition levels).
+            # The value-shape dispatch happens BEFORE the key chunk is
+            # decoded — deeper value shapes fall through to the
+            # generic assembler, which reads the key chunk itself
+            # (round-13 review: decoding it here first paid the page
+            # decompress + level decode twice on every generic-path
+            # row group)
             kp = f"{c}.key_value.key"
             kl = schema[kp]
-            kreps, kdefs, kpres = read_chunk_levels(buf, by_path[kp], kl)
-            key_part = {
-                "reps": kreps, "defs": kdefs, "present": kpres,
-                "max_def": kl["max_def"],
-                "d_outer": kl["levels"][0][0],
-                "d_rep": kl["levels"][1][0],
-            }
             vleaves = [
                 p for p in leaves
                 if p.startswith(f"{c}.key_value.value")
             ]
-            if (
+            value_is_list = (
                 len(vleaves) == 1
                 and vleaves[0].count(".") == 4
                 and schema[vleaves[0]]["max_rep"] == 2
                 and schema[vleaves[0]]["levels"][3][2] == 2
-            ):
+            )
+            value_is_struct = bool(vleaves) and all(
+                p.count(".") == 3 and schema[p]["max_rep"] == 1
+                for p in vleaves
+            )
+            if value_is_list or value_is_struct:
+                kreps, kdefs, kpres = read_chunk_levels(
+                    buf, by_path[kp], kl
+                )
+                key_part = {
+                    "reps": kreps, "defs": kdefs, "present": kpres,
+                    "max_def": kl["max_def"],
+                    "d_outer": kl["levels"][0][0],
+                    "d_rep": kl["levels"][1][0],
+                }
+            if value_is_list:
                 leaf = schema[vleaves[0]]
                 reps, defs, present = read_chunk_levels(
                     buf, by_path[vleaves[0]], leaf
@@ -1259,10 +1302,7 @@ def _decode_row_group(
                         },
                     )
                 )
-            elif vleaves and all(
-                p.count(".") == 3 and schema[p]["max_rep"] == 1
-                for p in vleaves
-            ):
+            elif value_is_struct:
                 vparts: dict[str, dict] = {}
                 for p in vleaves:
                     leaf = schema[p]

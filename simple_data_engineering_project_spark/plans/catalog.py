@@ -14388,12 +14388,13 @@ def scan_parquet_brotli_q(spark, sf_dir):
     note="C12 BROTLI parquet EXPORT (round 12, the write twin of "
     "scan_parquet_brotli — same derivation, same oracle): the pure "
     "writer compresses v2 pages through the repo's own RFC 7932 "
-    "ENCODER (operators/brotli.py brotli_compress — literals-only "
-    "meta-blocks with per-block order-0 Huffman literal codes emitted "
-    "through the complex prefix-code header form, chain-free 16/17 "
-    "repeat runs, exact package-merge length-limited codes, and a "
+    "ENCODER (operators/brotli.py brotli_compress — greedy LZ77 "
+    "hash-chain parse with per-meta-block Huffman codes over "
+    "literals/commands/distances via the complex prefix-code header "
+    "form, implicit-last-distance cells, exact package-merge "
+    "length-limited codes, a cross-meta-block distance ring, and a "
     "store-path uncompressed meta-block when entropy coding does not "
-    "pay; no LZ matches — entropy coding only, documented). Read-back "
+    "pay; no static-dictionary references, documented). Read-back "
     "goes through PYARROW's reference reader (which also verifies the "
     "declared BROTLI codec id) and flattens to scalars DuckDB "
     "recomputes from source rows — DuckDB itself cannot read brotli "

@@ -1868,3 +1868,27 @@ def test_generic_writer_validates_cells_orc():
             {"c": [{"k": 5}]},
             {"c": "array<array<array<bigint>>>"}, "none",
         )
+
+
+def test_generic_reader_declines_composite_map_keys_orc(tmp_path):
+    """Round-13 review fix: map<array<..>,v> must decline loudly in
+    the ORC generic path too (plan-time AND read-time belt-and-braces)."""
+    path = str(tmp_path / "listkey.orc")
+    po.write_table(pa.table({"m": pa.array(
+        [[([1, 2], 5)]],
+        pa.map_(pa.list_(pa.int64()), pa.int64()),
+    )}), path)
+    with pytest.raises(NotImplementedError):
+        read_orc_nested_columns(path, ["m"])
+
+
+def test_generic_writer_validates_struct_cells_orc():
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    with pytest.raises(ValueError, match="struct cell must be a dict"):
+        build_orc_bytes(
+            {"c": [[1, 2]]},
+            {"c": "struct<m:map<string,bigint>,t:bigint>"}, "none",
+        )

@@ -2100,3 +2100,21 @@ def test_generic_writer_validates_cells():
             {"c": [[1, 2]]},
             {"c": "struct<m:map<string,bigint>,t:bigint>"}, "none",
         )
+
+
+def test_generic_assembler_declines_composite_map_keys(tmp_path):
+    """Round-13 review fix: map<array<..>,v> is legal parquet but a
+    Python dict cannot seat a list key — the generic assembler must
+    decline loudly, not die on an unrelated TypeError deep in
+    assembly."""
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        read_parquet_nested_columns,
+    )
+
+    path = tmp_path / "listkey.parquet"
+    pq.write_table(pa.table({"m": pa.array(
+        [[([1, 2], 5)]],
+        pa.map_(pa.list_(pa.int64()), pa.int64()),
+    )}), path)
+    with pytest.raises(NotImplementedError, match="map keys must be scalar"):
+        read_parquet_nested_columns(str(path), ["m"])
