@@ -241,6 +241,9 @@ HEADLINE = [
     "scan_orc_nested6",
     "sink_parquet_nested6",
     "sink_orc_nested6",
+    # round 13: parquet page-index pair (page-level skipping)
+    "scan_parquet_pageindex",
+    "sink_parquet_pageindex",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose

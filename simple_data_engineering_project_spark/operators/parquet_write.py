@@ -1216,12 +1216,119 @@ def _write_nested_chunk(
     )
 
 
+def _write_column_chunk_paged(
+    body: bytearray, vals: list, ptype: int, codec_id: int,
+    page_version: int, page_rows: int,
+):
+    """A FLAT OPTIONAL chunk split into ``page_rows``-row data pages
+    (PLAIN-family encodings, no dictionary) with per-page statistics
+    collected for the PAGE INDEX. Returns the usual chunk tuple plus a
+    ``pageinfo`` dict (locs / null_pages / mins / maxs / null_counts —
+    the ColumnIndex + OffsetIndex ingredients)."""
+    n = len(vals)
+    locs: list[tuple[int, int, int]] = []
+    null_pages: list[bool] = []
+    mins: list[bytes] = []
+    maxs: list[bytes] = []
+    null_counts: list[int] = []
+    total_comp = total_uncomp = 0
+    first_off = None
+    encodings = None
+    for start in range(0, max(n, 1), page_rows):
+        pv = vals[start: start + page_rows]
+        defs = [1 if v is not None else 0 for v in pv]
+        present = [v for v in pv if v is not None]
+        off = len(body)
+        enc_list, _d, _data_off, comp, uncomp, _st = _write_nested_chunk(
+            body, defs, None, present, len(pv), ptype, codec_id,
+            page_version,
+        )
+        if first_off is None:
+            first_off = off
+            encodings = enc_list
+        locs.append((off, comp, start))
+        total_comp += comp
+        total_uncomp += uncomp
+        null_counts.append(len(pv) - len(present))
+        # NaN never enters min/max (the Statistics convention)
+        cmp_vals = [
+            v for v in present
+            if not (isinstance(v, float) and v != v)
+        ]
+        if cmp_vals:
+            null_pages.append(False)
+            mins.append(_stat_bytes(min(cmp_vals), ptype))
+            maxs.append(_stat_bytes(max(cmp_vals), ptype))
+        else:
+            null_pages.append(True)
+            mins.append(b"")
+            maxs.append(b"")
+        if n == 0:
+            break
+    present_all = [v for v in vals if v is not None]
+    stats = _statistics(present_all, n - len(present_all), ptype)
+    chunk = (
+        encodings or [0, 3], None, first_off or len(body),
+        total_comp, total_uncomp, stats,
+    )
+    pageinfo = {
+        "locs": locs, "null_pages": null_pages, "mins": mins,
+        "maxs": maxs, "null_counts": null_counts,
+    }
+    return chunk, pageinfo
+
+
+def _column_index_bytes(pageinfo: dict) -> bytes:
+    """parquet.thrift ColumnIndex (compact): 1 null_pages, 2/3
+    min/max_values, 4 boundary_order (UNORDERED), 5 null_counts."""
+    out = bytearray()
+    last = 0
+    last = _list_field(
+        out, last, 1, 1,
+        [b"\x01" if b else b"\x02" for b in pageinfo["null_pages"]],
+    )
+    last = _list_field(
+        out, last, 2, _T_BINARY,
+        [_varint(len(v)) + v for v in pageinfo["mins"]],
+    )
+    last = _list_field(
+        out, last, 3, _T_BINARY,
+        [_varint(len(v)) + v for v in pageinfo["maxs"]],
+    )
+    last = _i32_field(out, last, 4, 0)  # boundary_order UNORDERED
+    last = _list_field(
+        out, last, 5, _T_I64,
+        [_zigzag(c) for c in pageinfo["null_counts"]],
+    )
+    out.append(0)
+    return bytes(out)
+
+
+def _offset_index_bytes(pageinfo: dict) -> bytes:
+    """parquet.thrift OffsetIndex: list of PageLocation{offset,
+    compressed_page_size, first_row_index}."""
+    pls = []
+    for off, size, first in pageinfo["locs"]:
+        pl = bytearray()
+        last = 0
+        last = _i64_field(pl, last, 1, off)
+        last = _i32_field(pl, last, 2, size)
+        last = _i64_field(pl, last, 3, first)
+        pl.append(0)
+        pls.append(bytes(pl))
+    out = bytearray()
+    _list_field(out, 0, 1, _T_STRUCT, pls)
+    out.append(0)
+    return bytes(out)
+
+
 def build_parquet_bytes(
     columns: dict[str, list],
     ddl_types: dict[str, str],
     compression: str = "snappy",
     row_group_size: int | None = None,
     page_version: int = 1,
+    page_rows: int | None = None,
 ) -> bytes:
     """One parquet FILE as bytes.
 
@@ -1238,6 +1345,14 @@ def build_parquet_bytes(
     DELTA_LENGTH_BYTE_ARRAY strings, BYTE_STREAM_SPLIT doubles —
     closing the read/write asymmetry left by the round-9 reader, which
     already decodes all of these.
+
+    ``page_rows`` (round 13) splits every FLAT scalar chunk into
+    pages of that many rows and emits the parquet PAGE INDEX
+    (ColumnIndex + OffsetIndex between data and footer, ColumnChunk
+    fields 4-7 locating them) — per-page min/max/null stats that let
+    readers (this repo's page-index scan; any parquet-mr-family
+    engine) eliminate pages, not just row groups. Dictionary encoding
+    is skipped for paged chunks.
     """
     names = list(columns)
     num_rows = len(columns[names[0]]) if names else 0
@@ -1272,7 +1387,8 @@ def build_parquet_bytes(
     rg_size = row_group_size or max(num_rows, 1)
 
     def _leaf_metadata(
-        path: list[str], ptype: int, n_values: int, chunk
+        path: list[str], ptype: int, n_values: int, chunk,
+        index_offsets: tuple[int, int, int, int] | None = None,
     ) -> bytes:
         encodings, dict_off, data_off, comp_size, uncomp_size, stats = chunk
         md = bytearray()
@@ -1300,6 +1416,14 @@ def build_parquet_bytes(
             cc, last, 2, dict_off if dict_off is not None else data_off
         )
         last = _struct_field(cc, last, 3, bytes(md))
+        if index_offsets is not None:
+            # ColumnChunk 4/5 = offset index, 6/7 = column index —
+            # field ids pinned against pyarrow/Spark-written files
+            oi_off, oi_len, ci_off, ci_len = index_offsets
+            last = _i64_field(cc, last, 4, oi_off)
+            last = _i32_field(cc, last, 5, oi_len)
+            last = _i64_field(cc, last, 6, ci_off)
+            last = _i32_field(cc, last, 7, ci_len)
         cc.append(0)
         return bytes(cc)
 
@@ -1317,8 +1441,22 @@ def build_parquet_bytes(
             vals = columns[c][start : start + n_rg]
             if kind == "scalar":
                 ptype = _SPARK_TO_PHYSICAL[detail]
-                chunk = flat_writer(body, vals, ptype, codec_id)
-                col_chunks.append(_leaf_metadata([c], ptype, n_rg, chunk))
+                if page_rows is not None:
+                    chunk, pageinfo = _write_column_chunk_paged(
+                        body, vals, ptype, codec_id, page_version,
+                        page_rows,
+                    )
+                    # deferred: the ColumnChunk thrift needs the index
+                    # block offsets, which are only known after every
+                    # row group's data is written
+                    col_chunks.append(
+                        ("defer", [c], ptype, n_rg, chunk, pageinfo)
+                    )
+                else:
+                    chunk = flat_writer(body, vals, ptype, codec_id)
+                    col_chunks.append(
+                        _leaf_metadata([c], ptype, n_rg, chunk)
+                    )
                 total_uncomp += chunk[4]
             elif kind == "array":
                 ptype = _SPARK_TO_PHYSICAL[detail]
@@ -1491,17 +1629,57 @@ def build_parquet_bytes(
                         _leaf_metadata([c, fname], ptype, n_rg, chunk)
                     )
                     total_uncomp += chunk[4]
+        row_groups.append((col_chunks, total_uncomp, n_rg))
+        if num_rows == 0:
+            break
+
+    # PAGE INDEX section (round 13, page_rows set): after the data,
+    # before the footer — all ColumnIndex structs (per row group, per
+    # deferred chunk), then all OffsetIndex structs (the layout
+    # pyarrow and parquet-mr emit). Deferred ColumnChunk thrift is
+    # then built with the recorded offsets.
+    index_offsets: dict[tuple[int, int], list] = {}
+    for ri, (col_chunks, _tu, _nr) in enumerate(row_groups):
+        for ci_, entry in enumerate(col_chunks):
+            if isinstance(entry, tuple):
+                blob = _column_index_bytes(entry[5])
+                off = len(body)
+                body += blob
+                index_offsets[(ri, ci_)] = [None, None, off, len(blob)]
+    for ri, (col_chunks, _tu, _nr) in enumerate(row_groups):
+        for ci_, entry in enumerate(col_chunks):
+            if isinstance(entry, tuple):
+                blob = _offset_index_bytes(entry[5])
+                off = len(body)
+                body += blob
+                index_offsets[(ri, ci_)][0] = off
+                index_offsets[(ri, ci_)][1] = len(blob)
+
+    serialized_rgs: list[bytes] = []
+    for ri, (col_chunks, total_uncomp, n_rg) in enumerate(row_groups):
+        final_chunks: list[bytes] = []
+        for ci_, entry in enumerate(col_chunks):
+            if isinstance(entry, tuple):
+                _tag, path, ptype, n_values, chunk, _pi = entry
+                oi_off, oi_len, ci_off, ci_len = index_offsets[(ri, ci_)]
+                final_chunks.append(
+                    _leaf_metadata(
+                        path, ptype, n_values, chunk,
+                        index_offsets=(oi_off, oi_len, ci_off, ci_len),
+                    )
+                )
+            else:
+                final_chunks.append(entry)
         rg = bytearray()
         last = 0
-        last = _list_field(rg, last, 1, _T_STRUCT, col_chunks)
+        last = _list_field(rg, last, 1, _T_STRUCT, final_chunks)
         # RowGroup.total_byte_size is the UNCOMPRESSED data size per
         # parquet.thrift — consumers size splits/memory from it
         last = _i64_field(rg, last, 2, total_uncomp)
         last = _i64_field(rg, last, 3, n_rg)
         rg.append(0)
-        row_groups.append(bytes(rg))
-        if num_rows == 0:
-            break
+        serialized_rgs.append(bytes(rg))
+    row_groups = serialized_rgs
 
     # schema elements: root, then the (pre-order) tree per column
     root = bytearray()

@@ -14249,6 +14249,167 @@ def sink_orc_nested6_q(spark, sf_dir):
     )
 
 
+# ---- page index: page-level skipping (round 13) ---------------------
+
+_PAGEINDEX_ORACLE = """
+    SELECT o_orderkey, o_custkey,
+           o_totalprice AS price
+    FROM orders
+    WHERE o_orderkey BETWEEN 100 AND 2000
+    """
+
+
+@register(
+    "scan_parquet_pageindex",
+    _PAGEINDEX_ORACLE,
+    tier="C",
+    note="C12 PAGE-INDEX scan (round 13): page-LEVEL skipping via the "
+    "parquet ColumnIndex + OffsetIndex — the finer-grained sibling of "
+    "scan_parquet_prune's row-group zone maps, and the I/O-"
+    "elimination mechanism that makes a selective 100 TB scan touch "
+    "kilobytes per file. Spark's JVM writer stages orders with "
+    "parquet.page.row.count.limit=512 (multi-page chunks, indexes on "
+    "by default in parquet-mr); the pure reader decodes each chunk's "
+    "thrift ColumnIndex/OffsetIndex, eliminates o_orderkey pages "
+    "outside [100, 2000] BEFORE any page decode, maps surviving ROW "
+    "ranges onto the other columns' own page grids, decodes only "
+    "those pages, and applies the exact row filter. FILE-PER-TASK "
+    "mapInPandas; DuckDB recomputes the identical filter from source "
+    "rows. Page-skip counts (pages_decoded << pages_total) are "
+    "pinned by the unit battery on pyarrow-written AND own-written "
+    "indexes.",
+)
+def scan_parquet_pageindex_q(spark, sf_dir):
+    import glob as _glob
+
+    import pandas as _pd
+
+    out = _scratch(sf_dir, "pq_pageindex_orders")
+    (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", "512")
+        .parquet(out)
+    )
+    paths = sorted(_glob.glob(f"{out}/part-*.parquet"))
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def _read(batches):
+        from ..operators.parquet_data import (
+            read_parquet_pages_pruned_columns,
+        )
+
+        for b in batches:
+            for path in b["path"]:
+                d, _r, _tot = read_parquet_pages_pruned_columns(
+                    path,
+                    ["o_orderkey", "o_custkey", "o_totalprice"],
+                    "o_orderkey", 100, 2000,
+                )
+                yield _pd.DataFrame({
+                    "o_orderkey": d["o_orderkey"],
+                    "o_custkey": d["o_custkey"],
+                    "price": d["o_totalprice"],
+                })
+
+    return pdf.mapInPandas(
+        _read, schema="o_orderkey bigint, o_custkey bigint, price double"
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "sink_parquet_pageindex",
+    """
+    SELECT o_orderkey,
+           o_orderpriority AS prio,
+           o_totalprice AS price
+    FROM orders
+    WHERE o_orderkey % 4 = 2
+    """,
+    tier="C",
+    note="C12 PAGE-INDEX export (round 13, the write twin of "
+    "scan_parquet_pageindex): build_parquet_bytes(page_rows=200) "
+    "splits every flat chunk into 200-row v2 pages and emits the "
+    "thrift ColumnIndex (null_pages/min/max/null_counts) + "
+    "OffsetIndex (PageLocation triples) between data and footer with "
+    "ColumnChunk fields 4-7 locating them — the structure that lets "
+    "parquet-mr-family engines skip pages inside our files. Read-back "
+    "goes through PYARROW (which confirms has_column_index/"
+    "has_offset_index — placement parsed by the reference reader — "
+    "and reads values exactly) plus an own page-index pruned-scan "
+    "cross-check per shard; DuckDB grades values from source rows. "
+    "Grades the o_orderkey%4=2 quarter of orders (values, not "
+    "volume). ONE FILE PER ARROW BATCH from executors, file-per-task, "
+    "no shuffle.",
+)
+def sink_parquet_pageindex_q(spark, sf_dir):
+    from ..operators.parquet_write import build_parquet_bytes
+
+    def _encode(b):
+        keys = [int(x) for x in b["o_orderkey"]]
+        return build_parquet_bytes(
+            {
+                "o_orderkey": keys,
+                "prio": [str(p) for p in b["o_orderpriority"]],
+                "price": [float(v) for v in b["o_totalprice"]],
+            },
+            {
+                "o_orderkey": "bigint", "prio": "string",
+                "price": "double",
+            },
+            compression="snappy",
+            page_version=2,
+            page_rows=200,
+        )
+
+    def _decode(payload):
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        from ..operators.parquet_data import (
+            read_parquet_pages_pruned_bytes,
+        )
+
+        pf = _pq.ParquetFile(_io.BytesIO(payload))
+        cc0 = pf.metadata.row_group(0).column(0)
+        assert cc0.has_column_index and cc0.has_offset_index, (
+            "staged shard carries no page index"
+        )
+        t = pf.read()
+        keys = t.column("o_orderkey").to_pylist()
+        # own pruned-scan cross-check: a mid-range slice must decode
+        # to exactly the reference reader's filtered rows
+        ks = sorted(keys)
+        lo, hi = ks[len(ks) // 4], ks[len(ks) // 2]
+        sub, _r, _tot = read_parquet_pages_pruned_bytes(
+            payload, ["o_orderkey"], "o_orderkey", lo, hi
+        )
+        if sub["o_orderkey"] != [k for k in keys if lo <= k <= hi]:
+            raise AssertionError(
+                "own page-index scan disagrees with pyarrow read-back"
+            )
+        return [
+            {"o_orderkey": k, "prio": p, "price": v}
+            for k, p, v in zip(
+                keys,
+                t.column("prio").to_pylist(),
+                t.column("price").to_pylist(),
+            )
+        ]
+
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "pq_pageindex_sink", "parquet", _encode, _decode,
+        "o_orderkey bigint, prio string, price double",
+        {"o_orderkey": "int64"},
+        select_cols=("o_orderkey", "o_orderpriority", "o_totalprice"),
+        table="orders",
+        where=F.col("o_orderkey") % 4 == 2,
+    )
+
+
 @register(
     "scan_parquet_brotli",
     """

@@ -2118,3 +2118,126 @@ def test_generic_assembler_declines_composite_map_keys(tmp_path):
     )}), path)
     with pytest.raises(NotImplementedError, match="map keys must be scalar"):
         read_parquet_nested_columns(str(path), ["m"])
+
+
+@pytest.mark.parametrize("pv", ["1.0", "2.6"])
+@pytest.mark.parametrize("codec", ["snappy", "none"])
+def test_page_index_scan_vs_pyarrow_files(pv, codec):
+    """Round 13: page-level skipping via the parquet PAGE INDEX
+    (ColumnIndex + OffsetIndex) on PYARROW-written multi-page files —
+    nulls in the prune column, dictionary-encoded strings, v1+v2
+    pages, multi-row-group, string bounds, unbounded ranges. Pruning
+    (pages_decoded < pages_total) is asserted, and results equal the
+    exact row filter."""
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        read_parquet_pages_pruned_bytes,
+    )
+
+    n = 50000
+    t = pa.table({
+        "k": pa.array(
+            [None if i % 97 == 0 else i for i in range(n)], pa.int64()
+        ),
+        "v": pa.array([float(i % 1000) for i in range(n)]),
+        "s": pa.array([f"s{i % 50:02d}" for i in range(n)]),
+    })
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, write_page_index=True, data_page_size=2048,
+        row_group_size=20000, compression=codec, version=pv,
+    )
+    data = buf.getvalue()
+    cols, got_read, got_tot = read_parquet_pages_pruned_bytes(
+        data, ["k", "v", "s"], "k", 10_000, 12_000
+    )
+    want = [
+        (i, float(i % 1000), f"s{i % 50:02d}".encode())
+        for i in range(10_000, 12_001)
+        if i % 97 != 0
+    ]
+    assert list(zip(cols["k"], cols["v"], cols["s"])) == want
+    assert got_read < got_tot
+    # unbounded hi
+    cols2, _r2, _t2 = read_parquet_pages_pruned_bytes(
+        data, ["k"], "k", 49_900, None
+    )
+    assert cols2["k"] == [i for i in range(49_900, n) if i % 97 != 0]
+    # string prune column (unsigned lexicographic bounds)
+    cols3, _r3, _t3 = read_parquet_pages_pruned_bytes(
+        data, ["s", "k"], "s", "s10", "s11"
+    )
+    exp3 = [
+        f"s{i % 50:02d}".encode()
+        for i in range(n)
+        if b"s10" <= f"s{i % 50:02d}".encode() <= b"s11"
+    ]
+    assert sorted(cols3["s"]) == sorted(exp3)
+    # files without an index read conservatively (same rows)
+    buf2 = io.BytesIO()
+    pq.write_table(
+        t, buf2, write_page_index=False, data_page_size=2048,
+        row_group_size=20000, compression=codec, version=pv,
+    )
+    cols4, r4, t4 = read_parquet_pages_pruned_bytes(
+        buf2.getvalue(), ["k", "v", "s"], "k", 10_000, 12_000
+    )
+    assert list(zip(cols4["k"], cols4["v"], cols4["s"])) == want
+    assert r4 == t4
+
+
+@pytest.mark.parametrize("pv", [1, 2])
+def test_page_index_writer_three_readers(pv):
+    """Round 13 write side: page_rows splits flat chunks into pages
+    and emits ColumnIndex/OffsetIndex; pyarrow confirms the index
+    placement (has_column_index/has_offset_index) and reads values
+    exactly, DuckDB reads the same file, and the repo's own page-index
+    scan prunes pages on the written index."""
+    import duckdb
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        read_parquet_pages_pruned_bytes,
+    )
+
+    n = 20000
+    cols = {
+        "k": [None if i % 53 == 0 else i for i in range(n)],
+        "v": [float(i % 877) for i in range(n)],
+        "s": [f"s{i % 40:02d}" for i in range(n)],
+    }
+    ddl = {"k": "bigint", "v": "double", "s": "string"}
+    for codec in ("none", "snappy"):
+        for rgs in (None, 8000):
+            data = build_parquet_bytes(
+                cols, ddl, compression=codec, row_group_size=rgs,
+                page_version=pv, page_rows=500,
+            )
+            pf = pq.ParquetFile(io.BytesIO(data))
+            cc = pf.metadata.row_group(0).column(0)
+            assert cc.has_column_index and cc.has_offset_index
+            t = pf.read()
+            assert t.column("k").to_pylist() == cols["k"]
+            assert t.column("v").to_pylist() == cols["v"]
+            assert t.column("s").to_pylist() == cols["s"]
+            con = duckdb.connect()
+            import os
+            import tempfile
+            fd, path = tempfile.mkstemp(suffix=".parquet")
+            os.write(fd, data)
+            os.close(fd)
+            try:
+                dk = con.execute(
+                    f"SELECT count(*), sum(k) FROM read_parquet('{path}')"
+                ).fetchone()
+            finally:
+                os.remove(path)
+            assert dk[0] == n
+            assert dk[1] == sum(x for x in cols["k"] if x is not None)
+            got, r, tot = read_parquet_pages_pruned_bytes(
+                data, ["k", "s"], "k", 5000, 5400
+            )
+            want_k = [i for i in range(5000, 5401) if i % 53 != 0]
+            assert got["k"] == want_k
+            assert got["s"] == [f"s{i % 40:02d}".encode() for i in want_k]
+            assert r < tot
