@@ -2241,3 +2241,59 @@ def test_page_index_writer_three_readers(pv):
             assert got["k"] == want_k
             assert got["s"] == [f"s{i % 40:02d}".encode() for i in want_k]
             assert r < tot
+
+
+def test_page_index_truncation_and_bitflips_never_hang():
+    """Hardening sweep for the page-index parser (the repo convention
+    for every new walk loop): truncations and bit flips may raise any
+    exception but must not hang; runs that survive must agree with the
+    reference reader on the same bytes (stats-trusting skips excepted:
+    a flipped INDEX byte may legally change pruning, so survivors are
+    checked only for 'subset of the unpruned filter result' — the same
+    trust contract as row-group zone maps)."""
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        read_parquet_pages_pruned_bytes,
+    )
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    n = 3000
+    cols = {"k": list(range(n)), "v": [float(i % 97) for i in range(n)]}
+    data = build_parquet_bytes(
+        cols, {"k": "bigint", "v": "double"},
+        compression="snappy", page_version=2, page_rows=250,
+    )
+    full = [(i, float(i % 97)) for i in range(1000, 1200 + 1)]
+    got, _r, _t = read_parquet_pages_pruned_bytes(
+        data, ["k", "v"], "k", 1000, 1200
+    )
+    assert list(zip(got["k"], got["v"])) == full
+    for cut in (50, len(data) // 3, len(data) // 2, len(data) - 9):
+        try:
+            read_parquet_pages_pruned_bytes(
+                data[:cut], ["k", "v"], "k", 1000, 1200
+            )
+        except Exception:
+            pass  # any exception is fine; hangs are not
+    import random
+
+    rnd = random.Random(3)
+    for _ in range(40):
+        mut = bytearray(data)
+        i = rnd.randrange(len(mut))
+        mut[i] ^= 1 << rnd.randrange(8)
+        try:
+            g2, _r2, _t2 = read_parquet_pages_pruned_bytes(
+                bytes(mut), ["k", "v"], "k", 1000, 1200
+            )
+        except Exception:
+            continue
+        # a survivor may decode corrupted VALUES (parquet pages carry
+        # no checksum — any reader returns flipped data bytes as-is)
+        # and may prune differently (flipped index stats), but the
+        # EXACT row filter is applied to the decoded prune column, so
+        # out-of-range keys must never appear
+        assert all(
+            k is not None and 1000 <= k <= 1200 for k in g2["k"]
+        ), i
