@@ -145,7 +145,13 @@ def _minhash_sig_arrow(num_hashes: int, seed: int):
     def sig(hashes: pd.Series) -> pd.Series:
         out = []
         for hs in hashes:
-            if hs is None:
+            # Empty shingle arrays (reachable via the public toks_col
+            # contract with pre-tokenized [] rows) get None like null
+            # input: the explode→groupBy twin emits no signature row
+            # for such docs, and the sig.isNotNull() filter in
+            # minhash_lsh_candidates then gives both paths identical
+            # semantics instead of a zero-size-reduction crash here.
+            if hs is None or len(hs) == 0:
                 out.append(None)
                 continue
             h = np.asarray(hs, dtype=np.int64)

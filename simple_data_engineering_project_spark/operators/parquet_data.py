@@ -1364,8 +1364,19 @@ def _read_chunk_page_index(buf: bytes, cc: dict, ptype: int):
     ci = _Compact(buf, cio).struct()
     oi = _Compact(buf, oio).struct()
     null_pages = [bool(b) for b in ci.get(1, [])]
-    mins = [decode_stat_value(bytes(v), ptype) for v in ci.get(2, [])]
-    maxs = [decode_stat_value(bytes(v), ptype) for v in ci.get(3, [])]
+    # All-null pages carry EMPTY min/max blobs (this repo's own
+    # _write_column_chunk_paged emits b'' for them, as do pyarrow and
+    # parquet-mr) — decoding them would struct.error on fixed-width
+    # types. Seat None instead; the keep-loop already treats a None
+    # bound as "no information" and keeps the page conservatively.
+    def _stat(i, v):
+        blob = bytes(v)
+        if (i < len(null_pages) and null_pages[i]) or not blob:
+            return None
+        return decode_stat_value(blob, ptype)
+
+    mins = [_stat(i, v) for i, v in enumerate(ci.get(2, []))]
+    maxs = [_stat(i, v) for i, v in enumerate(ci.get(3, []))]
     locs = [
         (pl.get(1, 0), pl.get(2, 0), pl.get(3, 0))
         for pl in oi.get(1, [])

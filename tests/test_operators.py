@@ -315,6 +315,45 @@ def test_dedup_fuzzy_keep_one(spark):
     assert kept == [1, 10, 11]  # near-dup cluster {1,2,3} keeps min id
 
 
+def test_dedup_fuzzy_keep_one_empty_token_arrays(spark):
+    """Round-14 ADVICE regression: pre-tokenized rows with EMPTY token
+    arrays (reachable through the public toks_col contract, though
+    tokens() itself never yields []) must not crash the Arrow
+    row-local signature path with a zero-size numpy reduction. The
+    empty-token doc gets a null signature — same semantics as the
+    explode→groupBy path, which emits no signature row — so it never
+    pairs and survives dedup untouched."""
+    from simple_data_engineering_project_spark.operators.dedup import (
+        dedup_fuzzy_keep_one,
+        minhash_signatures_df,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again".split()
+    docs = spark.createDataFrame(
+        [
+            (1, base + ["today"]),
+            (2, base + ["tonight"]),  # near-dup of 1
+            (3, []),                  # EMPTY pre-tokenized doc
+            (4, ["completely", "distinct", "text", "about", "watermarks",
+                 "and", "stateful", "streaming", "checkpoints"]),
+        ],
+        "doc_id long, toks array<string>",
+    ).withColumn("text", F.array_join("toks", " "))
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_fuzzy_keep_one(
+            docs, threshold=0.5, k=3, toks_col="toks"
+        ).collect()
+    )
+    assert kept == [1, 3, 4]  # cluster {1,2} keeps 1; empty doc survives
+    # and the explode→groupBy twin indeed emits no row for the empty doc
+    sig_ids = {
+        r["id"]
+        for r in minhash_signatures_df(docs, k=3, toks_col="toks").collect()
+    }
+    assert sig_ids == {1, 2, 4}
+
+
 def test_curate_corpus_stages(spark):
     from simple_data_engineering_project_spark.operators.text import curate_corpus
 

@@ -2243,6 +2243,70 @@ def test_page_index_writer_three_readers(pv):
             assert r < tot
 
 
+def test_page_index_all_null_pages():
+    """Round-14 ADVICE regression: ColumnIndex min/max blobs are EMPTY
+    (b'') for all-null pages — this repo's own writer, pyarrow, and
+    parquet-mr all emit them that way — and decoding them eagerly
+    struct.errors on fixed-width types. Null pages must be seated as
+    None bounds (kept conservatively by the range test, skipped only
+    when a bound is required), on both own-written and pyarrow-written
+    files, for numeric and string prune columns."""
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        read_parquet_pages_pruned_bytes,
+    )
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    # the exact ADVICE reproducer: page_rows=2 makes pages (1,2) (None,
+    # None) (5,6) — the middle page is all-null with empty stat blobs
+    data = build_parquet_bytes(
+        {"a": [1, 2, None, None, 5, 6]}, {"a": "bigint"}, page_rows=2
+    )
+    got, r, tot = read_parquet_pages_pruned_bytes(data, ["a"], "a", 1, 6)
+    assert got["a"] == [1, 2, 5, 6]
+    assert r < tot  # the all-null page is skipped for a range test
+    # unbounded range: null PRUNE values never satisfy the range
+    # predicate (SQL semantics), but every non-null row survives and
+    # the null page is still skipped without decoding its empty stats
+    got2, _r2, _t2 = read_parquet_pages_pruned_bytes(
+        data, ["a"], "a", None, None
+    )
+    assert got2["a"] == [1, 2, 5, 6]
+
+    # pyarrow-written twin, numeric + string prune columns, larger file
+    n = 4000
+    t = pa.table({
+        "k": pa.array(
+            [None if (i // 100) % 3 == 1 else i for i in range(n)],
+            pa.int64(),
+        ),
+        "s": pa.array(
+            [None if (i // 100) % 3 == 2 else f"s{i:05d}" for i in range(n)]
+        ),
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf, write_page_index=True, data_page_size=512)
+    blob = buf.getvalue()
+    gk, rk, tk = read_parquet_pages_pruned_bytes(blob, ["k", "s"], "k", 600, 900)
+    want = [
+        i for i in range(600, 901) if (i // 100) % 3 != 1
+    ]
+    assert gk["k"] == want
+    assert gk["s"] == [
+        (None if (i // 100) % 3 == 2 else f"s{i:05d}".encode()) for i in want
+    ]
+    assert rk < tk
+    gs, _rs, _ts = read_parquet_pages_pruned_bytes(
+        blob, ["s", "k"], "s", "s00600", "s00900"
+    )
+    assert sorted(x for x in gs["s"]) == sorted(
+        f"s{i:05d}".encode()
+        for i in range(600, 901)
+        if (i // 100) % 3 != 2
+    )
+
+
 def test_page_index_truncation_and_bitflips_never_hang():
     """Hardening sweep for the page-index parser (the repo convention
     for every new walk loop). What this test actually enforces, per
