@@ -244,6 +244,9 @@ HEADLINE = [
     # round 13: parquet page-index pair (page-level skipping)
     "scan_parquet_pageindex",
     "sink_parquet_pageindex",
+    # round 14: split-block bloom-filter point-lookup scan (Spark-
+    # written filters, pure SBBF decode)
+    "scan_parquet_bloom",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -317,6 +320,8 @@ STEADY_STATE = {
     "sink_orc_nested5",  # round-12: export-sink shape
     "scan_parquet_brotli",  # round-12: pyarrow-brotli stage + pure
     # RFC 7932 decode; same fixture-then-scan shape
+    "scan_parquet_bloom",  # round-14: JVM bloom-writer stage + pure
+    # SBBF probe/decode; same fixture-then-scan shape
     "sink_parquet_brotli",  # round-12: export-sink shape (own RFC
     # 7932 encoder + pyarrow read-back)
     "sink_arrow_ipc_nested",  # round-12: same export-sink shape as

@@ -200,8 +200,11 @@ def read_parquet_bloom_pruned_bytes(
     admits at least one needle (zone maps are consulted first — a
     needle outside [min, max] never reaches the filter). Returns
     ``(columns dict, groups_decoded, groups_total, groups_filtered)``
-    where ``groups_filtered`` counts groups that carried a usable
-    filter. Surviving rows pass the exact ``key in needles`` filter,
+    where ``groups_filtered`` counts groups whose key chunk DECLARES a
+    filter (ColumnMetaData field 14 — a metadata-only presence check;
+    the filter bytes themselves are only fetched and probed for groups
+    the zone maps could not already eliminate, which is the I/O order
+    a remote-storage reader wants). Surviving rows pass the exact ``key in needles`` filter,
     so a false-positive block admission never surfaces a wrong row and
     the result is independent of filter quality. Groups without a
     filter (or with an undecodable one) read conservatively — the same
@@ -242,6 +245,8 @@ def read_parquet_bloom_pruned_bytes(
         keep = True
         cand = list(range(len(needles)))
         if md is not None:
+            if md.get(14) is not None:
+                n_filtered += 1
             stats = md.get(12, {})
             mn = decode_stat_value(stats.get(6), md.get(1))
             mx = decode_stat_value(stats.get(5), md.get(1))
@@ -256,7 +261,6 @@ def read_parquet_bloom_pruned_bytes(
             if keep:
                 bitset = read_bloom_filter(buf, md)
                 if bitset is not None:
-                    n_filtered += 1
                     keep = any(
                         sbbf_contains(bitset, hashes[i]) for i in cand
                     )

@@ -14411,6 +14411,96 @@ def sink_parquet_pageindex_q(spark, sf_dir):
 
 
 @register(
+    "scan_parquet_bloom",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           o_totalprice AS price
+    FROM orders
+    WHERE o_orderkey % 8 = 5 AND o_orderkey < 400
+    """,
+    tier="C",
+    note="C12 BLOOM-FILTER scan (round 14): the last rung of the "
+    "parquet I/O-elimination ladder (row-group zone maps → page index "
+    "→ split-block bloom filter). The fixture is built to DEFEAT the "
+    "statistics: orders hash-partitioned on o_orderkey % 8 puts every "
+    "residue class's keys across the FULL key range, so each file's "
+    "min/max spans [≈0, max] and a point lookup can never zone-map "
+    "prune — exactly the case SBBF exists for. Spark's JVM writer "
+    "stages the files with parquet.bloom.filter.enabled#o_orderkey "
+    "(pyarrow 16.1 and DuckDB 1.0 can neither write nor read these "
+    "filters, so Spark's parquet-mr is the in-container reference); "
+    "the pure reader decodes each chunk's thrift BloomFilterHeader + "
+    "bitset (ColumnMetaData field 14), probes the needles through "
+    "XXH64(seed 0, plain encoding) + the 8-salt block test, and skips "
+    "every row group the filter proves needle-free BEFORE any page "
+    "decode. No false negatives by construction (probe admission is "
+    "conservative; the exact key-set row filter runs downstream), so "
+    "filter corruption can at worst drop groups — the stats-trust "
+    "contract shared with the zone-map and page-index scans. Needles "
+    "= the ≤50 keys in the FIXED range [0,400) ≡ 5 (mod 8), collected "
+    "driver-side (bounded metadata); every other residue's files are "
+    "skipped wholesale — skip counts pinned in the unit battery, "
+    "which also pins the XXH64 core bit-exactly against Spark's own "
+    "F.xxhash64 and sweeps truncation/bit-flip corruption. FILE-PER-"
+    "TASK mapInPandas, no shuffle; DuckDB recomputes the identical "
+    "lookup from source rows.",
+)
+def scan_parquet_bloom_q(spark, sf_dir):
+    import glob as _glob
+
+    import pandas as _pd
+
+    out = _scratch(sf_dir, "pq_bloom_orders")
+    (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(8, F.col("o_orderkey") % 8)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_orderkey", "200000")
+        .parquet(out)
+    )
+    # bounded: a FIXED key range (< 400) holds ≤ 50 needles at any SF
+    needles = sorted(
+        r[0]
+        for r in _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 8 == 5) & (F.col("o_orderkey") < 400))
+        .select("o_orderkey")
+        .collect()
+    )
+    paths = sorted(_glob.glob(f"{out}/part-*.parquet"))
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def _read(batches):
+        from ..operators.parquet_bloom import (
+            read_parquet_bloom_pruned_columns,
+        )
+
+        for b in batches:
+            for path in b["path"]:
+                d, _r, tot, flt = read_parquet_bloom_pruned_columns(
+                    path,
+                    ["o_orderkey", "o_custkey", "o_totalprice"],
+                    "o_orderkey",
+                    needles,
+                )
+                if flt != tot:
+                    raise AssertionError(
+                        "staged file lacks bloom filters on some groups"
+                    )
+                yield _pd.DataFrame({
+                    "o_orderkey": d["o_orderkey"],
+                    "o_custkey": d["o_custkey"],
+                    "price": d["o_totalprice"],
+                })
+
+    return pdf.mapInPandas(
+        _read, schema="o_orderkey bigint, o_custkey bigint, price double"
+    ).orderBy("o_orderkey")
+
+
+@register(
     "scan_parquet_brotli",
     """
     SELECT o_orderkey,
