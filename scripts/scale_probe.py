@@ -1,5 +1,9 @@
 """Empirical 10x scale probe (round 12, VERDICT r11 ask #10; round 13
-extends it to the pure-codec entries and a 30x pipeline point).
+extends it to the pure-codec entries and a 30x pipeline point; round 14
+adds a 30x point for scan_parquet_brotli — whose x4.26 was the steepest
+10x ratio in the set AND was captured at load1 7.07 — and per-
+measurement FOREIGN-CPU telemetry with a contamination retry, so every
+published ratio is verifiably clean (VERDICT r13 asks #4 and #2).
 
 The plan audits in tests/test_scale.py argue the expensive entries
 scale ~linearly by SHAPE (keyed shuffles, bounded collects, no
@@ -46,8 +50,12 @@ from pyspark.sql import functions as F  # noqa: E402
 from simple_data_engineering_project_spark import plans  # noqa: E402
 from simple_data_engineering_project_spark.session import get_spark  # noqa: E402
 
+from bench import _foreign_monitor  # noqa: E402  (repo-root bench.py)
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALED_DIR = "/tmp/sdep_scale10"
+SCALED30_DIR = "/tmp/sdep_scale30"
+FOREIGN_THRESH = 2.0
 ENTRIES = [
     "curate_corpus",
     "bpe_apply",
@@ -108,6 +116,39 @@ def build_scaled_dir(spark) -> None:
                 shutil.copy(src, dst)
 
 
+def build_scaled30_orders(spark) -> None:
+    """A 30x orders slice for the scan_parquet_brotli 30x point (round
+    14): same shifted-key construction as the 10x dir so fixture
+    derivations keep realistic null/length residue. Non-orders tables
+    copy through unchanged (the entry derives from orders only)."""
+    shutil.rmtree(SCALED30_DIR, ignore_errors=True)
+    os.makedirs(SCALED30_DIR, exist_ok=True)
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    ocopies = [o]
+    for c in range(1, 30):
+        ocopies.append(
+            o.withColumn(
+                "o_orderkey",
+                F.col("o_orderkey") + F.lit(c * 100_000_000),
+            )
+        )
+    obig = ocopies[0]
+    for c in ocopies[1:]:
+        obig = obig.unionByName(c)
+    obig.coalesce(24).write.mode("overwrite").parquet(
+        f"{SCALED30_DIR}/orders.parquet"
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "lineitem", "events", "documents", "embeddings"):
+        src = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(src):
+            dst = f"{SCALED30_DIR}/{t}.parquet"
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
+
+
 def _execute(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
@@ -117,19 +158,50 @@ def main() -> None:
     build_scaled_dir(spark)
     cat = plans.catalog()
     out: dict[str, dict] = {}
+
+    def _timed(fn_df, warm=True) -> tuple[float, float]:
+        """One clean measurement: warm pass, timed pass, foreign-CPU
+        reading; a contaminated timed pass (> FOREIGN_THRESH co-tenant
+        CPUs) is re-run once — the round-13 probe's steepest ratio was
+        captured at load1 7.07 and could not be cited without this."""
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        if warm:
+            _execute(fn_df())
+        for attempt in range(2):
+            fmon = _foreign_monitor()
+            t0 = time.perf_counter()
+            _execute(fn_df())
+            elapsed = round(time.perf_counter() - t0, 2)
+            f = fmon()
+            if f <= FOREIGN_THRESH or attempt:
+                return elapsed, f
+        return elapsed, f
+
     for name in ENTRIES:
         q = cat[name]
         times = {}
         for label, sfd in (("sf01", SF_DIR), ("sf01_x10", SCALED_DIR)):
-            spark.catalog.clearCache()
-            spark._jvm.System.gc()
-            _execute(q.fn(spark, sfd))  # untimed steady-state warm pass
-            t0 = time.perf_counter()
-            _execute(q.fn(spark, sfd))
-            times[label] = round(time.perf_counter() - t0, 2)
+            el, f = _timed(lambda q=q, sfd=sfd: q.fn(spark, sfd))
+            times[label] = el
+            times[f"foreign_{label}"] = f
         times["ratio"] = round(times["sf01_x10"] / max(times["sf01"], 1e-9), 2)
         out[name] = times
         print(name, times, flush=True)
+
+    # round 14 (VERDICT r13 ask #4): the clean 30x point for
+    # scan_parquet_brotli. A second tripling separates a fixed-overhead
+    # knee (ratio-per-data-unit flattens) from real super-linearity
+    # (it keeps climbing).
+    build_scaled30_orders(spark)
+    el30, f30 = _timed(lambda: cat["scan_parquet_brotli"].fn(spark, SCALED30_DIR))
+    out["scan_parquet_brotli"]["sf01_x30"] = el30
+    out["scan_parquet_brotli"]["foreign_sf01_x30"] = f30
+    out["scan_parquet_brotli"]["ratio30"] = round(
+        el30 / max(out["scan_parquet_brotli"]["sf01"], 1e-9), 2
+    )
+    print("scan_parquet_brotli x30", out["scan_parquet_brotli"], flush=True)
+    shutil.rmtree(SCALED30_DIR, ignore_errors=True)
 
     # pipeline_e2e: scale its own generator 10x
     from simple_data_engineering_project_spark.pipeline import (
@@ -137,9 +209,12 @@ def main() -> None:
         run_batch_pipeline,
     )
 
+    pipe_foreign: list[float] = []
+
     def pipe(rows_per_file: int) -> float:
         base = "/tmp/sdep_scaleprobe_pipe"
         shutil.rmtree(base, ignore_errors=True)
+        fmon = _foreign_monitor()
         t0 = time.perf_counter()
         land_csv_files(
             spark, f"{base}/landing", num_files=6,
@@ -156,6 +231,7 @@ def main() -> None:
         wh = spark.read.parquet(f"{base}/warehouse/cocoa_shipments")
         _execute(wh.groupBy("region").agg({"shipment_value_usd": "sum"}))
         elapsed = round(time.perf_counter() - t0, 2)
+        pipe_foreign.append(fmon())
         shutil.rmtree(base, ignore_errors=True)
         return elapsed
 
@@ -170,17 +246,18 @@ def main() -> None:
         "ratio": round(big_t / max(base_t, 1e-9), 2),
         "sf01_x30": bigger_t,
         "ratio30": round(bigger_t / max(base_t, 1e-9), 2),
+        "foreign_max": max(pipe_foreign[1:]) if len(pipe_foreign) > 1 else 0.0,
     }
     print("pipeline_e2e", out["pipeline_e2e"], flush=True)
 
     result = {
         "probe": "10x_wall_time_scaling",
-        "round": 13,
+        "round": 14,
         "load1": round(os.getloadavg()[0], 2),
         "entries": out,
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BENCH_SCALE_r13.json"), "w") as f:
+    with open(os.path.join(root, "BENCH_SCALE_r14.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, separators=(",", ":")))
     shutil.rmtree(SCALED_DIR, ignore_errors=True)
