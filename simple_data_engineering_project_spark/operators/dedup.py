@@ -748,26 +748,31 @@ def dedup_fuzzy_keep_one(
         if toks_col
         else shingles(text_col, k)
     )
-    df = df.withColumn(
+    # Materialize the CORPUS BYTES first, probe after, and compute the
+    # signature only once the stage is at full width. Probing the
+    # unmaterialized input would force its AQE query stages just to
+    # read a partition count (round-10 profiling: 1.3 s/run on the
+    # curate_corpus chain); the probe on the materialized LogicalRDD
+    # is free. Round 14 moved the signature OUT of the first
+    # checkpoint: AQE coalesces shuffle reads by BYTES, so after a
+    # selective gate the upstream relation routinely lands at a
+    # handful of partitions (sf0.1 curate: 2 of 32), and a signature
+    # riding the first checkpoint's projection runs the corpus's
+    # dominant Arrow pass on that handful of cores — the same
+    # under-parallelization hits a 1000-executor cluster, where a
+    # byte-coalesced post-filter stage turns the CPU-bound signature
+    # fold into a 10-task stage. Cost of the split: one extra
+    # shuffle-free materialization of the (signature-less) corpus
+    # when the input was already wide; the narrow case REPLACES its
+    # old second checkpoint (which re-copied corpus + signatures)
+    # with this cheaper bytes-only one.
+    df = df.localCheckpoint()
+    df = _spread(df, id_col).withColumn(
         "__sig",
         _minhash_sig_arrow(num_hashes, seed)(
             F.transform(sh_expr, _shingle_hash)
         ),
-    )
-    # Checkpoint FIRST, probe after: probing the unmaterialized input
-    # forces its AQE query stages just to read a partition count
-    # (round-10 profiling: 1.3 s/run on the curate_corpus chain), while
-    # the probe on the materialized LogicalRDD is free. If the
-    # checkpoint landed narrow (AQE coalesces small shuffles; single
-    # small files scan as 1-2 splits), the widening repartition is
-    # checkpointed TOO — left lazy, each of the four downstream passes
-    # would re-pay that full-corpus shuffle in its own job (round-10
-    # review finding); when the input is already wide the second
-    # checkpoint never happens.
-    df = df.localCheckpoint()
-    spread = _spread(df, id_col)
-    if spread is not df:
-        df = spread.localCheckpoint()
+    ).localCheckpoint()
     sig = df.select(
         F.col(id_col).alias("id"), F.col("__sig").alias("sig")
     )
