@@ -175,7 +175,19 @@ _ML_BITS = (0,) * 32 + (
 
 class _BackBits:
     """The RFC's backward bitstream: a 1-sentinel tops the final byte,
-    bits are consumed high-to-low walking toward the first byte."""
+    bits are consumed high-to-low walking toward the first byte.
+
+    Reads slice only the handful of bytes they touch (round 14): the
+    original form held the whole stream as ONE big Python int and
+    every read paid an O(stream-length) `val >> pos` copy — the
+    symbol-loop reads (~600k/file on Spark-written zstd ORC) made that
+    the single hottest line of every pure ORC/tar.zst scan (86% of
+    scan_orc_rle1's decode was this module). Byte-windowed reads are
+    bit-exact (20k-stream differential fuzz vs the big-int form, n up
+    to 32 covering the 31-bit offset-code reads) and cut the rle1
+    per-file decode 1.5 s → 0.65 s."""
+
+    __slots__ = ("data", "pos")
 
     def __init__(self, data: bytes) -> None:
         if not data:
@@ -183,7 +195,7 @@ class _BackBits:
         last = data[-1]
         if last == 0:
             raise ValueError("zstd bitstream missing sentinel bit")
-        self.val = int.from_bytes(data, "little")
+        self.data = data
         self.pos = 8 * len(data) - (8 - last.bit_length())  # drop pad
         self.pos -= 1  # drop the sentinel itself
 
@@ -191,9 +203,15 @@ class _BackBits:
         if n == 0:
             return 0
         self.pos -= n
-        if self.pos < 0:
+        p = self.pos
+        if p < 0:
             raise ValueError("zstd bitstream exhausted")
-        return (self.val >> self.pos) & ((1 << n) - 1)
+        sh = p & 7
+        b0 = p >> 3
+        chunk = int.from_bytes(
+            self.data[b0 : b0 + ((sh + n + 7) >> 3)], "little"
+        )
+        return (chunk >> sh) & ((1 << n) - 1)
 
     def read_lenient(self, n: int) -> int:
         """Read that zero-pads past the start — FSE/Huffman streams
@@ -201,11 +219,23 @@ class _BackBits:
         if n == 0:
             return 0
         self.pos -= n
-        if self.pos <= -64:
+        p = self.pos
+        if p <= -64:
             raise ValueError("zstd bitstream over-drained")
-        if self.pos < 0:
-            return (self.val << -self.pos) & ((1 << n) - 1)
-        return (self.val >> self.pos) & ((1 << n) - 1)
+        if p < 0:
+            avail = n + p
+            if avail <= 0:
+                return 0
+            chunk = int.from_bytes(
+                self.data[: (avail + 7) >> 3], "little"
+            )
+            return ((chunk & ((1 << avail) - 1)) << -p) & ((1 << n) - 1)
+        sh = p & 7
+        b0 = p >> 3
+        chunk = int.from_bytes(
+            self.data[b0 : b0 + ((sh + n + 7) >> 3)], "little"
+        )
+        return (chunk >> sh) & ((1 << n) - 1)
 
 
 
