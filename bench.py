@@ -92,20 +92,22 @@ FOREIGN_CPUS_THRESH = float(os.environ.get("SDEP_BENCH_FOREIGN_CPUS", "2.0"))
 _HZ = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 
 
-def _total_busy_jiffies() -> int:
-    """All-CPU busy jiffies (everything except idle+iowait)."""
-    try:
-        with open("/proc/stat") as f:
-            vals = [int(x) for x in f.readline().split()[1:]]
-        return sum(vals) - vals[3] - vals[4]
-    except (OSError, IndexError, ValueError):
-        return 0
+def _outsider_jiffies() -> dict[int, int]:
+    """{pid: cumulative jiffies} for every process OUTSIDE our own
+    process subtree (this python, the py4j JVM, pyspark daemons and
+    workers). Jiffies = utime+stime+cutime+cstime, so a co-tenant
+    SHELL whose short-lived children do the actual burning still
+    shows the burn (reaped children roll into cutime), and init
+    (pid 1) catches double-forked daemons the same way.
 
-
-def _subtree_jiffies() -> int:
-    """utime+stime summed over OUR process subtree (this python, the
-    py4j-launched JVM, pyspark daemon/worker processes) — the bench's
-    own CPU, to be subtracted from the host total."""
+    Foreign load is measured by DIRECT SUM over these outsiders, not
+    by subtracting our subtree from /proc/stat's busy total: the
+    subtraction form misattributes every jiffy of born-AND-died-
+    inside-the-window processes whose accounting never reached a
+    survivor — the JVM's exec'd helpers during filesystem-heavy
+    stages made an idle-box pipeline_e2e read a phantom ~2.8 foreign
+    CPUs that way (round-14 finding), which would have flagged every
+    clean run as contaminated."""
     try:
         kids: dict[int, list[int]] = {}
         jiff: dict[int, int] = {}
@@ -119,42 +121,39 @@ def _subtree_jiffies() -> int:
                 continue
             pid = int(d)
             kids.setdefault(int(tail[1]), []).append(pid)
-            # utime+stime (own) PLUS cutime+cstime (reaped children —
-            # a worker subprocess that exits mid-measurement rolls its
-            # CPU into its parent's cutime; without these fields that
-            # churn would misattribute as foreign load). No double
-            # count: cutime covers only REAPED children, which no
-            # longer have their own /proc entry.
             jiff[pid] = (
                 int(tail[11]) + int(tail[12])
                 + int(tail[13]) + int(tail[14])
             )
-        total = 0
-        stack, seen = [os.getpid()], set()
+        stack, mine = [os.getpid()], set()
         while stack:
             p = stack.pop()
-            if p in seen:
+            if p in mine:
                 continue
-            seen.add(p)
-            total += jiff.get(p, 0)
+            mine.add(p)
             stack.extend(kids.get(p, []))
-        return total
+        return {p: j for p, j in jiff.items() if p not in mine}
     except OSError:
-        return 0
+        return {}
 
 
 def _foreign_monitor():
     """Start a foreign-CPU measurement; the returned callable ends it
     and yields the average number of NON-bench CPUs busy in between."""
-    b0, o0, w0 = _total_busy_jiffies(), _subtree_jiffies(), time.perf_counter()
+    j0, w0 = _outsider_jiffies(), time.perf_counter()
 
     def stop() -> float:
         w = time.perf_counter() - w0
-        if w <= 0 or b0 == 0:
+        if w <= 0:
             return 0.0
-        db = _total_busy_jiffies() - b0
-        do = _subtree_jiffies() - o0
-        return round(max(0.0, db - do) / w / _HZ, 2)
+        j1 = _outsider_jiffies()
+        if not j1:
+            return 0.0
+        # pids new since start contribute their full lifetime burn
+        # (j0 default 0); outsiders that died mid-window surface via
+        # their live parent's cutime growth instead.
+        delta = sum(max(0, j - j0.get(p, 0)) for p, j in j1.items())
+        return round(delta / w / _HZ, 2)
 
     return stop
 # Cap on regression re-timings so a genuinely slow tree can't double

@@ -14841,10 +14841,10 @@ _WINDOW_RESAMPLE: list[str] = [
     "events_hll_rollup",
     "text_compress_ratio",
     "approx_stats",
-    # round 13: graded subset changed (o_orderkey%4=1 trim, bench
-    # headroom) — the r12 hash grade covered the OLD full-orders
-    # derivation, so keep it in the window for a fresh record
-    "sink_parquet_brotli",
+    # sink_parquet_brotli rode this window in round 13 after its graded
+    # subset changed (o_orderkey%4=1 trim); CORRECTNESS_r13 recorded the
+    # fresh hash-PASS on the new derivation, so it returned to the
+    # verified set in round 14.
 ]
 
 

@@ -76,7 +76,7 @@ def _have_tws_runtime() -> bool:
     and executors (or ship it via --py-files) enables it unmodified.
 
     Offline-vendoring was re-checked in round 9 (r8 verdict Next #5)
-    and the import re-probed in rounds 12 and 13 (``from
+    and the import re-probed in rounds 12, 13, and 14 (``from
     google.protobuf import descriptor`` still raises ImportError —
     the image has not gained protobuf): ``pip download protobuf``
     fails at DNS resolution (no network in this container) and no
