@@ -336,9 +336,10 @@ HEADLINE = [
     # round 13: parquet page-index pair (page-level skipping)
     "scan_parquet_pageindex",
     "sink_parquet_pageindex",
-    # round 14: split-block bloom-filter point-lookup scan (Spark-
-    # written filters, pure SBBF decode)
+    # round 14: bloom-filter point-lookup scans in both pure formats
+    # (Spark-written filters; parquet SBBF + ORC BloomFilterIndex)
     "scan_parquet_bloom",
+    "scan_orc_bloom",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -414,6 +415,7 @@ STEADY_STATE = {
     # RFC 7932 decode; same fixture-then-scan shape
     "scan_parquet_bloom",  # round-14: JVM bloom-writer stage + pure
     # SBBF probe/decode; same fixture-then-scan shape
+    "scan_orc_bloom",  # round-14: ORC twin of the above
     "sink_parquet_brotli",  # round-12: export-sink shape (own RFC
     # 7932 encoder + pyarrow read-back)
     "sink_arrow_ipc_nested",  # round-12: same export-sink shape as

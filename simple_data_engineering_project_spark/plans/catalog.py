@@ -14501,6 +14501,87 @@ def scan_parquet_bloom_q(spark, sf_dir):
 
 
 @register(
+    "scan_orc_bloom",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           o_totalprice AS price
+    FROM orders
+    WHERE o_orderkey % 8 = 3 AND o_orderkey < 500
+    """,
+    tier="C",
+    note="C12 ORC BLOOM-FILTER scan (round 14, the ORC twin of "
+    "scan_parquet_bloom): per-row-group bloom filters from each "
+    "stripe's index region (stream kind 8 BLOOM_FILTER_UTF8, a "
+    "BloomFilterIndex protobuf) prove needle keys absent from whole "
+    "stripes that the stripe statistics cannot prune — the fixture "
+    "is hash-partitioned on o_orderkey % 8 so every file's stripe "
+    "stats span the full key range. Membership is Java-style double "
+    "hashing over a Thomas Wang 64-bit integer mix (strings: the "
+    "Apache ORC Murmur3 64-bit variant, seed 104729), with signed "
+    "32-bit overflow semantics reproduced exactly. Spark's JVM "
+    "writer stages the files (orc.bloom.filter.columns — pyarrow's "
+    "ORC reader exposes no bloom surface and DuckDB does not read "
+    "ORC, so Spark is the in-container reference); no false "
+    "negatives by construction (exact key-set filter downstream), "
+    "skip counts and both hash paths pinned by the unit battery "
+    "(including non-ASCII tail-signedness probes) plus the "
+    "truncation/bit-flip sweep. FILE-PER-TASK mapInPandas, no "
+    "shuffle; DuckDB recomputes the lookup from source rows.",
+)
+def scan_orc_bloom_q(spark, sf_dir):
+    import glob as _glob
+
+    import pandas as _pd
+
+    out = _scratch(sf_dir, "orc_bloom_orders")
+    (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(8, F.col("o_orderkey") % 8)
+        .write.mode("overwrite")
+        .option("orc.bloom.filter.columns", "o_orderkey")
+        .option("orc.bloom.filter.fpp", "0.01")
+        .orc(out)
+    )
+    # bounded: a FIXED key range (< 500) holds ≤ 63 needles at any SF
+    needles = sorted(
+        r[0]
+        for r in _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 8 == 3) & (F.col("o_orderkey") < 500))
+        .select("o_orderkey")
+        .collect()
+    )
+    paths = sorted(_glob.glob(f"{out}/part-*.orc"))
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def _read(batches):
+        from ..operators.orc_bloom import read_orc_bloom_pruned_columns
+
+        for b in batches:
+            for path in b["path"]:
+                d, _r, tot, flt = read_orc_bloom_pruned_columns(
+                    path,
+                    ["o_orderkey", "o_custkey", "o_totalprice"],
+                    "o_orderkey",
+                    needles,
+                )
+                if flt != tot:
+                    raise AssertionError(
+                        "staged file lacks bloom filters on some stripes"
+                    )
+                yield _pd.DataFrame({
+                    "o_orderkey": d["o_orderkey"],
+                    "o_custkey": d["o_custkey"],
+                    "price": d["o_totalprice"],
+                })
+
+    return pdf.mapInPandas(
+        _read, schema="o_orderkey bigint, o_custkey bigint, price double"
+    ).orderBy("o_orderkey")
+
+
+@register(
     "scan_parquet_brotli",
     """
     SELECT o_orderkey,

@@ -1,0 +1,242 @@
+"""ORC bloom filter read path (round 14) — the ORC twin of
+tests/test_parquet_bloom.py.
+
+Honesty basis: pyarrow's ORC reader exposes no bloom surface and
+DuckDB does not read ORC, but Spark's JVM writer emits the filters
+(``orc.bloom.filter.columns``), so every filter probed here comes
+from the in-container reference writer and the hashes (Thomas Wang
+64-bit for longs, the Apache ORC Murmur3 64-bit variant for strings)
+are pinned empirically: a no-false-negative sweep over EVERY present
+key of every written row group — thousands of probes where a single
+wrong constant, rotation, or tail-signedness choice fails immediately.
+String fixtures deliberately include non-ASCII (high-bit) bytes and
+every length-mod-8 class so the Murmur3 tail path is fully pinned.
+"""
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_data_engineering_project_spark.operators.orc_bloom import (
+    bloom_test,
+    murmur3_hash64,
+    read_orc_bloom_pruned_bytes,
+    read_stripe_bloom_filters,
+    wang_long_hash,
+)
+from simple_data_engineering_project_spark.operators.orc_data import (
+    _leaf_columns,
+    _parse_tail,
+    read_orc_columns,
+)
+
+
+@pytest.fixture(scope="module")
+def orc_bloom_files(spark, tmp_path_factory):
+    """Spark-written fixture: keys hash-spread across files (every
+    file's stripe statistics span the full key range — zone maps can
+    never prune), bloom filters on the int64 key AND a string key
+    whose values cover non-ASCII bytes and all tail-length classes,
+    plus a column without a filter."""
+    out = str(tmp_path_factory.mktemp("orcbloom") / "t")
+    n = 24000
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        # varied length (mod-8 classes) + non-ASCII: 'é' and 'ß' have
+        # multi-byte utf-8 encodings with high bits set, exercising the
+        # Murmur3 tail signedness on every row
+        F.concat(
+            F.lit("clé-"),
+            F.format_string("%06d", F.col("id")),
+            F.expr("repeat('ß', CAST(id % 7 AS INT))"),
+        ).alias("s"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    (
+        df.repartition(6, F.col("k") % 6)
+        .write.mode("overwrite")
+        .option("orc.bloom.filter.columns", "k,s")
+        .option("orc.bloom.filter.fpp", "0.01")
+        .orc(out)
+    )
+    paths = sorted(glob.glob(out + "/part-*.orc"))
+    assert paths
+    return [open(p, "rb").read() for p in paths]
+
+
+def _key_filters(buf, col):
+    codec, _f, types, stripes = _parse_tail(buf)
+    cid = _leaf_columns(types)[col]["col_id"]
+    return [
+        read_stripe_bloom_filters(buf, st, codec, cid) for st in stripes
+    ], stripes
+
+
+def test_orc_bloom_no_false_negatives_over_all_present_keys(orc_bloom_files):
+    """THE correctness property, for both hash paths: every present
+    key must pass its row group's filter. 24k longs pin the Wang mix;
+    24k non-ASCII varied-length strings pin the Murmur3 block, tail,
+    and finalization. Absent keys must be overwhelmingly rejected."""
+    checked = 0
+    for buf in orc_bloom_files:
+        filters_k, stripes = _key_filters(buf, "k")
+        filters_s, _ = _key_filters(buf, "s")
+        if not stripes:
+            continue
+        d = read_orc_columns(buf, ["k", "s"])
+        # row-group size: Spark default orc.row.index.stride = 10000
+        stride = 10000
+        row0 = 0
+        for si, st in enumerate(stripes):
+            n_rows = st.get(5, 0)
+            assert filters_k[si] and filters_s[si]
+            for rg, (kf, kbits) in enumerate(filters_k[si]):
+                sf_, sbits = filters_s[si][rg]
+                lo = row0 + rg * stride
+                hi = min(row0 + (rg + 1) * stride, row0 + n_rows)
+                for r in range(lo, hi):
+                    kv, sv = d["k"][r], d["s"][r]
+                    assert bloom_test(kbits, kf, wang_long_hash(kv)), kv
+                    assert bloom_test(
+                        sbits, sf_, murmur3_hash64(sv.encode("utf-8"))
+                    ), sv
+                    checked += 1
+            row0 += n_rows
+        # absent keys: fpp sized at 0.01
+        kbits0 = filters_k[0][0]
+        fp = sum(
+            1
+            for v in range(50_000, 52_000)
+            if bloom_test(kbits0[1], kbits0[0], wang_long_hash(v))
+        )
+        assert fp / 2000 < 0.05
+    assert checked == 24000
+
+
+def test_orc_bloom_scan_skips_stripes_and_matches_exact_filter(
+    orc_bloom_files,
+):
+    """Needles all ≡ 3 (mod 6) live in one residue class's files; the
+    other files' stripe stats span the full key range (unprunable) but
+    their filters prove the needles absent — whole stripes skip
+    without touching a data byte. Results equal the exact filter."""
+    needles = [3, 63, 1203, 18003, 23997]
+    got_k, got_v = [], []
+    read = tot = 0
+    for buf in orc_bloom_files:
+        d, r, t, flt = read_orc_bloom_pruned_bytes(
+            buf, ["k", "v"], "k", needles
+        )
+        assert flt == t  # every Spark-written stripe carries a filter
+        got_k += d["k"]
+        got_v += d["v"]
+        read += r
+        tot += t
+    assert sorted(got_k) == needles
+    assert sorted(got_v) == sorted(float(k % 997) for k in needles)
+    assert read < tot / 2, (read, tot)
+    for buf in orc_bloom_files:
+        d, _r, _t, _ = read_orc_bloom_pruned_bytes(
+            buf, ["k"], "k", [777_777, 999_999_999]
+        )
+        assert d["k"] == []
+
+
+def test_orc_bloom_scan_string_keys(orc_bloom_files):
+    """String needles hash through the Murmur3 path; the scan accepts
+    str needles (including non-ASCII) and returns the exact rows."""
+    needles = [
+        "clé-000009ßß",       # 9 % 7 = 2 trailing ß
+        "clé-012345ßßßß",     # 12345 % 7 = 4
+        "clé-023999ßßß",      # 23999 % 7 = 3
+        "clé-nothere",
+    ]
+    got = []
+    read = tot = 0
+    for buf in orc_bloom_files:
+        d, r, t, flt = read_orc_bloom_pruned_bytes(
+            buf, ["s", "k"], "s", needles
+        )
+        assert flt == t
+        got += d["k"]
+        read += r
+        tot += t
+    assert sorted(got) == [9, 12345, 23999]
+    assert read < tot
+
+
+def test_orc_bloom_conservative_without_filters(spark, tmp_path):
+    out = str(tmp_path / "nofilter")
+    spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    ).coalesce(1).write.mode("overwrite").orc(out)
+    buf = open(sorted(glob.glob(out + "/part-*.orc"))[0], "rb").read()
+    d, r, t, flt = read_orc_bloom_pruned_bytes(
+        buf, ["k", "w"], "k", [7, 4999]
+    )
+    assert flt == 0
+    assert r == t  # nothing to prove absence with: read it all
+    assert d["k"] == [7, 4999] and d["w"] == [14, 9998]
+    # but stripe stats still prune out-of-range needles
+    d2, r2, _t2, _ = read_orc_bloom_pruned_bytes(buf, ["k"], "k", [999_999])
+    assert d2["k"] == [] and r2 == 0
+
+
+def test_orc_bloom_degenerate_probes():
+    assert bloom_test(b"", 3, 12345) is True
+    assert bloom_test(b"\x00" * 64, 0, 12345) is True
+
+
+def test_orc_bloom_truncation_and_bitflips_never_hang(orc_bloom_files):
+    """The repo-standard hardening battery under the bloom trust
+    contract: nothing hangs; flips in the INDEX region (where the
+    filters live, before any data stream) may at worst DROP rows but
+    can never fabricate them; flips elsewhere are raise-or-return;
+    truncations may raise anything."""
+    import random
+    import signal
+
+    def _nonempty(blob):
+        _c, _f, _t, stripes = _parse_tail(blob)
+        return bool(stripes)
+
+    data = next(b for b in orc_bloom_files if _nonempty(b))
+    needles = [0, 6, 600, 23994]
+    d0, _r, _t0, _f = read_orc_bloom_pruned_bytes(
+        data, ["k", "v"], "k", needles
+    )
+    full = set(zip(d0["k"], d0["v"]))
+    _c, _f2, _t2, stripes = _parse_tail(data)
+    # index region of the first stripe = [offset, offset+index_len)
+    idx_lo = stripes[0].get(1, 0)
+    idx_hi = idx_lo + stripes[0].get(2, 0)
+
+    def guarded(blob):
+        signal.alarm(30)
+        try:
+            return read_orc_bloom_pruned_bytes(
+                blob, ["k", "v"], "k", needles
+            )
+        finally:
+            signal.alarm(0)
+
+    for cut in (16, len(data) // 3, len(data) - 9):
+        try:
+            guarded(data[:cut])
+        except Exception:
+            pass
+    rnd = random.Random(14)
+    flips = [rnd.randrange(len(data)) for _ in range(30)] + [
+        idx_lo + rnd.randrange(max(idx_hi - idx_lo, 1)) for _ in range(50)
+    ]
+    for i in flips:
+        mut = bytearray(data)
+        mut[i] ^= 1 << rnd.randrange(8)
+        try:
+            g2, _r2, _tt, _ff = guarded(bytes(mut))
+        except Exception:
+            continue
+        if idx_lo <= i < idx_hi:
+            assert set(zip(g2["k"], g2["v"])) <= full, i

@@ -843,6 +843,7 @@ _COLLECT_ALLOWLIST = {
     ("plans/catalog.py", "orders_pareto_q", "bucketed.groupBy('_b').agg(F.sum('rev_cents').alias('c'))"),  # ≤ nbuckets
     ("plans/catalog.py", "decontaminate_embedding_q", "q.filter(is_test)"),  # capped ≤200 vectors (vec_id % 10 = 0 AND < 2000)
     ("plans/catalog.py", "scan_parquet_bloom_q", "_t(spark, sf_dir, 'orders').filter((F.col('o_orderkey') % 8 "),  # fixed range [0,400): ≤50 needle keys at any SF
+    ("plans/catalog.py", "scan_orc_bloom_q", "_t(spark, sf_dir, 'orders').filter((F.col('o_orderkey') % 8 "),  # fixed range [0,500): ≤63 needle keys at any SF
     # bounded model training — k/API caps, mechanically enforced:
     # kmeans_fit raises for k > 256 (fixed-k path only; derived-k
     # consumers use kmeans_fit_df which never collects)
