@@ -581,14 +581,12 @@ def _read_generic_node(
             ei += ln
         return rows
     kid, vid = _subtype_ids(types[cid])
-    if types[kid].get(1, 0) in (_K_LIST, _K_MAP, _K_STRUCT, _K_UNION):
-        # loud decline (round-13 review): composite map keys are legal
-        # ORC but cannot seat as Python dict keys — without this the
-        # dict(zip(...)) below dies with an unrelated TypeError
-        raise NotImplementedError(
-            "ORC map keys must be scalar (composite key types cannot "
-            "seat as Python dict keys)"
-        )
+    # composite map keys (legal ORC) cannot seat as Python dict keys:
+    # such maps decode as a LIST of {"key","value"} structs — the
+    # pair-list representation pyarrow's to_pylist() gives the same
+    # files (round 14, formerly a loud decline). UNION keys still
+    # decline inside the recursive key read.
+    composite_keys = types[kid].get(1, 0) in (_K_LIST, _K_MAP, _K_STRUCT)
     keys = _read_generic_node(kid, total, types, located, encodings, codec)
     vals = _read_generic_node(vid, total, types, located, encodings, codec)
     rows = []
@@ -599,7 +597,11 @@ def _read_generic_node(
             continue
         ln = lengths[li]
         li += 1
-        rows.append(dict(zip(keys[ei: ei + ln], vals[ei: ei + ln])))
+        pairs = zip(keys[ei: ei + ln], vals[ei: ei + ln])
+        if composite_keys:
+            rows.append([{"key": k, "value": v} for k, v in pairs])
+        else:
+            rows.append(dict(pairs))
         ei += ln
     return rows
 
@@ -874,16 +876,11 @@ def read_orc_nested_columns(
         except NotImplementedError:
             # generic fallback (round 13): any composition the
             # enumerated plans decline assembles through the
-            # recursive node reader; UNION and composite map keys
-            # (unhashable as Python dict keys) stay declined — the
-            # key check repeats at read time as a belt-and-braces
+            # recursive node reader. Only UNION stays declined;
+            # composite map keys (round 14) decode through the
+            # generic path as lists of {"key","value"} structs.
             if any(
                 types[i].get(1, 0) == _K_UNION
-                or (
-                    types[i].get(1, 0) == _K_MAP
-                    and types[_subtype_ids(types[i])[0]].get(1, 0)
-                    in (_K_LIST, _K_MAP, _K_STRUCT, _K_UNION)
-                )
                 for i in _all_subtree_ids(types, cid)
             ):
                 raise

@@ -955,32 +955,11 @@ def _gen_node_leaves(node: dict, out: list) -> None:
         _gen_node_leaves(ch, out)
 
 
-def _check_tree_assemblable(col: str, node: dict) -> None:
-    """Loud decline for compositions Python assembly cannot represent:
-    a MAP whose key is itself composite (legal parquet, but Python
-    dict keys must be hashable — round-13 review: the raw TypeError
-    from ``{list: ...}`` deep in assembly was not the documented
-    decline)."""
-    kids = node["children"]
-    if len(kids) == 1 and kids[0]["rep"] == 2:
-        rk = kids[0]["children"]
-        if (
-            len(rk) == 2
-            and {k["name"] for k in rk} == {"key", "value"}
-            and (
-                node["converted"] in (1, 2)
-                or kids[0]["name"] == "key_value"
-            )
-        ):
-            key_node = next(k for k in rk if k["name"] == "key")
-            if key_node["children"]:
-                raise NotImplementedError(
-                    f"column {col!r}: map keys must be scalar "
-                    "(composite key types cannot seat as Python "
-                    "dict keys)"
-                )
-    for ch in kids:
-        _check_tree_assemblable(col, ch)
+# (round 14) the former _check_tree_assemblable composite-map-key
+# decline is gone: maps whose keys are themselves composite — legal
+# parquet that Python dicts cannot seat — now decode as a LIST of
+# {"key", "value"} structs instead (the representation pyarrow's
+# tuple-list form uses for the same files; see _assemble_generic).
 
 
 def _assemble_generic(tree: dict, curs: dict[str, "_GenLeaf"]) -> list:
@@ -1034,6 +1013,14 @@ def _assemble_generic(tree: dict, curs: dict[str, "_GenLeaf"]) -> list:
                 )
             )
             if is_map:
+                key_node = next(k for k in kids if k["name"] == "key")
+                if key_node["children"]:
+                    # composite map keys (legal parquet) cannot seat
+                    # as Python dict keys: the map decodes as a LIST
+                    # of {"key","value"} structs — the same pair-list
+                    # representation pyarrow's to_pylist() gives these
+                    # files (round 14, formerly a loud decline)
+                    return items
                 return {e["key"]: e["value"] for e in items}
             return items
         return {ch["name"]: build_field(ch) for ch in children}
@@ -1118,7 +1105,6 @@ def _decode_generic_column(
 ) -> list:
     """One column of one row group through the generic assembler."""
     tree = _build_column_tree(c, leaves, schema)
-    _check_tree_assemblable(c, tree)
     curs = {}
     for p in leaves:
         leaf = schema[p]

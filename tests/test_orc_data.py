@@ -1870,16 +1870,47 @@ def test_generic_writer_validates_cells_orc():
         )
 
 
-def test_generic_reader_declines_composite_map_keys_orc(tmp_path):
-    """Round-13 review fix: map<array<..>,v> must decline loudly in
-    the ORC generic path too (plan-time AND read-time belt-and-braces)."""
+def test_generic_reader_composite_map_keys_orc(tmp_path):
+    """Round 14 (formerly a loud decline): ORC map<composite,v>
+    decodes as a LIST of {"key","value"} structs through the generic
+    path, value-equal to pyarrow's tuple-list representation of the
+    same file. Covers list keys, struct keys, and null/empty residue."""
     path = str(tmp_path / "listkey.orc")
-    po.write_table(pa.table({"m": pa.array(
-        [[([1, 2], 5)]],
+    lk = pa.array(
+        [
+            [([1, 2], 5), ([3], 6)],
+            [],
+            None,
+            [([None, 4], None)],
+        ],
         pa.map_(pa.list_(pa.int64()), pa.int64()),
-    )}), path)
-    with pytest.raises(NotImplementedError):
-        read_orc_nested_columns(path, ["m"])
+    )
+    sk = pa.array(
+        [
+            [({"a": 1, "b": "x"}, [10, 11])],
+            [({"a": None, "b": "y"}, [])],
+            [],
+            None,
+        ],
+        pa.map_(
+            pa.struct([("a", pa.int64()), ("b", pa.string())]),
+            pa.list_(pa.int64()),
+        ),
+    )
+    po.write_table(pa.table({"lk": lk, "sk": sk}), path)
+    got = read_orc_nested_columns(path, ["lk", "sk"])
+    ref = po.ORCFile(path).read()
+
+    def pairs(col):
+        return [
+            None if row is None else [
+                {"key": k, "value": v} for k, v in row
+            ]
+            for row in col.to_pylist()
+        ]
+
+    assert got["lk"] == pairs(ref.column("lk"))
+    assert got["sk"] == pairs(ref.column("sk"))
 
 
 def test_generic_writer_validates_struct_cells_orc():

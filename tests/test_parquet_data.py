@@ -2102,22 +2102,63 @@ def test_generic_writer_validates_cells():
         )
 
 
-def test_generic_assembler_declines_composite_map_keys(tmp_path):
-    """Round-13 review fix: map<array<..>,v> is legal parquet but a
-    Python dict cannot seat a list key — the generic assembler must
-    decline loudly, not die on an unrelated TypeError deep in
-    assembly."""
+def test_generic_assembler_composite_map_keys(tmp_path):
+    """Round 14 (formerly a loud decline): map<composite,v> is legal
+    parquet that a Python dict cannot seat — the generic assembler
+    now decodes it as a LIST of {"key","value"} structs, value-equal
+    to pyarrow's tuple-list representation of the same file. Covers
+    list keys, struct keys, null/empty residue, and a nested value."""
     from simple_data_engineering_project_spark.operators.parquet_data import (
         read_parquet_nested_columns,
     )
 
     path = tmp_path / "listkey.parquet"
-    pq.write_table(pa.table({"m": pa.array(
-        [[([1, 2], 5)]],
+    lk = pa.array(
+        [
+            [([1, 2], 5), ([3], 6)],
+            [],
+            None,
+            [([None, 4], None)],
+        ],
         pa.map_(pa.list_(pa.int64()), pa.int64()),
-    )}), path)
-    with pytest.raises(NotImplementedError, match="map keys must be scalar"):
-        read_parquet_nested_columns(str(path), ["m"])
+    )
+    sk = pa.array(
+        [
+            [({"a": 1, "b": "x"}, [10, 11])],
+            [({"a": None, "b": "y"}, [])],
+            [],
+            None,
+        ],
+        pa.map_(
+            pa.struct([("a", pa.int64()), ("b", pa.string())]),
+            pa.list_(pa.int64()),
+        ),
+    )
+    pq.write_table(pa.table({"lk": lk, "sk": sk}), path)
+    got = read_parquet_nested_columns(str(path), ["lk", "sk"])
+    ref = pq.read_table(path)
+
+    def _enc(v):
+        # the pure reader returns BYTE_ARRAY as raw bytes (utf-8
+        # decode lives in the DDL conversion layer)
+        if isinstance(v, str):
+            return v.encode("utf-8")
+        if isinstance(v, dict):
+            return {k: _enc(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_enc(x) for x in v]
+        return v
+
+    def pairs(col):
+        return [
+            None if row is None else [
+                {"key": _enc(k), "value": _enc(v)} for k, v in row
+            ]
+            for row in col.to_pylist()
+        ]
+
+    assert got["lk"] == pairs(ref.column("lk"))
+    assert got["sk"] == pairs(ref.column("sk"))
 
 
 @pytest.mark.parametrize("pv", ["1.0", "2.6"])
