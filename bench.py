@@ -337,9 +337,11 @@ HEADLINE = [
     "scan_parquet_pageindex",
     "sink_parquet_pageindex",
     # round 14: bloom-filter point-lookup scans in both pure formats
-    # (Spark-written filters; parquet SBBF + ORC BloomFilterIndex)
+    # (Spark-written filters; parquet SBBF + ORC BloomFilterIndex),
+    # plus the parquet write twin (parquet-mr-verified SBBF emission)
     "scan_parquet_bloom",
     "scan_orc_bloom",
+    "sink_parquet_bloom",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose
@@ -416,6 +418,8 @@ STEADY_STATE = {
     "scan_parquet_bloom",  # round-14: JVM bloom-writer stage + pure
     # SBBF probe/decode; same fixture-then-scan shape
     "scan_orc_bloom",  # round-14: ORC twin of the above
+    "sink_parquet_bloom",  # round-14: export-sink shape (own SBBF
+    # writer + pyarrow read-back + own-scan cross-check)
     "sink_parquet_brotli",  # round-12: export-sink shape (own RFC
     # 7932 encoder + pyarrow read-back)
     "sink_arrow_ipc_nested",  # round-12: same export-sink shape as
@@ -520,8 +524,12 @@ def main() -> None:
         if name in STEADY_STATE:
             cold_extra[name] = round(max(0.0, cold - timings[name]), 3)
 
-    # end-to-end batch pipeline at ~sf0.1 volume
-    def _timed_pipeline() -> float:
+    # end-to-end batch pipeline at ~sf0.1 volume. Every re-measure
+    # path below returns the (elapsed, foreign) PAIR so the published
+    # foreign reading always belongs to the published timing — a
+    # discarded retry's reading must neither launder a contaminated
+    # published number nor smear a clean one (round-14 review).
+    def _timed_pipeline() -> tuple[float, float]:
         base = "/tmp/sdep_bench_pipeline"
         shutil.rmtree(base, ignore_errors=True)
         fmon = _foreign_monitor()
@@ -540,17 +548,17 @@ def main() -> None:
         wh = spark.read.parquet(f"{base}/warehouse/cocoa_shipments")
         _execute(wh.groupBy("region").agg({"shipment_value_usd": "sum"}))
         elapsed = round(time.perf_counter() - t0, 3)
-        foreign["pipeline_e2e"] = fmon()
+        f = fmon()
         shutil.rmtree(base, ignore_errors=True)
-        return elapsed
+        return elapsed, f
 
-    timings["pipeline_e2e"] = _timed_pipeline()
+    timings["pipeline_e2e"], foreign["pipeline_e2e"] = _timed_pipeline()
 
-    def _retime(name: str) -> float:
+    def _retime(name: str) -> tuple[float, float]:
         spark.catalog.clearCache()
         spark._jvm.System.gc()
         if name == "pipeline_e2e":
-            return _timed_pipeline()  # updates foreign[] itself
+            return _timed_pipeline()
         fmon = _foreign_monitor()
         t0 = time.perf_counter()
         if name in STEADY_STATE:
@@ -559,37 +567,43 @@ def main() -> None:
             _execute(cat[name].fn(spark, SF_DIR))
         finally:
             os.environ.pop("SDEP_BENCH_REUSE_FIXTURES", None)
-        elapsed = round(time.perf_counter() - t0, 3)
-        foreign[name] = fmon()
-        return elapsed
+        return round(time.perf_counter() - t0, 3), fmon()
 
-    # Whole-run contamination gate (round-14): any entry whose timed
-    # pass ran against > FOREIGN_CPUS_THRESH co-tenant CPUs gets ONE
-    # clean re-measure before publishing — the round-13 quiet close-out
+    # Whole-run contamination gate (round-14): any entry whose
+    # PUBLISHED timing ran against > FOREIGN_CPUS_THRESH co-tenant
+    # CPUs gets ONE clean re-measure — the round-13 quiet close-out
     # published a 7.49 s events_attribution that costs ~1.3 s clean,
     # purely because a co-tenant spike landed mid-run where load1
     # sampling (start/end only) could not see it. The retry replaces
     # the contaminated number unless the retry itself was contaminated
     # AND slower (then the smaller of the two stands — still honest:
-    # both raw readings are published in contaminated_rerun).
+    # both raw readings land in contaminated_rerun). The pass runs
+    # again after the regression retries (tagged "#post-retry"), so a
+    # retry measured under a spike cannot bypass the gate either.
     contaminated_rerun: dict[str, dict[str, float]] = {}
-    for name in sorted(
-        n for n, f in foreign.items() if f > FOREIGN_CPUS_THRESH
-    ):
-        first, f_first = timings[name], foreign[name]
-        again = _retime(name)
-        contaminated_rerun[name] = {
-            "first": first,
-            "foreign_first": f_first,
-            "retry": again,
-            "foreign_retry": foreign[name],
-        }
-        if foreign[name] <= FOREIGN_CPUS_THRESH or again < first:
-            timings[name] = again
-        if name in cold_extra:
-            cold_extra[name] = round(
-                max(0.0, cold_extra[name] + first - timings[name]), 3
-            )
+
+    def _contamination_pass(tag: str = "") -> None:
+        for name in sorted(
+            n for n, f in foreign.items() if f > FOREIGN_CPUS_THRESH
+        ):
+            if name + tag in contaminated_rerun:
+                continue  # one clean re-measure per phase
+            first, f_first = timings[name], foreign[name]
+            again, f_again = _retime(name)
+            contaminated_rerun[name + tag] = {
+                "first": first,
+                "foreign_first": f_first,
+                "retry": again,
+                "foreign_retry": f_again,
+            }
+            if f_again <= FOREIGN_CPUS_THRESH or again < first:
+                timings[name], foreign[name] = again, f_again
+            if name in cold_extra:
+                cold_extra[name] = round(
+                    max(0.0, cold_extra[name] + first - timings[name]), 3
+                )
+
+    _contamination_pass()
 
     # Load self-defense: re-time any catalog query the tracker flags as
     # slower than the prior round and keep the better measurement — a
@@ -597,22 +611,30 @@ def main() -> None:
     # mechanically instead of reaching the judge as a fake regression.
     regressions = _regressions_vs_prior_round(timings)
     retried: dict[str, dict[str, float]] = {}
+    def _pick_pair(name: str, pairs: list[tuple[float, float]], median: bool):
+        """Publish a (timing, foreign) pair together — the median (or
+        min) BY TIMING, carrying that measurement's own foreign."""
+        ps = sorted(pairs, key=lambda p: p[0])
+        timings[name], foreign[name] = ps[len(ps) // 2 if median else 0]
+
     if regressions and "pipeline_e2e" in (regressions.get("slower") or {}):
         # the pipeline runs LAST, after ~115 queries of JVM/GC history —
         # a flagged regression there deserves one clean re-measure too
         spark.catalog.clearCache()
         spark._jvm.System.gc()
-        first = timings["pipeline_e2e"]
-        again = _timed_pipeline()
-        retried["pipeline_e2e"] = {"first": first, "retry": again}
-        if max(first, again) > 1.3 * min(first, again):
+        pairs = [(timings["pipeline_e2e"], foreign["pipeline_e2e"])]
+        pairs.append(_timed_pipeline())
+        retried["pipeline_e2e"] = {
+            "first": pairs[0][0], "retry": pairs[1][0],
+        }
+        if pairs[1][0] > 1.3 * pairs[0][0] or pairs[0][0] > 1.3 * pairs[1][0]:
             # median-of-3 tiebreak — same symmetric policy as the
             # catalog-query retries below
-            third = _timed_pipeline()
-            retried["pipeline_e2e"]["third"] = third
-            timings["pipeline_e2e"] = sorted([first, again, third])[1]
+            pairs.append(_timed_pipeline())
+            retried["pipeline_e2e"]["third"] = pairs[2][0]
+            _pick_pair("pipeline_e2e", pairs, median=True)
         else:
-            timings["pipeline_e2e"] = min(first, again)
+            _pick_pair("pipeline_e2e", pairs, median=False)
         regressions = _regressions_vs_prior_round(timings)
     if regressions and regressions.get("slower"):
         flagged = sorted(
@@ -620,20 +642,20 @@ def main() -> None:
             key=lambda n: -timings[n],
         )[:MAX_RETRIES]
         for name in flagged:
-            again = _retime(name)
             first = timings[name]
-            retried[name] = {"first": first, "retry": again}
-            if max(first, again) > 1.3 * min(first, again):
+            pairs = [(first, foreign[name]), _retime(name)]
+            retried[name] = {"first": first, "retry": pairs[1][0]}
+            if max(first, pairs[1][0]) > 1.3 * min(first, pairs[1][0]):
                 # SYMMETRIC tiebreak (round-10 verdict): when the two
                 # measurements disagree, a third run decides — publish
                 # the MEDIAN, so one lucky retry can no longer bury a
                 # real regression (and one unlucky first can no longer
                 # create a fake one). Agreement keeps min(first, retry).
-                third = _retime(name)
-                retried[name]["third"] = third
-                timings[name] = sorted([first, again, third])[1]
+                pairs.append(_retime(name))
+                retried[name]["third"] = pairs[2][0]
+                _pick_pair(name, pairs, median=True)
             else:
-                timings[name] = min(first, again)
+                _pick_pair(name, pairs, median=False)
             if name in cold_extra:
                 # cold_extra was derived as (cold - first); keep the
                 # cold/steady split reconciled with the published
@@ -642,6 +664,12 @@ def main() -> None:
                     max(0.0, cold_extra[name] + first - timings[name]), 3
                 )
         regressions = _regressions_vs_prior_round(timings)
+
+    # a regression retry that itself ran under a co-tenant spike may
+    # now be the published number — give such entries one clean
+    # re-measure too (round-14 review: the first gate ran before the
+    # retries and never re-examined them)
+    _contamination_pass("#post-retry")
 
     load_end = os.getloadavg()
     total = round(sum(timings.values()), 3)

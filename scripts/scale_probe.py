@@ -50,12 +50,14 @@ from pyspark.sql import functions as F  # noqa: E402
 from simple_data_engineering_project_spark import plans  # noqa: E402
 from simple_data_engineering_project_spark.session import get_spark  # noqa: E402
 
-from bench import _foreign_monitor  # noqa: E402  (repo-root bench.py)
+from bench import (  # noqa: E402  (repo-root bench.py)
+    FOREIGN_CPUS_THRESH,
+    _foreign_monitor,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALED_DIR = "/tmp/sdep_scale10"
 SCALED30_DIR = "/tmp/sdep_scale30"
-FOREIGN_THRESH = 2.0
 ENTRIES = [
     "curate_corpus",
     "bpe_apply",
@@ -68,6 +70,28 @@ ENTRIES = [
     "scan_orc_pure",
 ]
 ROT = "etaoin"
+
+
+def _build_scaled_orders(spark, dst: str, factor: int, coalesce: int) -> None:
+    """Shifted-key orders at ``factor``x: copies 1..factor-1 shift
+    o_orderkey by c * 100_000_000 so fixture derivations (the
+    pure-codec entries derive nulls/lengths from the key) keep
+    realistic residue instead of verbatim duplication."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    ocopies = [o]
+    for c in range(1, factor):
+        ocopies.append(
+            o.withColumn(
+                "o_orderkey",
+                F.col("o_orderkey") + F.lit(c * 100_000_000),
+            )
+        )
+    obig = ocopies[0]
+    for c in ocopies[1:]:
+        obig = obig.unionByName(c)
+    obig.coalesce(coalesce).write.mode("overwrite").parquet(
+        f"{dst}/orders.parquet"
+    )
 
 
 def build_scaled_dir(spark) -> None:
@@ -90,21 +114,7 @@ def build_scaled_dir(spark) -> None:
     big.coalesce(4).write.mode("overwrite").parquet(
         f"{SCALED_DIR}/documents.parquet"
     )
-    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
-    ocopies = [o]
-    for c in range(1, 10):
-        ocopies.append(
-            o.withColumn(
-                "o_orderkey",
-                F.col("o_orderkey") + F.lit(c * 100_000_000),
-            )
-        )
-    obig = ocopies[0]
-    for c in ocopies[1:]:
-        obig = obig.unionByName(c)
-    obig.coalesce(8).write.mode("overwrite").parquet(
-        f"{SCALED_DIR}/orders.parquet"
-    )
+    _build_scaled_orders(spark, SCALED_DIR, 10, 8)
     for t in ("region", "nation", "customer", "supplier", "part",
               "lineitem", "events", "embeddings"):
         src = f"{SF_DIR}/{t}.parquet"
@@ -117,36 +127,14 @@ def build_scaled_dir(spark) -> None:
 
 
 def build_scaled30_orders(spark) -> None:
-    """A 30x orders slice for the scan_parquet_brotli 30x point (round
-    14): same shifted-key construction as the 10x dir so fixture
-    derivations keep realistic null/length residue. Non-orders tables
-    copy through unchanged (the entry derives from orders only)."""
+    """A 30x orders slice for the scan_parquet_brotli 30x point
+    (round 14), through the same shared shifted-key builder as the
+    10x dir. ONLY orders is materialized — the consuming entry
+    derives everything from orders, so copying the other tables
+    would be pure wasted I/O per probe run."""
     shutil.rmtree(SCALED30_DIR, ignore_errors=True)
     os.makedirs(SCALED30_DIR, exist_ok=True)
-    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
-    ocopies = [o]
-    for c in range(1, 30):
-        ocopies.append(
-            o.withColumn(
-                "o_orderkey",
-                F.col("o_orderkey") + F.lit(c * 100_000_000),
-            )
-        )
-    obig = ocopies[0]
-    for c in ocopies[1:]:
-        obig = obig.unionByName(c)
-    obig.coalesce(24).write.mode("overwrite").parquet(
-        f"{SCALED30_DIR}/orders.parquet"
-    )
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "lineitem", "events", "documents", "embeddings"):
-        src = f"{SF_DIR}/{t}.parquet"
-        if os.path.exists(src):
-            dst = f"{SCALED30_DIR}/{t}.parquet"
-            if os.path.isdir(src):
-                shutil.copytree(src, dst)
-            else:
-                shutil.copy(src, dst)
+    _build_scaled_orders(spark, SCALED30_DIR, 30, 24)
 
 
 def _execute(df) -> None:
@@ -161,22 +149,26 @@ def main() -> None:
 
     def _timed(fn_df, warm=True) -> tuple[float, float]:
         """One clean measurement: warm pass, timed pass, foreign-CPU
-        reading; a contaminated timed pass (> FOREIGN_THRESH co-tenant
-        CPUs) is re-run once — the round-13 probe's steepest ratio was
-        captured at load1 7.07 and could not be cited without this."""
+        reading; a contaminated timed pass (> FOREIGN_CPUS_THRESH
+        co-tenant CPUs, the same env-configurable knob bench.py
+        gates on) is re-run once — the round-13 probe's steepest
+        ratio was captured at load1 7.07 and could not be cited
+        without this."""
         spark.catalog.clearCache()
         spark._jvm.System.gc()
         if warm:
             _execute(fn_df())
-        for attempt in range(2):
-            fmon = _foreign_monitor()
-            t0 = time.perf_counter()
-            _execute(fn_df())
-            elapsed = round(time.perf_counter() - t0, 2)
-            f = fmon()
-            if f <= FOREIGN_THRESH or attempt:
-                return elapsed, f
-        return elapsed, f
+        fmon = _foreign_monitor()
+        t0 = time.perf_counter()
+        _execute(fn_df())
+        elapsed = round(time.perf_counter() - t0, 2)
+        f = fmon()
+        if f <= FOREIGN_CPUS_THRESH:
+            return elapsed, f
+        fmon = _foreign_monitor()
+        t0 = time.perf_counter()
+        _execute(fn_df())
+        return round(time.perf_counter() - t0, 2), fmon()
 
     for name in ENTRIES:
         q = cat[name]

@@ -67,11 +67,13 @@ def _fmix64(h: int) -> int:
 def murmur3_hash64(data: bytes, seed: int = _ORC_SEED) -> int:
     """Apache ORC's Murmur3 64-bit variant (Murmur3.hash64): 8-byte
     little-endian blocks mixed with the x64_128 constants into ONE
-    lane, a sign-EXTENDED tail (Java bytes are signed — only the last
-    tail byte joins unsigned), length xor, fmix64 finalization.
-    Returns the unsigned 64-bit value; callers split signed halves.
-    Pinned empirically by the no-false-negative sweep over
-    Spark-written filters (tests/test_orc_bloom.py)."""
+    lane, tail bytes joined UNSIGNED little-endian into the low end
+    of k1, length xor, fmix64 finalization. Returns the unsigned
+    64-bit value; callers split signed halves. Pinned empirically by
+    the no-false-negative sweep over Spark-written filters with
+    non-ASCII keys in every length-mod-8 class
+    (tests/test_orc_bloom.py) — the sign-extending tail variant
+    fails 71% of those probes."""
     n = len(data)
     h = seed & _M64
     nblocks = n >> 3
@@ -152,43 +154,25 @@ def bloom_test(bitset: bytes, k: int, hash64: int) -> bool:
     return True
 
 
-def stripe_has_bloom(buf: bytes, stripe: dict, codec: int, col_id: int) -> bool:
-    """Footer-only presence check: does this stripe's stream list
-    declare a bloom stream for ``col_id``? Costs one stripe-footer
-    parse, never an index byte — so the ``stripes_filtered`` count
-    stays honest even for stripes the zone maps already eliminated
-    (the parquet twin gets this for free from ColumnMetaData field
-    14; ORC keeps it in the stripe footer)."""
-    from .orc_data import _as_list, _decompress_stream, _pb_map
-
-    offset = stripe.get(1, 0)
-    streams_end = offset + stripe.get(2, 0) + stripe.get(3, 0)
-    try:
-        sf = _pb_map(
-            _decompress_stream(codec, buf[streams_end:][: stripe.get(4, 0)])
-        )
-        for s_raw in _as_list(sf.get(1)):
-            s = _pb_map(s_raw)
-            if s.get(2, 0) == col_id and s.get(1, 0) in (
-                _S_BLOOM, _S_BLOOM_UTF8
-            ):
-                return True
-    except (ValueError, IndexError, struct.error):
-        pass
-    return False
-
-
 def read_stripe_bloom_filters(
-    buf: bytes, stripe: dict, codec: int, col_id: int
-) -> list[tuple[int, bytes]] | None:
-    """Decode one stripe's ``BloomFilterIndex`` for ``col_id``:
-    [(num_hash_functions, bitset bytes)] — one entry per row group —
-    or None when the stripe carries no bloom stream for the column
-    (or an undecodable one; the caller reads conservatively). Prefers
-    the UTF8 stream (kind 8, ORC-135 — what current writers emit);
-    falls back to kind 7 only when its filters carry utf8bitset
-    payloads too (the old fixed64 form used Java's broken
-    per-encoding string hash and is not probed here)."""
+    buf: bytes, stripe: dict, codec: int, col_id: int, decode: bool = True
+) -> tuple[bool, list[tuple[int, bytes]] | None]:
+    """Locate (and with ``decode=True`` parse) one stripe's
+    ``BloomFilterIndex`` for ``col_id``. Returns ``(declared,
+    filters)``: ``declared`` is the footer-only presence verdict (the
+    stream list names a bloom stream for the column — the honesty
+    counter's input, mirroring the parquet twin's ColumnMetaData
+    field-14 presence check, and available without touching an index
+    byte via ``decode=False`` for stripes the zone maps already
+    eliminated); ``filters`` is ``[(num_hash_functions, bitset
+    bytes)]`` — one entry per row group — or None when the stream is
+    absent, not requested, or undecodable (the caller reads
+    conservatively). Prefers the UTF8 stream (kind 8, ORC-135 — what
+    current writers emit) over kind 7, whose old fixed64-bitset form
+    used Java's broken per-encoding string hash and is not probed
+    (it decodes to None → conservative read, with ``declared`` still
+    True — same contract as a parquet chunk whose declared filter
+    fails to decode)."""
     from .orc_data import _as_list, _decompress_stream, _pb_map
 
     offset = stripe.get(1, 0)
@@ -198,17 +182,17 @@ def read_stripe_bloom_filters(
         sf = _pb_map(_decompress_stream(codec, sf_raw))
         pos = offset
         blob = None
+        declared = False
         for s_raw in _as_list(sf.get(1)):
             s = _pb_map(s_raw)
             kind, col, ln = s.get(1, 0), s.get(2, 0), s.get(3, 0)
             if col == col_id and kind in (_S_BLOOM, _S_BLOOM_UTF8):
+                declared = True
                 if kind == _S_BLOOM_UTF8 or blob is None:
                     blob = buf[pos : pos + ln]
-                    if kind == _S_BLOOM_UTF8:
-                        pass  # preferred; keep scanning offsets only
             pos += ln
-        if blob is None:
-            return None
+        if not decode or blob is None:
+            return declared, None
         idx = _pb_map(_decompress_stream(codec, blob))
         out: list[tuple[int, bytes]] = []
         for bf_raw in _as_list(idx.get(1)):
@@ -218,11 +202,11 @@ def read_stripe_bloom_filters(
             if not isinstance(k, int) or not isinstance(
                 bits, (bytes, bytearray)
             ) or len(bits) % 8:
-                return None  # fixed64-form or malformed: conservative
+                return declared, None  # fixed64-form/malformed
             out.append((k, bytes(bits)))
-        return out or None
+        return declared, (out or None)
     except (ValueError, IndexError, struct.error):
-        return None  # undecodable index region: conservative
+        return False, None  # undecodable stripe footer: conservative
 
 
 def read_orc_bloom_pruned_bytes(
@@ -236,7 +220,11 @@ def read_orc_bloom_pruned_bytes(
     of its row groups' filters admits at least one needle (a stripe
     with no usable filter reads conservatively). Returns ``(columns
     dict, stripes_decoded, stripes_total, stripes_filtered)`` where
-    ``stripes_filtered`` counts stripes carrying a usable filter.
+    ``stripes_filtered`` counts stripes whose stream list DECLARES a
+    bloom stream for the key column (footer-only, same semantics as
+    the parquet twin's ColumnMetaData field-14 presence count — a
+    declared-but-undecodable filter still counts, and still reads
+    conservatively).
     Surviving rows pass the exact ``key in needles`` filter, so
     probe admissions (including false positives) never surface a
     wrong row. The ORC twin of
@@ -270,12 +258,18 @@ def read_orc_bloom_pruned_bytes(
         hashes = [wang_long_hash(v) for v in stat_vals]
         cmp_needles = set(stat_vals)
     elif kind in (_K_STRING, _K_VARCHAR, _K_CHAR):
-        enc = [
-            v.encode("utf-8") if isinstance(v, str) else bytes(v)
-            for v in needles
-        ]
-        stat_vals = [e.decode("utf-8") for e in enc]
-        hashes = [murmur3_hash64(e) for e in enc]
+        stat_vals, hashes = [], []
+        for v in needles:
+            e = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            try:
+                s = e.decode("utf-8")
+            except UnicodeDecodeError:
+                # ORC strings are utf-8 by spec: a non-decodable bytes
+                # needle cannot equal any value — drop it instead of
+                # crashing the stats comparison (round-14 review)
+                continue
+            stat_vals.append(s)
+            hashes.append(murmur3_hash64(e))
         cmp_needles = set(stat_vals)
     else:
         raise NotImplementedError(
@@ -285,19 +279,24 @@ def read_orc_bloom_pruned_bytes(
     keep: list[bool] = []
     n_filtered = 0
     for i, st in enumerate(stripes):
-        if stripe_has_bloom(buf, st, codec, cid):
-            n_filtered += 1
-        cand = list(range(len(needles)))
+        cand = list(range(len(stat_vals)))
         if i < len(stats) and cid < len(stats[i]):
             mn, mx = stats[i][cid]["min"], stats[i][cid]["max"]
             if mn is not None and mx is not None:
                 cand = [j for j in cand if mn <= stat_vals[j] <= mx]
+        # one stripe-footer parse serves both the presence counter and
+        # (for zone-survivors) the filter decode; zone-eliminated
+        # stripes skip the index bytes entirely (decode=False)
+        declared, filters = read_stripe_bloom_filters(
+            buf, st, codec, cid, decode=bool(cand)
+        )
+        if declared:
+            n_filtered += 1
         if not cand:
             keep.append(False)
             continue
-        filters = read_stripe_bloom_filters(buf, st, codec, cid)
         if filters is None:
-            keep.append(True)  # no filter: conservative
+            keep.append(True)  # no/undecodable filter: conservative
             continue
         keep.append(
             any(

@@ -1322,6 +1322,52 @@ def _offset_index_bytes(pageinfo: dict) -> bytes:
     return bytes(out)
 
 
+def _sbbf_bitset(hashes: list[int], fpp: float) -> bytes:
+    """Build one split-block bloom filter bitset over 64-bit value
+    hashes (XXH64 of plain encodings — parquet-format BloomFilter.md).
+    Sizing follows parquet-mr's BlockSplitBloomFilter: optimal bit
+    count for (ndv, fpp), rounded UP to a power of two, clamped to a
+    32-byte minimum. Insertion is the same 8-salt block math the
+    read path probes (operators/parquet_bloom.py)."""
+    import math
+
+    from .parquet_bloom import _SALT
+
+    n = max(1, len(hashes))
+    bits = -n * math.log(fpp) / (math.log(2) ** 2)
+    num_bytes = max(32, 1 << max(0, math.ceil(math.log2(max(bits, 1) / 8))))
+    bitset = bytearray(num_bytes)
+    num_blocks = num_bytes >> 5
+    for h in hashes:
+        block = (((h >> 32) & 0xFFFFFFFF) * num_blocks) >> 32
+        base = block << 5
+        x = h & 0xFFFFFFFF
+        for i in range(8):
+            bit = ((x * _SALT[i]) & 0xFFFFFFFF) >> 27
+            word_off = base + 4 * i
+            (word,) = struct.unpack_from("<I", bitset, word_off)
+            struct.pack_into("<I", bitset, word_off, word | (1 << bit))
+    return bytes(bitset)
+
+
+def _bloom_blob(bitset: bytes) -> bytes:
+    """thrift-compact BloomFilterHeader + the bitset: numBytes,
+    then the three unions (BLOCK / XXHASH / UNCOMPRESSED) each as a
+    one-field struct holding an empty struct — the wire shape
+    parquet-mr emits and the pure reader decodes."""
+    empty_union = bytearray()
+    _field(empty_union, 0, 1, _T_STRUCT)
+    empty_union.append(0)  # inner empty struct stop
+    empty_union.append(0)  # union stop
+    hb = bytearray()
+    last = 0
+    last = _i32_field(hb, last, 1, len(bitset))
+    for fid in (2, 3, 4):
+        last = _struct_field(hb, last, fid, bytes(empty_union))
+    hb.append(0)
+    return bytes(hb) + bitset
+
+
 def build_parquet_bytes(
     columns: dict[str, list],
     ddl_types: dict[str, str],
@@ -1329,6 +1375,8 @@ def build_parquet_bytes(
     row_group_size: int | None = None,
     page_version: int = 1,
     page_rows: int | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_fpp: float = 0.01,
 ) -> bytes:
     """One parquet FILE as bytes.
 
@@ -1353,6 +1401,16 @@ def build_parquet_bytes(
     readers (this repo's page-index scan; any parquet-mr-family
     engine) eliminate pages, not just row groups. Dictionary encoding
     is skipped for paged chunks.
+
+    ``bloom_cols`` (round 14) emits a SPLIT-BLOCK BLOOM FILTER per
+    row group for the named FLAT scalar columns (thrift
+    BloomFilterHeader + SBBF bitset after the data region,
+    ColumnMetaData fields 14/15 locating it) — the point-lookup
+    I/O-elimination structure zone maps cannot provide. Sized for the
+    chunk's distinct count at ``bloom_fpp`` per parquet-mr's
+    BlockSplitBloomFilter policy; validated against parquet-mr's own
+    BloomFilterReader (via the Spark JVM) plus a Spark end-to-end
+    filtered read and this repo's bloom-pruned scan.
     """
     names = list(columns)
     num_rows = len(columns[names[0]]) if names else 0
@@ -1378,6 +1436,12 @@ def build_parquet_bytes(
         return 1
 
     n_leaves = sum(_plan_leaves(p) for p in plans.values())
+    for c in bloom_cols or ():
+        if c not in plans or plans[c][0] != "scalar" or plans[c][1] == "boolean":
+            raise NotImplementedError(
+                "bloom filters are emitted for FLAT non-boolean scalar "
+                f"columns only; {c!r} is not one"
+            )
     for c in names:
         if len(columns[c]) != num_rows:
             raise ValueError("ragged columns")
@@ -1389,6 +1453,7 @@ def build_parquet_bytes(
     def _leaf_metadata(
         path: list[str], ptype: int, n_values: int, chunk,
         index_offsets: tuple[int, int, int, int] | None = None,
+        bloom: tuple[int, int] | None = None,
     ) -> bytes:
         encodings, dict_off, data_off, comp_size, uncomp_size, stats = chunk
         md = bytearray()
@@ -1409,6 +1474,11 @@ def build_parquet_bytes(
         if dict_off is not None:
             last = _i64_field(md, last, 11, dict_off)
         last = _struct_field(md, last, 12, stats)
+        if bloom is not None:
+            # 14 = bloom_filter_offset, 15 = bloom_filter_length
+            # (header + bitset, parquet.thrift)
+            last = _i64_field(md, last, 14, bloom[0])
+            last = _i32_field(md, last, 15, bloom[1])
         md.append(0)
         cc = bytearray()
         last = 0
@@ -1441,6 +1511,18 @@ def build_parquet_bytes(
             vals = columns[c][start : start + n_rg]
             if kind == "scalar":
                 ptype = _SPARK_TO_PHYSICAL[detail]
+                bitset = None
+                if bloom_cols and c in bloom_cols:
+                    from .parquet_bloom import plain_encode, xxhash64
+
+                    tl = 0  # flat scalars here are never FLBA
+                    bitset = _sbbf_bitset(
+                        [
+                            xxhash64(plain_encode(v, ptype, tl))
+                            for v in {x for x in vals if x is not None}
+                        ],
+                        bloom_fpp,
+                    )
                 if page_rows is not None:
                     chunk, pageinfo = _write_column_chunk_paged(
                         body, vals, ptype, codec_id, page_version,
@@ -1450,7 +1532,14 @@ def build_parquet_bytes(
                     # block offsets, which are only known after every
                     # row group's data is written
                     col_chunks.append(
-                        ("defer", [c], ptype, n_rg, chunk, pageinfo)
+                        ("defer", [c], ptype, n_rg, chunk, pageinfo, bitset)
+                    )
+                elif bitset is not None:
+                    # bloom blobs also land after the data region, so
+                    # the chunk metadata defers the same way
+                    chunk = flat_writer(body, vals, ptype, codec_id)
+                    col_chunks.append(
+                        ("defer", [c], ptype, n_rg, chunk, None, bitset)
                     )
                 else:
                     chunk = flat_writer(body, vals, ptype, codec_id)
@@ -1633,6 +1722,16 @@ def build_parquet_bytes(
         if num_rows == 0:
             break
 
+    # BLOOM FILTER section (round 14, bloom_cols set): after the data,
+    # before the page indexes — parquet-mr's layout order.
+    bloom_offsets: dict[tuple[int, int], tuple[int, int]] = {}
+    for ri, (col_chunks, _tu, _nr) in enumerate(row_groups):
+        for ci_, entry in enumerate(col_chunks):
+            if isinstance(entry, tuple) and entry[6] is not None:
+                blob = _bloom_blob(entry[6])
+                bloom_offsets[(ri, ci_)] = (len(body), len(blob))
+                body += blob
+
     # PAGE INDEX section (round 13, page_rows set): after the data,
     # before the footer — all ColumnIndex structs (per row group, per
     # deferred chunk), then all OffsetIndex structs (the layout
@@ -1641,14 +1740,14 @@ def build_parquet_bytes(
     index_offsets: dict[tuple[int, int], list] = {}
     for ri, (col_chunks, _tu, _nr) in enumerate(row_groups):
         for ci_, entry in enumerate(col_chunks):
-            if isinstance(entry, tuple):
+            if isinstance(entry, tuple) and entry[5] is not None:
                 blob = _column_index_bytes(entry[5])
                 off = len(body)
                 body += blob
                 index_offsets[(ri, ci_)] = [None, None, off, len(blob)]
     for ri, (col_chunks, _tu, _nr) in enumerate(row_groups):
         for ci_, entry in enumerate(col_chunks):
-            if isinstance(entry, tuple):
+            if isinstance(entry, tuple) and entry[5] is not None:
                 blob = _offset_index_bytes(entry[5])
                 off = len(body)
                 body += blob
@@ -1660,12 +1759,13 @@ def build_parquet_bytes(
         final_chunks: list[bytes] = []
         for ci_, entry in enumerate(col_chunks):
             if isinstance(entry, tuple):
-                _tag, path, ptype, n_values, chunk, _pi = entry
-                oi_off, oi_len, ci_off, ci_len = index_offsets[(ri, ci_)]
+                _tag, path, ptype, n_values, chunk, _pi, _bs = entry
+                idx = index_offsets.get((ri, ci_))
                 final_chunks.append(
                     _leaf_metadata(
                         path, ptype, n_values, chunk,
-                        index_offsets=(oi_off, oi_len, ci_off, ci_len),
+                        index_offsets=tuple(idx) if idx else None,
+                        bloom=bloom_offsets.get((ri, ci_)),
                     )
                 )
             else:

@@ -14501,6 +14501,96 @@ def scan_parquet_bloom_q(spark, sf_dir):
 
 
 @register(
+    "sink_parquet_bloom",
+    """
+    SELECT o_orderkey,
+           o_orderpriority AS prio,
+           o_totalprice AS price
+    FROM orders
+    WHERE o_orderkey % 4 = 0
+    """,
+    tier="C",
+    note="C12 BLOOM-FILTER export (round 14, the write twin of "
+    "scan_parquet_bloom): build_parquet_bytes(bloom_cols=...) sizes a "
+    "split-block bloom filter per row group from the chunk's distinct "
+    "count (parquet-mr's power-of-two policy), inserts XXH64 plain-"
+    "encoding hashes through the 8-salt block math, and emits thrift "
+    "BloomFilterHeader + bitset after the data region with "
+    "ColumnMetaData fields 14/15 locating it. Reference validation: "
+    "parquet-mr ITSELF reads our filters (ParquetFileReader/"
+    "BloomFilterReader via the Spark JVM — findHash admits every "
+    "present key and rejects absent ones at the sized FPP, proving "
+    "bitset layout, block selection, and salt math byte-for-byte; "
+    "unit battery), Spark runs a filtered read over our files with "
+    "the predicate pushed, pyarrow reads values exactly, and the own "
+    "bloom-pruned scan cross-checks per shard worker-side. Grades "
+    "the o_orderkey%4=0 quarter of orders; ONE FILE PER ARROW BATCH, "
+    "file-per-task, no shuffle; DuckDB grades values from source "
+    "rows.",
+)
+def sink_parquet_bloom_q(spark, sf_dir):
+    from ..operators.parquet_write import build_parquet_bytes
+
+    def _encode(b):
+        return build_parquet_bytes(
+            {
+                "o_orderkey": [int(x) for x in b["o_orderkey"]],
+                "prio": [str(p) for p in b["o_orderpriority"]],
+                "price": [float(v) for v in b["o_totalprice"]],
+            },
+            {
+                "o_orderkey": "bigint", "prio": "string",
+                "price": "double",
+            },
+            compression="snappy",
+            row_group_size=2000,
+            bloom_cols=["o_orderkey"],
+        )
+
+    def _decode(payload):
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        from ..operators.parquet_bloom import (
+            read_parquet_bloom_pruned_bytes,
+        )
+
+        t = _pq.ParquetFile(_io.BytesIO(payload)).read()
+        keys = t.column("o_orderkey").to_pylist()
+        # own bloom-scan cross-check: needle lookups through our
+        # written filters must return exactly the matching rows, with
+        # every row group declaring a filter
+        needles = [keys[0], keys[len(keys) // 2], keys[-1]]
+        sub, _r, tot, flt = read_parquet_bloom_pruned_bytes(
+            payload, ["o_orderkey"], "o_orderkey", needles
+        )
+        if flt != tot:
+            raise AssertionError("written shard lacks bloom filters")
+        if sorted(sub["o_orderkey"]) != sorted(set(needles)):
+            raise AssertionError(
+                "own bloom scan disagrees with pyarrow read-back"
+            )
+        return [
+            {"o_orderkey": k, "prio": p, "price": v}
+            for k, p, v in zip(
+                keys,
+                t.column("prio").to_pylist(),
+                t.column("price").to_pylist(),
+            )
+        ]
+
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "pq_bloom_sink", "parquet", _encode, _decode,
+        "o_orderkey bigint, prio string, price double",
+        {"o_orderkey": "int64"},
+        select_cols=("o_orderkey", "o_orderpriority", "o_totalprice"),
+        table="orders",
+        where=F.col("o_orderkey") % 4 == 0,
+    )
+
+
+@register(
     "scan_orc_bloom",
     """
     SELECT o_orderkey,

@@ -70,7 +70,8 @@ def _key_filters(buf, col):
     codec, _f, types, stripes = _parse_tail(buf)
     cid = _leaf_columns(types)[col]["col_id"]
     return [
-        read_stripe_bloom_filters(buf, st, codec, cid) for st in stripes
+        read_stripe_bloom_filters(buf, st, codec, cid)[1]
+        for st in stripes
     ], stripes
 
 
