@@ -552,7 +552,17 @@ def main() -> None:
         shutil.rmtree(base, ignore_errors=True)
         return elapsed, f
 
-    timings["pipeline_e2e"], foreign["pipeline_e2e"] = _timed_pipeline()
+    # min-of-2, publishing the kept run's own foreign reading: the
+    # pipeline runs LAST, after ~150 entries of fixture/shard disk
+    # churn, and its landing stage can stall on page-cache writeback
+    # the CPU-based foreign monitor cannot see (round-14 quiet run:
+    # 18.99 s at foreign 0.07 vs 4-6 s typical — pure iowait). Same
+    # treatment the scale probe's base point got; both raw runs land
+    # in BENCH_LAST_FULL.json as pipeline_runs.
+    _pipe_runs = [_timed_pipeline(), _timed_pipeline()]
+    timings["pipeline_e2e"], foreign["pipeline_e2e"] = min(
+        _pipe_runs, key=lambda p: p[0]
+    )
 
     def _retime(name: str) -> tuple[float, float]:
         spark.catalog.clearCache()
@@ -722,6 +732,7 @@ def main() -> None:
         load_start=[round(x, 2) for x in load_start],
         load_end=[round(x, 2) for x in load_end],
         foreign_cpus=foreign,
+        pipeline_runs=[list(p) for p in _pipe_runs],
     )
     if contaminated_rerun:
         full["contaminated_rerun"] = contaminated_rerun
