@@ -680,6 +680,11 @@ def main() -> None:
     # re-measure too (round-14 review: the first gate ran before the
     # retries and never re-examined them)
     _contamination_pass("#post-retry")
+    if contaminated_rerun:
+        # the pass above may have replaced timings AFTER the last
+        # regressions recompute — refresh so the published regressions
+        # block always describes the published timings
+        regressions = _regressions_vs_prior_round(timings)
 
     load_end = os.getloadavg()
     total = round(sum(timings.values()), 3)

@@ -178,6 +178,11 @@ def read_stripe_bloom_filters(
     offset = stripe.get(1, 0)
     streams_end = offset + stripe.get(2, 0) + stripe.get(3, 0)
     sf_raw = buf[streams_end:][: stripe.get(4, 0)]
+    # two separate failure domains (round-14 review): a stripe footer
+    # that won't parse means nothing is declared, but a DECLARED
+    # stream whose index blob then fails to decode must keep
+    # declared=True — the honesty counter counts declarations, same
+    # as the parquet twin's field-14 presence check
     try:
         sf = _pb_map(_decompress_stream(codec, sf_raw))
         pos = offset
@@ -191,8 +196,11 @@ def read_stripe_bloom_filters(
                 if kind == _S_BLOOM_UTF8 or blob is None:
                     blob = buf[pos : pos + ln]
             pos += ln
-        if not decode or blob is None:
-            return declared, None
+    except (ValueError, IndexError, struct.error):
+        return False, None  # undecodable stripe footer: conservative
+    if not decode or blob is None:
+        return declared, None
+    try:
         idx = _pb_map(_decompress_stream(codec, blob))
         out: list[tuple[int, bytes]] = []
         for bf_raw in _as_list(idx.get(1)):
@@ -206,7 +214,7 @@ def read_stripe_bloom_filters(
             out.append((k, bytes(bits)))
         return declared, (out or None)
     except (ValueError, IndexError, struct.error):
-        return False, None  # undecodable stripe footer: conservative
+        return declared, None  # undecodable index blob: conservative
 
 
 def read_orc_bloom_pruned_bytes(

@@ -1325,16 +1325,19 @@ def _offset_index_bytes(pageinfo: dict) -> bytes:
 def _sbbf_bitset(hashes: list[int], fpp: float) -> bytes:
     """Build one split-block bloom filter bitset over 64-bit value
     hashes (XXH64 of plain encodings — parquet-format BloomFilter.md).
-    Sizing follows parquet-mr's BlockSplitBloomFilter: optimal bit
-    count for (ndv, fpp), rounded UP to a power of two, clamped to a
-    32-byte minimum. Insertion is the same 8-salt block math the
-    read path probes (operators/parquet_bloom.py)."""
+    Sizing follows parquet-mr's BlockSplitBloomFilter.optimalNumOfBits
+    for the fixed-k=8 split-block shape — bits = -8n / ln(1 -
+    fpp^(1/8)), NOT the classical k-free bloom formula (which
+    undersizes this shape and can land a power-of-two bucket short) —
+    rounded UP to a power of two, clamped to a 32-byte minimum.
+    Insertion is the same 8-salt block math the read path probes
+    (operators/parquet_bloom.py)."""
     import math
 
     from .parquet_bloom import _SALT
 
     n = max(1, len(hashes))
-    bits = -n * math.log(fpp) / (math.log(2) ** 2)
+    bits = -8.0 * n / math.log(1.0 - fpp ** 0.125)
     num_bytes = max(32, 1 << max(0, math.ceil(math.log2(max(bits, 1) / 8))))
     bitset = bytearray(num_bytes)
     num_blocks = num_bytes >> 5
@@ -1516,10 +1519,20 @@ def build_parquet_bytes(
                     from .parquet_bloom import plain_encode, xxhash64
 
                     tl = 0  # flat scalars here are never FLBA
+                    # dedup by PLAIN ENCODING, not by Python value:
+                    # 0.0 and -0.0 compare equal but encode (and
+                    # hash) differently — a value-level set would
+                    # drop one variant's hash and turn a physically
+                    # present value into a bloom false negative
+                    # (round-14 review)
                     bitset = _sbbf_bitset(
                         [
-                            xxhash64(plain_encode(v, ptype, tl))
-                            for v in {x for x in vals if x is not None}
+                            xxhash64(e)
+                            for e in {
+                                plain_encode(x, ptype, tl)
+                                for x in vals
+                                if x is not None
+                            }
                         ],
                         bloom_fpp,
                     )

@@ -190,6 +190,56 @@ def test_orc_bloom_degenerate_probes():
     assert bloom_test(b"\x00" * 64, 0, 12345) is True
 
 
+def test_orc_bloom_declared_survives_corrupt_index_blob(orc_bloom_files):
+    """Round-14 review regression: a stripe footer that PARSES and
+    declares a bloom stream must keep declared=True even when the
+    index blob itself is corrupt — the honesty counter counts
+    declarations (parquet field-14 parity), and the read falls back
+    to conservative. Corrupting the blob's compression-chunk header
+    makes _decompress_stream raise inside the index decode only."""
+    from simple_data_engineering_project_spark.operators.orc_data import (
+        _decompress_stream,
+        _pb_map,
+        _as_list,
+    )
+
+    def _first_data_stripe(blob):
+        _c, _f, _t, stripes = _parse_tail(blob)
+        return stripes[0] if stripes else None
+
+    data = next(b for b in orc_bloom_files if _first_data_stripe(b))
+    codec, _f, types, stripes = _parse_tail(data)
+    cid = _leaf_columns(types)["k"]["col_id"]
+    st = stripes[0]
+    declared, filters = read_stripe_bloom_filters(data, st, codec, cid)
+    assert declared and filters
+    # locate the bloom stream's bytes and wreck its chunk framing
+    sf = _pb_map(
+        _decompress_stream(
+            codec,
+            data[st.get(1, 0) + st.get(2, 0) + st.get(3, 0):][: st.get(4, 0)],
+        )
+    )
+    pos = st.get(1, 0)
+    for s_raw in _as_list(sf.get(1)):
+        s = _pb_map(s_raw)
+        if s.get(2, 0) == cid and s.get(1, 0) == 8:
+            break
+        pos += s.get(3, 0)
+    mut = bytearray(data)
+    mut[pos] ^= 0xFF  # chunk-framing header byte of the index blob
+    mut[pos + 1] ^= 0xFF
+    mut[pos + 2] ^= 0xFF
+    d2, f2 = read_stripe_bloom_filters(bytes(mut), st, codec, cid)
+    assert d2 is True  # declaration survives
+    assert f2 is None  # decode declines: conservative
+    # and the scan still counts it while reading conservatively
+    got, r, t, flt = read_orc_bloom_pruned_bytes(
+        bytes(mut), ["k"], "k", [999_999_999]
+    )
+    assert flt >= 1 and got["k"] == []
+
+
 def test_orc_bloom_truncation_and_bitflips_never_hang(orc_bloom_files):
     """The repo-standard hardening battery under the bloom trust
     contract: nothing hangs; flips in the INDEX region (where the

@@ -292,6 +292,50 @@ def test_bloom_writer_parquet_mr_reference_read(spark, tmp_path):
     assert [r["k"] for r in got] == [77, 27993]
 
 
+def test_bloom_writer_signed_zero_variants(tmp_path):
+    """Round-14 review regression: 0.0 and -0.0 compare equal in
+    Python but PLAIN-encode (and hash) differently — the writer must
+    insert BOTH encodings' hashes, or a probe for the set-dropped
+    variant proves a physically-present value absent and the scan
+    silently loses rows."""
+    from simple_data_engineering_project_spark.operators.parquet_bloom import (
+        plain_encode,
+        read_bloom_filter,
+        read_parquet_bloom_pruned_bytes,
+        sbbf_contains,
+        xxhash64,
+    )
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    vals = [0.0, -0.0, 1.5, 2.5] * 50
+    data = build_parquet_bytes(
+        {"x": vals, "k": list(range(len(vals)))},
+        {"x": "double", "k": "bigint"},
+        compression="none", bloom_cols=["x"],
+    )
+    from simple_data_engineering_project_spark.operators.parquet_data import (
+        _parse_file,
+    )
+
+    meta, _schema = _parse_file(data)
+    md = next(
+        cc.get(3)
+        for cc in meta.get(4, [])[0].get(1, [])
+        if ".".join(p.decode() for p in cc.get(3).get(3, [])) == "x"
+    )
+    bitset = read_bloom_filter(data, md)
+    for v in (0.0, -0.0):
+        assert sbbf_contains(bitset, xxhash64(plain_encode(v, 5))), v
+    # and the scan finds every matching row for either needle spelling
+    for needle in (0.0, -0.0):
+        d, _r, _t, _f = read_parquet_bloom_pruned_bytes(
+            data, ["k"], "x", [needle]
+        )
+        assert len(d["k"]) == 100, needle  # 0.0 == -0.0 rows both match
+
+
 def test_bloom_truncation_and_bitflips_never_hang(bloom_files):
     """The repo-standard hardening battery, with the bloom trust
     contract: (a) nothing hangs (alarm-guarded); (b) flips at or after
