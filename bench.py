@@ -342,6 +342,10 @@ HEADLINE = [
     "scan_parquet_bloom",
     "scan_orc_bloom",
     "sink_parquet_bloom",
+    # round 15: deterministic hash-oracle-checked ANN twins (integer
+    # IVF cell assignment / integer PQ ADC + exact double re-rank)
+    "similarity_topk_ivf_det",
+    "similarity_topk_pq_det",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose

@@ -582,10 +582,12 @@ def _read_generic_node(
         return rows
     kid, vid = _subtype_ids(types[cid])
     # composite map keys (legal ORC) cannot seat as Python dict keys:
-    # such maps decode as a LIST of {"key","value"} structs — the
-    # pair-list representation pyarrow's to_pylist() gives the same
-    # files (round 14, formerly a loud decline). UNION keys still
-    # decline inside the recursive key read.
+    # such maps decode as a LIST of {"key","value"} structs —
+    # value-equal to the pair list pyarrow's to_pylist() gives the
+    # same files (pyarrow yields (key, value) TUPLES; here each pair
+    # is a {"key","value"} struct — round 14, formerly a loud
+    # decline). UNION keys still decline inside the recursive key
+    # read.
     composite_keys = types[kid].get(1, 0) in (_K_LIST, _K_MAP, _K_STRUCT)
     keys = _read_generic_node(kid, total, types, located, encodings, codec)
     vals = _read_generic_node(vid, total, types, located, encodings, codec)

@@ -221,7 +221,22 @@ def read_parquet_bloom_pruned_bytes(
     ptype = schema[key_col]["type"]
     tlen = schema[key_col]["type_length"]
     enc_needles = [plain_encode(v, ptype, tlen) for v in needles]
-    hashes = [xxhash64(e) for e in enc_needles]
+    # One hash per needle — PLUS the other-signed-zero encoding for
+    # FLOAT/DOUBLE needles equal to 0.0: +0.0 and -0.0 compare equal
+    # (so the exact downstream filter keeps either) but PLAIN-encode
+    # to different bytes, and a file written with -0.0 must not be
+    # proven 'absent' by a +0.0 needle (the writer twin already
+    # inserts both variants; the probe must mirror it to honor the
+    # no-false-negative contract on foreign parquet-mr/Spark files
+    # too, which store whichever sign the data had).
+    hash_alts: list[list[int]] = []
+    for v, e in zip(needles, enc_needles):
+        hs = [xxhash64(e)]
+        if ptype in (_FLOAT, _DOUBLE) and v == 0:
+            alt = plain_encode(-float(v), ptype, tlen)
+            if alt != e:
+                hs.append(xxhash64(alt))
+        hash_alts.append(hs)
     # exact-filter comparands: bytes for BYTE_ARRAY/FLBA, value as-is
     # for numerics (str needles compare against utf-8 decoded? no —
     # the raw readers return bytes for BYTE_ARRAY; compare on bytes)
@@ -262,7 +277,9 @@ def read_parquet_bloom_pruned_bytes(
                 bitset = read_bloom_filter(buf, md)
                 if bitset is not None:
                     keep = any(
-                        sbbf_contains(bitset, hashes[i]) for i in cand
+                        sbbf_contains(bitset, h)
+                        for i in cand
+                        for h in hash_alts[i]
                     )
         if not keep:
             continue

@@ -1017,9 +1017,11 @@ def _assemble_generic(tree: dict, curs: dict[str, "_GenLeaf"]) -> list:
                 if key_node["children"]:
                     # composite map keys (legal parquet) cannot seat
                     # as Python dict keys: the map decodes as a LIST
-                    # of {"key","value"} structs — the same pair-list
-                    # representation pyarrow's to_pylist() gives these
-                    # files (round 14, formerly a loud decline)
+                    # of {"key","value"} structs — value-equal to the
+                    # pair list pyarrow's to_pylist() gives these
+                    # files (pyarrow yields (key, value) TUPLES; each
+                    # pair here is a {"key","value"} struct — round
+                    # 14, formerly a loud decline)
                     return items
                 return {e["key"]: e["value"] for e in items}
             return items

@@ -553,6 +553,275 @@ def pq_topk(
     return _topk_per_query(rescored, k)
 
 
+def _portable_hash_expr(col):
+    """Engine-portable integer hash: the first 15 hex digits of md5 as
+    a BIGINT. Spark ``conv(substring(md5(x),1,15),16,10)`` equals DuckDB
+    ``('0x'||substring(md5(x),1,15))::BIGINT`` bit-exactly (repo-standard
+    portable-hash trick) — the seeded-sample ordering both engines can
+    replay, where ``xxhash64`` cannot (DuckDB lacks it)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def _quantize_e4_expr(vec_col):
+    """Row-local e4 integer quantization of an embedding column:
+    ``floor(double(x) * 10000 + 0.5)`` per component — one IEEE op
+    chain, identical in Spark and DuckDB (float→double is exact), so
+    every downstream dot product is pure int64 and order-independent."""
+    return F.transform(
+        vec_col,
+        lambda e: F.floor(e.cast("double") * 10000 + F.lit(0.5)).cast("long"),
+    )
+
+
+def _quantize_e4_py(vec) -> list[int]:
+    """Driver-side twin of :func:`_quantize_e4_expr` — same IEEE double
+    ops (collected float32 components arrive as exact doubles), used on
+    bounded model metadata (centroid/query rows) only."""
+    import math
+
+    return [int(math.floor(float(x) * 10000.0 + 0.5)) for x in vec]
+
+
+def _seeded_sample_rows(
+    corpus: DataFrame, n: int, corpus_id: str, corpus_vec: str
+):
+    """The ``n`` corpus rows with the smallest (portable md5 hash, id)
+    — the deterministic, engine-replayable seed sample for the det ANN
+    twins. Bounded model-metadata collect (n × dim floats)."""
+    return (
+        corpus.select(
+            F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v")
+        )
+        .orderBy(_portable_hash_expr(F.col("id")), F.col("id"))
+        .limit(n)
+        .collect()
+    )
+
+
+def _int_l2_scores_expr(xe_col, cents: list[list[int]], n2: list[int]):
+    """Integer squared-L2 rank scores of a quantized vector against
+    integer centroid literals: ``n2_j − 2·(x·c_j)`` per centroid (the
+    constant |x|² term drops out of the argmin). Pure codegen fold —
+    bit-identical in any engine, no float anywhere."""
+    return F.array(
+        *[
+            (
+                F.lit(n2[j]).cast("long")
+                - F.lit(2).cast("long")
+                * F.aggregate(
+                    F.zip_with(
+                        xe_col,
+                        F.array(*[F.lit(int(c)).cast("long") for c in cents[j]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+            )
+            for j in range(len(cents))
+        ]
+    )
+
+
+def ivf_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF top-k with a FULLY DETERMINISTIC, engine-replayable plan —
+    the hash-oracle-checkable twin of :func:`ivf_topk` (the
+    ``events_hll_deterministic`` recipe applied to ANN).
+
+    Every approximate decision is integer-exact and portable: centroids
+    are the ``n_cells`` corpus vectors with the smallest (md5-prefix
+    hash, id); vectors quantize e4 row-locally; cell assignment is the
+    integer squared-L2 argmin (ties → lowest cell id); each query
+    probes its ``n_probe`` best cells by the same integer score. Only
+    the final re-score of probed candidates is float — the exact
+    double-cosine recipe the hash-checked brute-force entry already
+    shares with DuckDB. Result: candidate sets, ranks, and values all
+    replay exactly in chained SQL CTEs.
+
+    Scale shape is unchanged from :func:`ivf_topk`: one scan assigns
+    cells (at 100 TB: a materialized cell-partitioned index), the probe
+    set is bounded metadata, candidates come only from probed cells
+    (|corpus|·n_probe/n_cells dot products), and the top-k reduction is
+    the two-phase distributed rank. Collects are model-sized only
+    (n_cells centroids + the query rows, which are ≪ corpus by API
+    contract).
+    """
+    cent_rows = _seeded_sample_rows(corpus, n_cells, corpus_id, corpus_vec)
+    cents = [_quantize_e4_py(r.v) for r in cent_rows]
+    n2 = [sum(c * c for c in cj) for cj in cents]
+
+    scores = _int_l2_scores_expr(
+        _quantize_e4_expr(F.col(corpus_vec)), cents, n2
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("item_id"),
+        F.col(corpus_vec).alias("__cv"),
+        (F.array_position(scores, F.array_min(scores)) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+
+    q_rows = queries.collect()  # bounded: queries ≪ corpus
+    probe_pairs = []
+    for r in q_rows:
+        qe = _quantize_e4_py(r[query_vec])
+        qs = [
+            n2[j] - 2 * sum(a * b for a, b in zip(qe, cents[j]))
+            for j in range(n_cells)
+        ]
+        for j in sorted(range(n_cells), key=lambda j: (qs[j], j))[:n_probe]:
+            probe_pairs.append((r[query_id], j))
+    spark = corpus.sparkSession
+    probe = spark.createDataFrame(
+        probe_pairs, f"query_id {_id_sql_type(q_rows, query_id)}, cell int"
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    cand = c.join(F.broadcast(probe), "cell").join(
+        F.broadcast(q), "query_id"
+    )
+    scored = cand.select(
+        "query_id",
+        "item_id",
+        cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
+    )
+    return _topk_per_query(scored, k)
+
+
+def _id_sql_type(rows, field: str) -> str:
+    """SQL type for a collected id field (bigint ids everywhere in the
+    testdata; string fallback keeps the helper generic)."""
+    return "bigint" if rows and isinstance(rows[0][field], int) else "string"
+
+
+def pq_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    oversample: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Product-quantization top-k with a FULLY DETERMINISTIC,
+    engine-replayable plan — the hash-oracle-checkable twin of
+    :func:`pq_topk`.
+
+    Codebooks are the ``ksub`` seeded-sample vectors (md5-prefix hash
+    order) split into ``m`` subspaces — init-only (no float Lloyd
+    refinement: every later step must stay integer). Corpus subvectors
+    assign to codewords by integer squared-L2 argmin (ties → lowest
+    code); ADC scores are integer LUT sums of the e4-quantized query
+    against assigned codewords; the ``k·oversample`` ADC leaders (ties
+    → lowest item id) get the exact double-cosine re-rank. Candidate
+    sets, ranks, and values replay exactly in chained SQL CTEs.
+
+    Scale shape matches :func:`pq_topk`: codes are one scan (at 100 TB
+    the persistent 32×-smaller index relation); ADC is a zip_with fold
+    against the per-query LUT riding a broadcast (m·ksub ints per
+    query — model-sized); only k·oversample rows ever touch full
+    vectors again.
+    """
+    rows = _seeded_sample_rows(corpus, ksub, corpus_id, corpus_vec)
+    seeds = [_quantize_e4_py(r.v) for r in rows]
+    dim = len(seeds[0])
+    dsub = dim // m
+    cb = [
+        [seeds[t][j * dsub : (j + 1) * dsub] for t in range(ksub)]
+        for j in range(m)
+    ]  # (m, ksub, dsub) ints
+    n2 = [[sum(c * c for c in cb[j][t]) for t in range(ksub)] for j in range(m)]
+
+    xe = _quantize_e4_expr(F.col(corpus_vec))
+    code_cols = []
+    for j in range(m):
+        sub = F.slice(xe, j * dsub + 1, dsub)
+        sc = _int_l2_scores_expr(sub, cb[j], n2[j])
+        code_cols.append(
+            (F.array_position(sc, F.array_min(sc)) - 1).cast("int")
+        )
+    # lazily checkpointed: the codes relation feeds both the ADC rank
+    # and the re-rank join — without it the assignment scan re-executes
+    # per consumer (the multi-pass-consumer rule)
+    codes = corpus.select(
+        F.col(corpus_id).alias("item_id"),
+        F.col(corpus_vec).alias("__cv"),
+        F.array(*code_cols).alias("__code"),
+    ).localCheckpoint(eager=False)
+
+    q_rows = queries.collect()  # bounded: queries ≪ corpus
+    lut_rows = []
+    for r in q_rows:
+        qe = _quantize_e4_py(r[query_vec])
+        lut = [
+            [
+                sum(
+                    a * b
+                    for a, b in zip(qe[j * dsub : (j + 1) * dsub], cb[j][t])
+                )
+                for t in range(ksub)
+            ]
+            for j in range(m)
+        ]
+        lut_rows.append((r[query_id], lut))
+    spark = corpus.sparkSession
+    lut_df = spark.createDataFrame(
+        lut_rows,
+        f"query_id {_id_sql_type(q_rows, query_id)}, "
+        "__lut array<array<bigint>>",
+    )
+    adc_scored = codes.join(F.broadcast(lut_df)).select(
+        "query_id",
+        "item_id",
+        "__cv",
+        F.aggregate(
+            F.zip_with(
+                F.col("__code"),
+                F.col("__lut"),
+                lambda cj, lj: F.element_at(lj, cj + 1),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("cosine"),  # integer ADC rank score (column named for
+        # _topk_per_query's (cosine DESC, item_id) ordering)
+    )
+    cand = _topk_per_query(
+        adc_scored.select("query_id", "item_id", "cosine"), k * oversample
+    ).select("query_id", "item_id")
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    rescored = (
+        cand.join(
+            adc_scored.select("query_id", "item_id", "__cv"),
+            ["query_id", "item_id"],
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "item_id",
+            cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        )
+    )
+    return _topk_per_query(rescored, k)
+
+
 def _kmeans_assign_expr(vec_col: str, cents: list[list[float]]):
     """Nearest-centroid id as a row-local codegen expression.
 

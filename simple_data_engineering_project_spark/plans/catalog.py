@@ -1954,6 +1954,190 @@ def similarity_topk_ivf_q(spark, sf_dir):
     return out.select("item_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+_ANN_DET_X_SEED = """x AS MATERIALIZED (
+      SELECT vec_id, g.n AS dim,
+             CAST(floor(CAST(embedding[g.n] AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS xe
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(n)
+    ),
+    seed AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (
+               ORDER BY CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT), vec_id
+             ) - 1 AS INT) AS cid, vec_id
+      FROM embeddings
+      QUALIFY row_number() OVER (
+        ORDER BY CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT), vec_id
+      ) <= {n_seed}
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings
+      WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    )"""
+
+_ANN_DET_FINAL = """
+    SELECT item_id, ROUND(cosine_raw, 6) AS cosine,
+           CAST(ROW_NUMBER() OVER (ORDER BY cosine_raw DESC, item_id ASC)
+                AS INT) AS rank
+    FROM scored ORDER BY cosine_raw DESC, item_id ASC LIMIT 10"""
+
+
+@register(
+    "similarity_topk_ivf_det",
+    "WITH "
+    + _ANN_DET_X_SEED.format(n_seed=16)
+    + """,
+    c AS MATERIALIZED (
+      SELECT s.cid, x.dim, x.xe AS ce FROM seed s JOIN x USING (vec_id)
+    ),
+    cn AS MATERIALIZED (SELECT cid, SUM(ce * ce) AS nn FROM c GROUP BY cid),
+    assign AS MATERIALIZED (
+      SELECT x.vec_id, c.cid,
+             CAST(cn.nn - 2 * SUM(x.xe * c.ce) AS BIGINT) AS score
+      FROM x JOIN c USING (dim) JOIN cn ON c.cid = cn.cid
+      GROUP BY x.vec_id, c.cid, cn.nn
+    ),
+    cell AS MATERIALIZED (
+      SELECT vec_id, cid FROM assign
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY score, cid) = 1
+    ),
+    probe AS MATERIALIZED (
+      SELECT a.cid FROM assign a JOIN q ON a.vec_id = q.qid
+      QUALIFY row_number() OVER (ORDER BY a.score, a.cid) <= 4
+    ),
+    scored AS MATERIALIZED (
+      SELECT e.vec_id AS item_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cosine_raw
+      FROM embeddings e
+      JOIN cell ON e.vec_id = cell.vec_id
+      JOIN probe ON cell.cid = probe.cid
+      CROSS JOIN q
+    )"""
+    + _ANN_DET_FINAL,
+    tier="C",
+    note="C3 IVF ANN, the hash-oracle-checked DETERMINISTIC twin of "
+    "similarity_topk_ivf (the events_hll_deterministic recipe): "
+    "centroids = 16 lowest-(md5-prefix, id) corpus vectors (portable "
+    "hash both engines replay), vectors e4-quantized row-locally, "
+    "cell assignment + 4-cell query probing by pure-int64 squared-L2 "
+    "(order-independent — no float partial-agg noise anywhere in the "
+    "approximate decisions), exact double-cosine re-score on probed "
+    "candidates only. Candidate sets, ranks and values replay exactly "
+    "in the chained MATERIALIZED CTEs. Scale shape = ivf_topk: one "
+    "cell-assignment scan (a materialized index at 100 TB), bounded "
+    "model collects, probe-pruned candidates, two-phase top-k. "
+    "operators/similarity.py ivf_topk_det.",
+)
+def similarity_topk_ivf_det_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.join(
+        emb.agg(F.min("vec_id").alias("vec_id")), "vec_id"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = sim_ops.ivf_topk_det(emb, qv, k=10, n_cells=16, n_probe=4)
+    return out.select(
+        "item_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@register(
+    "similarity_topk_pq_det",
+    "WITH "
+    + _ANN_DET_X_SEED.format(n_seed=16)
+    + """,
+    cb AS MATERIALIZED (
+      SELECT s.cid AS t, CAST((x.dim - 1) // 8 AS INT) AS j,
+             CAST((x.dim - 1) % 8 AS INT) AS p, x.xe AS ce
+      FROM seed s JOIN x USING (vec_id)
+    ),
+    cbn AS MATERIALIZED (
+      SELECT j, t, SUM(ce * ce) AS nn FROM cb GROUP BY j, t
+    ),
+    xs AS MATERIALIZED (
+      SELECT vec_id, CAST((dim - 1) // 8 AS INT) AS j,
+             CAST((dim - 1) % 8 AS INT) AS p, xe FROM x
+    ),
+    scores AS MATERIALIZED (
+      SELECT xs.vec_id, xs.j, cb.t,
+             CAST(cbn.nn - 2 * SUM(xs.xe * cb.ce) AS BIGINT) AS score
+      FROM xs JOIN cb ON xs.j = cb.j AND xs.p = cb.p
+      JOIN cbn ON cb.j = cbn.j AND cb.t = cbn.t
+      GROUP BY xs.vec_id, xs.j, cb.t, cbn.nn
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, j, t FROM scores
+      QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                                 ORDER BY score, t) = 1
+    ),
+    qx AS MATERIALIZED (
+      SELECT CAST((x.dim - 1) // 8 AS INT) AS j,
+             CAST((x.dim - 1) % 8 AS INT) AS p, x.xe
+      FROM x JOIN q ON x.vec_id = q.qid
+    ),
+    lut AS MATERIALIZED (
+      SELECT cb.j, cb.t, CAST(SUM(qx.xe * cb.ce) AS BIGINT) AS dot
+      FROM cb JOIN qx ON cb.j = qx.j AND cb.p = qx.p
+      GROUP BY cb.j, cb.t
+    ),
+    adc AS MATERIALIZED (
+      SELECT c.vec_id, CAST(SUM(l.dot) AS BIGINT) AS adc
+      FROM codes c JOIN lut l ON c.j = l.j AND c.t = l.t
+      GROUP BY c.vec_id
+    ),
+    cand AS MATERIALIZED (
+      SELECT vec_id FROM adc
+      QUALIFY row_number() OVER (ORDER BY adc DESC, vec_id) <= 50
+    ),
+    scored AS MATERIALIZED (
+      SELECT e.vec_id AS item_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cosine_raw
+      FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+    )"""
+    + _ANN_DET_FINAL,
+    tier="C",
+    note="C3 product-quantization ANN, the hash-oracle-checked "
+    "DETERMINISTIC twin of similarity_topk_pq: codebooks = the 16 "
+    "lowest-(md5-prefix, id) seed vectors split into m=8 subspaces "
+    "(init-only — no float Lloyd step, every approximate decision "
+    "stays int64), corpus subvectors coded by integer squared-L2 "
+    "argmin (ties → lowest code), integer ADC LUT sums rank k·5=50 "
+    "candidates (ties → lowest id), exact double-cosine re-rank to "
+    "top-10. Candidate sets, ranks and values replay exactly in the "
+    "chained MATERIALIZED CTEs. Scale shape = pq_topk: the codes "
+    "relation is the persistent 32x-smaller index, ADC is a zip_with "
+    "fold against the broadcast per-query LUT (m·ksub ints), only 50 "
+    "rows touch full vectors again. operators/similarity.py "
+    "pq_topk_det.",
+)
+def similarity_topk_pq_det_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.join(
+        emb.agg(F.min("vec_id").alias("vec_id")), "vec_id"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = sim_ops.pq_topk_det(emb, qv, k=10, m=8, ksub=16, oversample=5)
+    return out.select(
+        "item_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 @register(
     "text_tokens",
     """
@@ -14560,17 +14744,22 @@ def sink_parquet_bloom_q(spark, sf_dir):
         keys = t.column("o_orderkey").to_pylist()
         # own bloom-scan cross-check: needle lookups through our
         # written filters must return exactly the matching rows, with
-        # every row group declaring a filter
-        needles = [keys[0], keys[len(keys) // 2], keys[-1]]
-        sub, _r, tot, flt = read_parquet_bloom_pruned_bytes(
-            payload, ["o_orderkey"], "o_orderkey", needles
-        )
-        if flt != tot:
-            raise AssertionError("written shard lacks bloom filters")
-        if sorted(sub["o_orderkey"]) != sorted(set(needles)):
-            raise AssertionError(
-                "own bloom scan disagrees with pyarrow read-back"
+        # every row group declaring a filter. An EMPTY shard (empty
+        # Arrow batch → zero-row file) has no keys to cross-check —
+        # decode to zero rows like the other sink roundtrips do.
+        if keys:
+            needles = [keys[0], keys[len(keys) // 2], keys[-1]]
+            sub, _r, tot, flt = read_parquet_bloom_pruned_bytes(
+                payload, ["o_orderkey"], "o_orderkey", needles
             )
+            if flt != tot:
+                raise AssertionError(
+                    "written shard lacks bloom filters"
+                )
+            if sorted(sub["o_orderkey"]) != sorted(set(needles)):
+                raise AssertionError(
+                    "own bloom scan disagrees with pyarrow read-back"
+                )
         return [
             {"o_orderkey": k, "prio": p, "price": v}
             for k, p, v in zip(

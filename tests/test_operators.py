@@ -204,6 +204,79 @@ def test_ivf_full_probe_matches_brute_force(spark):
     assert full == exact
 
 
+def test_ivf_det_full_probe_matches_brute_force(spark):
+    from simple_data_engineering_project_spark.operators.similarity import (
+        ivf_topk_det,
+    )
+
+    emb = _emb_tables(spark)
+    q = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(3).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = [(r["item_id"], r["rank"]) for r in
+             brute_force_topk(emb, q, k=10).orderBy("rank").collect()]
+    full = [(r["item_id"], r["rank"]) for r in
+            ivf_topk_det(emb, q, k=10, n_cells=8, n_probe=8)
+            .orderBy("rank").collect()]
+    assert full == exact
+
+
+def test_ivf_det_recall_vs_brute_force(spark):
+    from simple_data_engineering_project_spark.operators.similarity import (
+        ivf_topk_det,
+    )
+
+    emb = _emb_tables(spark)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {r["item_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {
+        r["item_id"]
+        for r in ivf_topk_det(emb, q, k=10, n_cells=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / 10
+    assert recall >= 0.6, f"det-IVF recall too low: {recall}"
+
+
+def test_pq_det_oversample_everything_matches_brute_force(spark):
+    from simple_data_engineering_project_spark.operators.similarity import (
+        pq_topk_det,
+    )
+
+    emb = _emb_tables(spark)
+    q = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(3).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = [(r["item_id"], r["rank"]) for r in
+             brute_force_topk(emb, q, k=10).orderBy("rank").collect()]
+    # oversample covering the whole 200-row corpus -> the exact re-rank
+    # IS brute force, whatever the codes said
+    full = [(r["item_id"], r["rank"]) for r in
+            pq_topk_det(emb, q, k=10, m=4, ksub=16, oversample=20)
+            .orderBy("rank").collect()]
+    assert full == exact
+
+
+def test_pq_det_recall_vs_brute_force(spark):
+    from simple_data_engineering_project_spark.operators.similarity import (
+        pq_topk_det,
+    )
+
+    emb = _emb_tables(spark)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {r["item_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {
+        r["item_id"]
+        for r in pq_topk_det(emb, q, k=10, m=4, ksub=16, oversample=5)
+        .collect()
+    }
+    recall = len(exact & approx) / 10
+    assert recall >= 0.6, f"det-PQ recall too low: {recall}"
+
+
 def test_embedding_near_dups_finds_exact_copies(spark):
     from simple_data_engineering_project_spark.operators.dedup import (
         embedding_near_dups,

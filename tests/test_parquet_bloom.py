@@ -336,6 +336,83 @@ def test_bloom_writer_signed_zero_variants(tmp_path):
         assert len(d["k"]) == 100, needle  # 0.0 == -0.0 rows both match
 
 
+def test_bloom_probe_signed_zero_both_directions():
+    """Round-15 ADVICE regression (probe-side twin of the writer
+    fix): a file whose key column physically stores ONLY one zero
+    sign has only that sign's encoding hash in its filter — the
+    PROBE must then try both encodings for a zero needle, because
+    0.0 == -0.0 means the downstream exact filter would keep the
+    row the bloom skip just threw away. Covers FLOAT and DOUBLE,
+    both needle spellings, against both stored spellings."""
+    from simple_data_engineering_project_spark.operators.parquet_bloom import (
+        read_parquet_bloom_pruned_bytes,
+    )
+    from simple_data_engineering_project_spark.operators.parquet_write import (
+        build_parquet_bytes,
+    )
+
+    for sql_type in ("float", "double"):
+        for stored in (0.0, -0.0):
+            vals = [stored, 7.5, 9.25, 11.0] * 25
+            data = build_parquet_bytes(
+                {"x": vals, "k": list(range(len(vals)))},
+                {"x": sql_type, "k": "bigint"},
+                compression="none", bloom_cols=["x"],
+            )
+            for needle in (0.0, -0.0):
+                d, nread, ntot, nflt = read_parquet_bloom_pruned_bytes(
+                    data, ["k"], "x", [needle]
+                )
+                assert nflt == ntot
+                assert len(d["k"]) == 25, (sql_type, stored, needle)
+            # absent-key pruning still works (no over-conservatism):
+            # a non-zero absent needle must skip the group outright
+            d, nread, _t, _f = read_parquet_bloom_pruned_bytes(
+                data, ["k"], "x", [123.5]
+            )
+            assert d["k"] == [] and nread == 0, (sql_type, stored)
+
+
+def test_sink_parquet_bloom_decode_tolerates_empty_shard(monkeypatch):
+    """Round-15 ADVICE regression: an empty shard (zero-row parquet
+    payload) must decode to zero rows like the other sink roundtrips,
+    not IndexError on keys[0] while building the bloom self-check
+    needles. The live write path skips empty Arrow batches, so this
+    pins robustness against foreign zero-row files."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import importlib
+
+    catalog = importlib.import_module(
+        "simple_data_engineering_project_spark.plans.catalog"
+    )
+
+    captured = {}
+
+    def fake_scaffold(spark, sf_dir, leaf, suffix, encode_batch,
+                      decode_shard, *a, **k):
+        captured["decode"] = decode_shard
+        return None
+
+    monkeypatch.setattr(catalog, "tune_for_queries", lambda s: None)
+    monkeypatch.setattr(catalog, "_shard_sink_roundtrip", fake_scaffold)
+    catalog._REGISTRY["sink_parquet_bloom"].fn(None, None)
+
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], type=pa.int64()),
+            "prio": pa.array([], type=pa.string()),
+            "price": pa.array([], type=pa.float64()),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(empty, buf)
+    assert captured["decode"](buf.getvalue()) == []
+
+
 def test_bloom_truncation_and_bitflips_never_hang(bloom_files):
     """The repo-standard hardening battery, with the bloom trust
     contract: (a) nothing hangs (alarm-guarded); (b) flips at or after
