@@ -131,24 +131,33 @@ def _s32(v: int) -> int:
     return v - (1 << 32) if v >= (1 << 31) else v
 
 
-def bloom_test(bitset: bytes, k: int, hash64: int) -> bool:
-    """Probe one row group's bloom filter (``utf8bitset`` bytes =
-    little-endian uint64 words, bit n at word n>>6 / bit n&63). Java
-    double hashing with 32-bit overflow semantics: h1 = (int)hash64,
-    h2 = (int)(hash64 >>> 32); probe ``(h1 + i*h2)`` for i in 1..k,
-    flipping negative combined hashes with ``~``. True = maybe
-    present; False = PROVEN absent."""
-    num_bits = len(bitset) * 8
-    if num_bits == 0 or k <= 0:
-        return True  # degenerate: conservative
+def bloom_positions(hash64: int, k: int, num_bits: int):
+    """The Java double-hash bit positions for one value: h1 =
+    (int)hash64, h2 = (int)(hash64 >>> 32); position ``(h1 + i*h2)
+    mod num_bits`` for i in 1..k, flipping negative combined hashes
+    with ``~`` — 32-bit overflow semantics throughout. THE single
+    source of probe math for both the read-side test and the write
+    twin (:func:`orc_write._bloom_filter_pb`), so the two can never
+    drift."""
     h1 = _s32(hash64)
     h2 = _s32(hash64 >> 32)
-    words = struct.unpack(f"<{len(bitset) >> 3}Q", bitset)
     for i in range(1, k + 1):
         combined = _s32(h1 + i * h2)
         if combined < 0:
             combined = ~combined
-        pos = combined % num_bits
+        yield combined % num_bits
+
+
+def bloom_test(bitset: bytes, k: int, hash64: int) -> bool:
+    """Probe one row group's bloom filter (``utf8bitset`` bytes =
+    little-endian uint64 words, bit n at word n>>6 / bit n&63) via
+    :func:`bloom_positions`. True = maybe present; False = PROVEN
+    absent."""
+    num_bits = len(bitset) * 8
+    if num_bits == 0 or k <= 0:
+        return True  # degenerate: conservative
+    words = struct.unpack(f"<{len(bitset) >> 3}Q", bitset)
+    for pos in bloom_positions(hash64, k, num_bits):
         if not (words[pos >> 6] >> (pos & 63)) & 1:
             return False
     return True

@@ -1320,7 +1320,7 @@ def _bloom_filter_pb(values, kind: int, expected: int, fpp: float) -> bytes:
     write twin cannot drift from the prober."""
     import math
 
-    from .orc_bloom import _s32, murmur3_hash64, wang_long_hash
+    from .orc_bloom import bloom_positions, murmur3_hash64, wang_long_hash
 
     nb = int(-expected * math.log(fpp) / (math.log(2) ** 2))
     num_bits = nb + (64 - (nb % 64))
@@ -1333,12 +1333,7 @@ def _bloom_filter_pb(values, kind: int, expected: int, fpp: float) -> bytes:
         else:
             e = v.encode("utf-8") if isinstance(v, str) else bytes(v)
             h = murmur3_hash64(e)
-        h1, h2 = _s32(h), _s32(h >> 32)
-        for i in range(1, k + 1):
-            combined = _s32(h1 + i * h2)
-            if combined < 0:
-                combined = ~combined
-            pos = combined % num_bits
+        for pos in bloom_positions(h, k, num_bits):
             words[pos >> 6] |= 1 << (pos & 63)
     return _pb_varint(1, k) + _pb_bytes(
         3, struct.pack(f"<{n_words}Q", *words)

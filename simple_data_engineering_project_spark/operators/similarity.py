@@ -554,14 +554,14 @@ def pq_topk(
 
 
 def _portable_hash_expr(col):
-    """Engine-portable integer hash: the first 15 hex digits of md5 as
-    a BIGINT. Spark ``conv(substring(md5(x),1,15),16,10)`` equals DuckDB
-    ``('0x'||substring(md5(x),1,15))::BIGINT`` bit-exactly (repo-standard
-    portable-hash trick) — the seeded-sample ordering both engines can
-    replay, where ``xxhash64`` cannot (DuckDB lacks it)."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
+    """Engine-portable integer hash of a column cast to string — the
+    seeded-sample ordering both engines can replay, where ``xxhash64``
+    cannot (DuckDB lacks it). Delegates to the repo's single
+    portable-hash primitive (:func:`dedup._portable_token_hash`, the
+    md5-prefix-as-BIGINT trick) so the two sites can never drift."""
+    from .dedup import _portable_token_hash
+
+    return _portable_token_hash(col.cast("string"))
 
 
 def _quantize_e4_expr(vec_col):
@@ -660,6 +660,14 @@ def ivf_topk_det(
     """
     cent_rows = _seeded_sample_rows(corpus, n_cells, corpus_id, corpus_vec)
     cents = [_quantize_e4_py(r.v) for r in cent_rows]
+    if not cents:  # empty corpus: empty result, correct schema
+        return _det_empty_result(
+            corpus, queries, k, corpus_id, corpus_vec, query_id, query_vec
+        )
+    # corpora smaller than n_cells yield fewer centroids — clamp so
+    # the probe loop indexes only real cells (review finding; the SQL
+    # twin clamps identically via its row_number() <= n_cells)
+    n_cells = len(cents)
     n2 = [sum(c * c for c in cj) for cj in cents]
 
     scores = _int_l2_scores_expr(
@@ -707,6 +715,27 @@ def _id_sql_type(rows, field: str) -> str:
     return "bigint" if rows and isinstance(rows[0][field], int) else "string"
 
 
+def _det_empty_result(
+    corpus, queries, k, corpus_id, corpus_vec, query_id, query_vec
+):
+    """Empty-corpus degenerate for the det ANN twins: the same
+    (query_id, item_id, cosine, rank) schema with zero rows, instead
+    of an IndexError in the driver-side probe loops (review finding —
+    the non-det variants degrade gracefully here)."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    empty = corpus.select(
+        F.col(corpus_id).alias("item_id"), F.col(corpus_vec).alias("__cv")
+    ).limit(0)
+    scored = empty.join(F.broadcast(q)).select(
+        "query_id",
+        "item_id",
+        cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
+    )
+    return _topk_per_query(scored, k)
+
+
 def pq_topk_det(
     corpus: DataFrame,
     queries: DataFrame,
@@ -740,6 +769,14 @@ def pq_topk_det(
     """
     rows = _seeded_sample_rows(corpus, ksub, corpus_id, corpus_vec)
     seeds = [_quantize_e4_py(r.v) for r in rows]
+    if not seeds:  # empty corpus: empty result, correct schema
+        return _det_empty_result(
+            corpus, queries, k, corpus_id, corpus_vec, query_id, query_vec
+        )
+    # corpora smaller than ksub yield fewer codewords — clamp so code
+    # assignment and the LUT index only real entries (review finding;
+    # the SQL twin clamps identically via its row_number() <= ksub)
+    ksub = len(seeds)
     dim = len(seeds[0])
     dsub = dim // m
     cb = [

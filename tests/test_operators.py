@@ -1926,3 +1926,32 @@ def test_warc_reader_chunks_batches_by_byte_budget(tmp_path):
     uris = [u for b in batches for u in b.column(0).to_pylist()]
     assert uris == [u for u, _ in records]
     assert all(b.num_rows <= 3 for b in batches)
+
+
+def test_det_ann_small_and_empty_corpus(spark):
+    """Round-15 review regression: corpora smaller than n_cells/ksub
+    must clamp (not IndexError in the driver-side probe loops), and an
+    empty corpus returns an empty frame with the standard schema."""
+    from simple_data_engineering_project_spark.operators.similarity import (
+        ivf_topk_det,
+        pq_topk_det,
+    )
+
+    emb = _emb_tables(spark).filter(F.col("vec_id") < 10)  # 10 < 16
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ivf_topk_det(emb, q, k=5, n_cells=16, n_probe=4).collect()
+    assert 0 < len(got) <= 5
+    got = pq_topk_det(emb, q, k=5, m=4, ksub=16, oversample=5).collect()
+    assert len(got) == 5
+    assert got[0]["rank"] == 1
+
+    empty = _emb_tables(spark).filter(F.col("vec_id") < 0)
+    for fn, kw in (
+        (ivf_topk_det, dict(n_cells=16, n_probe=4)),
+        (pq_topk_det, dict(m=4, ksub=16)),
+    ):
+        out = fn(empty, q, k=5, **kw)
+        assert out.columns == ["query_id", "item_id", "cosine", "rank"]
+        assert out.count() == 0

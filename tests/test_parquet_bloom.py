@@ -373,12 +373,17 @@ def test_bloom_probe_signed_zero_both_directions():
             assert d["k"] == [] and nread == 0, (sql_type, stored)
 
 
-def test_sink_parquet_bloom_decode_tolerates_empty_shard(monkeypatch):
+def test_sink_parquet_bloom_decode_tolerates_empty_shard(
+    spark, monkeypatch
+):
     """Round-15 ADVICE regression: an empty shard (zero-row parquet
     payload) must decode to zero rows like the other sink roundtrips,
     not IndexError on keys[0] while building the bloom self-check
     needles. The live write path skips empty Arrow batches, so this
-    pins robustness against foreign zero-row files."""
+    pins robustness against foreign zero-row files. (The ``spark``
+    fixture is load-bearing even though unused directly: the catalog
+    entry builds ``F.col`` expressions at call time, which needs an
+    active SparkContext — without it this test is order-dependent.)"""
     import io
 
     import pyarrow as pa

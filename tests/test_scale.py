@@ -753,6 +753,15 @@ _BROADCAST_ALLOWLIST = {
     ("operators/similarity.py", "ivf_topk", "q"),
     ("operators/similarity.py", "pq_topk", "q"),
     ("operators/similarity.py", "lsh_topk", "q_b"),
+    # det ANN twins (round 15): q = the ANN query set (≪ corpus by API
+    # contract); probe = |queries|·n_probe cell ids; lut_df = one
+    # m×ksub integer LUT row per query — all model-sized, never
+    # corpus-proportional
+    ("operators/similarity.py", "ivf_topk_det", "q"),
+    ("operators/similarity.py", "ivf_topk_det", "probe"),
+    ("operators/similarity.py", "pq_topk_det", "q"),
+    ("operators/similarity.py", "pq_topk_det", "lut_df"),
+    ("operators/similarity.py", "_det_empty_result", "q"),
     ("operators/text.py", "tfidf_keywords", "n_docs"),  # 1 row
     ("operators/text.py", "unigram_logprob", "total"),  # 1 row
     ("operators/text.py", "heavy_hitters", "cand"),  # MG sketch (≤k per partition)
@@ -851,6 +860,13 @@ _COLLECT_ALLOWLIST = {
     ("operators/similarity.py", "kmeans_fit", "assigned.select('cid', F.posexplode('v').alias('dim', 'x'))."),
     ("operators/similarity.py", "_ivf_centroids", "corpus.select(F.col(corpus_id).alias('id'), F.col(corpus_vec"),  # nlist ≤ 16
     ("operators/similarity.py", "_pq_codebooks", "corpus.select(F.col(corpus_id).alias('id'), F.col(corpus_vec"),  # m×256 codes
+    # det ANN twins (round 15): the seeded sample is capped at
+    # n_cells/ksub rows (limit(n) in the relation); the queries
+    # collect is the ANN query set — ≪ corpus by the API contract,
+    # same bound as the q broadcasts above
+    ("operators/similarity.py", "_seeded_sample_rows", "corpus.select(F.col(corpus_id).alias('id'), F.col(corpus_vec"),  # limit(n)
+    ("operators/similarity.py", "ivf_topk_det", "queries"),
+    ("operators/similarity.py", "pq_topk_det", "queries"),
     ("operators/similarity.py", "_pq_codebooks", "sub.select('j', 'code', F.posexplode('sv').alias('pos', 'x')"),
     # bounded sketches / dictionaries
     ("operators/text.py", "heavy_hitters", "toks.mapInPandas(_mg, schema='word string, part_total long')"),  # MG: ≤k per partition
