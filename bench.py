@@ -347,8 +347,11 @@ HEADLINE = [
     "similarity_topk_ivf_det",
     "similarity_topk_pq_det",
     # round 15: ORC bloom WRITE twin (index region: ROW_INDEX +
-    # BLOOM_FILTER_UTF8 per row group, Java-reader-verified)
+    # BLOOM_FILTER_UTF8 per row group, Java-reader-verified) + the
+    # UNION column decode (last pure-format decline lifted; fixture
+    # staged by the Java ORC writer via py4j)
     "sink_orc_bloom",
+    "scan_orc_union",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose

@@ -524,7 +524,50 @@ def _read_generic_node(
     composition needs no per-shape cases."""
     kind = types[cid].get(1, 0)
     if kind == _K_UNION:
-        raise NotImplementedError("ORC union columns not supported")
+        # round 15 (formerly the last pure-format loud decline): a
+        # UNION node carries a DATA stream of variant TAGS (byte RLE
+        # over the present rows); child i holds values only for rows
+        # tagged i, sized by that tag's count. Decodes to the PLAIN
+        # VALUE per row — exactly what pyarrow's to_pylist() yields
+        # for the same files (dense-union scalars collapse to their
+        # value; the tag is representation metadata). In-container
+        # honesty basis: the Java ORC writer stages uniontype
+        # fixtures through py4j and BOTH reference readers (pyarrow's
+        # ORC C++ and Java's RecordReader) cross-validate the decode
+        # in the unit battery.
+        praw = located.get((cid, _S_PRESENT))
+        present = (
+            _bool_rle(_decompress_stream(codec, praw), count)
+            if praw is not None
+            else [True] * count
+        )
+        n_present = sum(present)
+        draw = located.get((cid, _S_DATA))
+        tags = _byte_rle(
+            _decompress_stream(codec, draw) if draw else b"", n_present
+        )
+        kids = _subtype_ids(types[cid])
+        queues = []
+        for t, k in enumerate(kids):
+            n_t = sum(1 for tg in tags if tg == t)
+            vals_t = _read_generic_node(
+                k, n_t, types, located, encodings, codec
+            )
+            queues.append(iter(vals_t))
+        rows: list = []
+        ti = 0
+        for pr in present:
+            if not pr:
+                rows.append(None)
+                continue
+            tg = tags[ti]
+            ti += 1
+            if tg >= len(queues):
+                raise ValueError(
+                    f"ORC union tag {tg} exceeds {len(queues)} variants"
+                )
+            rows.append(next(queues[tg]))
+        return rows
     if kind not in (_K_STRUCT, _K_LIST, _K_MAP):
         e = encodings[cid] if cid < len(encodings) else {}
         return _decode_column(
@@ -586,9 +629,12 @@ def _read_generic_node(
     # value-equal to the pair list pyarrow's to_pylist() gives the
     # same files (pyarrow yields (key, value) TUPLES; here each pair
     # is a {"key","value"} struct — round 14, formerly a loud
-    # decline). UNION keys still decline inside the recursive key
-    # read.
-    composite_keys = types[kid].get(1, 0) in (_K_LIST, _K_MAP, _K_STRUCT)
+    # decline). UNION keys (round 15) take the same pair-list route:
+    # a union value may be an unhashable composite depending on the
+    # row's tag, so the dict form is not generally seatable.
+    composite_keys = types[kid].get(1, 0) in (
+        _K_LIST, _K_MAP, _K_STRUCT, _K_UNION,
+    )
     keys = _read_generic_node(kid, total, types, located, encodings, codec)
     vals = _read_generic_node(vid, total, types, located, encodings, codec)
     rows = []
@@ -878,14 +924,10 @@ def read_orc_nested_columns(
         except NotImplementedError:
             # generic fallback (round 13): any composition the
             # enumerated plans decline assembles through the
-            # recursive node reader. Only UNION stays declined;
-            # composite map keys (round 14) decode through the
-            # generic path as lists of {"key","value"} structs.
-            if any(
-                types[i].get(1, 0) == _K_UNION
-                for i in _all_subtree_ids(types, cid)
-            ):
-                raise
+            # recursive node reader — composite map keys since round
+            # 14 (lists of {"key","value"} structs) and UNION columns
+            # since round 15 (plain values per row, pyarrow-equal;
+            # fixtures staged by the in-container Java ORC writer).
             plan[c] = {
                 "kind": "generic", "cid": cid,
                 "children": _all_subtree_ids(types, cid)[1:],

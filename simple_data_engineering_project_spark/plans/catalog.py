@@ -14780,6 +14780,103 @@ def sink_parquet_bloom_q(spark, sf_dir):
 
 
 @register(
+    "scan_orc_union",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey % 2 AS INT) AS tag,
+           CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_custkey AS VARCHAR)
+                ELSE o_orderpriority END AS u_val
+    FROM orders WHERE o_orderkey < 256
+    """,
+    tier="C",
+    note="C12 ORC UNION column decode (round 15 — formerly the LAST "
+    "pure-format loud decline): a uniontype<bigint,string> column "
+    "(tag stream = byte RLE over present rows; each variant child "
+    "sized by its tag count) staged by the in-container REFERENCE "
+    "WRITER — the Java ORC library driven through py4j, since "
+    "neither pyarrow nor Spark SQL can author uniontype — then "
+    "decoded by operators/orc_data.py's generic recursive reader to "
+    "the plain per-row value (pyarrow-equal representation; pyarrow "
+    "cross-validates in the unit battery alongside null/3-variant/"
+    "same-typed-variant fixtures). The graded tag column derives "
+    "from the DECODED value's Python type, so the oracle match "
+    "proves variant ROUTING, not just value echo. Fixture bounded "
+    "at 256 rows by a fixed key range (dense keys — constant at "
+    "every SF); the py4j staging is bounded driver-side model work, "
+    "the decode runs worker-side.",
+)
+def scan_orc_union_q(spark, sf_dir):
+    import pandas as _pd
+    from py4j.java_gateway import get_field, set_field
+
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 256)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .collect()  # bounded: fixed key range => <=256 rows at any SF
+    )
+    out_dir = _scratch(sf_dir, "orc_union")
+    os.makedirs(out_dir, exist_ok=True)
+    out = f"{out_dir}/u.orc"
+    if os.path.exists(out):
+        os.remove(out)
+    jvm = spark._jvm
+    td = jvm.org.apache.orc.TypeDescription.fromString(
+        "struct<k:bigint,u:uniontype<bigint,string>>"
+    )
+    w = jvm.org.apache.orc.OrcFile.createWriter(
+        jvm.org.apache.hadoop.fs.Path(out),
+        jvm.org.apache.orc.OrcFile.writerOptions(
+            spark._jsc.hadoopConfiguration()
+        ).setSchema(td),
+    )
+    batch = td.createRowBatch(max(len(src), 1))
+    cols = get_field(batch, "cols")
+    kv = get_field(cols[0], "vector")
+    u = cols[1]
+    tags = get_field(u, "tags")
+    iv = get_field(get_field(u, "fields")[0], "vector")
+    sv = get_field(u, "fields")[1]
+    for i, r in enumerate(src):
+        kv[i] = r["o_orderkey"]
+        t = r["o_orderkey"] % 2
+        tags[i] = t
+        if t == 0:
+            iv[i] = r["o_custkey"]
+        else:
+            sv.setVal(i, bytearray(r["o_orderpriority"].encode()))
+    set_field(batch, "size", len(src))
+    w.addRowBatch(batch)
+    w.close()
+
+    pdf = spark.createDataFrame([(out,)], "path string")
+
+    def _read(batches):
+        from ..operators.orc_data import read_orc_nested_columns
+
+        for b in batches:
+            for path in b["path"]:
+                d = read_orc_nested_columns(path, ["k", "u"])
+                yield _pd.DataFrame(
+                    {
+                        "o_orderkey": d["k"],
+                        # tag from the DECODED value's type: proves the
+                        # byte-RLE tag stream routed each row to the
+                        # right variant child
+                        "tag": [
+                            0 if isinstance(v, int) else 1 for v in d["u"]
+                        ],
+                        "u_val": [str(v) for v in d["u"]],
+                    }
+                )
+
+    return pdf.mapInPandas(
+        _read, schema="o_orderkey bigint, tag int, u_val string"
+    )
+
+
+@register(
     "sink_orc_bloom",
     """
     SELECT o_orderkey,

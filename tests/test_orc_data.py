@@ -1923,3 +1923,69 @@ def test_generic_writer_validates_struct_cells_orc():
             {"c": [[1, 2]]},
             {"c": "struct<m:map<string,bigint>,t:bigint>"}, "none",
         )
+
+
+def test_generic_reader_union_columns_orc(spark, tmp_path):
+    """Round 15 (formerly the LAST pure-format loud decline): ORC
+    uniontype decodes through the generic path to the plain value per
+    row — exactly pyarrow's to_pylist() for the same files. The
+    fixture is staged by the in-container reference WRITER (the Java
+    ORC library via py4j; neither pyarrow nor Spark SQL can author
+    uniontype), covering three variants incl. two same-typed ones
+    (tag-routing is positional, not type-driven), nulls, and variant
+    values interleaved across row groups."""
+    from py4j.java_gateway import get_field, set_field
+
+    jvm = spark._jvm
+    td = jvm.org.apache.orc.TypeDescription.fromString(
+        "struct<u:uniontype<int,string,int>,w:int>"
+    )
+    p = str(tmp_path / "union.orc")
+    path = jvm.org.apache.hadoop.fs.Path(p)
+    w = jvm.org.apache.orc.OrcFile.createWriter(
+        path,
+        jvm.org.apache.orc.OrcFile.writerOptions(
+            spark._jsc.hadoopConfiguration()
+        ).setSchema(td),
+    )
+    batch = td.createRowBatch()
+    cols = get_field(batch, "cols")
+    u, wcol = cols[0], cols[1]
+    tags = get_field(u, "tags")
+    fields = get_field(u, "fields")
+    set_field(u, "noNulls", False)
+    isnull = get_field(u, "isNull")
+    iv0 = get_field(fields[0], "vector")
+    sv = fields[1]
+    iv2 = get_field(fields[2], "vector")
+    wv = get_field(wcol, "vector")
+    n = 31
+    expect = []
+    for i in range(n):
+        wv[i] = i
+        if i % 7 == 3:
+            isnull[i] = True
+            expect.append(None)
+            continue
+        t = i % 3
+        tags[i] = t
+        if t == 0:
+            iv0[i] = 1000 + i
+            expect.append(1000 + i)
+        elif t == 1:
+            sv.setVal(i, bytearray(f"v-{i}".encode()))
+            expect.append(f"v-{i}")
+        else:
+            iv2[i] = -2000 - i
+            expect.append(-2000 - i)
+    set_field(batch, "size", n)
+    w.addRowBatch(batch)
+    w.close()
+
+    import pyarrow.orc as po
+
+    ref = po.ORCFile(p).read()
+    assert ref.column("u").to_pylist() == expect  # Java->pyarrow sanity
+    got = read_orc_nested_columns(p, ["u", "w"])
+    assert got["u"] == expect
+    assert got["w"] == list(range(n))

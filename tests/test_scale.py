@@ -849,6 +849,11 @@ _COLLECT_ALLOWLIST = {
     ("plans/catalog.py", "events_markov_stationary_q", "ev.select(F.col('event_type').alias('i'), F.lead('event_type"),  # |types|²
     ("plans/catalog.py", "corpus_perplexity_buckets_q", "banded.groupBy('band').count()"),  # fixed band domain
     ("plans/catalog.py", "window_ntile_percent_q", "bucketed.groupBy('_b').agg(F.count('*').alias('c'))"),  # ≤ nbuckets
+    # scan_orc_union fixture staging (round 15): fixed key range =>
+    # <=256 rows at every SF (dense o_orderkey domain), fed to the
+    # driver-side py4j Java ORC writer — model-sized, never
+    # row-proportional
+    ("plans/catalog.py", "scan_orc_union_q", "_t(spark, sf_dir, 'orders').filter(F.col('o_orderkey') < 256"),  # ≤ 256
     ("plans/catalog.py", "orders_pareto_q", "bucketed.groupBy('_b').agg(F.sum('rev_cents').alias('c'))"),  # ≤ nbuckets
     ("plans/catalog.py", "decontaminate_embedding_q", "q.filter(is_test)"),  # capped ≤200 vectors (vec_id % 10 = 0 AND < 2000)
     ("plans/catalog.py", "scan_parquet_bloom_q", "_t(spark, sf_dir, 'orders').filter((F.col('o_orderkey') % 8 "),  # fixed range [0,400): ≤50 needle keys at any SF
