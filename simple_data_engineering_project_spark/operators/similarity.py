@@ -600,28 +600,20 @@ def _seeded_sample_rows(
     )
 
 
-def _int_l2_scores_expr(xe_col, cents: list[list[int]], n2: list[int]):
-    """Integer squared-L2 rank scores of a quantized vector against
-    integer centroid literals: ``n2_j − 2·(x·c_j)`` per centroid (the
-    constant |x|² term drops out of the argmin). Pure codegen fold —
-    bit-identical in any engine, no float anywhere."""
-    return F.array(
-        *[
-            (
-                F.lit(n2[j]).cast("long")
-                - F.lit(2).cast("long")
-                * F.aggregate(
-                    F.zip_with(
-                        xe_col,
-                        F.array(*[F.lit(int(c)).cast("long") for c in cents[j]]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                )
-            )
-            for j in range(len(cents))
-        ]
+def _int_l2_score_col(xe_col, cw_col, nn_col):
+    """Integer squared-L2 rank score of a quantized vector COLUMN
+    against a codeword COLUMN: ``nn − 2·(x·c)`` (the constant |x|²
+    term drops out of the argmin). A zip_with/aggregate fold over two
+    data columns — bit-identical in any engine, no float anywhere,
+    and a CONSTANT-SIZE expression tree: the model rides a broadcast
+    relation, not literals. (The first cut inlined every centroid as
+    a literal array — 1000+ literal nodes whose Catalyst analysis
+    re-ran per action and dominated wall time, the documented
+    giant-literal-tree trap.)"""
+    return nn_col - F.lit(2).cast("long") * F.aggregate(
+        F.zip_with(xe_col, cw_col, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
 
 
@@ -670,15 +662,32 @@ def ivf_topk_det(
     n_cells = len(cents)
     n2 = [sum(c * c for c in cj) for cj in cents]
 
-    scores = _int_l2_scores_expr(
-        _quantize_e4_expr(F.col(corpus_vec)), cents, n2
+    # cell assignment via the broadcast-model join (_nearest_centroid
+    # shape): centroids are a (cid, ce, nn) relation riding one
+    # broadcast, the integer L2 score folds over two data columns,
+    # and min(struct(score, cid)) is the lexicographic argmin — same
+    # lowest-cid tie-break as the oracle's ORDER BY score, cid. One
+    # map-side-combined row per vector crosses the wire.
+    spark = corpus.sparkSession
+    cents_df = spark.createDataFrame(
+        [(j, cents[j], n2[j]) for j in range(n_cells)],
+        "cid int, ce array<bigint>, nn bigint",
     )
-    c = corpus.select(
+    fan = corpus.select(
         F.col(corpus_id).alias("item_id"),
         F.col(corpus_vec).alias("__cv"),
-        (F.array_position(scores, F.array_min(scores)) - 1)
-        .cast("int")
-        .alias("cell"),
+        _quantize_e4_expr(F.col(corpus_vec)).alias("__xe"),
+    ).crossJoin(F.broadcast(cents_df))
+    score = _int_l2_score_col(F.col("__xe"), F.col("ce"), F.col("nn"))
+    c = (
+        fan.groupBy("item_id")
+        .agg(
+            F.min(
+                F.struct(score.alias("s"), F.col("cid").alias("cid"))
+            ).alias("__m"),
+            F.first("__cv").alias("__cv"),
+        )
+        .select("item_id", "__cv", F.col("__m.cid").alias("cell"))
     )
 
     q_rows = queries.collect()  # bounded: queries ≪ corpus
@@ -691,7 +700,6 @@ def ivf_topk_det(
         ]
         for j in sorted(range(n_cells), key=lambda j: (qs[j], j))[:n_probe]:
             probe_pairs.append((r[query_id], j))
-    spark = corpus.sparkSession
     probe = spark.createDataFrame(
         probe_pairs, f"query_id {_id_sql_type(q_rows, query_id)}, cell int"
     )
@@ -785,22 +793,60 @@ def pq_topk_det(
     ]  # (m, ksub, dsub) ints
     n2 = [[sum(c * c for c in cb[j][t]) for t in range(ksub)] for j in range(m)]
 
+    # code assignment via the broadcast-model join: the codebook is a
+    # (j, t, cw, nn) relation (m·ksub rows) riding one broadcast;
+    # corpus rows posexplode to their m subvectors, score against the
+    # matching subspace's codewords with the constant-size integer
+    # fold, and min(struct(score, t)) is the lexicographic argmin —
+    # the oracle's ORDER BY score, t tie-break. (The first cut
+    # unrolled m·ksub codeword literals into one expression — 1000+
+    # literal nodes whose per-action Catalyst analysis dominated wall
+    # time.) Two map-side-combined aggregations rebuild the per-item
+    # code array in subspace order via array_sort(collect_list).
+    spark = corpus.sparkSession
+    cb_df = spark.createDataFrame(
+        [
+            (j, t, cb[j][t], n2[j][t])
+            for j in range(m)
+            for t in range(ksub)
+        ],
+        "j int, t int, cw array<bigint>, nn bigint",
+    )
     xe = _quantize_e4_expr(F.col(corpus_vec))
-    code_cols = []
-    for j in range(m):
-        sub = F.slice(xe, j * dsub + 1, dsub)
-        sc = _int_l2_scores_expr(sub, cb[j], n2[j])
-        code_cols.append(
-            (F.array_position(sc, F.array_min(sc)) - 1).cast("int")
-        )
+    sub = corpus.select(
+        F.col(corpus_id).alias("item_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(xe, j * dsub + 1, dsub),
+            )
+        ).alias("j", "__sub"),
+    )
+    fan = sub.join(F.broadcast(cb_df), "j")
+    score = _int_l2_score_col(F.col("__sub"), F.col("cw"), F.col("nn"))
     # lazily checkpointed: the codes relation feeds both the ADC rank
     # and the re-rank join — without it the assignment scan re-executes
     # per consumer (the multi-pass-consumer rule)
-    codes = corpus.select(
-        F.col(corpus_id).alias("item_id"),
-        F.col(corpus_vec).alias("__cv"),
-        F.array(*code_cols).alias("__code"),
-    ).localCheckpoint(eager=False)
+    codes = (
+        fan.groupBy("item_id", "j")
+        .agg(
+            F.min(
+                F.struct(score.alias("s"), F.col("t").alias("t"))
+            ).alias("__m")
+        )
+        .groupBy("item_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("j"), F.col("__m.t").alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ).alias("__code")
+        )
+        .localCheckpoint(eager=False)
+    )
 
     q_rows = queries.collect()  # bounded: queries ≪ corpus
     lut_rows = []
@@ -817,7 +863,6 @@ def pq_topk_det(
             for j in range(m)
         ]
         lut_rows.append((r[query_id], lut))
-    spark = corpus.sparkSession
     lut_df = spark.createDataFrame(
         lut_rows,
         f"query_id {_id_sql_type(q_rows, query_id)}, "
@@ -826,7 +871,6 @@ def pq_topk_det(
     adc_scored = codes.join(F.broadcast(lut_df)).select(
         "query_id",
         "item_id",
-        "__cv",
         F.aggregate(
             F.zip_with(
                 F.col("__code"),
@@ -838,17 +882,21 @@ def pq_topk_det(
         ).alias("cosine"),  # integer ADC rank score (column named for
         # _topk_per_query's (cosine DESC, item_id) ordering)
     )
-    cand = _topk_per_query(
-        adc_scored.select("query_id", "item_id", "cosine"), k * oversample
-    ).select("query_id", "item_id")
+    cand = _topk_per_query(adc_scored, k * oversample).select(
+        "query_id", "item_id"
+    )
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
     )
+    vecs = corpus.select(
+        F.col(corpus_id).alias("item_id"), F.col(corpus_vec).alias("__cv")
+    )
+    # the ADC leaders are bounded (k·oversample·|queries| rows), so
+    # THEY broadcast and the full-vector relation is only probed for
+    # those keys — the codes index never carries vectors
     rescored = (
-        cand.join(
-            adc_scored.select("query_id", "item_id", "__cv"),
-            ["query_id", "item_id"],
-        )
+        F.broadcast(cand)
+        .join(vecs, "item_id")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",

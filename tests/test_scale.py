@@ -761,6 +761,9 @@ _BROADCAST_ALLOWLIST = {
     ("operators/similarity.py", "ivf_topk_det", "probe"),
     ("operators/similarity.py", "pq_topk_det", "q"),
     ("operators/similarity.py", "pq_topk_det", "lut_df"),
+    ("operators/similarity.py", "pq_topk_det", "cb_df"),  # m·ksub codewords
+    ("operators/similarity.py", "pq_topk_det", "cand"),  # k·oversample·|queries| rows
+    ("operators/similarity.py", "ivf_topk_det", "cents_df"),  # n_cells rows
     ("operators/similarity.py", "_det_empty_result", "q"),
     ("operators/text.py", "tfidf_keywords", "n_docs"),  # 1 row
     ("operators/text.py", "unigram_logprob", "total"),  # 1 row
