@@ -408,6 +408,12 @@ STEADY_STATE = {
     "sink_orc_pure",  # round-9: same export-sink shape
     "scan_parquet_nested",  # round-10: JVM nested-parquet stage +
     # pure-Python Dremel assembly; same shape as scan_orc_pure
+    "scan_parquet_nested6",  # round-15: the r14/r15 quiet-tracker
+    # drift traced to the JVM deep-nested fixture WRITE (decode is
+    # ~0.4 s across 8 tasks); the fn reuses the untimed pass's
+    # fixture under SDEP_BENCH_REUSE_FIXTURES so the timed number is
+    # the pure generic-Dremel READ path
+    "scan_orc_nested6",  # round-15: same fixture-then-scan treatment
     "scan_parquet_prune",  # round-10: JVM sorted stage + footer-stats
     # pruned decode; same fixture-then-scan shape
     "scan_parquet_int96",  # round-10: JVM INT96 stage + pure decode
