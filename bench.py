@@ -346,6 +346,7 @@ HEADLINE = [
     # IVF cell assignment / integer PQ ADC + exact double re-rank)
     "similarity_topk_ivf_det",
     "similarity_topk_pq_det",
+    "similarity_topk_lsh_det",
     # round 15: ORC bloom WRITE twin (index region: ROW_INDEX +
     # BLOOM_FILTER_UTF8 per row group, Java-reader-verified) + the
     # UNION column decode (last pure-format decline lifted; fixture

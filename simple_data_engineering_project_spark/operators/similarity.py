@@ -744,6 +744,133 @@ def _det_empty_result(
     return _topk_per_query(scored, k)
 
 
+def _srp_int_planes(
+    bands: int, bits: int, dim: int, scale: int = 10000
+) -> list[list[list[int]]]:
+    """Integer SRP hyperplanes both engines derive identically: the
+    coefficient for (band b, bit i, dim d) is the portable md5-prefix
+    hash of ``'srp:b:i:d'`` mapped uniformly into [-scale, scale] —
+    ``h % (2·scale+1) − scale`` on a non-negative 60-bit h, the same
+    arithmetic in Python, Spark SQL, and DuckDB. No RNG state, no
+    float: sign decisions downstream are exact integer comparisons."""
+    import hashlib
+
+    return [
+        [
+            [
+                int(
+                    hashlib.md5(f"srp:{b}:{i}:{d}".encode()).hexdigest()[
+                        :15
+                    ],
+                    16,
+                )
+                % (2 * scale + 1)
+                - scale
+                for d in range(dim)
+            ]
+            for i in range(bits)
+        ]
+        for b in range(bands)
+    ]
+
+
+def lsh_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bands: int = 8,
+    bits: int = 6,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """SRP-LSH top-k with a FULLY DETERMINISTIC, engine-replayable
+    plan — the hash-oracle-checkable twin of :func:`lsh_topk`,
+    completing the det-ANN trio (IVF/PQ/LSH).
+
+    Hyperplanes come from :func:`_srp_int_planes` (portable md5-prefix
+    integers — no RNG, no float); signatures are sign bits of pure
+    int64 dot products over e4-quantized vectors (``dot > 0`` with
+    exact-zero ties to 0 — identical in every engine); candidates
+    share a (band, bucket) with the query; survivors get the exact
+    double-cosine re-rank. Buckets, candidate sets, ranks and values
+    all replay in chained SQL CTEs.
+
+    Scale shape: the plane relation is model metadata (bands·bits
+    rows) riding one broadcast; the signature build is a bands·bits
+    fan-out into two map-side-combined aggregations (at 100 TB: a
+    materialized, bucket-partitioned signature index, exactly like
+    :func:`lsh_topk`'s); only bucket-mates are ever re-scored.
+    """
+    planes = _srp_int_planes(bands, bits, dim)
+    spark = corpus.sparkSession
+    planes_df = spark.createDataFrame(
+        [
+            (b, i, planes[b][i])
+            for b in range(bands)
+            for i in range(bits)
+        ],
+        "band int, bit int, w array<bigint>",
+    )
+    xe = _quantize_e4_expr(F.col(corpus_vec))
+    fan = corpus.select(
+        F.col(corpus_id).alias("item_id"), xe.alias("__xe")
+    ).crossJoin(F.broadcast(planes_df))
+    dot = F.aggregate(
+        F.zip_with(F.col("__xe"), F.col("w"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # SQL-form shiftleft: the Python F.shiftleft only takes a literal
+    # shift amount, but `bit` is a column here
+    bitval = F.when(
+        dot > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+    ).otherwise(F.lit(0).cast("long"))
+    sig = (
+        fan.groupBy("item_id", "band")
+        .agg(F.sum(bitval).alias("bucket"))
+    )
+
+    q_rows = queries.collect()  # bounded: queries ≪ corpus
+    qb_pairs = []
+    for r in q_rows:
+        qe = _quantize_e4_py(r[query_vec])
+        for b in range(bands):
+            bucket = 0
+            for i in range(bits):
+                if sum(a * w for a, w in zip(qe, planes[b][i])) > 0:
+                    bucket |= 1 << i
+            qb_pairs.append((r[query_id], b, bucket))
+    qb_df = spark.createDataFrame(
+        qb_pairs,
+        f"query_id {_id_sql_type(q_rows, query_id)}, band int, "
+        "bucket bigint",
+    )
+    cand = (
+        sig.join(F.broadcast(qb_df), ["band", "bucket"])
+        .select("query_id", "item_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    vecs = corpus.select(
+        F.col(corpus_id).alias("item_id"), F.col(corpus_vec).alias("__cv")
+    )
+    rescored = (
+        cand.join(vecs, "item_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "item_id",
+            cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        )
+    )
+    return _topk_per_query(rescored, k)
+
+
 def pq_topk_det(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2051,6 +2051,87 @@ def similarity_topk_ivf_det_q(spark, sf_dir):
 
 
 @register(
+    "similarity_topk_lsh_det",
+    """
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, g.n AS dim,
+             CAST(floor(CAST(embedding[g.n] AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS xe
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(n)
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings
+      WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    planes AS MATERIALIZED (
+      SELECT b.n AS band, i.n AS bit, d.n AS dim,
+             CAST(('0x' || substring(md5('srp:' || b.n || ':' || i.n
+                                          || ':' || (d.n - 1)), 1, 15))
+                  AS BIGINT) % 20001 - 10000 AS w
+      FROM unnest(generate_series(0, 7)) AS b(n),
+           unnest(generate_series(0, 5)) AS i(n),
+           unnest(generate_series(1, 64)) AS d(n)
+    ),
+    dots AS MATERIALIZED (
+      SELECT x.vec_id, p.band, p.bit, CAST(SUM(x.xe * p.w) AS BIGINT) AS dot
+      FROM x JOIN planes p USING (dim)
+      GROUP BY x.vec_id, p.band, p.bit
+    ),
+    sig AS MATERIALIZED (
+      SELECT vec_id, band,
+             SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << bit
+                      ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id, band
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT s.vec_id
+      FROM sig s
+      JOIN (SELECT sg.band, sg.bucket
+            FROM sig sg JOIN q ON sg.vec_id = q.qid) qs
+        ON s.band = qs.band AND s.bucket = qs.bucket
+    ),
+    scored AS MATERIALIZED (
+      SELECT e.vec_id AS item_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cosine_raw
+      FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+    )"""
+    + _ANN_DET_FINAL,
+    tier="C",
+    note="C3 SRP-LSH ANN, the hash-oracle-checked DETERMINISTIC twin "
+    "of similarity_topk_lsh — completing the det-ANN trio (IVF r15, "
+    "PQ r15, LSH r15): hyperplane coefficients are portable "
+    "md5-prefix integers in [-1e4, 1e4] (no RNG, no float), "
+    "signatures are sign bits of pure-int64 dots over e4-quantized "
+    "vectors (exact-zero ties to 0 on both engines), candidates "
+    "share a (band, bucket) with the query, exact double-cosine "
+    "re-rank. Buckets, candidate sets, ranks and values replay in "
+    "chained MATERIALIZED CTEs. Scale shape = lsh_topk: plane "
+    "relation broadcast (bands·bits rows), two map-side-combined "
+    "signature aggregations (a bucket-partitioned index at 100 TB), "
+    "only bucket-mates re-scored. operators/similarity.py "
+    "lsh_topk_det.",
+)
+def similarity_topk_lsh_det_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.join(
+        emb.agg(F.min("vec_id").alias("vec_id")), "vec_id"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = sim_ops.lsh_topk_det(emb, qv, dim=64, k=10, bands=8, bits=6)
+    return out.select(
+        "item_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@register(
     "similarity_topk_pq_det",
     "WITH "
     + _ANN_DET_X_SEED.format(n_seed=16)

@@ -1955,3 +1955,33 @@ def test_det_ann_small_and_empty_corpus(spark):
         out = fn(empty, q, k=5, **kw)
         assert out.columns == ["query_id", "item_id", "cosine", "rank"]
         assert out.count() == 0
+
+
+def test_lsh_det_recall_and_determinism(spark):
+    """Round-15 det-LSH twin: recall vs brute force at the unit-test
+    plane density, bit-identical buckets across invocations (no RNG
+    anywhere), and graceful empty-corpus degenerate (no driver-side
+    corpus-dependent loop exists to crash)."""
+    from simple_data_engineering_project_spark.operators.similarity import (
+        lsh_topk_det,
+    )
+
+    emb = _emb_tables(spark)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {r["item_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    got1 = [(r["item_id"], r["rank"]) for r in
+            lsh_topk_det(emb, q, dim=16, k=10, bands=12, bits=4)
+            .orderBy("rank").collect()]
+    recall = len(exact & {i for i, _ in got1}) / 10
+    assert recall >= 0.6, f"det-LSH recall too low: {recall}"
+    got2 = [(r["item_id"], r["rank"]) for r in
+            lsh_topk_det(emb, q, dim=16, k=10, bands=12, bits=4)
+            .orderBy("rank").collect()]
+    assert got1 == got2
+
+    empty = emb.filter(F.col("vec_id") < 0)
+    out = lsh_topk_det(empty, q, dim=16, k=10, bands=12, bits=4)
+    assert out.columns == ["query_id", "item_id", "cosine", "rank"]
+    assert out.count() == 0

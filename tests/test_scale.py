@@ -759,6 +759,9 @@ _BROADCAST_ALLOWLIST = {
     # corpus-proportional
     ("operators/similarity.py", "ivf_topk_det", "q"),
     ("operators/similarity.py", "ivf_topk_det", "probe"),
+    ("operators/similarity.py", "lsh_topk_det", "q"),
+    ("operators/similarity.py", "lsh_topk_det", "planes_df"),  # bands·bits rows
+    ("operators/similarity.py", "lsh_topk_det", "qb_df"),  # |queries|·bands rows
     ("operators/similarity.py", "pq_topk_det", "q"),
     ("operators/similarity.py", "pq_topk_det", "lut_df"),
     ("operators/similarity.py", "pq_topk_det", "cb_df"),  # m·ksub codewords
@@ -875,6 +878,7 @@ _COLLECT_ALLOWLIST = {
     ("operators/similarity.py", "_seeded_sample_rows", "corpus.select(F.col(corpus_id).alias('id'), F.col(corpus_vec"),  # limit(n)
     ("operators/similarity.py", "ivf_topk_det", "queries"),
     ("operators/similarity.py", "pq_topk_det", "queries"),
+    ("operators/similarity.py", "lsh_topk_det", "queries"),
     ("operators/similarity.py", "_pq_codebooks", "sub.select('j', 'code', F.posexplode('sv').alias('pos', 'x')"),
     # bounded sketches / dictionaries
     ("operators/text.py", "heavy_hitters", "toks.mapInPandas(_mg, schema='word string, part_total long')"),  # MG: ≤k per partition
