@@ -353,6 +353,7 @@ HEADLINE = [
     # staged by the Java ORC writer via py4j)
     "sink_orc_bloom",
     "scan_orc_union",
+    "sink_orc_union",
 ]
 
 # Twice-run entries (see module docstring): decoder/shard readers whose

@@ -362,6 +362,13 @@ def _parse_ddl_tree(ddl: str):
         if not fields:
             raise NotImplementedError(f"type {ddl} not writable")
         return ("struct", fields)
+    if low.startswith("uniontype<") and s.endswith(">"):
+        # round 15 (write twin of the round-15 union decode): Hive
+        # DDL uniontype<t0,t1,...>; cells are (tag, value) 2-tuples
+        variants = [_parse_ddl_tree(t) for t in _split_top(s[10:-1])]
+        if not variants:
+            raise NotImplementedError(f"type {ddl} not writable")
+        return ("union", variants)
     return ("scalar", _kind_of(low))
 
 
@@ -374,6 +381,8 @@ def _tree_node_count(tree) -> int:
         return 1 + _tree_node_count(detail)
     if kind == "map":
         return 2 + _tree_node_count(detail[1])  # map + key + value…
+    if kind == "union":
+        return 1 + sum(_tree_node_count(sub) for sub in detail)
     return 1 + sum(_tree_node_count(sub) for _n, sub in detail)
 
 
@@ -807,6 +816,45 @@ def build_orc_bytes(
                 return emit_node(
                     idx + 2, [x for v in rows_p for x in v.values()], nd[1]
                 )
+            if nk == "union":
+                # cells are (tag, value) 2-tuples; layout: PRESENT (if
+                # nulls) + DATA byte-RLE of tags over present rows +
+                # one child column per variant sized by its tag count
+                # (round 15 — the write twin of the union decode; the
+                # reader returns plain values, matching pyarrow)
+                for v in vals:
+                    if v is None:
+                        continue
+                    if not (isinstance(v, tuple) and len(v) == 2):
+                        raise ValueError(
+                            "union cell must be a (tag, value) tuple, "
+                            f"got {type(v).__name__}"
+                        )
+                    if not (0 <= int(v[0]) < len(nd)):
+                        raise ValueError(
+                            f"union tag {v[0]} out of range for "
+                            f"{len(nd)} variants"
+                        )
+                present = [v is not None for v in vals]
+                emit_present(idx, present)
+                rows_p = [v for v in vals if v is not None]
+                tag_bytes = frame(
+                    _byte_rle_encode([int(t) for t, _v in rows_p])
+                )
+                stream_meta.append((idx, 1, len(tag_bytes)))  # DATA
+                bodies.extend(tag_bytes)
+                encodings.append((0, None))  # DIRECT
+                stats.append({
+                    "n": len(rows_p),
+                    "has_null": not all(present),
+                    "kind": None,
+                    "present": [],
+                })
+                kid = idx + 1
+                for t, sub in enumerate(nd):
+                    tvals = [v for tg, v in rows_p if int(tg) == t]
+                    kid = emit_node(kid, tvals, sub)
+                return kid
             # struct
             for v in vals:
                 if v is not None and not (
@@ -1122,6 +1170,17 @@ def build_orc_bytes(
                 2, _varint(tid + 1) + _varint(tid + 2)
             )
             return [_pb_bytes(4, t), key_pb] + vsubs, nxt
+        if nk == "union":
+            kid_ids = []
+            subs = []
+            kid = tid + 1
+            for sub in nd:
+                kid_ids.append(kid)
+                s, kid = _tree_types(sub, kid)
+                subs += s
+            t = _pb_varint(1, 13)  # UNION
+            t += _pb_bytes(2, b"".join(_varint(k) for k in kid_ids))
+            return [_pb_bytes(4, t)] + subs, kid
         # struct
         kid_ids: list[int] = []
         subs = []

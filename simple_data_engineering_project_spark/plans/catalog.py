@@ -14980,6 +14980,74 @@ def scan_orc_union_q(spark, sf_dir):
 
 
 @register(
+    "sink_orc_union",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey % 2 AS INT) AS tag,
+           CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_custkey AS VARCHAR)
+                ELSE o_orderpriority END AS u_val
+    FROM orders WHERE o_orderkey % 4 IN (1, 2)
+    """,
+    tier="C",
+    note="C12 ORC UNION column **write** path (round 15, the write "
+    "twin of scan_orc_union — uniontype now round-trips through the "
+    "pure writer): shards of orders encode a "
+    "uniontype<bigint,string> column ((tag, value) cells → tag byte-"
+    "RLE over present rows + per-variant children sized by tag "
+    "counts) through operators/orc_write.py's generic node emitter, "
+    "then decode back through PYARROW (the reference C++ reader — "
+    "the Java reader and the own reader re-read the same structure "
+    "in the unit battery, incl. struct variants, nulls, zlib and "
+    "multi-stripe). The graded tag derives from the DECODED value's "
+    "Python type, so the oracle match proves the tag stream routed "
+    "every row to the right variant child in BOTH directions. ONE "
+    "FILE PER ARROW BATCH, file-per-task, no shuffle; DuckDB grades "
+    "values from source rows.",
+)
+def sink_orc_union_q(spark, sf_dir):
+    from ..operators.orc_write import build_orc_bytes
+
+    def _encode(b):
+        cells = [
+            (0, int(c)) if int(k) % 2 == 0 else (1, str(p))
+            for k, c, p in zip(
+                b["o_orderkey"], b["o_custkey"], b["o_orderpriority"]
+            )
+        ]
+        return build_orc_bytes(
+            {"k": [int(x) for x in b["o_orderkey"]], "u": cells},
+            {"k": "bigint", "u": "uniontype<bigint,string>"},
+            stripe_rows=2000,
+        )
+
+    def _decode(payload):
+        import io as _io
+
+        import pyarrow.orc as _po
+
+        t = _po.ORCFile(_io.BytesIO(payload)).read()
+        ks = t.column("k").to_pylist()
+        us = t.column("u").to_pylist()
+        return [
+            {
+                "o_orderkey": k,
+                "tag": 0 if isinstance(v, int) else 1,
+                "u_val": str(v),
+            }
+            for k, v in zip(ks, us)
+        ]
+
+    return _shard_sink_roundtrip(
+        spark, sf_dir, "orc_union_sink", "orc", _encode, _decode,
+        "o_orderkey bigint, tag int, u_val string",
+        {"o_orderkey": "int64", "tag": "int32"},
+        select_cols=("o_orderkey", "o_custkey", "o_orderpriority"),
+        table="orders",
+        where=(F.col("o_orderkey") % 4).isin(1, 2),
+    )
+
+
+@register(
     "sink_orc_bloom",
     """
     SELECT o_orderkey,

@@ -1989,3 +1989,69 @@ def test_generic_reader_union_columns_orc(spark, tmp_path):
     got = read_orc_nested_columns(p, ["u", "w"])
     assert got["u"] == expect
     assert got["w"] == list(range(n))
+
+
+def test_generic_writer_union_columns_orc(spark, tmp_path):
+    """Round-15 write twin of the union decode: the generic writer
+    emits UNION columns ((tag, value) cells → tag byte-RLE + variant
+    children), and ALL THREE reference readers accept them — the Java
+    ORC reader (the only in-container union WRITER, here re-reading),
+    pyarrow's ORC C++, and the repo's own reader. Covers nulls,
+    same-typed variants, a struct variant, multi-stripe layouts and
+    zlib framing."""
+    from py4j.java_gateway import get_field
+
+    from simple_data_engineering_project_spark.operators.orc_write import (
+        build_orc_bytes,
+    )
+
+    cells = [
+        (0, 100), (1, "a"), None, (2, {"x": 7, "y": "p"}),
+        (0, 200), None, (1, "ß-str"), (0, 0), (2, {"x": None, "y": "q"}),
+    ]
+    expect = [None if c is None else c[1] for c in cells]
+    for codec in ("none", "zlib"):
+        buf = build_orc_bytes(
+            {"u": cells, "k": list(range(len(cells)))},
+            {"u": "uniontype<bigint,string,struct<x:int,y:string>>",
+             "k": "bigint"},
+            compression=codec, stripe_rows=4,
+        )
+        got = read_orc_nested_columns(buf, ["u", "k"])
+        assert got["u"] == expect, codec
+        ref = po.ORCFile(io.BytesIO(buf)).read()
+        pa_rows = ref.column("u").to_pylist()
+        assert pa_rows == expect, codec
+
+    # Java reader leg (uncompressed file): row count + schema accepted
+    p = str(tmp_path / "own_union.orc")
+    buf = build_orc_bytes(
+        {"u": [(0, 5), (1, "z"), None], "k": [0, 1, 2]},
+        {"u": "uniontype<bigint,string>", "k": "bigint"},
+    )
+    open(p, "wb").write(buf)
+    jvm = spark._jvm
+    reader = jvm.org.apache.orc.OrcFile.createReader(
+        jvm.org.apache.hadoop.fs.Path(p),
+        jvm.org.apache.orc.OrcFile.readerOptions(
+            spark._jsc.hadoopConfiguration()
+        ),
+    )
+    assert "uniontype<bigint,string>" in reader.getSchema().toString()
+    rr = reader.rows()
+    batch = reader.getSchema().createRowBatch()
+    total = 0
+    while rr.nextBatch(batch):
+        total += get_field(batch, "size")
+    rr.close()
+    assert total == 3
+
+    # validation gates
+    with pytest.raises(ValueError, match="tag, value"):
+        build_orc_bytes(
+            {"u": [5]}, {"u": "uniontype<bigint,string>"}, "none"
+        )
+    with pytest.raises(ValueError, match="out of range"):
+        build_orc_bytes(
+            {"u": [(7, 5)]}, {"u": "uniontype<bigint,string>"}, "none"
+        )
