@@ -649,6 +649,12 @@ def ivf_topk_det(
     the two-phase distributed rank. Collects are model-sized only
     (n_cells centroids + the query rows, which are ≪ corpus by API
     contract).
+
+    API contract: ``corpus_id`` values are UNIQUE (the table-key
+    contract every operator in this family assumes). Duplicate ids
+    collapse to one output row via the lexicographic argmin — the
+    same collapse the SQL twin's per-vec_id row_number performs — but
+    which duplicate's vector survives the re-score is unspecified.
     """
     cent_rows = _seeded_sample_rows(corpus, n_cells, corpus_id, corpus_vec)
     cents = [_quantize_e4_py(r.v) for r in cent_rows]
@@ -818,7 +824,21 @@ def lsh_topk_det(
     fan = corpus.select(
         F.col(corpus_id).alias("item_id"), xe.alias("__xe")
     ).crossJoin(F.broadcast(planes_df))
-    dot = F.aggregate(
+    # loud dim guard (review finding): zip_with null-pads a length
+    # mismatch, which would silently zero every bucket on the corpus
+    # side while the Python query side truncates — an empty result
+    # with no error. raise_error turns the mismatch into a failure.
+    guard = F.when(
+        F.size(F.col("__xe")) == F.lit(dim), F.lit(0).cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "lsh_topk_det: corpus vector length != dim "
+                f"argument ({dim})"
+            )
+        ).cast("long")
+    )
+    dot = guard + F.aggregate(
         F.zip_with(F.col("__xe"), F.col("w"), lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
@@ -837,6 +857,11 @@ def lsh_topk_det(
     qb_pairs = []
     for r in q_rows:
         qe = _quantize_e4_py(r[query_vec])
+        if len(qe) != dim:
+            raise ValueError(
+                f"lsh_topk_det: query vector length {len(qe)} != dim "
+                f"argument ({dim})"
+            )
         for b in range(bands):
             bucket = 0
             for i in range(bits):
@@ -901,6 +926,10 @@ def pq_topk_det(
     against the per-query LUT riding a broadcast (m·ksub ints per
     query — model-sized); only k·oversample rows ever touch full
     vectors again.
+
+    API contract: ``corpus_id`` values are UNIQUE (see
+    :func:`ivf_topk_det` — duplicates collapse per the SQL twin's
+    per-id argmin, with the surviving vector unspecified).
     """
     rows = _seeded_sample_rows(corpus, ksub, corpus_id, corpus_vec)
     seeds = [_quantize_e4_py(r.v) for r in rows]

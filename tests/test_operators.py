@@ -1985,3 +1985,23 @@ def test_lsh_det_recall_and_determinism(spark):
     out = lsh_topk_det(empty, q, dim=16, k=10, bands=12, bits=4)
     assert out.columns == ["query_id", "item_id", "cosine", "rank"]
     assert out.count() == 0
+
+
+def test_lsh_det_dim_mismatch_fails_loudly(spark):
+    """Round-15 review regression: a dim argument that disagrees with
+    the embedding length must raise (query side: ValueError before any
+    job; corpus side: raise_error in the signature scan) — never
+    return a silently empty result."""
+    import pytest as _pt
+
+    from simple_data_engineering_project_spark.operators.similarity import (
+        lsh_topk_det,
+    )
+
+    emb = _emb_tables(spark)  # 16-dim
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with _pt.raises(Exception) as ei:
+        lsh_topk_det(emb, q, dim=32, k=5, bands=4, bits=4).collect()
+    assert "dim" in str(ei.value)

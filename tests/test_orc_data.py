@@ -2023,10 +2023,14 @@ def test_generic_writer_union_columns_orc(spark, tmp_path):
         pa_rows = ref.column("u").to_pylist()
         assert pa_rows == expect, codec
 
-    # Java reader leg (uncompressed file): row count + schema accepted
+    # Java reader leg: schema accepted AND per-row tag/value content
+    # decoded from the UnionColumnVector (review finding: a count-only
+    # check would pass a writer bug Java interprets differently from
+    # pyarrow's C++ reader)
     p = str(tmp_path / "own_union.orc")
+    jcells = [(0, 5), (1, "z"), None, (0, -9), (1, "ß")]
     buf = build_orc_bytes(
-        {"u": [(0, 5), (1, "z"), None], "k": [0, 1, 2]},
+        {"u": jcells, "k": list(range(len(jcells)))},
         {"u": "uniontype<bigint,string>", "k": "bigint"},
     )
     open(p, "wb").write(buf)
@@ -2040,11 +2044,30 @@ def test_generic_writer_union_columns_orc(spark, tmp_path):
     assert "uniontype<bigint,string>" in reader.getSchema().toString()
     rr = reader.rows()
     batch = reader.getSchema().createRowBatch()
-    total = 0
+    java_vals = []
     while rr.nextBatch(batch):
-        total += get_field(batch, "size")
+        u = get_field(batch, "cols")[0]
+        tags = get_field(u, "tags")
+        isnull = get_field(u, "isNull")
+        nonulls = get_field(u, "noNulls")
+        flds = get_field(u, "fields")
+        iv = get_field(flds[0], "vector")
+        sv = flds[1]
+        svec = get_field(sv, "vector")
+        sstart = get_field(sv, "start")
+        slen = get_field(sv, "length")
+        for r in range(get_field(batch, "size")):
+            if not nonulls and isnull[r]:
+                java_vals.append(None)
+            elif tags[r] == 0:
+                java_vals.append(iv[r])
+            else:
+                b = svec[r]
+                java_vals.append(
+                    bytes(b[sstart[r]:sstart[r] + slen[r]]).decode()
+                )
     rr.close()
-    assert total == 3
+    assert java_vals == [None if c is None else c[1] for c in jcells]
 
     # validation gates
     with pytest.raises(ValueError, match="tag, value"):
