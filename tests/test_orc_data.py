@@ -2078,3 +2078,56 @@ def test_generic_writer_union_columns_orc(spark, tmp_path):
         build_orc_bytes(
             {"u": [(7, 5)]}, {"u": "uniontype<bigint,string>"}, "none"
         )
+
+
+def test_null_composite_map_keys_java_fixture(spark, tmp_path):
+    """Round-15 closure of the r14 review target 'map<composite,...>
+    with null composite keys': the Java ORC writer (via py4j) CAN
+    stage one — keys are a child column with its own PRESENT, so a
+    null key is spec-legal — and the generic reader decodes it as a
+    {'key': None, 'value': v} pair. pyarrow is deliberately NOT run
+    on this fixture: its C++ reader hard-aborts the process (Check
+    failed: 'Map array keys array should have no nulls'), so the own
+    reader is strictly more robust than the reference here."""
+    from py4j.java_gateway import get_field, set_field
+
+    jvm = spark._jvm
+    td = jvm.org.apache.orc.TypeDescription.fromString(
+        "struct<m:map<struct<a:int>,int>>"
+    )
+    p = str(tmp_path / "nullkey.orc")
+    w = jvm.org.apache.orc.OrcFile.createWriter(
+        jvm.org.apache.hadoop.fs.Path(p),
+        jvm.org.apache.orc.OrcFile.writerOptions(
+            spark._jsc.hadoopConfiguration()
+        ).setSchema(td),
+    )
+    batch = td.createRowBatch()
+    m = get_field(batch, "cols")[0]
+    offs = get_field(m, "offsets")
+    lens = get_field(m, "lengths")
+    keys = get_field(m, "keys")
+    vals = get_field(m, "values")
+    set_field(keys, "noNulls", False)
+    kn = get_field(keys, "isNull")
+    ka = get_field(get_field(keys, "fields")[0], "vector")
+    vv = get_field(vals, "vector")
+    offs[0] = 0
+    lens[0] = 2
+    ka[0] = 7
+    vv[0] = 70
+    kn[1] = True
+    vv[1] = 71
+    offs[1] = 2
+    lens[1] = 1
+    ka[2] = 9
+    vv[2] = 90
+    set_field(batch, "size", 2)
+    w.addRowBatch(batch)
+    w.close()
+
+    got = read_orc_nested_columns(p, ["m"])
+    assert got["m"] == [
+        [{"key": {"a": 7}, "value": 70}, {"key": None, "value": 71}],
+        [{"key": {"a": 9}, "value": 90}],
+    ]
