@@ -985,7 +985,12 @@ def dedup_spans_maximal(
         F.sum("__new")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("run_id"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ runs feeds TWO consumers (long_runs and the scrub join-back);
+    # without materialization the whole covered-subtree — gram
+    # explode, duplicate census, coverage distinct, both windows —
+    # re-executed per consumer (the multi-pass-consumer rule; narrow
+    # (id, pos, run_id) rows bound the cache)
     long_runs = (
         runs.groupBy(id_col, "run_id")
         .agg(F.count("*").alias("__rl"))

@@ -668,32 +668,45 @@ def ivf_topk_det(
     n_cells = len(cents)
     n2 = [sum(c * c for c in cj) for cj in cents]
 
-    # cell assignment via the broadcast-model join (_nearest_centroid
-    # shape): centroids are a (cid, ce, nn) relation riding one
-    # broadcast, the integer L2 score folds over two data columns,
-    # and min(struct(score, cid)) is the lexicographic argmin — same
-    # lowest-cid tie-break as the oracle's ORDER BY score, cid. One
-    # map-side-combined row per vector crosses the wire.
+    # cell assignment is ROW-LOCAL (round-15 optimization, guide §2.4
+    # "remove shuffles outright"): the centroid model rides ONE
+    # broadcast row as a nested array, and the integer-L2 argmin is
+    # array_min over a transform — struct ordering gives the same
+    # lexicographic (score, cid) tie-break as the oracle's ORDER BY
+    # score, cid. The previous shape fanned every corpus row ×n_cells
+    # through a crossJoin and shuffled the fan back through a
+    # groupBy(item_id) that also carried the full float vector; this
+    # computes identical int64 arithmetic per row with ZERO exchanges
+    # and never moves a vector. (Still a broadcast relation, not
+    # literals — the giant-literal-tree trap documented on
+    # _int_l2_score_col stays avoided.)
     spark = corpus.sparkSession
     cents_df = spark.createDataFrame(
-        [(j, cents[j], n2[j]) for j in range(n_cells)],
-        "cid int, ce array<bigint>, nn bigint",
+        [([
+            {"cid": j, "nn": n2[j], "ce": cents[j]}
+            for j in range(n_cells)
+        ],)],
+        "__cents array<struct<cid int, nn bigint, ce array<bigint>>>",
     )
-    fan = corpus.select(
-        F.col(corpus_id).alias("item_id"),
-        F.col(corpus_vec).alias("__cv"),
-        _quantize_e4_expr(F.col(corpus_vec)).alias("__xe"),
-    ).crossJoin(F.broadcast(cents_df))
-    score = _int_l2_score_col(F.col("__xe"), F.col("ce"), F.col("nn"))
-    c = (
-        fan.groupBy("item_id")
-        .agg(
-            F.min(
-                F.struct(score.alias("s"), F.col("cid").alias("cid"))
-            ).alias("__m"),
-            F.first("__cv").alias("__cv"),
+    assign = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda ct: F.struct(
+                _int_l2_score_col(
+                    F.col("__xe"), ct["ce"], ct["nn"]
+                ).alias("s"),
+                ct["cid"].alias("cid"),
+            ),
         )
-        .select("item_id", "__cv", F.col("__m.cid").alias("cell"))
+    )["cid"]
+    c = (
+        corpus.select(
+            F.col(corpus_id).alias("item_id"),
+            F.col(corpus_vec).alias("__cv"),
+            _quantize_e4_expr(F.col(corpus_vec)).alias("__xe"),
+        )
+        .crossJoin(F.broadcast(cents_df))
+        .select("item_id", "__cv", assign.alias("cell"))
     )
 
     q_rows = queries.collect()  # bounded: queries ≪ corpus
@@ -812,18 +825,29 @@ def lsh_topk_det(
     """
     planes = _srp_int_planes(bands, bits, dim)
     spark = corpus.sparkSession
+    # the plane model rides ONE broadcast row as a nested array (bit
+    # masks precomputed driver-side so no column-amount shiftleft is
+    # needed), and the whole signature — all bands·bits sign decisions
+    # — is ROW-LOCAL codegen (round-15 optimization, guide §2.4): the
+    # previous shape fanned every corpus row ×(bands·bits) through a
+    # crossJoin and shuffled the fan back through a groupBy(item_id,
+    # band). Identical int64 arithmetic (fold sums are exact and
+    # associative), ZERO exchanges in the signature build.
     planes_df = spark.createDataFrame(
-        [
-            (b, i, planes[b][i])
+        [([
+            {
+                "band": b,
+                "bits": [
+                    {"mask": 1 << i, "w": planes[b][i]}
+                    for i in range(bits)
+                ],
+            }
             for b in range(bands)
-            for i in range(bits)
-        ],
-        "band int, bit int, w array<bigint>",
+        ],)],
+        "__planes array<struct<band int, "
+        "bits array<struct<mask bigint, w array<bigint>>>>>",
     )
     xe = _quantize_e4_expr(F.col(corpus_vec))
-    fan = corpus.select(
-        F.col(corpus_id).alias("item_id"), xe.alias("__xe")
-    ).crossJoin(F.broadcast(planes_df))
     # loud dim guard (review finding): zip_with null-pads a length
     # mismatch, which would silently zero every bucket on the corpus
     # side while the Python query side truncates — an empty result
@@ -838,19 +862,43 @@ def lsh_topk_det(
             )
         ).cast("long")
     )
-    dot = guard + F.aggregate(
-        F.zip_with(F.col("__xe"), F.col("w"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    # SQL-form shiftleft: the Python F.shiftleft only takes a literal
-    # shift amount, but `bit` is a column here
-    bitval = F.when(
-        dot > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-    ).otherwise(F.lit(0).cast("long"))
+
+    def _dot(w_col):
+        return F.aggregate(
+            F.zip_with(F.col("__xe"), w_col, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
     sig = (
-        fan.groupBy("item_id", "band")
-        .agg(F.sum(bitval).alias("bucket"))
+        corpus.select(F.col(corpus_id).alias("item_id"), xe.alias("__xe"))
+        .crossJoin(F.broadcast(planes_df))
+        .select(
+            "item_id",
+            F.explode(
+                F.transform(
+                    F.col("__planes"),
+                    lambda bp: F.struct(
+                        bp["band"].alias("band"),
+                        (
+                            guard
+                            + F.aggregate(
+                                bp["bits"],
+                                F.lit(0).cast("long"),
+                                lambda acc, bw: acc
+                                + F.when(_dot(bw["w"]) > 0, bw["mask"])
+                                .otherwise(F.lit(0).cast("long")),
+                            )
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("__s"),
+        )
+        .select(
+            "item_id",
+            F.col("__s.band").alias("band"),
+            F.col("__s.bucket").alias("bucket"),
+        )
     )
 
     q_rows = queries.collect()  # bounded: queries ≪ corpus
@@ -949,59 +997,61 @@ def pq_topk_det(
     ]  # (m, ksub, dsub) ints
     n2 = [[sum(c * c for c in cb[j][t]) for t in range(ksub)] for j in range(m)]
 
-    # code assignment via the broadcast-model join: the codebook is a
-    # (j, t, cw, nn) relation (m·ksub rows) riding one broadcast;
-    # corpus rows posexplode to their m subvectors, score against the
-    # matching subspace's codewords with the constant-size integer
-    # fold, and min(struct(score, t)) is the lexicographic argmin —
-    # the oracle's ORDER BY score, t tie-break. (The first cut
-    # unrolled m·ksub codeword literals into one expression — 1000+
-    # literal nodes whose per-action Catalyst analysis dominated wall
-    # time.) Two map-side-combined aggregations rebuild the per-item
-    # code array in subspace order via array_sort(collect_list).
+    # code assignment is ROW-LOCAL (round-15 optimization, guide §2.4
+    # "remove shuffles outright"): the codebook rides ONE broadcast
+    # row as a nested (j → t → codeword) array, and the per-subspace
+    # integer-L2 argmin is array_min over a transform — struct
+    # ordering gives the oracle's ORDER BY score, t tie-break. The
+    # previous shape posexploded every corpus row ×m, fanned ×ksub
+    # through a broadcast join, and rebuilt the code array through TWO
+    # shuffled aggregations (groupBy(item_id, j) then groupBy(item_id)
+    # with array_sort(collect_list)). Identical int64 arithmetic, zero
+    # exchanges, and the code array is born in subspace order from
+    # transform(sequence(0, m-1)). (Still a broadcast relation, not
+    # literals — the giant-literal-tree trap stays avoided.)
     spark = corpus.sparkSession
     cb_df = spark.createDataFrame(
-        [
-            (j, t, cb[j][t], n2[j][t])
+        [([
+            [
+                {"t": t, "nn": n2[j][t], "cw": cb[j][t]}
+                for t in range(ksub)
+            ]
             for j in range(m)
-            for t in range(ksub)
-        ],
-        "j int, t int, cw array<bigint>, nn bigint",
+        ],)],
+        "__cb array<array<struct<t int, nn bigint, cw array<bigint>>>>",
     )
     xe = _quantize_e4_expr(F.col(corpus_vec))
-    sub = corpus.select(
-        F.col(corpus_id).alias("item_id"),
-        F.posexplode(
+    code_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.array_min(
             F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda j: F.slice(xe, j * dsub + 1, dsub),
-            )
-        ).alias("j", "__sub"),
-    )
-    fan = sub.join(F.broadcast(cb_df), "j")
-    score = _int_l2_score_col(F.col("__sub"), F.col("cw"), F.col("nn"))
-    # lazily checkpointed: the codes relation feeds both the ADC rank
-    # and the re-rank join — without it the assignment scan re-executes
-    # per consumer (the multi-pass-consumer rule)
-    codes = (
-        fan.groupBy("item_id", "j")
-        .agg(
-            F.min(
-                F.struct(score.alias("s"), F.col("t").alias("t"))
-            ).alias("__m")
-        )
-        .groupBy("item_id")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("j"), F.col("__m.t").alias("t"))
-                    )
+                F.element_at(F.col("__cb"), j + 1),
+                lambda cwd: F.struct(
+                    _int_l2_score_col(
+                        F.slice(
+                            F.col("__xe"), j * dsub + 1, F.lit(dsub)
+                        ),
+                        cwd["cw"],
+                        cwd["nn"],
+                    ).alias("s"),
+                    cwd["t"].alias("t"),
                 ),
-                lambda s: s["t"],
-            ).alias("__code")
+            )
+        )["t"],
+    )
+    # no checkpoint: the codes relation has exactly ONE consumer path
+    # (adc_scored → cand, whose broadcast build executes this subtree
+    # once; the re-rank probes full vectors through `vecs`, not codes)
+    # — the previous shape checkpointed because its two shuffled
+    # aggregations were expensive to risk recomputing; row-local
+    # assignment has nothing worth caching, and dropping the
+    # materialization job removes a whole scheduling round
+    codes = (
+        corpus.select(
+            F.col(corpus_id).alias("item_id"), xe.alias("__xe")
         )
-        .localCheckpoint(eager=False)
+        .crossJoin(F.broadcast(cb_df))
+        .select("item_id", code_arr.alias("__code"))
     )
 
     q_rows = queries.collect()  # bounded: queries ≪ corpus

@@ -77,6 +77,18 @@ def _scratch(sf_dir: str, leaf: str) -> str:
     return f"{SCRATCH}/{tag}/{leaf}"
 
 
+def _stage_width(spark) -> int:
+    """Fixture-stager parallelism for the pure-format scan entries:
+    at least 8 files (the multi-file layout the readers exercise),
+    scaling UP to cluster width so the pure-Python decode stage that
+    follows gets one file per core instead of idling (cores - 8)
+    workers (round-15 measurement: the constant 8 left 3/4 of a
+    32-core box idle through every decode). Derived from
+    defaultParallelism, not a constant — the driver also benches at
+    lower core counts and a real cluster is wider still."""
+    return max(8, spark.sparkContext.defaultParallelism)
+
+
 def _bench_reuse_fixture(out: str, stage) -> None:
     """Bench-only fixture reuse, the one home of the protocol (review
     finding — three hand-rolled copies could drift): bench.py's
@@ -443,9 +455,9 @@ def scan_orc_pure_q(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderpriority",
     ]
-    _t(spark, sf_dir, "orders").select(*cols).write.mode(
-        "overwrite"
-    ).orc(out)
+    _t(spark, sf_dir, "orders").select(*cols).repartition(
+        _stage_width(spark)
+    ).write.mode("overwrite").orc(out)
     paths = sorted(_glob.glob(f"{out}/part-*.orc"))
     pdf = spark.createDataFrame([(p,) for p in paths], "path string")
 
@@ -7754,6 +7766,26 @@ def basket_pairs_q(spark, sf_dir):
 BASKET_RULES_MAX_BASKET = 1024
 
 
+def _basket_items(spark, sf_dir):
+    """basket_rules' mining universe: distinct (order, part) pairs from
+    baskets of at most BASKET_RULES_MAX_BASKET distinct items — the
+    pre-materialization stage. Split out so test_scale can pin the
+    cap filter and the keyed basket join on THIS plan directly (the
+    entry's own executed plan hides them behind the localCheckpoint)."""
+    raw = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    ok = (
+        raw.groupBy("l_orderkey")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= BASKET_RULES_MAX_BASKET)
+        .select("l_orderkey")
+    )
+    return raw.join(ok, "l_orderkey")
+
+
 @register(
     "basket_rules",
     """
@@ -7807,18 +7839,13 @@ BASKET_RULES_MAX_BASKET = 1024
     "the rule table stays hash-exact, and pinned in test_scale.",
 )
 def basket_rules_q(spark, sf_dir):
-    raw = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    ok = (
-        raw.groupBy("l_orderkey")
-        .agg(F.count("*").alias("bsz"))
-        .filter(F.col("bsz") <= BASKET_RULES_MAX_BASKET)
-        .select("l_orderkey")
-    )
-    items = raw.join(ok, "l_orderkey")
+    # items is consumed FIVE times in the final DAG (n, ic, both
+    # sides of the pair self-join, and transitively the rule join):
+    # without materialization the scan → distinct → basket-size join
+    # replicated per consumer — the before plan held 20 lineitem
+    # scans. localCheckpoint computes it once per run (the multi-pass-
+    # consumer rule; bounded: distinct (orderkey, partkey) pairs)
+    items = _basket_items(spark, sf_dir).localCheckpoint(eager=False)
     n = items.agg(
         F.count_distinct("l_orderkey").alias("n_orders")
     )
@@ -10614,15 +10641,27 @@ def _shard_sink_roundtrip(
 ):
     """Shared scaffold for the export sinks (webdataset / tar.zst /
     arrow IPC): shard ``documents`` one archive per Arrow batch written
-    FROM EXECUTORS (no driver data path, no shuffle — arrival
-    partitioning is the sharding), materialize the export, then read
-    every shard back and emit per-document verification rows for the
-    oracle. ``encode_batch(pandas_batch) -> payload bytes``;
-    ``decode_shard(payload) -> list[row dict]``."""
+    FROM EXECUTORS (no driver data path), materialize the export, then
+    read every shard back and emit per-document verification rows for
+    the oracle. ``encode_batch(pandas_batch) -> payload bytes``;
+    ``decode_shard(payload) -> list[row dict]``.
+
+    Partitioning IS the sharding, after width restoration: the encode
+    stage is compute-heavy pure-Python work, and a single-file local
+    input scans as ONE partition, serializing the whole export on one
+    core (round-15 measurement: sink_parquet_nested6 spent ~4.3 s of
+    its 4.8 s steady time in a 1-task encode stage). The same
+    conditional hash-repartition dedup/multimodal already use
+    (``_spread`` / ``_spread_docs``) widens narrow inputs to cluster
+    parallelism; at 100 TB the input is already wide and this is a
+    NO-OP — no extra shuffle, and the shuffle that does happen locally
+    moves only the projected ``select_cols``."""
     import glob as _glob
     import uuid as _uuid
 
     import pandas as _pd
+
+    from ..operators.dedup import _spread
 
     out = _scratch(sf_dir, leaf)
     os.makedirs(out, exist_ok=True)
@@ -10631,6 +10670,7 @@ def _shard_sink_roundtrip(
     d = _t(spark, sf_dir, table).select(*select_cols)
     if where is not None:
         d = d.filter(where)
+    d = _spread(d, select_cols[0])
 
     def _write(batches):
         for b in batches:
@@ -11940,7 +11980,7 @@ def scan_parquet_nested_q(spark, sf_dir):
     )
     (
         o.select(k.alias("o_orderkey"), lst.alias("lst"), st.alias("st"))
-        .repartition(8)
+        .repartition(_stage_width(spark))
         .write.mode("overwrite")
         .parquet(out)
     )
@@ -12398,7 +12438,7 @@ def scan_orc_nested_q(spark, sf_dir):
     )
     (
         o.select(k.alias("o_orderkey"), lst.alias("lst"), st.alias("st"))
-        .repartition(8)
+        .repartition(_stage_width(spark))
         .write.mode("overwrite")
         .orc(out)
     )
@@ -12617,7 +12657,7 @@ def scan_parquet_nested2_q(spark, sf_dir):
     import pandas as _pd
 
     out = _scratch(sf_dir, "pq_nested2_orders")
-    _nested2_frame(spark, sf_dir).repartition(8).write.mode(
+    _nested2_frame(spark, sf_dir).repartition(_stage_width(spark)).write.mode(
         "overwrite"
     ).parquet(out)
     paths = sorted(_glob.glob(f"{out}/part-*.parquet"))
@@ -12663,7 +12703,7 @@ def scan_orc_nested2_q(spark, sf_dir):
     import pandas as _pd
 
     out = _scratch(sf_dir, "orc_nested2_orders")
-    _nested2_frame(spark, sf_dir).repartition(8).write.mode(
+    _nested2_frame(spark, sf_dir).repartition(_stage_width(spark)).write.mode(
         "overwrite"
     ).orc(out)
     paths = sorted(_glob.glob(f"{out}/part-*.orc"))
@@ -13435,7 +13475,7 @@ def scan_parquet_int96_q(spark, sf_dir):
                 "o_orderkey",
                 F.timestamp_micros(ts_us.cast("long")).alias("ts"),
             )
-            .repartition(8)
+            .repartition(_stage_width(spark))
             .write.mode("overwrite")
             .parquet(out)
         )
@@ -13534,7 +13574,7 @@ def scan_orc_rle1_q(spark, sf_dir):
             "dc", (F.col("dc_raw") / F.lit(10000)).cast("decimal(18,4)")
         )
         .drop("dc_raw")
-        .repartition(8)
+        .repartition(_stage_width(spark))
         .write.mode("overwrite")
         .option("orc.write.format", "0.11")
         .orc(out)
@@ -13871,7 +13911,7 @@ def scan_parquet_nested5_q(spark, sf_dir):
     import pandas as _pd
 
     out = _scratch(sf_dir, "pq_nested5_orders")
-    _nested5_frame(spark, sf_dir).repartition(8).write.mode(
+    _nested5_frame(spark, sf_dir).repartition(_stage_width(spark)).write.mode(
         "overwrite"
     ).parquet(out)
     paths = sorted(_glob.glob(f"{out}/part-*.parquet"))
@@ -13919,7 +13959,7 @@ def scan_orc_nested5_q(spark, sf_dir):
     import pandas as _pd
 
     out = _scratch(sf_dir, "orc_nested5_orders")
-    _nested5_frame(spark, sf_dir).repartition(8).write.mode(
+    _nested5_frame(spark, sf_dir).repartition(_stage_width(spark)).write.mode(
         "overwrite"
     ).orc(out)
     paths = sorted(_glob.glob(f"{out}/part-*.orc"))
@@ -14382,7 +14422,7 @@ def scan_parquet_nested6_q(spark, sf_dir):
     _bench_reuse_fixture(
         out,
         lambda: _nested6_frame(spark, sf_dir)
-        .repartition(8)
+        .repartition(_stage_width(spark))
         .write.mode("overwrite")
         .parquet(out),
     )
@@ -14433,7 +14473,7 @@ def scan_orc_nested6_q(spark, sf_dir):
     _bench_reuse_fixture(
         out,
         lambda: _nested6_frame(spark, sf_dir)
-        .repartition(8)
+        .repartition(_stage_width(spark))
         .write.mode("overwrite")
         .orc(out),
     )
