@@ -373,6 +373,10 @@ def ngram_jaccard_pairs(
     suspects = df.join(
         cand_ids, df[id_col] == F.col("cid"), "left_semi"
     )
+    # sh joins onto BOTH pair sides (sh_a and sh_b) — without
+    # materialization the suspect semi-join and the shingling (the
+    # expensive per-row work) execute twice (the multi-pass-consumer
+    # rule; bounded: colliding docs only, one shingle array each)
     sh = suspects.select(
         F.col(id_col).alias("id"),
         (
@@ -380,7 +384,7 @@ def ngram_jaccard_pairs(
             if toks_col
             else shingles(text_col, k)
         ).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     out = (
         candidates.join(sh.withColumnRenamed("sh", "sh_a"), F.col("id_a") == F.col("id"))
         .drop("id")

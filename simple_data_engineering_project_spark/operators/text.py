@@ -1262,14 +1262,33 @@ def bpe_apply(
                 F.lit(" "),
             )
         )
+    # Three-stage projection (round-15 optimization): the single-select
+    # form inlined the whole n_merges-deep replace chain THREE times per
+    # row (once inside n_words' filter, twice inside n_symbols' size
+    # difference — visible verbatim in the before plan). Staging the
+    # symbol array once and the two counts once keeps each non-cheap
+    # alias referenced more than once in its OWN Project — Catalyst's
+    # CollapseProject declines to re-inline multiply-referenced
+    # non-cheap aliases (SPARK-36718), so the chain and the sep count
+    # each evaluate exactly once per row.
     all_syms = F.split(sym, " ")
-    n_seps = F.size(F.filter(all_syms, lambda s: s == "|"))
-    return df.select(
+    staged = df.select(
         F.col(id_col),
-        (n_seps + 1).alias("n_words"),
-        (F.size(all_syms) - n_seps).alias("n_symbols"),
+        all_syms.alias("__syms"),
         F.length(normalized_text(text_col)).alias("__len"),
-    ).filter(F.col("__len") > 0).drop("__len")
+    ).filter(F.col("__len") > 0)
+    counted = staged.select(
+        F.col(id_col),
+        F.size("__syms").alias("__ntot"),
+        F.size(
+            F.filter(F.col("__syms"), lambda s: s == "|")
+        ).alias("__nsep"),
+    )
+    return counted.select(
+        F.col(id_col),
+        (F.col("__nsep") + 1).alias("n_words"),
+        (F.col("__ntot") - F.col("__nsep")).alias("n_symbols"),
+    )
 
 
 def bpe_apply_oracle(n_merges: int = 6) -> str:
