@@ -442,6 +442,17 @@ STEADY_STATE = {
     # 7932 encoder + pyarrow read-back)
     "sink_arrow_ipc_nested",  # round-12: same export-sink shape as
     # sink_arrow_ipc (two mapInPandas stages)
+    "similarity_topk_ivf_det",  # round-15: the row-local model-scoring
+    # rewrite (zero-exchange assignment via broadcast-model HOFs) moved
+    # per-run crossJoin+shuffle work into ONE-TIME expression codegen:
+    # 5.0 s cold vs 1.9 s steady isolated. Steady is the scale-relevant
+    # number; the old cold-billed figures stay in BENCH_r14 and the
+    # round-15 baseline table (OPTIMIZATION_r15.md), and cold_extra
+    # records the compile cost per run.
+    "similarity_topk_pq_det",  # round-15: same rewrite, same reason
+    # (3.1 s cold vs 2.1 s steady)
+    "similarity_topk_lsh_det",  # round-15: same rewrite, same reason
+    # (2.5 s cold vs 1.8 s steady)
     "hybrid_search_rrf",  # round-8: BM25-leg codegen; 9.6 s cold, 3.9 s steady
     "dedup_cluster_report",  # round-8: shingle/minhash codegen; 6.3 s cold, 4.6 s steady
 }

@@ -133,6 +133,9 @@ def walk_mp3(payload: bytes) -> dict:
     }
 
 
+_BODY_WHEEL = bytes(range(251))  # the mod-251 cycle frame bodies follow
+
+
 def encode_mp3_frames(
     n_frames: int,
     bitrate_idx: int = 9,
@@ -162,9 +165,15 @@ def encode_mp3_frames(
             | (bitrate_idx << 12) | (rate_idx << 10) | (padding << 9)
         )
         length, _s, _r = _frame_info(hdr)
-        body = bytearray(
-            ((i + k) % 251 for k in range(length - 4))
-        )
+        # body byte k is (i + k) % 251 — a pure cycle, so build it by
+        # slicing the precomputed mod-251 wheel at offset i % 251
+        # instead of a per-byte Python generator (the generator was
+        # 96% of encode time: ~170M iterations per sf0.1 corpus);
+        # bytes are identical
+        n_body = length - 4
+        start = i % 251
+        reps = (start + n_body + 250) // 251
+        body = bytearray((_BODY_WHEEL * reps)[start : start + n_body])
         if len(body) >= 6:  # plant a sync lookalike mid-body
             body[2:4] = b"\xff\xfb"
         out += hdr.to_bytes(4, "big") + body

@@ -264,6 +264,68 @@ def test_pagerank_null_endpoint_edges_dropped(spark):
         assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
 
 
+def test_pagerank_bounded_matches_distributed(spark):
+    """Round-15 optimization regression: pagerank_bounded (driver-local
+    iteration over the collected dimension-bounded graph) must agree
+    with the distributed pagerank() far inside the entry's 6-dp output
+    rounding — same normalization, dangling-mass redistribution, and
+    NULL-endpoint filtering. Graph includes a dangling node, a
+    multi-edge (src,dst) pair that the groupBy must pre-sum, and dirty
+    NULL-endpoint rows."""
+    from simple_data_engineering_project_spark.operators.graph import (
+        pagerank,
+        pagerank_bounded,
+    )
+
+    nodes = spark.range(6).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 1.0),
+            (1, 2, 1.0),
+            (2, 0, 2.0),
+            (3, 0, 1.0),
+            (3, 0, 0.5),  # duplicate (src,dst): pre-sum to 1.5
+            (4, 2, 3.0),
+            (0, None, 5.0),  # dirty rows: dropped by both variants
+            (None, 2, 3.0),
+        ],
+        "src long, dst long, weight double",
+    )
+    want = {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, edges, iterations=10).collect()
+    }
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_bounded(nodes, edges, iterations=10).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_bounded_guard_raises_past_max_edges(spark):
+    """The max_edges guard must RAISE (never sample) when the collected
+    edge relation exceeds the cap — data-scale graphs belong on the
+    distributed pagerank()."""
+    import pytest as _pytest
+
+    from simple_data_engineering_project_spark.operators.graph import (
+        pagerank_bounded,
+    )
+
+    nodes = spark.range(40).select(F.col("id").alias("node"))
+    edges = (
+        spark.range(40)
+        .select(F.col("id").alias("src"))
+        .crossJoin(spark.range(40).select(F.col("id").alias("dst")))
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    with _pytest.raises(ValueError, match="max_edges"):
+        pagerank_bounded(nodes, edges, iterations=1, max_edges=100)
+
+
 def test_media_and_tokenizer_entries_at_most_one_spread(spark, sf_smoke):
     # codec/sampling entries are scan → mapInPandas chains and bpe_apply
     # is a scan → row-local expression: at 100 TB these must stay
@@ -899,6 +961,18 @@ _COLLECT_ALLOWLIST = {
     ("operators/text.py", "heavy_hitters", "toks.mapInPandas(_mg, schema='word string, part_total long')"),  # MG: ≤k per partition
     ("operators/text.py", "bpe_train", "df.select(F.explode(tokens(text_col)).alias('word')).filter("),  # Heaps-bounded word dict
     ("operators/text.py", "bpe_apply", "bpe_train(df, text_col, n_merges)"),  # n_merges rows
+    # pagerank_bounded (round 15): DIMENSION-BOUNDED graphs only — the
+    # API contract requires a vertex domain fixed by construction (a
+    # dim table), so nodes and the aggregated edge relation are
+    # metadata-sized at any fact scale; the loud max_edges guard
+    # RAISES past the cap instead of sampling, and data-scale graphs
+    # stay on the distributed pagerank()
+    (
+        "operators/graph.py",
+        "pagerank_bounded",
+        "edges.join(out, 'src').select('src', 'dst', (F.col('weight')",
+    ),
+    ("operators/graph.py", "pagerank_bounded", "nodes"),
 }
 
 
