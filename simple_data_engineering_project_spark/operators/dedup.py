@@ -1057,30 +1057,40 @@ def dedup_paragraphs(
             )
         ).alias("para_id", "para"),
     ).withColumn("__pmd5", F.md5("para"))
+    # ONE aggregation computes totals AND the survivor reassembly from
+    # the ranked relation (round-15 optimization, guide §2.4): the
+    # former shape consumed `paras` twice (window-kept + a separate
+    # totals groupBy) — re-running the tokenize/explode/md5 subtree,
+    # the dominant per-row cost — and then joined the two aggregates
+    # back on id. collect_list ignores the NULLs the keep-guard emits
+    # for dropped paragraphs, so a doc whose every paragraph was seen
+    # first elsewhere aggregates to n_kept=0 / '' / md5('') exactly as
+    # the join's coalesce produced. Two exchanges total (gram-md5
+    # window, id groupBy), no join, paras evaluated once.
     w = Window.partitionBy("__pmd5").orderBy(id_col, "para_id")
-    kept = (
+    keep = F.col("__rn") == 1
+    return (
         paras.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__pmd5")
-    )
-    totals = paras.groupBy(id_col).agg(
-        F.count("*").cast("int").alias("n_paras")
-    )
-    assembled = kept.groupBy(id_col).agg(
-        F.count("*").cast("int").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("para_id", "para"))),
-                lambda s: s["para"],
-            ),
-            " ",
-        ).alias("__kept_text"),
-    )
-    return totals.join(assembled, id_col, "left").select(
-        id_col,
-        "n_paras",
-        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        F.md5(F.coalesce(F.col("__kept_text"), F.lit(""))).alias(
-            "kept_md5"
-        ),
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_paras"),
+            F.count(F.when(keep, 1)).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(keep, F.struct("para_id", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                " ",
+            ).alias("__kept_text"),
+        )
+        .select(
+            id_col,
+            "n_paras",
+            "n_kept",
+            F.md5(F.col("__kept_text")).alias("kept_md5"),
+        )
     )

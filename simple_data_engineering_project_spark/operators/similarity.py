@@ -378,16 +378,43 @@ def quantize_embeddings(
         lambda acc, v: acc + v.cast("double") * v.cast("double"),
     )
     max_abs = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
-    q = F.transform(
-        x,
-        lambda v: F.floor(v.cast("double") / max_abs * 127.0 + 0.5).cast("long"),
-    )
-    zero = F.lit(0).cast("long")
-    safe = max_abs > 0.0
-    return df.select(
+    # Stage max_abs, then the quantized array, in their own projections:
+    # built inline, the q transform appeared 3x (sum/min/max) and max_abs
+    # ~5x in one select, and CollapseProject re-inlines nothing it did
+    # not create — each row paid the full array transform three times
+    # (the bpe_apply staging fix, guide §2.3 / SPARK-36718: non-cheap
+    # aliases referenced more than once stay staged). __q is guarded by
+    # the same `safe` predicate as before so an all-zero vector never
+    # evaluates floor(0/0) under ANSI; the outer when()s are unchanged.
+    staged = df.select(
         F.col(id_col),
+        x,
         F.size(x).cast("int").alias("n_dims"),
         F.floor(F.sqrt(sumsq) * 10000.0 + 0.5).cast("long").alias("l2_norm_e4"),
+        max_abs.alias("__mx"),
+    )
+    safe = F.col("__mx") > 0.0
+    staged = staged.select(
+        id_col,
+        "n_dims",
+        "l2_norm_e4",
+        "__mx",
+        F.when(
+            safe,
+            F.transform(
+                x,
+                lambda v: F.floor(
+                    v.cast("double") / F.col("__mx") * 127.0 + 0.5
+                ).cast("long"),
+            ),
+        ).alias("__q"),
+    )
+    zero = F.lit(0).cast("long")
+    q = F.col("__q")
+    return staged.select(
+        F.col(id_col),
+        F.col("n_dims"),
+        F.col("l2_norm_e4"),
         F.when(safe, F.aggregate(q, zero, lambda a, v: a + v))
         .otherwise(zero)
         .alias("q_sum"),
@@ -1154,39 +1181,66 @@ def _nearest_centroid(
     model-distribution mechanism. Plan size and driver state are
     independent of both n and k.
 
-    Cost shape: ``crossJoin(broadcast(cents))`` streams each vector past
-    the in-memory centroid table (BroadcastNestedLoopJoin — never a
-    CartesianProduct shuffle), and the ``min(struct(d2, cid))``
-    aggregate combines **map-side**, so exactly one row per vector
-    crosses the wire regardless of k. The broadcast is model-sized
-    (k · dim doubles), not corpus-sized.
+    Cost shape (round-15 optimization, guide §2.4 "remove shuffles
+    outright" / §2.3 "never shuffle payloads"): the model is folded
+    into ONE broadcast row holding a ``array<struct<cid,c>>`` nested
+    array (same bytes as broadcasting the k-row relation; still a
+    broadcast relation, never a literal expression tree), and the
+    assignment is a row-local struct-argmin —
+    ``array_min(transform(model, struct(d2, cid)))`` — inside the
+    single BroadcastNestedLoopJoin stage. The previous shape fanned
+    every corpus row ×k through the crossJoin and re-assembled it with
+    a ``groupBy(id)`` whose exchange carried the full float vector for
+    every carried column: one corpus-wide shuffle of vector payloads
+    per call, per iteration. Per-row distance compute is unchanged
+    (O(k·dim) either way); the exchange and both aggregate passes are
+    gone, and carried columns ride the row untouched.
 
     Arithmetic parity: d2 folds ``(x - y)²`` over dims in array order
     via ``zip_with``/``aggregate`` — the exact op sequence of
     ``_kmeans_assign_expr`` and of the DuckDB oracle's
     ``SUM((e.x - c.m)²) GROUP BY vec_id, cid``, so assignments are
-    bit-identical to the literal-expression path. ``min`` on a
-    ``(d2, cid)`` struct is lexicographic: smallest d2, then smallest
-    cid — the same first-min tiebreak as ``array_position``.
+    bit-identical to the literal-expression path. ``array_min`` on
+    ``(d2, cid)`` structs is the same lexicographic comparison as the
+    former ``min(struct(d2, cid))`` aggregate: smallest d2, then
+    smallest cid — tie-break preserved.
     """
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.col("__c"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    from .dedup import _spread
+
+    # Width-restore the vector side first: the former groupBy's exchange
+    # incidentally spread a narrow (single-file) scan across the
+    # cluster; with the shuffle gone, the per-row distance compute —
+    # now the whole stage — would inherit the scan's 1-2 partitions.
+    # No-op on inputs already >= defaultParallelism (the 100 TB case).
+    vecs = _spread(vecs, id_col)
+    model = cents.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("__cid").alias("cid"), F.col("__c").alias("c"))
+            )
+        ).alias("__model")
     )
-    aggs = [F.min(F.struct(d2.alias("d2"), F.col("__cid").alias("cid"))).alias("__s")]
-    # carried columns are constant per id (they come from the vecs side
-    # of the fan-out), so first() is deterministic here
-    aggs += [F.first(c).alias(c) for c in carry]
+    best = F.array_min(
+        F.transform(
+            F.col("__model"),
+            lambda m: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        m["c"],
+                        lambda x, y: (x.cast("double") - y)
+                        * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                m["cid"].alias("cid"),
+            ),
+        )
+    )
     return (
-        vecs.crossJoin(F.broadcast(cents))
-        .groupBy(id_col)
-        .agg(*aggs)
-        .select(id_col, F.col("__s.cid").alias("cluster_id"), *carry)
+        vecs.crossJoin(F.broadcast(model))
+        .select(id_col, best["cid"].alias("cluster_id"), *carry)
     )
 
 

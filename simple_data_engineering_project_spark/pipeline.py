@@ -156,13 +156,32 @@ def validate_header(spark: SparkSession, path: str) -> tuple[bool, set[str]]:
     """Reference A5 (dag.py:186-190): a file missing any required column is
     skipped whole with a warning, not failed.
 
-    Probes only the header line (spark.read.text + limit 1) — metadata
-    cost, not a data scan.
+    Probes only the header line, driver-side through the Hadoop
+    FileSystem API (one buffered readLine — a metadata-sized read, no
+    Spark job). The previous ``spark.read.text(path).limit(1).collect()``
+    scheduled one full driver-coordinated job PER FILE — pure
+    scheduler/barrier overhead multiplied by the batch's file count
+    (round-15 optimization, guide §5 "the driver should do almost no
+    data work" cuts both ways: a one-line read IS driver-sized work,
+    and a Spark job per file is the expensive way to do it).
     """
-    first = spark.read.text(path).limit(1).collect()
-    if not first:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
         return False, set(REQUIRED_COCOA_COLUMNS)
-    cols = {c.strip() for c in first[0][0].split(",")}
+    stream = fs.open(p)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        first = reader.readLine()
+    finally:
+        stream.close()
+    if first is None or first == "":
+        return False, set(REQUIRED_COCOA_COLUMNS)
+    cols = {c.strip() for c in first.split(",")}
     missing = set(REQUIRED_COCOA_COLUMNS) - cols
     return not missing, missing
 

@@ -2791,7 +2791,19 @@ def sink_partitioned_q(spark, sf_dir):
     )
     path = _scratch(sf_dir, "sink_partitioned_lineitem")
     (
-        li.write.mode("overwrite")
+        # REBALANCE by the hive key before the partitioned write
+        # (round-15 optimization, guide §6 "small files hurt twice"):
+        # unclustered, every scan task opened a writer per year it held
+        # — tasks × years small files (224 at sf0.1's 32×7). The
+        # AQE rebalance clusters rows by ship_year AND splits any
+        # oversized year across tasks
+        # (optimizeSkewsInRebalancePartitions), so file count tracks
+        # data volume, not task count — the scale-adaptive form of the
+        # fixed repartition(col) the warehouse writer uses. Read-back
+        # results are layout-invariant, so the declared query is
+        # unchanged.
+        li.hint("rebalance", "ship_year")
+        .write.mode("overwrite")
         .partitionBy("ship_year")
         .parquet(path)
     )

@@ -1155,6 +1155,50 @@ def test_fuzzy_join_blocked_pairs_and_threshold(spark):
     assert len(out) == 1
 
 
+def test_kmeans_fit_df_matches_literal_path(spark):
+    """The row-local struct-argmin assignment (round-15 rewrite of
+    _nearest_centroid: single broadcast model row + array_min, no
+    corpus shuffle) must reproduce the literal-expression trainer
+    bit-for-bit — including the lowest-cid tie-break, exercised here
+    with duplicate points equidistant from both init centroids."""
+    from pyspark.sql import functions as F
+
+    from simple_data_engineering_project_spark.operators.similarity import (
+        _nearest_centroid,
+        kmeans_fit,
+        kmeans_fit_df,
+    )
+
+    pts = [(i, [0.0 + i * 0.25, 1.0]) for i in range(1, 5)] + [
+        (i, [5.0, 1.0]) for i in range(5, 9)  # exact duplicates: d2 ties
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    lit_cents = kmeans_fit(df, k=3, iters=3)
+    df_cents = {
+        r["__cid"]: [float(x) for x in r["__c"]]
+        for r in kmeans_fit_df(df, k=3, iters=3).collect()
+    }
+    assert df_cents == {i: c for i, c in enumerate(lit_cents)}
+    # assignment parity on the trained model, incl. carried columns
+    vecs = df.select(
+        F.col("vec_id").alias("__kid"), F.col("embedding").alias("__kv")
+    )
+    cents = kmeans_fit_df(df, k=3, iters=3)
+    assigned = {
+        r["__kid"]: (r["cluster_id"], [float(x) for x in r["__kv"]])
+        for r in _nearest_centroid(
+            vecs, cents, "__kid", "__kv", carry=("__kv",)
+        ).collect()
+    }
+    for i, v in pts:
+        d2s = [
+            (sum((a - b) ** 2 for a, b in zip(v, c)), cid)
+            for cid, c in df_cents.items()
+        ]
+        want = min(d2s)[1]
+        assert assigned[i] == (want, v)
+
+
 def test_kmeans_deterministic_and_separates(spark):
     from simple_data_engineering_project_spark.operators.similarity import (
         kmeans_clusters,

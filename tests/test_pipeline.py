@@ -88,6 +88,30 @@ def test_missing_column_file_skipped_not_archived(spark, dirs, tmp_path):
     assert [p.rsplit("/", 1)[-1] for p in remaining] == ["bad_missing_quality.csv"]
 
 
+def test_validate_header_empty_and_valid_files(spark, tmp_path):
+    """The driver-side FS readLine probe (round-15: replaced one Spark
+    job per file) keeps the old semantics: empty file → invalid with
+    every required column reported missing; a valid header → valid."""
+    from simple_data_engineering_project_spark.pipeline import (
+        REQUIRED_COCOA_COLUMNS,
+        validate_header,
+    )
+
+    empty = tmp_path / "empty.csv"
+    empty.write_text("")
+    ok, missing = validate_header(spark, str(empty))
+    assert not ok and missing == set(REQUIRED_COCOA_COLUMNS)
+
+    good = tmp_path / "good.csv"
+    good.write_text(",".join(sorted(REQUIRED_COCOA_COLUMNS)) + "\n1,2\n")
+    ok, missing = validate_header(spark, str(good))
+    assert ok and missing == set()
+
+    gone = tmp_path / "missing.csv"
+    ok, missing = validate_header(spark, str(gone))
+    assert not ok and missing == set(REQUIRED_COCOA_COLUMNS)
+
+
 def test_replay_is_idempotent_upsert(spark, dirs):
     # A13 (dag.py:223-237, README:31): re-loading the same keys leaves the
     # warehouse unchanged; updated rows win on conflict

@@ -820,11 +820,13 @@ _BROADCAST_ALLOWLIST = {
     ("operators/joins.py", "join_range", "buckets"),
     # bounded sketches / model metadata
     ("operators/graph.py", "pagerank", "dangling"),  # 1 row per iteration
-    # k-means centroid model relation (k·dim doubles — model-sized, not
-    # corpus-sized; the MLlib-standard distribution mechanism). The hint
-    # also guarantees BroadcastNestedLoopJoin for the crossJoin instead
-    # of a CartesianProduct shuffle.
-    ("operators/similarity.py", "_nearest_centroid", "cents"),
+    # k-means centroid model, folded to ONE row holding the
+    # array<struct<cid,c>> nested model (k·dim doubles — model-sized,
+    # not corpus-sized; same bytes as broadcasting the k-row relation,
+    # round-15 row-local assignment rewrite). The hint also guarantees
+    # BroadcastNestedLoopJoin for the crossJoin instead of a
+    # CartesianProduct shuffle.
+    ("operators/similarity.py", "_nearest_centroid", "model"),
     ("operators/similarity.py", "brute_force_topk", "q"),  # ANN query set (API contract)
     ("operators/similarity.py", "hard_negative_topk", "q"),  # anchor set (API contract)
     ("operators/similarity.py", "ivf_topk", "q"),
@@ -915,7 +917,9 @@ def test_broadcast_hints_only_on_bounded_relations():
 # semantic_dedup's corpus-derived k).
 _COLLECT_ALLOWLIST = {
     # 1-row / probe materializations
-    ("pipeline.py", "validate_header", "spark.read.text(path).limit(1)"),  # limit(1)
+    # (validate_header's limit(1) collect was retired in round 15: the
+    # header probe is a driver-side Hadoop-FS readLine now — no job,
+    # no collect)
     ("session.py", "_workers_can_import", "sc.parallelize([0], 1).mapPartitions(probe)"),  # 1 elem
     ("operators/multimodal.py", "partition_by_payload_bytes", "media.select(F.sum(F.coalesce(F.length('payload'), F.lit(0))"),  # 1-row sum
     ("plans/catalog.py", "window_ntile_percent_q", "o.agg(F.min('o_totalprice'), F.max('o_totalprice'), F.min('o"),  # 1 row
