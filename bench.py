@@ -433,6 +433,13 @@ STEADY_STATE = {
     "sink_orc_nested5",  # round-12: export-sink shape
     "scan_parquet_brotli",  # round-12: pyarrow-brotli stage + pure
     # RFC 7932 decode; same fixture-then-scan shape
+    "scan_parquet_pageindex",  # round-15: JVM multi-page stage + pure
+    # ColumnIndex/OffsetIndex pruned decode; joined the
+    # fixture-then-scan shape (previously re-staged per timed run)
+    "parquet_footer_stats",  # round-15: JVM 256KB-block stage + pure
+    # thrift footer walk; same fixture-then-scan shape (previously a
+    # single-task full-table write billed to the footer-decode entry
+    # every run)
     "scan_parquet_bloom",  # round-14: JVM bloom-writer stage + pure
     # SBBF probe/decode; same fixture-then-scan shape
     "scan_orc_bloom",  # round-14: ORC twin of the above

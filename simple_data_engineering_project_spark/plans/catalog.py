@@ -9973,12 +9973,23 @@ def parquet_footer_stats_q(spark, sf_dir):
 
     out = f"{SCRATCH}/footer_probe"
     li = _t(spark, sf_dir, "lineitem")
-    (
-        li.coalesce(1)
-        .write.mode("overwrite")
-        .option("parquet.block.size", 256 * 1024)
-        .parquet(out)
-    )
+
+    # Stage WIDE and reuse across bench steady passes (round-15, the
+    # scan_parquet_brotli protocol): the former coalesce(1) write both
+    # billed a single-task full-table write to a FOOTER-decode entry
+    # every run and left the per-file walk one task wide — the declared
+    # scale shape is a parallel walk over a file LISTING. 256 KB blocks
+    # still force several row groups per file; the oracle reads the
+    # same staged glob, so both decoders see identical bytes.
+    def _stage():
+        (
+            li.repartition(_stage_width(spark))
+            .write.mode("overwrite")
+            .option("parquet.block.size", 256 * 1024)
+            .parquet(out)
+        )
+
+    _bench_reuse_fixture(out, _stage)
     paths = sorted(
         f"{out}/{p}"
         for p in os.listdir(out)
@@ -14655,14 +14666,25 @@ def scan_parquet_pageindex_q(spark, sf_dir):
     import pandas as _pd
 
     out = _scratch(sf_dir, "pq_pageindex_orders")
-    (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .repartition(4)
-        .write.mode("overwrite")
-        .option("parquet.page.row.count.limit", "512")
-        .parquet(out)
-    )
+
+    # Stage at cluster width and reuse across bench steady passes
+    # (round-15, the scan_parquet_brotli protocol): the constant
+    # repartition(4) capped the pure page-index decode at 4 tasks on a
+    # 32-core box, and re-staging billed a JVM write to a READ-path
+    # entry every run. 512-row pages keep every file multi-page, so
+    # the index-pruning path is still exercised per file; the oracle
+    # recomputes the filter from source rows, layout-independent.
+    def _stage():
+        (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .repartition(_stage_width(spark))
+            .write.mode("overwrite")
+            .option("parquet.page.row.count.limit", "512")
+            .parquet(out)
+        )
+
+    _bench_reuse_fixture(out, _stage)
     paths = sorted(_glob.glob(f"{out}/part-*.parquet"))
     pdf = spark.createDataFrame([(p,) for p in paths], "path string")
 
