@@ -25,12 +25,25 @@ def _execute(df) -> None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # positional parse: pop each flag and (for --n) exactly the token
+    # after it, so an entry name that happens to equal str(n) is never
+    # stripped from the entry list (round-15 review finding)
+    argv = sys.argv[1:]
     n = 3
-    if "--n" in sys.argv:
-        n = int(sys.argv[sys.argv.index("--n") + 1])
-        args = [a for a in args if a != str(n)]
-    do_prof = "--cprofile" in sys.argv
+    do_prof = False
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--n":
+            n = int(argv[i + 1])
+            i += 2
+        elif a == "--cprofile":
+            do_prof = True
+            i += 1
+        else:
+            args.append(a)
+            i += 1
 
     from simple_data_engineering_project_spark.plans import catalog
     from simple_data_engineering_project_spark.session import get_spark

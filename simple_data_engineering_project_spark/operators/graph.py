@@ -180,22 +180,49 @@ def pagerank_bounded(
     )
     edges = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
     out = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
-    shares = (
-        edges.join(out, "src")
-        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("share"))
-        .collect()
+    shares_df = edges.join(out, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("share")
     )
+    # Guard BEFORE materializing: collecting first and counting after
+    # would OOM the driver on exactly the data-scale graph the guard
+    # exists to reject (round-15 review finding). limit() truncates
+    # arbitrarily, but the content only matters when within the bound —
+    # where limit(max+1) returns every row — and share_list is sorted
+    # below regardless.
+    shares = shares_df.limit(max_edges + 1).collect()
     if len(shares) > max_edges:
         raise ValueError(
-            f"pagerank_bounded collected {len(shares)} edges > "
-            f"max_edges={max_edges}; use pagerank() for data-scale graphs"
+            f"pagerank_bounded collected more than max_edges="
+            f"{max_edges} normalized edges; use pagerank() for "
+            "data-scale graphs"
         )
-    node_rows = sorted(r[0] for r in nodes.collect())
-    n = len(node_rows)
-    src_nodes = {r["src"] for r in shares}
-    share_list = sorted(
-        ((r["dst"], r["src"], r["share"]) for r in shares)
+    # nodes may contain a NULL (dirty dim row): pagerank() keeps it —
+    # it counts toward n and receives base + damped dangling share, but
+    # its rank never enters the dangling mass (the equi-join on NULL
+    # never matches) and no non-null edge endpoint can touch it. Sort
+    # with a None-first key so mixed None/value rows stay orderable.
+    node_rows = sorted(
+        (r[0] for r in nodes.collect()), key=lambda v: (v is not None, v)
     )
+    n = len(node_rows)
+    in_graph = set(node_rows)
+    src_nodes = {r["src"] for r in shares}
+    # Parity with pagerank() on referential-integrity drift: an edge
+    # whose src has no node row contributes nothing (the distributed
+    # edges⋈ranks join drops it); contributions to an unknown dst are
+    # dropped by the nodes left-join there, and here by never reading
+    # them — filtered up front so the loop touches only live edges
+    # (round-15 review finding: rank[src] raised KeyError instead).
+    share_list = sorted(
+        (r["dst"], r["src"], r["share"])
+        for r in shares
+        if r["src"] in in_graph and r["dst"] in in_graph
+    )
+    # dangling set is loop-invariant: hoist it (NULL node excluded, see
+    # above)
+    dangling_nodes = [
+        v for v in node_rows if v is not None and v not in src_nodes
+    ]
     rank = {v: 1.0 / n for v in node_rows}
     for _ in range(iterations):
         contrib: dict = {}
@@ -203,9 +230,8 @@ def pagerank_bounded(
             c = rank[src] * share
             contrib[dst] = contrib.get(dst, 0.0) + c
         dm = 0.0
-        for v in node_rows:
-            if v not in src_nodes:
-                dm += rank[v]
+        for v in dangling_nodes:
+            dm += rank[v]
         rank = {
             v: (1.0 - damping) / n
             + damping * (contrib.get(v, 0.0) + dm / n)

@@ -678,10 +678,13 @@ def ivf_topk_det(
     contract).
 
     API contract: ``corpus_id`` values are UNIQUE (the table-key
-    contract every operator in this family assumes). Duplicate ids
-    collapse to one output row via the lexicographic argmin — the
-    same collapse the SQL twin's per-vec_id row_number performs — but
-    which duplicate's vector survives the re-score is unspecified.
+    contract every operator in this family assumes). Since the
+    round-15 row-local rewrite removed the per-id aggregation,
+    duplicate ids are NOT collapsed — each duplicate row scores
+    independently, so a violated contract can seat the same id in
+    several top-k slots (previously the groupBy collapsed them
+    arbitrarily; neither behavior is promised for contract-violating
+    input).
     """
     cent_rows = _seeded_sample_rows(corpus, n_cells, corpus_id, corpus_vec)
     cents = [_quantize_e4_py(r.v) for r in cent_rows]
@@ -844,11 +847,11 @@ def lsh_topk_det(
     double-cosine re-rank. Buckets, candidate sets, ranks and values
     all replay in chained SQL CTEs.
 
-    Scale shape: the plane relation is model metadata (bands·bits
-    rows) riding one broadcast; the signature build is a bands·bits
-    fan-out into two map-side-combined aggregations (at 100 TB: a
-    materialized, bucket-partitioned signature index, exactly like
-    :func:`lsh_topk`'s); only bucket-mates are ever re-scored.
+    Scale shape: the plane model rides ONE broadcast row; the
+    signature build is ROW-LOCAL codegen — zero exchanges, no fan-out
+    (round-15 rewrite; at 100 TB the signatures become a materialized,
+    bucket-partitioned index, exactly like :func:`lsh_topk`'s); only
+    bucket-mates are ever re-scored.
     """
     planes = _srp_int_planes(bands, bits, dim)
     spark = corpus.sparkSession
@@ -1003,8 +1006,9 @@ def pq_topk_det(
     vectors again.
 
     API contract: ``corpus_id`` values are UNIQUE (see
-    :func:`ivf_topk_det` — duplicates collapse per the SQL twin's
-    per-id argmin, with the surviving vector unspecified).
+    :func:`ivf_topk_det` — since the round-15 row-local rewrite,
+    duplicate ids score independently instead of collapsing; no
+    behavior is promised for contract-violating input).
     """
     rows = _seeded_sample_rows(corpus, ksub, corpus_id, corpus_vec)
     seeds = [_quantize_e4_py(r.v) for r in rows]

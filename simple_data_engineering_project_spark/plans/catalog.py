@@ -15410,6 +15410,15 @@ def scan_parquet_brotli_q(spark, sf_dir):
 
     def _stage():
         os.makedirs(out, exist_ok=True)
+        # Invalidate the reuse marker BEFORE touching the shards: this
+        # hand-rolled cleaner (unlike a mode("overwrite") write) does
+        # not clear the directory wholesale, so a crash between the
+        # shard deletes and the write job must not leave a live marker
+        # over an empty directory — the crash-ordering contract
+        # _bench_reuse_fixture documents (round-15 review finding).
+        marker = f"{out}/.synth_complete"
+        if os.path.exists(marker):
+            os.remove(marker)
         for old in _glob.glob(f"{out}/shard-*.parquet"):
             os.remove(old)
         staged.mapInPandas(_write, schema="path string, n int").count()

@@ -305,6 +305,45 @@ def test_pagerank_bounded_matches_distributed(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_bounded_referential_drift_and_null_node(spark):
+    """Round-15 review regression: an edge whose src or dst has NO node
+    row (referential-integrity drift between fact-derived edges and the
+    dim) must degrade exactly like pagerank() — the edge contributes
+    nothing / its contribution is dropped — instead of raising KeyError
+    driver-side; a NULL node row must survive (counted in n, receives
+    base + damped dangling share, contributes to neither)."""
+    from simple_data_engineering_project_spark.operators.graph import (
+        pagerank,
+        pagerank_bounded,
+    )
+
+    nodes = spark.createDataFrame(
+        [(0,), (1,), (2,), (None,)], "node long"
+    )
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 1.0),
+            (1, 2, 1.0),
+            (2, 0, 1.0),
+            (7, 1, 4.0),   # src has no node row: contributes nothing
+            (1, 9, 1.0),   # dst has no node row: mass vanishes, but
+                           # it still halves node 1's share to node 2
+        ],
+        "src long, dst long, weight double",
+    )
+    want = {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, edges, iterations=8).collect()
+    }
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_bounded(nodes, edges, iterations=8).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
 def test_pagerank_bounded_guard_raises_past_max_edges(spark):
     """The max_edges guard must RAISE (never sample) when the collected
     edge relation exceeds the cap — data-scale graphs belong on the
@@ -968,13 +1007,14 @@ _COLLECT_ALLOWLIST = {
     # pagerank_bounded (round 15): DIMENSION-BOUNDED graphs only — the
     # API contract requires a vertex domain fixed by construction (a
     # dim table), so nodes and the aggregated edge relation are
-    # metadata-sized at any fact scale; the loud max_edges guard
-    # RAISES past the cap instead of sampling, and data-scale graphs
-    # stay on the distributed pagerank()
+    # metadata-sized at any fact scale; the collect is limit(max+1)-
+    # capped so the loud max_edges guard RAISES before the driver ever
+    # materializes a data-scale relation (round-15 review fix), and
+    # data-scale graphs stay on the distributed pagerank()
     (
         "operators/graph.py",
         "pagerank_bounded",
-        "edges.join(out, 'src').select('src', 'dst', (F.col('weight')",
+        "shares_df.limit(max_edges + 1)",
     ),
     ("operators/graph.py", "pagerank_bounded", "nodes"),
 }
