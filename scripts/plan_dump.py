@@ -1,4 +1,4 @@
-"""Dump .explain("formatted") for catalog entries to plans/r15/.
+"""Dump .explain("formatted") for catalog entries to plans/$SDEP_PLAN_ROUND (default r16).
 
 Usage: python scripts/plan_dump.py <suffix> [entry ...]
   suffix: "before" or "after" (file name becomes <entry>_<suffix>.txt)
@@ -21,7 +21,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "plans",
-    "r15",
+    os.environ.get("SDEP_PLAN_ROUND", "r16"),
 )
 
 

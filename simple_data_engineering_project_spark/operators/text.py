@@ -839,20 +839,15 @@ def bm25_search(
             F.first("n_docs").alias("__tag"),
         )
     )
-    # Two-phase global top-n (the _topk_per_query shape): rank within
-    # each input partition first — survivors are bounded by
-    # partitions × top_n — then rank that small set once.
+    # ONE-window global top-n (the _topk_per_query shape): the rank
+    # filter makes Catalyst insert WindowGroupLimit(Partial) below the
+    # exchange — at most top_n rows leave each input partition, the
+    # bound the old manual phase-1 window provided at the cost of an
+    # extra full Exchange+Sort (round-16 collapse).
     order = [F.col("bm25").desc(), F.col(id_col).asc()]
-    with_pid = scored.withColumn("__pid", F.spark_partition_id())
-    w1 = Window.partitionBy("__pid").orderBy(*order)
-    local = (
-        with_pid.withColumn("__lr", F.row_number().over(w1))
-        .filter(F.col("__lr") <= top_n)
-        .drop("__lr", "__pid")
-    )
     w2 = Window.partitionBy("__tag").orderBy(*order)
     return (
-        local.withColumn("rank", F.row_number().over(w2))
+        scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= top_n)
         .select(id_col, "bm25", "n_terms_hit", "rank")
     )
@@ -887,17 +882,13 @@ def tokenize_to_ids(
         # would fold away -> partitionless window; see bm25_search)
         F.first(F.lit(1) * F.length("token") * 0).alias("__tag"),
     )
+    # ONE window (round-16 collapse): WindowGroupLimit(Partial) bounds
+    # each input partition to vocab_size rows before the exchange —
+    # no partitionless full-vocabulary sort, no extra exchange.
     order = [F.col("freq").desc(), F.col("token").asc()]
-    with_pid = counts.withColumn("__pid", F.spark_partition_id())
-    w1 = Window.partitionBy("__pid").orderBy(*order)
-    local = (
-        with_pid.withColumn("__lr", F.row_number().over(w1))
-        .filter(F.col("__lr") <= vocab_size)
-        .drop("__lr", "__pid")
-    )
     w2 = Window.partitionBy("__tag").orderBy(*order)
     vocab = (
-        local.withColumn("id", F.row_number().over(w2))
+        counts.withColumn("id", F.row_number().over(w2))
         .filter(F.col("id") <= vocab_size)
         .select("token", "id")
     )

@@ -89,6 +89,26 @@ def _stage_width(spark) -> int:
     return max(8, spark.sparkContext.defaultParallelism)
 
 
+def _stage_base(spark, sf_dir, table="orders", cols=("o_orderkey",)):
+    """Narrow source projection pre-spread to stager width BEFORE any
+    derived nested payload is built (guide §2.3 "project before the
+    exchange" + §2.5): the single-file local source scans as 1-2
+    partitions, so deriving maps/arrays/structs before the keyless
+    ``repartition(_stage_width)`` both serialized the construction on
+    those few cores and shuffled the BUILT payload (plus paid
+    sort-before-repartition over it); exchanging the bare source
+    columns first moves only source bytes and constructs at full
+    width (round-16 measurement: nested5 parquet stage 1.6→0.9 s).
+    At cluster scale the input is already wide and this is the same
+    one round-robin exchange the stagers always paid, just earlier
+    and narrower."""
+    return (
+        _t(spark, sf_dir, table)
+        .select(*cols)
+        .repartition(_stage_width(spark))
+    )
+
+
 def _bench_reuse_fixture(out: str, stage) -> None:
     """Bench-only fixture reuse, the one home of the protocol (review
     finding — three hand-rolled copies could drift): bench.py's
@@ -6082,21 +6102,18 @@ def dsir_importance_q(spark, sf_dir):
         # rule; bounded: 3 narrow columns, one row per doc)
         .localCheckpoint(eager=False)
     )
-    # DSIR resample = global top-K by weight, two-phase so no task ever
-    # ranks the whole corpus: phase 1 ranks inside each input partition
-    # (survivors <= partitions*K), phase 2 ranks the survivors keyed on
-    # a DATA-DERIVED constant (doc_id % 1 is never constant-folded, so
-    # the window keeps a shuffle key — the _topk_per_query lesson).
+    # DSIR resample = global top-K by weight, ONE window: the
+    # row_number() <= K filter makes Catalyst insert
+    # WindowGroupLimit(Partial) below the exchange, so each input
+    # partition forwards at most K rows before the shuffle — the
+    # bound the old hand-rolled phase-1 window + rank join bought
+    # with an extra Exchange and a join over the corpus (round-16,
+    # the _topk_per_query collapse). The key stays DATA-DERIVED
+    # (doc_id % 1 is never constant-folded, so the window keeps a
+    # shuffle key — the _topk_per_query lesson).
     order = [F.col("logw_micro").desc(), F.col("doc_id").asc()]
-    w1 = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
-    cand = (
-        scored.withColumn("__lr", F.row_number().over(w1))
-        .filter(F.col("__lr") <= K)
-        .drop("__lr")
-        .select("doc_id", (F.col("doc_id") % 1).alias("__q"))
-    )
     topk = (
-        scored.join(cand.select("doc_id", "__q"), "doc_id")
+        scored.withColumn("__q", F.col("doc_id") % 1)
         .withColumn(
             "__rnk",
             F.row_number().over(
@@ -6383,17 +6400,15 @@ def hybrid_search_rrf_q(spark, sf_dir):
     # twice).
     tag = emb.agg(F.min("vec_id").alias("__tag"))
     tagged = fused.crossJoin(F.broadcast(tag))
+    # ONE window: the rank filter below makes Catalyst insert
+    # WindowGroupLimit(Partial) before the exchange (map-side top-15
+    # per partition), which is the bound the old manual phase-1
+    # window provided at the cost of a second full Exchange+Sort
+    # (round-16, the _topk_per_query collapse).
     order = [F.col("__rrf").desc(), F.col("doc_id").asc()]
-    with_pid = tagged.withColumn("__pid", F.spark_partition_id())
-    w1 = Window.partitionBy("__pid").orderBy(*order)
-    local = (
-        with_pid.withColumn("__lr", F.row_number().over(w1))
-        .filter(F.col("__lr") <= 15)
-        .drop("__lr", "__pid")
-    )
     w2 = Window.partitionBy("__tag").orderBy(*order)
     return (
-        local.withColumn("rank", F.row_number().over(w2))
+        tagged.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= 15)
         .select(
             "doc_id",
@@ -6518,11 +6533,10 @@ def embedding_matryoshka_q(spark, sf_dir):
             ),
         )
         .select(
-            # dim doubles as the query id so the existing TWO-PHASE
-            # per-query rank applies — a plain per-dim window would
-            # have one task sort the whole corpus per dim (3
-            # partitions total), the exact collapse _topk_per_query
-            # exists to avoid
+            # dim doubles as the query id so the shared per-query
+            # rank applies — _topk_per_query's rank filter gets a
+            # WindowGroupLimit(Partial) below the exchange, so no
+            # task ever sorts the whole corpus per dim
             F.col("dim").alias("query_id"),
             F.col("vec_id").alias("item_id"),
             cosine_similarity(
@@ -11996,7 +12010,10 @@ def scan_parquet_nested_q(spark, sf_dir):
     from ..operators.parquet_data import pure_parquet_scan
 
     out = _scratch(sf_dir, "parquet_nested_orders")
-    o = _t(spark, sf_dir, "orders")
+    o = _stage_base(
+        spark, sf_dir,
+        cols=("o_orderkey", "o_orderstatus", "o_totalprice"),
+    )
     k = F.col("o_orderkey")
     n = (k % 5).cast("int")
     lst = F.when(k % 7 == 0, F.lit(None).cast("array<bigint>")).otherwise(
@@ -12023,7 +12040,6 @@ def scan_parquet_nested_q(spark, sf_dir):
     )
     (
         o.select(k.alias("o_orderkey"), lst.alias("lst"), st.alias("st"))
-        .repartition(_stage_width(spark))
         .write.mode("overwrite")
         .parquet(out)
     )
@@ -12454,7 +12470,10 @@ def scan_orc_nested_q(spark, sf_dir):
     import pandas as _pd
 
     out = _scratch(sf_dir, "orc_nested_orders")
-    o = _t(spark, sf_dir, "orders")
+    o = _stage_base(
+        spark, sf_dir,
+        cols=("o_orderkey", "o_orderstatus", "o_totalprice"),
+    )
     k = F.col("o_orderkey")
     n = (k % 5).cast("int")
     lst = F.when(k % 7 == 0, F.lit(None).cast("array<bigint>")).otherwise(
@@ -12481,7 +12500,6 @@ def scan_orc_nested_q(spark, sf_dir):
     )
     (
         o.select(k.alias("o_orderkey"), lst.alias("lst"), st.alias("st"))
-        .repartition(_stage_width(spark))
         .write.mode("overwrite")
         .orc(out)
     )
@@ -12568,8 +12586,10 @@ def _nested2_frame(spark, sf_dir):
     """orders → (o_orderkey, ls: list<struct<q,t>>, m: map<string,
     bigint>) with null/empty/null-element/null-field/null-value
     residue — the shared fixture derivation for the round-11 deep-
-    nesting scan twins."""
-    o = _t(spark, sf_dir, "orders")
+    nesting scan twins. Pre-spread to stager width (``_stage_base``)
+    so the nested construction runs at full width and only the bare
+    key crosses the exchange — call sites must NOT re-repartition."""
+    o = _stage_base(spark, sf_dir)
     k = F.col("o_orderkey")
     n_ls = (k % 4).cast("int")
     seq_ls = F.when(n_ls >= 1, F.sequence(F.lit(1), n_ls)).otherwise(
@@ -12700,9 +12720,7 @@ def scan_parquet_nested2_q(spark, sf_dir):
     import pandas as _pd
 
     out = _scratch(sf_dir, "pq_nested2_orders")
-    _nested2_frame(spark, sf_dir).repartition(_stage_width(spark)).write.mode(
-        "overwrite"
-    ).parquet(out)
+    _nested2_frame(spark, sf_dir).write.mode("overwrite").parquet(out)
     paths = sorted(_glob.glob(f"{out}/part-*.parquet"))
     pdf = spark.createDataFrame([(p,) for p in paths], "path string")
 
@@ -12746,9 +12764,7 @@ def scan_orc_nested2_q(spark, sf_dir):
     import pandas as _pd
 
     out = _scratch(sf_dir, "orc_nested2_orders")
-    _nested2_frame(spark, sf_dir).repartition(_stage_width(spark)).write.mode(
-        "overwrite"
-    ).orc(out)
+    _nested2_frame(spark, sf_dir).write.mode("overwrite").orc(out)
     paths = sorted(_glob.glob(f"{out}/part-*.orc"))
     pdf = spark.createDataFrame([(p,) for p in paths], "path string")
 
@@ -13585,7 +13601,10 @@ def scan_orc_rle1_q(spark, sf_dir):
     import pandas as _pd
 
     out = _scratch(sf_dir, "orc_rle1_orders")
-    o = _t(spark, sf_dir, "orders")
+    o = _stage_base(
+        spark, sf_dir,
+        cols=("o_orderkey", "o_orderpriority", "o_totalprice"),
+    )
     k = F.col("o_orderkey")
     n = (k % 5).cast("int")
     arr = F.when(k % 7 == 0, F.lit(None).cast("array<bigint>")).otherwise(
@@ -13617,7 +13636,6 @@ def scan_orc_rle1_q(spark, sf_dir):
             "dc", (F.col("dc_raw") / F.lit(10000)).cast("decimal(18,4)")
         )
         .drop("dc_raw")
-        .repartition(_stage_width(spark))
         .write.mode("overwrite")
         .option("orc.write.format", "0.11")
         .orc(out)
@@ -13733,8 +13751,11 @@ def _nested5_frame(spark, sf_dir):
     """orders → (o_orderkey, ms: map<string,struct<s,p>>, ml:
     map<string,array<bigint>>) with null-map/empty-map/null-value/
     null-field/empty-list/null-element residue — the shared fixture
-    derivation for the round-12 map-with-nested-values twins."""
-    o = _t(spark, sf_dir, "orders")
+    derivation for the round-12 map-with-nested-values twins.
+    Pre-spread to stager width (``_stage_base``) so construction runs
+    at full width and only the bare key crosses the exchange — call
+    sites must NOT re-repartition."""
+    o = _stage_base(spark, sf_dir)
     k = F.col("o_orderkey")
     n_ms = (k % 4).cast("int")
     seq_ms = F.when(n_ms >= 1, F.sequence(F.lit(1), n_ms)).otherwise(
@@ -13954,9 +13975,7 @@ def scan_parquet_nested5_q(spark, sf_dir):
     import pandas as _pd
 
     out = _scratch(sf_dir, "pq_nested5_orders")
-    _nested5_frame(spark, sf_dir).repartition(_stage_width(spark)).write.mode(
-        "overwrite"
-    ).parquet(out)
+    _nested5_frame(spark, sf_dir).write.mode("overwrite").parquet(out)
     paths = sorted(_glob.glob(f"{out}/part-*.parquet"))
     pdf = spark.createDataFrame([(p,) for p in paths], "path string")
 
@@ -14002,9 +14021,7 @@ def scan_orc_nested5_q(spark, sf_dir):
     import pandas as _pd
 
     out = _scratch(sf_dir, "orc_nested5_orders")
-    _nested5_frame(spark, sf_dir).repartition(_stage_width(spark)).write.mode(
-        "overwrite"
-    ).orc(out)
+    _nested5_frame(spark, sf_dir).write.mode("overwrite").orc(out)
     paths = sorted(_glob.glob(f"{out}/part-*.orc"))
     pdf = spark.createDataFrame([(p,) for p in paths], "path string")
 
@@ -14203,8 +14220,11 @@ _NESTED6_DDL = {
 def _nested6_frame(spark, sf_dir):
     """(o_orderkey, lll, mm) with null/empty residue at every level —
     the JVM-writer fixture for the nested6 scan twins. Derivation is
-    deterministic in the key so the DuckDB oracle replays it exactly."""
-    o = _t(spark, sf_dir, "orders")
+    deterministic in the key so the DuckDB oracle replays it exactly.
+    Pre-spread to stager width (``_stage_base``) so construction runs
+    at full width and only the bare key crosses the exchange — call
+    sites must NOT re-repartition."""
+    o = _stage_base(spark, sf_dir)
     k = F.col("o_orderkey")
 
     def _seq(n):
@@ -14465,7 +14485,6 @@ def scan_parquet_nested6_q(spark, sf_dir):
     _bench_reuse_fixture(
         out,
         lambda: _nested6_frame(spark, sf_dir)
-        .repartition(_stage_width(spark))
         .write.mode("overwrite")
         .parquet(out),
     )
@@ -14516,7 +14535,6 @@ def scan_orc_nested6_q(spark, sf_dir):
     _bench_reuse_fixture(
         out,
         lambda: _nested6_frame(spark, sf_dir)
-        .repartition(_stage_width(spark))
         .write.mode("overwrite")
         .orc(out),
     )
@@ -15369,7 +15387,10 @@ def scan_parquet_brotli_q(spark, sf_dir):
     import pandas as _pd
 
     out = _scratch(sf_dir, "pq_brotli_orders")
-    o = _t(spark, sf_dir, "orders")
+    o = _stage_base(
+        spark, sf_dir,
+        cols=("o_orderkey", "o_orderpriority", "o_totalprice"),
+    )
     k = F.col("o_orderkey")
     n = (k % 5).cast("int")
     arr = F.when(k % 7 == 0, F.lit(None).cast("array<bigint>")).otherwise(
@@ -15388,11 +15409,11 @@ def scan_parquet_brotli_q(spark, sf_dir):
         F.concat(F.lit("t-"), k.cast("string")).alias("tag"),
         F.col("o_totalprice").alias("price"),
         arr.alias("arr"),
-        # one shard per task both directions: the single-file input
-        # scans narrow, serializing the pure-Python RFC 7932 DECODE
-        # (the entry's dominant cost) on a couple of cores — same
-        # width restoration as the sink family / _stage_width stagers
-    ).repartition(_stage_width(spark))
+        # one shard per task both directions (width restored by
+        # _stage_base BEFORE the derivation: the exchange moves bare
+        # source columns and the array/tag construction runs at full
+        # width — round-16, guide §2.3)
+    )
 
     def _write(batches):
         import uuid as _uuid
