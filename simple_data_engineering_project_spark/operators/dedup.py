@@ -300,9 +300,17 @@ def minhash_lsh_candidates(
     # filtering keeps the two signature paths equivalent (round-13
     # review finding).
     sig = sig.filter(F.col("sig").isNotNull())
+    # The banded relation carries ONLY (id, band, bucket) — 24-byte
+    # rows. The signature payload (num_hashes longs, ×bands copies per
+    # doc) used to ride every banded row through the bucket self-join's
+    # two shuffles AND the pair dropDuplicates exchange (~17 KB/doc at
+    # 64 hashes / 16 bands); shuffling the metadata alone and
+    # re-attaching signatures to the DEDUPED candidate pairs is the
+    # guide-§2.3/§8 "decide with small rows, move payloads once" shape
+    # (round-16; candidate pairs ≪ banded rows, so AQE broadcasts them
+    # and the signature table is probed map-side, never shuffled).
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -316,11 +324,11 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
     banded = _drop_oversize_buckets(banded, ["band", "bucket"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    pair_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -330,10 +338,20 @@ def minhash_lsh_candidates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        pair_ids.join(
+            sig.select(F.col("id"), F.col("sig").alias("sig_a")),
+            F.col("id_a") == F.col("id"),
+        )
+        .drop("id")
+        .join(
+            sig.select(F.col("id"), F.col("sig").alias("sig_b")),
+            F.col("id_b") == F.col("id"),
+        )
+        .drop("id")
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),

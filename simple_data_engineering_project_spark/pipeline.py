@@ -37,7 +37,8 @@ from .sources import archive_move, list_files, scan_parquet, sink_parquet
 
 
 def generate_cocoa_data(
-    spark: SparkSession, num_records: int, seed: int = 42
+    spark: SparkSession, num_records: int, seed: int = 42,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Synthetic cocoa shipments (reference A16, generate_data.py:24-47).
 
@@ -74,8 +75,19 @@ def generate_cocoa_data(
     beans = F.array(*[F.lit(b) for b in BEAN_TYPES])
     epoch_lo = F.lit(1672531200)  # 2023-01-01 UTC
     window_s = 2 * 365 * 24 * 3600
-    return (
+    rng = (
         spark.range(num_records)
+        if partitions is None
+        # callers generating MANY frames in one job (land_csv_files)
+        # pass a per-frame width: the default splits every frame over
+        # defaultParallelism tasks, and 6 frames × 32 cores = 192
+        # near-empty tasks whose scheduling overhead dominated the
+        # landing stage (round-16 measurement: ~1.5 s of the 3-4 s
+        # stage was task dispatch)
+        else spark.range(0, num_records, numPartitions=partitions)
+    )
+    return (
+        rng
         .select(
             F.md5(F.concat(F.lit(f"seed{seed}-"), F.col("id"))).alias("shipment_id"),
             F.timestamp_seconds(epoch_lo + u_int(0, window_s)).alias("timestamp"),
@@ -110,32 +122,67 @@ def land_csv_files(
     to a flat ``.csv`` path so the landing layout matches the reference's
     (one object per file).
     """
+    import math
+
     from pyspark.sql import functions as F
 
-    # ONE write job for all files: each per-seed frame is tagged with its
-    # file id, the union is hash-partitioned on that id (one task per
-    # file → exactly one part file per partition dir), and partitionBy
-    # fans the directories out in parallel. The sequential
-    # coalesce(1)-per-file loop this replaces serialized num_files
-    # single-task jobs (measured: >2× the whole landing time at 6 files).
+    from .schemas import COCOA_LANDING_SCHEMA
+
+    # ONE write job for all files, with the per-row work done at FULL
+    # width before the one-file-per-object exchange (round-16, guide
+    # §2.3 "project before the exchange" applied to a write): the CSV
+    # LINE for every record is formatted as a string column while the
+    # data is still spread over the cluster, so the exchange on the
+    # file id moves finished text and the num_files single-task writers
+    # (the one-object-per-file landing contract) only dump bytes.
+    # Previously the 6 writer tasks did all 600k rows of CSV encoding
+    # while 26 cores idled, and each per-seed frame split over
+    # defaultParallelism tasks (192 near-empty tasks of scheduling
+    # overhead). Line formatting mirrors the uniVocity writer exactly
+    # on this schema (timestampFormat pattern via date_format;
+    # Double.toString via cast(string); NULL → empty field) — every
+    # value domain is quote-free, pinned by
+    # tests/test_pipeline.py::test_land_csv_lines_match_jvm_writer.
+    cols = [f.name for f in COCOA_LANDING_SCHEMA.fields]
+    per_frame = max(
+        1,
+        math.ceil(spark.sparkContext.defaultParallelism / max(num_files, 1)),
+    )
     tagged = None
     for i in range(num_files):
-        df = generate_cocoa_data(spark, rows_per_file, seed=seed + i).withColumn(
-            "__file", F.lit(i)
-        )
+        df = generate_cocoa_data(
+            spark, rows_per_file, seed=seed + i, partitions=per_frame
+        ).withColumn("__file", F.lit(i))
         tagged = df if tagged is None else tagged.unionByName(df)
+    line = F.concat_ws(
+        ",",
+        *[
+            F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+            if c == "timestamp"
+            else F.coalesce(F.col(c).cast("string"), F.lit(""))
+            for c in cols
+        ],
+    )
+    body = tagged.select(
+        line.alias("line"), F.col("__file"), F.lit(1).alias("__rank")
+    )
+    header = spark.createDataFrame(
+        [(",".join(cols), i, 0) for i in range(num_files)],
+        "line string, __file int, __rank int",
+    )
     tmp = f"{landing_dir}/.tmp_gen"
     (
-        tagged.repartition(num_files, "__file")
+        body.unionByName(header)
+        .repartition(num_files, "__file")
+        .sortWithinPartitions("__file", "__rank")  # header row first
+        .select("line", "__file")
         .write.mode("overwrite")
         .partitionBy("__file")
-        .option("header", "true")
-        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
-        .csv(tmp)
+        .text(tmp)
     )
     paths = []
     for i in range(num_files):
-        part = [p for p in list_files(spark, f"{tmp}/__file={i}", ".csv")][0]
+        part = [p for p in list_files(spark, f"{tmp}/__file={i}", ".txt")][0]
         dst = f"{landing_dir}/cocoa_shipments_{seed + i:04d}_{i}.csv"
         archive_move(spark, part, dst)
         paths.append(dst)

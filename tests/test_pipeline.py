@@ -394,3 +394,33 @@ def test_expire_history_bounds_retention(spark, dirs):
         df = read_warehouse_version(spark, dirs["warehouse"], v)
         got = sorted(tuple(r) for r in df.select(sorted(df.columns)).collect())
         assert got == snaps[v]
+
+
+def test_land_csv_lines_match_jvm_writer(spark, dirs, tmp_path):
+    # round-16: land_csv_files formats CSV lines itself (full-width
+    # formatting before the one-file-per-object exchange). Pin byte
+    # parity of every line against Spark's own uniVocity CSV writer on
+    # the identical frame — header included — so a divergence in double
+    # rendering, timestamp formatting, or null handling fails loudly.
+    df = generate_cocoa_data(spark, 200, seed=11)
+    jvm_dir = str(tmp_path / "jvm_csv")
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
+        .csv(jvm_dir)
+    )
+    jvm_part = [p for p in list_files(spark, jvm_dir, ".csv")][0]
+    local = jvm_part[len("file:"):] if jvm_part.startswith("file:") else jvm_part
+    with open(local) as f:
+        jvm_lines = f.read().splitlines()
+
+    paths = land_csv_files(
+        spark, dirs["landing"], num_files=1, rows_per_file=200, seed=11
+    )
+    with open(paths[0]) as f:
+        ours = f.read().splitlines()
+
+    assert ours[0] == jvm_lines[0]  # header, first line
+    assert sorted(ours[1:]) == sorted(jvm_lines[1:])
