@@ -193,12 +193,15 @@ def _decompress_stream(codec: int, data: bytes) -> bytes:
 
 
 def _bool_rle(data: bytes, count: int) -> list[bool]:
-    """Boolean RLE: byte-RLE over bit-packed bytes, bits MSB-first."""
-    bits: list[bool] = []
-    for byte in _byte_rle(data, (count + 7) // 8):
-        for k in range(8):
-            bits.append(bool((byte >> (7 - k)) & 1))
-    return bits[:count]
+    """Boolean RLE: byte-RLE over bit-packed bytes, bits MSB-first.
+    Unpacked via numpy (one unpackbits call instead of 8·count Python
+    appends — round-16, guide §4.2)."""
+    import numpy as np
+
+    packed = np.asarray(
+        _byte_rle(data, (count + 7) // 8), dtype=np.uint8
+    )
+    return np.unpackbits(packed)[:count].astype(bool).tolist()
 
 
 def _byte_rle(data: bytes, count: int) -> list[int]:
@@ -257,6 +260,31 @@ def _unzigzag(u: int) -> int:
     return (u >> 1) ^ -(u & 1)
 
 
+def _take_many(data: bytes, pos: int, width: int, n: int) -> tuple[list, int]:
+    """``n`` MSB-first ``width``-bit values starting at byte ``pos`` —
+    the vectorized twin of ``_BitReader.take`` in a loop (round-16,
+    guide §4.2: one numpy unpack instead of a Python call per value).
+    Returns (values, next byte pos — the post-run ``align()``).
+    Widths above 56 fall back to the bit reader so the power-of-two
+    dot stays exact in int64."""
+    nbits = width * n
+    nbytes = (nbits + 7) >> 3
+    if n >= 16 and 0 < width <= 56:
+        import numpy as np
+
+        bits = np.unpackbits(
+            np.frombuffer(data[pos : pos + nbytes], np.uint8),
+            count=nbits,
+        )
+        vals = bits.reshape(n, width) @ (
+            np.int64(1) << np.arange(width - 1, -1, -1, dtype=np.int64)
+        )
+        return vals.tolist(), pos + nbytes
+    br = _BitReader(data, pos)
+    vals = [br.take(width) for _ in range(n)]
+    return vals, br.align()
+
+
 def _varint(data: bytes, pos: int) -> tuple[int, int]:
     v = 0
     shift = 0
@@ -287,11 +315,9 @@ def rlev2_decode(data: bytes, count: int, signed: bool) -> list[int]:
         elif sub == 1:  # DIRECT
             width = _WIDTHS[(first >> 1) & 0x1F]
             length = ((first & 1) << 8 | data[pos + 1]) + 1
-            br = _BitReader(data, pos + 2)
-            vals = [br.take(width) for _ in range(length)]
-            pos = br.align()
+            vals, pos = _take_many(data, pos + 2, width, length)
             if signed:
-                vals = [_unzigzag(v) for v in vals]
+                vals = [(v >> 1) ^ -(v & 1) for v in vals]
             out.extend(vals)
         elif sub == 2:  # PATCHED_BASE
             width = _WIDTHS[(first >> 1) & 0x1F]
@@ -308,12 +334,10 @@ def rlev2_decode(data: bytes, count: int, signed: bool) -> list[int]:
             if base & sign_bit:
                 base = -(base & (sign_bit - 1))
             pos += bw
-            br = _BitReader(data, pos)
-            vals = [br.take(width) for _ in range(length)]
             # the packed-literal and patch-list sections are written by
             # SEPARATE bit-packing calls in the reference writers, so
             # the patch list starts at the next BYTE boundary
-            br.align()
+            vals, pos = _take_many(data, pos, width, length)
             # (gap, patch) pairs are packed at the CLOSEST SUPPORTED
             # width >= pgw+pw from the fixed-width table (the reference
             # readers' getClosestFixedBits) — packing at exactly
@@ -323,8 +347,7 @@ def rlev2_decode(data: bytes, count: int, signed: bool) -> list[int]:
             # header can spell pgw+pw up to 72, which must not escape
             # as a bare StopIteration
             patch_width = next((w for w in _WIDTHS if w >= need), 64)
-            patches = [br.take(patch_width) for _ in range(pll)]
-            pos = br.align()
+            patches, pos = _take_many(data, pos, patch_width, pll)
             idx = 0
             for gap, patch in (
                 ((p >> pw), p & ((1 << pw) - 1)) for p in patches
@@ -343,15 +366,28 @@ def rlev2_decode(data: bytes, count: int, signed: bool) -> list[int]:
             delta0 = _unzigzag(du)  # delta base is ALWAYS signed
             seq = [base, base + delta0]
             if width and length > 2:
-                br = _BitReader(data, pos)
-                deltas = [br.take(width) for _ in range(length - 2)]
-                pos = br.align()
+                deltas, pos = _take_many(data, pos, width, length - 2)
                 sign = 1 if delta0 >= 0 else -1
-                for d in deltas:
-                    seq.append(seq[-1] + sign * d)
+                if length - 2 >= 16:
+                    import numpy as np
+
+                    # prefix-sum the deltas in one vector op; int64 is
+                    # exact (ORC values fit int64 by contract)
+                    steps = np.asarray(deltas, dtype=np.int64)
+                    seq.extend(
+                        (
+                            (base + delta0)
+                            + sign * np.cumsum(steps, dtype=np.int64)
+                        ).tolist()
+                    )
+                else:
+                    for d in deltas:
+                        seq.append(seq[-1] + sign * d)
             elif length > 2:
-                for _ in range(length - 2):
-                    seq.append(seq[-1] + delta0)
+                last = base + delta0
+                seq.extend(
+                    last + delta0 * i for i in range(1, length - 1)
+                )
             out.extend(seq[:length])
     if len(out) < count:
         raise ValueError("truncated ORC RLEv2 stream")
@@ -549,7 +585,7 @@ def _read_generic_node(
         kids = _subtype_ids(types[cid])
         queues = []
         for t, k in enumerate(kids):
-            n_t = sum(1 for tg in tags if tg == t)
+            n_t = tags.count(t)
             vals_t = _read_generic_node(
                 k, n_t, types, located, encodings, codec
             )

@@ -153,20 +153,28 @@ class _BitWriter:
 def rlev2_direct_encode(values: list[int], signed: bool) -> bytes:
     """All values as RLEv2 DIRECT runs of <=512 — always legal, never
     the densest choice; the decoder side proves the framing."""
+    import numpy as np
+
     out = bytearray()
     for i in range(0, len(values), 512):
         chunk = values[i : i + 512]
         enc = [_zigzag(v) if signed else v for v in chunk]
-        need = max(1, max(e.bit_length() for e in enc))
+        need = max(1, max(enc).bit_length())
         code = next(k for k, w in enumerate(_WIDTHS) if w >= need)
         width = _WIDTHS[code]
         n = len(chunk) - 1
         out.append(0x40 | (code << 1) | (n >> 8))  # sub-encoding 1 = DIRECT
         out.append(n & 0xFF)
-        bw = _BitWriter()
-        for e in enc:
-            bw.put(e, width)
-        out += bw.done()
+        # MSB-first bit matrix + packbits == _BitWriter.put per value
+        # byte-for-byte, including done()'s zero pad (round-16, guide
+        # §4.2); zigzag keeps every value in [0, 2^64) so uint64 is
+        # exact at any legal width
+        arr = np.array(enc, dtype=np.uint64)
+        bits = (
+            (arr[:, None] >> np.arange(width - 1, -1, -1, dtype=np.uint64))
+            & 1
+        ).astype(np.uint8)
+        out += np.packbits(bits.ravel()).tobytes()
     return bytes(out)
 
 
@@ -246,16 +254,14 @@ def _byte_rle_encode(vals: list[int]) -> bytes:
 
 
 def _bool_rle_encode(bits: list[bool]) -> bytes:
-    """Boolean RLE: bit-pack MSB-first into bytes, then frame the
-    bytes through the shared byte-RLE literal-group encoder."""
-    packed = bytearray()
-    for i in range(0, len(bits), 8):
-        byte = 0
-        for k, bit in enumerate(bits[i : i + 8]):
-            if bit:
-                byte |= 1 << (7 - k)
-        packed.append(byte)
-    return _byte_rle_encode(list(packed))
+    """Boolean RLE: bit-pack MSB-first into bytes (one numpy packbits
+    — zero-padding the tail byte exactly like the manual loop), then
+    frame the bytes through the shared byte-RLE literal-group
+    encoder."""
+    import numpy as np
+
+    packed = np.packbits(np.asarray(bits, dtype=np.uint8))
+    return _byte_rle_encode(packed.tolist())
 
 
 def _kind_of(ddl: str) -> tuple[int, int | None, int | None]:

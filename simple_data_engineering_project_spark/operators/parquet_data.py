@@ -133,6 +133,19 @@ def _rle_bp_hybrid(data: bytes, pos: int, bit_width: int, count: int) -> tuple[l
             pos += nbytes
             if bit_width == 0:
                 out.extend([0] * (groups * 8))
+            elif groups * 8 >= 64 and bit_width <= 56:
+                # vectorized LSB-first unpack (guide §4.2: batch work
+                # to numpy instead of a per-value genexpr — round-16;
+                # 56-bit cap keeps the power-of-two dot exact in int64)
+                import numpy as _np
+
+                bits = _np.unpackbits(
+                    _np.frombuffer(chunk, _np.uint8), bitorder="little"
+                )
+                vals = bits.reshape(-1, bit_width) @ (
+                    _np.int64(1) << _np.arange(bit_width, dtype=_np.int64)
+                )
+                out.extend(vals.tolist())
             else:
                 acc = int.from_bytes(chunk, "little")
                 mask = (1 << bit_width) - 1
@@ -429,6 +442,8 @@ def read_column_chunk(buf: bytes, col_meta: dict, leaf: dict) -> list:
         raise NotImplementedError("nested (repeated) columns not supported")
     max_def = leaf["max_def"]
     _reps, defs, present = read_chunk_levels(buf, col_meta, leaf)
+    if len(present) == len(defs):
+        return present  # no nulls — skip the per-row null re-seat
     it = iter(present)
     return [next(it) if l == max_def else None for l in defs]
 
@@ -519,7 +534,7 @@ def read_chunk_levels(
         else:
             # index or unknown page: skip its body
             continue
-        n_present = sum(1 for l in levels if l == max_def)
+        n_present = levels.count(max_def)
         present = _decode_values(
             page, p, enc, ptype, n_present, leaf["type_length"],
             dictionary,
@@ -1422,7 +1437,7 @@ def _decode_one_data_page(buf, off, leaf, codec, dictionary):
         p = 0
     else:
         raise ValueError("offset-index location is not a data page")
-    n_present = sum(1 for l in levels if l == max_def)
+    n_present = levels.count(max_def)
     present = _decode_values(
         page, p, enc, leaf["type"], n_present, ptype_len, dictionary
     )

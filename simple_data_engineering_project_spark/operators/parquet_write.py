@@ -152,16 +152,33 @@ def _struct_field(out: bytearray, last: int, fid: int, body: bytes) -> int:
 def _rle_runs(levels: list[int]) -> bytes:
     """Def/rep levels as RLE runs of the RLE/bit-packed hybrid (run
     value stored in ceil(bit_width/8) = 1 byte for any level ≤ 255 —
-    valid for every max_def/max_rep this writer emits), UNframed."""
+    valid for every max_def/max_rep this writer emits), UNframed.
+    Run boundaries come from one numpy diff instead of a Python
+    compare per level (round-16, guide §4.2); the per-RUN emit loop
+    stays Python (runs ≪ levels on real level streams)."""
+    n = len(levels)
+    if not n:
+        return b""
+    if n >= 32:
+        import numpy as np
+
+        arr = np.asarray(levels, dtype=np.uint8)
+        bounds = np.flatnonzero(arr[1:] != arr[:-1]) + 1
+        starts = [0, *bounds.tolist(), n]
+    else:
+        starts = [0]
+        for i in range(1, n):
+            if levels[i] != levels[i - 1]:
+                starts.append(i)
+        starts.append(n)
     body = bytearray()
-    i, n = 0, len(levels)
-    while i < n:
-        j = i
-        while j < n and levels[j] == levels[i]:
-            j += 1
-        body += _varint((j - i) << 1)  # RLE run header
+    for i, j in zip(starts, starts[1:]):
+        h = (j - i) << 1  # RLE run header
+        if h < 0x80:
+            body.append(h)
+        else:
+            body += _varint(h)
         body.append(levels[i])
-        i = j
     return bytes(body)
 
 
@@ -202,16 +219,21 @@ def _bitpacked_indices(idxs: list[int], bit_width: int) -> bytes:
     are capped at 512 values so the accumulator integer stays small —
     one giant run would make the shift-or loop quadratic in the chunk
     size."""
+    import numpy as np
+
     out = bytearray()
+    shifts = np.arange(bit_width, dtype=np.uint32)
     for start in range(0, len(idxs), 512):
         chunk = idxs[start : start + 512]
         groups = (len(chunk) + 7) // 8
-        padded = chunk + [0] * (groups * 8 - len(chunk))
-        acc = 0
-        for i, v in enumerate(padded):
-            acc |= v << (i * bit_width)
+        padded = np.zeros(groups * 8, dtype=np.uint32)
+        padded[: len(chunk)] = chunk
+        # LSB-first bit matrix → packbits(bitorder="little") is the
+        # same layout the shift-or accumulator built one value at a
+        # time (round-16, guide §4.2)
+        bits = ((padded[:, None] >> shifts) & 1).astype(np.uint8)
         out += _varint((groups << 1) | 1)
-        out += acc.to_bytes(groups * bit_width, "little")
+        out += np.packbits(bits.ravel(), bitorder="little").tobytes()
     return bytes(out)
 
 
@@ -234,6 +256,8 @@ def _delta_binary_packed(values: list[int], width: int) -> bytes:
     out += _zigzag(values[0] if values else 0)
     if len(values) <= 1:
         return bytes(out)
+    import numpy as np
+
     half = 1 << (width - 1)
     full = 1 << width
     deltas = [
@@ -252,15 +276,28 @@ def _delta_binary_packed(values: list[int], width: int) -> bytes:
             if not mb:
                 widths.append(0)
                 continue
-            bw = max(v.bit_length() for v in mb)
+            mx = max(mb)
+            bw = mx.bit_length()
             widths.append(bw)
             if bw == 0:
                 continue
-            mb = mb + [0] * (MB - len(mb))
-            acc = 0
-            for i, v in enumerate(mb):
-                acc |= v << (i * bw)
-            packed.append(acc.to_bytes(MB * bw // 8, "little"))
+            if bw <= 32:
+                # LSB-first bit matrix + packbits == the shift-or
+                # accumulator byte-for-byte (round-16, guide §4.2)
+                arr = np.zeros(MB, dtype=np.uint64)
+                arr[: len(mb)] = mb
+                bits = (
+                    (arr[:, None] >> np.arange(bw, dtype=np.uint64)) & 1
+                ).astype(np.uint8)
+                packed.append(
+                    np.packbits(bits.ravel(), bitorder="little").tobytes()
+                )
+            else:
+                mb = mb + [0] * (MB - len(mb))
+                acc = 0
+                for i, v in enumerate(mb):
+                    acc |= v << (i * bw)
+                packed.append(acc.to_bytes(MB * bw // 8, "little"))
         out += bytes(widths)
         for p in packed:
             out += p

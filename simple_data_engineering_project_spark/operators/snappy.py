@@ -39,7 +39,12 @@ def snappy_decompress(data: bytes) -> bytes:
         if not b & 0x80:
             break
         shift += 7
+    # Per-element loop with everything in locals and an incrementally
+    # tracked output length (round-16, guide §4.2): a len(out) call +
+    # int.from_bytes per copy element was ~40% of the tag-loop time on
+    # the pure-parquet scan path.
     out = bytearray()
+    olen = 0
     n = len(data)
     while pos < n:
         tag = data[pos]
@@ -53,6 +58,7 @@ def snappy_decompress(data: bytes) -> bytes:
                 pos += extra
             ln += 1
             out += data[pos : pos + ln]
+            olen += ln
             pos += ln
             continue
         if kind == 1:
@@ -61,25 +67,30 @@ def snappy_decompress(data: bytes) -> bytes:
             pos += 1
         elif kind == 2:
             ln = (tag >> 2) + 1
-            offset = int.from_bytes(data[pos : pos + 2], "little")
+            offset = data[pos] | (data[pos + 1] << 8)
             pos += 2
         else:
             ln = (tag >> 2) + 1
             offset = int.from_bytes(data[pos : pos + 4], "little")
             pos += 4
-        if offset == 0 or offset > len(out):
+        if offset == 0 or offset > olen:
             raise ValueError("snappy copy before stream start")
-        start = len(out) - offset
+        start = olen - offset
         if offset >= ln:
             # non-overlapping: one bulk slice (the dominant case in
             # real snappy output — a byte loop here was a multi-x tax
             # on the avro decode path)
             out += out[start : start + ln]
         else:
-            # overlapping forward copy (RLE) must copy byte-wise
-            for i in range(ln):
-                out.append(out[start + i])
-    if len(out) != total:
+            # overlapping forward copy (RLE): replicate the window
+            # with bulk slice appends (ceil(ln/offset) appends instead
+            # of ln byte appends)
+            reps, rem = divmod(ln, offset)
+            out += out[start : start + offset] * reps
+            if rem:
+                out += out[start : start + rem]
+        olen += ln
+    if olen != total:
         raise ValueError("snappy length mismatch")
     return bytes(out)
 

@@ -437,18 +437,51 @@ class _HuffDecoder:
         if at != target:
             raise ValueError("huffman table not fully populated")
         self.table = table
+        # split (symbol, nbits) into flat lists: the decode loop below
+        # runs once per literal byte, and a tuple unpack per symbol was
+        # a measurable tax (round-16, guide §4.2 "make the per-batch
+        # inner loop tight")
+        self.tbl_sym = bytes(t[0] for t in table)
+        self.tbl_nb = bytes(t[1] for t in table)
 
     def decode_stream(self, blob: bytes, n_out: int) -> bytearray:
-        bits = _BackBits(blob)
-        out = bytearray()
+        # Inlined back-to-front lenient bit reads: the _BackBits method
+        # call per symbol (plus its attribute traffic) dominated the
+        # ORC-zstd scan profile (423k read_lenient frames); the loop
+        # below keeps everything in locals and reads at most 3 bytes
+        # per symbol (max_bits <= 11 plus a 7-bit shift).
+        bits = _BackBits(blob)  # validates + locates the sentinel
+        pos = bits.pos
+        data = bits.data
         mb = self.max_bits
-        while len(out) < n_out:
-            idx = bits.read_lenient(mb)
-            sym, nb = self.table[idx]
-            bits.pos += mb - nb  # give back unused bits
-            out.append(sym)
-            if bits.pos <= -1 and len(out) < n_out:
+        mask = (1 << mb) - 1
+        tbl_sym = self.tbl_sym
+        tbl_nb = self.tbl_nb
+        out = bytearray(n_out)
+        i = 0
+        while i < n_out:
+            pos -= mb
+            if pos >= 0:
+                sh = pos & 7
+                b0 = pos >> 3
+                idx = (
+                    int.from_bytes(data[b0 : b0 + 3], "little") >> sh
+                ) & mask
+            elif pos <= -64:
+                raise ValueError("zstd bitstream over-drained")
+            else:
+                avail = mb + pos
+                if avail <= 0:
+                    idx = 0
+                else:
+                    chunk = int.from_bytes(data[: (avail + 7) >> 3], "little")
+                    idx = ((chunk & ((1 << avail) - 1)) << -pos) & mask
+            out[i] = tbl_sym[idx]
+            i += 1
+            pos += mb - tbl_nb[idx]  # give back unused bits
+            if pos <= -1 and i < n_out:
                 raise ValueError("huffman stream drained early")
+        bits.pos = pos
         return out
 
 
@@ -831,23 +864,59 @@ def _block(blk, out: bytearray, prev_huff, tables, rep, frame_start):
     ml, pos = _sequences_tables(blk, pos, (modes >> 2) & 3, "ml", tables["ml"])
     tables["ll"], tables["of"], tables["ml"] = ll, of, ml
     bits = _BackBits(blk[pos:])
+    # Inlined sequence loop (round-16, guide §4.2): the three FSE
+    # decoders' peek/update METHOD calls plus a read_lenient method
+    # call per field dominated the ORC-zstd scan profile (284k
+    # update_state frames). Everything below runs on locals: the
+    # decoder tables as flat lists, the bit reader as a closure over
+    # one position integer with the same lenient semantics.
+    bdata = bits.data
+    bpos = bits.pos
+
+    def rd(nn):
+        nonlocal bpos
+        if nn == 0:
+            return 0
+        bpos -= nn
+        if bpos >= 0:
+            sh = bpos & 7
+            b0 = bpos >> 3
+            return (
+                int.from_bytes(bdata[b0 : b0 + ((sh + nn + 7) >> 3)], "little")
+                >> sh
+            ) & ((1 << nn) - 1)
+        if bpos <= -64:
+            raise ValueError("zstd bitstream over-drained")
+        avail = nn + bpos
+        if avail <= 0:
+            return 0
+        chunk = int.from_bytes(bdata[: (avail + 7) >> 3], "little")
+        return ((chunk & ((1 << avail) - 1)) << -bpos) & ((1 << nn) - 1)
+
+    ll_syms, ll_nbb, ll_basel = ll.symbols, ll.nb_bits, ll.baseline
+    of_syms, of_nbb, of_basel = of.symbols, of.nb_bits, of.baseline
+    ml_syms, ml_nbb, ml_basel = ml.symbols, ml.nb_bits, ml.baseline
+    # state init stays on the STRICT reader (truncated-stream probes
+    # must keep raising here, not zero-pad into silent garbage)
     ll.init_state(bits)
     of.init_state(bits)
     ml.init_state(bits)
+    bpos = bits.pos
+    ll_st, of_st, ml_st = ll.state, of.state, ml.state
     lit_at = 0
     for i in range(nseq):
-        of_code = of.peek_symbol()
+        of_code = of_syms[of_st]
         if of_code > 31:
             raise ValueError(f"offset code {of_code} out of range")
-        of_value = (1 << of_code) + bits.read_lenient(of_code)
-        ml_code = ml.peek_symbol()
+        of_value = (1 << of_code) + rd(of_code)
+        ml_code = ml_syms[ml_st]
         if ml_code > 52:
             raise ValueError(f"match-length code {ml_code} out of range")
-        match_len = _ML_BASE[ml_code] + bits.read_lenient(_ML_BITS[ml_code])
-        ll_code = ll.peek_symbol()
+        match_len = _ML_BASE[ml_code] + rd(_ML_BITS[ml_code])
+        ll_code = ll_syms[ll_st]
         if ll_code > 35:
             raise ValueError(f"literal-length code {ll_code} out of range")
-        lit_len = _LL_BASE[ll_code] + bits.read_lenient(_LL_BITS[ll_code])
+        lit_len = _LL_BASE[ll_code] + rd(_LL_BITS[ll_code])
         # repeat-offset resolution (§3.1.1.5)
         if of_value > 3:
             offset = of_value - 3
@@ -893,13 +962,17 @@ def _block(blk, out: bytearray, prev_huff, tables, rep, frame_start):
             start = len(out) - offset
             out += out[start : start + match_len]
         else:
+            # overlapping forward copy (RLE): replicate the window
+            # with bulk slice appends
             start = len(out) - offset
-            for k in range(match_len):  # overlapping copy
-                out.append(out[start + k])
+            reps, remn = divmod(match_len, offset)
+            out += out[start : start + offset] * reps
+            if remn:
+                out += out[start : start + remn]
         if i < nseq - 1:
-            ll.update_state(bits)
-            ml.update_state(bits)
-            of.update_state(bits)
+            ll_st = ll_basel[ll_st] + rd(ll_nbb[ll_st])
+            ml_st = ml_basel[ml_st] + rd(ml_nbb[ml_st])
+            of_st = of_basel[of_st] + rd(of_nbb[of_st])
     out += lits[lit_at:]
     return huff
 
