@@ -36,6 +36,8 @@ def main() -> None:
     while i < len(argv):
         a = argv[i]
         if a == "--n":
+            if i + 1 >= len(argv):  # ADVICE r15: trailing --n
+                sys.exit("usage: profile_entry.py entry [...] [--n N] [--cprofile]")
             n = int(argv[i + 1])
             i += 2
         elif a == "--cprofile":

@@ -153,8 +153,6 @@ class _BitWriter:
 def rlev2_direct_encode(values: list[int], signed: bool) -> bytes:
     """All values as RLEv2 DIRECT runs of <=512 — always legal, never
     the densest choice; the decoder side proves the framing."""
-    import numpy as np
-
     out = bytearray()
     for i in range(0, len(values), 512):
         chunk = values[i : i + 512]
@@ -165,16 +163,28 @@ def rlev2_direct_encode(values: list[int], signed: bool) -> bytes:
         n = len(chunk) - 1
         out.append(0x40 | (code << 1) | (n >> 8))  # sub-encoding 1 = DIRECT
         out.append(n & 0xFF)
-        # MSB-first bit matrix + packbits == _BitWriter.put per value
-        # byte-for-byte, including done()'s zero pad (round-16, guide
-        # §4.2); zigzag keeps every value in [0, 2^64) so uint64 is
-        # exact at any legal width
-        arr = np.array(enc, dtype=np.uint64)
-        bits = (
-            (arr[:, None] >> np.arange(width - 1, -1, -1, dtype=np.uint64))
-            & 1
-        ).astype(np.uint8)
-        out += np.packbits(bits.ravel()).tobytes()
+        if n >= 15:
+            # MSB-first bit matrix + packbits == _BitWriter.put per
+            # value byte-for-byte, including done()'s zero pad
+            # (round-16, guide §4.2); zigzag keeps every value in
+            # [0, 2^64) so uint64 is exact at any legal width. Tiny
+            # groups (the literal flushes interleaving short runs)
+            # stay on the scalar writer — numpy setup costs more than
+            # it saves below ~16 values.
+            import numpy as np
+
+            arr = np.array(enc, dtype=np.uint64)
+            bits = (
+                (arr[:, None]
+                 >> np.arange(width - 1, -1, -1, dtype=np.uint64))
+                & 1
+            ).astype(np.uint8)
+            out += np.packbits(bits.ravel()).tobytes()
+        else:
+            bw = _BitWriter()
+            for e in enc:
+                bw.put(e, width)
+            out += bw.done()
     return bytes(out)
 
 
@@ -195,36 +205,53 @@ def rlev2_encode(values: list[int], signed: bool) -> bytes:
     monotonic ids ~30x."""
     out = bytearray()
     lits: list[int] = []
+    n = len(values)
 
     def flush_lits():
         if lits:
             out.extend(rlev2_direct_encode(lits, signed))
             lits.clear()
 
-    i, n = 0, len(values)
+    # Maximal constant-delta segments located with one numpy diff pass
+    # (round-16, guide §4.2): the per-VALUE compare loop plus a tiny
+    # direct-encode flush per 1-2 interleaved literals dominated the
+    # ORC sink profile (7k flush frames / 20k rows). seg_end[k] = last
+    # delta index of the equal-delta run starting at delta k; a failed
+    # segment's values become literals IN BULK except its last value,
+    # which seeds the next run — byte-identical to the greedy
+    # one-value-at-a-time walk (literal flushes stay at exactly 512).
+    if n >= 2:
+        import numpy as np
+
+        darr = np.asarray(values[1:], dtype=np.int64) - np.asarray(
+            values[:-1], dtype=np.int64
+        )
+        bounds = np.flatnonzero(darr[1:] != darr[:-1]) + 1
+        seg_start = np.concatenate(([0], bounds))
+        seg_last = np.concatenate((bounds - 1, [len(darr) - 1]))
+        # seg_end_at[k] = seg_last of the segment containing delta k
+        seg_end_at = np.repeat(seg_last, seg_last - seg_start + 1)
+        deltas = darr.tolist()
+        seg_end_at = seg_end_at.tolist()
+    i = 0
     while i < n:
-        # maximal constant-delta run from i, capped at 512
-        j = i + 1
-        if j < n:
-            d = values[j] - values[i]
-            while (
-                j + 1 < n
-                and j + 1 - i < 512
-                and values[j + 1] - values[j] == d
-            ):
-                j += 1
-        length = j - i + 1 if j < n else 1
-        if j < n and length >= 3 and d == 0 and length <= 10:
+        if i == n - 1:
+            lits.append(values[i])
+            if len(lits) >= 512:
+                flush_lits()
+            i += 1
+            continue
+        d = deltas[i]
+        length = min(seg_end_at[i] - i + 2, 512)
+        if 3 <= length <= 10 and d == 0:
             flush_lits()
             v = values[i]
             u = _zigzag(v) if signed else v
             width = max(1, (u.bit_length() + 7) // 8)
             out.append(((width - 1) << 3) | (length - 3))
             out += u.to_bytes(width, "big")
-            i = j + 1
-        elif j < n and (
-            (d == 0 and length > 10) or (d != 0 and length >= 4)
-        ):
+            i += length
+        elif (d == 0 and length > 10) or (d != 0 and length >= 4):
             flush_lits()
             # fixed-delta DELTA run: header sub=3, wcode=0, 9-bit
             # length-1; base (zigzag when signed), delta ALWAYS zigzag
@@ -232,12 +259,17 @@ def rlev2_encode(values: list[int], signed: bool) -> bytes:
             out.append((length - 1) & 0xFF)
             out += _varint_signed(values[i], signed)
             out += _varint(_zigzag(d))
-            i = j + 1
+            i += length
         else:
-            lits.append(values[i])
-            if len(lits) == 512:
-                flush_lits()
-            i += 1
+            # failed segment: all but its last value are literals; the
+            # last value seeds the next segment's run (the greedy walk
+            # reaches it with the NEXT delta)
+            take = length - 1
+            lits.extend(values[i : i + take])
+            while len(lits) >= 512:
+                out.extend(rlev2_direct_encode(lits[:512], signed))
+                del lits[:512]
+            i += take
     flush_lits()
     return bytes(out)
 

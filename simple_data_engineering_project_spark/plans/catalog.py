@@ -109,7 +109,7 @@ def _stage_base(spark, sf_dir, table="orders", cols=("o_orderkey",)):
     )
 
 
-def _bench_reuse_fixture(out: str, stage) -> None:
+def _bench_reuse_fixture(out: str, stage, tag: str = "ok") -> None:
     """Bench-only fixture reuse, the one home of the protocol (review
     finding — three hand-rolled copies could drift): bench.py's
     steady-state timed pass sets SDEP_BENCH_REUSE_FIXTURES right
@@ -125,10 +125,20 @@ def _bench_reuse_fixture(out: str, stage) -> None:
         os.environ.get("SDEP_BENCH_REUSE_FIXTURES") == "1"
         and os.path.exists(marker)
     ):
-        return
+        # ``tag`` guards fixtures whose scratch path is NOT SF-keyed
+        # (parquet_footer_stats: the DuckDB oracle's static glob pins
+        # the path) — an externally persisted reuse flag across
+        # different-SF runs must re-stage, not serve the stale SF
+        # (ADVICE r15).
+        try:
+            with open(marker) as mf:
+                if mf.read() == tag:
+                    return
+        except OSError:
+            pass
     stage()
     with open(marker, "w") as mf:
-        mf.write("ok")
+        mf.write(tag)
 
 
 # =====================================================================
@@ -10003,7 +10013,11 @@ def parquet_footer_stats_q(spark, sf_dir):
             .parquet(out)
         )
 
-    _bench_reuse_fixture(out, _stage)
+    # SF-tagged marker: this scratch path is NOT SF-keyed (the DuckDB
+    # oracle's static glob pins it), so cross-SF reuse must re-stage
+    _bench_reuse_fixture(
+        out, _stage, tag=os.path.basename(os.path.normpath(sf_dir))
+    )
     paths = sorted(
         f"{out}/{p}"
         for p in os.listdir(out)
